@@ -1,0 +1,158 @@
+"""Typed table registry over the fixture parquet tables.
+
+The reference relies on schema *inference* and then post-hoc checks
+(SURVEY.md §1.3: CSV → pandas → ``createDataFrame`` with inferred schema,
+then a validator diffs expected columns). Our engine inverts that:
+schemas are declared here, reads are verified against them at load time,
+and the declaration doubles as documentation for every operator.
+
+We deliberately do NOT pass the schema into ``spark.read.parquet`` —
+parquet is self-describing, and forcing a user schema would insert casts
+that block predicate pushdown into the scan. Instead we assert
+compatibility after the (lazy, metadata-only) read.
+
+Scale notes (100 TB):
+- Reads stay fully lazy; a ``Catalog`` is just a dict of unresolved scans.
+- Fact tables (``lineitem``, ``orders``, ``events``) should be
+  date-partitioned at scale; the loader transparently supports
+  directory-partitioned layouts because it reads whatever parquet tree
+  sits at ``{sf_dir}/{name}.parquet``.
+- Dimension tables are flagged ``broadcastable`` so join builders can
+  hint them explicitly instead of trusting size estimation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Expected logical schemas for the driver fixture tables
+# (/root/repo/FIXTURES.md §B). Integer widths may be narrower on disk
+# (int32 vs int64) — compatibility, not identity, is asserted.
+TABLE_COLUMNS: dict[str, list[tuple[str, type]]] = {
+    "region": [("r_regionkey", T.IntegralType), ("r_name", T.StringType)],
+    "nation": [
+        ("n_nationkey", T.IntegralType),
+        ("n_name", T.StringType),
+        ("n_regionkey", T.IntegralType),
+    ],
+    "customer": [
+        ("c_custkey", T.IntegralType),
+        ("c_name", T.StringType),
+        ("c_nationkey", T.IntegralType),
+        ("c_acctbal", T.NumericType),
+        ("c_mktsegment", T.StringType),
+    ],
+    "supplier": [
+        ("s_suppkey", T.IntegralType),
+        ("s_name", T.StringType),
+        ("s_nationkey", T.IntegralType),
+        ("s_acctbal", T.NumericType),
+    ],
+    "part": [
+        ("p_partkey", T.IntegralType),
+        ("p_name", T.StringType),
+        ("p_brand", T.StringType),
+        ("p_type", T.StringType),
+        ("p_size", T.IntegralType),
+        ("p_retailprice", T.NumericType),
+    ],
+    "orders": [
+        ("o_orderkey", T.IntegralType),
+        ("o_custkey", T.IntegralType),
+        ("o_orderstatus", T.StringType),
+        ("o_totalprice", T.NumericType),
+        ("o_orderdate", (T.TimestampType, T.TimestampNTZType, T.DateType)),
+        ("o_orderpriority", T.StringType),
+    ],
+    "lineitem": [
+        ("l_orderkey", T.IntegralType),
+        ("l_partkey", T.IntegralType),
+        ("l_suppkey", T.IntegralType),
+        ("l_linenumber", T.IntegralType),
+        ("l_quantity", T.NumericType),
+        ("l_extendedprice", T.NumericType),
+        ("l_discount", T.NumericType),
+        ("l_tax", T.NumericType),
+        ("l_returnflag", T.StringType),
+        ("l_linestatus", T.StringType),
+        ("l_shipdate", (T.TimestampType, T.TimestampNTZType, T.DateType)),
+    ],
+    "events": [
+        ("event_id", T.IntegralType),
+        ("ts", (T.TimestampType, T.TimestampNTZType)),
+        ("user_id", T.IntegralType),
+        ("event_type", T.StringType),
+        ("value", T.NumericType),
+        ("props", T.StringType),
+    ],
+    "documents": [
+        ("doc_id", T.IntegralType),
+        ("text", T.StringType),
+        ("lang", T.StringType),
+        ("source", T.StringType),
+        ("n_chars", T.IntegralType),
+    ],
+    "embeddings": [
+        ("vec_id", T.IntegralType),
+        ("embedding", T.ArrayType),
+        ("label", T.IntegralType),
+    ],
+}
+
+#: Dimension tables small enough to broadcast at any realistic scale.
+#: (customer/part/supplier are broadcastable at test SFs but grow with SF;
+#: join builders broadcast them only when explicitly asked.)
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+@dataclass
+class Catalog:
+    """Lazy handle on one scale factor's tables."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in TABLE_COLUMNS:
+            raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_COLUMNS)}")
+        if name not in self._cache:
+            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            _assert_schema(name, df)
+            self._cache[name] = df
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in TABLE_COLUMNS:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_temp_views(self) -> None:
+        """Expose every table as a SQL temp view (the spark.sql front door)."""
+        for name in TABLE_COLUMNS:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
+    # Event-time bucketing and date formatting must be tz-stable regardless
+    # of who built the session (the driver builds its own).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return Catalog(spark=spark, sf_dir=sf_dir)
+
+
+def _assert_schema(name: str, df: DataFrame) -> None:
+    expected = TABLE_COLUMNS[name]
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c, _ in expected if c not in actual]
+    if missing:
+        raise ValueError(f"table {name!r}: missing columns {missing}; got {sorted(actual)}")
+    for col, kind in expected:
+        if not isinstance(actual[col], kind):
+            raise TypeError(
+                f"table {name!r}: column {col!r} has {actual[col]}, expected {kind}"
+            )

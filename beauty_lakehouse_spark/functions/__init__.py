@@ -1,0 +1,72 @@
+"""Portable column helpers.
+
+Everything here is a pure Column→Column function built from JVM-side
+``pyspark.sql.functions`` (whole-stage-codegen friendly; no Python UDFs).
+
+Cross-engine determinism is a design requirement: the driver compares our
+Spark results against DuckDB oracle SQL by value-hash, so any function
+used in a query output must have an exactly-equivalent DuckDB expression.
+The key tool is :func:`portable_hash64` — a 60-bit integer hash derived
+from md5, which both Spark (``conv(substr(md5(x),1,15),16,10)``) and
+DuckDB (``('0x' || substr(md5(x),1,15))::bigint``) compute identically.
+Spark's native ``hash()``/``xxhash64()`` are faster but engine-specific,
+so they are reserved for internal plumbing (salting, bucketing) that
+never reaches a compared output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "portable_hash64",
+    "portable_hash64_sql",
+    "money",
+    "epoch_us",
+    "iso_date",
+    "clip",
+]
+
+
+def portable_hash64(col: Column | str) -> Column:
+    """60-bit stable integer hash of a string column (md5-based).
+
+    Identical in DuckDB as ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    15 hex digits < 2^60, so the value always fits a signed int64.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def portable_hash64_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`portable_hash64` as a SQL fragment."""
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def money(col: Column, scale: int = 2) -> Column:
+    """Round a money amount the way the reference does everywhere
+    (2-dp double; reference src/generate_data.py:192,199,301,302,309)."""
+    return F.round(col, scale)
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch as int64 — the tz-proof, precision-proof
+    way to compare timestamps across engines (DuckDB: ``epoch_us(ts)``).
+
+    Works for TIMESTAMP and TIMESTAMP_NTZ (session tz is pinned to UTC,
+    so the NTZ→TZ cast is the identity).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+def iso_date(col: Column | str) -> Column:
+    """yyyy-MM-dd string (DuckDB: ``strftime(d, '%Y-%m-%d')``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd")
+
+
+def clip(col: Column, lo: float, hi: float) -> Column:
+    """np.clip as a column expression (reference src/generate_data.py:140)."""
+    return F.least(F.greatest(col, F.lit(lo)), F.lit(hi))

@@ -1,0 +1,266 @@
+"""Deduplication operators over the documents table (north-star
+extension: LLM-training-data pipeline ops).
+
+Four families, all JVM-side expressions (no Python UDFs anywhere):
+
+- exact          — canonicalize + md5 group (hash-groupBy).
+- n-gram Jaccard — word-3-gram shingles → shared-shingle join → exact
+                   set-overlap Jaccard. The shingle join IS the
+                   inverted-index trick: only pairs sharing ≥1 shingle
+                   are ever materialized, never the full O(n²) cross.
+- MinHash + LSH  — 16 portable hash functions over shingles → banded
+                   signatures (4 bands × 4 rows) → bucket join for
+                   candidates. The scale path: candidate generation cost
+                   is O(n·bands), join only collides near-duplicates.
+- SimHash        — 32-bit majority-vote fingerprint + Hamming ranking.
+
+Cross-engine determinism: every hash is functions.portable_hash64
+(md5-based, identical in DuckDB), so the driver's oracle comparison is
+exact — see the paired SQL in __spark_entry__.oracle_sql().
+
+Scale notes (100 TB):
+- Shingling explodes ~1 row per word — linear, shuffle-free.
+- The Jaccard shared-shingle join is quadratic only within a posting
+  list; hot shingles (stopword-only 3-grams) should be dropped at scale
+  (df cutoff) — ``shingles()`` exposes ``max_doc_freq`` for that.
+- MinHash signatures: one groupBy(doc, hash_i) — map-side combinable.
+- All-pairs SimHash ranking here is a correctness baseline; the scale
+  form buckets by signature bytes first (same banding idea as LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import portable_hash64
+
+N_HASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def tokens(documents: DataFrame) -> DataFrame:
+    """doc_id, token array (whitespace tokenization — the fixture docs
+    are space-separated tokens by construction)."""
+    return documents.select(
+        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    )
+
+
+def shingles(documents: DataFrame, n: int = 3, max_doc_freq: int | None = None) -> DataFrame:
+    """doc_id, shingle — distinct word n-grams per document.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    docs (posting-list cap for the quadratic join at scale)."""
+    tok = tokens(documents)
+    sh = tok.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
+                    ),
+                )
+            )
+        ).alias("shingle"),
+    )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle", "left_anti")
+    return sh
+
+
+def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id, i, mh — MinHash over word-3-gram shingles with
+    ``n_hashes`` independent portable hash functions (seed mixed into
+    the hashed string)."""
+    sh = shingles(documents)
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i")
+    hashed = sh.select("doc_id", "shingle", idx).select(
+        "doc_id",
+        "i",
+        portable_hash64(F.concat_ws(":", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+
+
+def lsh_candidates(documents: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash (doc_a < doc_b)."""
+    sig = minhash_signatures(documents)
+    rows_per_band = N_HASHES // LSH_BANDS
+    banded = (
+        sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                        lambda s: s["mh"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = banded.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a")
+    )
+    b = banded.select(
+        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b")
+    )
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash32(documents: DataFrame) -> DataFrame:
+    """doc_id, simhash — 32-bit SimHash over word-3-gram shingles:
+    bit i of the fingerprint is the majority vote of bit i across all
+    shingle hashes."""
+    sh = shingles(documents).select(
+        "doc_id", portable_hash64(F.col("shingle")).alias("h")
+    )
+    bits = sh.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        # column-valued shift amounts need the SQL form (the PySpark
+        # wrapper only accepts a literal int)
+        F.expr("CAST(shiftrightunsigned(h, bit) & 1 AS INT) * 2 - 1").alias("vote"),
+    )
+    return (
+        bits.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+# ----- registered queries ---------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical doc per normalized-text hash group
+    (keep = min doc_id). Output is the full keep/drop assignment."""
+    t = load(spark, sf_dir)
+    hashed = t.documents.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+    )
+    canon = hashed.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return (
+        hashed.join(canon, "text_hash")
+        .select(
+            "doc_id",
+            "text_hash",
+            "group_size",
+            (F.col("doc_id") == F.col("keep_id")).alias("is_canonical"),
+        )
+    )
+
+
+def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar doc pairs by word-3-gram Jaccard. Jaccard is
+    a ratio of integers — bit-exact across engines — so the ranking is
+    fully deterministic (tiebreak: doc_a, doc_b)."""
+    t = load(spark, sf_dir)
+    sh = shingles(t.documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    scored = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash digest: the first 4 signature values plus an md5
+    over the full 16-value signature (comparable scalar form of the
+    signature array)."""
+    t = load(spark, sf_dir)
+    sig = minhash_signatures(t.documents)
+    return sig.groupBy("doc_id").agg(
+        F.min(F.when(F.col("i") == 0, F.col("mh"))).alias("mh0"),
+        F.min(F.when(F.col("i") == 1, F.col("mh"))).alias("mh1"),
+        F.min(F.when(F.col("i") == 2, F.col("mh"))).alias("mh2"),
+        F.min(F.when(F.col("i") == 3, F.col("mh"))).alias("mh3"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            )
+        ).alias("sig_digest"),
+    )
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (may legitimately be empty when no
+    near-duplicates exist at this scale — the oracle must agree)."""
+    t = load(spark, sf_dir)
+    return lsh_candidates(t.documents)
+
+
+def q_simhash_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest doc pairs by SimHash Hamming distance (correctness
+    baseline form; scale form buckets by signature bytes first)."""
+    t = load(spark, sf_dir)
+    sig = simhash32(t.documents)
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+    )
+    return pairs.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(20)

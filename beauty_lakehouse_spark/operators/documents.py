@@ -1,0 +1,98 @@
+"""Nested-document operators (reference layer 2, the MongoDB pipeline).
+
+The reference collapses orders⋈order_items into order documents with an
+embedded ``items`` array-of-structs, then ships them to MongoDB via a
+driver-side ``toPandas()`` (02_document_db_mongodb.ipynb:222-276) — THE
+scalability cliff called out in SURVEY.md §3.2. Our engine keeps the
+collapse distributed end to end: the document sink is ``df.write.json``
+(or any Spark connector), never a driver collect.
+
+``collect_list`` is order-nondeterministic under shuffle, so every array
+is ``array_sort``-ed — documents get a canonical form, which also makes
+the round-trip law testable (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+ITEM_COLS = ["l_linenumber", "l_partkey", "l_quantity", "l_extendedprice"]
+
+
+def collapse_order_docs(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """orders ⋈ lineitem → one row per order with items array<struct>.
+
+    Ref A3 (02_document_db_mongodb.ipynb:226-244): groupBy on the order
+    columns + collect_list(struct(...)). Physical plan:
+    ObjectHashAggregate after an Exchange on o_orderkey. Grouping only on
+    the key and re-attaching header columns via first() keeps the
+    grouping key narrow (the reference grouped on all 6 header columns,
+    which makes the shuffle key wide for no semantic gain).
+    """
+    items = lineitem.select(
+        "l_orderkey", F.struct(*ITEM_COLS).alias("item")
+    )
+    docs = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("item")).alias("items"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return (
+        orders.join(docs, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "n_items",
+            "items",
+        )
+    )
+
+
+def explode_order_docs(docs: DataFrame) -> DataFrame:
+    """Inverse of :func:`collapse_order_docs` — the round-trip law
+    (explode(docs.items) == lineitem projection, order-insensitive)."""
+    return docs.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.explode("items").alias("item"),
+    ).select("l_orderkey", *[F.col(f"item.{c}").alias(c) for c in ITEM_COLS])
+
+
+def write_json_docs(docs: DataFrame, path: str) -> None:
+    """Document sink (ref S6 reimagined): distributed JSON-lines write —
+    the Spark-native replacement for the reference's driver-side
+    toPandas→PyMongo insert_many."""
+    docs.write.mode("overwrite").json(path)
+
+
+def read_json_docs(spark: SparkSession, path: str) -> DataFrame:
+    """Document source (ref S7): read the exported docs back."""
+    return spark.read.json(path)
+
+
+# ----- registered queries ---------------------------------------------------
+
+
+def q_order_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-comparable shadow of the document collapse: per-order item
+    count + item-derived totals (the array itself is checked by the
+    pytest round-trip law; DuckDB list/struct hashing is not stable
+    enough across engines to compare arrays directly)."""
+    t = load(spark, sf_dir)
+    docs = collapse_order_docs(t.orders, t.lineitem)
+    return docs.select(
+        "o_orderkey",
+        "o_custkey",
+        "n_items",
+        F.round(
+            F.aggregate(
+                F.col("items"),
+                F.lit(0.0),
+                lambda acc, x: acc + x["l_extendedprice"],
+            ),
+            2,
+        ).alias("items_gross"),
+    )

@@ -1,0 +1,125 @@
+"""Event-time operators over the events table (north-star extension;
+the reference is batch-only — SURVEY.md §2.8).
+
+Batch forms of the streaming windows live here (window / session_window
+on a static DataFrame); ``streaming/pipelines.py`` runs the same
+transformations under readStream+watermark and the tests assert
+batch-equivalence (availableNow).
+
+Cross-engine parity: all bucket keys are integer epoch arithmetic
+(unix_micros), never formatted timestamps — timezone- and
+precision-proof against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import epoch_us
+
+HOUR_US = 3_600_000_000
+HALF_HOUR_US = 1_800_000_000
+SESSION_GAP_US = 15 * 60 * 1_000_000
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event_type: count + sum(value).
+    Expressed with the native ``F.window`` operator; the output key is
+    the window start in epoch-µs."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            epoch_us(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 hour long, 30 min step): every event lands in 2
+    windows. Native ``F.window(ts, '1 hour', '30 minutes')``."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            epoch_us(F.col("w.start")).alias("win_start_us"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (15-min inactivity gap) via the native
+    ``F.session_window``. A new session starts when the gap since the
+    previous event is ≥ the gap duration (Spark's window is
+    [start, last_event + gap))."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "15 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction (get_json_object) + per-type stats of the
+    extracted value — the semi-structured column pattern."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: event span, counts by kind (pivot-style
+    conditional aggregation — single pass, no pivot shuffle)."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_type", "value", epoch_us("ts").alias("ts_us")
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            2,
+        ).alias("purchase_value"),
+    )

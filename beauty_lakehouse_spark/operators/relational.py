@@ -1,0 +1,260 @@
+"""Core relational operators (reference inventory SURVEY.md §2.1–2.6).
+
+Every reference operator re-expressed on the driver fixture tables
+(role mapping per FIXTURES.md: orders/lineitem ≈ orders/order_items,
+customer ≈ customers, part ≈ products).
+
+Scale design notes:
+- Dim joins broadcast explicitly (``F.broadcast``) where the dim is
+  bounded (region: 5 rows, nation: 25 rows at every SF); unbounded dims
+  (customer, part) rely on AQE join selection so the same code works at
+  100 TB where they no longer fit in memory.
+- Aggregations are all partial-merge (map-side combine) hash aggregates;
+  nothing here forces a complete-mode agg except collect_list in
+  ``documents.py``, which is inherent to that semantic.
+- Top-k uses orderBy().limit() so Catalyst fuses it to
+  TakeOrderedAndProject — no full sort, no single-reducer shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+# --------------------------------------------------------------------------
+# Generic library helpers (DataFrame → DataFrame, reusable on any input)
+# --------------------------------------------------------------------------
+
+
+def null_profile(df: DataFrame) -> DataFrame:
+    """Per-column null counts in a single pass (ref P1/A5,
+    notebooks/01_dataLake_ingestion.ipynb:317-320).
+
+    One wide no-group aggregate → partial agg per partition + 1-row final;
+    scales linearly, no shuffle of data rows."""
+    return df.select(
+        [F.sum(F.col(c).isNull().cast("int")).alias(c) for c in df.columns]
+    )
+
+
+def duplicate_keys(df: DataFrame, key: str) -> DataFrame:
+    """Keys violating uniqueness (ref A9, scripts/validate_dataset.py:178-189).
+    Must-be-empty on primary keys."""
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def orphans(child: DataFrame, parent: DataFrame, fk: str, pk: str) -> DataFrame:
+    """Referential-integrity violations as a left-anti join (ref J3,
+    scripts/validate_dataset.py:114,122,130 did this with Python sets —
+    the distributed form is the canonical anti-join)."""
+    return child.join(parent, child[fk] == parent[pk], "left_anti")
+
+
+def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
+    """orderBy+limit → TakeOrderedAndProject (ref O1+O2). Always pass a
+    deterministic tiebreaker column in ``order``."""
+    return df.orderBy(*order).limit(k)
+
+
+# --------------------------------------------------------------------------
+# Registered queries (driver signature)
+# --------------------------------------------------------------------------
+
+
+def q_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A1: orders per customer (01_dataLake_ingestion.ipynb:393)."""
+    t = load(spark, sf_dir)
+    return t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def q_parts_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A2: products per category (01_dataLake_ingestion.ipynb:469),
+    mapped to part.p_type."""
+    t = load(spark, sf_dir)
+    return t.part.groupBy(F.col("p_type").alias("p_type")).agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+
+
+def q_null_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref P1/A5: single-pass per-column null profile on orders."""
+    t = load(spark, sf_dir)
+    return null_profile(
+        t.orders.select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def q_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A6: histogram + sort desc (02_document_db_mongodb.ipynb:372)."""
+    t = load(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), F.asc("event_type"))
+    )
+
+
+def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A7: per-order total from line items (generate_data.py:309
+    invariant total_amount = round(Σ line_total, 2)), on lineitem with
+    the TPC-H revenue expression."""
+    t = load(spark, sf_dir)
+    return t.lineitem.groupBy("l_orderkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_duplicate_orderkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A9: uniqueness check on orders PK (must be empty)."""
+    t = load(spark, sf_dir)
+    return duplicate_keys(t.orders, "o_orderkey")
+
+
+def q_ri_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref J3: RI anti-join — lineitems whose order is missing (empty)."""
+    t = load(spark, sf_dir)
+    return orphans(t.lineitem, t.orders, "l_orderkey", "o_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+def q_order_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref J1+P2: header⋈detail inner equi-join with projection
+    (02_document_db_mongodb.ipynb:225). Filtered to one returnflag so
+    the output stays collectable; the join itself is the full fact⋈fact
+    shuffle (sort-merge / shuffled-hash under AQE)."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "l_linenumber",
+            "l_quantity",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "net_price"
+            ),
+        )
+    )
+
+
+def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref J2+A1: dimension join + per-customer aggregate. Customer is
+    broadcastable at test SF; at scale AQE decides (code is hint-free on
+    purpose — the dim grows with SF)."""
+    t = load(spark, sf_dir)
+    return (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+        )
+    )
+
+
+def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref O1+O2 top-k: top 10 customers by lineitem revenue.
+    orderBy+limit fuses to TakeOrderedAndProject; deterministic
+    tiebreak on custkey."""
+    t = load(spark, sf_dir)
+    rev = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return top_k(rev, [F.desc("revenue"), F.asc("o_custkey")], 10)
+
+
+def q_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref P5: tolerance filter |computed − stored| > ε. Here: orders
+    whose o_totalprice disagrees with Σ gross line charge by > 1%
+    (the fixtures don't guarantee the invariant; the filter is the op)."""
+    t = load(spark, sf_dir)
+    per_order = t.lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("calc")
+    )
+    joined = t.orders.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (
+        joined.filter(
+            F.abs(F.col("calc") - F.col("o_totalprice"))
+            > 0.01 * F.col("o_totalprice")
+        )
+        .select("o_orderkey", F.round("calc", 2).alias("calc_total"), "o_totalprice")
+    )
+
+
+def q_date_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref P4: cross-table date rule (order_date ≥ signup_date →
+    l_shipdate ≥ o_orderdate). Must-be-empty style filter after a join."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref F1–F12 showcase on part: casts, arithmetic, round, string
+    concat/split, clip, date pieces — all JVM-side expressions."""
+    t = load(spark, sf_dir)
+    return t.part.select(
+        "p_partkey",
+        F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        F.round(F.col("p_retailprice") * 1.19, 2).alias("price_vat"),
+        F.least(F.greatest(F.col("p_size"), F.lit(5)), F.lit(40)).alias("size_clip"),
+        (F.col("p_partkey") % 10).cast("int").alias("bucket"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+def q_region_mapping_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref P6: mapping-conformance without a UDF — broadcast join of
+    nation against the 5-row region mapping (the reference used a pandas
+    row-lambda; the Spark-native form is a broadcast lookup join)."""
+    t = load(spark, sf_dir)
+    return (
+        t.nation.join(
+            F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+def q_mktsegment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref A2/A6 on the customer dim: segment histogram with share-of-total
+    (adds a window-free two-pass share via a scalar subquery-style join)."""
+    t = load(spark, sf_dir)
+    counts = t.customer.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    total = t.customer.select(F.count(F.lit(1)).alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            F.round(F.col("n_customers") / F.col("total"), 6).alias("share"),
+        )
+    )

@@ -1,0 +1,214 @@
+"""Similarity search over the embeddings table (north-star extension).
+
+Two paths:
+
+- ``q_knn_brute``  — exact cosine top-k, pure column expressions
+  (``zip_with`` dot product folded in doubles). The correctness
+  baseline; O(Q·N·d). Used with a bounded query set.
+- ``ann_lsh_topk`` — the scale path: random-hyperplane LSH. Hyperplanes
+  are derived deterministically from portable hashes (no RNG, no state
+  to ship), vectors are bucketed by sign-bit signature, and search only
+  touches buckets within a Hamming radius of the query's signature.
+  Candidate scoring uses the same exact-cosine kernel. Recall is
+  verified against ``q_knn_brute`` in tests (not oracle-comparable —
+  approximate by design, registered rows-only).
+
+Scale notes (100 TB of vectors):
+- Brute force is a cross join — never run it unbounded; it exists as
+  the oracle for the ANN path and for small query batches.
+- The LSH path shuffles each vector once (to its bucket) and each query
+  ``C(radius)`` times — no cross join anywhere; bucket sizes are the
+  knob (more bits → smaller buckets → lower recall per probe).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+EMB_DIM = 64
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Exact dot product in double precision, deterministic fold order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``corpus``.
+
+    Ranking is done on the 4-dp-rounded score with vec_id tiebreak so
+    the result is deterministic (and engine-portable)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for the first 20 vectors."""
+    t = load(spark, sf_dir)
+    return cosine_topk(
+        t.embeddings.filter(F.col("vec_id") < 20), t.embeddings, k=5
+    )
+
+
+# ----- approximate path ------------------------------------------------------
+
+
+def _hyperplanes(spark: SparkSession, n_planes: int, dim: int = EMB_DIM) -> DataFrame:
+    """Deterministic pseudo-random hyperplanes: component (p, j) is a
+    ±-uniform value derived from md5(p:j). No RNG state, reproducible on
+    any cluster — the property streaming/backfill pipelines need."""
+    return (
+        spark.range(n_planes)
+        .select(F.col("id").cast("int").alias("plane"))
+        .select(
+            "plane",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda j: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                            F.concat_ws(
+                                ":", F.col("plane").cast("string"), j.cast("string")
+                            )
+                        ),
+                        1,
+                        15,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    / F.lit(float(2**60))
+                    - 0.5
+                ),
+            ).alias("pv"),
+        )
+    )
+
+
+def lsh_signatures(
+    vectors: DataFrame, planes: DataFrame, n_planes: int
+) -> DataFrame:
+    """vec_id, sig — sign-bit signature of each vector (one int)."""
+    joined = vectors.crossJoin(F.broadcast(planes))
+    bit = F.when(_dot(F.col("embedding"), F.col("pv")) >= 0, 1).otherwise(0)
+    return (
+        joined.select("vec_id", "embedding", "plane", bit.alias("b"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("b") == 1, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            ).alias("sig")
+        )
+    )
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    hamming_radius: int = 1,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket by LSH signature, probe all
+    buckets within ``hamming_radius`` of the query signature, score
+    candidates exactly. Multi-probe keeps recall high without touching
+    the whole corpus."""
+    from pyspark.sql import Window
+
+    planes = _hyperplanes(spark, n_planes)
+    csig = lsh_signatures(corpus, planes, n_planes).join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    )
+    qsig = lsh_signatures(queries, planes, n_planes).join(
+        queries.select("vec_id", "embedding"), "vec_id"
+    )
+    # Probe set: the query's own bucket plus every bucket 1 bit away.
+    probes = [F.col("sig")]
+    if hamming_radius >= 1:
+        probes += [
+            F.expr(f"sig ^ shiftleft(CAST(1 AS BIGINT), {b})")
+            for b in range(n_planes)
+        ]
+    qprobe = qsig.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = qprobe.join(
+        csig.select(
+            F.col("sig").alias("bucket"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv"),
+        ),
+        "bucket",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+            4,
+        ).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 for the first 20 vectors (approximate — registered
+    rows-only; recall vs brute force is asserted in tests)."""
+    t = load(spark, sf_dir)
+    return ann_lsh_topk(
+        spark,
+        t.embeddings.filter(F.col("vec_id") < 20),
+        t.embeddings,
+        k=5,
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators over the documents table (north-star
+extension: language-ID, quality scoring, token counting,
+fingerprinting). All JVM-side column expressions — no UDFs.
+
+Scale notes: every query here is a narrow projection + one aggregate or
+none; linear scans that whole-stage-codegen into a single stage. The
+only shuffle is the final groupBy where present.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import portable_hash64
+
+# Tiny deterministic stopword sets (heuristic n-gram/lexicon language ID;
+# parity with the oracle matters more than linguistic accuracy).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+}
+
+
+def _tok(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", "lang", "source", "n_chars", F.split("text", " ").alias("toks"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token counts, type-token ratio,
+    average token length, chars-per-token — the standard cheap quality
+    signals of a training-data pipeline."""
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
+    return d.select(
+        "doc_id",
+        "n_chars",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6).alias("ttr"),
+        F.round(
+            F.aggregate(
+                F.transform(F.col("toks"), lambda s: F.length(s).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size("toks"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source: whitespace tokens plus a
+    BPE-ish subword estimate (ceil(chars/4) — the standard ~4 chars per
+    token heuristic)."""
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
+    per_doc = d.select(
+        "source",
+        F.size("toks").alias("n_tokens"),
+        F.ceil(F.col("n_chars") / 4).alias("est_bpe"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("est_bpe").alias("total_est_bpe"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: count stopword hits per language,
+    predict the argmax (deterministic tie order en>de>fr>es, 'und' when
+    all zero); reports agreement with the labeled lang column."""
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
+    scores = d.select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(
+                F.filter(
+                    F.col("toks"),
+                    lambda s, ws=words: s.isin(*ws),
+                )
+            ).alias(f"score_{code}")
+            for code, words in STOPWORDS.items()
+        ],
+    )
+    best = F.greatest(*[F.col(f"score_{c}") for c in STOPWORDS])
+    pred = (
+        F.when(best == 0, "und")
+        .when(F.col("score_en") == best, "en")
+        .when(F.col("score_de") == best, "de")
+        .when(F.col("score_fr") == best, "fr")
+        .otherwise("es")
+    )
+    return scores.select(
+        "doc_id",
+        "lang",
+        *[f"score_{c}" for c in STOPWORDS],
+        pred.alias("pred_lang"),
+    ).withColumn("agree", F.col("pred_lang") == F.col("lang"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: the 4 smallest portable hashes of the
+    word-3-gram shingle set (a winnowing-style selection — stable under
+    reordering-free edits, cheap to index)."""
+    from .dedup import shingles
+
+    t = load(spark, sf_dir)
+    sh = shingles(t.documents).select(
+        "doc_id", portable_hash64(F.col("shingle")).alias("h")
+    )
+    return (
+        sh.groupBy("doc_id")
+        .agg(F.slice(F.array_sort(F.collect_list("h")), 1, 4).alias("mins"))
+        .select(
+            "doc_id",
+            F.element_at("mins", 1).alias("fp0"),
+            F.element_at("mins", 2).alias("fp1"),
+            F.element_at("mins", 3).alias("fp2"),
+            F.element_at("mins", 4).alias("fp3"),
+        )
+    )

@@ -1,0 +1,203 @@
+"""Warehouse layer (reference L3 — declared but never implemented).
+
+The reference pre-declares ``warehouse/fact_sales``
+(notebooks/config/settings.ipynb:48) and states the intent — revenue
+aggregation by category (01_dataLake_ingestion.ipynb:448) and
+orders-per-customer as CLV input (01:420-423) — but ships an empty
+notebook. This module designs that layer idiomatically on the fixture
+star schema: a line-grain fact built from a multi-way star join, rollup
+cubes, and the window functions CLV needs.
+
+Scale notes:
+- The star join broadcasts only the bounded dims (region, nation);
+  customer/part/supplier joins are left to AQE (they grow with SF).
+- Rollups are single-shuffle ``GROUPING SETS`` expansions (Spark Expand
+  operator) — cheaper than unioning per-level aggregates.
+- Window functions partition by customer — at 100 TB that's a
+  well-distributed key (no global sort anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+
+
+def build_fact_sales(t) -> DataFrame:
+    """Line-grain fact table: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+
+    The declared-but-unbuilt warehouse table of the reference
+    (config/settings.ipynb:48), on fixture roles (FIXTURES.md)."""
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            F.col("l_quantity").alias("quantity"),
+        )
+    )
+
+
+def q_fact_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by region × segment × year × quarter over the full star
+    join — the reference's 'revenue by category' intent (01:448) at
+    warehouse grain."""
+    t = load(spark, sf_dir)
+    fact = build_fact_sales(t)
+    return fact.groupBy("region", "c_mktsegment", "order_year", "order_quarter").agg(
+        F.round(F.sum("net_price"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("quantity"), 1).alias("total_qty"),
+    )
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year): subtotal hierarchy in one shuffle.
+    Null grouping levels are labeled so the oracle comparison is
+    unambiguous (nation/year are never null in the data)."""
+    t = load(spark, sf_dir)
+    fact = build_fact_sales(t)
+    return (
+        fact.rollup("nation", "order_year")
+        .agg(F.round(F.sum("net_price"), 2).alias("revenue"))
+        .select(
+            F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
+            "revenue",
+        )
+    )
+
+
+def q_order_rank_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent from the reference, required by its CLV
+    intent 01:420-423): rank orders within customer by price; keep top 3.
+    row_number over a deterministic ordering (price desc, key asc)."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t.orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-based running sum per customer ordered by order date — the
+    running-CLV shape. Deterministic frame via (date, orderkey) ordering."""
+    t = load(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window aggregate without ordering: each order's share of its
+    customer's lifetime spend."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
+            "spend_share"
+        ),
+    )
+
+
+# ----- TPC-H-shaped headline queries (bench workhorses) ---------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical scan-heavy aggregate. Exercises
+    predicate pushdown (shipdate filter reaches the parquet scan),
+    column pruning, and partial/final hash aggregation."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 2 joins → agg → top 10.
+    Customer filter prunes before the join; top-k fuses."""
+    t = load(spark, sf_dir)
+    res = (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+    return res.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join where customer and supplier must sit in
+    the same nation; revenue per nation. Broadcasts the bounded dims."""
+    t = load(spark, sf_dir)
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
