@@ -123,6 +123,7 @@ class Catalog:
             raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_COLUMNS)}")
         if name not in self._cache:
             df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            df = _normalize_nanos(df)
             _assert_schema(name, df)
             self._cache[name] = df
         return self._cache[name]
@@ -142,7 +143,33 @@ def load(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:
     # Event-time bucketing and date formatting must be tz-stable regardless
     # of who built the session (the driver builds its own).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The fixtures write events.ts as parquet TIMESTAMP(NANOS), which the
+    # Spark 4 vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Reading
+    # nanos as int64 and rebuilding the timestamp in _normalize_nanos keeps
+    # the scan vectorized; truncation ns→µs matches DuckDB's epoch_us.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return Catalog(spark=spark, sf_dir=sf_dir)
+
+
+#: Columns that are TIMESTAMP(NANOS) on disk, surfaced as proper timestamps.
+NANOS_COLUMNS: dict[str, str] = {"ts": "ts"}
+
+
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """Convert nanos-as-long columns back to TimestampType.
+
+    With ``nanosAsLong=true`` a TIMESTAMP(NANOS) column arrives as int64
+    nanoseconds. ``ts div 1000`` (integer division — a float division would
+    lose precision above 2^53) then ``timestamp_micros`` restores a real
+    timestamp, truncated to µs exactly like DuckDB's ``epoch_us``.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for col in NANOS_COLUMNS:
+        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
 
 
 def _assert_schema(name: str, df: DataFrame) -> None:

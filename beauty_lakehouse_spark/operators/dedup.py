@@ -52,14 +52,17 @@ def shingles(documents: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     """doc_id, shingle — distinct word n-grams per document.
 
     ``max_doc_freq`` drops shingles appearing in more than that many
-    docs (posting-list cap for the quadratic join at scale)."""
-    tok = tokens(documents)
+    docs (posting-list cap for the quadratic join at scale).
+
+    Docs with fewer than ``n`` tokens emit no shingles at all (a partial
+    n-gram would be a truncated pseudo-shingle the oracle can't mirror)."""
+    tok = tokens(documents).filter(F.size("toks") >= n)
     sh = tok.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("toks") - n, F.lit(0))),
+                    F.sequence(F.lit(0), F.size("toks") - n),
                     lambda i: F.concat_ws(
                         " ", *[F.element_at(F.col("toks"), i + k + 1) for k in range(n)]
                     ),
@@ -181,12 +184,21 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Posting-list cap for the shared-shingle join: shingles present in more
+#: than this many docs are dropped before pairing (a stopword-only 3-gram
+#: shared by 10^6 docs would otherwise create a 10^12-pair join at scale).
+JACCARD_MAX_DOC_FREQ = 100
+
+
 def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 most similar doc pairs by word-3-gram Jaccard. Jaccard is
     a ratio of integers — bit-exact across engines — so the ranking is
-    fully deterministic (tiebreak: doc_a, doc_b)."""
+    fully deterministic (tiebreak: doc_a, doc_b).
+
+    Set sizes are computed AFTER the doc-frequency cutoff so the oracle
+    can mirror the exact same filtered universe."""
     t = load(spark, sf_dir)
-    sh = shingles(t.documents)
+    sh = shingles(t.documents, max_doc_freq=JACCARD_MAX_DOC_FREQ)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -78,16 +78,18 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     all zero); reports agreement with the labeled lang column."""
     t = load(spark, sf_dir)
     d = _tok(t.documents)
+
+    # A two-parameter lambda would be treated as the (element, index)
+    # binary form of F.filter, binding the index Column to the default —
+    # close over the word list with a factory instead.
+    def _hits(ws: list[str]):
+        return lambda s: s.isin(*ws)
+
     scores = d.select(
         "doc_id",
         "lang",
         *[
-            F.size(
-                F.filter(
-                    F.col("toks"),
-                    lambda s, ws=words: s.isin(*ws),
-                )
-            ).alias(f"score_{code}")
+            F.size(F.filter(F.col("toks"), _hits(words))).alias(f"score_{code}")
             for code, words in STOPWORDS.items()
         ],
     )
