@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Registers every implemented operator from SURVEY.md §2 plus the
+LLM-data-pipeline extensions, each with a DuckDB oracle twin in
+:func:`oracle_sql` (order-insensitive value-hash comparison at sf0.01).
+
+Cross-engine determinism conventions (see beauty_lakehouse_spark.functions):
+- hashes are md5-derived (``portable_hash64``) — identical in both engines;
+- money/ratios are rounded AND aliased identically on both sides;
+- timestamps compare as integer epoch-µs (DuckDB truncates the fixtures'
+  TIMESTAMP(NANOS) to µs exactly like our catalog's nanos→µs rebuild);
+- DuckDB ``sum(int)`` returns HUGEINT and ``len``/``year``/``row_number``
+  return BIGINT, so oracles cast to BIGINT/INTEGER to match Spark's types.
+
+Approximate / non-SQL-expressible ops (ANN search, multimodal feature
+extraction) are registered WITHOUT an oracle — the driver records a
+rows-only check, and tests assert their semantic properties (recall,
+determinism) instead.
 """
 
 from __future__ import annotations
@@ -13,26 +24,662 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
+from beauty_lakehouse_spark.operators import (
+    dedup,
+    documents,
+    events,
+    graph,
+    multimodal,
+    quality,
+    relational,
+    similarity,
+    text,
+    warehouse,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shaped pricing summary on sf0.001."""
+    return warehouse.q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched multimodal feature extraction (fake kernel — the
+    container has no codecs; rows-only check, determinism via pytest)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents)
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 2), 6).alias("f1"),
+    )
+
+
+#: Tables (and their columns) the quality report runs over — must match
+#: the oracle SQL generated in _quality_report_sql().
+_QUALITY_TABLES = [
+    "orders", "lineitem", "customer", "part", "supplier", "nation", "region",
+]
+
+
+def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beauty_lakehouse_spark.catalog import load
+
+    t = load(spark, sf_dir)
+    return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # §2.2-2.6 relational inventory
+        "orders_per_customer": relational.q_orders_per_customer,
+        "parts_per_type": relational.q_parts_per_type,
+        "null_profile_orders": relational.q_null_profile_orders,
+        "events_by_type": relational.q_events_by_type,
+        "order_revenue": relational.q_order_revenue,
+        "duplicate_orderkeys": relational.q_duplicate_orderkeys,
+        "ri_orphan_lineitems": relational.q_ri_orphan_lineitems,
+        "order_enriched": relational.q_order_enriched,
+        "customer_order_stats": relational.q_customer_order_stats,
+        "topk_customers_by_revenue": relational.q_topk_customers_by_revenue,
+        "price_consistency": relational.q_price_consistency,
+        "date_rule_violations": relational.q_date_rule_violations,
+        "scalar_functions": relational.q_scalar_functions,
+        "region_mapping_conformance": relational.q_region_mapping_conformance,
+        "mktsegment_distribution": relational.q_mktsegment_distribution,
+        # warehouse layer (ref L3) + TPC-H-shaped headliners
+        "fact_sales_summary": warehouse.q_fact_sales_summary,
+        "revenue_rollup": warehouse.q_revenue_rollup,
+        "order_rank_per_customer": warehouse.q_order_rank_per_customer,
+        "customer_running_spend": warehouse.q_customer_running_spend,
+        "top_order_share": warehouse.q_top_order_share,
+        "order_latency": warehouse.q_order_latency,
+        "pricing_summary": warehouse.q_pricing_summary,
+        "shipping_priority": warehouse.q_shipping_priority,
+        "local_supplier_volume": warehouse.q_local_supplier_volume,
+        # document layer (ref L2)
+        "order_docs_stats": documents.q_order_docs_stats,
+        # graph layer (ref L4)
+        "copurchase_edges": graph.q_copurchase_edges,
+        "product_degree": graph.q_product_degree,
+        "customer_copurchase_top": graph.q_customer_copurchase_top,
+        # dedup family
+        "dedup_exact": dedup.q_dedup_exact,
+        "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
+        "minhash_signatures": dedup.q_minhash_signatures,
+        "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
+        "simhash_near_pairs": dedup.q_simhash_near_pairs,
+        # similarity search
+        "knn_brute": similarity.q_knn_brute,
+        "knn_lsh": similarity.q_knn_lsh,  # approximate → rows-only
+        # text analysis
+        "text_stats": text.q_text_stats,
+        "token_counts": text.q_token_counts,
+        "lang_id": text.q_lang_id,
+        "doc_fingerprint": text.q_doc_fingerprint,
+        # events / event-time windows
+        "events_hourly": events.q_events_hourly,
+        "events_sliding": events.q_events_sliding,
+        "events_sessions": events.q_events_sessions,
+        "events_json_props": events.q_events_json_props,
+        "user_activity": events.q_user_activity,
+        # multimodal plumbing (fake kernel → rows-only)
+        "media_features": _q_media_features,
+        # quality report
+        "quality_report": _quality_report_query,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q_quality_report(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# Exact-decimal money fragments (mirror operators.relational.net_expr /
+# charge_expr: inputs lifted to DECIMAL before any arithmetic, so sums are
+# order-independent and HALF_UP rounding is engine-identical).
+_NET = (
+    "(CAST(l_extendedprice AS DECIMAL(12,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(12,2))))"
+)
+_CHARGE = f"({_NET} * (1 + CAST(l_tax AS DECIMAL(12,2))))"
+
+
+def _rev(expr: str = _NET, scale: int = 2) -> str:
+    """round(sum(exact decimal), scale) as double — money_sum's twin."""
+    return f"CAST(round(sum({expr}), {scale}) AS DOUBLE)"
+
+
+def _avg_cents(col: str, k: int) -> str:
+    """halfup_div twin for round(avg(2-dp money col), k)."""
+    return _hud(
+        f"CAST(sum(CAST({col} AS DECIMAL(12,2))) * 100 AS HUGEINT)",
+        "count(*) * 100",
+        k,
+    )
+
+#: Word-3-gram shingles, distinct per doc, no shingles for docs < 3 tokens
+#: (mirrors dedup.shingles exactly).
+_SHINGLES_CTE = """
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+)
+"""
+
+_MINHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+mh AS (
+  SELECT doc_id, CAST(i AS INT) AS i,
+         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM sh, UNNEST(range(0, 16)) AS u(i)
+  GROUP BY doc_id, i
+)
+"""
+)
+
+_SIMHASH_CTE = (
+    _SHINGLES_CTE
+    + """,
+hs AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+),
+bits AS (
+  SELECT doc_id, bit, sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hs, UNNEST(range(0, 32)) AS u(bit)
+  GROUP BY doc_id, bit
+),
+sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+)
+
+
+def _quality_report_sql() -> str:
+    """Mirror of quality.validate() over _QUALITY_TABLES, one row per rule."""
+    cols = {
+        "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                   "o_orderdate", "o_orderpriority"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                     "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"],
+        "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                     "c_mktsegment"],
+        "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+                 "p_retailprice"],
+        "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        "nation": ["n_nationkey", "n_name", "n_regionkey"],
+        "region": ["r_regionkey", "r_name"],
+    }
+    parts = []
+
+    def rule(name: str, count_sql: str) -> None:
+        parts.append(
+            f"SELECT '{name}' AS rule, CAST(({count_sql}) AS BIGINT) AS violations"
+        )
+
+    # RI rules (order must not matter — driver hash is order-insensitive)
+    rule("lineitem.order_exists",
+         "SELECT count(*) FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey")
+    rule("lineitem.part_exists",
+         "SELECT count(*) FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey")
+    rule("lineitem.supplier_exists",
+         "SELECT count(*) FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey")
+    rule("orders.customer_exists",
+         "SELECT count(*) FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey")
+    rule("customer.nation_exists",
+         "SELECT count(*) FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey")
+    rule("nation.region_exists",
+         "SELECT count(*) FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey")
+    # uniqueness (same table order as quality.uniqueness_rules)
+    for tbl, key in [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+    ]:
+        rule(f"{tbl}.{key}.unique",
+             f"SELECT count(*) FROM (SELECT {key} FROM {tbl} GROUP BY {key} HAVING count(*) > 1)")
+    # null-freeness
+    for tbl, cs in cols.items():
+        cond = " OR ".join(f"{c} IS NULL" for c in cs)
+        rule(f"{tbl}.no_nulls", f"SELECT count(*) FROM {tbl} WHERE {cond}")
+    # business rules
+    rule("lineitem.price_nonneg", "SELECT count(*) FROM lineitem WHERE l_extendedprice < 0")
+    rule("lineitem.discount_range",
+         "SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1")
+    rule("lineitem.ship_after_order",
+         "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+         "WHERE l_shipdate < o_orderdate")
+    return " UNION ALL ".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_scores = {
+        "en": ["the", "a", "of", "and", "to", "in", "is"],
+        "de": ["der", "die", "das", "und", "ist", "nicht"],
+        "fr": ["le", "la", "et", "les", "des", "est"],
+        "es": ["el", "los", "las", "y", "es", "una"],
+    }
+    score_cols = ", ".join(
+        "CAST(len(list_filter(t, x -> x IN ({words}))) AS INTEGER) AS score_{c}".format(
+            words=", ".join(f"'{w}'" for w in ws), c=c
+        )
+        for c, ws in lang_scores.items()
+    )
+
+    return {
+        "orders_per_customer": (
+            "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey"
+        ),
+        "parts_per_type": (
+            "SELECT p_type, count(*) AS n_parts FROM part GROUP BY p_type"
+        ),
+        "null_profile_orders": (
+            "SELECT "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}"
+                for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+            )
+            + " FROM orders"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events FROM events GROUP BY event_type"
+        ),
+        "order_revenue": (
+            f"SELECT l_orderkey, {_rev()} AS revenue, "
+            "count(*) AS n_items FROM lineitem GROUP BY l_orderkey"
+        ),
+        "duplicate_orderkeys": (
+            "SELECT o_orderkey, count(*) AS n FROM orders "
+            "GROUP BY o_orderkey HAVING count(*) > 1"
+        ),
+        "ri_orphan_lineitems": (
+            "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l "
+            "ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "order_enriched": (
+            "SELECT o_orderkey, o_custkey, o_orderstatus, l_linenumber, l_quantity, "
+            f"CAST(round({_NET}, 2) AS DOUBLE) AS net_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_returnflag = 'R'"
+        ),
+        "customer_order_stats": (
+            "SELECT c_custkey, c_mktsegment, count(*) AS n_orders, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_spend, "
+            f"{_avg_cents('o_totalprice', 4)} AS avg_order "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_custkey, c_mktsegment"
+        ),
+        "topk_customers_by_revenue": (
+            "WITH rev AS (SELECT o_custkey, "
+            f"{_rev()} AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey) "
+            "SELECT o_custkey, revenue FROM rev "
+            "ORDER BY revenue DESC, o_custkey LIMIT 10"
+        ),
+        "price_consistency": (
+            "WITH per_order AS (SELECT l_orderkey, "
+            f"sum({_CHARGE}) AS calc "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderkey, CAST(round(calc, 2) AS DOUBLE) AS calc_total, "
+            "o_totalprice "
+            "FROM orders JOIN per_order ON o_orderkey = l_orderkey "
+            "WHERE abs(calc - CAST(o_totalprice AS DECIMAL(18,2))) > "
+            "CAST(o_totalprice AS DECIMAL(18,2)) * CAST(0.01 AS DECIMAL(3,2))"
+        ),
+        "date_rule_violations": (
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate < o_orderdate"
+        ),
+        "scalar_functions": (
+            "SELECT p_partkey, concat_ws('/', p_brand, p_type) AS brand_type, "
+            "upper(p_name) AS name_upper, string_split(p_type, ' ')[1] AS type_head, "
+            "CAST(round(CAST(p_retailprice AS DECIMAL(12,2)) * "
+            "CAST(1.19 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price_vat, "
+            "least(greatest(p_size, 5), 40) AS size_clip, "
+            "CAST(p_partkey % 10 AS INTEGER) AS bucket, "
+            "CAST(length(p_name) AS INTEGER) AS name_len FROM part"
+        ),
+        "region_mapping_conformance": (
+            "SELECT n_nationkey, n_name, r_name FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey"
+        ),
+        "mktsegment_distribution": (
+            "WITH c AS (SELECT c_mktsegment, count(*) AS n_customers "
+            "FROM customer GROUP BY c_mktsegment), "
+            "t AS (SELECT count(*) AS total FROM customer) "
+            "SELECT c_mktsegment, n_customers, "
+            + _hud("n_customers", "total", 6)
+            + " AS share FROM c, t"
+        ),
+        "fact_sales_summary": (
+            "SELECT r_name AS region, c_mktsegment, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter, "
+            f"{_rev()} AS revenue, "
+            "count(*) AS n_lines, round(sum(l_quantity), 1) AS total_qty "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY 1, 2, 3, 4"
+        ),
+        "revenue_rollup": (
+            "WITH fact AS (SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            f"{_NET} AS net_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey) "
+            "SELECT coalesce(nation, 'ALL') AS nation, "
+            "coalesce(order_year, -1) AS order_year, "
+            "CAST(round(sum(net_price), 2) AS DOUBLE) AS revenue "
+            "FROM fact GROUP BY ROLLUP(nation, order_year)"
+        ),
+        "order_rank_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INTEGER) AS rk "
+            "FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk "
+            "FROM orders) WHERE rk <= 3"
+        ),
+        "customer_running_spend": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) "
+            "AS running_spend "
+            "FROM orders"
+        ),
+        "top_order_share": (
+            "SELECT o_custkey, o_orderkey, "
+            + _hud(
+                "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)",
+                "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) "
+                "OVER (PARTITION BY o_custkey) * 100 AS HUGEINT)",
+                6,
+            )
+            + " AS spend_share FROM orders"
+        ),
+        "order_latency": (
+            "SELECT CAST(date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS INTEGER) "
+            "AS lat_days, l_shipdate::DATE <= o_orderdate::DATE + 30 AS within_30, "
+            "count(*) AS n_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 1) AS sum_qty, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS sum_base_price, "
+            f"{_rev()} AS sum_disc_price, "
+            f"{_rev(_CHARGE)} AS sum_charge, "
+            + _hud("CAST(sum(l_quantity) AS HUGEINT)", "count(*)", 6)
+            + " AS avg_qty, "
+            f"{_avg_cents('l_extendedprice', 6)} AS avg_price, "
+            f"{_avg_cents('l_discount', 6)} AS avg_disc, "
+            "count(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus"
+        ),
+        "shipping_priority": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, "
+            "o_orderpriority, revenue FROM ("
+            "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+            f"{_rev()} AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00' "
+            "AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00' "
+            "GROUP BY o_orderkey, o_orderdate, o_orderpriority) "
+            "ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "local_supplier_volume": (
+            "SELECT n_name AS nation, "
+            f"{_rev()} AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "order_docs_stats": (
+            "SELECT o.o_orderkey, o.o_custkey, count(*) AS n_items, "
+            "CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS items_gross "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderkey, o.o_custkey"
+        ),
+        "copurchase_edges": (
+            "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+            "HAVING count(*) <= 50), "
+            "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+            "JOIN ok USING (l_orderkey)) "
+            "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_orders "
+            "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "product_degree": (
+            "SELECT l_partkey, count(DISTINCT l_orderkey) AS order_degree, "
+            "count(DISTINCT o_custkey) AS customer_reach "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY l_partkey"
+        ),
+        "customer_copurchase_top": (
+            "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+            "HAVING count(*) <= 50), "
+            "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+            "JOIN ok USING (l_orderkey)), "
+            "edges AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_orders "
+            "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY 1, 2) "
+            "SELECT part_a, part_b, pa.p_name AS name_a, pb.p_name AS name_b, n_orders "
+            "FROM edges JOIN part pa ON pa.p_partkey = part_a "
+            "JOIN part pb ON pb.p_partkey = part_b "
+            "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
+        ),
+        "dedup_exact": (
+            "WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash "
+            "FROM documents), "
+            "c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size "
+            "FROM h GROUP BY text_hash) "
+            "SELECT doc_id, h.text_hash, group_size, "
+            "doc_id = keep_id AS is_canonical FROM h JOIN c USING (text_hash)"
+        ),
+        "ngram_jaccard_top_pairs": (
+            "WITH "
+            + _SHINGLES_CTE
+            + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+            "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_common FROM shf a JOIN shf b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "scored AS (SELECT doc_a, doc_b, "
+            "n_common / (sa.n_sh + sb.n_sh - n_common) AS jac_raw, "
+            + _hud("n_common", "(sa.n_sh + sb.n_sh - n_common)", 6)
+            + " AS jaccard "
+            "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b) "
+            "SELECT doc_a, doc_b, jaccard FROM scored "
+            "ORDER BY jac_raw DESC, doc_a, doc_b LIMIT 20"
+        ),
+        "minhash_signatures": (
+            "WITH "
+            + _MINHASH_CTE
+            + " SELECT doc_id, "
+            "min(CASE WHEN i = 0 THEN mh END) AS mh0, "
+            "min(CASE WHEN i = 1 THEN mh END) AS mh1, "
+            "min(CASE WHEN i = 2 THEN mh END) AS mh2, "
+            "min(CASE WHEN i = 3 THEN mh END) AS mh3, "
+            "md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig_digest "
+            "FROM mh GROUP BY doc_id"
+        ),
+        "lsh_candidate_pairs": (
+            "WITH "
+            + _MINHASH_CTE
+            + ", band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band, "
+            "md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key "
+            "FROM mh GROUP BY doc_id, i // 4) "
+            "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM band a JOIN band b ON a.band = b.band "
+            "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "simhash_near_pairs": (
+            "WITH "
+            + _SIMHASH_CTE
+            + ", banded AS (SELECT doc_id, simhash, CAST(band AS INT) AS band, "
+            "CAST((simhash >> CAST(band * 8 AS INT)) & 255 AS INT) AS band_val "
+            "FROM sig, UNNEST(range(0, 4)) AS u(band)), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM banded a JOIN banded b ON a.band = b.band "
+            "AND a.band_val = b.band_val AND a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, "
+            "CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming "
+            "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
+            "JOIN sig sb ON sb.doc_id = doc_b "
+            "ORDER BY hamming, doc_a, doc_b LIMIT 20"
+        ),
+        "knn_brute": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "
+            "FROM embeddings WHERE vec_id < 20), "
+            "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv "
+            "FROM embeddings), "
+            "s AS (SELECT query_id, neighbor_id, "
+            "round(list_dot_product(qv, cv) / "
+            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) "
+            "AS cos_sim FROM q, c WHERE query_id <> neighbor_id), "
+            "r AS (SELECT query_id, neighbor_id, cos_sim, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s) "
+            "SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos_sim "
+            "FROM r WHERE rk <= 5"
+        ),
+        "text_stats": (
+            "WITH toks AS (SELECT doc_id, n_chars, string_split(text, ' ') AS t "
+            "FROM documents) "
+            "SELECT doc_id, n_chars, CAST(len(t) AS INTEGER) AS n_tokens, "
+            "CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct, "
+            + _hud("len(list_distinct(t))", "len(t)", 6)
+            + " AS ttr, "
+            + _hud(
+                "list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT)))",
+                "len(t)",
+                6,
+            )
+            + " AS avg_token_len FROM toks"
+        ),
+        "token_counts": (
+            "WITH d AS (SELECT source, "
+            "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens, "
+            "CAST(ceil(n_chars / 4) AS BIGINT) AS est_bpe FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "CAST(sum(est_bpe) AS BIGINT) AS total_est_bpe, "
+            + _hud("sum(n_tokens)", "count(*)", 6)
+            + " AS avg_tokens FROM d GROUP BY source"
+        ),
+        "lang_id": (
+            "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t "
+            "FROM documents), "
+            f"scores AS (SELECT doc_id, lang, {score_cols} FROM toks), "
+            "p AS (SELECT *, greatest(score_en, score_de, score_fr, score_es) AS best "
+            "FROM scores) "
+            "SELECT doc_id, lang, score_en, score_de, score_fr, score_es, "
+            "CASE WHEN best = 0 THEN 'und' "
+            "WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' "
+            "WHEN score_fr = best THEN 'fr' ELSE 'es' END AS pred_lang, "
+            "(CASE WHEN best = 0 THEN 'und' "
+            "WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de' "
+            "WHEN score_fr = best THEN 'fr' ELSE 'es' END) = lang AS agree "
+            "FROM p"
+        ),
+        "doc_fingerprint": (
+            "WITH "
+            + _SHINGLES_CTE
+            + ", f AS (SELECT doc_id, "
+            "list_sort(list(('0x' || substr(md5(shingle), 1, 15))::BIGINT)) AS hs "
+            "FROM sh GROUP BY doc_id) "
+            "SELECT doc_id, hs[1] AS fp0, hs[2] AS fp1, hs[3] AS fp2, hs[4] AS fp3 FROM f"
+        ),
+        "events_hourly": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, "
+            "event_type, count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "events_sliding": (
+            "SELECT win_start_us, count(*) AS n_events, "
+            f"{_avg_cents('value', 6)} AS avg_value FROM ("
+            "SELECT ((epoch_us(ts) // 1800000000) - k) * 1800000000 AS win_start_us, "
+            "value FROM events, (VALUES (0::BIGINT), (1::BIGINT)) AS s(k)) "
+            "GROUP BY win_start_us"
+        ),
+        "events_sessions": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events), "
+            "m AS (SELECT user_id, us, value, CASE WHEN "
+            "lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL "
+            "OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) >= 900000000 "
+            "THEN 1 ELSE 0 END AS brk FROM e), "
+            "s AS (SELECT user_id, us, value, sum(brk) OVER "
+            "(PARTITION BY user_id ORDER BY us "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM m) "
+            "SELECT user_id, min(us) AS session_start_us, count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS session_value FROM s GROUP BY user_id, sid"
+        ),
+        "events_json_props": (
+            "WITH e AS (SELECT event_type, "
+            "json_extract_string(props, '$.k')::INTEGER AS k FROM events) "
+            "SELECT event_type, count(k) AS n_with_k, "
+            + _hud("sum(k)", "count(k)", 6)
+            + " AS avg_k, "
+            "max(k) AS max_k FROM e GROUP BY event_type"
+        ),
+        "user_activity": (
+            "SELECT user_id, count(*) AS n_events, "
+            "min(epoch_us(ts)) AS first_us, max(epoch_us(ts)) AS last_us, "
+            "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_purchase, "
+            "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_error, "
+            "CAST(round(sum(CASE WHEN event_type = 'purchase' "
+            "THEN CAST(value AS DECIMAL(12,2)) "
+            "ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) "
+            "AS purchase_value "
+            "FROM events GROUP BY user_id"
+        ),
+        "quality_report": _quality_report_sql(),
+        # knn_lsh: approximate → intentionally no oracle (rows-only)
+        # media_features: stubbed codec → intentionally no oracle (rows-only)
+    }

@@ -23,6 +23,10 @@ __all__ = [
     "portable_hash64",
     "portable_hash64_sql",
     "money",
+    "dec2",
+    "dec2_sql",
+    "halfup_div",
+    "halfup_div_sql",
     "epoch_us",
     "iso_date",
     "clip",
@@ -48,6 +52,52 @@ def money(col: Column, scale: int = 2) -> Column:
     """Round a money amount the way the reference does everywhere
     (2-dp double; reference src/generate_data.py:192,199,301,302,309)."""
     return F.round(col, scale)
+
+
+def dec2(col: Column | str, prec: int = 12) -> Column:
+    """Exact decimal lift of a 2-dp money/rate column.
+
+    The fixtures' money doubles are exact at 2 decimals, so the
+    double→decimal cast is lossless and engine-identical. Lifting INPUTS
+    (never intermediate double products — those already carry FP error
+    that Spark and DuckDB round differently at .xx5 boundaries) makes all
+    downstream +,*,sum exact, order-independent, and bit-identical across
+    engines. DuckDB twin: :func:`dec2_sql`.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},2)")
+
+
+def dec2_sql(expr: str, prec: int = 12) -> str:
+    """DuckDB twin of :func:`dec2`."""
+    return f"CAST({expr} AS DECIMAL({prec},2))"
+
+
+def halfup_div(num: Column, den: Column, k: int) -> Column:
+    """``round(num / den, k)`` with exact HALF_UP semantics, as double.
+
+    ``num`` and ``den`` must be integer-valued, non-negative columns
+    (long, or integral-valued decimal). Both engines compute
+    ``(2·num·10^k + den) intdiv (2·den)`` in exact integer arithmetic
+    (Spark DECIMAL(38,0), DuckDB HUGEINT) — the textbook half-up formula
+    — then divide by 10^k in IEEE double, which is deterministic.
+    This sidesteps both engines' differing double-round semantics
+    (Spark rounds the shortest decimal repr, DuckDB the binary value).
+    DuckDB twin: :func:`halfup_div_sql`.
+    """
+    n = num.cast("decimal(38,0)") * F.lit(2 * 10**k) + den.cast("decimal(38,0)")
+    d = den.cast("decimal(38,0)") * F.lit(2)
+    q = (n - (n % d)) / d  # exact: numerator is divisible by d
+    return q.cast("long") / F.lit(float(10**k))
+
+
+def halfup_div_sql(num: str, den: str, k: int) -> str:
+    """DuckDB twin of :func:`halfup_div` as a SQL fragment."""
+    p = 10**k
+    return (
+        f"(CAST(((CAST({num} AS HUGEINT) * {2 * p} + CAST({den} AS HUGEINT)) // "
+        f"(CAST({den} AS HUGEINT) * 2)) AS DOUBLE) / {float(p)})"
+    )
 
 
 def epoch_us(col: Column | str) -> Column:

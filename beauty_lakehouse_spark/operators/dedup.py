@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import portable_hash64
+from ..functions import halfup_div, portable_hash64
 
 N_HASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -216,16 +216,23 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
+            # rank on the raw IEEE ratio (identical in both engines for
+            # identical integer operands); emit the exact half-up round
             (
                 F.col("n_common")
                 / (F.col("na") + F.col("nb") - F.col("n_common"))
+            ).alias("jac_raw"),
+            halfup_div(
+                F.col("n_common"),
+                F.col("na") + F.col("nb") - F.col("n_common"),
+                6,
             ).alias("jaccard"),
         )
     )
     return (
-        scored.orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        scored.orderBy(F.desc("jac_raw"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -259,11 +266,10 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidates(t.documents)
 
 
-def q_simhash_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 closest doc pairs by SimHash Hamming distance (correctness
-    baseline form; scale form buckets by signature bytes first)."""
-    t = load(spark, sf_dir)
-    sig = simhash32(t.documents)
+def simhash_closest_pairs_brute(sig: DataFrame, k: int = 20) -> DataFrame:
+    """All-pairs Hamming ranking — O(n²) cross join. TEST ORACLE ONLY
+    (verifies the banded form's recall in tests); never registered as a
+    query shape because it cannot survive scale."""
     a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     pairs = (
@@ -275,4 +281,54 @@ def q_simhash_closest_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
         )
     )
-    return pairs.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+    return pairs.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(k)
+
+
+SIMHASH_BANDS = 4  # 8-bit bands over the 32-bit fingerprint
+
+
+def simhash_band_candidates(sig: DataFrame) -> DataFrame:
+    """Candidate pairs: docs sharing at least one 8-bit band of their
+    32-bit SimHash. By pigeonhole, every pair with Hamming distance ≤ 3
+    is guaranteed to collide in some band — the scale-safe candidate
+    generator (bucket join, no cross join)."""
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("CAST(shiftrightunsigned(simhash, band * 8) & 255 AS INT)").alias(
+            "band_val"
+        ),
+    )
+    a = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 closest candidate pairs by SimHash Hamming distance, with
+    banded candidate generation (the registered, scale-safe default —
+    no cross join anywhere in the plan; asserted in tests)."""
+    t = load(spark, sf_dir)
+    sig = simhash32(t.documents)
+    cand = simhash_band_candidates(sig)
+    ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    scored = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+    )
+    return scored.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(20)

@@ -90,9 +90,11 @@ def q_order_docs_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate(
                 F.col("items"),
-                F.lit(0.0),
-                lambda acc, x: acc + x["l_extendedprice"],
+                F.lit(0).cast("decimal(20,2)"),
+                lambda acc, x: (
+                    acc + x["l_extendedprice"].cast("decimal(12,2)")
+                ).cast("decimal(20,2)"),
             ),
             2,
-        ).alias("items_gross"),
+        ).cast("double").alias("items_gross"),
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import epoch_us
+from ..functions import dec2, epoch_us, halfup_div
 
 HOUR_US = 3_600_000_000
 HALF_HOUR_US = 1_800_000_000
@@ -35,7 +35,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
         )
         .select(
             epoch_us(F.col("w.start")).alias("hour_start_us"),
@@ -54,7 +54,11 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            halfup_div(
+                (F.sum(dec2("value")) * 100).cast("decimal(38,0)"),
+                F.count(F.lit(1)) * 100,
+                6,
+            ).alias("avg_value"),
         )
         .select(
             epoch_us(F.col("w.start")).alias("win_start_us"),
@@ -76,7 +80,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("session_value"),
         )
         .select(
             "user_id",
@@ -99,7 +103,9 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n_with_k"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            halfup_div(F.sum("k").cast("decimal(38,0)"), F.count("k"), 6).alias(
+                "avg_k"
+            ),
             F.max("k").alias("max_k"),
         )
     )
@@ -119,7 +125,11 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("event_type") == "purchase").cast("long")).alias("n_purchase"),
         F.sum((F.col("event_type") == "error").cast("long")).alias("n_error"),
         F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec2("value")).otherwise(
+                    F.lit(0).cast("decimal(12,2)")
+                )
+            ),
             2,
-        ).alias("purchase_value"),
+        ).cast("double").alias("purchase_value"),
     )

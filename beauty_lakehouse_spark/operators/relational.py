@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions import dec2, halfup_div
 
 # --------------------------------------------------------------------------
 # Generic library helpers (DataFrame → DataFrame, reusable on any input)
@@ -60,6 +61,36 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     """orderBy+limit → TakeOrderedAndProject (ref O1+O2). Always pass a
     deterministic tiebreaker column in ``order``."""
     return df.orderBy(*order).limit(k)
+
+
+def money_sum(expr: Column, scale: int = 2) -> Column:
+    """Cross-engine-exact money aggregate: ``round(sum(x), scale)``.
+
+    ``expr`` MUST be built from decimal-lifted inputs (:func:`..functions.dec2`)
+    — e.g. :func:`net_expr` — never a raw double product: a double sum's
+    low bits depend on partial-aggregation order AND Spark/DuckDB round
+    doubles differently at .xx5 boundaries (shortest-repr vs binary).
+    With decimal inputs the sum is exact in any order and the final
+    HALF_UP round is deterministic on both engines. DuckDB twin:
+    ``CAST(round(sum(<decimal expr>), scale) AS DOUBLE)``."""
+    return F.round(F.sum(expr), scale).cast("double")
+
+
+def money_round(expr: Column, scale: int = 2) -> Column:
+    """Row-level twin of :func:`money_sum`: exact HALF_UP round of a
+    decimal-lifted money expression."""
+    return F.round(expr, scale).cast("double")
+
+
+def net_expr() -> Column:
+    """Exact-decimal net price: ``l_extendedprice * (1 - l_discount)``.
+    DECIMAL(12,2)·DECIMAL(13,2) → scale-4 exact in both engines."""
+    return dec2("l_extendedprice") * (F.lit(1) - dec2("l_discount"))
+
+
+def charge_expr() -> Column:
+    """Exact-decimal gross charge: net · (1 + l_tax), scale-6 exact."""
+    return net_expr() * (F.lit(1) + dec2("l_tax"))
 
 
 # --------------------------------------------------------------------------
@@ -106,9 +137,7 @@ def q_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     the TPC-H revenue expression."""
     t = load(spark, sf_dir)
     return t.lineitem.groupBy("l_orderkey").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        money_sum(net_expr()).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -142,9 +171,7 @@ def q_order_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderstatus",
             "l_linenumber",
             "l_quantity",
-            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
-                "net_price"
-            ),
+            money_round(net_expr()).alias("net_price"),
         )
     )
 
@@ -159,8 +186,12 @@ def q_customer_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
-            F.round(F.avg("o_totalprice"), 4).alias("avg_order"),
+            money_sum(dec2("o_totalprice")).alias("total_spend"),
+            halfup_div(
+                (F.sum(dec2("o_totalprice")) * 100).cast("decimal(38,0)"),
+                F.count(F.lit(1)) * 100,
+                4,
+            ).alias("avg_order"),
         )
     )
 
@@ -173,11 +204,7 @@ def q_topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (
         t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_custkey")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money_sum(net_expr()).alias("revenue"))
     )
     return top_k(rev, [F.desc("revenue"), F.asc("o_custkey")], 10)
 
@@ -188,17 +215,19 @@ def q_price_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixtures don't guarantee the invariant; the filter is the op)."""
     t = load(spark, sf_dir)
     per_order = t.lineitem.groupBy("l_orderkey").agg(
-        F.sum(
-            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
-        ).alias("calc")
+        F.sum(charge_expr()).alias("calc")
     )
     joined = t.orders.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+    # exact decimal filter: |calc - total| > 1% of total, all decimal ops,
+    # so boundary rows are engine-independent
+    tot_dec = dec2("o_totalprice", prec=18)
     return (
-        joined.filter(
-            F.abs(F.col("calc") - F.col("o_totalprice"))
-            > 0.01 * F.col("o_totalprice")
+        joined.filter(F.abs(F.col("calc") - tot_dec) > tot_dec * F.lit(0.01).cast("decimal(3,2)"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("calc"), 2).cast("double").alias("calc_total"),
+            "o_totalprice",
         )
-        .select("o_orderkey", F.round("calc", 2).alias("calc_total"), "o_totalprice")
     )
 
 
@@ -222,7 +251,9 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         F.upper(F.col("p_name")).alias("name_upper"),
         F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
-        F.round(F.col("p_retailprice") * 1.19, 2).alias("price_vat"),
+        money_round(dec2("p_retailprice") * F.lit("1.19").cast("decimal(3,2)")).alias(
+            "price_vat"
+        ),
         F.least(F.greatest(F.col("p_size"), F.lit(5)), F.lit(40)).alias("size_clip"),
         (F.col("p_partkey") % 10).cast("int").alias("bucket"),
         F.length(F.col("p_name")).alias("name_len"),
@@ -255,6 +286,6 @@ def q_mktsegment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_mktsegment",
             "n_customers",
-            F.round(F.col("n_customers") / F.col("total"), 6).alias("share"),
+            halfup_div(F.col("n_customers"), F.col("total"), 6).alias("share"),
         )
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import portable_hash64
+from ..functions import halfup_div, portable_hash64
 
 # Tiny deterministic stopword sets (heuristic n-gram/lexicon language ID;
 # parity with the oracle matters more than linguistic accuracy).
@@ -40,14 +40,14 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.size("toks").alias("n_tokens"),
         F.size(F.array_distinct("toks")).alias("n_distinct"),
-        F.round(F.size(F.array_distinct("toks")) / F.size("toks"), 6).alias("ttr"),
-        F.round(
+        halfup_div(F.size(F.array_distinct("toks")), F.size("toks"), 6).alias("ttr"),
+        halfup_div(
             F.aggregate(
-                F.transform(F.col("toks"), lambda s: F.length(s).cast("double")),
-                F.lit(0.0),
+                F.transform(F.col("toks"), lambda s: F.length(s).cast("long")),
+                F.lit(0).cast("long"),
                 lambda acc, x: acc + x,
-            )
-            / F.size("toks"),
+            ),
+            F.size("toks"),
             6,
         ).alias("avg_token_len"),
     )
@@ -68,7 +68,7 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("est_bpe").alias("total_est_bpe"),
-        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        halfup_div(F.sum("n_tokens"), F.count(F.lit(1)), 6).alias("avg_tokens"),
     )
 
 

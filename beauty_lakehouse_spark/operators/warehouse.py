@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..functions import dec2, halfup_div
+from .relational import charge_expr, money_sum, net_expr
 
 
 def build_fact_sales(t) -> DataFrame:
@@ -44,7 +46,7 @@ def build_fact_sales(t) -> DataFrame:
             F.col("r_name").alias("region"),
             F.year("o_orderdate").alias("order_year"),
             F.quarter("o_orderdate").alias("order_quarter"),
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+            net_expr().alias("net_price"),
             F.col("l_quantity").alias("quantity"),
         )
     )
@@ -57,7 +59,7 @@ def q_fact_sales_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     fact = build_fact_sales(t)
     return fact.groupBy("region", "c_mktsegment", "order_year", "order_quarter").agg(
-        F.round(F.sum("net_price"), 2).alias("revenue"),
+        money_sum(F.col("net_price")).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("quantity"), 1).alias("total_qty"),
     )
@@ -71,7 +73,7 @@ def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = build_fact_sales(t)
     return (
         fact.rollup("nation", "order_year")
-        .agg(F.round(F.sum("net_price"), 2).alias("revenue"))
+        .agg(money_sum(F.col("net_price")).alias("revenue"))
         .select(
             F.coalesce(F.col("nation"), F.lit("ALL")).alias("nation"),
             F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
@@ -107,7 +109,9 @@ def q_customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(F.sum(dec2("o_totalprice")).over(w), 2).cast("double").alias(
+            "running_spend"
+        ),
     )
 
 
@@ -119,9 +123,30 @@ def q_top_order_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.col("o_totalprice") / F.sum("o_totalprice").over(w), 6).alias(
-            "spend_share"
-        ),
+        halfup_div(
+            (dec2("o_totalprice") * 100).cast("decimal(38,0)"),
+            (F.sum(dec2("o_totalprice")).over(w) * 100).cast("decimal(38,0)"),
+            6,
+        ).alias("spend_share"),
+    )
+
+
+def q_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref F8 date arithmetic (src/generate_data.py:124-127,268-273):
+    order→ship latency histogram via datediff, with a date_add-derived
+    within-30-days flag. Narrow scan, one shuffle on the join key."""
+    t = load(spark, sf_dir)
+    j = t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (
+        j.select(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("lat_days"),
+            (
+                F.col("l_shipdate").cast("date")
+                <= F.date_add(F.col("o_orderdate").cast("date"), 30)
+            ).alias("within_30"),
+        )
+        .groupBy("lat_days", "within_30")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
     )
 
 
@@ -137,22 +162,24 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integral → double sum is exact in any order
             F.round(F.sum("l_quantity"), 1).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
-                2,
-            ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money_sum(dec2("l_extendedprice")).alias("sum_base_price"),
+            money_sum(net_expr()).alias("sum_disc_price"),
+            money_sum(charge_expr()).alias("sum_charge"),
+            halfup_div(
+                F.sum("l_quantity").cast("decimal(38,0)"), F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+            halfup_div(
+                (F.sum(dec2("l_extendedprice")) * 100).cast("decimal(38,0)"),
+                F.count(F.lit(1)) * 100,
+                6,
+            ).alias("avg_price"),
+            halfup_div(
+                (F.sum(dec2("l_discount")) * 100).cast("decimal(38,0)"),
+                F.count(F.lit(1)) * 100,
+                6,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -169,11 +196,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
         .filter(F.col("l_shipdate") > F.lit("1996-03-15").cast("timestamp"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money_sum(net_expr()).alias("revenue"))
         .select(
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -200,9 +223,5 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(money_sum(net_expr()).alias("revenue"))
     )
