@@ -1,0 +1,73 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "headline_total", "value": <sec>, "unit": "sec",
+     "queries": {"pricing_summary": <sec>, ...}, "sf": 0.1}
+
+Each query is forced to full materialization with a noop sink (count()
+would let Catalyst prune the output expressions). Timings are per-query
+wall clock on a warm session; the session build itself is not counted
+(the driver measures engine throughput, not JVM startup).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import __spark_entry__ as entrymod
+from beauty_lakehouse_spark.session import get_spark
+
+#: The headline subset: one representative per operator family, weighted
+#: toward the scan/join/shuffle-heavy shapes that dominate at 100 TB.
+HEADLINE = [
+    "pricing_summary",        # TPC-H Q1: scan-heavy aggregate
+    "shipping_priority",      # TPC-H Q3: filters + 2 joins + top-k
+    "local_supplier_volume",  # TPC-H Q5: 5-way join
+    "fact_sales_summary",     # star join + cube-grain rollup
+    "order_revenue",          # big-fact groupBy
+    "customer_running_spend", # window frame aggregation
+    "copurchase_edges",       # self-join co-occurrence graph
+    "ngram_jaccard_top_pairs",# shingle inverted-index dedup
+    "lsh_candidate_pairs",    # MinHash + banded LSH
+    "events_sessions",        # session windows
+    "knn_brute",              # similarity search baseline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark("bench")
+
+    # Warm-up: touch the big fact once so the first timed query doesn't
+    # absorb one-time costs (parquet footer reads, codegen compilation).
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
