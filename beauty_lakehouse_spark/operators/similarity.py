@@ -93,10 +93,15 @@ def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----- approximate path ------------------------------------------------------
 
 
-def _hyperplanes(spark: SparkSession, n_planes: int, dim: int = EMB_DIM) -> DataFrame:
+def _hyperplanes(
+    spark: SparkSession, n_planes: int, dim: int = EMB_DIM
+) -> DataFrame:
     """Deterministic pseudo-random hyperplanes: component (p, j) is a
     ±-uniform value derived from md5(p:j). No RNG state, reproducible on
-    any cluster — the property streaming/backfill pipelines need."""
+    any cluster — the property streaming/backfill pipelines need.
+
+    ``n_planes`` is the TOTAL plane count across all hash tables; callers
+    slice it into per-table groups."""
     return (
         spark.range(n_planes)
         .select(F.col("id").cast("int").alias("plane"))
@@ -127,19 +132,30 @@ def _hyperplanes(spark: SparkSession, n_planes: int, dim: int = EMB_DIM) -> Data
 
 
 def lsh_signatures(
-    vectors: DataFrame, planes: DataFrame, n_planes: int
+    vectors: DataFrame, planes: DataFrame, rows_per_table: int
 ) -> DataFrame:
-    """vec_id, sig — sign-bit signature of each vector (one int)."""
+    """vec_id, table, sig — per-table sign-bit signature of each vector.
+
+    Planes are sliced into consecutive groups of ``rows_per_table``; each
+    group is an independent hash table (the OR-construction: a pair is a
+    candidate if it collides in ANY table, which is what keeps recall
+    high when per-bit agreement is weak)."""
     joined = vectors.crossJoin(F.broadcast(planes))
     bit = F.when(_dot(F.col("embedding"), F.col("pv")) >= 0, 1).otherwise(0)
     return (
-        joined.select("vec_id", "embedding", "plane", bit.alias("b"))
-        .groupBy("vec_id")
+        joined.select(
+            "vec_id",
+            (F.col("plane") / rows_per_table).cast("int").alias("table"),
+            (F.col("plane") % rows_per_table).alias("bit_idx"),
+            bit.alias("b"),
+        )
+        .groupBy("vec_id", "table")
         .agg(
             F.sum(
-                F.when(F.col("b") == 1, F.expr("shiftleft(CAST(1 AS BIGINT), plane)")).otherwise(
-                    F.lit(0).cast("long")
-                )
+                F.when(
+                    F.col("b") == 1,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit_idx)"),
+                ).otherwise(F.lit(0).cast("long"))
             ).alias("sig")
         )
     )
@@ -151,22 +167,23 @@ def ann_lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 4,
     hamming_radius: int = 1,
 ) -> DataFrame:
-    """Approximate cosine top-k: bucket by LSH signature, probe all
-    buckets within ``hamming_radius`` of the query signature, score
-    candidates exactly. Multi-probe keeps recall high without touching
-    the whole corpus."""
+    """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
+    tables of ``n_planes`` bits each; probe every bucket within
+    ``hamming_radius`` of the query's signature in each table; score the
+    deduplicated candidate union exactly.
+
+    Multi-table OR-construction + multi-probe is the standard recall
+    lever: cost grows linearly in tables·probes while the corpus is
+    touched only where buckets collide — no cross join anywhere."""
     from pyspark.sql import Window
 
-    planes = _hyperplanes(spark, n_planes)
-    csig = lsh_signatures(corpus, planes, n_planes).join(
-        corpus.select("vec_id", "embedding"), "vec_id"
-    )
-    qsig = lsh_signatures(queries, planes, n_planes).join(
-        queries.select("vec_id", "embedding"), "vec_id"
-    )
-    # Probe set: the query's own bucket plus every bucket 1 bit away.
+    planes = _hyperplanes(spark, n_planes * n_tables)
+    csig = lsh_signatures(corpus, planes, n_planes)
+    qsig = lsh_signatures(queries, planes, n_planes)
+    # Probe set per table: own bucket plus every bucket ≤ radius bits away.
     probes = [F.col("sig")]
     if hamming_radius >= 1:
         probes += [
@@ -175,25 +192,48 @@ def ann_lsh_topk(
         ]
     qprobe = qsig.select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
+        "table",
         F.explode(F.array(*probes)).alias("bucket"),
     )
-    cand = qprobe.join(
-        csig.select(
-            F.col("sig").alias("bucket"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("cv"),
-        ),
-        "bucket",
-    ).filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = cand.select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-            4,
-        ).alias("cos_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    cand = (
+        qprobe.join(
+            csig.select(
+                "table",
+                F.col("sig").alias("bucket"),
+                F.col("vec_id").alias("neighbor_id"),
+            ),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        # dedupe BEFORE scoring: a pair colliding in several tables/probes
+        # is scored once
+        .distinct()
+    )
+    scored = (
+        cand.join(
+            queries.select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+            ),
+            "query_id",
+        )
+        .join(
+            corpus.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                4,
+            ).alias("cos_sim"),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,87 @@
+"""Dedup family: shingle edge rules, exact-dedup invariants, and the
+scale-safety contract — the registered near-dup queries must not contain
+a cartesian product anywhere in their physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.catalog import load
+from beauty_lakehouse_spark.operators import dedup
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shingles_skip_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.shingles(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.shingle)
+    assert 1 not in by_doc  # < 3 tokens → no shingles
+    assert by_doc[2] == {"a b c"}
+    assert by_doc[3] == {"a b c", "b c d"}
+
+
+def test_shingles_max_doc_freq_cutoff(spark):
+    docs = spark.createDataFrame(
+        [(i, "x y z tail%d a b" % i) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    uncut = dedup.shingles(docs)
+    cut = dedup.shingles(docs, max_doc_freq=3)
+    hot = {r.shingle for r in uncut.groupBy("shingle").count().filter("count > 3").collect()}
+    assert hot  # 'x y z' appears in all 5 docs
+    remaining = {r.shingle for r in cut.collect()}
+    assert not (hot & remaining)
+
+
+def test_exact_dedup_invariants(spark, sf_dir):
+    out = dedup.q_dedup_exact(spark, sf_dir)
+    t = load(spark, sf_dir)
+    assert out.count() == t.documents.count()
+    # exactly one canonical doc per hash group
+    per_group = (
+        out.groupBy("text_hash")
+        .agg(
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canon"),
+            F.count(F.lit(1)).alias("n"),
+            F.max("group_size").alias("gs"),
+        )
+        .collect()
+    )
+    for r in per_group:
+        assert r.n_canon == 1
+        assert r.n == r.gs
+
+
+def test_simhash_query_has_no_cartesian(spark, sf_dir):
+    plan = _physical_plan(dedup.q_simhash_near_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_jaccard_query_has_no_cartesian(spark, sf_dir):
+    plan = _physical_plan(dedup.q_ngram_jaccard_top_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banded_recall_vs_brute(spark, sf_dir):
+    """Pigeonhole guarantee: every pair at Hamming ≤ 3 must appear in the
+    banded candidates (4 bands × 8 bits over a 32-bit fingerprint)."""
+    t = load(spark, sf_dir)
+    sig = dedup.simhash32(t.documents).cache()
+    brute = dedup.simhash_closest_pairs_brute(sig, k=200)
+    close = {(r.doc_a, r.doc_b) for r in brute.collect() if r.hamming <= 3}
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.simhash_band_candidates(sig).collect()
+    }
+    sig.unpersist()
+    assert close <= cand

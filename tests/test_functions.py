@@ -1,0 +1,63 @@
+"""Cross-engine determinism helpers: portable hash and exact half-up
+division must agree with DuckDB bit-for-bit — these are the primitives
+the whole oracle-comparison story rests on."""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.functions import (
+    halfup_div,
+    halfup_div_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    vals = ["", "a", "hello world", "ünïcode", "0", "x" * 100]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    got = {r.s: r.h for r in df.select("s", portable_hash64("s").alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        expected = con.sql(
+            "SELECT " + portable_hash64_sql("?").replace("?", f"'{v}'")
+        ).fetchall()[0][0]
+        assert got[v] == expected, v
+
+
+def test_halfup_div_matches_python_decimal(spark):
+    cases = [(1, 3), (2, 3), (1, 8), (266810539 * 100, 800 * 100), (5, 2), (7, 2000000)]
+    df = spark.createDataFrame(cases, ["n", "d"])
+    for k in (2, 4, 6):
+        got = {
+            (r.n, r.d): r.v
+            for r in df.select(
+                "n", "d", halfup_div(F.col("n"), F.col("d"), k).alias("v")
+            ).collect()
+        }
+        for n, d in cases:
+            expected = float(
+                (Decimal(n) / Decimal(d)).quantize(
+                    Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP
+                )
+            )
+            assert got[(n, d)] == expected, (n, d, k)
+
+
+def test_halfup_div_matches_duckdb(spark):
+    cases = [(1, 3), (2, 3), (1, 8), (26681053900, 80000), (7, 2000000)]
+    df = spark.createDataFrame(cases, ["n", "d"])
+    got = sorted(
+        (r.n, r.d, r.v)
+        for r in df.select("n", "d", halfup_div(F.col("n"), F.col("d"), 6).alias("v")).collect()
+    )
+    con = duckdb.connect()
+    expected = sorted(
+        (n, d, con.sql(f"SELECT {halfup_div_sql(str(n), str(d), 6)}").fetchall()[0][0])
+        for n, d in cases
+    )
+    assert got == expected

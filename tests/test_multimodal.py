@@ -1,0 +1,46 @@
+"""Multimodal plumbing: the Arrow-batched mapInPandas path must be
+deterministic and produce the declared schema. The codec is the
+documented fake kernel (no image libs in this container); the Spark-side
+plumbing — schema, batching, UDF signature — is the thing under test."""
+
+from __future__ import annotations
+
+import pytest
+
+from beauty_lakehouse_spark.catalog import load
+from beauty_lakehouse_spark.operators import multimodal
+
+
+def test_feature_extraction_deterministic(spark, sf_dir):
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents.limit(100))
+    a = sorted(
+        (r.media_id, r.n_bytes, tuple(r.feature))
+        for r in multimodal.extract_features(media).collect()
+    )
+    b = sorted(
+        (r.media_id, r.n_bytes, tuple(r.feature))
+        for r in multimodal.extract_features(media).collect()
+    )
+    assert a == b
+    assert len(a) == 100
+
+
+def test_feature_schema_and_shape(spark, sf_dir):
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents.limit(10))
+    feats = multimodal.extract_features(media)
+    assert feats.schema == multimodal.FEATURE_SCHEMA
+    for r in feats.collect():
+        assert r.kind == "image"
+        assert len(r.feature) == 8
+        assert r.n_bytes > 0
+
+
+def test_real_codec_is_explicitly_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_fake_kernel_handles_empty_payload():
+    assert multimodal.fake_feature_kernel(b"") == [0.0] * 8

@@ -1,0 +1,72 @@
+"""ANN quality contract. The fixture embeddings are near-random (top-1
+cosine ≈ 0.35 vs mean ≈ 0), where no sublinear ANN can have high recall
+— so the hard recall assertion runs on PLANTED near-duplicates (the
+operator's actual workload: near-dup retrieval), and the random fixture
+gets a looser better-than-chance bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.catalog import load
+from beauty_lakehouse_spark.operators import similarity
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ann_finds_planted_near_duplicates(spark, sf_dir):
+    """Perturb 20 corpus vectors slightly (flip sign of every 16th
+    component ⇒ cosine ≈ 0.875); the ANN must retrieve the original as a
+    top-5 neighbor for ≥ 90% of the planted queries."""
+    t = load(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", "embedding")
+    planted = (
+        corpus.filter(F.col("vec_id") < 20)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i % 16 == 0, -x).otherwise(x),
+            ).alias("embedding"),
+        )
+    )
+    ann = similarity.ann_lsh_topk(spark, planted, corpus, k=5)
+    hits = {
+        r.query_id
+        for r in ann.collect()
+        if r.neighbor_id == r.query_id - 1_000_000
+    }
+    assert len(hits) >= 18, f"planted-duplicate recall {len(hits)}/20"
+
+
+def test_ann_beats_chance_on_random_fixture(spark, sf_dir):
+    brute = _topk_sets(similarity.q_knn_brute(spark, sf_dir))
+    ann = _topk_sets(similarity.q_knn_lsh(spark, sf_dir))
+    recalls = [len(brute[q] & ann.get(q, set())) / len(brute[q]) for q in brute]
+    mean_recall = sum(recalls) / len(recalls)
+    # chance level ≈ 5/500 = 1%; multi-table LSH on random data should
+    # still be an order of magnitude above that
+    assert mean_recall >= 0.15, f"mean recall {mean_recall:.2f}"
+
+
+def test_ann_has_no_cartesian(spark, sf_dir):
+    plan = (
+        similarity.q_knn_lsh(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_scores_bounded(spark, sf_dir):
+    rows = similarity.q_knn_brute(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1.0001 <= r.cos_sim <= 1.0001
+        assert 1 <= r.rank <= 5
