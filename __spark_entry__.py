@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": events.q_user_activity,
         # multimodal plumbing (fake kernel → rows-only)
         "media_features": _q_media_features,
+        # synthetic beauty star schema (G1-G9) + ported validator
+        # (self-generated data → rows-only; every violations count is 0)
+        "beauty_datagen_validation": _q_beauty_datagen,
         # quality report
         "quality_report": _quality_report_query,
     }
@@ -140,6 +143,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_quality_report(spark, sf_dir)
+
+
+def _q_beauty_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from beauty_lakehouse_spark import datagen
+
+    return datagen.q_beauty_datagen_validation(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

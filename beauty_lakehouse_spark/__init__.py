@@ -12,12 +12,12 @@ surveyed in /root/repo/SURVEY.md), re-expressed Spark-first:
                    text analysis, multimodal plumbing).
 - ``sources``    — CSV / parquet / JSON-document / Delta(optional) IO.
 - ``functions``  — portable column helpers (cross-engine stable hashing,
-                   money rounding, epoch-µs timestamps).
+                   exact-decimal money arithmetic, epoch-µs timestamps).
 - ``streaming``  — Structured Streaming pipelines (windows, watermarks,
                    sessionization) with batch-equivalence semantics.
 - ``datagen``    — Spark-native seeded synthetic star-schema generator
                    (reference: src/generate_data.py).
-- ``quality``    — validation rules as must-be-empty DataFrames
+- ``operators.quality`` — validation rules as must-be-empty DataFrames
                    (reference: scripts/validate_dataset.py).
 
 Everything is a pure function ``(SparkSession, tables) -> DataFrame``;

@@ -122,14 +122,13 @@ def all_rules(tables: dict[str, DataFrame]) -> list[Rule]:
     )
 
 
-def validate(tables: dict[str, DataFrame]) -> DataFrame:
+def report_from_rules(rules: list[Rule]) -> DataFrame:
     """One report row per rule: ``(rule, violations)``.
 
     All rules are unioned into a single plan (one count per rule as a
     1-row aggregate, union-all'd), so the whole report is ONE Spark
     action instead of one job per rule — ~20x less scheduling latency,
     and shared scans are reused within the job."""
-    rules = all_rules(tables)
     report = None
     for r in rules:
         one = r.df.select(
@@ -145,3 +144,8 @@ def validate(tables: dict[str, DataFrame]) -> DataFrame:
         )
         report = per_rule if report is None else report.unionByName(per_rule)
     return report
+
+
+def validate(tables: dict[str, DataFrame]) -> DataFrame:
+    """The full fixture-schema rule report (see :func:`report_from_rules`)."""
+    return report_from_rules(all_rules(tables))

@@ -1,0 +1,177 @@
+"""Sources & sinks (reference §2.1: S1-S5, S8-S11).
+
+The reference's ingest path is HTTP CSV → pandas → ``createDataFrame``
+→ Delta overwrite (01_dataLake_ingestion.ipynb:110-132,571-574). The
+engine form removes the pandas driver hop entirely: CSV is read by the
+distributed reader against a DECLARED StructType (schema inference is a
+full extra pass over the data and type-drifts silently — the validator
+then has to catch it; declaring the schema makes bad rows explicit via
+``mode="FAILFAST"``/``PERMISSIVE``).
+
+Delta Lake (S3/S4/S5) is the reference's curated format. delta-spark is
+not installed in this container, so the Delta paths are gated behind an
+import-try with parquet as the documented local stand-in: the API
+surface (``write_curated`` / ``read_curated`` / ``validate_curated``)
+is format-agnostic, and flipping ``format="delta"`` on a cluster with
+delta-spark configured is the whole migration.
+
+Scale notes:
+- CSV at 100 TB: the raw zone should be split into many files (the
+  reader parallelizes per-file/per-split); a single giant gzip CSV is
+  one task — that's an ingest-layout problem this API can't fix, so
+  ``read_csv`` accepts globs/directories.
+- The curated zone is parquet/Delta, partitioned by a date column when
+  given (``partition_by``) — partition pruning is the single biggest
+  scan saver for time-ranged queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# Declared raw-zone schemas (reference data/raw/*.csv, generate_data.py).
+BEAUTY_CSV_SCHEMAS: dict[str, T.StructType] = {
+    "customers": T.StructType(
+        [
+            T.StructField("customer_id", T.LongType(), True),
+            T.StructField("first_name", T.StringType(), True),
+            T.StructField("last_name", T.StringType(), True),
+            T.StructField("email", T.StringType(), True),
+            T.StructField("signup_date", T.DateType(), True),
+            T.StructField("city", T.StringType(), True),
+            T.StructField("age", T.IntegerType(), True),
+        ]
+    ),
+    "products": T.StructType(
+        [
+            T.StructField("product_id", T.LongType(), True),
+            T.StructField("product_name", T.StringType(), True),
+            T.StructField("product_type", T.StringType(), True),
+            T.StructField("category", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("cost", T.DoubleType(), True),
+            T.StructField("available_stock", T.IntegerType(), True),
+        ]
+    ),
+    "orders": T.StructType(
+        [
+            T.StructField("order_id", T.LongType(), True),
+            T.StructField("customer_id", T.LongType(), True),
+            T.StructField("order_date", T.DateType(), True),
+            T.StructField("total_amount", T.DoubleType(), True),
+            T.StructField("payment_type", T.StringType(), True),
+            T.StructField("status", T.StringType(), True),
+        ]
+    ),
+    "order_items": T.StructType(
+        [
+            T.StructField("order_item_id", T.LongType(), True),
+            T.StructField("order_id", T.LongType(), True),
+            T.StructField("product_id", T.LongType(), True),
+            T.StructField("quantity", T.IntegerType(), True),
+            T.StructField("unit_price", T.DoubleType(), True),
+            T.StructField("line_total", T.DoubleType(), True),
+        ]
+    ),
+}
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    mode: str = "FAILFAST",
+) -> DataFrame:
+    """CSV source with declared schema (S1/S11). ``mode='PERMISSIVE'``
+    for quarantine-style ingest; FAILFAST for strict loads."""
+    return (
+        spark.read.option("header", True)
+        .option("mode", mode)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV sink (S8/S9) — distributed; one file per partition. The
+    reference's per-row ``f.write`` loop is a generator artifact, not a
+    semantic."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when delta-spark is importable AND the session has the Delta
+    catalyst extensions configured."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def _curated_format(spark: SparkSession, fmt: str | None) -> str:
+    if fmt is not None:
+        return fmt
+    return "delta" if delta_available(spark) else "parquet"
+
+
+def write_curated(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    partition_by: list[str] | None = None,
+) -> str:
+    """Curated-zone sink (S3): Delta when available, parquet stand-in
+    otherwise. Overwrite mode, matching the reference's idempotent
+    full-refresh semantics (01_dataLake_ingestion.ipynb:571-574)."""
+    fmt = _curated_format(df.sparkSession, fmt)
+    writer = df.write.format(fmt).mode("overwrite")
+    if fmt == "delta":
+        writer = writer.option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+    return fmt
+
+
+def read_curated(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Curated-zone source (S4)."""
+    return spark.read.format(_curated_format(spark, fmt)).load(path)
+
+
+def validate_curated(
+    spark: SparkSession, path: str, expected_rows: int | None = None,
+    fmt: str | None = None,
+) -> dict:
+    """Post-write validation scan (S5, 01_dataLake_ingestion.ipynb:620-667):
+    assert the table artifacts exist, read back, count, diff schema."""
+    fmt = _curated_format(spark, fmt)
+    result: dict = {"path": path, "format": fmt}
+    if fmt == "delta":
+        result["is_delta_table"] = os.path.isdir(os.path.join(path, "_delta_log"))
+    else:
+        result["has_files"] = any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ) if os.path.isdir(path) else False
+    df = read_curated(spark, path, fmt)
+    result["n_rows"] = df.count()
+    result["columns"] = df.columns
+    if expected_rows is not None:
+        result["row_count_matches"] = result["n_rows"] == expected_rows
+    return result
+
+
+def write_metadata(path: str, manifest: dict) -> None:
+    """Run-manifest sidecar (S10, generate_data.py:321-331)."""
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2, default=str)
+
+
+def read_metadata(path: str) -> dict:
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)

@@ -1,0 +1,16 @@
+"""Structured Streaming pipelines (SURVEY.md §2.8 / §7 M4).
+
+The reference is batch-only; this package is the north-star extension:
+the same event-time transformations as ``operators.events``, expressed
+over ``readStream`` with watermarks, with batch-equivalence asserted in
+``tests/test_streaming.py`` (availableNow drains the parquet fixture
+exactly once, so streaming output == batch output).
+"""
+
+from .pipelines import (  # noqa: F401
+    hourly_event_counts,
+    run_available_now,
+    session_values,
+    stream_events,
+    user_purchase_totals,
+)

@@ -1,0 +1,130 @@
+"""Streaming event pipelines with batch-equivalent semantics.
+
+Design rules (the ones that keep a 100 TB/day stream healthy):
+
+- Event-time everywhere: aggregations key on the data's ``ts``, never
+  processing time, so replays/backfills produce identical results.
+- Watermarks bound state: every stateful op declares how late data may
+  arrive; state for closed windows is dropped, so state size tracks the
+  watermark horizon, not the stream length.
+- availableNow for backfill: the same pipeline object runs as a batch
+  drain over historical files — the lambda/kappa unification Structured
+  Streaming gives for free. Tests assert streaming == batch output.
+
+The fixture's events.parquet stores TIMESTAMP(NANOS); like the batch
+catalog (catalog.py), the stream reader takes nanos-as-long and rebuilds
+a microsecond timestamp, so both paths see identical timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import epoch_us
+
+#: Schema of the events stream as read from the raw files (ts arrives as
+#: int64 nanoseconds under the nanosAsLong read mode).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture (file source). The file
+    source discovers new files per micro-batch — the same code tails a
+    landing directory in production."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The fixture is a single file, but the file stream source requires a
+    # directory/glob base — bracketing one character makes the path a glob
+    # whose base is the parent directory.
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        f"{sf_dir}/events.parque[t]"
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators.events.q_events_hourly: tumbling
+    1-hour windows per event_type. Watermark bounds window state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            epoch_us(F.col("w.start")).alias("hour_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_values(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_events_sessions: 15-minute-gap session
+    windows per user. session_window state closes (and is emitted +
+    dropped) once the watermark passes the session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "15 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def user_purchase_totals(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming running per-user purchase totals (complete-mode shape;
+    at scale this is the pipeline you'd sink to a keyed store)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchase"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("purchase_value"),
+        )
+    )
+
+
+def run_available_now(
+    result: DataFrame, name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all currently-available input through the streaming plan
+    (Trigger.AvailableNow), collect into an in-memory table, and return
+    it as a DataFrame. This is the backfill/batch-equivalence runner the
+    tests use; production sinks swap ``format``/``outputMode``."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return result.sparkSession.table(name)

@@ -1,0 +1,88 @@
+"""Sources/sinks round-trips (S1/S3/S4/S5/S8/S10/S11) and the synthetic
+beauty-star-schema generator (G1-G9): seed stability, distribution
+properties, and the ported validator's rule report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark import datagen, sources
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_csv_round_trip_with_declared_schema(spark, tmp_path):
+    products = datagen.gen_products(spark, 100)
+    path = str(tmp_path / "products_csv")
+    sources.write_csv(products, path)
+    back = sources.read_csv(spark, path, sources.BEAUTY_CSV_SCHEMAS["products"])
+    assert back.schema == sources.BEAUTY_CSV_SCHEMAS["products"]
+    assert _canon(back.select("product_id", "product_type", "price")) == _canon(
+        products.select("product_id", "product_type", "price")
+    )
+
+
+def test_curated_write_read_validate(spark, tmp_path):
+    customers = datagen.gen_customers(spark, 200)
+    path = str(tmp_path / "curated_customers")
+    fmt = sources.write_curated(customers, path)
+    assert fmt in ("parquet", "delta")
+    back = sources.read_curated(spark, path)
+    assert _canon(back) == _canon(customers)
+    report = sources.validate_curated(spark, path, expected_rows=200)
+    assert report["n_rows"] == 200
+    assert report["row_count_matches"]
+    assert set(report["columns"]) == set(customers.columns)
+
+
+def test_metadata_sidecar_round_trip(spark, tmp_path):
+    ds = datagen.generate(spark, 50, 30, 100)
+    path = str(tmp_path / "metadata.json")
+    sources.write_metadata(path, ds.metadata())
+    meta = sources.read_metadata(path)
+    assert meta["seed"] == datagen.SEED
+    assert meta["n_customers"] == 50
+    assert meta["n_orders"] == 100
+
+
+def test_datagen_seed_stable(spark):
+    a = _canon(datagen.gen_customers(spark, 100))
+    b = _canon(datagen.gen_customers(spark, 100).repartition(7))
+    assert a == b  # identical under any partitioning
+
+
+def test_datagen_distributions(spark):
+    ds = datagen.generate(spark, 2000, 300, 5000)
+    ages = ds.customers.select(
+        F.min("age").alias("lo"), F.max("age").alias("hi"), F.avg("age").alias("mu")
+    ).collect()[0]
+    assert ages.lo >= 18 and ages.hi <= 90 and 30 < ages.mu < 40
+    # items-per-order must be supported on 1..6 with a decreasing head
+    dist = {
+        r["count"]: r["n"]
+        for r in ds.order_items.groupBy("order_id")
+        .count()
+        .groupBy("count")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(dist) <= {1, 2, 3, 4, 5, 6}
+    assert dist[1] > dist[2] > dist[3]
+    # Zipf head: most-popular product carries a large share
+    top = (
+        ds.order_items.groupBy("product_id")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert top["count"] / ds.order_items.count() > 0.05
+
+
+def test_datagen_validator_all_clean(spark):
+    report = datagen.q_beauty_datagen_validation(spark, "")
+    rows = {r.rule: r.violations for r in report.collect()}
+    assert len(rows) == 14
+    assert all(v == 0 for v in rows.values()), rows
