@@ -194,13 +194,20 @@ sh AS (
 )
 """
 
+# Kirsch-Mitzenmacher double hashing (mirrors dedup.minhash_signatures):
+# h_i = h1 + i*h2 with h2 masked below 2^56 so h1 + 15*h2 < 2^61.
 _MINHASH_CTE = (
     _SHINGLES_CTE
     + """,
+based AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+         (('0x' || substr(md5('mh2:' || shingle), 1, 15))::BIGINT & 72057594037927935) AS h2
+  FROM sh
+),
 mh AS (
-  SELECT doc_id, CAST(i AS INT) AS i,
-         min(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || shingle), 1, 15))::BIGINT) AS mh
-  FROM sh, UNNEST(range(0, 16)) AS u(i)
+  SELECT doc_id, CAST(i AS INT) AS i, min(h1 + i * h2) AS mh
+  FROM based, UNNEST(range(0, 16)) AS u(i)
   GROUP BY doc_id, i
 )
 """

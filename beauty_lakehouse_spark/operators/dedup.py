@@ -81,16 +81,31 @@ def shingles(documents: DataFrame, n: int = 3, max_doc_freq: int | None = None) 
     return sh
 
 
+#: Mask keeping h2 < 2^56 so h1 + 15·h2 < 2^61 — no int64 overflow in
+#: either engine (DuckDB errors on BIGINT overflow; Java would wrap).
+_H2_MASK = (1 << 56) - 1
+
+
 def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id, i, mh — MinHash over word-3-gram shingles with
-    ``n_hashes`` independent portable hash functions (seed mixed into
-    the hashed string)."""
+    """doc_id, i, mh — MinHash over word-3-gram shingles.
+
+    The ``n_hashes`` functions are Kirsch-Mitzenmacher double hashes
+    ``h_i = h1 + i·h2`` over two independent md5-derived base hashes —
+    2 md5 evaluations per shingle instead of ``n_hashes``, which is the
+    dominant cost of signature computation (the minwise-independence
+    loss is negligible for dedup banding). DuckDB twin in
+    __spark_entry__ mirrors the same h1/h2 arithmetic exactly."""
     sh = shingles(documents)
-    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i")
-    hashed = sh.select("doc_id", "shingle", idx).select(
+    based = sh.select(
         "doc_id",
-        "i",
-        portable_hash64(F.concat_ws(":", F.col("i").cast("string"), F.col("shingle"))).alias("h"),
+        portable_hash64(F.col("shingle")).alias("h1"),
+        portable_hash64(F.concat(F.lit("mh2:"), F.col("shingle")))
+        .bitwiseAND(F.lit(_H2_MASK))
+        .alias("h2"),
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i")
+    hashed = based.select("doc_id", "h1", "h2", idx).select(
+        "doc_id", "i", (F.col("h1") + F.col("i") * F.col("h2")).alias("h")
     )
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
 
@@ -198,13 +213,35 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Set sizes are computed AFTER the doc-frequency cutoff so the oracle
     can mirror the exact same filtered universe."""
     t = load(spark, sf_dir)
-    sh = shingles(t.documents, max_doc_freq=JACCARD_MAX_DOC_FREQ)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # Posting-list formulation: ONE groupBy(shingle) produces both the
+    # doc-frequency cutoff (posting length == df) and the co-occurring
+    # pairs (combinations within each posting list, bounded by the
+    # cutoff at ≤ C(max_df,2)) — replacing the shingle self-join, which
+    # shuffled the exploded shingle table twice.
+    sh = shingles(t.documents)
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= JACCARD_MAX_DOC_FREQ)
+    )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
