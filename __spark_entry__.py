@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_consistency": relational.q_price_consistency,
         "date_rule_violations": relational.q_date_rule_violations,
         "scalar_functions": relational.q_scalar_functions,
+        "date_parse_roundtrip": relational.q_date_parse_roundtrip,
         "region_mapping_conformance": relational.q_region_mapping_conformance,
         "mktsegment_distribution": relational.q_mktsegment_distribution,
         # warehouse layer (ref L3) + TPC-H-shaped headliners
@@ -379,6 +380,17 @@ def oracle_sql() -> dict[str, str]:
             "least(greatest(p_size, 5), 40) AS size_clip, "
             "CAST(p_partkey % 10 AS INTEGER) AS bucket, "
             "CAST(length(p_name) AS INTEGER) AS name_len FROM part"
+        ),
+        "date_parse_roundtrip": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS iso, "
+            "CAST(CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) AS VARCHAR) "
+            "AS parsed_date, "
+            "CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE) = o_orderdate::DATE "
+            "AS roundtrip_ok, "
+            "CAST(year(o_orderdate) AS INTEGER) AS y, "
+            "CAST(month(o_orderdate) AS INTEGER) AS m, "
+            "CAST(day(o_orderdate) AS INTEGER) AS d "
+            "FROM orders"
         ),
         "region_mapping_conformance": (
             "SELECT n_nationkey, n_name, r_name FROM nation "

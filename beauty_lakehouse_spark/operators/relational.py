@@ -63,6 +63,39 @@ def top_k(df: DataFrame, order: list[Column], k: int) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, Column] | None = None,
+    count_alias: str | None = None,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe two-phase aggregate for Zipf-hot group keys.
+
+    AQE's skew handling splits oversized JOIN partitions but does
+    nothing for a skewed groupBy key (e.g. the hottest product carries
+    ~12% of order_items under the reference's G7 Zipf sampling — one
+    reducer gets 12% of 100 TB). Phase 1 groups on (keys, salt) so the
+    hot key spreads over ``n_salts`` reducers; phase 2 merges the
+    partials on keys alone, touching only |groups|·n_salts rows.
+
+    Spark's partial aggregation gives this for free only when map-side
+    combine is effective; salting is the explicit fallback when
+    cardinality is too high for the hash-map or the skew survives the
+    combine. ``sums`` maps output name → input expression (summed in
+    both phases); ``count_alias`` adds a row count."""
+    sums = sums or {}
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    phase1_aggs = [F.sum(expr).alias(name) for name, expr in sums.items()]
+    if count_alias:
+        phase1_aggs.append(F.count(F.lit(1)).alias(count_alias))
+    partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*phase1_aggs)
+    phase2_aggs = [F.sum(name).alias(name) for name in sums]
+    if count_alias:
+        phase2_aggs.append(F.sum(count_alias).alias(count_alias))
+    return partial.groupBy(*keys).agg(*phase2_aggs)
+
+
 def money_sum(expr: Column, scale: int = 2) -> Column:
     """Cross-engine-exact money aggregate: ``round(sum(x), scale)``.
 
@@ -270,6 +303,26 @@ def q_region_mapping_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
         )
         .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+def q_date_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ref F7/F9: string→date parse and date→string format as inverse
+    operations, plus the derived calendar parts the reference's reports
+    group on. The fixtures carry no string dates, so the query formats
+    o_orderdate to ISO text and parses it back — asserting the round
+    trip inside the engine (parsed == original ⇒ ``roundtrip_ok``)."""
+    t = load(spark, sf_dir)
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd")
+    parsed = F.to_date(iso, "yyyy-MM-dd")
+    return t.orders.select(
+        "o_orderkey",
+        iso.alias("iso"),
+        parsed.cast("string").alias("parsed_date"),
+        (parsed == F.col("o_orderdate").cast("date")).alias("roundtrip_ok"),
+        F.year(parsed).alias("y"),
+        F.month(parsed).alias("m"),
+        F.dayofmonth(parsed).alias("d"),
     )
 
 

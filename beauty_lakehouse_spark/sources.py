@@ -80,6 +80,14 @@ BEAUTY_CSV_SCHEMAS: dict[str, T.StructType] = {
 }
 
 
+def lift_pandas(spark: SparkSession, pdf, schema: T.StructType) -> DataFrame:
+    """pandas→Spark lift with a DECLARED schema (S2,
+    01_dataLake_ingestion.ipynb:129-132 used inference). Only for small
+    driver-side lookup tables — anything sizeable belongs in a
+    distributed source, never on the driver."""
+    return spark.createDataFrame(pdf, schema=schema)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

@@ -61,3 +61,39 @@ def test_halfup_div_matches_duckdb(spark):
         for n, d in cases
     )
     assert got == expected
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.relational import salted_agg
+
+    li = load(spark, sf_dir).lineitem
+    salted = salted_agg(
+        li,
+        ["l_returnflag"],
+        sums={"qty": F.col("l_quantity")},
+        count_alias="n",
+        n_salts=8,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("qty"), F.count(F.lit(1)).alias("n")
+    )
+    a = sorted(tuple(r) for r in salted.collect())
+    b = sorted(tuple(r) for r in plain.collect())
+    assert a == b
+
+
+def test_lift_pandas_declared_schema(spark):
+    import pandas as pd
+
+    from beauty_lakehouse_spark import sources
+
+    pdf = pd.DataFrame({"customer_id": [1, 2], "first_name": ["A", "B"]})
+    schema = __import__("pyspark.sql.types", fromlist=["t"]).StructType(
+        [f for f in sources.BEAUTY_CSV_SCHEMAS["customers"] if f.name in pdf.columns]
+    )
+    df = sources.lift_pandas(spark, pdf, schema)
+    assert df.schema == schema
+    assert df.count() == 2
