@@ -1,0 +1,140 @@
+"""End-to-end lakehouse pipeline — the reference's notebook flow as one
+composable function.
+
+Reference flow (notebooks/01_dataLake_ingestion.ipynb): raw CSV → pandas
+→ Spark → profile → curated Delta → (declared) warehouse. Engine form:
+
+    raw zone (CSV, declared schemas)
+      → curated zone (parquet/Delta, validated read-back)
+      → quality report (single-action rule union)
+      → warehouse fact + rollup
+      → run manifest
+
+Everything is distributed end to end — no pandas hop, no driver
+collect. Each zone is a directory of real files, so the pipeline is
+restartable per-stage and the artifacts are inspectable by any engine.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import datagen, sources
+from .operators.quality import report_from_rules
+
+
+@dataclass(frozen=True)
+class PipelineResult:
+    raw_dir: str
+    curated_dir: str
+    curated_format: str
+    validation: dict[str, dict]
+    quality: DataFrame        # (rule, violations)
+    fact_sales: DataFrame
+    revenue_by_category: DataFrame
+    manifest: dict
+
+
+def build_fact_sales(orders: DataFrame, items: DataFrame, products: DataFrame) -> DataFrame:
+    """Warehouse fact at line grain (the reference's declared-but-empty
+    warehouse/fact_sales, config/settings.ipynb:48)."""
+    return (
+        items.join(orders, "order_id")
+        .join(F.broadcast(products.select("product_id", "category")), "product_id")
+        .select(
+            "order_item_id",
+            "order_id",
+            "customer_id",
+            "product_id",
+            "category",
+            "order_date",
+            "status",
+            "quantity",
+            "line_total",
+        )
+    )
+
+
+def revenue_by_category(fact: DataFrame) -> DataFrame:
+    """The reference's stated warehouse intent (01:448): revenue per
+    category, completed orders only."""
+    return (
+        fact.filter(F.col("status") == "completed")
+        .groupBy("category")
+        .agg(
+            F.round(F.sum(F.col("line_total").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def run_lakehouse_pipeline(
+    spark: SparkSession,
+    base_dir: str,
+    n_customers: int = 1_000,
+    n_products: int = 300,
+    n_orders: int = 5_000,
+) -> PipelineResult:
+    """Generate → raw CSV → curated → validate → quality → warehouse."""
+    raw_dir = os.path.join(base_dir, "raw")
+    curated_dir = os.path.join(base_dir, "curated")
+
+    # 1. generate (distributed, seed-stable) and land the raw zone as CSV
+    ds = datagen.generate(spark, n_customers, n_products, n_orders)
+    tables = {
+        "customers": ds.customers,
+        "products": ds.products,
+        "orders": ds.orders,
+        "order_items": ds.order_items,
+    }
+    for name, df in tables.items():
+        sources.write_csv(df, os.path.join(raw_dir, name))
+
+    # 2. raw → curated: declared-schema CSV read (FAILFAST), then
+    # parquet/Delta with read-back validation (S5)
+    curated: dict[str, DataFrame] = {}
+    validation: dict[str, dict] = {}
+    fmt = "parquet"
+    for name in tables:
+        df = sources.read_csv(
+            spark, os.path.join(raw_dir, name), sources.BEAUTY_CSV_SCHEMAS[name]
+        )
+        path = os.path.join(curated_dir, name)
+        fmt = sources.write_curated(df, path)
+        validation[name] = sources.validate_curated(
+            spark, path, expected_rows=tables[name].count(), fmt=fmt
+        )
+        curated[name] = sources.read_curated(spark, path, fmt)
+
+    # 3. quality gate over the CURATED zone (validates the whole
+    # write→read path, not the in-memory frames)
+    cds = datagen.BeautyDataset(
+        curated["customers"], curated["products"],
+        curated["orders"], curated["order_items"],
+    )
+    quality = report_from_rules(datagen.beauty_rules(cds))
+
+    # 4. warehouse layer
+    fact = build_fact_sales(cds.orders, cds.order_items, cds.products)
+    by_category = revenue_by_category(fact)
+
+    manifest = ds.metadata()
+    manifest["curated_format"] = fmt
+    sources.write_metadata(os.path.join(base_dir, "metadata.json"), manifest)
+
+    return PipelineResult(
+        raw_dir=raw_dir,
+        curated_dir=curated_dir,
+        curated_format=fmt,
+        validation=validation,
+        quality=quality,
+        fact_sales=fact,
+        revenue_by_category=by_category,
+        manifest=manifest,
+    )

@@ -1,0 +1,32 @@
+"""End-to-end lakehouse pipeline: raw CSV → curated → quality →
+warehouse, all zones on disk, every stage validated."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.pipeline import run_lakehouse_pipeline
+
+
+def test_full_pipeline(spark, tmp_path):
+    res = run_lakehouse_pipeline(
+        spark, str(tmp_path), n_customers=200, n_products=80, n_orders=800
+    )
+    # every curated table round-tripped with the right row count
+    assert all(v["row_count_matches"] for v in res.validation.values())
+    # quality gate: every rule clean on the curated zone
+    report = {r.rule: r.violations for r in res.quality.collect()}
+    assert len(report) == 14
+    assert all(v == 0 for v in report.values()), report
+    # warehouse: revenue per category reconciles with the raw fact sum
+    total = res.revenue_by_category.agg(
+        F.round(F.sum("revenue"), 2).alias("t")
+    ).collect()[0].t
+    expected = (
+        res.fact_sales.filter(F.col("status") == "completed")
+        .agg(F.round(F.sum(F.col("line_total").cast("decimal(14,2)")), 2).cast("double").alias("t"))
+        .collect()[0]
+        .t
+    )
+    assert abs(total - expected) < 0.05
+    assert res.manifest["n_orders"] == 800
