@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "knn_brute": similarity.q_knn_brute,
         "knn_lsh": similarity.q_knn_lsh,  # approximate → rows-only
+        "knn_ivf": similarity.q_knn_ivf,  # approximate → rows-only
         # text analysis
         "text_stats": text.q_text_stats,
         "token_counts": text.q_token_counts,

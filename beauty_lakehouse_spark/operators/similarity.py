@@ -1,17 +1,23 @@
 """Similarity search over the embeddings table (north-star extension).
 
-Two paths:
+Three paths:
 
 - ``q_knn_brute``  — exact cosine top-k, pure column expressions
   (``zip_with`` dot product folded in doubles). The correctness
   baseline; O(Q·N·d). Used with a bounded query set.
-- ``ann_lsh_topk`` — the scale path: random-hyperplane LSH. Hyperplanes
-  are derived deterministically from portable hashes (no RNG, no state
-  to ship), vectors are bucketed by sign-bit signature, and search only
-  touches buckets within a Hamming radius of the query's signature.
-  Candidate scoring uses the same exact-cosine kernel. Recall is
-  verified against ``q_knn_brute`` in tests (not oracle-comparable —
-  approximate by design, registered rows-only).
+- ``ann_lsh_topk`` — random-hyperplane LSH with multi-table
+  OR-construction and multi-probe. Hyperplanes are derived
+  deterministically from portable hashes (no RNG, no state to ship);
+  search only touches colliding buckets. Best for streaming/append
+  corpora (signatures are per-row, no global fit step).
+- ``ivf_topk``     — inverted-file index: deterministic k-means coarse
+  quantizer, nprobe nearest lists per query, exact rerank of candidates
+  only. Best recall/cost on clustered corpora; the Lloyd rounds run on
+  a sample at scale.
+
+All approximate paths are registered rows-only; recall on planted
+near-duplicates is asserted in tests (the fixture vectors are
+near-random, where no sublinear ANN can be high-recall).
 
 Scale notes (100 TB of vectors):
 - Brute force is a cross join — never run it unbounded; it exists as
@@ -23,7 +29,7 @@ Scale notes (100 TB of vectors):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -247,6 +253,140 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows-only; recall vs brute force is asserted in tests)."""
     t = load(spark, sf_dir)
     return ann_lsh_topk(
+        spark,
+        t.embeddings.filter(F.col("vec_id") < 20),
+        t.embeddings,
+        k=5,
+    )
+
+
+# ----- IVF (inverted-file) path ---------------------------------------------
+
+
+def _normalized(vectors: DataFrame, out: str = "nv") -> DataFrame:
+    """vec_id, nv — unit-normalized double vectors (cosine == dot)."""
+    return vectors.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: x.cast("double") / F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ).alias(out),
+    )
+
+
+def ivf_build(
+    corpus: DataFrame, n_centroids: int = 16, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Build an IVF index: k-means coarse quantizer over unit vectors.
+
+    Deterministic seeding (the ``n_centroids`` vectors with the smallest
+    ``xxhash64(vec_id)`` — no RNG state), then ``iters`` Lloyd rounds as
+    DataFrame ops: assignment is a broadcast join against the k-row
+    centroid table (linear in corpus, never corpus×corpus), centroid
+    update is a posexplode/groupBy element-wise mean. Returns
+    (centroids[centroid_id, cv], assignment[vec_id, centroid_id]).
+
+    Scale: at 100 TB you run the Lloyd rounds on a sample and only the
+    final assignment over the full corpus — same code, sampled input."""
+    v = _normalized(corpus)
+    cent = (
+        v.orderBy(F.xxhash64(F.lit("ivf-seed"), F.col("vec_id")))
+        .limit(n_centroids)
+        .select(
+            F.row_number()
+            .over(Window.orderBy("vec_id"))
+            .alias("centroid_id"),
+            F.col("nv").alias("cv"),
+        )
+    )
+    best = None
+    for _ in range(iters):
+        scored = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "nv", "centroid_id", _dot(F.col("nv"), F.col("cv")).alias("sim")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max_by("centroid_id", F.struct("sim", (-F.col("centroid_id")).alias("tb"))).alias(
+                "centroid_id"
+            )
+        )
+        assigned = v.join(best, "vec_id")
+        means = (
+            assigned.select("centroid_id", F.posexplode("nv").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda s: s["mx"],
+                ).alias("mv")
+            )
+        )
+        cent = means.select(
+            "centroid_id",
+            F.transform(
+                "mv", lambda x: x / F.sqrt(_dot(F.col("mv"), F.col("mv")))
+            ).alias("cv"),
+        )
+    return cent, best
+
+
+def ivf_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    iters: int = 3,
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` nearest inverted
+    lists per query, exact-rerank only those candidates. Touches
+    ~nprobe/n_centroids of the corpus per query — the classic
+    recall/cost dial (nprobe=n_centroids degrades to exact search)."""
+    cent, assign = ivf_build(corpus, n_centroids, iters)
+    qn = _normalized(queries, out="qv")
+    probes = (
+        qn.crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "qv",
+            "centroid_id",
+            _dot(F.col("qv"), F.col("cv")).alias("csim"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("csim"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .join(_normalized(corpus, out="cv2"), "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_dot(F.col("qv"), F.col("cv2")), 4).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-5 for the first 20 vectors (approximate — registered
+    rows-only; recall vs brute force asserted in tests)."""
+    t = load(spark, sf_dir)
+    return ivf_topk(
         spark,
         t.embeddings.filter(F.col("vec_id") < 20),
         t.embeddings,

@@ -70,3 +70,31 @@ def test_brute_scores_bounded(spark, sf_dir):
     for r in rows:
         assert -1.0001 <= r.cos_sim <= 1.0001
         assert 1 <= r.rank <= 5
+
+
+def test_ivf_finds_planted_near_duplicates(spark, sf_dir):
+    """IVF path: same planted-near-duplicate workload as the LSH test;
+    the perturbed vector must land in a probed inverted list and the
+    original must surface in its top-5."""
+    t = load(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", "embedding")
+    planted = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i % 16 == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    ann = similarity.ivf_topk(spark, planted, corpus, k=5)
+    hits = {
+        r.query_id for r in ann.collect() if r.neighbor_id == r.query_id - 1_000_000
+    }
+    assert len(hits) >= 16, f"planted-duplicate IVF recall {len(hits)}/20"
+
+
+def test_ivf_assignment_covers_corpus(spark, sf_dir):
+    t = load(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", "embedding")
+    cent, assign = similarity.ivf_build(corpus, n_centroids=8, iters=2)
+    assert cent.count() == 8
+    assert assign.count() == corpus.count()
+    assert assign.select("vec_id").distinct().count() == corpus.count()
