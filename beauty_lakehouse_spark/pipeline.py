@@ -106,11 +106,20 @@ def run_lakehouse_pipeline(
             spark, os.path.join(raw_dir, name), sources.BEAUTY_CSV_SCHEMAS[name]
         )
         path = os.path.join(curated_dir, name)
-        fmt = sources.write_curated(df, path)
+        # facts are partitioned by event-time year: partition pruning is
+        # the dominant scan saver for time-ranged queries at scale
+        if name == "orders":
+            df = df.withColumn("order_year", F.year("order_date"))
+            fmt = sources.write_curated(df, path, partition_by=["order_year"])
+        else:
+            fmt = sources.write_curated(df, path)
         validation[name] = sources.validate_curated(
             spark, path, expected_rows=tables[name].count(), fmt=fmt
         )
-        curated[name] = sources.read_curated(spark, path, fmt)
+        cur = sources.read_curated(spark, path, fmt)
+        if name == "orders":
+            cur = cur.drop("order_year")
+        curated[name] = cur
 
     # 3. quality gate over the CURATED zone (validates the whole
     # write→read path, not the in-memory frames)

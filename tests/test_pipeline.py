@@ -30,3 +30,19 @@ def test_full_pipeline(spark, tmp_path):
     )
     assert abs(total - expected) < 0.05
     assert res.manifest["n_orders"] == 800
+
+
+def test_orders_partitioned_by_year(spark, tmp_path):
+    import os
+
+    res = run_lakehouse_pipeline(
+        spark, str(tmp_path), n_customers=100, n_products=50, n_orders=300
+    )
+    orders_dir = os.path.join(res.curated_dir, "orders")
+    parts = [d for d in os.listdir(orders_dir) if d.startswith("order_year=")]
+    assert len(parts) >= 2  # signup dates span 2023-2026
+    # partition pruning: a year-filtered read should only touch that dir
+    one_year = parts[0].split("=")[1]
+    pruned = spark.read.parquet(orders_dir).filter(F.col("order_year") == int(one_year))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(order_year" in plan or "order_year" in plan
