@@ -23,18 +23,34 @@ from ..catalog import load
 
 def copurchase_edges(lineitem: DataFrame, max_basket: int = 50) -> DataFrame:
     """Undirected co-purchase edges (part_a < part_b) weighted by the
-    number of orders containing both parts."""
-    basket = lineitem.select("l_orderkey", "l_partkey").distinct()
-    sizes = basket.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("bsize"))
-    basket = basket.join(
-        sizes.filter(F.col("bsize") <= max_basket).select("l_orderkey"),
-        "l_orderkey",
+    number of orders containing both parts.
+
+    Basket-list formulation: ONE groupBy(order) builds the deduplicated
+    sorted basket, the dedup + size cap + pair generation all happen on
+    the grouped array (pairs via nested transform, ≤ C(max_basket, 2)
+    per order), then one groupBy counts edges — two shuffles total,
+    replacing the distinct + size-filter join + self-join chain (four)."""
+    baskets = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.array_distinct(F.collect_list("l_partkey"))).alias(
+                "parts"
+            )
+        )
+        .filter(F.size("parts").between(2, max_basket))
     )
-    a = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
-    b = basket.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
