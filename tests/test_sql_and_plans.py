@@ -1,0 +1,75 @@
+"""The spark.sql front door (temp views over the catalog) and physical-
+plan regression guards: the properties that make these queries scale —
+pushdown, pruning, codegen, broadcast — asserted so a refactor can't
+silently lose them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.catalog import load
+from beauty_lakehouse_spark.operators import warehouse
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sql_front_door(spark, sf_dir):
+    t = load(spark, sf_dir)
+    t.register_temp_views()
+    df = spark.sql(
+        """
+        SELECT l_returnflag, count(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_returnflag
+        """
+    )
+    rows = {r.l_returnflag: r.n for r in df.collect()}
+    expected = {
+        r.l_returnflag: r.n
+        for r in t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == expected
+
+
+def test_pricing_summary_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(warehouse.q_pricing_summary(spark, sf_dir))
+    scan_lines = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scan_lines, plan
+    # the shipdate predicate must reach the parquet scan, and the scan
+    # must read only the 7 needed columns (pruning)
+    assert any("l_shipdate" in l and "DataFilters" in l for l in scan_lines)
+    assert not any("l_orderkey" in l for l in scan_lines)
+
+
+def test_pricing_summary_whole_stage_codegen(spark, sf_dir):
+    df = warehouse.q_pricing_summary(spark, sf_dir)
+    df.collect()  # AQE only finalizes (and fuses codegen stages) on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(N)' prefixes mark WholeStageCodegen stages in the plan string;
+    # both the scan+partial-agg and the final-agg stages must be fused
+    import re
+
+    assert len(set(re.findall(r"\*\((\d+)\)", plan))) >= 2, plan
+
+
+def test_shipping_priority_filters_before_joins(spark, sf_dir):
+    plan = _plan(warehouse.q_shipping_priority(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    # every one of the three table scans carries its own pushed filter
+    assert any("c_mktsegment" in l and "BUILDING" in l for l in scans)
+    assert any("o_orderdate" in l and "1998-03-15" in l for l in scans)
+    assert any("l_shipdate" in l and "1996-03-15" in l for l in scans)
+
+
+def test_bounded_dims_broadcast(spark, sf_dir):
+    plan = _plan(warehouse.q_local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
