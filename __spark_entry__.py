@@ -133,8 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
         "user_activity": events.q_user_activity,
-        # multimodal plumbing (fake kernel → rows-only)
+        # multimodal plumbing (fake kernels → rows-only)
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
         # synthetic beauty star schema (G1-G9) + ported validator
         # (self-generated data → rows-only; every violations count is 0)
         "beauty_datagen_validation": _q_beauty_datagen,
@@ -145,6 +146,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_quality_report(spark, sf_dir)
+
+
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over resized media (fake kernels)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents)
+    frames = multimodal.sample_frames(multimodal.resize_media(media), n_frames=4)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
 
 
 def _q_beauty_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:

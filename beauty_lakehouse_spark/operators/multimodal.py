@@ -112,3 +112,79 @@ def extract_features(
             )
 
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
+def fake_resize_kernel(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resize (PIL thumbnail): strided
+    byte downsample to exactly width*height bytes."""
+    if not payload:
+        return b""
+    target = max(1, width * height)
+    step = max(1, len(payload) // target)
+    return payload[::step][:target]
+
+
+def resize_media(
+    media: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    kernel: Callable[[bytes, int, int], bytes] = fake_resize_kernel,
+) -> DataFrame:
+    """Arrow-batched resize: payload -> resized payload, meta updated.
+    Swap ``kernel`` for a PIL/opencv implementation on a cluster with
+    codecs; the Spark-side batching/schema is identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = pdf["payload"].map(
+                lambda b: kernel(bytes(b or b""), width, height)
+            )
+            out["meta"] = pdf["meta"].map(
+                lambda m: {**(m or {}), "width": width, "height": height}
+            )
+            yield out
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def fake_frame_kernel(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stand-in for a real frame sampler (pyav/ffmpeg):
+    split the byte stream into n_frames contiguous chunks."""
+    if not payload or n_frames < 1:
+        return []
+    size = max(1, len(payload) // n_frames)
+    return [payload[i * size : (i + 1) * size] for i in range(n_frames)]
+
+
+def sample_frames(
+    media: DataFrame,
+    n_frames: int = 4,
+    kernel: Callable[[bytes, int], list[bytes]] = fake_frame_kernel,
+) -> DataFrame:
+    """Arrow-batched frame sampling: one output row per (media, frame).
+    The fan-out happens inside the kernel (pandas explode per batch), so
+    frame payloads never concentrate on one task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                for i, fr in enumerate(kernel(bytes(payload or b""), n_frames)):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)

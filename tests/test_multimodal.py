@@ -44,3 +44,33 @@ def test_real_codec_is_explicitly_stubbed():
 
 def test_fake_kernel_handles_empty_payload():
     assert multimodal.fake_feature_kernel(b"") == [0.0] * 8
+
+
+def test_resize_updates_payload_and_meta(spark, sf_dir):
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents.limit(50))
+    resized = multimodal.resize_media(media, width=4, height=4)
+    assert resized.schema == multimodal.MEDIA_SCHEMA
+    rows = resized.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert len(r.payload) <= 16
+        assert r.meta.width == 4 and r.meta.height == 4
+
+
+def test_sample_frames_fan_out(spark, sf_dir):
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents.limit(20))
+    frames = multimodal.sample_frames(media, n_frames=4)
+    rows = frames.collect()
+    assert len(rows) == 80
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in by_media.values():
+        assert sorted(idxs) == [0, 1, 2, 3]
+    # deterministic
+    again = frames.collect()
+    assert sorted((r.media_id, r.frame_idx, bytes(r.frame)) for r in rows) == sorted(
+        (r.media_id, r.frame_idx, bytes(r.frame)) for r in again
+    )
