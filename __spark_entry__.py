@@ -118,12 +118,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": dedup.q_minhash_signatures,
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
+        "embedding_neardup": dedup.q_embedding_neardup,  # approximate → rows-only
         # similarity search
         "knn_brute": similarity.q_knn_brute,
         "knn_lsh": similarity.q_knn_lsh,  # approximate → rows-only
         "knn_ivf": similarity.q_knn_ivf,  # approximate → rows-only
         # text analysis
         "text_stats": text.q_text_stats,
+        "quality_scores": text.q_quality_scores,
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
@@ -641,6 +643,24 @@ def oracle_sql() -> dict[str, str]:
                 6,
             )
             + " AS avg_token_len FROM toks"
+        ),
+        "quality_scores": (
+            "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t, "
+            "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum "
+            "FROM documents) "
+            "SELECT doc_id, CAST(length(text) AS INTEGER) AS len_chars, "
+            + _hud("(length(text) - alnum)", "length(text)", 6)
+            + " AS punct_ratio, "
+            + _hud(
+                "len(list_filter(t, x -> x IN ("
+                + ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
+                + ")))",
+                "len(t)",
+                6,
+            )
+            + " AS stopword_ratio, "
+            + _hud("alnum", "length(text)", 6)
+            + " AS alnum_ratio FROM d"
         ),
         "token_counts": (
             "WITH d AS (SELECT source, "

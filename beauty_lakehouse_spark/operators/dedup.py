@@ -1,18 +1,20 @@
 """Deduplication operators over the documents table (north-star
 extension: LLM-training-data pipeline ops).
 
-Four families, all JVM-side expressions (no Python UDFs anywhere):
+Five families, all JVM-side expressions (no Python UDFs anywhere):
 
 - exact          — canonicalize + md5 group (hash-groupBy).
-- n-gram Jaccard — word-3-gram shingles → shared-shingle join → exact
-                   set-overlap Jaccard. The shingle join IS the
+- n-gram Jaccard — word-3-gram shingles → posting-list pair generation
+                   → exact set-overlap Jaccard. The posting list IS the
                    inverted-index trick: only pairs sharing ≥1 shingle
                    are ever materialized, never the full O(n²) cross.
-- MinHash + LSH  — 16 portable hash functions over shingles → banded
+- MinHash + LSH  — 16 double-hashed functions over shingles → banded
                    signatures (4 bands × 4 rows) → bucket join for
                    candidates. The scale path: candidate generation cost
                    is O(n·bands), join only collides near-duplicates.
 - SimHash        — 32-bit majority-vote fingerprint + Hamming ranking.
+- embedding      — cosine near-dup via multi-table sign-LSH candidates
+                   + exact rerank (shares similarity.py's machinery).
 
 Cross-engine determinism: every hash is functions.portable_hash64
 (md5-based, identical in DuckDB), so the driver's oracle comparison is
@@ -369,3 +371,61 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.asc("hamming"), F.asc("doc_a"), F.asc("doc_b")).limit(20)
+
+
+#: Cosine threshold above which two documents' embeddings count as
+#: near-duplicates.
+EMBED_NEARDUP_THRESHOLD = 0.85
+
+
+def embedding_neardup_pairs(
+    spark: SparkSession,
+    vectors: DataFrame,
+    threshold: float = EMBED_NEARDUP_THRESHOLD,
+    n_planes: int = 8,
+    n_tables: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ t).
+
+    Candidate generation is multi-table sign-bit LSH over the corpus
+    joined against itself PER BUCKET (never all-pairs): two vectors are
+    compared only if some table hashes them to the same bucket. True
+    near-duplicates (cos ≥ 0.85 ⇒ angle ≤ 32°, per-bit agreement ≥
+    0.82) collide in at least one of 6 tables with probability ≥ 98%.
+    Candidates are exact-reranked; the threshold filters the output."""
+    from .similarity import _dot, _hyperplanes, lsh_signatures
+
+    planes = _hyperplanes(spark, n_planes * n_tables)
+    sig = lsh_signatures(vectors, planes, n_planes)
+    a = sig.select("table", "sig", F.col("vec_id").alias("vec_a"))
+    b = sig.select("table", "sig", F.col("vec_id").alias("vec_b"))
+    cand = (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    vb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    norm_a = F.sqrt(_dot(F.col("ea"), F.col("ea")))
+    norm_b = F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_dot(F.col("ea"), F.col("eb")) / (norm_a * norm_b), 4).alias(
+                "cos_sim"
+            ),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered (rows-only — LSH candidate generation is approximate
+    by design; recall vs the brute all-pairs oracle is asserted in
+    tests). May legitimately be empty on the near-random fixture."""
+    t = load(spark, sf_dir)
+    return embedding_neardup_pairs(spark, t.embeddings)

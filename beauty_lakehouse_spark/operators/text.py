@@ -72,6 +72,31 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: EN stopwords reused for the quality stopword-ratio signal.
+_QUALITY_STOPWORDS = STOPWORDS["en"]
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: the cheap heuristics every training-data
+    pipeline filters on — length, punctuation density, stopword ratio,
+    alphanumeric ratio. Single narrow scan, no shuffle."""
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
+    alnum_len = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda s: s.isin(*_QUALITY_STOPWORDS))
+    )
+    return t.documents.join(d.select("doc_id", "toks"), "doc_id").select(
+        "doc_id",
+        F.length("text").alias("len_chars"),
+        halfup_div(
+            F.length("text") - alnum_len, F.length("text"), 6
+        ).alias("punct_ratio"),
+        halfup_div(stop_hits, F.size("toks"), 6).alias("stopword_ratio"),
+        halfup_div(alnum_len, F.length("text"), 6).alias("alnum_ratio"),
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon-overlap language ID: count stopword hits per language,
     predict the argmax (deterministic tie order en>de>fr>es, 'und' when

@@ -85,3 +85,26 @@ def test_simhash_banded_recall_vs_brute(spark, sf_dir):
     }
     sig.unpersist()
     assert close <= cand
+
+
+def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
+    """Plant slightly-perturbed copies of 10 vectors; the LSH-bucketed
+    near-dup pass must pair ≥ 9 of them with their originals."""
+    from beauty_lakehouse_spark.operators.dedup import embedding_neardup_pairs
+
+    t = load(spark, sf_dir)
+    corpus = t.embeddings.select("vec_id", "embedding")
+    planted = corpus.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i % 32 == 0, -x).otherwise(x)
+        ).alias("embedding"),
+    )
+    pairs = embedding_neardup_pairs(spark, corpus.unionByName(planted))
+    found = {
+        (r.vec_a, r.vec_b) for r in pairs.collect()
+    }
+    expected = {(v, v + 1_000_000) for v in range(10)}
+    assert len(expected & found) >= 9, found
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
