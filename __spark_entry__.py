@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": graph.q_copurchase_edges,
         "product_degree": graph.q_product_degree,
         "customer_copurchase_top": graph.q_customer_copurchase_top,
+        "product_pagerank": graph.q_product_pagerank,  # iterative → rows-only
         # dedup family
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,

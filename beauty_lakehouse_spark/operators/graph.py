@@ -91,3 +91,66 @@ def q_customer_copurchase_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """PageRank over an undirected weighted edge list (part_a, part_b,
+    n_orders) — the iterative-algorithm shape SQL can't express in one
+    query. Each iteration is one shuffle (groupBy dst); ranks live in a
+    DataFrame, never on the driver.
+
+    Convergence note: 5 iterations is plenty for ranking stability on
+    co-purchase graphs (diameter is small); at 100 TB checkpoint every
+    few iterations to truncate lineage."""
+    # undirected → both directions, weight-normalized out-edges
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+        F.col("n_orders").cast("double").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+            F.col("n_orders").cast("double").alias("w"),
+        )
+    )
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = directed.join(out_w, "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    )
+    vertices = directed.select(F.col("src").alias("id")).distinct()
+    n = vertices.count()
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.id)
+            .select("dst", (F.col("p") * F.col("rank")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = vertices.join(
+            contribs, vertices.id == contribs.dst, "left"
+        ).select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+            ).alias("rank"),
+        )
+    return ranks
+
+
+def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered rows-only (iterative — not single-statement-SQL
+    expressible; invariants asserted in tests): top-50 products by
+    co-purchase PageRank."""
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem)
+    ranks = pagerank(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+        .select(F.col("id").alias("l_partkey"), F.round("rank", 8).alias("rank"))
+    )

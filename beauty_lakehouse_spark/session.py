@@ -35,6 +35,8 @@ DEFAULT_CONF: dict[str, str] = {
     # Broadcast threshold: dims (region/nation/supplier/part at small SF)
     # auto-broadcast; big-dim joins fall back to sort-merge + AQE.
     "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # Managed tables (bucketed sinks) live outside the repo tree.
+    "spark.sql.warehouse.dir": "/tmp/beauty_lakehouse_warehouse",
 }
 
 

@@ -183,3 +183,33 @@ def write_metadata(path: str, manifest: dict) -> None:
 def read_metadata(path: str) -> dict:
     with open(path, encoding="utf-8") as f:
         return json.load(f)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on ``bucket_col`` at WRITE time, so every later join or
+    aggregation on that key runs shuffle-free — at 100 TB this removes
+    the single largest exchange (the fact⋈fact join) from every query
+    that touches it. Requires saveAsTable (bucket metadata lives in the
+    catalog, not the files)."""
+    spark = df.sparkSession
+    # idempotent overwrite: drop catalog entry AND any stale location
+    # left by a previous session (metadata dies with the in-memory
+    # catalog, files don't)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    stale = os.path.join(warehouse.removeprefix("file:"), table)
+    if os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale)
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)

@@ -108,3 +108,18 @@ def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
     assert len(expected & found) >= 9, found
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """Ranks are positive, sum to ~1 (probability mass conserved under
+    the damping formulation), and are deterministic."""
+    from beauty_lakehouse_spark.operators import graph
+
+    t = load(spark, sf_dir)
+    edges = graph.copurchase_edges(t.lineitem)
+    ranks = graph.pagerank(edges, iters=3)
+    rows = ranks.collect()
+    assert all(r.rank > 0 for r in rows)
+    assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
+    again = {r.id: r.rank for r in graph.pagerank(edges, iters=3).collect()}
+    assert {r.id: r.rank for r in rows} == again

@@ -86,3 +86,37 @@ def test_datagen_validator_all_clean(spark):
     rows = {r.rule: r.violations for r in report.collect()}
     assert len(rows) == 14
     assert all(v == 0 for v in rows.values()), rows
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located join: two tables bucketed on the join key must join
+    with NO Exchange on either side — the 100 TB fact-join strategy."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.sources import write_bucketed
+
+    t = load(spark, sf_dir)
+    write_bucketed(
+        t.lineitem.select("l_orderkey", "l_extendedprice"),
+        "b_lineitem", "l_orderkey", n_buckets=8,
+    )
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_custkey"),
+        "b_orders", "o_orderkey", n_buckets=8,
+    )
+    # at fixture scale the planner would broadcast the small side (also
+    # shuffle-free, but not the property under test) — force the
+    # sort-merge path a 100 TB fact join would take
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan  # no shuffle
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == t.lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
