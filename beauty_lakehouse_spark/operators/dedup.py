@@ -405,19 +405,24 @@ def embedding_neardup_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
-    va = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    vb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    norm_a = F.sqrt(_dot(F.col("ea"), F.col("ea")))
-    norm_b = F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    va = vectors.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        norm.alias("na"),
+    )
+    vb = vectors.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        norm.alias("nb"),
+    )
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(_dot(F.col("ea"), F.col("eb")) / (norm_a * norm_b), 4).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

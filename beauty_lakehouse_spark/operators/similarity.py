@@ -59,11 +59,17 @@ def cosine_topk(
     the result is deterministic (and engine-portable)."""
     from pyspark.sql import Window
 
+    # norms precomputed per vector (not per pair): the Q·N scoring loop
+    # then does one dot product instead of three
     q = queries.select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _norm(F.col("embedding")).alias("qn"),
     )
     c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        _norm(F.col("embedding")).alias("cn"),
     )
     scored = (
         q.crossJoin(c)
@@ -72,8 +78,7 @@ def cosine_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 4,
             ).alias("cos_sim"),
         )
@@ -219,7 +224,9 @@ def ann_lsh_topk(
     scored = (
         cand.join(
             queries.select(
-                F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                _norm(F.col("embedding")).alias("qn"),
             ),
             "query_id",
         )
@@ -227,6 +234,7 @@ def ann_lsh_topk(
             corpus.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("embedding").alias("cv"),
+                _norm(F.col("embedding")).alias("cn"),
             ),
             "neighbor_id",
         )
@@ -234,8 +242,7 @@ def ann_lsh_topk(
             "query_id",
             "neighbor_id",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+                _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
                 4,
             ).alias("cos_sim"),
         )
