@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_spend": warehouse.q_customer_running_spend,
         "top_order_share": warehouse.q_top_order_share,
         "order_latency": warehouse.q_order_latency,
+        "customer_order_gaps": warehouse.q_customer_order_gaps,
+        "sales_cube": warehouse.q_sales_cube,
+        "order_value_percentiles": warehouse.q_order_value_percentiles,
         "pricing_summary": warehouse.q_pricing_summary,
         "shipping_priority": warehouse.q_shipping_priority,
         "local_supplier_volume": warehouse.q_local_supplier_volume,
@@ -130,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
+        "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact → rows-only
         # events / event-time windows
         "events_hourly": events.q_events_hourly,
         "events_sliding": events.q_events_sliding,
@@ -477,6 +481,33 @@ def oracle_sql() -> dict[str, str]:
             "AS lat_days, l_shipdate::DATE <= o_orderdate::DATE + 30 AS within_30, "
             "count(*) AS n_lines "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2"
+        ),
+        "customer_order_gaps": (
+            "WITH g AS (SELECT o_custkey, o_orderkey, "
+            "CAST(date_diff('day', lag(o_orderdate::DATE) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+            "o_orderdate::DATE) AS INTEGER) AS gap_days FROM orders) "
+            "SELECT * FROM g WHERE gap_days IS NOT NULL"
+        ),
+        "sales_cube": (
+            "SELECT coalesce(c_mktsegment, 'ALL') AS segment, "
+            "coalesce(o_orderstatus, 'ALL') AS status, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_sales, count(*) AS n_orders, "
+            "CAST(GROUPING(c_mktsegment, o_orderstatus) AS INTEGER) AS gid "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY CUBE(c_mktsegment, o_orderstatus)"
+        ),
+        "order_value_percentiles": (
+            "WITH r AS (SELECT c_mktsegment, o_totalprice, "
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY o_totalprice, o_orderkey) AS rn, "
+            "count(*) OVER (PARTITION BY c_mktsegment) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey) "
+            "SELECT c_mktsegment, "
+            "CASE WHEN rn = ceil(n * 0.5) THEN 'p50' ELSE 'p90' END AS quantile, "
+            "o_totalprice AS value FROM r "
+            "WHERE rn = ceil(n * 0.5) OR rn = ceil(n * 0.9)"
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

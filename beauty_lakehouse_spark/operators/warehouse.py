@@ -225,3 +225,76 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(money_sum(net_expr()).alias("revenue"))
     )
+
+
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gaps per customer via lag() — repeat-purchase cadence
+    (the CLV input the reference declares, 01:420-423). Exact-integer
+    day arithmetic → fully oracle-comparable."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+    prev = F.lag(F.col("o_orderdate").cast("date")).over(w)
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), prev).alias("gap_days"),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (segment × orderstatus): all 4 grouping combinations in one
+    shuffle (Spark Expand operator), with grouping_id disambiguating
+    subtotal levels."""
+    t = load(spark, sf_dir)
+    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "o_orderstatus", "o_totalprice"
+    )
+    return (
+        j.cube("c_mktsegment", "o_orderstatus")
+        .agg(
+            money_sum(dec2("o_totalprice")).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "total_sales",
+            "n_orders",
+            "gid",
+        )
+    )
+
+
+def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 order value per market segment WITHOUT percentile
+    functions (whose interpolation rules differ across engines):
+    discrete percentile = the value at ceil(q·n) in the (value, key)
+    sort order — pure integer row selection, engine-exact."""
+    t = load(spark, sf_dir)
+    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") == F.ceil(F.col("n") * 0.5))
+            | (F.col("rn") == F.ceil(F.col("n") * 0.9))
+        )
+        .select(
+            "c_mktsegment",
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.lit("p50"))
+            .otherwise(F.lit("p90"))
+            .alias("quantile"),
+            F.col("o_totalprice").alias("value"),
+        )
+    )

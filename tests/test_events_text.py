@@ -61,3 +61,33 @@ def test_doc_fingerprint_stable(spark, sf_dir):
     a = sorted(tuple(r) for r in text.q_doc_fingerprint(spark, sf_dir).collect())
     b = sorted(tuple(r) for r in text.q_doc_fingerprint(spark, sf_dir).collect())
     assert a == b
+
+
+def test_tfidf_top_terms_match_python(spark, sf_dir):
+    """Rows-only op: verify the distributed TF-IDF against a driver-side
+    recomputation (tolerant to last-ulp log differences)."""
+    import math
+    from collections import Counter
+
+    from beauty_lakehouse_spark.catalog import load
+
+    out = text.q_tfidf_top_terms(spark, sf_dir)
+    docs = {r.doc_id: r.text.split(" ") for r in load(spark, sf_dir).documents.collect()}
+    n = len(docs)
+    df_counts = Counter()
+    for toks in docs.values():
+        df_counts.update(set(toks))
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert set(got) == set(docs)
+    for doc_id, rows in got.items():
+        tf = Counter(docs[doc_id])
+        expected = sorted(
+            ((t, c * math.log(n / df_counts[t])) for t, c in tf.items()),
+            key=lambda x: (-x[1], x[0]),
+        )[:3]
+        rows = sorted(rows, key=lambda r: r.rk)
+        for r, (term, score) in zip(rows, expected):
+            assert r.tf == tf[r.term] and r.df == df_counts[r.term]
+            assert abs(r.score - round(score, 4)) < 1e-3, (doc_id, r.term, term)
