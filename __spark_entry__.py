@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
         "user_activity": events.q_user_activity,
+        "event_funnel": events.q_event_funnel,
         # multimodal plumbing (fake kernels → rows-only)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -774,6 +775,24 @@ def oracle_sql() -> dict[str, str]:
             "ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) "
             "AS purchase_value "
             "FROM events GROUP BY user_id"
+        ),
+        "event_funnel": (
+            "WITH f AS (SELECT user_id, "
+            "min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view, "
+            "min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click, "
+            "min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase "
+            "FROM events GROUP BY user_id), "
+            "s AS (SELECT user_id, t_view IS NOT NULL AS s_view, "
+            "t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view AS s_click "
+            "FROM f), "
+            "s2 AS (SELECT s.user_id, s_view, s_click, "
+            "s_click AND t_purchase IS NOT NULL AND t_purchase > t_click AS s_purchase "
+            "FROM s JOIN f ON s.user_id = f.user_id) "
+            "SELECT count(*) AS n_users, "
+            "CAST(sum(CASE WHEN s_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view, "
+            "CAST(sum(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
+            "CAST(sum(CASE WHEN s_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase "
+            "FROM s2"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

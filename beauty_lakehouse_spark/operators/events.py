@@ -133,3 +133,40 @@ def q_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).cast("double").alias("purchase_value"),
     )
+
+
+#: Funnel stage order for q_event_funnel.
+FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel view → click → purchase: a user
+    converts a stage only if their FIRST event of that stage happens
+    after their first event of the previous stage (classic ordered
+    funnel). One groupBy(user) with conditional min aggregates —
+    single shuffle, exact integer-µs comparisons (oracle-matched)."""
+    t = load(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", epoch_us("ts").alias("us"))
+    firsts = e.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("us"))).alias(f"t_{s}")
+            for s in FUNNEL_STAGES
+        ]
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    purchased = (
+        clicked & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    )
+    per_user = firsts.select(
+        "user_id",
+        viewed.alias("s_view"),
+        clicked.alias("s_click"),
+        purchased.alias("s_purchase"),
+    )
+    return per_user.select(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("s_view").cast("long")).alias("n_view"),
+        F.sum(F.col("s_click").cast("long")).alias("n_click"),
+        F.sum(F.col("s_purchase").cast("long")).alias("n_purchase"),
+    )

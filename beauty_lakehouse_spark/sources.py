@@ -31,6 +31,7 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Declared raw-zone schemas (reference data/raw/*.csv, generate_data.py).
@@ -102,6 +103,32 @@ def read_csv(
         .schema(schema)
         .csv(path)
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Quarantine-style CSV ingest: PERMISSIVE parse with a corrupt-
+    record column; returns (good_rows, quarantined_raw_lines). The
+    standard at-scale ingest posture — a single malformed line must
+    neither kill a 100 TB load (FAILFAST) nor silently become nulls
+    (plain PERMISSIVE)."""
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(with_corrupt)
+        .csv(path)
+        # the corrupt column is lazily populated; materialize the split
+        # off a stable projection
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select("_corrupt_record")
+    return good, bad
 
 
 def write_csv(df: DataFrame, path: str) -> None:

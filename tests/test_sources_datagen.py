@@ -120,3 +120,19 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         assert joined.count() == t.lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_csv_quarantine_splits_corrupt_rows(spark, tmp_path):
+    from beauty_lakehouse_spark.sources import BEAUTY_CSV_SCHEMAS, read_csv_quarantine
+
+    path = tmp_path / "dirty.csv"
+    path.write_text(
+        "order_id,customer_id,order_date,total_amount,payment_type,status\n"
+        "1,10,2024-01-05,99.50,card,completed\n"
+        "2,11,not-a-date,oops,card,completed\n"
+        "3,12,2024-02-01,10.00,swish,completed\n"
+    )
+    good, bad = read_csv_quarantine(spark, str(path), BEAUTY_CSV_SCHEMAS["orders"])
+    assert sorted(r.order_id for r in good.collect()) == [1, 3]
+    bad_rows = [r._corrupt_record for r in bad.collect()]
+    assert len(bad_rows) == 1 and "not-a-date" in bad_rows[0]
