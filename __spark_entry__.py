@@ -34,6 +34,7 @@ from beauty_lakehouse_spark.operators import (
     quality,
     relational,
     similarity,
+    temporal,
     text,
     warehouse,
 )
@@ -141,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": events.q_events_json_props,
         "user_activity": events.q_user_activity,
         "event_funnel": events.q_event_funnel,
+        "purchase_time_since_view": temporal.q_purchase_time_since_view,
+        "event_transitions": temporal.q_event_transitions,
         # multimodal plumbing (fake kernels → rows-only)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -793,6 +796,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
             "CAST(sum(CASE WHEN s_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase "
             "FROM s2"
+        ),
+        "purchase_time_since_view": (
+            "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "
+            "FROM events), "
+            "p AS (SELECT user_id, event_id, us FROM e "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT user_id, us AS v_us, min(event_id) AS view_event_id "
+            "FROM e WHERE event_type = 'view' GROUP BY user_id, us) "
+            "SELECT p.user_id, p.event_id, v.view_event_id, "
+            "p.us - v.v_us AS us_since_view "
+            "FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.us >= v.v_us"
+        ),
+        "event_transitions": (
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id "
+            "FROM events), "
+            "p AS (SELECT lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY us, event_id) AS from_type, "
+            "event_type AS to_type FROM e) "
+            "SELECT from_type, to_type, count(*) AS n_transitions FROM p "
+            "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

@@ -1,0 +1,130 @@
+"""Temporal join operators Spark lacks natively: as-of join.
+
+The classic need: for each left event, the most recent right event at
+or before it (per key). Spark has no ASOF JOIN; the naive encodings are
+a range join (explodes) or a per-key collect (driver-bound). The
+scale-safe form used here is the UNION + WINDOW technique:
+
+    1. tag right rows 0 and left rows 1, union them on a common schema;
+    2. one window per key ordered by (ts, tag): ``last(right_payload,
+       ignorenulls=True)`` over unbounded-preceding..current carries the
+       latest right value forward;
+    3. keep left rows.
+
+Cost: ONE shuffle on the key + a per-key sort — identical asymptotics
+to a regular sort-merge join, no row explosion, no driver state. Tag
+ordering makes ties (right.ts == left.ts) count as "at or before".
+
+DuckDB has native ASOF JOIN, so the operator is oracle-comparable —
+provided the right side is unique per (key, ts) (otherwise "latest
+right row" is ambiguous in both engines); callers pre-aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import epoch_us
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` within the same ``key`` (nulls when no
+    prior right row exists). Right must be unique per (key, right_ts)."""
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    l_tagged = left.select(
+        key,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        key,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("__ts"), F.asc("__tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        key,
+        "__ts",
+        "__tag",
+        *lcols,
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag").withColumnRenamed(
+        "__ts", left_ts
+    )
+
+
+def q_purchase_time_since_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join in anger: for every purchase event, microseconds since
+    the user's most recent view at-or-before it (null-free: only
+    purchases with a prior view). Oracle: DuckDB native ASOF JOIN."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "us"
+    )
+    # unique per (user, ts): keep the smallest view event_id per instant
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("us").alias("v_us"))
+        .agg(F.min("event_id").alias("view_event_id"))
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="us",
+        right_ts="v_us",
+        right_cols=["v_us", "view_event_id"],
+    )
+    return (
+        joined.filter(F.col("asof_v_us").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("asof_view_event_id").alias("view_event_id"),
+            (F.col("us") - F.col("asof_v_us")).alias("us_since_view"),
+        )
+    )
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix per the user timeline
+    (lag over (user, ts, event_id)) — the Markov-chain input of
+    behavioral analytics. Exact integer/string comparisons throughout."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_type", epoch_us("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
