@@ -144,6 +144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": events.q_event_funnel,
         "purchase_time_since_view": temporal.q_purchase_time_since_view,
         "event_transitions": temporal.q_event_transitions,
+        "events_preceding_5min": temporal.q_events_preceding_5min,
+        "user_type_pivot": events.q_user_type_pivot,
         # multimodal plumbing (fake kernels → rows-only)
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -816,6 +818,25 @@ def oracle_sql() -> dict[str, str]:
             "event_type AS to_type FROM e) "
             "SELECT from_type, to_type, count(*) AS n_transitions FROM p "
             "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
+        ),
+        "events_preceding_5min": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            "CAST(value AS DECIMAL(12,2)) AS v FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_prev_5min, "
+            "CAST(round(coalesce(sum(v) OVER w, 0), 2) AS DOUBLE) "
+            "AS value_prev_5min "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us "
+            "RANGE BETWEEN 300000000 PRECEDING AND 1 PRECEDING)"
+        ),
+        "user_type_pivot": (
+            "SELECT user_id, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN event_type = '{s}' THEN 1 ELSE 0 END) AS BIGINT)"
+                f" AS n_{s}"
+                for s in ["view", "click", "purchase", "signup", "error"]
+            )
+            + " FROM events GROUP BY user_id"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

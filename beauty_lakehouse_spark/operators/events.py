@@ -170,3 +170,20 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("s_click").cast("long")).alias("n_click"),
         F.sum(F.col("s_purchase").cast("long")).alias("n_purchase"),
     )
+
+
+def q_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user event-type counts via the native pivot operator
+    with an EXPLICIT value list (an implicit list costs an extra
+    distinct pass and makes the output schema data-dependent)."""
+    t = load(spark, sf_dir)
+    types = ["view", "click", "purchase", "signup", "error"]
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in types],
+        )
+    )

@@ -128,3 +128,32 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+RANGE_5MIN_US = 5 * 60 * 1_000_000
+
+
+def q_events_preceding_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window — the scale-safe form of a time-range
+    self-join: for each event, how many same-user events (and how much
+    value) landed in the strictly-preceding 5 minutes. RANGE BETWEEN on
+    epoch-µs ordering does this in one shuffle + per-key sort; the
+    equivalent inequality self-join would be O(events x window)."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", epoch_us("ts").alias("us"),
+        F.col("value").cast("decimal(12,2)").alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("us"))
+        .rangeBetween(-RANGE_5MIN_US, -1)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_prev_5min"),
+        F.round(F.coalesce(F.sum("v").over(w), F.lit(0).cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("value_prev_5min"),
+    )
