@@ -154,6 +154,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "beauty_datagen_validation": _q_beauty_datagen,
         # quality report
         "quality_report": _quality_report_query,
+        # HLL sketch profiling (engine-specific sketches → rows-only;
+        # error bound vs exact asserted in pytest)
+        "cardinality_sketches": quality.q_cardinality_sketches,
     }
 
 

