@@ -71,3 +71,35 @@ def test_stateful_milestones_match_batch(spark, sf_dir):
         per_user.setdefault(r.user_id, []).append(r.total_at_crossing)
     for vals in per_user.values():
         assert vals == sorted(vals)
+
+
+def test_multi_batch_state_merging(spark, sf_dir, tmp_path):
+    """Split the events fixture into 4 files and stream them one file
+    per micro-batch: windowed/session state must merge across batches
+    to the same result as the single-batch drain (and as batch)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        EVENTS_RAW_SCHEMA,
+        hourly_event_counts,
+    )
+
+    # land the fixture as 4 parquet files (split by event_id mod 4 so
+    # every batch carries interleaved event times — the hard case)
+    src = str(tmp_path / "events_parts")
+    ev = load(spark, sf_dir).events
+    ev.withColumn("part", (F.col("event_id") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    # the re-landed files carry a proper µs timestamp, so the stream
+    # schema is the normalized batch schema (no nanos rebuild needed)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(hourly_event_counts(stream), "t_multibatch")
+    expected = batch_events.q_events_hourly(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
