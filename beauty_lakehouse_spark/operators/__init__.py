@@ -10,16 +10,21 @@ Each module maps a slice of the reference's operator inventory
 - ``warehouse``   — the declared-but-empty warehouse layer (ref L3):
                     star joins, rollups, window functions.
 - ``graph``       — the declared-but-empty graph layer (ref L4):
-                    co-purchase edges, degrees.
-- ``events``      — event-time windows (tumbling/sliding/session) and
-                    JSON prop extraction over the events table.
-- ``dedup``       — exact + MinHash/LSH + n-gram-Jaccard near-dup.
+                    co-purchase edges, degrees, PageRank.
+- ``events``      — event-time windows (tumbling/sliding/session),
+                    JSON props, funnel, pivot over the events table.
+- ``temporal``    — as-of join (union+window form) and range-frame
+                    trailing-window aggregation.
+- ``dedup``       — exact + MinHash/LSH + n-gram-Jaccard + SimHash +
+                    embedding-cosine near-dup.
 - ``text``        — language-ID, quality scoring, token counting,
-                    fingerprinting.
-- ``similarity``  — embedding cosine top-k (brute force + LSH-bucketed).
-- ``multimodal``  — binary-column plumbing for image/audio payloads.
+                    fingerprinting, TF-IDF.
+- ``similarity``  — embedding cosine top-k (brute force, multi-table
+                    LSH, IVF).
+- ``multimodal``  — binary-column plumbing for image/audio payloads
+                    (decode/feature/resize/frame-sample kernels).
 - ``quality``     — the reference validator as must-be-empty DataFrames
-                    (scripts/validate_dataset.py).
+                    (scripts/validate_dataset.py) + sketch profiling.
 
 All query entry points share the driver signature
 ``(SparkSession, sf_dir: str) -> DataFrame`` and alias every computed
