@@ -106,8 +106,12 @@ def u01(id_col: Column, tag: str, seed: int = SEED) -> Column:
     """Uniform [0,1) as a pure function of (seed, tag, id) — xxhash64 is
     JVM-side, partitioning-independent, and identical on every run."""
     h = F.xxhash64(F.lit(f"{seed}:{tag}"), id_col)
-    # map int64 -> [0,1): shift to unsigned range then scale
-    return (h.cast("double") / F.lit(float(2**64))) + 0.5
+    # map int64 -> [0,1): shift to unsigned range then scale. Hash values
+    # in [2^63-512, 2^63) round UP to 2^63 under double conversion, which
+    # would yield exactly 1.0 and violate the [0,1) contract (probability
+    # ~2.8e-17 per draw) — clamp to the largest double below 1.
+    u = (h.cast("double") / F.lit(float(2**64))) + 0.5
+    return F.least(u, F.lit(1.0 - 2**-53))
 
 
 def gaussian(id_col: Column, tag: str, mean: float, std: float) -> Column:
@@ -229,18 +233,31 @@ def gen_orders_and_items(
     customers: DataFrame,
     products: DataFrame,
     n_orders: int = 100_000,
+    n_customers: int | None = None,
+    n_products: int | None = None,
+    materialize: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Orders + order_items with the G7/G8/G9 semantics. One shuffle for
     the customer join, one broadcast join for prices, one groupBy for
-    total_amount — no driver loops."""
-    n_products = products.count()
+    total_amount — no driver loops.
+
+    ``n_customers``/``n_products`` skip the two eager count() jobs when
+    the caller (generate()) already knows the sizes. ``materialize``
+    checkpoints the items table before deriving order totals, so the
+    orders plan reads materialized items instead of re-embedding the
+    explode+join+window lineage — the lever a cluster job would pull as
+    ``persist()`` before the fan-in aggregate."""
+    if n_products is None:
+        n_products = products.count()
+    if n_customers is None:
+        n_customers = customers.count()
     oid = F.col("order_id")
     base = (
         spark.range(1, n_orders + 1)
         .select(F.col("id").alias("order_id"))
         .select(
             "order_id",
-            ((u01(oid, "cust") * customers.count()).cast("long") + 1).alias(
+            ((u01(oid, "cust") * n_customers).cast("long") + 1).alias(
                 "customer_id"
             ),
             weighted_choice(oid, "pay", PAYMENT_TYPES, PAYMENT_P).alias(
@@ -331,6 +348,8 @@ def gen_orders_and_items(
         )
     )
 
+    if materialize:
+        items = items.localCheckpoint(eager=True)
     # G9: total_amount = round(sum(line_total), 2)
     totals = items.groupBy("order_id").agg(
         F.round(F.sum(F.col("line_total").cast("decimal(12,2)")), 2)
@@ -369,10 +388,14 @@ def generate(
     n_customers: int = 10_000,
     n_products: int = 2_000,
     n_orders: int = 100_000,
+    materialize: bool = False,
 ) -> BeautyDataset:
     customers = gen_customers(spark, n_customers)
     products = gen_products(spark, n_products)
-    orders, items = gen_orders_and_items(spark, customers, products, n_orders)
+    orders, items = gen_orders_and_items(
+        spark, customers, products, n_orders,
+        n_customers=n_customers, n_products=n_products, materialize=materialize,
+    )
     return BeautyDataset(customers, products, orders, items)
 
 
@@ -469,12 +492,163 @@ def beauty_rules(ds: BeautyDataset):
     return rules
 
 
+def beauty_report(ds: BeautyDataset) -> DataFrame:
+    """Shared-scan form of ``report_from_rules(beauty_rules(ds))`` — the
+    same 14 ``(rule, violations)`` rows, but each table is scanned once
+    with all its scalar rules folded into a single aggregate (see
+    operators.quality.validate for the same restructuring on the fixture
+    schema). The composable :func:`beauty_rules` stays as the
+    one-rule-one-DataFrame API; this is the report fast path."""
+    from .operators.quality import _unpivot_counts
+
+    cu, pr, od, it = ds.customers, ds.products, ds.orders, ds.order_items
+    mapping = F.create_map(
+        *[F.lit(x) for kv in PRODUCT_TYPE_TO_CATEGORY.items() for x in kv]
+    )
+
+    cu_counts = cu.agg(
+        F.sum(F.when((F.col("age") < 18) | (F.col("age") > 90), 1).otherwise(0))
+        .cast("long").alias("customers.age_bounds"),
+    )
+    pr_counts = pr.agg(
+        F.sum(
+            F.when(
+                mapping[F.col("product_type")].isNull()
+                | (F.col("category") != mapping[F.col("product_type")]),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("products.category_mapping"),
+        F.sum(
+            F.when(
+                (F.col("cost") < F.round(F.col("price") * 0.40, 2) - 0.01)
+                | (F.col("cost") > F.round(F.col("price") * 0.70, 2) + 0.01),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("products.cost_within_price_band"),
+    )
+    od_counts = od.join(
+        cu.select(F.col("customer_id").alias("_ck"), "signup_date"),
+        od["customer_id"] == F.col("_ck"),
+        "left",
+    ).agg(
+        F.sum(F.when(F.col("_ck").isNull(), 1).otherwise(0))
+        .cast("long").alias("orders.customer_exists"),
+        F.sum(F.when(F.col("order_date") < F.col("signup_date"), 1).otherwise(0))
+        .cast("long").alias("orders.date_after_signup"),
+    )
+    it_counts = (
+        it.join(
+            od.select(F.col("order_id").alias("_ok")),
+            it["order_id"] == F.col("_ok"),
+            "left",
+        )
+        .join(
+            pr.select(F.col("product_id").alias("_pk")),
+            it["product_id"] == F.col("_pk"),
+            "left",
+        )
+        .agg(
+            F.sum(F.when(F.col("_ok").isNull(), 1).otherwise(0))
+            .cast("long").alias("order_items.order_exists"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("long").alias("order_items.product_exists"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("line_total")
+                        - F.round(
+                            F.col("quantity")
+                            * F.col("unit_price").cast("decimal(12,2)"),
+                            2,
+                        ).cast("double")
+                    )
+                    > 1e-9,
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("order_items.line_total_arith"),
+        )
+    )
+    # per-order groupBy feeds BOTH the items-per-order bound and the
+    # total_amount consistency check — one shuffle instead of two
+    per_order = it.groupBy("order_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.round(F.sum(F.col("line_total").cast("decimal(12,2)")), 2)
+        .cast("double")
+        .alias("_calc"),
+    )
+    per_order_counts = per_order.join(
+        od.select("order_id", "total_amount"), "order_id", "left"
+    ).agg(
+        F.sum(F.when((F.col("_n") < 1) | (F.col("_n") > 6), 1).otherwise(0))
+        .cast("long").alias("order_items.items_per_order_bounds"),
+        F.sum(
+            F.when(F.abs(F.col("total_amount") - F.col("_calc")) > 1e-9, 1)
+            .otherwise(0)
+        ).cast("long").alias("orders.total_amount_consistent"),
+    )
+
+    report = _unpivot_counts(cu_counts, ["customers.age_bounds"])
+    report = report.unionByName(
+        _unpivot_counts(
+            pr_counts,
+            ["products.category_mapping", "products.cost_within_price_band"],
+        )
+    )
+    report = report.unionByName(
+        _unpivot_counts(
+            od_counts, ["orders.customer_exists", "orders.date_after_signup"]
+        )
+    )
+    report = report.unionByName(
+        _unpivot_counts(
+            it_counts,
+            [
+                "order_items.order_exists",
+                "order_items.product_exists",
+                "order_items.line_total_arith",
+            ],
+        )
+    )
+    report = report.unionByName(
+        _unpivot_counts(
+            per_order_counts,
+            ["order_items.items_per_order_bounds", "orders.total_amount_consistent"],
+        )
+    )
+    for tbl, df, key in [
+        ("customers", cu, "customer_id"),
+        ("products", pr, "product_id"),
+        ("orders", od, "order_id"),
+        ("order_items", it, "order_item_id"),
+    ]:
+        dup = (
+            df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(F.count(F.lit(1)).cast("long").alias(f"{tbl}.{key}.unique"))
+        )
+        report = report.unionByName(_unpivot_counts(dup, [f"{tbl}.{key}.unique"]))
+    return report
+
+
 def q_beauty_datagen_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered (rows-only) query: generate a small beauty dataset and
     return the full rule report — every violations count must be 0.
     ``sf_dir`` is unused (the data is generated, not read); the driver
-    contract signature is kept for uniform registration."""
-    from .operators.quality import report_from_rules
+    contract signature is kept for uniform registration.
 
-    ds = generate(spark, n_customers=300, n_products=120, n_orders=1500)
-    return report_from_rules(beauty_rules(ds))
+    Gate-cheap by construction: generation materializes items once
+    (``materialize=True`` truncates the explode+join+window lineage), the
+    four tables are checkpointed so the 14 rules read cached blocks
+    instead of re-deriving the generators, and :func:`beauty_report`
+    folds the rules into per-table single-pass aggregates."""
+    ds = generate(
+        spark, n_customers=300, n_products=120, n_orders=1500, materialize=True
+    )
+    ds = BeautyDataset(
+        customers=ds.customers.localCheckpoint(eager=True),
+        products=ds.products.localCheckpoint(eager=True),
+        orders=ds.orders.localCheckpoint(eager=True),
+        order_items=ds.order_items.localCheckpoint(eager=True),
+    )
+    return beauty_report(ds)

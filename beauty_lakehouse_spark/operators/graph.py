@@ -103,9 +103,13 @@ def pagerank(
     query. Each iteration is one shuffle (groupBy dst); ranks live in a
     DataFrame, never on the driver.
 
-    Convergence note: 5 iterations is plenty for ranking stability on
-    co-purchase graphs (diameter is small); at 100 TB checkpoint every
-    few iterations to truncate lineage."""
+    Lineage: iteration k's plan would otherwise embed all k-1 prior
+    plans (superlinear re-analysis + recomputation at scale), so the
+    loop truncates per iteration — ``norm``/``vertices`` are
+    materialized once up front (they feed every round) and ``ranks`` is
+    checkpointed after each update. On a cluster the same lever is
+    ``checkpoint()`` to reliable storage; local mode uses
+    ``localCheckpoint`` (executor-memory blocks)."""
     # undirected → both directions, weight-normalized out-edges
     directed = edges.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
@@ -116,11 +120,18 @@ def pagerank(
             F.col("n_orders").cast("double").alias("w"),
         )
     )
+    # one eager checkpoint materializes the (possibly expensive) edge
+    # derivation; everything downstream reads cached blocks
+    directed = directed.localCheckpoint(eager=True)
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = directed.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
+    ).localCheckpoint(eager=False)
+    vertices = (
+        directed.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
-    vertices = directed.select(F.col("src").alias("id")).distinct()
     n = vertices.count()
     ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
@@ -138,7 +149,12 @@ def pagerank(
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
             ).alias("rank"),
-        )
+            # lazy checkpoint: the logical plan is truncated at every
+            # iteration (bounded re-analysis) but materialization happens
+            # in ONE job at the final action — each intermediate rank set
+            # is computed exactly once and cached, without paying a
+            # job-submission round-trip per iteration
+        ).localCheckpoint(eager=False)
     return ranks
 
 

@@ -293,8 +293,16 @@ def ivf_build(
     (centroids[centroid_id, cv], assignment[vec_id, centroid_id]).
 
     Scale: at 100 TB you run the Lloyd rounds on a sample and only the
-    final assignment over the full corpus — same code, sampled input."""
-    v = _normalized(corpus)
+    final assignment over the full corpus — same code, sampled input.
+
+    Lineage: ``v`` is materialized once (it feeds every round) and the
+    k-row centroid table is checkpointed per round, so round k's plan
+    never embeds rounds 1..k-1 (uncheckpointed, Catalyst re-analysis and
+    recomputation grow superlinearly with ``iters``). The returned
+    assignment is recomputed against the FINAL centroids — assignments
+    and quantizer always agree, so ``ivf_topk``'s inverted lists match
+    the centroid table it probes."""
+    v = _normalized(corpus).localCheckpoint(eager=True)
     cent = (
         v.orderBy(F.xxhash64(F.lit("ivf-seed"), F.col("vec_id")))
         .limit(n_centroids)
@@ -304,18 +312,23 @@ def ivf_build(
             .alias("centroid_id"),
             F.col("nv").alias("cv"),
         )
+        .localCheckpoint(eager=True)
     )
-    best = None
+
+    def assign(cent_df: DataFrame) -> DataFrame:
+        scored = v.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id", "nv", "centroid_id",
+            _dot(F.col("nv"), F.col("cv")).alias("sim"),
+        )
+        return scored.groupBy("vec_id").agg(
+            F.max_by(
+                "centroid_id",
+                F.struct("sim", (-F.col("centroid_id")).alias("tb")),
+            ).alias("centroid_id")
+        )
+
     for _ in range(iters):
-        scored = v.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "nv", "centroid_id", _dot(F.col("nv"), F.col("cv")).alias("sim")
-        )
-        best = scored.groupBy("vec_id").agg(
-            F.max_by("centroid_id", F.struct("sim", (-F.col("centroid_id")).alias("tb"))).alias(
-                "centroid_id"
-            )
-        )
-        assigned = v.join(best, "vec_id")
+        assigned = v.join(assign(cent), "vec_id")
         means = (
             assigned.select("centroid_id", F.posexplode("nv").alias("pos", "x"))
             .groupBy("centroid_id", "pos")
@@ -333,8 +346,11 @@ def ivf_build(
             F.transform(
                 "mv", lambda x: x / F.sqrt(_dot(F.col("mv"), F.col("mv")))
             ).alias("cv"),
-        )
-    return cent, best
+            # lazy checkpoint: plan truncated per round (bounded
+            # re-analysis); the k-row table is materialized once on first
+            # use (the next round's broadcast) without a per-round job
+        ).localCheckpoint(eager=False)
+    return cent, assign(cent)
 
 
 def ivf_topk(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 
 import duckdb
 
@@ -54,9 +55,11 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
 
     n_pass = n_fail = n_rowsonly = 0
+    t_total = time.time()
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             df = fn(spark, sf_dir)
             s_cols = df.columns
@@ -66,7 +69,7 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS {name}: {len(s_rows)} rows (no oracle)")
+            print(f"ROWS {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.2f}s]")
             n_rowsonly += 1
             continue
         try:
@@ -92,9 +95,9 @@ def main() -> int:
                 print(f"   spark  {a}\n   duckdb {b}")
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(sr)} rows")
+            print(f"PASS {name}: {len(sr)} rows [{time.time()-t0:.2f}s]")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only [{time.time()-t_total:.1f}s total]")
     return 1 if n_fail else 0
 
 

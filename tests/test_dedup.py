@@ -123,3 +123,21 @@ def test_pagerank_invariants(spark, sf_dir):
     assert abs(sum(r.rank for r in rows) - 1.0) < 1e-6
     again = {r.id: r.rank for r in graph.pagerank(edges, iters=3).collect()}
     assert {r.id: r.rank for r in rows} == again
+
+
+def test_pagerank_plan_depth_bounded(spark, sf_dir):
+    """Iteration k must NOT embed the plans of iterations 1..k-1 — the
+    per-iteration checkpoint truncates lineage, so the analyzed-plan
+    size of the final ranks stays flat as iters grows (uncheckpointed it
+    grows superlinearly and explodes Catalyst re-analysis at scale)."""
+    from beauty_lakehouse_spark.operators import graph
+
+    t = load(spark, sf_dir)
+    edges = graph.copurchase_edges(t.lineitem)
+
+    def plan_len(iters):
+        df = graph.pagerank(edges, iters=iters)
+        return len(df._jdf.queryExecution().analyzed().toString())
+
+    p2, p6 = plan_len(2), plan_len(6)
+    assert p6 < p2 * 2, (p2, p6)

@@ -70,3 +70,22 @@ def test_cardinality_sketch_error_bound(spark, sf_dir):
     for r in rows:
         rel_err = abs(r.approx_distinct - r.exact_distinct) / max(r.exact_distinct, 1)
         assert rel_err < 0.05, (r.target, r.exact_distinct, r.approx_distinct)
+
+
+def test_report_from_rules_rejects_empty():
+    with pytest.raises(ValueError, match="empty rule list"):
+        quality.report_from_rules([])
+
+
+def test_validate_matches_composable_rules(spark, sf_dir):
+    """The shared-scan validate() fast path must produce exactly the same
+    (rule, violations) rows as the composable one-rule-one-DataFrame
+    form it replaces."""
+    t = load(spark, sf_dir)
+    tables = {n: t.table(n) for n in TABLES}
+    fast = {(r.rule, r.violations) for r in quality.validate(tables).collect()}
+    slow = {
+        (r.rule, r.violations)
+        for r in quality.report_from_rules(quality.all_rules(tables)).collect()
+    }
+    assert fast == slow

@@ -98,3 +98,43 @@ def test_ivf_assignment_covers_corpus(spark, sf_dir):
     assert cent.count() == 8
     assert assign.count() == corpus.count()
     assert assign.select("vec_id").distinct().count() == corpus.count()
+
+
+def test_ivf_plan_depth_bounded_and_consistent(spark, sf_dir):
+    """Lloyd round k must not embed rounds 1..k-1 (per-round checkpoint),
+    and the returned assignment must agree with the returned centroids:
+    every vector's assigned centroid is its argmax-similarity centroid
+    in the FINAL centroid table (no half-step quantizer mismatch)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators import similarity
+
+    t = load(spark, sf_dir)
+    corpus = t.embeddings.filter(F.col("vec_id") < 200)
+
+    def plan_len(iters):
+        cent, best = similarity.ivf_build(corpus, n_centroids=4, iters=iters)
+        return len(best._jdf.queryExecution().analyzed().toString())
+
+    p1, p4 = plan_len(1), plan_len(4)
+    assert p4 < p1 * 2, (p1, p4)
+
+    cent, best = similarity.ivf_build(corpus, n_centroids=4, iters=2)
+    # recompute argmax assignment against the returned centroids
+    nv = similarity._normalized(corpus)
+    rescored = nv.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "centroid_id",
+        similarity._dot(F.col("nv"), F.col("cv")).alias("sim"),
+    )
+    expect = rescored.groupBy("vec_id").agg(
+        F.max_by(
+            "centroid_id", F.struct("sim", (-F.col("centroid_id")).alias("tb"))
+        ).alias("centroid_id")
+    )
+    mismatches = (
+        best.alias("a")
+        .join(expect.alias("b"), "vec_id")
+        .filter(F.col("a.centroid_id") != F.col("b.centroid_id"))
+        .count()
+    )
+    assert mismatches == 0
