@@ -73,6 +73,37 @@ def read_json_docs(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def write_docs(
+    docs: DataFrame,
+    target: str,
+    fmt: str = "json",
+    mode: str = "overwrite",
+    **options: str,
+) -> None:
+    """Generalized document sink: the JSON-lines path above plus a
+    connector passthrough for the reference's MongoDB target
+    (02_document_db_mongodb.ipynb:297-322 writes via PyMongo
+    insert_many; the Spark-native equivalent is the ``mongodb``
+    DataSource v2 connector). JSON remains the tested path — the Mongo
+    connector jar is environment-provided, so with ``fmt="mongodb"``
+    pass ``connection.uri``/``database``/``collection`` options and
+    ``target`` is ignored by the connector (it addresses via options).
+
+    Example::
+
+        write_docs(docs, "", fmt="mongodb",
+                   **{"connection.uri": "mongodb://host:27017",
+                      "database": "beauty", "collection": "orders"})
+    """
+    writer = docs.write.format(fmt).mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if fmt == "mongodb":
+        writer.save()
+    else:
+        writer.save(target)
+
+
 # ----- registered queries ---------------------------------------------------
 
 

@@ -273,28 +273,79 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90 order value per market segment WITHOUT percentile
     functions (whose interpolation rules differ across engines):
     discrete percentile = the value at ceil(q·n) in the (value, key)
-    sort order — pure integer row selection, engine-exact."""
+    sort order — pure integer row selection, engine-exact.
+
+    Scale shape: the naive form windows row_number over
+    partitionBy(c_mktsegment) — 5 distinct segments, so at 100x each
+    reducer sorts ~1/5 of ALL orders (the classic low-cardinality-window
+    killer). This form never sorts raw rows per segment:
+
+    1. bucket each order by floor(o_totalprice) and count per
+       (segment, bucket) — map-side-combined aggregate, output is
+       #distinct-buckets rows (bounded by the price range, not by n);
+    2. cumulative counts over buckets locate the bucket containing the
+       k-th value and its within-bucket rank (the only
+       partitionBy(segment) window runs over the aggregated bucket
+       table, ≤ ~1e6 rows per segment regardless of data size);
+    3. re-scan only rows in the ≤ 2 hit buckets per segment (broadcast
+       semi-join filter — pushed to the scan) and row_number just those
+       few rows to pick the exact value.
+
+    Bucketing by floor(value) respects the (value, key) sort order, so
+    the selection is exactly the naive window's answer."""
     t = load(spark, sf_dir)
-    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-    w = Window.partitionBy("c_mktsegment").orderBy(
-        F.asc("o_totalprice"), F.asc("o_orderkey")
+    j = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
     )
-    ranked = j.select(
+    b = j.withColumn("bucket", F.floor("o_totalprice").cast("long"))
+    bucket_counts = b.groupBy("c_mktsegment", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wseg = Window.partitionBy("c_mktsegment").orderBy("bucket")
+    cum = bucket_counts.select(
         "c_mktsegment",
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment")).alias("n"),
-    )
-    return (
-        ranked.filter(
-            (F.col("rn") == F.ceil(F.col("n") * 0.5))
-            | (F.col("rn") == F.ceil(F.col("n") * 0.9))
-        )
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(wseg).alias("cum_end"),
+    ).withColumn("cum_before", F.col("cum_end") - F.col("cnt"))
+    totals = bucket_counts.groupBy("c_mktsegment").agg(F.sum("cnt").alias("n"))
+    targets = totals.select(
+        "c_mktsegment",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("p50").alias("quantile"),
+                    F.ceil(F.col("n") * 0.5).alias("k"),
+                ),
+                F.struct(
+                    F.lit("p90").alias("quantile"),
+                    F.ceil(F.col("n") * 0.9).alias("k"),
+                ),
+            )
+        ).alias("t"),
+    ).select("c_mktsegment", F.col("t.quantile").alias("quantile"), F.col("t.k").alias("k"))
+    hits = (
+        targets.join(cum, "c_mktsegment")
+        .filter((F.col("cum_before") < F.col("k")) & (F.col("k") <= F.col("cum_end")))
         .select(
             "c_mktsegment",
-            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.lit("p50"))
-            .otherwise(F.lit("p90"))
-            .alias("quantile"),
+            "quantile",
+            "bucket",
+            (F.col("k") - F.col("cum_before")).alias("within_rank"),
+        )
+    )
+    # narrow re-scan: only rows whose (segment, bucket) holds a target
+    narrowed = b.join(F.broadcast(hits), ["c_mktsegment", "bucket"])
+    wb = Window.partitionBy("c_mktsegment", "quantile").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        narrowed.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == F.col("within_rank"))
+        .select(
+            "c_mktsegment",
+            "quantile",
             F.col("o_totalprice").alias("value"),
         )
     )

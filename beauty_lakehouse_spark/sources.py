@@ -190,9 +190,17 @@ def validate_curated(
     if fmt == "delta":
         result["is_delta_table"] = os.path.isdir(os.path.join(path, "_delta_log"))
     else:
-        result["has_files"] = any(
-            f.endswith(".parquet") for f in os.listdir(path)
-        ) if os.path.isdir(path) else False
+        # recursive: a partitioned table's files live under key=value/
+        # subdirectories, not at the top level
+        result["has_files"] = (
+            any(
+                f.endswith(".parquet")
+                for _, _, files in os.walk(path)
+                for f in files
+            )
+            if os.path.isdir(path)
+            else False
+        )
     df = read_curated(spark, path, fmt)
     result["n_rows"] = df.count()
     result["columns"] = df.columns

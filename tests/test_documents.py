@@ -48,3 +48,26 @@ def test_json_sink_source_round_trip(spark, sf_dir, tmp_path):
     a = sorted((r.o_orderkey, r.n_items) for r in docs.collect())
     b = sorted((r.o_orderkey, r.n_items) for r in back.collect())
     assert a == b
+
+
+def test_write_docs_generalized_sink(spark, sf_dir, tmp_path):
+    """write_docs: json path round-trips; mongodb path plumbs the format
+    + options through to Spark's DataSource resolution (the connector
+    jar is environment-provided, so resolution failing with the format
+    name proves the passthrough reached the source registry)."""
+    import pytest as _pytest
+
+    from beauty_lakehouse_spark.operators.documents import write_docs
+
+    t = load(spark, sf_dir)
+    docs = collapse_order_docs(t.orders, t.lineitem.limit(50))
+    path = str(tmp_path / "docs_json2")
+    write_docs(docs, path, fmt="json")
+    assert read_json_docs(spark, path).count() == docs.count()
+
+    with _pytest.raises(Exception, match="(?i)mongodb"):
+        write_docs(
+            docs, "", fmt="mongodb",
+            **{"connection.uri": "mongodb://localhost:27017",
+               "database": "beauty", "collection": "orders"},
+        )

@@ -73,3 +73,20 @@ def test_bounded_dims_broadcast(spark, sf_dir):
     plan = _plan(warehouse.q_local_supplier_volume(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_percentiles_no_low_cardinality_window_over_raw_rows(spark, sf_dir):
+    """q_order_value_percentiles must never sort raw order rows inside a
+    partitionBy(c_mktsegment)-only window (5 segments -> each reducer
+    sorts 1/5 of ALL orders at scale). Any window that orders raw rows
+    (o_orderkey in its sort spec) must be partitioned finer than just
+    the segment; segment-only windows may only run over the aggregated
+    bucket table (no o_orderkey in scope there)."""
+    import re
+
+    plan = _plan(warehouse.q_order_value_percentiles(spark, sf_dir))
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    for spec in specs:
+        if "o_orderkey" in spec:
+            assert "quantile" in spec, spec
