@@ -24,6 +24,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from beauty_lakehouse_spark import tables
 from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
 from beauty_lakehouse_spark.operators import (
     dedup,
@@ -152,6 +153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthetic beauty star schema (G1-G9) + ported validator
         # (self-generated data → rows-only; every violations count is 0)
         "beauty_datagen_validation": _q_beauty_datagen,
+        # curated-zone table management: versioned CoW MERGE -> snapshot read
+        "merge_upsert_state": tables.q_merge_upsert_state,
         # quality report
         "quality_report": _quality_report_query,
         # HLL sketch profiling (engine-specific sketches → rows-only;
@@ -840,6 +843,25 @@ def oracle_sql() -> dict[str, str]:
                 for s in ["view", "click", "purchase", "signup", "error"]
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "merge_upsert_state": (
+            "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS order_year "
+            "FROM orders), "
+            "src AS ("
+            "SELECT o_orderkey, o_custkey, o_orderstatus, "
+            "CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) + 1, 2) AS DOUBLE) "
+            "AS o_totalprice, order_year FROM base WHERE o_orderkey % 7 = 0 "
+            "UNION ALL "
+            "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, "
+            "o_totalprice, order_year FROM base WHERE o_orderkey % 11 = 0), "
+            "merged AS ("
+            "SELECT b.* FROM base b ANTI JOIN src s "
+            "ON b.o_orderkey = s.o_orderkey "
+            "UNION ALL SELECT * FROM src) "
+            "SELECT m.* FROM merged m ANTI JOIN "
+            "(SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d "
+            "ON m.o_orderkey = d.o_orderkey"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

@@ -1,0 +1,328 @@
+"""Versioned curated tables: snapshots, time travel, and MERGE/upsert.
+
+The reference's curated zone is Delta Lake (writes at
+01_dataLake_ingestion.ipynb:571-574, `_delta_log` validation at
+:620-667). delta-spark isn't installable in this environment
+(sources.delta_available gates it), so this module implements the
+"table management" half of the lakehouse contract as a Delta-shaped
+copy-on-write layout over plain parquet — the same mechanisms Delta
+uses, expressed Spark-first:
+
+- **Snapshot isolation / time travel**: every write produces an
+  immutable version; a JSON manifest per version lists the data
+  directories that make up the snapshot. Readers resolve a manifest
+  and never see a half-written state (the manifest is written last,
+  atomically via rename).
+- **Copy-on-write MERGE at partition granularity**: an upsert rewrites
+  ONLY the partitions the source (or delete set) touches; untouched
+  partitions are inherited by reference from the parent manifest. At
+  100 TB with date-partitioned facts and a trickle of late rows, a
+  merge touches a handful of partitions, not the table.
+
+Layout::
+
+    table_path/
+      _manifests/00000001.json   {"version": 1, "parent": 0,
+                                  "partition_by": "order_year",
+                                  "dirs": {"1995": "v00000001/__pt=1995",
+                                           ...},
+                                  "columns": [...], "n_rows": N}
+      v00000001/__pt=1995/*.parquet
+      v00000002/__pt=1996/*.parquet      # v2 merge touched only 1996
+
+The partition column is DUPLICATED into the directory key (``__pt``)
+rather than stripped by ``partitionBy`` — data files keep the full
+schema, so a snapshot read is a plain multi-path parquet scan with no
+basePath/partition-discovery coupling between versions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_PT = "__pt"
+_UNPARTITIONED = "__all__"
+
+
+# ---------------------------------------------------------------------------
+# manifests
+# ---------------------------------------------------------------------------
+
+
+def _manifest_path(path: str, version: int) -> str:
+    return os.path.join(path, _MANIFEST_DIR, f"{version:08d}.json")
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    os.makedirs(os.path.join(path, _MANIFEST_DIR), exist_ok=True)
+    final = _manifest_path(path, manifest["version"])
+    tmp = final + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    os.replace(tmp, final)  # atomic publish: readers see all-or-nothing
+
+
+def latest_version(path: str) -> int:
+    """Highest committed version, 0 if the table doesn't exist yet."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    versions = [
+        int(f[:-5]) for f in os.listdir(mdir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(versions, default=0)
+
+
+def read_manifest(path: str, version: int | None = None) -> dict:
+    v = latest_version(path) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed version at {path}")
+    with open(_manifest_path(path, v), encoding="utf-8") as f:
+        return json.load(f)
+
+
+# ---------------------------------------------------------------------------
+# write / read
+# ---------------------------------------------------------------------------
+
+
+def _scan_partition_dirs(path: str, data_dir: str) -> dict[str, str]:
+    """Map partition value -> relative dir for a fresh ``__pt=...`` write."""
+    abs_dir = os.path.join(path, data_dir)
+    out = {}
+    for d in os.listdir(abs_dir):
+        if d.startswith(f"{_PT}="):
+            out[d[len(_PT) + 1:]] = os.path.join(data_dir, d)
+    return out
+
+
+def _write_partitioned(df: DataFrame, partition_by: str, abs_dir: str) -> None:
+    """Partitioned snapshot write with small-file hygiene: without the
+    repartition, every one of the N shuffle tasks writes a sliver into
+    every partition directory (N x P tiny files — the classic
+    partitionBy mistake); clustering by the partition key first gives
+    one writer per partition. At larger-than-memory partitions, switch
+    to repartition(n, col) or add a bucketing sub-key."""
+    (
+        df.withColumn(_PT, F.col(partition_by).cast("string"))
+        .repartition(F.col(_PT))
+        .write.mode("errorifexists")
+        .partitionBy(_PT)
+        .parquet(abs_dir)
+    )
+
+
+def write_versioned(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+) -> int:
+    """Full-snapshot write: a new version whose manifest references only
+    this write's files (the reference's idempotent full-refresh,
+    ingestion notebook :571-574, plus Delta-style versioning on top)."""
+    prev = latest_version(path)
+    version = prev + 1
+    data_dir = f"v{version:08d}"
+    abs_dir = os.path.join(path, data_dir)
+    if partition_by:
+        _write_partitioned(df, partition_by, abs_dir)
+        dirs = _scan_partition_dirs(path, data_dir)
+    else:
+        df.write.mode("errorifexists").parquet(abs_dir)
+        dirs = {_UNPARTITIONED: data_dir}
+    _write_manifest(path, {
+        "version": version,
+        "parent": prev,
+        "op": "write",
+        "partition_by": partition_by,
+        "dirs": dirs,
+        "columns": df.columns,
+    })
+    return version
+
+
+def read_versioned(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot read (time travel when ``version`` is given): the union
+    of the manifest's data directories — a plain multi-path parquet
+    scan, columns in the manifest's declared order."""
+    m = read_manifest(path, version)
+    dirs = [os.path.join(path, d) for d in m["dirs"].values()]
+    if not dirs:
+        return spark.createDataFrame([], schema=", ".join(
+            f"`{c}` string" for c in m["columns"]
+        ))
+    return spark.read.parquet(*dirs).select(*m["columns"])
+
+
+# ---------------------------------------------------------------------------
+# MERGE (copy-on-write upsert at partition granularity)
+# ---------------------------------------------------------------------------
+
+
+def _merged_state(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None,
+) -> DataFrame:
+    """Pure-DataFrame MERGE semantics: matched -> source row (full-row
+    update), not-matched-by-target -> insert, then delete-by-key.
+    One full-outer shuffle join on the merge keys, one anti join."""
+    cols = target.columns
+    src = source.select(
+        *[F.col(c).alias(f"__s_{c}") for c in cols]
+    ).withColumn("__s_present", F.lit(True))
+    cond = reduce(
+        lambda a, b: a & b,
+        [target[k].eqNullSafe(F.col(f"__s_{k}")) for k in keys],
+    )
+    joined = target.join(src, cond, "full_outer")
+    merged = joined.select(
+        *[
+            F.when(F.col("__s_present").isNotNull(), F.col(f"__s_{c}"))
+            .otherwise(target[c])
+            .alias(c)
+            for c in cols
+        ]
+    )
+    if deletes is not None:
+        merged = merged.join(deletes.select(*keys).distinct(), keys, "left_anti")
+    return merged
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None = None,
+) -> int:
+    """Copy-on-write MERGE into the latest snapshot -> new version.
+
+    - matched on ``keys``   -> row replaced by the source row
+    - unmatched source row  -> inserted
+    - key in ``deletes``    -> removed (applied after upsert)
+
+    Partitioned tables rewrite only affected partitions: the partitions
+    present in the source, plus those holding delete keys. Untouched
+    partitions are inherited by manifest reference — zero data movement
+    for them. The affected-partition list is metadata-scale (collected
+    to the driver like Delta's file listing), never the rows."""
+    m = read_manifest(path)
+    version = latest_version(path) + 1
+    part_col = m.get("partition_by")
+    target = read_versioned(spark, path)
+    data_dir = f"v{version:08d}"
+    abs_dir = os.path.join(path, data_dir)
+
+    if not part_col:
+        merged = _merged_state(target, source, keys, deletes)
+        merged.write.mode("errorifexists").parquet(abs_dir)
+        dirs = {_UNPARTITIONED: data_dir}
+    else:
+        affected = {
+            str(r[0])
+            for r in source.select(
+                F.col(part_col).cast("string")
+            ).distinct().collect()
+        }
+        # rows being upserted or deleted must ALSO rewrite the partition
+        # they currently live in (an upsert that changes the partition
+        # column would otherwise leave the stale row behind). Locating
+        # them is a key+partition-column-pruned scan of the target joined
+        # against the (small, broadcastable) touched-key set.
+        touched_keys = source.select(*keys)
+        if deletes is not None:
+            touched_keys = touched_keys.unionByName(deletes.select(*keys))
+        current_parts = (
+            target.select(*keys, part_col)
+            .join(F.broadcast(touched_keys.distinct()), keys)
+            .select(F.col(part_col).cast("string"))
+            .distinct()
+        )
+        affected |= {str(r[0]) for r in current_parts.collect()}
+        # prune the target read to affected partitions only (directory-
+        # level pruning via the manifest — the CoW analogue of Delta
+        # file skipping)
+        tgt_dirs = [
+            os.path.join(path, d)
+            for k, d in m["dirs"].items()
+            if k in affected
+        ]
+        if tgt_dirs:
+            tgt_affected = spark.read.parquet(*tgt_dirs).select(*m["columns"])
+        else:
+            tgt_affected = target.limit(0)
+        merged = _merged_state(tgt_affected, source, keys, deletes)
+        _write_partitioned(merged, part_col, abs_dir)
+        new_dirs = _scan_partition_dirs(path, data_dir)
+        # inherit untouched partitions; affected ones point at the new
+        # files (an affected partition emptied by deletes drops out)
+        dirs = {k: d for k, d in m["dirs"].items() if k not in affected}
+        dirs.update(new_dirs)
+    _write_manifest(path, {
+        "version": version,
+        "parent": m["version"],
+        "op": "merge",
+        "partition_by": part_col,
+        "dirs": dirs,
+        "columns": m["columns"],
+    })
+    return version
+
+
+# ---------------------------------------------------------------------------
+# registered query (oracle-comparable post-merge state)
+# ---------------------------------------------------------------------------
+
+
+def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: materialize orders as a versioned table
+    partitioned by order year, MERGE a deterministic batch (updates =
+    keys % 7 == 0 with +1.00 totalprice; inserts = keys % 11 == 0
+    re-keyed +10M; deletes = keys % 13 == 0), and return the post-merge
+    snapshot. The DuckDB oracle reproduces the same final state in pure
+    SQL, so the whole write->merge->read path is hash-checked."""
+    import tempfile
+
+    from .catalog import load
+    from .functions import dec2
+
+    t = load(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    )
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="bl_merge_"), "orders_versioned"
+    )
+    write_versioned(base, path, partition_by="order_year")
+
+    updates = base.filter(F.col("o_orderkey") % 7 == 0).withColumn(
+        "o_totalprice",
+        F.round(dec2("o_totalprice") + 1, 2).cast("double"),
+    )
+    inserts = base.filter(F.col("o_orderkey") % 11 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 10_000_000
+    )
+    deletes = base.filter(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+    merge_upsert(
+        spark,
+        path,
+        updates.unionByName(inserts),
+        keys=["o_orderkey"],
+        deletes=deletes,
+    )
+    return read_versioned(spark, path)

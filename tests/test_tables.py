@@ -1,0 +1,116 @@
+"""Versioned curated tables: snapshots, time travel, copy-on-write MERGE."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark import tables
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, year int"
+    )
+
+
+def test_write_read_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    v1_rows = [(1, "a", 1995), (2, "b", 1995), (3, "c", 1996)]
+    assert tables.write_versioned(_df(spark, v1_rows), path, "year") == 1
+    v2_rows = [(1, "a2", 1995), (4, "d", 1997)]
+    assert tables.write_versioned(_df(spark, v2_rows), path, "year") == 2
+
+    assert tables.latest_version(path) == 2
+    got_v1 = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path, 1).collect()}
+    got_v2 = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert got_v1 == set(v1_rows)
+    assert got_v2 == set(v2_rows)
+
+
+def test_merge_insert_update_delete(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (2, "b", 1995), (3, "c", 1996)]), path, "year"
+    )
+    source = _df(spark, [(2, "B!", 1995), (9, "new", 1996)])
+    deletes = spark.createDataFrame([(3,)], "k int")
+    v = tables.merge_upsert(spark, path, source, keys=["k"], deletes=deletes)
+    assert v == 2
+    got = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert got == {(1, "a", 1995), (2, "B!", 1995), (9, "new", 1996)}
+    # time travel: v1 unchanged
+    v1 = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path, 1).collect()}
+    assert v1 == {(1, "a", 1995), (2, "b", 1995), (3, "c", 1996)}
+
+
+def test_merge_rewrites_only_affected_partitions(spark, tmp_path):
+    """Copy-on-write at partition granularity: a merge touching only
+    1996 must inherit the 1995 directory from v1 by reference."""
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (3, "c", 1996)]), path, "year"
+    )
+    tables.merge_upsert(
+        spark, path, _df(spark, [(3, "C!", 1996)]), keys=["k"]
+    )
+    m = tables.read_manifest(path)
+    assert m["dirs"]["1995"].startswith("v00000001"), m["dirs"]
+    assert m["dirs"]["1996"].startswith("v00000002"), m["dirs"]
+
+
+def test_merge_partition_moving_update(spark, tmp_path):
+    """An upsert that changes the partition column must remove the stale
+    row from the old partition (both partitions rewritten)."""
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (2, "b", 1996)]), path, "year"
+    )
+    tables.merge_upsert(
+        spark, path, _df(spark, [(1, "a-moved", 1997)]), keys=["k"]
+    )
+    got = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert got == {(1, "a-moved", 1997), (2, "b", 1996)}
+
+
+def test_merge_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    tables.write_versioned(df, path)
+    src = spark.createDataFrame([(2, "B!"), (3, "c")], "k int, v string")
+    tables.merge_upsert(spark, path, src, keys=["k"])
+    got = {(r.k, r.v) for r in tables.read_versioned(spark, path).collect()}
+    assert got == {(1, "a"), (2, "B!"), (3, "c")}
+
+
+def test_delete_empties_partition(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (2, "b", 1996)]), path, "year"
+    )
+    tables.merge_upsert(
+        spark, path,
+        _df(spark, []).limit(0),
+        keys=["k"],
+        deletes=spark.createDataFrame([(2,)], "k int"),
+    )
+    got = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert got == {(1, "a", 1995)}
+    assert "1996" not in tables.read_manifest(path)["dirs"]
+
+
+def test_read_missing_table_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        tables.read_versioned(spark, str(tmp_path / "nope"))
+
+
+def test_manifest_publish_is_atomic(spark, tmp_path):
+    """No .tmp leftovers; versions dense from 1..latest."""
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(_df(spark, [(1, "a", 1995)]), path, "year")
+    tables.merge_upsert(spark, path, _df(spark, [(1, "a2", 1995)]), keys=["k"])
+    mdir = os.path.join(path, "_manifests")
+    names = sorted(os.listdir(mdir))
+    assert names == ["00000001.json", "00000002.json"]
