@@ -36,6 +36,8 @@ HEADLINE = [
     "lsh_candidate_pairs",    # MinHash + banded LSH
     "events_sessions",        # session windows
     "knn_brute",              # similarity search baseline
+    "order_value_percentiles",# exact quantiles via bucket-count selection
+    "purchase_time_since_view",# as-of join (union + last-non-null window)
 ]
 
 
