@@ -103,26 +103,39 @@ def _scan_partition_dirs(path: str, data_dir: str) -> dict[str, str]:
     return out
 
 
-def _write_partitioned(df: DataFrame, partition_by: str, abs_dir: str) -> None:
+def _write_partitioned(
+    df: DataFrame,
+    partition_by: str,
+    abs_dir: str,
+    files_per_partition: int = 1,
+) -> None:
     """Partitioned snapshot write with small-file hygiene: without the
     repartition, every one of the N shuffle tasks writes a sliver into
     every partition directory (N x P tiny files — the classic
     partitionBy mistake); clustering by the partition key first gives
-    one writer per partition. At larger-than-memory partitions, switch
-    to repartition(n, col) or add a bucketing sub-key."""
-    (
-        df.withColumn(_PT, F.col(partition_by).cast("string"))
-        .repartition(F.col(_PT))
-        .write.mode("errorifexists")
-        .partitionBy(_PT)
-        .parquet(abs_dir)
-    )
+    one writer per partition. For partitions too large for a single
+    writer, ``files_per_partition`` fans each partition out to that many
+    writers via a deterministic row-hash salt."""
+    out = df.withColumn(_PT, F.col(partition_by).cast("string"))
+    if files_per_partition > 1:
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.lit(files_per_partition),
+        )
+        # explicit partition count: AQE would otherwise coalesce the
+        # salted shuffle back into few tasks and defeat the fan-out
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        out = out.repartition(max(n, files_per_partition), F.col(_PT), salt)
+    else:
+        out = out.repartition(F.col(_PT))
+    out.write.mode("errorifexists").partitionBy(_PT).parquet(abs_dir)
 
 
 def write_versioned(
     df: DataFrame,
     path: str,
     partition_by: str | None = None,
+    files_per_partition: int = 1,
 ) -> int:
     """Full-snapshot write: a new version whose manifest references only
     this write's files (the reference's idempotent full-refresh,
@@ -132,7 +145,7 @@ def write_versioned(
     data_dir = f"v{version:08d}"
     abs_dir = os.path.join(path, data_dir)
     if partition_by:
-        _write_partitioned(df, partition_by, abs_dir)
+        _write_partitioned(df, partition_by, abs_dir, files_per_partition)
         dirs = _scan_partition_dirs(path, data_dir)
     else:
         df.write.mode("errorifexists").parquet(abs_dir)
@@ -274,6 +287,69 @@ def merge_upsert(
         "parent": m["version"],
         "op": "merge",
         "partition_by": part_col,
+        "dirs": dirs,
+        "columns": m["columns"],
+    })
+    return version
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE analogue: compaction + clustering
+# ---------------------------------------------------------------------------
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    max_files: int = 1,
+    cluster_by: list[str] | None = None,
+    partitions: list[str] | None = None,
+) -> int:
+    """Delta ``OPTIMIZE`` analogue: rewrite fragmented partitions into at
+    most ``max_files`` files each, optionally clustering rows by
+    ``cluster_by`` (``sortWithinPartitions`` — the lightweight analogue
+    of Z-ordering: parquet row-group min/max stats on the sort keys
+    become disjoint, so predicate scans skip row groups; true Z-order
+    bit-interleaving only wins when filtering several dimensions with
+    equal priority). A new snapshot version is committed; partitions that
+    are already compact (and no reclustering requested) are inherited by
+    reference, and time travel to pre-compaction versions still works —
+    compaction never deletes data files.
+
+    Returns the new version, or the current one when nothing needed
+    rewriting. The per-partition rewrites run as independent jobs
+    (metadata-scale driver loop, like OPTIMIZE's per-partition file
+    bins); on a busy cluster submit them from a thread pool."""
+    m = read_manifest(path)
+    version = m["version"] + 1
+    data_dir = f"v{version:08d}"
+    dirs = dict(m["dirs"])
+    changed = False
+    for key, rel in m["dirs"].items():
+        if partitions is not None and key not in partitions:
+            continue
+        abs_d = os.path.join(path, rel)
+        n_files = sum(f.endswith(".parquet") for f in os.listdir(abs_d))
+        if n_files <= max_files and not cluster_by:
+            continue
+        df = spark.read.parquet(abs_d)
+        out = df.repartition(max_files)
+        if cluster_by:
+            out = out.sortWithinPartitions(*cluster_by)
+        new_rel = (
+            data_dir if key == _UNPARTITIONED
+            else os.path.join(data_dir, f"{_PT}={key}")
+        )
+        out.write.mode("errorifexists").parquet(os.path.join(path, new_rel))
+        dirs[key] = new_rel
+        changed = True
+    if not changed:
+        return m["version"]
+    _write_manifest(path, {
+        "version": version,
+        "parent": m["version"],
+        "op": "compact",
+        "partition_by": m.get("partition_by"),
         "dirs": dirs,
         "columns": m["columns"],
     })

@@ -136,3 +136,25 @@ def test_csv_quarantine_splits_corrupt_rows(spark, tmp_path):
     assert sorted(r.order_id for r in good.collect()) == [1, 3]
     bad_rows = [r._corrupt_record for r in bad.collect()]
     assert len(bad_rows) == 1 and "not-a-date" in bad_rows[0]
+
+
+def test_fetch_raw_lands_files_atomically(tmp_path):
+    """scripts/fetch_raw.py (S1 ingest shell): lands bytes + atomic
+    naming. file:// stands in for http:// (same urllib path; the
+    container has no network)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "fetch_raw", os.path.join(os.path.dirname(__file__), "..", "scripts", "fetch_raw.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = tmp_path / "raw.csv"
+    src.write_text("a,b\n1,2\n")
+    out = tmp_path / "landing"
+    landed = mod.fetch(f"file://{src}", str(out))
+    assert landed == str(out / "raw.csv")
+    assert (out / "raw.csv").read_text() == "a,b\n1,2\n"
+    assert not list(out.glob("*.part"))

@@ -114,3 +114,50 @@ def test_manifest_publish_is_atomic(spark, tmp_path):
     mdir = os.path.join(path, "_manifests")
     names = sorted(os.listdir(mdir))
     assert names == ["00000001.json", "00000002.json"]
+
+
+def _files_in(path, rel):
+    d = os.path.join(path, rel)
+    return [f for f in os.listdir(d) if f.endswith(".parquet")]
+
+
+def test_compact_reduces_files_and_preserves_data(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    # fan each partition out to 4 writers (the huge-partition posture) —
+    # compaction then has real fragments to bin-pack
+    tables.write_versioned(
+        _df(spark, [(i, f"v{i}", 1995 + i % 2) for i in range(40)]),
+        path, "year", files_per_partition=4,
+    )
+    m0 = tables.read_manifest(path)
+    assert any(len(_files_in(path, rel)) > 1 for rel in m0["dirs"].values())
+    before = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    pre_version = tables.latest_version(path)
+
+    v = tables.compact(spark, path, max_files=1)
+    assert v == pre_version + 1
+    m = tables.read_manifest(path)
+    for key, rel in m["dirs"].items():
+        assert len(_files_in(path, rel)) == 1, (key, rel)
+    after = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert after == before
+    # time travel to the pre-compaction snapshot still resolves
+    pre = {(r.k, r.v, r.year)
+           for r in tables.read_versioned(spark, path, pre_version).collect()}
+    assert pre == before
+    # idempotent: nothing left to do -> no new version
+    assert tables.compact(spark, path, max_files=1) == v
+
+
+def test_compact_cluster_by_sorts_row_groups(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "tbl")
+    rows = [(i * 7919 % 100, f"v{i}", 1995) for i in range(50)]
+    tables.write_versioned(_df(spark, rows), path, "year")
+    tables.compact(spark, path, max_files=1, cluster_by=["k"])
+    rel = tables.read_manifest(path)["dirs"]["1995"]
+    files = _files_in(path, rel)
+    assert len(files) == 1
+    ks = pq.read_table(os.path.join(path, rel, files[0]), columns=["k"])["k"].to_pylist()
+    assert ks == sorted(ks)
