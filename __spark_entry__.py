@@ -80,15 +80,22 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry, ordered cheap-oracle-first: the driver's gate walks this
+    dict in order under a wall-clock budget (round 2 reached entry 50 of
+    63), so oracle-eligible sub-second queries come first, then the
+    costlier oracle queries, then rows-only entries, then the few
+    multi-second jobs — a budget cut loses the least verification."""
     return {
-        # §2.2-2.6 relational inventory
-        "orders_per_customer": relational.q_orders_per_customer,
+        # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,
         "null_profile_orders": relational.q_null_profile_orders,
         "events_by_type": relational.q_events_by_type,
-        "order_revenue": relational.q_order_revenue,
         "duplicate_orderkeys": relational.q_duplicate_orderkeys,
         "ri_orphan_lineitems": relational.q_ri_orphan_lineitems,
+        "region_mapping_conformance": relational.q_region_mapping_conformance,
+        "mktsegment_distribution": relational.q_mktsegment_distribution,
+        "orders_per_customer": relational.q_orders_per_customer,
+        "order_revenue": relational.q_order_revenue,
         "order_enriched": relational.q_order_enriched,
         "customer_order_stats": relational.q_customer_order_stats,
         "topk_customers_by_revenue": relational.q_topk_customers_by_revenue,
@@ -96,9 +103,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_rule_violations": relational.q_date_rule_violations,
         "scalar_functions": relational.q_scalar_functions,
         "date_parse_roundtrip": relational.q_date_parse_roundtrip,
-        "region_mapping_conformance": relational.q_region_mapping_conformance,
-        "mktsegment_distribution": relational.q_mktsegment_distribution,
-        # warehouse layer (ref L3) + TPC-H-shaped headliners
+        # events / event-time windows (cheap, all oracle)
+        "events_hourly": events.q_events_hourly,
+        "events_sliding": events.q_events_sliding,
+        "events_sessions": events.q_events_sessions,
+        "events_json_props": events.q_events_json_props,
+        "user_activity": events.q_user_activity,
+        "event_funnel": events.q_event_funnel,
+        "purchase_time_since_view": temporal.q_purchase_time_since_view,
+        "event_transitions": temporal.q_event_transitions,
+        "events_preceding_5min": temporal.q_events_preceding_5min,
+        "user_type_pivot": events.q_user_type_pivot,
+        # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
         "fact_sales_summary": warehouse.q_fact_sales_summary,
         "revenue_rollup": warehouse.q_revenue_rollup,
         "order_rank_per_customer": warehouse.q_order_rank_per_customer,
@@ -111,56 +127,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": warehouse.q_pricing_summary,
         "shipping_priority": warehouse.q_shipping_priority,
         "local_supplier_volume": warehouse.q_local_supplier_volume,
-        # document layer (ref L2)
+        # document layer (ref L2, oracle)
         "order_docs_stats": documents.q_order_docs_stats,
-        # graph layer (ref L4)
+        # graph layer (ref L4, oracle except pagerank)
         "copurchase_edges": graph.q_copurchase_edges,
         "product_degree": graph.q_product_degree,
         "customer_copurchase_top": graph.q_customer_copurchase_top,
-        "product_pagerank": graph.q_product_pagerank,  # iterative → rows-only
-        # dedup family
+        # dedup family (oracle except embedding_neardup)
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
         "minhash_signatures": dedup.q_minhash_signatures,
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
-        "embedding_neardup": dedup.q_embedding_neardup,  # approximate → rows-only
-        # similarity search
-        "knn_brute": similarity.q_knn_brute,
-        "knn_lsh": similarity.q_knn_lsh,  # approximate → rows-only
-        "knn_ivf": similarity.q_knn_ivf,  # approximate → rows-only
-        # text analysis
+        # text analysis (oracle except tfidf)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
-        "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact → rows-only
-        # events / event-time windows
-        "events_hourly": events.q_events_hourly,
-        "events_sliding": events.q_events_sliding,
-        "events_sessions": events.q_events_sessions,
-        "events_json_props": events.q_events_json_props,
-        "user_activity": events.q_user_activity,
-        "event_funnel": events.q_event_funnel,
-        "purchase_time_since_view": temporal.q_purchase_time_since_view,
-        "event_transitions": temporal.q_event_transitions,
-        "events_preceding_5min": temporal.q_events_preceding_5min,
-        "user_type_pivot": events.q_user_type_pivot,
-        # multimodal plumbing (fake kernels → rows-only)
-        "media_features": _q_media_features,
-        "media_frames": _q_media_frames,
-        # synthetic beauty star schema (G1-G9) + ported validator
-        # (self-generated data → rows-only; every violations count is 0)
-        "beauty_datagen_validation": _q_beauty_datagen,
-        # curated-zone table management: versioned CoW MERGE -> snapshot read
+        # similarity search baseline (oracle)
+        "knn_brute": similarity.q_knn_brute,
+        # curated-zone table management: versioned CoW MERGE -> snapshot
+        # read (oracle covers the whole write->merge->read path)
         "merge_upsert_state": tables.q_merge_upsert_state,
-        # quality report
+        # quality report (oracle)
         "quality_report": _quality_report_query,
-        # HLL sketch profiling (engine-specific sketches → rows-only;
-        # error bound vs exact asserted in pytest)
-        "cardinality_sketches": quality.q_cardinality_sketches,
+        # streaming drains: the STREAMING plans (availableNow) behind the
+        # same oracles as their batch twins — oracle-matched streaming
+        "events_hourly_streamed": _q_events_hourly_streamed,
+        "events_sessions_streamed": _q_events_sessions_streamed,
+        # ---- rows-only from here down (approximate / iterative /
+        # stubbed / self-generated by design) ----
+        "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact
+        "embedding_neardup": dedup.q_embedding_neardup,  # approximate
+        "knn_lsh": similarity.q_knn_lsh,  # approximate
+        "media_frames": _q_media_frames,  # stubbed codecs
+        "media_features": _q_media_features,  # stubbed codecs
+        "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
+        "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
+        "product_pagerank": graph.q_product_pagerank,  # iterative
+        "beauty_datagen_validation": _q_beauty_datagen,  # self-generated
     }
+
+
+def _q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming drain, hash-checked against the SAME
+    DuckDB oracle as the batch q_events_hourly."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        hourly_event_counts,
+        run_available_now,
+        stream_events,
+    )
+
+    return run_available_now(
+        hourly_event_counts(stream_events(spark, sf_dir)),
+        f"gate_hourly_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window streaming drain behind q_events_sessions' oracle."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        session_values,
+        stream_events,
+    )
+
+    return run_available_now(
+        session_values(stream_events(spark, sf_dir)),
+        f"gate_sessions_{uuid.uuid4().hex[:8]}",
+    )
 
 
 def _quality_report_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +382,7 @@ def oracle_sql() -> dict[str, str]:
         for c, ws in lang_scores.items()
     )
 
-    return {
+    out = {
         "orders_per_customer": (
             "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey"
         ),
@@ -867,3 +907,8 @@ def oracle_sql() -> dict[str, str]:
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }
+    # the streaming drains are hash-checked against their batch twins'
+    # oracles — streaming == batch == independent-engine SQL
+    out["events_hourly_streamed"] = out["events_hourly"]
+    out["events_sessions_streamed"] = out["events_sessions"]
+    return out

@@ -324,26 +324,32 @@ def q_cardinality_sketches(spark, sf_dir: str) -> DataFrame:
     approx p50/p90 where numeric."""
     from ..catalog import load
 
-    targets = [
-        ("lineitem", "l_orderkey"),
-        ("lineitem", "l_partkey"),
-        ("orders", "o_custkey"),
-        ("events", "user_id"),
-        ("documents", "doc_id"),
-    ]
+    targets = {
+        "lineitem": ["l_orderkey", "l_partkey"],
+        "orders": ["o_custkey", "o_totalprice"],
+        "events": ["user_id"],
+        "documents": ["doc_id"],
+    }
     t = load(spark, sf_dir)
     report = None
-    for table, col in targets:
+    # one scan per TABLE: all its profiled columns in a single aggregate
+    # (exact + approx side by side), then unpivoted to one row per column
+    for table, cols in targets.items():
         df = t.table(table)
-        row = df.select(
-            F.lit(f"{table}.{col}").alias("target"),
-            F.countDistinct(col).alias("exact_distinct"),
-            F.approx_count_distinct(col, rsd=0.02).alias("approx_distinct"),
+        agg = df.agg(
+            *[
+                x
+                for c in cols
+                for x in (
+                    F.countDistinct(c).alias(f"e_{c}"),
+                    F.approx_count_distinct(c, rsd=0.02).alias(f"a_{c}"),
+                )
+            ]
         )
-        report = row if report is None else report.unionByName(row)
-    num = t.orders.select(
-        F.lit("orders.o_totalprice").alias("target"),
-        F.countDistinct("o_totalprice").alias("exact_distinct"),
-        F.approx_count_distinct("o_totalprice", rsd=0.02).alias("approx_distinct"),
-    )
-    return report.unionByName(num)
+        pairs = ", ".join(f"'{table}.{c}', `e_{c}`, `a_{c}`" for c in cols)
+        rows = agg.selectExpr(
+            f"stack({len(cols)}, {pairs}) AS "
+            "(target, exact_distinct, approx_distinct)"
+        )
+        report = rows if report is None else report.unionByName(rows)
+    return report

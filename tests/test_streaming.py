@@ -103,3 +103,45 @@ def test_multi_batch_state_merging(spark, sf_dir, tmp_path):
     got = run_available_now(hourly_event_counts(stream), "t_multibatch")
     expected = batch_events.q_events_hourly(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_merge_stream_upserts_into_versioned_table(spark, sf_dir, tmp_path):
+    """Streaming CDC-apply: a pre-seeded versioned table with stale rows
+    must converge to the stream's values after an availableNow drain,
+    and the pre-merge snapshot must remain time-travelable."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark import tables
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming.merge_sink import merge_stream
+
+    events = load(spark, sf_dir).events
+    # seed: every 10th event with a poisoned value (stale CDC image)
+    seed = events.filter(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.lit(-1.0)
+    )
+    path = str(tmp_path / "events_tbl")
+    tables.write_versioned(seed, path)
+
+    q = merge_stream(
+        stream_events(spark, sf_dir),
+        path,
+        keys=["event_id"],
+        seq_col="ts",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    final = tables.read_versioned(spark, path)
+    assert final.count() == events.count()
+    # no poisoned rows survive; values equal the batch fixture's
+    assert final.filter(F.col("value") == -1.0).count() == 0
+    mismatch = (
+        final.select("event_id", "value")
+        .exceptAll(events.select("event_id", "value"))
+        .count()
+    )
+    assert mismatch == 0
+    # time travel: v1 still shows the stale seed
+    v1 = tables.read_versioned(spark, path, 1)
+    assert v1.filter(F.col("value") == -1.0).count() == seed.count()
