@@ -112,6 +112,33 @@ def minhash_signatures(documents: DataFrame, n_hashes: int = N_HASHES) -> DataFr
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
 
 
+def _bucket_pairs(
+    df: DataFrame, bucket_cols: list[str], id_col: str
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs of ids sharing a bucket — the
+    posting-list formulation: one groupBy collects each bucket's sorted
+    member list; combinations are generated on the grouped array with
+    no self-join (the join form reads — and without materialization
+    recomputes — the bucket table twice)."""
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(F.sort_array(F.collect_set(id_col)).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+
+
 def lsh_candidates(documents: DataFrame) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash (doc_a < doc_b)."""
     sig = minhash_signatures(documents)
@@ -131,18 +158,14 @@ def lsh_candidates(documents: DataFrame) -> DataFrame:
             ).alias("band_key")
         )
     )
-    a = banded.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a")
-    )
-    b = banded.select(
-        F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b")
-    )
-    return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    # bucket-list pair generation (same shape as the Jaccard posting
+    # list and the co-purchase baskets): ONE groupBy(bucket) collects
+    # each bucket's members and emits combinations on the grouped array
+    # — replacing the a⋈b self-join, which consumed (and recomputed)
+    # the whole shingle→minhash→band pipeline twice. Bucket sizes are
+    # bounded by design (only near-duplicates collide), so the
+    # per-bucket pair count stays small.
+    return _bucket_pairs(banded, ["band", "band_key"], "doc_id")
 
 
 def simhash32(documents: DataFrame) -> DataFrame:
@@ -225,11 +248,17 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= JACCARD_MAX_DOC_FREQ)
+        # consumed by THREE downstream branches (pair-gen + both size
+        # joins); without truncation each re-runs the tokenize+explode+
+        # shuffle pipeline (measured: the shingle exchange appeared 3x
+        # in the executed plan). Lazy checkpoint -> computed once.
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -342,14 +371,7 @@ def simhash_band_candidates(sig: DataFrame) -> DataFrame:
             "band_val"
         ),
     )
-    a = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"))
-    b = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"))
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
+    return _bucket_pairs(banded, ["band", "band_val"], "doc_id")
 
 
 def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -357,7 +379,9 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded candidate generation (the registered, scale-safe default —
     no cross join anywhere in the plan; asserted in tests)."""
     t = load(spark, sf_dir)
-    sig = simhash32(t.documents)
+    # four consumers (both band-join sides + both hamming re-joins) —
+    # checkpoint so the 32-bit-vote pipeline runs once, not 4x
+    sig = simhash32(t.documents).localCheckpoint(eager=False)
     cand = simhash_band_candidates(sig)
     ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
