@@ -148,8 +148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         # curated-zone table management: versioned CoW MERGE -> snapshot
-        # read (oracle covers the whole write->merge->read path)
+        # read (oracle covers the whole write->merge->read path), plus
+        # the v1->v2 CDC change feed (manifest-diff pruned)
         "merge_upsert_state": tables.q_merge_upsert_state,
+        "merge_changes_feed": tables.q_merge_changes_feed,
         # quality report (oracle)
         "quality_report": _quality_report_query,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -306,6 +308,30 @@ sig AS (
   FROM bits GROUP BY doc_id
 )
 """
+)
+
+
+#: Shared CTE chain for the merge-scenario oracles: base = orders
+#: projection, src = update+insert batch, final = post-merge state.
+_MERGE_CTES = (
+    "base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS order_year "
+    "FROM orders), "
+    "src AS ("
+    "SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) + 1, 2) AS DOUBLE) "
+    "AS o_totalprice, order_year FROM base WHERE o_orderkey % 7 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, "
+    "o_totalprice, order_year FROM base WHERE o_orderkey % 11 = 0), "
+    "merged AS ("
+    "SELECT b.* FROM base b ANTI JOIN src s "
+    "ON b.o_orderkey = s.o_orderkey "
+    "UNION ALL SELECT * FROM src), "
+    "final AS ("
+    "SELECT m.* FROM merged m ANTI JOIN "
+    "(SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d "
+    "ON m.o_orderkey = d.o_orderkey)"
 )
 
 
@@ -885,23 +911,16 @@ def oracle_sql() -> dict[str, str]:
             + " FROM events GROUP BY user_id"
         ),
         "merge_upsert_state": (
-            "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
-            "o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS order_year "
-            "FROM orders), "
-            "src AS ("
-            "SELECT o_orderkey, o_custkey, o_orderstatus, "
-            "CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) + 1, 2) AS DOUBLE) "
-            "AS o_totalprice, order_year FROM base WHERE o_orderkey % 7 = 0 "
+            f"WITH {_MERGE_CTES} "
+            "SELECT * FROM final"
+        ),
+        "merge_changes_feed": (
+            f"WITH {_MERGE_CTES} "
+            "SELECT 'insert' AS change_type, * FROM "
+            "(SELECT * FROM final EXCEPT ALL SELECT * FROM base) "
             "UNION ALL "
-            "SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, "
-            "o_totalprice, order_year FROM base WHERE o_orderkey % 11 = 0), "
-            "merged AS ("
-            "SELECT b.* FROM base b ANTI JOIN src s "
-            "ON b.o_orderkey = s.o_orderkey "
-            "UNION ALL SELECT * FROM src) "
-            "SELECT m.* FROM merged m ANTI JOIN "
-            "(SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d "
-            "ON m.o_orderkey = d.o_orderkey"
+            "SELECT 'delete' AS change_type, * FROM "
+            "(SELECT * FROM base EXCEPT ALL SELECT * FROM final)"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

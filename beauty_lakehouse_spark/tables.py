@@ -294,6 +294,101 @@ def merge_upsert(
 
 
 # ---------------------------------------------------------------------------
+# change feed (CDC between snapshots)
+# ---------------------------------------------------------------------------
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Row-level change feed between two snapshots (Delta
+    ``table_changes`` analogue): every row present in ``to`` but not
+    ``from`` tagged ``insert``, every row present in ``from`` but not
+    ``to`` tagged ``delete`` — an update appears as its delete+insert
+    pair of images.
+
+    Partition-pruned by manifest diff: a partition whose directory
+    reference is IDENTICAL in both manifests cannot have changed (CoW —
+    files are immutable), so only differing partitions are read and
+    diffed. A trickle merge's change feed therefore costs the touched
+    partitions, not two full snapshots. The diff itself is two
+    ``exceptAll`` set differences (hash aggregate, multiset semantics —
+    duplicate rows handled correctly)."""
+    m_from = read_manifest(path, from_version)
+    m_to = read_manifest(path, to_version)
+    cols = m_to["columns"]
+
+    keys = set(m_from["dirs"]) | set(m_to["dirs"])
+    from_dirs, to_dirs = [], []
+    for k in keys:
+        a, b = m_from["dirs"].get(k), m_to["dirs"].get(k)
+        if a == b:
+            continue  # immutable files -> identical reference == no change
+        if a is not None:
+            from_dirs.append(os.path.join(path, a))
+        if b is not None:
+            to_dirs.append(os.path.join(path, b))
+
+    def read_dirs(dirs: list[str]) -> DataFrame:
+        if not dirs:
+            empty = read_versioned(spark, path, to_version).limit(0)
+            return empty.select(*cols)
+        return spark.read.parquet(*dirs).select(*cols)
+
+    old, new = read_dirs(from_dirs), read_dirs(to_dirs)
+    return (
+        new.exceptAll(old).select(F.lit("insert").alias("change_type"), *cols)
+        .unionByName(
+            old.exceptAll(new).select(F.lit("delete").alias("change_type"), *cols)
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# VACUUM analogue: retention cleanup
+# ---------------------------------------------------------------------------
+
+
+def vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Delete data directories referenced ONLY by manifests older than
+    the newest ``keep_versions`` snapshots, then drop those manifests —
+    the retention half of the CoW lifecycle (Delta ``VACUUM``). Returns
+    the removed directory paths. Time travel remains valid for every
+    kept version (their referenced dirs are never touched; a dir shared
+    with a kept manifest survives)."""
+    import shutil
+
+    latest = latest_version(path)
+    if latest == 0:
+        return []
+    keep = set(range(max(1, latest - keep_versions + 1), latest + 1))
+    kept_dirs: set[str] = set()
+    for v in keep:
+        kept_dirs |= set(read_manifest(path, v)["dirs"].values())
+    removed: list[str] = []
+    for v in range(1, latest + 1):
+        if v in keep:
+            continue
+        for d in read_manifest(path, v)["dirs"].values():
+            if d in kept_dirs:
+                continue
+            abs_d = os.path.join(path, d)
+            if os.path.isdir(abs_d):
+                shutil.rmtree(abs_d)
+                removed.append(abs_d)
+        os.remove(_manifest_path(path, v))
+    # a version dir may now be empty (all its partitions removed)
+    for entry in os.listdir(path):
+        abs_e = os.path.join(path, entry)
+        if entry.startswith("v") and os.path.isdir(abs_e) and not os.listdir(abs_e):
+            os.rmdir(abs_e)
+    return removed
+
+
+# ---------------------------------------------------------------------------
 # OPTIMIZE analogue: compaction + clustering
 # ---------------------------------------------------------------------------
 
@@ -361,13 +456,12 @@ def compact(
 # ---------------------------------------------------------------------------
 
 
-def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered query: materialize orders as a versioned table
-    partitioned by order year, MERGE a deterministic batch (updates =
-    keys % 7 == 0 with +1.00 totalprice; inserts = keys % 11 == 0
-    re-keyed +10M; deletes = keys % 13 == 0), and return the post-merge
-    snapshot. The DuckDB oracle reproduces the same final state in pure
-    SQL, so the whole write->merge->read path is hash-checked."""
+def _merge_scenario(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic merge fixture shared by the registered table-
+    management queries: orders as a versioned table partitioned by order
+    year (v1), then one MERGE batch — updates = keys % 7 == 0 with
+    +1.00 totalprice, inserts = keys % 11 == 0 re-keyed +10M, deletes =
+    keys % 13 == 0 (v2). Returns the table path."""
     import tempfile
 
     from .catalog import load
@@ -401,4 +495,21 @@ def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["o_orderkey"],
         deletes=deletes,
     )
-    return read_versioned(spark, path)
+    return path
+
+
+def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the post-merge snapshot of the deterministic
+    merge scenario. The DuckDB oracle reproduces the same final state in
+    pure SQL, so the whole write->merge->read path is hash-checked."""
+    return read_versioned(spark, _merge_scenario(spark, sf_dir))
+
+
+def q_merge_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: the v1->v2 change feed of the merge scenario —
+    updated rows appear as delete+insert image pairs, inserted rows as
+    inserts, deleted rows as deletes. Oracle: EXCEPT ALL set differences
+    between the base and merged states in DuckDB, so the CDC read path
+    (manifest-diff pruning + multiset diff) is hash-checked too."""
+    path = _merge_scenario(spark, sf_dir)
+    return table_changes(spark, path, 1, 2)

@@ -161,3 +161,51 @@ def test_compact_cluster_by_sorts_row_groups(spark, tmp_path):
     assert len(files) == 1
     ks = pq.read_table(os.path.join(path, rel, files[0]), columns=["k"])["k"].to_pylist()
     assert ks == sorted(ks)
+
+
+def test_table_changes_feed(spark, tmp_path):
+    """v1->v2 change feed: update = delete+insert image pair; unchanged
+    partitions are pruned by manifest diff (identical dir reference)."""
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (2, "b", 1996), (3, "c", 1997)]), path, "year"
+    )
+    tables.merge_upsert(
+        spark, path,
+        _df(spark, [(2, "B!", 1996), (9, "new", 1996)]),
+        keys=["k"],
+        deletes=spark.createDataFrame([(3,)], "k int"),
+    )
+    feed = {
+        (r.change_type, r.k, r.v, r.year)
+        for r in tables.table_changes(spark, path, 1, 2).collect()
+    }
+    assert feed == {
+        ("delete", 2, "b", 1996),
+        ("insert", 2, "B!", 1996),
+        ("insert", 9, "new", 1996),
+        ("delete", 3, "c", 1997),
+    }
+    # identical snapshots -> empty feed, and nothing is scanned (all
+    # directory references equal)
+    assert tables.table_changes(spark, path, 2, 2).count() == 0
+
+
+def test_vacuum_retention(spark, tmp_path):
+    """vacuum keeps the newest snapshots working (including dirs they
+    inherit from older versions) and removes everything else."""
+    path = str(tmp_path / "tbl")
+    tables.write_versioned(
+        _df(spark, [(1, "a", 1995), (2, "b", 1996)]), path, "year"
+    )
+    tables.merge_upsert(spark, path, _df(spark, [(2, "B2", 1996)]), keys=["k"])
+    tables.merge_upsert(spark, path, _df(spark, [(2, "B3", 1996)]), keys=["k"])
+
+    removed = tables.vacuum(path, keep_versions=1)
+    # v2's private 1996 dir is gone; v1's 1995 dir survives (inherited
+    # by the latest manifest), v1's 1996 dir is gone
+    assert removed, "expected at least one directory removed"
+    latest = {(r.k, r.v, r.year) for r in tables.read_versioned(spark, path).collect()}
+    assert latest == {(1, "a", 1995), (2, "B3", 1996)}
+    with pytest.raises(FileNotFoundError):
+        tables.read_manifest(path, 1)
