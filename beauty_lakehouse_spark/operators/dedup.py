@@ -421,13 +421,11 @@ def embedding_neardup_pairs(
 
     planes = _hyperplanes(spark, n_planes * n_tables)
     sig = lsh_signatures(vectors, planes, n_planes)
-    a = sig.select("table", "sig", F.col("vec_id").alias("vec_a"))
-    b = sig.select("table", "sig", F.col("vec_id").alias("vec_b"))
-    cand = (
-        a.join(b, ["table", "sig"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
+    # bucket-list pair generation: one consumption of the signature
+    # pipeline (the a⋈b self-join form computed the 48-plane projection
+    # of every vector twice), one shuffle
+    cand = _bucket_pairs(sig, ["table", "sig"], "vec_id").select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
     )
     norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     va = vectors.select(
