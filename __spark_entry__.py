@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from beauty_lakehouse_spark import tables
 from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
 from beauty_lakehouse_spark.operators import (
+    curation,
     dedup,
     documents,
     events,
@@ -145,6 +146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
+        # corpus curation: deterministic sampling / splits / budget
+        # selection / composed cleaning (all oracle — selection is
+        # integer hash arithmetic, no RNG)
+        "doc_sample_deterministic": curation.q_doc_sample_deterministic,
+        "train_val_test_split": curation.q_train_val_test_split,
+        "token_budget_selection": curation.q_token_budget_selection,
+        "corpus_cleaning_report": curation.q_corpus_cleaning_report,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         # curated-zone table management: versioned CoW MERGE -> snapshot
@@ -930,4 +938,68 @@ def oracle_sql() -> dict[str, str]:
     # oracles — streaming == batch == independent-engine SQL
     out["events_hourly_streamed"] = out["events_hourly"]
     out["events_sessions_streamed"] = out["events_sessions"]
+
+    # corpus curation (mirrors operators/curation.py constants)
+    bucket = (
+        "CAST(('0x' || substr(md5('{tag}:' || doc_id::VARCHAR), 1, 15))"
+        "::BIGINT % 100 AS INTEGER)"
+    )
+    out["doc_sample_deterministic"] = (
+        "WITH d AS (SELECT doc_id, lang, source, "
+        f"{bucket.format(tag='sample')} AS bucket, "
+        "CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 25 "
+        "WHEN 'es' THEN 25 ELSE 50 END AS rate FROM documents) "
+        "SELECT doc_id, lang, source, bucket, rate FROM d WHERE bucket < rate"
+    )
+    out["train_val_test_split"] = (
+        "WITH d AS (SELECT source, "
+        f"{bucket.format(tag='split')} AS b, "
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens "
+        "FROM documents) "
+        "SELECT source, "
+        "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+        "ELSE 'test' END AS split, "
+        "count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens "
+        "FROM d GROUP BY 1, 2"
+    )
+    out["token_budget_selection"] = (
+        "WITH d AS (SELECT doc_id, source, n_chars, "
+        "CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens "
+        "FROM documents), "
+        "r AS (SELECT source, doc_id, n_tokens, "
+        "sum(n_tokens) OVER (PARTITION BY source "
+        "ORDER BY n_chars DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) "
+        "SELECT source, doc_id, n_tokens FROM r WHERE run <= 600"
+    )
+    en = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
+    de = ", ".join(f"'{w}'" for w in ["der", "die", "das", "und", "ist", "nicht"])
+    fr = ", ".join(f"'{w}'" for w in ["le", "la", "et", "les", "des", "est"])
+    es = ", ".join(f"'{w}'" for w in ["el", "los", "las", "y", "es", "una"])
+    out["corpus_cleaning_report"] = (
+        "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t "
+        "FROM documents), "
+        "h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash, "
+        f"len(list_filter(t, x -> x IN ({en}))) AS s_en, "
+        f"len(list_filter(t, x -> x IN ({de}))) AS s_de, "
+        f"len(list_filter(t, x -> x IN ({fr}))) AS s_fr, "
+        f"len(list_filter(t, x -> x IN ({es}))) AS s_es, "
+        "len(t) AS n_tokens, "
+        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum, "
+        "length(text) AS len_chars FROM d), "
+        "p AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM h), "
+        "l AS (SELECT doc_id, text_hash, n_tokens, alnum, len_chars, "
+        "CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
+        "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
+        "ELSE 'es' END AS pred_lang FROM p), "
+        "c AS (SELECT text_hash, min(doc_id) AS keep_id FROM l "
+        "GROUP BY text_hash), "
+        "r AS (SELECT l.doc_id, "
+        "CASE WHEN l.doc_id != c.keep_id THEN 'duplicate' "
+        "WHEN pred_lang != 'en' THEN 'lang' "
+        "WHEN n_tokens < 5 OR alnum * 5 < len_chars * 4 THEN 'quality' "
+        "ELSE 'kept' END AS reason "
+        "FROM l JOIN c USING (text_hash)) "
+        "SELECT doc_id, reason, reason = 'kept' AS keep FROM r"
+    )
     return out

@@ -1,0 +1,209 @@
+"""Corpus-curation operators: deterministic sampling, split assignment,
+token-budget selection, and the composed cleaning pipeline — the
+dataset-construction half of a training-data pipeline (the reference has
+no analogue; north-star extension like dedup/text/similarity).
+
+Everything is deterministic and cross-engine exact: selection decisions
+are integer arithmetic over md5-derived hashes (``portable_hash64``) or
+integer cross-multiplication in place of float ratio thresholds, so
+every query here carries a DuckDB oracle. No RNG state anywhere — a
+re-run, a backfill, or another engine reproduces the same sample, the
+same splits, the same selection, which is the property that makes
+dataset builds auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions import portable_hash64
+from .text import STOPWORDS
+
+#: Per-language sampling rates (percent kept), defaulting for labels
+#: outside the map (e.g. 'zh' in the fixtures).
+SAMPLE_RATES = {"en": 10, "de": 25, "fr": 25, "es": 25}
+SAMPLE_DEFAULT_RATE = 50
+
+#: Train/val/test boundaries over a 0-99 hash bucket.
+SPLIT_TRAIN_END = 80  # buckets [0, 80) -> train
+SPLIT_VAL_END = 90    # buckets [80, 90) -> val; [90, 100) -> test
+
+#: Whitespace-token budget per source for q_token_budget_selection.
+TOKEN_BUDGET_PER_SOURCE = 600
+
+
+def _bucket(col, tag: str):
+    """Deterministic 0-99 bucket from an id column: md5-derived 60-bit
+    hash mod 100. Identical in DuckDB (same md5-substring arithmetic)."""
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"{tag}:"), col.cast("string"))),
+        F.lit(100),
+    ).cast("int")
+
+
+def q_doc_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: each document keeps/drops by its
+    own hash bucket against a per-language rate — no RNG, no
+    ``sample()`` (whose output depends on partitioning and seed
+    plumbing). At 100 TB this is a narrow scan + filter: fully
+    parallel, reproducible, and pushdown-friendly."""
+    t = load(spark, sf_dir)
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in SAMPLE_RATES.items()
+        ],
+        F.lit(SAMPLE_DEFAULT_RATE),
+    )
+    return (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            _bucket(F.col("doc_id"), "sample").alias("bucket"),
+            rate.alias("rate"),
+        )
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "lang", "source", "bucket", "rate")
+    )
+
+
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-assigned train/val/test splits with per-(source, split)
+    accounting. The assignment is a pure function of doc_id — adding
+    documents later never reshuffles existing assignments (the property
+    that keeps eval sets stable across dataset versions)."""
+    t = load(spark, sf_dir)
+    b = _bucket(F.col("doc_id"), "split")
+    split = (
+        F.when(b < SPLIT_TRAIN_END, F.lit("train"))
+        .when(b < SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    per_doc = t.documents.select(
+        "source",
+        split.alias("split"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    return per_doc.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+def q_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select documents per source, longest-first (n_chars desc, doc_id
+    asc), until the running whitespace-token total would exceed the
+    per-source budget — the "fill the mixture bucket" step of corpus
+    construction.
+
+    Scale shape: the naive form is a running-sum window partitioned by
+    ``source`` (low cardinality — each reducer would sort one source's
+    entire corpus; the same killer q_order_value_percentiles avoids).
+    This form never window-sorts raw rows per source:
+
+    1. aggregate (source, n_chars) bucket token totals (map-side
+       combinable; output bounded by the n_chars value range);
+    2. cumulative totals over buckets locate each source's boundary
+       bucket — buckets strictly before it are kept WHOLE, buckets
+       after are dropped whole;
+    3. only the single boundary bucket per source is re-scanned and
+       window-summed doc-by-doc (broadcast semi-join filter).
+    """
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    buckets = docs.groupBy("source", "n_chars").agg(
+        F.sum("n_tokens").alias("btok")
+    )
+    wsrc = Window.partitionBy("source").orderBy(F.desc("n_chars"))
+    cum = buckets.select(
+        "source",
+        "n_chars",
+        "btok",
+        F.sum("btok").over(wsrc).alias("cum_end"),
+    ).withColumn("cum_before", F.col("cum_end") - F.col("btok"))
+    budget = F.lit(TOKEN_BUDGET_PER_SOURCE)
+    whole = cum.filter(F.col("cum_end") <= budget).select("source", "n_chars")
+    boundary = cum.filter(
+        (F.col("cum_before") < budget) & (F.col("cum_end") > budget)
+    ).select("source", "n_chars", "cum_before")
+
+    kept_whole = docs.join(F.broadcast(whole), ["source", "n_chars"]).select(
+        "source", "doc_id", "n_tokens"
+    )
+    wdoc = Window.partitionBy("source", "n_chars").orderBy(F.asc("doc_id"))
+    kept_boundary = (
+        docs.join(F.broadcast(boundary), ["source", "n_chars"])
+        .withColumn("run", F.sum("n_tokens").over(wdoc) + F.col("cum_before"))
+        .filter(F.col("run") <= budget)
+        .select("source", "doc_id", "n_tokens")
+    )
+    return kept_whole.unionByName(kept_boundary)
+
+
+def q_corpus_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline — per-document keep/drop decision
+    with the FIRST failing rule as the reason, C4-style:
+
+    1. ``duplicate`` — not the canonical copy of its exact-dedup group
+       (md5 of normalized text; canonical = min doc_id);
+    2. ``lang``      — lexicon language-ID doesn't predict English;
+    3. ``quality``   — too short (< 5 tokens) or alphanumeric ratio
+       below 4/5 (integer cross-multiplication, no float thresholds);
+    4. ``kept``      — survives everything.
+
+    One narrow scan + one md5-groupBy join; every signal is reused from
+    the oracle-exact text operators, so the whole composition carries a
+    DuckDB oracle too."""
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    scores = {
+        lang: F.size(F.filter(toks, _isin_factory(ws)))
+        for lang, ws in STOPWORDS.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    hashed = t.documents.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        pred.alias("pred_lang"),
+        F.size(toks).alias("n_tokens"),
+        alnum.alias("alnum"),
+        F.length("text").alias("len_chars"),
+    )
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    reason = (
+        F.when(F.col("doc_id") != F.col("keep_id"), F.lit("duplicate"))
+        .when(F.col("pred_lang") != "en", F.lit("lang"))
+        .when(
+            (F.col("n_tokens") < 5)
+            | (F.col("alnum") * 5 < F.col("len_chars") * 4),
+            F.lit("quality"),
+        )
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        hashed.join(canon, "text_hash")
+        .select("doc_id", reason.alias("reason"))
+        .withColumn("keep", F.col("reason") == "kept")
+    )
+
+
+def _isin_factory(words: list[str]):
+    """Close over the word list (a two-arg lambda would bind F.filter's
+    (element, index) form)."""
+    return lambda s: s.isin(*words)
