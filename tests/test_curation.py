@@ -1,0 +1,138 @@
+"""Curation operator semantics: deterministic sampling, stable splits,
+budget-boundary exactness, cleaning-rule precedence."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from beauty_lakehouse_spark.catalog import load
+from beauty_lakehouse_spark.operators import curation
+
+
+def test_sample_is_partition_independent(spark, sf_dir):
+    """The kept set is a pure function of doc_id — repartitioning the
+    input must not change a single selection decision."""
+    base = {
+        r.doc_id for r in curation.q_doc_sample_deterministic(spark, sf_dir).collect()
+    }
+    t = load(spark, sf_dir)
+    docs = t.documents.repartition(7, "lang")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(r))
+            for lang, r in curation.SAMPLE_RATES.items()
+        ],
+        F.lit(curation.SAMPLE_DEFAULT_RATE),
+    )
+    again = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", curation._bucket(F.col("doc_id"), "sample").alias("b"), rate.alias("r")
+        )
+        .filter(F.col("b") < F.col("r"))
+        .collect()
+    }
+    assert base == again
+
+
+def test_sample_rates_approximate_targets(spark, sf_dir):
+    """Per-language keep fraction lands near its configured rate (the
+    bucket hash is uniform; 500 docs -> generous tolerance)."""
+    t = load(spark, sf_dir)
+    totals = {
+        r.lang: r.n for r in t.documents.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    kept = {
+        r.lang: r.n
+        for r in curation.q_doc_sample_deterministic(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        rate = curation.SAMPLE_RATES.get(lang, curation.SAMPLE_DEFAULT_RATE) / 100
+        frac = kept.get(lang, 0) / total
+        assert abs(frac - rate) < 0.25, (lang, frac, rate)
+
+
+def test_split_assignment_stable_under_corpus_growth(spark, sf_dir):
+    """A document's split never changes when other documents are added:
+    assign on the full corpus and on a half corpus; the intersection
+    must agree doc-by-doc (THE property motivating hash splits)."""
+    t = load(spark, sf_dir)
+    b = curation._bucket(F.col("doc_id"), "split")
+    split = (
+        F.when(b < curation.SPLIT_TRAIN_END, F.lit("train"))
+        .when(b < curation.SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    full = {r.doc_id: r.s for r in t.documents.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r.doc_id: r.s
+        for r in t.documents.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert half and all(full[k] == v for k, v in half.items())
+
+
+def test_split_partitions_corpus(spark, sf_dir):
+    t = load(spark, sf_dir)
+    n = t.documents.count()
+    agg = curation.q_train_val_test_split(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in agg) == n
+    assert {r.split for r in agg} <= {"train", "val", "test"}
+
+
+def test_budget_selection_matches_naive_window(spark, sf_dir):
+    """The two-phase bucket form must select EXACTLY the rows the naive
+    per-source running-sum window selects."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", "source", "n_chars", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        (r.source, r.doc_id)
+        for r in docs.withColumn("run", F.sum("n_tokens").over(w))
+        .filter(F.col("run") <= curation.TOKEN_BUDGET_PER_SOURCE)
+        .collect()
+    }
+    fast = {
+        (r.source, r.doc_id)
+        for r in curation.q_token_budget_selection(spark, sf_dir).collect()
+    }
+    assert fast == naive and naive
+
+
+def test_budget_never_exceeded(spark, sf_dir):
+    sel = (
+        curation.q_token_budget_selection(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("tot"))
+        .collect()
+    )
+    assert sel
+    for r in sel:
+        assert r.tot <= curation.TOKEN_BUDGET_PER_SOURCE
+
+
+def test_cleaning_reasons_partition_and_precede(spark, sf_dir):
+    """Every doc gets exactly one reason; duplicate outranks lang/quality
+    (a non-canonical copy of an English doc is 'duplicate', never
+    'lang'); keep is true iff reason == kept."""
+    rows = curation.q_corpus_cleaning_report(spark, sf_dir).collect()
+    t = load(spark, sf_dir)
+    assert len(rows) == t.documents.count()
+    by_reason = {}
+    for r in rows:
+        assert r.keep == (r.reason == "kept")
+        by_reason.setdefault(r.reason, 0)
+        by_reason[r.reason] += 1
+    assert set(by_reason) <= {"duplicate", "lang", "quality", "kept"}
+    assert by_reason.get("kept", 0) > 0
