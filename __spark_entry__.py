@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
+        "pii_scan": text.q_pii_scan,
+        "repetition_stats": text.q_repetition_stats,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
@@ -153,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
+        "decontaminate": curation.q_decontaminate,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         # curated-zone table management: versioned CoW MERGE -> snapshot
@@ -1001,5 +1004,55 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'kept' END AS reason "
         "FROM l JOIN c USING (text_hash)) "
         "SELECT doc_id, reason, reason = 'kept' AS keep FROM r"
+    )
+
+    # PII scan (mirrors text.PII_PATTERNS; counts on original text per
+    # class, redaction chained in dict order email -> phone -> ipv4)
+    _email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _phone = r"\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}"
+    _ipv4 = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+    out["pii_scan"] = (
+        "WITH c AS (SELECT doc_id, "
+        f"len(regexp_extract_all(text, '{_email}')) AS n_email, "
+        f"len(regexp_extract_all(text, '{_phone}')) AS n_phone, "
+        f"len(regexp_extract_all(text, '{_ipv4}')) AS n_ipv4, "
+        "md5(regexp_replace(regexp_replace(regexp_replace(text, "
+        f"'{_email}', '<email>', 'g'), "
+        f"'{_phone}', '<phone>', 'g'), "
+        f"'{_ipv4}', '<ipv4>', 'g')) AS redacted_hash "
+        "FROM documents) "
+        "SELECT doc_id, n_email, n_phone, n_ipv4, redacted_hash, "
+        "(n_email + n_phone + n_ipv4) > 0 AS has_pii FROM c"
+    )
+
+    out["repetition_stats"] = (
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "g AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS gram "
+        "FROM toks, UNNEST(range(1, len(t))) AS u(i)), "
+        "pg AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, "
+        "CAST(count(*) AS BIGINT) AS n_distinct_grams, "
+        "CAST(max(c) AS BIGINT) AS top_gram_freq, "
+        "(sum(c) - count(*)) * 5 > sum(c) AS repetitive "
+        "FROM pg GROUP BY doc_id"
+    )
+
+    # decontamination: posting-list join of train x test 3-gram shingles
+    # (df cap 100 mirrors curation.DECON_MAX_DOC_FREQ); split buckets
+    # identical to train_val_test_split's
+    out["decontaminate"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+        "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+        "lab AS (SELECT doc_id, shingle, "
+        f"{bucket.format(tag='split')} >= 90 AS is_test FROM shf) "
+        "SELECT a.doc_id, "
+        "CAST(count(DISTINCT a.shingle) AS BIGINT) AS n_hit_grams, "
+        "CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_test_docs "
+        "FROM lab a JOIN lab b ON a.shingle = b.shingle "
+        "AND NOT a.is_test AND b.is_test "
+        "GROUP BY a.doc_id"
     )
     return out

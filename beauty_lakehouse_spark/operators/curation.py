@@ -207,3 +207,44 @@ def _isin_factory(words: list[str]):
     """Close over the word list (a two-arg lambda would bind F.filter's
     (element, index) form)."""
     return lambda s: s.isin(*words)
+
+
+#: Posting-list cap for decontamination grams: a gram present in more
+#: than this many documents is boilerplate, not leakage.
+DECON_MAX_DOC_FREQ = 100
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: for every non-test (train or val)
+    document sharing
+    at least one word-3-gram with any TEST document (splits assigned by
+    the same hash buckets as q_train_val_test_split), report how many
+    distinct grams leak and how many test documents they touch — the
+    eval-decontamination step of a training-data build (real pipelines
+    use 8-13-grams; n is a knob, 3 fits the fixtures).
+
+    Scale shape: inverted-index (posting-list) join on the gram, the
+    same skeleton as n-gram Jaccard — never doc×doc. The df cap bounds
+    per-gram fanout (a gram in >cap docs is boilerplate, not leakage),
+    so join work is Σ df_train(g)·df_test(g) over rare grams — linear
+    in corpus size for natural gram distributions. Two aggregates after
+    the join, both map-side combinable on high-cardinality keys."""
+    from .dedup import shingles
+
+    t = load(spark, sf_dir)
+    sh = shingles(t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ)
+    # split bucket is a pure function of doc_id — derive it post-shingle
+    # rather than carrying a column through the explode.
+    is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
+    test_grams = sh.filter(is_test).select(
+        F.col("doc_id").alias("test_doc_id"), "shingle"
+    )
+    train_grams = sh.filter(~is_test).select("doc_id", "shingle")
+    return (
+        train_grams.join(test_grams, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_hit_grams"),
+            F.countDistinct("test_doc_id").alias("n_test_docs"),
+        )
+    )

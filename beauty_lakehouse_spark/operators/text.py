@@ -198,3 +198,85 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("score"),
                 F.col("rk").cast("int").alias("rk"))
     )
+
+
+#: PII patterns — intersection of Java-regex and RE2 syntax (no
+#: lookaround, no backreferences) so Spark and the DuckDB oracle match
+#: byte-for-byte. Heuristic by design: a curation pipeline wants recall
+#: on obvious identifiers, not a validator.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ][0-9]{2,4}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII scan: match counts per pattern class plus the
+    md5 of the redacted text (each class replaced by a sentinel), the
+    signal a curation pipeline filters or scrubs on.
+
+    Scale: narrow scan, three regex passes per row, all inside
+    whole-stage codegen — linear and shuffle-free. The redacted-text
+    hash (not the redacted text itself) keeps the output row narrow."""
+    t = load(spark, sf_dir)
+    red = F.col("text")
+    for cls, pat in PII_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{cls}>")
+    return t.documents.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"n_{cls}")
+            for cls, pat in PII_PATTERNS.items()
+        ],
+        F.md5(red).alias("redacted_hash"),
+    ).withColumn(
+        "has_pii",
+        (F.col("n_email") + F.col("n_phone") + F.col("n_ipv4")) > 0,
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: per doc, total
+    vs distinct word-2-gram counts, the frequency of the single most
+    repeated 2-gram, and a repetitive flag (duplicate-2-gram fraction
+    > 1/5, integer cross-multiplication — no float threshold).
+
+    Scale: the 2-gram explode fans each doc out ~n_tokens×, then one
+    map-side-combinable groupBy((doc, gram)) and one groupBy(doc) —
+    both partial-aggregated, keys are high-cardinality, no skew. The
+    per-doc max-frequency needs the (doc, gram) counts anyway, so the
+    explode is shared, not an extra pass."""
+    t = load(spark, sf_dir)
+    grams = (
+        t.documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("toks"), i + 1),
+                        F.element_at(F.col("toks"), i + 2),
+                    ),
+                )
+            ).alias("gram"),
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.max("c").cast("long").alias("top_gram_freq"),
+        )
+        .withColumn(
+            "repetitive",
+            (F.col("n_grams") - F.col("n_distinct_grams")) * 5 > F.col("n_grams"),
+        )
+    )
