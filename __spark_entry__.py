@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
         "decontaminate": curation.q_decontaminate,
+        "sequence_packing": curation.q_sequence_packing,
+        "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         # curated-zone table management: versioned CoW MERGE -> snapshot
@@ -1054,5 +1056,30 @@ def oracle_sql() -> dict[str, str]:
         "FROM lab a JOIN lab b ON a.shingle = b.shingle "
         "AND NOT a.is_test AND b.is_test "
         "GROUP BY a.doc_id"
+    )
+
+    # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the
+    # oracle uses the naive global cumsum the Spark side decomposes
+    out["sequence_packing"] = (
+        "WITH d AS (SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "c AS (SELECT doc_id, n_tokens, "
+        "CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+        "AS BIGINT) AS cb FROM d) "
+        "SELECT doc_id, n_tokens, cb // 256 AS seq_id, "
+        "cb % 256 AS seq_offset, "
+        "((cb + n_tokens - 1) // 256) - (cb // 256) + 1 AS n_seqs FROM c"
+    )
+
+    out["cohort_retention"] = (
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 // 7 AS week FROM events), "
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM uw "
+        "GROUP BY user_id) "
+        "SELECT cohort_week, week - cohort_week AS week_offset, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active "
+        "FROM uw JOIN c USING (user_id) GROUP BY 1, 2"
     )
     return out

@@ -248,3 +248,62 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("test_doc_id").alias("n_test_docs"),
         )
     )
+
+
+#: Tokens per packed training sequence; docs-per-bucket width for the
+#: two-level prefix sum (at 100 TB set ~1e6 docs/bucket so the bucket
+#: table stays small).
+SEQ_LEN = 256
+PACK_BUCKET_WIDTH = 64
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay all documents end-to-end
+    in doc_id order and cut every SEQ_LEN tokens; report each doc's
+    starting sequence, its token offset inside it, and how many
+    sequences it spans — the final "make training batches" step of an
+    LLM data build.
+
+    The global running token sum is computed as a two-level prefix sum,
+    never a global window over raw rows: (1) per-doc_id-range-bucket
+    token totals (map-side combinable), (2) an unpartitioned cumsum
+    over the BUCKET table only (N / bucket_width rows — with 1e6
+    docs/bucket, 100B docs is 100k rows on one reducer, trivial),
+    (3) a within-bucket cumsum partitioned by bucket (high cardinality)
+    plus the broadcast bucket offset. Same skeleton as
+    q_token_budget_selection, generalized to an exact global order."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_WIDTH}"))
+    bsums = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    boff = bsums.select(
+        "bucket",
+        F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("b_before"),
+    )
+    wd = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        docs.join(F.broadcast(boff), "bucket")
+        .withColumn(
+            "cb",
+            F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)) + F.col("b_before"),
+        )
+    )
+    seq_start = F.expr(f"cb div {SEQ_LEN}")
+    seq_end = F.expr(f"(cb + n_tokens - 1) div {SEQ_LEN}")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        seq_start.alias("seq_id"),
+        F.pmod(F.col("cb"), F.lit(SEQ_LEN)).cast("long").alias("seq_offset"),
+        (seq_end - seq_start + 1).alias("n_seqs"),
+    )

@@ -187,3 +187,33 @@ def q_user_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s}") for s in types],
         )
     )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the epoch-week of
+    their first event; for each (cohort_week, weeks-since-cohort)
+    cell, how many of that cohort's users were active. All integer
+    arithmetic (µs → epoch day → epoch week), no date functions with
+    engine-specific week rules.
+
+    Scale: two map-side-combinable aggregates — distinct (user, week)
+    activity with the per-user min folded in, then the cohort-cell
+    count. Both shuffle on high-cardinality keys; no windows."""
+    t = load(spark, sf_dir)
+    per_user_week = (
+        t.events.select("user_id", epoch_us("ts").alias("epoch_us"))
+        .select("user_id", F.expr("epoch_us div 86400000000 div 7").alias("week"))
+        .distinct()
+        # consumed by two branches (cohort agg + join) — truncate the
+        # lineage so the scan+distinct runs once, not per branch
+        .localCheckpoint(eager=False)
+    )
+    cohort = per_user_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        per_user_week.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -136,3 +136,44 @@ def test_cleaning_reasons_partition_and_precede(spark, sf_dir):
         by_reason[r.reason] += 1
     assert set(by_reason) <= {"duplicate", "lang", "quality", "kept"}
     assert by_reason.get("kept", 0) > 0
+
+
+def test_sequence_packing_matches_naive_global_cumsum(spark, sf_dir):
+    """Two-level prefix sum must equal the naive global-window form."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.n_seqs)
+        for r in docs.withColumn(
+            "cb", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .selectExpr(
+            "doc_id",
+            f"cb div {curation.SEQ_LEN} AS seq_id",
+            f"cb % {curation.SEQ_LEN} AS seq_offset",
+            f"(cb + n_tokens - 1) div {curation.SEQ_LEN} - cb div {curation.SEQ_LEN} + 1 AS n_seqs",
+        )
+        .collect()
+    }
+    fast = {
+        r.doc_id: (r.seq_id, r.seq_offset, r.n_seqs)
+        for r in curation.q_sequence_packing(spark, sf_dir).collect()
+    }
+    assert fast == naive and fast
+
+
+def test_sequence_packing_is_gapless(spark, sf_dir):
+    """Docs tile the token stream: doc k's start == doc k-1's start +
+    its token count, every offset < SEQ_LEN, spans consistent."""
+    rows = sorted(
+        curation.q_sequence_packing(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    pos = 0
+    for r in rows:
+        assert r.seq_id == pos // curation.SEQ_LEN
+        assert r.seq_offset == pos % curation.SEQ_LEN
+        assert r.n_seqs == (pos + r.n_tokens - 1) // curation.SEQ_LEN - pos // curation.SEQ_LEN + 1
+        pos += r.n_tokens

@@ -91,3 +91,18 @@ def test_tfidf_top_terms_match_python(spark, sf_dir):
         for r, (term, score) in zip(rows, expected):
             assert r.tf == tf[r.term] and r.df == df_counts[r.term]
             assert abs(r.score - round(score, 4)) < 1e-3, (doc_id, r.term, term)
+
+
+def test_cohort_retention_identities(spark, sf_dir):
+    """Offset-0 cell equals the cohort's full user count (everyone is
+    active in their first week by construction); offsets nonnegative;
+    total distinct users conserved."""
+    rows = events.q_cohort_retention(spark, sf_dir).collect()
+    assert rows
+    t = load(spark, sf_dir)
+    n_users = t.events.select("user_id").distinct().count()
+    zero = {r.cohort_week: r.n_active for r in rows if r.week_offset == 0}
+    assert sum(zero.values()) == n_users
+    for r in rows:
+        assert r.week_offset >= 0
+        assert r.n_active <= zero[r.cohort_week]
