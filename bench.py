@@ -38,6 +38,9 @@ HEADLINE = [
     "knn_brute",              # similarity search baseline
     "order_value_percentiles",# exact quantiles via bucket-count selection
     "purchase_time_since_view",# as-of join (union + last-non-null window)
+    "corpus_cleaning_report", # composed dedup/lang/quality decision
+    "decontaminate",          # train x test posting-list 3-gram join
+    "sequence_packing",       # two-level global prefix sum
 ]
 
 
