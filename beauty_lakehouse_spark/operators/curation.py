@@ -273,10 +273,16 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the broadcast bucket offset. Same skeleton as
     q_token_budget_selection, generalized to an exact global order."""
     t = load(spark, sf_dir)
-    docs = t.documents.select(
-        "doc_id",
-        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
-    ).withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_WIDTH}"))
+    docs = (
+        t.documents.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_WIDTH}"))
+        # feeds both the bucket-total branch and the final join —
+        # truncate lineage so the text scan + tokenization runs once
+        .localCheckpoint(eager=False)
+    )
     bsums = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     wb = (
         Window.orderBy("bucket")

@@ -242,38 +242,51 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated 2-gram, and a repetitive flag (duplicate-2-gram fraction
     > 1/5, integer cross-multiplication — no float threshold).
 
-    Scale: the 2-gram explode fans each doc out ~n_tokens×, then one
-    map-side-combinable groupBy((doc, gram)) and one groupBy(doc) —
-    both partial-aggregated, keys are high-cardinality, no skew. The
-    per-doc max-frequency needs the (doc, gram) counts anyway, so the
-    explode is shared, not an extra pass."""
+    Scale: entirely array-side — the 2-gram list is built, sorted, and
+    run-length-scanned per row with higher-order functions, so the plan
+    is ONE narrow scan with ZERO exchanges (asserted by a plan test).
+    Memory is bounded by the largest single document (~3x its text
+    size); for pathological multi-GB documents an explode + two-level
+    groupBy variant distributes within the doc, at the cost of
+    shuffling the gram stream — the wrong default."""
     t = load(spark, sf_dir)
-    grams = (
-        t.documents.select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= 2)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    # max run length over the sorted gram list == max frequency
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return (
+        t.documents.filter(F.size(toks) >= 2)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("toks") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at(F.col("toks"), i + 1),
-                        F.element_at(F.col("toks"), i + 2),
-                    ),
-                )
-            ).alias("gram"),
+            grams.alias("g"),
         )
-    )
-    per_gram = grams.groupBy("doc_id", "gram").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    return (
-        per_gram.groupBy("doc_id")
-        .agg(
-            F.sum("c").cast("long").alias("n_grams"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
-            F.max("c").cast("long").alias("top_gram_freq"),
+        .select(
+            "doc_id",
+            F.size("g").cast("long").alias("n_grams"),
+            F.size(F.array_distinct("g")).cast("long").alias("n_distinct_grams"),
+            F.aggregate(F.array_sort("g"), zero, step, lambda a: a["best"]).alias(
+                "top_gram_freq"
+            ),
         )
         .withColumn(
             "repetitive",

@@ -90,3 +90,34 @@ def test_percentiles_no_low_cardinality_window_over_raw_rows(spark, sf_dir):
     for spec in specs:
         if "o_orderkey" in spec:
             assert "quantile" in spec, spec
+
+
+def test_pii_and_repetition_are_shuffle_free(spark, sf_dir):
+    """Both per-doc text signals must stay a single narrow scan with no
+    Exchange — the property that makes them linear at 100 TB."""
+    from beauty_lakehouse_spark.operators import text
+
+    for fn in (text.q_pii_scan, text.q_repetition_stats):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Exchange" not in plan, plan
+        scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+        assert scans and all("ReadSchema" not in l or "text" in l for l in scans)
+        assert not any("lang" in l and "source" in l for l in scans)  # pruned
+
+
+def test_sequence_packing_no_global_window_over_docs(spark, sf_dir):
+    """The only unpartitioned window may run over the bucket table
+    (N / bucket_width rows), never the raw documents: every Sort that
+    feeds a single-partition Exchange must sit on the aggregated-bucket
+    branch (below a HashAggregate), not directly on the scan."""
+    from beauty_lakehouse_spark.operators import curation
+
+    df = curation.q_sequence_packing(spark, sf_dir)
+    plan = _plan(df)
+    lines = plan.splitlines()
+    singles = [i for i, l in enumerate(lines) if "SinglePartition" in l]
+    assert singles, plan
+    for i in singles:
+        below = "\n".join(lines[i:])
+        # the single-partition branch must aggregate before exchanging
+        assert "HashAggregate" in below, plan
