@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the v1->v2 CDC change feed (manifest-diff pruned)
         "merge_upsert_state": tables.q_merge_upsert_state,
         "merge_changes_feed": tables.q_merge_changes_feed,
+        "incremental_agg_state": tables.q_incremental_agg_state,
         # quality report (oracle)
         "quality_report": _quality_report_query,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -934,6 +935,17 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL "
             "SELECT 'delete' AS change_type, * FROM "
             "(SELECT * FROM base EXCEPT ALL SELECT * FROM final)"
+        ),
+        # the oracle recomputes the v2 aggregate from scratch; the Spark
+        # side maintains it incrementally from the change feed — a hash
+        # match proves incremental ≡ recompute
+        "incremental_agg_state": (
+            f"WITH {_MERGE_CTES} "
+            "SELECT order_year, o_orderstatus, "
+            "count(*) AS n_orders, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) "
+            "AS DOUBLE) AS total_price "
+            "FROM final GROUP BY 1, 2"
         ),
         "quality_report": _quality_report_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)

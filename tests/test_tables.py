@@ -209,3 +209,29 @@ def test_vacuum_retention(spark, tmp_path):
     assert latest == {(1, "a", 1995), (2, "B3", 1996)}
     with pytest.raises(FileNotFoundError):
         tables.read_manifest(path, 1)
+
+
+def test_incremental_agg_equals_recompute(spark, sf_dir):
+    """Maintaining the aggregate via the change feed must reproduce the
+    from-scratch v2 aggregate exactly (count AND decimal-exact sums)."""
+    from beauty_lakehouse_spark import tables
+    from beauty_lakehouse_spark.functions import dec2
+
+    maintained = {
+        (r.order_year, r.o_orderstatus): (r.n_orders, r.total_price)
+        for r in tables.q_incremental_agg_state(spark, sf_dir).collect()
+    }
+    path = tables._merge_scenario(spark, sf_dir)
+    v2 = tables.read_versioned(spark, path, 2)
+    recomputed = {
+        (r.order_year, r.o_orderstatus): (r.n_orders, r.total_price)
+        for r in v2.groupBy("order_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(dec2("o_totalprice")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+        .collect()
+    }
+    assert maintained == recomputed and maintained
