@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "null_profile_orders": relational.q_null_profile_orders,
         "events_by_type": relational.q_events_by_type,
         "duplicate_orderkeys": relational.q_duplicate_orderkeys,
+        "repeat_customers": relational.q_repeat_customers,
         "ri_orphan_lineitems": relational.q_ri_orphan_lineitems,
         "region_mapping_conformance": relational.q_region_mapping_conformance,
         "mktsegment_distribution": relational.q_mktsegment_distribution,
@@ -447,6 +448,18 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_orderkeys": (
             "SELECT o_orderkey, count(*) AS n FROM orders "
             "GROUP BY o_orderkey HAVING count(*) > 1"
+        ),
+        "repeat_customers": (
+            "WITH b AS ("
+            "SELECT DISTINCT o_custkey AS c_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "INTERSECT "
+            "SELECT DISTINCT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT c_custkey, c_name, c_mktsegment "
+            "FROM b JOIN customer USING (c_custkey)"
         ),
         "ri_orphan_lineitems": (
             "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l "

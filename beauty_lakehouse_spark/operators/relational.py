@@ -342,3 +342,32 @@ def q_mktsegment_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             halfup_div(F.col("n_customers"), F.col("total"), 6).alias("share"),
         )
     )
+
+
+def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers who ordered in BOTH 1996 and 1997 — set intersection
+    (§2.5 U-family; U1 covers EXCEPT, this covers INTERSECT) enriched
+    with the customer dim.
+
+    Scale: the year filters are literal timestamp ranges so they push
+    to the parquet scan; each side deduplicates map-side before the
+    intersect's shuffle (distinct custkeys, not order rows); the dim
+    join shuffles on the same custkey. No windows, no skew risk
+    (custkey is the natural high-cardinality key)."""
+    t = load(spark, sf_dir)
+
+    def buyers(lo: str, hi: str) -> DataFrame:
+        return (
+            t.orders.filter(
+                (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+            )
+            .select(F.col("o_custkey").alias("c_custkey"))
+            .distinct()
+        )
+
+    both = buyers("1996-01-01", "1997-01-01").intersect(
+        buyers("1997-01-01", "1998-01-01")
+    )
+    return both.join(
+        t.customer.select("c_custkey", "c_name", "c_mktsegment"), "c_custkey"
+    )
