@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_sessions_streamed": _q_events_sessions_streamed,
+        "dedup_groups_streamed": _q_dedup_groups_streamed,
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact
@@ -217,6 +218,24 @@ def _q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         session_values(stream_events(spark, sf_dir)),
         f"gate_sessions_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_dedup_groups_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup group table (complete-mode aggregate over
+    micro-batches) behind a batch-equivalent DuckDB oracle — min/count
+    are order-insensitive, so the drain is deterministic."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        dedup_group_table,
+        run_available_now,
+        stream_documents,
+    )
+
+    return run_available_now(
+        dedup_group_table(stream_documents(spark, sf_dir)),
+        f"gate_dedup_{uuid.uuid4().hex[:8]}",
     )
 
 
@@ -968,6 +987,11 @@ def oracle_sql() -> dict[str, str]:
     # oracles — streaming == batch == independent-engine SQL
     out["events_hourly_streamed"] = out["events_hourly"]
     out["events_sessions_streamed"] = out["events_sessions"]
+    out["dedup_groups_streamed"] = (
+        "SELECT md5(lower(trim(text))) AS text_hash, "
+        "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size "
+        "FROM documents GROUP BY 1"
+    )
 
     # corpus curation (mirrors operators/curation.py constants)
     bucket = (

@@ -8,9 +8,11 @@ exactly once, so streaming output == batch output).
 """
 
 from .pipelines import (  # noqa: F401
+    dedup_group_table,
     hourly_event_counts,
     run_available_now,
     session_values,
+    stream_documents,
     stream_events,
     user_purchase_totals,
 )

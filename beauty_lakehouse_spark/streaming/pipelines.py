@@ -128,3 +128,45 @@ def run_available_now(
     )
     q.awaitTermination()
     return result.sparkSession.table(name)
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+)
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the documents fixture — the landing-zone tail
+    of a streaming ingest/curation pipeline."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+        f"{sf_dir}/documents.parque[t]"
+    )
+
+
+def dedup_group_table(documents: DataFrame) -> DataFrame:
+    """Streaming twin of the exact-dedup group table: per normalized-
+    text-hash group, the canonical doc (min doc_id) and group size,
+    maintained incrementally across micro-batches (complete-mode
+    streaming aggregate — min and count are both order-insensitive, so
+    the drained result is deterministic and equals the batch groupBy
+    bit-for-bit, whatever the micro-batch slicing).
+
+    Scale: state is one row per DISTINCT text hash (not per doc);
+    a production run sinks update-mode deltas to a keyed store instead
+    of complete-mode memory."""
+    return (
+        documents.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )

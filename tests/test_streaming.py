@@ -145,3 +145,34 @@ def test_merge_stream_upserts_into_versioned_table(spark, sf_dir, tmp_path):
     # time travel: v1 still shows the stale seed
     v1 = tables.read_versioned(spark, path, 1)
     assert v1.filter(F.col("value") == -1.0).count() == seed.count()
+
+
+def test_streaming_dedup_groups_multi_batch(spark, sf_dir, tmp_path):
+    """Exact-dedup group table maintained across 4 micro-batches (docs
+    split so duplicate groups straddle batch boundaries) must equal the
+    single-batch batch groupBy exactly."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming.pipelines import dedup_group_table
+
+    docs = load(spark, sf_dir).documents
+    src = str(tmp_path / "docs_parts")
+    docs.withColumn("part", (F.col("doc_id") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(dedup_group_table(stream), "t_dedup_multibatch")
+    expected = (
+        docs.select(
+            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+    assert _canon(got) == _canon(expected)
