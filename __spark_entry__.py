@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
         "decontaminate": curation.q_decontaminate,
         "sequence_packing": curation.q_sequence_packing,
+        "mixture_rebalance": curation.q_mixture_rebalance,
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
@@ -1120,6 +1121,19 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n_tokens, cb // 256 AS seq_id, "
         "cb % 256 AS seq_offset, "
         "((cb + n_tokens - 1) // 256) - (cb // 256) + 1 AS n_seqs FROM c"
+    )
+
+    # mixture rebalancing (mirrors curation.MIXTURE_TOKEN_CAP = 600)
+    out["mixture_rebalance"] = (
+        "WITH d AS (SELECT doc_id, source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "r AS (SELECT source, least(100, (600 * 100) // sum(n_tokens)) "
+        "AS rate FROM d GROUP BY source) "
+        "SELECT doc_id, d.source, n_tokens, CAST(rate AS BIGINT) AS rate, "
+        f"{bucket.format(tag='mix')} AS bucket "
+        "FROM d JOIN r USING (source) "
+        f"WHERE {bucket.format(tag='mix')} < rate"
     )
 
     out["cohort_retention"] = (

@@ -313,3 +313,45 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("cb"), F.lit(SEQ_LEN)).cast("long").alias("seq_offset"),
         (seq_end - seq_start + 1).alias("n_seqs"),
     )
+
+
+#: Per-source token cap for q_mixture_rebalance (rates derived FROM the
+#: data, unlike SAMPLE_RATES' fixed config).
+MIXTURE_TOKEN_CAP = 600
+
+
+def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived mixture rebalancing: compute each source's keep-rate
+    so its EXPECTED token contribution is capped at MIXTURE_TOKEN_CAP
+    (rate_pct = min(100, cap*100 div source_tokens) — pure integer
+    arithmetic), then select documents by hash bucket against that
+    rate. The "flatten the mixture" step of corpus construction, with
+    rates that adapt to the corpus instead of hand-set config.
+
+    Scale: one aggregate pass for the per-source token totals (map-side
+    combinable, |sources| rows), broadcast back, then a narrow
+    scan + filter. The selection stays a pure function of (doc_id,
+    corpus aggregate) — rerunnable, auditable, no RNG."""
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    rates = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .select(
+            "source",
+            F.least(
+                F.lit(100).cast("long"),
+                F.expr(f"({MIXTURE_TOKEN_CAP} * 100) div tok"),
+            ).alias("rate"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .withColumn("bucket", _bucket(F.col("doc_id"), "mix"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", "n_tokens", "rate", "bucket")
+    )

@@ -177,3 +177,31 @@ def test_sequence_packing_is_gapless(spark, sf_dir):
         assert r.seq_offset == pos % curation.SEQ_LEN
         assert r.n_seqs == (pos + r.n_tokens - 1) // curation.SEQ_LEN - pos // curation.SEQ_LEN + 1
         pos += r.n_tokens
+
+
+def test_mixture_rebalance_caps_expected_tokens(spark, sf_dir):
+    """Derived rates: rate = min(100, cap*100 div tok_s); kept docs'
+    bucket < rate; expected token mass per source lands near the cap
+    when the rate binds (hash buckets uniform; generous tolerance)."""
+    t = load(spark, sf_dir)
+    tok = {
+        r.source: r.tok
+        for r in t.documents.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("n")
+        )
+        .groupBy("source")
+        .agg(F.sum("n").alias("tok"))
+        .collect()
+    }
+    rows = curation.q_mixture_rebalance(spark, sf_dir).collect()
+    assert rows
+    kept_tok: dict = {}
+    for r in rows:
+        want_rate = min(100, (curation.MIXTURE_TOKEN_CAP * 100) // tok[r.source])
+        assert r.rate == want_rate
+        assert r.bucket < r.rate
+        kept_tok[r.source] = kept_tok.get(r.source, 0) + r.n_tokens
+    for s, k in kept_tok.items():
+        if tok[s] > curation.MIXTURE_TOKEN_CAP:  # binding
+            assert k < tok[s]  # actually subsampled
+            assert abs(k - curation.MIXTURE_TOKEN_CAP) < curation.MIXTURE_TOKEN_CAP
