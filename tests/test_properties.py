@@ -1,0 +1,73 @@
+"""Property-based guards for the cross-engine-exact primitives.
+
+The whole oracle gate rests on two formulas being EXACTLY engine-
+independent: the md5-derived 60-bit hash and the integer half-up
+division. Hypothesis hammers the DuckDB side against Python's exact
+Decimal arithmetic (fast, no Spark); a seeded 300-string batch checks
+Spark↔DuckDB hash parity beyond the fixed vectors in test_functions.
+"""
+
+from __future__ import annotations
+
+import random
+from decimal import ROUND_HALF_UP, Decimal
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from beauty_lakehouse_spark.functions import (
+    halfup_div_sql,
+    portable_hash64,
+    portable_hash64_sql,
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=10**14),
+    d=st.integers(min_value=1, max_value=10**10),
+    k=st.integers(min_value=1, max_value=6),
+)
+def test_halfup_div_sql_equals_decimal(n, d, k):
+    got = duckdb.sql(f"SELECT {halfup_div_sql(str(n), str(d), k)}").fetchall()[0][0]
+    want = float(
+        (Decimal(n) / Decimal(d)).quantize(
+            Decimal(1).scaleb(-k), rounding=ROUND_HALF_UP
+        )
+    )
+    assert got == want, (n, d, k)
+
+
+@settings(max_examples=150, deadline=None)
+@given(s=st.text(min_size=0, max_size=60))
+def test_portable_hash64_sql_range_and_determinism(s):
+    con = duckdb.connect()
+    q = "SELECT " + portable_hash64_sql("?")
+    a = con.execute(q, [s]).fetchall()[0][0]
+    b = con.execute(q, [s]).fetchall()[0][0]
+    assert a == b and 0 <= a < 2**60
+
+
+def test_portable_hash64_parity_random_batch(spark):
+    """300 seeded-random strings (ascii + unicode, varied length): the
+    Spark expression and the DuckDB twin must agree on every one."""
+    rng = random.Random(20260813)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " _-.:/@#éüßñ漢字"
+    )
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], ["i", "s"])
+    got = {
+        r.i: r.h for r in df.select("i", portable_hash64("s").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        expected = con.execute(
+            "SELECT " + portable_hash64_sql("?"), [v]
+        ).fetchall()[0][0]
+        assert got[i] == expected, (i, v)
