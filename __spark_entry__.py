@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from beauty_lakehouse_spark import tables
 from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
+from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
 from beauty_lakehouse_spark.operators import (
     curation,
     dedup,
@@ -712,7 +713,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY n_orders DESC, part_a, part_b LIMIT 20"
         ),
         "dedup_exact": (
-            "WITH h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash "
+            "WITH h AS (SELECT doc_id, " + _nth() + " AS text_hash "
             "FROM documents), "
             "c AS (SELECT text_hash, min(doc_id) AS keep_id, count(*) AS group_size "
             "FROM h GROUP BY text_hash) "
@@ -989,7 +990,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_hourly_streamed"] = out["events_hourly"]
     out["events_sessions_streamed"] = out["events_sessions"]
     out["dedup_groups_streamed"] = (
-        "SELECT md5(lower(trim(text))) AS text_hash, "
+        "SELECT " + _nth() + " AS text_hash, "
         "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size "
         "FROM documents GROUP BY 1"
     )
@@ -1034,7 +1035,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_cleaning_report"] = (
         "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t "
         "FROM documents), "
-        "h AS (SELECT doc_id, md5(lower(trim(text))) AS text_hash, "
+        "h AS (SELECT doc_id, " + _nth() + " AS text_hash, "
         f"len(list_filter(t, x -> x IN ({en}))) AS s_en, "
         f"len(list_filter(t, x -> x IN ({de}))) AS s_de, "
         f"len(list_filter(t, x -> x IN ({fr}))) AS s_fr, "
@@ -1123,17 +1124,22 @@ def oracle_sql() -> dict[str, str]:
         "((cb + n_tokens - 1) // 256) - (cb // 256) + 1 AS n_seqs FROM c"
     )
 
-    # mixture rebalancing (mirrors curation.MIXTURE_TOKEN_CAP = 600)
+    # mixture rebalancing (mirrors curation.MIXTURE_TOKEN_CAP = 600,
+    # MIXTURE_RATE_RESOLUTION = 1e6 parts-per-million, floored to >= 1)
+    bucket_ppm = (
+        "CAST(('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))"
+        "::BIGINT % 1000000 AS INTEGER)"
+    )
     out["mixture_rebalance"] = (
         "WITH d AS (SELECT doc_id, source, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
         "FROM documents), "
-        "r AS (SELECT source, least(100, (600 * 100) // sum(n_tokens)) "
-        "AS rate FROM d GROUP BY source) "
+        "r AS (SELECT source, least(1000000, greatest(1, "
+        "(600 * 1000000) // sum(n_tokens))) AS rate FROM d GROUP BY source) "
         "SELECT doc_id, d.source, n_tokens, CAST(rate AS BIGINT) AS rate, "
-        f"{bucket.format(tag='mix')} AS bucket "
+        f"{bucket_ppm} AS bucket "
         "FROM d JOIN r USING (source) "
-        f"WHERE {bucket.format(tag='mix')} < rate"
+        f"WHERE {bucket_ppm} < rate"
     )
 
     out["cohort_retention"] = (

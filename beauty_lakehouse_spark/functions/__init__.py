@@ -30,6 +30,8 @@ __all__ = [
     "epoch_us",
     "iso_date",
     "clip",
+    "normalized_text_hash",
+    "normalized_text_hash_sql",
 ]
 
 
@@ -46,6 +48,22 @@ def portable_hash64(col: Column | str) -> Column:
 def portable_hash64_sql(expr: str) -> str:
     """The DuckDB twin of :func:`portable_hash64` as a SQL fragment."""
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+def normalized_text_hash(col: Column | str = "text") -> Column:
+    """Canonical exact-dedup key: md5 of lower(trim(text)).
+
+    A cross-engine-exactness invariant shared by batch exact dedup, the
+    corpus-cleaning duplicate rule, and the streaming dedup group table
+    — change it HERE (and its ``_sql`` twin) or group membership drifts
+    between those surfaces and the driver gate."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.lower(F.trim(c)))
+
+
+def normalized_text_hash_sql(expr: str = "text") -> str:
+    """The DuckDB twin of :func:`normalized_text_hash`."""
+    return f"md5(lower(trim({expr})))"
 
 
 def money(col: Column, scale: int = 2) -> Column:

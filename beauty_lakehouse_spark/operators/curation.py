@@ -18,8 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import portable_hash64
-from .text import STOPWORDS
+from ..functions import normalized_text_hash, portable_hash64
+from .text import pred_lang_expr, stopword_scores
 
 #: Per-language sampling rates (percent kept), defaulting for labels
 #: outside the map (e.g. 'zh' in the fixtures).
@@ -34,12 +34,12 @@ SPLIT_VAL_END = 90    # buckets [80, 90) -> val; [90, 100) -> test
 TOKEN_BUDGET_PER_SOURCE = 600
 
 
-def _bucket(col, tag: str):
-    """Deterministic 0-99 bucket from an id column: md5-derived 60-bit
-    hash mod 100. Identical in DuckDB (same md5-substring arithmetic)."""
+def _bucket(col, tag: str, n: int = 100):
+    """Deterministic [0, n) bucket from an id column: md5-derived 60-bit
+    hash mod n. Identical in DuckDB (same md5-substring arithmetic)."""
     return F.pmod(
         portable_hash64(F.concat(F.lit(f"{tag}:"), col.cast("string"))),
-        F.lit(100),
+        F.lit(n),
     ).cast("int")
 
 
@@ -66,7 +66,6 @@ def q_doc_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             rate.alias("rate"),
         )
         .filter(F.col("bucket") < F.col("rate"))
-        .select("doc_id", "lang", "source", "bucket", "rate")
     )
 
 
@@ -164,22 +163,11 @@ def q_corpus_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle too."""
     t = load(spark, sf_dir)
     toks = F.split("text", " ")
-    scores = {
-        lang: F.size(F.filter(toks, _isin_factory(ws)))
-        for lang, ws in STOPWORDS.items()
-    }
-    best = F.greatest(*scores.values())
-    pred = (
-        F.when(best == 0, F.lit("und"))
-        .when(scores["en"] == best, F.lit("en"))
-        .when(scores["de"] == best, F.lit("de"))
-        .when(scores["fr"] == best, F.lit("fr"))
-        .otherwise(F.lit("es"))
-    )
+    pred = pred_lang_expr(stopword_scores(toks))
     alnum = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
     hashed = t.documents.select(
         "doc_id",
-        F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash"),
+        normalized_text_hash("text").alias("text_hash"),
         pred.alias("pred_lang"),
         F.size(toks).alias("n_tokens"),
         alnum.alias("alnum"),
@@ -202,11 +190,6 @@ def q_corpus_cleaning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("keep", F.col("reason") == "kept")
     )
 
-
-def _isin_factory(words: list[str]):
-    """Close over the word list (a two-arg lambda would bind F.filter's
-    (element, index) form)."""
-    return lambda s: s.isin(*words)
 
 
 #: Posting-list cap for decontamination grams: a gram present in more
@@ -232,7 +215,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingles
 
     t = load(spark, sf_dir)
-    sh = shingles(t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ)
+    # consumed by both the train and test branches — truncate lineage so
+    # the tokenize/explode/df-cap pipeline runs once, not per branch
+    sh = shingles(
+        t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
+    ).localCheckpoint(eager=False)
     # split bucket is a pure function of doc_id — derive it post-shingle
     # rather than carrying a column through the explode.
     is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
@@ -316,8 +303,12 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Per-source token cap for q_mixture_rebalance (rates derived FROM the
-#: data, unlike SAMPLE_RATES' fixed config).
+#: data, unlike SAMPLE_RATES' fixed config). Rates resolve in parts per
+#: million so a source up to ~1e6x over the cap is downsampled toward
+#: the cap rather than floored to zero (an integer percent would drop
+#: any source >100x the cap entirely).
 MIXTURE_TOKEN_CAP = 600
+MIXTURE_RATE_RESOLUTION = 1_000_000
 
 
 def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,7 +317,10 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rate_pct = min(100, cap*100 div source_tokens) — pure integer
     arithmetic), then select documents by hash bucket against that
     rate. The "flatten the mixture" step of corpus construction, with
-    rates that adapt to the corpus instead of hand-set config.
+    rates that adapt to the corpus instead of hand-set config. Rates
+    are parts-per-million (floored to >= 1), so even a source many
+    orders of magnitude over the cap is thinned, never silently
+    dropped.
 
     Scale: one aggregate pass for the per-source token totals (map-side
     combinable, |sources| rows), broadcast back, then a narrow
@@ -338,20 +332,24 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
     )
+    res = MIXTURE_RATE_RESOLUTION
     rates = (
         docs.groupBy("source")
         .agg(F.sum("n_tokens").alias("tok"))
         .select(
             "source",
             F.least(
-                F.lit(100).cast("long"),
-                F.expr(f"({MIXTURE_TOKEN_CAP} * 100) div tok"),
+                F.lit(res).cast("long"),
+                F.greatest(
+                    F.lit(1).cast("long"),
+                    F.expr(f"({MIXTURE_TOKEN_CAP} * {res}) div tok"),
+                ),
             ).alias("rate"),
         )
     )
     return (
         docs.join(F.broadcast(rates), "source")
-        .withColumn("bucket", _bucket(F.col("doc_id"), "mix"))
+        .withColumn("bucket", _bucket(F.col("doc_id"), "mix", res))
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "source", "n_tokens", "rate", "bucket")
     )

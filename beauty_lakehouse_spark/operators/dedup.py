@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import halfup_div, portable_hash64
+from ..functions import normalized_text_hash, halfup_div, portable_hash64
 
 N_HASHES = 16
 LSH_BANDS = 4  # 4 bands x 4 rows
@@ -208,7 +208,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (keep = min doc_id). Output is the full keep/drop assignment."""
     t = load(spark, sf_dir)
     hashed = t.documents.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+        "doc_id", normalized_text_hash("text").alias("text_hash")
     )
     canon = hashed.groupBy("text_hash").agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size")

@@ -97,12 +97,10 @@ def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lexicon-overlap language ID: count stopword hits per language,
-    predict the argmax (deterministic tie order en>de>fr>es, 'und' when
-    all zero); reports agreement with the labeled lang column."""
-    t = load(spark, sf_dir)
-    d = _tok(t.documents)
+def stopword_scores(toks) -> dict:
+    """lang code -> stopword-hit-count Column over a token-array
+    expression. Shared by q_lang_id and curation's cleaning pipeline so
+    the decision rule exists exactly once."""
 
     # A two-parameter lambda would be treated as the (element, index)
     # binary form of F.filter, binding the index Column to the default —
@@ -110,22 +108,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _hits(ws: list[str]):
         return lambda s: s.isin(*ws)
 
+    return {
+        code: F.size(F.filter(toks, _hits(words)))
+        for code, words in STOPWORDS.items()
+    }
+
+
+def pred_lang_expr(scores: dict):
+    """Argmax language prediction from per-language score Columns:
+    deterministic tie order en>de>fr>es, 'und' when all zero — THE
+    language-ID decision rule (single definition; DuckDB oracles mirror
+    it as a CASE chain)."""
+    best = F.greatest(*scores.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(scores["en"] == best, F.lit("en"))
+        .when(scores["de"] == best, F.lit("de"))
+        .when(scores["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-overlap language ID: count stopword hits per language,
+    predict the argmax (deterministic tie order en>de>fr>es, 'und' when
+    all zero); reports agreement with the labeled lang column."""
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
     scores = d.select(
         "doc_id",
         "lang",
         *[
-            F.size(F.filter(F.col("toks"), _hits(words))).alias(f"score_{code}")
-            for code, words in STOPWORDS.items()
+            expr.alias(f"score_{code}")
+            for code, expr in stopword_scores(F.col("toks")).items()
         ],
     )
-    best = F.greatest(*[F.col(f"score_{c}") for c in STOPWORDS])
-    pred = (
-        F.when(best == 0, "und")
-        .when(F.col("score_en") == best, "en")
-        .when(F.col("score_de") == best, "de")
-        .when(F.col("score_fr") == best, "fr")
-        .otherwise("es")
-    )
+    pred = pred_lang_expr({c: F.col(f"score_{c}") for c in STOPWORDS})
     return scores.select(
         "doc_id",
         "lang",

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions import epoch_us
+from ..functions import normalized_text_hash, epoch_us
 
 #: Schema of the events stream as read from the raw files (ts arrives as
 #: int64 nanoseconds under the nanosAsLong read mode).
@@ -162,7 +162,7 @@ def dedup_group_table(documents: DataFrame) -> DataFrame:
     of complete-mode memory."""
     return (
         documents.select(
-            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+            "doc_id", normalized_text_hash("text").alias("text_hash")
         )
         .groupBy("text_hash")
         .agg(

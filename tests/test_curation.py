@@ -197,7 +197,8 @@ def test_mixture_rebalance_caps_expected_tokens(spark, sf_dir):
     assert rows
     kept_tok: dict = {}
     for r in rows:
-        want_rate = min(100, (curation.MIXTURE_TOKEN_CAP * 100) // tok[r.source])
+        res = curation.MIXTURE_RATE_RESOLUTION
+        want_rate = min(res, max(1, (curation.MIXTURE_TOKEN_CAP * res) // tok[r.source]))
         assert r.rate == want_rate
         assert r.bucket < r.rate
         kept_tok[r.source] = kept_tok.get(r.source, 0) + r.n_tokens

@@ -25,7 +25,10 @@ from beauty_lakehouse_spark.functions import (
 
 @settings(max_examples=150, deadline=None)
 @given(
-    n=st.integers(min_value=0, max_value=10**14),
+    # n*10^k stays under 2^53 so the final double cast is exact — the
+    # production domain (shares/averages, quotient <= a few thousand);
+    # beyond it the spec itself is double-rounded
+    n=st.integers(min_value=0, max_value=10**9),
     d=st.integers(min_value=1, max_value=10**10),
     k=st.integers(min_value=1, max_value=6),
 )

@@ -115,9 +115,29 @@ def test_sequence_packing_no_global_window_over_docs(spark, sf_dir):
     df = curation.q_sequence_packing(spark, sf_dir)
     plan = _plan(df)
     lines = plan.splitlines()
+
+    def _indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
     singles = [i for i, l in enumerate(lines) if "SinglePartition" in l]
     assert singles, plan
     for i in singles:
-        below = "\n".join(lines[i:])
-        # the single-partition branch must aggregate before exchanging
-        assert "HashAggregate" in below, plan
+        # walk ONLY this exchange's own subtree (deeper-indented lines)
+        base = _indent(lines[i])
+        subtree = []
+        for line in lines[i + 1:]:
+            if line.strip() and _indent(line) <= base:
+                break
+            subtree.append(line)
+        # inside the subtree, an aggregate must appear before any scan:
+        # the single-partition input is the aggregated bucket table,
+        # never raw document rows
+        agg_at = next(
+            (j for j, l in enumerate(subtree) if "HashAggregate" in l), None
+        )
+        scan_at = next(
+            (j for j, l in enumerate(subtree) if "FileScan" in l or "Scan parquet" in l),
+            None,
+        )
+        assert agg_at is not None, plan
+        assert scan_at is None or agg_at < scan_at, plan

@@ -154,6 +154,7 @@ def test_streaming_dedup_groups_multi_batch(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import normalized_text_hash
     from beauty_lakehouse_spark.streaming.pipelines import dedup_group_table
 
     docs = load(spark, sf_dir).documents
@@ -170,7 +171,7 @@ def test_streaming_dedup_groups_multi_batch(spark, sf_dir, tmp_path):
     got = run_available_now(dedup_group_table(stream), "t_dedup_multibatch")
     expected = (
         docs.select(
-            "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("text_hash")
+            "doc_id", normalized_text_hash("text").alias("text_hash")
         )
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
