@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "date_rule_violations": relational.q_date_rule_violations,
         "scalar_functions": relational.q_scalar_functions,
         "date_parse_roundtrip": relational.q_date_parse_roundtrip,
+        "urgent_order_customers": relational.q_urgent_order_customers,
+        "order_metrics_unpivot": relational.q_order_metrics_unpivot,
         # events / event-time windows (cheap, all oracle)
         "events_hourly": events.q_events_hourly,
         "events_sliding": events.q_events_sliding,
@@ -117,6 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": temporal.q_event_transitions,
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
+        "latest_event_per_user": events.q_latest_event_per_user,
+        "purchase_error_burst": temporal.q_purchase_error_burst,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
         "fact_sales_summary": warehouse.q_fact_sales_summary,
         "revenue_rollup": warehouse.q_revenue_rollup,
@@ -126,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_latency": warehouse.q_order_latency,
         "customer_order_gaps": warehouse.q_customer_order_gaps,
         "sales_cube": warehouse.q_sales_cube,
+        "sales_grouping_sets": warehouse.q_sales_grouping_sets,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
         "pricing_summary": warehouse.q_pricing_summary,
         "shipping_priority": warehouse.q_shipping_priority,
@@ -163,12 +168,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
+        "embedding_centroids": similarity.q_embedding_centroids,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
         # the v1->v2 CDC change feed (manifest-diff pruned)
         "merge_upsert_state": tables.q_merge_upsert_state,
         "merge_changes_feed": tables.q_merge_changes_feed,
         "incremental_agg_state": tables.q_incremental_agg_state,
+        # dedup endgame: candidates -> verify -> connected components ->
+        # canonical pick (oracle: recursive-CTE reachability)
+        "dedup_clusters": dedup.q_dedup_clusters,
         # quality report (oracle)
         "quality_report": _quality_report_query,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -615,6 +624,34 @@ def oracle_sql() -> dict[str, str]:
             "o_orderdate::DATE) AS INTEGER) AS gap_days FROM orders) "
             "SELECT * FROM g WHERE gap_days IS NOT NULL"
         ),
+        "urgent_order_customers": (
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "order_metrics_unpivot": (
+            "WITH w AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(count(*) AS DOUBLE) AS n_orders, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_price, "
+            "CAST(count(DISTINCT o_custkey) AS DOUBLE) AS n_customers "
+            "FROM orders GROUP BY 1) "
+            "SELECT order_year, 'n_orders' AS metric, n_orders AS value FROM w "
+            "UNION ALL "
+            "SELECT order_year, 'total_price', total_price FROM w "
+            "UNION ALL "
+            "SELECT order_year, 'n_customers', n_customers FROM w"
+        ),
+        "sales_grouping_sets": (
+            "SELECT coalesce(c_mktsegment, 'ALL') AS segment, "
+            "coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS order_year, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_sales, count(*) AS n_orders, "
+            "CAST(GROUPING(c_mktsegment, year(o_orderdate)) AS INTEGER) AS gid "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY GROUPING SETS ((c_mktsegment, year(o_orderdate)), "
+            "(c_mktsegment), (year(o_orderdate)), ())"
+        ),
         "sales_cube": (
             "SELECT coalesce(c_mktsegment, 'ALL') AS segment, "
             "coalesce(o_orderstatus, 'ALL') AS status, "
@@ -738,6 +775,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_a, doc_b, jaccard FROM scored "
             "ORDER BY jac_raw DESC, doc_a, doc_b LIMIT 20"
         ),
+        "dedup_clusters": (
+            # reachability closure via recursive CTE: every (node, label)
+            # pair with label reachable from node; min(label) = component
+            "WITH RECURSIVE "
+            + _SHINGLES_CTE
+            + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+            "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_common FROM shf a JOIN shf b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "jedges AS (SELECT doc_a, doc_b FROM common "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE 2 * n_common >= (sa.n_sh + sb.n_sh - n_common)), "
+            "h AS (SELECT doc_id, " + _nth() + " AS text_hash FROM documents), "
+            "c AS (SELECT text_hash, min(doc_id) AS keep_id "
+            "FROM h GROUP BY text_hash), "
+            "eedges AS (SELECT keep_id AS doc_a, doc_id AS doc_b "
+            "FROM h JOIN c USING (text_hash) WHERE doc_id <> keep_id), "
+            "und AS (SELECT * FROM jedges UNION SELECT * FROM eedges), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM und "
+            "UNION SELECT doc_b, doc_a FROM und), "
+            "reach(node, lbl) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+            "comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "csize AS (SELECT cluster_id, count(*) AS cluster_size "
+            "FROM comp GROUP BY cluster_id) "
+            "SELECT doc_id, cluster_id, cluster_size, "
+            "doc_id = cluster_id AS is_canonical "
+            "FROM comp JOIN csize USING (cluster_id)"
+        ),
         "minhash_signatures": (
             "WITH "
             + _MINHASH_CTE
@@ -859,6 +931,39 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "latest_event_per_user": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
+            "event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY us DESC, event_id DESC) AS rn FROM e) "
+            "SELECT user_id, us AS last_us, event_id AS last_event_id, "
+            "event_type AS last_event_type, CAST(v AS DOUBLE) AS last_value "
+            "FROM r WHERE rn = 1"
+        ),
+        "purchase_error_burst": (
+            "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us, "
+            "CAST(value AS DECIMAL(12,2)) AS v FROM events), "
+            "p AS (SELECT user_id, event_id, us FROM e "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.user_id, p.event_id, "
+            "CAST(count(r.us) AS BIGINT) AS n_errors_10min, "
+            "CAST(round(coalesce(sum(r.v), CAST(0 AS DECIMAL(12,2))), 2) "
+            "AS DOUBLE) AS error_value_10min "
+            "FROM p LEFT JOIN e r ON r.user_id = p.user_id "
+            "AND r.event_type = 'error' "
+            "AND r.us > p.us AND r.us <= p.us + 600000000 "
+            "GROUP BY p.user_id, p.event_id"
+        ),
+        "embedding_centroids": (
+            "WITH ex AS (SELECT label, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) t(i)) "  # fixture d=64 fixed
+            "SELECT label, dim, count(*) AS n_vectors, "
+            "CAST(sum(q) AS BIGINT) AS sum_q, "
+            "CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) "
+            "AS centroid FROM ex GROUP BY label, dim"
         ),
         "events_sliding": (
             "SELECT win_start_us, count(*) AS n_events, "

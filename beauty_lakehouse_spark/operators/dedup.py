@@ -456,3 +456,144 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests). May legitimately be empty on the near-random fixture."""
     t = load(spark, sf_dir)
     return embedding_neardup_pairs(spark, t.embeddings)
+
+
+#: Jaccard threshold for an edge in the near-dup graph. Compared in
+#: INTEGER arithmetic (2·common ≥ union) — bit-exact in any engine.
+CLUSTER_JACCARD_NUM = 1
+CLUSTER_JACCARD_DEN = 2  # threshold = 1/2
+
+
+def neardup_edges(documents: DataFrame) -> DataFrame:
+    """Undirected near-duplicate edge list (doc_a < doc_b): exact-dup
+    pairs (same normalized-text hash) ∪ posting-list candidates whose
+    word-3-gram Jaccard ≥ 1/2. The threshold test is integer
+    cross-multiplication — no floating point anywhere."""
+    hashed = documents.select(
+        "doc_id", normalized_text_hash("text").alias("text_hash")
+    )
+    canon = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    exact_edges = (
+        hashed.join(canon, "text_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(
+            F.col("keep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+    )
+    sh = shingles(documents)
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= JACCARD_MAX_DOC_FREQ)
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        posting.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    common = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac_edges = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            CLUSTER_JACCARD_DEN * F.col("n_common")
+            >= CLUSTER_JACCARD_NUM
+            * (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    return exact_edges.unionByName(jac_edges).distinct()
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label propagation to a fixpoint: every node's label converges
+    to the smallest node id reachable from it.
+
+    ``nodes`` must have column ``id``; ``edges`` columns ``src``/``dst``
+    (one direction suffices — both are generated here).
+
+    Scale notes: each round is two equi-joins + one aggregate; labels
+    are ``localCheckpoint``ed per round so iteration k's plan does not
+    embed the previous k−1 plans (bounded lineage — same policy as
+    pagerank). Convergence is O(log diameter), not O(diameter): besides
+    one-hop neighbor propagation, each round also POINTER-DOUBLES
+    (label ← label-of-label), so the distance a small label has
+    traveled doubles every round — a million-node chain (adversarial
+    near-dup data: quoted quotes of quotes) converges in ~20 rounds.
+    This is the shortcutting idea of large-star/small-star CC."""
+    both = edges.select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    both = both.localCheckpoint(eager=False)
+    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
+    prev_sig = None
+    for _ in range(max_iter):
+        # (1) neighbor's current label, propagated one hop
+        neigh = both.join(labels, both.b == labels.id).select(
+            F.col("a").alias("id"), "comp"
+        )
+        # (2) pointer doubling: my label's label
+        l2 = labels.select(
+            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+        )
+        short = labels.join(l2, labels.comp == F.col("jid")).select(
+            "id", F.col("jcomp").alias("comp")
+        )
+        prop = (
+            neigh.unionByName(short)
+            .unionByName(labels)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        ).localCheckpoint(eager=False)
+        # convergence signature: labels only ever decrease, so
+        # sum(comp) strictly decreases until the fixpoint — one cheap
+        # scalar aggregate per round instead of a join-with-previous
+        # (this same action materializes the lazy checkpoint)
+        sig = prop.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+        labels = prop
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: candidates → verify → CLUSTER →
+    canonical pick. Connected components over the near-dup edge graph
+    (exact-dup ∪ Jaccard ≥ 1/2), cluster id = min doc_id in the
+    component, canonical = that doc. Singleton docs are their own
+    cluster. Oracle: DuckDB recursive CTE reachability."""
+    t = load(spark, sf_dir)
+    nodes = t.documents.select(F.col("doc_id").alias("id"))
+    edges = neardup_edges(t.documents).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "comp").select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        "cluster_size",
+        (F.col("id") == F.col("comp")).alias("is_canonical"),
+    )

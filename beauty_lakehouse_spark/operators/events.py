@@ -217,3 +217,33 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-newest-per-key dedupe — the CDC "latest state" compaction
+    every upsert log needs.
+
+    Scale shape: NOT a row_number window (full per-key sort of every
+    row). ``max(struct(ts, id, payload...))`` is an ordinary hash
+    aggregate with map-side partial merge: each task keeps one struct
+    per key, the shuffle moves #keys rows, not #events. Struct
+    comparison is lexicographic, so (us, event_id) orders by time with
+    the unique id as tiebreak."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        F.struct(
+            epoch_us("ts").alias("us"),
+            "event_id",
+            "event_type",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+        ).alias("s"),
+    )
+    last = e.groupBy("user_id").agg(F.max("s").alias("s"))
+    return last.select(
+        "user_id",
+        F.col("s.us").alias("last_us"),
+        F.col("s.event_id").alias("last_event_id"),
+        F.col("s.event_type").alias("last_event_type"),
+        F.col("s.v").cast("double").alias("last_value"),
+    )

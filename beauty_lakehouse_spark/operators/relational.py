@@ -371,3 +371,43 @@ def q_repeat_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.join(
         t.customer.select("c_custkey", "c_name", "c_mktsegment"), "c_custkey"
     )
+
+
+def q_urgent_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join — existence filter without row duplication: the
+    customers that placed at least one 1-URGENT order. Semi joins are
+    the scale-right EXISTS: the build side deduplicates to distinct
+    keys during the join (no multiplication by match count, no
+    post-join distinct over an exploded intermediate)."""
+    t = load(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide per-year metrics into long (year, metric,
+    value) form, the reshaping step reporting layers need. Spark's
+    ``unpivot`` is a zero-shuffle Expand over the already-aggregated
+    (bounded) wide table; all heavy lifting happened in the one
+    aggregate before it."""
+    t = load(spark, sf_dir)
+    wide = (
+        t.orders.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_orders"),
+            F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias(
+                "total_price"
+            ),
+            F.countDistinct("o_custkey").cast("double").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ["order_year"],
+        ["n_orders", "total_price", "n_customers"],
+        "metric",
+        "value",
+    )

@@ -415,3 +415,43 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings,
         k=5,
     )
+
+
+#: Centroid fixed-point scale: embeddings are quantized to integer
+#: millionths before summation so the aggregate is order-independent
+#: and cross-engine exact (float sums are neither).
+CENTROID_SCALE = 1_000_000
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column at fixed precision —
+    the class-prototype / cluster-summary aggregate of a vector corpus.
+
+    Exactness: each float is widened to double (lossless), scaled to
+    integer millionths with half-up rounding (floor(x·1e6 + 0.5) —
+    IEEE-identical in any engine), summed as BIGINT (associative,
+    order-independent). The centroid is then ONE IEEE division of two
+    exactly-representable integers — bit-deterministic in any engine.
+    A naive avg(float) sum depends on partition order and would never
+    hash-match an oracle.
+
+    Scale shape: posexplode → groupBy(label, dim) is one shuffle of
+    n·d narrow rows with full map-side combine; output is
+    |labels|·d rows. No collect_list, no per-group arrays."""
+    t = load(spark, sf_dir)
+    exploded = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * CENTROID_SCALE + F.lit(0.5))
+        .alias("q"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("q").alias("sum_q"),
+        (
+            F.sum("q").cast("double")
+            / (F.count(F.lit(1)) * CENTROID_SCALE).cast("double")
+        ).alias("centroid"),
+    )

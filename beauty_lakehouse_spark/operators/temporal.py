@@ -157,3 +157,93 @@ def q_events_preceding_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_prev_5min"),
     )
+
+
+RANGE_10MIN_US = 10 * 60 * 1_000_000
+
+
+def range_join_counts(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window_us: int,
+) -> DataFrame:
+    """Interval/range join, binned: for each left row, the right rows
+    with ``left_ts < right_ts <= left_ts + window_us`` on the same key,
+    pre-aggregated to (n_matches, sum value).
+
+    The naive encoding is an inequality join — Spark plans it as a
+    per-key nested loop, O(left×right) within each key. The scale-safe
+    form bins the time axis at the window width: a right row in bucket
+    b can only match left rows in buckets b-1 and b, so joining on
+    (key, bucket) with the left side expanded to 2 buckets bounds the
+    candidate set to an equi-join, then the exact range predicate
+    filters residuals. Shuffle volume: 2×|left| + |right| rows on a
+    composite key — no quadratic blowup, skew bounded by events per
+    key per window."""
+    # integer division (`div`), never double `/`: at 100 TB the epoch-µs
+    # values are large enough that an IEEE quotient can round up across
+    # a bucket boundary and silently drop a match
+    lb = F.expr(f"{left_ts} div {window_us}")
+    l2 = left.select(
+        key,
+        F.col(left_ts).alias("__l_us"),
+        F.explode(F.array(lb, lb + 1)).alias("__bucket"),
+    )
+    r2 = right.select(
+        key,
+        F.col(right_ts).alias("__r_us"),
+        F.col("value").cast("decimal(12,2)").alias("__v"),
+        F.expr(f"{right_ts} div {window_us}").alias("__bucket"),
+    )
+    matched = l2.join(r2, [key, "__bucket"]).filter(
+        (F.col("__r_us") > F.col("__l_us"))
+        & (F.col("__r_us") <= F.col("__l_us") + window_us)
+    )
+    return matched.groupBy(key, "__l_us").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.sum("__v").alias("sum_value"),
+    )
+
+
+def q_purchase_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join in anger: for every purchase event, how many error
+    events (and their total value) the same user produced in the 10
+    minutes right after it — zeros kept via a left join back to the
+    purchase spine. Oracle: the equivalent SQL inequality join."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us"), "value"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    errors = e.filter(F.col("event_type") == "error")
+    # both sides derive from the same scan: rename the agg's key columns
+    # so the re-join is unambiguous (and Catalyst can't confuse lineage)
+    agg = range_join_counts(
+        purchases, errors, key="user_id", left_ts="us", right_ts="us",
+        window_us=RANGE_10MIN_US,
+    ).select(
+        F.col("user_id").alias("__k"),
+        F.col("__l_us").alias("__p_us"),
+        "n_matches",
+        "sum_value",
+    )
+    return (
+        purchases.join(
+            agg,
+            (purchases.user_id == F.col("__k")) & (purchases.us == F.col("__p_us")),
+            "left",
+        )
+        .select(
+            purchases.user_id,
+            "event_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_errors_10min"),
+            F.round(
+                F.coalesce(F.col("sum_value"), F.lit(0).cast("decimal(12,2)")), 2
+            )
+            .cast("double")
+            .alias("error_value_10min"),
+        )
+    )

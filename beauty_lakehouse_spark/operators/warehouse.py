@@ -349,3 +349,40 @@ def q_order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").alias("value"),
         )
     )
+
+
+def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((segment, year), (segment), (year), ()) —
+    the general form behind rollup/cube, exercised directly via the
+    DataFrame ``groupingSets`` API (Spark 4). One shuffle through the
+    Expand operator: each input row is replicated once per set with the
+    ungrouped keys nulled, then a single partial-merge hash aggregate —
+    cheaper than unioning 4 per-level aggregates (4 scans, 4 shuffles).
+
+    ``grouping_id`` disambiguates real NULL keys from subtotal rows
+    (none here: keys are non-null, coalesced to 'ALL'/-1 for display)."""
+    t = load(spark, sf_dir)
+    j = t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        "o_totalprice",
+    )
+    return (
+        j.groupingSets(
+            [["c_mktsegment", "order_year"], ["c_mktsegment"], ["order_year"], []],
+            "c_mktsegment",
+            "order_year",
+        )
+        .agg(
+            money_sum(dec2("o_totalprice")).alias("total_sales"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            F.coalesce(F.col("order_year"), F.lit(-1)).alias("order_year"),
+            "total_sales",
+            "n_orders",
+            "gid",
+        )
+    )

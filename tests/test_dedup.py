@@ -141,3 +141,36 @@ def test_pagerank_plan_depth_bounded(spark, sf_dir):
 
     p2, p6 = plan_len(2), plan_len(6)
     assert p6 < p2 * 2, (p2, p6)
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node path collapses to one component labeled by its min node
+    even when convergence needs multiple propagation rounds; isolated
+    nodes stay their own component."""
+    from beauty_lakehouse_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    # path 4-3-2-1-0 (needs ~4 rounds for 4 to learn 0) + edge 6-7
+    edges = spark.createDataFrame(
+        [(4, 3), (3, 2), (2, 1), (1, 0), (6, 7)], ["src", "dst"]
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(nodes, edges).collect()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6}
+
+
+def test_dedup_clusters_plan_depth_bounded(spark):
+    """The CC loop localCheckpoints per round — the final plan must not
+    embed one join per iteration (bounded lineage, same policy as
+    pagerank)."""
+    from beauty_lakehouse_spark.operators.dedup import connected_components
+
+    nodes = spark.range(4096).selectExpr("id")
+    edges = spark.range(4095).selectExpr("id AS src", "id + 1 AS dst")
+    # a 4096-node path: one-hop propagation alone would need 4095
+    # rounds; pointer doubling must converge in ~log2(4096)+slack
+    out = connected_components(nodes, edges, max_iter=16)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # a checkpointed plan reads from scan/in-memory nodes; an
+    # unbounded-lineage plan would contain tens of joins
+    assert plan.count("Join") <= 2, plan
+    assert out.filter("comp != 0").count() == 0

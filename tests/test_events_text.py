@@ -106,3 +106,45 @@ def test_cohort_retention_identities(spark, sf_dir):
     for r in rows:
         assert r.week_offset >= 0
         assert r.n_active <= zero[r.cohort_week]
+
+
+def test_latest_event_equals_window_form(spark, sf_dir):
+    """max(struct) newest-per-key must agree with the row_number window
+    form row for row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import epoch_us
+    from beauty_lakehouse_spark.operators.events import q_latest_event_per_user
+
+    got = {
+        r["user_id"]: (r["last_us"], r["last_event_id"])
+        for r in q_latest_event_per_user(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir).events.select(
+        "user_id", "event_id", epoch_us("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    want = {
+        r["user_id"]: (r["us"], r["event_id"])
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == want
+
+
+def test_latest_event_plan_has_no_window_sort(spark, sf_dir):
+    """The newest-per-key compaction must be a partial-merge hash
+    aggregate, not a per-key sort: no Window/Sort operator in the plan."""
+    from beauty_lakehouse_spark.operators.events import q_latest_event_per_user
+
+    plan = (
+        q_latest_event_per_user(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan or "HashAggregate" in plan, plan

@@ -138,3 +138,22 @@ def test_ivf_plan_depth_bounded_and_consistent(spark, sf_dir):
         .count()
     )
     assert mismatches == 0
+
+
+def test_embedding_centroids_mass_and_scale(spark, sf_dir):
+    """Centroid identities: per-label vector counts sum to the corpus
+    size on every dim, and centroid == sum_q / (n·1e6) exactly."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        CENTROID_SCALE,
+        q_embedding_centroids,
+    )
+
+    rows = q_embedding_centroids(spark, sf_dir).collect()
+    n_total = load(spark, sf_dir).embeddings.count()
+    dims = {r["dim"] for r in rows}
+    assert dims == set(range(1, 65))
+    for d in (1, 32, 64):
+        assert sum(r["n_vectors"] for r in rows if r["dim"] == d) == n_total
+    for r in rows:
+        assert r["centroid"] == r["sum_q"] / (r["n_vectors"] * CENTROID_SCALE)

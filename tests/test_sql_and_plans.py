@@ -141,3 +141,50 @@ def test_sequence_packing_no_global_window_over_docs(spark, sf_dir):
         )
         assert agg_at is not None, plan
         assert scan_at is None or agg_at < scan_at, plan
+
+
+def test_grouping_sets_levels_consistent(spark, sf_dir):
+    """GROUPING SETS output: every level present, grand total equals the
+    sum of the (segment, year) leaves, and gid disambiguates levels."""
+    from beauty_lakehouse_spark.operators.warehouse import q_sales_grouping_sets
+
+    rows = q_sales_grouping_sets(spark, sf_dir).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}
+    leaves = [r for r in rows if r["gid"] == 0]
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1
+    assert total[0]["n_orders"] == sum(r["n_orders"] for r in leaves)
+    assert abs(
+        total[0]["total_sales"] - sum(r["total_sales"] for r in leaves)
+    ) < 1e-6 * max(1.0, abs(total[0]["total_sales"]))
+    # one Expand, one aggregate — not a union of per-level plans
+    plan = (
+        q_sales_grouping_sets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Expand") == 1, plan
+    assert "Union" not in plan, plan
+
+
+def test_unpivot_long_form_round_trip(spark, sf_dir):
+    """unpivot emits exactly one row per (year, metric) and preserves
+    the wide values."""
+    from beauty_lakehouse_spark.operators.relational import (
+        q_order_metrics_unpivot,
+    )
+
+    rows = q_order_metrics_unpivot(spark, sf_dir).collect()
+    years = {r["order_year"] for r in rows}
+    metrics = {r["metric"] for r in rows}
+    assert metrics == {"n_orders", "total_price", "n_customers"}
+    assert len(rows) == len(years) * 3
+    by = {(r["order_year"], r["metric"]): r["value"] for r in rows}
+    # n_orders must be a positive integer-valued double for every year
+    assert all(
+        v > 0 and v == int(v)
+        for (y, m), v in by.items()
+        if m == "n_orders"
+    )

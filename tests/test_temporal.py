@@ -3,6 +3,8 @@ its one-shuffle plan property."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from beauty_lakehouse_spark.operators.temporal import asof_join
 
 
@@ -37,3 +39,41 @@ def test_asof_join_no_row_explosion(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert df.count() == 100
+
+
+def test_range_join_boundary_exactness(spark):
+    """(l, l+W] semantics: right at exactly l excluded, at l+W included,
+    and matches crossing a bucket boundary are found."""
+    from beauty_lakehouse_spark.operators.temporal import range_join_counts
+
+    W = 100
+    left = spark.createDataFrame([(1, 95), (1, 400)], ["k", "us"])
+    right = (
+        spark.createDataFrame(
+            # 95: == l (excluded); 96,120: in (95,195] incl. cross-bucket
+            # 195: == l+W (included); 400: == l2 (excluded); 501: > l2+W
+            [(1, 95), (1, 96), (1, 120), (1, 195), (1, 400), (1, 501)],
+            ["k", "us"],
+        ).withColumn("value", F.lit(1.0))
+    )
+    out = {
+        r["us"]: r["n_matches"]
+        for r in range_join_counts(left, right, "k", "us", "us", W)
+        .withColumnRenamed("__l_us", "us")
+        .collect()
+    }
+    assert out == {95: 3}  # 96, 120, 195; the 400-left row has no match
+
+
+def test_range_join_no_duplicate_matches(spark):
+    """A right row never matches the same left row twice even though the
+    left side is exploded into two buckets."""
+    from beauty_lakehouse_spark.operators.temporal import range_join_counts
+
+    left = spark.createDataFrame([(1, 100)], ["k", "us"])
+    right = spark.createDataFrame([(1, 150)], ["k", "us"]).withColumn(
+        "value", F.lit(2.0)
+    )
+    rows = range_join_counts(left, right, "k", "us", "us", 100).collect()
+    assert len(rows) == 1 and rows[0]["n_matches"] == 1
+    assert float(rows[0]["sum_value"]) == 2.0
