@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup endgame: candidates -> verify -> connected components ->
         # canonical pick (oracle: recursive-CTE reachability)
         "dedup_clusters": dedup.q_dedup_clusters,
+        # continuous-ingest dedup: new batch vs existing corpus
+        "dedup_incremental": dedup.q_dedup_incremental,
         # quality report (oracle)
         "quality_report": _quality_report_query,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -809,6 +811,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, cluster_id, cluster_size, "
             "doc_id = cluster_id AS is_canonical "
             "FROM comp JOIN csize USING (cluster_id)"
+        ),
+        "dedup_incremental": (
+            "WITH "
+            + _SHINGLES_CTE
+            + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+            "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
+            "common AS (SELECT n.doc_id AS doc_id, o.doc_id AS corpus_id, "
+            "count(*) AS n_common FROM shf n JOIN shf o "
+            "ON n.shingle = o.shingle "
+            "WHERE n.doc_id >= 400 AND o.doc_id < 400 GROUP BY 1, 2), "
+            "near AS (SELECT c.doc_id, min(c.corpus_id) AS matched_id, "
+            "'near' AS reason FROM common c "
+            "JOIN sizes sn ON sn.doc_id = c.doc_id "
+            "JOIN sizes so ON so.doc_id = c.corpus_id "
+            "WHERE 2 * n_common >= (sn.n_sh + so.n_sh - n_common) "
+            "GROUP BY c.doc_id), "
+            "h AS (SELECT doc_id, " + _nth() + " AS text_hash FROM documents), "
+            "ch AS (SELECT text_hash, min(doc_id) AS matched_id FROM h "
+            "WHERE doc_id < 400 GROUP BY text_hash), "
+            "ex AS (SELECT b.doc_id, ch.matched_id, 'exact' AS reason "
+            "FROM h b JOIN ch USING (text_hash) WHERE b.doc_id >= 400), "
+            "u AS (SELECT * FROM ex UNION ALL SELECT * FROM near), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY reason, matched_id) AS rn FROM u) "
+            "SELECT doc_id, matched_id, reason FROM r WHERE rn = 1"
         ),
         "minhash_signatures": (
             "WITH "

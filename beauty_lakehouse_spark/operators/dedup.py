@@ -597,3 +597,122 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.col("id") == F.col("comp")).alias("is_canonical"),
     )
+
+
+#: Batch boundary for the incremental-dedup demo query: docs below are
+#: the "existing corpus", docs at/above are the "incoming batch".
+INCREMENTAL_SPLIT_ID = 400
+
+
+def incremental_dedup(
+    corpus: DataFrame, batch: DataFrame
+) -> DataFrame:
+    """Continuous-ingest dedup: which incoming-batch docs duplicate the
+    EXISTING corpus (exact normalized-text match, or word-3-gram
+    Jaccard ≥ 1/2 via posting lists) — the decision a daily training-
+    data ingest runs before appending.
+
+    Scale shape: candidates are generated from ONE shared posting list
+    with each list split into (corpus docs × batch docs) — only
+    cross-side pairs are ever materialized (batch×batch and
+    corpus×corpus pairs are skipped entirely, unlike a full self-join
+    dedup). Cost is proportional to the batch's shingle postings, not
+    the corpus size; the corpus side would be a pre-built inverted
+    index at scale.
+
+    Returns one row per dropped batch doc: (doc_id, matched_id, reason)
+    with the smallest matching corpus doc and reason ∈ {exact, near}
+    (exact wins when both hold)."""
+    corpus = corpus.select("doc_id", "text")
+    batch = batch.select("doc_id", "text")
+    # exact: batch text-hash seen in corpus (min corpus doc per hash)
+    ch = corpus.select(
+        normalized_text_hash("text").alias("text_hash"),
+        F.col("doc_id").alias("corpus_id"),
+    ).groupBy("text_hash").agg(F.min("corpus_id").alias("matched_id"))
+    bh = batch.select(
+        "doc_id", normalized_text_hash("text").alias("text_hash")
+    )
+    exact = bh.join(ch, "text_hash").select(
+        "doc_id", "matched_id", F.lit("exact").alias("reason")
+    )
+    # near: posting lists over corpus ∪ batch, pairs only across sides
+    tagged = corpus.withColumn("is_new", F.lit(False)).unionByName(
+        batch.withColumn("is_new", F.lit(True))
+    )
+    sh = shingles(tagged.select("doc_id", "text"))
+    side = tagged.select("doc_id", "is_new")
+    posting = (
+        sh.join(side, "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(~F.col("is_new"), F.col("doc_id")))
+            ).alias("old_docs"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("is_new"), F.col("doc_id")))
+            ).alias("new_docs"),
+        )
+        .filter(
+            (F.size("old_docs") + F.size("new_docs")) <= JACCARD_MAX_DOC_FREQ
+        )
+        .localCheckpoint(eager=False)
+    )
+    sizes = (
+        posting.select(
+            F.explode(F.concat("old_docs", "new_docs")).alias("doc_id")
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
+    cross = F.flatten(
+        F.transform(
+            F.col("new_docs"),
+            lambda n: F.transform(
+                F.col("old_docs"),
+                lambda o: F.struct(n.alias("doc_id"), o.alias("corpus_id")),
+            ),
+        )
+    )
+    common = (
+        posting.filter((F.size("old_docs") >= 1) & (F.size("new_docs") >= 1))
+        .select(F.explode(cross).alias("p"))
+        .select("p.doc_id", "p.corpus_id")
+        .groupBy("doc_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sn = sizes.select(F.col("doc_id"), F.col("n_sh").alias("nn"))
+    so = sizes.select(
+        F.col("doc_id").alias("corpus_id"), F.col("n_sh").alias("no")
+    )
+    near = (
+        common.join(sn, "doc_id")
+        .join(so, "corpus_id")
+        .filter(
+            CLUSTER_JACCARD_DEN * F.col("n_common")
+            >= CLUSTER_JACCARD_NUM
+            * (F.col("nn") + F.col("no") - F.col("n_common"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("corpus_id").alias("matched_id"))
+        .select("doc_id", "matched_id", F.lit("near").alias("reason"))
+    )
+    # exact wins when a doc matches both ways; otherwise smallest
+    # matched_id ("exact" < "near" sorts first in the struct)
+    return (
+        exact.unionByName(near)
+        .groupBy("doc_id")
+        .agg(F.min(F.struct("reason", "matched_id")).alias("m"))
+        .select("doc_id", F.col("m.matched_id").alias("matched_id"),
+                F.col("m.reason").alias("reason"))
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`incremental_dedup` on the fixture
+    corpus split at doc_id 400. Oracle: SQL mirror of both match paths."""
+    t = load(spark, sf_dir)
+    corpus = t.documents.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
+    batch = t.documents.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
+    return incremental_dedup(corpus, batch)

@@ -41,6 +41,7 @@ HEADLINE = [
     "corpus_cleaning_report", # composed dedup/lang/quality decision
     "decontaminate",          # train x test posting-list 3-gram join
     "sequence_packing",       # two-level global prefix sum
+    "dedup_clusters",         # near-dup graph connected components
 ]
 
 

@@ -174,3 +174,32 @@ def test_dedup_clusters_plan_depth_bounded(spark):
     # unbounded-lineage plan would contain tens of joins
     assert plan.count("Join") <= 2, plan
     assert out.filter("comp != 0").count() == 0
+
+
+def test_incremental_dedup_planted(spark):
+    """Planted case: exact dup, near dup (1-word delta), fresh doc, and
+    a batch-internal dup that must NOT be dropped (only corpus matches
+    count)."""
+    from beauty_lakehouse_spark.operators.dedup import incremental_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(0, base), (1, "one two three four five six seven eight")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, base),                                   # exact dup of 0
+            (101, base.replace("kappa", "lambda")),        # near dup of 0
+            (102, "complete different words entirely here novel"),
+            (103, "complete different words entirely here novel"),  # dup of 102 only
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["matched_id"], r["reason"])
+        for r in incremental_dedup(corpus, batch).collect()
+    }
+    assert out[100] == (0, "exact")
+    assert out[101] == (0, "near")
+    assert 102 not in out and 103 not in out
