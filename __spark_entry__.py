@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_per_type": relational.q_parts_per_type,
         "null_profile_orders": relational.q_null_profile_orders,
         "events_by_type": relational.q_events_by_type,
+        "events_by_type_salted": relational.q_events_by_type_salted,
         "duplicate_orderkeys": relational.q_duplicate_orderkeys,
         "repeat_customers": relational.q_repeat_customers,
         "ri_orphan_lineitems": relational.q_ri_orphan_lineitems,
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_type_pivot": events.q_user_type_pivot,
         "latest_event_per_user": events.q_latest_event_per_user,
         "purchase_error_burst": temporal.q_purchase_error_burst,
+        "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
         "fact_sales_summary": warehouse.q_fact_sales_summary,
         "revenue_rollup": warehouse.q_revenue_rollup,
@@ -131,6 +133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_gaps": warehouse.q_customer_order_gaps,
         "sales_cube": warehouse.q_sales_cube,
         "sales_grouping_sets": warehouse.q_sales_grouping_sets,
+        "customer_spend_ntile": warehouse.q_customer_spend_ntile,
+        "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
+        "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
         "pricing_summary": warehouse.q_pricing_summary,
         "shipping_priority": warehouse.q_shipping_priority,
@@ -155,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": text.q_doc_fingerprint,
         "pii_scan": text.q_pii_scan,
         "repetition_stats": text.q_repetition_stats,
+        "fuzzy_part_names": text.q_fuzzy_part_names,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
@@ -187,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_sessions_streamed": _q_events_sessions_streamed,
         "dedup_groups_streamed": _q_dedup_groups_streamed,
+        "latest_event_streamed": _q_latest_event_streamed,
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact
@@ -249,6 +256,23 @@ def _q_dedup_groups_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         dedup_group_table(stream_documents(spark, sf_dir)),
         f"gate_dedup_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_latest_event_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming newest-per-key drain behind q_latest_event_per_user's
+    oracle (complete-mode max(struct) is slicing-invariant)."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        latest_event_table,
+        run_available_now,
+        stream_events,
+    )
+
+    return run_available_now(
+        latest_event_table(stream_events(spark, sf_dir)),
+        f"gate_latest_{uuid.uuid4().hex[:8]}",
     )
 
 
@@ -960,6 +984,65 @@ def oracle_sql() -> dict[str, str]:
             "AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "events_by_type_salted": (
+            # the SAME answer as the direct groupBy — salting is plan-
+            # level only (the oracle proves result transparency)
+            "SELECT event_type, count(*) AS n_events, "
+            "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_value FROM events GROUP BY event_type"
+        ),
+        "rolling_distinct_users": (
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "days AS (SELECT DISTINCT day FROM d) "
+            "SELECT days.day, count(DISTINCT d.user_id) AS n_users_7d "
+            "FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day "
+            "GROUP BY days.day"
+        ),
+        "customer_spend_ntile": (
+            "WITH s AS (SELECT o_custkey, "
+            "round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS spend_dec "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT o_custkey, CAST(spend_dec AS DOUBLE) AS total_spend, "
+            "CAST(ntile(10) OVER (ORDER BY spend_dec DESC, o_custkey) "
+            "AS INTEGER) AS decile FROM s"
+        ),
+        "orders_above_customer_avg": (
+            "WITH a AS (SELECT o_custkey, count(*) AS n, "
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) "
+            "AS s FROM orders GROUP BY o_custkey) "
+            "SELECT o.o_custkey, o_orderkey, o_totalprice "
+            "FROM orders o JOIN a USING (o_custkey) "
+            "WHERE CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT) "
+            "* n > s"
+        ),
+        "revenue_moving_avg": (
+            "WITH m AS (SELECT "
+            "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INTEGER) "
+            "AS month_key, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) "
+            "AS rev_cents, count(*) AS n_orders FROM orders GROUP BY 1) "
+            "SELECT month_key, n_orders, "
+            "CAST(rev_cents AS DOUBLE) / 100.0 AS revenue, "
+            + _hud(
+                "sum(rev_cents) OVER (ORDER BY month_key "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)",
+                "(count(*) OVER (ORDER BY month_key "
+                "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100",
+                4,
+            )
+            + " AS moving_avg_3m FROM m"
+        ),
+        "fuzzy_part_names": (
+            "WITH n AS (SELECT p_partkey, p_name, "
+            "string_split(p_name, ' ')[1] AS block FROM part) "
+            "SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, "
+            "CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist "
+            "FROM n a JOIN n b ON a.block = b.block "
+            "AND a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
+            "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
         "latest_event_per_user": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
             "event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events), "
@@ -1121,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
     # the streaming drains are hash-checked against their batch twins'
     # oracles — streaming == batch == independent-engine SQL
     out["events_hourly_streamed"] = out["events_hourly"]
+    out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_sessions_streamed"] = out["events_sessions"]
     out["dedup_groups_streamed"] = (
         "SELECT " + _nth() + " AS text_hash, "

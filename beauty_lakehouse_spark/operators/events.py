@@ -247,3 +247,47 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.event_type").alias("last_event_type"),
         F.col("s.v").cast("double").alias("last_value"),
     )
+
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) Spark windows cannot express directly (distinct
+    aggregates are unsupported over frames).
+
+    The scale-safe encoding: reduce to DISTINCT (user, day) pairs
+    first, then each pair votes for the ≤7 window END days it belongs
+    to (explode of a 7-element sequence — linear fan-out, bounded by
+    the window length), then one countDistinct per end day. Shuffles:
+    pair-distinct + final groupBy. The inequality-join form (days ⋈
+    pairs ON day BETWEEN end-6 AND end) the oracle uses would be a
+    per-key nested loop at scale."""
+    t = load(spark, sf_dir)
+    pairs = (
+        t.events.select(
+            "user_id",
+            F.expr(
+                f"unix_micros(CAST(ts AS TIMESTAMP)) div {86_400_000_000}"
+            ).alias("day"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed by votes + day spine
+    )
+    days = pairs.select("day").distinct()
+    votes = pairs.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + (ROLLING_WINDOW_DAYS - 1)
+            )
+        ).alias("end_day"),
+    )
+    counted = votes.groupBy("end_day").agg(
+        F.countDistinct("user_id").alias("n_users_7d")
+    )
+    # only days that actually occur in the data form the report spine
+    return counted.join(
+        days, counted.end_day == days.day, "left_semi"
+    ).select(F.col("end_day").alias("day"), "n_users_7d")

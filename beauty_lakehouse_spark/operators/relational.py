@@ -411,3 +411,28 @@ def q_order_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+def q_events_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_by_type through the SKEW-SAFE two-phase salted aggregate
+    — registered behind the same oracle as the direct groupBy to prove
+    salting is result-transparent (sum/count are associative, so the
+    (key, salt) partial merge changes the plan, never the answer).
+    This is the shape to swap in when one key carries a double-digit
+    share of a 100 TB table and map-side combine alone can't flatten
+    the hot reducer."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type", F.col("value").cast("decimal(12,2)").alias("v")
+    )
+    out = salted_agg(
+        e,
+        keys=["event_type"],
+        sums={"total_value": F.col("v")},
+        count_alias="n_events",
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    )

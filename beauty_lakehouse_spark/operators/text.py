@@ -311,3 +311,52 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_grams") - F.col("n_distinct_grams")) * 5 > F.col("n_grams"),
         )
     )
+
+
+FUZZY_MAX_DISTANCE = 4
+
+
+def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching with blocking: part-name pairs within
+    edit distance ≤ 4, generated per first-token block — the
+    entity-resolution primitive.
+
+    Levenshtein is quadratic per pair and all-pairs is quadratic in n;
+    blocking bounds the candidate set to within-block combinations
+    (same posting-list shape as the dedup families — ONE groupBy
+    collects each block, pairs come from the grouped array, no
+    self-join). At 100 TB the block key would be a cheap canopy
+    (first token, soundex, or a q-gram MinHash); the verify step is
+    unchanged."""
+    from ..operators.dedup import _bucket_pairs
+
+    t = load(spark, sf_dir)
+    named = t.part.select("p_partkey", "p_name").localCheckpoint(eager=False)
+    blocked = named.select(
+        F.split("p_name", " ").getItem(0).alias("block"), "p_partkey"
+    )
+    pairs = _bucket_pairs(blocked, ["block"], "p_partkey")
+    a = named.select(
+        F.col("p_partkey").alias("doc_a"), F.col("p_name").alias("name_a")
+    )
+    b = named.select(
+        F.col("p_partkey").alias("doc_b"), F.col("p_name").alias("name_b")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.col("doc_a").alias("part_a"),
+            F.col("doc_b").alias("part_b"),
+            F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        )
+        .filter(
+            (F.col("edit_dist") <= FUZZY_MAX_DISTANCE)
+            & (F.col("edit_dist") > 0)
+        )
+        # bounded deterministic report: closest pairs first (TakeOrdered
+        # — no full sort); the fixture names are dense enough that the
+        # unbounded pair list is ~n²/blocks rows
+        .orderBy(F.asc("edit_dist"), F.asc("part_a"), F.asc("part_b"))
+        .limit(200)
+    )

@@ -386,3 +386,73 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid",
         )
     )
+
+
+def q_customer_spend_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment over customer lifetime spend (ntile(10), fully
+    deterministic via (spend desc, custkey) ordering). The window runs
+    over the AGGREGATED per-customer table — one row per customer, not
+    per order — so the unpartitioned sort is |customers| rows; at scale
+    where that still overflows one reducer, the bucket-count selection
+    used by order_value_percentiles generalizes to decile boundaries."""
+    t = load(spark, sf_dir)
+    spend = t.orders.groupBy("o_custkey").agg(
+        F.round(F.sum(dec2("o_totalprice")), 2).alias("spend_dec")
+    )
+    w = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
+    return spend.select(
+        "o_custkey",
+        F.col("spend_dec").cast("double").alias("total_spend"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-subquery shape (orders costlier than their
+    customer's average) in one window pass — no self-join, no
+    re-aggregation. The comparison is exact integer cross-
+    multiplication (price·n > Σprice in cents), sidestepping the
+    avg's division entirely."""
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey")
+    cents = (dec2("o_totalprice") * 100).cast("decimal(38,0)")
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            (F.count(F.lit(1)).over(w) * cents).alias("lhs"),
+            F.sum(cents).over(w).alias("rhs"),
+        )
+        .filter(F.col("lhs") > F.col("rhs"))
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-grain revenue trend with a trailing 3-month moving average.
+    All heavy lifting is the monthly pre-aggregate (partial-merge, one
+    shuffle); the trailing window then runs over ~tens of month rows —
+    a bounded single-partition sort by construction, not a
+    low-cardinality-window trap. Cents stay integer until the final
+    half-up division."""
+    t = load(spark, sf_dir)
+    monthly = t.orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month_key")
+    ).agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month_key").rowsBetween(-2, 0)
+    return monthly.select(
+        "month_key",
+        "n_orders",
+        (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        halfup_div(
+            F.sum("rev_cents").over(w),
+            F.count(F.lit(1)).over(w) * 100,
+            4,
+        ).alias("moving_avg_3m"),
+    )

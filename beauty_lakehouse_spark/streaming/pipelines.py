@@ -170,3 +170,34 @@ def dedup_group_table(documents: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("group_size"),
         )
     )
+
+
+def latest_event_table(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators.events.q_latest_event_per_user: the
+    newest event per user, maintained incrementally (complete-mode
+    max(struct) — max is order-insensitive, so the drained table equals
+    the batch aggregate bit-for-bit regardless of micro-batch slicing).
+
+    Scale: state is ONE struct per user — the same partial-merge
+    hash-aggregate state as the batch form, kept warm across batches.
+    Production sinks update-mode deltas into a keyed store."""
+    return (
+        events.select(
+            "user_id",
+            F.struct(
+                epoch_us(F.col("ts")).alias("us"),
+                "event_id",
+                "event_type",
+                F.col("value").cast("decimal(12,2)").alias("v"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("s").alias("s"))
+        .select(
+            "user_id",
+            F.col("s.us").alias("last_us"),
+            F.col("s.event_id").alias("last_event_id"),
+            F.col("s.event_type").alias("last_event_type"),
+            F.col("s.v").cast("double").alias("last_value"),
+        )
+    )

@@ -148,3 +148,30 @@ def test_latest_event_plan_has_no_window_sort(spark, sf_dir):
     )
     assert "Window" not in plan, plan
     assert "partial_max" in plan or "HashAggregate" in plan, plan
+
+
+def test_rolling_distinct_users_no_nested_loop(spark, sf_dir):
+    """The explode-vote encoding must stay an equi-plan: no
+    BroadcastNestedLoopJoin (the inequality-join form the oracle uses)."""
+    from beauty_lakehouse_spark.operators.events import (
+        q_rolling_distinct_users,
+    )
+
+    df = q_rolling_distinct_users(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert df.count() > 0
+
+
+def test_fuzzy_part_names_no_cartesian(spark, sf_dir):
+    """Blocking must keep fuzzy matching an equi-join pipeline — no
+    cartesian product, and the levenshtein verify only runs on
+    within-block candidate pairs."""
+    from beauty_lakehouse_spark.operators.text import q_fuzzy_part_names
+
+    df = q_fuzzy_part_names(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    rows = df.collect()
+    assert len(rows) <= 200
+    assert all(1 <= r["edit_dist"] <= 4 for r in rows)
