@@ -456,3 +456,82 @@ def q_revenue_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("moving_avg_3m"),
     )
+
+
+def q_revenue_forecast_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure predicate-pushdown aggregate — revenue
+    delta from discount removal on a year of small-quantity lines.
+    Every filter (date range, discount band, quantity) reaches the
+    parquet scan; the aggregate is a single partial-merge sum with NO
+    grouping key. The discount-band compare runs on exact decimals
+    (an IEEE 0.05 ≤ x ≤ 0.07 would misclassify boundary rows)."""
+    t = load(spark, sf_dir)
+    d = dec2("l_discount")
+    lo = F.lit("0.05").cast("decimal(12,2)")
+    hi = F.lit("0.07").cast("decimal(12,2)")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (d >= lo)
+            & (d <= hi)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec2("l_extendedprice") * d), 2)
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter — 3-way fact join + bounded nation broadcast + top-k
+    (TakeOrdered, no global sort). Deterministic tiebreak on custkey."""
+    t = load(spark, sf_dir)
+    j = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    rev = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        money_sum(net_expr()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_return_lines"),
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio — the share of one
+    month's revenue from PROMO parts. Both sums stay integer cents
+    until ONE exact half-up division (no double accumulation)."""
+    t = load(spark, sf_dir)
+    j = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+    # net is a scale-4 decimal: x10^4 integerizes EXACTLY (a x100 cast
+    # would half-up-round and the two engines round casts differently)
+    q4 = (net_expr() * 10000).cast("decimal(38,0)")
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", q4).otherwise(F.lit(0)))
+        .cast("decimal(38,0)")
+        .alias("promo_q4"),
+        F.sum(q4).cast("decimal(38,0)").alias("total_q4"),
+    )
+    return agg.select(
+        (F.col("promo_q4").cast("double") / 10000.0).alias("promo_revenue"),
+        (F.col("total_q4").cast("double") / 10000.0).alias("total_revenue"),
+        halfup_div(
+            F.col("promo_q4") * 100, F.col("total_q4"), 6
+        ).alias("promo_share_pct"),
+    )

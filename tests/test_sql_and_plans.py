@@ -188,3 +188,24 @@ def test_unpivot_long_form_round_trip(spark, sf_dir):
         for (y, m), v in by.items()
         if m == "n_orders"
     )
+
+
+def test_revenue_forecast_delta_full_pushdown(spark, sf_dir):
+    """Q6 shape: the date/quantity predicates must reach the parquet
+    scan and the scan must read only the 4 needed columns."""
+    plan = _plan(warehouse.q_revenue_forecast_delta(spark, sf_dir))
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    assert any("l_shipdate" in l and "DataFilters" in l for l in scans)
+    assert any("l_quantity" in l and "DataFilters" in l for l in scans)
+    # projection pruning: no untouched wide columns in ReadSchema
+    assert not any("l_returnflag" in l for l in scans)
+
+
+def test_returned_item_report_broadcast_and_topk(spark, sf_dir):
+    """Q10 shape: nation broadcast, no cartesian, and the top-20 fused
+    to TakeOrderedAndProject (no global sort)."""
+    plan = _plan(warehouse.q_returned_item_report(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan, plan
