@@ -199,6 +199,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup.q_dedup_clusters,
         # continuous-ingest dedup: new batch vs existing corpus
         "dedup_incremental": dedup.q_dedup_incremental,
+        # leakage-safe split: bucket by dedup-cluster id, not doc id
+        "cluster_safe_split": curation.q_cluster_safe_split,
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact
@@ -468,6 +470,40 @@ def _quality_report_sql() -> str:
          "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
          "WHERE l_shipdate < o_orderdate")
     return " UNION ALL ".join(parts)
+
+
+#: Shared recursive-CTE connected-components closure over the near-dup
+#: edge graph (exact-dup + Jaccard >= 1/2): yields comp(doc_id,
+#: cluster_id). Used by the dedup_clusters and cluster_safe_split
+#: oracles — mirrors dedup.neardup_edges + dedup.connected_components.
+_CC_COMP_CTE = (
+    "WITH RECURSIVE "
+    + _SHINGLES_CTE
+    + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+    "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+    "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "count(*) AS n_common FROM shf a JOIN shf b "
+    "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "jedges AS (SELECT doc_a, doc_b FROM common "
+    "JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    "WHERE 2 * n_common >= (sa.n_sh + sb.n_sh - n_common)), "
+    "h AS (SELECT doc_id, " + _nth() + " AS text_hash FROM documents), "
+    "c AS (SELECT text_hash, min(doc_id) AS keep_id "
+    "FROM h GROUP BY text_hash), "
+    "eedges AS (SELECT keep_id AS doc_a, doc_id AS doc_b "
+    "FROM h JOIN c USING (text_hash) WHERE doc_id <> keep_id), "
+    "und AS (SELECT * FROM jedges UNION SELECT * FROM eedges), "
+    "edges AS (SELECT doc_a AS src, doc_b AS dst FROM und "
+    "UNION SELECT doc_b, doc_a FROM und), "
+    "reach(node, lbl) AS ("
+    "SELECT doc_id, doc_id FROM documents "
+    "UNION "
+    "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+    "comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
+    "FROM reach GROUP BY node)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -843,39 +879,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY jac_raw DESC, doc_a, doc_b LIMIT 20"
         ),
         "dedup_clusters": (
-            # reachability closure via recursive CTE: every (node, label)
-            # pair with label reachable from node; min(label) = component
-            "WITH RECURSIVE "
-            + _SHINGLES_CTE
-            + ", shf AS (SELECT * FROM sh WHERE shingle IN "
-            "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
-            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
-            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "count(*) AS n_common FROM shf a JOIN shf b "
-            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-            "jedges AS (SELECT doc_a, doc_b FROM common "
-            "JOIN sizes sa ON sa.doc_id = doc_a "
-            "JOIN sizes sb ON sb.doc_id = doc_b "
-            "WHERE 2 * n_common >= (sa.n_sh + sb.n_sh - n_common)), "
-            "h AS (SELECT doc_id, " + _nth() + " AS text_hash FROM documents), "
-            "c AS (SELECT text_hash, min(doc_id) AS keep_id "
-            "FROM h GROUP BY text_hash), "
-            "eedges AS (SELECT keep_id AS doc_a, doc_id AS doc_b "
-            "FROM h JOIN c USING (text_hash) WHERE doc_id <> keep_id), "
-            "und AS (SELECT * FROM jedges UNION SELECT * FROM eedges), "
-            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM und "
-            "UNION SELECT doc_b, doc_a FROM und), "
-            "reach(node, lbl) AS ("
-            "SELECT doc_id, doc_id FROM documents "
-            "UNION "
-            "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
-            "comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
-            "FROM reach GROUP BY node), "
-            "csize AS (SELECT cluster_id, count(*) AS cluster_size "
+            _CC_COMP_CTE
+            + ", csize AS (SELECT cluster_id, count(*) AS cluster_size "
             "FROM comp GROUP BY cluster_id) "
             "SELECT doc_id, cluster_id, cluster_size, "
             "doc_id = cluster_id AS is_canonical "
             "FROM comp JOIN csize USING (cluster_id)"
+        ),
+        "cluster_safe_split": (
+            _CC_COMP_CTE
+            + " SELECT doc_id, cluster_id, "
+            "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM ("
+            "SELECT doc_id, cluster_id, "
+            "CAST(('0x' || substr(md5('csplit:' || cluster_id::VARCHAR), "
+            "1, 15))::BIGINT % 100 AS INTEGER) AS b FROM comp) x"
         ),
         "dedup_incremental": (
             "WITH "

@@ -353,3 +353,35 @@ def q_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("rate"))
         .select("doc_id", "source", "n_tokens", "rate", "bucket")
     )
+
+
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash bucket is computed on
+    the document's DEDUP CLUSTER id, not its own id, so every member of
+    a near-duplicate cluster lands in the SAME split — the property a
+    naive per-doc split violates (train/test leakage through paraphrase
+    duplicates is the classic eval-contamination failure).
+
+    Composes connected-components clustering (operators.dedup) with the
+    same md5 bucket arithmetic as q_train_val_test_split; adding new
+    docs never moves an existing cluster's split unless the new doc
+    BRIDGES two clusters (inherent to dedup-aware splitting)."""
+    from .dedup import neardup_edges, connected_components
+
+    t = load(spark, sf_dir)
+    nodes = t.documents.select(F.col("doc_id").alias("id"))
+    edges = neardup_edges(t.documents).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comp = connected_components(nodes, edges)
+    b = _bucket(F.col("comp"), "csplit")
+    split = (
+        F.when(b < SPLIT_TRAIN_END, F.lit("train"))
+        .when(b < SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return comp.select(
+        F.col("id").alias("doc_id"),
+        F.col("comp").alias("cluster_id"),
+        split.alias("split"),
+    )

@@ -206,3 +206,24 @@ def test_mixture_rebalance_caps_expected_tokens(spark, sf_dir):
         if tok[s] > curation.MIXTURE_TOKEN_CAP:  # binding
             assert k < tok[s]  # actually subsampled
             assert abs(k - curation.MIXTURE_TOKEN_CAP) < curation.MIXTURE_TOKEN_CAP
+
+
+def test_cluster_safe_split_no_leakage(spark, sf_dir):
+    """Every member of a dedup cluster must land in the same split —
+    the invariant that kills paraphrase-duplicate train/test leakage."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.curation import (
+        q_cluster_safe_split,
+    )
+
+    df = q_cluster_safe_split(spark, sf_dir)
+    leaky = (
+        df.groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter("n_splits > 1")
+        .count()
+    )
+    assert leaky == 0
+    # and it is a real split: more than one split value exists overall
+    assert df.select("split").distinct().count() >= 2
