@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_forecast_delta": warehouse.q_revenue_forecast_delta,
         "returned_item_report": warehouse.q_returned_item_report,
         "promo_revenue_share": warehouse.q_promo_revenue_share,
+        "top_suppliers_by_volume": warehouse.q_top_suppliers_by_volume,
         # document layer (ref L2, oracle)
         "order_docs_stats": documents.q_order_docs_stats,
         # graph layer (ref L4, oracle except pagerank)
@@ -164,6 +165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan": text.q_pii_scan,
         "repetition_stats": text.q_repetition_stats,
         "fuzzy_part_names": text.q_fuzzy_part_names,
+        "frequent_terms": text.q_frequent_terms,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
@@ -726,6 +728,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(total_q4 AS DOUBLE) / 10000.0 AS total_revenue, "
             + _hud("promo_q4 * 100", "total_q4", 6)
             + " AS promo_share_pct FROM a"
+        ),
+        "top_suppliers_by_volume": (
+            "WITH per_supp AS (SELECT l_suppkey, "
+            f"{_rev()} AS revenue, count(*) AS n_lines "
+            "FROM lineitem GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, n_name AS nation, revenue, n_lines "
+            "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "ORDER BY revenue DESC, s_suppkey LIMIT 25"
+        ),
+        "frequent_terms": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "c AS (SELECT term, count(*) AS n_occurrences, "
+            "count(DISTINCT doc_id) AS n_docs FROM tok "
+            "WHERE term <> '' GROUP BY term) "
+            "SELECT term, n_occurrences, n_docs FROM c "
+            "ORDER BY n_occurrences DESC, term LIMIT 50"
         ),
         "urgent_order_customers": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "

@@ -360,3 +360,27 @@ def q_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("edit_dist"), F.asc("part_a"), F.asc("part_b"))
         .limit(200)
     )
+
+
+TOP_TERMS_K = 50
+
+
+def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters: top-50 tokens by document frequency
+    (+ total occurrences). One explode → one partial-merge groupBy →
+    TakeOrdered; ties broken lexicographically. At 100 TB the same
+    plan holds — the aggregate output is |vocabulary| rows, and
+    map-side combine absorbs the per-doc repetition before the
+    shuffle. (The approximate path for unbounded vocabularies is a
+    count-min sketch; exact counts ARE feasible for word-level vocab.)"""
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counted = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counted.orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    ).limit(TOP_TERMS_K)

@@ -535,3 +535,24 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("promo_q4") * 100, F.col("total_q4"), 6
         ).alias("promo_share_pct"),
     )
+
+
+def q_top_suppliers_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-side star rollup: top-25 suppliers by shipped net
+    revenue with their nation (broadcast dim). The supplier dim joins
+    AFTER the fact aggregate — aggregate-then-join moves |suppliers|
+    rows through the join instead of |lineitems| (the cardinality-
+    reduction-first rule that matters at 100 TB)."""
+    t = load(spark, sf_dir)
+    per_supp = t.lineitem.groupBy("l_suppkey").agg(
+        money_sum(net_expr()).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        per_supp.join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"),
+                "revenue", "n_lines")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(25)
+    )
