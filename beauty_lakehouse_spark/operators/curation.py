@@ -366,14 +366,9 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     same md5 bucket arithmetic as q_train_val_test_split; adding new
     docs never moves an existing cluster's split unless the new doc
     BRIDGES two clusters (inherent to dedup-aware splitting)."""
-    from .dedup import neardup_edges, connected_components
+    from .dedup import corpus_components
 
-    t = load(spark, sf_dir)
-    nodes = t.documents.select(F.col("doc_id").alias("id"))
-    edges = neardup_edges(t.documents).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(nodes, edges)
+    comp = corpus_components(spark, sf_dir)
     b = _bucket(F.col("comp"), "csplit")
     split = (
         F.when(b < SPLIT_TRAIN_END, F.lit("train"))

@@ -578,18 +578,40 @@ def connected_components(
     return labels
 
 
+#: Session-scoped memo of the fixture corpus' cluster table, keyed by
+#: (Spark application id, sf_dir). The cluster assignment is a shared
+#: artifact (dedup_clusters reports it; cluster_safe_split buckets on
+#: it) — in a real lakehouse it would be a materialized table; here the
+#: localCheckpointed labels play that role so one session never runs
+#: the edge pipeline + CC loop twice for the same corpus. Keyed by
+#: applicationId so a new session (whose checkpoint blocks are gone)
+#: recomputes instead of reading a dead RDD.
+_COMPONENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def corpus_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(id, comp)`` connected-component labels for the sf_dir corpus,
+    computed once per session (see `_COMPONENTS_MEMO`)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    comp = _COMPONENTS_MEMO.get(key)
+    if comp is None:
+        t = load(spark, sf_dir)
+        nodes = t.documents.select(F.col("doc_id").alias("id"))
+        edges = neardup_edges(t.documents).select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comp = connected_components(nodes, edges)
+        _COMPONENTS_MEMO[key] = comp
+    return comp
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end of the dedup pipeline: candidates → verify → CLUSTER →
     canonical pick. Connected components over the near-dup edge graph
     (exact-dup ∪ Jaccard ≥ 1/2), cluster id = min doc_id in the
     component, canonical = that doc. Singleton docs are their own
     cluster. Oracle: DuckDB recursive CTE reachability."""
-    t = load(spark, sf_dir)
-    nodes = t.documents.select(F.col("doc_id").alias("id"))
-    edges = neardup_edges(t.documents).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comp = connected_components(nodes, edges)
+    comp = corpus_components(spark, sf_dir)
     sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "comp").select(
         F.col("id").alias("doc_id"),
