@@ -56,12 +56,23 @@ def main() -> None:
 
     queries = entrymod.queries()
     timings: dict[str, float] = {}
+
+    def _clear_memos() -> None:
+        # session-scoped artifact memos (e.g. the dedup cluster table)
+        # make repeat executions near-free; the bench measures the real
+        # recompute cost, so drop them before every timed run
+        from beauty_lakehouse_spark.operators import dedup as _dedup
+
+        _dedup._COMPONENTS_MEMO.clear()
+
     for name in HEADLINE:
         fn = queries[name]
         # run twice, report the warm run: the first execution pays
         # one-time whole-stage-codegen compilation (1-3s per query shape,
         # amortized away on any repeated/production workload)
+        _clear_memos()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        _clear_memos()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
