@@ -166,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": text.q_repetition_stats,
         "fuzzy_part_names": text.q_fuzzy_part_names,
         "frequent_terms": text.q_frequent_terms,
+        "regex_token_pieces": text.q_regex_token_pieces,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
@@ -737,6 +738,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
             "ORDER BY revenue DESC, s_suppkey LIMIT 25"
+        ),
+        "regex_token_pieces": (
+            "WITH d AS (SELECT source, "
+            "len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) "
+            "AS n_pieces FROM documents) "
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_pieces) AS BIGINT) AS total_pieces, "
+            "CAST(max(n_pieces) AS INTEGER) AS max_pieces "
+            "FROM d GROUP BY source"
         ),
         "frequent_terms": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

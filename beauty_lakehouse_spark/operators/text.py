@@ -384,3 +384,28 @@ def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.orderBy(
         F.desc("n_occurrences"), F.asc("term")
     ).limit(TOP_TERMS_K)
+
+
+#: BPE-style piece pattern: alnum runs | single non-alnum-non-space.
+#: Deliberately class-only (no \s, no lookaround) so Java regex (Spark)
+#: and RE2-flavored engines tokenize identically.
+TOKEN_PIECE_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def q_regex_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex tokenization (the BPE-pretokenizer shape: word runs split
+    from punctuation) with per-source piece accounting — a JVM-side
+    `regexp_extract_all`, no UDF. Compare with q_token_counts'
+    whitespace tokens: pieces ≥ tokens, the delta is punctuation."""
+    t = load(spark, sf_dir)
+    per_doc = t.documents.select(
+        "source",
+        F.size(
+            F.regexp_extract_all("text", F.lit(TOKEN_PIECE_PATTERN), F.lit(0))
+        ).alias("n_pieces"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.max("n_pieces").alias("max_pieces"),
+    )

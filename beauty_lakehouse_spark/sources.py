@@ -191,10 +191,11 @@ def validate_curated(
         result["is_delta_table"] = os.path.isdir(os.path.join(path, "_delta_log"))
     else:
         # recursive: a partitioned table's files live under key=value/
-        # subdirectories, not at the top level
+        # subdirectories, not at the top level; data files carry the
+        # format's own extension (.parquet, .orc, .csv, .json)
         result["has_files"] = (
             any(
-                f.endswith(".parquet")
+                f.endswith(f".{fmt}")
                 for _, _, files in os.walk(path)
                 for f in files
             )

@@ -74,3 +74,56 @@ def test_portable_hash64_parity_random_batch(spark):
             "SELECT " + portable_hash64_sql("?"), [v]
         ).fetchall()[0][0]
         assert got[i] == expected, (i, v)
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(edge_list):
+    """Distributed pointer-doubling CC must agree with a driver-side
+    union-find on arbitrary small graphs (self-loops and duplicate
+    edges included)."""
+    from beauty_lakehouse_spark.operators.dedup import connected_components
+    from beauty_lakehouse_spark.session import get_spark
+
+    spark = get_spark("tests")
+    n = 31
+    uf = _UnionFind()
+    for i in range(n):
+        uf.find(i)
+    for a, b in edge_list:
+        uf.union(a, b)
+    want = {i: uf.find(i) for i in range(n)}
+
+    nodes = spark.range(n).selectExpr("id")
+    if edge_list:
+        edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    else:
+        edges = nodes.selectExpr("id AS src", "id AS dst").limit(0)
+    got = {
+        r["id"]: r["comp"]
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == want

@@ -158,3 +158,20 @@ def test_fetch_raw_lands_files_atomically(tmp_path):
     assert landed == str(out / "raw.csv")
     assert (out / "raw.csv").read_text() == "a,b\n1,2\n"
     assert not list(out.glob("*.part"))
+
+
+def test_curated_orc_round_trip(spark, tmp_path):
+    """The curated sink/source handle columnar formats beyond parquet:
+    ORC round-trips (including partitioned layout) and the validation
+    scan finds the .orc data files recursively."""
+    customers = datagen.gen_customers(spark, 120)
+    path = str(tmp_path / "curated_orc")
+    fmt = sources.write_curated(
+        customers, path, fmt="orc", partition_by=["city"]
+    )
+    assert fmt == "orc"
+    back = sources.read_curated(spark, path, fmt="orc")
+    assert back.count() == 120
+    assert set(back.columns) == set(customers.columns)
+    report = sources.validate_curated(spark, path, expected_rows=120, fmt="orc")
+    assert report["has_files"] and report["row_count_matches"]
