@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_streamed": _q_events_sessions_streamed,
         "dedup_groups_streamed": _q_dedup_groups_streamed,
         "latest_event_streamed": _q_latest_event_streamed,
+        "events_dedup_streamed": _q_events_dedup_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -283,6 +284,27 @@ def _q_latest_event_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         latest_event_table(stream_events(spark, sf_dir)),
         f"gate_latest_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once repair: the events source is fed TWICE
+    (union of two identical stream legs = at-least-once redelivery);
+    ``dropDuplicatesWithinWatermark`` on event_id must reduce it back
+    to the unique event set — the oracle is simply the events table."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        dedup_events_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    return run_available_now(
+        dedup_events_stream(doubled),
+        f"gate_evdedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
     )
 
 
@@ -1294,6 +1316,10 @@ def oracle_sql() -> dict[str, str]:
     # oracles — streaming == batch == independent-engine SQL
     out["events_hourly_streamed"] = out["events_hourly"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
+    out["events_dedup_streamed"] = (
+        "SELECT event_id, user_id, event_type, epoch_us(ts) AS us, "
+        "CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value FROM events"
+    )
     out["events_sessions_streamed"] = out["events_sessions"]
     out["dedup_groups_streamed"] = (
         "SELECT " + _nth() + " AS text_hash, "

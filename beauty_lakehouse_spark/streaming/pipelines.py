@@ -201,3 +201,26 @@ def latest_event_table(events: DataFrame) -> DataFrame:
             F.col("s.v").cast("double").alias("last_value"),
         )
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exactly-once-per-id projection:
+    ``dropDuplicatesWithinWatermark`` keeps the first arrival of each
+    event_id and drops re-deliveries arriving within the watermark —
+    the at-least-once → exactly-once repair stage every event ingest
+    needs (retried producers, replayed partitions).
+
+    Scale: state is one timestamp per key with watermark-bounded
+    retention, unlike plain streaming ``dropDuplicates`` whose state
+    never expires. Emitted in append mode (rows finalize immediately)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            epoch_us(F.col("ts")).alias("us"),
+            F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
+        )
+    )

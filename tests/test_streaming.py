@@ -177,3 +177,26 @@ def test_streaming_dedup_groups_multi_batch(spark, sf_dir, tmp_path):
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("group_size"))
     )
     assert _canon(got) == _canon(expected)
+
+
+def test_stream_dedup_repairs_duplicate_delivery(spark, sf_dir):
+    """Feeding the source twice (at-least-once redelivery) through
+    dropDuplicatesWithinWatermark yields exactly the unique event set."""
+    import uuid
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming import (
+        dedup_events_stream,
+        run_available_now,
+        stream_events,
+    )
+
+    doubled = stream_events(spark, sf_dir).union(stream_events(spark, sf_dir))
+    out = run_available_now(
+        dedup_events_stream(doubled),
+        f"t_evdedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+    n_unique = load(spark, sf_dir).events.count()
+    assert out.count() == n_unique
+    assert out.select("event_id").distinct().count() == n_unique
