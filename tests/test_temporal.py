@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from beauty_lakehouse_spark.operators.temporal import asof_join
+from beauty_lakehouse_spark.operators.temporal import asof_join, range_join_counts
 
 
 def test_asof_join_semantics(spark):
@@ -77,3 +77,30 @@ def test_range_join_no_duplicate_matches(spark):
     rows = range_join_counts(left, right, "k", "us", "us", 100).collect()
     assert len(rows) == 1 and rows[0]["n_matches"] == 1
     assert float(rows[0]["sum_value"]) == 2.0
+
+
+def test_range_join_matches_naive_inequality_join(spark):
+    """Randomized equivalence: the binned form must agree with the
+    naive inequality join on every (key, timestamp) multiset."""
+    import random
+
+    rnd = random.Random(7)
+    W = 50
+    left = [(rnd.randint(0, 3), rnd.randint(0, 400)) for _ in range(60)]
+    right = [(rnd.randint(0, 3), rnd.randint(0, 400)) for _ in range(120)]
+    ldf = spark.createDataFrame(left, ["k", "us"]).distinct()
+    rdf = spark.createDataFrame(right, ["k", "us"]).withColumn(
+        "value", F.lit(1.0)
+    )
+    got = {
+        (r["k"], r["us"]): r["n_matches"]
+        for r in range_join_counts(ldf, rdf, "k", "us", "us", W)
+        .withColumnRenamed("__l_us", "us")
+        .collect()
+    }
+    want = {}
+    for lk, lus in set(left):
+        n = sum(1 for rk, rus in right if rk == lk and lus < rus <= lus + W)
+        if n:
+            want[(lk, lus)] = n
+    assert got == want
