@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edges": graph.q_copurchase_edges,
         "product_degree": graph.q_product_degree,
         "customer_copurchase_top": graph.q_customer_copurchase_top,
+        "product_pagerank_exact": graph.q_product_pagerank_exact,
         # dedup family (oracle except embedding_neardup)
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
@@ -495,6 +496,48 @@ def _quality_report_sql() -> str:
          "SELECT count(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
          "WHERE l_shipdate < o_orderdate")
     return " UNION ALL ".join(parts)
+
+
+def _pagerank_exact_sql(iters: int = 8) -> str:
+    """DuckDB twin of graph.pagerank_exact: the fixed-point iterations
+    UNROLLED into chained CTEs (r0 -> c1,r1 -> ... -> r{iters}) — an
+    iterative algorithm expressed as plain SQL because every update is
+    integer multiply/floor-div (mirrors PAGERANK_SCALE / 85:100
+    damping / teleport constants exactly)."""
+    scale = 1_000_000_000_000
+    teleport = 15 * scale // 100
+    parts = [
+        "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+        "HAVING count(*) <= 50), "
+        "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+        "JOIN ok USING (l_orderkey)), "
+        "ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "count(*) AS n_orders FROM b2 a "
+        "JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "dir AS (SELECT part_a AS src, part_b AS dst, n_orders AS w FROM ed "
+        "UNION ALL SELECT part_b, part_a, n_orders FROM ed), "
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM dir "
+        "GROUP BY src), "
+        "v AS (SELECT DISTINCT src AS id FROM dir), "
+        f"r0 AS (SELECT id, CAST({scale} AS BIGINT) AS rank FROM v)"
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", c{k} AS (SELECT d.dst, "
+            f"CAST(sum((r.rank * d.w) // o.out_w) AS BIGINT) AS c "
+            f"FROM dir d JOIN r{k - 1} r ON r.id = d.src "
+            "JOIN outw o ON o.src = d.src GROUP BY d.dst)"
+            f", r{k} AS (SELECT v.id, CAST({teleport} + "
+            f"(85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM v LEFT JOIN c{k} c ON c.dst = v.id)"
+        )
+    parts.append(
+        f" SELECT id AS l_partkey, rank FROM r{iters} "
+        "ORDER BY rank DESC, id LIMIT 50"
+    )
+    return "".join(parts)
 
 
 #: Shared recursive-CTE connected-components closure over the near-dup
@@ -883,6 +926,7 @@ def oracle_sql() -> dict[str, str]:
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
+        "product_pagerank_exact": _pagerank_exact_sql(),
         "product_degree": (
             "SELECT l_partkey, count(DISTINCT l_orderkey) AS order_degree, "
             "count(DISTINCT o_custkey) AS customer_reach "

@@ -170,3 +170,83 @@ def q_product_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select(F.col("id").alias("l_partkey"), F.round("rank", 8).alias("rank"))
     )
+
+
+#: Fixed-point scale for the oracle-exact PageRank: ranks are integer
+#: trillionths. All updates are non-negative integer multiply/floor-div
+#: — bit-identical in any engine, independent of partitioning.
+PAGERANK_SCALE = 1_000_000_000_000
+PAGERANK_ITERS = 8
+_DAMP_NUM, _DAMP_DEN = 85, 100
+
+
+def pagerank_exact(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """Deterministic fixed-point PageRank: the iterative algorithm made
+    CROSS-ENGINE EXACT. The float formulation (``pagerank``) is
+    order-sensitive in its double sums; this variant keeps ranks as
+    integer trillionths and every update is ``(rank·w) div out_w`` and
+    ``teleport + (85·inflow) div 100`` — associative integer arithmetic
+    with floor division, so a DuckDB twin (iterations unrolled into
+    chained CTEs) hash-matches bit for bit. The mass floor-div leaks
+    (sub-trillionth per edge per round) are part of the defined
+    semantics, identically on both engines.
+
+    Same lineage policy as ``pagerank``: edge table checkpointed
+    eagerly once, ranks checkpointed lazily per round."""
+    directed = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+        F.col("n_orders").cast("long").alias("w"),
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst"),
+            F.col("n_orders").cast("long").alias("w"),
+        )
+    ).localCheckpoint(eager=True)
+    out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
+    norm = directed.join(out_w, "src").localCheckpoint(eager=False)
+    vertices = (
+        directed.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    teleport = (_DAMP_DEN - _DAMP_NUM) * PAGERANK_SCALE // _DAMP_DEN
+    ranks = vertices.select(
+        "id", F.lit(PAGERANK_SCALE).cast("long").alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            norm.join(ranks, norm.src == ranks.id)
+            .select("dst", F.expr("(rank * w) div out_w").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = (
+            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({_DAMP_NUM} * coalesce(c, 0L)) div {_DAMP_DEN}"
+                    )
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+def q_product_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 products by fixed-point co-purchase PageRank —
+    oracle-matched (the DuckDB twin unrolls the 8 iterations into
+    chained CTEs over the same integer arithmetic)."""
+    t = load(spark, sf_dir)
+    # same >=2-order edge threshold as q_copurchase_edges (and the
+    # oracle's ed CTE): singleton co-occurrences are noise edges
+    edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    ranks = pagerank_exact(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(50)
+        .select(F.col("id").alias("l_partkey"), "rank")
+    )

@@ -203,3 +203,29 @@ def test_incremental_dedup_planted(spark):
     assert out[100] == (0, "exact")
     assert out[101] == (0, "near")
     assert 102 not in out and 103 not in out
+
+
+def test_pagerank_exact_agrees_with_float_ranking(spark, sf_dir):
+    """The fixed-point PageRank must (a) be bit-deterministic across
+    runs, (b) keep every rank >= the teleport floor, and (c) order
+    nodes consistently with the float implementation on the same
+    edges (identical damping, same iteration count)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import graph
+
+    edges = graph.copurchase_edges(
+        load(spark, sf_dir).lineitem
+    ).filter(F.col("n_orders") >= 2)
+    exact = {r["id"]: r["rank"] for r in graph.pagerank_exact(edges, iters=4).collect()}
+    again = {r["id"]: r["rank"] for r in graph.pagerank_exact(edges, iters=4).collect()}
+    assert exact == again
+    teleport = 15 * graph.PAGERANK_SCALE // 100
+    assert all(v >= teleport for v in exact.values())
+    flt = {r["id"]: r["rank"] for r in graph.pagerank(edges, iters=4).collect()}
+    assert set(flt) == set(exact)
+    # rank agreement: top-10 by exact == top-10 by float (scaled)
+    top_exact = sorted(exact, key=lambda k: (-exact[k], k))[:10]
+    top_float = sorted(flt, key=lambda k: (-flt[k], k))[:10]
+    assert top_exact == top_float
