@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         "embedding_centroids": similarity.q_embedding_centroids,
+        "label_embedding_scatter": similarity.q_label_embedding_scatter,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
         # the v1->v2 CDC change feed (manifest-diff pruned)
@@ -1230,6 +1231,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(q) AS BIGINT) AS sum_q, "
             "CAST(sum(q) AS DOUBLE) / CAST(count(*) * 1000000 AS DOUBLE) "
             "AS centroid FROM ex GROUP BY label, dim"
+        ),
+        "label_embedding_scatter": (
+            # SQL twin of the applyInPandas integer kernel: scatter =
+            # sum over dims of (n*sum(q^2) - sum(q)^2), q = millionths
+            "WITH ex AS (SELECT label, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q "
+            "FROM embeddings, range(1, 65) t(i)), "
+            "per AS (SELECT label, dim, count(*) AS n, "
+            "CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss "
+            "FROM ex GROUP BY label, dim) "
+            "SELECT label, CAST(max(n) AS BIGINT) AS n_vectors, "
+            "CAST(sum(n * ss - s * s) AS BIGINT) AS scatter_q "
+            "FROM per GROUP BY label"
         ),
         "events_sliding": (
             "SELECT win_start_us, count(*) AS n_events, "

@@ -455,3 +455,53 @@ def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * CENTROID_SCALE).cast("double")
         ).alias("centroid"),
     )
+
+
+_SCATTER_SCHEMA = "label int, n_vectors long, scatter_q long"
+
+
+def q_label_embedding_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding scatter (total squared deviation around the
+    class centroid, fixed-point): the groupwise-Arrow-UDF demonstrator
+    — ``groupBy().applyInPandas`` ships each label's vectors to ONE
+    Python worker as an Arrow batch and runs a vectorized numpy kernel.
+
+    STILL oracle-exact: the kernel quantizes to integer millionths and
+    computes scatter = Σ_dims (n·Σq² − (Σq)²) — pure int64 arithmetic,
+    no division, no float accumulation — so the Arrow path hash-matches
+    the DuckDB SQL twin exactly. The pattern to copy when per-group
+    logic genuinely needs Python (model scoring, scipy): quantize at
+    the boundary, keep the aggregate integer.
+
+    Scale: one shuffle on label; each group must fit a worker's memory
+    (fine for class-grain groups; for huge groups, pre-aggregate per
+    partition first)."""
+    import pandas as pd
+
+    t = load(spark, sf_dir)
+
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        q = np.floor(
+            np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+        n = np.int64(q.shape[0])
+        s = q.sum(axis=0, dtype=np.int64)
+        ss = (q * q).sum(axis=0, dtype=np.int64)
+        scatter = int((n * ss - s * s).sum(dtype=np.int64))
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vectors": [int(n)],
+                "scatter_q": [scatter],
+            }
+        )
+
+    return (
+        t.embeddings.select("label", "embedding")
+        .groupBy("label")
+        .applyInPandas(kernel, schema=_SCATTER_SCHEMA)
+    )

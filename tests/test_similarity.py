@@ -157,3 +157,41 @@ def test_embedding_centroids_mass_and_scale(spark, sf_dir):
         assert sum(r["n_vectors"] for r in rows if r["dim"] == d) == n_total
     for r in rows:
         assert r["centroid"] == r["sum_q"] / (r["n_vectors"] * CENTROID_SCALE)
+
+
+def test_label_scatter_matches_dataframe_recompute(spark, sf_dir):
+    """The Arrow groupwise kernel must equal a pure-DataFrame recompute
+    of the same integer formula (and be non-negative by construction)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        q_label_embedding_scatter,
+    )
+
+    got = {
+        r["label"]: (r["n_vectors"], r["scatter_q"])
+        for r in q_label_embedding_scatter(spark, sf_dir).collect()
+    }
+    ex = load(spark, sf_dir).embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label", "dim",
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).alias("q"),
+    )
+    per = ex.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s"),
+        F.sum(F.col("q") * F.col("q")).alias("ss"),
+    )
+    want = {
+        r["label"]: (r["n"], r["sc"])
+        for r in per.groupBy("label")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("sc"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert all(sc >= 0 for _, sc in got.values())
