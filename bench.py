@@ -42,6 +42,7 @@ HEADLINE = [
     "decontaminate",          # train x test posting-list 3-gram join
     "sequence_packing",       # two-level global prefix sum
     "dedup_clusters",         # near-dup graph connected components
+    "product_pagerank_exact", # fixed-point iterative pagerank
 ]
 
 
