@@ -29,6 +29,7 @@ from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
 from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
 from beauty_lakehouse_spark.operators import (
     curation,
+    decision_support,
     dedup,
     documents,
     events,
@@ -144,6 +145,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": warehouse.q_returned_item_report,
         "promo_revenue_share": warehouse.q_promo_revenue_share,
         "top_suppliers_by_volume": warehouse.q_top_suppliers_by_volume,
+        # decision-support subquery shapes (TPC-H Q4/Q7/Q8/Q12/Q13/Q15/
+        # Q17/Q18/Q19/Q21/Q22 adapted to fixture columns; all oracle)
+        "late_ship_priority_orders": decision_support.q_late_ship_priority_orders,
+        "nation_trade_volume": decision_support.q_nation_trade_volume,
+        "market_share": decision_support.q_market_share,
+        "linestatus_priority_counts": decision_support.q_linestatus_priority_counts,
+        "customer_order_distribution": decision_support.q_customer_order_distribution,
+        "top_revenue_suppliers": decision_support.q_top_revenue_suppliers,
+        "small_quantity_part_revenue": decision_support.q_small_quantity_part_revenue,
+        "large_order_customers": decision_support.q_large_order_customers,
+        "brand_size_band_revenue": decision_support.q_brand_size_band_revenue,
+        "sole_late_supplier_orders": decision_support.q_sole_late_supplier_orders,
+        "never_urgent_rich_customers": decision_support.q_never_urgent_rich_customers,
         # document layer (ref L2, oracle)
         "order_docs_stats": documents.q_order_docs_stats,
         # graph layer (ref L4, oracle except pagerank)
@@ -804,6 +818,142 @@ def oracle_sql() -> dict[str, str]:
             "FROM per_supp JOIN supplier ON l_suppkey = s_suppkey "
             "JOIN nation ON s_nationkey = n_nationkey "
             "ORDER BY revenue DESC, s_suppkey LIMIT 25"
+        ),
+        "late_ship_priority_orders": (
+            "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY) "
+            "GROUP BY o_orderpriority"
+        ),
+        "nation_trade_volume": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS INTEGER) AS ship_year, "
+            f"{_rev()} AS volume, count(*) AS n_lines "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3"
+        ),
+        "market_share": (
+            "WITH j AS (SELECT year(o_orderdate) AS order_year, "
+            "n2.n_name AS supp_nation, "
+            f"CAST({_NET} * 10000 AS HUGEINT) AS q4 "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+            "JOIN region ON n1.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+            "WHERE r_name = 'EUROPE' AND p_type = 'PROMO'), "
+            "a AS (SELECT order_year, "
+            "sum(CASE WHEN supp_nation = 'NATION_3' THEN q4 ELSE 0 END) "
+            "AS nation_q4, sum(q4) AS total_q4 FROM j GROUP BY 1) "
+            "SELECT CAST(order_year AS INTEGER) AS order_year, "
+            "CAST(nation_q4 AS DOUBLE) / 10000.0 AS nation_volume, "
+            "CAST(total_q4 AS DOUBLE) / 10000.0 AS total_volume, "
+            + _hud("nation_q4 * 100", "total_q4", 6)
+            + " AS mkt_share_pct FROM a"
+        ),
+        "linestatus_priority_counts": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_linestatus"
+        ),
+        "customer_order_distribution": (
+            "WITH pc AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM pc GROUP BY c_count"
+        ),
+        "top_revenue_suppliers": (
+            "WITH rev AS (SELECT l_suppkey, "
+            f"sum({_NET}) AS r FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, "
+            "CAST(round(r, 2) AS DOUBLE) AS total_revenue "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE r = (SELECT max(r) FROM rev)"
+        ),
+        "small_quantity_part_revenue": (
+            "WITH pl AS (SELECT "
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) "
+            "AS cents, CAST(l_quantity AS HUGEINT) * 5 * "
+            "count(*) OVER (PARTITION BY l_partkey) AS lhs, "
+            "sum(CAST(l_quantity AS HUGEINT)) OVER (PARTITION BY l_partkey) "
+            "AS rhs FROM lineitem WHERE l_partkey IN "
+            "(SELECT p_partkey FROM part WHERE p_brand = 'Brand#1')) "
+            "SELECT " + _hud("sum(cents)", "700", 2)
+            + " AS avg_weekly_revenue, count(*) AS n_lines "
+            "FROM pl WHERE lhs < rhs"
+        ),
+        "large_order_customers": (
+            "WITH big AS (SELECT l_orderkey, "
+            "CAST(sum(l_quantity) AS BIGINT) AS total_qty "
+            "FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 200) "
+            "SELECT c_custkey, c_name, o_orderkey, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS order_date, "
+            "o_totalprice, total_qty "
+            "FROM big JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"
+        ),
+        "brand_size_band_revenue": (
+            f"SELECT {_rev()} AS revenue, count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 20) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+            "AND l_quantity BETWEEN 10 AND 30) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+            "AND l_quantity BETWEEN 20 AND 50)"
+        ),
+        "sole_late_supplier_orders": (
+            "WITH late AS (SELECT l_orderkey, l_suppkey, "
+            "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "THEN 1 ELSE 0 END) AS is_late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1, 2), "
+            "w AS (SELECT l_suppkey, is_late, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS n_supp, "
+            "sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late FROM late), "
+            "b AS (SELECT l_suppkey, count(*) AS n_blamed_orders FROM w "
+            "WHERE is_late = 1 AND n_supp > 1 AND n_late = 1 GROUP BY 1) "
+            "SELECT s_suppkey, s_name, n_name AS nation, n_blamed_orders "
+            "FROM b JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "ORDER BY n_blamed_orders DESC, s_suppkey LIMIT 100"
+        ),
+        "never_urgent_rich_customers": (
+            "WITH pool AS (SELECT * FROM customer WHERE c_mktsegment IN "
+            "('AUTOMOBILE', 'HOUSEHOLD', 'MACHINERY')), "
+            "a AS (SELECT sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 "
+            "AS HUGEINT)) AS pool_sum, count(*) AS pool_n "
+            "FROM pool WHERE c_acctbal > 0) "
+            "SELECT n_name AS nation, count(*) AS n_customers, "
+            "CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) "
+            "AS total_acctbal "
+            "FROM pool JOIN nation ON c_nationkey = n_nationkey CROSS JOIN a "
+            "WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS HUGEINT) "
+            "* pool_n > pool_sum "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY n_name"
         ),
         "regex_token_pieces": (
             "WITH d AS (SELECT source, "

@@ -15,6 +15,9 @@ Each module maps a slice of the reference's operator inventory
                     JSON props, funnel, pivot over the events table.
 - ``temporal``    — as-of join (union+window form) and range-frame
                     trailing-window aggregation.
+- ``decision_support`` — TPC-H-style subquery shapes (EXISTS/NOT
+                    EXISTS decorrelation, scalar-subquery compares,
+                    outer-join distributions, disjunctive pushdown).
 - ``dedup``       — exact + MinHash/LSH + n-gram-Jaccard + SimHash +
                     embedding-cosine near-dup.
 - ``text``        — language-ID, quality scoring, token counting,
