@@ -43,6 +43,8 @@ HEADLINE = [
     "sequence_packing",       # two-level global prefix sum
     "dedup_clusters",         # near-dup graph connected components
     "product_pagerank_exact", # fixed-point iterative pagerank
+    "late_ship_priority_orders",   # EXISTS as fact-side semi join
+    "sole_late_supplier_orders",   # EXISTS+NOT EXISTS via group+window
 ]
 
 
