@@ -145,8 +145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_report": warehouse.q_returned_item_report,
         "promo_revenue_share": warehouse.q_promo_revenue_share,
         "top_suppliers_by_volume": warehouse.q_top_suppliers_by_volume,
-        # decision-support subquery shapes (TPC-H Q4/Q7/Q8/Q12/Q13/Q15/
-        # Q17/Q18/Q19/Q21/Q22 adapted to fixture columns; all oracle)
+        # decision-support subquery shapes (TPC-H Q2/Q4/Q7/Q8/Q9/Q11/Q12/
+        # Q13/Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 adapted to fixture columns;
+        # all oracle)
         "late_ship_priority_orders": decision_support.q_late_ship_priority_orders,
         "nation_trade_volume": decision_support.q_nation_trade_volume,
         "market_share": decision_support.q_market_share,
@@ -158,6 +159,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_size_band_revenue": decision_support.q_brand_size_band_revenue,
         "sole_late_supplier_orders": decision_support.q_sole_late_supplier_orders,
         "never_urgent_rich_customers": decision_support.q_never_urgent_rich_customers,
+        "min_cost_part_supplier": decision_support.q_min_cost_part_supplier,
+        "nation_product_profit": decision_support.q_nation_product_profit,
+        "important_part_value": decision_support.q_important_part_value,
+        "part_supplier_counts": decision_support.q_part_supplier_counts,
+        "dominant_part_suppliers": decision_support.q_dominant_part_suppliers,
+        # analytic extensions: dense-spine time series, association
+        # rules, integer-exact anomaly detection (all oracle)
+        "daily_revenue_gapfill": temporal.q_daily_revenue_gapfill,
+        "basket_rules": graph.q_basket_rules,
+        "customer_spend_outliers": warehouse.q_customer_spend_outliers,
         # document layer (ref L2, oracle)
         "order_docs_stats": documents.q_order_docs_stats,
         # graph layer (ref L4, oracle except pagerank)
@@ -212,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups_streamed": _q_dedup_groups_streamed,
         "latest_event_streamed": _q_latest_event_streamed,
         "events_dedup_streamed": _q_events_dedup_streamed,
+        "purchase_attribution_streamed": _q_purchase_attribution_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -320,6 +332,26 @@ def _q_events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         dedup_events_stream(doubled),
         f"gate_evdedup_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+def _q_purchase_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join drain (view→purchase attribution
+    within 30 minutes, same user) behind a plain SQL self-join oracle.
+    Inner time-bounded joins emit in append mode; the drained pair set
+    is exactly the batch join's, whatever the micro-batch slicing."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_events,
+        view_purchase_attribution,
+    )
+
+    return run_available_now(
+        view_purchase_attribution(stream_events(spark, sf_dir)),
+        f"gate_attrib_{uuid.uuid4().hex[:8]}",
         output_mode="append",
     )
 
@@ -955,6 +987,140 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY n_name"
         ),
+        "min_cost_part_supplier": (
+            "WITH parts AS (SELECT p_partkey, p_name FROM part "
+            "WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20), "
+            "es AS (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'EUROPE'), "
+            "offers AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer "
+            "FROM lineitem "
+            "WHERE l_partkey IN (SELECT p_partkey FROM parts) "
+            "AND l_suppkey IN (SELECT s_suppkey FROM es) "
+            "GROUP BY 1, 2), "
+            "best AS (SELECT *, min(offer) OVER (PARTITION BY l_partkey) "
+            "AS mn FROM offers) "
+            "SELECT s_acctbal, s_name, nation, p_partkey, p_name, "
+            "CAST(offer AS DOUBLE) AS min_offer, s_suppkey "
+            "FROM best JOIN es ON l_suppkey = s_suppkey "
+            "JOIN parts ON l_partkey = p_partkey "
+            "WHERE offer = mn "
+            "ORDER BY s_acctbal DESC, nation, s_name, p_partkey, s_suppkey "
+            "LIMIT 100"
+        ),
+        "nation_product_profit": (
+            "SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            f"CAST(sum(CAST({_NET} * 10000 AS HUGEINT) - "
+            "CAST(l_quantity AS HUGEINT) * "
+            "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS HUGEINT) * 50) "
+            "AS DOUBLE) / 10000.0 AS profit, "
+            "count(*) AS n_lines "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%red%' "
+            "GROUP BY 1, 2"
+        ),
+        "important_part_value": (
+            "WITH vals AS (SELECT l_partkey, "
+            f"sum(CAST({_NET} * 10000 AS HUGEINT)) AS value4 "
+            "FROM lineitem WHERE l_suppkey IN "
+            "(SELECT s_suppkey FROM supplier JOIN nation "
+            "ON s_nationkey = n_nationkey WHERE n_name = 'NATION_3') "
+            "GROUP BY 1) "
+            "SELECT l_partkey AS p_partkey, "
+            "CAST(value4 AS DOUBLE) / 10000.0 AS value "
+            "FROM vals WHERE value4 * 1000 > (SELECT sum(value4) FROM vals)"
+        ),
+        "part_supplier_counts": (
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem WHERE l_suppkey NOT IN "
+            "(SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)) "
+            "SELECT p_brand, p_type, p_size, "
+            "count(DISTINCT l_suppkey) AS supplier_cnt "
+            "FROM pairs JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35) "
+            "GROUP BY 1, 2, 3"
+        ),
+        "dominant_part_suppliers": (
+            "WITH qty AS (SELECT l_partkey, l_suppkey, "
+            "CAST(sum(l_quantity) AS BIGINT) AS q FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_partkey IN (SELECT p_partkey FROM part "
+            "WHERE p_name LIKE '%red%') GROUP BY 1, 2), "
+            "dom AS (SELECT DISTINCT l_suppkey FROM "
+            "(SELECT *, sum(q) OVER (PARTITION BY l_partkey) AS tot "
+            "FROM qty) WHERE q * 2 > tot) "
+            "SELECT s_suppkey, s_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2' "
+            "AND s_suppkey IN (SELECT l_suppkey FROM dom) "
+            "ORDER BY s_suppkey"
+        ),
+        "daily_revenue_gapfill": (
+            "WITH agg AS (SELECT c_mktsegment AS segment, "
+            "CAST(o_orderdate AS DATE) AS day, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) "
+            "AS DOUBLE) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2), "
+            "b AS (SELECT min(CAST(o_orderdate AS DATE)) AS day_min, "
+            "max(CAST(o_orderdate AS DATE)) AS day_max FROM orders), "
+            "spine AS (SELECT segment, "
+            "unnest(generate_series(day_min, day_max, INTERVAL 1 DAY))::DATE "
+            "AS day FROM (SELECT DISTINCT segment FROM agg) CROSS JOIN b) "
+            "SELECT segment, strftime(day, '%Y-%m-%d') AS day, "
+            "revenue IS NULL AS is_gap, "
+            "last_value(revenue IGNORE NULLS) OVER "
+            "(PARTITION BY segment ORDER BY day "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue "
+            "FROM spine LEFT JOIN agg USING (segment, day)"
+        ),
+        "basket_rules": (
+            "WITH bp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "sz AS (SELECT l_orderkey, count(*) AS bsz FROM bp GROUP BY 1), "
+            "pairs AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, "
+            "count(*) AS n_ab FROM bp a JOIN bp b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "JOIN sz ON sz.l_orderkey = a.l_orderkey "
+            "WHERE bsz BETWEEN 2 AND 50 GROUP BY 1, 2), "
+            "dirr AS (SELECT pa AS antecedent, pb AS consequent, n_ab "
+            "FROM pairs UNION ALL "
+            "SELECT pb, pa, n_ab FROM pairs), "
+            "ic AS (SELECT l_partkey, count(*) AS n_i FROM bp GROUP BY 1), "
+            "tot AS (SELECT count(DISTINCT l_orderkey) AS n FROM bp) "
+            "SELECT antecedent, consequent, n_ab AS support_orders, "
+            + _hud("n_ab * 100", "a.n_i", 4)
+            + " AS confidence_pct, "
+            + _hud("n_ab * n", "a.n_i * c.n_i", 4)
+            + " AS lift "
+            "FROM dirr JOIN ic a ON antecedent = a.l_partkey "
+            "JOIN ic c ON consequent = c.l_partkey CROSS JOIN tot "
+            "WHERE n_ab >= 3 "
+            "ORDER BY confidence_pct DESC, antecedent, consequent LIMIT 50"
+        ),
+        "customer_spend_outliers": (
+            "WITH pc AS (SELECT o_custkey, "
+            "sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS HUGEINT)) "
+            "AS cents, count(*) AS n_orders FROM orders GROUP BY 1), "
+            "j AS (SELECT c_mktsegment, o_custkey, cents, n_orders "
+            "FROM pc JOIN customer ON o_custkey = c_custkey), "
+            "st AS (SELECT c_mktsegment, CAST(count(*) AS HUGEINT) AS n, "
+            "sum(cents) AS s, sum(cents * cents) AS q "
+            "FROM j GROUP BY 1) "
+            "SELECT j.c_mktsegment AS segment, o_custkey AS c_custkey, "
+            "CAST(cents AS DOUBLE) / 100.0 AS total_spend, n_orders, "
+            "cents * n > s AS above_mean "
+            "FROM j JOIN st USING (c_mktsegment) "
+            "WHERE (cents * n - s) * (cents * n - s) > 9 * (n * q - s * s)"
+        ),
         "regex_token_pieces": (
             "WITH d AS (SELECT source, "
             "len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) "
@@ -1534,6 +1700,15 @@ def oracle_sql() -> dict[str, str]:
         "SELECT " + _nth() + " AS text_hash, "
         "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size "
         "FROM documents GROUP BY 1"
+    )
+    out["purchase_attribution_streamed"] = (
+        "SELECT p.event_id AS purchase_event_id, "
+        "v.event_id AS view_event_id, p.user_id AS user_id, "
+        "epoch_us(p.ts) AS purchase_us, "
+        "epoch_us(p.ts) - epoch_us(v.ts) AS gap_us "
+        "FROM events p JOIN events v ON p.user_id = v.user_id "
+        "AND p.event_type = 'purchase' AND v.event_type = 'view' "
+        "AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts < p.ts"
     )
 
     # corpus curation (mirrors operators/curation.py constants)

@@ -372,3 +372,199 @@ def q_never_urgent_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame
             money_sum(dec2("c_acctbal")).alias("total_acctbal"),
         )
     )
+
+
+def q_min_cost_part_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each STANDARD mid-size part, the EUROPE
+    supplier(s) whose best (minimum) offer price equals the part's
+    region-wide minimum — the correlated-min subquery.
+
+    The fixtures carry no partsupp table, so the part↔supplier relation
+    (and the offer price) derives from lineitem history: offer =
+    min(l_extendedprice) per (part, supplier), an exact decimal min.
+    The correlated ``ps_supplycost = (SELECT min ...)`` becomes a window
+    min over l_partkey — high-cardinality, so the window distributes
+    evenly — and the region restriction prunes suppliers BEFORE the
+    offer aggregation, exactly like the subquery's scoping."""
+    t = load(spark, sf_dir)
+    parts = t.part.filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    ).select("p_partkey", "p_name")
+    euro_supp = (
+        t.supplier.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation"))
+    )
+    offers = (
+        t.lineitem.select("l_partkey", "l_suppkey", dec2("l_extendedprice").alias("px"))
+        .join(parts.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(euro_supp.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("px").alias("offer"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("best", F.min("offer").over(w)).filter(
+        F.col("offer") == F.col("best")
+    )
+    return (
+        best.join(euro_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "nation",
+            "p_partkey",
+            "p_name",
+            F.col("offer").cast("double").alias("min_offer"),
+            "s_suppkey",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("nation"), F.asc("s_name"),
+            F.asc("p_partkey"), F.asc("s_suppkey"),
+        )
+        .limit(100)
+    )
+
+
+def q_nation_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: per supplier nation × order year, profit on parts
+    whose name contains "red".
+
+    No partsupp.supplycost exists, so cost is modeled as 50% of the
+    part's retail price per unit. Exactness: everything runs in integer
+    10^-4 currency units — net×10^4 is integral (scale-4 decimal), and
+    qty · retail_cents · 50 is integral because retail is a 2-dp
+    decimal — so the (possibly negative) profit sum is exact and the
+    one double division at the end is deterministic."""
+    t = load(spark, sf_dir)
+    red_parts = t.part.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_n = t.supplier.join(
+        F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    net4 = (net_expr() * 10000).cast("decimal(38,0)")
+    cost4 = (
+        F.col("l_quantity").cast("decimal(38,0)")
+        * (dec2("p_retailprice") * 100).cast("decimal(38,0)")
+        * 50
+    )
+    return (
+        t.lineitem.join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (F.sum(net4 - cost4).cast("double") / F.lit(10000.0)).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from NATION_3
+    suppliers exceeds 0.1% of that nation's total shipped value — the
+    global-scalar-threshold HAVING subquery.
+
+    The threshold is a 1-row aggregate broadcast into the filter; the
+    comparison is the integer cross-multiply value4·1000 > total4, so
+    no division (and no float) decides membership."""
+    t = load(spark, sf_dir)
+    n1_supp = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    net4 = (net_expr() * 10000).cast("decimal(38,0)")
+    vals = (
+        t.lineitem.join(n1_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(net4).alias("value4"))
+    )
+    total = vals.agg(F.sum("value4").alias("total4"))
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value4") * 1000 > F.col("total4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            (F.col("value4").cast("double") / F.lit(10000.0)).alias("value"),
+        )
+    )
+
+
+def q_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    for non-Brand#5, non-PROMO parts in selected sizes, excluding
+    flagged suppliers (negative account balance stands in for Q16's
+    complaint comment scan).
+
+    The part↔supplier relation is the distinct (partkey, suppkey)
+    projection of lineitem; the supplier exclusion is a left-anti join
+    (NOT IN over a null-free key set). The countDistinct runs after the
+    pair projection is deduplicated, so the shuffled state is one row
+    per pair, not per lineitem."""
+    t = load(spark, sf_dir)
+    parts = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    flagged = t.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    pairs = (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(flagged, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NATION_2 suppliers who shipped more than half of
+    some "red" part's total 1996 volume — the nested-IN availability
+    subquery, with partsupp.availqty replaced by shipped-quantity
+    dominance.
+
+    Per (part, supplier) quantity sums roll up once; the per-part total
+    is a window over the high-cardinality partkey; dominance is the
+    integer cross-multiply 2·qty > total. The distinct dominant-supplier
+    set then semi-joins the nation-filtered supplier dim."""
+    t = load(spark, sf_dir)
+    red_parts = t.part.filter(F.col("p_name").contains("red")).select("p_partkey")
+    qty = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(red_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        qty.withColumn("total", F.sum("qty").over(w))
+        .filter(F.col("qty") * 2 > F.col("total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    n2 = t.supplier.join(
+        F.broadcast(t.nation.filter(F.col("n_name") == "NATION_2")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        n2.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

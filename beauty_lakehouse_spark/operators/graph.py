@@ -250,3 +250,63 @@ def q_product_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select(F.col("id").alias("l_partkey"), "rank")
     )
+
+
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: directed
+    rules a→b with support (co-orders), confidence (= support /
+    antecedent's order count) and lift (= N·support / (n_a·n_b)) —
+    the recommendation primitive on top of the co-purchase graph.
+
+    Confidence and lift are exact: all inputs are integer counts, both
+    ratios go through one half-up division. Item counts are a small dim
+    (one row per part) broadcast into the directed edge list; the only
+    big shuffles are the basket build and the pair count, both shared
+    with ``copurchase_edges``."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    pairs = copurchase_edges(t.lineitem)
+    bp = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    item_counts = bp.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    total = bp.agg(F.countDistinct("l_orderkey").alias("n_total"))
+    directed = pairs.select(
+        F.col("part_a").alias("antecedent"),
+        F.col("part_b").alias("consequent"),
+        F.col("n_orders").alias("support_orders"),
+    ).unionByName(
+        pairs.select(
+            F.col("part_b").alias("antecedent"),
+            F.col("part_a").alias("consequent"),
+            F.col("n_orders").alias("support_orders"),
+        )
+    )
+    a_cnt = item_counts.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_a")
+    )
+    c_cnt = item_counts.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_c")
+    )
+    return (
+        directed.filter(F.col("support_orders") >= 3)
+        .join(F.broadcast(a_cnt), "antecedent")
+        .join(F.broadcast(c_cnt), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            "support_orders",
+            halfup_div(F.col("support_orders") * 100, F.col("n_a"), 4).alias(
+                "confidence_pct"
+            ),
+            halfup_div(
+                F.col("support_orders") * F.col("n_total"),
+                F.col("n_a") * F.col("n_c"),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.desc("confidence_pct"), F.asc("antecedent"), F.asc("consequent")
+        )
+        .limit(50)
+    )

@@ -247,3 +247,81 @@ def q_purchase_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("error_value_10min"),
         )
     )
+
+
+def gap_fill_daily(
+    agg: DataFrame,
+    key: str,
+    day: str,
+    value: str,
+    spine_bounds: DataFrame,
+) -> DataFrame:
+    """Regularize a sparse per-(key, day) aggregate onto a dense daily
+    spine and forward-fill missing days — the time-series resampling
+    primitive (downsample happened upstream; this is the gap-fill +
+    ffill half).
+
+    ``spine_bounds`` is a 1-row (day_min, day_max) DataFrame; the dense
+    spine is keys × sequence(day_min, day_max) — calendar-bounded, so
+    the explode is tiny no matter how large the fact was. The ffill
+    window runs over the SPINE (|keys| × days rows), never the fact:
+    at 100 TB the fact collapses to day grain before this operator,
+    so the low-cardinality partition is safe — its partition size is
+    bounded by the calendar, not the data."""
+    keys = agg.select(key).distinct()
+    spine = (
+        keys.crossJoin(F.broadcast(spine_bounds))
+        .select(
+            key,
+            F.explode(
+                F.sequence(
+                    F.col("day_min"),
+                    F.col("day_max"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias(day),
+        )
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(day)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = spine.join(agg, [key, day], "left")
+    return joined.select(
+        key,
+        day,
+        F.col(value).isNull().alias("is_gap"),
+        F.last(value, ignorenulls=True).over(w).alias(f"{value}_filled"),
+    )
+
+
+def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily order-revenue series per market segment, with gaps
+    forward-filled (carry the last observed day's revenue) and flagged.
+
+    The per-day aggregate is exact decimal money; the fill copies
+    already-rounded doubles, so the series is bit-identical across
+    engines. Leading gaps (before a segment's first order) stay NULL —
+    both engines agree."""
+    t = load(spark, sf_dir)
+    day = F.col("o_orderdate").cast("date")
+    agg = (
+        t.orders.join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("segment"), day.alias("day"))
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    bounds = t.orders.agg(
+        F.min(day).alias("day_min"), F.max(day).alias("day_max")
+    )
+    filled = gap_fill_daily(agg, "segment", "day", "revenue", bounds)
+    return filled.select(
+        "segment",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "is_gap",
+        F.col("revenue_filled").alias("revenue"),
+    )

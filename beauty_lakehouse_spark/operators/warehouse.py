@@ -556,3 +556,49 @@ def q_top_suppliers_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
         .limit(25)
     )
+
+
+def q_customer_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier detection without a single float: customers
+    whose lifetime spend sits more than 3 population standard
+    deviations from their market segment's mean customer spend.
+
+    |x − μ| > 3σ is decided by the integer cross-multiply
+    ``(n·x − S)² > 9·(n·Q − S²)`` (multiply through by n²; S = Σcents,
+    Q = Σcents²), so the flag is bit-identical across engines — no
+    float mean, no float variance, no sqrt. Sums run in DECIMAL(38,0).
+
+    Scale: the fact collapses to one row per customer first (partial-
+    aggregated groupBy), segment stats are a 5-row dim broadcast back
+    into a streaming filter — no wide shuffle after the rollup. The
+    raw order totals are uniform (max |z| = √3 by construction), so
+    the anomaly signal only exists at the aggregated grain — which is
+    where real fraud/whale detection runs anyway."""
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("decimal(38,0)")
+    per_cust = (
+        t.orders.groupBy("o_custkey")
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n_orders"))
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    stats = per_cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("q"),
+    )
+    dev = F.col("cents") * F.col("n") - F.col("s")  # n·x − S  (scaled by n)
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")  # n²σ²
+    return (
+        per_cust.join(F.broadcast(stats), "c_mktsegment")
+        .filter(dev * dev > F.lit(9) * var_n2)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("cents").cast("double") / F.lit(100.0)).alias("total_spend"),
+            "n_orders",
+            (F.col("cents") * F.col("n") > F.col("s")).alias("above_mean"),
+        )
+    )

@@ -17,4 +17,5 @@ from .pipelines import (  # noqa: F401
     stream_documents,
     stream_events,
     user_purchase_totals,
+    view_purchase_attribution,
 )

@@ -224,3 +224,52 @@ def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFra
             F.col("value").cast("decimal(12,2)").cast("double").alias("value"),
         )
     )
+
+
+def view_purchase_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join: every (purchase, preceding view)
+    pair for the same user within 30 minutes — the attribution join
+    that connects impressions to conversions in-flight.
+
+    Both sides come from the SAME source stream (filtered self-join,
+    fully supported by Structured Streaming). State is bounded on both
+    sides: views are watermarked and the join condition upper-bounds
+    how long a view can wait for a matching purchase (30 minutes +
+    watermark), so view state evicts once the purchase-side watermark
+    passes v.ts + 30 min; purchases evict once the view-side watermark
+    passes p.ts. Inner time-interval joins emit in append mode — rows
+    finalize as soon as both watermarks pass, no end-of-stream needed.
+
+    Scale: the join shuffles both sides by user_id (the equi key);
+    per-key state is the 30-minute view horizon, independent of stream
+    length."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("v_ts") < F.col("p_ts"))
+    )
+    return purchases.join(views, cond).select(
+        "purchase_event_id",
+        "view_event_id",
+        F.col("p_user").alias("user_id"),
+        epoch_us(F.col("p_ts")).alias("purchase_us"),
+        (epoch_us(F.col("p_ts")) - epoch_us(F.col("v_ts"))).alias("gap_us"),
+    )

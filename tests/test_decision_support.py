@@ -219,3 +219,161 @@ def test_q8_share_bounded_and_consistent(spark, sf_dir):
     for r in ds.q_market_share(spark, sf_dir).collect():
         assert 0.0 <= r.mkt_share_pct <= 100.0
         assert r.nation_volume <= r.total_volume + 1e-9
+
+
+def test_q2_best_offer_is_partwide_min_over_europe_suppliers(spark, sf_dir):
+    t = load(spark, sf_dir)
+    t.register_temp_views()
+    rows = ds.q_min_cost_part_supplier(spark, sf_dir).collect()
+    assert rows
+    # independent recompute: the correlated-subquery formulation
+    expected = spark.sql(
+        """
+        WITH es AS (SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'EUROPE'),
+        offers AS (SELECT l_partkey, l_suppkey,
+                          min(CAST(l_extendedprice AS DECIMAL(12,2))) AS offer
+                   FROM lineitem
+                   WHERE l_partkey IN (SELECT p_partkey FROM part
+                                       WHERE p_type = 'STANDARD'
+                                         AND p_size BETWEEN 10 AND 20)
+                     AND l_suppkey IN (SELECT s_suppkey FROM es)
+                   GROUP BY 1, 2)
+        SELECT l_partkey, l_suppkey FROM offers o
+        WHERE offer = (SELECT min(offer) FROM offers i
+                       WHERE i.l_partkey = o.l_partkey)
+        """
+    ).collect()
+    exp_pairs = {(r.l_partkey, r.l_suppkey) for r in expected}
+    got_pairs = {(r.p_partkey, r.s_suppkey) for r in rows}
+    assert got_pairs <= exp_pairs  # top-100 cut of the full winner set
+
+
+def test_q2_plan_windows_on_high_cardinality_partkey(spark, sf_dir):
+    plan = _plan(ds.q_min_cost_part_supplier(spark, sf_dir))
+    assert "partitionBy: [l_partkey" in plan.replace("=", ": ") or (
+        "l_partkey" in plan and "Window" in plan
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_matches_float_recompute(spark, sf_dir):
+    t = load(spark, sf_dir)
+    rows = ds.q_nation_product_profit(spark, sf_dir).collect()
+    assert rows
+    red = t.part.filter(F.col("p_name").contains("red")).select(
+        "p_partkey", "p_retailprice"
+    )
+    j = (
+        t.lineitem.join(red, F.col("l_partkey") == F.col("p_partkey"))
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("n_name"), F.year("o_orderdate").alias("y"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                - F.col("l_quantity") * F.col("p_retailprice") * 0.5
+            ).alias("p")
+        )
+        .collect()
+    )
+    expected = {(r.n_name, r.y): r.p for r in j}
+    for r in rows:
+        assert abs(expected[(r.nation, r.order_year)] - r.profit) < 0.05
+
+
+def test_q11_threshold_is_exclusive_and_complete(spark, sf_dir):
+    t = load(spark, sf_dir)
+    rows = ds.q_important_part_value(spark, sf_dir).collect()
+    assert rows
+    n1 = t.supplier.join(
+        t.nation.filter(F.col("n_name") == "NATION_3"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    vals = (
+        t.lineitem.join(n1, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("v")
+        )
+    )
+    total = vals.agg(F.sum("v").alias("t")).collect()[0].t
+    expected = {
+        r.l_partkey for r in vals.collect() if r.v * 1000 > total
+    }
+    assert {r.p_partkey for r in rows} == expected
+
+
+def test_q16_counts_match_sql_formulation(spark, sf_dir):
+    t = load(spark, sf_dir)
+    t.register_temp_views()
+    got = {
+        (r.p_brand, r.p_type, r.p_size): r.supplier_cnt
+        for r in ds.q_part_supplier_counts(spark, sf_dir).collect()
+    }
+    exp = {
+        (r.p_brand, r.p_type, r.p_size): r.cnt
+        for r in spark.sql(
+            """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2, 3
+            """
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_q16_plan_anti_join_for_not_in(spark, sf_dir):
+    plan = _plan(ds.q_part_supplier_counts(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_q20_dominance_is_majority_share(spark, sf_dir):
+    t = load(spark, sf_dir)
+    rows = ds.q_dominant_part_suppliers(spark, sf_dir).collect()
+    # every returned supplier must dominate (>50% of 1996 volume of)
+    # at least one red part, and be in NATION_2
+    qty = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(
+            t.part.filter(F.col("p_name").contains("red")).select("p_partkey"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    import pyspark
+
+    w = pyspark.sql.Window.partitionBy("l_partkey")
+    dominant = {
+        r.l_suppkey
+        for r in qty.withColumn("t", F.sum("q").over(w))
+        .filter(F.col("q") * 2 > F.col("t"))
+        .select("l_suppkey")
+        .distinct()
+        .collect()
+    }
+    n2 = {
+        r.s_suppkey
+        for r in t.supplier.join(
+            t.nation.filter(F.col("n_name") == "NATION_2"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).collect()
+    }
+    assert {r.s_suppkey for r in rows} == dominant & n2

@@ -200,3 +200,63 @@ def test_stream_dedup_repairs_duplicate_delivery(spark, sf_dir):
     n_unique = load(spark, sf_dir).events.count()
     assert out.count() == n_unique
     assert out.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
+    """The stream-stream interval join (view→purchase within 30 min)
+    drained across 4 micro-batches equals the batch inequality join —
+    pair-set identical regardless of micro-batch slicing."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import epoch_us
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        view_purchase_attribution,
+    )
+
+    events = load(spark, sf_dir).events
+    src = str(tmp_path / "events_parts")
+    events.withColumn("part", (F.col("event_id") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        view_purchase_attribution(stream),
+        f"t_attrib_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    expected = (
+        p.join(
+            v,
+            (F.col("user_id") == F.col("v_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("v_ts") < F.col("p_ts")),
+        )
+        .select(
+            "purchase_event_id",
+            "view_event_id",
+            "user_id",
+            epoch_us(F.col("p_ts")).alias("purchase_us"),
+            (epoch_us(F.col("p_ts")) - epoch_us(F.col("v_ts"))).alias("gap_us"),
+        )
+    )
+    assert _canon(got) == _canon(expected)
+    assert got.count() > 0
