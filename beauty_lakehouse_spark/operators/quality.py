@@ -353,3 +353,74 @@ def q_cardinality_sketches(spark, sf_dir: str) -> DataFrame:
         )
         report = rows if report is None else report.unionByName(rows)
     return report
+
+
+def q_quantile_sketches(spark, sf_dir: str) -> DataFrame:
+    """Quantile-sketch profiling (rows-only: sketch internals are
+    engine-specific by design — pytest bounds the rank error vs exact
+    percentiles instead of an oracle). The sketch behind
+    ``approx_percentile`` (KLL-style) is one-pass, fixed-memory, and
+    mergeable across partitions — at 100 TB it replaces the full sort
+    an exact percentile needs.
+
+    Output: one row per profiled column with approx p50/p90/p99."""
+    from ..catalog import load
+
+    targets = {
+        "lineitem": ["l_extendedprice", "l_quantity"],
+        "orders": ["o_totalprice"],
+        "events": ["value"],
+    }
+    t = load(spark, sf_dir)
+    report = None
+    for table, cols in targets.items():
+        df = t.table(table)
+        agg = df.agg(
+            *[
+                F.percentile_approx(c, [0.5, 0.9, 0.99], 10000).alias(f"q_{c}")
+                for c in cols
+            ]
+        )
+        pairs = ", ".join(
+            f"'{table}.{c}', `q_{c}`[0], `q_{c}`[1], `q_{c}`[2]" for c in cols
+        )
+        rows = agg.selectExpr(
+            f"stack({len(cols)}, {pairs}) AS (target, p50, p90, p99)"
+        )
+        report = rows if report is None else report.unionByName(rows)
+    return report
+
+
+def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top-20 heaviest keys of the two
+    hot join/agg keys, with their parts-per-million share of the table —
+    the profile you read BEFORE deciding to salt a key or enable AQE
+    skew handling on a 100 TB join.
+
+    Exactness: share is an integer half-up division to ppm. One
+    partial-aggregated groupBy per profiled key; the 1-row total rides
+    along via a window-free broadcast join."""
+    from ..catalog import load
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    report = None
+    for table, key in [("lineitem", "l_partkey"), ("orders", "o_custkey")]:
+        df = t.table(table)
+        counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+        total = df.agg(F.count(F.lit(1)).alias("n_total"))
+        top = (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                F.lit(f"{table}.{key}").alias("target"),
+                F.col(key).cast("long").alias("key"),
+                "n_rows",
+                halfup_div(F.col("n_rows") * 1000000, F.col("n_total"), 0).alias(
+                    "share_ppm"
+                ),
+            )
+            .orderBy(F.desc("n_rows"), F.asc("key"))
+            .limit(20)
+        )
+        report = top if report is None else report.unionByName(top)
+    return report

@@ -602,3 +602,47 @@ def q_customer_spend_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cents") * F.col("n") > F.col("s")).alias("above_mean"),
         )
     )
+
+
+def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width 20-bin histogram of order totals with bin bounds and
+    half-up percentage shares — the profiling primitive behind every
+    data-distribution dashboard.
+
+    Bin assignment is pure integer arithmetic on cents against the
+    (min, max) range — ``(cents − lo) · 20 intdiv (hi − lo + 1)`` —
+    so bucket membership is bit-identical across engines (a float
+    width_bucket can disagree at bin edges). The (min, max) pair is a
+    1-row broadcast; the histogram itself is one partial-aggregated
+    groupBy over 20 groups."""
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("decimal(38,0)")
+    bounds = t.orders.agg(
+        F.min(cents).alias("lo"), F.max(cents).alias("hi")
+    )
+    width = F.col("hi") - F.col("lo") + 1
+    binned = (
+        t.orders.select(cents.alias("cents"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            ((F.col("cents") - F.col("lo")) * 20 - ((F.col("cents") - F.col("lo")) * 20) % width)
+            .cast("decimal(38,0)")
+            .alias("num"),
+            width.alias("w"),
+            "lo",
+        )
+        .select((F.col("num") / F.col("w")).cast("int").alias("bin"), "lo", "w")
+    )
+    total = t.orders.count()
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(bounds), F.lit(True))
+        .select(
+            "bin",
+            ((F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo") + 1) / 20)
+             .cast("decimal(38,0)").cast("double") / 100.0).alias("bin_lo_approx"),
+            "n_orders",
+            halfup_div(F.col("n_orders") * 100, F.lit(total), 4).alias("pct"),
+        )
+    )
