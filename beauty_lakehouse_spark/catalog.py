@@ -156,19 +156,29 @@ NANOS_COLUMNS: dict[str, str] = {"ts": "ts"}
 
 
 def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """Convert nanos-as-long columns back to TimestampType.
+    """Normalize the event-time column to TimestampType.
 
-    With ``nanosAsLong=true`` a TIMESTAMP(NANOS) column arrives as int64
-    nanoseconds. ``ts div 1000`` (integer division — a float division would
-    lose precision above 2^53) then ``timestamp_micros`` restores a real
-    timestamp, truncated to µs exactly like DuckDB's ``epoch_us``.
+    Two on-disk encodings are observed across driver fixture generations:
+
+    - TIMESTAMP(NANOS): with ``nanosAsLong=true`` it arrives as int64
+      nanoseconds; ``ts div 1000`` (integer division — a float division
+      would lose precision above 2^53) then ``timestamp_micros`` restores
+      a real timestamp, truncated to µs exactly like DuckDB's ``epoch_us``.
+    - timestamp[us] without timezone: arrives as TimestampNTZType; under
+      the pinned UTC session timezone a plain cast to TimestampType keeps
+      the same wall-clock instant (and matches DuckDB's naive TIMESTAMP).
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for col in NANOS_COLUMNS:
-        if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
+        if col not in df.columns:
+            continue
+        dtype = df.schema[col].dataType
+        if isinstance(dtype, T.LongType):
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif isinstance(dtype, T.TimestampNTZType):
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

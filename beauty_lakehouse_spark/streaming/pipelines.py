@@ -11,9 +11,10 @@ Design rules (the ones that keep a 100 TB/day stream healthy):
   drain over historical files — the lambda/kappa unification Structured
   Streaming gives for free. Tests assert streaming == batch output.
 
-The fixture's events.parquet stores TIMESTAMP(NANOS); like the batch
-catalog (catalog.py), the stream reader takes nanos-as-long and rebuilds
-a microsecond timestamp, so both paths see identical timestamps.
+Fixture generations vary the on-disk encoding of ``ts`` (TIMESTAMP(NANOS)
+vs plain timestamp[us] without timezone); like the batch catalog
+(catalog.py), the stream reader probes the footer schema and normalizes
+to TimestampType, so both paths see identical timestamps.
 """
 
 from __future__ import annotations
@@ -24,33 +25,42 @@ from pyspark.sql import types as T
 
 from ..functions import normalized_text_hash, epoch_us
 
-#: Schema of the events stream as read from the raw files (ts arrives as
-#: int64 nanoseconds under the nanosAsLong read mode).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+#: Non-timestamp columns of the events stream; ``ts`` is appended with
+#: whatever type the footer probe observes on disk.
+_EVENTS_FIXED_FIELDS = [
+    T.StructField("event_id", T.LongType(), True),
+    T.StructField("user_id", T.LongType(), True),
+    T.StructField("event_type", T.StringType(), True),
+    T.StructField("value", T.DoubleType(), True),
+    T.StructField("props", T.StringType(), True),
+]
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture (file source). The file
     source discovers new files per micro-batch — the same code tails a
-    landing directory in production."""
+    landing directory in production.
+
+    The stream source needs a declared schema, and the fixture's ``ts``
+    encoding differs across driver generations: TIMESTAMP(NANOS) arrives
+    as int64 under ``nanosAsLong`` (→ ``ts div 1000`` integer division,
+    then ``timestamp_micros``), plain timestamp[us] arrives as
+    TimestampNTZ (→ cast; a no-op instant-wise under the pinned UTC
+    session). A footer-only batch probe picks the branch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = f"{sf_dir}/events.parquet"
+    ts_on_disk = spark.read.parquet(path).schema["ts"].dataType
+    schema = T.StructType(
+        [T.StructField("ts", ts_on_disk, True), *_EVENTS_FIXED_FIELDS]
+    )
     # The fixture is a single file, but the file stream source requires a
     # directory/glob base — bracketing one character makes the path a glob
     # whose base is the parent directory.
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
-        f"{sf_dir}/events.parque[t]"
-    )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque[t]")
+    if isinstance(ts_on_disk, T.LongType):
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -80,10 +80,7 @@ def test_multi_batch_state_merging(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from beauty_lakehouse_spark.catalog import load
-    from beauty_lakehouse_spark.streaming.pipelines import (
-        EVENTS_RAW_SCHEMA,
-        hourly_event_counts,
-    )
+    from beauty_lakehouse_spark.streaming.pipelines import hourly_event_counts
 
     # land the fixture as 4 parquet files (split by event_id mod 4 so
     # every batch carries interleaved event times — the hard case)
