@@ -193,6 +193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_part_names": text.q_fuzzy_part_names,
         "frequent_terms": text.q_frequent_terms,
         "regex_token_pieces": text.q_regex_token_pieces,
+        "bpe_pair_counts": text.q_bpe_pair_counts,
+        "bigram_novelty": text.q_bigram_novelty,
+        "boilerplate_ngrams": text.q_boilerplate_ngrams,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
@@ -203,6 +206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.q_decontaminate,
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
+        "doc_chunking": curation.q_doc_chunking,
+        "training_order_shuffle": curation.q_training_order_shuffle,
+        "epoch_mixture_expand": curation.q_epoch_mixture_expand,
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
@@ -1129,6 +1135,77 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(n_pieces) AS BIGINT) AS total_pieces, "
             "CAST(max(n_pieces) AS INTEGER) AS max_pieces "
             "FROM d GROUP BY source"
+        ),
+        "bpe_pair_counts": (
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token "
+            "FROM documents), "
+            "vocab AS (SELECT token, count(*) AS freq FROM tok "
+            "WHERE token <> '' GROUP BY token), "
+            "ppos AS (SELECT token, freq, "
+            "unnest(generate_series(1, length(token) - 1)) AS i "
+            "FROM vocab WHERE length(token) >= 2), "
+            "pairs AS (SELECT substr(token, CAST(i AS INT), 2) AS pair, "
+            "token, freq FROM ppos) "
+            "SELECT pair, CAST(sum(freq) AS BIGINT) AS weight, "
+            "CAST(count(DISTINCT token) AS BIGINT) AS n_token_types "
+            "FROM pairs GROUP BY pair "
+            "ORDER BY weight DESC, pair LIMIT 30"
+        ),
+        "bigram_novelty": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, "
+            "t FROM d WHERE len(t) >= 2), "
+            "bg AS (SELECT doc_id, t[CAST(i AS INT)] || ' ' || "
+            "t[CAST(i AS INT) + 1] AS gram FROM g), "
+            "c AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram), "
+            "j AS (SELECT doc_id, n FROM bg JOIN c USING (gram)) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "CAST(sum(CASE WHEN n <= 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_rare, "
+            + _hud("sum(CASE WHEN n <= 5 THEN 1 ELSE 0 END)", "count(*)", 6)
+            + " AS rare_rate FROM j GROUP BY doc_id"
+        ),
+        "boilerplate_ngrams": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 4)) AS i, "
+            "t FROM d WHERE len(t) >= 5), "
+            "sh5 AS (SELECT DISTINCT doc_id, "
+            "array_to_string(t[CAST(i AS INT):CAST(i AS INT) + 4], ' ') "
+            "AS shingle FROM g) "
+            "SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM sh5 GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2 "
+            "ORDER BY n_docs DESC, shingle LIMIT 100"
+        ),
+        "doc_chunking": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(generate_series(0, len(t) - 1, 32)) AS st FROM d) "
+            "SELECT doc_id, CAST(st // 32 AS INT) AS chunk_idx, "
+            "CAST(st AS INT) AS start_tok, "
+            "CAST(least(64, len(t) - st) AS INT) AS n_chunk_tokens, "
+            "md5(array_to_string("
+            "t[CAST(st + 1 AS INT):CAST(least(st + 64, len(t)) AS INT)], ' ')) "
+            "AS chunk_hash FROM s"
+        ),
+        "training_order_shuffle": (
+            "WITH d AS (SELECT doc_id, source, "
+            "('0x' || substr(md5('shuffle0:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::BIGINT AS shuffle_key FROM documents) "
+            "SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) "
+            "AS BIGINT) - 1 AS position, doc_id, source, shuffle_key FROM d"
+        ),
+        "epoch_mixture_expand": (
+            "WITH d AS (SELECT doc_id, source, "
+            "CAST(1 + (('0x' || substr(md5('epochs:' || source), 1, 15))"
+            "::BIGINT % 3) AS INT) AS n_epochs FROM documents), "
+            "e AS (SELECT doc_id, source, n_epochs, "
+            "unnest(generate_series(0, n_epochs - 1)) AS epoch FROM d) "
+            "SELECT doc_id, source, n_epochs, CAST(epoch AS INT) AS epoch, "
+            "('0x' || substr(md5('ex:' || CAST(epoch AS VARCHAR) || ':' || "
+            "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS example_key FROM e"
         ),
         "frequent_terms": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

@@ -380,3 +380,132 @@ def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("comp").alias("cluster_id"),
         split.alias("split"),
     )
+
+
+#: q_doc_chunking window geometry (tokens).
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 32
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — the step that
+    turns variable-length documents into training examples (context
+    windows). Windows start every CHUNK_STRIDE tokens and span up to
+    CHUNK_SIZE; the tail window is short rather than dropped, so every
+    token is covered by ≥1 chunk. Emits the chunk's md5 (content
+    receipt), not the chunk text, keeping the output narrow.
+
+    Scale: pure array-side row expansion — sequence/slice/md5 inside
+    whole-stage codegen, no shuffle at all; output rows ≈
+    total_tokens / stride. At 100 TB this is the shape you want: the
+    expansion is local to each scan task and writes straight to the
+    sink."""
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE))
+    d = t.documents.select("doc_id", toks.alias("t"), starts.alias("starts"))
+    return d.select(
+        "doc_id",
+        F.posexplode("starts").alias("chunk_idx", "st"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("st").cast("int").alias("start_tok"),
+        F.least(F.lit(CHUNK_SIZE), F.size("t") - F.col("st"))
+        .cast("int")
+        .alias("n_chunk_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr(f"slice(t, st + 1, {CHUNK_SIZE})")
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every document gets
+    a pseudorandom 60-bit sort key (md5-derived — reproducible across
+    runs and engines, no RNG state), and its global position in that
+    order. The property a training pipeline needs: the order is a pure
+    function of the doc ids, so a resumed/replayed epoch sees the same
+    sequence.
+
+    Scale: a global row_number would single-partition the sort. This
+    computes positions in two levels: (1) coarse bucket from the key's
+    top bits, (2) per-bucket counts → cumulative offsets (a window
+    over ≤4096 bucket rows — driver-scale), (3) row_number WITHIN each
+    bucket + the bucket's offset. Each reducer sorts only its bucket
+    (~n/4096 rows), which is the standard distributed total-order
+    (range-partition + local sort) expressed declaratively."""
+    t = load(spark, sf_dir)
+    key = portable_hash64(
+        F.concat(F.lit("shuffle0:"), F.col("doc_id").cast("string"))
+    )
+    d = t.documents.select(
+        "doc_id", "source", key.alias("shuffle_key")
+    ).withColumn("bucket", (F.col("shuffle_key") / F.lit(2**48)).cast("long"))
+    offsets = (
+        d.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    wb = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "position", F.row_number().over(wb) + F.col("offset") - 1
+        )
+        .select("position", "doc_id", "source", "shuffle_key")
+    )
+
+
+#: Per-source epoch counts are rule-derived (sources are synthetic
+#: srcN labels): 1 + (md5-hash of the source) mod 3 ∈ {1,2,3} epochs.
+EPOCH_MOD = 3
+
+
+def q_epoch_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-expansion of a weighted mixture: each source is assigned
+    an epoch count (how many times its documents repeat in the
+    training set — the "4 epochs of wikipedia, 1 of web" pattern), and
+    every document is materialized once per epoch with a per-epoch
+    deterministic shuffle key (so repeats don't sit adjacent in the
+    training order).
+
+    Scale: explode(sequence(...)) is a local row expansion — no
+    shuffle, output = Σ epochs(source) × docs. The per-source epoch
+    table stays a broadcast-size dimension at any corpus size."""
+    t = load(spark, sf_dir)
+    epochs = (
+        F.pmod(
+            portable_hash64(F.concat(F.lit("epochs:"), F.col("source"))),
+            F.lit(EPOCH_MOD),
+        )
+        + 1
+    ).cast("int")
+    d = t.documents.select("doc_id", "source", epochs.alias("n_epochs"))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_epochs",
+        F.explode(F.sequence(F.lit(0), F.col("n_epochs") - 1)).alias("epoch"),
+    ).withColumn(
+        "epoch", F.col("epoch").cast("int")
+    ).withColumn(
+        "example_key",
+        portable_hash64(
+            F.concat_ws(":", F.lit("ex"), F.col("epoch"), F.col("doc_id"))
+        ),
+    )

@@ -392,6 +392,130 @@ def q_frequent_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_PIECE_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
 
 
+#: q_bpe_pair_counts: report the top candidate merges of the first
+#: BPE round.
+BPE_TOP_PAIRS = 30
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of a BPE tokenizer-training round: corpus
+    word frequencies, then every adjacent character pair inside each
+    distinct word weighted by that word's corpus frequency — the top
+    pair is the merge a BPE trainer would perform next. Reports the
+    top candidates by merge weight.
+
+    Scale: pair statistics are computed over the DISTINCT-WORD
+    vocabulary (|vocab| rows, ~Heaps-law sublinear in corpus size),
+    never over the token stream — the corpus-frequency groupBy is the
+    only full-stream shuffle, and it is partial-aggregated map-side.
+    Subsequent merge rounds reuse the same plan over the re-segmented
+    vocabulary (iterate on the |vocab|-row table, not the corpus)."""
+    t = load(spark, sf_dir)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = vocab.filter(F.length("token") >= 2).select(
+        "token",
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(token) - 1),"
+                " i -> substring(token, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("freq").alias("weight"),
+            F.countDistinct("token").alias("n_token_types"),
+        )
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+#: Corpus bigram count at or below which a bigram counts as "rare" for
+#: the novelty score.
+RARE_BIGRAM_MAX = 5
+
+
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language-model novelty signal: per document, how many of
+    its word bigrams are rare in the corpus (count ≤ RARE_BIGRAM_MAX).
+    High rare-bigram rate flags out-of-distribution or noisy text —
+    the portable (log-free, hence oracle-exact) core of perplexity
+    filtering; a real LM score replaces `rare` with -log p(gram).
+
+    Scale: bigram stream → corpus-count groupBy (map-side combinable,
+    |distinct bigrams| output) → broadcast-friendly join back. Docs
+    with fewer than 2 tokens carry no bigrams and are excluded, same
+    as the oracle."""
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    per_doc = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+    )
+    counts = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    joined = per_doc.join(counts, "gram")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                (F.col("n") <= RARE_BIGRAM_MAX).cast("long")
+            ).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "n_rare",
+            halfup_div(F.col("n_rare"), F.col("n_bigrams"), 6).alias("rare_rate"),
+        )
+    )
+
+
+#: Boilerplate = a 5-gram appearing in at least this many distinct docs.
+BOILERPLATE_NGRAM = 5
+BOILERPLATE_MIN_DOCS = 2
+BOILERPLATE_TOP_K = 100
+
+
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection (the CCNet/C4 cleanup
+    step): word 5-grams shared by ≥ BOILERPLATE_MIN_DOCS distinct
+    documents — headers, footers, and template fragments a curation
+    pipeline strips before dedup. Reports the most widespread.
+
+    Scale: per-doc DISTINCT shingles (array-side, no pre-shuffle
+    blowup) → doc-frequency groupBy (partial-merge) → TakeOrdered.
+    Identical shape to the dedup posting-list build, so at 100 TB it
+    shares that path's economics: output is |distinct shingles|,
+    bounded, and the hot-shingle head is exactly what this query
+    reports."""
+    from .dedup import shingles
+
+    t = load(spark, sf_dir)
+    sh = shingles(t.documents, n=BOILERPLATE_NGRAM)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.asc("shingle"))
+        .limit(BOILERPLATE_TOP_K)
+    )
+
+
 def q_regex_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex tokenization (the BPE-pretokenizer shape: word runs split
     from punctuation) with per-source piece accounting — a JVM-side

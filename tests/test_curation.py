@@ -227,3 +227,81 @@ def test_cluster_safe_split_no_leakage(spark, sf_dir):
     assert leaky == 0
     # and it is a real split: more than one split value exists overall
     assert df.select("split").distinct().count() >= 2
+
+
+def test_chunking_covers_every_token_with_stride_geometry(spark, sf_dir):
+    """Chunks tile each document: stride-aligned starts, contiguous
+    chunk indices, the last chunk ends exactly at the doc's token
+    count, and every non-final chunk is full-size."""
+    t = load(spark, sf_dir)
+    n_tok = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n")
+    )
+    chunks = curation.q_doc_chunking(spark, sf_dir)
+    per_doc = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_idx").alias("max_idx"),
+            F.max(F.col("start_tok") + F.col("n_chunk_tokens")).alias("end"),
+            F.min(
+                (F.col("start_tok") == curation.CHUNK_STRIDE * F.col("chunk_idx"))
+                .cast("int")
+            ).alias("aligned"),
+        )
+        .join(n_tok, "doc_id")
+    )
+    bad = per_doc.filter(
+        (F.col("max_idx") != F.col("n_chunks") - 1)
+        | (F.col("end") != F.col("n"))
+        | (F.col("aligned") == 0)
+    )
+    assert bad.count() == 0
+    # exact length law: every chunk spans min(SIZE, n - start) tokens
+    wrong_len = (
+        chunks.join(n_tok, "doc_id")
+        .filter(
+            F.col("n_chunk_tokens")
+            != F.least(F.lit(curation.CHUNK_SIZE), F.col("n") - F.col("start_tok"))
+        )
+    )
+    assert wrong_len.count() == 0
+
+
+def test_training_shuffle_is_a_permutation_and_deterministic(spark, sf_dir):
+    out = curation.q_training_order_shuffle(spark, sf_dir)
+    n = load(spark, sf_dir).documents.count()
+    agg = out.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("position").alias("npos"),
+        F.min("position").alias("lo"),
+        F.max("position").alias("hi"),
+    ).first()
+    assert agg.rows == n and agg.npos == n
+    assert agg.lo == 0 and agg.hi == n - 1
+    # pure function of ids: two plans, identical order
+    a = [r.doc_id for r in out.orderBy("position").collect()]
+    b = [
+        r.doc_id
+        for r in curation.q_training_order_shuffle(spark, sf_dir)
+        .orderBy("position")
+        .collect()
+    ]
+    assert a == b
+
+
+def test_epoch_expansion_multiplicity(spark, sf_dir):
+    out = curation.q_epoch_mixture_expand(spark, sf_dir)
+    per_doc = out.groupBy("doc_id", "n_epochs").agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.countDistinct("epoch").alias("neps"),
+        F.countDistinct("example_key").alias("nkeys"),
+    )
+    bad = per_doc.filter(
+        (F.col("rows") != F.col("n_epochs"))
+        | (F.col("neps") != F.col("n_epochs"))
+        | (F.col("nkeys") != F.col("n_epochs"))
+    )
+    assert bad.count() == 0
+    rng = out.agg(F.min("n_epochs").alias("lo"), F.max("n_epochs").alias("hi")).first()
+    assert rng.lo >= 1 and rng.hi <= curation.EPOCH_MOD

@@ -3,6 +3,7 @@ analysis sanity properties."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from beauty_lakehouse_spark.catalog import load
@@ -175,3 +176,43 @@ def test_fuzzy_part_names_no_cartesian(spark, sf_dir):
     rows = df.collect()
     assert len(rows) <= 200
     assert all(1 <= r["edit_dist"] <= 4 for r in rows)
+
+
+def test_bpe_pairs_are_adjacent_substrings(spark, sf_dir):
+    """Every reported pair is 2 chars and its weight counts real
+    adjacent occurrences: recompute one pair's weight by scanning the
+    corpus vocabulary driver-side."""
+    rows = text.q_bpe_pair_counts(spark, sf_dir).collect()
+    assert rows and all(len(r.pair) == 2 for r in rows)
+    weights = [r.weight for r in rows]
+    assert weights == sorted(weights, reverse=True)
+    t = load(spark, sf_dir)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .count()
+        .collect()
+    )
+    target = rows[0].pair
+    expect = sum(
+        r["count"] * sum(1 for i in range(len(r.tok) - 1) if r.tok[i : i + 2] == target)
+        for r in vocab
+    )
+    assert rows[0].weight == expect
+
+
+def test_bigram_novelty_bounds(spark, sf_dir):
+    out = text.q_bigram_novelty(spark, sf_dir)
+    bad = out.filter(
+        (F.col("n_rare") > F.col("n_bigrams"))
+        | (F.col("rare_rate") < 0)
+        | (F.col("rare_rate") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_boilerplate_ngrams_are_cross_doc(spark, sf_dir):
+    rows = text.q_boilerplate_ngrams(spark, sf_dir).collect()
+    assert rows and all(r.n_docs >= text.BOILERPLATE_MIN_DOCS for r in rows)
+    assert all(len(r.shingle.split(" ")) == text.BOILERPLATE_NGRAM for r in rows)
