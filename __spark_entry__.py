@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": curation.q_doc_chunking,
         "training_order_shuffle": curation.q_training_order_shuffle,
         "epoch_mixture_expand": curation.q_epoch_mixture_expand,
+        "chunk_dedup": curation.q_chunk_dedup,
+        "semantic_neardup": similarity.q_semantic_neardup,
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
@@ -1189,6 +1191,42 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string("
             "t[CAST(st + 1 AS INT):CAST(least(st + 64, len(t)) AS INT)], ' ')) "
             "AS chunk_hash FROM s"
+        ),
+        "chunk_dedup": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "s AS (SELECT doc_id, t, "
+            "unnest(generate_series(0, len(t) - 1, 32)) AS st FROM d), "
+            "ch AS (SELECT doc_id, CAST(st // 32 AS INT) AS chunk_idx, "
+            "md5(array_to_string("
+            "t[CAST(st + 1 AS INT):CAST(least(st + 64, len(t)) AS INT)], ' ')) "
+            "AS chunk_hash FROM s WHERE least(64, len(t) - st) = 64), "
+            "g AS (SELECT chunk_hash, count(*) AS n_occurrences, "
+            "count(DISTINCT doc_id) AS n_docs, "
+            "min(doc_id * 1048576 + chunk_idx) AS first_okey "
+            "FROM ch GROUP BY chunk_hash HAVING count(*) >= 2) "
+            "SELECT ch.chunk_hash, doc_id, chunk_idx, n_occurrences, n_docs, "
+            "(doc_id * 1048576 + chunk_idx) = first_okey AS is_canonical "
+            "FROM ch JOIN g USING (chunk_hash)"
+        ),
+        "semantic_neardup": (
+            "WITH q0 AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+            "AS q FROM embeddings), "
+            "q1 AS (SELECT vec_id, label, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq "
+            "FROM q0), "
+            "p AS (SELECT a.label, a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "a.q AS qa, b.q AS qb, a.nq AS na, b.nq AS nb "
+            "FROM q1 a JOIN q1 b ON a.label = b.label AND a.vec_id < b.vec_id), "
+            "d AS (SELECT label, vec_a, vec_b, na, nb, "
+            "CAST(list_sum(list_transform(generate_series(1, len(qa)), "
+            "i -> qa[CAST(i AS INT)] * qb[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q FROM p) "
+            "SELECT label, vec_a, vec_b, dot_q, na, nb FROM d "
+            "WHERE dot_q > 0 AND CAST(dot_q AS HUGEINT) * "
+            "CAST(dot_q AS HUGEINT) * 25 >= "
+            "16 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)"
         ),
         "training_order_shuffle": (
             "WITH d AS (SELECT doc_id, source, "

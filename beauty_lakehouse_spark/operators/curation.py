@@ -509,3 +509,48 @@ def q_epoch_mixture_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", F.lit("ex"), F.col("epoch"), F.col("doc_id"))
         ),
     )
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-window (substring-style) dedup: full-size token chunks
+    whose content recurs anywhere in the corpus — the practical
+    distributed stand-in for suffix-array substring dedup (Lee et al.'s
+    "Deduplicating Training Data Makes Language Models Better" removes
+    repeated spans; fixed windows approximate spans at 1/stride
+    resolution). Emits every occurrence of a duplicated window with its
+    group stats; the canonical occurrence is the (min doc_id, min
+    chunk_idx) one — a curation pass drops the rest.
+
+    Scale: chunk expansion is shuffle-free (see q_doc_chunking); the
+    only shuffles are the hash groupBy (|distinct windows| output,
+    map-side combined) and the join back — posting-list economics,
+    same as exact dedup. Partial tail windows are excluded: equal
+    hashes there would compare different-length texts."""
+    chunks = q_doc_chunking(spark, sf_dir).filter(
+        F.col("n_chunk_tokens") == CHUNK_SIZE
+    )
+    # composite occurrence key: doc_id * 2^20 + chunk_idx (chunk_idx
+    # is bounded far below 2^20 by doc length); integer min over it
+    # picks the first occurrence portably in both engines
+    occ_key = F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_idx")
+    groups = (
+        chunks.select("chunk_hash", occ_key.alias("okey"), "doc_id")
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("okey").alias("first_okey"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )
+    return (
+        chunks.join(groups, "chunk_hash")
+        .select(
+            "chunk_hash",
+            "doc_id",
+            "chunk_idx",
+            "n_occurrences",
+            "n_docs",
+            (occ_key == F.col("first_okey")).alias("is_canonical"),
+        )
+    )

@@ -505,3 +505,87 @@ def q_label_embedding_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .applyInPandas(kernel, schema=_SCATTER_SCHEMA)
     )
+
+
+#: q_semantic_neardup threshold: cosine ≥ SEM_COS_NUM / SEM_COS_DEN.
+SEM_COS_NUM = 4
+SEM_COS_DEN = 5
+#: Fixed-point quantization scale for the exact cosine test (millionths).
+SEM_SCALE = 1_000_000
+
+
+def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
+    """Core of q_semantic_neardup over any (vec_id, label, embedding)
+    DataFrame — separated so tests can drive it with planted
+    near-duplicate vectors."""
+    q = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * SEM_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    ).withColumn(
+        "nq",
+        F.aggregate(
+            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    a = q.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    b = q.select(
+        F.col("label"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = "decimal(38,0)"
+    return (
+        pairs.withColumn("dot_q", dot)
+        .filter(F.col("dot_q") > 0)
+        .filter(
+            F.col("dot_q").cast(d38) * F.col("dot_q").cast(d38)
+            * F.lit(SEM_COS_DEN * SEM_COS_DEN)
+            >= F.lit(SEM_COS_NUM * SEM_COS_NUM)
+            * F.col("na").cast(d38) * F.col("nb").cast(d38)
+        )
+        .select("label", "vec_a", "vec_b", "dot_q", "na", "nb")
+    )
+
+
+def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: within each
+    cluster, vector pairs whose cosine similarity clears the threshold.
+    Clusters here are the fixture's ``label`` partitions; at scale the
+    label column is produced by the IVF k-means assignment
+    (``ivf_build``) — same downstream shape, cluster-local pair
+    generation only, never corpus × corpus.
+
+    Oracle-exact: floats are quantized to integer millionths
+    (floor(x·1e6 + 0.5), IEEE-identical everywhere); the cosine test
+    ``dot/√(na·nb) ≥ t`` is evaluated as the integer cross-multiplied
+    square ``dot² · t_den² ≥ t_num² · na · nb`` (with dot > 0) in
+    DECIMAL(38,0)/HUGEINT — no sqrt, no float comparison, so the
+    DuckDB twin hash-matches exactly. (0 rows on the near-random
+    fixture embeddings is the correct answer; the planted-pair pytest
+    carries the positive-detection semantics.)
+
+    Scale: pairs are generated per cluster (quadratic ONLY within a
+    cluster — the IVF cluster size is the knob bounding it); the dot
+    products are JVM-side zip_with/aggregate over the two arrays."""
+    t = load(spark, sf_dir)
+    return semantic_neardup_pairs(t.embeddings)

@@ -195,3 +195,48 @@ def test_label_scatter_matches_dataframe_recompute(spark, sf_dir):
     }
     assert got == want
     assert all(sc >= 0 for _, sc in got.values())
+
+
+def test_semantic_neardup_detects_planted_pair(spark):
+    """A planted near-identical pair within a cluster is detected; an
+    orthogonal pair and a cross-cluster identical pair are not."""
+    import math
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    base = [1.0] + [0.0] * 63
+    near = [math.cos(0.1)] + [math.sin(0.1)] + [0.0] * 62  # cos ≈ 0.995
+    orth = [0.0] * 62 + [1.0, 0.0]
+    rows = [
+        (1, 0, base),
+        (2, 0, near),       # same cluster, near-dup -> pair (1,2)
+        (3, 0, orth),       # same cluster, orthogonal -> no pair
+        (4, 1, base),       # other cluster, identical to 1 -> no pair
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    got = {
+        (r.vec_a, r.vec_b) for r in semantic_neardup_pairs(df).collect()
+    }
+    assert got == {(1, 2)}
+
+
+def test_chunk_dedup_groups_are_consistent(spark, sf_dir):
+    from beauty_lakehouse_spark.operators import curation
+
+    out = curation.q_chunk_dedup(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "fixture corpus contains repeated full windows"
+    by_hash = {}
+    for r in rows:
+        by_hash.setdefault(r.chunk_hash, []).append(r)
+    for h, grp in by_hash.items():
+        assert len(grp) == grp[0].n_occurrences >= 2
+        assert len({g.doc_id for g in grp}) == grp[0].n_docs
+        canon = [g for g in grp if g.is_canonical]
+        assert len(canon) == 1
+        first = min((g.doc_id, g.chunk_idx) for g in grp)
+        assert (canon[0].doc_id, canon[0].chunk_idx) == first
