@@ -45,6 +45,8 @@ HEADLINE = [
     "product_pagerank_exact", # fixed-point iterative pagerank
     "late_ship_priority_orders",   # EXISTS as fact-side semi join
     "sole_late_supplier_orders",   # EXISTS+NOT EXISTS via group+window
+    "chunk_dedup",            # shuffle-free window expansion + posting groupBy
+    "training_order_shuffle", # two-level deterministic global ordering
 ]
 
 
@@ -70,15 +72,21 @@ def main() -> None:
 
     for name in HEADLINE:
         fn = queries[name]
-        # run twice, report the warm run: the first execution pays
-        # one-time whole-stage-codegen compilation (1-3s per query shape,
-        # amortized away on any repeated/production workload)
+        # one warmup (pays one-time whole-stage-codegen compilation,
+        # 1-3s per query shape, amortized away on any repeated/production
+        # workload), then two timed runs reporting the MIN — a shared
+        # long-lived JVM occasionally stalls a single run on GC /
+        # context-cleaner work triggered by earlier queries, and min-of-2
+        # measures the plan, not that noise
         _clear_memos()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        _clear_memos()
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            _clear_memos()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(
