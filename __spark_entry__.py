@@ -248,7 +248,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
         "media_features": _q_media_features,  # stubbed codecs
+        "media_phash_pairs": _q_media_phash_pairs,  # stubbed codecs
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
+        "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
         "product_pagerank": graph.q_product_pagerank,  # iterative
         "beauty_datagen_validation": _q_beauty_datagen,  # self-generated
@@ -380,6 +382,16 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
     )
+
+
+def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup pairs over the document-derived media
+    table (fake byte-histogram codec; real DCT pHash drops in)."""
+    from beauty_lakehouse_spark.catalog import load
+
+    t = load(spark, sf_dir)
+    media = multimodal.media_from_documents(t.documents)
+    return multimodal.media_phash_pairs(media)
 
 
 def _q_beauty_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -188,3 +188,85 @@ def sample_frames(
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+#: Perceptual-hash geometry: PHASH_BITS-bit hash, banded into
+#: PHASH_BANDS bands for candidate generation; pairs verified at
+#: Hamming distance ≤ PHASH_HAMMING_MAX.
+PHASH_BITS = 16
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = 2
+
+
+def perceptual_hashes(
+    media: DataFrame,
+    codec: Callable[[bytes], list[float]] = None,
+) -> DataFrame:
+    """Block-mean perceptual hash per media row: extract a
+    PHASH_BITS-dim feature (Arrow kernel — a real pipeline plugs a
+    DCT/pHash codec here), threshold each dim at the row's own feature
+    mean (self-contained: no corpus statistics), pack the bits into one
+    long. Near-identical payloads differ in few bits."""
+    fk = codec or (lambda b: fake_feature_kernel(b, dim=PHASH_BITS))
+    feats = extract_features(media, fk)
+    mean = F.aggregate(
+        "feature", F.lit(0.0), lambda a, x: a + x, lambda a: a / PHASH_BITS
+    )
+    bits = F.expr(
+        f"aggregate(zip_with(feature, sequence(0, {PHASH_BITS - 1}), "
+        "(x, i) -> IF(x >= m, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"
+    )
+    return (
+        feats.withColumn("m", mean)
+        .withColumn("phash", bits)
+        .select("media_id", "kind", "n_bytes", "phash")
+    )
+
+
+def media_phash_pairs(
+    media: DataFrame,
+    codec: Callable[[bytes], list[float]] = None,
+) -> DataFrame:
+    """Perceptual near-duplicate media pairs — the image-dedup step of
+    a multimodal training pipeline (exact byte dedup misses re-encoded
+    /resized copies; pHash catches them).
+
+    Candidates: banded signature grouping (pigeonhole: two hashes
+    within Hamming distance ≤ bands−1 share at least one exact band —
+    with PHASH_HAMMING_MAX=2 < PHASH_BANDS=4 the banding is exact, no
+    missed pairs). Verification: bit_count(xor) on the packed longs.
+    Never all-pairs: same posting-list economics as text LSH.
+
+    Rows-only registration (the fake byte-histogram codec is a test
+    stand-in; with a real DCT pHash the plan is identical)."""
+    from .dedup import _bucket_pairs
+
+    h = perceptual_hashes(media, codec).localCheckpoint(eager=False)
+    band_bits = PHASH_BITS // PHASH_BANDS
+    mask = (1 << band_bits) - 1
+    bands = h.select(
+        "media_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), "
+                f"b -> named_struct('band', b, 'bucket', "
+                f"(phash >> (b * {band_bits})) & {mask}))"
+            )
+        ).alias("bb"),
+    ).select("media_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    pairs = _bucket_pairs(bands, ["band", "bucket"], "media_id")
+    ha = h.select(F.col("media_id").alias("doc_a"), F.col("phash").alias("ph_a"))
+    hb = h.select(F.col("media_id").alias("doc_b"), F.col("phash").alias("ph_b"))
+    return (
+        pairs.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+        .select(
+            F.col("doc_a").alias("media_a"),
+            F.col("doc_b").alias("media_b"),
+            "hamming",
+        )
+    )

@@ -74,3 +74,43 @@ def test_sample_frames_fan_out(spark, sf_dir):
     assert sorted((r.media_id, r.frame_idx, bytes(r.frame)) for r in rows) == sorted(
         (r.media_id, r.frame_idx, bytes(r.frame)) for r in again
     )
+
+
+def test_phash_detects_perturbed_payload(spark):
+    """A payload with a tiny byte perturbation hashes within the
+    Hamming budget of its original (pair reported); an unrelated
+    random payload does not pair with either."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rnd = random.Random(7)
+    base = bytes(rnd.randrange(256) for _ in range(4096))
+    near = bytearray(base)
+    near[100] ^= 0x01  # one-bit corruption of one byte
+    other = bytes(rnd.randrange(256) for _ in range(4096))
+    rows = [
+        (1, "image", bytes(base), None),
+        (2, "image", bytes(near), None),
+        (3, "image", other, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in mm.media_phash_pairs(media).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_phash_bands_cover_hamming_budget(spark):
+    """Pigeonhole guarantee: any two hashes within PHASH_HAMMING_MAX
+    share >= 1 exact band (bands > budget), so banding misses nothing
+    the verifier would accept."""
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    assert mm.PHASH_BANDS > mm.PHASH_HAMMING_MAX

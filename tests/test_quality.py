@@ -89,3 +89,28 @@ def test_validate_matches_composable_rules(spark, sf_dir):
         for r in quality.report_from_rules(quality.all_rules(tables)).collect()
     }
     assert fast == slow
+
+
+def test_quantile_sketches_bounded_rank_error(spark, sf_dir):
+    """approx p50/p90/p99 from the sketch must land within a small rank
+    neighborhood of the exact percentile (compare against exact
+    percentile values at ranks +/- 2% of n)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import quality
+
+    rows = quality.q_quantile_sketches(spark, sf_dir).collect()
+    assert rows
+    t = load(spark, sf_dir)
+    by_target = {r.target: r for r in rows}
+    # spot-check one column exactly
+    vals = sorted(
+        r.l_extendedprice for r in t.lineitem.select("l_extendedprice").collect()
+    )
+    n = len(vals)
+    row = by_target["lineitem.l_extendedprice"]
+    for q, got in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
+        lo = vals[max(0, int(q * n) - max(2, n // 50))]
+        hi = vals[min(n - 1, int(q * n) + max(2, n // 50))]
+        assert lo <= got <= hi, (q, got, lo, hi)
