@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
         "minhash_signatures": dedup.q_minhash_signatures,
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
+        "minhash_estimate_error": dedup.q_minhash_estimate_error,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         # text analysis (oracle except tfidf)
         "text_stats": text.q_text_stats,
@@ -1481,6 +1482,43 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "minhash_estimate_error": (
+            "WITH "
+            + _MINHASH_CTE
+            + ", band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band, "
+            "md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key "
+            "FROM mh GROUP BY doc_id, i // 4), "
+            "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM band a JOIN band b ON a.band = b.band "
+            "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+            "agree AS (SELECT doc_a, doc_b, "
+            "CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_agree FROM cand "
+            "JOIN mh sa ON sa.doc_id = doc_a "
+            "JOIN mh sb ON sb.doc_id = doc_b AND sb.i = sa.i "
+            "GROUP BY 1, 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+            "common AS (SELECT doc_a, doc_b, count(*) AS n_common "
+            "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
+            "JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle "
+            "GROUP BY 1, 2), "
+            "j AS (SELECT doc_a, doc_b, n_agree, "
+            "CAST(coalesce(n_common, 0) AS BIGINT) AS n_common, "
+            "CAST(sa.n_sh + sb.n_sh - coalesce(n_common, 0) AS BIGINT) "
+            "AS n_union FROM agree "
+            "LEFT JOIN common USING (doc_a, doc_b) "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b) "
+            "SELECT doc_a, doc_b, n_agree, n_common, n_union, "
+            + _hud("n_agree", "16", 6)
+            + " AS est_jaccard, "
+            + _hud("n_common", "n_union", 6)
+            + " AS true_jaccard, "
+            + _hud("n_agree", "16", 6)
+            + " - "
+            + _hud("n_common", "n_union", 6)
+            + " AS err FROM j"
         ),
         "simhash_near_pairs": (
             "WITH "

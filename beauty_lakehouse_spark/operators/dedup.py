@@ -139,9 +139,13 @@ def _bucket_pairs(
     )
 
 
-def lsh_candidates(documents: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs via banded MinHash (doc_a < doc_b)."""
-    sig = minhash_signatures(documents)
+def lsh_candidates(documents: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash (doc_a < doc_b).
+    Pass a precomputed ``sig`` (minhash_signatures output) when the
+    caller also consumes the signatures — avoids re-deriving the
+    shingle→minhash pipeline."""
+    if sig is None:
+        sig = minhash_signatures(documents)
     rows_per_band = N_HASHES // LSH_BANDS
     banded = (
         sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
@@ -738,3 +742,64 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.documents.filter(F.col("doc_id") < INCREMENTAL_SPLIT_ID)
     batch = t.documents.filter(F.col("doc_id") >= INCREMENTAL_SPLIT_ID)
     return incremental_dedup(corpus, batch)
+
+
+def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximation self-evaluation: for every LSH candidate pair,
+    the MinHash-estimated Jaccard (signature agreement rate) next to
+    the TRUE shingle-set Jaccard and the signed estimation error — the
+    query you run before trusting a banding geometry on a new corpus
+    (tune N_HASHES/LSH_BANDS until the observed error and candidate
+    recall are acceptable).
+
+    Cross-engine exact: agreement counts and set sizes are integers,
+    rates are halfup_div, and the error is one IEEE double subtraction
+    (deterministic) — so even this evaluation query carries an oracle.
+
+    Scale: signatures and shingle sets are computed ONCE (lazy
+    checkpoints) and only candidate pairs (O(n·bands) by banding, not
+    all-pairs) are scored; per-pair work is a 16-row signature merge
+    plus one array intersection."""
+    t = load(spark, sf_dir)
+    sig = minhash_signatures(t.documents).localCheckpoint(eager=False)
+    cand = lsh_candidates(t.documents, sig=sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b"))
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum((F.col("mh_a") == F.col("mh_b")).cast("long")).alias("n_agree"))
+    )
+    sets = (
+        shingles(t.documents)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    ja = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    jb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    est = halfup_div(F.col("n_agree"), F.lit(N_HASHES).cast("long"), 6)
+    true = halfup_div(F.col("n_common"), F.col("n_union"), 6)
+    return (
+        agree.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            F.size(F.array_intersect("ss_a", "ss_b")).cast("long").alias("n_common"),
+            (F.size("ss_a") + F.size("ss_b")
+             - F.size(F.array_intersect("ss_a", "ss_b"))).cast("long").alias("n_union"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            "n_common",
+            "n_union",
+            est.alias("est_jaccard"),
+            true.alias("true_jaccard"),
+            (est - true).alias("err"),
+        )
+    )
