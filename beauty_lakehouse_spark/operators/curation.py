@@ -401,9 +401,15 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion is local to each scan task and writes straight to the
     sink."""
     t = load(spark, sf_dir)
+    return chunk_documents(t.documents)
+
+
+def chunk_documents(documents: DataFrame) -> DataFrame:
+    """Core of q_doc_chunking over any (doc_id, text) DataFrame —
+    reused by the corpus pipeline on the post-cleaning document set."""
     toks = F.split("text", " ")
     starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(CHUNK_STRIDE))
-    d = t.documents.select("doc_id", toks.alias("t"), starts.alias("starts"))
+    d = documents.select("doc_id", toks.alias("t"), starts.alias("starts"))
     return d.select(
         "doc_id",
         F.posexplode("starts").alias("chunk_idx", "st"),

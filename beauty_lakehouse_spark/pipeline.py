@@ -147,3 +147,87 @@ def run_lakehouse_pipeline(
         revenue_by_category=by_category,
         manifest=manifest,
     )
+
+
+@dataclass(frozen=True)
+class CorpusPipelineResult:
+    out_dir: str
+    n_input: int
+    n_kept: int
+    n_chunks: dict[str, int]      # split -> chunk rows written
+    manifest: dict
+
+
+def run_corpus_pipeline(
+    spark: SparkSession, sf_dir: str, base_dir: str
+) -> CorpusPipelineResult:
+    """End-to-end training-corpus build — the LLM-data-pipeline
+    composition the individual operators exist for:
+
+    1. clean    — C4-style keep/drop with first-failing-reason
+                  (``corpus_cleaning_report``: exact-dup canonical,
+                  language, quality thresholds);
+    2. dedup    — near-duplicate CLUSTER canonicals only
+                  (connected components over exact ∪ Jaccard edges);
+    3. split    — leakage-safe train/val/test keyed on the cluster id
+                  (near-duplicates can never straddle splits);
+    4. chunk    — stride-aligned token windows per surviving doc;
+    5. publish  — one versioned snapshot table per split
+                  (``tables.write_versioned``) + a run manifest.
+
+    Every stage is the registered operator itself (same code the
+    oracle gate verifies), so the pipeline's semantics are exactly the
+    audited ones. All stages are distributed; the only driver values
+    are the manifest counts."""
+    from .catalog import load
+    from .operators import curation, dedup
+    from . import tables as vtables
+
+    t = load(spark, sf_dir)
+    n_input = t.documents.count()
+
+    report = curation.q_corpus_cleaning_report(spark, sf_dir)
+    kept = report.filter(F.col("reason") == "kept").select("doc_id")
+
+    comp = dedup.corpus_components(spark, sf_dir)
+    canonical = comp.filter(F.col("id") == F.col("comp")).select(
+        F.col("id").alias("doc_id")
+    )
+    survivors = kept.join(canonical, "doc_id")
+
+    split = curation.q_cluster_safe_split(spark, sf_dir).select(
+        "doc_id", "split"
+    )
+    docs = (
+        t.documents.join(survivors, "doc_id")
+        .join(split, "doc_id")
+        .localCheckpoint(eager=False)
+    )
+    n_kept = docs.count()
+
+    chunks = curation.chunk_documents(docs).join(
+        docs.select("doc_id", "split", "source"), "doc_id"
+    )
+    n_chunks: dict[str, int] = {}
+    for part in ("train", "val", "test"):
+        path = os.path.join(base_dir, part)
+        subset = chunks.filter(F.col("split") == part).drop("split")
+        vtables.write_versioned(subset, path)
+        n_chunks[part] = vtables.read_versioned(spark, path).count()
+
+    manifest = {
+        "sf_dir": sf_dir,
+        "n_input_docs": n_input,
+        "n_kept_docs": n_kept,
+        "n_chunks": n_chunks,
+        "chunk_size": curation.CHUNK_SIZE,
+        "chunk_stride": curation.CHUNK_STRIDE,
+    }
+    sources.write_metadata(os.path.join(base_dir, "corpus_manifest.json"), manifest)
+    return CorpusPipelineResult(
+        out_dir=base_dir,
+        n_input=n_input,
+        n_kept=n_kept,
+        n_chunks=n_chunks,
+        manifest=manifest,
+    )

@@ -46,3 +46,50 @@ def test_orders_partitioned_by_year(spark, tmp_path):
     pruned = spark.read.parquet(orders_dir).filter(F.col("order_year") == int(one_year))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(order_year" in plan or "order_year" in plan
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Clean -> cluster-canonical dedup -> leakage-safe split -> chunk
+    -> versioned publish: artifacts on disk, counts consistent, no
+    cluster straddles splits, chunks reconstruct survivors exactly."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark import pipeline, tables
+    from beauty_lakehouse_spark.operators import curation, dedup
+
+    res = pipeline.run_corpus_pipeline(spark, sf_dir, str(tmp_path / "corpus"))
+    assert 0 < res.n_kept < res.n_input
+    assert sum(res.n_chunks.values()) > 0
+
+    # read-back: every split table exists and its docs are disjoint
+    seen: dict[str, set] = {}
+    for part in ("train", "val", "test"):
+        df = tables.read_versioned(spark, str(tmp_path / "corpus" / part))
+        seen[part] = {r.doc_id for r in df.select("doc_id").distinct().collect()}
+    assert not (seen["train"] & seen["val"])
+    assert not (seen["train"] & seen["test"])
+    assert not (seen["val"] & seen["test"])
+
+    # leakage-safety is inherited: all published docs of one dedup
+    # cluster are in the same split
+    comp = {r.id: r.comp for r in dedup.corpus_components(spark, sf_dir).collect()}
+    cluster_split: dict[int, str] = {}
+    for part, ids in seen.items():
+        for d in ids:
+            c = comp[d]
+            assert cluster_split.setdefault(c, part) == part
+
+    # chunk accounting: published chunk rows == chunk_documents over
+    # the surviving docs
+    total = sum(res.n_chunks.values())
+    survivors = set().union(*seen.values())
+    from beauty_lakehouse_spark.catalog import load as _load
+
+    d = _load(spark, sf_dir).documents.filter(F.col("doc_id").isin(survivors))
+    assert curation.chunk_documents(d).count() == total
+
+    # manifest written with consistent counts
+    import json
+
+    m = json.load(open(tmp_path / "corpus" / "corpus_manifest.json"))
+    assert m["n_kept_docs"] == res.n_kept == len(survivors)
