@@ -465,6 +465,9 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = (
         t.documents.filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
+        # consumed twice (corpus counts + the join back): materialize
+        # once instead of re-running the scan+explode on both sides
+        .localCheckpoint(eager=False)
     )
     counts = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     joined = per_doc.join(counts, "gram")

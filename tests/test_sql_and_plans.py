@@ -209,3 +209,66 @@ def test_returned_item_report_broadcast_and_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunking_is_shuffle_free(spark, sf_dir):
+    """The chunk expansion must be a pure codegen row expansion —
+    no Exchange anywhere (the property that makes it linear and
+    sink-streamable at 100 TB)."""
+    from beauty_lakehouse_spark.operators import curation
+
+    plan = _plan(curation.q_doc_chunking(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_training_shuffle_no_single_partition_sort_over_docs(spark, sf_dir):
+    """Global ordering must come from the two-level bucket scheme: any
+    SinglePartition exchange may only carry the aggregated bucket-count
+    table (below a HashAggregate), never raw document rows; the raw
+    side is partitioned by bucket."""
+    from beauty_lakehouse_spark.operators import curation
+
+    plan = _plan(curation.q_training_order_shuffle(spark, sf_dir))
+    lines = plan.splitlines()
+
+    def _indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    singles = [i for i, l in enumerate(lines) if "SinglePartition" in l]
+    assert singles, plan
+    for i in singles:
+        base = _indent(lines[i])
+        subtree = []
+        for l in lines[i + 1:]:
+            if _indent(l) <= base:
+                break
+            subtree.append(l)
+        assert any("HashAggregate" in l for l in subtree), plan
+    # the document-carrying window is hash-partitioned by bucket
+    assert any(
+        "hashpartitioning(bucket" in l for l in lines
+    ), plan
+
+
+def test_bpe_pair_counts_aggregates_vocabulary_not_stream(spark, sf_dir):
+    """Pair statistics must be computed over the aggregated vocabulary:
+    the pair-explode must sit ABOVE the token-frequency HashAggregate
+    in the plan (explode of the raw token stream would multiply the
+    full corpus by word length before any combine)."""
+    from beauty_lakehouse_spark.operators import text
+
+    plan = _plan(text.q_bpe_pair_counts(spark, sf_dir))
+    lines = plan.splitlines()
+    gen_idx = [
+        i for i, l in enumerate(lines)
+        if "Generate explode" in l and "substring" in l
+    ]
+    agg_idx = [
+        i for i, l in enumerate(lines)
+        if "HashAggregate" in l and "token" in l
+    ]
+    assert gen_idx and agg_idx, plan
+    # deeper in the printed tree = earlier in execution; the pair
+    # explode must appear above (smaller index than) the vocab
+    # aggregate's final stage
+    assert min(gen_idx) < max(agg_idx), plan
