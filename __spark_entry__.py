@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "product_degree": graph.q_product_degree,
         "customer_copurchase_top": graph.q_customer_copurchase_top,
         "product_pagerank_exact": graph.q_product_pagerank_exact,
+        "product_triangles": graph.q_product_triangles,
         # dedup family (oracle except embedding_neardup)
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
@@ -1370,6 +1371,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "product_triangles": (
+            "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+            "HAVING count(*) <= 50), "
+            "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+            "JOIN ok USING (l_orderkey)), "
+            "ed AS (SELECT a.l_partkey AS a, b.l_partkey AS b "
+            "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "tri0 AS (SELECT e1.a, e1.b, e2.c FROM ed e1 "
+            "JOIN (SELECT a AS b, b AS c FROM ed) e2 USING (b) "
+            "JOIN (SELECT a, b AS c FROM ed) e3 USING (a, c)), "
+            "tn AS (SELECT part, count(*) AS n_triangles FROM ("
+            "SELECT a AS part FROM tri0 UNION ALL SELECT b FROM tri0 "
+            "UNION ALL SELECT c FROM tri0) GROUP BY part), "
+            "deg AS (SELECT part, count(*) AS degree FROM ("
+            "SELECT a AS part FROM ed UNION ALL SELECT b FROM ed) "
+            "GROUP BY part) "
+            "SELECT deg.part AS l_partkey, CAST(degree AS BIGINT) AS degree, "
+            "CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles, "
+            "CASE WHEN degree >= 2 THEN "
+            + _hud("coalesce(n_triangles, 0) * 2", "degree * (degree - 1)", 6)
+            + " ELSE 0.0 END AS clustering_coeff "
+            "FROM deg LEFT JOIN tn ON tn.part = deg.part"
         ),
         "product_pagerank_exact": _pagerank_exact_sql(),
         "product_degree": (

@@ -310,3 +310,63 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient on the
+    thresholded co-purchase graph — the cohesion analytics a
+    recommendation graph needs (a high-coefficient neighborhood is a
+    bundle; a zero-coefficient hub is a generic staple).
+
+    Shape: edges are stored once in (a < b) orientation; triangles are
+    found by joining the wedge (a<b, b<c) with the closing edge (a<c) —
+    every triangle is counted exactly once, no direction blowup. At
+    scale the standard refinement orients edges from lower to higher
+    DEGREE (not id), which bounds wedge counts by arboricity; the id
+    orientation keeps the oracle SQL identical and is the right
+    fixture-scale default. Clustering coefficient = 2·tri / (deg·(deg−1))
+    via exact integer half-up division.
+    """
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    edges = (
+        copurchase_edges(t.lineitem)
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=False)
+    )
+    e1 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+    e2 = edges.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+    e3 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(F.explode(F.array("a", "b", "c")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e1.select(F.col("a").alias("part"))
+        .unionByName(e1.select(F.col("b").alias("part")))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.join(tri, "part", "left")
+        .select(
+            F.col("part").alias("l_partkey"),
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                halfup_div(
+                    F.coalesce("n_triangles", F.lit(0)).cast("long") * 2,
+                    (F.col("degree") * (F.col("degree") - 1)).cast("long"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )

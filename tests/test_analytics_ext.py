@@ -128,3 +128,22 @@ def test_spend_outliers_plan_broadcasts_stats(spark, sf_dir):
         .toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_product_triangles_invariants(spark, sf_dir):
+    """Triangle counts: coefficient in [0,1], zero triangles => zero
+    coefficient, and the total incidence is divisible by 3 (each
+    triangle is counted at exactly its 3 corners)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators import graph
+
+    out = graph.q_product_triangles(spark, sf_dir)
+    bad = out.filter(
+        (F.col("clustering_coeff") < 0)
+        | (F.col("clustering_coeff") > 1)
+        | ((F.col("n_triangles") == 0) & (F.col("clustering_coeff") != 0))
+    )
+    assert bad.count() == 0
+    total = out.agg(F.sum("n_triangles").alias("s")).first().s
+    assert total % 3 == 0 and total > 0
