@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
+        "knn_pq": similarity.q_knn_pq,  # approximate, quantized
         "product_pagerank": graph.q_product_pagerank,  # iterative
         "beauty_datagen_validation": _q_beauty_datagen,  # self-generated
     }

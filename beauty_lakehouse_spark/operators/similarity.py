@@ -589,3 +589,160 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     products are JVM-side zip_with/aggregate over the two arrays."""
     t = load(spark, sf_dir)
     return semantic_neardup_pairs(t.embeddings)
+
+
+#: Product-quantization geometry: EMB_DIM is split into PQ_SUBSPACES
+#: sub-vectors, each quantized to one of PQ_CODES codebook entries —
+#: a 64-dim float vector compresses to PQ_SUBSPACES bytes.
+PQ_SUBSPACES = 8
+PQ_CODES = 16
+PQ_ITERS = 2
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization training: per-subspace k-means codebooks
+    (hash-seeded, deterministic — same policy as ``ivf_build``) and the
+    encoded corpus. Returns (codebook[s, code, cv], codes[vec_id, s,
+    code]).
+
+    PQ is the memory side of large-scale ANN: the corpus compresses
+    from EMB_DIM floats to ``m`` bytes per vector (64x here), which is
+    what lets a 10⁹-vector index live in RAM. Same lineage policy as
+    the other iterative ops: sub-vector table checkpointed eagerly
+    (feeds every round), codebook lazily per round; the returned codes
+    are assigned against the FINAL codebook."""
+    d = EMB_DIM // m
+    v = _normalized(corpus).localCheckpoint(eager=True)
+    sub = (
+        v.select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> "
+                    f"named_struct('s', s, 'sv', slice(nv, s * {d} + 1, {d})))"
+                )
+            ).alias("x"),
+        )
+        .select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+        .localCheckpoint(eager=True)
+    )
+    seed_order = Window.partitionBy("s").orderBy(
+        F.xxhash64(F.lit("pq-seed"), F.col("s"), F.col("vec_id"))
+    )
+    cb = (
+        sub.withColumn("code", F.row_number().over(seed_order))
+        .filter(F.col("code") <= k)
+        .select("s", "code", F.col("sv").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def assign(cb_df: DataFrame) -> DataFrame:
+        return (
+            sub.join(F.broadcast(cb_df), "s")
+            .select(
+                "vec_id", "s", "code",
+                _l2sq(F.col("sv"), F.col("cv")).alias("d2"),
+            )
+            .groupBy("vec_id", "s")
+            .agg(
+                F.min_by("code", F.struct("d2", "code")).alias("code")
+            )
+        )
+
+    for _ in range(iters):
+        a = assign(cb)
+        cb = (
+            sub.join(a, ["vec_id", "s"])
+            .select("s", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "code", "pos")
+            .agg(F.avg("x").alias("mx"))
+            .groupBy("s", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                    lambda t: t["mx"],
+                ).alias("cv")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cb, assign(cb)
+
+
+def pq_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """PQ/ADC approximate top-k: score every corpus vector against a
+    query using only its ``m`` codes and the query's per-subspace
+    distance table (asymmetric distance computation), then exact-rerank
+    the top-k survivors.
+
+    The scan is linear but touches 8 BYTES per corpus vector instead
+    of 256 float bytes — at 10⁹ vectors the whole index is ~8 GB and
+    the distance tables (m·k doubles per query) broadcast for free.
+    Composes with IVF (probe lists first, ADC inside lists) for the
+    standard IVF-PQ index; kept separate here so each dial is
+    testable alone."""
+    d = EMB_DIM // PQ_SUBSPACES
+    cb, codes = pq_train(corpus)
+    qn = _normalized(queries, out="qv")
+    qsub = qn.select(
+        F.col("vec_id").alias("query_id"),
+        "qv",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> "
+                f"named_struct('s', s, 'qsv', slice(qv, s * {d} + 1, {d})))"
+            )
+        ).alias("x"),
+    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
+    dt = qsub.join(F.broadcast(cb), "s").select(
+        "query_id", "s", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d2")
+    )
+    scored = (
+        codes.join(F.broadcast(dt), ["s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d2").alias("adc_d2"))
+        .filter(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
+    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+    return (
+        top.join(_normalized(corpus, out="cv2"), "vec_id")
+        .join(_normalized(queries, out="qv2").select(
+            F.col("vec_id").alias("query_id"), "qv2"), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc_d2", 4).alias("adc_d2"),
+            F.round(_dot(F.col("qv2"), F.col("cv2")), 4).alias("cos_sim"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC ANN top-5 for the first 20 vectors (approximate —
+    registered rows-only; recall vs brute force asserted in tests)."""
+    t = load(spark, sf_dir)
+    return pq_topk(
+        spark,
+        t.embeddings.filter(F.col("vec_id") < 20),
+        t.embeddings,
+        k=5,
+    )

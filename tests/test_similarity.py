@@ -240,3 +240,41 @@ def test_chunk_dedup_groups_are_consistent(spark, sf_dir):
         assert len(canon) == 1
         first = min((g.doc_id, g.chunk_idx) for g in grp)
         assert (canon[0].doc_id, canon[0].chunk_idx) == first
+
+
+def test_pq_finds_planted_near_duplicates(spark, sf_dir):
+    """PQ/ADC path: the planted-near-duplicate workload of the LSH/IVF
+    tests — a scaled copy of each query must surface in its top-5."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import similarity
+
+    corpus = load(spark, sf_dir).embeddings
+    planted = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    ann = similarity.pq_topk(spark, planted, corpus, k=5)
+    hits = ann.filter(
+        F.col("neighbor_id") == F.col("query_id") - 100000
+    ).count()
+    assert hits >= 18, f"planted-duplicate PQ recall {hits}/20"
+
+
+def test_pq_codes_are_compact_and_complete(spark, sf_dir):
+    """Every corpus vector gets exactly PQ_SUBSPACES codes, each in
+    [1, PQ_CODES]."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import similarity
+
+    corpus = load(spark, sf_dir).embeddings
+    _, codes = similarity.pq_train(corpus)
+    n = corpus.count()
+    per_vec = codes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("m"))
+    assert per_vec.filter(F.col("m") != similarity.PQ_SUBSPACES).count() == 0
+    assert per_vec.count() == n
+    rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
+    assert rng.lo >= 1 and rng.hi <= similarity.PQ_CODES
