@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
         "knn_pq": similarity.q_knn_pq,  # approximate, quantized
+        "knn_ivfpq": similarity.q_knn_ivfpq,  # approximate, composed index
         "product_pagerank": graph.q_product_pagerank,  # iterative
         "beauty_datagen_validation": _q_beauty_datagen,  # self-generated
     }

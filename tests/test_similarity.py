@@ -278,3 +278,25 @@ def test_pq_codes_are_compact_and_complete(spark, sf_dir):
     assert per_vec.count() == n
     rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
     assert rng.lo >= 1 and rng.hi <= similarity.PQ_CODES
+
+
+def test_ivfpq_finds_planted_near_duplicates(spark, sf_dir):
+    """Composed IVF-PQ index: same planted-near-duplicate workload;
+    coarse probing plus code-based scoring must still surface the
+    planted copy in the top-5 for >= 16/20 queries (IVF probing can
+    drop a list; PQ never loses a probed list's planted twin)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import similarity
+
+    corpus = load(spark, sf_dir).embeddings
+    planted = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 1.001).alias("embedding"),
+    )
+    ann = similarity.ivfpq_topk(spark, planted, corpus, k=5)
+    hits = ann.filter(
+        F.col("neighbor_id") == F.col("query_id") - 100000
+    ).count()
+    assert hits >= 16, f"planted-duplicate IVF-PQ recall {hits}/20"
