@@ -47,6 +47,8 @@ HEADLINE = [
     "sole_late_supplier_orders",   # EXISTS+NOT EXISTS via group+window
     "chunk_dedup",            # shuffle-free window expansion + posting groupBy
     "training_order_shuffle", # two-level deterministic global ordering
+    "product_triangles",      # wedge-close triangle join
+    "minhash_estimate_error", # signature merge + set-intersection scoring
 ]
 
 
