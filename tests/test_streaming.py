@@ -201,10 +201,19 @@ def test_stream_dedup_repairs_duplicate_delivery(spark, sf_dir):
 
 def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
     """The stream-stream interval join (view→purchase within 30 min)
-    drained across 4 micro-batches equals the batch inequality join —
-    pair-set identical regardless of micro-batch slicing."""
+    drained across 4 TIME-ORDERED micro-batches equals the batch
+    inequality join. Files are split by event-time quartile (the
+    realistic landing pattern — files arrive in rough time order):
+    a round-robin split would make every batch span the whole time
+    range, and the join would — correctly, per watermark semantics —
+    drop rows arriving a month behind the advanced watermark, so that
+    layout tests late-data DROPPING, not multi-batch equivalence.
+    The ±1h of genuine cross-file interleaving at each quartile
+    boundary still exercises cross-batch join state under watermark
+    advance."""
     import uuid
 
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from beauty_lakehouse_spark.catalog import load
@@ -214,15 +223,37 @@ def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
     )
 
     events = load(spark, sf_dir).events
-    src = str(tmp_path / "events_parts")
-    events.withColumn("part", (F.col("event_id") % 4).cast("int")).repartition(
-        4, "part"
-    ).drop("part").write.mode("overwrite").parquet(src)
+    src = tmp_path / "events_parts"
+    src.mkdir()
+    # land one file per event-time quartile, with strictly increasing
+    # mtimes (the file source triggers in modification-time order)
+    import glob
+    import os
+    import shutil
+
+    ts_sorted = [r.ts for r in events.select("ts").orderBy("ts").collect()]
+    n = len(ts_sorted)
+    bounds = [ts_sorted[i * n // 4] for i in range(1, 4)]
+    lo = None
+    for i, hi in enumerate(bounds + [None]):
+        q = events
+        if lo is not None:
+            q = q.filter(F.col("ts") >= lo)
+        if hi is not None:
+            q = q.filter(F.col("ts") < hi)
+        tmp_out = str(tmp_path / f"q{i}")
+        q.coalesce(1).write.parquet(tmp_out)
+        [f] = glob.glob(f"{tmp_out}/part-*.parquet")
+        dst = str(src / f"f{i}.parquet")
+        shutil.move(f, dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+        lo = hi
 
     stream = (
         spark.readStream.schema(events.schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(src)
+        .option("latestFirst", "false")
+        .parquet(str(src / "*.parquet"))
     )
     got = run_available_now(
         view_purchase_attribution(stream),
