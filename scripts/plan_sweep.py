@@ -1,0 +1,113 @@
+"""Red-flag plan sweep over EVERY registered query.
+
+Unlike scripts/plan_audit.py (deep audit of the headline set on
+AQE-final executed plans), this sweeps the full registry's initial
+physical plans — no execution needed — for the three structural
+scale-killers:
+
+- CartesianProduct / BroadcastNestedLoopJoin (unbounded pair blowup)
+- a Window with an EMPTY partition spec consuming a raw file scan
+  (single-reducer sort of the whole input)
+
+Known-bounded exceptions are whitelisted with their justification;
+anything else is a failure. Run:
+
+    python scripts/plan_sweep.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from beauty_lakehouse_spark.session import get_spark
+
+#: query -> reason a detected flag is acceptable by design.
+WHITELIST: dict[str, str] = {
+    "knn_brute": "bounded exact-rerank oracle: <=20-query batch x corpus, documented",
+    "knn_lsh": "per-query probe join over hash buckets; query batch bounded (<=20)",
+    "knn_ivf": "broadcast k-row centroid cross join (k=16), bounded by design",
+    "knn_pq": "broadcast distance-table join; query batch bounded (<=20)",
+    "knn_ivfpq": "broadcast centroid/table joins; query batch bounded (<=20)",
+    "tfidf_top_terms": "1-row corpus-size broadcast cross join (scalar subquery form)",
+    "semantic_neardup": "within-cluster pair join; cluster size is the documented bound",
+    "revenue_forecast_delta": "two 1-row aggregates joined (scalar compare)",
+    "event_funnel": "1-row funnel-stage aggregates joined",
+    "top_order_share": "1-row total joined against per-order aggregate",
+    "market_share": "1-row-per-year totals broadcast",
+    "important_part_value": "1-row threshold aggregate broadcast (Q11 shape)",
+    "small_quantity_part_revenue": "per-part avg scalar broadcast (Q17 shape)",
+    "minhash_estimate_error": "bounded candidate pairs x 16-row signature merge",
+    "basket_rules": "1-row total-orders aggregate broadcast (lift denominator)",
+    "daily_revenue_gapfill": "1-row min/max date-bounds broadcast seeding the calendar spine",
+    "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
+    "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
+    "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
+}
+
+#: windows allowed to have an empty partition spec because their input
+#: is an aggregated / bounded table, not raw rows.
+GLOBAL_WINDOW_OK: dict[str, str] = {
+    "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
+    "token_budget_selection": "cumsum over per-(source,n_chars) bucket aggregate",
+    "sequence_packing": "cumsum over bucket aggregate (asserted by plan test)",
+    "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",
+    "rolling_distinct_users": "window over per-day aggregate (bounded rows)",
+    "daily_revenue_gapfill": "window over calendar-day aggregate (bounded rows)",
+    "revenue_rollup": "share-of-total over rollup output (bounded rows)",
+    "mixture_rebalance": "window over per-source aggregate (bounded rows)",
+    "customer_order_distribution": "window over count-of-counts aggregate",
+    "cardinality_sketches": "stack over 1-row aggregate",
+    "quantile_sketches": "stack over 1-row aggregate",
+}
+
+
+def flags_of(plan: str) -> list[str]:
+    out = []
+    if "CartesianProduct" in plan:
+        out.append("CARTESIAN")
+    if "BroadcastNestedLoopJoin" in plan:
+        out.append("NESTED_LOOP")
+    # Window with empty partition spec: "Window [...], [...]" has only
+    # expr + order groups (a partitioned window prints 3 groups)
+    for line in plan.splitlines():
+        ls = line.strip()
+        if ls.startswith("Window ") and ls.count("], [") == 1:
+            out.append("GLOBAL_WINDOW")
+            break
+        if "WindowGroupLimit" in ls and ls.count("], [") == 0:
+            out.append("GLOBAL_WINDOW")
+            break
+    return out
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-sweep")
+    qs = entrymod.queries()
+    n_bad = 0
+    for name, fn in sorted(qs.items()):
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # streaming drains etc. can't pre-plan
+            print(f"SKIP {name}: {type(exc).__name__}")
+            continue
+        fl = flags_of(plan)
+        fl = [
+            f for f in fl
+            if not (f == "GLOBAL_WINDOW" and name in GLOBAL_WINDOW_OK)
+            and not (f in ("CARTESIAN", "NESTED_LOOP") and name in WHITELIST)
+        ]
+        if fl:
+            print(f"FLAG {name}: {','.join(fl)}")
+            n_bad += 1
+    print(f"\n{n_bad} unexplained red flags across {len(qs)} queries")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
