@@ -389,21 +389,76 @@ def q_sales_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_customer_spend_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment over customer lifetime spend (ntile(10), fully
-    deterministic via (spend desc, custkey) ordering). The window runs
-    over the AGGREGATED per-customer table — one row per customer, not
-    per order — so the unpartitioned sort is |customers| rows; at scale
-    where that still overflows one reducer, the bucket-count selection
-    used by order_value_percentiles generalizes to decile boundaries."""
+    """Decile assignment over customer lifetime spend — EXACTLY
+    ntile(10) by (spend desc, custkey) order, computed WITHOUT a
+    global window sort (the one-reducer scale-killer a naive
+    ``ntile().over(Window.orderBy(...))`` is, even over the customer
+    aggregate — 10⁹ customers is still 10⁹ rows on one reducer).
+
+    Two-level exact global rank, same decomposition as
+    ``training_order_shuffle`` / ``order_value_percentiles``:
+
+    1. bucket = −floor(spend): ascending bucket order IS descending
+       spend order (every row of a lower bucket outranks every row of
+       a higher one), and the bucket table is bounded by the price
+       RANGE, not the customer count;
+    2. per-bucket counts → cumulative offsets (the only unpartitioned
+       window, over the bounded bucket table);
+    3. row_number WITHIN each bucket + offset = exact global rank;
+    4. ntile's uneven-tile arithmetic (first n%10 tiles one larger)
+       as integer expressions — matches ntile(10) bit for bit, which
+       the DuckDB oracle (a real NTILE) verifies every gate run."""
     t = load(spark, sf_dir)
     spend = t.orders.groupBy("o_custkey").agg(
         F.round(F.sum(dec2("o_totalprice")), 2).alias("spend_dec")
+    ).withColumn("bucket", (-F.floor("spend_dec")).cast("long"))
+    offsets = (
+        spend.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
     )
-    w = Window.orderBy(F.desc("spend_dec"), F.asc("o_custkey"))
-    return spend.select(
+    wb = Window.partitionBy("bucket").orderBy(
+        F.desc("spend_dec"), F.asc("o_custkey")
+    )
+    n_total = spend.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        spend.join(F.broadcast(offsets), "bucket")
+        .withColumn("rk", F.row_number().over(wb) + F.col("offset"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    # integer ntile: base size b = n div 10, remainder r = n mod 10;
+    # ranks ≤ r·(b+1) fall in the first r (larger) tiles, the rest in
+    # size-b tiles. ceil(x/y) = (x+y-1) div y; b can be 0 when n < 10,
+    # guarded (that branch is then never taken, but ANSI mode evaluates
+    # eagerly on the taken rows only — greatest() keeps it total).
+    b = F.expr("n div 10")
+    r = F.col("n") % 10
+    head = r * (b + 1)
+    tile = F.when(
+        F.col("rk") <= head,
+        F.expr("(rk + (n div 10) + 1 - 1) div ((n div 10) + 1)"),
+    ).otherwise(
+        r
+        + F.expr(
+            "(rk - (n % 10) * ((n div 10) + 1) + greatest(n div 10, 1L) - 1) "
+            "div greatest(n div 10, 1L)"
+        )
+    )
+    return ranked.select(
         "o_custkey",
         F.col("spend_dec").cast("double").alias("total_spend"),
-        F.ntile(10).over(w).alias("decile"),
+        tile.cast("int").alias("decile"),
     )
 
 

@@ -47,12 +47,14 @@ WHITELIST: dict[str, str] = {
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
+    "customer_spend_ntile": "1-row customer-count broadcast (ntile tile-size arithmetic)",
 }
 
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
+    "customer_spend_ntile": "cumsum over spend-floor bucket table (bounded by price range)",
     "token_budget_selection": "cumsum over per-(source,n_chars) bucket aggregate",
     "sequence_packing": "cumsum over bucket aggregate (asserted by plan test)",
     "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",
@@ -72,14 +74,20 @@ def flags_of(plan: str) -> list[str]:
         out.append("CARTESIAN")
     if "BroadcastNestedLoopJoin" in plan:
         out.append("NESTED_LOOP")
-    # Window with empty partition spec: "Window [...], [...]" has only
-    # expr + order groups (a partitioned window prints 3 groups)
+    # A window is GLOBAL when its windowspecdefinition has no partition
+    # columns — the spec then STARTS with a sort expression ("col ASC/
+    # DESC ...") instead of plain partition columns. Counting bracket
+    # groups is not enough: a partition-only window (no orderBy) also
+    # prints two groups. Tree lines carry "+- "/":- " art, so match
+    # anywhere in the line.
     for line in plan.splitlines():
-        ls = line.strip()
-        if ls.startswith("Window ") and ls.count("], [") == 1:
+        if not re.search(r"\bWindow(GroupLimit)? \[", line):
+            continue
+        m = re.search(r"windowspecdefinition\((\S+ (ASC|DESC))", line)
+        if m:
             out.append("GLOBAL_WINDOW")
             break
-        if "WindowGroupLimit" in ls and ls.count("], [") == 0:
+        if re.search(r"\bWindowGroupLimit \[\]", line):
             out.append("GLOBAL_WINDOW")
             break
     return out
