@@ -281,7 +281,8 @@ def _normalized(vectors: DataFrame, out: str = "nv") -> DataFrame:
 
 
 def ivf_build(
-    corpus: DataFrame, n_centroids: int = 16, iters: int = 3
+    corpus: DataFrame, n_centroids: int = 16, iters: int = 3,
+    normalized: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build an IVF index: k-means coarse quantizer over unit vectors.
 
@@ -302,7 +303,11 @@ def ivf_build(
     assignment is recomputed against the FINAL centroids — assignments
     and quantizer always agree, so ``ivf_topk``'s inverted lists match
     the centroid table it probes."""
-    v = _normalized(corpus).localCheckpoint(eager=True)
+    v = (
+        normalized
+        if normalized is not None
+        else _normalized(corpus).localCheckpoint(eager=True)
+    )
     cent = (
         v.orderBy(F.xxhash64(F.lit("ivf-seed"), F.col("vec_id")))
         .limit(n_centroids)
@@ -517,7 +522,15 @@ SEM_SCALE = 1_000_000
 def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     """Core of q_semantic_neardup over any (vec_id, label, embedding)
     DataFrame — separated so tests can drive it with planted
-    near-duplicate vectors."""
+    near-duplicate vectors.
+
+    Magnitude contract: components must satisfy |x| ≲ 360 (unit-norm
+    or near-unit vectors — the fixture's regime). Quantized values are
+    x·10⁶ and per-pair sums of 64 products accumulate in int64, which
+    overflows around |x| ≈ 360 per component; normalize upstream
+    (``_normalized``) before calling this on raw feature vectors.
+    Cosine is scale-invariant, so normalizing first never changes
+    which pairs clear the threshold (up to quantization)."""
     q = embeddings.select(
         "vec_id",
         "label",
@@ -612,6 +625,7 @@ def pq_train(
     m: int = PQ_SUBSPACES,
     k: int = PQ_CODES,
     iters: int = PQ_ITERS,
+    normalized: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Product-quantization training: per-subspace k-means codebooks
     (hash-seeded, deterministic — same policy as ``ivf_build``) and the
@@ -625,7 +639,11 @@ def pq_train(
     (feeds every round), codebook lazily per round; the returned codes
     are assigned against the FINAL codebook."""
     d = EMB_DIM // m
-    v = _normalized(corpus).localCheckpoint(eager=True)
+    v = (
+        normalized
+        if normalized is not None
+        else _normalized(corpus).localCheckpoint(eager=True)
+    )
     sub = (
         v.select(
             "vec_id",
@@ -768,8 +786,9 @@ def ivfpq_topk(
     partition the corpus, codes are ~8 GB, distance tables broadcast,
     and the rerank reads ~k·queries full vectors total."""
     d = EMB_DIM // PQ_SUBSPACES
-    cent, assign = ivf_build(corpus, n_centroids, iters=3)
-    cb, codes = pq_train(corpus)
+    v = _normalized(corpus).localCheckpoint(eager=True)
+    cent, assign = ivf_build(corpus, n_centroids, iters=3, normalized=v)
+    cb, codes = pq_train(corpus, normalized=v)
     qn = _normalized(queries, out="qv")
     probes = (
         qn.crossJoin(F.broadcast(cent))
@@ -790,15 +809,15 @@ def ivfpq_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "qv", "centroid_id")
     )
-    qsub = probes.select(
-        "query_id",
+    qsub = qn.select(
+        F.col("vec_id").alias("query_id"),
         F.explode(
             F.expr(
                 f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> "
                 f"named_struct('s', s, 'qsv', slice(qv, s * {d} + 1, {d})))"
             )
         ).alias("x"),
-    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv")).distinct()
+    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
     dt = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d2")
     )

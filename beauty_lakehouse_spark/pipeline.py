@@ -189,11 +189,17 @@ def run_corpus_pipeline(
     report = curation.q_corpus_cleaning_report(spark, sf_dir)
     kept = report.filter(F.col("reason") == "kept").select("doc_id")
 
+    # canonical per cluster is chosen AMONG THE CLEANED docs (min kept
+    # doc_id) — picking the cluster root first and intersecting with
+    # `kept` would silently drop every cluster whose root happens to
+    # fail cleaning, even when a clean member exists
     comp = dedup.corpus_components(spark, sf_dir)
-    canonical = comp.filter(F.col("id") == F.col("comp")).select(
-        F.col("id").alias("doc_id")
+    survivors = (
+        kept.join(comp, kept.doc_id == comp.id)
+        .groupBy("comp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    survivors = kept.join(canonical, "doc_id")
 
     split = curation.q_cluster_safe_split(spark, sf_dir).select(
         "doc_id", "split"

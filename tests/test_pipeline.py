@@ -93,3 +93,33 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
 
     m = json.load(open(tmp_path / "corpus" / "corpus_manifest.json"))
     assert m["n_kept_docs"] == res.n_kept == len(survivors)
+
+
+def test_corpus_pipeline_promotes_kept_member_when_root_fails(spark, sf_dir, tmp_path):
+    """Every cluster with >= 1 cleaned member publishes exactly one
+    doc — including clusters whose min-id root failed cleaning (the
+    canonical must be promoted, not the cluster dropped)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark import pipeline, tables
+    from beauty_lakehouse_spark.operators import curation, dedup
+
+    res = pipeline.run_corpus_pipeline(spark, sf_dir, str(tmp_path / "c2"))
+    kept = {
+        r.doc_id
+        for r in curation.q_corpus_cleaning_report(spark, sf_dir)
+        .filter(F.col("reason") == "kept")
+        .collect()
+    }
+    comp = {r.id: r.comp for r in dedup.corpus_components(spark, sf_dir).collect()}
+    clusters_with_kept = {comp[d] for d in kept}
+
+    published = set()
+    for part in ("train", "val", "test"):
+        df = tables.read_versioned(spark, str(tmp_path / "c2" / part))
+        published |= {r.doc_id for r in df.select("doc_id").distinct().collect()}
+    # one survivor per cluster-with-a-kept-member, and it IS the min kept
+    assert len(published) == len(clusters_with_kept) == res.n_kept
+    for c in clusters_with_kept:
+        members_kept = sorted(d for d in kept if comp[d] == c)
+        assert members_kept[0] in published
