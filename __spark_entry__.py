@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_mixture_expand": curation.q_epoch_mixture_expand,
         "chunk_dedup": curation.q_chunk_dedup,
         "semantic_neardup": similarity.q_semantic_neardup,
+        "group_sample": curation.q_group_sample,
+        "length_histogram": curation.q_length_histogram,
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
@@ -1207,6 +1209,20 @@ def oracle_sql() -> dict[str, str]:
             "md5(array_to_string("
             "t[CAST(st + 1 AS INT):CAST(least(st + 64, len(t)) AS INT)], ' ')) "
             "AS chunk_hash FROM s"
+        ),
+        "group_sample": (
+            "WITH d AS (SELECT doc_id, source, lang, "
+            "('0x' || substr(md5('gsample:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::BIGINT AS sample_key FROM documents), "
+            "r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY sample_key, doc_id) AS INT) AS rk FROM d) "
+            "SELECT source, doc_id, lang, sample_key, rk FROM r WHERE rk <= 5"
+        ),
+        "length_histogram": (
+            "WITH d AS (SELECT source, len(string_split(text, ' ')) AS n "
+            "FROM documents) "
+            "SELECT source, CAST(n - n % 16 AS INT) AS bucket_lo, "
+            "count(*) AS n_docs FROM d GROUP BY 1, 2"
         ),
         "chunk_dedup": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "

@@ -560,3 +560,51 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (occ_key == F.col("first_okey")).alias("is_canonical"),
         )
     )
+
+
+#: q_group_sample docs kept per source.
+GROUP_SAMPLE_K = 5
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample: each source contributes its
+    ``GROUP_SAMPLE_K`` docs with the smallest md5-derived sample keys —
+    the inspect-a-few-per-slice query every curation review needs,
+    reproducible across runs/engines (no RNG, no ``sample()``).
+
+    Scale: rank within source over the hash order — partitioned
+    window, per-reducer work is one source's docs; with heavily
+    skewed sources swap in the bucket-offset decomposition (the
+    pattern is already in training_order_shuffle)."""
+    t = load(spark, sf_dir)
+    key = portable_hash64(
+        F.concat(F.lit("gsample:"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (
+        t.documents.select(
+            "doc_id", "source", "lang", key.alias("sample_key")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("source", "doc_id", "lang", "sample_key", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+#: q_length_histogram bucket width (whitespace tokens).
+LENGTH_BUCKET = 16
+
+
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution per source: token counts bucketed
+    at LENGTH_BUCKET granularity — the length-profile report that
+    drives truncation/packing decisions. Map-side-combinable groupBy;
+    output is |sources| x |buckets| rows at any corpus size."""
+    t = load(spark, sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    bucket = (n_tok - n_tok % LENGTH_BUCKET).cast("int")
+    return (
+        t.documents.select("source", bucket.alias("bucket_lo"))
+        .groupBy("source", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
