@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_streamed": _q_latest_event_streamed,
         "events_dedup_streamed": _q_events_dedup_streamed,
         "purchase_attribution_streamed": _q_purchase_attribution_streamed,
+        "doc_chunking_streamed": _q_doc_chunking_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -398,6 +399,25 @@ def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     media = multimodal.media_from_documents(t.documents)
     return multimodal.media_phash_pairs(media)
+
+
+def _q_doc_chunking_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateless chunk expansion running as a STREAMING transform over
+    the documents landing stream (append mode, availableNow drain) —
+    hash-checked against the batch q_doc_chunking oracle. The chunker
+    needs no state at all, so the streaming plan is the batch plan per
+    micro-batch: the ingest-time form of example construction."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.curation import chunk_documents
+    from beauty_lakehouse_spark.streaming import run_available_now
+    from beauty_lakehouse_spark.streaming.pipelines import stream_documents
+
+    return run_available_now(
+        chunk_documents(stream_documents(spark, sf_dir)),
+        f"gate_chunk_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
 
 
 def _q_beauty_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1906,6 +1926,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CAST(value AS DECIMAL(12,2)) AS DOUBLE) AS value FROM events"
     )
     out["events_sessions_streamed"] = out["events_sessions"]
+    out["doc_chunking_streamed"] = out["doc_chunking"]
     out["dedup_groups_streamed"] = (
         "SELECT " + _nth() + " AS text_hash, "
         "min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS group_size "
