@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": curation.q_chunk_dedup,
         "semantic_neardup": similarity.q_semantic_neardup,
         "group_sample": curation.q_group_sample,
+        "corpus_survivors": curation.q_corpus_survivors,
         "length_histogram": curation.q_length_histogram,
         "cohort_retention": events.q_cohort_retention,
         # similarity search baseline (oracle)
@@ -2004,6 +2005,42 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'kept' END AS reason "
         "FROM l JOIN c USING (text_hash)) "
         "SELECT doc_id, reason, reason = 'kept' AS keep FROM r"
+    )
+
+    # the corpus pipeline's survivor selection, end to end in ONE SQL:
+    # recursive-CTE near-dup closure + the same cleaning CASE +
+    # canonical-among-cleaned promotion + md5 cluster-split buckets
+    out["corpus_survivors"] = (
+        _CC_COMP_CTE
+        + ", d9 AS (SELECT doc_id, text, string_split(text, ' ') AS t9 "
+        "FROM documents), "
+        "h9 AS (SELECT doc_id, " + _nth() + " AS thash9, "
+        f"len(list_filter(t9, x -> x IN ({en}))) AS s_en, "
+        f"len(list_filter(t9, x -> x IN ({de}))) AS s_de, "
+        f"len(list_filter(t9, x -> x IN ({fr}))) AS s_fr, "
+        f"len(list_filter(t9, x -> x IN ({es}))) AS s_es, "
+        "len(t9) AS n_tokens, "
+        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum, "
+        "length(text) AS len_chars FROM d9), "
+        "p9 AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM h9), "
+        "l9 AS (SELECT doc_id, thash9, n_tokens, alnum, len_chars, "
+        "CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
+        "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
+        "ELSE 'es' END AS pred_lang FROM p9), "
+        "c9 AS (SELECT thash9, min(doc_id) AS keep_id FROM l9 "
+        "GROUP BY thash9), "
+        "kept9 AS (SELECT l9.doc_id FROM l9 JOIN c9 USING (thash9) "
+        "WHERE l9.doc_id = keep_id AND pred_lang = 'en' "
+        "AND NOT (n_tokens < 5 OR alnum * 5 < len_chars * 4)), "
+        "surv AS (SELECT comp.cluster_id, min(k.doc_id) AS doc_id "
+        "FROM kept9 k JOIN comp ON comp.doc_id = k.doc_id "
+        "GROUP BY comp.cluster_id) "
+        "SELECT doc_id, cluster_id, "
+        "CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+        "ELSE 'test' END AS split FROM ("
+        "SELECT doc_id, cluster_id, "
+        "CAST(('0x' || substr(md5('csplit:' || cluster_id::VARCHAR), "
+        "1, 15))::BIGINT % 100 AS INTEGER) AS b FROM surv) x"
     )
 
     # PII scan (mirrors text.PII_PATTERNS; counts on original text per

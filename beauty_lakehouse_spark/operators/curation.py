@@ -608,3 +608,35 @@ def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "bucket_lo")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus pipeline's survivor selection as a pure query —
+    (doc_id, cluster_id, split) for every published document: cleaning
+    keep/drop, near-dup clustering, canonical-among-cleaned promotion,
+    and the leakage-safe cluster-keyed split, hash-checked end to end
+    against a single DuckDB oracle (recursive-CTE closure + the same
+    cleaning CASE + md5 bucket arithmetic). ``run_corpus_pipeline``
+    publishes exactly these rows' documents."""
+    from .dedup import corpus_components
+
+    kept = (
+        q_corpus_cleaning_report(spark, sf_dir)
+        .filter(F.col("reason") == "kept")
+        .select("doc_id")
+    )
+    comp = corpus_components(spark, sf_dir)
+    surv = (
+        kept.join(comp, kept.doc_id == comp.id)
+        .groupBy("comp")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    b = _bucket(F.col("comp"), "csplit")
+    split = (
+        F.when(b < SPLIT_TRAIN_END, F.lit("train"))
+        .when(b < SPLIT_VAL_END, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return surv.select(
+        "doc_id", F.col("comp").alias("cluster_id"), split.alias("split")
+    )

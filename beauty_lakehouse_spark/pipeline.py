@@ -180,33 +180,23 @@ def run_corpus_pipeline(
     audited ones. All stages are distributed; the only driver values
     are the manifest counts."""
     from .catalog import load
-    from .operators import curation, dedup
+    from .operators import curation
     from . import tables as vtables
 
     t = load(spark, sf_dir)
     n_input = t.documents.count()
 
-    report = curation.q_corpus_cleaning_report(spark, sf_dir)
-    kept = report.filter(F.col("reason") == "kept").select("doc_id")
-
-    # canonical per cluster is chosen AMONG THE CLEANED docs (min kept
-    # doc_id) — picking the cluster root first and intersecting with
-    # `kept` would silently drop every cluster whose root happens to
-    # fail cleaning, even when a clean member exists
-    comp = dedup.corpus_components(spark, sf_dir)
-    survivors = (
-        kept.join(comp, kept.doc_id == comp.id)
-        .groupBy("comp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-
-    split = curation.q_cluster_safe_split(spark, sf_dir).select(
+    # survivor selection + leakage-safe split IS the oracle-matched
+    # q_corpus_survivors query (cleaning keep/drop, near-dup clusters,
+    # canonical promoted among CLEANED members — a cluster whose min-id
+    # root fails cleaning still publishes its best kept member — and
+    # the md5 cluster-keyed split): the pipeline publishes exactly the
+    # rows the driver gate hash-verifies
+    selected = curation.q_corpus_survivors(spark, sf_dir).select(
         "doc_id", "split"
     )
     docs = (
-        t.documents.join(survivors, "doc_id")
-        .join(split, "doc_id")
+        t.documents.join(selected, "doc_id")
         .localCheckpoint(eager=False)
     )
     n_kept = docs.count()
