@@ -1976,34 +1976,45 @@ def oracle_sql() -> dict[str, str]:
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM d) "
         "SELECT source, doc_id, n_tokens FROM r WHERE run <= 600"
     )
-    en = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
-    de = ", ".join(f"'{w}'" for w in ["der", "die", "das", "und", "ist", "nicht"])
-    fr = ", ".join(f"'{w}'" for w in ["le", "la", "et", "les", "des", "est"])
-    es = ", ".join(f"'{w}'" for w in ["el", "los", "las", "y", "es", "una"])
+    def _cleaning_ctes(sfx: str) -> str:
+        """The cleaning pipeline's CTE chain with suffixed names, so the
+        standalone report and the corpus_survivors composition (where the
+        CC closure already owns d/h/c/...) share ONE definition — a
+        threshold change can never drift between the two oracles."""
+        en = ", ".join(f"'{w}'" for w in ["the", "a", "of", "and", "to", "in", "is"])
+        de = ", ".join(f"'{w}'" for w in ["der", "die", "das", "und", "ist", "nicht"])
+        fr = ", ".join(f"'{w}'" for w in ["le", "la", "et", "les", "des", "est"])
+        es = ", ".join(f"'{w}'" for w in ["el", "los", "las", "y", "es", "una"])
+        return (
+            f"d{sfx} AS (SELECT doc_id, text, string_split(text, ' ') AS t{sfx} "
+            "FROM documents), "
+            f"h{sfx} AS (SELECT doc_id, " + _nth() + f" AS thash{sfx}, "
+            f"len(list_filter(t{sfx}, x -> x IN ({en}))) AS s_en, "
+            f"len(list_filter(t{sfx}, x -> x IN ({de}))) AS s_de, "
+            f"len(list_filter(t{sfx}, x -> x IN ({fr}))) AS s_fr, "
+            f"len(list_filter(t{sfx}, x -> x IN ({es}))) AS s_es, "
+            f"len(t{sfx}) AS n_tokens, "
+            "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum, "
+            f"length(text) AS len_chars FROM d{sfx}), "
+            f"p{sfx} AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best "
+            f"FROM h{sfx}), "
+            f"l{sfx} AS (SELECT doc_id, thash{sfx}, n_tokens, alnum, len_chars, "
+            "CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
+            "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
+            f"ELSE 'es' END AS pred_lang FROM p{sfx}), "
+            f"c{sfx} AS (SELECT thash{sfx}, min(doc_id) AS keep_id FROM l{sfx} "
+            f"GROUP BY thash{sfx})"
+        )
+
     out["corpus_cleaning_report"] = (
-        "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS t "
-        "FROM documents), "
-        "h AS (SELECT doc_id, " + _nth() + " AS text_hash, "
-        f"len(list_filter(t, x -> x IN ({en}))) AS s_en, "
-        f"len(list_filter(t, x -> x IN ({de}))) AS s_de, "
-        f"len(list_filter(t, x -> x IN ({fr}))) AS s_fr, "
-        f"len(list_filter(t, x -> x IN ({es}))) AS s_es, "
-        "len(t) AS n_tokens, "
-        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum, "
-        "length(text) AS len_chars FROM d), "
-        "p AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM h), "
-        "l AS (SELECT doc_id, text_hash, n_tokens, alnum, len_chars, "
-        "CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
-        "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
-        "ELSE 'es' END AS pred_lang FROM p), "
-        "c AS (SELECT text_hash, min(doc_id) AS keep_id FROM l "
-        "GROUP BY text_hash), "
-        "r AS (SELECT l.doc_id, "
-        "CASE WHEN l.doc_id != c.keep_id THEN 'duplicate' "
+        "WITH "
+        + _cleaning_ctes("0")
+        + ", r AS (SELECT l0.doc_id, "
+        "CASE WHEN l0.doc_id != c0.keep_id THEN 'duplicate' "
         "WHEN pred_lang != 'en' THEN 'lang' "
         "WHEN n_tokens < 5 OR alnum * 5 < len_chars * 4 THEN 'quality' "
         "ELSE 'kept' END AS reason "
-        "FROM l JOIN c USING (text_hash)) "
+        "FROM l0 JOIN c0 USING (thash0)) "
         "SELECT doc_id, reason, reason = 'kept' AS keep FROM r"
     )
 
@@ -2012,24 +2023,9 @@ def oracle_sql() -> dict[str, str]:
     # canonical-among-cleaned promotion + md5 cluster-split buckets
     out["corpus_survivors"] = (
         _CC_COMP_CTE
-        + ", d9 AS (SELECT doc_id, text, string_split(text, ' ') AS t9 "
-        "FROM documents), "
-        "h9 AS (SELECT doc_id, " + _nth() + " AS thash9, "
-        f"len(list_filter(t9, x -> x IN ({en}))) AS s_en, "
-        f"len(list_filter(t9, x -> x IN ({de}))) AS s_de, "
-        f"len(list_filter(t9, x -> x IN ({fr}))) AS s_fr, "
-        f"len(list_filter(t9, x -> x IN ({es}))) AS s_es, "
-        "len(t9) AS n_tokens, "
-        "length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum, "
-        "length(text) AS len_chars FROM d9), "
-        "p9 AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM h9), "
-        "l9 AS (SELECT doc_id, thash9, n_tokens, alnum, len_chars, "
-        "CASE WHEN best = 0 THEN 'und' WHEN s_en = best THEN 'en' "
-        "WHEN s_de = best THEN 'de' WHEN s_fr = best THEN 'fr' "
-        "ELSE 'es' END AS pred_lang FROM p9), "
-        "c9 AS (SELECT thash9, min(doc_id) AS keep_id FROM l9 "
-        "GROUP BY thash9), "
-        "kept9 AS (SELECT l9.doc_id FROM l9 JOIN c9 USING (thash9) "
+        + ", "
+        + _cleaning_ctes("9")
+        + ", kept9 AS (SELECT l9.doc_id FROM l9 JOIN c9 USING (thash9) "
         "WHERE l9.doc_id = keep_id AND pred_lang = 'en' "
         "AND NOT (n_tokens < 5 OR alnum * 5 < len_chars * 4)), "
         "surv AS (SELECT comp.cluster_id, min(k.doc_id) AS doc_id "

@@ -699,6 +699,58 @@ def pq_train(
     return cb, assign(cb)
 
 
+def _query_subvectors(qn: DataFrame) -> DataFrame:
+    """(query_id, s, qsv) — per-subspace query sub-vectors from a
+    ``_normalized(..., out="qv")`` table. Shared by pq_topk/ivfpq_topk."""
+    d = EMB_DIM // PQ_SUBSPACES
+    return qn.select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> "
+                f"named_struct('s', s, 'qsv', slice(qv, s * {d} + 1, {d})))"
+            )
+        ).alias("x"),
+    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
+
+
+def _adc_rerank(
+    scored: DataFrame, queries: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    """Common PQ tail: keep each query's k best candidates by ADC
+    distance, then EXACT-rerank those survivors — the returned ``rk``
+    orders by true cosine (ties by neighbor id), matching ivf_topk's
+    contract; ``adc_d2`` stays in the row for diagnostics."""
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("adc_rk", F.row_number().over(w_adc))
+        .filter(F.col("adc_rk") <= k)
+    )
+    exact = (
+        top.join(_normalized(corpus, out="cv2"), "vec_id")
+        .join(
+            _normalized(queries, out="qv2").select(
+                F.col("vec_id").alias("query_id"), "qv2"
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("adc_d2", 4).alias("adc_d2"),
+            F.round(_dot(F.col("qv2"), F.col("cv2")), 4).alias("cos_sim"),
+        )
+    )
+    w_exact = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return exact.withColumn(
+        "rk", F.row_number().over(w_exact).cast("int")
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -716,19 +768,8 @@ def pq_topk(
     Composes with IVF (probe lists first, ADC inside lists) for the
     standard IVF-PQ index; kept separate here so each dial is
     testable alone."""
-    d = EMB_DIM // PQ_SUBSPACES
     cb, codes = pq_train(corpus)
-    qn = _normalized(queries, out="qv")
-    qsub = qn.select(
-        F.col("vec_id").alias("query_id"),
-        "qv",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> "
-                f"named_struct('s', s, 'qsv', slice(qv, s * {d} + 1, {d})))"
-            )
-        ).alias("x"),
-    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
+    qsub = _query_subvectors(_normalized(queries, out="qv"))
     dt = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d2")
     )
@@ -738,20 +779,7 @@ def pq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
-    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-    return (
-        top.join(_normalized(corpus, out="cv2"), "vec_id")
-        .join(_normalized(queries, out="qv2").select(
-            F.col("vec_id").alias("query_id"), "qv2"), "query_id")
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("adc_d2", 4).alias("adc_d2"),
-            F.round(_dot(F.col("qv2"), F.col("cv2")), 4).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _adc_rerank(scored, queries, corpus, k)
 
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,7 +813,6 @@ def ivfpq_topk(
     ``pq_train`` (memory via m·k). At 10⁹ vectors: inverted lists
     partition the corpus, codes are ~8 GB, distance tables broadcast,
     and the rerank reads ~k·queries full vectors total."""
-    d = EMB_DIM // PQ_SUBSPACES
     v = _normalized(corpus).localCheckpoint(eager=True)
     cent, assign = ivf_build(corpus, n_centroids, iters=3, normalized=v)
     cb, codes = pq_train(corpus, normalized=v)
@@ -809,15 +836,7 @@ def ivfpq_topk(
         .filter(F.col("rk") <= nprobe)
         .select("query_id", "qv", "centroid_id")
     )
-    qsub = qn.select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {PQ_SUBSPACES - 1}), s -> "
-                f"named_struct('s', s, 'qsv', slice(qv, s * {d} + 1, {d})))"
-            )
-        ).alias("x"),
-    ).select("query_id", F.col("x.s").alias("s"), F.col("x.qsv").alias("qsv"))
+    qsub = _query_subvectors(qn)
     dt = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d2")
     )
@@ -831,24 +850,7 @@ def ivfpq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc_d2"), F.asc("vec_id"))
-    top = scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
-    return (
-        top.join(_normalized(corpus, out="cv2"), "vec_id")
-        .join(
-            _normalized(queries, out="qv2").select(
-                F.col("vec_id").alias("query_id"), "qv2"
-            ),
-            "query_id",
-        )
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round("adc_d2", 4).alias("adc_d2"),
-            F.round(_dot(F.col("qv2"), F.col("cv2")), 4).alias("cos_sim"),
-            F.col("rk").cast("int").alias("rk"),
-        )
-    )
+    return _adc_rerank(scored, queries, corpus, k)
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

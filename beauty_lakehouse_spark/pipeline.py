@@ -201,8 +201,14 @@ def run_corpus_pipeline(
     )
     n_kept = docs.count()
 
-    chunks = curation.chunk_documents(docs).join(
-        docs.select("doc_id", "split", "source"), "doc_id"
+    # chunk once for all three splits (localCheckpoint: the per-split
+    # filter+write passes read the materialized rows instead of
+    # re-running the explode + join per split); the count read-back
+    # from the PUBLISHED table doubles as artifact validation
+    chunks = (
+        curation.chunk_documents(docs)
+        .join(docs.select("doc_id", "split", "source"), "doc_id")
+        .localCheckpoint(eager=False)
     )
     n_chunks: dict[str, int] = {}
     for part in ("train", "val", "test"):

@@ -213,7 +213,6 @@ def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
     advance."""
     import uuid
 
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from beauty_lakehouse_spark.catalog import load
