@@ -82,12 +82,181 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
+#: Driver-gate walk order for round 5 (see queries() docstring):
+#: never-driver-verified oracle entries cheapest-first, then
+#: never-verified rows-only, then the thrice-verified block.
+_DRIVER_ORDER_R5 = [
+    # -- never driver-verified, oracle-backed (80) --
+    "doc_sample_deterministic",
+    "length_histogram",
+    "epoch_mixture_expand",
+    "pii_scan",
+    "regex_token_pieces",
+    "train_val_test_split",
+    "doc_chunking",
+    "token_counts",
+    "text_stats",
+    "lang_id",
+    "group_sample",
+    "cluster_safe_split",
+    "embedding_centroids",
+    "frequent_terms",
+    "mixture_rebalance",
+    "dedup_exact",
+    "linestatus_priority_counts",
+    "bpe_pair_counts",
+    "customer_order_distribution",
+    "doc_fingerprint",
+    "quality_scores",
+    "promo_revenue_share",
+    "late_ship_priority_orders",
+    "large_order_customers",
+    "brand_size_band_revenue",
+    "sequence_packing",
+    "small_quantity_part_revenue",
+    "doc_chunking_streamed",
+    "dedup_clusters",
+    "top_revenue_suppliers",
+    "corpus_cleaning_report",
+    "top_suppliers_by_volume",
+    "boilerplate_ngrams",
+    "training_order_shuffle",
+    "cohort_retention",
+    "repetition_stats",
+    "token_budget_selection",
+    "knn_brute",
+    "product_degree",
+    "chunk_dedup",
+    "returned_item_report",
+    "never_urgent_rich_customers",
+    "customer_spend_outliers",
+    "copurchase_edges",
+    "bigram_novelty",
+    "nation_trade_volume",
+    "customer_copurchase_top",
+    "part_supplier_counts",
+    "order_docs_stats",
+    "daily_revenue_gapfill",
+    "nation_product_profit",
+    "dominant_part_suppliers",
+    "semantic_neardup",
+    "important_part_value",
+    "decontaminate",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "merge_changes_feed",
+    "market_share",
+    "min_cost_part_supplier",
+    "simhash_near_pairs",
+    "sole_late_supplier_orders",
+    "incremental_agg_state",
+    "ngram_jaccard_top_pairs",
+    "fuzzy_part_names",
+    "product_triangles",
+    "minhash_estimate_error",
+    "dedup_groups_streamed",
+    "basket_rules",
+    "latest_event_streamed",
+    "quality_report",
+    "dedup_incremental",
+    "events_sessions_streamed",
+    "label_embedding_scatter",
+    "events_dedup_streamed",
+    "events_hourly_streamed",
+    "corpus_survivors",
+    "merge_upsert_state",
+    "product_pagerank_exact",
+    "purchase_attribution_streamed",
+    # -- never driver-verified, rows-only (13) --
+    "media_features",
+    "media_frames",
+    "quantile_sketches",
+    "tfidf_top_terms",
+    "media_phash_pairs",
+    "knn_lsh",
+    "embedding_neardup",
+    "cardinality_sketches",
+    "product_pagerank",
+    "knn_ivf",
+    "knn_pq",
+    "beauty_datagen_validation",
+    "knn_ivfpq",
+    # -- driver-verified green in rounds 2-4 (50) --
+    "revenue_forecast_delta",
+    "orders_per_customer",
+    "order_rank_per_customer",
+    "customer_order_gaps",
+    "orders_above_customer_avg",
+    "user_activity",
+    "urgent_order_customers",
+    "region_mapping_conformance",
+    "latest_event_per_user",
+    "customer_running_spend",
+    "event_transitions",
+    "revenue_moving_avg",
+    "ri_orphan_lineitems",
+    "events_hourly",
+    "events_sliding",
+    "event_funnel",
+    "events_preceding_5min",
+    "sales_grouping_sets",
+    "mktsegment_distribution",
+    "sales_cube",
+    "order_metrics_unpivot",
+    "duplicate_orderkeys",
+    "events_json_props",
+    "user_type_pivot",
+    "order_latency",
+    "pricing_summary",
+    "top_order_share",
+    "date_parse_roundtrip",
+    "shipping_priority",
+    "events_sessions",
+    "local_supplier_volume",
+    "date_rule_violations",
+    "events_by_type",
+    "customer_order_stats",
+    "topk_customers_by_revenue",
+    "price_consistency",
+    "order_revenue",
+    "null_profile_orders",
+    "order_enriched",
+    "customer_spend_ntile",
+    "purchase_time_since_view",
+    "purchase_error_burst",
+    "events_by_type_salted",
+    "revenue_rollup",
+    "rolling_distinct_users",
+    "fact_sales_summary",
+    "repeat_customers",
+    "order_value_percentiles",
+    "scalar_functions",
+    "parts_per_type",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry, ordered cheap-oracle-first: the driver's gate walks this
-    dict in order under a wall-clock budget (round 2 reached entry 50 of
-    63), so oracle-eligible sub-second queries come first, then the
-    costlier oracle queries, then rows-only entries, then the few
-    multi-second jobs — a budget cut loses the least verification."""
+    """Registry in driver-gate order (see ``_DRIVER_ORDER_R5``).
+
+    The driver's correctness gate walks this dict in order under a
+    wall-clock budget that has historically reached ~50 entries, and
+    rounds 2-4 all presented the same cheap relational/events/warehouse
+    block first — so those 50 are thrice-hash-checked while the 93
+    entries behind them were only ever judge-verified locally. Round 5
+    rotates: the never-driver-verified oracle entries come FIRST
+    (cheapest first, by measured sf0.01 wall time), then the
+    never-verified rows-only entries, then the already-thrice-verified
+    block (cheapest first) to soak up any remaining budget."""
+    base = _registry()
+    missing = set(base) ^ set(_DRIVER_ORDER_R5)
+    if missing:  # a registry edit must update the order list too
+        raise AssertionError(f"registry/order drift: {sorted(missing)}")
+    return {name: base[name] for name in _DRIVER_ORDER_R5}
+
+
+def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry, grouped thematically (order here is NOT the
+    driver order — ``queries()`` applies ``_DRIVER_ORDER_R5``)."""
     return {
         # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,

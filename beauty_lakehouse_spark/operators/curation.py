@@ -450,7 +450,7 @@ def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = t.documents.select(
         "doc_id", "source", key.alias("shuffle_key")
-    ).withColumn("bucket", (F.col("shuffle_key") / F.lit(2**48)).cast("long"))
+    ).withColumn("bucket", F.shiftright("shuffle_key", 48))
     offsets = (
         d.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))

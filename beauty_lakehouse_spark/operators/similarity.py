@@ -524,10 +524,15 @@ def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     DataFrame — separated so tests can drive it with planted
     near-duplicate vectors.
 
-    Magnitude contract: components must satisfy |x| ≲ 360 (unit-norm
-    or near-unit vectors — the fixture's regime). Quantized values are
-    x·10⁶ and per-pair sums of 64 products accumulate in int64, which
-    overflows around |x| ≈ 360 per component; normalize upstream
+    Magnitude contract: components must satisfy |x| ≲ 80 (unit-norm
+    or near-unit vectors — the fixture's regime). The binding limit is
+    NOT the int64 dot accumulation (that holds to |x| ≈ 360) but the
+    DECIMAL(38,0) cross-multiplied test below: ``dot_q²·25`` must stay
+    inside 38 digits, and Spark stages the product, so dot_q beyond
+    ~6×10¹⁷ silently nulls the filter (pair dropped) while the DuckDB
+    HUGEINT twin still evaluates. |x| ≤ 80 ⇒ q ≤ 8·10⁷ ⇒
+    dot_q ≤ 64·(8·10⁷)² ≈ 4.1·10¹⁷ and na·nb·16 ≤ 2.7·10³⁶ — both
+    inside DECIMAL(38,0) at every staging. Normalize upstream
     (``_normalized``) before calling this on raw feature vectors.
     Cosine is scale-invariant, so normalizing first never changes
     which pairs clear the threshold (up to quantization)."""
@@ -682,7 +687,7 @@ def pq_train(
 
     for _ in range(iters):
         a = assign(cb)
-        cb = (
+        recomputed = (
             sub.join(a, ["vec_id", "s"])
             .select("s", "code", F.posexplode("sv").alias("pos", "x"))
             .groupBy("s", "code", "pos")
@@ -694,6 +699,19 @@ def pq_train(
                     lambda t: t["mx"],
                 ).alias("cv")
             )
+        )
+        # Empty-cluster fallback: a code that lost every member would
+        # vanish from the recomputed table and silently shrink k for all
+        # later rounds; keep its previous centroid instead (standard
+        # k-means practice), so the codebook always has m·k rows.
+        cb = (
+            cb.select("s", "code", F.col("cv").alias("prev_cv"))
+            .join(
+                recomputed.select("s", "code", F.col("cv").alias("new_cv")),
+                ["s", "code"],
+                "left",
+            )
+            .select("s", "code", F.coalesce("new_cv", "prev_cv").alias("cv"))
             .localCheckpoint(eager=False)
         )
     return cb, assign(cb)
@@ -715,12 +733,21 @@ def _query_subvectors(qn: DataFrame) -> DataFrame:
 
 
 def _adc_rerank(
-    scored: DataFrame, queries: DataFrame, corpus: DataFrame, k: int
+    scored: DataFrame,
+    qn: DataFrame,
+    cn: DataFrame,
+    k: int,
 ) -> DataFrame:
     """Common PQ tail: keep each query's k best candidates by ADC
     distance, then EXACT-rerank those survivors — the returned ``rk``
     orders by true cosine (ties by neighbor id), matching ivf_topk's
-    contract; ``adc_d2`` stays in the row for diagnostics."""
+    contract; ``adc_d2`` stays in the row for diagnostics.
+
+    ``qn``/``cn`` are ALREADY-normalized (vec_id, <vector>) tables —
+    callers hold a (often checkpointed) normalization of both sides, so
+    the rerank reuses it instead of re-deriving the normalization scan."""
+    qcol = [c for c in qn.columns if c != "vec_id"][0]
+    ccol = [c for c in cn.columns if c != "vec_id"][0]
     w_adc = Window.partitionBy("query_id").orderBy(
         F.asc("adc_d2"), F.asc("vec_id")
     )
@@ -729,11 +756,9 @@ def _adc_rerank(
         .filter(F.col("adc_rk") <= k)
     )
     exact = (
-        top.join(_normalized(corpus, out="cv2"), "vec_id")
+        top.join(cn.select("vec_id", F.col(ccol).alias("cv2")), "vec_id")
         .join(
-            _normalized(queries, out="qv2").select(
-                F.col("vec_id").alias("query_id"), "qv2"
-            ),
+            qn.select(F.col("vec_id").alias("query_id"), F.col(qcol).alias("qv2")),
             "query_id",
         )
         .select(
@@ -768,8 +793,10 @@ def pq_topk(
     Composes with IVF (probe lists first, ADC inside lists) for the
     standard IVF-PQ index; kept separate here so each dial is
     testable alone."""
-    cb, codes = pq_train(corpus)
-    qsub = _query_subvectors(_normalized(queries, out="qv"))
+    v = _normalized(corpus).localCheckpoint(eager=True)
+    cb, codes = pq_train(corpus, normalized=v)
+    qn = _normalized(queries, out="qv")
+    qsub = _query_subvectors(qn)
     dt = qsub.join(F.broadcast(cb), "s").select(
         "query_id", "s", "code", _l2sq(F.col("qsv"), F.col("cv")).alias("d2")
     )
@@ -779,7 +806,7 @@ def pq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    return _adc_rerank(scored, queries, corpus, k)
+    return _adc_rerank(scored, qn, v, k)
 
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,7 +877,7 @@ def ivfpq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    return _adc_rerank(scored, queries, corpus, k)
+    return _adc_rerank(scored, qn, v, k)
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -271,13 +271,18 @@ def test_pq_codes_are_compact_and_complete(spark, sf_dir):
     from beauty_lakehouse_spark.operators import similarity
 
     corpus = load(spark, sf_dir).embeddings
-    _, codes = similarity.pq_train(corpus)
+    cb, codes = similarity.pq_train(corpus)
     n = corpus.count()
     per_vec = codes.groupBy("vec_id").agg(F.count(F.lit(1)).alias("m"))
     assert per_vec.filter(F.col("m") != similarity.PQ_SUBSPACES).count() == 0
     assert per_vec.count() == n
     rng = codes.agg(F.min("code").alias("lo"), F.max("code").alias("hi")).first()
     assert rng.lo >= 1 and rng.hi <= similarity.PQ_CODES
+    # Empty-cluster fallback invariant: the codebook never shrinks —
+    # every subspace keeps exactly PQ_CODES entries after training.
+    per_sub = cb.groupBy("s").agg(F.count(F.lit(1)).alias("k"))
+    assert per_sub.filter(F.col("k") != similarity.PQ_CODES).count() == 0
+    assert cb.count() == similarity.PQ_SUBSPACES * similarity.PQ_CODES
 
 
 def test_ivfpq_finds_planted_near_duplicates(spark, sf_dir):
