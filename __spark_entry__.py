@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from beauty_lakehouse_spark import tables
 from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
+from beauty_lakehouse_spark.functions import ln_micro_sql as _lnm
 from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
 from beauty_lakehouse_spark.operators import (
     curation,
@@ -167,11 +168,12 @@ _DRIVER_ORDER_R5 = [
     "merge_upsert_state",
     "product_pagerank_exact",
     "purchase_attribution_streamed",
-    # -- never driver-verified, rows-only (13) --
+    # graduated to oracle in round 5 (fixed-point ln_micro idf)
+    "tfidf_top_terms",
+    # -- never driver-verified, rows-only (12) --
     "media_features",
     "media_frames",
     "quantile_sketches",
-    "tfidf_top_terms",
     "media_phash_pairs",
     "knn_lsh",
     "embedding_neardup",
@@ -353,7 +355,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
         "minhash_estimate_error": dedup.q_minhash_estimate_error,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
-        # text analysis (oracle except tfidf)
+        # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
         "token_counts": text.q_token_counts,
@@ -418,7 +420,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_safe_split": curation.q_cluster_safe_split,
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
-        "tfidf_top_terms": text.q_tfidf_top_terms,  # ln() not cross-engine-exact
+        "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1432,9 +1434,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM ch JOIN g USING (chunk_hash)"
         ),
         "semantic_neardup": (
-            "WITH q0 AS (SELECT vec_id, label, list_transform(embedding, "
-            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
-            "AS q FROM embeddings), "
+            # Gate corpus = fixture UNION 3 planted scaled near-copies
+            # (mirrors SEM_PLANT/SEM_PLANT_OFFSET/SEM_PLANT_SCALE in
+            # similarity.py) so the entry proves positive detection.
+            "WITH allv AS (SELECT vec_id, label, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000, label, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) "
+            "FROM embeddings WHERE vec_id < 3), "
+            "q0 AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
+            "AS q FROM allv), "
             "q1 AS (SELECT vec_id, label, q, "
             "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq "
             "FROM q0), "
@@ -1466,6 +1477,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, n_epochs, CAST(epoch AS INT) AS epoch, "
             "('0x' || substr(md5('ex:' || CAST(epoch AS VARCHAR) || ':' || "
             "CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS example_key FROM e"
+        ),
+        "tfidf_top_terms": (
+            # idf = ln_micro(N, df): the SAME integer shift-and-square
+            # fixed-point log Spark runs (functions.ln_micro) — no
+            # float ln() on either side, so scores hash-match exactly.
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tft AS (SELECT doc_id, term, count(*) AS tf FROM tok "
+            "GROUP BY doc_id, term), "
+            "dft AS (SELECT term, count(*) AS df FROM tft GROUP BY term), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "idf AS (SELECT term, df, "
+            + _lnm("n_docs", "df")
+            + " AS idf_unats FROM dft, n), "
+            "s AS (SELECT tft.doc_id, tft.term, tft.tf, idf.df, "
+            "tft.tf * idf.idf_unats AS score_unats "
+            "FROM tft JOIN idf USING (term)), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score_unats DESC, term) AS rk FROM s) "
+            "SELECT doc_id, term, tf, df, score_unats, "
+            "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
         ),
         "frequent_terms": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

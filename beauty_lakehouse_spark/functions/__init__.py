@@ -32,7 +32,14 @@ __all__ = [
     "clip",
     "normalized_text_hash",
     "normalized_text_hash_sql",
+    "ln_micro",
+    "ln_micro_sql",
 ]
+
+#: ln_micro fixed-point geometry: fractional bits of the binary log
+#: (also the iteration count) and floor(ln(2) * 1e6).
+_LN_FB = 16
+_LN2_MICRO = 693147
 
 
 def portable_hash64(col: Column | str) -> Column:
@@ -138,3 +145,86 @@ def iso_date(col: Column | str) -> Column:
 def clip(col: Column, lo: float, hi: float) -> Column:
     """np.clip as a column expression (reference src/generate_data.py:140)."""
     return F.least(F.greatest(col, F.lit(lo)), F.lit(hi))
+
+
+def _idiv(n: Column, d: Column) -> Column:
+    """Exact integer division via DECIMAL(38,0) (same trick as
+    :func:`halfup_div` — the subtraction makes the quotient exact)."""
+    nd = n.cast("decimal(38,0)")
+    dd = d.cast("decimal(38,0)")
+    return ((nd - nd % dd) / dd).cast("long")
+
+
+def ln_micro(num: Column, den: Column) -> Column:
+    """Deterministic fixed-point ``ln(num/den)`` in micro-nats (int64).
+
+    Contract: ``num >= den >= 1`` integers with ``num < 2^31`` (corpus
+    counts). Pure integer arithmetic — NO float ``ln`` — so Spark and
+    DuckDB (:func:`ln_micro_sql`) agree bit-for-bit, which float ``ln``
+    does not (measured ~8% last-ulp divergence JVM vs DuckDB):
+
+    1. ``e = floor(log2(num div den))`` via the bit length of the
+       integer quotient (``length(bin(q)) - 1``);
+    2. mantissa ``x0 = (num·2^30) div (den·2^e)`` in [2^30, 2^31);
+    3. ``_LN_FB`` shift-and-square rounds extract the fractional bits
+       of log2 (square the 2^30-scaled mantissa, shift back, emit a
+       bit when it crosses 2; all in int64 — x² < 2^62);
+    4. ``ln = (log2_fixed · floor(ln2·10^6)) >> _LN_FB``.
+
+    Accuracy: the floor at step 2 costs 2^-30 relative, doubling per
+    squaring round — ~2^-14 after 16 rounds, i.e. ±~1e-4 nats. The
+    value is a deterministic quantization BOTH engines define
+    identically; callers treat it as the score, not as float ln."""
+    num = num.cast("long")
+    den = den.cast("long")
+    q = _idiv(num, den)
+    e = (F.length(F.bin(q)) - F.lit(1)).cast("int")
+    # (num << 30) div den, then >> e: floor(floor(a/b)/2^e) == floor(a/(b·2^e))
+    x0 = F.call_function(
+        "shiftright", _idiv(num * F.lit(2**30), den), e
+    )
+    two31 = F.lit(2**31).cast("long")
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_LN_FB)),
+        F.struct(x0.alias("x"), F.lit(0).cast("long").alias("acc")),
+        lambda s, _i: F.struct(
+            F.when(
+                F.shiftright(s["x"] * s["x"], 30) >= two31,
+                F.shiftright(F.shiftright(s["x"] * s["x"], 30), 1),
+            )
+            .otherwise(F.shiftright(s["x"] * s["x"], 30))
+            .alias("x"),
+            (
+                s["acc"] * F.lit(2)
+                + (F.shiftright(s["x"] * s["x"], 30) >= two31).cast("long")
+            ).alias("acc"),
+        ),
+    )
+    log2_fixed = e.cast("long") * F.lit(2**_LN_FB) + state["acc"]
+    return F.shiftright(log2_fixed * F.lit(_LN2_MICRO), _LN_FB)
+
+
+def ln_micro_sql(num: str, den: str) -> str:
+    """DuckDB twin of :func:`ln_micro` — the same integer algorithm;
+    the fold packs (x, acc) into one BIGINT (x·2^FB + acc, ≤ 47 bits)
+    so ``list_reduce`` can carry it."""
+    fb, pack = _LN_FB, 2**_LN_FB
+    q = f"({num} // {den})"
+    e = f"(length(bin({q})) - 1)"
+    x0 = f"(((CAST({num} AS BIGINT) * {2**30}) // {den}) >> {e})"
+    x = f"(s >> {fb})"
+    acc = f"(s & {pack - 1})"
+    x2 = f"(({x} * {x}) >> 30)"
+    step = (
+        f"CAST((CASE WHEN {x2} >= {2**31} THEN {x2} >> 1 ELSE {x2} END) "
+        f"* {pack} + {acc} * 2 "
+        f"+ (CASE WHEN {x2} >= {2**31} THEN 1 ELSE 0 END) AS BIGINT)"
+    )
+    folded = (
+        f"list_reduce(list_prepend(CAST({x0} * {pack} AS BIGINT), "
+        f"list_transform(range({fb}), i -> CAST(0 AS BIGINT))), "
+        f"(s, i) -> {step})"
+    )
+    return (
+        f"((({e} * {pack} + ({folded} & {pack - 1})) * {_LN2_MICRO}) >> {fb})"
+    )

@@ -585,6 +585,16 @@ def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: q_semantic_neardup gate planting: the first SEM_PLANT corpus vectors
+#: get a scaled near-copy (vec_id + SEM_PLANT_OFFSET, components ×
+#: SEM_PLANT_SCALE) unioned into the corpus, so the gate query proves
+#: POSITIVE detection (cosine(x, c·x) ≈ 1 clears the 0.8 threshold)
+#: instead of passing vacuously on the near-random fixture's 0 pairs.
+SEM_PLANT = 3
+SEM_PLANT_OFFSET = 1_000_000
+SEM_PLANT_SCALE = 1.001
+
+
 def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: within each
     cluster, vector pairs whose cosine similarity clears the threshold.
@@ -598,15 +608,26 @@ def q_semantic_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dot/√(na·nb) ≥ t`` is evaluated as the integer cross-multiplied
     square ``dot² · t_den² ≥ t_num² · na · nb`` (with dot > 0) in
     DECIMAL(38,0)/HUGEINT — no sqrt, no float comparison, so the
-    DuckDB twin hash-matches exactly. (0 rows on the near-random
-    fixture embeddings is the correct answer; the planted-pair pytest
-    carries the positive-detection semantics.)
+    DuckDB twin hash-matches exactly. The fixture's near-random
+    embeddings contain no true pairs, so the gate corpus is the
+    fixture UNION ``SEM_PLANT`` deterministic scaled near-copies —
+    the oracle plants the same rows, and the result must contain the
+    planted pairs (positive detection) and nothing spurious.
 
     Scale: pairs are generated per cluster (quadratic ONLY within a
     cluster — the IVF cluster size is the knob bounding it); the dot
     products are JVM-side zip_with/aggregate over the two arrays."""
     t = load(spark, sf_dir)
-    return semantic_neardup_pairs(t.embeddings)
+    base = t.embeddings.select("vec_id", "label", "embedding")
+    planted = base.filter(F.col("vec_id") < SEM_PLANT).select(
+        (F.col("vec_id") + F.lit(SEM_PLANT_OFFSET)).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * F.lit(SEM_PLANT_SCALE),
+        ).alias("embedding"),
+    )
+    return semantic_neardup_pairs(base.unionByName(planted))
 
 
 #: Product-quantization geometry: EMB_DIM is split into PQ_SUBSPACES

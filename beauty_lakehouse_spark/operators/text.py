@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import halfup_div, portable_hash64
+from ..functions import halfup_div, ln_micro, portable_hash64
 
 # Tiny deterministic stopword sets (heuristic n-gram/lexicon language ID;
 # parity with the oracle matters more than linguistic accuracy).
@@ -176,14 +176,19 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 TF-IDF terms per document. Registered rows-only: idf uses
-    ln(), which is NOT bit-identical between JVM and DuckDB (measured:
-    ~8% of values differ in the last ulp), so no SQL oracle — semantics
-    are pytest-verified against a driver-side recomputation instead.
+    """Top-3 TF-IDF terms per document, oracle-matched.
+
+    The score is ``tf · ln_micro(N, df)`` — idf in integer micro-nats
+    via the fixed-point shift-and-square log (``functions.ln_micro``),
+    NOT float ``ln()`` (which differs between JVM and DuckDB in the
+    last ulp on ~8% of values and kept this query rows-only through
+    round 4). Both engines now run the identical integer algorithm, so
+    scores — and therefore the top-3 ranking — hash-match exactly.
 
     Shape: explode → tf groupBy (map-side combinable) → df groupBy on
-    the term dictionary (small) → broadcast idf back. Linear, two
-    shuffles, no UDFs."""
+    the term dictionary (small) → idf computed per TERM (dictionary
+    scale, not corpus scale) → broadcast back. Linear, two shuffles,
+    no UDFs."""
     from pyspark.sql import Window
 
     t = load(spark, sf_dir)
@@ -195,25 +200,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus size as a broadcast 1-row aggregate (scalar-subquery style)
     # instead of an eager driver-side count() — one job, not two
     n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
-    scored = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(n_docs))
+    idf = (
+        df_.crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id",
             "term",
-            "tf",
             "df",
-            (
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
-            ).alias("score"),
+            ln_micro(F.col("n_docs"), F.col("df")).alias("idf_unats"),
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("idf_unats")).alias("score_unats"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_unats"), F.asc("term")
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
-        .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("score"),
+        .select("doc_id", "term", "tf", "df", "score_unats",
                 F.col("rk").cast("int").alias("rk"))
     )
 

@@ -65,8 +65,10 @@ def test_doc_fingerprint_stable(spark, sf_dir):
 
 
 def test_tfidf_top_terms_match_python(spark, sf_dir):
-    """Rows-only op: verify the distributed TF-IDF against a driver-side
-    recomputation (tolerant to last-ulp log differences)."""
+    """Verify the distributed TF-IDF against a driver-side float-log
+    recomputation: tf/df counts exact; the fixed-point score within
+    quantization distance of tf·ln(N/df)·1e6 (ln_micro is accurate to
+    ~±15 micro-nats per idf, times tf)."""
     import math
     from collections import Counter
 
@@ -84,14 +86,20 @@ def test_tfidf_top_terms_match_python(spark, sf_dir):
     assert set(got) == set(docs)
     for doc_id, rows in got.items():
         tf = Counter(docs[doc_id])
-        expected = sorted(
-            ((t, c * math.log(n / df_counts[t])) for t, c in tf.items()),
+        rows = sorted(rows, key=lambda r: r.rk)
+        best = sorted(
+            ((t, c * math.log(n / df_counts[t]) * 1e6) for t, c in tf.items()),
             key=lambda x: (-x[1], x[0]),
         )[:3]
-        rows = sorted(rows, key=lambda r: r.rk)
-        for r, (term, score) in zip(rows, expected):
+        cutoff = best[-1][1]  # 3rd-best float score
+        for r in rows:
             assert r.tf == tf[r.term] and r.df == df_counts[r.term]
-            assert abs(r.score - round(score, 4)) < 1e-3, (doc_id, r.term, term)
+            fscore = r.tf * math.log(n / r.df) * 1e6
+            # fixed-point score tracks the float score to quantization
+            assert abs(r.score_unats - fscore) <= 60 * r.tf
+            # every selected term is (within quantization of) the float
+            # top-3 — ranking flips are confined to exact near-ties
+            assert fscore >= cutoff - 120 * r.tf
 
 
 def test_cohort_retention_identities(spark, sf_dir):

@@ -97,3 +97,34 @@ def test_lift_pandas_declared_schema(spark):
     df = sources.lift_pandas(spark, pdf, schema)
     assert df.schema == schema
     assert df.count() == 2
+
+
+def test_ln_micro_cross_engine_and_accuracy(spark):
+    """ln_micro's Spark and DuckDB implementations are the same integer
+    algorithm: bit-identical on a seeded sweep, and within ~20
+    micro-nats of float ln (the documented quantization bound)."""
+    import math
+    import random
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro, ln_micro_sql
+
+    rng = random.Random(11)
+    cases = [(1, 1), (2, 1), (2**31 - 1, 1), (500, 499), (3, 2)]
+    for _ in range(200):
+        n, d = rng.randint(1, 2**31 - 1), rng.randint(1, 10**6)
+        cases.append((max(n, d), min(n, d)))
+    df = spark.createDataFrame(cases, "num long, den long")
+    got = {
+        (r.num, r.den): r.v
+        for r in df.select(
+            "num", "den", ln_micro(F.col("num"), F.col("den")).alias("v")
+        ).collect()
+    }
+    con = duckdb.connect()
+    for n, d in cases:
+        dk = con.sql(f"SELECT {ln_micro_sql(str(n), str(d))}").fetchone()[0]
+        assert got[(n, d)] == dk, (n, d, got[(n, d)], dk)
+        assert abs(got[(n, d)] - math.log(n / d) * 1e6) <= 20, (n, d)
