@@ -6,7 +6,10 @@ kernels. The container has no image/audio codecs, so the decode step is
 STUBBED: ``decode_image`` raises ``NotImplementedError`` unless handed
 the deterministic fake codec used by the tests. Everything Spark-side —
 schema, batch iteration, partitioning, UDF signatures — is real and
-tested; swapping in PIL/torchaudio later is a one-function change.
+tested; swapping in PIL/torchaudio later is a one-function change. The
+perceptual-hash path goes further: ``dct_phash_kernel`` is the actual
+block-DCT pHash transform (numpy), with only the decode-to-raster step
+synthetic.
 
 Scale notes:
 - Payloads stay in executors end-to-end (no driver collect); Arrow
@@ -197,17 +200,75 @@ PHASH_BITS = 16
 PHASH_BANDS = 4
 PHASH_HAMMING_MAX = 2
 
+#: DCT pHash raster size: payload bytes are area-averaged into a
+#: PHASH_GRID × PHASH_GRID grayscale grid before the 2-D DCT.
+PHASH_GRID = 32
+
+
+def _dct_matrix(n: int):
+    """Orthonormal DCT-II basis matrix (numpy), cached per size."""
+    import numpy as np
+
+    k = np.arange(n).reshape(-1, 1).astype(np.float64)
+    m = np.arange(n).reshape(1, -1).astype(np.float64)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    c[0, :] /= np.sqrt(2.0)
+    return c
+
+
+#: Zigzag-ordered low-frequency AC coefficient coordinates (DC (0,0)
+#: excluded — it carries mean brightness, not structure), first
+#: PHASH_BITS of them: (0,1),(1,0),(0,2),(1,1),(2,0),...
+_ZIGZAG_AC = sorted(
+    ((i, j) for i in range(8) for j in range(8) if (i, j) != (0, 0)),
+    key=lambda ij: (ij[0] + ij[1], ij[0]),
+)[:PHASH_BITS]
+
+
+def dct_phash_kernel(payload: bytes, grid: int = PHASH_GRID) -> list[float]:
+    """Production-real pHash math: interpret the payload as a grayscale
+    raster (area-average the byte stream into a ``grid``×``grid``
+    image — the 'resize' step of standard pHash), apply the 2-D
+    orthonormal DCT-II (numpy cosine-basis matmuls), and return the
+    ``PHASH_BITS`` lowest-frequency AC coefficients in zigzag order.
+
+    This is the actual perceptual-hash transform (pHash/Zauner block
+    DCT), not a byte histogram — only the *decode* step upstream of the
+    raster is synthetic in this container (payloads are text bytes, not
+    image files). ``perceptual_hashes`` thresholds the coefficients at
+    their own mean and packs the sign pattern into PHASH_BITS bits, so
+    re-encoded / lightly-corrupted payloads land within a small Hamming
+    distance while unrelated payloads get ~independent random bits."""
+    import numpy as np
+
+    cells = grid * grid
+    if not payload:
+        return [0.0] * PHASH_BITS
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if len(arr) <= cells:
+        img = np.resize(arr, cells)  # tile short payloads
+    else:
+        # area-average pooling: cell i = mean of its byte segment
+        bounds = (np.arange(cells) * len(arr)) // cells
+        sums = np.add.reduceat(arr, bounds)
+        lens = np.diff(np.append(bounds, len(arr)))
+        img = sums / lens
+    img = img.reshape(grid, grid)
+    c = _dct_matrix(grid)
+    d = c @ img @ c.T
+    return [float(d[i, j]) for i, j in _ZIGZAG_AC]
+
 
 def perceptual_hashes(
     media: DataFrame,
     codec: Callable[[bytes], list[float]] = None,
 ) -> DataFrame:
-    """Block-mean perceptual hash per media row: extract a
-    PHASH_BITS-dim feature (Arrow kernel — a real pipeline plugs a
-    DCT/pHash codec here), threshold each dim at the row's own feature
-    mean (self-contained: no corpus statistics), pack the bits into one
+    """DCT perceptual hash per media row: extract the PHASH_BITS
+    low-frequency DCT coefficients (``dct_phash_kernel``, Arrow
+    batches), threshold each at the row's own coefficient mean
+    (self-contained: no corpus statistics), pack the bits into one
     long. Near-identical payloads differ in few bits."""
-    fk = codec or (lambda b: fake_feature_kernel(b, dim=PHASH_BITS))
+    fk = codec or dct_phash_kernel
     feats = extract_features(media, fk)
     mean = F.aggregate(
         "feature", F.lit(0.0), lambda a, x: a + x, lambda a: a / PHASH_BITS
@@ -237,8 +298,10 @@ def media_phash_pairs(
     missed pairs). Verification: bit_count(xor) on the packed longs.
     Never all-pairs: same posting-list economics as text LSH.
 
-    Rows-only registration (the fake byte-histogram codec is a test
-    stand-in; with a real DCT pHash the plan is identical)."""
+    Rows-only registration: the hash math is the real block-DCT pHash
+    (``dct_phash_kernel``) — what remains synthetic is only the decode
+    upstream of the raster (payloads are text bytes, not image files),
+    so there is no meaningful SQL oracle."""
     from .dedup import _bucket_pairs
 
     h = perceptual_hashes(media, codec).localCheckpoint(eager=False)

@@ -114,3 +114,54 @@ def test_phash_bands_cover_hamming_budget(spark):
     from beauty_lakehouse_spark.operators import multimodal as mm
 
     assert mm.PHASH_BANDS > mm.PHASH_HAMMING_MAX
+
+
+def test_dct_phash_invariant_to_reencoding(spark):
+    """The DCT kernel is the real pHash transform: an affine
+    brightness/contrast 're-encode' of the payload (b -> b//2 + 40)
+    scales/shifts the raster, which scales the AC coefficients and
+    moves only the DC — the sign-vs-mean bit pattern survives, so the
+    pair is reported within the Hamming budget. The byte-histogram
+    stand-in this replaced had no such invariance."""
+    import random
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rnd = random.Random(13)
+    base = bytes(rnd.randrange(256) for _ in range(4096))
+    reencoded = bytes(b // 2 + 40 for b in base)
+    other = bytes(rnd.randrange(256) for _ in range(4096))
+    media = spark.createDataFrame(
+        [
+            (1, "image", base, None),
+            (2, "image", reencoded, None),
+            (3, "image", other, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = {(r.media_a, r.media_b) for r in mm.media_phash_pairs(media).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dct_phash_kernel_math():
+    """Kernel-level checks of the DCT transform itself: constant
+    payloads have zero AC energy; the coefficient count and
+    determinism hold; affine byte transforms preserve AC signs."""
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    flat = mm.dct_phash_kernel(bytes([128]) * 4096)
+    assert len(flat) == mm.PHASH_BITS
+    assert all(abs(c) < 1e-9 for c in flat)  # no structure -> no AC
+
+    import random
+
+    rnd = random.Random(5)
+    payload = bytes(rnd.randrange(256) for _ in range(2048))
+    a = mm.dct_phash_kernel(payload)
+    assert a == mm.dct_phash_kernel(payload)  # deterministic
+    scaled = bytes(b // 2 for b in payload)
+    b = mm.dct_phash_kernel(scaled)
+    # halving every byte halves every AC coefficient (floor noise aside)
+    for x, y in zip(a, b):
+        assert abs(y - x / 2) < 1.0, (x, y)
