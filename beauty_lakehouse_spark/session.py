@@ -63,6 +63,23 @@ def get_spark(app_name: str = "beauty_lakehouse_spark") -> SparkSession:
     )
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
+    # Delta seam: when delta-spark is importable (not in this container
+    # today), configure the session for it so the curated zone writes
+    # real Delta tables with no code change — tests/test_delta_seam.py
+    # exercises the write/merge/time-travel path the day it activates.
+    try:
+        from delta import configure_spark_with_delta_pip
+
+        builder = builder.config(
+            "spark.sql.extensions",
+            "io.delta.sql.DeltaSparkSessionExtension",
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+        builder = configure_spark_with_delta_pip(builder)
+    except ImportError:
+        pass
     spark = builder.getOrCreate()
     _apply_runtime_conf(spark)
     return spark

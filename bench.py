@@ -49,7 +49,31 @@ HEADLINE = [
     "training_order_shuffle", # two-level deterministic global ordering
     "product_triangles",      # wedge-close triangle join
     "minhash_estimate_error", # signature merge + set-intersection scoring
+    "events_hourly_streamed", # streaming drain vs its batch twin (events_hourly)
 ]
+
+#: ANN recall measurement: each index's top-5 vs the exact knn_brute
+#: ground truth at bench SF — a refactor that silently costs recall
+#: shows up here, not just in toy-scale pytest floors.
+ANN_RECALL = ["knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq"]
+
+
+def _topk_sets(rows) -> dict[int, set[int]]:
+    out: dict[int, set[int]] = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def measure_ann_recall(spark, sf_dir: str, queries) -> dict[str, float]:
+    truth = _topk_sets(queries["knn_brute"](spark, sf_dir).collect())
+    recalls: dict[str, float] = {}
+    for name in ANN_RECALL:
+        got = _topk_sets(queries[name](spark, sf_dir).collect())
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        total = sum(len(t) for t in truth.values())
+        recalls[name] = round(hits / total, 4) if total else 0.0
+    return recalls
 
 
 def main() -> None:
@@ -90,6 +114,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
+    recalls = measure_ann_recall(spark, sf_dir, queries)
+
     print(
         json.dumps(
             {
@@ -97,6 +123,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "recall_at_5": recalls,
                 "sf": sf,
             }
         )
