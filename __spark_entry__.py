@@ -170,6 +170,8 @@ _DRIVER_ORDER_R5 = [
     "purchase_attribution_streamed",
     # graduated to oracle in round 5 (fixed-point ln_micro idf)
     "tfidf_top_terms",
+    # new in round 5: portable HLL (oracle-exact sketch)
+    "hll_distinct",
     # -- never driver-verified, rows-only (12) --
     "media_features",
     "media_frames",
@@ -400,6 +402,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_state": tables.q_incremental_agg_state,
         # quality report (oracle)
         "quality_report": _quality_report_query,
+        # portable HLL: oracle-exact distributed sketch (registers,
+        # harmonic sum, and ln_micro correction all integer-identical
+        # in DuckDB) — the auditable twin of cardinality_sketches
+        "hll_distinct": quality.q_hll_distinct,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -837,6 +843,46 @@ _CC_COMP_CTE = (
     "comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
     "FROM reach GROUP BY node)"
 )
+
+
+def _hll_sql_one(table: str, col: str) -> str:
+    """DuckDB twin of quality.hll_estimate for one (table, column):
+    identical registers (portable_hash64 index + isolated-lowest-bit
+    rank), identical HUGEINT harmonic sum, identical rational-alpha
+    floor division and ln_micro linear-counting correction."""
+    from beauty_lakehouse_spark.functions import portable_hash64_sql
+    from beauty_lakehouse_spark.operators.quality import (
+        _HLL_EST_DEN,
+        _HLL_EST_NUM,
+        _HLL_RHO_CAP,
+        _HLL_S_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    h = portable_hash64_sql(col)
+    w = f"({h} >> {HLL_P})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
+        f"ELSE length(bin({w} & (-{w}))) END)"
+    )
+    return (
+        f"SELECT '{table}.{col}' AS target, n_exact, "
+        f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
+        f"CAST(floor(({HLL_M} * "
+        + _lnm(str(HLL_M), "greatest(zeros, 1)")
+        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate, "
+        f"CAST(p_regs AS INTEGER) AS registers_nonzero FROM ("
+        f"SELECT n_exact, p_regs, ({HLL_M} - p_regs) AS zeros, "
+        f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
+        f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
+        f"AS e_raw FROM ("
+        f"SELECT (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact, "
+        f"count(*) AS p_regs, "
+        f"sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)) AS s_present "
+        f"FROM (SELECT ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
+        f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1)))"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2116,6 +2162,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM final GROUP BY 1, 2"
         ),
         "quality_report": _quality_report_sql(),
+        "hll_distinct": " UNION ALL ".join(
+            _hll_sql_one(t, c) for t, c in quality.HLL_TARGETS
+        ),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

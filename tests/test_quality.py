@@ -114,3 +114,35 @@ def test_quantile_sketches_bounded_rank_error(spark, sf_dir):
         lo = vals[max(0, int(q * n) - max(2, n // 50))]
         hi = vals[min(n - 1, int(q * n) + max(2, n // 50))]
         assert lo <= got <= hi, (q, got, lo, hi)
+
+
+def test_hll_portable_accuracy_and_determinism(spark, sf_dir):
+    """Portable HLL: estimates land within the m=1024 error regime
+    (~3.2% standard error; assert 10%), registers never exceed m, and
+    repeated runs are bit-identical (hash-derived, no RNG)."""
+    from beauty_lakehouse_spark.operators import quality
+
+    rows = quality.q_hll_distinct(spark, sf_dir).collect()
+    assert len(rows) == len(quality.HLL_TARGETS)
+    for r in rows:
+        assert 0 < r.registers_nonzero <= quality.HLL_M
+        assert abs(r.hll_estimate - r.n_exact) <= max(0.10 * r.n_exact, 3), (
+            r.target, r.n_exact, r.hll_estimate,
+        )
+    again = quality.q_hll_distinct(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hll_registers_merge_across_partitions(spark, sf_dir):
+    """The sketch property that matters at 100 TB: registers built on
+    an arbitrarily repartitioned table are identical (max is
+    commutative/associative), so partial sketches merge losslessly."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import quality
+
+    docs = load(spark, sf_dir).documents
+    a = quality.hll_estimate(docs, "doc_id").first()
+    b = quality.hll_estimate(docs.repartition(17, "lang"), "doc_id").first()
+    assert tuple(a) == tuple(b)
