@@ -172,7 +172,8 @@ _DRIVER_ORDER_R5 = [
     "tfidf_top_terms",
     # new in round 5: portable HLL (oracle-exact sketch)
     "hll_distinct",
-    # -- never driver-verified, rows-only (12) --
+    # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
+    "bpe_train_merges",
     "media_features",
     "media_frames",
     "quantile_sketches",
@@ -369,6 +370,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_terms": text.q_frequent_terms,
         "regex_token_pieces": text.q_regex_token_pieces,
         "bpe_pair_counts": text.q_bpe_pair_counts,
+        # full BPE trainer (iterative argmax-merge loop; rows-only —
+        # pytest-verified against a pure-Python reference trainer)
+        "bpe_train_merges": text.q_bpe_train_merges,
         "bigram_novelty": text.q_bigram_novelty,
         "boilerplate_ngrams": text.q_boilerplate_ngrams,
         # corpus curation: deterministic sampling / splits / budget

@@ -544,3 +544,113 @@ def q_regex_token_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pieces").alias("total_pieces"),
         F.max("n_pieces").alias("max_pieces"),
     )
+
+
+#: Full BPE training: number of merge rounds the flagship trainer runs.
+BPE_MERGES = 12
+
+
+def _apply_merge(sym: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right replacement of the adjacent symbol pair
+    (a, b) with the merged symbol a||b inside one symbol array — the
+    merge-application step of BPE, as a pure ``aggregate`` fold
+    (state = (emitted symbols, pending symbol); a merge swallows the
+    pending symbol into the merged one, which — being strictly longer
+    than ``a`` — can never itself re-merge in the same pass, exactly
+    the scan semantics of the reference Python implementation)."""
+    la, lb = F.lit(a), F.lit(b)
+
+    def step(st: Column, s: Column) -> Column:
+        is_merge = (st["prev"] == la) & (s == lb)
+        return F.struct(
+            F.when(is_merge, st["out"])
+            .otherwise(
+                F.when(st["prev"].isNull(), st["out"]).otherwise(
+                    F.concat(st["out"], F.array(st["prev"]))
+                )
+            )
+            .alias("out"),
+            F.when(is_merge, F.concat(st["prev"], s)).otherwise(s).alias("prev"),
+        )
+
+    def finish(st: Column) -> Column:
+        return F.when(st["prev"].isNull(), st["out"]).otherwise(
+            F.concat(st["out"], F.array(st["prev"]))
+        )
+
+    init = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("out"),
+        F.lit(None).cast("string").alias("prev"),
+    )
+    return F.aggregate(sym, init, step, finish)
+
+
+def bpe_train(
+    documents: DataFrame, n_merges: int = BPE_MERGES
+) -> tuple[list, DataFrame]:
+    """Distributed BPE tokenizer training — the full iterative merge
+    loop, not just one counting round (``q_bpe_pair_counts`` is the
+    single-round profile). Returns (merge list, final segmented vocab).
+
+    Algorithm (Sennrich-style): words → (word, freq) vocabulary; each
+    round counts adjacent symbol pairs over the DISTINCT-WORD table
+    weighted by corpus frequency, picks the argmax pair (ties by pair
+    lexicographically — deterministic), and rewrites every vocab row's
+    symbol array with the merge applied.
+
+    Scale: the ONLY corpus-scale operation is the initial word-count
+    shuffle (map-side combinable). Every round then runs on the
+    |vocab|-row table (Heaps-law sublinear in corpus size — millions
+    of rows at 100 TB, not billions), with a 1-row argmax collect per
+    round (the same bounded scalar-per-iteration policy as the
+    connected-components convergence check) and a lazy checkpoint per
+    round to keep lineage flat. 12 rounds ≈ 12 small jobs.
+    """
+    vocab = (
+        documents.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("freq", F.split("token", "").alias("sym"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(1, n_merges + 1):
+        n = F.size("sym")
+        pairs = vocab.filter(n >= 2).select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("sym", 1, n - 1),
+                    F.slice("sym", 2, n - 1),
+                    lambda x, y: F.struct(x.alias("l"), y.alias("r")),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("weight"))
+            .orderBy(F.desc("weight"), F.asc("l"), F.asc("r"))
+            .first()
+        )
+        if best is None:
+            break
+        merges.append((rnd, best.l, best.r, int(best.weight)))
+        vocab = vocab.select(
+            "freq", _apply_merge(F.col("sym"), best.l, best.r).alias("sym")
+        ).localCheckpoint(eager=False)
+    return merges, vocab
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table after BPE_MERGES rounds: one row per
+    merge (rank, left, right, merged symbol, corpus weight at the time
+    it was chosen). Registered rows-only — the loop is iterative with
+    an argmax collect per round, not SQL-expressible; the semantics are
+    pytest-verified against a pure-Python reference BPE trainer."""
+    t = load(spark, sf_dir)
+    merges, _ = bpe_train(t.documents)
+    return spark.createDataFrame(
+        [(r, l, rr, l + rr, w) for r, l, rr, w in merges],
+        "merge_rank int, left string, right string, merged string, weight long",
+    )

@@ -224,3 +224,76 @@ def test_boilerplate_ngrams_are_cross_doc(spark, sf_dir):
     rows = text.q_boilerplate_ngrams(spark, sf_dir).collect()
     assert rows and all(r.n_docs >= text.BOILERPLATE_MIN_DOCS for r in rows)
     assert all(len(r.shingle.split(" ")) == text.BOILERPLATE_NGRAM for r in rows)
+
+
+def _ref_bpe(words: dict[str, int], n_merges: int):
+    """Pure-Python reference BPE trainer (Sennrich merge loop)."""
+    vocab: dict[tuple, int] = {}
+    for w, f in words.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + f
+    merges = []
+    for rnd in range(1, n_merges + 1):
+        counts: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), w = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rnd, a, b, w))
+        new: dict[tuple, int] = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            k = tuple(out)
+            new[k] = new.get(k, 0) + f
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir):
+    """The distributed BPE trainer learns the EXACT merge sequence of
+    the reference Python implementation — same argmax pairs, same
+    weights, in the same order — on the fixture corpus."""
+    from collections import Counter
+
+    from beauty_lakehouse_spark.catalog import load
+
+    words = Counter()
+    for r in load(spark, sf_dir).documents.collect():
+        words.update(t for t in r.text.split(" ") if t)
+    expected = _ref_bpe(dict(words), text.BPE_MERGES)
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.weight)
+        for r in text.q_bpe_train_merges(spark, sf_dir)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merge_application_greedy_scan(spark):
+    """_apply_merge folds exactly like the reference left-to-right
+    greedy scan, including the overlapping-pair case (aaa with merge
+    (a,a) -> [aa, a], never [a, aa] or [aa, aa])."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.text import _apply_merge
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "b"],), (["x", "a", "b"],), ([],)],
+        "sym array<string>",
+    )
+    got = [r.m for r in df.select(_apply_merge(F.col("sym"), "a", "b").alias("m")).collect()]
+    assert got == [["a", "a", "a"], ["ab", "b"], ["x", "ab"], []]
+    got_aa = [r.m for r in df.select(_apply_merge(F.col("sym"), "a", "a").alias("m")).collect()]
+    assert got_aa == [["aa", "a"], ["a", "b", "b"], ["x", "a", "b"], []]
