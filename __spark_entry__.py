@@ -170,8 +170,10 @@ _DRIVER_ORDER_R5 = [
     "purchase_attribution_streamed",
     # graduated to oracle in round 5 (fixed-point ln_micro idf)
     "tfidf_top_terms",
-    # new in round 5: portable HLL (oracle-exact sketch)
+    # new in round 5: portable HLL (oracle-exact sketch) + its
+    # streaming-register drain behind the same oracle row
     "hll_distinct",
+    "hll_distinct_streamed",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -419,6 +421,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_dedup_streamed": _q_events_dedup_streamed,
         "purchase_attribution_streamed": _q_purchase_attribution_streamed,
         "doc_chunking_streamed": _q_doc_chunking_streamed,
+        "hll_distinct_streamed": _q_hll_distinct_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -599,6 +602,38 @@ def _q_doc_chunking_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents(stream_documents(spark, sf_dir)),
         f"gate_chunk_{uuid.uuid4().hex[:8]}",
         output_mode="append",
+    )
+
+
+def _q_hll_distinct_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL registers maintained as a complete-mode streaming
+    aggregate over the documents landing stream (state ≤ m rows — the
+    canonical streaming-sketch shape), drained and finished batch-side
+    — behind the SAME oracle as the batch documents.doc_id HLL row."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import quality
+    from beauty_lakehouse_spark.streaming import (
+        hll_register_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    regs = run_available_now(
+        hll_register_stream(stream_documents(spark, sf_dir)),
+        f"gate_hll_{uuid.uuid4().hex[:8]}",
+    )
+    exact = load(spark, sf_dir).documents.agg(
+        F.countDistinct("doc_id").alias("n_exact")
+    )
+    return quality.hll_estimate_from_registers(regs, exact).select(
+        F.lit("documents.doc_id").alias("target"),
+        "n_exact",
+        "hll_estimate",
+        "registers_nonzero",
     )
 
 
@@ -2169,6 +2204,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct": " UNION ALL ".join(
             _hll_sql_one(t, c) for t, c in quality.HLL_TARGETS
         ),
+        "hll_distinct_streamed": _hll_sql_one("documents", "doc_id"),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

@@ -466,14 +466,24 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     Returns 1 row: (n_exact, hll_estimate, registers_nonzero). n_exact
     rides along for the accuracy contract (±~3.2% at m=1024, pytest-
     bounded at 10%); drop it in production profiling jobs."""
-    from ..functions import ln_micro, portable_hash64
+    exact = df.agg(F.countDistinct(col).alias("n_exact"))
+    return hll_estimate_from_registers(hll_registers(df, col), exact)
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The register table (idx, m_rho) of the portable HLL — the part
+    that IS the sketch: fixed m rows, built by groupBy(idx).max(rank),
+    mergeable across partitions AND across micro-batches (max is
+    order-insensitive), so it works unchanged as a complete-mode
+    streaming aggregate (see streaming.hll_register_stream)."""
+    from ..functions import portable_hash64
 
     h = portable_hash64(F.col(col))
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(_HLL_RHO_CAP)).otherwise(
         F.length(F.bin(w.bitwiseAND(w * F.lit(-1))))
     )
-    regs = (
+    return (
         df.filter(F.col(col).isNotNull())
         .select(
             h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"), rho.alias("rho")
@@ -481,6 +491,17 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         .groupBy("idx")
         .agg(F.max("rho").alias("m_rho"))
     )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, exact: DataFrame
+) -> DataFrame:
+    """Finish a portable-HLL estimate from a (idx, m_rho) register
+    table: exact-integer harmonic sum, rational-alpha floor division,
+    ln_micro linear-counting correction. ``exact`` is a 1-row
+    (n_exact,) frame carried along for the accuracy contract."""
+    from ..functions import ln_micro
+
     d38 = "decimal(38,0)"
     stats = regs.agg(
         F.sum(
@@ -490,7 +511,6 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
         ).alias("s_present"),
         F.count(F.lit(1)).alias("p_regs"),
     )
-    exact = df.agg(F.countDistinct(col).alias("n_exact"))
     s_total = (
         F.col("s_present")
         + (F.lit(HLL_M) - F.col("p_regs")).cast(d38) * F.lit(_HLL_S_SCALE).cast(d38)

@@ -10,6 +10,7 @@ exactly once, so streaming output == batch output).
 from .pipelines import (  # noqa: F401
     dedup_group_table,
     dedup_events_stream,
+    hll_register_stream,
     hourly_event_counts,
     latest_event_table,
     run_available_now,

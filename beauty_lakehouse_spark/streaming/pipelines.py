@@ -283,3 +283,19 @@ def view_purchase_attribution(events: DataFrame) -> DataFrame:
         epoch_us(F.col("p_ts")).alias("purchase_us"),
         (epoch_us(F.col("p_ts")) - epoch_us(F.col("v_ts"))).alias("gap_us"),
     )
+
+
+def hll_register_stream(documents: DataFrame) -> DataFrame:
+    """Streaming twin of the portable-HLL register build over the
+    documents landing stream (sketching doc_id cardinality as docs
+    arrive): ``quality.hll_registers`` unchanged — a complete-mode
+    groupBy(idx).max(rho) whose state is AT MOST m rows, the canonical
+    streaming-sketch shape. max is order-insensitive, so the drained
+    register table equals the batch sketch bit-for-bit whatever the
+    micro-batch slicing; the estimate itself is a cheap batch finish
+    over the m-row drained table (Spark forbids chaining a second
+    stateful aggregate in the same streaming query, and a production
+    pipeline reads registers from the sink anyway)."""
+    from ..operators.quality import hll_registers
+
+    return hll_registers(documents, "doc_id")

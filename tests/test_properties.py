@@ -127,3 +127,56 @@ def test_connected_components_matches_union_find(edge_list):
         for r in connected_components(nodes, edges).collect()
     }
     assert got == want
+
+
+def test_bpe_merge_fold_matches_reference_scan(spark):
+    """Property: for random symbol arrays and a random merge pair, the
+    aggregate-fold merge application equals the reference greedy
+    left-to-right scan (hypothesis over small alphabets maximizes
+    adjacent/overlapping pair collisions)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.text import _apply_merge
+
+    def ref_scan(sym, a, b):
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        return out
+
+    sym_st = st.lists(st.sampled_from(["a", "b", "c"]), max_size=12)
+    cases_st = st.lists(
+        st.tuples(
+            sym_st,
+            st.sampled_from(["a", "b", "c"]),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(cases_st)
+    def run(cases):
+        df = spark.createDataFrame(
+            [(i, sym) for i, (sym, _, _) in enumerate(cases)],
+            "i int, sym array<string>",
+        )
+        for i, (sym, a, b) in enumerate(cases):
+            got = (
+                df.filter(F.col("i") == i)
+                .select(_apply_merge(F.col("sym"), a, b).alias("m"))
+                .first()
+                .m
+            )
+            assert got == ref_scan(sym, a, b), (sym, a, b, got)
+
+    run()

@@ -287,3 +287,38 @@ def test_stream_stream_attribution_matches_batch_join(spark, sf_dir, tmp_path):
     )
     assert _canon(got) == _canon(expected)
     assert got.count() > 0
+
+
+def test_hll_register_stream_equals_batch_sketch(spark, sf_dir):
+    """The drained streaming register table is bit-identical to the
+    batch sketch (max is order-insensitive across micro-batches), and
+    the finished estimate equals the batch q_hll_distinct row for
+    documents.doc_id."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import quality
+    from beauty_lakehouse_spark.streaming import (
+        hll_register_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    docs = load(spark, sf_dir).documents
+    batch_regs = {
+        (r.idx, r.m_rho)
+        for r in quality.hll_registers(docs, "doc_id").collect()
+    }
+    drained = run_available_now(
+        hll_register_stream(stream_documents(spark, sf_dir)),
+        f"t_hll_{uuid.uuid4().hex[:8]}",
+    )
+    stream_regs = {(r.idx, r.m_rho) for r in drained.collect()}
+    assert stream_regs == batch_regs
+
+    exact = docs.agg(F.countDistinct("doc_id").alias("n_exact"))
+    streamed = quality.hll_estimate_from_registers(drained, exact).first()
+    batch = quality.hll_estimate(docs, "doc_id").first()
+    assert tuple(streamed) == tuple(batch)
