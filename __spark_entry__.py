@@ -180,6 +180,7 @@ _DRIVER_ORDER_R5 = [
     "media_frames",
     "quantile_sketches",
     "media_phash_pairs",
+    "media_audio_pairs",
     "knn_lsh",
     "embedding_neardup",
     "cardinality_sketches",
@@ -438,7 +439,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
         "media_features": _q_media_features,  # stubbed codecs
-        "media_phash_pairs": _q_media_phash_pairs,  # stubbed codecs
+        "media_phash_pairs": _q_media_phash_pairs,  # real DCT, synthetic decode
+        "media_audio_pairs": _q_media_audio_pairs,  # real rFFT, synthetic decode
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
@@ -578,12 +580,26 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-dup pairs over the document-derived media
-    table (fake byte-histogram codec; real DCT pHash drops in)."""
+    table (real block-DCT pHash kernel; decode upstream synthetic)."""
     from beauty_lakehouse_spark.catalog import load
 
     t = load(spark, sf_dir)
     media = multimodal.media_from_documents(t.documents)
     return multimodal.media_phash_pairs(media)
+
+
+def _q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral-fingerprint near-dup pairs over the audio-flavored
+    media table (real rFFT band-energy fingerprint; decode upstream
+    synthetic) — the banded candidate/verify pipeline is
+    modality-agnostic, only the kernel changes."""
+    from beauty_lakehouse_spark.catalog import load
+
+    t = load(spark, sf_dir)
+    media = multimodal.audio_from_documents(t.documents)
+    return multimodal.media_phash_pairs(
+        media, codec=multimodal.fft_fingerprint_kernel
+    )
 
 
 def _q_doc_chunking_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -333,3 +333,58 @@ def media_phash_pairs(
             "hamming",
         )
     )
+
+
+def fft_fingerprint_kernel(payload: bytes, grid: int = PHASH_GRID) -> list[float]:
+    """Audio-shaped fingerprint math: interpret the payload as an 8-bit
+    PCM waveform, frame it into PHASH_BITS overlapping windows, take
+    each frame's low-band spectral energy (numpy rFFT), and return the
+    log-free band-energy deltas — the chromaprint-style signal whose
+    SIGNS (vs their own mean, applied by ``perceptual_hashes``) form
+    the fingerprint. Robust to amplitude scaling (linear transform
+    scales all energies; sign-vs-mean survives) and to small payload
+    corruption; only the decode upstream (real audio codecs) is
+    synthetic in this container.
+
+    Use as ``media_phash_pairs(media, codec=fft_fingerprint_kernel)``
+    for audio near-dup pairs — the banded candidate/verify pipeline is
+    modality-agnostic."""
+    import numpy as np
+
+    if not payload:
+        return [0.0] * PHASH_BITS
+    wave = np.frombuffer(payload, dtype=np.uint8).astype(np.float64) - 128.0
+    # PHASH_BITS half-overlapping frames spanning the payload
+    n = len(wave)
+    frame = max(4, (2 * n) // (PHASH_BITS + 1))
+    hop = max(1, frame // 2)
+    energies = []
+    for i in range(PHASH_BITS):
+        seg = wave[i * hop : i * hop + frame]
+        if len(seg) == 0:
+            energies.append(0.0)
+            continue
+        spec = np.abs(np.fft.rfft(seg))
+        # low-band energy (first quarter of the spectrum, DC excluded)
+        lo = spec[1 : max(2, len(spec) // 4)]
+        energies.append(float(np.sum(lo * lo)))
+    e = np.asarray(energies)
+    # frame-to-frame energy delta: the standard fingerprint feature
+    # (robust to global gain and slow drift); first delta vs 0
+    return np.diff(e, prepend=0.0).tolist()
+
+
+def audio_from_documents(documents: DataFrame) -> DataFrame:
+    """Audio-flavored media table from the documents fixture: text
+    bytes as a stand-in PCM waveform with sample-rate metadata."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )

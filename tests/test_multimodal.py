@@ -165,3 +165,44 @@ def test_dct_phash_kernel_math():
     # halving every byte halves every AC coefficient (floor noise aside)
     for x, y in zip(a, b):
         assert abs(y - x / 2) < 1.0, (x, y)
+
+
+def test_fft_fingerprint_invariant_to_gain(spark):
+    """The spectral fingerprint is the real audio-fingerprint math: a
+    gain-scaled copy of a waveform (b -> (b-128)//2 + 128, i.e. half
+    volume) scales every band energy uniformly, so the sign-vs-mean
+    bit pattern survives and the pair is reported; an unrelated
+    waveform is not."""
+    import random
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rnd = random.Random(21)
+    base = bytes(rnd.randrange(256) for _ in range(4096))
+    half_gain = bytes((b - 128) // 2 + 128 for b in base)
+    other = bytes(rnd.randrange(256) for _ in range(4096))
+    media = spark.createDataFrame(
+        [
+            (1, "audio", base, None),
+            (2, "audio", half_gain, None),
+            (3, "audio", other, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in mm.media_phash_pairs(
+            media, codec=mm.fft_fingerprint_kernel
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_fft_fingerprint_kernel_shape():
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    assert mm.fft_fingerprint_kernel(b"") == [0.0] * mm.PHASH_BITS
+    v = mm.fft_fingerprint_kernel(bytes(range(256)) * 8)
+    assert len(v) == mm.PHASH_BITS
+    assert v == mm.fft_fingerprint_kernel(bytes(range(256)) * 8)  # deterministic
