@@ -171,9 +171,11 @@ _DRIVER_ORDER_R5 = [
     # graduated to oracle in round 5 (fixed-point ln_micro idf)
     "tfidf_top_terms",
     # new in round 5: portable HLL (oracle-exact sketch) + its
-    # streaming-register drain behind the same oracle row
+    # streaming-register drain behind the same oracle row, and the
+    # ln_micro-exact bigram-LM perplexity score
     "hll_distinct",
     "hll_distinct_streamed",
+    "bigram_cross_entropy",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -377,6 +379,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pytest-verified against a pure-Python reference trainer)
         "bpe_train_merges": text.q_bpe_train_merges,
         "bigram_novelty": text.q_bigram_novelty,
+        # real perplexity filter: MLE bigram cross-entropy in integer
+        # micro-nats (ln_micro) — oracle-exact
+        "bigram_cross_entropy": text.q_bigram_cross_entropy,
         "boilerplate_ngrams": text.q_boilerplate_ngrams,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
@@ -1478,6 +1483,28 @@ def oracle_sql() -> dict[str, str]:
             "AS n_rare, "
             + _hud("sum(CASE WHEN n <= 5 THEN 1 ELSE 0 END)", "count(*)", 6)
             + " AS rare_rate FROM j GROUP BY doc_id"
+        ),
+        "bigram_cross_entropy": (
+            # cost per DISTINCT bigram = ln_micro(c_prefix, c_bigram)
+            # — the exact integer fixed-point log both engines share
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, "
+            "t FROM d WHERE len(t) >= 2), "
+            "bg AS (SELECT doc_id, t[CAST(i AS INT)] AS prefix, "
+            "t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1] AS gram "
+            "FROM g), "
+            "cb AS (SELECT gram, any_value(prefix) AS prefix, "
+            "count(*) AS c_bg FROM bg GROUP BY gram), "
+            "cp AS (SELECT prefix, count(*) AS c_pref FROM bg GROUP BY prefix), "
+            "cost AS (SELECT gram, "
+            + _lnm("c_pref", "c_bg")
+            + " AS cost_unats FROM cb JOIN cp USING (prefix)) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "CAST(sum(cost_unats) AS BIGINT) AS sum_cost_unats, "
+            + _hud("sum(cost_unats)", "count(*)", 0)
+            + " AS avg_cost_unats "
+            "FROM bg JOIN cost USING (gram) GROUP BY doc_id"
         ),
         "boilerplate_ngrams": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "

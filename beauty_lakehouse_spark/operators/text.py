@@ -654,3 +654,64 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, l, rr, l + rr, w) for r, l, rr, w in merges],
         "merge_rank int, left string, right string, merged string, weight long",
     )
+
+
+def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram-LM cross-entropy — the REAL perplexity
+    filter, oracle-exact. The MLE bigram model is the corpus itself:
+    p(w2|w1) = c(w1 w2) / c(w1 ·), so each bigram's cost is
+    -ln p = ln(c_prefix / c_bigram) ≥ 0, computed in integer
+    micro-nats by the fixed-point ``ln_micro`` (no float log — this is
+    the score `bigram_novelty` approximated with a rare-count before
+    ln_micro existed). avg_cost_unats / 1e6 is nats/token;
+    exp of it is the document's perplexity under the corpus model.
+    High cost ⇒ out-of-distribution / noisy — the CCNet-style signal.
+
+    Scale: gram stream → two map-side-combinable groupBys (bigram and
+    prefix counts — both |dictionary|-sized outputs); the ln is
+    evaluated once per DISTINCT bigram (dictionary scale), then joined
+    back. Docs with < 2 tokens carry no bigrams and are excluded,
+    same as the oracle."""
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("prefix"),
+            F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ).alias("gram"),
+        ),
+    )
+    per_doc = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.prefix").alias("prefix"), F.col("g.gram").alias("gram"))
+        # consumed three times (two count tables + the join back)
+        .localCheckpoint(eager=False)
+    )
+    c_bg = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("c_bg"),
+        F.first("prefix").alias("prefix"),  # gram determines its prefix
+    )
+    c_pref = per_doc.groupBy("prefix").agg(F.count(F.lit(1)).alias("c_pref"))
+    cost = c_bg.join(c_pref, "prefix").select(
+        "gram",
+        ln_micro(F.col("c_pref"), F.col("c_bg")).alias("cost_unats"),
+    )
+    return (
+        per_doc.join(cost, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost_unats").alias("sum_cost_unats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_cost_unats",
+            halfup_div(
+                F.col("sum_cost_unats"), F.col("n_bigrams"), 0
+            ).alias("avg_cost_unats"),
+        )
+    )

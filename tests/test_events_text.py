@@ -297,3 +297,38 @@ def test_bpe_merge_application_greedy_scan(spark):
     assert got == [["a", "a", "a"], ["ab", "b"], ["x", "ab"], []]
     got_aa = [r.m for r in df.select(_apply_merge(F.col("sym"), "a", "a").alias("m")).collect()]
     assert got_aa == [["aa", "a"], ["a", "b", "b"], ["x", "a", "b"], []]
+
+
+def test_bigram_cross_entropy_matches_float_model(spark, sf_dir):
+    """The fixed-point bigram cross-entropy tracks the float MLE bigram
+    model: per doc, avg cost within quantization of
+    mean(ln(c_prefix/c_bigram)), all costs nonnegative, and exp(avg)
+    is a sane perplexity (>= 1)."""
+    import math
+    from collections import Counter
+
+    from beauty_lakehouse_spark.catalog import load
+
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_dir).documents.collect()
+    }
+    c_bg, c_pref = Counter(), Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            c_bg[(a, b)] += 1
+            c_pref[a] += 1
+    rows = text.q_bigram_cross_entropy(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == {
+        d for d, t in docs.items() if len(t) >= 2
+    }
+    for r in rows:
+        toks = docs[r.doc_id]
+        costs = [
+            math.log(c_pref[a] / c_bg[(a, b)]) for a, b in zip(toks, toks[1:])
+        ]
+        assert r.n_bigrams == len(costs)
+        assert r.sum_cost_unats >= 0
+        want = sum(costs) / len(costs) * 1e6
+        assert abs(r.avg_cost_unats - want) <= 25, (r.doc_id, want)
+        assert math.exp(r.avg_cost_unats / 1e6) >= 1.0
