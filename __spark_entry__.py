@@ -939,7 +939,8 @@ def _hll_sql_one(table: str, col: str) -> str:
         f"AS e_raw FROM ("
         f"SELECT (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact, "
         f"count(*) AS p_regs, "
-        f"sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)) AS s_present "
+        f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
+        f"AS s_present "
         f"FROM (SELECT ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
         f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1)))"
     )

@@ -504,10 +504,16 @@ def hll_estimate_from_registers(
 
     d38 = "decimal(38,0)"
     stats = regs.agg(
-        F.sum(
-            F.call_function(
-                "shiftright", F.lit(_HLL_S_SCALE), F.col("m_rho")
-            ).cast(d38)
+        # coalesce: an EMPTY input has no registers -> sum is NULL; 0
+        # keeps the pipeline defined (zeros = m -> linear count ln(1)=0
+        # -> estimate 0, the right answer for an empty set)
+        F.coalesce(
+            F.sum(
+                F.call_function(
+                    "shiftright", F.lit(_HLL_S_SCALE), F.col("m_rho")
+                ).cast(d38)
+            ),
+            F.lit(0).cast(d38),
         ).alias("s_present"),
         F.count(F.lit(1)).alias("p_regs"),
     )

@@ -146,3 +146,13 @@ def test_hll_registers_merge_across_partitions(spark, sf_dir):
     a = quality.hll_estimate(docs, "doc_id").first()
     b = quality.hll_estimate(docs.repartition(17, "lang"), "doc_id").first()
     assert tuple(a) == tuple(b)
+
+
+def test_hll_empty_input_estimates_zero(spark):
+    """Edge: an empty (or all-null) column yields estimate 0 through
+    the linear-counting branch (zeros = m, ln(m/m) = 0), not NULL."""
+    from beauty_lakehouse_spark.operators import quality
+
+    empty = spark.createDataFrame([], "doc_id long")
+    r = quality.hll_estimate(empty, "doc_id").first()
+    assert r.n_exact == 0 and r.hll_estimate == 0 and r.registers_nonzero == 0
