@@ -176,6 +176,7 @@ _DRIVER_ORDER_R5 = [
     "hll_distinct",
     "hll_distinct_streamed",
     "bigram_cross_entropy",
+    "mixture_temperature",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -393,6 +394,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": curation.q_decontaminate,
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
+        # temperature-flattened (n^(1/2)) mixture weights via exact
+        # integer sqrt — oracle-exact
+        "mixture_temperature": curation.q_mixture_temperature,
         "doc_chunking": curation.q_doc_chunking,
         "training_order_shuffle": curation.q_training_order_shuffle,
         "epoch_mixture_expand": curation.q_epoch_mixture_expand,
@@ -2454,6 +2458,27 @@ def oracle_sql() -> dict[str, str]:
         f"{bucket_ppm} AS bucket "
         "FROM d JOIN r USING (source) "
         f"WHERE {bucket_ppm} < rate"
+    )
+
+    # temperature-flattened mixture: exact integer sqrt both engines
+    from beauty_lakehouse_spark.functions import isqrt_sql as _isq
+
+    out["mixture_temperature"] = (
+        "WITH d AS (SELECT source, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+        "FROM documents), "
+        "s AS (SELECT source, count(*) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS tok FROM d GROUP BY source), "
+        f"w AS (SELECT source, n_docs, tok, {_isq('tok')} AS w FROM s), "
+        "t AS (SELECT CAST(sum(tok) AS BIGINT) AS tok_total, "
+        "CAST(sum(w) AS BIGINT) AS w_total FROM w) "
+        "SELECT source, n_docs, tok, w, "
+        + _hud("tok * 1000000", "tok_total", 0)
+        + " AS raw_share_ppm, "
+        + _hud("w * 1000000", "w_total", 0)
+        + " AS temp_share_ppm, "
+        + _hud("w * tok_total * 1000000", "w_total * tok", 0)
+        + " AS resample_ppm FROM w, t"
     )
 
     out["cohort_retention"] = (

@@ -34,6 +34,8 @@ __all__ = [
     "normalized_text_hash_sql",
     "ln_micro",
     "ln_micro_sql",
+    "isqrt",
+    "isqrt_sql",
 ]
 
 #: ln_micro fixed-point geometry: fractional bits of the binary log
@@ -153,6 +155,32 @@ def _idiv(n: Column, d: Column) -> Column:
     nd = n.cast("decimal(38,0)")
     dd = d.cast("decimal(38,0)")
     return ((nd - nd % dd) / dd).cast("long")
+
+
+def isqrt(x: Column) -> Column:
+    """Exact integer square root: floor(sqrt(x)) for 0 ≤ x < 2^52.
+
+    IEEE sqrt is correctly rounded, so its floor is within ±1 of the
+    true isqrt below 2^52; one comparison pass against the exact
+    squares fixes the boundary. Deterministic and identical in DuckDB
+    (:func:`isqrt_sql`) — the primitive behind temperature-flattened
+    mixture weights (n^(1/2))."""
+    x = x.cast("long")
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    return (
+        F.when((s + 1) * (s + 1) <= x, s + 1)
+        .when(s * s > x, s - 1)
+        .otherwise(s)
+    )
+
+
+def isqrt_sql(expr: str) -> str:
+    """DuckDB twin of :func:`isqrt`."""
+    s = f"CAST(floor(sqrt(CAST({expr} AS DOUBLE))) AS BIGINT)"
+    return (
+        f"(CASE WHEN ({s} + 1) * ({s} + 1) <= {expr} THEN {s} + 1 "
+        f"WHEN {s} * {s} > {expr} THEN {s} - 1 ELSE {s} END)"
+    )
 
 
 def ln_micro(num: Column, den: Column) -> Column:

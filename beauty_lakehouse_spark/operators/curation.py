@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions import normalized_text_hash, portable_hash64
+from ..functions import halfup_div, normalized_text_hash, portable_hash64
 from .text import pred_lang_expr, stopword_scores
 
 #: Per-language sampling rates (percent kept), defaulting for labels
@@ -639,4 +639,59 @@ def q_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return surv.select(
         "doc_id", F.col("comp").alias("cluster_id"), split.alias("split")
+    )
+
+
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture weights — the n^(1/2) (T=2)
+    sampling rule real LM data recipes use to upweight small sources
+    without letting the largest dominate: each source's target share
+    is isqrt(n_tokens) / Σ isqrt(n_tokens), computed entirely in
+    exact integers (``functions.isqrt`` + half-up ppm division), so
+    the DuckDB twin hash-matches. Reports, per source, the raw token
+    share vs the flattened share and the implied per-document sampling
+    weight (flattened/raw in ppm — >1e6 means upsample).
+
+    Scale: one aggregate pass (map-side combinable, |sources| rows)
+    and a 1-row broadcast total — the output is dictionary-sized; the
+    actual selection against these shares is ``q_mixture_rebalance``'s
+    hash-bucket filter shape."""
+    from ..functions import isqrt
+
+    t = load(spark, sf_dir)
+    per_src = (
+        t.documents.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("tok"),
+        )
+        .withColumn("w", isqrt(F.col("tok")))
+    )
+    totals = per_src.agg(
+        F.sum("tok").alias("tok_total"), F.sum("w").alias("w_total")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "tok",
+            "w",
+            halfup_div(F.col("tok") * 1_000_000, F.col("tok_total"), 0).alias(
+                "raw_share_ppm"
+            ),
+            halfup_div(F.col("w") * 1_000_000, F.col("w_total"), 0).alias(
+                "temp_share_ppm"
+            ),
+            # implied resample weight: flattened share / raw share
+            halfup_div(
+                F.col("w") * F.col("tok_total") * 1_000_000,
+                F.col("w_total") * F.col("tok"),
+                0,
+            ).alias("resample_ppm"),
+        )
     )

@@ -305,3 +305,28 @@ def test_epoch_expansion_multiplicity(spark, sf_dir):
     assert bad.count() == 0
     rng = out.agg(F.min("n_epochs").alias("lo"), F.max("n_epochs").alias("hi")).first()
     assert rng.lo >= 1 and rng.hi <= curation.EPOCH_MOD
+
+
+def test_mixture_temperature_flattens(spark, sf_dir):
+    """Temperature weights flatten the mixture: shares sum to ~1e6 ppm
+    on both axes, the largest source's flattened share is <= its raw
+    share, the smallest's is >= — and every weight is exactly
+    isqrt(source tokens)."""
+    import math
+
+    from beauty_lakehouse_spark.operators import curation
+
+    rows = curation.q_mixture_temperature(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.w == math.isqrt(r.tok)
+        assert r.resample_ppm > 0
+    total_raw = sum(r.raw_share_ppm for r in rows)
+    total_temp = sum(r.temp_share_ppm for r in rows)
+    assert abs(total_raw - 1_000_000) <= len(rows)  # half-up rounding slack
+    assert abs(total_temp - 1_000_000) <= len(rows)
+    biggest = max(rows, key=lambda r: r.tok)
+    smallest = min(rows, key=lambda r: r.tok)
+    assert biggest.temp_share_ppm <= biggest.raw_share_ppm
+    assert smallest.temp_share_ppm >= smallest.raw_share_ppm
+    assert smallest.resample_ppm >= biggest.resample_ppm

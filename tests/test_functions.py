@@ -128,3 +128,28 @@ def test_ln_micro_cross_engine_and_accuracy(spark):
         dk = con.sql(f"SELECT {ln_micro_sql(str(n), str(d))}").fetchone()[0]
         assert got[(n, d)] == dk, (n, d, got[(n, d)], dk)
         assert abs(got[(n, d)] - math.log(n / d) * 1e6) <= 20, (n, d)
+
+
+def test_isqrt_cross_engine_exact(spark):
+    """isqrt: exact floor(sqrt(x)) on both engines, including perfect
+    squares and their neighbors (the float-sqrt boundary cases)."""
+    import duckdb
+    import math
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import isqrt, isqrt_sql
+
+    cases = [0, 1, 2, 3, 4, 8, 9, 10, 2**40, 2**40 + 1, 2**52 - 1]
+    for k in [10**3, 10**6, 223372036]:
+        cases += [k * k - 1, k * k, k * k + 1]
+    rng = random.Random(3)
+    cases += [rng.randrange(2**52) for _ in range(200)]
+    df = spark.createDataFrame([(x,) for x in cases], "x long")
+    got = {r.x: r.s for r in df.select("x", isqrt(F.col("x")).alias("s")).collect()}
+    con = duckdb.connect()
+    for x in cases:
+        want = math.isqrt(x)
+        dk = con.sql(f"SELECT {isqrt_sql(str(x))}").fetchone()[0]
+        assert got[x] == want == dk, (x, got[x], dk, want)
