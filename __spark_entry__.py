@@ -177,6 +177,7 @@ _DRIVER_ORDER_R5 = [
     "hll_distinct_streamed",
     "bigram_cross_entropy",
     "mixture_temperature",
+    "vocab_coverage",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -383,6 +384,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # real perplexity filter: MLE bigram cross-entropy in integer
         # micro-nats (ln_micro) — oracle-exact
         "bigram_cross_entropy": text.q_bigram_cross_entropy,
+        # fixed-vocab OOV/UNK rate per document — oracle-exact
+        "vocab_coverage": text.q_vocab_coverage,
         "boilerplate_ngrams": text.q_boilerplate_ngrams,
         # corpus curation: deterministic sampling / splits / budget
         # selection / composed cleaning (all oracle — selection is
@@ -1510,6 +1513,20 @@ def oracle_sql() -> dict[str, str]:
             + _hud("sum(cost_unats)", "count(*)", 0)
             + " AS avg_cost_unats "
             "FROM bg JOIN cost USING (gram) GROUP BY doc_id"
+        ),
+        "vocab_coverage": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tk AS (SELECT doc_id, term FROM tok WHERE term <> ''), "
+            "v AS (SELECT term FROM (SELECT term, count(*) AS freq "
+            "FROM tk GROUP BY term ORDER BY freq DESC, term LIMIT 1000)) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_oov, "
+            + _hud("sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)",
+                   "count(*)", 6)
+            + " AS oov_rate "
+            "FROM tk LEFT JOIN v ON tk.term = v.term GROUP BY doc_id"
         ),
         "boilerplate_ngrams": (
             "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t "

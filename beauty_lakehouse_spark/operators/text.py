@@ -715,3 +715,48 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_cost_unats"),
         )
     )
+
+
+#: q_vocab_coverage: vocabulary = the VOCAB_K most frequent corpus
+#: terms (ties broken lexicographically — deterministic).
+VOCAB_K = 1000
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage: per document, the fraction of
+    tokens OUTSIDE the corpus top-``VOCAB_K`` vocabulary — the OOV/UNK
+    rate a fixed-vocab tokenizer would produce on each document. High
+    OOV flags out-of-domain or noisy text; the corpus-level average is
+    the coverage number a tokenizer card reports.
+
+    Scale: term counts are one map-side-combinable groupBy; the
+    vocabulary is a TakeOrdered over the dictionary (K rows) broadcast
+    back into the token stream — a narrow scan + broadcast hash join,
+    no second full shuffle."""
+    t = load(spark, sf_dir)
+    terms = (
+        _tok(t.documents)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+    )
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        terms.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            halfup_div(F.col("n_oov"), F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

@@ -332,3 +332,29 @@ def test_bigram_cross_entropy_matches_float_model(spark, sf_dir):
         want = sum(costs) / len(costs) * 1e6
         assert abs(r.avg_cost_unats - want) <= 25, (r.doc_id, want)
         assert math.exp(r.avg_cost_unats / 1e6) >= 1.0
+
+
+def test_vocab_coverage_matches_python(spark, sf_dir):
+    """OOV rates recomputed driver-side: the top-1000 vocabulary
+    (freq desc, term asc) and each doc's OOV count match exactly."""
+    from collections import Counter
+
+    from beauty_lakehouse_spark.catalog import load
+
+    docs = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in load(spark, sf_dir).documents.collect()
+    }
+    freq = Counter()
+    for toks in docs.values():
+        freq.update(toks)
+    vocab = {
+        t for t, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:1000]
+    }
+    rows = text.q_vocab_coverage(spark, sf_dir).collect()
+    assert {r.doc_id for r in rows} == {d for d, t in docs.items() if t}
+    for r in rows:
+        toks = docs[r.doc_id]
+        want_oov = sum(1 for t in toks if t not in vocab)
+        assert (r.n_tokens, r.n_oov) == (len(toks), want_oov), r.doc_id
+        assert 0.0 <= r.oov_rate <= 1.0
