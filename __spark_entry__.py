@@ -178,6 +178,7 @@ _DRIVER_ORDER_R5 = [
     "bigram_cross_entropy",
     "mixture_temperature",
     "vocab_coverage",
+    "hll_users_by_event_type",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -425,6 +426,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic sum, and ln_micro correction all integer-identical
         # in DuckDB) — the auditable twin of cardinality_sketches
         "hll_distinct": quality.q_hll_distinct,
+        "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -950,6 +952,50 @@ def _hll_sql_one(table: str, col: str) -> str:
         f"AS s_present "
         f"FROM (SELECT ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
         f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1)))"
+    )
+
+
+def _hll_group_sql(table: str, col: str, key: str) -> str:
+    """DuckDB twin of the GROUPED portable HLL (quality.hll_registers
+    with keys + hll_estimate_from_registers): identical per-group
+    registers, harmonic sums, and corrected estimates."""
+    from beauty_lakehouse_spark.functions import portable_hash64_sql
+    from beauty_lakehouse_spark.operators.quality import (
+        _HLL_EST_DEN,
+        _HLL_EST_NUM,
+        _HLL_RHO_CAP,
+        _HLL_S_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    h = portable_hash64_sql(col)
+    w = f"({h} >> {HLL_P})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
+        f"ELSE length(bin({w} & (-{w}))) END)"
+    )
+    return (
+        f"SELECT {key}, n_exact, "
+        f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
+        f"CAST(floor(({HLL_M} * "
+        + _lnm(str(HLL_M), "greatest(zeros, 1)")
+        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate, "
+        f"CAST(p_regs AS INTEGER) AS registers_nonzero FROM ("
+        f"SELECT {key}, n_exact, p_regs, ({HLL_M} - p_regs) AS zeros, "
+        f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
+        f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
+        f"AS e_raw FROM ("
+        f"SELECT r.{key}, any_value(e.n_exact) AS n_exact, "
+        f"count(*) AS p_regs, "
+        f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
+        f"AS s_present "
+        f"FROM (SELECT {key}, ({h}) & {HLL_M - 1} AS idx, "
+        f"max({rho}) AS m_rho FROM {table} WHERE {col} IS NOT NULL "
+        f"GROUP BY 1, 2) r "
+        f"JOIN (SELECT {key}, count(DISTINCT {col}) AS n_exact "
+        f"FROM {table} GROUP BY 1) e USING ({key}) "
+        f"GROUP BY r.{key}))"
     )
 
 
@@ -2270,6 +2316,9 @@ def oracle_sql() -> dict[str, str]:
             _hll_sql_one(t, c) for t, c in quality.HLL_TARGETS
         ),
         "hll_distinct_streamed": _hll_sql_one("documents", "doc_id"),
+        "hll_users_by_event_type": _hll_group_sql(
+            "events", "user_id", "event_type"
+        ),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

@@ -470,12 +470,17 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     return hll_estimate_from_registers(hll_registers(df, col), exact)
 
 
-def hll_registers(df: DataFrame, col: str) -> DataFrame:
-    """The register table (idx, m_rho) of the portable HLL — the part
-    that IS the sketch: fixed m rows, built by groupBy(idx).max(rank),
-    mergeable across partitions AND across micro-batches (max is
-    order-insensitive), so it works unchanged as a complete-mode
-    streaming aggregate (see streaming.hll_register_stream)."""
+def hll_registers(
+    df: DataFrame, col: str, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """The register table (keys..., idx, m_rho) of the portable HLL —
+    the part that IS the sketch: fixed m rows per group, built by
+    groupBy(keys, idx).max(rank), mergeable across partitions AND
+    across micro-batches (max is order-insensitive), so it works
+    unchanged as a complete-mode streaming aggregate (see
+    streaming.hll_register_stream). With ``keys`` it is the GROUPED
+    sketch — distinct-per-group in one pass, ≤ m state rows per group
+    (the "distinct users per day" production shape)."""
     from ..functions import portable_hash64
 
     h = portable_hash64(F.col(col))
@@ -486,24 +491,28 @@ def hll_registers(df: DataFrame, col: str) -> DataFrame:
     return (
         df.filter(F.col(col).isNotNull())
         .select(
-            h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"), rho.alias("rho")
+            *keys,
+            h.bitwiseAND(F.lit(HLL_M - 1)).alias("idx"),
+            rho.alias("rho"),
         )
-        .groupBy("idx")
+        .groupBy(*keys, "idx")
         .agg(F.max("rho").alias("m_rho"))
     )
 
 
 def hll_estimate_from_registers(
-    regs: DataFrame, exact: DataFrame
+    regs: DataFrame, exact: DataFrame, keys: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Finish a portable-HLL estimate from a (idx, m_rho) register
-    table: exact-integer harmonic sum, rational-alpha floor division,
-    ln_micro linear-counting correction. ``exact`` is a 1-row
-    (n_exact,) frame carried along for the accuracy contract."""
+    """Finish a portable-HLL estimate from a (keys..., idx, m_rho)
+    register table: exact-integer harmonic sum, rational-alpha floor
+    division, ln_micro linear-counting correction — per group when
+    ``keys`` are given. ``exact`` is a (keys..., n_exact) frame
+    carried along for the accuracy contract."""
     from ..functions import ln_micro
 
     d38 = "decimal(38,0)"
-    stats = regs.agg(
+    grouped = regs.groupBy(*keys) if keys else regs
+    stats = grouped.agg(
         # coalesce: an EMPTY input has no registers -> sum is NULL; 0
         # keeps the pipeline defined (zeros = m -> linear count ln(1)=0
         # -> estimate 0, the right answer for an empty set)
@@ -536,13 +545,16 @@ def hll_estimate_from_registers(
     est = F.when(
         (e_raw <= F.lit(5 * HLL_M // 2)) & (zeros > 0), linear
     ).otherwise(e_raw)
-    return (
-        stats.crossJoin(F.broadcast(exact))
-        .select(
-            F.col("n_exact"),
-            est.alias("hll_estimate"),
-            F.col("p_regs").cast("int").alias("registers_nonzero"),
-        )
+    joined = (
+        stats.join(exact, list(keys))
+        if keys
+        else stats.crossJoin(F.broadcast(exact))
+    )
+    return joined.select(
+        *keys,
+        F.col("n_exact"),
+        est.alias("hll_estimate"),
+        F.col("p_regs").cast("int").alias("registers_nonzero"),
     )
 
 
@@ -574,3 +586,19 @@ def q_hll_distinct(spark, sf_dir: str) -> DataFrame:
         )
         report = one if report is None else report.unionByName(one)
     return report
+
+
+def q_hll_users_by_event_type(spark, sf_dir: str) -> DataFrame:
+    """GROUPED portable HLL: distinct users per event type in one pass
+    — the "distinct users per day/segment" production shape, with ≤ m
+    register rows of state per group and the same oracle-exact finish
+    as q_hll_distinct. Groups whose column is entirely null drop out
+    on both engines identically (no registers to join)."""
+    from ..catalog import load
+
+    events = load(spark, sf_dir).events
+    regs = hll_registers(events, "user_id", keys=("event_type",))
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return hll_estimate_from_registers(regs, exact, keys=("event_type",))

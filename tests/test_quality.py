@@ -156,3 +156,17 @@ def test_hll_empty_input_estimates_zero(spark):
     empty = spark.createDataFrame([], "doc_id long")
     r = quality.hll_estimate(empty, "doc_id").first()
     assert r.n_exact == 0 and r.hll_estimate == 0 and r.registers_nonzero == 0
+
+
+def test_hll_grouped_accuracy(spark, sf_dir):
+    """Grouped portable HLL: every event type's estimate lands within
+    the m=1024 error regime of its exact distinct-user count."""
+    from beauty_lakehouse_spark.operators import quality
+
+    rows = quality.q_hll_users_by_event_type(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.registers_nonzero <= quality.HLL_M
+        assert abs(r.hll_estimate - r.n_exact) <= max(0.10 * r.n_exact, 3), (
+            r.event_type, r.n_exact, r.hll_estimate,
+        )
