@@ -179,6 +179,7 @@ _DRIVER_ORDER_R5 = [
     "mixture_temperature",
     "vocab_coverage",
     "hll_users_by_event_type",
+    "corpus_datacard",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -401,6 +402,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
+        # dataset card: corpus-level numbers composed from the
+        # oracle-exact constituents — oracle-exact itself
+        "corpus_datacard": curation.q_corpus_datacard,
         "doc_chunking": curation.q_doc_chunking,
         "training_order_shuffle": curation.q_training_order_shuffle,
         "epoch_mixture_expand": curation.q_epoch_mixture_expand,
@@ -2545,6 +2549,36 @@ def oracle_sql() -> dict[str, str]:
         + " AS temp_share_ppm, "
         + _hud("w * tok_total * 1000000", "w_total * tok", 0)
         + " AS resample_ppm FROM w, t"
+    )
+
+    # dataset card: every metric composed FROM the constituent oracle
+    # SQL (lang_id / vocab_coverage / bigram_cross_entropy subqueries
+    # verbatim), so the card cannot drift from the per-doc queries
+    out["corpus_datacard"] = (
+        "SELECT 'n_docs' AS metric, "
+        "CAST((SELECT count(*) FROM documents) AS DOUBLE) AS value "
+        "UNION ALL SELECT 'total_tokens', "
+        "CAST((SELECT sum(len(string_split(text, ' '))) FROM documents) "
+        "AS DOUBLE) "
+        "UNION ALL SELECT 'english_ppm', (SELECT "
+        + _hud(
+            "sum(CASE WHEN pred_lang = 'en' THEN 1 ELSE 0 END) * 1000000",
+            "count(*)",
+            0,
+        )
+        + " FROM (" + out["lang_id"] + ")) "
+        "UNION ALL SELECT 'dup_groups', CAST((SELECT count(*) FROM "
+        f"(SELECT count(*) AS sz FROM documents GROUP BY {_nth('text')}) "
+        "WHERE sz > 1) AS DOUBLE) "
+        "UNION ALL SELECT 'dup_docs', CAST((SELECT sum(sz - 1) FROM "
+        f"(SELECT count(*) AS sz FROM documents GROUP BY {_nth('text')})) "
+        "AS DOUBLE) "
+        "UNION ALL SELECT 'oov_ppm', (SELECT "
+        + _hud("sum(n_oov) * 1000000", "sum(n_tokens)", 0)
+        + " FROM (" + out["vocab_coverage"] + ")) "
+        "UNION ALL SELECT 'bigram_cross_entropy_unats', (SELECT "
+        + _hud("sum(sum_cost_unats)", "sum(n_bigrams)", 0)
+        + " FROM (" + out["bigram_cross_entropy"] + "))"
     )
 
     out["cohort_retention"] = (

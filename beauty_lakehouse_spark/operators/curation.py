@@ -695,3 +695,93 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("resample_ppm"),
         )
     )
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card in one query: corpus-level numbers a model/data
+    card reports — size, duplication, language mix, tokenizer
+    coverage, LM cross-entropy — each COMPOSED from the already-
+    oracle-exact operators (same expressions, so the card cannot
+    drift from the per-doc queries it summarizes). One row per metric;
+    values are exact integers/ppm carried as double (all < 2^53, so
+    the double carry is lossless and engine-identical).
+
+    Scale: every constituent is an aggregate the constituent queries
+    already bound (dictionary-sized or 1-row outputs); the union is 8
+    scalar rows."""
+    from .text import (
+        pred_lang_expr,
+        q_bigram_cross_entropy,
+        q_vocab_coverage,
+        stopword_scores,
+    )
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    pred = pred_lang_expr(stopword_scores(toks))
+    base = t.documents.select(
+        F.size(toks).cast("long").alias("n_tokens"),
+        (pred == "en").cast("long").alias("is_en"),
+        normalized_text_hash("text").alias("text_hash"),
+    )
+    doc_stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("is_en").alias("n_en"),
+    )
+    groups = base.groupBy("text_hash").agg(F.count(F.lit(1)).alias("sz"))
+    dup_stats = groups.agg(
+        F.sum((F.col("sz") > 1).cast("long")).alias("dup_groups"),
+        F.sum(F.col("sz") - 1).alias("dup_docs"),
+    )
+    oov = q_vocab_coverage(spark, sf_dir).agg(
+        F.sum("n_oov").alias("oov"), F.sum("n_tokens").alias("tok")
+    )
+    lm = q_bigram_cross_entropy(spark, sf_dir).agg(
+        F.sum("sum_cost_unats").alias("cost"),
+        F.sum("n_bigrams").alias("grams"),
+    )
+
+    def row(name: str, value) -> DataFrame:
+        return value.select(
+            F.lit(name).alias("metric"), F.col("v").cast("double").alias("value")
+        )
+
+    return (
+        row("n_docs", doc_stats.select(F.col("n_docs").alias("v")))
+        .unionByName(
+            row("total_tokens", doc_stats.select(F.col("total_tokens").alias("v")))
+        )
+        .unionByName(
+            row(
+                "english_ppm",
+                doc_stats.select(
+                    halfup_div(
+                        F.col("n_en") * 1_000_000, F.col("n_docs"), 0
+                    ).alias("v")
+                ),
+            )
+        )
+        .unionByName(
+            row("dup_groups", dup_stats.select(F.col("dup_groups").alias("v")))
+        )
+        .unionByName(
+            row("dup_docs", dup_stats.select(F.col("dup_docs").alias("v")))
+        )
+        .unionByName(
+            row(
+                "oov_ppm",
+                oov.select(
+                    halfup_div(F.col("oov") * 1_000_000, F.col("tok"), 0).alias("v")
+                ),
+            )
+        )
+        .unionByName(
+            row(
+                "bigram_cross_entropy_unats",
+                lm.select(
+                    halfup_div(F.col("cost"), F.col("grams"), 0).alias("v")
+                ),
+            )
+        )
+    )

@@ -330,3 +330,27 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert biggest.temp_share_ppm <= biggest.raw_share_ppm
     assert smallest.temp_share_ppm >= smallest.raw_share_ppm
     assert smallest.resample_ppm >= biggest.resample_ppm
+
+
+def test_corpus_datacard_consistent_with_constituents(spark, sf_dir):
+    """The card's numbers equal independent recomputation from the
+    constituent queries it composes."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import curation, text
+
+    card = {
+        r.metric: r.value
+        for r in curation.q_corpus_datacard(spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir).documents
+    assert card["n_docs"] == docs.count()
+    assert card["dup_docs"] >= 0 and card["dup_groups"] >= 0
+    assert 0 <= card["english_ppm"] <= 1_000_000
+    cov = text.q_vocab_coverage(spark, sf_dir).collect()
+    want_oov = round(
+        sum(r.n_oov for r in cov) * 1_000_000 / sum(r.n_tokens for r in cov)
+    )
+    assert abs(card["oov_ppm"] - want_oov) <= 1
+    lm = text.q_bigram_cross_entropy(spark, sf_dir).collect()
+    want_ce = sum(r.sum_cost_unats for r in lm) / sum(r.n_bigrams for r in lm)
+    assert abs(card["bigram_cross_entropy_unats"] - want_ce) <= 1
