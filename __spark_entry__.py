@@ -918,11 +918,13 @@ _CC_COMP_CTE = (
 )
 
 
-def _hll_sql_one(table: str, col: str) -> str:
-    """DuckDB twin of quality.hll_estimate for one (table, column):
-    identical registers (portable_hash64 index + isolated-lowest-bit
-    rank), identical HUGEINT harmonic sum, identical rational-alpha
-    floor division and ln_micro linear-counting correction."""
+def _hll_sql(table: str, col: str, key: str | None = None) -> str:
+    """DuckDB twin of quality.hll_estimate (key=None) or of the GROUPED
+    quality.hll_registers(keys=...)+hll_estimate_from_registers
+    (key=<column>). ONE builder for both shapes so the sketch math —
+    register rank, HUGEINT harmonic sum, rational-alpha floor division,
+    ln_micro linear-counting correction — exists in exactly one string
+    and cannot drift between the grouped and ungrouped oracles."""
     from beauty_lakehouse_spark.functions import portable_hash64_sql
     from beauty_lakehouse_spark.operators.quality import (
         _HLL_EST_DEN,
@@ -939,68 +941,59 @@ def _hll_sql_one(table: str, col: str) -> str:
         f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
         f"ELSE length(bin({w} & (-{w}))) END)"
     )
-    return (
-        f"SELECT '{table}.{col}' AS target, n_exact, "
+    # the shared estimate math (identical for both shapes)
+    estimate = (
         f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
         f"CAST(floor(({HLL_M} * "
         + _lnm(str(HLL_M), "greatest(zeros, 1)")
-        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate, "
-        f"CAST(p_regs AS INTEGER) AS registers_nonzero FROM ("
-        f"SELECT n_exact, p_regs, ({HLL_M} - p_regs) AS zeros, "
+        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate"
+    )
+    e_raw = (
         f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
         f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
-        f"AS e_raw FROM ("
-        f"SELECT (SELECT count(DISTINCT {col}) FROM {table}) AS n_exact, "
-        f"count(*) AS p_regs, "
+        f"AS e_raw"
+    )
+    s_present = (
         f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
-        f"AS s_present "
-        f"FROM (SELECT ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
-        f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1)))"
+        f"AS s_present"
     )
-
-
-def _hll_group_sql(table: str, col: str, key: str) -> str:
-    """DuckDB twin of the GROUPED portable HLL (quality.hll_registers
-    with keys + hll_estimate_from_registers): identical per-group
-    registers, harmonic sums, and corrected estimates."""
-    from beauty_lakehouse_spark.functions import portable_hash64_sql
-    from beauty_lakehouse_spark.operators.quality import (
-        _HLL_EST_DEN,
-        _HLL_EST_NUM,
-        _HLL_RHO_CAP,
-        _HLL_S_SCALE,
-        HLL_M,
-        HLL_P,
-    )
-
-    h = portable_hash64_sql(col)
-    w = f"({h} >> {HLL_P})"
-    rho = (
-        f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
-        f"ELSE length(bin({w} & (-{w}))) END)"
+    if key is None:
+        regs = (
+            f"SELECT ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
+            f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1"
+        )
+        return (
+            f"SELECT '{table}.{col}' AS target, n_exact, {estimate}, "
+            f"CAST(p_regs AS INTEGER) AS registers_nonzero FROM ("
+            f"SELECT n_exact, p_regs, ({HLL_M} - p_regs) AS zeros, {e_raw} "
+            f"FROM (SELECT "
+            f"(SELECT count(DISTINCT {col}) FROM {table}) AS n_exact, "
+            f"count(*) AS p_regs, {s_present} FROM ({regs})))"
+        )
+    regs = (
+        f"SELECT {key}, ({h}) & {HLL_M - 1} AS idx, max({rho}) AS m_rho "
+        f"FROM {table} WHERE {col} IS NOT NULL GROUP BY 1, 2"
     )
     return (
-        f"SELECT {key}, n_exact, "
-        f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
-        f"CAST(floor(({HLL_M} * "
-        + _lnm(str(HLL_M), "greatest(zeros, 1)")
-        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate, "
+        f"SELECT {key}, n_exact, {estimate}, "
         f"CAST(p_regs AS INTEGER) AS registers_nonzero FROM ("
         f"SELECT {key}, n_exact, p_regs, ({HLL_M} - p_regs) AS zeros, "
-        f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
-        f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
-        f"AS e_raw FROM ("
+        f"{e_raw} FROM ("
         f"SELECT r.{key}, any_value(e.n_exact) AS n_exact, "
-        f"count(*) AS p_regs, "
-        f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
-        f"AS s_present "
-        f"FROM (SELECT {key}, ({h}) & {HLL_M - 1} AS idx, "
-        f"max({rho}) AS m_rho FROM {table} WHERE {col} IS NOT NULL "
-        f"GROUP BY 1, 2) r "
+        f"count(*) AS p_regs, {s_present} "
+        f"FROM ({regs}) r "
         f"JOIN (SELECT {key}, count(DISTINCT {col}) AS n_exact "
         f"FROM {table} GROUP BY 1) e USING ({key}) "
         f"GROUP BY r.{key}))"
     )
+
+
+def _hll_sql_one(table: str, col: str) -> str:
+    return _hll_sql(table, col)
+
+
+def _hll_group_sql(table: str, col: str, key: str) -> str:
+    return _hll_sql(table, col, key)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2543,11 +2536,15 @@ def oracle_sql() -> dict[str, str]:
         "t AS (SELECT CAST(sum(tok) AS BIGINT) AS tok_total, "
         "CAST(sum(w) AS BIGINT) AS w_total FROM w) "
         "SELECT source, n_docs, tok, w, "
-        + _hud("tok * 1000000", "tok_total", 0)
+        + _hud("CAST(tok AS HUGEINT) * 1000000", "tok_total", 0)
         + " AS raw_share_ppm, "
-        + _hud("w * 1000000", "w_total", 0)
+        + _hud("CAST(w AS HUGEINT) * 1000000", "w_total", 0)
         + " AS temp_share_ppm, "
-        + _hud("w * tok_total * 1000000", "w_total * tok", 0)
+        + _hud(
+            "CAST(w AS HUGEINT) * tok_total * 1000000",
+            "CAST(w_total AS HUGEINT) * tok",
+            0,
+        )
         + " AS resample_ppm FROM w, t"
     )
 

@@ -674,6 +674,15 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = per_src.agg(
         F.sum("tok").alias("tok_total"), F.sum("w").alias("w_total")
     )
+    # products lift to DECIMAL(38,0) BEFORE multiplying: tok·1e6 alone
+    # overflows int64 at ~9.2e12 corpus tokens (well inside 100 TB
+    # scale), and w·tok_total·1e6 at ~4e8 — the decimal lift keeps
+    # every staging exact (oracle twin pre-casts to HUGEINT likewise)
+    d38 = "decimal(38,0)"
+    tok_d = F.col("tok").cast(d38)
+    w_d = F.col("w").cast(d38)
+    tok_total_d = F.col("tok_total").cast(d38)
+    w_total_d = F.col("w_total").cast(d38)
     return (
         per_src.crossJoin(F.broadcast(totals))
         .select(
@@ -681,16 +690,16 @@ def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "tok",
             "w",
-            halfup_div(F.col("tok") * 1_000_000, F.col("tok_total"), 0).alias(
+            halfup_div(tok_d * 1_000_000, tok_total_d, 0).alias(
                 "raw_share_ppm"
             ),
-            halfup_div(F.col("w") * 1_000_000, F.col("w_total"), 0).alias(
+            halfup_div(w_d * 1_000_000, w_total_d, 0).alias(
                 "temp_share_ppm"
             ),
             # implied resample weight: flattened share / raw share
             halfup_div(
-                F.col("w") * F.col("tok_total") * 1_000_000,
-                F.col("w_total") * F.col("tok"),
+                w_d * tok_total_d * 1_000_000,
+                w_total_d * tok_d,
                 0,
             ).alias("resample_ppm"),
         )
@@ -707,7 +716,7 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the double carry is lossless and engine-identical).
 
     Scale: every constituent is an aggregate the constituent queries
-    already bound (dictionary-sized or 1-row outputs); the union is 8
+    already bound (dictionary-sized or 1-row outputs); the union is 7
     scalar rows."""
     from .text import (
         pred_lang_expr,

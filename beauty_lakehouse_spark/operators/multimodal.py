@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Iterator
 from typing import Callable
 
@@ -205,8 +207,11 @@ PHASH_HAMMING_MAX = 2
 PHASH_GRID = 32
 
 
+@functools.lru_cache(maxsize=None)
 def _dct_matrix(n: int):
-    """Orthonormal DCT-II basis matrix (numpy), cached per size."""
+    """Orthonormal DCT-II basis matrix (numpy), cached per size (the
+    kernel runs per payload row — rebuilding the basis each call would
+    cost about as much as the matmul itself)."""
     import numpy as np
 
     k = np.arange(n).reshape(-1, 1).astype(np.float64)

@@ -508,7 +508,7 @@ def hll_estimate_from_registers(
     division, ln_micro linear-counting correction — per group when
     ``keys`` are given. ``exact`` is a (keys..., n_exact) frame
     carried along for the accuracy contract."""
-    from ..functions import ln_micro
+    from ..functions import _idiv, ln_micro
 
     d38 = "decimal(38,0)"
     grouped = regs.groupBy(*keys) if keys else regs
@@ -532,7 +532,7 @@ def hll_estimate_from_registers(
     )
     den = s_total * F.lit(_HLL_EST_DEN).cast(d38)
     num = F.lit(str(_HLL_EST_NUM)).cast(d38)
-    e_raw = ((num - num % den) / den).cast("long")
+    e_raw = _idiv(num, den)
     zeros = F.lit(HLL_M) - F.col("p_regs")
     # linear counting: floor(m·ln(m/Z)) — the m·ln_micro product is
     # ≤ ~7.1e9, so the 1e6 down-scale is an exact double floor-div.
