@@ -180,6 +180,7 @@ _DRIVER_ORDER_R5 = [
     "vocab_coverage",
     "hll_users_by_event_type",
     "corpus_datacard",
+    "bloom_decontaminate",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -397,6 +398,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
         "decontaminate": curation.q_decontaminate,
+        # Bloom-filter pre-filter form of decontamination (oracle-exact
+        # filter build + probe + false-positive accounting)
+        "bloom_decontaminate": curation.q_bloom_decontaminate,
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
         # temperature-flattened (n^(1/2)) mixture weights via exact
@@ -2488,6 +2492,54 @@ def oracle_sql() -> dict[str, str]:
         "FROM lab a JOIN lab b ON a.shingle = b.shingle "
         "AND NOT a.is_test AND b.is_test "
         "GROUP BY a.doc_id"
+    )
+
+    # Bloom-filter decontamination pre-filter (mirrors curation.
+    # BLOOM_BITS = 2^16, BLOOM_K = 4): identical md5-derived bit
+    # positions, bit_or-aggregated 1024-row filter, no-false-negative
+    # probe, and exact false-positive accounting
+    def _bpos(j: int) -> str:
+        return (
+            f"(('0x' || substr(md5('bloom{j}:' || shingle), 1, 15))::BIGINT"
+            f" % 65536)"
+        )
+
+    _bloom_positions = "[" + ", ".join(_bpos(j) for j in range(4)) + "]"
+    out["bloom_decontaminate"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+        "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+        "lab AS (SELECT doc_id, shingle, "
+        f"{bucket.format(tag='split')} >= 90 AS is_test FROM shf), "
+        "tg AS (SELECT DISTINCT shingle FROM lab WHERE is_test), "
+        "tr AS (SELECT doc_id, shingle FROM lab WHERE NOT is_test), "
+        f"bpos AS (SELECT shingle, unnest({_bloom_positions}) AS p FROM tg), "
+        "bloom AS (SELECT p >> 5 AS word, "
+        "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits "
+        "FROM bpos GROUP BY 1), "
+        "pg AS (SELECT DISTINCT shingle FROM tr), "
+        f"ppos AS (SELECT shingle, unnest({_bloom_positions}) AS p FROM pg), "
+        "hits AS (SELECT shingle, "
+        "sum(CASE WHEN (coalesce(bits, 0) & "
+        "(1::BIGINT << CAST(p % 32 AS INT))) <> 0 THEN 1 ELSE 0 END) = 4 "
+        "AS bloom_hit FROM (SELECT shingle, p, p >> 5 AS word FROM ppos) q "
+        "LEFT JOIN bloom USING (word) GROUP BY shingle), "
+        "truth AS (SELECT DISTINCT tr.shingle FROM tr JOIN tg USING (shingle)), "
+        "perg AS (SELECT h.shingle, bloom_hit, "
+        "(t.shingle IS NOT NULL) AS true_hit "
+        "FROM hits h LEFT JOIN truth t ON h.shingle = t.shingle) "
+        "SELECT * FROM (SELECT doc_id, "
+        "CAST(count(DISTINCT tr.shingle) AS BIGINT) AS n_grams, "
+        "CAST(count(DISTINCT CASE WHEN bloom_hit THEN tr.shingle END) "
+        "AS BIGINT) AS n_bloom_hits, "
+        "CAST(count(DISTINCT CASE WHEN true_hit THEN tr.shingle END) "
+        "AS BIGINT) AS n_true_hits, "
+        "CAST(count(DISTINCT CASE WHEN bloom_hit THEN tr.shingle END) - "
+        "count(DISTINCT CASE WHEN true_hit THEN tr.shingle END) AS BIGINT) "
+        "AS n_false_positives "
+        "FROM tr JOIN perg USING (shingle) GROUP BY doc_id) "
+        "WHERE n_bloom_hits > 0"
     )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the

@@ -794,3 +794,138 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+#: Portable Bloom-filter geometry for the decontamination pre-filter:
+#: BLOOM_BITS-bit filter stored as BLOOM_BITS/32 words, BLOOM_K
+#: md5-derived hash functions. ~4.7k distinct test grams at sf0.01 in
+#: 2^16 bits → ~25% occupancy → (0.25)^4 ≈ 0.4% false-positive rate.
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def _bloom_pos(key, j: int):
+    """Bit position [0, BLOOM_BITS) of hash function j — md5-derived,
+    identical in DuckDB."""
+    return F.pmod(
+        portable_hash64(F.concat(F.lit(f"bloom{j}:"), key)),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination pre-filter — the 100 TB shape of
+    q_decontaminate, fully oracle-exact. The exact posting-list join
+    must shuffle train grams against test grams; at scale the right
+    first pass is a Bloom filter OF THE TEST SET (here 2^16 bits = a
+    1024-row (word, bits) table built by groupBy(word).bit_or — the
+    same registers-style mergeable-aggregate pattern as the portable
+    HLL) broadcast to the train side, so only grams that HIT the
+    filter proceed to exact verification. No false negatives by
+    construction (every true leak hits all its bits — pytest-pinned);
+    false positives are the (0.25)^k ≈ 0.4% tax the exact
+    verification pass then removes.
+
+    Output per train/val doc with ≥ 1 bloom hit: distinct grams,
+    bloom-hit grams, true-hit grams (exact), and the false-positive
+    count the bloom would have sent to verification unnecessarily —
+    the filter's measured precision, reported per document.
+
+    Everything is deterministic integer arithmetic over md5-derived
+    positions, so the DuckDB twin computes the identical filter,
+    identical hits, and identical false-positive accounting."""
+    from .dedup import shingles
+
+    t = load(spark, sf_dir)
+    sh = shingles(
+        t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
+    ).localCheckpoint(eager=False)
+    is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
+    test_grams = sh.filter(is_test).select("shingle").distinct()
+    train_gr = sh.filter(~is_test).select("doc_id", "shingle")
+
+    # build: k bit positions per distinct test gram -> 1024-row filter
+    pos = test_grams.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(BLOOM_K)])
+        ).alias("p")
+    )
+    # 32-bit words (word = p >> 5, bit = p & 31): shifts stay below the
+    # sign bit, which DuckDB's checked << would reject at bit 63
+    bloom = (
+        pos.select(
+            F.shiftright("p", 5).alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("p", F.lit(32)).cast("int"),
+            ).alias("b"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+    )
+
+    # probe: per distinct train gram, all k bits present?
+    probe = train_gr.select("shingle").distinct().select(
+        "shingle",
+        F.explode(
+            F.array(*[_bloom_pos(F.col("shingle"), j) for j in range(BLOOM_K)])
+        ).alias("p"),
+    )
+    gram_hits = (
+        probe.select(
+            "shingle",
+            F.shiftright("p", 5).alias("word"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod("p", F.lit(32)).cast("int"),
+            ).alias("mask"),
+        )
+        .join(F.broadcast(bloom), "word", "left")
+        .select(
+            "shingle",
+            (
+                F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+                != 0
+            )
+            .cast("long")
+            .alias("present"),
+        )
+        .groupBy("shingle")
+        .agg((F.sum("present") == BLOOM_K).alias("bloom_hit"))
+    )
+    truth = (
+        train_gr.join(test_grams, "shingle")
+        .select("shingle")
+        .distinct()
+        .withColumn("true_hit", F.lit(True))
+    )
+    per_gram = gram_hits.join(truth, "shingle", "left").select(
+        "shingle",
+        "bloom_hit",
+        F.coalesce("true_hit", F.lit(False)).alias("true_hit"),
+    )
+    return (
+        train_gr.join(per_gram, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_grams"),
+            F.countDistinct(
+                F.when(F.col("bloom_hit"), F.col("shingle"))
+            ).alias("n_bloom_hits"),
+            F.countDistinct(
+                F.when(F.col("true_hit"), F.col("shingle"))
+            ).alias("n_true_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_bloom_hits",
+            "n_true_hits",
+            (F.col("n_bloom_hits") - F.col("n_true_hits")).alias(
+                "n_false_positives"
+            ),
+        )
+    )

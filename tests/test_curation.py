@@ -354,3 +354,29 @@ def test_corpus_datacard_consistent_with_constituents(spark, sf_dir):
     lm = text.q_bigram_cross_entropy(spark, sf_dir).collect()
     want_ce = sum(r.sum_cost_unats for r in lm) / sum(r.n_bigrams for r in lm)
     assert abs(card["bigram_cross_entropy_unats"] - want_ce) <= 1
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """The Bloom pre-filter never loses a leak: every document the
+    exact decontamination scan reports appears in the bloom report
+    with n_true_hits equal to the exact n_hit_grams, and bloom hits
+    always dominate true hits (FPs are the only divergence). The
+    measured FP rate stays under a few percent of probed grams."""
+    from beauty_lakehouse_spark.operators import curation
+
+    exact = {
+        r.doc_id: r.n_hit_grams
+        for r in curation.q_decontaminate(spark, sf_dir).collect()
+    }
+    bloom = {
+        r.doc_id: r for r in curation.q_bloom_decontaminate(spark, sf_dir).collect()
+    }
+    for doc_id, n_hit in exact.items():
+        assert doc_id in bloom, f"bloom lost contaminated doc {doc_id}"
+        assert bloom[doc_id].n_true_hits == n_hit
+    total_bloom = sum(r.n_bloom_hits for r in bloom.values())
+    total_true = sum(r.n_true_hits for r in bloom.values())
+    total_grams = sum(r.n_grams for r in bloom.values())
+    assert total_bloom >= total_true
+    # FP tax small: (occupancy)^k of probed grams — well under 5% here
+    assert total_bloom - total_true <= max(0.05 * total_grams, 5)
