@@ -181,6 +181,7 @@ _DRIVER_ORDER_R5 = [
     "hll_users_by_event_type",
     "corpus_datacard",
     "bloom_decontaminate",
+    "hll_users_hourly_streamed",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -445,6 +446,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_attribution_streamed": _q_purchase_attribution_streamed,
         "doc_chunking_streamed": _q_doc_chunking_streamed,
         "hll_distinct_streamed": _q_hll_distinct_streamed,
+        "hll_users_hourly_streamed": _q_hll_users_hourly_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -672,6 +674,42 @@ def _q_hll_distinct_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "hll_estimate",
         "registers_nonzero",
+    )
+
+
+def _q_hll_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour via the GROUPED portable-HLL registers
+    maintained as a streaming aggregate, drained and finished
+    batch-side — behind a grouped-HLL oracle keyed on the hour bucket
+    (the canonical 'unique visitors per window' streaming-sketch job)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import epoch_us
+    from beauty_lakehouse_spark.operators import quality
+    from beauty_lakehouse_spark.streaming import (
+        hourly_user_hll_registers,
+        run_available_now,
+        stream_events,
+    )
+
+    regs = run_available_now(
+        hourly_user_hll_registers(stream_events(spark, sf_dir)),
+        f"gate_hllh_{uuid.uuid4().hex[:8]}",
+    )
+    hour = (
+        epoch_us(F.col("ts")) - epoch_us(F.col("ts")) % F.lit(3_600_000_000)
+    ).alias("hour_us")
+    exact = (
+        load(spark, sf_dir)
+        .events.select(hour, "user_id")
+        .groupBy("hour_us")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return quality.hll_estimate_from_registers(
+        regs, exact, keys=("hour_us",)
     )
 
 
@@ -2319,6 +2357,12 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_streamed": _hll_sql_one("documents", "doc_id"),
         "hll_users_by_event_type": _hll_group_sql(
             "events", "user_id", "event_type"
+        ),
+        "hll_users_hourly_streamed": _hll_group_sql(
+            "(SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, "
+            "user_id FROM events)",
+            "user_id",
+            "hour_us",
         ),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)

@@ -11,6 +11,7 @@ from .pipelines import (  # noqa: F401
     dedup_group_table,
     dedup_events_stream,
     hll_register_stream,
+    hourly_user_hll_registers,
     hourly_event_counts,
     latest_event_table,
     run_available_now,

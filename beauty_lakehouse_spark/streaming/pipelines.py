@@ -299,3 +299,23 @@ def hll_register_stream(documents: DataFrame) -> DataFrame:
     from ..operators.quality import hll_registers
 
     return hll_registers(documents, "doc_id")
+
+
+def hourly_user_hll_registers(events: DataFrame) -> DataFrame:
+    """Distinct-users-per-hour as a STREAMING sketch: grouped portable-
+    HLL registers keyed by the event's hour bucket — one stateful
+    complete-mode aggregate (groupBy(hour, idx).max(rho)) whose state
+    is ≤ m register rows per hour, the canonical 'unique visitors per
+    window' production job. Drained registers are bit-identical to the
+    batch grouped sketch; the estimate is the same cheap batch finish
+    (quality.hll_estimate_from_registers with keys=('hour_us',))."""
+    from ..operators.quality import hll_registers
+
+    ev = events.select(
+        (
+            epoch_us(F.col("ts"))
+            - epoch_us(F.col("ts")) % F.lit(3_600_000_000)
+        ).alias("hour_us"),
+        "user_id",
+    )
+    return hll_registers(ev, "user_id", keys=("hour_us",))
