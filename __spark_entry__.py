@@ -182,6 +182,9 @@ _DRIVER_ORDER_R5 = [
     "corpus_datacard",
     "bloom_decontaminate",
     "hll_users_hourly_streamed",
+    "event_volume_anomalies",
+    "term_pmi_top_pairs",
+    "embedding_quantize_int8",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -297,6 +300,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_metrics_unpivot": relational.q_order_metrics_unpivot,
         # events / event-time windows (cheap, all oracle)
         "events_hourly": events.q_events_hourly,
+        "event_volume_anomalies": events.q_event_volume_anomalies,
         "events_sliding": events.q_events_sliding,
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
@@ -422,6 +426,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search baseline (oracle)
         "knn_brute": similarity.q_knn_brute,
         "embedding_centroids": similarity.q_embedding_centroids,
+        "embedding_quantize_int8": similarity.q_embedding_quantize_int8,
         "label_embedding_scatter": similarity.q_label_embedding_scatter,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
@@ -459,6 +464,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
+        "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1734,6 +1740,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
         ),
+        "term_pmi_top_pairs": (
+            # document-level co-occurrence, per-doc distinct-term cap
+            # 256 (lexicographic), pair support >= 5; signed fixed-point
+            # PMI via the same ln_micro integer log Spark runs
+            "WITH tok AS (SELECT DISTINCT doc_id, term FROM "
+            "(SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+            "FROM documents) WHERE term <> ''), "
+            "capped AS (SELECT doc_id, term FROM "
+            "(SELECT doc_id, term, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY term) AS rn FROM tok) "
+            "WHERE rn <= 256), "
+            "dft AS (SELECT term, count(*) AS df FROM capped GROUP BY term), "
+            "p AS (SELECT a.term AS term_a, b.term AS term_b, "
+            "count(*) AS c_ab FROM capped a JOIN capped b USING (doc_id) "
+            "WHERE a.term < b.term GROUP BY 1, 2 HAVING count(*) >= 5), "
+            "n AS (SELECT count(*) AS n_docs FROM documents), "
+            "j AS (SELECT term_a, term_b, c_ab, da.df AS c_a, db.df AS c_b, "
+            "n_docs * c_ab AS num, da.df * db.df AS den "
+            "FROM p JOIN dft da ON da.term = p.term_a "
+            "JOIN dft db ON db.term = p.term_b, n), "
+            "s AS (SELECT term_a, term_b, c_ab, c_a, c_b, "
+            "CASE WHEN num >= den THEN " + _lnm("num", "den")
+            + " ELSE -" + _lnm("den", "num") + " END AS pmi_unats FROM j) "
+            "SELECT * FROM s ORDER BY pmi_unats DESC, term_a, term_b LIMIT 50"
+        ),
         "frequent_terms": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS term FROM documents), "
@@ -2123,6 +2154,27 @@ def oracle_sql() -> dict[str, str]:
             "AS total_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "event_volume_anomalies": (
+            # trailing-24h RANGE frame, self-excluding; the 3σ verdict
+            # is the integer cross-multiply (w·c − S)² > 9·(w·Q − S²)
+            # in HUGEINT — the same DECIMAL(38,0) algebra Spark runs
+            "WITH h AS (SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) * 3600000000 AS hour_start_us, "
+            "count(*) AS n_events FROM events GROUP BY 1, 2), "
+            "w AS (SELECT *, count(*) OVER fr AS wn, "
+            "sum(CAST(n_events AS HUGEINT)) OVER fr AS s, "
+            "sum(CAST(n_events AS HUGEINT) * n_events) OVER fr AS q "
+            "FROM h WINDOW fr AS (PARTITION BY event_type "
+            "ORDER BY hour_start_us RANGE BETWEEN 86400000000 PRECEDING "
+            "AND 3600000000 PRECEDING)) "
+            "SELECT event_type, hour_start_us, n_events, "
+            "CAST(wn AS INTEGER) AS trailing_hours, "
+            "CAST(coalesce(s, 0) AS BIGINT) AS trailing_events, "
+            "CASE WHEN wn >= 12 THEN "
+            "(wn * CAST(n_events AS HUGEINT) - s) * "
+            "(wn * CAST(n_events AS HUGEINT) - s) > 9 * (wn * q - s * s) "
+            "ELSE false END AS is_anomaly FROM w"
+        ),
         "events_by_type_salted": (
             # the SAME answer as the direct groupBy — salting is plan-
             # level only (the oracle proves result transparency)
@@ -2204,6 +2256,30 @@ def oracle_sql() -> dict[str, str]:
             "AND r.event_type = 'error' "
             "AND r.us > p.us AND r.us <= p.us + 600000000 "
             "GROUP BY p.user_id, p.event_id"
+        ),
+        "embedding_quantize_int8": (
+            # per-dim affine int8 quantization in exact integer math:
+            # micro-unit widening, integer min/max profile, half-up
+            # code/de-quantize (HUGEINT), md5 over dim-ordered codes
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "prof AS (SELECT dim, min(q) AS minq, max(q) AS maxq "
+            "FROM ex GROUP BY dim), "
+            "coded AS (SELECT vec_id, ex.dim AS dim, q, minq, maxq, "
+            "CASE WHEN maxq = minq THEN 0 ELSE CAST("
+            + _hud("((q - minq) * 255)", "(maxq - minq)", 0)
+            + " AS BIGINT) END AS code0 "
+            "FROM ex JOIN prof ON prof.dim = ex.dim), "
+            "s AS (SELECT vec_id, dim, code0 - 128 AS code, "
+            "abs(q - (minq + CASE WHEN maxq = minq THEN 0 ELSE CAST("
+            + _hud("(code0 * (maxq - minq))", "255", 0)
+            + " AS BIGINT) END)) AS err FROM coded) "
+            "SELECT vec_id, CAST(count(*) AS INTEGER) AS n_dims, "
+            "CAST(sum(err) AS BIGINT) AS l1_err_micro, "
+            "CAST(max(err) AS BIGINT) AS max_err_micro, "
+            "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
+            "AS codes_md5 FROM s GROUP BY vec_id"
         ),
         "embedding_centroids": (
             "WITH ex AS (SELECT label, CAST(t.i AS INTEGER) AS dim, "

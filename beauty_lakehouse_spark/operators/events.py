@@ -291,3 +291,81 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.join(
         days, counted.end_day == days.day, "left_semi"
     ).select(F.col("end_day").alias("day"), "n_users_7d")
+
+
+#: Trailing window for q_event_volume_anomalies: the previous 24 hourly
+#: buckets (RANGE frame in epoch-µs, so calendar gaps shrink the frame
+#: instead of silently pulling in stale hours).
+ANOMALY_TRAIL_US = 24 * HOUR_US
+#: Minimum trailing buckets before an anomaly verdict is attempted —
+#: fewer and the variance estimate is noise.
+ANOMALY_MIN_TRAIL = 12
+
+
+def q_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series volume anomaly detection: for every (event_type,
+    hour) bucket, flag hours whose event count deviates from the
+    trailing-24-hour mean by more than 3 population standard
+    deviations — the standard ops/traffic-spike monitor, computed
+    without a single float.
+
+    |c − μ| > 3σ over the trailing frame (w buckets, S = Σcounts,
+    Q = Σcounts²) is decided by the integer cross-multiply
+    ``(w·c − S)² > 9·(w·Q − S²)`` — multiply through by w²; exact in
+    DECIMAL(38,0) (HUGEINT on the DuckDB side), valid for hourly
+    counts up to ~1e17. The trailing frame is a RANGE window in
+    epoch-µs ``[-24h, -1h]`` (self-excluding, gap-aware); buckets with
+    fewer than ``ANOMALY_MIN_TRAIL`` trailing hours report
+    ``is_anomaly = false`` rather than a noise verdict. Every bucket
+    row is returned with its flag, so the oracle hash covers the
+    negative decisions too — the gate cannot pass vacuously.
+
+    Scale: one groupBy shuffle to hourly grain (map-side combinable),
+    then a window partitioned by event_type over the *bucket* table —
+    rows = hours × types, ~5 orders of magnitude smaller than the
+    fact; per-partition state is bounded by the calendar, not the
+    data. No UDFs, no collect."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "event_type",
+            epoch_us(F.col("w.start")).alias("hour_start_us"),
+            "n_events",
+        )
+    )
+    fr = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start_us")
+        .rangeBetween(-ANOMALY_TRAIL_US, -HOUR_US)
+    )
+    c = F.col("n_events").cast("decimal(38,0)")
+    stats = hourly.select(
+        "event_type",
+        "hour_start_us",
+        "n_events",
+        F.count(F.lit(1)).over(fr).alias("trailing_hours"),
+        F.sum(c).over(fr).alias("s"),
+        F.sum(c * c).over(fr).alias("q"),
+    )
+    w = F.col("trailing_hours").cast("decimal(38,0)")
+    dev = w * c - F.col("s")
+    var = w * F.col("q") - F.col("s") * F.col("s")
+    return stats.select(
+        "event_type",
+        "hour_start_us",
+        "n_events",
+        F.col("trailing_hours").cast("int").alias("trailing_hours"),
+        F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("trailing_events"),
+        F.when(
+            F.col("trailing_hours") >= ANOMALY_MIN_TRAIL,
+            dev * dev > F.lit(9) * var,
+        )
+        .otherwise(F.lit(False))
+        .alias("is_anomaly"),
+    )

@@ -926,3 +926,94 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.embeddings,
         k=5,
     )
+
+
+#: q_embedding_quantize_int8 fixed-point input scale (micro-units, the
+#: same lossless pre-quantization the centroid aggregate uses).
+INT8_IN_SCALE = 1_000_000
+
+
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension affine int8 scalar quantization of the embedding
+    corpus — the standard 4× vector-compression step before ANN
+    serving — with exact reconstruction-error accounting.
+
+    Each float is first widened to integer micro-units (floor(x·1e6 +
+    0.5), IEEE-identical in any engine); per-dimension min/max are then
+    exact integer aggregates, and the code is the half-up integer
+    ``round((q − min)·255 / (max − min)) − 128`` (``functions.
+    halfup_div`` — DECIMAL(38,0) on Spark, HUGEINT on DuckDB).
+    Constant dimensions (max = min) code to −128. De-quantization
+    ``min + round(code·range/255)`` is the same exact integer form, so
+    the per-vector L1/max reconstruction error in micro-units — and the
+    md5 over the dim-ordered code string — hash-match the oracle
+    bit-for-bit. No float arithmetic anywhere between input widening
+    and the final report.
+
+    Scale shape: posexplode → d-row min/max dim profile (map-side
+    combinable) → broadcast back into the exploded scan → one groupBy
+    (vec_id) re-collapse. Two narrow shuffles, rows = n·d, output = n
+    rows; the dim profile is d rows regardless of corpus size."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .alias("q"),
+    )
+    prof = ex.groupBy("dim").agg(
+        F.min("q").alias("minq"), F.max("q").alias("maxq")
+    )
+    rng = F.col("maxq") - F.col("minq")
+    coded = ex.join(F.broadcast(prof), "dim").select(
+        "vec_id",
+        "dim",
+        "q",
+        "minq",
+        "maxq",
+        F.when(rng == 0, F.lit(0))
+        .otherwise(halfup_div((F.col("q") - F.col("minq")) * 255, rng, 0))
+        .cast("long")
+        .alias("code0"),
+    )
+    recon = F.col("minq") + F.when(
+        F.col("maxq") == F.col("minq"), F.lit(0)
+    ).otherwise(
+        halfup_div(F.col("code0") * (F.col("maxq") - F.col("minq")), F.lit(255), 0)
+    ).cast("long")
+    scored = coded.select(
+        "vec_id",
+        "dim",
+        (F.col("code0") - 128).alias("code"),
+        F.abs(F.col("q") - recon).alias("err"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            F.sum("err").alias("l1_err_micro"),
+            F.max("err").alias("max_err_micro"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("dim", "code"))
+                        ),
+                        lambda s: s["code"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("codes_md5"),
+        )
+        .select(
+            "vec_id",
+            F.col("n_dims").cast("int").alias("n_dims"),
+            "l1_err_micro",
+            "max_err_micro",
+            "codes_md5",
+        )
+    )

@@ -760,3 +760,93 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             halfup_div(F.col("n_oov"), F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+#: q_term_pmi_top_pairs guards: minimum pair support (standard
+#: collocation floor) and the per-document distinct-term cap that
+#: bounds the pair expansion quadratic at corpus scale.
+PMI_MIN_PAIR = 5
+PMI_DOC_CAP = 256
+
+
+def q_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 term collocations by pointwise mutual information —
+    PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over document-level
+    co-occurrence, the classic collocation/phrase-mining signal of a
+    tokenizer-prep pipeline.
+
+    The log is the signed fixed-point ``functions.ln_micro`` (integer
+    shift-and-square, micro-nats): when ``N·c_ab ≥ c_a·c_b`` the score
+    is ``+ln_micro(N·c_ab, c_a·c_b)``, otherwise
+    ``−ln_micro(c_a·c_b, N·c_ab)`` — no float ``ln`` on either engine,
+    so negative-PMI pairs rank exactly too and the gate can never pass
+    vacuously on an empty positive set.
+
+    Scale: pair generation is the posting-list self-join on doc_id
+    over the per-document DISTINCT term set, capped at
+    ``PMI_DOC_CAP`` lexicographically-first terms per document (the
+    Σd² bound — upstream chunking already bounds document length; the
+    cap makes the quadratic explicit). Pair counts are map-side
+    combinable; the term-frequency dictionary joins back in two
+    broadcast hash joins (dictionary grain — at true vocabulary scale
+    flip them to shuffle joins, same plan shape). ``ln_micro``'s
+    num < 2^31 contract holds while N·c_ab and c_a·c_b < 2^31; beyond
+    that reduce both sides by a common power of two first."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    toks = (
+        _tok(t.documents)
+        .select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    capped = (
+        toks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("term")
+            ),
+        )
+        .filter(F.col("rn") <= PMI_DOC_CAP)
+        .drop("rn")
+        .localCheckpoint(eager=False)  # consumed by dft + both join sides
+    )
+    dft = capped.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "doc_id")
+        .filter(F.col("a.term") < F.col("b.term"))
+        .groupBy(
+            F.col("a.term").alias("term_a"), F.col("b.term").alias("term_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_PAIR)
+    )
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    joined = (
+        pairs.join(
+            F.broadcast(dft.select(F.col("term").alias("term_a"),
+                                   F.col("df").alias("c_a"))),
+            "term_a",
+        )
+        .join(
+            F.broadcast(dft.select(F.col("term").alias("term_b"),
+                                   F.col("df").alias("c_b"))),
+            "term_b",
+        )
+        .crossJoin(F.broadcast(n_docs))
+    )
+    num = F.col("n_docs") * F.col("c_ab")
+    den = F.col("c_a") * F.col("c_b")
+    pmi = F.when(num >= den, ln_micro(num, den)).otherwise(
+        -ln_micro(den, num)
+    )
+    return (
+        joined.select(
+            "term_a", "term_b", "c_ab", "c_a", "c_b",
+            pmi.alias("pmi_unats"),
+        )
+        .orderBy(F.desc("pmi_unats"), "term_a", "term_b")
+        .limit(50)
+    )

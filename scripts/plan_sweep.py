@@ -39,6 +39,7 @@ WHITELIST: dict[str, str] = {
     "knn_pq": "broadcast distance-table join; query batch bounded (<=20)",
     "knn_ivfpq": "broadcast centroid/table joins; query batch bounded (<=20)",
     "tfidf_top_terms": "1-row corpus-size broadcast cross join (scalar subquery form)",
+    "term_pmi_top_pairs": "1-row corpus-size broadcast cross join (scalar subquery form)",
     "hll_distinct": "1-row sketch stats x 1-row exact count broadcast attach, per target",
     "mixture_temperature": "|sources|-row table x 1-row totals broadcast attach (scalar subquery form)",
     "semantic_neardup": "within-cluster pair join; cluster size is the documented bound",

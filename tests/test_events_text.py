@@ -358,3 +358,79 @@ def test_vocab_coverage_matches_python(spark, sf_dir):
         want_oov = sum(1 for t in toks if t not in vocab)
         assert (r.n_tokens, r.n_oov) == (len(toks), want_oov), r.doc_id
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_event_volume_anomalies_planted_spike(spark, tmp_path):
+    """30 steady hours of 10 events + one 100-event spike hour: only the
+    spike is flagged; zero-variance steady hours (dev=0) are not, and
+    the first ANOMALY_MIN_TRAIL hours abstain."""
+    import datetime as dt
+
+    from beauty_lakehouse_spark.operators.events import (
+        ANOMALY_MIN_TRAIL,
+        q_event_volume_anomalies,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for hour in range(30):
+        n = 100 if hour == 25 else 10
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(hours=hour, seconds=10 * i),
+                    1,
+                    "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = q_event_volume_anomalies(spark, str(tmp_path)).collect()
+    assert len(out) == 30
+    flagged = {r.hour_start_us for r in out if r.is_anomaly}
+    spike_us = int((base + dt.timedelta(hours=25)).timestamp() * 1_000_000)
+    assert flagged == {spike_us}
+    for r in out:
+        hour = (r.hour_start_us - out[0].hour_start_us) // 3_600_000_000
+        if r.trailing_hours < ANOMALY_MIN_TRAIL:
+            assert not r.is_anomaly
+
+
+def test_term_pmi_planted_collocation(spark, tmp_path):
+    """alpha+beta always co-occur (positive PMI, top pair); alpha+gamma
+    co-occur below independence (negative PMI); support < 5 pairs are
+    dropped."""
+    docs = (
+        [(i, "alpha beta") for i in range(10)]
+        + [(10 + i, "gamma delta") for i in range(10)]
+        + [(20 + i, "alpha gamma") for i in range(5)]
+        + [(25, "alpha rare"), (26, "alpha rare")]
+    )
+    spark.createDataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from beauty_lakehouse_spark.operators.text import q_term_pmi_top_pairs
+
+    out = q_term_pmi_top_pairs(spark, str(tmp_path)).collect()
+    by_pair = {(r.term_a, r.term_b): r for r in out}
+    assert ("alpha", "rare") not in by_pair  # support 2 < 5
+    top = out[0]
+    # N=27: (delta,gamma) c_ab=10, c=10/15 -> ln(270/150)=ln 1.8 ~ +0.5878
+    assert (top.term_a, top.term_b) == ("delta", "gamma")
+    assert 585_000 < top.pmi_unats < 590_000
+    ab = by_pair[("alpha", "beta")]
+    # c_ab=10, c_a=17, c_b=10 -> ln(270/170) ~ +0.4626 nats
+    assert 460_000 < ab.pmi_unats < 465_000
+    ag = by_pair[("alpha", "gamma")]
+    # N=27, c_ab=5, c_a=17, c_b=15 -> ln(135/255) < 0
+    assert ag.pmi_unats < 0

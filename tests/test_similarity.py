@@ -305,3 +305,30 @@ def test_ivfpq_finds_planted_near_duplicates(spark, sf_dir):
         F.col("neighbor_id") == F.col("query_id") - 100000
     ).count()
     assert hits >= 16, f"planted-duplicate IVF-PQ recall {hits}/20"
+
+
+def test_embedding_quantize_int8_error_bound(spark, tmp_path):
+    """Quantization error is bounded by half a quantization step per
+    dimension; constant dimensions code to -128 with zero error."""
+    import pyspark.sql.functions as F
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        INT8_IN_SCALE,
+        q_embedding_quantize_int8,
+    )
+
+    vecs = [
+        (i, [float(i) / 10.0, 0.5, -1.0 + 0.01 * i] + [0.0] * 61, 0)
+        for i in range(20)
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = q_embedding_quantize_int8(spark, str(tmp_path)).collect()
+    assert len(out) == 20 and all(r.n_dims == 64 for r in out)
+    # dim 1 spans 1.9e6 micro-units -> step ~7451; half-step + rounding
+    max_step_half = (1_900_000 // 255) // 2 + 2
+    assert all(r.max_err_micro <= max_step_half for r in out)
+    # md5s are distinct per vector (codes actually discriminate)
+    assert len({r.codes_md5 for r in out}) == 20
