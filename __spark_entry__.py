@@ -185,6 +185,8 @@ _DRIVER_ORDER_R5 = [
     "event_volume_anomalies",
     "term_pmi_top_pairs",
     "embedding_quantize_int8",
+    "kmeans_round",
+    "hll_set_algebra",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -427,6 +429,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": similarity.q_knn_brute,
         "embedding_centroids": similarity.q_embedding_centroids,
         "embedding_quantize_int8": similarity.q_embedding_quantize_int8,
+        "kmeans_round": similarity.q_kmeans_round,
         "label_embedding_scatter": similarity.q_label_embedding_scatter,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
@@ -441,6 +444,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in DuckDB) — the auditable twin of cardinality_sketches
         "hll_distinct": quality.q_hll_distinct,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
+        "hll_set_algebra": quality.q_hll_set_algebra,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -1042,6 +1046,92 @@ def _hll_sql_one(table: str, col: str) -> str:
 
 def _hll_group_sql(table: str, col: str, key: str) -> str:
     return _hll_sql(table, col, key)
+
+
+def _hll_pair_sql() -> str:
+    """DuckDB twin of quality.q_hll_set_algebra: per-event-type user
+    sketches, pairwise register max-merge (union), inclusion–exclusion
+    intersection — the same fragments _hll_sql uses, re-grouped over
+    the (type_a, type_b) pair grid."""
+    from beauty_lakehouse_spark.functions import portable_hash64_sql
+    from beauty_lakehouse_spark.operators.quality import (
+        _HLL_EST_DEN,
+        _HLL_EST_NUM,
+        _HLL_RHO_CAP,
+        _HLL_S_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    h = portable_hash64_sql("user_id")
+    w = f"({h} >> {HLL_P})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
+        f"ELSE length(bin({w} & (-{w}))) END)"
+    )
+    s_present = (
+        f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
+        f"AS s_present"
+    )
+    e_raw = (
+        f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
+        f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
+        f"AS e_raw"
+    )
+    estimate = (
+        f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
+        f"CAST(floor(({HLL_M} * "
+        + _lnm(str(HLL_M), "greatest(zeros, 1)")
+        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate"
+    )
+    return (
+        f"WITH regs AS (SELECT event_type, ({h}) & {HLL_M - 1} AS idx, "
+        f"max({rho}) AS m_rho FROM events WHERE user_id IS NOT NULL "
+        f"GROUP BY 1, 2), "
+        "ty AS (SELECT DISTINCT event_type FROM events "
+        "WHERE user_id IS NOT NULL), "
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b "
+        "FROM ty a JOIN ty b ON a.event_type < b.event_type), "
+        "tagged AS (SELECT type_a, type_b, idx, m_rho FROM pr "
+        "JOIN regs ON regs.event_type = pr.type_a "
+        "UNION ALL SELECT type_a, type_b, idx, m_rho FROM pr "
+        "JOIN regs ON regs.event_type = pr.type_b), "
+        "merged AS (SELECT type_a, type_b, idx, max(m_rho) AS m_rho "
+        "FROM tagged GROUP BY 1, 2, 3), "
+        "tu AS (SELECT DISTINCT event_type, user_id FROM events "
+        "WHERE user_id IS NOT NULL), "
+        "xu AS (SELECT type_a, type_b, count(DISTINCT user_id) "
+        "AS n_exact_union FROM (SELECT type_a, type_b, user_id FROM pr "
+        "JOIN tu ON tu.event_type = pr.type_a UNION ALL "
+        "SELECT type_a, type_b, user_id FROM pr "
+        "JOIN tu ON tu.event_type = pr.type_b) GROUP BY 1, 2), "
+        "xi AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "count(*) AS n_exact_intersection FROM tu a JOIN tu b "
+        "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+        "GROUP BY 1, 2), "
+        f"us AS (SELECT type_a, type_b, count(*) AS p_regs, {s_present} "
+        "FROM merged GROUP BY 1, 2), "
+        f"ue AS (SELECT type_a, type_b, p_regs, ({HLL_M} - p_regs) AS zeros, "
+        f"{e_raw} FROM us), "
+        f"uest AS (SELECT type_a, type_b, {estimate} FROM ue), "
+        f"ss AS (SELECT event_type, count(*) AS p_regs, {s_present} "
+        "FROM regs GROUP BY 1), "
+        f"se0 AS (SELECT event_type, p_regs, ({HLL_M} - p_regs) AS zeros, "
+        f"{e_raw} FROM ss), "
+        f"sest AS (SELECT event_type, {estimate} FROM se0) "
+        "SELECT p.type_a AS type_a, p.type_b AS type_b, "
+        "sa.hll_estimate AS est_a, sb.hll_estimate AS est_b, "
+        "u.hll_estimate AS union_estimate, xu.n_exact_union AS n_exact_union, "
+        "greatest(CAST(0 AS BIGINT), sa.hll_estimate + sb.hll_estimate - "
+        "u.hll_estimate) AS intersection_estimate, "
+        "CAST(coalesce(xi.n_exact_intersection, 0) AS BIGINT) "
+        "AS n_exact_intersection "
+        "FROM pr p JOIN uest u ON u.type_a = p.type_a AND u.type_b = p.type_b "
+        "JOIN xu ON xu.type_a = p.type_a AND xu.type_b = p.type_b "
+        "JOIN sest sa ON sa.event_type = p.type_a "
+        "JOIN sest sb ON sb.event_type = p.type_b "
+        "LEFT JOIN xi ON xi.type_a = p.type_a AND xi.type_b = p.type_b"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2281,6 +2371,34 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
             "AS codes_md5 FROM s GROUP BY vec_id"
         ),
+        "kmeans_round": (
+            # one exact Lloyd round: md5-hash-seeded init, integer-L2
+            # argmin assignment (tie -> smallest cluster), exact integer
+            # centroid update with the shifted half-up mean
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+            "::BIGINT, vec_id) AS INTEGER) AS cluster_id FROM embeddings "
+            "ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), "
+            "1, 15))::BIGINT, vec_id LIMIT 8), "
+            "se AS (SELECT cluster_id, dim, q AS c FROM sd "
+            "JOIN ex USING (vec_id)), "
+            "d AS (SELECT ex.vec_id AS vec_id, se.cluster_id AS cluster_id, "
+            "sum((ex.q - se.c) * (ex.q - se.c)) AS dist "
+            "FROM ex JOIN se ON se.dim = ex.dim GROUP BY 1, 2), "
+            "a AS (SELECT vec_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d) "
+            "WHERE rn = 1) "
+            "SELECT a.cluster_id AS cluster_id, ex.dim AS dim, "
+            "count(*) AS n_members, CAST(sum(q) AS BIGINT) AS sum_q, "
+            "CAST(CAST("
+            + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+            + " AS BIGINT) - 4000000 AS BIGINT) AS centroid_micro "
+            "FROM ex JOIN a ON a.vec_id = ex.vec_id GROUP BY 1, 2"
+        ),
         "embedding_centroids": (
             "WITH ex AS (SELECT label, CAST(t.i AS INTEGER) AS dim, "
             "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
@@ -2434,6 +2552,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_users_by_event_type": _hll_group_sql(
             "events", "user_id", "event_type"
         ),
+        "hll_set_algebra": _hll_pair_sql(),
         "hll_users_hourly_streamed": _hll_group_sql(
             "(SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, "
             "user_id FROM events)",

@@ -602,3 +602,123 @@ def q_hll_users_by_event_type(spark, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_exact")
     )
     return hll_estimate_from_registers(regs, exact, keys=("event_type",))
+
+
+def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
+    """HLL sketch SET ALGEBRA over the per-event-type user sketches:
+    for every pair of event types, the union estimate by register
+    max-merge (the operation that makes HLL mergeable — the whole point
+    of sketching at 100 TB) and the intersection estimate by
+    inclusion–exclusion, next to their exact counts.
+
+    The merge is a pure groupBy(idx).max over the two types' register
+    streams — no rescan of the fact: at scale the per-type sketches are
+    ≤ m rows each and every pairwise union costs m-row work, while the
+    exact recount (carried here only for the accuracy contract) costs a
+    full shuffle per pair. Estimates and merge are bit-exact replicas
+    of the oracle's SQL (same integer harmonic sum / rational alpha /
+    ln_micro correction); inclusion–exclusion error compounds the two
+    sketch errors — the textbook caveat, pytest-bounded.
+
+    Pair grid: |event types|² inequality join (≤ ~6 rows a side) —
+    the one BroadcastNestedLoopJoin, bounded by the type dictionary."""
+    from ..catalog import load
+
+    events = load(spark, sf_dir).events.filter(F.col("user_id").isNotNull())
+    regs = hll_registers(events, "user_id", keys=("event_type",)).localCheckpoint(
+        eager=False
+    )  # feeds the pair merge twice + the per-type estimates
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tagged = (
+        pairs.join(regs, regs.event_type == pairs.type_a)
+        .select("type_a", "type_b", "idx", "m_rho")
+        .unionByName(
+            pairs.join(regs, regs.event_type == pairs.type_b).select(
+                "type_a", "type_b", "idx", "m_rho"
+            )
+        )
+    )
+    merged = tagged.groupBy("type_a", "type_b", "idx").agg(
+        F.max("m_rho").alias("m_rho")
+    )
+    tu = events.select("event_type", "user_id").distinct().localCheckpoint(
+        eager=False
+    )
+    exact_union = (
+        pairs.join(tu, tu.event_type == pairs.type_a)
+        .select("type_a", "type_b", "user_id")
+        .unionByName(
+            pairs.join(tu, tu.event_type == pairs.type_b).select(
+                "type_a", "type_b", "user_id"
+            )
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    union_est = hll_estimate_from_registers(
+        merged, exact_union, keys=("type_a", "type_b")
+    ).select(
+        "type_a",
+        "type_b",
+        F.col("hll_estimate").alias("union_estimate"),
+        F.col("n_exact").alias("n_exact_union"),
+    )
+    exact_by_type = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    single = hll_estimate_from_registers(
+        regs, exact_by_type, keys=("event_type",)
+    ).select("event_type", "hll_estimate")
+    exact_inter = (
+        tu.alias("a")
+        .join(
+            tu.alias("b"),
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_exact_intersection"))
+    )
+    out = (
+        union_est.join(
+            single.select(
+                F.col("event_type").alias("type_a"),
+                F.col("hll_estimate").alias("est_a"),
+            ),
+            "type_a",
+        )
+        .join(
+            single.select(
+                F.col("event_type").alias("type_b"),
+                F.col("hll_estimate").alias("est_b"),
+            ),
+            "type_b",
+        )
+        .join(exact_inter, ["type_a", "type_b"], "left")
+    )
+    return out.select(
+        "type_a",
+        "type_b",
+        "est_a",
+        "est_b",
+        "union_estimate",
+        "n_exact_union",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("est_a") + F.col("est_b") - F.col("union_estimate"),
+        ).alias("intersection_estimate"),
+        F.coalesce(F.col("n_exact_intersection"), F.lit(0).cast("long")).alias(
+            "n_exact_intersection"
+        ),
+    )

@@ -1017,3 +1017,100 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             "codes_md5",
         )
     )
+
+
+#: q_kmeans_round geometry: cluster count, and the non-negativity shift
+#: for the half-up centroid division (|q| provably < KMEANS_OFFSET for
+#: any input with |x| < 4 — the fixtures are unit-scale).
+KMEANS_K = 8
+KMEANS_OFFSET = 4_000_000
+
+
+def q_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd iteration of k-means over the embedding corpus —
+    the verifiable building block behind the (rows-only, multi-round)
+    ``ivf_build`` trainer: hash-seeded init, integer-L2 assignment,
+    exact integer centroid update, all oracle-matched.
+
+    Determinism: seeds are the ``KMEANS_K`` vectors with the smallest
+    md5-derived ``portable_hash64('km:' || vec_id)`` (tie: vec_id) —
+    no RNG, identical in SQL. Vectors are widened to integer
+    micro-units; squared L2 distance is then an exact int64 sum
+    (|diff| ≤ 2e6, d = 64 → ≤ 2.6e14), argmin ties break to the
+    smallest cluster id. The centroid update emits (n, Σq) exactly,
+    plus the half-up integer mean via the shifted ``halfup_div``
+    (q + OFFSET ≥ 0 keeps the half-up contract; both engines shift
+    identically, so the round-trip is bit-equal).
+
+    Scale shape: the k·d seed table broadcasts; assignment is the
+    exploded scan joined per-dim against it — n·d·k narrow rows with
+    full map-side combine into (vec, cluster) partials, the same dense
+    assign every distributed k-means runs. Update is one more
+    map-side-combinable groupBy. To train for real: run this round's
+    plan ``iters`` times on a sample (see ``ivf_build``), full corpus
+    only for the final assignment."""
+    from ..functions import halfup_div, portable_hash64
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .alias("q"),
+    ).localCheckpoint(eager=False)  # feeds seeds, distances and update
+    seeds = (
+        t.embeddings.select("vec_id")
+        .orderBy(
+            portable_hash64(
+                F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+        .limit(KMEANS_K)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    portable_hash64(
+                        F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+                    ),
+                    "vec_id",
+                )
+            )
+            .alias("cluster_id"),
+            "vec_id",
+        )
+    )
+    seed_ex = seeds.join(ex, "vec_id").select(
+        "cluster_id", "dim", F.col("q").alias("c")
+    )
+    dist = (
+        ex.join(F.broadcast(seed_ex), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+             .alias("dist"))
+    )
+    assign = dist.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster_id")).alias("m")
+    ).select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    return (
+        ex.join(assign, "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("q").alias("sum_q"))
+        .select(
+            "cluster_id",
+            "dim",
+            "n_members",
+            "sum_q",
+            (
+                halfup_div(
+                    F.col("sum_q") + F.col("n_members") * KMEANS_OFFSET,
+                    F.col("n_members"),
+                    0,
+                ).cast("long")
+                - KMEANS_OFFSET
+            ).alias("centroid_micro"),
+        )
+    )

@@ -41,6 +41,7 @@ WHITELIST: dict[str, str] = {
     "tfidf_top_terms": "1-row corpus-size broadcast cross join (scalar subquery form)",
     "term_pmi_top_pairs": "1-row corpus-size broadcast cross join (scalar subquery form)",
     "hll_distinct": "1-row sketch stats x 1-row exact count broadcast attach, per target",
+    "hll_set_algebra": "pair grid over the event-type dictionary (<= ~6 rows a side) + 1-row estimate attaches",
     "mixture_temperature": "|sources|-row table x 1-row totals broadcast attach (scalar subquery form)",
     "semantic_neardup": "within-cluster pair join; cluster size is the documented bound",
     "revenue_forecast_delta": "two 1-row aggregates joined (scalar compare)",
@@ -72,6 +73,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "mixture_rebalance": "window over per-source aggregate (bounded rows)",
     "customer_order_distribution": "window over count-of-counts aggregate",
     "cardinality_sketches": "stack over 1-row aggregate",
+    "kmeans_round": "row_number over the k-row seed table (limit(KMEANS_K), k=8)",
     "quantile_sketches": "stack over 1-row aggregate",
 }
 

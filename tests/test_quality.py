@@ -170,3 +170,25 @@ def test_hll_grouped_accuracy(spark, sf_dir):
         assert abs(r.hll_estimate - r.n_exact) <= max(0.10 * r.n_exact, 3), (
             r.event_type, r.n_exact, r.hll_estimate,
         )
+
+
+def test_hll_set_algebra_accuracy(spark, sf_dir):
+    """Pairwise union/intersection sketch estimates stay within 10% of
+    the exact counts (m=1024, small-range regime -> linear counting is
+    near-exact), and the algebra is internally consistent."""
+    from beauty_lakehouse_spark.operators.quality import q_hll_set_algebra
+
+    rows = q_hll_set_algebra(spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5 event types, 2)
+    for r in rows:
+        assert r.union_estimate >= max(r.est_a, r.est_b) - 1
+        assert abs(r.union_estimate - r.n_exact_union) <= 0.1 * r.n_exact_union
+        assert (
+            abs(r.intersection_estimate - r.n_exact_intersection)
+            <= 0.1 * max(r.n_exact_intersection, 20)
+        )
+        # inclusion-exclusion identity on the estimates themselves
+        assert (
+            r.intersection_estimate
+            == max(0, r.est_a + r.est_b - r.union_estimate)
+        )

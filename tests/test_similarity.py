@@ -332,3 +332,51 @@ def test_embedding_quantize_int8_error_bound(spark, tmp_path):
     assert all(r.max_err_micro <= max_step_half for r in out)
     # md5s are distinct per vector (codes actually discriminate)
     assert len({r.codes_md5 for r in out}) == 20
+
+
+def test_kmeans_round_matches_numpy(spark, sf_dir):
+    """One Lloyd round recomputed in plain python/numpy over the same
+    fixture: seeds, assignment, membership and integer centroids must
+    agree exactly."""
+    import hashlib
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        KMEANS_K,
+        KMEANS_OFFSET,
+        q_kmeans_round,
+    )
+
+    t = load(spark, sf_dir)
+    vecs = {
+        r.vec_id: [math.floor(float(x) * 1_000_000 + 0.5) for x in r.embedding]
+        for r in t.embeddings.collect()
+    }
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    seeds = sorted(vecs, key=lambda v: (h64(f"km:{v}"), v))[:KMEANS_K]
+    assign = {}
+    for vid, q in vecs.items():
+        best = min(
+            (sum((a - b) ** 2 for a, b in zip(q, vecs[s])), cid)
+            for cid, s in enumerate(seeds, start=1)
+        )
+        assign[vid] = best[1]
+    want = {}
+    for cid in range(1, KMEANS_K + 1):
+        members = [vecs[v] for v in vecs if assign[v] == cid]
+        for dim in range(64):
+            n = len(members)
+            sq = sum(m[dim] for m in members)
+            num, den = 2 * (sq + n * KMEANS_OFFSET) + n, 2 * n
+            cent = num // den - KMEANS_OFFSET
+            want[(cid, dim + 1)] = (n, sq, cent)
+
+    got = {
+        (r.cluster_id, r.dim): (r.n_members, r.sum_q, r.centroid_micro)
+        for r in q_kmeans_round(spark, sf_dir).collect()
+    }
+    assert got == want
