@@ -187,6 +187,7 @@ _DRIVER_ORDER_R5 = [
     "embedding_quantize_int8",
     "kmeans_round",
     "hll_set_algebra",
+    "bpe_encode",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -469,6 +470,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
         "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
+        "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1046,6 +1048,15 @@ def _hll_sql_one(table: str, col: str) -> str:
 
 def _hll_group_sql(table: str, col: str, key: str) -> str:
     return _hll_sql(table, col, key)
+
+
+def _bpe_chain_sql(expr: str) -> str:
+    """The BPE_FIXED_MERGES replace chain as nested DuckDB ``replace``
+    calls — generated from the same table text.bpe_encode_expr folds
+    over, so the two sides cannot drift."""
+    for a, b in text.BPE_FIXED_MERGES:
+        expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
+    return expr
 
 
 def _hll_pair_sql() -> str:
@@ -1829,6 +1840,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "bpe_encode": (
+            # tokenizer APPLY under the fixed pretrained merge table:
+            # the identical <c>-wrapped literal-replace chain Spark runs
+            "WITH s AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "tok AS (SELECT * FROM (SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) AS INTEGER) AS pos, "
+            "unnest(toks) AS token FROM s) WHERE token <> ''), "
+            "enc AS (SELECT doc_id, pos, "
+            + _bpe_chain_sql("regexp_replace(token, '(.)', '<\\1>', 'g')")
+            + " AS wrapped FROM tok), "
+            "p AS (SELECT doc_id, pos, "
+            "trim(replace(wrapped, '><', ' '), '<>') AS pieces, "
+            "CAST(len(wrapped) - len(replace(wrapped, '<', '')) AS INTEGER) "
+            "AS n_pieces FROM enc) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "CAST(sum(n_pieces) AS BIGINT) AS n_pieces, "
+            "md5(string_agg(pieces, '|' ORDER BY pos)) AS pieces_md5, "
+            "CAST(max(n_pieces) AS INTEGER) AS max_token_pieces "
+            "FROM p GROUP BY doc_id"
         ),
         "term_pmi_top_pairs": (
             # document-level co-occurrence, per-doc distinct-term cap

@@ -850,3 +850,83 @@ def q_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_unats"), "term_a", "term_b")
         .limit(50)
     )
+
+
+#: Pretrained merge table for q_bpe_encode — the "published tokenizer"
+#: being APPLIED (training lives in bpe_train; this is the other half
+#: of the tokenizer lifecycle). Rank order matters: each merge is
+#: applied exhaustively in one pass before the next rank, which for a
+#: prefix-chain table like this one is exact reference BPE.
+BPE_FIXED_MERGES: list[tuple[str, str]] = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("v", "a"), ("va", "l"), ("val", "u"), ("valu", "e"),
+    ("q", "u"), ("qu", "e"), ("que", "r"), ("quer", "y"),
+    ("s", "p"), ("sp", "a"), ("spa", "r"), ("spar", "k"),
+    ("e", "r"), ("o", "w"), ("r", "ow"),
+]
+
+
+def bpe_encode_expr(token: Column, merges: list[tuple[str, str]]) -> Column:
+    """Symbol-piece string for one token under a FIXED merge table, as
+    a pure expression chain (whole-stage codegen, no UDF).
+
+    Encoding trick: wrap every character as ``<c>``; a merge (a, b) is
+    then the literal replace ``<a><b>`` → ``<ab>``. Because the
+    wrappers delimit symbols exactly and ``replace`` substitutes
+    non-overlapping occurrences left-to-right, one replace per merge
+    reproduces the greedy left-to-right merge scan of
+    ``_apply_merge`` — and the identical ``replace`` chain runs in
+    DuckDB, which is what makes tokenizer APPLICATION oracle-matchable
+    while training (argmax per round) stays rows-only. Requires
+    ``<``/``>``-free tokens (the corpus contract after cleaning)."""
+    s = F.regexp_replace(token, "(.)", "<$1>")
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+    return s
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: encode every corpus token with the pretrained
+    ``BPE_FIXED_MERGES`` table — per-token piece string and piece
+    count, plus the per-document token/piece totals a packing pipeline
+    budgets with. Oracle-exact (see ``bpe_encode_expr``).
+
+    Scale: pure narrow expression work inside whole-stage codegen over
+    the exploded token stream, then one map-side-combinable groupBy
+    back to document grain. The merge chain is ~|merges| string
+    replaces per token — constant per row, no joins, no UDFs."""
+    t = load(spark, sf_dir)
+    toks = _tok(t.documents).select(
+        "doc_id", F.posexplode("toks").alias("pos", "token")
+    ).filter(F.col("token") != "")
+    enc = toks.select(
+        "doc_id",
+        "pos",
+        "token",
+        bpe_encode_expr(F.col("token"), BPE_FIXED_MERGES).alias("wrapped"),
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.btrim(F.replace("wrapped", F.lit("><"), F.lit(" ")), F.lit("<>"))
+        .alias("pieces"),
+        (
+            F.length("wrapped") - F.length(F.replace("wrapped", F.lit("<"), F.lit("")))
+        ).cast("int").alias("n_pieces"),
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("n_pieces").alias("n_pieces"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "pieces"))
+                    ),
+                    lambda s: s["pieces"],
+                ),
+                "|",
+            )
+        ).alias("pieces_md5"),
+        F.max("n_pieces").alias("max_token_pieces"),
+    )

@@ -434,3 +434,52 @@ def test_term_pmi_planted_collocation(spark, tmp_path):
     ag = by_pair[("alpha", "gamma")]
     # N=27, c_ab=5, c_a=17, c_b=15 -> ln(135/255) < 0
     assert ag.pmi_unats < 0
+
+
+def test_bpe_encode_matches_reference_scan(spark):
+    """The <c>-wrapped replace chain equals the reference greedy
+    left-to-right merge scan on adversarial tokens (overlaps, repeats,
+    self-pairs)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.text import (
+        BPE_FIXED_MERGES,
+        bpe_encode_expr,
+    )
+
+    def ref_encode(token: str) -> list[str]:
+        syms = list(token)
+        for a, b in BPE_FIXED_MERGES:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    tokens = [
+        "table", "tabletable", "value", "sparky", "query", "aaa",
+        "tata", "tab", "ttaa", "erer", "row", "rrow", "owow", "x",
+        "valuevalue", "spark", "querytable",
+    ]
+    df = spark.createDataFrame([(t,) for t in tokens], "token string")
+    got = {
+        r.token: r.pieces.split(" ")
+        for r in df.select(
+            "token",
+            F.btrim(
+                F.replace(
+                    bpe_encode_expr(F.col("token"), BPE_FIXED_MERGES),
+                    F.lit("><"),
+                    F.lit(" "),
+                ),
+                F.lit("<>"),
+            ).alias("pieces"),
+        ).collect()
+    }
+    for t in tokens:
+        assert got[t] == ref_encode(t), t
