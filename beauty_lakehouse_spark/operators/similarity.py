@@ -178,7 +178,7 @@ def ann_lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 8,
-    n_tables: int = 4,
+    n_tables: int = 6,
     hamming_radius: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
@@ -760,10 +760,12 @@ def _query_subvectors(qn: DataFrame) -> DataFrame:
 #: recall@5 at sf0.1 on the near-random fixture (the hard case — no
 #: planted structure): factor 1 → 0.09, 4 → 0.23, 8 → 0.41, 16 → 0.54
 #: for knn_pq; the cost is factor·k full-vector reads per query —
-#: negligible against any corpus scan at every scale. 8 is the
-#: standard FAISS-style refine range; raise it before touching m/k
-#: when recall matters more than the last 2x of rerank traffic.
-PQ_RERANK_FACTOR = 8
+#: negligible against any corpus scan at every scale. Round 5 runs
+#: at 16: the extra 2x of rerank traffic is still ~k·16 row reads per
+#: query (nothing at any scale), and it buys +0.13 recall on the
+#: hardest (structureless) input; drop back toward 8 only if the
+#: rerank read path ever becomes the measured bottleneck.
+PQ_RERANK_FACTOR = 16
 
 
 def _adc_rerank(
@@ -862,7 +864,7 @@ def ivfpq_topk(
     corpus: DataFrame,
     k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 6,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale index — IVF inverted lists
     bound WHICH vectors are scored (nprobe/n_centroids of the corpus),
