@@ -188,6 +188,9 @@ _DRIVER_ORDER_R5 = [
     "kmeans_round",
     "hll_set_algebra",
     "bpe_encode",
+    "event_anomalies_streamed",
+    "order_enriched_salted",
+    "lang_eval",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -293,6 +296,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_per_customer": relational.q_orders_per_customer,
         "order_revenue": relational.q_order_revenue,
         "order_enriched": relational.q_order_enriched,
+        "order_enriched_salted": relational.q_order_enriched_salted,
         "customer_order_stats": relational.q_customer_order_stats,
         "topk_customers_by_revenue": relational.q_topk_customers_by_revenue,
         "price_consistency": relational.q_price_consistency,
@@ -457,6 +461,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking_streamed": _q_doc_chunking_streamed,
         "hll_distinct_streamed": _q_hll_distinct_streamed,
         "hll_users_hourly_streamed": _q_hll_users_hourly_streamed,
+        "event_anomalies_streamed": _q_event_anomalies_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
         # dedup endgame: candidates -> verify -> connected components ->
@@ -470,6 +475,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
         "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
+        "lang_eval": text.q_lang_eval,  # classifier eval report, oracle-exact
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
@@ -723,6 +729,31 @@ def _q_hll_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.hll_estimate_from_registers(
         regs, exact, keys=("hour_us",)
     )
+
+
+def _q_event_anomalies_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trailing-24h volume-anomaly monitor with its hourly bucket
+    table maintained as a STREAMING aggregate (complete-mode tumbling
+    windows) and the RANGE-frame 3σ verdict applied as the batch
+    finish over the drained buckets — behind the SAME oracle row as
+    the batch q_event_volume_anomalies (register/finish split, exactly
+    like the streamed HLL drains)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.events import volume_anomaly_finish
+    from beauty_lakehouse_spark.streaming import (
+        hourly_event_counts,
+        run_available_now,
+        stream_events,
+    )
+
+    hourly = run_available_now(
+        hourly_event_counts(stream_events(spark, sf_dir)),
+        f"gate_anom_{uuid.uuid4().hex[:8]}",
+    ).select("event_type", "hour_start_us", "n_events")
+    return volume_anomaly_finish(hourly)
 
 
 def _q_beauty_datagen(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2596,7 +2627,32 @@ def oracle_sql() -> dict[str, str]:
     }
     # the streaming drains are hash-checked against their batch twins'
     # oracles — streaming == batch == independent-engine SQL
+    out["lang_eval"] = (
+        "WITH pred AS (" + out["lang_id"] + "), "
+        "t AS (SELECT lang AS cls, count(*) AS n_true FROM pred GROUP BY 1), "
+        "p AS (SELECT pred_lang AS cls, count(*) AS n_pred FROM pred "
+        "GROUP BY 1), "
+        "tpx AS (SELECT lang AS cls, count(*) AS tp FROM pred "
+        "WHERE lang = pred_lang GROUP BY 1), "
+        "c AS (SELECT cls FROM t UNION SELECT cls FROM p), "
+        "j AS (SELECT c.cls AS cls, CAST(coalesce(n_true, 0) AS BIGINT) "
+        "AS n_true, CAST(coalesce(n_pred, 0) AS BIGINT) AS n_pred, "
+        "CAST(coalesce(tp, 0) AS BIGINT) AS tp FROM c "
+        "LEFT JOIN t ON t.cls = c.cls LEFT JOIN p ON p.cls = c.cls "
+        "LEFT JOIN tpx ON tpx.cls = c.cls) "
+        "SELECT cls, n_true, n_pred, tp, "
+        "CASE WHEN n_pred = 0 THEN 0.0 ELSE " + _hud("tp", "n_pred", 6)
+        + " END AS prec, "
+        "CASE WHEN n_true = 0 THEN 0.0 ELSE " + _hud("tp", "n_true", 6)
+        + " END AS rec, "
+        "CASE WHEN 2 * tp + (n_pred - tp) + (n_true - tp) = 0 THEN 0.0 "
+        "ELSE " + _hud("(2 * tp)", "(2 * tp + (n_pred - tp) + (n_true - tp))", 6)
+        + " END AS f1 FROM j"
+    )
+    # salted-rewrite twins: same oracle as the direct form
+    out["order_enriched_salted"] = out["order_enriched"]
     out["events_hourly_streamed"] = out["events_hourly"]
+    out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (
         "SELECT event_id, user_id, event_type, epoch_us(ts) AS us, "

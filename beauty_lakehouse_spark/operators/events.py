@@ -325,8 +325,6 @@ def q_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = hours × types, ~5 orders of magnitude smaller than the
     fact; per-partition state is bounded by the calendar, not the
     data. No UDFs, no collect."""
-    from pyspark.sql import Window
-
     t = load(spark, sf_dir)
     hourly = (
         t.events.groupBy(
@@ -339,6 +337,17 @@ def q_event_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    return volume_anomaly_finish(hourly)
+
+
+def volume_anomaly_finish(hourly: DataFrame) -> DataFrame:
+    """The anomaly verdict over an (event_type, hour_start_us,
+    n_events) bucket table — shared by the batch query above and the
+    streaming drain (the hourly table is what the stream maintains;
+    the trailing-window test is a batch finish over it, the same
+    split as the HLL register/estimate pair)."""
+    from pyspark.sql import Window
+
     fr = (
         Window.partitionBy("event_type")
         .orderBy("hour_start_us")

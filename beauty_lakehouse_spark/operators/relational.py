@@ -436,3 +436,59 @@ def q_events_by_type_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.round("total_value", 2).cast("double").alias("total_value"),
     )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Skew-safe shuffled equi-join for a hot probe-side key.
+
+    AQE's skew-join split handles this case only after a stats pass and
+    only per oversized partition; explicit salting is the deterministic
+    form: the probe side gets a uniform salt, the build side is
+    REPLICATED once per salt value (``explode(sequence)``, n_salts·|build|
+    rows), and the join runs on (key, salt) — the hot key's rows now
+    land on ``n_salts`` reducers instead of one. Use when the build
+    side is too large to broadcast AND a probe key is hot enough to
+    break a sort-merge partition; the build replication cost says keep
+    n_salts at the skew factor, not higher. Result-transparent by
+    construction (every probe row still meets exactly one copy of its
+    build row)."""
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts))
+    p = probe.withColumn("__salt", salt)
+    b = build.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return p.join(
+        b,
+        (F.col(probe_key) == F.col(build_key)) & (p["__salt"] == b["__salt"]),
+    ).drop("__salt")
+
+
+def q_order_enriched_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """order_enriched through the SKEW-SAFE salted fact⋈fact join —
+    registered behind the same oracle as the plain join to prove the
+    salt+replicate rewrite is result-transparent (the join twin of
+    events_by_type_salted's aggregate proof). The plan shape (join key
+    widened with the salt, build side exploded n_salts-fold) is what
+    you swap in when one l_orderkey carries a reducer-breaking share
+    and the orders side can't broadcast."""
+    t = load(spark, sf_dir)
+    joined = salted_join(
+        t.lineitem.filter(F.col("l_returnflag") == "R"),
+        t.orders,
+        "l_orderkey",
+        "o_orderkey",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "l_linenumber",
+        "l_quantity",
+        money_round(net_expr()).alias("net_price"),
+    )

@@ -930,3 +930,61 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pieces_md5"),
         F.max("n_pieces").alias("max_token_pieces"),
     )
+
+
+def q_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation of the lang-ID heuristic against the
+    labeled corpus: per-class true/predicted counts, true positives,
+    and precision/recall/F1 — the standard eval report any curation
+    pipeline publishes next to its classifier, oracle-exact (the
+    ratios are exact rationals via ``halfup_div``, F1 as
+    2·tp/(2·tp+fp+fn) without intermediate floats).
+
+    Scale: the per-doc prediction is the narrow expression scan of
+    ``q_lang_id``; everything after runs at CLASS grain (|classes|
+    rows — here ≤ 6), three map-side-combinable groupBys and outer
+    joins on the class dictionary."""
+    from ..functions import halfup_div
+
+    pred = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    per_true = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    per_pred = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    tp = (
+        pred.filter(F.col("lang") == F.col("pred_lang"))
+        .groupBy(F.col("lang").alias("cls"))
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    classes = per_true.select("cls").union(per_pred.select("cls")).distinct()
+    j = (
+        classes.join(per_true, "cls", "left")
+        .join(per_pred, "cls", "left")
+        .join(tp, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    fp = F.col("n_pred") - F.col("tp")
+    fn = F.col("n_true") - F.col("tp")
+    denom = F.lit(2) * F.col("tp") + fp + fn
+    return j.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.when(F.col("n_pred") == 0, F.lit(0.0))
+        .otherwise(halfup_div(F.col("tp"), F.col("n_pred"), 6))
+        .alias("prec"),
+        F.when(F.col("n_true") == 0, F.lit(0.0))
+        .otherwise(halfup_div(F.col("tp"), F.col("n_true"), 6))
+        .alias("rec"),
+        F.when(denom == 0, F.lit(0.0))
+        .otherwise(halfup_div(F.lit(2) * F.col("tp"), denom, 6))
+        .alias("f1"),
+    )

@@ -101,3 +101,37 @@ def test_session_runs_with_aqe_enabled(spark):
         spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
         == "true"
     )
+
+
+def test_salted_join_equal_and_bounded(spark):
+    """Salted fact⋈build join: identical result set to the plain join,
+    and the hot probe key's co-location unit shrinks from 30% of the
+    table to ~1/N_SALTS of that (measured on the planted salt)."""
+    from beauty_lakehouse_spark.operators.relational import salted_join
+
+    probe = _hot_key_events(spark)
+    build = (
+        probe.select("user_id").distinct().withColumn(
+            "grade", F.length("user_id").cast("long")
+        ).withColumnRenamed("user_id", "b_user_id")
+    )
+    plain = probe.join(
+        build, probe.user_id == build.b_user_id
+    ).select("user_id", "v", "grade")
+    salted = salted_join(probe, build, "user_id", "b_user_id").select(
+        "user_id", "v", "grade"
+    )
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, salted.collect()))
+    assert a == b
+    # measurement: the (key, salt) unit for the hot key is ~hot/N_SALTS
+    salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(N_SALTS))
+    per_unit = (
+        probe.withColumn("s", salt)
+        .groupBy("user_id", "s")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    hot_rows = int(N_ROWS * HOT_SHARE)
+    assert per_unit <= hot_rows // N_SALTS * 3  # generous uniformity slack
