@@ -191,6 +191,7 @@ _DRIVER_ORDER_R5 = [
     "event_anomalies_streamed",
     "order_enriched_salted",
     "lang_eval",
+    "moments_sketch",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -450,6 +451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": quality.q_hll_distinct,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
+        "moments_sketch": quality.q_moments_sketch,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -2616,6 +2618,23 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "event_type"
         ),
         "hll_set_algebra": _hll_pair_sql(),
+        "moments_sketch": (
+            # exact integer power sums in HUGEINT; m3..m6 emitted as
+            # plain-digit strings (same as Spark's DECIMAL(38,0) cast)
+            "WITH e AS (SELECT event_type, "
+            "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS HUGEINT) AS c "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(min(c) AS BIGINT) AS min_cents, "
+            "CAST(max(c) AS BIGINT) AS max_cents, "
+            "CAST(sum(c) AS BIGINT) AS m1, "
+            "CAST(sum(c * c) AS BIGINT) AS m2, "
+            "CAST(sum(c * c * c) AS VARCHAR) AS m3, "
+            "CAST(sum(c * c * c * c) AS VARCHAR) AS m4, "
+            "CAST(sum(c * c * c * c * c) AS VARCHAR) AS m5, "
+            "CAST(sum(c * c * c * c * c * c) AS VARCHAR) AS m6 "
+            "FROM e GROUP BY event_type"
+        ),
         "hll_users_hourly_streamed": _hll_group_sql(
             "(SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS hour_us, "
             "user_id FROM events)",

@@ -722,3 +722,57 @@ def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
             "n_exact_intersection"
         ),
     )
+
+
+#: Highest power carried by q_moments_sketch. cents^6 · n must fit
+#: DECIMAL(38,0)/HUGEINT: at |cents| <= 5e4 and n <= 1e9 the 6th
+#: moment sum is <= ~1.5e37 — inside both engines' 38-digit budget.
+MOMENTS_MAX_K = 6
+
+
+def q_moments_sketch(spark, sf_dir: str) -> DataFrame:
+    """Mergeable MOMENTS quantile sketch per event type (Gan et al.,
+    "Moment-based quantile sketches"): the exact integer power sums
+    Σx^k for k = 1..6 over value-cents, plus n/min/max — the entire
+    sketch state, oracle-exact.
+
+    Unlike KLL/t-digest (order- and randomness-dependent internals
+    that can never hash-match across engines), the moments sketch IS
+    a set of exact associative aggregates: trivially mergeable across
+    partitions, micro-batches and engines, constant size (8 numbers),
+    and bit-identical everywhere — the sketch family built for
+    distributed rollup. The quantile SOLVE (max-entropy fit) is a
+    driver-side step over these 8 numbers; its Chebyshev consistency
+    against exact percentiles is pytest-asserted, while the gate
+    hash-checks the full sketch state.
+
+    Scale: one map-side-combinable groupBy; state per group is 8
+    numbers regardless of row count. High moments are emitted as
+    DECIMAL(38,0) cast to STRING so the cross-engine comparison is
+    plain-digit exact (no float, no exponent form)."""
+    from ..catalog import load
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    cents = (dec2("value") * 100).cast("decimal(38,0)")
+    e = t.events.select("event_type", cents.alias("c"))
+    # Decimal ** is inexact in Spark (goes through double); build exact
+    # integer powers by repeated multiplication instead.
+    p = F.col("c")
+    powers = {}
+    for k in range(1, MOMENTS_MAX_K + 1):
+        powers[f"m{k}"] = F.sum(p.cast("decimal(38,0)"))
+        p = p * F.col("c")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("c").cast("long").alias("min_cents"),
+        F.max("c").cast("long").alias("max_cents"),
+        *[
+            (
+                expr.cast("decimal(38,0)").cast("string").alias(name)
+                if k > 2
+                else expr.cast("long").alias(name)
+            )
+            for k, (name, expr) in enumerate(powers.items(), start=1)
+        ],
+    )

@@ -192,3 +192,45 @@ def test_hll_set_algebra_accuracy(spark, sf_dir):
             r.intersection_estimate
             == max(0, r.est_a + r.est_b - r.union_estimate)
         )
+
+
+def test_moments_sketch_moments_exact_and_mergeable(spark, sf_dir):
+    """The sketch's power sums equal a driver-side exact recompute,
+    merge by plain addition across arbitrary splits, and the derived
+    mean/variance satisfy Chebyshev against the raw data."""
+    from decimal import Decimal
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import q_moments_sketch
+
+    rows = q_moments_sketch(spark, sf_dir).collect()
+    events = load(spark, sf_dir).events.select("event_type", "value").collect()
+    by_type = {}
+    for r in events:
+        c = int(
+            (Decimal(str(r.value)).quantize(Decimal("0.01"))) * 100
+        )
+        by_type.setdefault(r.event_type, []).append(c)
+    assert {r.event_type for r in rows} == set(by_type)
+    for r in rows:
+        cs = by_type[r.event_type]
+        assert r.n == len(cs)
+        assert (r.min_cents, r.max_cents) == (min(cs), max(cs))
+        for k, field in enumerate(["m1", "m2", "m3", "m4", "m5", "m6"], 1):
+            want = sum(c**k for c in cs)
+            assert int(str(getattr(r, field))) == want, (r.event_type, field)
+        # merge = addition: split the list anywhere, sums add exactly
+        half = len(cs) // 2
+        assert sum(c**3 for c in cs[:half]) + sum(
+            c**3 for c in cs[half:]
+        ) == int(str(r.m3))
+        # Chebyshev sanity on the derived mean/variance
+        n, m1, m2 = r.n, int(r.m1), int(r.m2)
+        mean = m1 / n
+        var = m2 / n - mean * mean
+        assert var >= 0
+        for kk in (2, 3):
+            frac = sum(
+                1 for c in cs if abs(c - mean) >= kk * (var**0.5)
+            ) / n
+            assert frac <= 1 / kk**2 + 1e-9
