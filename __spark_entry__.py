@@ -192,6 +192,7 @@ _DRIVER_ORDER_R5 = [
     "order_enriched_salted",
     "lang_eval",
     "moments_sketch",
+    "user_state_scd2",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -309,6 +310,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / event-time windows (cheap, all oracle)
         "events_hourly": events.q_events_hourly,
         "event_volume_anomalies": events.q_event_volume_anomalies,
+        "user_state_scd2": events.q_user_state_scd2,
         "events_sliding": events.q_events_sliding,
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
@@ -2308,6 +2310,29 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "user_state_scd2": (
+            # islands: change-flag lag -> running-sum version id ->
+            # interval min/lead; identical window algebra to Spark
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS us FROM events), "
+            "f AS (SELECT user_id, event_id, us, event_type, "
+            "CASE WHEN lag(event_type) OVER w IS NULL "
+            "OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END "
+            "AS chg FROM e WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY us, event_id)), "
+            "v AS (SELECT user_id, us, event_type, "
+            "sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS version FROM f), "
+            "g AS (SELECT user_id, version, min(event_type) AS state, "
+            "min(us) AS effective_from, count(*) AS n_observations "
+            "FROM v GROUP BY 1, 2) "
+            "SELECT user_id, CAST(version AS INTEGER) AS version, state, "
+            "effective_from, "
+            "lead(effective_from) OVER vw AS effective_to, "
+            "lead(effective_from) OVER vw IS NULL AS is_current, "
+            "n_observations FROM g "
+            "WINDOW vw AS (PARTITION BY user_id ORDER BY version)"
         ),
         "event_volume_anomalies": (
             # trailing-24h RANGE frame, self-excluding; the 3σ verdict

@@ -378,3 +378,65 @@ def volume_anomaly_finish(hourly: DataFrame) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_anomaly"),
     )
+
+
+def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 build: collapse each user's
+    event-type observation stream into validity intervals
+    (effective_from / effective_to / is_current) — the standard
+    dimension-history construction every lakehouse runs, as pure
+    window algebra.
+
+    Islands detection: a version starts where the observed attribute
+    differs from the previous observation (lag), version ids are the
+    running sum of change flags, the interval is the version's min
+    timestamp, closed by the next version's start (lead); the last
+    version per user is open (is_current). Ties are broken by
+    event_id so the construction is total-order deterministic.
+
+    Scale: every window is partitioned by user_id — per-partition
+    state is one user's history, never the table; two narrow window
+    passes plus one groupBy, all map-side-combinable. At 100 TB this
+    runs per user shard exactly as written."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    obs = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "us",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(obs).isNull()
+            | (F.lag("event_type").over(obs) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    ).withColumn(
+        "version",
+        F.sum("chg").over(
+            obs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    versions = flagged.groupBy("user_id", "version").agg(
+        # all observations in a version share one event_type by
+        # construction; min() is the deterministic way to pick it
+        F.min("event_type").alias("state"),
+        F.min("us").alias("effective_from"),
+        F.count(F.lit(1)).alias("n_observations"),
+    )
+    vw = Window.partitionBy("user_id").orderBy("version")
+    return versions.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        "state",
+        "effective_from",
+        F.lead("effective_from").over(vw).alias("effective_to"),
+        F.lead("effective_from").over(vw).isNull().alias("is_current"),
+        "n_observations",
+    )

@@ -483,3 +483,27 @@ def test_bpe_encode_matches_reference_scan(spark):
     }
     for t in tokens:
         assert got[t] == ref_encode(t), t
+
+
+def test_user_state_scd2_invariants(spark, sf_dir):
+    """SCD2 intervals tile each user's history: versions are
+    consecutive, effective_to chains to the next effective_from,
+    exactly one open (is_current) version per user, consecutive states
+    differ, and observation counts conserve the event count."""
+    from beauty_lakehouse_spark.operators.events import q_user_state_scd2
+
+    rows = q_user_state_scd2(spark, sf_dir).collect()
+    t = load(spark, sf_dir)
+    n_events = t.events.count()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert sum(r.n_observations for r in rows) == n_events
+    for user, vs in by_user.items():
+        vs = sorted(vs, key=lambda r: r.version)
+        assert [v.version for v in vs] == list(range(1, len(vs) + 1))
+        assert sum(v.is_current for v in vs) == 1 and vs[-1].is_current
+        for a, b in zip(vs, vs[1:]):
+            assert a.effective_to == b.effective_from
+            assert a.state != b.state
+            assert not a.is_current
