@@ -193,6 +193,7 @@ _DRIVER_ORDER_R5 = [
     "lang_eval",
     "moments_sketch",
     "user_state_scd2",
+    "part_golden_record",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -480,6 +481,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
         "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
         "lang_eval": text.q_lang_eval,  # classifier eval report, oracle-exact
+        "part_golden_record": text.q_part_golden_record,  # ER survivorship
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
@@ -1896,6 +1898,32 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(pieces, '|' ORDER BY pos)) AS pieces_md5, "
             "CAST(max(n_pieces) AS INTEGER) AS max_token_pieces "
             "FROM p GROUP BY doc_id"
+        ),
+        "part_golden_record": (
+            # match (blocked levenshtein) -> recursive-CTE closure ->
+            # survivorship; twin of the Spark CC + groupBy pipeline
+            "WITH RECURSIVE n AS (SELECT p_partkey, p_name, "
+            "string_split(p_name, ' ')[1] AS block FROM part), "
+            "e0 AS (SELECT a.p_partkey AS doc_a, b.p_partkey AS doc_b "
+            "FROM n a JOIN n b ON a.block = b.block "
+            "AND a.p_partkey < b.p_partkey "
+            "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM e0 "
+            "UNION SELECT doc_b, doc_a FROM e0), "
+            "reach(node, lbl) AS (SELECT p_partkey, p_partkey FROM part "
+            "UNION SELECT e.dst, r.lbl FROM reach r "
+            "JOIN edges e ON e.src = r.node), "
+            "comp AS (SELECT node AS p_partkey, min(lbl) AS cluster_id "
+            "FROM reach GROUP BY node) "
+            "SELECT c.cluster_id AS cluster_id, count(*) AS n_members, "
+            "min(CASE WHEN p.p_partkey = c.cluster_id THEN p.p_name END) "
+            "AS survivor_name, "
+            "CAST(round(max(CAST(p_retailprice AS DECIMAL(12,2))), 2) "
+            "AS DOUBLE) AS golden_price, "
+            "count(DISTINCT p_brand) AS n_brands, "
+            "min(p_size) AS min_size, max(p_size) AS max_size "
+            "FROM part p JOIN comp c USING (p_partkey) "
+            "GROUP BY 1 HAVING count(*) >= 2"
         ),
         "term_pmi_top_pairs": (
             # document-level co-occurrence, per-doc distinct-term cap

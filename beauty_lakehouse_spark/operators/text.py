@@ -988,3 +988,59 @@ def q_lang_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(halfup_div(F.lit(2) * F.col("tp"), denom, 6))
         .alias("f1"),
     )
+
+
+def q_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution SURVIVORSHIP (golden record): fuzzy-match part
+    names (blocked levenshtein, the q_fuzzy_part_names primitive),
+    close the match graph into entities (the same pointer-doubling
+    connected components the dedup endgame runs), then collapse each
+    multi-member entity to one golden row: survivor = smallest key
+    (deterministic), name from the survivor, price = max across
+    duplicates, plus brand/size spread for stewardship review. The
+    full MDM match→cluster→survive pipeline in one oracle-matched
+    query (DuckDB twin closes the graph with a recursive CTE).
+
+    Scale: candidate pairs are within-block only (first-token canopy),
+    CC is O(log diameter) rounds over the match edges, survivorship is
+    one groupBy at entity grain."""
+    from .dedup import _bucket_pairs, connected_components
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    part = t.part.select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice", "p_size"
+    ).localCheckpoint(eager=False)  # feeds blocking, edge verify, survivors
+    blocked = part.select(
+        F.split("p_name", " ").getItem(0).alias("block"), "p_partkey"
+    )
+    pairs = _bucket_pairs(blocked, ["block"], "p_partkey")
+    a = part.select(F.col("p_partkey").alias("doc_a"), F.col("p_name").alias("na"))
+    b = part.select(F.col("p_partkey").alias("doc_b"), F.col("p_name").alias("nb"))
+    edges = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.levenshtein("na", "nb").between(1, FUZZY_MAX_DISTANCE))
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    comp = connected_components(
+        part.select(F.col("p_partkey").alias("id")), edges
+    ).select(F.col("id").alias("p_partkey"), F.col("comp").alias("cluster_id"))
+    golden = (
+        part.join(comp, "p_partkey")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(
+                F.when(F.col("p_partkey") == F.col("cluster_id"), F.col("p_name"))
+            ).alias("survivor_name"),
+            F.round(F.max(dec2("p_retailprice")), 2)
+            .cast("double")
+            .alias("golden_price"),
+            F.countDistinct("p_brand").alias("n_brands"),
+            F.min("p_size").alias("min_size"),
+            F.max("p_size").alias("max_size"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    return golden

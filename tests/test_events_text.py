@@ -507,3 +507,30 @@ def test_user_state_scd2_invariants(spark, sf_dir):
             assert a.effective_to == b.effective_from
             assert a.state != b.state
             assert not a.is_current
+
+
+def test_part_golden_record_planted_cluster(spark, tmp_path):
+    """Three near-identical names (one-edit chain) collapse into one
+    golden record keyed by the smallest partkey, carrying the max
+    price; an unrelated part stays out."""
+    rows = [
+        (10, "promo steel widget", "B1", "T", 5, 100.00),
+        (11, "promo steel widgat", "B2", "T", 7, 150.00),
+        (12, "promo steel widgett", "B1", "T", 6, 120.00),
+        (99, "economy brass anchor", "B3", "T", 9, 80.00),
+    ]
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    ).write.parquet(str(tmp_path / "part.parquet"))
+
+    from beauty_lakehouse_spark.operators.text import q_part_golden_record
+
+    out = q_part_golden_record(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.cluster_id == 10 and g.n_members == 3
+    assert g.survivor_name == "promo steel widget"
+    assert g.golden_price == 150.0
+    assert (g.n_brands, g.min_size, g.max_size) == (2, 5, 7)
