@@ -194,6 +194,7 @@ _DRIVER_ORDER_R5 = [
     "moments_sketch",
     "user_state_scd2",
     "part_golden_record",
+    "copurchase_jaccard_top",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -482,6 +483,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
         "lang_eval": text.q_lang_eval,  # classifier eval report, oracle-exact
         "part_golden_record": text.q_part_golden_record,  # ER survivorship
+        "copurchase_jaccard_top": graph.q_copurchase_jaccard_top,  # link prediction
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
@@ -1898,6 +1900,26 @@ def oracle_sql() -> dict[str, str]:
             "md5(string_agg(pieces, '|' ORDER BY pos)) AS pieces_md5, "
             "CAST(max(n_pieces) AS INTEGER) AS max_token_pieces "
             "FROM p GROUP BY doc_id"
+        ),
+        "copurchase_jaccard_top": (
+            # candidate pairs from capped baskets; TRUE degrees from
+            # the uncapped distinct bipartite edges; half-up Jaccard
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "bs AS (SELECT l_orderkey, count(*) AS sz FROM d GROUP BY 1), "
+            "ok AS (SELECT d.l_orderkey, d.l_partkey FROM d "
+            "JOIN bs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), "
+            "e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_common FROM ok a JOIN ok b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2), "
+            "deg AS (SELECT l_partkey, count(*) AS dg FROM d GROUP BY 1), "
+            "j AS (SELECT part_a, part_b, n_common, da.dg AS deg_a, "
+            "db.dg AS deg_b FROM e JOIN deg da ON da.l_partkey = part_a "
+            "JOIN deg db ON db.l_partkey = part_b) "
+            "SELECT part_a, part_b, n_common, deg_a, deg_b, "
+            + _hud("n_common", "(deg_a + deg_b - n_common)", 6)
+            + " AS jaccard FROM j "
+            "ORDER BY jaccard DESC, part_a, part_b LIMIT 50"
         ),
         "part_golden_record": (
             # match (blocked levenshtein) -> recursive-CTE closure ->

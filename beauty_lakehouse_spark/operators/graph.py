@@ -370,3 +370,58 @@ def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+def q_copurchase_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the order–part bipartite graph: top-50 part
+    pairs by exact Jaccard of their order neighborhoods —
+    |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| — the classic
+    common-neighbor recommender score, oracle-exact.
+
+    Candidate pairs come only from the capped basket-list expansion
+    (``copurchase_edges`` — pairs must share ≥ 1 order, baskets ≤
+    ``max_basket``); degrees are the TRUE per-part order counts over
+    the uncapped distinct bipartite edges, so the score is the honest
+    neighborhood Jaccard wherever a candidate exists. The ratio is the
+    exact rational n∩/(dₐ+d_b−n∩) surfaced at half-up 6 decimals
+    (``halfup_div``) — deterministic ordering in both engines, id
+    tie-breaks.
+
+    Scale: the pair space is basket-bounded (Σ C(|basket|,2)), degrees
+    are one map-side-combinable groupBy, the final join is pair-grain
+    against the part-degree dictionary."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).withColumnRenamed(
+        "n_orders", "n_common"
+    )
+    deg = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    j = (
+        edges.join(
+            deg.select(F.col("l_partkey").alias("part_a"), F.col("dg").alias("deg_a")),
+            "part_a",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("part_b"), F.col("dg").alias("deg_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            halfup_div(
+                F.col("n_common"),
+                F.col("deg_a") + F.col("deg_b") - F.col("n_common"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return j.orderBy(F.desc("jaccard"), "part_a", "part_b").limit(50)

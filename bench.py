@@ -50,6 +50,9 @@ HEADLINE = [
     "product_triangles",      # wedge-close triangle join
     "minhash_estimate_error", # signature merge + set-intersection scoring
     "events_hourly_streamed", # streaming drain vs its batch twin (events_hourly)
+    "event_volume_anomalies", # trailing-RANGE-frame integer 3-sigma monitor
+    "bpe_encode",             # tokenizer apply: codegen replace chain
+    "user_state_scd2",        # SCD2 islands: lag/running-sum/lead windows
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -147,3 +147,24 @@ def test_product_triangles_invariants(spark, sf_dir):
     assert bad.count() == 0
     total = out.agg(F.sum("n_triangles").alias("s")).first().s
     assert total % 3 == 0 and total > 0
+
+
+def test_copurchase_jaccard_invariants(spark, sf_dir):
+    """Jaccard scores are valid rationals of the true neighborhood
+    sizes: 0 < j <= 1, n_common <= min(deg), and the report is sorted
+    desc with id tie-breaks."""
+    from beauty_lakehouse_spark.operators.graph import (
+        q_copurchase_jaccard_top,
+    )
+
+    rows = q_copurchase_jaccard_top(spark, sf_dir).collect()
+    assert rows
+    prev = None
+    for r in rows:
+        assert 0 < r.jaccard <= 1.0
+        assert r.n_common <= min(r.deg_a, r.deg_b)
+        expect = round(r.n_common / (r.deg_a + r.deg_b - r.n_common), 6)
+        assert abs(r.jaccard - expect) <= 1e-6
+        key = (-r.jaccard, r.part_a, r.part_b)
+        assert prev is None or prev <= key
+        prev = key
