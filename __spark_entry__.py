@@ -195,6 +195,7 @@ _DRIVER_ORDER_R5 = [
     "user_state_scd2",
     "part_golden_record",
     "copurchase_jaccard_top",
+    "value_drift_report",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -456,6 +457,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
+        "value_drift_report": quality.q_value_drift_report,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -1096,6 +1098,55 @@ def _bpe_chain_sql(expr: str) -> str:
     for a, b in text.BPE_FIXED_MERGES:
         expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
     return expr
+
+
+def _drift_sql() -> str:
+    """DuckDB twin of quality.q_value_drift_report — identical bucket
+    grid, cross-multiplied PSI terms with the same magnitude-derived
+    power-of-two downshift, exact KS numerator."""
+    lnm = _lnm("hi_s", "lo_s")
+    ab = "(CAST(max(tot_a) AS HUGEINT) * max(tot_b))"
+    return (
+        "WITH e AS (SELECT event_type, "
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, "
+        "epoch_us(ts) AS us FROM events), "
+        "bd AS (SELECT min(c) AS mn, max(c) AS mx, min(us) AS us0, "
+        "max(us) AS us1 FROM e), "
+        "bk AS (SELECT event_type, ((c - mn) * 10) // (mx - mn + 1) AS bkt, "
+        "us < us0 + (us1 - us0 + 1) // 2 AS in_a FROM e, bd), "
+        "grid AS (SELECT event_type, bkt, "
+        "sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS na, "
+        "sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS nb "
+        "FROM bk GROUP BY 1, 2), "
+        "g AS (SELECT event_type, bkt, na, nb, "
+        "sum(na) OVER tw AS tot_a, sum(nb) OVER tw AS tot_b, "
+        "sum(na) OVER cwin AS cum_a, sum(nb) OVER cwin AS cum_b FROM grid "
+        "WINDOW tw AS (PARTITION BY event_type), "
+        "cwin AS (PARTITION BY event_type ORDER BY bkt "
+        "ROWS UNBOUNDED PRECEDING)), "
+        "g2 AS (SELECT *, CAST(na AS HUGEINT) * tot_b AS u, "
+        "CAST(nb AS HUGEINT) * tot_a AS v FROM g), "
+        "g3 AS (SELECT *, greatest(u, v) AS hi, least(u, v) AS lo, "
+        "(CASE WHEN greatest(u, v) >= 4611686018427387904 THEN 17179869184 "
+        "WHEN greatest(u, v) >= 70368744177664 THEN 262144 "
+        "WHEN greatest(u, v) >= 2147483648 THEN 4 ELSE 1 END) AS two_k "
+        "FROM g2), "
+        "g4 AS (SELECT *, CAST(hi // two_k AS BIGINT) AS hi_s, "
+        "greatest(1, CAST(lo // two_k AS BIGINT)) AS lo_s, "
+        "(na > 0 AND nb > 0) AS scored FROM g3), "
+        "g5 AS (SELECT event_type, tot_a, tot_b, "
+        "CASE WHEN scored THEN (hi - lo) * " + lnm + " ELSE 0 END AS psi_num, "
+        "CASE WHEN scored THEN 1 ELSE 0 END AS is_scored, "
+        "abs(CAST(cum_a AS HUGEINT) * tot_b - CAST(cum_b AS HUGEINT) * tot_a) "
+        "AS ks_num FROM g4) "
+        "SELECT event_type, CAST(max(tot_a) AS BIGINT) AS n_first_half, "
+        "CAST(max(tot_b) AS BIGINT) AS n_second_half, "
+        "CAST(sum(is_scored) AS INTEGER) AS n_buckets_scored, "
+        "CAST(count(*) - sum(is_scored) AS INTEGER) AS n_buckets_one_sided, "
+        "CAST(" + _hud("sum(psi_num)", ab, 0) + " AS BIGINT) AS psi_micro, "
+        + _hud("max(ks_num)", ab, 6) + " AS ks "
+        "FROM g5 GROUP BY event_type"
+    )
 
 
 def _hll_pair_sql() -> str:
@@ -2693,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "event_type"
         ),
         "hll_set_algebra": _hll_pair_sql(),
+        "value_drift_report": _drift_sql(),
         "moments_sketch": (
             # exact integer power sums in HUGEINT; m3..m6 emitted as
             # plain-digit strings (same as Spark's DECIMAL(38,0) cast)

@@ -776,3 +776,122 @@ def q_moments_sketch(spark, sf_dir: str) -> DataFrame:
             for k, (name, expr) in enumerate(powers.items(), start=1)
         ],
     )
+
+
+#: q_value_drift_report geometry: equal-width bucket count over the
+#: global cents range.
+DRIFT_BUCKETS = 10
+
+
+def q_value_drift_report(spark, sf_dir: str) -> DataFrame:
+    """Distribution DRIFT detection per event type — the monitor a
+    training pipeline runs between data deliveries — comparing the
+    value distribution of the first and second time half with the two
+    standard scores, both in exact fixed point:
+
+    - PSI (population stability index) Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ): per
+      bucket, with u = aᵢ·B and v = bᵢ·A the cross-multiplied masses,
+      the term is |u−v| · ln_micro(max(u,v), min(u,v)) — (p−q) and
+      ln(p/q) always share sign, so every term is ≥ 0 and the final
+      half-up division by A·B yields integer micro-nats. u,v are
+      downshifted by a common, magnitude-derived power of two so the
+      ratio fits ln_micro's num < 2^31 contract (a deterministic
+      quantization BOTH engines apply identically). Buckets with mass
+      in only one half cannot be log-scored; they are counted out
+      explicitly rather than fudged with an epsilon.
+    - KS statistic max |CDF_a − CDF_b| over the bucket grid: the exact
+      integer max |cumA·B − cumB·A|, surfaced at half-up 6 decimals.
+
+    Scale: one pass to (type, bucket) grain (map-side combinable), a
+    1-row global bounds broadcast, then everything runs on the
+    |types|·DRIFT_BUCKETS grid."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2, epoch_us, halfup_div, ln_micro
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type",
+        (dec2("value") * 100).cast("long").alias("c"),
+        epoch_us("ts").alias("us"),
+    )
+    bounds = e.agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.min("us").alias("us0"),
+        F.max("us").alias("us1"),
+    )
+    width = F.col("mx") - F.col("mn") + 1
+    mid = F.col("us0") + _idiv(F.col("us1") - F.col("us0") + 1, F.lit(2))
+    bucketed = e.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        _idiv((F.col("c") - F.col("mn")) * DRIFT_BUCKETS, width).alias("bkt"),
+        (F.col("us") < mid).alias("in_a"),
+    )
+    grid = bucketed.groupBy("event_type", "bkt").agg(
+        F.sum(F.col("in_a").cast("long")).alias("na"),
+        F.sum((~F.col("in_a")).cast("long")).alias("nb"),
+    )
+    tw = Window.partitionBy("event_type")
+    cw = tw.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    d38 = "decimal(38,0)"
+    g = grid.select(
+        "event_type",
+        "bkt",
+        "na",
+        "nb",
+        F.sum("na").over(tw).alias("tot_a"),
+        F.sum("nb").over(tw).alias("tot_b"),
+        F.sum("na").over(cw).alias("cum_a"),
+        F.sum("nb").over(cw).alias("cum_b"),
+    ).select(
+        "event_type",
+        "na",
+        "nb",
+        "tot_a",
+        "tot_b",
+        "cum_a",
+        "cum_b",
+        (F.col("na").cast(d38) * F.col("tot_b").cast(d38)).alias("u"),
+        (F.col("nb").cast(d38) * F.col("tot_a").cast(d38)).alias("v"),
+    )
+    hi = F.greatest("u", "v")
+    lo = F.least("u", "v")
+    # magnitude-derived common downshift: k chosen from hi's size so
+    # hi/2^k < 2^31; identical thresholds in the oracle
+    k = (
+        F.when(hi >= F.lit(2**62).cast(d38), F.lit(34))
+        .when(hi >= F.lit(2**46).cast(d38), F.lit(18))
+        .when(hi >= F.lit(2**31).cast(d38), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    two_k = F.pow(F.lit(2.0), k).cast("long").cast(d38)
+    hi_s = _idiv(hi, two_k)
+    lo_s = F.greatest(F.lit(1).cast("long"), _idiv(lo, two_k))
+    scored = (F.col("na") > 0) & (F.col("nb") > 0)
+    term = F.when(scored, (hi - lo) * ln_micro(hi_s, lo_s).cast(d38)).otherwise(
+        F.lit(0).cast(d38)
+    )
+    per_bkt = g.select(
+        "event_type",
+        "tot_a",
+        "tot_b",
+        term.alias("psi_num"),
+        scored.cast("int").alias("is_scored"),
+        F.abs(
+            F.col("cum_a").cast(d38) * F.col("tot_b").cast(d38)
+            - F.col("cum_b").cast(d38) * F.col("tot_a").cast(d38)
+        ).alias("ks_num"),
+    )
+    ab = F.max("tot_a").cast(d38) * F.max("tot_b").cast(d38)
+    return per_bkt.groupBy("event_type").agg(
+        F.max("tot_a").cast("long").alias("n_first_half"),
+        F.max("tot_b").cast("long").alias("n_second_half"),
+        F.sum("is_scored").cast("int").alias("n_buckets_scored"),
+        (F.count(F.lit(1)) - F.sum("is_scored"))
+        .cast("int")
+        .alias("n_buckets_one_sided"),
+        halfup_div(F.sum("psi_num"), ab, 0).cast("long").alias("psi_micro"),
+        halfup_div(F.max("ks_num"), ab, 6).alias("ks"),
+    )

@@ -234,3 +234,35 @@ def test_moments_sketch_moments_exact_and_mergeable(spark, sf_dir):
                 1 for c in cs if abs(c - mean) >= kk * (var**0.5)
             ) / n
             assert frac <= 1 / kk**2 + 1e-9
+
+
+def test_value_drift_planted_shift(spark, tmp_path):
+    """A planted distribution shift (second half moves all mass to the
+    top of the range) produces large PSI/KS for the shifted type and
+    near-zero for the stable one."""
+    import datetime as dt
+
+    from beauty_lakehouse_spark.operators.quality import q_value_drift_report
+
+    base = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for i in range(400):
+        ts = base + dt.timedelta(minutes=i)
+        # 'shift': low values first half, high values second half
+        v = 1.0 + (i % 50) * 0.1 if i < 200 else 90.0 + (i % 50) * 0.1
+        rows.append((eid, ts, 1, "shift", v, "{}")); eid += 1
+        # 'stable': same uniform spread in both halves
+        rows.append((eid, ts, 2, "stable", 1.0 + (i % 97), "{}")); eid += 1
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = {r.event_type: r for r in q_value_drift_report(spark, str(tmp_path)).collect()}
+    sh, st = out["shift"], out["stable"]
+    assert sh.n_first_half == 200 and sh.n_second_half == 200
+    # total separation: KS = 1.0, every bucket one-sided -> PSI scores 0 buckets
+    assert sh.ks > 0.9
+    assert sh.n_buckets_one_sided >= 2
+    assert st.ks < 0.12
+    assert st.psi_micro < 120_000  # < 0.12 nats: stable distribution
