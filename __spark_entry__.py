@@ -196,6 +196,7 @@ _DRIVER_ORDER_R5 = [
     "part_golden_record",
     "copurchase_jaccard_top",
     "value_drift_report",
+    "events_seasonality",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -314,6 +315,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events.q_events_hourly,
         "event_volume_anomalies": events.q_event_volume_anomalies,
         "user_state_scd2": events.q_user_state_scd2,
+        "events_seasonality": events.q_events_seasonality,
         "events_sliding": events.q_events_sliding,
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
@@ -2411,6 +2413,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_seasonality": (
+            # hour-of-day profile grid; variance numerator by the exact
+            # one-pass identity n*sum(c^2) - sum(c)^2 in HUGEINT
+            "WITH pd AS (SELECT event_type, "
+            "epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us, "
+            "(epoch_us(ts) % 86400000000) // 3600000000 AS hod, "
+            "count(*) AS c FROM events GROUP BY 1, 2, 3) "
+            "SELECT event_type, hod, CAST(sum(c) AS BIGINT) AS n_events, "
+            "count(*) AS n_days, "
+            + _hud("sum(c)", "count(*)", 6) + " AS mean_per_day, "
+            "CAST(count(*) * sum(CAST(c AS HUGEINT) * c) "
+            "- sum(CAST(c AS HUGEINT)) * sum(CAST(c AS HUGEINT)) AS BIGINT) "
+            "AS var_num FROM pd GROUP BY 1, 2"
         ),
         "user_state_scd2": (
             # islands: change-flag lag -> running-sum version id ->

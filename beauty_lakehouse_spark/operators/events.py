@@ -440,3 +440,50 @@ def q_user_state_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("effective_from").over(vw).isNull().alias("is_current"),
         "n_observations",
     )
+
+
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal profile + residual diagnostics per event type: the
+    hour-of-day activity baseline (the seasonal-naive model every
+    traffic forecast starts from) and how much of the count variance
+    that baseline explains — all exact integers.
+
+    Per (event_type, hour-of-day 0..23): bucket count over the whole
+    range, n_days the slot was observed, and the residual sum of
+    squares of the per-day counts around the slot mean, computed by
+    the one-pass identity n·Σc² − (Σc)² (so the report needs no second
+    scan and no floats; the slot mean itself is surfaced as the exact
+    half-up ratio). A slot whose var_num is large relative to its mean
+    is bursty — the signal that picks between the seasonal baseline
+    and the anomaly monitor upstream.
+
+    Scale: one groupBy to (type, day, hour) grain — map-side
+    combinable — then one groupBy to the 24·|types| profile grid."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    us = epoch_us("ts")
+    per_day = (
+        t.events.select(
+            "event_type",
+            (us - us % F.lit(86_400_000_000)).alias("day_us"),
+            _idiv(us % F.lit(86_400_000_000), F.lit(HOUR_US)).alias("hod"),
+        )
+        .groupBy("event_type", "day_us", "hod")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    d38 = "decimal(38,0)"
+    return per_day.groupBy("event_type", "hod").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+        halfup_div(F.sum("c").cast(d38), F.count(F.lit(1)), 6).alias(
+            "mean_per_day"
+        ),
+        (
+            F.count(F.lit(1)).cast(d38)
+            * F.sum(F.col("c").cast(d38) * F.col("c").cast(d38))
+            - F.sum(F.col("c").cast(d38)) * F.sum(F.col("c").cast(d38))
+        )
+        .cast("long")
+        .alias("var_num"),
+    )

@@ -534,3 +534,20 @@ def test_part_golden_record_planted_cluster(spark, tmp_path):
     assert g.survivor_name == "promo steel widget"
     assert g.golden_price == 150.0
     assert (g.n_brands, g.min_size, g.max_size) == (2, 5, 7)
+
+
+def test_events_seasonality_identities(spark, sf_dir):
+    """Profile grid conserves the event count, slot means are the exact
+    ratio, and var_num is the one-pass identity (nonnegative, zero iff
+    all per-day counts equal)."""
+    from beauty_lakehouse_spark.operators.events import q_events_seasonality
+
+    rows = q_events_seasonality(spark, sf_dir).collect()
+    t = load(spark, sf_dir)
+    assert sum(r.n_events for r in rows) == t.events.count()
+    for r in rows:
+        assert 0 <= r.hod <= 23
+        assert r.var_num >= 0
+        assert abs(r.mean_per_day - round(r.n_events / r.n_days, 6)) <= 1e-6
+        if r.n_days == 1:
+            assert r.var_num == 0
