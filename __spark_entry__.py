@@ -197,6 +197,7 @@ _DRIVER_ORDER_R5 = [
     "copurchase_jaccard_top",
     "value_drift_report",
     "events_seasonality",
+    "session_paths_top",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -316,6 +317,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_volume_anomalies": events.q_event_volume_anomalies,
         "user_state_scd2": events.q_user_state_scd2,
         "events_seasonality": events.q_events_seasonality,
+        "session_paths_top": events.q_session_paths_top,
         "events_sliding": events.q_events_sliding,
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
@@ -2413,6 +2415,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "session_paths_top": (
+            # gap-islands sessionization, rank<=8 prefix, ordered
+            # string_agg; identical tie-breaks (us, event_id)
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS us FROM events), "
+            "f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL "
+            "OR us - lag(us) OVER w >= 900000000 THEN 1 ELSE 0 END AS new_s "
+            "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "sx AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session "
+            "FROM f), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id, session "
+            "ORDER BY us, event_id) AS rn FROM sx), "
+            "p AS (SELECT user_id, session, "
+            "string_agg(event_type, '>' ORDER BY rn) AS path FROM r "
+            "WHERE rn <= 8 GROUP BY 1, 2) "
+            "SELECT path, count(*) AS n_sessions FROM p GROUP BY path "
+            "ORDER BY n_sessions DESC, path LIMIT 30"
         ),
         "events_seasonality": (
             # hour-of-day profile grid; variance numerator by the exact

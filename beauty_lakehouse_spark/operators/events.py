@@ -487,3 +487,74 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("var_num"),
     )
+
+
+#: Session path mining: inactivity gap that opens a new session, and
+#: the path-prefix length the report keys on.
+PATH_GAP_US = SESSION_GAP_US
+PATH_PREFIX = 8
+
+
+def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 session paths: the ordered sequence of event types a
+    session walks through (first ``PATH_PREFIX`` steps), counted across
+    all sessions — the product-analytics view one level above the
+    funnel (fixed stages) and the transition matrix (1-step Markov).
+
+    Sessionization is the gap-islands window (lag gap ≥ 15 min opens a
+    session, running-sum session index — the same construction the
+    SCD2 build uses, keyed by inactivity instead of state change);
+    paths are built by an ORDERED in-group aggregation: rank events in
+    the session, keep the first 8, sort the collected (rank, type)
+    structs, join with '>'. Total-order tie-breaks (us, event_id)
+    everywhere, so the path strings — and their counts — hash-match
+    the SQL twin exactly.
+
+    Scale: windows partitioned by user_id, the aggregation by
+    (user_id, session) — per-partition state is one user's history;
+    the final count shuffles path strings (bounded by the prefix cap:
+    ≤ 8 type names each)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    obs = Window.partitionBy("user_id").orderBy("us", "event_id")
+    sessioned = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "us",
+        F.when(
+            F.lag("us").over(obs).isNull()
+            | (F.col("us") - F.lag("us").over(obs) >= PATH_GAP_US),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_s"),
+    ).withColumn(
+        "session",
+        F.sum("new_s").over(
+            obs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sw = Window.partitionBy("user_id", "session").orderBy("us", "event_id")
+    ranked = sessioned.withColumn("rn", F.row_number().over(sw)).filter(
+        F.col("rn") <= PATH_PREFIX
+    )
+    paths = ranked.groupBy("user_id", "session").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(30)
+    )

@@ -551,3 +551,24 @@ def test_events_seasonality_identities(spark, sf_dir):
         assert abs(r.mean_per_day - round(r.n_events / r.n_days, 6)) <= 1e-6
         if r.n_days == 1:
             assert r.var_num == 0
+
+
+def test_session_paths_conserve_sessions(spark, sf_dir):
+    """Path counts sum to the number of gap-defined sessions, paths are
+    '>'-joined event types with at most PATH_PREFIX steps."""
+    from beauty_lakehouse_spark.operators.events import (
+        PATH_PREFIX,
+        q_events_sessions,
+        q_session_paths_top,
+    )
+
+    rows = q_session_paths_top(spark, sf_dir).collect()
+    assert rows
+    types = {"view", "click", "purchase", "signup", "error"}
+    for r in rows:
+        steps = r.path.split(">")
+        assert 1 <= len(steps) <= PATH_PREFIX
+        assert set(steps) <= types
+    # top-30 is a subset; total session count bounds any path count
+    n_sessions = q_events_sessions(spark, sf_dir).count()
+    assert all(r.n_sessions <= n_sessions for r in rows)
