@@ -198,6 +198,7 @@ _DRIVER_ORDER_R5 = [
     "value_drift_report",
     "events_seasonality",
     "session_paths_top",
+    "open_orders_daily",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -318,6 +319,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_scd2": events.q_user_state_scd2,
         "events_seasonality": events.q_events_seasonality,
         "session_paths_top": events.q_session_paths_top,
+        "open_orders_daily": temporal.q_open_orders_daily,
         "events_sliding": events.q_events_sliding,
         "events_sessions": events.q_events_sessions,
         "events_json_props": events.q_events_json_props,
@@ -2415,6 +2417,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "open_orders_daily": (
+            # delta encoding + calendar-spine running sum: the scalable
+            # interval-concurrency shape (2 rows per interval, no
+            # day x order join)
+            "WITH spans AS (SELECT o_orderkey, "
+            "min(CAST(o_orderdate AS DATE)) AS open_day, "
+            "greatest(max(CAST(l_shipdate AS DATE)), "
+            "min(CAST(o_orderdate AS DATE))) AS close_day "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1), "
+            "deltas AS (SELECT open_day AS day, 1 AS delta FROM spans "
+            "UNION ALL SELECT close_day + 1, -1 FROM spans), "
+            "pd AS (SELECT day, sum(delta) AS d FROM deltas GROUP BY 1), "
+            "bd AS (SELECT min(open_day) AS d0, max(close_day) AS d1 "
+            "FROM spans), "
+            "spine AS (SELECT unnest(generate_series(d0, d1, "
+            "INTERVAL 1 DAY))::DATE AS day FROM bd) "
+            "SELECT strftime(day, '%Y-%m-%d') AS day, "
+            "CAST(sum(coalesce(d, 0)) OVER (ORDER BY day "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_open "
+            "FROM spine LEFT JOIN pd USING (day)"
         ),
         "session_paths_top": (
             # gap-islands sessionization, rank<=8 prefix, ordered

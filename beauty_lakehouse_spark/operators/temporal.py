@@ -325,3 +325,68 @@ def q_daily_revenue_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_gap",
         F.col("revenue_filled").alias("revenue"),
     )
+
+
+def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many orders are OPEN on each
+    calendar day, where an order is open from its order date until its
+    last line ships — the backlog/occupancy query (active sessions,
+    concurrent rentals, beds filled) that naive SQL writes as a
+    day×interval join.
+
+    Delta encoding: each order contributes +1 on its start day and −1
+    the day after it closes; per-day delta sums + one running sum over
+    the calendar spine reconstruct the concurrency. Cost is 2 rows per
+    interval plus a calendar-bounded window — at 100 TB this replaces
+    a days×orders blowup with one combinable aggregate (the interval
+    table never re-scans), which is why every occupancy pipeline ships
+    this shape. The spine comes from the 1-row bounds broadcast
+    (sequence over date range), so days with no delta still report the
+    carried count.
+
+    Output is bit-exact in both engines: integer deltas, integer
+    running sum, ISO day strings."""
+    t = load(spark, sf_dir)
+    spans = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("open_day"),
+            # the fixtures violate ship_after_order on purpose; clamp
+            # to same-day close so inverted intervals count one day
+            F.greatest(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("close_day"),
+        )
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("close_day", 1).alias("day"), F.lit(-1).alias("delta")
+        )
+    )
+    per_day = deltas.groupBy("day").agg(F.sum("delta").alias("d"))
+    bounds = spans.agg(
+        F.min("open_day").alias("day_min"), F.max("close_day").alias("day_max")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("day_min", "day_max")).alias("day")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    series = (
+        spine.join(per_day, "day", "left")
+        .select("day", F.coalesce("d", F.lit(0)).alias("d"))
+        .select(
+            "day",
+            F.sum("d").over(w).cast("long").alias("n_open"),
+        )
+    )
+    return series.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open"
+    )

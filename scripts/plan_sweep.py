@@ -70,6 +70,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",
     "rolling_distinct_users": "window over per-day aggregate (bounded rows)",
     "daily_revenue_gapfill": "window over calendar-day aggregate (bounded rows)",
+    "open_orders_daily": "running sum over the calendar-day spine (bounded rows)",
     "revenue_rollup": "share-of-total over rollup output (bounded rows)",
     "mixture_rebalance": "window over per-source aggregate (bounded rows)",
     "customer_order_distribution": "window over count-of-counts aggregate",

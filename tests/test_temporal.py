@@ -104,3 +104,35 @@ def test_range_join_matches_naive_inequality_join(spark):
         if n:
             want[(lk, lus)] = n
     assert got == want
+
+
+def test_open_orders_daily_matches_brute_containment(spark, sf_dir):
+    """The delta-encoded concurrency equals brute-force interval
+    containment on sampled days, and the series is everywhere
+    nonnegative."""
+    import datetime as dt
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.temporal import q_open_orders_daily
+    from pyspark.sql import functions as F
+
+    series = {r.day: r.n_open for r in q_open_orders_daily(spark, sf_dir).collect()}
+    assert all(v >= 0 for v in series.values())
+    t = load(spark, sf_dir)
+    spans = (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(
+            F.min(F.col("o_orderdate").cast("date")).alias("o"),
+            F.greatest(
+                F.max(F.col("l_shipdate").cast("date")),
+                F.min(F.col("o_orderdate").cast("date")),
+            ).alias("c"),
+        )
+        .collect()
+    )
+    days = sorted(series)
+    for day_s in days[:: max(1, len(days) // 7)]:
+        d = dt.date.fromisoformat(day_s)
+        brute = sum(1 for r in spans if r.o <= d <= r.c)
+        assert series[day_s] == brute, day_s
