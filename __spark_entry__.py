@@ -199,6 +199,7 @@ _DRIVER_ORDER_R5 = [
     "events_seasonality",
     "session_paths_top",
     "open_orders_daily",
+    "table_stats",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -464,6 +465,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
         "value_drift_report": quality.q_value_drift_report,
+        "table_stats": quality.q_table_stats,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -2806,6 +2808,36 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_algebra": _hll_pair_sql(),
         "value_drift_report": _drift_sql(),
+        "table_stats": (
+            "SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows, "
+            "sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            "count(DISTINCT o_orderkey) AS n_distinct, "
+            "CAST(min(o_orderkey) AS VARCHAR) AS min_repr, "
+            "CAST(max(o_orderkey) AS VARCHAR) AS max_repr FROM orders "
+            "UNION ALL SELECT 'o_custkey', count(*), "
+            "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), "
+            "CAST(max(o_custkey) AS VARCHAR) FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', count(*), "
+            "sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT o_orderstatus), min(o_orderstatus), "
+            "max(o_orderstatus) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', count(*), "
+            "sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))), "
+            "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR), "
+            "CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) "
+            "FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', count(*), "
+            "sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT o_orderpriority), min(o_orderpriority), "
+            "max(o_orderpriority) FROM orders "
+            "UNION ALL SELECT 'o_orderdate', count(*), "
+            "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT o_orderdate), "
+            "strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d'), "
+            "strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders"
+        ),
         "moments_sketch": (
             # exact integer power sums in HUGEINT; m3..m6 emitted as
             # plain-digit strings (same as Spark's DECIMAL(38,0) cast)

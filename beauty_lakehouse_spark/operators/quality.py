@@ -895,3 +895,57 @@ def q_value_drift_report(spark, sf_dir: str) -> DataFrame:
         halfup_div(F.sum("psi_num"), ab, 0).cast("long").alias("psi_micro"),
         halfup_div(F.max("ks_num"), ab, 6).alias("ks"),
     )
+
+
+#: Columns q_table_stats profiles (ANALYZE-style CBO statistics).
+STATS_COLUMNS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "money"),
+    ("o_orderpriority", "string"),
+    ("o_orderdate", "date"),
+]
+
+
+def q_table_stats(spark, sf_dir: str) -> DataFrame:
+    """ANALYZE-style statistics collection over the orders table — the
+    row the cost-based optimizer (and any data catalog) keeps per
+    column: row count, null count, exact distinct count, min/max
+    (stringified canonically so one report schema fits every type).
+
+    One aggregate pass emits all per-column stats (count/nulls/min/max
+    share the scan); exact NDV needs one distinct-shuffle per column —
+    at 100 TB you swap those to the portable HLL registers
+    (`hll_registers`, same report schema, ±3% — the engine ships both
+    forms and `hll_distinct` hash-checks the sketch). Money values are
+    canonicalized through DECIMAL(12,2) so min/max strings are
+    engine-stable.
+
+    Output: (column, n_rows, n_nulls, n_distinct, min_repr, max_repr)."""
+    from ..catalog import load
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    o = t.orders
+    report = None
+    for col, kind in STATS_COLUMNS:
+        c = dec2(col) if kind == "money" else F.col(col)
+
+        def repr_(agg):
+            # stringify AFTER aggregating (a string min would compare
+            # lexicographically and report 999 > 1499)
+            if kind == "date":
+                return F.date_format(agg, "yyyy-MM-dd")
+            return agg.cast("string")
+
+        one = o.agg(
+            F.lit(col).alias("column"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            repr_(F.min(c)).alias("min_repr"),
+            repr_(F.max(c)).alias("max_repr"),
+        )
+        report = one if report is None else report.unionByName(one)
+    return report
