@@ -200,6 +200,7 @@ _DRIVER_ORDER_R5 = [
     "session_paths_top",
     "open_orders_daily",
     "table_stats",
+    "pca_power_iteration",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -448,6 +449,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_centroids": similarity.q_embedding_centroids,
         "embedding_quantize_int8": similarity.q_embedding_quantize_int8,
         "kmeans_round": similarity.q_kmeans_round,
+        "pca_power_iteration": similarity.q_pca_power_iteration,
         "label_embedding_scatter": similarity.q_label_embedding_scatter,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
@@ -2624,6 +2626,42 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(err) AS BIGINT) AS max_err_micro, "
             "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
             "AS codes_md5 FROM s GROUP BY vec_id"
+        ),
+        "pca_power_iteration": (
+            # centered integer Gram + 5 unrolled power-iteration
+            # rounds with L-inf renormalization; canonical sign
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "nn AS (SELECT count(*) AS n FROM embeddings), "
+            "msum AS (SELECT dim, sum(q) AS m FROM ex GROUP BY 1), "
+            "cx AS (SELECT vec_id, ex.dim AS dim, "
+            "CAST(n AS HUGEINT) * q - m AS c "
+            "FROM ex JOIN msum USING (dim), nn), "
+            "gram AS (SELECT a.dim AS di, b.dim AS dj, sum(a.c * b.c) "
+            "AS val FROM cx a JOIN cx b ON a.vec_id = b.vec_id "
+            "GROUP BY 1, 2), "
+            "r0 AS (SELECT dim, CAST(1 AS BIGINT) AS v FROM msum), "
+            "w1 AS (SELECT g.dj AS dim, sum(g.val * r0.v) AS w FROM gram g JOIN r0 ON r0.dim = g.di GROUP BY 1), "
+            "m1 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w1), "
+            "r1 AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1048576) // mx) AS BIGINT) AS v FROM w1, m1), "
+            "w2 AS (SELECT g.dj AS dim, sum(g.val * r1.v) AS w FROM gram g JOIN r1 ON r1.dim = g.di GROUP BY 1), "
+            "m2 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w2), "
+            "r2 AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1048576) // mx) AS BIGINT) AS v FROM w2, m2), "
+            "w3 AS (SELECT g.dj AS dim, sum(g.val * r2.v) AS w FROM gram g JOIN r2 ON r2.dim = g.di GROUP BY 1), "
+            "m3 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w3), "
+            "r3 AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1048576) // mx) AS BIGINT) AS v FROM w3, m3), "
+            "w4 AS (SELECT g.dj AS dim, sum(g.val * r3.v) AS w FROM gram g JOIN r3 ON r3.dim = g.di GROUP BY 1), "
+            "m4 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w4), "
+            "r4 AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1048576) // mx) AS BIGINT) AS v FROM w4, m4), "
+            "w5 AS (SELECT g.dj AS dim, sum(g.val * r4.v) AS w FROM gram g JOIN r4 ON r4.dim = g.di GROUP BY 1), "
+            "m5 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w5), "
+            "r5 AS (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) * ((abs(w) * 1048576) // mx) AS BIGINT) AS v FROM w5, m5), "
+            
+            "pick AS (SELECT v FROM r5 ORDER BY abs(v) DESC, dim LIMIT 1), "
+            "sgn AS (SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS s "
+            "FROM pick) "
+            "SELECT dim, CAST(v * s AS BIGINT) AS v FROM r5, sgn"
         ),
         "kmeans_round": (
             # one exact Lloyd round: md5-hash-seeded init, integer-L2

@@ -1116,3 +1116,99 @@ def q_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_micro"),
         )
     )
+
+
+#: q_pca_power_iteration geometry: fixed round count and the L-inf
+#: normalization scale (max-|component| maps to exactly 2^20).
+PCA_ROUNDS = 5
+PCA_VSCALE = 1 << 20
+
+
+def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION — distributed iterative linear algebra made bit-exact:
+    centered Gram matrix in exact integers, five matrix–vector rounds,
+    deterministic L∞ normalization, canonical sign — every number
+    hash-matches the DuckDB twin (which unrolls the same five rounds
+    as CTEs).
+
+    Exactness ingredients: micro-unit quantization (as everywhere);
+    centering as c = n·q − Σq (scale-by-n keeps integers; direction is
+    unchanged); Gram entries Σ cᵢ·c_j in DECIMAL(38,0)/HUGEINT;
+    per-round renormalization v ← sign(w)·⌊|w|·2^20 / max|w|⌋ (the max
+    component is exactly ±2^20, truncation toward zero on both
+    engines); final sign flipped so the largest-|v| (smallest-dim on
+    ties) component is positive. 38-digit budget (the binding term is
+    |w|·2^20 with |w| ≤ d·gram·2^20 and gram ≤ 4n³·10¹²): holds to
+    n ≈ 1.5e4 vectors as written; for larger corpora downshift the
+    centered values by a power of two first (same deterministic policy
+    as the drift PSI) — the direction is unchanged.
+
+    Scale: the Gram build is the n·d² explode-join — d² = 4096 rows
+    per vector, the standard dense-covariance shuffle, map-side
+    combinable to the d×d grid; each round then runs on d² + d rows
+    regardless of corpus size (broadcast the d-row vector). Rounds are
+    lazily checkpointed so round k's plan does not embed rounds
+    1..k−1."""
+    from ..functions import _idiv
+
+    d38 = "decimal(38,0)"
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).alias("q"),
+    )
+    nn = t.embeddings.agg(F.count(F.lit(1)).alias("n"))
+    msum = ex.groupBy("dim").agg(F.sum("q").alias("m"))
+    cx = (
+        ex.join(F.broadcast(msum), "dim")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "vec_id",
+            "dim",
+            (
+                F.col("n").cast(d38) * F.col("q").cast(d38)
+                - F.col("m").cast(d38)
+            ).alias("c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    gram = (
+        cx.alias("a")
+        .join(cx.alias("b"), "vec_id")
+        .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
+        .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("val"))
+        .localCheckpoint(eager=False)
+    )
+    v = msum.select("dim", F.lit(1).cast("long").alias("v"))
+    for _ in range(PCA_ROUNDS):
+        w = (
+            gram.join(F.broadcast(v.withColumnRenamed("dim", "di")), "di")
+            .groupBy(F.col("dj").alias("dim"))
+            .agg(F.sum(F.col("val") * F.col("v").cast(d38)).alias("w"))
+        )
+        mx = w.agg(
+            F.greatest(F.max(F.abs(F.col("w"))), F.lit(1).cast(d38)).alias("mx")
+        )
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                "dim",
+                (
+                    F.when(F.col("w") < 0, F.lit(-1)).otherwise(F.lit(1))
+                    * _idiv(F.abs(F.col("w")) * F.lit(PCA_VSCALE), F.col("mx"))
+                ).cast("long").alias("v"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    pick = v.select(
+        F.max(F.struct(F.abs(F.col("v")).alias("a"), (-F.col("dim")).alias("nd"), F.col("v").alias("v"))).alias("p")
+    ).select(
+        F.when(F.col("p.v") < 0, F.lit(-1)).otherwise(F.lit(1)).alias("s")
+    )
+    return v.crossJoin(F.broadcast(pick)).select(
+        "dim", (F.col("v") * F.col("s")).cast("long").alias("v")
+    )

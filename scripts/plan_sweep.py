@@ -54,6 +54,7 @@ WHITELIST: dict[str, str] = {
     "basket_rules": "1-row total-orders aggregate broadcast (lift denominator)",
     "daily_revenue_gapfill": "1-row min/max date-bounds broadcast seeding the calendar spine",
     "value_drift_report": "1-row global bounds broadcast (bucket grid + time midpoint)",
+    "pca_power_iteration": "1-row corpus-count/max-norm/sign broadcasts per round (d-row state)",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",

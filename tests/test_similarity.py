@@ -380,3 +380,50 @@ def test_kmeans_round_matches_numpy(spark, sf_dir):
         for r in q_kmeans_round(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pca_power_iteration_matches_exact_replica(spark, sf_dir):
+    """The distributed fixed-point power iteration equals a pure-python
+    integer replica bit-for-bit, and its Rayleigh quotient dominates
+    the start vector's (the iteration actually climbs the spectrum)."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        PCA_ROUNDS,
+        PCA_VSCALE,
+        q_pca_power_iteration,
+    )
+
+    t = load(spark, sf_dir)
+    vecs = [
+        [math.floor(float(x) * 1_000_000 + 0.5) for x in r.embedding]
+        for r in t.embeddings.collect()
+    ]
+    n, d = len(vecs), 64
+    m = [sum(v[j] for v in vecs) for j in range(d)]
+    cx = [[n * v[j] - m[j] for j in range(d)] for v in vecs]
+    gram = [[sum(c[i] * c[j] for c in cx) for j in range(d)] for i in range(d)]
+    v = [1] * d
+    for _ in range(PCA_ROUNDS):
+        w = [sum(gram[i][j] * v[i] for i in range(d)) for j in range(d)]
+        mx = max(max(abs(x) for x in w), 1)
+        v = [
+            (-1 if x < 0 else 1) * (abs(x) * PCA_VSCALE // mx) for x in w
+        ]
+    best = max(range(d), key=lambda j: (abs(v[j]), -j))
+    if v[best] < 0:
+        v = [-x for x in v]
+    want = {j + 1: v[j] for j in range(d)}
+
+    got = {r.dim: r.v for r in q_pca_power_iteration(spark, sf_dir).collect()}
+    assert got == want
+
+    def rayleigh(u):
+        num = sum(
+            gram[i][j] * u[i] * u[j] for i in range(d) for j in range(d)
+        )
+        den = sum(x * x for x in u)
+        return num / den
+
+    assert rayleigh(v) > rayleigh([1] * d)
