@@ -201,6 +201,7 @@ _DRIVER_ORDER_R5 = [
     "open_orders_daily",
     "table_stats",
     "pca_power_iteration",
+    "embedding_random_projection",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -450,6 +451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": similarity.q_embedding_quantize_int8,
         "kmeans_round": similarity.q_kmeans_round,
         "pca_power_iteration": similarity.q_pca_power_iteration,
+        "embedding_random_projection": similarity.q_embedding_random_projection,
         "label_embedding_scatter": similarity.q_label_embedding_scatter,
         # curated-zone table management: versioned CoW MERGE -> snapshot
         # read (oracle covers the whole write->merge->read path), plus
@@ -2626,6 +2628,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(err) AS BIGINT) AS max_err_micro, "
             "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
             "AS codes_md5 FROM s GROUP BY vec_id"
+        ),
+        "embedding_random_projection": (
+            # Achlioptas +-1 JL sketch: md5-parity sign matrix, exact
+            # integer projection sums
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "sg AS (SELECT CAST(k.i AS INTEGER) AS k, "
+            "CAST(d.i AS INTEGER) AS dim, "
+            "((('0x' || substr(md5('jl:' || CAST(k.i AS VARCHAR) || ':' || "
+            "CAST(d.i AS VARCHAR)), 1, 15))::BIGINT % 2) * 2 - 1) AS s "
+            "FROM range(1, 17) k(i), range(1, 65) d(i)) "
+            "SELECT vec_id, sg.k AS out_dim, "
+            "CAST(sum(sg.s * ex.q) AS BIGINT) AS value "
+            "FROM ex JOIN sg ON sg.dim = ex.dim GROUP BY 1, 2"
         ),
         "pca_power_iteration": (
             # centered integer Gram + 5 unrolled power-iteration

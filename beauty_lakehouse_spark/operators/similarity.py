@@ -1212,3 +1212,65 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(F.broadcast(pick)).select(
         "dim", (F.col("v") * F.col("s")).cast("long").alias("v")
     )
+
+
+#: q_embedding_random_projection output dimensionality.
+RP_DIMS = 16
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sketch: project every embedding from 64 to
+    ``RP_DIMS`` dimensions with a deterministic ±1 sign matrix
+    (Achlioptas construction) — the standard cheap dimensionality
+    reduction in front of ANN / clustering, in exact integers.
+
+    The sign s(k, j) is the parity of ``portable_hash64('jl:k:j')`` —
+    no RNG state, identical in SQL — and the output component is the
+    exact integer Σⱼ s(k,j)·qⱼ over micro-unit values, so the sketch
+    hash-matches the oracle bit-for-bit. E‖Px‖² = k·‖x‖² under this
+    construction; the pytest checks the norm-concentration ratio on
+    the fixture.
+
+    Scale: the k·d sign matrix (1024 rows) broadcasts; the projection
+    is one map-side-combinable groupBy of n·d·k narrow rows — same
+    shape as the k-means assign, no UDFs, no shuffle beyond the
+    (vec, out_dim) combine."""
+    from ..functions import portable_hash64
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1_000_000 + F.lit(0.5)).alias("q"),
+    )
+    signs = (
+        spark.range(RP_DIMS)
+        .select((F.col("id") + 1).cast("int").alias("k"))
+        .crossJoin(
+            spark.range(EMB_DIM).select((F.col("id") + 1).cast("int").alias("dim"))
+        )
+        .select(
+            "k",
+            "dim",
+            (
+                F.pmod(
+                    portable_hash64(
+                        F.concat_ws(
+                            ":", F.lit("jl"), F.col("k").cast("string"),
+                            F.col("dim").cast("string"),
+                        )
+                    ),
+                    F.lit(2),
+                )
+                * 2
+                - 1
+            ).cast("long").alias("s"),
+        )
+    )
+    return (
+        ex.join(F.broadcast(signs), "dim")
+        .groupBy("vec_id", F.col("k").alias("out_dim"))
+        .agg(F.sum(F.col("s") * F.col("q")).alias("value"))
+    )

@@ -427,3 +427,31 @@ def test_pca_power_iteration_matches_exact_replica(spark, sf_dir):
         return num / den
 
     assert rayleigh(v) > rayleigh([1] * d)
+
+
+def test_random_projection_norm_concentration(spark, sf_dir):
+    """JL property: E||Px||^2 = k*||x||^2 for the +-1 sign matrix — the
+    per-vector ratio concentrates near 1 and its corpus mean is tight."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        RP_DIMS,
+        q_embedding_random_projection,
+    )
+
+    t = load(spark, sf_dir)
+    norms = {}
+    for r in t.embeddings.collect():
+        q = [math.floor(float(x) * 1_000_000 + 0.5) for x in r.embedding]
+        norms[r.vec_id] = sum(v * v for v in q)
+    proj = {}
+    for r in q_embedding_random_projection(spark, sf_dir).collect():
+        proj.setdefault(r.vec_id, 0)
+        proj[r.vec_id] += r.value * r.value
+    ratios = [proj[v] / (RP_DIMS * norms[v]) for v in norms if norms[v] > 0]
+    assert len(ratios) == len(norms)
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
+    inside = sum(1 for x in ratios if 0.3 < x < 2.5) / len(ratios)
+    assert inside > 0.9
