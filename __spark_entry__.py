@@ -202,6 +202,7 @@ _DRIVER_ORDER_R5 = [
     "table_stats",
     "pca_power_iteration",
     "embedding_random_projection",
+    "orders_zorder_keys",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -470,6 +471,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_sketch": quality.q_moments_sketch,
         "value_drift_report": quality.q_value_drift_report,
         "table_stats": quality.q_table_stats,
+        "orders_zorder_keys": warehouse.q_orders_zorder_keys,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -2628,6 +2630,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(err) AS BIGINT) AS max_err_micro, "
             "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
             "AS codes_md5 FROM s GROUP BY vec_id"
+        ),
+        "orders_zorder_keys": (
+            # 16-bit range normalization + Morton bit interleave, all
+            # integer; epoch-us day values keep both engines identical
+            "WITH o AS (SELECT o_orderkey, o_custkey AS ck, "
+            "epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d FROM orders), "
+            "bd AS (SELECT min(ck) AS ck0, max(ck) AS ck1, min(d) AS d0, "
+            "max(d) AS d1 FROM o), "
+            "sc AS (SELECT o_orderkey, "
+            "((ck - ck0) * 65535) // greatest(ck1 - ck0, 1) AS zx, "
+            "((d - d0) * 65535) // greatest(d1 - d0, 1) AS zy FROM o, bd) "
+            "SELECT o_orderkey, CAST(zx AS BIGINT) AS zx, "
+            "CAST(zy AS BIGINT) AS zy, "
+            "CAST(list_sum(list_transform(range(0, 16), b -> "
+            "(((zx >> b) & 1) << (2 * b)) + (((zy >> b) & 1) << (2 * b + 1))"
+            ")) AS BIGINT) AS zkey FROM sc"
         ),
         "embedding_random_projection": (
             # Achlioptas +-1 JL sketch: md5-parity sign matrix, exact

@@ -701,3 +701,67 @@ def q_order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             halfup_div(F.col("n_orders") * 100, F.lit(total), 4).alias("pct"),
         )
     )
+
+
+#: Z-order bits per dimension (16+16 -> 32-bit Morton key).
+ZORDER_BITS = 16
+
+
+def q_orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering keys for the orders fact — the multi-column
+    data-layout primitive behind `OPTIMIZE ... ZORDER BY (custkey,
+    orderdate)`: normalize each column to 16 bits over its min/max
+    range (exact integer scaling), interleave the bits into a 32-bit
+    Morton key, and report the key per order. Feeding this key to
+    ``tables.compact(cluster_by=...)`` sort-clusters row groups so
+    min/max pruning works on BOTH columns at once — the reason
+    lakehouses z-order at all.
+
+    Everything is integer-exact (epoch-DAY units so the 65535 range
+    lift stays far inside int64, range scaling via the subtraction
+    floor-div trick, bit interleave as a 16-step fold), so the keys
+    hash-match the SQL twin bit-for-bit.
+
+    Scale: a narrow expression scan plus a 1-row min/max bounds
+    broadcast; the interleave is constant work per row inside
+    whole-stage codegen."""
+    from ..functions import _idiv, epoch_us
+
+    t = load(spark, sf_dir)
+    day = _idiv(
+        epoch_us(F.col("o_orderdate").cast("timestamp")),
+        F.lit(86_400_000_000),
+    )
+    o = t.orders.select("o_orderkey", F.col("o_custkey").alias("ck"), day.alias("d"))
+    bounds = o.agg(
+        F.min("ck").alias("ck0"), F.max("ck").alias("ck1"),
+        F.min("d").alias("d0"), F.max("d").alias("d1"),
+    )
+    scale = (1 << ZORDER_BITS) - 1
+    j = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        _idiv(
+            (F.col("ck") - F.col("ck0")) * scale,
+            F.greatest(F.col("ck1") - F.col("ck0"), F.lit(1)),
+        ).alias("zx"),
+        _idiv(
+            (F.col("d") - F.col("d0")) * scale,
+            F.greatest(F.col("d1") - F.col("d0"), F.lit(1)),
+        ).alias("zy"),
+    )
+    interleave = F.aggregate(
+        F.sequence(F.lit(0), F.lit(ZORDER_BITS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", F.col("zx"), b).bitwiseAND(F.lit(1)),
+            b * 2,
+        )
+        + F.call_function(
+            "shiftleft",
+            F.call_function("shiftright", F.col("zy"), b).bitwiseAND(F.lit(1)),
+            b * 2 + 1,
+        ),
+    )
+    return j.select("o_orderkey", "zx", "zy", interleave.alias("zkey"))

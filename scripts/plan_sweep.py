@@ -56,6 +56,7 @@ WHITELIST: dict[str, str] = {
     "value_drift_report": "1-row global bounds broadcast (bucket grid + time midpoint)",
     "pca_power_iteration": "1-row corpus-count/max-norm/sign broadcasts per round (d-row state)",
     "embedding_random_projection": "constant k x d sign-matrix grid build (16 x 64 rows)",
+    "orders_zorder_keys": "1-row column min/max bounds broadcast (range normalization)",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",

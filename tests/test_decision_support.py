@@ -377,3 +377,56 @@ def test_q20_dominance_is_majority_share(spark, sf_dir):
         ).collect()
     }
     assert {r.s_suppkey for r in rows} == dominant & n2
+
+
+def test_zorder_improves_two_dim_locality(spark, sf_dir):
+    """Chunking the fact by Morton key yields tighter two-dimensional
+    bounding boxes than single-column date sort: the mean (ck-span x
+    day-span) area over 15 chunks must shrink — the min/max-pruning
+    win z-ordering exists for."""
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_orders_zorder_keys,
+    )
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import epoch_us
+    from pyspark.sql import functions as F
+
+    t = load(spark, sf_dir)
+    base = {
+        r.o_orderkey: (r.ck, r.d)
+        for r in t.orders.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("ck"),
+            (epoch_us(F.col("o_orderdate").cast("timestamp")) / 86_400_000_000)
+            .cast("long")
+            .alias("d"),
+        ).collect()
+    }
+    zk = {
+        r.o_orderkey: r.zkey for r in q_orders_zorder_keys(spark, sf_dir).collect()
+    }
+
+    def mean_spans(order):
+        n_chunks = 15
+        keys = list(order)
+        sz = (len(keys) + n_chunks - 1) // n_chunks
+        ck_spans, d_spans = [], []
+        for i in range(0, len(keys), sz):
+            chunk = [base[k] for k in keys[i : i + sz]]
+            cks = [c for c, _ in chunk]
+            ds = [d for _, d in chunk]
+            ck_spans.append(max(cks) - min(cks) + 1)
+            d_spans.append(max(ds) - min(ds) + 1)
+        return (sum(ck_spans) / len(ck_spans), sum(d_spans) / len(d_spans))
+
+    by_date = sorted(base, key=lambda k: (base[k][1], k))
+    by_z = sorted(base, key=lambda k: (zk[k], k))
+    ck_z, d_z = mean_spans(by_z)
+    ck_date, d_date = mean_spans(by_date)
+    full_days = max(d for _, d in base.values()) - min(
+        d for _, d in base.values()
+    ) + 1
+    # date sort prunes only on date: its chunks span ~the full custkey
+    # range. Z-order chunks must be selective on BOTH dimensions:
+    assert ck_z < 0.5 * ck_date          # custkey now prunes
+    assert d_z < 0.6 * full_days          # date still prunes
