@@ -203,6 +203,7 @@ _DRIVER_ORDER_R5 = [
     "pca_power_iteration",
     "embedding_random_projection",
     "orders_zorder_keys",
+    "heavy_hitter_terms",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -501,6 +502,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_golden_record": text.q_part_golden_record,  # ER survivorship
         "copurchase_jaccard_top": graph.q_copurchase_jaccard_top,  # link prediction
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
+        "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1944,6 +1946,20 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "heavy_hitter_terms": (
+            # the exact answer the two-pass MG scheme must reproduce:
+            # plain GROUP BY + HAVING over the full token stream
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "tk AS (SELECT term FROM tok WHERE term <> ''), "
+            "n AS (SELECT count(*) AS n_total FROM tk), "
+            "c AS (SELECT term, count(*) AS n_occurrences FROM tk "
+            "GROUP BY 1) "
+            "SELECT term, n_occurrences, CAST("
+            + _hud("(n_occurrences * 1000000)", "n_total", 0)
+            + " AS BIGINT) AS share_ppm FROM c, n "
+            "WHERE n_occurrences * 200 > n_total"
         ),
         "bpe_encode": (
             # tokenizer APPLY under the fixed pretrained merge table:

@@ -1044,3 +1044,86 @@ def q_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") >= 2)
     )
     return golden
+
+
+#: Heavy-hitter threshold: report terms with count > n_tokens / PHI_DEN.
+PHI_DEN = 200
+#: Per-partition Misra-Gries counter budget. The superset guarantee
+#: needs k >= PHI_DEN (an item with global share > 1/PHI_DEN must have
+#: per-partition share > 1/PHI_DEN somewhere, and MG(k) surfaces every
+#: item with share > 1/k in its partition); 256 adds slack.
+MG_COUNTERS = 256
+
+
+def _mg_candidates(texts, k: int = MG_COUNTERS):
+    """Arrow-batched Misra-Gries: one bounded dict of k counters per
+    partition, emitted as candidate terms. Classic decrement form."""
+    counters: dict[str, int] = {}
+    import pandas as pd
+
+    for pdf in texts:
+        for text in pdf["text"]:
+            for tok in text.split(" "):
+                if not tok:
+                    continue
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t, c in counters.items() if c == 1]
+                    for t in dead:
+                        del counters[t]
+                    for t in counters:
+                        counters[t] -= 1
+    yield pd.DataFrame({"term": sorted(counters)})
+
+
+def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (terms with > 1/200 of all token
+    occurrences) by the standard two-pass scheme: a bounded-memory
+    Misra–Gries candidate pass, then an exact recount of the
+    candidates only.
+
+    Pass 1 runs ``mapInPandas`` with ``MG_COUNTERS`` counters per
+    partition — constant memory however large the partition, and by
+    the MG guarantee the union of per-partition survivors is a
+    SUPERSET of every global heavy hitter (pigeonhole: a term above
+    the global threshold is above it in some partition). Pass 2
+    exact-counts only the candidate terms (broadcast semi-join into
+    the token scan) and applies the threshold — so the OUTPUT is exact
+    and independent of MG internals, which is what lets a sketch-fed
+    operator hash-match a plain GROUP BY/HAVING oracle. At 100 TB this
+    is the only way to heavy-hit a vocabulary that doesn't fit a
+    shuffle: the full-vocabulary groupBy never happens; only
+    |candidates| ≤ partitions·k terms are ever counted.
+
+    Output: (term, n_occurrences, share_ppm) — share in exact half-up
+    parts-per-million."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    cands = (
+        t.documents.select("text")
+        .mapInPandas(_mg_candidates, "term string")
+        .distinct()
+    )
+    toks = _tok(t.documents).select(F.explode("toks").alias("term")).filter(
+        F.col("term") != ""
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    counted = (
+        toks.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * PHI_DEN > F.col("n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            (halfup_div(F.col("n_occurrences") * 1_000_000, F.col("n_total"), 0)
+             ).cast("long").alias("share_ppm"),
+        )
+    )

@@ -57,6 +57,7 @@ WHITELIST: dict[str, str] = {
     "pca_power_iteration": "1-row corpus-count/max-norm/sign broadcasts per round (d-row state)",
     "embedding_random_projection": "constant k x d sign-matrix grid build (16 x 64 rows)",
     "orders_zorder_keys": "1-row column min/max bounds broadcast (range normalization)",
+    "heavy_hitter_terms": "1-row token-total broadcast (threshold scalar)",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",

@@ -572,3 +572,32 @@ def test_session_paths_conserve_sessions(spark, sf_dir):
     # top-30 is a subset; total session count bounds any path count
     n_sessions = q_events_sessions(spark, sf_dir).count()
     assert all(r.n_sessions <= n_sessions for r in rows)
+
+
+def test_heavy_hitters_adversarial_planted(spark, tmp_path):
+    """A term just above the 1/200 share threshold is reported exactly
+    despite a flood of distinct singletons built to thrash the MG
+    counters; one just below is not."""
+    docs = []
+    # 40000 total tokens: 'hot' 240 times (1/166 > 1/200),
+    # 'warm' 120 times (1/333 < 1/200), the rest ~39640 distinct fillers
+    filler = 0
+    for i in range(200):
+        toks = []
+        if i < 120:
+            toks += ["hot", "hot", "warm"]
+        for _ in range(197):
+            toks.append(f"x{filler}")
+            filler += 1
+        docs.append((i, " ".join(toks)))
+    spark.createDataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from beauty_lakehouse_spark.operators.text import q_heavy_hitter_terms
+
+    out = {r.term: r for r in q_heavy_hitter_terms(spark, str(tmp_path)).collect()}
+    assert "hot" in out and out["hot"].n_occurrences == 240
+    assert "warm" not in out
+    assert all(r.n_occurrences * 200 > 39760 for r in out.values())
