@@ -204,6 +204,7 @@ _DRIVER_ORDER_R5 = [
     "embedding_random_projection",
     "orders_zorder_keys",
     "heavy_hitter_terms",
+    "token_subsampling",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -503,6 +504,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_jaccard_top": graph.q_copurchase_jaccard_top,  # link prediction
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
+        "token_subsampling": curation.q_token_subsampling,  # word2vec thinning
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1946,6 +1948,27 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "token_subsampling": (
+            # word2vec sqrt(t/f) subsampling via the squared-hash
+            # cross-multiply (h^2 * c * 1000 < N * 2^60): no sqrt, no RNG;
+            # pos is 0-based to match posexplode
+            "WITH tok AS (SELECT * FROM (SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, "
+            "unnest(toks) AS term FROM (SELECT doc_id, "
+            "string_split(text, ' ') AS toks FROM documents)) "
+            "WHERE term <> ''), "
+            "c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1), "
+            "n AS (SELECT count(*) AS n_total FROM tok), "
+            "k AS (SELECT tok.term AS term, "
+            "(('0x' || substr(md5(tok.term || ':' || "
+            "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)), "
+            "1, 15))::BIGINT % 1073741824) AS h, c.c AS c, n.n_total AS nt "
+            "FROM tok JOIN c ON c.term = tok.term, n) "
+            "SELECT term, count(*) AS n_before, "
+            "CAST(sum(CASE WHEN CAST(h AS HUGEINT) * h * c * 1000 < "
+            "CAST(nt AS HUGEINT) * 1152921504606846976 THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_kept FROM k GROUP BY term"
         ),
         "heavy_hitter_terms": (
             # the exact answer the two-pass MG scheme must reproduce:

@@ -929,3 +929,72 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: q_token_subsampling threshold t = SUB_T_NUM / SUB_T_DEN (the
+#: word2vec default 1e-3) and the 30-bit hash scale.
+SUB_T_NUM = 1
+SUB_T_DEN = 1000
+SUB_HASH_BITS = 30
+
+
+def q_token_subsampling(spark, sf_dir: str) -> DataFrame:
+    """Frequency subsampling of the token stream (Mikolov/word2vec):
+    an occurrence of term w survives with probability
+    √(t / f(w)) (capped at 1), so stopword-frequency terms are
+    aggressively thinned while rare terms pass untouched — the
+    standard rebalancing step before embedding/tokenizer training,
+    made DETERMINISTIC and oracle-exact.
+
+    No RNG and no square root: the occurrence's 30-bit md5-derived
+    hash h (keyed on term:doc:pos) survives iff
+    ``h² · c_w · SUB_T_DEN < N · SUB_T_NUM · 2^60`` — squaring the
+    comparison removes the √ entirely; everything is one exact
+    DECIMAL(38,0)/HUGEINT cross-multiply, identical in both engines.
+    The hash is uniform, so the survival RATE converges to √(t/f) —
+    the pytest pins the rate against the closed form.
+
+    Scale: one exploded pass with the term-count dictionary joined
+    back (broadcast at test SF, shuffle join at vocabulary scale), one
+    groupBy to the per-term report. Map-side combinable throughout.
+
+    Output: (term, n_before, n_kept) per term."""
+    from ..catalog import load
+    from ..functions import portable_hash64
+
+    d38 = "decimal(38,0)"
+    t = load(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+        )
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    h = F.pmod(
+        portable_hash64(
+            F.concat_ws(
+                ":",
+                F.col("term"),
+                F.col("doc_id").cast("string"),
+                F.col("pos").cast("string"),
+            )
+        ),
+        F.lit(1 << SUB_HASH_BITS),
+    ).cast(d38)
+    keep = (
+        h * h * F.col("c").cast(d38) * F.lit(SUB_T_DEN)
+        < F.col("n_total").cast(d38)
+        * F.lit(SUB_T_NUM)
+        * F.lit(2**60).cast(d38)
+    )
+    return (
+        toks.join(F.broadcast(counts), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+        )
+    )

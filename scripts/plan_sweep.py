@@ -58,6 +58,7 @@ WHITELIST: dict[str, str] = {
     "embedding_random_projection": "constant k x d sign-matrix grid build (16 x 64 rows)",
     "orders_zorder_keys": "1-row column min/max bounds broadcast (range normalization)",
     "heavy_hitter_terms": "1-row token-total broadcast (threshold scalar)",
+    "token_subsampling": "1-row token-total broadcast (survival-rate scalar)",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",

@@ -380,3 +380,28 @@ def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
     assert total_bloom >= total_true
     # FP tax small: (occupancy)^k of probed grams — well under 5% here
     assert total_bloom - total_true <= max(0.05 * total_grams, 5)
+
+
+def test_token_subsampling_rate_tracks_closed_form(spark, sf_dir):
+    """Per-term survival rate converges to min(1, sqrt(t/f)): exact for
+    rare terms (all kept), within sampling noise for frequent ones;
+    kept never exceeds before."""
+    import math
+
+    from beauty_lakehouse_spark.operators.curation import (
+        SUB_T_DEN,
+        SUB_T_NUM,
+        q_token_subsampling,
+    )
+
+    rows = q_token_subsampling(spark, sf_dir).collect()
+    assert rows
+    n_total = sum(r.n_before for r in rows)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_before
+        f = r.n_before / n_total
+        p = min(1.0, math.sqrt(SUB_T_NUM / SUB_T_DEN / f))
+        got = r.n_kept / r.n_before
+        # 5-sigma binomial slack
+        slack = 5 * math.sqrt(p * (1 - p) / r.n_before) + 1 / r.n_before
+        assert abs(got - p) <= slack, (r.term, got, p)
