@@ -205,6 +205,7 @@ _DRIVER_ORDER_R5 = [
     "orders_zorder_keys",
     "heavy_hitter_terms",
     "token_subsampling",
+    "skipgram_pairs",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -505,6 +506,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
         "token_subsampling": curation.q_token_subsampling,  # word2vec thinning
+        "skipgram_pairs": curation.q_skipgram_pairs,  # positional pair generator
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -1948,6 +1950,21 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "skipgram_pairs": (
+            # offset-exploded equi-join window (pos is 0-based like
+            # posexplode); direction preserved; support floor 5
+            "WITH tok AS (SELECT * FROM (SELECT doc_id, "
+            "CAST(generate_subscripts(toks, 1) - 1 AS INTEGER) AS pos, "
+            "unnest(toks) AS term FROM (SELECT doc_id, "
+            "string_split(text, ' ') AS toks FROM documents)) "
+            "WHERE term <> ''), "
+            "pr AS (SELECT doc_id, term AS center, pos + o.k AS pos2 "
+            "FROM tok, (SELECT unnest([-2, -1, 1, 2]) AS k) o) "
+            "SELECT pr.center AS center, t2.term AS context, "
+            "count(*) AS n_pairs FROM pr "
+            "JOIN tok t2 ON t2.doc_id = pr.doc_id AND t2.pos = pr.pos2 "
+            "GROUP BY 1, 2 HAVING count(*) >= 5"
         ),
         "token_subsampling": (
             # word2vec sqrt(t/f) subsampling via the squared-hash

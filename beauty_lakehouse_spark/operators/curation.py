@@ -998,3 +998,53 @@ def q_token_subsampling(spark, sf_dir: str) -> DataFrame:
             F.sum(keep.cast("long")).alias("n_kept"),
         )
     )
+
+
+#: Skip-gram context window: offsets ±1..±SKIPGRAM_WINDOW.
+SKIPGRAM_WINDOW = 2
+#: Report floor: pairs seen fewer times are noise.
+SKIPGRAM_MIN_COUNT = 5
+
+
+def q_skipgram_pairs(spark, sf_dir: str) -> DataFrame:
+    """(center, context) skip-gram training-pair counts over a ±2
+    positional window — the example generator of word2vec/GloVe-style
+    embedding training, positional where `term_pmi_top_pairs` is
+    document-level.
+
+    The window join is OFFSET-EXPLODED: each occurrence emits its
+    (doc, pos ± k) probe keys and pairs form by plain EQUI-join on
+    (doc_id, pos) — never an inequality/range join, so the plan is a
+    hash join at any scale (the same trick as the binned interval
+    join). Pair counting is map-side combinable; the report keeps
+    pairs with ≥ ``SKIPGRAM_MIN_COUNT`` co-occurrences, ordered
+    deterministically.
+
+    Output: (center, context, n_pairs) — direction preserved
+    (left/right contexts both counted, as training does)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
+        )
+        .filter(F.col("term") != "")
+        .localCheckpoint(eager=False)  # probe + build sides
+    )
+    offsets = [k for k in range(-SKIPGRAM_WINDOW, SKIPGRAM_WINDOW + 1) if k]
+    probes = toks.select(
+        "doc_id",
+        F.col("term").alias("center"),
+        F.explode(
+            F.array(*[F.col("pos") + F.lit(k) for k in offsets])
+        ).alias("pos"),
+    )
+    pairs = probes.join(toks, ["doc_id", "pos"]).select(
+        "center", F.col("term").alias("context")
+    )
+    return (
+        pairs.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
+    )

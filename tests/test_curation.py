@@ -405,3 +405,26 @@ def test_token_subsampling_rate_tracks_closed_form(spark, sf_dir):
         # 5-sigma binomial slack
         slack = 5 * math.sqrt(p * (1 - p) / r.n_before) + 1 / r.n_before
         assert abs(got - p) <= slack, (r.term, got, p)
+
+
+def test_skipgram_pairs_planted_window(spark, tmp_path):
+    """A fixed sentence yields exactly the +-2 window pairs with the
+    right multiplicities; symmetry holds (a->b and b->a counts equal)."""
+    docs = [(i, "a b c d e") for i in range(5)]
+    spark.createDataFrame(
+        [(d, t, "en", "src0", len(t)) for d, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from beauty_lakehouse_spark.operators.curation import q_skipgram_pairs
+
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in q_skipgram_pairs(spark, str(tmp_path)).collect()
+    }
+    # 'c' sees a,b,d,e once per doc => 5 each; 'a' sees b,c only
+    assert got[("c", "a")] == got[("c", "e")] == 5
+    assert got[("a", "b")] == got[("a", "c")] == 5
+    assert ("a", "d") not in got
+    for (x, y), n in got.items():
+        assert got[(y, x)] == n  # window symmetry
