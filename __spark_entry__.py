@@ -206,6 +206,7 @@ _DRIVER_ORDER_R5 = [
     "heavy_hitter_terms",
     "token_subsampling",
     "skipgram_pairs",
+    "ccnet_buckets",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -507,6 +508,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
         "token_subsampling": curation.q_token_subsampling,  # word2vec thinning
         "skipgram_pairs": curation.q_skipgram_pairs,  # positional pair generator
+        "ccnet_buckets": curation.q_ccnet_buckets,  # head/middle/tail perplexity split
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
         "media_frames": _q_media_frames,  # stubbed codecs
@@ -2995,6 +2997,22 @@ def oracle_sql() -> dict[str, str]:
     }
     # the streaming drains are hash-checked against their batch twins'
     # oracles — streaming == batch == independent-engine SQL
+    out["ccnet_buckets"] = (
+        # composed from the bigram-LM oracle: half-up integer rank key,
+        # global row_number (oracle side may sort), NTILE(3) arithmetic
+        "WITH ce AS (" + out["bigram_cross_entropy"] + "), "
+        "sc AS (SELECT doc_id, (2 * CAST(sum_cost_unats AS HUGEINT) "
+        "* 1000000 + n_bigrams) // (2 * CAST(n_bigrams AS HUGEINT)) AS k "
+        "FROM ce), "
+        "n AS (SELECT count(*) AS n FROM sc), "
+        "r AS (SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) "
+        "AS rank FROM sc) "
+        "SELECT doc_id, CAST(k AS BIGINT) AS avg_cost_key, "
+        "CAST(rank AS BIGINT) AS rank, "
+        "CAST(((rank - 1) * 3) // n + 1 AS INTEGER) AS tercile, "
+        "(['head', 'middle', 'tail'])[CAST(((rank - 1) * 3) // n + 1 "
+        "AS INTEGER)] AS bucket FROM r, n"
+    )
     out["lang_eval"] = (
         "WITH pred AS (" + out["lang_id"] + "), "
         "t AS (SELECT lang AS cls, count(*) AS n_true FROM pred GROUP BY 1), "

@@ -1048,3 +1048,85 @@ def q_skipgram_pairs(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .filter(F.col("n_pairs") >= SKIPGRAM_MIN_COUNT)
     )
+
+
+#: q_ccnet_buckets bucket shift: perplexity keys (micro-nats x 1e6)
+#: coarsen by 2^33 so the bucket table stays ~4k rows.
+CCNET_BUCKET_SHIFT = 33
+
+
+def q_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split: rank every document
+    by its bigram-LM cross-entropy (the oracle-exact perplexity score
+    from ``text.q_bigram_cross_entropy``) and cut the corpus into
+    exact terciles — head = most in-distribution third, tail = most
+    perplexing. THE canonical LLM-pretraining quality bucketing.
+
+    Exactness: the rank key is the half-up integer
+    ``round(sum_cost·10⁶ / n_bigrams)`` (pure integers on both
+    engines); the global rank uses the two-level bucket-offset
+    decomposition (bucket = key >> 33, a ≤ ~4k-row table — the ONLY
+    unpartitioned window runs over it, the same scale argument as
+    customer_spend_ntile), and the tercile is
+    ``(rank−1)·3 div n + 1``, which reproduces NTILE(3)'s
+    larger-first-tiles arithmetic bit for bit.
+
+    Scale: score = two dictionary-grain groupBys (see the LM query);
+    ranking adds one bucket-grain window and a broadcast offset join —
+    no global sort of the corpus anywhere."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv
+    from .text import q_bigram_cross_entropy
+
+    d38 = "decimal(38,0)"
+    sc = q_bigram_cross_entropy(spark, sf_dir).select(
+        "doc_id",
+        _idiv(
+            F.lit(2).cast(d38) * F.col("sum_cost_unats").cast(d38)
+            * F.lit(1_000_000)
+            + F.col("n_bigrams").cast(d38),
+            F.lit(2).cast(d38) * F.col("n_bigrams").cast(d38),
+        ).alias("k"),
+    )
+    scored = sc.select(
+        "doc_id", "k", F.shiftright("k", CCNET_BUCKET_SHIFT).alias("bkt")
+    ).localCheckpoint(eager=False)
+    sizes = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    offs = sizes.select(
+        "bkt",
+        (
+            F.sum("c").over(
+                Window.orderBy("bkt").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+        ).alias("off"),
+    ).fillna(0, subset=["off"])
+    rn = F.row_number().over(Window.partitionBy("bkt").orderBy("k", "doc_id"))
+    ranked = (
+        scored.withColumn("rn", rn)
+        .join(F.broadcast(offs), "bkt")
+        .select("doc_id", "k", (F.col("off") + F.col("rn")).alias("rank"))
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("n"))
+    tercile = (
+        _idiv((F.col("rank") - 1) * 3, F.col("n")) + 1
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .select(
+            "doc_id",
+            F.col("k").alias("avg_cost_key"),
+            F.col("rank").cast("long").alias("rank"),
+            tercile.alias("tercile"),
+        )
+        .withColumn(
+            "bucket",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ),
+        )
+    )

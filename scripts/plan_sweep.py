@@ -59,6 +59,7 @@ WHITELIST: dict[str, str] = {
     "orders_zorder_keys": "1-row column min/max bounds broadcast (range normalization)",
     "heavy_hitter_terms": "1-row token-total broadcast (threshold scalar)",
     "token_subsampling": "1-row token-total broadcast (survival-rate scalar)",
+    "ccnet_buckets": "1-row corpus-count broadcast (tercile arithmetic)",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
@@ -70,6 +71,7 @@ WHITELIST: dict[str, str] = {
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
     "customer_spend_ntile": "cumsum over spend-floor bucket table (bounded by price range)",
+    "ccnet_buckets": "cumsum over the ~4k-row perplexity-key bucket table (key >> 33)",
     "token_budget_selection": "cumsum over per-(source,n_chars) bucket aggregate",
     "sequence_packing": "cumsum over bucket aggregate (asserted by plan test)",
     "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",

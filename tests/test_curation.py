@@ -428,3 +428,29 @@ def test_skipgram_pairs_planted_window(spark, tmp_path):
     assert ("a", "d") not in got
     for (x, y), n in got.items():
         assert got[(y, x)] == n  # window symmetry
+
+
+def test_ccnet_buckets_tercile_law(spark, sf_dir):
+    """Terciles partition the corpus with NTILE(3) sizes (first tiles
+    one larger on remainder), ranks are a permutation of 1..n, and
+    bucket labels follow rank order (head scores <= tail scores)."""
+    from beauty_lakehouse_spark.operators.curation import q_ccnet_buckets
+
+    rows = q_ccnet_buckets(spark, sf_dir).collect()
+    n = len(rows)
+    assert sorted(r.rank for r in rows) == list(range(1, n + 1))
+    sizes = {}
+    for r in rows:
+        sizes[r.tercile] = sizes.get(r.tercile, 0) + 1
+    base, rem = divmod(n, 3)
+    assert sorted(sizes) == [1, 2, 3]
+    assert all(
+        sizes[t] == base + (1 if t <= rem else 0) for t in (1, 2, 3)
+    )
+    head_max = max(r.avg_cost_key for r in rows if r.tercile == 1)
+    tail_min = min(r.avg_cost_key for r in rows if r.tercile == 3)
+    assert head_max <= tail_min
+    assert all(
+        r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tercile]
+        for r in rows
+    )
