@@ -107,6 +107,16 @@ _DRIVER_ORDER_R5 = [
     "linestatus_priority_counts",
     "bpe_pair_counts",
     "customer_order_distribution",
+    "moments_sketch",
+    "events_seasonality",
+    "orders_zorder_keys",
+    "session_paths_top",
+    "token_subsampling",
+    "skipgram_pairs",
+    "open_orders_daily",
+    "lang_eval",
+    "kmeans_round",
+    "bpe_encode",
     "doc_fingerprint",
     "quality_scores",
     "promo_revenue_share",
@@ -185,27 +195,17 @@ _DRIVER_ORDER_R5 = [
     "event_volume_anomalies",
     "term_pmi_top_pairs",
     "embedding_quantize_int8",
-    "kmeans_round",
     "hll_set_algebra",
-    "bpe_encode",
     "event_anomalies_streamed",
     "order_enriched_salted",
-    "lang_eval",
-    "moments_sketch",
     "user_state_scd2",
     "part_golden_record",
     "copurchase_jaccard_top",
     "value_drift_report",
-    "events_seasonality",
-    "session_paths_top",
-    "open_orders_daily",
     "table_stats",
     "pca_power_iteration",
     "embedding_random_projection",
-    "orders_zorder_keys",
     "heavy_hitter_terms",
-    "token_subsampling",
-    "skipgram_pairs",
     "ccnet_buckets",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
@@ -287,7 +287,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     rotates: the never-driver-verified oracle entries come FIRST
     (cheapest first, by measured sf0.01 wall time), then the
     never-verified rows-only entries, then the already-thrice-verified
-    block (cheapest first) to soak up any remaining budget."""
+    block (cheapest first) to soak up any remaining budget. The
+    continuation session interleaves ten of its cheap new entries
+    around position ~20 so the driver's hard signal also reaches this
+    session's additions — every entry in the first ~75 slots is absent
+    from CORRECTNESS_r02–r04 either way."""
     base = _registry()
     missing = set(base) ^ set(_DRIVER_ORDER_R5)
     if missing:  # a registry edit must update the order list too
