@@ -207,6 +207,7 @@ _DRIVER_ORDER_R5 = [
     "embedding_random_projection",
     "heavy_hitter_terms",
     "ccnet_buckets",
+    "next_token_suggestions",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -510,6 +511,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_jaccard_top": graph.q_copurchase_jaccard_top,  # link prediction
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
+        "next_token_suggestions": text.q_next_token_suggestions,  # LM serving view
         "token_subsampling": curation.q_token_subsampling,  # word2vec thinning
         "skipgram_pairs": curation.q_skipgram_pairs,  # positional pair generator
         "ccnet_buckets": curation.q_ccnet_buckets,  # head/middle/tail perplexity split
@@ -1956,6 +1958,25 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "next_token_suggestions": (
+            # per-prefix top-3 successors of the MLE bigram model;
+            # exact half-up conditional probability in ppm
+            "WITH s AS (SELECT string_split(text, ' ') AS t "
+            "FROM documents), "
+            "g AS (SELECT t[i] AS prefix, t[i + 1] AS next_token "
+            "FROM s, UNNEST(range(1, len(t))) AS u(i) "
+            "WHERE t[i] <> '' AND t[i + 1] <> ''), "
+            "c AS (SELECT prefix, next_token, count(*) AS n FROM g "
+            "GROUP BY 1, 2), "
+            "tt AS (SELECT prefix, sum(n) AS n_prefix FROM c GROUP BY 1), "
+            "r AS (SELECT c.prefix AS prefix, next_token, n, n_prefix, "
+            "row_number() OVER (PARTITION BY c.prefix "
+            "ORDER BY n DESC, next_token) AS rk "
+            "FROM c JOIN tt ON tt.prefix = c.prefix) "
+            "SELECT prefix, next_token, n, CAST(rk AS INTEGER) AS rk, "
+            "CAST(" + _hud("(n * 1000000)", "n_prefix", 0)
+            + " AS BIGINT) AS p_ppm FROM r WHERE rk <= 3"
         ),
         "skipgram_pairs": (
             # offset-exploded equi-join window (pos is 0-based like

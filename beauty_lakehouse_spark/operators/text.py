@@ -1127,3 +1127,55 @@ def q_heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              ).cast("long").alias("share_ppm"),
         )
     )
+
+
+def q_next_token_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 next-token suggestions per prefix under the corpus MLE
+    bigram model — the serving-side view of the same model
+    ``q_bigram_cross_entropy`` scores with (autocomplete / speculative
+    lookahead): for every observed prefix token, the three most likely
+    successors with their exact counts and half-up conditional
+    probability in parts-per-million.
+
+    Scale: gram stream → one map-side-combinable groupBy to the bigram
+    dictionary → per-prefix Window top-k (partitioned by prefix — the
+    dictionary grain, never the corpus). Ties break lexicographically
+    so the report is total-order deterministic."""
+    from pyspark.sql import Window
+
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = t.documents.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.struct(
+                    F.element_at(toks, i + 1).alias("prefix"),
+                    F.element_at(toks, i + 2).alias("next_token"),
+                ),
+            )
+        ).alias("g")
+    ).select("g.prefix", "g.next_token").filter(
+        (F.col("prefix") != "") & (F.col("next_token") != "")
+    )
+    counts = grams.groupBy("prefix", "next_token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("prefix").agg(F.sum("n").alias("n_prefix"))
+    w = Window.partitionBy("prefix").orderBy(F.desc("n"), "next_token")
+    return (
+        counts.join(totals, "prefix")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "prefix",
+            "next_token",
+            "n",
+            F.col("rk").cast("int").alias("rk"),
+            halfup_div(F.col("n") * 1_000_000, F.col("n_prefix"), 0)
+            .cast("long")
+            .alias("p_ppm"),
+        )
+    )

@@ -601,3 +601,26 @@ def test_heavy_hitters_adversarial_planted(spark, tmp_path):
     assert "hot" in out and out["hot"].n_occurrences == 240
     assert "warm" not in out
     assert all(r.n_occurrences * 200 > 39760 for r in out.values())
+
+
+def test_next_token_suggestions_consistency(spark, sf_dir):
+    """Suggestions agree with the bigram model: per prefix at most 3
+    rows, ranked by count desc then token, probabilities are exact
+    shares of the prefix total and never increase with rank."""
+    from beauty_lakehouse_spark.operators.text import (
+        q_next_token_suggestions,
+    )
+
+    rows = q_next_token_suggestions(spark, sf_dir).collect()
+    assert rows
+    by_prefix = {}
+    for r in rows:
+        by_prefix.setdefault(r.prefix, []).append(r)
+    for prefix, rs in by_prefix.items():
+        rs = sorted(rs, key=lambda r: r.rk)
+        assert [r.rk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        for a, b in zip(rs, rs[1:]):
+            assert a.n > b.n or (a.n == b.n and a.next_token < b.next_token)
+            assert a.p_ppm >= b.p_ppm
+        assert all(0 < r.p_ppm <= 1_000_000 for r in rs)
