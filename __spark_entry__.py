@@ -208,6 +208,7 @@ _DRIVER_ORDER_R5 = [
     "heavy_hitter_terms",
     "ccnet_buckets",
     "next_token_suggestions",
+    "winsorized_value_stats",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -479,6 +480,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
         "value_drift_report": quality.q_value_drift_report,
+        "winsorized_value_stats": quality.q_winsorized_value_stats,
         "table_stats": quality.q_table_stats,
         "orders_zorder_keys": warehouse.q_orders_zorder_keys,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -2964,6 +2966,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_algebra": _hll_pair_sql(),
         "value_drift_report": _drift_sql(),
+        "winsorized_value_stats": (
+            # nearest-rank p5/p95 over the (type, cents) grid, integer
+            # ceil ranks, clamp + exact half-up mean
+            "WITH e AS (SELECT event_type, "
+            "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c "
+            "FROM events), "
+            "grid AS (SELECT event_type, c, count(*) AS k FROM e "
+            "GROUP BY 1, 2), "
+            "g AS (SELECT *, sum(k) OVER (PARTITION BY event_type "
+            "ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(k) OVER (PARTITION BY event_type) AS n FROM grid), "
+            "cuts AS (SELECT event_type, "
+            "min(CASE WHEN cum >= (n * 1 + 19) // 20 THEN c END) AS lo_cents, "
+            "min(CASE WHEN cum >= (n * 19 + 19) // 20 THEN c END) AS hi_cents "
+            "FROM g GROUP BY 1), "
+            "cl AS (SELECT e.event_type AS event_type, lo_cents, hi_cents, "
+            "greatest(least(c, hi_cents), lo_cents) AS w, "
+            "CASE WHEN c < lo_cents THEN 1 ELSE 0 END AS clip_lo, "
+            "CASE WHEN c > hi_cents THEN 1 ELSE 0 END AS clip_hi "
+            "FROM e JOIN cuts ON cuts.event_type = e.event_type) "
+            "SELECT event_type, count(*) AS n, "
+            "CAST(max(lo_cents) AS BIGINT) AS lo_cents, "
+            "CAST(max(hi_cents) AS BIGINT) AS hi_cents, "
+            "CAST(sum(clip_lo) AS BIGINT) AS n_clipped_low, "
+            "CAST(sum(clip_hi) AS BIGINT) AS n_clipped_high, "
+            + _hud("sum(w)", "count(*)", 6)
+            + " AS winsorized_mean_cents FROM cl GROUP BY event_type"
+        ),
         "table_stats": (
             "SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows, "
             "sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, "

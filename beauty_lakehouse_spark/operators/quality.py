@@ -949,3 +949,83 @@ def q_table_stats(spark, sf_dir: str) -> DataFrame:
         )
         report = one if report is None else report.unionByName(one)
     return report
+
+
+#: Winsorization cut points: clamp below the p_lo-th and above the
+#: p_hi-th nearest-rank percentile (classic 5/95).
+WINSOR_LO_NUM, WINSOR_LO_DEN = 1, 20
+WINSOR_HI_NUM, WINSOR_HI_DEN = 19, 20
+
+
+def q_winsorized_value_stats(spark, sf_dir: str) -> DataFrame:
+    """Robust per-type value statistics by WINSORIZATION: clamp each
+    event's value at the exact nearest-rank 5th/95th percentile and
+    report the clipped mean next to the clip counts — the outlier-
+    resistant aggregate a metrics pipeline publishes when raw means
+    are whale-dominated.
+
+    Exact percentiles WITHOUT a global sort: values collapse to the
+    per-(type, cents) count grid; a cumulative window over the grid
+    (partitioned by type, bounded by the VALUE RANGE, not the row
+    count) finds the smallest cents whose cumulative count reaches
+    ceil(p·n) — the textbook nearest-rank definition, all integers.
+    The thresholds (|types| rows) broadcast back; the winsorized mean
+    is an exact half-up rational of clamped cents.
+
+    Scale: one map-side-combinable collapse to the grid, one bounded
+    window, one broadcast join + final aggregate. The same
+    decomposition as order_value_percentiles, composed into a robust
+    estimator."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2, halfup_div
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type", (dec2("value") * 100).cast("long").alias("c")
+    )
+    grid = e.groupBy("event_type", "c").agg(F.count(F.lit(1)).alias("k"))
+    tw = Window.partitionBy("event_type")
+    cw = tw.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    g = grid.select(
+        "event_type", "c", "k",
+        F.sum("k").over(cw).alias("cum"),
+        F.sum("k").over(tw).alias("n"),
+    )
+    # exact integer ceil(n*p): (n*num + den - 1) div den — no float
+    lo_rank = _idiv(
+        F.col("n") * WINSOR_LO_NUM + F.lit(WINSOR_LO_DEN - 1),
+        F.lit(WINSOR_LO_DEN),
+    )
+    hi_rank = _idiv(
+        F.col("n") * WINSOR_HI_NUM + F.lit(WINSOR_HI_DEN - 1),
+        F.lit(WINSOR_HI_DEN),
+    )
+    cuts = (
+        g.select(
+            "event_type",
+            F.when(F.col("cum") >= lo_rank, F.col("c")).alias("lo_c"),
+            F.when(F.col("cum") >= hi_rank, F.col("c")).alias("hi_c"),
+        )
+        .groupBy("event_type")
+        .agg(F.min("lo_c").alias("lo_cents"), F.min("hi_c").alias("hi_cents"))
+    )
+    clamped = e.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        "lo_cents",
+        "hi_cents",
+        F.greatest(F.least(F.col("c"), F.col("hi_cents")), F.col("lo_cents"))
+        .alias("w"),
+        (F.col("c") < F.col("lo_cents")).cast("long").alias("clip_lo"),
+        (F.col("c") > F.col("hi_cents")).cast("long").alias("clip_hi"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("lo_cents").alias("lo_cents"),
+        F.max("hi_cents").alias("hi_cents"),
+        F.sum("clip_lo").alias("n_clipped_low"),
+        F.sum("clip_hi").alias("n_clipped_high"),
+        halfup_div(F.sum("w").cast("decimal(38,0)"), F.count(F.lit(1)), 6)
+        .alias("winsorized_mean_cents"),
+    )

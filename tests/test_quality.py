@@ -266,3 +266,38 @@ def test_value_drift_planted_shift(spark, tmp_path):
     assert sh.n_buckets_one_sided >= 2
     assert st.ks < 0.12
     assert st.psi_micro < 120_000  # < 0.12 nats: stable distribution
+
+
+def test_winsorized_stats_match_numpy(spark, sf_dir):
+    """Cut points equal the nearest-rank percentiles of a driver-side
+    recompute; clip counts and the clipped mean agree exactly."""
+    import math
+    from decimal import Decimal
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import (
+        WINSOR_HI_DEN,
+        WINSOR_HI_NUM,
+        WINSOR_LO_DEN,
+        WINSOR_LO_NUM,
+        q_winsorized_value_stats,
+    )
+
+    rows = {r.event_type: r for r in q_winsorized_value_stats(spark, sf_dir).collect()}
+    events = load(spark, sf_dir).events.select("event_type", "value").collect()
+    by_type = {}
+    for r in events:
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(r.event_type, []).append(c)
+    for et, cs in by_type.items():
+        cs.sort()
+        n = len(cs)
+        lo = cs[(n * WINSOR_LO_NUM + WINSOR_LO_DEN - 1) // WINSOR_LO_DEN - 1]
+        hi = cs[(n * WINSOR_HI_NUM + WINSOR_HI_DEN - 1) // WINSOR_HI_DEN - 1]
+        r = rows[et]
+        assert (r.lo_cents, r.hi_cents) == (lo, hi), et
+        assert r.n_clipped_low == sum(1 for c in cs if c < lo)
+        assert r.n_clipped_high == sum(1 for c in cs if c > hi)
+        wsum = sum(min(max(c, lo), hi) for c in cs)
+        want = ((2 * wsum * 10**6 + n) // (2 * n)) / 10**6
+        assert abs(r.winsorized_mean_cents - want) < 1e-9
