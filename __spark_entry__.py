@@ -209,6 +209,7 @@ _DRIVER_ORDER_R5 = [
     "ccnet_buckets",
     "next_token_suggestions",
     "winsorized_value_stats",
+    "mad_outlier_stats",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -481,6 +482,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moments_sketch": quality.q_moments_sketch,
         "value_drift_report": quality.q_value_drift_report,
         "winsorized_value_stats": quality.q_winsorized_value_stats,
+        "mad_outlier_stats": quality.q_mad_outlier_stats,
         "table_stats": quality.q_table_stats,
         "orders_zorder_keys": warehouse.q_orders_zorder_keys,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -2966,6 +2968,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_algebra": _hll_pair_sql(),
         "value_drift_report": _drift_sql(),
+        "mad_outlier_stats": (
+            # two nearest-rank medians over bounded grids + 3*MAD flag
+            "WITH e AS (SELECT event_type, "
+            "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c "
+            "FROM events), "
+            "g1 AS (SELECT event_type, c, count(*) AS k FROM e GROUP BY 1, 2), "
+            "c1 AS (SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY c "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(k) OVER (PARTITION BY event_type) AS n FROM g1), "
+            "med AS (SELECT event_type, min(CASE WHEN cum >= (n + 1) // 2 "
+            "THEN c END) AS median_cents FROM c1 GROUP BY 1), "
+            "dv AS (SELECT e.event_type AS event_type, "
+            "abs(c - median_cents) AS d FROM e "
+            "JOIN med ON med.event_type = e.event_type), "
+            "g2 AS (SELECT event_type, d, count(*) AS k FROM dv GROUP BY 1, 2), "
+            "c2 AS (SELECT *, sum(k) OVER (PARTITION BY event_type ORDER BY d "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(k) OVER (PARTITION BY event_type) AS n FROM g2), "
+            "mad AS (SELECT event_type, min(CASE WHEN cum >= (n + 1) // 2 "
+            "THEN d END) AS mad_cents FROM c2 GROUP BY 1) "
+            "SELECT e.event_type AS event_type, count(*) AS n, "
+            "CAST(max(median_cents) AS BIGINT) AS median_cents, "
+            "CAST(max(mad_cents) AS BIGINT) AS mad_cents, "
+            "CAST(sum(CASE WHEN abs(c - median_cents) > 3 * mad_cents "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM e JOIN med ON med.event_type = e.event_type "
+            "JOIN mad ON mad.event_type = e.event_type GROUP BY 1"
+        ),
         "winsorized_value_stats": (
             # nearest-rank p5/p95 over the (type, cents) grid, integer
             # ceil ranks, clamp + exact half-up mean

@@ -1029,3 +1029,73 @@ def q_winsorized_value_stats(spark, sf_dir: str) -> DataFrame:
         halfup_div(F.sum("w").cast("decimal(38,0)"), F.count(F.lit(1)), 6)
         .alias("winsorized_mean_cents"),
     )
+
+
+def q_mad_outlier_stats(spark, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier profile per event type: the exact
+    nearest-rank median of value-cents, the exact median absolute
+    deviation around it, and how many events sit beyond 3·MAD — the
+    heavy-tail-safe counterpart of the 3σ monitors (a single whale
+    moves a mean and σ; it cannot move a median or MAD).
+
+    Both medians use the bounded-grid nearest-rank construction
+    (cumulative window over (type, value) counts — bounded by the
+    value RANGE, the same no-global-sort decomposition as the
+    winsorized stats); the deviation grid derives from the first pass
+    arithmetically, so the whole profile is two grid windows and two
+    broadcast joins, all integers, no floats, no sort of the fact."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "event_type", (dec2("value") * 100).cast("long").alias("c")
+    ).localCheckpoint(eager=False)  # feeds both grid passes + the flag scan
+
+    def nearest_rank_median(df, col):
+        grid = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("k"))
+        tw = Window.partitionBy("event_type")
+        cw = tw.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        g = grid.select(
+            "event_type", col,
+            F.sum("k").over(cw).alias("cum"),
+            F.sum("k").over(tw).alias("n"),
+        )
+        rank = _idiv(F.col("n") + 1, F.lit(2))
+        return (
+            g.select(
+                "event_type",
+                F.when(F.col("cum") >= rank, F.col(col)).alias("v"),
+            )
+            .groupBy("event_type")
+            .agg(F.min("v").alias("med"))
+        )
+
+    med = nearest_rank_median(e, "c").select(
+        "event_type", F.col("med").alias("median_cents")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("median_cents")).alias("d")
+    )
+    mad = nearest_rank_median(dev, "d").select(
+        "event_type", F.col("med").alias("mad_cents")
+    )
+    flagged = (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "median_cents",
+            "mad_cents",
+            (F.abs(F.col("c") - F.col("median_cents"))
+             > 3 * F.col("mad_cents")).cast("long").alias("is_out"),
+        )
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("median_cents").alias("median_cents"),
+        F.max("mad_cents").alias("mad_cents"),
+        F.sum("is_out").alias("n_outliers"),
+    )

@@ -301,3 +301,36 @@ def test_winsorized_stats_match_numpy(spark, sf_dir):
         wsum = sum(min(max(c, lo), hi) for c in cs)
         want = ((2 * wsum * 10**6 + n) // (2 * n)) / 10**6
         assert abs(r.winsorized_mean_cents - want) < 1e-9
+
+
+def test_mad_outliers_match_sorted_recompute(spark, sf_dir):
+    """Median, MAD and the 3*MAD outlier count equal the nearest-rank
+    driver-side recompute; a planted whale cannot move the median."""
+    from decimal import Decimal
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import q_mad_outlier_stats
+
+    rows = {r.event_type: r for r in q_mad_outlier_stats(spark, sf_dir).collect()}
+    events = load(spark, sf_dir).events.select("event_type", "value").collect()
+    by_type = {}
+    for r in events:
+        c = int(Decimal(str(r.value)).quantize(Decimal("0.01")) * 100)
+        by_type.setdefault(r.event_type, []).append(c)
+
+    def nr_median(xs):
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    for et, cs in by_type.items():
+        m = nr_median(cs)
+        mad = nr_median([abs(c - m) for c in cs])
+        r = rows[et]
+        assert (r.median_cents, r.mad_cents) == (m, mad), et
+        assert r.n_outliers == sum(1 for c in cs if abs(c - m) > 3 * mad)
+        # robustness: replacing one value with a 100x whale leaves the
+        # median unchanged (n is odd-insensitive at these sizes)
+        whale = cs[:-1] + [cs[-1] * 100]
+        assert abs(nr_median(whale) - m) <= max(
+            abs(a - b) for a, b in zip(sorted(cs)[1:], sorted(cs))
+        ) * 2 + 1
