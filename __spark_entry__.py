@@ -210,6 +210,7 @@ _DRIVER_ORDER_R5 = [
     "next_token_suggestions",
     "winsorized_value_stats",
     "mad_outlier_stats",
+    "categorical_entropy",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -483,6 +484,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_drift_report": quality.q_value_drift_report,
         "winsorized_value_stats": quality.q_winsorized_value_stats,
         "mad_outlier_stats": quality.q_mad_outlier_stats,
+        "categorical_entropy": quality.q_categorical_entropy,
         "table_stats": quality.q_table_stats,
         "orders_zorder_keys": warehouse.q_orders_zorder_keys,
         # streaming drains: the STREAMING plans (availableNow) behind the
@@ -1130,6 +1132,32 @@ def _bpe_chain_sql(expr: str) -> str:
     for a, b in text.BPE_FIXED_MERGES:
         expr = f"replace({expr}, '<{a}><{b}>', '<{a}{b}>')"
     return expr
+
+
+def _entropy_sql() -> str:
+    """DuckDB twin of quality.q_categorical_entropy — one UNION ALL
+    block per target, generated from the same ENTROPY_TARGETS list."""
+    lnm_nc = _lnm("n", "c")
+    lnm_k = _lnm("k", "1")
+    h = _hud("hn", "n", 0)
+    blocks = []
+    for table, col in quality.ENTROPY_TARGETS:
+        blocks.append(
+            f"SELECT '{table}.{col}' AS target, CAST(n AS BIGINT) AS n_rows, "
+            f"CAST(k AS INTEGER) AS n_distinct, "
+            f"CAST({h} AS BIGINT) AS entropy_unats, "
+            f"CASE WHEN k = 1 THEN 0.0 ELSE "
+            + _hud(f"(CAST({h} AS BIGINT))", f"({lnm_k})", 6)
+            + " END AS uniformity FROM ("
+            f"SELECT sum(CAST(c AS HUGEINT) * {lnm_nc}) AS hn, "
+            f"max(n) AS n, max(k) AS k FROM "
+            f"(SELECT {col} AS vv, count(*) AS c FROM {table} "
+            f"WHERE {col} IS NOT NULL GROUP BY 1) a, "
+            f"(SELECT sum(cnt) AS n, count(*) AS k FROM "
+            f"(SELECT count(*) AS cnt FROM {table} "
+            f"WHERE {col} IS NOT NULL GROUP BY {col})) b)"
+        )
+    return " UNION ALL ".join(blocks)
 
 
 def _drift_sql() -> str:
@@ -2968,6 +2996,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_set_algebra": _hll_pair_sql(),
         "value_drift_report": _drift_sql(),
+        "categorical_entropy": _entropy_sql(),
         "mad_outlier_stats": (
             # two nearest-rank medians over bounded grids + 3*MAD flag
             "WITH e AS (SELECT event_type, "

@@ -1099,3 +1099,74 @@ def q_mad_outlier_stats(spark, sf_dir: str) -> DataFrame:
         F.max("mad_cents").alias("mad_cents"),
         F.sum("is_out").alias("n_outliers"),
     )
+
+
+#: Categorical columns q_categorical_entropy profiles.
+ENTROPY_TARGETS = [
+    ("events", "event_type"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderpriority"),
+    ("orders", "o_orderstatus"),
+    ("part", "p_brand"),
+]
+
+
+def q_categorical_entropy(spark, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the categorical dimensions — the data-
+    profiling number behind encoding choices (dictionary vs direct),
+    skew alarms and drift baselines — in exact integer micro-nats:
+    H = (1/N)·Σ c·ln(N/c) with every log a ``ln_micro`` (N ≥ c ≥ 1
+    keeps its contract) and the final division exact half-up. Also
+    reports the normalized entropy ratio H/ln(k) (1 = uniform,
+    0 = constant) from the same fixed-point pieces.
+
+    Scale: per column one map-side-combinable value-count groupBy
+    (dictionary grain) + a 1-row total; the entropy sum runs over the
+    dictionary, never the fact."""
+    from ..catalog import load
+    from ..functions import halfup_div, ln_micro
+
+    t = load(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    report = None
+    for table, col in ENTROPY_TARGETS:
+        counts = (
+            t.table(table)
+            .filter(F.col(col).isNotNull())
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        tot = counts.agg(
+            F.sum("c").alias("n"), F.count(F.lit(1)).alias("k")
+        )
+        h_num = (
+            counts.crossJoin(F.broadcast(tot))
+            .select(
+                (F.col("c").cast(d38)
+                 * ln_micro(F.col("n"), F.col("c")).cast(d38)).alias("term"),
+                "n",
+                "k",
+            )
+            .groupBy()
+            .agg(
+                F.sum("term").alias("hn"),
+                F.max("n").alias("n"),
+                F.max("k").alias("k"),
+            )
+        )
+        one = h_num.select(
+            F.lit(f"{table}.{col}").alias("target"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("k").cast("int").alias("n_distinct"),
+            halfup_div(F.col("hn"), F.col("n"), 0).cast("long")
+            .alias("entropy_unats"),
+            F.when(F.col("k") == 1, F.lit(0.0)).otherwise(
+                halfup_div(
+                    halfup_div(F.col("hn"), F.col("n"), 0).cast("long"),
+                    ln_micro(F.col("k"), F.lit(1)),
+                    6,
+                )
+            ).alias("uniformity"),
+        )
+        report = one if report is None else report.unionByName(one)
+    return report

@@ -60,6 +60,7 @@ WHITELIST: dict[str, str] = {
     "heavy_hitter_terms": "1-row token-total broadcast (threshold scalar)",
     "token_subsampling": "1-row token-total broadcast (survival-rate scalar)",
     "ccnet_buckets": "1-row corpus-count broadcast (tercile arithmetic)",
+    "categorical_entropy": "dictionary-grain counts x 1-row totals broadcast, per target",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",

@@ -334,3 +334,32 @@ def test_mad_outliers_match_sorted_recompute(spark, sf_dir):
         assert abs(nr_median(whale) - m) <= max(
             abs(a - b) for a, b in zip(sorted(cs)[1:], sorted(cs))
         ) * 2 + 1
+
+
+def test_categorical_entropy_tracks_float_shannon(spark, sf_dir):
+    """Fixed-point entropy tracks the float Shannon entropy within
+    ln_micro quantization; uniformity lies in [0, 1] and orders
+    columns sensibly (uniform-ish event_type near 1)."""
+    import math
+    from collections import Counter
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import (
+        ENTROPY_TARGETS,
+        q_categorical_entropy,
+    )
+
+    rows = {r.target: r for r in q_categorical_entropy(spark, sf_dir).collect()}
+    t = load(spark, sf_dir)
+    for table, col in ENTROPY_TARGETS:
+        vals = [
+            x[0] for x in t.table(table).select(col).collect() if x[0] is not None
+        ]
+        c = Counter(vals)
+        n = len(vals)
+        h = sum(cnt / n * math.log(n / cnt) for cnt in c.values())
+        r = rows[f"{table}.{col}"]
+        assert r.n_rows == n and r.n_distinct == len(c)
+        assert abs(r.entropy_unats / 1e6 - h) < 2e-3
+        assert 0.0 <= r.uniformity <= 1.0 + 1e-9
+    assert rows["events.event_type"].uniformity > 0.95
