@@ -211,6 +211,7 @@ _DRIVER_ORDER_R5 = [
     "winsorized_value_stats",
     "mad_outlier_stats",
     "categorical_entropy",
+    "revenue_gini",
     # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
     "bpe_train_merges",
     "media_features",
@@ -487,6 +488,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_entropy": quality.q_categorical_entropy,
         "table_stats": quality.q_table_stats,
         "orders_zorder_keys": warehouse.q_orders_zorder_keys,
+        "revenue_gini": warehouse.q_revenue_gini,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
@@ -2745,6 +2747,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(err) AS BIGINT) AS max_err_micro, "
             "md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim)) "
             "AS codes_md5 FROM s GROUP BY vec_id"
+        ),
+        "revenue_gini": (
+            # exact rational Gini over ascending spend ranks (oracle
+            # side may sort); ties by custkey, value tie-invariant
+            "WITH sp AS (SELECT c_mktsegment AS segment, o_custkey, "
+            "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) "
+            "AS cents FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT segment, cents, row_number() OVER "
+            "(PARTITION BY segment ORDER BY cents, o_custkey) AS i FROM sp), "
+            "a AS (SELECT segment, count(*) AS n, sum(cents) AS total_cents, "
+            "sum(CAST(cents AS HUGEINT) * 2 * i) AS s2i FROM r GROUP BY 1) "
+            "SELECT segment, CAST(n AS BIGINT) AS n_customers, "
+            "CAST(total_cents AS BIGINT) AS total_cents, "
+            + _hud("(s2i - (n + 1) * CAST(total_cents AS HUGEINT))",
+                   "(CAST(n AS HUGEINT) * total_cents)", 6)
+            + " AS gini FROM a"
         ),
         "orders_zorder_keys": (
             # 16-bit range normalization + Morton bit interleave, all

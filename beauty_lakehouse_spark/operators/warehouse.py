@@ -765,3 +765,83 @@ def q_orders_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return j.select("o_orderkey", "zx", "zy", interleave.alias("zkey"))
+
+
+#: q_revenue_gini bucket shift over customer-spend cents (the bucket
+#: table is bounded by the spend range >> 20, not the customer count).
+GINI_BUCKET_SHIFT = 20
+
+
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration per market
+    segment — the inequality/concentration KPI (0 = spend spread
+    evenly, →1 = a few whales carry the segment) — as the exact
+    rational G = Σ(2i−n−1)·xᵢ / (n·Σx) over ascending-sorted spend.
+
+    The global ascending rank i is the two-level bucket-offset
+    decomposition (bucket = cents >> 20; the cumulative window runs
+    over the (segment, bucket) table — bounded by the spend RANGE —
+    and row_number only within buckets), so no segment ever sorts on
+    one reducer. Numerator terms are DECIMAL(38,0) products; the final
+    value is one exact half-up division. Ties rank by custkey —
+    deterministic, and G is tie-order-invariant anyway (equal x).
+
+    Scale: customer-grain aggregate → bucket-grain window → broadcast
+    offsets → one segment-grain aggregate."""
+    from pyspark.sql import Window
+
+    from ..functions import dec2, halfup_div
+
+    d38 = "decimal(38,0)"
+    t = load(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents"))
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"), "o_custkey", "cents"
+        )
+        .withColumn("bkt", F.shiftright("cents", GINI_BUCKET_SHIFT))
+        .localCheckpoint(eager=False)
+    )
+    sizes = spend.groupBy("segment", "bkt").agg(F.count(F.lit(1)).alias("k"))
+    offs = sizes.select(
+        "segment",
+        "bkt",
+        F.sum("k")
+        .over(
+            Window.partitionBy("segment")
+            .orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        .alias("off"),
+    ).fillna(0, subset=["off"])
+    rn = F.row_number().over(
+        Window.partitionBy("segment", "bkt").orderBy("cents", "o_custkey")
+    )
+    ranked = (
+        spend.withColumn("rn", rn)
+        .join(F.broadcast(offs), ["segment", "bkt"])
+        .select("segment", "cents", (F.col("off") + F.col("rn")).alias("i"))
+    )
+    per_seg = ranked.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cents").cast(d38) * (F.lit(2) * F.col("i")).cast(d38))
+        .alias("s2i"),
+    )
+    num = (
+        F.col("s2i")
+        - (F.col("n") + 1).cast(d38) * F.col("total_cents").cast(d38)
+    )
+    return per_seg.select(
+        "segment",
+        F.col("n").cast("long").alias("n_customers"),
+        "total_cents",
+        halfup_div(
+            num, F.col("n").cast(d38) * F.col("total_cents").cast(d38), 6
+        ).alias("gini"),
+    )

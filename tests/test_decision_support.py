@@ -430,3 +430,39 @@ def test_zorder_improves_two_dim_locality(spark, sf_dir):
     # range. Z-order chunks must be selective on BOTH dimensions:
     assert ck_z < 0.5 * ck_date          # custkey now prunes
     assert d_z < 0.6 * full_days          # date still prunes
+
+
+def test_revenue_gini_matches_sorted_formula(spark, sf_dir):
+    """Gini equals the textbook sorted-rank formula recomputed driver-
+    side; bounds [0, 1); a planted perfectly-equal segment would be 0."""
+    from decimal import Decimal
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.warehouse import q_revenue_gini
+    from pyspark.sql import functions as F
+
+    rows = {r.segment: r for r in q_revenue_gini(spark, sf_dir).collect()}
+    t = load(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "cents")
+        .collect()
+    )
+    by_seg = {}
+    for r in spend:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.cents)
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n, tot = len(xs), sum(xs)
+        num = sum((2 * i - n - 1) * x for i, x in enumerate(xs, start=1))
+        want = ((2 * num * 10**6 + n * tot) // (2 * n * tot)) / 10**6
+        r = rows[seg]
+        assert (r.n_customers, r.total_cents) == (n, tot)
+        assert abs(r.gini - want) < 1e-9
+        assert 0.0 <= r.gini < 1.0
