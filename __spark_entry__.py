@@ -83,11 +83,89 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
-#: Driver-gate walk order for round 5 (see queries() docstring):
-#: never-driver-verified oracle entries cheapest-first, then
-#: never-verified rows-only, then the thrice-verified block.
-_DRIVER_ORDER_R5 = [
-    # -- never driver-verified, oracle-backed (80) --
+#: Driver-gate walk order for round 6: the 50 cheapest of the 62
+#: never-driver-verified oracle entries first (measured sf0.01 wall
+#: time), then the 12 deferred backlog entries (family-redundant or
+#: expensive; all judge-verified locally), then never-verified
+#: rows-only, then the driver-verified block. New r6 entries are
+#: appended to the deferred block so they rotate in next round.
+_DRIVER_ORDER_R6 = [
+    # -- never driver-verified oracle backlog, cheapest first (50) --
+    "merge_upsert_state",
+    "merge_changes_feed",
+    "user_state_scd2",
+    "table_stats",
+    "mixture_temperature",
+    "event_volume_anomalies",
+    "embedding_random_projection",
+    "vocab_coverage",
+    "heavy_hitter_terms",
+    "winsorized_value_stats",
+    "hll_users_by_event_type",
+    "next_token_suggestions",
+    "embedding_quantize_int8",
+    "revenue_gini",
+    "nation_product_profit",
+    "returned_item_report",
+    "bigram_cross_entropy",
+    "copurchase_jaccard_top",
+    "value_drift_report",
+    "semantic_neardup",
+    "part_supplier_counts",
+    "mad_outlier_stats",
+    "term_pmi_top_pairs",
+    "basket_rules",
+    "product_triangles",
+    "incremental_agg_state",
+    "part_golden_record",
+    "pca_power_iteration",
+    "decontaminate",
+    "dedup_incremental",
+    "hll_set_algebra",
+    "ccnet_buckets",
+    "daily_revenue_gapfill",
+    "min_cost_part_supplier",
+    "bloom_decontaminate",
+    "events_hourly_streamed",
+    "hll_distinct",
+    "minhash_estimate_error",
+    "market_share",
+    "customer_spend_outliers",
+    "dedup_groups_streamed",
+    "latest_event_streamed",
+    "events_sessions_streamed",
+    "events_dedup_streamed",
+    "purchase_attribution_streamed",
+    "hll_distinct_streamed",
+    "sole_late_supplier_orders",
+    "categorical_entropy",
+    "product_pagerank_exact",
+    "corpus_survivors",
+    # -- deferred backlog (12): family-redundant or costly, locally green --
+    "quality_report",
+    "corpus_datacard",
+    "order_enriched_salted",
+    "hll_users_hourly_streamed",
+    "event_anomalies_streamed",
+    "bigram_novelty",
+    "label_embedding_scatter",
+    "fuzzy_part_names",
+    "important_part_value",
+    "never_urgent_rich_customers",
+    "dominant_part_suppliers",
+    "nation_trade_volume",
+    # -- never driver-verified, rows-only (10) --
+    "bpe_train_merges",
+    "media_features",
+    "media_frames",
+    "quantile_sketches",
+    "media_phash_pairs",
+    "media_audio_pairs",
+    "cardinality_sketches",
+    "knn_pq",
+    "beauty_datagen_validation",
+    "knn_ivfpq",
+    # -- driver-verified green in rounds 2-5 (112) --
     "doc_sample_deterministic",
     "length_histogram",
     "epoch_mixture_expand",
@@ -138,96 +216,18 @@ _DRIVER_ORDER_R5 = [
     "knn_brute",
     "product_degree",
     "chunk_dedup",
-    "returned_item_report",
-    "never_urgent_rich_customers",
-    "customer_spend_outliers",
     "copurchase_edges",
-    "bigram_novelty",
-    "nation_trade_volume",
     "customer_copurchase_top",
-    "part_supplier_counts",
     "order_docs_stats",
-    "daily_revenue_gapfill",
-    "nation_product_profit",
-    "dominant_part_suppliers",
-    "semantic_neardup",
-    "important_part_value",
-    "decontaminate",
     "lsh_candidate_pairs",
     "minhash_signatures",
-    "merge_changes_feed",
-    "market_share",
-    "min_cost_part_supplier",
     "simhash_near_pairs",
-    "sole_late_supplier_orders",
-    "incremental_agg_state",
     "ngram_jaccard_top_pairs",
-    "fuzzy_part_names",
-    "product_triangles",
-    "minhash_estimate_error",
-    "dedup_groups_streamed",
-    "basket_rules",
-    "latest_event_streamed",
-    "quality_report",
-    "dedup_incremental",
-    "events_sessions_streamed",
-    "label_embedding_scatter",
-    "events_dedup_streamed",
-    "events_hourly_streamed",
-    "corpus_survivors",
-    "merge_upsert_state",
-    "product_pagerank_exact",
-    "purchase_attribution_streamed",
-    # graduated to oracle in round 5 (fixed-point ln_micro idf)
     "tfidf_top_terms",
-    # new in round 5: portable HLL (oracle-exact sketch) + its
-    # streaming-register drain behind the same oracle row, and the
-    # ln_micro-exact bigram-LM perplexity score
-    "hll_distinct",
-    "hll_distinct_streamed",
-    "bigram_cross_entropy",
-    "mixture_temperature",
-    "vocab_coverage",
-    "hll_users_by_event_type",
-    "corpus_datacard",
-    "bloom_decontaminate",
-    "hll_users_hourly_streamed",
-    "event_volume_anomalies",
-    "term_pmi_top_pairs",
-    "embedding_quantize_int8",
-    "hll_set_algebra",
-    "event_anomalies_streamed",
-    "order_enriched_salted",
-    "user_state_scd2",
-    "part_golden_record",
-    "copurchase_jaccard_top",
-    "value_drift_report",
-    "table_stats",
-    "pca_power_iteration",
-    "embedding_random_projection",
-    "heavy_hitter_terms",
-    "ccnet_buckets",
-    "next_token_suggestions",
-    "winsorized_value_stats",
-    "mad_outlier_stats",
-    "categorical_entropy",
-    "revenue_gini",
-    # -- never driver-verified, rows-only (12 + r5's bpe_train_merges) --
-    "bpe_train_merges",
-    "media_features",
-    "media_frames",
-    "quantile_sketches",
-    "media_phash_pairs",
-    "media_audio_pairs",
     "knn_lsh",
     "embedding_neardup",
-    "cardinality_sketches",
     "product_pagerank",
     "knn_ivf",
-    "knn_pq",
-    "beauty_datagen_validation",
-    "knn_ivfpq",
-    # -- driver-verified green in rounds 2-4 (50) --
     "revenue_forecast_delta",
     "orders_per_customer",
     "order_rank_per_customer",
@@ -282,31 +282,31 @@ _DRIVER_ORDER_R5 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver-gate order (see ``_DRIVER_ORDER_R5``).
+    """Registry in driver-gate order (see ``_DRIVER_ORDER_R6``).
 
     The driver's correctness gate walks this dict in order under a
-    wall-clock budget that has historically reached ~50 entries, and
-    rounds 2-4 all presented the same cheap relational/events/warehouse
-    block first — so those 50 are thrice-hash-checked while the 93
-    entries behind them were only ever judge-verified locally. Round 5
-    rotates: the never-driver-verified oracle entries come FIRST
-    (cheapest first, by measured sf0.01 wall time), then the
-    never-verified rows-only entries, then the already-thrice-verified
-    block (cheapest first) to soak up any remaining budget. The
-    continuation session interleaves ten of its cheap new entries
-    around position ~20 so the driver's hard signal also reaches this
-    session's additions — every entry in the first ~75 slots is absent
-    from CORRECTNESS_r02–r04 either way."""
+    budget that has covered exactly the first 50 entries in rounds
+    2-5. Rounds 2-4 presented the same cheap block first, so a backlog
+    of oracle entries was never driver-hash-checked; round 5's
+    rotation cleared 42 of them, and round 6 continues: the 50
+    cheapest of the 62 still-never-driver-verified oracle entries come
+    FIRST (cheapest first by measured sf0.01 wall time — all 62
+    re-verified green locally this round before ordering), then the 12
+    deferred backlog entries (family-redundant or expensive), then
+    round-6 additions, then the never-verified rows-only entries, then
+    the 112 already-driver-verified entries. After this round the
+    never-driver-verified oracle residue is the 12 deferred + round-6
+    additions — next round rotates those to the front."""
     base = _registry()
-    missing = set(base) ^ set(_DRIVER_ORDER_R5)
+    missing = set(base) ^ set(_DRIVER_ORDER_R6)
     if missing:  # a registry edit must update the order list too
         raise AssertionError(f"registry/order drift: {sorted(missing)}")
-    return {name: base[name] for name in _DRIVER_ORDER_R5}
+    return {name: base[name] for name in _DRIVER_ORDER_R6}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry, grouped thematically (order here is NOT the
-    driver order — ``queries()`` applies ``_DRIVER_ORDER_R5``)."""
+    driver order — ``queries()`` applies ``_DRIVER_ORDER_R6``)."""
     return {
         # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,

@@ -517,6 +517,11 @@ SEM_COS_NUM = 4
 SEM_COS_DEN = 5
 #: Fixed-point quantization scale for the exact cosine test (millionths).
 SEM_SCALE = 1_000_000
+#: Runtime magnitude guard: |component| ≤ 80 ⇔ |q| ≤ 8·10⁷ keeps every
+#: staging of the DECIMAL(38,0) cross-multiplied cosine test in range
+#: (see semantic_neardup_pairs docstring). Beyond it the filter would
+#: silently null out (pair dropped), so we raise instead.
+SEM_MAX_ABS_Q = 80 * SEM_SCALE
 
 
 def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
@@ -535,7 +540,22 @@ def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     inside DECIMAL(38,0) at every staging. Normalize upstream
     (``_normalized``) before calling this on raw feature vectors.
     Cosine is scale-invariant, so normalizing first never changes
-    which pairs clear the threshold (up to quantization)."""
+    which pairs clear the threshold (up to quantization).
+
+    The contract is ENFORCED at runtime: any component with
+    |q| > ``SEM_MAX_ABS_Q`` raises (``F.raise_error`` folded into the
+    norm column, so Catalyst cannot prune the check) instead of
+    silently dropping pairs via DECIMAL overflow nulls."""
+    nq_raw = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    max_abs_q = F.aggregate(
+        F.col("q"),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
     q = embeddings.select(
         "vec_id",
         "label",
@@ -547,11 +567,22 @@ def semantic_neardup_pairs(embeddings: DataFrame) -> DataFrame:
         ).alias("q"),
     ).withColumn(
         "nq",
-        F.aggregate(
-            F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ),
+        F.when(
+            max_abs_q > F.lit(SEM_MAX_ABS_Q),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "semantic_neardup magnitude contract violated: "
+                        "max |component| = "
+                    ),
+                    (max_abs_q / F.lit(SEM_SCALE)).cast("string"),
+                    F.lit(
+                        " exceeds 80 (DECIMAL(38,0)-safe bound); "
+                        "normalize vectors upstream"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(nq_raw),
     )
     a = q.select(
         F.col("label"),

@@ -224,6 +224,35 @@ def test_semantic_neardup_detects_planted_pair(spark):
     assert got == {(1, 2)}
 
 
+def test_semantic_neardup_rejects_out_of_range_magnitudes(spark):
+    """Raw un-normalized features beyond the |x| ≤ 80 DECIMAL-safe
+    contract must fail LOUDLY (raise_error in the norm column), not
+    silently drop pairs via DECIMAL overflow nulls."""
+    import pytest
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    big = [1000.0] * 8 + [0.0] * 56  # |x| = 1000 ≫ 80
+    near = [1000.0] * 8 + [0.1] + [0.0] * 55
+    df = spark.createDataFrame(
+        [(1, 0, big), (2, 0, near)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="magnitude contract"):
+        semantic_neardup_pairs(df).collect()
+
+    ok = [80.0] + [0.0] * 63  # boundary: exactly the documented bound
+    df_ok = spark.createDataFrame(
+        [(1, 0, ok), (2, 0, ok)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    assert {
+        (r.vec_a, r.vec_b) for r in semantic_neardup_pairs(df_ok).collect()
+    } == {(1, 2)}
+
+
 def test_chunk_dedup_groups_are_consistent(spark, sf_dir):
     from beauty_lakehouse_spark.operators import curation
 
