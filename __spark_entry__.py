@@ -667,26 +667,34 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup pairs over the document-derived media
-    table (real block-DCT pHash kernel; decode upstream synthetic)."""
+    """Perceptual-hash near-dup pairs over REAL binary PPM (P6) image
+    payloads: the kernel parses the genuine Netpbm container
+    (``decode_ppm`` — header grammar, luma) before the block-DCT
+    pHash. Payload content is still document-derived (no image corpus
+    in the fixtures), so the registration stays rows-only, but the
+    decode step is no longer synthetic."""
     from beauty_lakehouse_spark.catalog import load
 
     t = load(spark, sf_dir)
-    media = multimodal.media_from_documents(t.documents)
-    return multimodal.media_phash_pairs(media)
+    media = multimodal.ppm_from_documents(t.documents)
+    return multimodal.media_phash_pairs(
+        media, codec=multimodal.ppm_phash_kernel
+    )
 
 
 def _q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spectral-fingerprint near-dup pairs over the audio-flavored
-    media table (real rFFT band-energy fingerprint; decode upstream
-    synthetic) — the banded candidate/verify pipeline is
-    modality-agnostic, only the kernel changes."""
+    """Spectral-fingerprint near-dup pairs over REAL RIFF/WAV audio
+    payloads: the kernel decodes the genuine container (stdlib
+    ``wave``) before the framed-rFFT fingerprint — the banded
+    candidate/verify pipeline is modality-agnostic, only the kernel
+    changes. Rows-only (payload content is document-derived), but the
+    decode step is no longer synthetic."""
     from beauty_lakehouse_spark.catalog import load
 
     t = load(spark, sf_dir)
-    media = multimodal.audio_from_documents(t.documents)
+    media = multimodal.wav_from_documents(t.documents)
     return multimodal.media_phash_pairs(
-        media, codec=multimodal.fft_fingerprint_kernel
+        media, codec=multimodal.wav_fingerprint_kernel
     )
 
 

@@ -206,3 +206,120 @@ def test_fft_fingerprint_kernel_shape():
     v = mm.fft_fingerprint_kernel(bytes(range(256)) * 8)
     assert len(v) == mm.PHASH_BITS
     assert v == mm.fft_fingerprint_kernel(bytes(range(256)) * 8)  # deterministic
+
+
+def test_ppm_codec_round_trip():
+    """encode_ppm -> decode_ppm recovers the raster exactly (grayscale
+    via luma of an (r,g,b)=(v,v,v) image is v itself)."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    v = np.arange(32 * 48 % 256, dtype=np.uint8)
+    gray = np.resize(np.arange(256, dtype=np.uint8), (32, 48))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    payload = mm.encode_ppm(rgb)
+    assert payload.startswith(b"P6\n48 32\n255\n")
+    out = mm.decode_ppm(payload)
+    assert out.shape == (32, 48)
+    # luma(v,v,v) = (0.299+0.587+0.114)·v = v
+    assert np.allclose(out, gray.astype(np.float64))
+
+
+def test_ppm_decoder_handles_netpbm_header_grammar():
+    """Comments and arbitrary whitespace between header tokens are
+    legal Netpbm; the parser must skip them."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    raster = bytes(np.arange(18, dtype=np.uint8))
+    payload = b"P6 # magic\n# a comment line\n  3\t2 # dims\n255\n" + raster
+    out = mm.decode_ppm(payload)
+    assert out.shape == (2, 3)
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        mm.decode_ppm(b"BM0000")
+    with pytest.raises(ValueError, match="maxval"):
+        mm.decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_wav_codec_round_trip():
+    """encode_wav -> decode_wav recovers int16 PCM samples and the
+    sample rate exactly (stdlib wave, real RIFF container)."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    pcm = ((np.arange(1000) * 37) % 4096 - 2048).astype(np.int16)
+    payload = mm.encode_wav(pcm, 8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    data, rate = mm.decode_wav(payload)
+    assert rate == 8000
+    assert np.array_equal(data, pcm.astype(np.float64))
+
+
+def test_ppm_phash_pairs_on_real_containers(spark):
+    """media_phash_pairs over genuinely-encoded-and-decoded PPM files:
+    a near-duplicate document pairs with its original, an unrelated
+    one does not — through the full container round trip."""
+    import random
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rnd = random.Random(11)
+    base = "".join(rnd.choice("abcdefgh ") for _ in range(4000))
+    near = base[:2000] + "x" + base[2001:]  # one-char edit
+    other = "".join(rnd.choice("stuvwxyz ") for _ in range(4000))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    media = mm.ppm_from_documents(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(p.startswith(b"P6\n") for p in payloads.values())
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in mm.media_phash_pairs(
+            media, codec=mm.ppm_phash_kernel
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_wav_fingerprint_pairs_on_real_containers(spark):
+    """media_phash_pairs over genuinely-encoded-and-decoded WAV files:
+    near-duplicate audio pairs, unrelated audio does not."""
+    import random
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rnd = random.Random(13)
+    base = "".join(rnd.choice("abcdefgh ") for _ in range(4000))
+    near = base[:2000] + "x" + base[2001:]
+    other = "".join(rnd.choice("stuvwxyz ") for _ in range(4000))
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    media = mm.wav_from_documents(docs)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert all(p[:4] == b"RIFF" for p in payloads.values())
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in mm.media_phash_pairs(
+            media, codec=mm.wav_fingerprint_kernel
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_decode_image_dispatches_ppm_and_rejects_compressed():
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    gray = np.resize(np.arange(256, dtype=np.uint8), (4, 4))
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    assert mm.decode_image(mm.encode_ppm(rgb)).shape == (4, 4)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x89PNG\r\n\x1a\n")
