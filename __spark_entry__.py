@@ -154,7 +154,11 @@ _DRIVER_ORDER_R6 = [
     "never_urgent_rich_customers",
     "dominant_part_suppliers",
     "nation_trade_volume",
-    # -- never driver-verified, rows-only (10) --
+    # -- new in round 6 (oracle; rotate to front next round) --
+    "setsim_prefix_join",
+    # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
+    "knn_lsh_hi",
+    "knn_ivf_hi",
     "bpe_train_merges",
     "media_features",
     "media_frames",
@@ -409,6 +413,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
         "minhash_estimate_error": dedup.q_minhash_estimate_error,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
+        "setsim_prefix_join": dedup.q_setsim_prefix_join,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -525,6 +530,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_buckets": curation.q_ccnet_buckets,  # head/middle/tail perplexity split
         "embedding_neardup": dedup.q_embedding_neardup,  # approximate
         "knn_lsh": similarity.q_knn_lsh,  # approximate
+        "knn_lsh_hi": similarity.q_knn_lsh_hi,  # high-recall config
         "media_frames": _q_media_frames,  # stubbed codecs
         "media_features": _q_media_features,  # stubbed codecs
         "media_phash_pairs": _q_media_phash_pairs,  # real DCT, synthetic decode
@@ -532,6 +538,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
+        "knn_ivf_hi": similarity.q_knn_ivf_hi,  # high-recall config
         "knn_pq": similarity.q_knn_pq,  # approximate, quantized
         "knn_ivfpq": similarity.q_knn_ivfpq,  # approximate, composed index
         "product_pagerank": graph.q_product_pagerank,  # iterative
@@ -2330,6 +2337,21 @@ def oracle_sql() -> dict[str, str]:
             "FROM h GROUP BY text_hash) "
             "SELECT doc_id, h.text_hash, group_size, "
             "doc_id = keep_id AS is_canonical FROM h JOIN c USING (text_hash)"
+        ),
+        "setsim_prefix_join": (
+            "WITH tok AS (SELECT DISTINCT doc_id, t.token FROM documents, "
+            "unnest(string_split(text, ' ')) AS t(token) "
+            "WHERE t.token <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_common FROM tok a JOIN tok b ON a.token = b.token "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT doc_a, doc_b, CAST(n_common AS BIGINT) AS n_common, "
+            + _hud("n_common", "(sa.s + sb.s - n_common)", 6)
+            + " AS jaccard FROM common "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE 10 * n_common >= 9 * (sa.s + sb.s - n_common)"
         ),
         "ngram_jaccard_top_pairs": (
             "WITH "

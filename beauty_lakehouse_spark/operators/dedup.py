@@ -803,3 +803,122 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est - true).alias("err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Set-similarity join with prefix filtering (PPJoin-style)
+# ---------------------------------------------------------------------------
+
+#: setsim threshold: token-set Jaccard >= SETSIM_NUM / SETSIM_DEN.
+SETSIM_NUM = 9
+SETSIM_DEN = 10
+
+
+def setsim_prefix_join(
+    documents: DataFrame,
+    num: int = SETSIM_NUM,
+    den: int = SETSIM_DEN,
+) -> DataFrame:
+    """All document pairs with distinct-word-token Jaccard ≥ num/den,
+    via PREFIX FILTERING (the PPJoin/AllPairs family, Xiao et al. /
+    Bayardo et al.) — a different candidate-generation strategy from
+    ``q_ngram_jaccard_top_pairs``'s doc-frequency-capped inverted
+    index, and the one that stays exact:
+
+    Order every token by ascending global document frequency (rarest
+    first; ties by token). A doc whose set has s tokens posts only its
+    first ``p = s - ceil(τ·s) + 1`` tokens in that order (its PREFIX).
+    Pigeonhole: two sets with J ≥ τ must overlap in ≥ ceil(τ·s) tokens,
+    so skipping any p-1 tokens of either set cannot miss all common
+    tokens — prefixes of a qualifying pair ALWAYS share a token. The
+    inverted index over prefixes alone generates candidates; exact
+    intersection counting verifies them. LOSSLESS, unlike a df cap.
+
+    Scale: hot (stopword-like) tokens sort LAST, so they land in
+    prefixes only for tiny sets — posting lists stay short without any
+    tunable cutoff. ceil(τ·s) in exact integers: (num·s + den - 1) div
+    den. One token-df shuffle + one bounded per-doc window + the
+    prefix-token equi-join; candidate verification touches only
+    candidate pairs. No all-pairs construct anywhere."""
+    from pyspark.sql import Window
+
+    tok = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " "))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        # consumed by 3 branches (df/prefix build, both verify sides)
+        .localCheckpoint(eager=False)
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(df_tbl, "token")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.asc("df"), F.asc("token")
+                )
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length p = s - ceil(num·s/den) + 1
+    prefix = ranked.filter(
+        F.col("rk")
+        <= F.col("s")
+        - F.expr(f"({num} * s + {den} - 1) div {den}")
+        + F.lit(1)
+    ).select("doc_id", "token", "s")
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "token", F.col("s").alias("sa")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "token", F.col("s").alias("sb")
+    )
+    cand = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        # length filter: J ≥ τ forces den·min ≥ num·max
+        .filter(
+            F.lit(den) * F.least("sa", "sb")
+            >= F.lit(num) * F.greatest("sa", "sb")
+        )
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b", "sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        # exact integer threshold: den·common ≥ num·union
+        .filter(
+            F.lit(den) * F.col("n_common")
+            >= F.lit(num) * (F.col("sa") + F.col("sb") - F.col("n_common"))
+        )
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        halfup_div(
+            F.col("n_common"),
+            F.col("sa") + F.col("sb") - F.col("n_common"),
+            6,
+        ).alias("jaccard"),
+    )
+
+
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: exact Jaccard ≥ 0.9 token-set pairs via prefix
+    filtering. Oracle: brute-force token-overlap SQL in DuckDB — the
+    prefix filter is lossless, so the outputs must match exactly."""
+    t = load(spark, sf_dir)
+    return setsim_prefix_join(t.documents)

@@ -53,12 +53,24 @@ HEADLINE = [
     "event_volume_anomalies", # trailing-RANGE-frame integer 3-sigma monitor
     "bpe_encode",             # tokenizer apply: codegen replace chain
     "user_state_scd2",        # SCD2 islands: lag/running-sum/lead windows
+    "corpus_survivors",       # end-to-end capstone: closure+clean+split composed
+    "part_golden_record",     # entity-resolution survivorship merge
+    "pca_power_iteration",    # fixed-point iterative PCA
+    "ccnet_buckets",          # perplexity-tercile corpus bucketing
+    "merge_upsert_state",     # CoW MERGE with manifest partition pruning
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
 #: ground truth at bench SF — a refactor that silently costs recall
-#: shows up here, not just in toy-scale pytest floors.
-ANN_RECALL = ["knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq"]
+#: shows up here, not just in toy-scale pytest floors. The *_hi rows
+#: are the high-recall configurations (more probes/tables); with the
+#: per-index wall time in "ann_cost_sec" they record the cost/recall
+#: curve, so both a recall regression AND a cost blowup break the
+#: recorded baseline.
+ANN_RECALL = [
+    "knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
+    "knn_lsh_hi", "knn_ivf_hi",
+]
 
 
 def _topk_sets(rows) -> dict[int, set[int]]:
@@ -68,20 +80,29 @@ def _topk_sets(rows) -> dict[int, set[int]]:
     return out
 
 
-def measure_ann_recall(spark, sf_dir: str, queries) -> dict[str, float]:
+def measure_ann_recall(
+    spark, sf_dir: str, queries
+) -> tuple[dict[str, float], dict[str, float]]:
     truth = _topk_sets(queries["knn_brute"](spark, sf_dir).collect())
     recalls: dict[str, float] = {}
+    costs: dict[str, float] = {}
     for name in ANN_RECALL:
+        t0 = time.perf_counter()
         got = _topk_sets(queries[name](spark, sf_dir).collect())
+        costs[name] = round(time.perf_counter() - t0, 3)
         hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
         total = sum(len(t) for t in truth.values())
         recalls[name] = round(hits / total, 4) if total else 0.0
-    return recalls
+    return recalls, costs
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    # External-load guard: 1-minute load average before/after, so a
+    # plan regression can be told apart from host contention without
+    # archaeology (BASELINE.md documents observed contention swings).
+    load_before = round(os.getloadavg()[0], 2)
     spark = get_spark("bench")
 
     # Warm-up: touch the big fact once so the first timed query doesn't
@@ -95,9 +116,13 @@ def main() -> None:
         # session-scoped artifact memos (e.g. the dedup cluster table)
         # make repeat executions near-free; the bench measures the real
         # recompute cost, so drop them before every timed run
+        from beauty_lakehouse_spark import tables as _tables
         from beauty_lakehouse_spark.operators import dedup as _dedup
 
         _dedup._COMPONENTS_MEMO.clear()
+        # merge scenario is memoized per-process; the bench must time
+        # the full write->merge->read path, not a cached re-read
+        _tables._MERGE_SCENARIO_CACHE.clear()
 
     for name in HEADLINE:
         fn = queries[name]
@@ -117,7 +142,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    recalls = measure_ann_recall(spark, sf_dir, queries)
+    recalls, ann_costs = measure_ann_recall(spark, sf_dir, queries)
 
     print(
         json.dumps(
@@ -127,6 +152,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "recall_at_5": recalls,
+                "ann_cost_sec": ann_costs,
+                "load_avg_before": load_before,
+                "load_avg_after": round(os.getloadavg()[0], 2),
                 "sf": sf,
             }
         )

@@ -36,6 +36,8 @@ WHITELIST: dict[str, str] = {
     "knn_brute": "bounded exact-rerank oracle: <=20-query batch x corpus, documented",
     "knn_lsh": "per-query probe join over hash buckets; query batch bounded (<=20)",
     "knn_ivf": "broadcast k-row centroid cross join (k=16), bounded by design",
+    "knn_lsh_hi": "high-recall config of knn_lsh: same bounded probe join, more tables/probes",
+    "knn_ivf_hi": "high-recall config of knn_ivf: same broadcast centroid join, nprobe=12",
     "knn_pq": "broadcast distance-table join; query batch bounded (<=20)",
     "knn_ivfpq": "broadcast centroid/table joins; query batch bounded (<=20)",
     "tfidf_top_terms": "1-row corpus-size broadcast cross join (scalar subquery form)",

@@ -229,3 +229,60 @@ def test_pagerank_exact_agrees_with_float_ranking(spark, sf_dir):
     top_exact = sorted(exact, key=lambda k: (-exact[k], k))[:10]
     top_float = sorted(flt, key=lambda k: (-flt[k], k))[:10]
     assert top_exact == top_float
+
+
+def test_setsim_prefix_join_matches_brute_force(spark):
+    """The prefix filter is LOSSLESS: against a brute-force token-set
+    Jaccard over a planted corpus, the PPJoin-style candidate scheme
+    finds exactly the pairs clearing the threshold."""
+    from itertools import combinations
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        setsim_prefix_join,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),  # 9/11 of 1
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # dup of 1
+        (4, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+        (5, "mu nu xi omicron pi rho sigma tau upsilon phi chi"),  # 10/11 of 4
+        (6, "alpha mu beta nu unrelated tokens here entirely own set"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_prefix_join(df, SETSIM_NUM, SETSIM_DEN).collect()
+    }
+    sets = {d: set(t.split()) for d, t in docs}
+    want = {
+        (a, b)
+        for a, b in combinations(sorted(sets), 2)
+        if SETSIM_DEN * len(sets[a] & sets[b])
+        >= SETSIM_NUM * len(sets[a] | sets[b])
+    }
+    assert got == want
+    assert (1, 3) in got  # exact dup
+    assert (4, 5) in got  # 10/11 > 0.9
+    assert not any(6 in p for p in got)
+
+
+def test_setsim_prefix_join_threshold_parameter(spark):
+    """Looser thresholds admit strictly more pairs; exact integer
+    thresholding at the boundary (9/10 Jaccard == 0.9 passes)."""
+    from beauty_lakehouse_spark.operators.dedup import setsim_prefix_join
+
+    # |A∩B| = 9, |A∪B| = 10 -> jaccard exactly 0.9
+    a = " ".join(f"t{i}" for i in range(9)) + " onlya"
+    b = " ".join(f"t{i}" for i in range(9))
+    df = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b) for r in setsim_prefix_join(df, 9, 10).collect()}
+    assert got == {(1, 2)}
+    got_strict = {
+        (r.doc_a, r.doc_b) for r in setsim_prefix_join(df, 95, 100).collect()
+    }
+    assert got_strict == set()
