@@ -156,6 +156,7 @@ _DRIVER_ORDER_R6 = [
     "nation_trade_volume",
     # -- new in round 6 (oracle; rotate to front next round) --
     "setsim_prefix_join",
+    "weighted_sample",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -440,6 +441,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # selection / composed cleaning (all oracle — selection is
         # integer hash arithmetic, no RNG)
         "doc_sample_deterministic": curation.q_doc_sample_deterministic,
+        "weighted_sample": curation.q_weighted_sample,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
@@ -3235,6 +3237,21 @@ def oracle_sql() -> dict[str, str]:
         "CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 25 WHEN 'fr' THEN 25 "
         "WHEN 'es' THEN 25 ELSE 50 END AS rate FROM documents) "
         "SELECT doc_id, lang, source, bucket, rate FROM d WHERE bucket < rate"
+    )
+    out["weighted_sample"] = (
+        # A-ES exponential keys in fixed point: u = h/1e6, key =
+        # (ln_micro(1e6, h) * 1e6) div weight; top-100 smallest
+        "WITH d AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS w, "
+        "(('0x' || substr(md5('ws:' || doc_id::VARCHAR), 1, 15))::BIGINT "
+        f"% {curation.WSAMPLE_U_MOD} + 1) AS h FROM documents), "
+        "k AS (SELECT doc_id, w, "
+        + _lnm(str(curation.WSAMPLE_U_MOD), "h")
+        + " AS lnu FROM d WHERE w >= 1) "
+        "SELECT doc_id, w AS weight, "
+        "CAST((lnu * 1000000) // w AS BIGINT) AS key_micro "
+        f"FROM k ORDER BY key_micro, doc_id LIMIT {curation.WSAMPLE_K}"
     )
     out["train_val_test_split"] = (
         "WITH d AS (SELECT source, "

@@ -1130,3 +1130,60 @@ def q_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / exponential keys)
+# ---------------------------------------------------------------------------
+
+#: Weighted-sample size and the uniform-hash modulus (u in (0, 1] at
+#: millionth grain).
+WSAMPLE_K = 100
+WSAMPLE_U_MOD = 1_000_000
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-k
+    documents by the A-ES exponential-key order (Efraimidis–Spirakis),
+    weight = token count — the 'sample long documents proportionally
+    more' corpus-curation policy, where each doc's inclusion
+    probability is proportional to its weight and reruns are identical.
+
+    A-ES keys: u ~ U(0,1] per doc, key = -ln(u)/w; keep the k SMALLEST
+    keys. Fixed-point and cross-engine exact: u = h/10⁶ with
+    h = portable_hash64('ws:'||doc_id) % 10⁶ + 1, -ln(u) =
+    ``ln_micro(10⁶, h)`` (the integer shift-and-square log both
+    engines define bit-identically), and the rank key is
+    ``(ln_micro · 10⁶) div w`` — pure integers, no float ln anywhere.
+
+    Scale: key computation is an expression scan; selection is global
+    top-k (TakeOrderedAndProject — per-partition heaps then a k-row
+    merge, never a global sort). The one-pass distributed weighted
+    reservoir at 100 TB is exactly this: score, then top-k."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") >= 1)
+    h = (
+        portable_hash64(F.concat(F.lit("ws:"), F.col("doc_id").cast("string")))
+        % WSAMPLE_U_MOD
+        + 1
+    )
+    keyed = toks.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("weight"),
+        _idiv(
+            ln_micro(F.lit(WSAMPLE_U_MOD), h) * F.lit(1_000_000),
+            F.col("n_tokens"),
+        ).alias("key_micro"),
+    )
+    return (
+        keyed.orderBy(F.asc("key_micro"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+        .select("doc_id", "weight", "key_micro")
+    )

@@ -454,3 +454,34 @@ def test_ccnet_buckets_tercile_law(spark, sf_dir):
         r.bucket == {1: "head", 2: "middle", 3: "tail"}[r.tercile]
         for r in rows
     )
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
+    """A-ES sampling: reruns identical; the sampled docs' mean weight
+    exceeds the corpus mean (inclusion probability grows with weight);
+    exactly WSAMPLE_K rows."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.curation import (
+        WSAMPLE_K,
+        q_weighted_sample,
+    )
+
+    a = q_weighted_sample(spark, sf_dir).collect()
+    b = q_weighted_sample(spark, sf_dir).collect()
+    assert a == b
+    assert len(a) == WSAMPLE_K
+    sample_mean = sum(r.weight for r in a) / len(a)
+    t = load(spark, sf_dir)
+    corpus_mean = (
+        t.documents.select(
+            F.avg(
+                F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            ).alias("m")
+        ).collect()[0].m
+    )
+    assert sample_mean > corpus_mean
+    # keys are sorted ascending with doc_id tiebreak
+    keys = [(r.key_micro, r.doc_id) for r in a]
+    assert keys == sorted(keys)
