@@ -157,6 +157,7 @@ _DRIVER_ORDER_R6 = [
     # -- new in round 6 (oracle; rotate to front next round) --
     "setsim_prefix_join",
     "weighted_sample",
+    "winnow_overlap_top",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -421,6 +422,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": text.q_token_counts,
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
+        "winnow_overlap_top": text.q_winnow_overlap_top,
         "pii_scan": text.q_pii_scan,
         "repetition_stats": text.q_repetition_stats,
         "fuzzy_part_names": text.q_fuzzy_part_names,
@@ -3252,6 +3254,26 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, w AS weight, "
         "CAST((lnu * 1000000) // w AS BIGINT) AS key_micro "
         f"FROM k ORDER BY key_micro, doc_id LIMIT {curation.WSAMPLE_K}"
+    )
+    out["winnow_overlap_top"] = (
+        # positional winnowing (MOSS): word-3-gram hash sequence,
+        # sliding min over 4-hash windows, distinct selected values;
+        # posting-capped overlap counts (mirrors text.py WINNOW_*)
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 6), "
+        "g AS (SELECT doc_id, list_transform(range(len(w) - 2), "
+        "i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), "
+        "1, 15))::BIGINT) AS hs FROM t), "
+        "s AS (SELECT doc_id, list_distinct(list_transform("
+        "range(len(hs) - 3), j -> list_min(hs[j+1:j+4]))) AS fps FROM g), "
+        "f AS (SELECT doc_id, unnest(fps) AS fp FROM s), "
+        "ff AS (SELECT * FROM f WHERE fp IN (SELECT fp FROM f "
+        "GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)), "
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "count(*) AS n_shared FROM ff a JOIN ff b "
+        "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared FROM c "
+        "ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50"
     )
     out["train_val_test_split"] = (
         "WITH d AS (SELECT source, "

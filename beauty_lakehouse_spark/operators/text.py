@@ -1214,3 +1214,120 @@ def q_next_token_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer-Wilkerson-Aiken / MOSS)
+# ---------------------------------------------------------------------------
+
+#: Winnowing geometry: word k-grams, window of w consecutive hashes.
+#: Guarantee: any shared token run of length >= k + w - 1 between two
+#: docs yields at least one shared selected fingerprint.
+WINNOW_K = 3
+WINNOW_W = 4
+#: Posting cap for the overlap join (same economics as the Jaccard
+#: inverted index: a boilerplate fingerprint in >cap docs generates
+#: nothing instead of C(df,2) pairs).
+WINNOW_MAX_DOC_FREQ = 100
+WINNOW_TOP = 50
+
+
+def winnow_fingerprints(documents: DataFrame) -> DataFrame:
+    """Positional winnowing (the MOSS algorithm, public): per doc,
+    hash the word-3-gram SEQUENCE (positional, not the distinct set),
+    slide a window of WINNOW_W consecutive hashes, select each
+    window's minimum, and emit the distinct selected values — the
+    standard robust fingerprint with the local-match guarantee that
+    bottom-k minhash selection (q_doc_fingerprint) lacks: every
+    sufficiently long shared passage is CERTAIN to share a selected
+    fingerprint, because both docs see the same hash run and pick the
+    same local minimum.
+
+    Shape: one expression scan (array ops per doc, O(m·w) array-side,
+    shuffle-free) then one explode. Docs shorter than k+w-1 tokens
+    emit nothing (no full window exists)."""
+    from .dedup import tokens
+
+    tok = tokens(documents).filter(
+        F.size("toks") >= WINNOW_K + WINNOW_W - 1
+    )
+    # Both sequence bounds are CLAMPED to stay non-degenerate on short
+    # docs even though the row filter excludes them: the downstream
+    # explode makes Catalyst infer a `size(fps) > 0` predicate that is
+    # pushed below this filter, and codegen's common-subexpression
+    # elimination evaluates the shared fps expression EAGERLY before
+    # the conjunction short-circuits — an unclamped sequence(1, 0)
+    # turns descending and feeds slice() a zero start, erroring on
+    # rows that were about to be dropped. Clamped values are garbage
+    # only for rows the first conjunct already rejects.
+    hseq = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("toks") - WINNOW_K, F.lit(0))),
+        lambda i: portable_hash64(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("toks"), i + j + 1)
+                    for j in range(WINNOW_K)
+                ],
+            )
+        ),
+    )
+    # Materialize the hash sequence ONCE (lazy checkpoint): transforms
+    # are CodegenFallback (interpreted), and the explode's inferred
+    # filter + the projection would otherwise re-evaluate the md5
+    # k-gram transform ~4x per row — measured 22s -> 2s at sf0.01.
+    hs_tbl = tok.select("doc_id", hseq.alias("hs")).localCheckpoint(
+        eager=False
+    )
+    sel = hs_tbl.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size("hs") - WINNOW_W + 1, F.lit(1)),
+                ),
+                lambda j: F.array_min(F.slice(F.col("hs"), j, WINNOW_W)),
+            )
+        ).alias("fps"),
+    )
+    return sel.select("doc_id", F.explode("fps").alias("fp"))
+
+
+def q_winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: top-50 doc pairs by shared winnowing
+    fingerprints — the quote/plagiarism/long-common-passage detector.
+    Candidate pairs come from the fingerprint posting lists
+    (df-capped), counts are exact; ties broken by (doc_a, doc_b).
+    Oracle: the identical winnow selection in DuckDB list SQL."""
+    from .dedup import _bucket_pairs
+
+    t = load(spark, sf_dir)
+    fps = winnow_fingerprints(t.documents)
+    posting = (
+        fps.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, WINNOW_MAX_DOC_FREQ))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    shared = (
+        posting.select(F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.orderBy(F.desc("n_shared"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(WINNOW_TOP)
+        .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
+    )

@@ -624,3 +624,43 @@ def test_next_token_suggestions_consistency(spark, sf_dir):
             assert a.n > b.n or (a.n == b.n and a.next_token < b.next_token)
             assert a.p_ppm >= b.p_ppm
         assert all(0 < r.p_ppm <= 1_000_000 for r in rs)
+
+
+def test_winnowing_guarantee_shared_passage(spark):
+    """The SWA winnowing guarantee: two docs sharing a token run of
+    length >= k + w - 1 ALWAYS share at least one selected
+    fingerprint; disjoint-vocabulary docs share none."""
+    from beauty_lakehouse_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(WINNOW_K + WINNOW_W - 1))
+    docs = [
+        (1, "aa bb cc " + passage + " dd ee ff"),
+        (2, "zz yy xx ww " + passage + " vv uu"),
+        (3, "qq rr ss tt qq rr ss tt qq rr"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
+def test_winnowing_positional_not_settish(spark):
+    """Winnowing is positional: a doc whose k-gram SET equals another's
+    but whose sequence differs can select different fingerprints —
+    and short docs (< k + w - 1 tokens) emit nothing."""
+    from beauty_lakehouse_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e")],
+        "doc_id long, text string",
+    )
+    got = winnow_fingerprints(df).collect()
+    assert all(r.doc_id != 1 for r in got)  # 3 tokens < 6: no window
