@@ -158,6 +158,7 @@ _DRIVER_ORDER_R6 = [
     "setsim_prefix_join",
     "weighted_sample",
     "winnow_overlap_top",
+    "interleaved_mixture",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -444,6 +445,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer hash arithmetic, no RNG)
         "doc_sample_deterministic": curation.q_doc_sample_deterministic,
         "weighted_sample": curation.q_weighted_sample,
+        "interleaved_mixture": curation.q_interleaved_mixture,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
@@ -3274,6 +3276,17 @@ def oracle_sql() -> dict[str, str]:
         "ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2) "
         "SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared FROM c "
         "ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50"
+    )
+    out["interleaved_mixture"] = (
+        # round-robin source interleave: round = within-source shuffled
+        # rank, global position = rank over (round, source)
+        "WITH d AS (SELECT doc_id, source, "
+        "('0x' || substr(md5('il:' || doc_id::VARCHAR), 1, 15))::BIGINT "
+        "AS k FROM documents), "
+        "r AS (SELECT doc_id, source, row_number() OVER ("
+        "PARTITION BY source ORDER BY k, doc_id) AS round FROM d) "
+        "SELECT row_number() OVER (ORDER BY round, source) - 1 "
+        "AS position, doc_id, source, CAST(round AS BIGINT) AS round FROM r"
     )
     out["train_val_test_split"] = (
         "WITH d AS (SELECT source, "

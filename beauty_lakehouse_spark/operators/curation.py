@@ -1187,3 +1187,75 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WSAMPLE_K)
         .select("doc_id", "weight", "key_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-robin source interleaving (data-loader order)
+# ---------------------------------------------------------------------------
+
+
+def q_interleaved_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleave across sources — the
+    data-loader ORDER construction that complements the mixture-WEIGHT
+    operators: take each source's documents in a reproducible shuffled
+    order and deal them out one-per-source per round (round 1 = every
+    source's first doc, round 2 = the seconds, ...), with exhausted
+    sources simply skipped. The property a training run needs: maximal
+    source dispersion (no two consecutive examples from one source
+    while others still have docs) as a pure function of the ids.
+
+    Scale: BOTH ranking levels avoid single-partition windows. The
+    within-source rank decomposes per (source, key-bucket) — the only
+    unpartitioned window runs over the ≤ |sources|·4096 bucket-count
+    table — and the global round-robin position is rank-decomposed
+    over (round, source) groups the same way: position = docs dealt in
+    earlier rounds (prefix sum over the bounded per-round size table)
+    + the source's slot among this round's survivors."""
+    t = load(spark, sf_dir)
+    key = portable_hash64(
+        F.concat(F.lit("il:"), F.col("doc_id").cast("string"))
+    )
+    d = t.documents.select(
+        "doc_id", "source", key.alias("k")
+    ).withColumn("bucket", F.shiftright("k", 48))
+    # within-source rank, two-level: per (source, bucket) counts give
+    # per-source bucket offsets; row_number stays inside the bucket
+    sizes = d.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    offs = sizes.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.partitionBy("source")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("source", "bucket", "off")
+    wb = Window.partitionBy("source", "bucket").orderBy("k", "doc_id")
+    ranked = (
+        d.join(F.broadcast(offs), ["source", "bucket"])
+        .withColumn("round", F.row_number().over(wb) + F.col("off"))
+        .select("doc_id", "source", "round")
+    )
+    # global round-robin position: all docs of round r-1 precede round
+    # r; within a round, sources in lexicographic order. Round sizes
+    # (#surviving sources per round) form the bounded offset table.
+    rsizes = ranked.groupBy("round").agg(F.count(F.lit(1)).alias("n"))
+    roffs = rsizes.withColumn(
+        "roff",
+        F.coalesce(
+            F.sum("n").over(
+                Window.orderBy("round").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("round", "roff")
+    wr = Window.partitionBy("round").orderBy("source")
+    return (
+        ranked.join(F.broadcast(roffs), "round")
+        .withColumn("position", F.row_number().over(wr) + F.col("roff") - 1)
+        .select("position", "doc_id", "source", F.col("round").cast("long").alias("round"))
+    )

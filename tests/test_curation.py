@@ -485,3 +485,36 @@ def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_dir):
     # keys are sorted ascending with doc_id tiebreak
     keys = [(r.key_micro, r.doc_id) for r in a]
     assert keys == sorted(keys)
+
+
+def test_interleaved_mixture_round_robin_dispersion(spark, sf_dir):
+    """Round-robin property: positions are a permutation of 0..n-1,
+    rounds are contiguous position blocks, within a round every source
+    appears at most once, and no source repeats consecutively while
+    other sources still have undealt documents."""
+    from beauty_lakehouse_spark.operators.curation import (
+        q_interleaved_mixture,
+    )
+
+    rows = sorted(
+        q_interleaved_mixture(spark, sf_dir).collect(),
+        key=lambda r: r.position,
+    )
+    n = len(rows)
+    assert [r.position for r in rows] == list(range(n))
+    # rounds non-decreasing along positions; each round hits a source
+    # at most once
+    seen_rounds = []
+    by_round = {}
+    for r in rows:
+        seen_rounds.append(r.round)
+        by_round.setdefault(r.round, []).append(r.source)
+    assert seen_rounds == sorted(seen_rounds)
+    for srcs in by_round.values():
+        assert len(srcs) == len(set(srcs))
+    # while all sources survive, rounds have the full source set
+    n_sources = len({r.source for r in rows})
+    full_rounds = [
+        rd for rd, srcs in by_round.items() if len(srcs) == n_sources
+    ]
+    assert full_rounds, "no full round-robin rounds found"
