@@ -159,6 +159,7 @@ _DRIVER_ORDER_R6 = [
     "weighted_sample",
     "winnow_overlap_top",
     "interleaved_mixture",
+    "contrastive_pairs",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -446,6 +447,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_deterministic": curation.q_doc_sample_deterministic,
         "weighted_sample": curation.q_weighted_sample,
         "interleaved_mixture": curation.q_interleaved_mixture,
+        "contrastive_pairs": curation.q_contrastive_pairs,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
         "corpus_cleaning_report": curation.q_corpus_cleaning_report,
@@ -2376,6 +2378,20 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b) "
             "SELECT doc_a, doc_b, jaccard FROM scored "
             "ORDER BY jac_raw DESC, doc_a, doc_b LIMIT 20"
+        ),
+        "contrastive_pairs": (
+            _CC_COMP_CTE
+            + ", msz AS (SELECT cluster_id, count(*) AS n FROM comp "
+            "GROUP BY cluster_id HAVING count(*) >= 2), "
+            "rk AS (SELECT cluster_id, row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('neg:' || cluster_id::VARCHAR), 1, 15))"
+            "::BIGINT, cluster_id) - 1 AS rk, "
+            "count(*) OVER () AS nc FROM msz), "
+            "shift AS (SELECT a.cluster_id, b.cluster_id AS neg FROM rk a "
+            "JOIN rk b ON b.rk = (a.rk + 1) % a.nc) "
+            "SELECT c.doc_id AS anchor_id, c.cluster_id AS positive_id, "
+            "s.neg AS negative_id FROM comp c JOIN shift s "
+            "USING (cluster_id) WHERE c.doc_id <> c.cluster_id"
         ),
         "dedup_clusters": (
             _CC_COMP_CTE

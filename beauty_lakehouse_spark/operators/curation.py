@@ -1259,3 +1259,77 @@ def q_interleaved_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("position", F.row_number().over(wr) + F.col("roff") - 1)
         .select("position", "doc_id", "source", F.col("round").cast("long").alias("round"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (near-dup positives, cross-cluster negatives)
+# ---------------------------------------------------------------------------
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine (anchor, positive, negative) training triplets for
+    embedding/retrieval models from the dedup graph: every
+    non-canonical member of a multi-member near-dup cluster anchors
+    one triplet — positive = its cluster's canonical (a genuine
+    near-duplicate), negative = the canonical of the NEXT multi-member
+    cluster in a deterministic hash order (wrap-around), guaranteed to
+    be a different entity. The standard "duplicates are free positive
+    pairs" construction of contrastive pretraining data.
+
+    Scale: clusters come from the memoized CC table; the negative
+    assignment ranks the (multi-member) cluster canonicals with the
+    same two-level bucket-offset decomposition every global rank here
+    uses (the only unpartitioned window runs over the bounded
+    bucket-count table), then one broadcast join maps rank -> next
+    rank's canonical. No window ever sorts cluster rows in a single
+    partition."""
+    from .dedup import corpus_components
+
+    comp = corpus_components(spark, sf_dir)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("n"))
+    multi = sizes.filter(F.col("n") >= 2).select("comp")
+    # rank multi-member clusters in hash order, two-level
+    keyed = multi.select(
+        "comp",
+        portable_hash64(
+            F.concat(F.lit("neg:"), F.col("comp").cast("string"))
+        ).alias("k"),
+    ).withColumn("bucket", F.shiftright("k", 48))
+    bsizes = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    boffs = bsizes.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("bn").over(
+                Window.orderBy("bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "off")
+    wb = Window.partitionBy("bucket").orderBy("k", "comp")
+    ranked = (
+        keyed.join(F.broadcast(boffs), "bucket")
+        .withColumn("rk", F.row_number().over(wb) + F.col("off") - 1)
+        .select("comp", "rk")
+        .localCheckpoint(eager=False)  # consumed by both sides of the shift join
+    )
+    n_multi = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_clusters"))
+    nxt = ranked.select(F.col("comp").alias("neg_comp"), F.col("rk").alias("nrk"))
+    shifted = (
+        ranked.crossJoin(F.broadcast(n_multi))
+        .withColumn("want", (F.col("rk") + 1) % F.col("n_clusters"))
+        .join(nxt, F.col("want") == F.col("nrk"))
+        .select("comp", "neg_comp")
+    )
+    anchors = comp.join(F.broadcast(multi), "comp").filter(
+        F.col("id") != F.col("comp")  # canonical = min id = comp label
+    )
+    return (
+        anchors.join(F.broadcast(shifted), "comp")
+        .select(
+            F.col("id").alias("anchor_id"),
+            F.col("comp").alias("positive_id"),
+            F.col("neg_comp").alias("negative_id"),
+        )
+    )

@@ -518,3 +518,30 @@ def test_interleaved_mixture_round_robin_dispersion(spark, sf_dir):
         rd for rd, srcs in by_round.items() if len(srcs) == n_sources
     ]
     assert full_rounds, "no full round-robin rounds found"
+
+
+def test_contrastive_pairs_structure(spark, sf_dir):
+    """Triplet invariants: positive is the anchor's own cluster
+    canonical, negative is a DIFFERENT cluster's canonical, and every
+    non-canonical member of every multi-member cluster anchors exactly
+    one triplet."""
+    from beauty_lakehouse_spark.operators.curation import (
+        q_contrastive_pairs,
+    )
+    from beauty_lakehouse_spark.operators.dedup import q_dedup_clusters
+
+    trips = q_contrastive_pairs(spark, sf_dir).collect()
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    multi_members = [
+        d for d, c in clusters.items()
+        if d != c and sum(1 for x in clusters.values() if x == c) >= 2
+    ]
+    assert len(trips) == len(multi_members)
+    for t in trips:
+        assert clusters[t.anchor_id] == t.positive_id
+        assert t.positive_id != t.negative_id
+        assert clusters[t.negative_id] == t.negative_id  # a canonical
+        assert t.anchor_id != t.positive_id
