@@ -1238,24 +1238,27 @@ def q_interleaved_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("round", F.row_number().over(wb) + F.col("off"))
         .select("doc_id", "source", "round")
     )
-    # global round-robin position: all docs of round r-1 precede round
-    # r; within a round, sources in lexicographic order. Round sizes
-    # (#surviving sources per round) form the bounded offset table.
-    rsizes = ranked.groupBy("round").agg(F.count(F.lit(1)).alias("n"))
-    roffs = rsizes.withColumn(
-        "roff",
-        F.coalesce(
-            F.sum("n").over(
-                Window.orderBy("round").rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ),
-    ).select("round", "roff")
+    # global round-robin position: all docs of rounds < r precede
+    # round r. The offset needs NO table of per-round sizes (that
+    # table is O(n/|sources|) rows — an unpartitioned cumsum over it
+    # was the round-6 plan-sweep catch): source s deals min(count_s,
+    # r-1) docs before round r, so the offset is one array expression
+    # over the broadcast |sources|-row count list. Within a round,
+    # sources in lexicographic order (window partitioned by round:
+    # ≤ |sources| rows per partition).
+    scounts = d.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    call = scounts.groupBy().agg(
+        F.collect_list("cnt").alias("cnts")
+    )
+    roff = F.aggregate(
+        "cnts",
+        F.lit(0).cast("long"),
+        lambda acc, c: acc + F.least(c, F.col("round").cast("long") - 1),
+    )
     wr = Window.partitionBy("round").orderBy("source")
     return (
-        ranked.join(F.broadcast(roffs), "round")
+        ranked.crossJoin(F.broadcast(call))
+        .withColumn("roff", roff)
         .withColumn("position", F.row_number().over(wr) + F.col("roff") - 1)
         .select("position", "doc_id", "source", F.col("round").cast("long").alias("round"))
     )

@@ -67,6 +67,8 @@ WHITELIST: dict[str, str] = {
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
     "customer_spend_ntile": "1-row customer-count broadcast (ntile tile-size arithmetic)",
+    "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
+    "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
 }
 
 #: windows allowed to have an empty partition spec because their input
