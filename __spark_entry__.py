@@ -160,6 +160,7 @@ _DRIVER_ORDER_R6 = [
     "winnow_overlap_top",
     "interleaved_mixture",
     "contrastive_pairs",
+    "incremental_join_state",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -486,6 +487,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # read (oracle covers the whole write->merge->read path), plus
         # the v1->v2 CDC change feed (manifest-diff pruned)
         "merge_upsert_state": tables.q_merge_upsert_state,
+        "incremental_join_state": tables.q_incremental_join_state,
         "merge_changes_feed": tables.q_merge_changes_feed,
         "incremental_agg_state": tables.q_incremental_agg_state,
         # quality report (oracle)
@@ -3037,6 +3039,15 @@ def oracle_sql() -> dict[str, str]:
                 for s in ["view", "click", "purchase", "signup", "error"]
             )
             + " FROM events GROUP BY user_id"
+        ),
+        "incremental_join_state": (
+            # v2 join view recomputed from scratch — the maintained
+            # view (v1 join + change-feed application) must hash-match
+            f"WITH {_MERGE_CTES} "
+            "SELECT f.o_orderkey, f.order_year, f.o_orderstatus, "
+            "CAST(round(CAST(f.o_totalprice AS DECIMAL(12,2)), 2) AS DOUBLE) "
+            "AS o_totalprice, c.c_name, c.c_mktsegment "
+            "FROM final f JOIN customer c ON f.o_custkey = c.c_custkey"
         ),
         "merge_upsert_state": (
             f"WITH {_MERGE_CTES} "

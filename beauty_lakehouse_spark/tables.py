@@ -578,3 +578,46 @@ def q_incremental_agg_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 0)
     )
+
+
+def q_incremental_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: incremental materialized-JOIN-view maintenance
+    (the IVM shape `q_incremental_agg_state` covers for aggregates,
+    here for an enrichment join): the orders×customer join view is
+    computed at v1, then MAINTAINED to v2 by applying only the v1→v2
+    change feed — delete images retract keyed rows, insert images
+    enter pre-joined with the dimension — never rescanning the v2
+    snapshot. The DuckDB oracle computes the v2 join FROM SCRATCH, so
+    the hash match proves maintained-view ≡ recompute, cross-engine.
+
+    Scale: maintenance costs O(changes × dim-probe) — the change batch
+    broadcast-joins the dimension — while recompute costs O(snapshot).
+    Joins are self-maintainable under delete+insert image feeds when
+    the join key never changes dimension-side; a changing dimension
+    needs its own feed applied symmetrically (documented seam)."""
+    from .catalog import load
+    from .functions import dec2
+
+    path = _merge_scenario(spark, sf_dir)
+    cust = load(spark, sf_dir).customer.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    out_cols = lambda df: df.select(  # noqa: E731 — shared projection
+        "o_orderkey",
+        "order_year",
+        "o_orderstatus",
+        F.round(dec2("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+        "c_name",
+        "c_mktsegment",
+    )
+    v1 = read_versioned(spark, path, 1)
+    base = out_cols(
+        v1.join(F.broadcast(cust), v1.o_custkey == cust.c_custkey)
+    )
+    ch = table_changes(spark, path, 1, 2)
+    dels = ch.filter(F.col("change_type") == "delete").select("o_orderkey")
+    ins = ch.filter(F.col("change_type") == "insert")
+    entered = out_cols(
+        ins.join(F.broadcast(cust), ins.o_custkey == cust.c_custkey)
+    )
+    return base.join(dels, "o_orderkey", "left_anti").unionByName(entered)

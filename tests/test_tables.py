@@ -235,3 +235,37 @@ def test_incremental_agg_equals_recompute(spark, sf_dir):
         .collect()
     }
     assert maintained == recomputed and maintained
+
+
+def test_incremental_join_state_equals_recompute(spark, sf_dir):
+    """IVM law: the maintained join view (v1 join + change-feed
+    application) equals the v2 snapshot joined from scratch."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark import tables
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import dec2
+
+    maintained = {
+        tuple(r)
+        for r in tables.q_incremental_join_state(spark, sf_dir).collect()
+    }
+    path = tables._merge_scenario(spark, sf_dir)
+    v2 = tables.read_versioned(spark, path)
+    cust = load(spark, sf_dir).customer.select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    recomputed = {
+        tuple(r)
+        for r in v2.join(cust, v2.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            "order_year",
+            "o_orderstatus",
+            F.round(dec2("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+            "c_name",
+            "c_mktsegment",
+        )
+        .collect()
+    }
+    assert maintained == recomputed
