@@ -161,6 +161,7 @@ _DRIVER_ORDER_R6 = [
     "interleaved_mixture",
     "contrastive_pairs",
     "incremental_join_state",
+    "winnow_fps_streamed",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -428,6 +429,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": text.q_lang_id,
         "doc_fingerprint": text.q_doc_fingerprint,
         "winnow_overlap_top": text.q_winnow_overlap_top,
+        "winnow_fps_streamed": _q_winnow_fps_streamed,
         "pii_scan": text.q_pii_scan,
         "repetition_stats": text.q_repetition_stats,
         "fuzzy_part_names": text.q_fuzzy_part_names,
@@ -716,6 +718,26 @@ def _q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.wav_from_documents(t.documents)
     return multimodal.media_phash_pairs(
         media, codec=multimodal.wav_fingerprint_kernel
+    )
+
+
+def _q_winnow_fps_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional winnowing fingerprint extraction as a STREAMING
+    transform over the documents landing stream (append mode,
+    availableNow drain) — per-doc stateless, so the streaming plan is
+    the batch plan per micro-batch: fingerprint-at-ingest, the shape a
+    production dedup index maintains. Hash-checked against the batch
+    winnow selection's DuckDB list-SQL oracle."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.text import winnow_fingerprints
+    from beauty_lakehouse_spark.streaming import run_available_now
+    from beauty_lakehouse_spark.streaming.pipelines import stream_documents
+
+    return run_available_now(
+        winnow_fingerprints(stream_documents(spark, sf_dir), stream_safe=True),
+        f"gate_winnow_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
     )
 
 
@@ -3287,6 +3309,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, w AS weight, "
         "CAST((lnu * 1000000) // w AS BIGINT) AS key_micro "
         f"FROM k ORDER BY key_micro, doc_id LIMIT {curation.WSAMPLE_K}"
+    )
+    out["winnow_fps_streamed"] = (
+        # batch twin of the streamed winnow selection (same list SQL
+        # as winnow_overlap_top, stopped at the per-doc fingerprints)
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 6), "
+        "g AS (SELECT doc_id, list_transform(range(len(w) - 2), "
+        "i -> ('0x' || substr(md5(w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]), "
+        "1, 15))::BIGINT) AS hs FROM t), "
+        "s AS (SELECT doc_id, list_distinct(list_transform("
+        "range(len(hs) - 3), j -> list_min(hs[j+1:j+4]))) AS fps FROM g) "
+        "SELECT doc_id, unnest(fps) AS fp FROM s"
     )
     out["winnow_overlap_top"] = (
         # positional winnowing (MOSS): word-3-gram hash sequence,

@@ -1232,7 +1232,9 @@ WINNOW_MAX_DOC_FREQ = 100
 WINNOW_TOP = 50
 
 
-def winnow_fingerprints(documents: DataFrame) -> DataFrame:
+def winnow_fingerprints(
+    documents: DataFrame, stream_safe: bool = False
+) -> DataFrame:
     """Positional winnowing (the MOSS algorithm, public): per doc,
     hash the word-3-gram SEQUENCE (positional, not the distinct set),
     slide a window of WINNOW_W consecutive hashes, select each
@@ -1276,9 +1278,11 @@ def winnow_fingerprints(documents: DataFrame) -> DataFrame:
     # are CodegenFallback (interpreted), and the explode's inferred
     # filter + the projection would otherwise re-evaluate the md5
     # k-gram transform ~4x per row — measured 22s -> 2s at sf0.01.
-    hs_tbl = tok.select("doc_id", hseq.alias("hs")).localCheckpoint(
-        eager=False
-    )
+    # Streaming DataFrames forbid checkpointing; micro-batches are
+    # small enough that the re-evaluation is acceptable there.
+    hs_tbl = tok.select("doc_id", hseq.alias("hs"))
+    if not stream_safe:
+        hs_tbl = hs_tbl.localCheckpoint(eager=False)
     sel = hs_tbl.select(
         "doc_id",
         F.array_distinct(
