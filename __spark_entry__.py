@@ -162,6 +162,7 @@ _DRIVER_ORDER_R6 = [
     "contrastive_pairs",
     "incremental_join_state",
     "winnow_fps_streamed",
+    "length_bucketed_batches",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -452,6 +453,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_sample_deterministic": curation.q_doc_sample_deterministic,
         "weighted_sample": curation.q_weighted_sample,
         "interleaved_mixture": curation.q_interleaved_mixture,
+        "length_bucketed_batches": curation.q_length_bucketed_batches,
         "contrastive_pairs": curation.q_contrastive_pairs,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
@@ -3352,6 +3354,25 @@ def oracle_sql() -> dict[str, str]:
         "PARTITION BY source ORDER BY k, doc_id) AS round FROM d) "
         "SELECT row_number() OVER (ORDER BY round, source) - 1 "
         "AS position, doc_id, source, CAST(round AS BIGINT) AS round FROM r"
+    )
+    out["length_bucketed_batches"] = (
+        # power-of-2 length buckets (integer bit-length, no float log),
+        # fixed 8-doc batches in doc_id order, padding-waste accounting
+        "WITH d AS (SELECT doc_id, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS n_tokens FROM documents), "
+        "b AS (SELECT doc_id, n_tokens, greatest(CAST(32 AS BIGINT), "
+        "CAST(1 AS BIGINT) << length(bin(greatest(n_tokens - 1, 1)))) "
+        "AS bucket FROM d), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY bucket "
+        "ORDER BY doc_id) - 1 AS rk FROM b), "
+        "bt AS (SELECT bucket, rk // 8 AS batch_id, n_tokens FROM r), "
+        "agg AS (SELECT bucket, batch_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "max(n_tokens) AS max_len, CAST(sum(n_tokens) AS BIGINT) AS "
+        "sum_tokens FROM bt GROUP BY 1, 2) "
+        "SELECT bucket, batch_id, n_docs, max_len, sum_tokens, "
+        + _hud("(n_docs * max_len - sum_tokens)", "(n_docs * max_len)", 6)
+        + " AS pad_frac FROM agg"
     )
     out["train_val_test_split"] = (
         "WITH d AS (SELECT source, "

@@ -1336,3 +1336,88 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neg_comp").alias("negative_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching (padding-efficiency batch construction)
+# ---------------------------------------------------------------------------
+
+#: Batch geometry: docs per batch, and the power-of-2 length-bucket
+#: floor (buckets: [0,32), [32,64), [64,128), ... by token count).
+LB_BATCH_DOCS = 8
+LB_MIN_BUCKET = 32
+
+
+def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction — the padding-efficiency
+    pattern of every training data loader: group documents into
+    power-of-2 token-length buckets, fill fixed-size batches within
+    each bucket in deterministic order, and account the padding waste
+    each batch pays (docs padded to the batch max). Batching similar
+    lengths together is what keeps that waste low; the output's
+    pad_frac column makes the saving auditable.
+
+    Scale: the within-bucket rank decomposes over (bucket, doc_id div
+    4096) sub-ranges — counts/offsets live on a bounded grid, the only
+    row-level window is partitioned by those sub-ranges — and the
+    batch-grain aggregate is map-side combinable. No global sort, no
+    per-bucket single-partition window."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    n_tok = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    d = t.documents.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+    ).withColumn(
+        # next power of two >= n_tokens, in pure integers (the float
+        # log2/pow form can land on 5.999… at exact powers and drift
+        # cross-engine): 1 << bit_length(n-1), floored at LB_MIN_BUCKET
+        "bucket",
+        F.greatest(
+            F.lit(LB_MIN_BUCKET).cast("long"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "length(bin(greatest(n_tokens - 1, 1))))"
+            ),
+        ),
+    ).withColumn("sub", F.expr("doc_id div 4096"))
+    sizes = d.groupBy("bucket", "sub").agg(F.count(F.lit(1)).alias("n"))
+    offs = sizes.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.partitionBy("bucket")
+                .orderBy("sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "sub", "off")
+    ws = Window.partitionBy("bucket", "sub").orderBy("doc_id")
+    ranked = d.join(F.broadcast(offs), ["bucket", "sub"]).withColumn(
+        "rk", F.row_number().over(ws) + F.col("off") - 1
+    )
+    batched = ranked.withColumn(
+        "batch_id", F.expr(f"rk div {LB_BATCH_DOCS}")
+    )
+    return (
+        batched.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "sum_tokens",
+            halfup_div(
+                F.col("n_docs") * F.col("max_len") - F.col("sum_tokens"),
+                F.col("n_docs") * F.col("max_len"),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

@@ -545,3 +545,29 @@ def test_contrastive_pairs_structure(spark, sf_dir):
         assert t.positive_id != t.negative_id
         assert clusters[t.negative_id] == t.negative_id  # a canonical
         assert t.anchor_id != t.positive_id
+
+
+def test_length_bucketed_batches_properties(spark, sf_dir):
+    """Batch invariants: bucket is a power of two >= 32 and >= every
+    member's length; batches hold <= LB_BATCH_DOCS docs; padding
+    fraction is the exact (n*max - sum)/(n*max) ratio; total docs
+    conserved."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.curation import (
+        LB_BATCH_DOCS,
+        q_length_bucketed_batches,
+    )
+
+    rows = q_length_bucketed_batches(spark, sf_dir).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == load(spark, sf_dir).documents.count()
+    for r in rows:
+        assert r.bucket >= 32 and (r.bucket & (r.bucket - 1)) == 0
+        assert r.max_len <= r.bucket
+        assert 1 <= r.n_docs <= LB_BATCH_DOCS
+        exact = (r.n_docs * r.max_len - r.sum_tokens) / (r.n_docs * r.max_len)
+        assert abs(float(r.pad_frac) - exact) < 1e-6
+    # padding efficiency: bucketed batching keeps waste low on the
+    # fixture (identical-bucket lengths are within 2x of each other)
+    weighted = sum(float(r.pad_frac) * r.n_docs for r in rows) / n_docs_total
+    assert weighted < 0.5
