@@ -163,6 +163,7 @@ _DRIVER_ORDER_R6 = [
     "incremental_join_state",
     "winnow_fps_streamed",
     "length_bucketed_batches",
+    "curriculum_order",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -454,6 +455,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": curation.q_weighted_sample,
         "interleaved_mixture": curation.q_interleaved_mixture,
         "length_bucketed_batches": curation.q_length_bucketed_batches,
+        "curriculum_order": curation.q_curriculum_order,
         "contrastive_pairs": curation.q_contrastive_pairs,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
@@ -3236,6 +3238,15 @@ def oracle_sql() -> dict[str, str]:
         "CAST(((rank - 1) * 3) // n + 1 AS INTEGER) AS tercile, "
         "(['head', 'middle', 'tail'])[CAST(((rank - 1) * 3) // n + 1 "
         "AS INTEGER)] AS bucket FROM r, n"
+    )
+    out["curriculum_order"] = (
+        # easy->hard curriculum: ccnet tercile, hash-shuffled inside
+        "WITH cc AS (" + out["ccnet_buckets"] + "), "
+        "h AS (SELECT doc_id, tercile, "
+        "('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT "
+        "AS k FROM cc) "
+        "SELECT CAST(row_number() OVER (ORDER BY tercile, k, doc_id) - 1 "
+        "AS BIGINT) AS position, doc_id, tercile FROM h"
     )
     out["lang_eval"] = (
         "WITH pred AS (" + out["lang_id"] + "), "

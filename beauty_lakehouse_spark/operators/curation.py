@@ -1421,3 +1421,65 @@ def q_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curriculum ordering (easy-to-hard by LM perplexity terciles)
+# ---------------------------------------------------------------------------
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum construction: a deterministic global training order
+    that presents the most in-distribution documents first — the
+    CCNet/perplexity head tercile, then middle, then tail — with a
+    reproducible shuffle WITHIN each tercile (so the curriculum is
+    easy→hard across stages but unordered inside a stage). Composes
+    the oracle-exact ``q_ccnet_buckets`` tercile with the same
+    two-level rank decomposition every global order here uses.
+
+    Scale: tercile assignment is the LM-scoring pipeline (dictionary-
+    grain groupBys); the within-tercile rank decomposes over (tercile,
+    key-bucket) — offsets live on a ≤3·4096-row grid — and the
+    tercile base offsets are a broadcast 3-row table. No global sort
+    of the corpus anywhere."""
+    cc = q_ccnet_buckets(spark, sf_dir).select("doc_id", "tercile")
+    key = portable_hash64(
+        F.concat(F.lit("cur:"), F.col("doc_id").cast("string"))
+    )
+    d = cc.withColumn("k", key).withColumn(
+        "bucket", F.shiftright("k", 48)
+    ).localCheckpoint(eager=False)  # scoring pipeline consumed by 3 branches
+    sizes = d.groupBy("tercile", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    offs = sizes.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.partitionBy("tercile")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("tercile", "bucket", "off")
+    tsizes = d.groupBy("tercile").agg(F.count(F.lit(1)).alias("tn"))
+    toffs = tsizes.withColumn(
+        "toff",
+        F.coalesce(
+            F.sum("tn").over(
+                Window.orderBy("tercile").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("tercile", "toff")
+    wb = Window.partitionBy("tercile", "bucket").orderBy("k", "doc_id")
+    return (
+        d.join(F.broadcast(offs), ["tercile", "bucket"])
+        .join(F.broadcast(toffs), "tercile")
+        .withColumn(
+            "position",
+            F.row_number().over(wb) + F.col("off") + F.col("toff") - 1,
+        )
+        .select(F.col("position").cast("long").alias("position"), "doc_id", "tercile")
+    )

@@ -571,3 +571,21 @@ def test_length_bucketed_batches_properties(spark, sf_dir):
     # fixture (identical-bucket lengths are within 2x of each other)
     weighted = sum(float(r.pad_frac) * r.n_docs for r in rows) / n_docs_total
     assert weighted < 0.5
+
+
+def test_curriculum_order_easy_first(spark, sf_dir):
+    """Curriculum law: positions are a permutation of 0..n-1 and
+    terciles are contiguous position blocks in 1, 2, 3 order (all of
+    head before any of middle before any of tail)."""
+    from beauty_lakehouse_spark.operators.curation import (
+        q_curriculum_order,
+    )
+
+    rows = sorted(
+        q_curriculum_order(spark, sf_dir).collect(),
+        key=lambda r: r.position,
+    )
+    assert [r.position for r in rows] == list(range(len(rows)))
+    terciles = [r.tercile for r in rows]
+    assert terciles == sorted(terciles)
+    assert set(terciles) == {1, 2, 3}
