@@ -164,6 +164,7 @@ _DRIVER_ORDER_R6 = [
     "winnow_fps_streamed",
     "length_bucketed_batches",
     "curriculum_order",
+    "embedding_outliers",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -485,6 +486,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": similarity.q_knn_brute,
         "embedding_centroids": similarity.q_embedding_centroids,
         "embedding_quantize_int8": similarity.q_embedding_quantize_int8,
+        "embedding_outliers": similarity.q_embedding_outliers,
         "kmeans_round": similarity.q_kmeans_round,
         "pca_power_iteration": similarity.q_pca_power_iteration,
         "embedding_random_projection": similarity.q_embedding_random_projection,
@@ -3247,6 +3249,29 @@ def oracle_sql() -> dict[str, str]:
         "AS k FROM cc) "
         "SELECT CAST(row_number() OVER (ORDER BY tercile, k, doc_id) - 1 "
         "AS BIGINT) AS position, doc_id, tercile FROM h"
+    )
+    out["embedding_outliers"] = (
+        # half-up integer centroid (offset trick for negatives), int64
+        # dist^2, HUGEINT 3-sigma cross-multiply — mirrors similarity.py
+        "WITH ex AS (SELECT vec_id, label, CAST(t.i AS INTEGER) AS dim, "
+        "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+        "cent AS (SELECT label, dim, "
+        "CAST((2 * (sum(q) + count(*) * 4000000) + count(*)) "
+        "// (2 * count(*)) - 4000000 AS BIGINT) AS c "
+        "FROM ex GROUP BY 1, 2), "
+        "d2 AS (SELECT vec_id, ex.label AS label, "
+        "CAST(sum((q - c) * (q - c)) AS BIGINT) AS dist2_q "
+        "FROM ex JOIN cent ON ex.label = cent.label AND ex.dim = cent.dim "
+        "GROUP BY 1, 2), "
+        "st AS (SELECT label, CAST(count(*) AS HUGEINT) AS m, "
+        "CAST(sum(CAST(dist2_q AS HUGEINT)) AS HUGEINT) AS s, "
+        "CAST(sum(CAST(dist2_q AS HUGEINT) * CAST(dist2_q AS HUGEINT)) "
+        "AS HUGEINT) AS qq FROM d2 GROUP BY 1) "
+        "SELECT vec_id, label, dist2_q, "
+        "(m * dist2_q - s > 0 AND "
+        "(m * dist2_q - s) * (m * dist2_q - s) > 9 * (m * qq - s * s)) "
+        "AS is_outlier FROM d2 JOIN st USING (label)"
     )
     out["lang_eval"] = (
         "WITH pred AS (" + out["lang_id"] + "), "

@@ -1386,3 +1386,100 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("vec_id", F.col("k").alias("out_dim"))
         .agg(F.sum(F.col("s") * F.col("q")).alias("value"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding outlier detection (distance-to-centroid 3-sigma, exact)
+# ---------------------------------------------------------------------------
+
+
+def embedding_outlier_flags(embeddings: DataFrame) -> DataFrame:
+    """Core of q_embedding_outliers over any (vec_id, label, embedding)
+    DataFrame — separated so tests can drive it with planted far
+    vectors. See the registered query's docstring for the exactness
+    and magnitude contracts."""
+    from ..functions import halfup_div
+
+    ex = embeddings.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * CENTROID_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    ).localCheckpoint(eager=False)  # feeds centroid build AND distance scan
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            halfup_div(
+                F.sum("q") + F.count(F.lit(1)) * KMEANS_OFFSET,
+                F.count(F.lit(1)),
+                0,
+            ).cast("long")
+            - KMEANS_OFFSET
+        ).alias("c")
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+            .alias("dist2_q")
+        )
+    )
+    d38 = "decimal(38,0)"
+    stats = d2.groupBy("label").agg(
+        F.count(F.lit(1)).cast(d38).alias("m"),
+        F.sum(F.col("dist2_q").cast(d38)).alias("s"),
+        F.sum(F.col("dist2_q").cast(d38) * F.col("dist2_q").cast(d38)).alias(
+            "qq"
+        ),
+    )
+    dev = F.col("m") * F.col("dist2_q").cast(d38) - F.col("s")
+    return (
+        d2.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id",
+            "label",
+            "dist2_q",
+            (
+                (dev > 0)
+                & (
+                    dev * dev
+                    > F.lit(9)
+                    * (F.col("m") * F.col("qq") - F.col("s") * F.col("s"))
+                )
+            ).alias("is_outlier"),
+        )
+    )
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space data quality: flag vectors whose squared
+    distance to their label's centroid sits more than 3 population
+    standard deviations above the label mean — the mislabeled-example
+    / corrupt-embedding detector every vector corpus audit runs.
+
+    Exactness: components quantize to integer millionths, the centroid
+    is the HALF-UP integer mean per (label, dim) (the kmeans_round
+    offset trick for negatives), dist² = Σ(q−c)² stays in int64
+    independent of corpus size (bounded by dimension × component
+    range, not by n), and the 3σ flag is the integer cross-multiply
+    ``(m·d − S)² > 9·(m·Q − S²)`` with m·d > S, in DECIMAL(38,0) —
+    no float mean/variance/sqrt anywhere, bit-identical cross-engine.
+
+    Scale: one posexplode shuffle to (label, dim) grain, centroids
+    broadcast back, label stats are a |labels|-row broadcast — the
+    same two-aggregate shape as customer_spend_outliers. Magnitude
+    bound: with unit-norm 64-dim vectors dist² ≤ ~2.6·10¹⁴, so the
+    cross-multiplied test stays inside DECIMAL(38,0) up to ~4·10⁴
+    vectors per label; beyond that, downshift dist² by a power of two
+    before the moment stage (deterministic quantization — same flag
+    both engines) — the documented lever, not silently applied."""
+    t = load(spark, sf_dir)
+    return embedding_outlier_flags(
+        t.embeddings.select("vec_id", "label", "embedding")
+    )

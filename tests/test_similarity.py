@@ -484,3 +484,35 @@ def test_random_projection_norm_concentration(spark, sf_dir):
     assert 0.85 < mean < 1.15
     inside = sum(1 for x in ratios if 0.3 < x < 2.5) / len(ratios)
     assert inside > 0.9
+
+
+def test_embedding_outliers_detects_planted_far_vector(spark, sf_dir):
+    """A vector far from its label's centroid must flag; the natural
+    fixture cloud stays selective (3-sigma flags few rows)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        embedding_outlier_flags,
+        q_embedding_outliers,
+    )
+
+    rows = q_embedding_outliers(spark, sf_dir).collect()
+    n_out = sum(1 for r in rows if r.is_outlier)
+    assert 0 <= n_out < len(rows) / 10
+
+    t = load(spark, sf_dir)
+    planted = t.embeddings.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * 50).alias("embedding"),
+    )
+    corpus = t.embeddings.select("vec_id", "label", "embedding").unionByName(
+        planted
+    )
+    flagged = {
+        r.vec_id
+        for r in embedding_outlier_flags(corpus).collect()
+        if r.is_outlier
+    }
+    assert 1_000_000 in flagged
