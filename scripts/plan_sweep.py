@@ -76,6 +76,7 @@ WHITELIST: dict[str, str] = {
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
     "customer_spend_ntile": "cumsum over spend-floor bucket table (bounded by price range)",
     "ccnet_buckets": "cumsum over the ~4k-row perplexity-key bucket table (key >> 33)",
