@@ -165,6 +165,8 @@ _DRIVER_ORDER_R6 = [
     "length_bucketed_batches",
     "curriculum_order",
     "embedding_outliers",
+    # graduated from rows-only in round 6 (unrolled argmax-CTE twin)
+    "bpe_train_merges",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
@@ -969,6 +971,60 @@ _MERGE_CTES = (
     "(SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d "
     "ON m.o_orderkey = d.o_orderkey)"
 )
+
+
+def _bpe_train_sql(n_merges: int = 12) -> str:
+    """DuckDB twin of text.bpe_train — the FULL iterative trainer,
+    unrolled: per round, a pair-count CTE over the current vocab, a
+    1-row argmax CTE (weight desc, l, r — the trainer's exact
+    tie-break), and a vocab-rewrite CTE whose ``list_reduce`` fold
+    replicates the Spark merge-application scan EXACTLY (state packed
+    as 'emitted|pending' in one VARCHAR, the same init-prepend trick
+    as ln_micro_sql; every CTE MATERIALIZED — DuckDB inlines CTEs by
+    default, which re-evaluates the whole prefix chain per consumer
+    and went exponential over 12 rounds, 227s -> ~2s) — string
+    replace() was rejected because its
+    non-overlapping scan diverges from the greedy fold on runs like
+    'a a a a'. Graduates the trainer from rows-only to oracle."""
+    fold = (
+        "trim(replace(list_reduce(list_prepend('|', string_split(s, ' ')), "
+        "(acc, x) -> CASE "
+        "WHEN split_part(acc, '|', 2) = b.l AND x = b.r "
+        "THEN split_part(acc, '|', 1) || '|' || split_part(acc, '|', 2) || x "
+        "WHEN split_part(acc, '|', 2) = '' THEN acc || x "
+        "ELSE CASE WHEN split_part(acc, '|', 1) = '' "
+        "THEN split_part(acc, '|', 2) || '|' || x "
+        "ELSE split_part(acc, '|', 1) || ' ' || split_part(acc, '|', 2) "
+        "|| '|' || x END END), '|', ' '))"
+    )
+    ctes = [
+        "v0 AS MATERIALIZED (SELECT count(*) AS freq, "
+        "array_to_string(string_split(token, ''), ' ') AS s "
+        "FROM (SELECT unnest(string_split(text, ' ')) AS token "
+        "FROM documents) WHERE token <> '' GROUP BY token)"
+    ]
+    for k in range(1, n_merges + 1):
+        ctes.append(
+            f"p{k} AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r, "
+            f"CAST(sum(freq) AS BIGINT) AS weight FROM ("
+            f"SELECT freq, unnest(list_zip(sym[1:len(sym)-1], "
+            f"sym[2:len(sym)])) AS z FROM ("
+            f"SELECT freq, string_split(s, ' ') AS sym FROM v{k-1}) "
+            f"WHERE len(sym) >= 2) GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"best{k} AS MATERIALIZED (SELECT l, r, weight FROM p{k} "
+            f"ORDER BY weight DESC, l, r LIMIT 1)"
+        )
+        ctes.append(
+            f"v{k} AS MATERIALIZED (SELECT freq, {fold} AS s FROM v{k-1}, best{k} b)"
+        )
+    union = " UNION ALL ".join(
+        f'SELECT {k} AS merge_rank, l AS "left", r AS "right", '
+        f"l || r AS merged, weight FROM best{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + union
 
 
 def _quality_report_sql() -> str:
@@ -3360,6 +3416,7 @@ def oracle_sql() -> dict[str, str]:
         "range(len(hs) - 3), j -> list_min(hs[j+1:j+4]))) AS fps FROM g) "
         "SELECT doc_id, unnest(fps) AS fp FROM s"
     )
+    out["bpe_train_merges"] = _bpe_train_sql()
     out["winnow_overlap_top"] = (
         # positional winnowing (MOSS): word-3-gram hash sequence,
         # sliding min over 4-hash windows, distinct selected values;

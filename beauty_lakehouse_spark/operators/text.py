@@ -665,9 +665,13 @@ def bpe_train(
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned BPE merge table after BPE_MERGES rounds: one row per
     merge (rank, left, right, merged symbol, corpus weight at the time
-    it was chosen). Registered rows-only — the loop is iterative with
-    an argmax collect per round, not SQL-expressible; the semantics are
-    pytest-verified against a pure-Python reference BPE trainer."""
+    it was chosen). ORACLE-MATCHED since round 6: the DuckDB twin
+    (__spark_entry__._bpe_train_sql) unrolls all 12 rounds as
+    materialized argmax CTEs whose list_reduce fold replicates this
+    trainer's greedy merge scan exactly — so the full iterative
+    training loop, not just one counting round, is hash-checked
+    cross-engine (and still pytest-verified against a pure-Python
+    reference trainer)."""
     t = load(spark, sf_dir)
     merges, _ = bpe_train(t.documents)
     return spark.createDataFrame(
