@@ -165,6 +165,7 @@ _DRIVER_ORDER_R6 = [
     "length_bucketed_batches",
     "curriculum_order",
     "embedding_outliers",
+    "corpus_training_plan",
     # graduated from rows-only in round 6 (unrolled argmax-CTE twin)
     "bpe_train_merges",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
@@ -459,6 +460,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_mixture": curation.q_interleaved_mixture,
         "length_bucketed_batches": curation.q_length_bucketed_batches,
         "curriculum_order": curation.q_curriculum_order,
+        "corpus_training_plan": curation.q_corpus_training_plan,
         "contrastive_pairs": curation.q_contrastive_pairs,
         "train_val_test_split": curation.q_train_val_test_split,
         "token_budget_selection": curation.q_token_budget_selection,
@@ -3528,6 +3530,33 @@ def oracle_sql() -> dict[str, str]:
         "ELSE 'kept' END AS reason "
         "FROM l0 JOIN c0 USING (thash0)) "
         "SELECT doc_id, reason, reason = 'kept' AS keep FROM r"
+    )
+
+    out["corpus_training_plan"] = (
+        # capstone: cleaned docs -> curriculum tercile -> length-bucket
+        # batches; constituent CTEs reused verbatim from their oracles
+        "WITH "
+        + _cleaning_ctes("0")
+        + ", cc AS (" + out["ccnet_buckets"] + "), "
+        "kept AS (SELECT l0.doc_id, n_tokens FROM l0 JOIN c0 "
+        "USING (thash0) WHERE l0.doc_id = keep_id AND pred_lang = 'en' "
+        "AND NOT (n_tokens < 5 OR alnum * 5 < len_chars * 4)), "
+        "b AS (SELECT k.doc_id, cc.tercile, "
+        "CAST(k.n_tokens AS BIGINT) AS n_tokens, "
+        "greatest(CAST(32 AS BIGINT), CAST(1 AS BIGINT) << "
+        "length(bin(greatest(k.n_tokens - 1, 1)))) AS bucket "
+        "FROM kept k JOIN cc USING (doc_id)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY tercile, bucket "
+        "ORDER BY doc_id) - 1 AS rk FROM b), "
+        "bt AS (SELECT tercile, bucket, rk // 8 AS batch_id, n_tokens "
+        "FROM r), "
+        "agg AS (SELECT tercile, bucket, batch_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, max(n_tokens) AS max_len, "
+        "CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM bt "
+        "GROUP BY 1, 2, 3) "
+        "SELECT tercile, bucket, batch_id, n_docs, max_len, sum_tokens, "
+        + _hud("(n_docs * max_len - sum_tokens)", "(n_docs * max_len)", 6)
+        + " AS pad_frac FROM agg"
     )
 
     # the corpus pipeline's survivor selection, end to end in ONE SQL:

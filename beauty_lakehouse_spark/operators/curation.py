@@ -1483,3 +1483,83 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("position").cast("long").alias("position"), "doc_id", "tercile")
     )
+
+
+def q_corpus_training_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end capstone for the round-6 construction ops: CLEANED
+    corpus (the C4-style keep decision) → perplexity-tercile
+    CURRICULUM stage → LENGTH-BUCKETED fixed-size batches with exact
+    padding-waste accounting, at batch grain — the complete "what does
+    the trainer actually consume" plan, each constituent reused from
+    its own oracle-exact operator so the composition carries a DuckDB
+    twin too (the same composition discipline as corpus_survivors).
+
+    Scale: cleaning + LM scoring are the constituent pipelines;
+    the batch rank decomposes over (tercile, bucket, doc_id div 4096)
+    sub-ranges; the aggregate is batch-grain and map-side combinable."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    kept = q_corpus_cleaning_report(spark, sf_dir).filter(
+        F.col("reason") == "kept"
+    ).select("doc_id")
+    cc = q_ccnet_buckets(spark, sf_dir).select("doc_id", "tercile")
+    ntok = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    d = (
+        kept.join(cc, "doc_id")
+        .join(ntok, "doc_id")
+        .withColumn(
+            "bucket",
+            F.greatest(
+                F.lit(LB_MIN_BUCKET).cast("long"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), "
+                    "length(bin(greatest(n_tokens - 1, 1))))"
+                ),
+            ),
+        )
+        .withColumn("sub", F.expr("doc_id div 4096"))
+        .localCheckpoint(eager=False)  # scoring pipelines consumed twice
+    )
+    sizes = d.groupBy("tercile", "bucket", "sub").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    offs = sizes.withColumn(
+        "off",
+        F.coalesce(
+            F.sum("n").over(
+                Window.partitionBy("tercile", "bucket")
+                .orderBy("sub")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("tercile", "bucket", "sub", "off")
+    ws = Window.partitionBy("tercile", "bucket", "sub").orderBy("doc_id")
+    ranked = d.join(F.broadcast(offs), ["tercile", "bucket", "sub"]).withColumn(
+        "rk", F.row_number().over(ws) + F.col("off") - 1
+    )
+    return (
+        ranked.withColumn("batch_id", F.expr(f"rk div {LB_BATCH_DOCS}"))
+        .groupBy("tercile", "bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").alias("max_len"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .select(
+            "tercile",
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_len",
+            "sum_tokens",
+            halfup_div(
+                F.col("n_docs") * F.col("max_len") - F.col("sum_tokens"),
+                F.col("n_docs") * F.col("max_len"),
+                6,
+            ).alias("pad_frac"),
+        )
+    )

@@ -589,3 +589,27 @@ def test_curriculum_order_easy_first(spark, sf_dir):
     terciles = [r.tercile for r in rows]
     assert terciles == sorted(terciles)
     assert set(terciles) == {1, 2, 3}
+
+
+def test_corpus_training_plan_composition(spark, sf_dir):
+    """Capstone consistency: total batched docs == kept docs; every
+    batch respects the size cap and the power-of-2 bucket bound; the
+    tercile set matches ccnet's."""
+    from beauty_lakehouse_spark.operators.curation import (
+        LB_BATCH_DOCS,
+        q_corpus_cleaning_report,
+        q_corpus_training_plan,
+    )
+
+    plan = q_corpus_training_plan(spark, sf_dir).collect()
+    n_kept = (
+        q_corpus_cleaning_report(spark, sf_dir)
+        .filter("reason = 'kept'")
+        .count()
+    )
+    assert sum(r.n_docs for r in plan) == n_kept
+    for r in plan:
+        assert 1 <= r.n_docs <= LB_BATCH_DOCS
+        assert r.bucket >= 32 and (r.bucket & (r.bucket - 1)) == 0
+        assert r.max_len <= r.bucket
+        assert r.tercile in (1, 2, 3)
