@@ -166,6 +166,7 @@ _DRIVER_ORDER_R6 = [
     "curriculum_order",
     "embedding_outliers",
     "corpus_training_plan",
+    "view_to_purchase_lag",
     # graduated from rows-only in round 6 (unrolled argmax-CTE twin)
     "bpe_train_merges",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
@@ -361,6 +362,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_activity": events.q_user_activity,
         "event_funnel": events.q_event_funnel,
         "purchase_time_since_view": temporal.q_purchase_time_since_view,
+        "view_to_purchase_lag": temporal.q_view_to_purchase_lag,
         "event_transitions": temporal.q_event_transitions,
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
@@ -3086,6 +3088,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN s_click THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
             "CAST(sum(CASE WHEN s_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase "
             "FROM s2"
+        ),
+        "view_to_purchase_lag": (
+            # forward as-of: for each view, the user's earliest
+            # purchase at-or-after it (inclusive >=; purchase ties at
+            # one instant collapse to the min event_id, same as Spark)
+            "WITH e AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) AS us FROM events), "
+            "v AS (SELECT user_id, event_id, us FROM e "
+            "WHERE event_type = 'view'), "
+            "p AS (SELECT user_id, us AS p_us, min(event_id) AS pid "
+            "FROM e WHERE event_type = 'purchase' GROUP BY 1, 2), "
+            "m AS (SELECT v.user_id, v.event_id, v.us, "
+            "min(p.p_us) AS p_us FROM v JOIN p ON p.user_id = v.user_id "
+            "AND p.p_us >= v.us GROUP BY 1, 2, 3) "
+            "SELECT m.user_id, m.event_id, p.pid AS purchase_event_id, "
+            "m.p_us - m.us AS us_to_purchase FROM m "
+            "JOIN p ON p.user_id = m.user_id AND p.p_us = m.p_us"
         ),
         "purchase_time_since_view": (
             "WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us "

@@ -390,3 +390,92 @@ def q_open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return series.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "n_open"
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """For each left row, attach the right row with the SMALLEST
+    ``right_ts`` ≥ ``left_ts`` within the same ``key`` — the forward
+    direction of the as-of join (pandas ``merge_asof
+    direction='forward'``). Same union-tag + running-fill machinery as
+    :func:`asof_join`, with the window scanning the FUTURE
+    (currentRow→unboundedFollowing, FIRST non-null) and ties ordered
+    left-before-right (__tag DESC) so a right row AT the exact left
+    timestamp falls inside the left row's future frame and matches
+    (≥ semantics, mirroring the backward form's ≤). Scale: one shuffle on key, per-key window over the
+    entity's own timeline — identical economics to the backward form."""
+    lcols = [c for c in left.columns if c not in (key, left_ts)]
+    l_tagged = left.select(
+        key,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__tag"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        key,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.asc("__ts"), F.desc("__tag"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = unioned.select(
+        key,
+        "__ts",
+        "__tag",
+        *lcols,
+        *[
+            F.first(f"__r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+    )
+    return filled.filter(F.col("__tag") == 1).drop("__tag").withColumnRenamed(
+        "__ts", left_ts
+    )
+
+
+def q_view_to_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join in anger: for every view event, microseconds
+    until the user's NEXT purchase at-or-after it — the conversion-lag
+    signal of funnel analytics (the mirror of
+    q_purchase_time_since_view's backward attribution). Oracle: the
+    equivalent inequality-join + min aggregation in DuckDB."""
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_id", "event_type", epoch_us("ts").alias("us")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "us"
+    )
+    # unique per (user, ts): keep the smallest purchase event_id per instant
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("us").alias("p_us"))
+        .agg(F.min("event_id").alias("purchase_event_id"))
+    )
+    joined = asof_join_forward(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="us",
+        right_ts="p_us",
+        right_cols=["p_us", "purchase_event_id"],
+    )
+    return joined.filter(F.col("asof_p_us").isNotNull()).select(
+        "user_id",
+        "event_id",
+        F.col("asof_purchase_event_id").alias("purchase_event_id"),
+        (F.col("asof_p_us") - F.col("us")).alias("us_to_purchase"),
+    )

@@ -136,3 +136,29 @@ def test_open_orders_daily_matches_brute_containment(spark, sf_dir):
         d = dt.date.fromisoformat(day_s)
         brute = sum(1 for r in spans if r.o <= d <= r.c)
         assert series[day_s] == brute, day_s
+
+
+def test_asof_join_forward_semantics(spark):
+    """Forward as-of: smallest right_ts >= left_ts per key, inclusive
+    at equality, null when no future right row exists."""
+    from beauty_lakehouse_spark.operators.temporal import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c"), (2, 50, "d")],
+        "k long, lts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 150, 15), (1, 200, 20), (1, 250, 25), (2, 10, 99)],
+        "k long, rts long, val int",
+    )
+    got = {
+        (r.k, r.lts): (r.asof_rts, r.asof_val)
+        for r in asof_join_forward(
+            left, right, key="k", left_ts="lts", right_ts="rts",
+            right_cols=["rts", "val"],
+        ).collect()
+    }
+    assert got[(1, 100)] == (150, 15)
+    assert got[(1, 200)] == (200, 20)   # inclusive at equality
+    assert got[(1, 300)] == (None, None)  # no future right row
+    assert got[(2, 50)] == (None, None)   # right row only in the past
