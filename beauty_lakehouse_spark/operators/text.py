@@ -1299,7 +1299,17 @@ def winnow_fingerprints(
             )
         ).alias("fps"),
     )
-    return sel.select("doc_id", F.explode("fps").alias("fp"))
+    # explode_OUTER: a plain explode makes Catalyst infer a
+    # size(fps) > 0 predicate whose pushed-down copy re-evaluates the
+    # whole interpreted selection chain per row — ruinous on the
+    # stream path, which cannot checkpoint (measured 220s -> ~8s at
+    # sf0.1). The outer form infers nothing; rows passing the length
+    # filter always yield >= 1 fingerprint, and the null filter below
+    # runs on the OUTPUT column only.
+    return (
+        sel.select("doc_id", F.explode_outer("fps").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 def q_winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
