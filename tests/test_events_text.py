@@ -664,3 +664,36 @@ def test_winnowing_positional_not_settish(spark):
     )
     got = winnow_fingerprints(df).collect()
     assert all(r.doc_id != 1 for r in got)  # 3 tokens < 6: no window
+
+
+def test_winnow_stream_plan_evaluates_hash_chain_once(spark):
+    """Regression pin for the explode-inferred-filter trap: in the
+    stream-safe (checkpoint-free) path the md5 k-gram transform must
+    appear in the optimized plan a bounded number of times — a plain
+    explode's inferred size(fps) > 0 predicate duplicated the whole
+    interpreted chain (measured 220s at sf0.1)."""
+    from beauty_lakehouse_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))],
+        "doc_id long, text string",
+    )
+    plan = (
+        winnow_fingerprints(df, stream_safe=True)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("md5") <= 2, f"md5 chain duplicated: {plan.count('md5')}x"
+
+
+def test_bpe_oracle_ctes_are_materialized():
+    """Regression pin: DuckDB inlines CTEs by default, which went
+    exponential over the 12 unrolled trainer rounds (227s -> 0.1s
+    with MATERIALIZED)."""
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["bpe_train_merges"]
+    # every vocab CTE must be materialized
+    for k in range(0, 13):
+        assert f"v{k} AS MATERIALIZED" in sql, f"v{k} not materialized"
