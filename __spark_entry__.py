@@ -167,6 +167,7 @@ _DRIVER_ORDER_R6 = [
     "embedding_outliers",
     "corpus_training_plan",
     "view_to_purchase_lag",
+    "customer_rfm_segments",
     # graduated from rows-only in round 6 (unrolled argmax-CTE twin)
     "bpe_train_merges",
     # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
@@ -380,6 +381,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_cube": warehouse.q_sales_cube,
         "sales_grouping_sets": warehouse.q_sales_grouping_sets,
         "customer_spend_ntile": warehouse.q_customer_spend_ntile,
+        "customer_rfm_segments": warehouse.q_customer_rfm_segments,
         "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
         "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
@@ -2802,6 +2804,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT days.day, count(DISTINCT d.user_id) AS n_users_7d "
             "FROM days JOIN d ON d.day BETWEEN days.day - 6 AND days.day "
             "GROUP BY days.day"
+        ),
+        "customer_rfm_segments": (
+            # real NTILE(5) per metric verifies the two-level exact
+            # quintile decomposition bit for bit
+            "WITH s AS (SELECT o_custkey, "
+            "CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' "
+            "AS BIGINT) AS last_day, "
+            "CAST(count(*) AS BIGINT) AS n_orders, "
+            "round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS spend "
+            "FROM orders GROUP BY o_custkey), "
+            "q AS (SELECT o_custkey, last_day, n_orders, "
+            "CAST(spend AS DOUBLE) AS total_spend, "
+            "CAST(ntile(5) OVER (ORDER BY last_day DESC, o_custkey) "
+            "AS INTEGER) AS r_score, "
+            "CAST(ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) "
+            "AS INTEGER) AS f_score, "
+            "CAST(ntile(5) OVER (ORDER BY spend DESC, o_custkey) "
+            "AS INTEGER) AS m_score FROM s) "
+            "SELECT *, CAST(r_score * 100 + f_score * 10 + m_score "
+            "AS INTEGER) AS rfm_segment FROM q"
         ),
         "customer_spend_ntile": (
             "WITH s AS (SELECT o_custkey, "

@@ -845,3 +845,107 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             num, F.col("n").cast(d38) * F.col("total_cents").cast(d38), 6
         ).alias("gini"),
     )
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — THE canonical e-commerce analytics
+    operator for this domain: per customer, Recency (epoch day of the
+    last order), Frequency (order count), Monetary (lifetime spend),
+    each scored into exact quintiles (1 = top fifth) and combined into
+    the classic 3-digit segment code (111 = best customers, 555 =
+    lapsed low-value).
+
+    Exactness: every quintile is bit-for-bit ntile(5) over
+    (metric DESC, custkey) — the DuckDB oracle runs a REAL ntile — but
+    computed WITHOUT a global window sort: the same two-level
+    bucket-offset rank decomposition as q_customer_spend_ntile, once
+    per metric (bucket = negated metric, so ascending bucket order is
+    descending metric order; bucket tables are bounded by the VALUE
+    ranges — days, order counts, price units — not the customer
+    count). Three bounded-grid ranks + one join tree; no reducer ever
+    sorts the customer table."""
+    t = load(spark, sf_dir)
+    base = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.max(F.col("o_orderdate").cast("date")), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("last_day"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(dec2("o_totalprice")), 2).alias("spend_dec"),
+        )
+        .localCheckpoint(eager=False)  # feeds three rank pipelines + output
+    )
+
+    def rank_desc(metric: str, out: str):
+        """Exact global rank by (metric desc, custkey asc), two-level."""
+        d = base.select(
+            "o_custkey", metric, (-F.col(metric)).cast("long").alias("bkt")
+        )
+        if metric == "spend_dec":
+            d = base.select(
+                "o_custkey",
+                metric,
+                (-F.floor("spend_dec")).cast("long").alias("bkt"),
+            )
+        offs = (
+            d.groupBy("bkt")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("cnt").over(
+                        Window.orderBy("bkt").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("bkt", "off")
+        )
+        wb = Window.partitionBy("bkt").orderBy(
+            F.desc(metric), F.asc("o_custkey")
+        )
+        return (
+            d.join(F.broadcast(offs), "bkt")
+            .withColumn(out, F.row_number().over(wb) + F.col("off"))
+            .select("o_custkey", out)
+        )
+
+    n_total = base.agg(F.count(F.lit(1)).alias("n"))
+
+    def tile5(rk: str):
+        # exact ntile(5): first n%5 tiles are one larger
+        return (
+            F.when(
+                F.col(rk) <= (F.col("n") % 5) * (F.expr("n div 5") + 1),
+                F.expr(f"({rk} + (n div 5) + 1 - 1) div ((n div 5) + 1)"),
+            )
+            .otherwise(
+                F.col("n") % 5
+                + F.expr(
+                    f"({rk} - (n % 5) * ((n div 5) + 1) "
+                    "+ greatest(n div 5, 1L) - 1) div greatest(n div 5, 1L)"
+                )
+            )
+            .cast("int")
+        )
+
+    joined = (
+        base.join(rank_desc("last_day", "rk_r"), "o_custkey")
+        .join(rank_desc("n_orders", "rk_f"), "o_custkey")
+        .join(rank_desc("spend_dec", "rk_m"), "o_custkey")
+        .crossJoin(F.broadcast(n_total))
+    )
+    r_q, f_q, m_q = tile5("rk_r"), tile5("rk_f"), tile5("rk_m")
+    return joined.select(
+        "o_custkey",
+        "last_day",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("spend_dec").cast("double").alias("total_spend"),
+        r_q.alias("r_score"),
+        f_q.alias("f_score"),
+        m_q.alias("m_score"),
+        (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_segment"),
+    )

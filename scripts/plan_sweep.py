@@ -69,6 +69,7 @@ WHITELIST: dict[str, str] = {
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
     "customer_spend_ntile": "1-row customer-count broadcast (ntile tile-size arithmetic)",
+    "customer_rfm_segments": "1-row customer-count broadcast (quintile arithmetic, three metrics)",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
 }
@@ -76,6 +77,7 @@ WHITELIST: dict[str, str] = {
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
     "customer_spend_ntile": "cumsum over spend-floor bucket table (bounded by price range)",

@@ -466,3 +466,29 @@ def test_revenue_gini_matches_sorted_formula(spark, sf_dir):
         assert (r.n_customers, r.total_cents) == (n, tot)
         assert abs(r.gini - want) < 1e-9
         assert 0.0 <= r.gini < 1.0
+
+
+def test_rfm_segments_quintile_laws(spark, sf_dir):
+    """RFM invariants: scores in 1..5 with near-equal quintile sizes
+    (ntile law: sizes differ by at most 1), segment = 100r+10f+m, and
+    score 1 of each dimension holds the best metric values."""
+    from collections import Counter
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_customer_rfm_segments,
+    )
+
+    rows = q_customer_rfm_segments(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r_score", "f_score", "m_score"):
+        sizes = Counter(getattr(r, dim) for r in rows)
+        assert set(sizes) == {1, 2, 3, 4, 5}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+    for r in rows:
+        assert r.rfm_segment == r.r_score * 100 + r.f_score * 10 + r.m_score
+    best_m = min(r.total_spend for r in rows if r.m_score == 1)
+    worst_m = max(r.total_spend for r in rows if r.m_score == 5)
+    assert best_m >= worst_m
+    best_r = min(r.last_day for r in rows if r.r_score == 1)
+    worst_r = max(r.last_day for r in rows if r.r_score == 5)
+    assert best_r >= worst_r
