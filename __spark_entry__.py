@@ -3267,34 +3267,46 @@ def oracle_sql() -> dict[str, str]:
             + " AS winsorized_mean_cents FROM cl GROUP BY event_type"
         ),
         "table_stats": (
+            # engine-proof extremes: BIGINT for numerics (cents for
+            # money, epoch days for dates), raw strings for VARCHARs —
+            # never a decimal->VARCHAR / strftime repr (the r6 red row)
             "SELECT 'o_orderkey' AS \"column\", count(*) AS n_rows, "
             "sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
             "count(DISTINCT o_orderkey) AS n_distinct, "
-            "CAST(min(o_orderkey) AS VARCHAR) AS min_repr, "
-            "CAST(max(o_orderkey) AS VARCHAR) AS max_repr FROM orders "
+            "CAST(min(o_orderkey) AS BIGINT) AS min_int, "
+            "CAST(max(o_orderkey) AS BIGINT) AS max_int, "
+            "CAST(NULL AS VARCHAR) AS min_str, "
+            "CAST(NULL AS VARCHAR) AS max_str FROM orders "
             "UNION ALL SELECT 'o_custkey', count(*), "
             "sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), "
-            "count(DISTINCT o_custkey), CAST(min(o_custkey) AS VARCHAR), "
-            "CAST(max(o_custkey) AS VARCHAR) FROM orders "
+            "count(DISTINCT o_custkey), CAST(min(o_custkey) AS BIGINT), "
+            "CAST(max(o_custkey) AS BIGINT), CAST(NULL AS VARCHAR), "
+            "CAST(NULL AS VARCHAR) FROM orders "
             "UNION ALL SELECT 'o_orderstatus', count(*), "
             "sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END), "
-            "count(DISTINCT o_orderstatus), min(o_orderstatus), "
+            "count(DISTINCT o_orderstatus), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), min(o_orderstatus), "
             "max(o_orderstatus) FROM orders "
             "UNION ALL SELECT 'o_totalprice', count(*), "
             "sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END), "
             "count(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))), "
-            "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR), "
-            "CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) "
+            "CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT), "
+            "CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) "
             "FROM orders "
             "UNION ALL SELECT 'o_orderpriority', count(*), "
             "sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END), "
-            "count(DISTINCT o_orderpriority), min(o_orderpriority), "
+            "count(DISTINCT o_orderpriority), CAST(NULL AS BIGINT), "
+            "CAST(NULL AS BIGINT), min(o_orderpriority), "
             "max(o_orderpriority) FROM orders "
             "UNION ALL SELECT 'o_orderdate', count(*), "
             "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END), "
             "count(DISTINCT o_orderdate), "
-            "strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d'), "
-            "strftime(max(CAST(o_orderdate AS DATE)), '%Y-%m-%d') FROM orders"
+            "CAST(min(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' "
+            "AS BIGINT), "
+            "CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' "
+            "AS BIGINT), "
+            "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders"
         ),
         "moments_sketch": (
             # exact integer power sums in HUGEINT; m3..m6 emitted as

@@ -911,18 +911,24 @@ STATS_COLUMNS = [
 def q_table_stats(spark, sf_dir: str) -> DataFrame:
     """ANALYZE-style statistics collection over the orders table — the
     row the cost-based optimizer (and any data catalog) keeps per
-    column: row count, null count, exact distinct count, min/max
-    (stringified canonically so one report schema fits every type).
+    column: row count, null count, exact distinct count, min/max.
+
+    Extremes are emitted engine-proof: numeric/temporal columns as
+    BIGINT (`min_int`/`max_int` — raw for keys, cents for money via
+    the exact-at-2dp decimal lift, epoch days for dates) and string
+    columns as-is (`min_str`/`max_str`), never through a
+    decimal→VARCHAR or strftime representation layer whose
+    canonicalization is engine-version-dependent (the round-6
+    driver-gate red row).
 
     One aggregate pass emits all per-column stats (count/nulls/min/max
     share the scan); exact NDV needs one distinct-shuffle per column —
     at 100 TB you swap those to the portable HLL registers
     (`hll_registers`, same report schema, ±3% — the engine ships both
-    forms and `hll_distinct` hash-checks the sketch). Money values are
-    canonicalized through DECIMAL(12,2) so min/max strings are
-    engine-stable.
+    forms and `hll_distinct` hash-checks the sketch).
 
-    Output: (column, n_rows, n_nulls, n_distinct, min_repr, max_repr)."""
+    Output: (column, n_rows, n_nulls, n_distinct,
+             min_int, max_int, min_str, max_str)."""
     from ..catalog import load
     from ..functions import dec2
 
@@ -931,21 +937,34 @@ def q_table_stats(spark, sf_dir: str) -> DataFrame:
     report = None
     for col, kind in STATS_COLUMNS:
         c = dec2(col) if kind == "money" else F.col(col)
-
-        def repr_(agg):
-            # stringify AFTER aggregating (a string min would compare
-            # lexicographically and report 999 > 1499)
-            if kind == "date":
-                return F.date_format(agg, "yyyy-MM-dd")
-            return agg.cast("string")
+        null_long = F.lit(None).cast("long")
+        null_str = F.lit(None).cast("string")
+        if kind == "money":
+            # exact: dec2 is DECIMAL(12,2), *100 is integer-valued
+            mn_i = (F.min(c) * 100).cast("long")
+            mx_i = (F.max(c) * 100).cast("long")
+            mn_s, mx_s = null_str, null_str
+        elif kind == "date":
+            mn_i = F.datediff(F.min(c), F.lit("1970-01-01")).cast("long")
+            mx_i = F.datediff(F.max(c), F.lit("1970-01-01")).cast("long")
+            mn_s, mx_s = null_str, null_str
+        elif kind == "bigint":
+            mn_i = F.min(c).cast("long")
+            mx_i = F.max(c).cast("long")
+            mn_s, mx_s = null_str, null_str
+        else:  # string: min/max are the values themselves, no cast
+            mn_i, mx_i = null_long, null_long
+            mn_s, mx_s = F.min(c), F.max(c)
 
         one = o.agg(
             F.lit(col).alias("column"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
             F.countDistinct(c).alias("n_distinct"),
-            repr_(F.min(c)).alias("min_repr"),
-            repr_(F.max(c)).alias("max_repr"),
+            mn_i.alias("min_int"),
+            mx_i.alias("max_int"),
+            mn_s.alias("min_str"),
+            mx_s.alias("max_str"),
         )
         report = one if report is None else report.unionByName(one)
     return report
