@@ -156,6 +156,7 @@ _DRIVER_ORDER_R6 = [
     "nation_trade_volume",
     # -- new in round 6 (oracle; rotate to front next round) --
     "setsim_prefix_join",
+    "setsim_clusters",
     "weighted_sample",
     "winnow_overlap_top",
     "interleaved_mixture",
@@ -432,6 +433,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": dedup.q_minhash_estimate_error,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "setsim_prefix_join": dedup.q_setsim_prefix_join,
+        "setsim_clusters": dedup.q_setsim_clusters,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -2456,6 +2458,35 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.doc_id = doc_a "
             "JOIN sizes sb ON sb.doc_id = doc_b "
             "WHERE 10 * n_common >= 9 * (sa.s + sb.s - n_common)"
+        ),
+        "setsim_clusters": (
+            # recursive closure over the brute-force verified pair
+            # graph — the same reachability pattern as dedup_clusters,
+            # but on the token-set Jaccard >= 9/10 edges
+            "WITH RECURSIVE tok AS (SELECT DISTINCT doc_id, t.token "
+            "FROM documents, unnest(string_split(text, ' ')) AS t(token) "
+            "WHERE t.token <> ''), "
+            "sizes AS (SELECT doc_id, count(*) AS s FROM tok GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_common FROM tok a JOIN tok b ON a.token = b.token "
+            "AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "jedges AS (SELECT doc_a, doc_b FROM common "
+            "JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b "
+            "WHERE 10 * n_common >= 9 * (sa.s + sb.s - n_common)), "
+            "edges AS (SELECT doc_a AS src, doc_b AS dst FROM jedges "
+            "UNION SELECT doc_b, doc_a FROM jedges), "
+            "reach(node, lbl) AS ("
+            "SELECT doc_id, doc_id FROM documents "
+            "UNION "
+            "SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node), "
+            "comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id "
+            "FROM reach GROUP BY node), "
+            "csize AS (SELECT cluster_id, CAST(count(*) AS BIGINT) "
+            "AS cluster_size FROM comp GROUP BY cluster_id) "
+            "SELECT doc_id, cluster_id, cluster_size, "
+            "doc_id = cluster_id AS is_canonical "
+            "FROM comp JOIN csize USING (cluster_id)"
         ),
         "ngram_jaccard_top_pairs": (
             "WITH "

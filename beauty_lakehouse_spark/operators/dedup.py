@@ -919,6 +919,110 @@ def setsim_prefix_join(
 def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered query: exact Jaccard ≥ 0.9 token-set pairs via prefix
     filtering. Oracle: brute-force token-overlap SQL in DuckDB — the
-    prefix filter is lossless, so the outputs must match exactly."""
+    prefix filter is lossless, so the outputs must match exactly.
+
+    Scale caveat (SCALE.md): the PAIR-LIST output contract is
+    inherently quadratic inside duplicate clusters; the scale-safe
+    registered form is :func:`setsim_clusters` (linear output)."""
     t = load(spark, sf_dir)
     return setsim_prefix_join(t.documents)
+
+
+def setsim_clusters(
+    documents: DataFrame,
+    num: int = SETSIM_NUM,
+    den: int = SETSIM_DEN,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Scale-safe form of the set-similarity join: instead of
+    materializing every qualifying pair (quadratic inside duplicate
+    clusters — a 1M-doc duplicate cluster is 5·10¹¹ pairs), emit one
+    row per document with its transitive-closure cluster id. Linear
+    output, and — the load-bearing part — the quadratic pair set is
+    never materialized even as an intermediate:
+
+    1. **Signature collapse.** Jaccard depends only on the distinct
+       token SET, so docs with identical token sets are pairwise J=1.
+       Group docs by an order-canonical signature of their sorted token
+       list; keep one representative (min doc_id) per signature. A
+       1M-doc exact-duplicate cluster collapses to ONE node here —
+       this is what kills the measured 107× pair blowup (the fixture's
+       duplicate clusters are token-set-identical docs). Same move as
+       the part_golden_record distinct-name-domain rewrite.
+    2. **Prefix join on the representative domain** (lossless PPJoin,
+       :func:`setsim_prefix_join`) — pairs now connect distinct token
+       sets only, so within-cluster quadratics are gone; what remains
+       is the genuine near-dup structure, which is sparse.
+    3. **Connected components** (pointer-doubling min-label, the same
+       operator dedup_clusters uses) over representative nodes + the
+       verified signature-level edges.
+    4. Broadcast labels back doc → signature → representative → comp.
+
+    Docs whose token set is EMPTY stay singletons (Jaccard 0/0 is
+    undefined, the pairwise query emits nothing for them), so they get
+    per-doc unique signatures rather than sharing the empty one.
+
+    cluster_id = min doc_id in the component (each representative is
+    the min doc of its signature group and CC takes the min label, so
+    the min rep IS the min doc). The signature string never leaves the
+    engine, so its exact form needs no cross-engine portability.
+
+    Output: (doc_id, cluster_id, cluster_size, is_canonical) — one row
+    per document, exactly `dedup_clusters`' shape."""
+    docs = documents.select("doc_id", "text")
+    tok = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.split(F.col("text"), " "))
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws("\x1f", F.array_sort(F.collect_list("token")))
+        ).alias("sig")
+    )
+    doc_sig = (
+        docs.select("doc_id")
+        .join(sig, "doc_id", "left")
+        .withColumn(
+            "sig",
+            F.coalesce(
+                F.col("sig"), F.concat(F.lit("empty:"), F.col("doc_id"))
+            ),
+        )
+    )
+    reps = doc_sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    rep_docs = documents.join(
+        reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    edges = setsim_prefix_join(rep_docs, num, den).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = reps.select(F.col("rep").alias("id"))
+    comp = connected_components(nodes, edges, max_iter)
+    labeled = (
+        doc_sig.join(reps, "sig")
+        .join(comp, F.col("rep") == F.col("id"))
+        .select("doc_id", F.col("comp").alias("cluster_id"))
+    )
+    sizes = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labeled.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: transitive-closure clustering of the exact
+    Jaccard ≥ 0.9 set-similarity graph, linear output (the scale-safe
+    replacement for `setsim_prefix_join`'s pair list). Oracle: DuckDB
+    recursive-CTE reachability over the brute-force verified pairs."""
+    t = load(spark, sf_dir)
+    return setsim_clusters(t.documents)

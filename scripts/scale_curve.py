@@ -36,6 +36,10 @@ from beauty_lakehouse_spark.session import get_spark
 QUERIES = {
     "dedup_clusters": dedup.q_dedup_clusters,
     "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
+    # r7: the linear-output replacement for setsim_prefix_join — runs
+    # at ALL tiers (its signature collapse is exactly what makes the
+    # duplicate-cluster tier affordable)
+    "setsim_clusters": dedup.q_setsim_clusters,
 }
 
 #: Measured at sf0.01/sf0.1 only: setsim's OUTPUT is inherently
@@ -96,10 +100,13 @@ def main() -> None:
             name: load(spark, d).documents.count() for name, d in tiers
         }
         results: dict[str, dict[str, float]] = {}
+        only = set(sys.argv[1:])
         for name, d in tiers:
             todo = dict(QUERIES)
             if name != "syn10x":
                 todo.update(SMALL_TIER_QUERIES)
+            if only:
+                todo = {k: v for k, v in todo.items() if k in only}
             for qname, fn in todo.items():
                 results.setdefault(qname, {})[name] = time_query(
                     fn, spark, d

@@ -286,3 +286,64 @@ def test_setsim_prefix_join_threshold_parameter(spark):
         (r.doc_a, r.doc_b) for r in setsim_prefix_join(df, 95, 100).collect()
     }
     assert got_strict == set()
+
+
+def test_setsim_clusters_equals_pair_graph_closure(spark):
+    """setsim_clusters (signature collapse + rep-domain prefix join +
+    CC) must equal the transitive closure of the FULL doc-level
+    qualifying-pair graph — the signature collapse is an optimization,
+    not a semantics change. Union-find over the brute-force pairs is
+    the reference."""
+    from itertools import combinations
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        SETSIM_DEN,
+        SETSIM_NUM,
+        setsim_clusters,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (4, "mu nu xi omicron pi rho sigma tau upsilon phi"),
+        (5, "mu nu xi omicron pi rho sigma tau upsilon phi chi"),
+        (6, "solo document with its very own tokens entirely"),
+        (7, ""),  # empty token set: must stay a singleton
+        (8, ""),  # second empty doc: must NOT merge with 7
+        # chain: 9~10 and 10~11 qualify, 9~11 does not (closure merges)
+        (9, " ".join(f"c{i}" for i in range(20))),
+        (10, " ".join(f"c{i}" for i in range(19)) + " d0"),
+        (11, " ".join(f"c{i}" for i in range(18)) + " d0 d1"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    sets = {d: {t for t in t_.split() if t} for d, t_ in docs}
+    parent = {d: d for d in sets}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in combinations(sorted(sets), 2):
+        if sets[a] and SETSIM_DEN * len(sets[a] & sets[b]) >= SETSIM_NUM * len(
+            sets[a] | sets[b]
+        ):
+            parent[find(b)] = find(a)
+    want_comp = {d: min(x for x in sets if find(x) == find(d)) for d in sets}
+    want_sizes = {}
+    for d, c in want_comp.items():
+        want_sizes[c] = want_sizes.get(c, 0) + 1
+
+    rows = setsim_clusters(df, SETSIM_NUM, SETSIM_DEN).collect()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r.cluster_id == want_comp[r.doc_id], r
+        assert r.cluster_size == want_sizes[want_comp[r.doc_id]], r
+        assert r.is_canonical == (r.doc_id == r.cluster_id), r
+    # the chain merged transitively even though 9~11 doesn't qualify
+    assert want_comp[9] == want_comp[11] == 9
+    # empty docs are singletons
+    assert want_comp[7] == 7 and want_comp[8] == 8
