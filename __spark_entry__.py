@@ -2076,6 +2076,38 @@ def oracle_sql() -> dict[str, str]:
             "CAST(dot_q AS HUGEINT) * 25 >= "
             "16 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)"
         ),
+        "embedding_neardup": (
+            # Brute all-pairs twin (125k pairs at sf0.01 — cheap in
+            # DuckDB) over fixture UNION 3 planted scaled near-copies
+            # (mirrors EMB_PLANT/EMB_PLANT_OFFSET/EMB_PLANT_SCALE in
+            # dedup.py). The Spark side is LSH-candidates + exact
+            # integer rerank; equality holds because planted copies
+            # collide deterministically and the fixture has no true
+            # pairs at the 17/20 threshold (see q_embedding_neardup).
+            "WITH allv AS (SELECT vec_id, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding "
+            "FROM embeddings UNION ALL "
+            "SELECT vec_id + 1000000, "
+            "list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001) "
+            "FROM embeddings WHERE vec_id < 3), "
+            "q0 AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) "
+            "AS q FROM allv), "
+            "q1 AS (SELECT vec_id, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq "
+            "FROM q0), "
+            "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "a.q AS qa, b.q AS qb, a.nq AS na, b.nq AS nb "
+            "FROM q1 a JOIN q1 b ON a.vec_id < b.vec_id), "
+            "d AS (SELECT vec_a, vec_b, na, nb, "
+            "CAST(list_sum(list_transform(generate_series(1, len(qa)), "
+            "i -> qa[CAST(i AS INT)] * qb[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q FROM p) "
+            "SELECT vec_a, vec_b, dot_q, na, nb FROM d "
+            "WHERE dot_q > 0 AND CAST(dot_q AS HUGEINT) * "
+            "CAST(dot_q AS HUGEINT) * 400 >= "
+            "289 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)"
+        ),
         "training_order_shuffle": (
             "WITH d AS (SELECT doc_id, source, "
             "('0x' || substr(md5('shuffle0:' || CAST(doc_id AS VARCHAR)), 1, 15))"

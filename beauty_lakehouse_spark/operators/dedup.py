@@ -454,12 +454,125 @@ def embedding_neardup_pairs(
     )
 
 
+#: Graduated embedding_neardup gate: cosine ≥ EMB_NEARDUP_NUM/DEN.
+EMB_NEARDUP_NUM = 17
+EMB_NEARDUP_DEN = 20  # 0.85
+#: Planting (mirrors semantic_neardup's r5 de-vacuation): the first
+#: EMB_PLANT fixture vectors get a scaled near-copy unioned in, so the
+#: gate proves positive detection instead of matching on empty.
+EMB_PLANT = 3
+EMB_PLANT_OFFSET = 1_000_000
+EMB_PLANT_SCALE = 1.001
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered (rows-only — LSH candidate generation is approximate
-    by design; recall vs the brute all-pairs oracle is asserted in
-    tests). May legitimately be empty on the near-random fixture."""
+    """Embedding-cosine near-duplicate pairs, ORACLE-MATCHED since r7
+    (previously rows-only). Candidates come from the multi-table
+    sign-bit LSH; every candidate is exact-reranked with the integer
+    cross-multiplied cosine test (quantized millionths, DECIMAL(38,0)
+    vs HUGEINT twin — the same machinery as q_semantic_neardup), so
+    the output is a SUBSET of the brute-force qualifying set by
+    construction. Why equality (and hence a hash-match against the
+    brute all-pairs DuckDB oracle) holds deterministically:
+
+    - a scaled near-copy has IDENTICAL sign bits in every table —
+      sign(w·(c·x)) = sign(w·x) for c > 0 — so each planted pair
+      collides in all 6 tables with probability 1, not ~0.98;
+    - the near-random fixture has zero true pairs at cos ≥ 0.84
+      (measured at sf0.01/sf0.1 — margin below the 17/20 gate), so
+      there is nothing for the LSH to miss;
+    - the hyperplanes are md5-derived (`_hyperplanes`) — no RNG.
+
+    The LSH-recall property for genuinely-near (but not near-identical)
+    pairs remains asserted by the recall pytest over
+    ``embedding_neardup_pairs``; this gate entry pins the END-TO-END
+    candidate→rerank pipeline to the exact semantics.
+
+    Output: (vec_a, vec_b, dot_q, na, nb) — integer quantities only."""
+    from .similarity import (
+        SEM_MAX_ABS_Q,
+        SEM_SCALE,
+        _hyperplanes,
+        lsh_signatures,
+    )
+
     t = load(spark, sf_dir)
-    return embedding_neardup_pairs(spark, t.embeddings)
+    base = t.embeddings.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < EMB_PLANT).select(
+        (F.col("vec_id") + F.lit(EMB_PLANT_OFFSET)).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * F.lit(EMB_PLANT_SCALE),
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    planes = _hyperplanes(spark, 8 * 6)
+    sig = lsh_signatures(allv, planes, 8)
+    cand = _bucket_pairs(sig, ["table", "sig"], "vec_id").select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    # exact integer rerank (same quantization + magnitude guard as
+    # semantic_neardup_pairs — see that docstring for the bound math;
+    # 400·dot_q² ≤ 6.7·10³⁷ and 289·na·nb ≤ 4.9·10³⁷ stay in 38 digits)
+    nq_raw = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    max_abs_q = F.aggregate(
+        F.col("q"),
+        F.lit(0).cast("long"),
+        lambda acc, x: F.greatest(acc, F.abs(x)),
+    )
+    q = allv.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * SEM_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    ).withColumn(
+        "nq",
+        F.when(
+            max_abs_q > F.lit(SEM_MAX_ABS_Q),
+            F.raise_error(
+                F.lit(
+                    "embedding_neardup magnitude contract violated: "
+                    "|component| > 80; normalize vectors upstream"
+                )
+            ).cast("long"),
+        ).otherwise(nq_raw),
+    )
+    qa = q.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    qb = q.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    d38 = "decimal(38,0)"
+    return (
+        cand.join(qa, "vec_a")
+        .join(qb, "vec_b")
+        .withColumn("dot_q", dot)
+        .filter(F.col("dot_q") > 0)
+        .filter(
+            F.col("dot_q").cast(d38) * F.col("dot_q").cast(d38)
+            * F.lit(EMB_NEARDUP_DEN * EMB_NEARDUP_DEN)
+            >= F.lit(EMB_NEARDUP_NUM * EMB_NEARDUP_NUM)
+            * F.col("na").cast(d38) * F.col("nb").cast(d38)
+        )
+        .select("vec_a", "vec_b", "dot_q", "na", "nb")
+    )
 
 
 #: Jaccard threshold for an edge in the near-dup graph. Compared in
