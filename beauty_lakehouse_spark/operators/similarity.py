@@ -172,6 +172,31 @@ def lsh_signatures(
     )
 
 
+def lsh_build(
+    spark: SparkSession,
+    corpus: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    materialize: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the LSH index: the hyperplane table and the corpus'
+    per-table sign-bit signatures. Returned as (planes, corpus_sig),
+    the ``index`` argument of :func:`ann_lsh_topk`.
+
+    Split out (r7) so index CONSTRUCTION — one pass over the corpus,
+    amortized over every query batch served from the index — can be
+    timed and charged separately from query serving; bench.py records
+    ``ann_build_sec`` vs ``ann_serve_sec`` per family. With
+    ``materialize`` the components are eagerly checkpointed so serve
+    calls never silently re-run the build."""
+    planes = _hyperplanes(spark, n_planes * n_tables)
+    sig = lsh_signatures(corpus, planes, n_planes)
+    if materialize:
+        planes = planes.localCheckpoint(eager=True)
+        sig = sig.localCheckpoint(eager=True)
+    return planes, sig
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -180,6 +205,7 @@ def ann_lsh_topk(
     n_planes: int = 8,
     n_tables: int = 6,
     hamming_radius: int = 1,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: ``n_tables`` independent sign-bit hash
     tables of ``n_planes`` bits each; probe every bucket within
@@ -191,8 +217,9 @@ def ann_lsh_topk(
     touched only where buckets collide — no cross join anywhere."""
     from pyspark.sql import Window
 
-    planes = _hyperplanes(spark, n_planes * n_tables)
-    csig = lsh_signatures(corpus, planes, n_planes)
+    if index is None:
+        index = lsh_build(spark, corpus, n_planes, n_tables, materialize=False)
+    planes, csig = index
     qsig = lsh_signatures(queries, planes, n_planes)
     # Probe set per table: own bucket plus every bucket ≤ radius bits
     # away (radius 1 = n_planes 1-bit flips; radius 2 adds the
@@ -390,6 +417,20 @@ def ivf_build(
     return cent, assign(cent)
 
 
+def ivf_index(
+    corpus: DataFrame, n_centroids: int = 16, iters: int = 3
+) -> tuple[DataFrame, DataFrame]:
+    """Materialized IVF index (centroids, assignment) for serving —
+    both components eagerly checkpointed so :func:`ivf_topk` calls
+    with ``index=`` pay zero build cost (bench.py times build and
+    serve separately since r7)."""
+    cent, assign = ivf_build(corpus, n_centroids, iters)
+    return (
+        cent.localCheckpoint(eager=True),
+        assign.localCheckpoint(eager=True),
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -398,12 +439,18 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iters: int = 3,
+    index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest inverted
     lists per query, exact-rerank only those candidates. Touches
     ~nprobe/n_centroids of the corpus per query — the classic
-    recall/cost dial (nprobe=n_centroids degrades to exact search)."""
-    cent, assign = ivf_build(corpus, n_centroids, iters)
+    recall/cost dial (nprobe=n_centroids degrades to exact search).
+    ``index`` accepts a prebuilt (centroids, assignment) pair (see
+    :func:`ivf_index`) — nprobe is a query-time dial, so one index
+    serves every recall configuration."""
+    cent, assign = (
+        index if index is not None else ivf_build(corpus, n_centroids, iters)
+    )
     qn = _normalized(queries, out="qv")
     probes = (
         qn.crossJoin(F.broadcast(cent))
@@ -892,12 +939,49 @@ def _adc_rerank(
     ).filter(F.col("rk") <= k)
 
 
+def pq_build(
+    corpus: DataFrame,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODES,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Materialized PQ index (normalized-corpus, codebook, codes) for
+    serving — eagerly checkpointed; the ``index=`` argument of
+    :func:`pq_topk`."""
+    v = _normalized(corpus).localCheckpoint(eager=True)
+    cb, codes = pq_train(corpus, m=m, k=k, normalized=v)
+    return (
+        v,
+        cb.localCheckpoint(eager=True),
+        codes.localCheckpoint(eager=True),
+    )
+
+
+def ivfpq_build(
+    corpus: DataFrame, n_centroids: int = 16
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Materialized IVF-PQ index (normalized-corpus, centroids,
+    assignment, codebook, codes) — eagerly checkpointed; the
+    ``index=`` argument of :func:`ivfpq_topk`. The normalized corpus
+    is shared by both quantizers, exactly as the inline build does."""
+    v = _normalized(corpus).localCheckpoint(eager=True)
+    cent, assign = ivf_build(corpus, n_centroids, iters=3, normalized=v)
+    cb, codes = pq_train(corpus, normalized=v)
+    return (
+        v,
+        cent.localCheckpoint(eager=True),
+        assign.localCheckpoint(eager=True),
+        cb.localCheckpoint(eager=True),
+        codes.localCheckpoint(eager=True),
+    )
+
+
 def pq_topk(
     spark: SparkSession,
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     rerank_factor: int = PQ_RERANK_FACTOR,
+    index: tuple[DataFrame, DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k: score every corpus vector against a
     query using only its ``m`` codes and the query's per-subspace
@@ -909,9 +993,14 @@ def pq_topk(
     the distance tables (m·k doubles per query) broadcast for free.
     Composes with IVF (probe lists first, ADC inside lists) for the
     standard IVF-PQ index; kept separate here so each dial is
-    testable alone."""
-    v = _normalized(corpus).localCheckpoint(eager=True)
-    cb, codes = pq_train(corpus, normalized=v)
+    testable alone. ``index`` accepts a prebuilt (normalized-corpus,
+    codebook, codes) triple (see :func:`pq_build`) — rerank_factor is
+    query-time, one index serves every configuration."""
+    if index is not None:
+        v, cb, codes = index
+    else:
+        v = _normalized(corpus).localCheckpoint(eager=True)
+        cb, codes = pq_train(corpus, normalized=v)
     qn = _normalized(queries, out="qv")
     qsub = _query_subvectors(qn)
     dt = qsub.join(F.broadcast(cb), "s").select(
@@ -946,6 +1035,9 @@ def ivfpq_topk(
     n_centroids: int = 16,
     nprobe: int = 6,
     rerank_factor: int = PQ_RERANK_FACTOR,
+    index: tuple[
+        DataFrame, DataFrame, DataFrame, DataFrame, DataFrame
+    ] | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale index — IVF inverted lists
     bound WHICH vectors are scored (nprobe/n_centroids of the corpus),
@@ -958,10 +1050,15 @@ def ivfpq_topk(
     ``pq_train`` (memory via m·k). At 10⁹ vectors: inverted lists
     partition the corpus, codes are ~8 GB, distance tables broadcast,
     and the rerank reads ~k·PQ_RERANK_FACTOR·queries full vectors
-    total."""
-    v = _normalized(corpus).localCheckpoint(eager=True)
-    cent, assign = ivf_build(corpus, n_centroids, iters=3, normalized=v)
-    cb, codes = pq_train(corpus, normalized=v)
+    total. ``index`` accepts a prebuilt (normalized-corpus, centroids,
+    assignment, codebook, codes) tuple (see :func:`ivfpq_build`) —
+    nprobe and rerank_factor are query-time dials."""
+    if index is not None:
+        v, cent, assign, cb, codes = index
+    else:
+        v = _normalized(corpus).localCheckpoint(eager=True)
+        cent, assign = ivf_build(corpus, n_centroids, iters=3, normalized=v)
+        cb, codes = pq_train(corpus, normalized=v)
     qn = _normalized(queries, out="qv")
     probes = (
         qn.crossJoin(F.broadcast(cent))
