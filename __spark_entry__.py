@@ -993,21 +993,34 @@ def _bpe_train_sql(n_merges: int = 12) -> str:
     and went exponential over 12 rounds, 227s -> ~2s) — string
     replace() was rejected because its
     non-overlapping scan diverges from the greedy fold on runs like
-    'a a a a'. Graduates the trainer from rows-only to oracle."""
+    'a a a a'. Graduates the trainer from rows-only to oracle.
+
+    The state separator is U+001F (unit separator) — outside any
+    plausible document alphabet — and v0 additionally RAISES via
+    ``error()`` if a corpus token ever contains it, so a fixture
+    change can never silently corrupt the packed fold state (r7; the
+    original '|' separator was fixture-safe but fragile)."""
+    sep = "\x1f"
     fold = (
-        "trim(replace(list_reduce(list_prepend('|', string_split(s, ' ')), "
+        f"trim(replace(list_reduce(list_prepend('{sep}', "
+        "string_split(s, ' ')), "
         "(acc, x) -> CASE "
-        "WHEN split_part(acc, '|', 2) = b.l AND x = b.r "
-        "THEN split_part(acc, '|', 1) || '|' || split_part(acc, '|', 2) || x "
-        "WHEN split_part(acc, '|', 2) = '' THEN acc || x "
-        "ELSE CASE WHEN split_part(acc, '|', 1) = '' "
-        "THEN split_part(acc, '|', 2) || '|' || x "
-        "ELSE split_part(acc, '|', 1) || ' ' || split_part(acc, '|', 2) "
-        "|| '|' || x END END), '|', ' '))"
+        f"WHEN split_part(acc, '{sep}', 2) = b.l AND x = b.r "
+        f"THEN split_part(acc, '{sep}', 1) || '{sep}' || "
+        f"split_part(acc, '{sep}', 2) || x "
+        f"WHEN split_part(acc, '{sep}', 2) = '' THEN acc || x "
+        f"ELSE CASE WHEN split_part(acc, '{sep}', 1) = '' "
+        f"THEN split_part(acc, '{sep}', 2) || '{sep}' || x "
+        f"ELSE split_part(acc, '{sep}', 1) || ' ' || "
+        f"split_part(acc, '{sep}', 2) "
+        f"|| '{sep}' || x END END), '{sep}', ' '))"
     )
     ctes = [
         "v0 AS MATERIALIZED (SELECT count(*) AS freq, "
-        "array_to_string(string_split(token, ''), ' ') AS s "
+        "array_to_string(string_split(CASE WHEN "
+        f"contains(token, '{sep}') THEN error('bpe twin: corpus token "
+        "contains the U+001F state separator') ELSE token END, ''), ' ') "
+        "AS s "
         "FROM (SELECT unnest(string_split(text, ' ')) AS token "
         "FROM documents) WHERE token <> '' GROUP BY token)"
     ]
@@ -2546,8 +2559,9 @@ def oracle_sql() -> dict[str, str]:
             "('0x' || substr(md5('neg:' || cluster_id::VARCHAR), 1, 15))"
             "::BIGINT, cluster_id) - 1 AS rk, "
             "count(*) OVER () AS nc FROM msz), "
+            # nc >= 2 guard mirrors Spark's r7 degenerate-corpus fix
             "shift AS (SELECT a.cluster_id, b.cluster_id AS neg FROM rk a "
-            "JOIN rk b ON b.rk = (a.rk + 1) % a.nc) "
+            "JOIN rk b ON b.rk = (a.rk + 1) % a.nc WHERE a.nc >= 2) "
             "SELECT c.doc_id AS anchor_id, c.cluster_id AS positive_id, "
             "s.neg AS negative_id FROM comp c JOIN shift s "
             "USING (cluster_id) WHERE c.doc_id <> c.cluster_id"
@@ -3654,14 +3668,20 @@ def oracle_sql() -> dict[str, str]:
         "WITH "
         + _cleaning_ctes("0")
         + ", cc AS (" + out["ccnet_buckets"] + "), "
-        "kept AS (SELECT l0.doc_id, n_tokens FROM l0 JOIN c0 "
+        "kept AS (SELECT l0.doc_id FROM l0 JOIN c0 "
         "USING (thash0) WHERE l0.doc_id = keep_id AND pred_lang = 'en' "
         "AND NOT (n_tokens < 5 OR alnum * 5 < len_chars * 4)), "
-        "b AS (SELECT k.doc_id, cc.tercile, "
-        "CAST(k.n_tokens AS BIGINT) AS n_tokens, "
+        # bucketing length = NON-EMPTY token count (unified with the
+        # length_bucketed_batches oracle in r7); the cleaning filter
+        # above keeps its own unfiltered n_tokens
+        "b0 AS (SELECT k.doc_id, cc.tercile, "
+        "CAST(len(list_filter(string_split(d.text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS n_tokens "
+        "FROM kept k JOIN cc USING (doc_id) "
+        "JOIN documents d ON d.doc_id = k.doc_id), "
+        "b AS (SELECT doc_id, tercile, n_tokens, "
         "greatest(CAST(32 AS BIGINT), CAST(1 AS BIGINT) << "
-        "length(bin(greatest(k.n_tokens - 1, 1)))) AS bucket "
-        "FROM kept k JOIN cc USING (doc_id)), "
+        "length(bin(greatest(n_tokens - 1, 1)))) AS bucket FROM b0), "
         "r AS (SELECT *, row_number() OVER (PARTITION BY tercile, bucket "
         "ORDER BY doc_id) - 1 AS rk FROM b), "
         "bt AS (SELECT tercile, bucket, rk // 8 AS batch_id, n_tokens "

@@ -1321,6 +1321,11 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nxt = ranked.select(F.col("comp").alias("neg_comp"), F.col("rk").alias("nrk"))
     shifted = (
         ranked.crossJoin(F.broadcast(n_multi))
+        # degenerate corpus guard (r7): with exactly ONE multi-member
+        # cluster the wrap-around (rk+1) % n would point the negative
+        # back at the anchor's own cluster — emit no triplets instead,
+        # keeping the "negative is a different entity" guarantee true
+        .filter(F.col("n_clusters") >= 2)
         .withColumn("want", (F.col("rk") + 1) % F.col("n_clusters"))
         .join(nxt, F.col("want") == F.col("nrk"))
         .select("comp", "neg_comp")
@@ -1504,8 +1509,17 @@ def q_corpus_training_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reason") == "kept"
     ).select("doc_id")
     cc = q_ccnet_buckets(spark, sf_dir).select("doc_id", "tercile")
+    # bucketing length = NON-EMPTY token count, the same definition
+    # q_length_bucketed_batches uses (r7: previously the capstone used
+    # the unfiltered split size, so a doc with consecutive spaces
+    # could land in a different bucket here than in the standalone
+    # operator; the cleaning thresholds above keep their own
+    # unfiltered n_tokens — only the batch-bucket length is unified)
     ntok = t.documents.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
     )
     d = (
         kept.join(cc, "doc_id")

@@ -1534,22 +1534,43 @@ def embedding_outlier_flags(embeddings: DataFrame) -> DataFrame:
         F.sum(F.col("dist2_q").cast(d38) * F.col("dist2_q").cast(d38)).alias(
             "qq"
         ),
+        F.max("dist2_q").alias("mx"),
     )
     dev = F.col("m") * F.col("dist2_q").cast(d38) - F.col("s")
+    # Runtime magnitude guard (r7, same policy as semantic_neardup):
+    # the cross-multiplied 3σ test squares dev ≤ m·max(dist²), so it
+    # needs m·max(dist²) < 10¹⁹ to stay inside DECIMAL(38,0); beyond
+    # that Spark silently nulls is_outlier while the HUGEINT oracle
+    # (max ~1.7·10³⁸) still computes — a cross-engine divergence. The
+    # guard compares in double with a 1% safety margin and RAISES
+    # instead of relying on the docstring's downshift lever.
+    overflow = (
+        F.col("m").cast("double") * F.col("mx").cast("double")
+        > F.lit(0.99e19)
+    )
+    flag = (dev > 0) & (
+        dev * dev
+        > F.lit(9) * (F.col("m") * F.col("qq") - F.col("s") * F.col("s"))
+    )
     return (
         d2.join(F.broadcast(stats), "label")
         .select(
             "vec_id",
             "label",
             "dist2_q",
-            (
-                (dev > 0)
-                & (
-                    dev * dev
-                    > F.lit(9)
-                    * (F.col("m") * F.col("qq") - F.col("s") * F.col("s"))
-                )
-            ).alias("is_outlier"),
+            F.when(
+                overflow,
+                F.raise_error(
+                    F.lit(
+                        "embedding_outlier_flags magnitude contract "
+                        "violated: m * max(dist2) approaches the "
+                        "DECIMAL(38,0) bound; downshift dist2 by a power "
+                        "of two upstream"
+                    )
+                ).cast("boolean"),
+            )
+            .otherwise(flag)
+            .alias("is_outlier"),
         )
     )
 

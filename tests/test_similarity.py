@@ -516,3 +516,33 @@ def test_embedding_outliers_detects_planted_far_vector(spark, sf_dir):
         if r.is_outlier
     }
     assert 1_000_000 in flagged
+
+
+def test_embedding_outliers_overflow_guard_raises(spark):
+    """Beyond m·max(dist²) ≈ 10¹⁹ the DECIMAL(38,0) cross-multiplied
+    3σ test would silently null out while the HUGEINT oracle still
+    computes; the r7 guard must RAISE instead (the same contract
+    semantic_neardup enforces). 30 vectors at ±80 per component give
+    dist² ≈ 4.1·10¹⁷ each → m·max ≈ 1.2·10¹⁹ over the bound."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        embedding_outlier_flags,
+    )
+
+    rows = [
+        (i, "big", [80.0 if i % 2 == 0 else -80.0] * 64) for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="magnitude contract"):
+        embedding_outlier_flags(df).collect()
+    # well inside the bound: same shape at unit scale must NOT raise
+    ok = spark.createDataFrame(
+        [(i, "ok", [1.0 if i % 2 == 0 else -1.0] * 64) for i in range(30)],
+        "vec_id long, label string, embedding array<double>",
+    )
+    assert embedding_outlier_flags(ok).count() == 30
