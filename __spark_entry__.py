@@ -83,18 +83,70 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
-#: Driver-gate walk order for round 6: the 50 cheapest of the 62
-#: never-driver-verified oracle entries first (measured sf0.01 wall
-#: time), then the 12 deferred backlog entries (family-redundant or
-#: expensive; all judge-verified locally), then never-verified
-#: rows-only, then the driver-verified block. New r6 entries are
-#: appended to the deferred block so they rotate in next round.
-_DRIVER_ORDER_R6 = [
-    # -- never driver-verified oracle backlog, cheapest first (50) --
+#: Driver-gate walk order for round 7 (the rotation's final leg):
+#: `table_stats` FIRST (the only r6 red row — the engine-proof integer
+#: extremes rewrite needs its driver-green confirmation), then the 27
+#: oracle entries the driver has NEVER hash-checked in rounds 1-6
+#: (cheapest first by measured sf0.01 wall; all re-verified green
+#: locally this round) plus the two round-7 additions
+#: (`embedding_neardup` graduated to oracle, `setsim_clusters` new) —
+#: 30 rows that drive the never-driver-verified residue to ZERO —
+#: then a 20-row backfill of the longest-unchecked entries (10 last
+#: checked in r02, 10 in r04), then everything else in round-6 order.
+_DRIVER_ORDER_R7 = [
+    "table_stats",
+    "view_to_purchase_lag",
+    "weighted_sample",
+    "never_urgent_rich_customers",
+    "fuzzy_part_names",
+    "interleaved_mixture",
+    "length_bucketed_batches",
+    "nation_trade_volume",
+    "embedding_outliers",
+    "bigram_novelty",
+    "tfidf_top_terms",
+    "important_part_value",
+    "winnow_overlap_top",
+    "customer_rfm_segments",
+    "dominant_part_suppliers",
+    "winnow_fps_streamed",
+    "order_enriched_salted",
+    "label_embedding_scatter",
+    "setsim_prefix_join",
+    "curriculum_order",
+    "embedding_neardup",
+    "event_anomalies_streamed",
+    "corpus_training_plan",
+    "quality_report",
+    "contrastive_pairs",
+    "hll_users_hourly_streamed",
+    "incremental_join_state",
+    "bpe_train_merges",
+    "setsim_clusters",
+    "corpus_datacard",
+    "copurchase_edges",
+    "customer_copurchase_top",
+    "knn_ivf",
+    "knn_lsh",
+    "lsh_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_top_pairs",
+    "order_docs_stats",
+    "product_pagerank",
+    "simhash_near_pairs",
+    "orders_per_customer",
+    "parts_per_type",
+    "null_profile_orders",
+    "events_by_type",
+    "order_revenue",
+    "duplicate_orderkeys",
+    "ri_orphan_lineitems",
+    "order_enriched",
+    "customer_order_stats",
+    "topk_customers_by_revenue",
     "merge_upsert_state",
     "merge_changes_feed",
     "user_state_scd2",
-    "table_stats",
     "mixture_temperature",
     "event_volume_anomalies",
     "embedding_random_projection",
@@ -141,42 +193,10 @@ _DRIVER_ORDER_R6 = [
     "categorical_entropy",
     "product_pagerank_exact",
     "corpus_survivors",
-    # -- deferred backlog (12): family-redundant or costly, locally green --
-    "quality_report",
-    "corpus_datacard",
-    "order_enriched_salted",
-    "hll_users_hourly_streamed",
-    "event_anomalies_streamed",
-    "bigram_novelty",
-    "label_embedding_scatter",
-    "fuzzy_part_names",
-    "important_part_value",
-    "never_urgent_rich_customers",
-    "dominant_part_suppliers",
-    "nation_trade_volume",
-    # -- new in round 6 (oracle; rotate to front next round) --
-    "setsim_prefix_join",
-    "setsim_clusters",
-    "weighted_sample",
-    "winnow_overlap_top",
-    "interleaved_mixture",
-    "contrastive_pairs",
-    "incremental_join_state",
-    "winnow_fps_streamed",
-    "length_bucketed_batches",
-    "curriculum_order",
-    "embedding_outliers",
-    "corpus_training_plan",
-    "view_to_purchase_lag",
-    "customer_rfm_segments",
-    # graduated from rows-only in round 6 (unrolled argmax-CTE twin)
-    "bpe_train_merges",
-    # -- never driver-verified, rows-only (10 + r6 high-recall ANN) --
     "knn_lsh_hi",
     "knn_ivf_hi",
     "knn_pq_hi",
     "knn_ivfpq_hi",
-    "bpe_train_merges",
     "media_features",
     "media_frames",
     "quantile_sketches",
@@ -186,7 +206,6 @@ _DRIVER_ORDER_R6 = [
     "knn_pq",
     "beauty_datagen_validation",
     "knn_ivfpq",
-    # -- driver-verified green in rounds 2-5 (112) --
     "doc_sample_deterministic",
     "length_histogram",
     "epoch_mixture_expand",
@@ -237,20 +256,7 @@ _DRIVER_ORDER_R6 = [
     "knn_brute",
     "product_degree",
     "chunk_dedup",
-    "copurchase_edges",
-    "customer_copurchase_top",
-    "order_docs_stats",
-    "lsh_candidate_pairs",
-    "minhash_signatures",
-    "simhash_near_pairs",
-    "ngram_jaccard_top_pairs",
-    "tfidf_top_terms",
-    "knn_lsh",
-    "embedding_neardup",
-    "product_pagerank",
-    "knn_ivf",
     "revenue_forecast_delta",
-    "orders_per_customer",
     "order_rank_per_customer",
     "customer_order_gaps",
     "orders_above_customer_avg",
@@ -261,7 +267,6 @@ _DRIVER_ORDER_R6 = [
     "customer_running_spend",
     "event_transitions",
     "revenue_moving_avg",
-    "ri_orphan_lineitems",
     "events_hourly",
     "events_sliding",
     "event_funnel",
@@ -270,7 +275,6 @@ _DRIVER_ORDER_R6 = [
     "mktsegment_distribution",
     "sales_cube",
     "order_metrics_unpivot",
-    "duplicate_orderkeys",
     "events_json_props",
     "user_type_pivot",
     "order_latency",
@@ -281,13 +285,7 @@ _DRIVER_ORDER_R6 = [
     "events_sessions",
     "local_supplier_volume",
     "date_rule_violations",
-    "events_by_type",
-    "customer_order_stats",
-    "topk_customers_by_revenue",
     "price_consistency",
-    "order_revenue",
-    "null_profile_orders",
-    "order_enriched",
     "customer_spend_ntile",
     "purchase_time_since_view",
     "purchase_error_burst",
@@ -298,36 +296,38 @@ _DRIVER_ORDER_R6 = [
     "repeat_customers",
     "order_value_percentiles",
     "scalar_functions",
-    "parts_per_type",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver-gate order (see ``_DRIVER_ORDER_R6``).
+    """Registry in driver-gate order (see ``_DRIVER_ORDER_R7``).
 
     The driver's correctness gate walks this dict in order under a
     budget that has covered exactly the first 50 entries in rounds
-    2-5. Rounds 2-4 presented the same cheap block first, so a backlog
-    of oracle entries was never driver-hash-checked; round 5's
-    rotation cleared 42 of them, and round 6 continues: the 50
-    cheapest of the 62 still-never-driver-verified oracle entries come
-    FIRST (cheapest first by measured sf0.01 wall time — all 62
-    re-verified green locally this round before ordering), then the 12
-    deferred backlog entries (family-redundant or expensive), then
-    round-6 additions, then the never-verified rows-only entries, then
-    the 112 already-driver-verified entries. After this round the
-    never-driver-verified oracle residue is the 12 deferred + round-6
-    additions — next round rotates those to the front."""
+    2-6. Rounds 5 and 6 rotated never-driver-verified oracle entries
+    to the front (62 cleared); round 7 finishes the job: the first 50
+    rows are `table_stats` (r6's only red row, fixed — engine-proof
+    integer extremes), the 27 remaining never-driver-verified oracle
+    entries + the 2 round-7 additions (all 30 verified green locally
+    before ordering), and a 20-row longest-unchecked backfill. After
+    this round's gate, EVERY oracle entry has appeared green in some
+    CORRECTNESS_r*.json."""
     base = _registry()
-    missing = set(base) ^ set(_DRIVER_ORDER_R6)
+    missing = set(base) ^ set(_DRIVER_ORDER_R7)
     if missing:  # a registry edit must update the order list too
         raise AssertionError(f"registry/order drift: {sorted(missing)}")
-    return {name: base[name] for name in _DRIVER_ORDER_R6}
+    # a duplicate would be silently swallowed by the dict comprehension
+    # and shift every later row's gate position (ADVICE r6)
+    if len(_DRIVER_ORDER_R7) != len(set(_DRIVER_ORDER_R7)):
+        seen: set[str] = set()
+        dups = [n for n in _DRIVER_ORDER_R7 if n in seen or seen.add(n)]
+        raise AssertionError(f"duplicate order entries: {dups}")
+    return {name: base[name] for name in _DRIVER_ORDER_R7}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry, grouped thematically (order here is NOT the
-    driver order — ``queries()`` applies ``_DRIVER_ORDER_R6``)."""
+    driver order — ``queries()`` applies ``_DRIVER_ORDER_R7``)."""
     return {
         # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,
