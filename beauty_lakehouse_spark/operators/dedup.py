@@ -931,6 +931,7 @@ def setsim_prefix_join(
     documents: DataFrame,
     num: int = SETSIM_NUM,
     den: int = SETSIM_DEN,
+    verify: str = "explode",
 ) -> DataFrame:
     """All document pairs with distinct-word-token Jaccard ≥ num/den,
     via PREFIX FILTERING (the PPJoin/AllPairs family, Xiao et al. /
@@ -954,13 +955,20 @@ def setsim_prefix_join(
     prefix-token equi-join; candidate verification touches only
     candidate pairs. No all-pairs construct anywhere.
 
-    Verification (r7 rewrite): each doc's distinct-token array is
-    materialized once (sorted, |s| elements) and every candidate pair
-    is verified with ONE codegen `array_intersect` — previously the
-    pair list was exploded back to (pair × token) rows and re-grouped,
-    a |cand|·s̄ row blowup that measured 16.8s of the 26.8s sf0.1
-    setsim_clusters wall. Now the verify stage is two hash joins at
-    |cand| rows carrying array payloads."""
+    Two exact verification strategies (r7), selected by ``verify``:
+
+    - ``"array"``: each doc's distinct-token array is materialized
+      once and every candidate pair is verified with ONE codegen
+      `array_intersect` — two hash joins at |cand| rows. Wins when
+      candidates ≫ output (the setsim_clusters rep domain: the
+      explode form's |cand|·s̄ row blowup measured 16.8s of a 26.8s
+      wall; array verify cut the 50k-doc tier 113s → 38s).
+    - ``"explode"`` (default): candidates re-exploded to (pair,
+      token) rows and re-grouped — skinny rows, no array payload.
+      Wins when the OUTPUT is pair-dense (the doc-domain pair form:
+      965k qualifying pairs at sf0.1 would each drag two ~100-token
+      arrays through the filter; measured 38.8s array vs 32.1s
+      explode)."""
     from pyspark.sql import Window
 
     tok = (
@@ -1012,28 +1020,38 @@ def setsim_prefix_join(
         .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
     )
-    docsets = tok.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list("token")).alias("toks")
-    )
-    verified = (
-        cand.join(
-            docsets.select(
-                F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
-            ),
-            "doc_a",
+    if verify == "array":
+        docsets = tok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("token")).alias("toks")
         )
-        .join(
-            docsets.select(
-                F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
-            ),
-            "doc_b",
+        scored = (
+            cand.join(
+                docsets.select(
+                    F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+                ),
+                "doc_a",
+            )
+            .join(
+                docsets.select(
+                    F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+                ),
+                "doc_b",
+            )
+            .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
         )
-        .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
-        # exact integer threshold: den·common ≥ num·union
-        .filter(
-            F.lit(den) * F.col("n_common")
-            >= F.lit(num) * (F.col("sa") + F.col("sb") - F.col("n_common"))
+    else:
+        ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+        tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+        scored = (
+            cand.join(ta, "doc_a")
+            .join(tb, ["doc_b", "token"])
+            .groupBy("doc_a", "doc_b", "sa", "sb")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
+    # exact integer threshold: den·common ≥ num·union
+    verified = scored.filter(
+        F.lit(den) * F.col("n_common")
+        >= F.lit(num) * (F.col("sa") + F.col("sb") - F.col("n_common"))
     )
     return verified.select(
         "doc_a",
@@ -1124,12 +1142,17 @@ def setsim_clusters(
                 F.col("sig"), F.concat(F.lit("empty:"), F.col("doc_id"))
             ),
         )
+        # consumed twice (reps build + label-back join) — without the
+        # checkpoint each consumer re-runs the token explode + sort
+        .localCheckpoint(eager=False)
     )
     reps = doc_sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
+    # consumed 3x (rep_docs semi-join, CC nodes, label-back join)
+    reps = reps.localCheckpoint(eager=False)
     rep_docs = documents.join(
         reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    edges = setsim_prefix_join(rep_docs, num, den).select(
+    edges = setsim_prefix_join(rep_docs, num, den, verify="array").select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = reps.select(F.col("rep").alias("id"))
