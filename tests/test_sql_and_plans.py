@@ -272,3 +272,27 @@ def test_bpe_pair_counts_aggregates_vocabulary_not_stream(spark, sf_dir):
     # explode must appear above (smaller index than) the vocab
     # aggregate's final stage
     assert min(gen_idx) < max(agg_idx), plan
+
+
+def test_no_stringified_extremes_in_oracle_sql():
+    """Round-6's only driver-gate red row (`table_stats`) came from an
+    engine-version-sensitive canonicalization layer: DECIMAL→VARCHAR /
+    strftime applied to a single aggregated extreme. The r7 audit
+    removed every instance; this pins the class shut — no oracle may
+    stringify a min/max (digit-strings of exact integers, like
+    moments_sketch's HUGEINT sums, are fine: integer printing cannot
+    drift)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    for name, sql in entrymod.oracle_sql().items():
+        assert not re.search(
+            r"CAST\(\s*(?:min|max)\((?:[^()]|\([^()]*\))*\)\s*"
+            r"AS\s+VARCHAR\s*\)",
+            sql,
+            re.IGNORECASE,
+        ), f"{name}: stringified min/max extreme (the table_stats bug class)"
+        assert not re.search(
+            r"strftime\(\s*(min|max)\s*\(", sql, re.IGNORECASE
+        ), f"{name}: strftime over an aggregated extreme"
