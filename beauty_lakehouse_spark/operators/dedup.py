@@ -1129,8 +1129,11 @@ def setsim_clusters(
         .filter(F.col("token") != "")
     )
     sig = tok.groupBy("doc_id").agg(
+        # space-joined: tokens were produced by splitting on space, so
+        # no token can contain one — the signature is injective on
+        # token sets by construction (no separator-collision caveat)
         F.md5(
-            F.concat_ws("\x1f", F.array_sort(F.collect_list("token")))
+            F.concat_ws(" ", F.array_sort(F.collect_list("token")))
         ).alias("sig")
     )
     doc_sig = (
