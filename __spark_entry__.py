@@ -124,6 +124,7 @@ _DRIVER_ORDER_R7 = [
     "bpe_train_merges",
     "setsim_clusters",
     "corpus_datacard",
+    "lsh_index_maintained",
     "copurchase_edges",
     "customer_copurchase_top",
     "knn_ivf",
@@ -434,6 +435,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "setsim_prefix_join": dedup.q_setsim_prefix_join,
         "setsim_clusters": dedup.q_setsim_clusters,
+        # maintained ANN index: integer-portable signatures + CoW MERGE
+        # (maintained ≡ rebuild, the IVM law — oracle recomputes from
+        # scratch)
+        "lsh_index_maintained": similarity.q_lsh_index_maintained,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -2120,6 +2125,28 @@ def oracle_sql() -> dict[str, str]:
             "WHERE dot_q > 0 AND CAST(dot_q AS HUGEINT) * "
             "CAST(dot_q AS HUGEINT) * 400 >= "
             "289 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)"
+        ),
+        "lsh_index_maintained": (
+            # full-corpus signature rebuild from scratch: the hash
+            # match proves the Spark side's v1-write + batch-MERGE
+            # maintained index equals a rebuild (IVM law). Integer
+            # plane grid mirrors lsh_int_signatures exactly.
+            "WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j), "
+            "ps AS (SELECT unnest(generate_series(0, 47)) AS p), "
+            "pl AS (SELECT p, j, ('0x' || substr(md5('lshidx:' || "
+            "CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))"
+            "::BIGINT - (CAST(1 AS BIGINT) << 59) AS pc FROM ps, dims), "
+            "e AS (SELECT vec_id, d.j AS j, "
+            "CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000 "
+            "+ 0.5) AS BIGINT) AS eq FROM embeddings, dims d), "
+            "dot AS (SELECT vec_id, p, "
+            "sum(CAST(eq AS HUGEINT) * CAST(pc AS HUGEINT)) AS d "
+            "FROM e JOIN pl USING (j) GROUP BY 1, 2), "
+            "bits AS (SELECT vec_id, CAST(p // 8 AS INTEGER) AS tbl, "
+            "CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (p % 8)) "
+            "ELSE CAST(0 AS BIGINT) END AS bv FROM dot) "
+            "SELECT vec_id, tbl AS \"table\", CAST(sum(bv) AS BIGINT) "
+            "AS sig FROM bits GROUP BY 1, 2"
         ),
         "training_order_shuffle": (
             "WITH d AS (SELECT doc_id, source, "

@@ -546,3 +546,35 @@ def test_embedding_outliers_overflow_guard_raises(spark):
         "vec_id long, label string, embedding array<double>",
     )
     assert embedding_outlier_flags(ok).count() == 30
+
+
+def test_lsh_index_maintained_equals_rebuild(spark, sf_dir):
+    """The maintained-index law: v1-build + batch-MERGE through the
+    versioned-table path must equal signing the full corpus from
+    scratch, row for row — sound only because lsh_int_signatures is
+    integer-deterministic and per-vector independent (the DuckDB twin
+    re-proves this cross-engine at the gate)."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        LSH_IDX_PLANES,
+        LSH_IDX_BITS,
+        lsh_int_signatures,
+        q_lsh_index_maintained,
+    )
+
+    got = {
+        (r.vec_id, r.table): r.sig
+        for r in q_lsh_index_maintained(spark, sf_dir).collect()
+    }
+    emb = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    want = {
+        (r.vec_id, r.table): r.sig
+        for r in lsh_int_signatures(spark, emb).collect()
+    }
+    assert got == want
+    n_tables = LSH_IDX_PLANES // LSH_IDX_BITS
+    assert len(got) == n_tables * emb.count()
+    # signatures are 8-bit words
+    assert all(0 <= s < 256 for s in got.values())
+    # and not degenerate (some variation across vectors)
+    assert len(set(got.values())) > 10
