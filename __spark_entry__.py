@@ -125,6 +125,7 @@ _DRIVER_ORDER_R7 = [
     "setsim_clusters",
     "corpus_datacard",
     "lsh_index_maintained",
+    "cms_term_estimates",
     "copurchase_edges",
     "customer_copurchase_top",
     "knn_ivf",
@@ -519,6 +520,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # harmonic sum, and ln_micro correction all integer-identical
         # in DuckDB) — the auditable twin of cardinality_sketches
         "hll_distinct": quality.q_hll_distinct,
+        # count-min sketch: the frequency-sketch family member (point
+        # frequency queries from fixed memory; portable integer math,
+        # bit-identical DuckDB twin)
+        "cms_term_estimates": quality.q_cms_term_estimates,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -3411,6 +3416,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' "
             "AS BIGINT), "
             "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders"
+        ),
+        "cms_term_estimates": (
+            # bit-identical count-min sketch: same portable hash, same
+            # D=4 x W=16 grid (collisions exercised), same exact-top query keys
+            "WITH tok AS (SELECT t.token AS term FROM documents, "
+            "unnest(string_split(text, ' ')) AS t(token) "
+            "WHERE t.token <> ''), "
+            "rows_ AS (SELECT unnest(generate_series(0, 3)) AS r), "
+            "cells AS (SELECT r, CAST(('0x' || substr(md5('cms:' || "
+            "CAST(r AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 16 "
+            "AS INTEGER) AS b, CAST(count(*) AS BIGINT) AS c "
+            "FROM tok, rows_ GROUP BY 1, 2), "
+            "exact AS (SELECT term, CAST(count(*) AS BIGINT) AS n_exact "
+            "FROM tok GROUP BY term), "
+            "top AS (SELECT term, n_exact FROM exact "
+            "ORDER BY n_exact DESC, term LIMIT 50), "
+            "probes AS (SELECT term, n_exact, r, "
+            "CAST(('0x' || substr(md5('cms:' || CAST(r AS VARCHAR) || "
+            "':' || term), 1, 15))::BIGINT % 16 AS INTEGER) AS b "
+            "FROM top, rows_), "
+            "est AS (SELECT term, n_exact, min(c) AS n_cms "
+            "FROM probes JOIN cells USING (r, b) GROUP BY 1, 2) "
+            "SELECT term, n_exact, CAST(n_cms AS BIGINT) AS n_cms, "
+            "CAST(n_cms - n_exact AS BIGINT) AS overestimate FROM est"
         ),
         "moments_sketch": (
             # exact integer power sums in HUGEINT; m3..m6 emitted as

@@ -1189,3 +1189,126 @@ def q_categorical_entropy(spark, sf_dir: str) -> DataFrame:
         )
         report = one if report is None else report.unionByName(one)
     return report
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (portable, oracle-exact) — the frequency-sketch
+# counterpart to the portable HLL family above
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: CMS_D independent hash rows of CMS_W buckets.
+#: Overestimate bound: with probability ≥ 1 − (1/2)^D the estimate
+#: exceeds the true count by at most ~e·N/W (N = stream length).
+#: W is deliberately SMALLER than the fixture's 31-term vocabulary so
+#: the gate exercises real collisions (pigeonhole) — a W ≫ |vocab|
+#: sketch is exact and proves nothing about the min-over-rows logic.
+#: Production sizing scales W to the tolerated ε = e/W, not to 16.
+CMS_D = 4
+CMS_W = 16
+#: How many exact-top terms the registered query reports estimates for.
+CMS_TOP_TERMS = 50
+
+
+def _cms_bucket(r: int, term) -> "F.Column":
+    """Row-r bucket of a term: portable 60-bit hash mod CMS_W —
+    bit-identical in DuckDB (hash is non-negative, so % is safe)."""
+    from ..functions import portable_hash64
+
+    return (
+        portable_hash64(
+            F.concat_ws(":", F.lit("cms"), F.lit(str(r)), term)
+        )
+        % CMS_W
+    ).cast("int")
+
+
+def cms_cells(items: DataFrame, col: str = "term") -> DataFrame:
+    """The sketch itself: (r, b, c) cell counts over the item stream.
+
+    Build is ONE narrow expression — each item explodes to its CMS_D
+    (row, bucket) probes array-side (no join, stays in whole-stage
+    codegen) — followed by a groupBy onto the fixed D×W grid:
+    map-side-combinable partials, a ≤1024-row shuffle regardless of
+    stream size, and cells are ADDITIVE (mergeable across partitions,
+    batches, or streams — the same property the HLL registers have
+    via max)."""
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    _cms_bucket(r, F.col(col)).alias("b"),
+                )
+                for r in range(CMS_D)
+            ]
+        )
+    )
+    return (
+        items.select(probes.alias("p"))
+        .select("p.r", "p.b")
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def q_cms_term_estimates(spark, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the documents' token stream, ORACLE-EXACT
+    (the frequency-sketch family member the suite lacked — HLL covers
+    distinct counts, moments/quantile cover distributions, MG feeds
+    the exact heavy-hitter pass; CMS answers point frequency queries
+    from fixed memory). Every part is portable-hash integer math, so
+    the DuckDB twin computes the bit-identical sketch AND estimates.
+
+    Reports, for the exact top-CMS_TOP_TERMS terms (count desc, term —
+    deterministic tie-break), the exact count, the CMS estimate
+    (min over the D row cells — never below the true count, which the
+    `overestimate` column exhibits as a guaranteed-nonnegative
+    quantity both engines agree on), and the overestimate.
+
+    Scale: the sketch is a ≤ D·W-row grid however large the corpus —
+    the structure you keep per shard/hour and merge by cell addition;
+    the exact side here is the verification harness (at 100 TB you
+    keep only the sketch and the MG candidate pass)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("term")
+        ).filter(F.col("term") != "")
+    ).localCheckpoint(eager=False)  # feeds sketch build AND exact side
+    cells = cms_cells(toks)
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+        .limit(CMS_TOP_TERMS)
+    )
+    qprobes = top.select(
+        "term",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _cms_bucket(r, F.col("term")).alias("b"),
+                    )
+                    for r in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("term", "n_exact", "p.r", "p.b")
+    return (
+        qprobes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("term", "n_exact")
+        .agg(F.min("c").alias("n_cms"))
+        .select(
+            "term",
+            "n_exact",
+            F.col("n_cms").cast("long").alias("n_cms"),
+            (F.col("n_cms") - F.col("n_exact"))
+            .cast("long")
+            .alias("overestimate"),
+        )
+    )

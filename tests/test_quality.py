@@ -363,3 +363,48 @@ def test_categorical_entropy_tracks_float_shannon(spark, sf_dir):
         assert abs(r.entropy_unats / 1e6 - h) < 2e-3
         assert 0.0 <= r.uniformity <= 1.0 + 1e-9
     assert rows["events.event_type"].uniformity > 0.95
+
+
+def test_cms_matches_pure_python_reference(spark, sf_dir):
+    """The count-min laws, against an independent pure-Python sketch
+    built from the same portable hash: (1) estimate ≥ exact for every
+    queried term, (2) estimate = min over the D row cells exactly,
+    (3) the fixture actually exercises collisions (W=16 < |vocab| by
+    design — an oversized sketch proves nothing)."""
+    import hashlib
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import (
+        CMS_D,
+        CMS_W,
+        q_cms_term_estimates,
+    )
+
+    def phash(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = load(spark, sf_dir).documents.select("text").collect()
+    cells = {}
+    exact = {}
+    for row in docs:
+        for term in row.text.split(" "):
+            if not term:
+                continue
+            exact[term] = exact.get(term, 0) + 1
+            for r in range(CMS_D):
+                b = phash(f"cms:{r}:{term}") % CMS_W
+                cells[(r, b)] = cells.get((r, b), 0) + 1
+
+    rows = q_cms_term_estimates(spark, sf_dir).collect()
+    assert rows
+    any_over = False
+    for row in rows:
+        want = min(
+            cells[(r, phash(f"cms:{r}:{row.term}") % CMS_W)]
+            for r in range(CMS_D)
+        )
+        assert row.n_exact == exact[row.term], row
+        assert row.n_cms == want, row
+        assert row.overestimate == row.n_cms - row.n_exact >= 0, row
+        any_over = any_over or row.overestimate > 0
+    assert any_over, "W should be small enough to exercise collisions"
