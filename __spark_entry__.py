@@ -126,6 +126,7 @@ _DRIVER_ORDER_R7 = [
     "corpus_datacard",
     "lsh_index_maintained",
     "cms_term_estimates",
+    "substring_dedup",
     "copurchase_edges",
     "customer_copurchase_top",
     "knn_ivf",
@@ -436,6 +437,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "setsim_prefix_join": dedup.q_setsim_prefix_join,
         "setsim_clusters": dedup.q_setsim_clusters,
+        # span-level exact dedup (ExactSubstr): duplicated L-token
+        # passages removed, canonical occurrence kept; gate hash-checks
+        # the reconstructed surviving text
+        "substring_dedup": dedup.q_substring_dedup,
         # maintained ANN index: integer-portable signatures + CoW MERGE
         # (maintained ≡ rebuild, the IVM law — oracle recomputes from
         # scratch)
@@ -2597,6 +2602,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id AS anchor_id, c.cluster_id AS positive_id, "
             "s.neg AS negative_id FROM comp c JOIN shift s "
             "USING (cluster_id) WHERE c.doc_id <> c.cluster_id"
+        ),
+        "substring_dedup": (
+            # exact repeated-span removal, positions 0-based to match
+            # Spark; occurrence key doc_id*1e9+pos; L = 20 tokens
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+            "FROM documents), "
+            "g AS (SELECT doc_id, i - 1 AS pos, "
+            "doc_id * 1000000000 + (i - 1) AS ok, "
+            "md5(array_to_string(tk[i:i+19], ' ')) AS gh "
+            "FROM toks, unnest(generate_series(1, len(tk) - 19)) AS s(i)), "
+            "c AS (SELECT gh, count(*) AS n, min(ok) AS canon "
+            "FROM g GROUP BY gh), "
+            "rem AS (SELECT doc_id, pos FROM g JOIN c USING (gh) "
+            "WHERE n >= 2 AND ok <> canon), "
+            "cov AS (SELECT DISTINCT doc_id, pos + u.o AS tpos "
+            "FROM rem, unnest(generate_series(0, 19)) AS u(o)), "
+            "tox AS (SELECT doc_id, i - 1 AS tpos, tk[i] AS token "
+            "FROM toks, unnest(generate_series(1, len(tk))) AS s(i)), "
+            "kept AS (SELECT t.doc_id, t.tpos, t.token FROM tox t "
+            "ANTI JOIN cov ON cov.doc_id = t.doc_id "
+            "AND cov.tpos = t.tpos), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "md5(string_agg(token, ' ' ORDER BY tpos)) AS kept_hash "
+            "FROM kept GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+            "CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS n_removed, "
+            "CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept, "
+            "coalesce(kept_hash, md5('')) AS kept_hash "
+            "FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id"
         ),
         "dedup_clusters": (
             _CC_COMP_CTE

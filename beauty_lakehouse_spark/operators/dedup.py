@@ -1183,3 +1183,106 @@ def q_setsim_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE reachability over the brute-force verified pairs."""
     t = load(spark, sf_dir)
     return setsim_clusters(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring dedup (ExactSubstr, Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+#: Repeated-span length (tokens): a token is removed iff it is covered
+#: by a duplicated SUBSTR_L-token span occurrence that is not that
+#: span's canonical (first) occurrence.
+SUBSTR_L = 20
+
+
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT repeated-substring deduplication — the span-level dedup
+    of "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al.), distinct from every document-level family above: it
+    removes duplicated PASSAGES while keeping the rest of each doc.
+
+    Contract (deterministic, engine-portable): tokenize by single
+    space keeping positions; every SUBSTR_L-token window is a span
+    occurrence keyed by the md5 of its space-joined tokens (injective
+    — tokens cannot contain the joiner). A span with ≥ 2 occurrences
+    corpus-wide keeps only its CANONICAL occurrence (smallest
+    (doc_id, pos), packed as doc_id·10⁹ + pos); every token covered
+    by any non-canonical duplicated occurrence is removed. Overlapping
+    long duplicates fall out naturally: a repeated span of length
+    > L is a run of overlapping duplicated L-windows, so the whole
+    run (minus the canonical copy) is removed. Docs shorter than L
+    have no windows and are untouched.
+
+    Output per document: (doc_id, n_tokens, n_removed, n_kept,
+    kept_hash) — kept_hash is the md5 of the space-rejoined surviving
+    tokens in position order, so the gate hash-checks the exact
+    RECONSTRUCTED text, not just counts.
+
+    Scale: windows ≈ one row per token (the suffix-array build of the
+    paper maps to this posting shape in a shuffle engine); the only
+    wide ops are the span-hash groupBy and the coverage anti-join —
+    coverage explodes ONLY removed occurrences (×L), bounded by the
+    corpus' true duplication mass, never by corpus size."""
+    L = SUBSTR_L
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.split("text", " ").alias("tk"))
+    docs = docs.localCheckpoint(eager=False)  # windows + token sides
+    starts = F.when(
+        F.size("tk") >= L, F.sequence(F.lit(0), F.size("tk") - L)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(starts).alias("pos"),
+        F.col("tk"),
+    ).select(
+        "doc_id",
+        "pos",
+        (F.col("doc_id") * F.lit(1_000_000_000).cast("long") + F.col("pos"))
+        .alias("ok"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos") + 1, L))
+        ).alias("gh"),
+    )
+    counts = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("n"), F.min("ok").alias("canon")
+    )
+    rem = (
+        grams.join(counts, "gh")
+        .filter((F.col("n") >= 2) & (F.col("ok") != F.col("canon")))
+        .select("doc_id", "pos")
+    )
+    covered = rem.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+        ).alias("tpos"),
+    ).distinct()
+    tokens = docs.select(
+        "doc_id", F.posexplode("tk").alias("tpos", "token")
+    )
+    kept = tokens.join(covered, ["doc_id", "tpos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tpos", "token"))),
+                    lambda s: s["token"],
+                ),
+            )
+        ).alias("kept_hash"),
+    )
+    base = docs.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("kept_hash", F.lit(empty_md5)).alias("kept_hash"),
+    )

@@ -347,3 +347,50 @@ def test_setsim_clusters_equals_pair_graph_closure(spark):
     assert want_comp[9] == want_comp[11] == 9
     # empty docs are singletons
     assert want_comp[7] == 7 and want_comp[8] == 8
+
+
+def test_substring_dedup_removes_noncanonical_spans(spark, tmp_path):
+    """Planted contract check: a shared >= L-token passage survives
+    only in its canonical (smallest doc_id, pos) occurrence; unrelated
+    text is untouched; docs shorter than L are never modified; a
+    within-doc repetition also loses its second copy."""
+    import hashlib
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        SUBSTR_L,
+        q_substring_dedup,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(SUBSTR_L))  # exactly L
+    docs = [
+        (1, "intro one " + passage + " outro one"),
+        (2, "different lead " + passage + " different tail"),
+        (3, "short doc under the window size"),
+        (4, passage + " middle filler words " + passage),
+    ]
+    full = [(d, t, "en", "test", len(t)) for d, t in docs]
+    spark.createDataFrame(
+        full, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {r.doc_id: r for r in q_substring_dedup(spark, str(tmp_path)).collect()}
+
+    def kept_hash(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    # doc 1 holds the canonical occurrence (smallest doc_id, pos after
+    # doc 4's pos-0 copy? no: canonical is the global smallest
+    # (doc_id, pos) -> doc 1 pos 2): doc 1 keeps everything
+    assert rows[1].n_removed == 0
+    assert rows[1].kept_hash == kept_hash(docs[0][1].split(" "))
+    # doc 2's copy is non-canonical: exactly the L passage tokens go
+    assert rows[2].n_removed == SUBSTR_L
+    assert rows[2].kept_hash == kept_hash(
+        ["different", "lead", "different", "tail"]
+    )
+    # short doc untouched
+    assert rows[3].n_removed == 0
+    # doc 4: both copies non-canonical (doc 1 owns the span) -> both go
+    assert rows[4].n_removed == 2 * SUBSTR_L
+    assert rows[4].kept_hash == kept_hash(["middle", "filler", "words"])
