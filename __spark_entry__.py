@@ -88,11 +88,13 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: extremes rewrite needs its driver-green confirmation), then the 27
 #: oracle entries the driver has NEVER hash-checked in rounds 1-6
 #: (cheapest first by measured sf0.01 wall; all re-verified green
-#: locally this round) plus the two round-7 additions
-#: (`embedding_neardup` graduated to oracle, `setsim_clusters` new) —
-#: 30 rows that drive the never-driver-verified residue to ZERO —
-#: then a 20-row backfill of the longest-unchecked entries (10 last
-#: checked in r02, 10 in r04), then everything else in round-6 order.
+#: locally this round) plus the five round-7 additions
+#: (`setsim_clusters`, graduated `embedding_neardup`,
+#: `lsh_index_maintained`, `cms_term_estimates`, `substring_dedup`) —
+#: 33 rows that drive the never-driver-verified residue to ZERO —
+#: then a longest-unchecked backfill (10 last checked in r02, the
+#: rest r04) filling the 50-row gate budget, then everything else in
+#: round-6 order.
 _DRIVER_ORDER_R7 = [
     "table_stats",
     "view_to_purchase_lag",
@@ -311,9 +313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     to the front (62 cleared); round 7 finishes the job: the first 50
     rows are `table_stats` (r6's only red row, fixed — engine-proof
     integer extremes), the 27 remaining never-driver-verified oracle
-    entries + the 2 round-7 additions (all 30 verified green locally
-    before ordering), and a 20-row longest-unchecked backfill. After
-    this round's gate, EVERY oracle entry has appeared green in some
+    entries, the 5 round-7 additions (setsim_clusters, graduated
+    embedding_neardup, lsh_index_maintained, cms_term_estimates,
+    substring_dedup — all verified green locally before ordering),
+    and a 17-row longest-unchecked backfill. After this round's gate,
+    EVERY oracle entry has appeared green in some
     CORRECTNESS_r*.json."""
     base = _registry()
     missing = set(base) ^ set(_DRIVER_ORDER_R7)
