@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from beauty_lakehouse_spark import tables
 from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
+from beauty_lakehouse_spark.functions import isqrt_sql as _isq
 from beauty_lakehouse_spark.functions import ln_micro_sql as _lnm
 from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
 from beauty_lakehouse_spark.operators import (
@@ -129,6 +130,7 @@ _DRIVER_ORDER_R7 = [
     "lsh_index_maintained",
     "cms_term_estimates",
     "substring_dedup",
+    "ann_topk_exactint",
     "copurchase_edges",
     "customer_copurchase_top",
     "knn_ivf",
@@ -449,6 +451,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (maintained ≡ rebuild, the IVM law — oracle recomputes from
         # scratch)
         "lsh_index_maintained": similarity.q_lsh_index_maintained,
+        # hash-verifiable ANN serving: integer signatures + multi-probe
+        # + fixed-point isqrt/halfup rerank, top-k oracle-matched
+        "ann_topk_exactint": similarity.q_ann_topk_exactint,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -998,6 +1003,33 @@ _MERGE_CTES = (
     "(SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d "
     "ON m.o_orderkey = d.o_orderkey)"
 )
+
+
+def _lsh_int_sig_cte() -> str:
+    """CTE chain computing the integer-exact LSH signature table
+    ``intsig(vec_id, tbl, sig)`` over the full embeddings fixture —
+    the DuckDB twin of ``similarity.lsh_int_signatures`` (portable
+    plane grid from the 60-bit hash, millionth-quantized components,
+    HUGEINT dots). ONE definition shared by the `lsh_index_maintained`
+    and `ann_topk_exactint` oracles so the plane math cannot drift."""
+    return (
+        "dims AS (SELECT unnest(generate_series(0, 63)) AS j), "
+        "ps AS (SELECT unnest(generate_series(0, 47)) AS p), "
+        "pl AS (SELECT p, j, ('0x' || substr(md5('lshidx:' || "
+        "CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))"
+        "::BIGINT - (CAST(1 AS BIGINT) << 59) AS pc FROM ps, dims), "
+        "sige AS (SELECT vec_id, d.j AS j, "
+        "CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000 "
+        "+ 0.5) AS BIGINT) AS eq FROM embeddings, dims d), "
+        "sdot AS (SELECT vec_id, p, "
+        "sum(CAST(eq AS HUGEINT) * CAST(pc AS HUGEINT)) AS d "
+        "FROM sige JOIN pl USING (j) GROUP BY 1, 2), "
+        "sbits AS (SELECT vec_id, CAST(p // 8 AS INTEGER) AS tbl, "
+        "CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (p % 8)) "
+        "ELSE CAST(0 AS BIGINT) END AS bv FROM sdot), "
+        "intsig AS (SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) "
+        "AS sig FROM sbits GROUP BY 1, 2)"
+    )
 
 
 def _bpe_train_sql(n_merges: int = 12) -> str:
@@ -2145,22 +2177,41 @@ def oracle_sql() -> dict[str, str]:
             # match proves the Spark side's v1-write + batch-MERGE
             # maintained index equals a rebuild (IVM law). Integer
             # plane grid mirrors lsh_int_signatures exactly.
-            "WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j), "
-            "ps AS (SELECT unnest(generate_series(0, 47)) AS p), "
-            "pl AS (SELECT p, j, ('0x' || substr(md5('lshidx:' || "
-            "CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))"
-            "::BIGINT - (CAST(1 AS BIGINT) << 59) AS pc FROM ps, dims), "
-            "e AS (SELECT vec_id, d.j AS j, "
-            "CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000 "
-            "+ 0.5) AS BIGINT) AS eq FROM embeddings, dims d), "
-            "dot AS (SELECT vec_id, p, "
-            "sum(CAST(eq AS HUGEINT) * CAST(pc AS HUGEINT)) AS d "
-            "FROM e JOIN pl USING (j) GROUP BY 1, 2), "
-            "bits AS (SELECT vec_id, CAST(p // 8 AS INTEGER) AS tbl, "
-            "CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (p % 8)) "
-            "ELSE CAST(0 AS BIGINT) END AS bv FROM dot) "
-            "SELECT vec_id, tbl AS \"table\", CAST(sum(bv) AS BIGINT) "
-            "AS sig FROM bits GROUP BY 1, 2"
+            "WITH " + _lsh_int_sig_cte()
+            + " SELECT vec_id, tbl AS \"table\", sig "
+            "FROM intsig"
+        ),
+        "ann_topk_exactint": (
+            # same signature CTE; radius-1 probes via xor; fixed-point
+            # isqrt/halfup rerank; (score desc, neighbor) top-5
+            "WITH " + _lsh_int_sig_cte() + ", "
+            "flips AS (SELECT unnest(generate_series(-1, 7)) AS f), "
+            "qprobe AS (SELECT vec_id AS query_id, tbl, "
+            "CASE WHEN f < 0 THEN sig "
+            "ELSE xor(sig, CAST(1 AS BIGINT) << f) END AS bucket "
+            "FROM intsig, flips WHERE vec_id < 20), "
+            "cand AS (SELECT DISTINCT query_id, s.vec_id AS neighbor_id "
+            "FROM qprobe JOIN intsig s ON s.tbl = qprobe.tbl "
+            "AND s.sig = qprobe.bucket WHERE s.vec_id <> query_id), "
+            "qz AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT)) AS q FROM embeddings), "
+            "qn AS (SELECT vec_id, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) "
+            "AS nq FROM qz), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+            "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q, a.nq AS na, b.nq AS nb "
+            "FROM cand JOIN qn a ON a.vec_id = query_id "
+            "JOIN qn b ON b.vec_id = neighbor_id), "
+            "pos AS (SELECT query_id, neighbor_id, "
+            + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)
+            + " AS cos_micro FROM scored WHERE dot_q > 0), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+            "cos_micro FROM rk WHERE rank <= 5"
         ),
         "training_order_shuffle": (
             "WITH d AS (SELECT doc_id, source, "
@@ -3942,8 +3993,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # temperature-flattened mixture: exact integer sqrt both engines
-    from beauty_lakehouse_spark.functions import isqrt_sql as _isq
-
+    # (_isq imported at module level)
     out["mixture_temperature"] = (
         "WITH d AS (SELECT source, "
         "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "

@@ -1741,3 +1741,135 @@ def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _LSH_INDEX_CACHE[key] = path
     return tables.read_versioned(spark, path)
+
+
+#: q_ann_topk_exactint geometry: top-k, query batch bound, and the
+#: isqrt-contract norm guard (isqrt is exact only below 2^52 — with
+#: millionth-quantized components that admits vector norms up to ~67;
+#: the fixture is near-unit).
+ANN_EXACT_K = 5
+ANN_EXACT_QUERIES = 20
+ANN_EXACT_MAX_NQ = 1 << 52
+
+
+def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING, ORACLE-MATCHED end to end — the hash-verifiable
+    counterpart to the float `knn_*` family (which stays bench-scored
+    for recall): integer LSH signatures (the SAME portable plane grid
+    the maintained index uses — `lsh_int_signatures`), radius-1
+    multi-probe candidate generation, and a fixed-point rerank whose
+    score is deterministic in both engines:
+
+        cos_micro = halfup_div(dot_q, isqrt(na)·isqrt(nb), 6)
+
+    — quantized-integer dot over exact integer square roots, rounded
+    half-up at 6 decimals, ranked (score desc, neighbor_id asc),
+    top-ANN_EXACT_K per query, positive-dot candidates only. Every
+    stage is integer or exact-rational, so the DuckDB twin reproduces
+    candidates, scores, and ranks bit-for-bit — an ANN query path a
+    driver gate can hash-check, not just recall-score.
+
+    The guard: `isqrt` is exact below 2^52, so na beyond that RAISES
+    (same policy as the other magnitude contracts) instead of
+    silently mis-ranking.
+
+    Scale: candidates are bucket-equi-joins against the signature
+    table (servable straight from `lsh_index_maintained`'s output);
+    probes grow the query side ×9, never the corpus side."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    sig = lsh_int_signatures(spark, emb).localCheckpoint(eager=False)
+    qsig = sig.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
+    probes = [F.col("sig")] + [
+        F.expr(f"sig ^ shiftleft(CAST(1 AS BIGINT), {b})")
+        for b in range(LSH_IDX_BITS)
+    ]
+    qprobe = qsig.select(
+        F.col("vec_id").alias("query_id"),
+        "table",
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    cand = (
+        qprobe.join(
+            sig.select(
+                "table",
+                F.col("sig").alias("bucket"),
+                F.col("vec_id").alias("neighbor_id"),
+            ),
+            ["table", "bucket"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    from ..functions import halfup_div, isqrt
+
+    nq_raw = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qz = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * SEM_SCALE + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("q"),
+    ).withColumn(
+        "nq",
+        F.when(
+            nq_raw > F.lit(ANN_EXACT_MAX_NQ),
+            F.raise_error(
+                F.lit(
+                    "ann_topk_exactint norm contract violated: "
+                    "nq > 2^52 breaks the exact isqrt; normalize "
+                    "vectors upstream"
+                )
+            ).cast("long"),
+        ).otherwise(nq_raw),
+    )
+    qa = qz.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    qb = qz.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        cand.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .withColumn("dot_q", dot)
+        .filter(F.col("dot_q") > 0)
+        .select(
+            "query_id",
+            "neighbor_id",
+            halfup_div(
+                F.col("dot_q"),
+                isqrt(F.col("na")) * isqrt(F.col("nb")),
+                6,
+            ).alias("cos_micro"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_EXACT_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "cos_micro",
+        )
+    )

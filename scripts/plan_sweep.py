@@ -72,6 +72,8 @@ WHITELIST: dict[str, str] = {
     "customer_rfm_segments": "1-row customer-count broadcast (quintile arithmetic, three metrics)",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
+    "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
+    "lsh_index_maintained": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
 }
 
 #: windows allowed to have an empty partition spec because their input

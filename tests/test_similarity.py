@@ -578,3 +578,83 @@ def test_lsh_index_maintained_equals_rebuild(spark, sf_dir):
     assert all(0 <= s < 256 for s in got.values())
     # and not degenerate (some variation across vectors)
     assert len(set(got.values())) > 10
+
+
+def test_ann_topk_exactint_matches_pure_python(spark, sf_dir):
+    """Full independent reimplementation of the hash-verifiable ANN
+    path in pure Python (md5 planes -> sign bits -> radius-1 probes ->
+    integer rerank -> half-up score -> (score desc, id) top-5): the
+    Spark result must match exactly, query for query."""
+    import hashlib
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        ANN_EXACT_K,
+        ANN_EXACT_QUERIES,
+        LSH_IDX_BITS,
+        LSH_IDX_PLANES,
+        q_ann_topk_exactint,
+    )
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir).embeddings.select(
+            "vec_id", "embedding"
+        ).collect()
+    }
+    pc = {
+        (p, j): phash(f"lshidx:{p}:{j}") - (1 << 59)
+        for p in range(LSH_IDX_PLANES)
+        for j in range(64)
+    }
+    q = {v: [math.floor(x * 1_000_000 + 0.5) for x in e] for v, e in emb.items()}
+    nq = {v: sum(c * c for c in qq) for v, qq in q.items()}
+    sigs = {}
+    for v, e in emb.items():
+        for t in range(LSH_IDX_PLANES // LSH_IDX_BITS):
+            s = 0
+            for b in range(LSH_IDX_BITS):
+                p = t * LSH_IDX_BITS + b
+                d = sum(q[v][j] * pc[(p, j)] for j in range(64))
+                if d >= 0:
+                    s |= 1 << b
+            sigs[(v, t)] = s
+    buckets = {}
+    for (v, t), s in sigs.items():
+        buckets.setdefault((t, s), []).append(v)
+    want = {}
+    for qv in range(ANN_EXACT_QUERIES):
+        cand = set()
+        for t in range(LSH_IDX_PLANES // LSH_IDX_BITS):
+            probes = [sigs[(qv, t)]] + [
+                sigs[(qv, t)] ^ (1 << b) for b in range(LSH_IDX_BITS)
+            ]
+            for pr in probes:
+                cand.update(buckets.get((t, pr), []))
+        cand.discard(qv)
+        scored = []
+        for nv in cand:
+            dot = sum(a * b for a, b in zip(q[qv], q[nv]))
+            if dot <= 0:
+                continue
+            den = math.isqrt(nq[qv]) * math.isqrt(nq[nv])
+            cos = ((2 * dot * 10**6 + den) // (2 * den)) / 1e6
+            scored.append((-cos, nv))
+        scored.sort()
+        want[qv] = [
+            (nv, i + 1, -negcos)
+            for i, (negcos, nv) in enumerate(scored[:ANN_EXACT_K])
+        ]
+
+    got = {}
+    for r in q_ann_topk_exactint(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.rank, r.cos_micro)
+        )
+    for qv in got:
+        got[qv].sort(key=lambda x: x[1])
+    assert got == want
