@@ -131,6 +131,7 @@ _DRIVER_ORDER_R7 = [
     "cms_term_estimates",
     "substring_dedup",
     "ann_topk_exactint",
+    "cms_cells_streamed",
     "copurchase_edges",
     "customer_copurchase_top",
     "knn_ivf",
@@ -559,6 +560,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking_streamed": _q_doc_chunking_streamed,
         "hll_distinct_streamed": _q_hll_distinct_streamed,
         "hll_users_hourly_streamed": _q_hll_users_hourly_streamed,
+        "cms_cells_streamed": _q_cms_cells_streamed,
         "event_anomalies_streamed": _q_event_anomalies_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
@@ -865,6 +867,27 @@ def _q_hll_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return quality.hll_estimate_from_registers(
         regs, exact, keys=("hour_us",)
+    )
+
+
+def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min cell grid over the events stream's user ids,
+    maintained as one complete-mode streaming aggregate and drained —
+    count is additive and order-insensitive, so the drained D×W grid
+    is bit-identical to the batch sketch the DuckDB oracle computes
+    (the 12th oracle-matched streaming drain; the frequency-sketch
+    sibling of the HLL register drains)."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        cms_user_cells,
+        run_available_now,
+        stream_events,
+    )
+
+    return run_available_now(
+        cms_user_cells(stream_events(spark, sf_dir)),
+        f"gate_cms_{uuid.uuid4().hex[:8]}",
     )
 
 
@@ -3529,6 +3552,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM probes JOIN cells USING (r, b) GROUP BY 1, 2) "
             "SELECT term, n_exact, CAST(n_cms AS BIGINT) AS n_cms, "
             "CAST(n_cms - n_exact AS BIGINT) AS overestimate FROM est"
+        ),
+        "cms_cells_streamed": (
+            # batch twin of the streamed count-min grid over user ids
+            "WITH it AS (SELECT CAST(user_id AS VARCHAR) AS term "
+            "FROM events), "
+            "rows_ AS (SELECT unnest(generate_series(0, 3)) AS r) "
+            "SELECT r, CAST(('0x' || substr(md5('cms:' || "
+            "CAST(r AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 16 "
+            "AS INTEGER) AS b, CAST(count(*) AS BIGINT) AS c "
+            "FROM it, rows_ GROUP BY 1, 2"
         ),
         "moments_sketch": (
             # exact integer power sums in HUGEINT; m3..m6 emitted as

@@ -8,6 +8,7 @@ exactly once, so streaming output == batch output).
 """
 
 from .pipelines import (  # noqa: F401
+    cms_user_cells,
     dedup_group_table,
     dedup_events_stream,
     hll_register_stream,

@@ -319,3 +319,20 @@ def hourly_user_hll_registers(events: DataFrame) -> DataFrame:
         "user_id",
     )
     return hll_registers(ev, "user_id", keys=("hour_us",))
+
+
+def cms_user_cells(events: DataFrame) -> DataFrame:
+    """Streaming count-min sketch over the user-id stream: the D×W
+    cell grid (`quality.cms_cells` unchanged) maintained as ONE
+    complete-mode streaming aggregate whose state is ≤ D·W rows —
+    count is additive and order-insensitive, so the drained grid
+    equals the batch sketch bit-for-bit whatever the micro-batch
+    slicing (the same argument as the HLL register drains, with sum
+    in place of max). The production shape: per-key frequency
+    monitoring from fixed memory over an unbounded stream, cells
+    mergeable across streams/shards by addition."""
+    from ..operators.quality import cms_cells
+
+    return cms_cells(
+        events.select(F.col("user_id").cast("string").alias("term"))
+    )
