@@ -1540,15 +1540,17 @@ def embedding_outlier_flags(embeddings: DataFrame) -> DataFrame:
     )
     dev = F.col("m") * F.col("dist2_q").cast(d38) - F.col("s")
     # Runtime magnitude guard (r7, same policy as semantic_neardup):
-    # the cross-multiplied 3σ test squares dev ≤ m·max(dist²), so it
-    # needs m·max(dist²) < 10¹⁹ to stay inside DECIMAL(38,0); beyond
-    # that Spark silently nulls is_outlier while the HUGEINT oracle
-    # (max ~1.7·10³⁸) still computes — a cross-engine divergence. The
-    # guard compares in double with a 1% safety margin and RAISES
-    # instead of relying on the docstring's downshift lever.
+    # the binding term is the RHS 9·(m·qq − s²) — since qq ≤ m·mx²,
+    # 9·m·qq ≤ 9·(m·mx)², so DECIMAL(38,0) safety needs
+    # m·max(dist²) < √(10³⁸/9) ≈ 3.33·10¹⁸ (dev² ≤ (m·mx)² is then
+    # ≤ 1.1·10³⁷, also safe). Beyond that Spark silently nulls
+    # is_outlier while the HUGEINT oracle (max ~1.7·10³⁸) still
+    # computes — a cross-engine divergence. The guard compares in
+    # double with a safety margin and RAISES instead of relying on
+    # the docstring's downshift lever.
     overflow = (
         F.col("m").cast("double") * F.col("mx").cast("double")
-        > F.lit(0.99e19)
+        > F.lit(3.3e18)
     )
     flag = (dev > 0) & (
         dev * dev

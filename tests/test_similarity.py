@@ -519,11 +519,13 @@ def test_embedding_outliers_detects_planted_far_vector(spark, sf_dir):
 
 
 def test_embedding_outliers_overflow_guard_raises(spark):
-    """Beyond m·max(dist²) ≈ 10¹⁹ the DECIMAL(38,0) cross-multiplied
-    3σ test would silently null out while the HUGEINT oracle still
-    computes; the r7 guard must RAISE instead (the same contract
-    semantic_neardup enforces). 30 vectors at ±80 per component give
-    dist² ≈ 4.1·10¹⁷ each → m·max ≈ 1.2·10¹⁹ over the bound."""
+    """Beyond m·max(dist²) ≈ 3.3·10¹⁸ (the RHS term 9·(m·qq − s²) is
+    the binding one: 9·m·qq ≤ 9·(m·mx)²) the DECIMAL(38,0)
+    cross-multiplied 3σ test would silently null out while the
+    HUGEINT oracle still computes; the r7 guard must RAISE instead
+    (the same contract semantic_neardup enforces). 30 vectors at ±80
+    per component give dist² ≈ 4.1·10¹⁷ each → m·max ≈ 1.2·10¹⁹,
+    over the bound."""
     import pytest
     from pyspark.sql import functions as F
     from pyspark.sql.utils import PythonException
