@@ -296,3 +296,80 @@ def test_no_stringified_extremes_in_oracle_sql():
         assert not re.search(
             r"strftime\(\s*(min|max)\s*\(", sql, re.IGNORECASE
         ), f"{name}: strftime over an aggregated extreme"
+
+
+#: the only types a hashed oracle column may carry: these map 1:1 onto
+#: Spark/Arrow types (int64/int32/float64/utf8/date32/timestamp/bool/
+#: decimal128(p,s)).  Anything else — HUGEINT (int128) above all — has
+#: no Spark twin, so a type-tagged value hash diverges even when every
+#: value is identical (the r7 `table_stats` red row: an uncast
+#: `sum(CASE…)` is HUGEINT in DuckDB, int64 in Spark).
+_PORTABLE_DUCKDB_TYPES = (
+    "BIGINT",
+    "INTEGER",
+    "DOUBLE",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "BOOLEAN",
+    "DECIMAL",
+)
+
+
+def _duckdb_con_with_views():
+    import os
+
+    import duckdb
+
+    from tests.conftest import SF_DIR
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings".split()
+    ):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _nonportable_columns(con, sql):
+    return [
+        (col, typ)
+        for col, typ, *_ in con.execute(f"DESCRIBE ({sql})").fetchall()
+        if not typ.upper().startswith(_PORTABLE_DUCKDB_TYPES)
+    ]
+
+
+def test_oracle_output_types_are_portable():
+    """Mechanical type-level audit (the r7 string-level audit missed the
+    int128 channel): DESCRIBE every `oracle_sql()` entry in DuckDB and
+    assert no output column carries a type outside the portable set —
+    HUGEINT/UHUGEINT/UTINYINT/etc. must never reach a hashed column,
+    because the driver's value hash is type-tagged and Spark has no
+    int128."""
+    import __spark_entry__ as entrymod
+
+    con = _duckdb_con_with_views()
+    offenders = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        bad = _nonportable_columns(con, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with non-portable output column types (wrap in "
+        f"CAST(... AS BIGINT)/DOUBLE): {offenders}"
+    )
+
+
+def test_oracle_type_audit_catches_uncast_integer_sum():
+    """Negative control: the exact bug class (`sum(CASE…)` with no CAST
+    → HUGEINT) must be flagged by the audit helper, proving the check
+    has teeth."""
+    con = _duckdb_con_with_views()
+    bad = _nonportable_columns(
+        con,
+        "SELECT sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
+        "AS n_nulls FROM orders",
+    )
+    assert bad == [("n_nulls", "HUGEINT")], bad
