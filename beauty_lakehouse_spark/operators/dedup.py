@@ -979,8 +979,15 @@ def setsim_prefix_join(
             ).alias("token"),
         )
         .filter(F.col("token") != "")
-        # consumed by 3 branches (df/prefix build, both verify sides)
-        .localCheckpoint(eager=False)
+        # consumed by 3 branches (df/prefix build, both verify sides).
+        # cache(), not localCheckpoint: the CacheManager dedupes by
+        # canonical plan, so BOTH sides of every downstream self-join
+        # read the one materialization (lazy checkpoint only persists
+        # the marked node; exchange reuse does not fire across the
+        # differently-projected self-join sides, so the whole subtree
+        # above the checkpoint ran once per side — measured 24s -> 6s
+        # on the setsim_clusters rep domain at sf0.1)
+        .cache()
     )
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -1003,6 +1010,9 @@ def setsim_prefix_join(
         - F.expr(f"({num} * s + {den} - 1) div {den}")
         + F.lit(1)
     ).select("doc_id", "token", "s")
+    # both sides of the candidate self-join read this — cache so the
+    # df-rank window pipeline runs once, not once per side
+    prefix = prefix.cache()
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), "token", F.col("s").alias("sa")
     )
@@ -1021,9 +1031,10 @@ def setsim_prefix_join(
         .distinct()
     )
     if verify == "array":
+        # consumed by both verify sides — one collect_list aggregate
         docsets = tok.groupBy("doc_id").agg(
             F.array_sort(F.collect_list("token")).alias("toks")
-        )
+        ).cache()
         scored = (
             cand.join(
                 docsets.select(
@@ -1145,13 +1156,15 @@ def setsim_clusters(
                 F.col("sig"), F.concat(F.lit("empty:"), F.col("doc_id"))
             ),
         )
-        # consumed twice (reps build + label-back join) — without the
-        # checkpoint each consumer re-runs the token explode + sort
-        .localCheckpoint(eager=False)
+        # consumed twice (reps build + label-back join) — cache, so
+        # each consumer reads the one materialized token explode+sort
+        # (plan-keyed dedupe; a lazy checkpoint persisted only after
+        # each branch had already recomputed the subtree)
+        .cache()
     )
     reps = doc_sig.groupBy("sig").agg(F.min("doc_id").alias("rep"))
     # consumed 3x (rep_docs semi-join, CC nodes, label-back join)
-    reps = reps.localCheckpoint(eager=False)
+    reps = reps.cache()
     rep_docs = documents.join(
         reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )

@@ -59,6 +59,15 @@ HEADLINE = [
     "ccnet_buckets",          # perplexity-tercile corpus bucketing
     "merge_upsert_state",     # CoW MERGE with manifest partition pruning
     "lsh_index_maintained",   # ANN index build + incremental MERGE maintenance
+    # round-7 heavy tail (VERDICT r7 ask #4): every new expensive entry
+    # is benched the round it lands — the r5 part_golden_record lesson
+    "setsim_clusters",        # signature-collapse + prefix join + CC clustering
+    "substring_dedup",        # ExactSubstr window dedup + text reconstruction
+    "ann_topk_exactint",      # hash-verifiable grid ANN + fixed-point rerank
+    "cms_term_estimates",     # count-min sketch grid + point queries
+    # streaming drains beyond events_hourly_streamed (VERDICT r7 ask #6)
+    "winnow_fps_streamed",    # streamed winnowing fingerprints
+    "cms_cells_streamed",     # streamed count-min cell aggregate
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
@@ -184,6 +193,10 @@ def main() -> None:
         # cached re-read
         _tables._MERGE_SCENARIO_CACHE.clear()
         _sim._LSH_INDEX_CACHE.clear()
+        # operators cache shared self-join subtrees (plan-keyed) — drop
+        # them so every timed run pays the real recompute, not a
+        # cache re-read from the previous run
+        spark.catalog.clearCache()
 
     for name in HEADLINE:
         fn = queries[name]
