@@ -215,11 +215,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingles
 
     t = load(spark, sf_dir)
-    # consumed by both the train and test branches — truncate lineage so
-    # the tokenize/explode/df-cap pipeline runs once, not per branch
+    # consumed by both the train and test branches — cache so the
+    # tokenize/explode/df-cap pipeline runs once, not per branch
     sh = shingles(
         t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
-    ).localCheckpoint(eager=False)
+    ).cache()
     # split bucket is a pure function of doc_id — derive it post-shingle
     # rather than carrying a column through the explode.
     is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
@@ -267,8 +267,8 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_WIDTH}"))
         # feeds both the bucket-total branch and the final join —
-        # truncate lineage so the text scan + tokenization runs once
-        .localCheckpoint(eager=False)
+        # cache so the text scan + tokenization runs once
+        .cache()
     )
     bsums = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     wb = (
@@ -839,7 +839,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     sh = shingles(
         t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
-    ).localCheckpoint(eager=False)
+    ).cache()
     is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
     test_grams = sh.filter(is_test).select("shingle").distinct()
     train_gr = sh.filter(~is_test).select("doc_id", "shingle")
@@ -1030,7 +1030,7 @@ def q_skipgram_pairs(spark, sf_dir: str) -> DataFrame:
             "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "term")
         )
         .filter(F.col("term") != "")
-        .localCheckpoint(eager=False)  # probe + build sides
+        .cache()  # probe + build sides
     )
     offsets = [k for k in range(-SKIPGRAM_WINDOW, SKIPGRAM_WINDOW + 1) if k]
     probes = toks.select(
@@ -1092,7 +1092,7 @@ def q_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
     )
     scored = sc.select(
         "doc_id", "k", F.shiftright("k", CCNET_BUCKET_SHIFT).alias("bkt")
-    ).localCheckpoint(eager=False)
+    ).cache()
     sizes = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
     offs = sizes.select(
         "bkt",
@@ -1315,7 +1315,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.join(F.broadcast(boffs), "bucket")
         .withColumn("rk", F.row_number().over(wb) + F.col("off") - 1)
         .select("comp", "rk")
-        .localCheckpoint(eager=False)  # consumed by both sides of the shift join
+        .cache()  # consumed by both sides of the shift join
     )
     n_multi = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_clusters"))
     nxt = ranked.select(F.col("comp").alias("neg_comp"), F.col("rk").alias("nrk"))
@@ -1453,7 +1453,7 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = cc.withColumn("k", key).withColumn(
         "bucket", F.shiftright("k", 48)
-    ).localCheckpoint(eager=False)  # scoring pipeline consumed by 3 branches
+    ).cache()  # scoring pipeline consumed by 3 branches
     sizes = d.groupBy("tercile", "bucket").agg(F.count(F.lit(1)).alias("n"))
     offs = sizes.withColumn(
         "off",
@@ -1535,7 +1535,7 @@ def q_corpus_training_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("sub", F.expr("doc_id div 4096"))
-        .localCheckpoint(eager=False)  # scoring pipelines consumed twice
+        .cache()  # scoring pipelines consumed twice
     )
     sizes = d.groupBy("tercile", "bucket", "sub").agg(
         F.count(F.lit(1)).alias("n")

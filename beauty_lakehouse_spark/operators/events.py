@@ -204,9 +204,9 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.events.select("user_id", epoch_us("ts").alias("epoch_us"))
         .select("user_id", F.expr("epoch_us div 86400000000 div 7").alias("week"))
         .distinct()
-        # consumed by two branches (cohort agg + join) — truncate the
-        # lineage so the scan+distinct runs once, not per branch
-        .localCheckpoint(eager=False)
+        # consumed by two branches (cohort agg + join) — cache so the
+        # scan+distinct runs once, not per branch
+        .cache()
     )
     cohort = per_user_week.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (
@@ -273,7 +273,7 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("day"),
         )
         .distinct()
-        .localCheckpoint(eager=False)  # consumed by votes + day spine
+        .cache()  # consumed by votes + day spine
     )
     days = pairs.select("day").distinct()
     votes = pairs.select(

@@ -446,7 +446,7 @@ def media_phash_pairs(
     so there is no meaningful SQL oracle."""
     from .dedup import _bucket_pairs
 
-    h = perceptual_hashes(media, codec).localCheckpoint(eager=False)
+    h = perceptual_hashes(media, codec).cache()
     band_bits = PHASH_BITS // PHASH_BANDS
     mask = (1 << band_bits) - 1
     bands = h.select(

@@ -625,9 +625,7 @@ def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
     events = load(spark, sf_dir).events.filter(F.col("user_id").isNotNull())
-    regs = hll_registers(events, "user_id", keys=("event_type",)).localCheckpoint(
-        eager=False
-    )  # feeds the pair merge twice + the per-type estimates
+    regs = hll_registers(events, "user_id", keys=("event_type",)).cache()  # feeds the pair merge twice + the per-type estimates
     types = regs.select("event_type").distinct()
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
@@ -635,7 +633,7 @@ def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
             types.select(F.col("event_type").alias("type_b")),
             F.col("type_a") < F.col("type_b"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     tagged = (
         pairs.join(regs, regs.event_type == pairs.type_a)
@@ -649,9 +647,7 @@ def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
     merged = tagged.groupBy("type_a", "type_b", "idx").agg(
         F.max("m_rho").alias("m_rho")
     )
-    tu = events.select("event_type", "user_id").distinct().localCheckpoint(
-        eager=False
-    )
+    tu = events.select("event_type", "user_id").distinct().cache()
     exact_union = (
         pairs.join(tu, tu.event_type == pairs.type_a)
         .select("type_a", "type_b", "user_id")
@@ -1071,7 +1067,7 @@ def q_mad_outlier_stats(spark, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     e = t.events.select(
         "event_type", (dec2("value") * 100).cast("long").alias("c")
-    ).localCheckpoint(eager=False)  # feeds both grid passes + the flag scan
+    ).cache()  # feeds both grid passes + the flag scan
 
     def nearest_rank_median(df, col):
         grid = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("k"))
@@ -1276,7 +1272,7 @@ def q_cms_term_estimates(spark, sf_dir: str) -> DataFrame:
         t.documents.select(
             F.explode(F.split("text", " ")).alias("term")
         ).filter(F.col("term") != "")
-    ).localCheckpoint(eager=False)  # feeds sketch build AND exact side
+    ).cache()  # feeds sketch build AND exact side
     cells = cms_cells(toks)
     top = (
         toks.groupBy("term")

@@ -1257,7 +1257,7 @@ def q_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dim0") + 1).alias("dim"),
         F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
         .alias("q"),
-    ).localCheckpoint(eager=False)  # feeds seeds, distances and update
+    ).cache()  # feeds seeds, distances and update
     seeds = (
         t.embeddings.select("vec_id")
         .orderBy(
@@ -1385,14 +1385,14 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("m").cast(d38)
             ).alias("c"),
         )
-        .localCheckpoint(eager=False)
+        .cache()
     )
     gram = (
         cx.alias("a")
         .join(cx.alias("b"), "vec_id")
         .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
         .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("val"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     v = msum.select("dim", F.lit(1).cast("long").alias("v"))
     for _ in range(PCA_ROUNDS):
@@ -1510,7 +1510,7 @@ def embedding_outlier_flags(embeddings: DataFrame) -> DataFrame:
         F.floor(F.col("x").cast("double") * CENTROID_SCALE + F.lit(0.5))
         .cast("long")
         .alias("q"),
-    ).localCheckpoint(eager=False)  # feeds centroid build AND distance scan
+    ).cache()  # feeds centroid build AND distance scan
     cent = ex.groupBy("label", "dim").agg(
         (
             halfup_div(
@@ -1622,9 +1622,44 @@ LSH_IDX_BITS = 8
 LSH_IDX_SPLIT = 400
 
 #: Session-scoped cache of the maintained index table path, keyed by
-#: (applicationId, sf_dir) — the index is a persistent artifact; one
-#: session never re-runs the build+merge for the same corpus.
-_LSH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+#: (applicationId, sf_dir, fixture fingerprint) — the index is a
+#: persistent artifact; one session never re-runs the build+merge for
+#: the same corpus. The fingerprint (embeddings parquet mtime+size,
+#: see `_fixture_fingerprint`) invalidates the cache if the fixture at
+#: the same path is regenerated within one application (ADVICE r7).
+_LSH_INDEX_CACHE: dict[tuple[str, str, str], str] = {}
+
+#: Temp dirs created for maintained-index tables, removed at
+#: interpreter exit (they are per-process scratch, not durable tables).
+_LSH_INDEX_TMPDIRS: list[str] = []
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap content fingerprint of the embeddings fixture: the
+    (mtime_ns, size) of every file under embeddings.parquet. Changes
+    whenever the fixture is rewritten, without reading the data."""
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            st = os.stat(os.path.join(root, name))
+            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f"{st.st_mtime_ns}:{st.st_size}")
+    return "|".join(parts)
+
+
+def _cleanup_lsh_tmpdirs() -> None:
+    import shutil
+
+    for d in _LSH_INDEX_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit as _atexit
+
+_atexit.register(_cleanup_lsh_tmpdirs)
 
 
 def lsh_int_signatures(spark: SparkSession, vectors: DataFrame) -> DataFrame:
@@ -1725,13 +1760,17 @@ def q_lsh_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .. import tables
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _fixture_fingerprint(sf_dir),
+    )
     path = _LSH_INDEX_CACHE.get(key)
     if path is None:
         emb = load(spark, sf_dir).embeddings.select("vec_id", "embedding")
-        path = os.path.join(
-            tempfile.mkdtemp(prefix="bl_lshidx_"), "lsh_index"
-        )
+        tmpdir = tempfile.mkdtemp(prefix="bl_lshidx_")
+        _LSH_INDEX_TMPDIRS.append(tmpdir)
+        path = os.path.join(tmpdir, "lsh_index")
         v1 = emb.filter(F.col("vec_id") < LSH_IDX_SPLIT)
         tables.write_versioned(lsh_int_signatures(spark, v1), path)
         delta = emb.filter(F.col("vec_id") >= LSH_IDX_SPLIT)
@@ -1780,7 +1819,7 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes grow the query side ×9, never the corpus side."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    sig = lsh_int_signatures(spark, emb).localCheckpoint(eager=False)
+    sig = lsh_int_signatures(spark, emb).cache()
     qsig = sig.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
     probes = [F.col("sig")] + [
         F.expr(f"sig ^ shiftleft(CAST(1 AS BIGINT), {b})")

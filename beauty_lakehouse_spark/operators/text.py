@@ -495,7 +495,7 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams).alias("gram"))
         # consumed twice (corpus counts + the join back): materialize
         # once instead of re-running the scan+explode on both sides
-        .localCheckpoint(eager=False)
+        .cache()
     )
     counts = per_doc.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
     joined = per_doc.join(counts, "gram")
@@ -712,7 +712,7 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.prefix").alias("prefix"), F.col("g.gram").alias("gram"))
         # consumed three times (two count tables + the join back)
-        .localCheckpoint(eager=False)
+        .cache()
     )
     c_bg = per_doc.groupBy("gram").agg(
         F.count(F.lit(1)).alias("c_bg"),
@@ -834,7 +834,7 @@ def q_term_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= PMI_DOC_CAP)
         .drop("rn")
-        .localCheckpoint(eager=False)  # consumed by dft + both join sides
+        .cache()  # consumed by dft + both join sides
     )
     dft = capped.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     pairs = (
@@ -1047,7 +1047,7 @@ def q_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name-domain node ids: min part key per name
     name_id = part.groupBy("p_name").agg(
         F.min("p_partkey").alias("name_id")
-    ).localCheckpoint(eager=False)  # feeds edges, node list, row expand
+    ).cache()  # feeds edges, node list, row expand
     np_ = fuzzy_name_pairs(part)
     ia = name_id.select(F.col("p_name").alias("name_a"), F.col("name_id").alias("src"))
     ib = name_id.select(F.col("p_name").alias("name_b"), F.col("name_id").alias("dst"))

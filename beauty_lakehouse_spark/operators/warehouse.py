@@ -805,7 +805,7 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("segment"), "o_custkey", "cents"
         )
         .withColumn("bkt", F.shiftright("cents", GINI_BUCKET_SHIFT))
-        .localCheckpoint(eager=False)
+        .cache()
     )
     sizes = spend.groupBy("segment", "bkt").agg(F.count(F.lit(1)).alias("k"))
     offs = sizes.select(
@@ -874,7 +874,7 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum(dec2("o_totalprice")), 2).alias("spend_dec"),
         )
-        .localCheckpoint(eager=False)  # feeds three rank pipelines + output
+        .cache()  # feeds three rank pipelines + output
     )
 
     def rank_desc(metric: str, out: str):

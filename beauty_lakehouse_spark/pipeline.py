@@ -197,7 +197,7 @@ def run_corpus_pipeline(
     )
     docs = (
         t.documents.join(selected, "doc_id")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     n_kept = docs.count()
 
@@ -208,7 +208,7 @@ def run_corpus_pipeline(
     chunks = (
         curation.chunk_documents(docs)
         .join(docs.select("doc_id", "split", "source"), "doc_id")
-        .localCheckpoint(eager=False)
+        .cache()
     )
     n_chunks: dict[str, int] = {}
     for part in ("train", "val", "test"):

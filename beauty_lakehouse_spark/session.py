@@ -59,7 +59,13 @@ def get_spark(app_name: str = "beauty_lakehouse_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.driver.maxResultSize", "4g")
-        .config("spark.ui.enabled", "false")
+        # UI off by default (test/bench noise); SPARK_GRAFT_UI=1 turns
+        # it on for tooling that reads the /api/v1 status endpoints
+        # (scripts/scale_curve.py records per-query shuffle bytes)
+        .config(
+            "spark.ui.enabled",
+            "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
+        )
     )
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)

@@ -110,6 +110,48 @@ def test_embedding_neardup_finds_planted_pairs(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_embedding_fixture_has_no_genuine_neardup_pairs():
+    """Fixture-property guard (ADVICE r7): q_embedding_neardup's oracle
+    equality rests on the RAW fixture having ZERO genuine pairs at the
+    17/20 cosine gate — only the 3 deterministically-colliding planted
+    copies qualify. If a regenerated fixture introduced one genuine
+    near-pair the 6-table LSH happened to miss, the driver row would go
+    red as an unexplained hash mismatch; this asserts the property
+    directly (brute force over the raw sf0.01 fixture, the gate's SF,
+    same integer quantization as the oracle) so drift fails loudly
+    HERE instead."""
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        """
+        WITH q0 AS (
+          SELECT vec_id, list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5)
+                           AS BIGINT)) AS q
+          FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        q1 AS (SELECT vec_id, q,
+               CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT)
+               AS nq FROM q0),
+        p AS (SELECT a.q AS qa, b.q AS qb, a.nq AS na, b.nq AS nb
+              FROM q1 a JOIN q1 b ON a.vec_id < b.vec_id),
+        d AS (SELECT na, nb,
+              CAST(list_sum(list_transform(generate_series(1, len(qa)),
+                   i -> qa[CAST(i AS INT)] * qb[CAST(i AS INT)]))
+                   AS BIGINT) AS dot_q FROM p)
+        SELECT count(*) FROM d
+        WHERE dot_q > 0
+          AND CAST(dot_q AS HUGEINT) * CAST(dot_q AS HUGEINT) * 400
+              >= 289 * CAST(na AS HUGEINT) * CAST(nb AS HUGEINT)
+        """
+    ).fetchone()[0]
+    assert n == 0, (
+        f"fixture drift: {n} genuine near-pair(s) at cos >= 17/20 in the "
+        "raw embeddings fixture — q_embedding_neardup's LSH-equals-brute "
+        "oracle contract no longer holds by construction"
+    )
+
+
 def test_pagerank_invariants(spark, sf_dir):
     """Ranks are positive, sum to ~1 (probability mass conserved under
     the damping formulation), and are deterministic."""
