@@ -95,6 +95,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
     "table_stats",
+    "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -450,6 +451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-verifiable ANN serving: integer signatures + multi-probe
         # + fixed-point isqrt/halfup rerank, top-k oracle-matched
         "ann_topk_exactint": similarity.q_ann_topk_exactint,
+        "ivf_topk_exactint": similarity.q_ivf_topk_exactint,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -2211,6 +2213,69 @@ def oracle_sql() -> dict[str, str]:
             "cand AS (SELECT DISTINCT query_id, s.vec_id AS neighbor_id "
             "FROM qprobe JOIN intsig s ON s.tbl = qprobe.tbl "
             "AND s.sig = qprobe.bucket WHERE s.vec_id <> query_id), "
+            "qz AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT)) AS q FROM embeddings), "
+            "qn AS (SELECT vec_id, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) "
+            "AS nq FROM qz), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+            "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q, a.nq AS na, b.nq AS nb "
+            "FROM cand JOIN qn a ON a.vec_id = query_id "
+            "JOIN qn b ON b.vec_id = neighbor_id), "
+            "pos AS (SELECT query_id, neighbor_id, "
+            + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)
+            + " AS cos_micro FROM scored WHERE dot_q > 0), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+            "cos_micro FROM rk WHERE rank <= 5"
+        ),
+        "ivf_topk_exactint": (
+            # IVF serving twin: the kmeans_round CTEs (hash-seeded
+            # init, integer-L2 argmin, shifted half-up mean) build the
+            # cells, every vector is re-assigned to the UPDATED
+            # centroids, queries probe their 2 nearest cells, and the
+            # shared fixed-point isqrt/halfup rerank scores the probed
+            # candidates — candidates, scores and ranks bit-identical
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+            "::BIGINT, vec_id) AS INTEGER) AS cluster_id FROM embeddings "
+            "ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), "
+            "1, 15))::BIGINT, vec_id LIMIT 8), "
+            "se AS (SELECT cluster_id, dim, q AS c FROM sd "
+            "JOIN ex USING (vec_id)), "
+            "d0 AS (SELECT ex.vec_id AS vec_id, se.cluster_id AS cluster_id, "
+            "sum((ex.q - se.c) * (ex.q - se.c)) AS dist "
+            "FROM ex JOIN se ON se.dim = ex.dim GROUP BY 1, 2), "
+            "a0 AS (SELECT vec_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d0) "
+            "WHERE rn = 1), "
+            "cent AS (SELECT a0.cluster_id AS cluster_id, ex.dim AS dim, "
+            "CAST(CAST("
+            + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+            + " AS BIGINT) - 4000000 AS BIGINT) AS c "
+            "FROM ex JOIN a0 ON a0.vec_id = ex.vec_id GROUP BY 1, 2), "
+            "d1 AS (SELECT ex.vec_id AS vec_id, cent.cluster_id AS "
+            "cluster_id, sum((ex.q - cent.c) * (ex.q - cent.c)) AS dist "
+            "FROM ex JOIN cent ON cent.dim = ex.dim GROUP BY 1, 2), "
+            "a1 AS (SELECT vec_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d1) "
+            "WHERE rn = 1), "
+            "pr AS (SELECT vec_id AS query_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn "
+            "FROM d1 WHERE vec_id < 20) WHERE rn <= 2), "
+            "cand AS (SELECT query_id, a1.vec_id AS neighbor_id "
+            "FROM pr JOIN a1 USING (cluster_id) "
+            "WHERE a1.vec_id <> query_id), "
             "qz AS (SELECT vec_id, list_transform(embedding, "
             "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
             "AS BIGINT)) AS q FROM embeddings), "

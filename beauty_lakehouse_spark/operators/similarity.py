@@ -1843,6 +1843,17 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    return _exactint_rerank(emb, cand)
+
+
+def _exactint_rerank(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared fixed-point rerank of (query_id, neighbor_id) candidate
+    pairs: cos_micro = halfup_div(dot_q, isqrt(na)·isqrt(nb), 6) over
+    millionth-quantized components, positive-dot candidates only,
+    (score desc, neighbor_id asc) row_number, top-ANN_EXACT_K. Every
+    step is integer/exact-rational, so any candidate generator that is
+    itself deterministic (LSH grid, IVF cells) becomes hash-checkable
+    end to end. The isqrt contract (nq ≤ 2^52) RAISES when violated."""
     from ..functions import halfup_div, isqrt
 
     nq_raw = F.aggregate(
@@ -1864,7 +1875,7 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
             nq_raw > F.lit(ANN_EXACT_MAX_NQ),
             F.raise_error(
                 F.lit(
-                    "ann_topk_exactint norm contract violated: "
+                    "exactint rerank norm contract violated: "
                     "nq > 2^52 breaks the exact isqrt; normalize "
                     "vectors upstream"
                 )
@@ -1913,4 +1924,83 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
             "cos_micro",
         )
+    )
+
+
+#: q_ivf_topk_exactint geometry: cells probed per query. 2 of the
+#: KMEANS_K=8 one-round cells keeps the scored fraction ~1/4 while the
+#: planted/query structure still lands its true neighbors in-probe.
+IVF_EXACT_NPROBE = 2
+
+
+def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN SERVING, ORACLE-MATCHED end to end — the cell-probed
+    counterpart to `q_ann_topk_exactint`'s hash-grid serving (and the
+    hash-verifiable twin of the float `knn_ivf` family, which stays
+    bench-scored for recall):
+
+    1. **Cells** are the one-exact-Lloyd-round k-means centroids the
+       gate already verifies (`q_kmeans_round`: md5-hash-seeded init,
+       integer-L2 argmin, shifted half-up integer mean) — the trained
+       coarse quantizer every IVF index starts from.
+    2. **Assignment**: every corpus vector to its nearest updated
+       centroid by exact integer squared L2 (|diff| ≤ 2e6, d = 64 →
+       sums ≤ 2.6e14, no overflow), ties to the smallest cell id.
+    3. **Probing**: each query (vec_id < ANN_EXACT_QUERIES) visits its
+       IVF_EXACT_NPROBE nearest cells by the same integer distance —
+       candidates are the vectors assigned there, never the corpus.
+    4. **Rerank**: the shared `_exactint_rerank` fixed-point cosine —
+       candidates, scores, AND ranks bit-identical cross-engine.
+
+    Scale: the k·d centroid table broadcasts; assignment is one
+    map-side-combinable aggregate per vector; serving scans only the
+    probed cells' posting lists (nprobe/k of the corpus on average) —
+    the standard IVF serving shape, here with every arithmetic step
+    hash-checkable.
+
+    Output: (query_id, neighbor_id, rank, cos_micro)."""
+    t = load(spark, sf_dir)
+    cent = (
+        q_kmeans_round(spark, sf_dir)
+        .select("cluster_id", "dim", F.col("centroid_micro").alias("c"))
+        .cache()  # feeds corpus assignment AND query probing
+    )
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    d2 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "dist"
+            )
+        )
+        .cache()  # feeds the corpus argmin AND the query probe ranking
+    )
+    assign = (
+        d2.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
+        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    )
+    wq = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+    probes = (
+        d2.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_EXACT_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+    )
+    cand = (
+        probes.join(assign, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _exactint_rerank(
+        t.embeddings.select("vec_id", "embedding"), cand
     )

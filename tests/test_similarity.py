@@ -660,3 +660,90 @@ def test_ann_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+
+def test_ivf_topk_exactint_matches_pure_python(spark, sf_dir):
+    """Full independent reimplementation of the hash-verifiable IVF
+    serving path in pure Python (md5-seeded one-round k-means cells ->
+    integer re-assignment -> 2-nearest-cell probing -> integer rerank
+    -> half-up score -> (score desc, id) top-5): the Spark result must
+    match exactly, query for query."""
+    import hashlib
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        ANN_EXACT_K,
+        ANN_EXACT_QUERIES,
+        IVF_EXACT_NPROBE,
+        KMEANS_K,
+        KMEANS_OFFSET,
+        q_ivf_topk_exactint,
+    )
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def halfup0(a, b):  # halfup_div(a, b, 0) for a >= 0, b > 0
+        return (2 * a + b) // (2 * b)
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    }
+    q = {v: [math.floor(x * 1_000_000 + 0.5) for x in e] for v, e in emb.items()}
+    nq = {v: sum(c * c for c in qq) for v, qq in q.items()}
+    seeds = sorted(emb, key=lambda v: (phash(f"km:{v}"), v))[:KMEANS_K]
+    seed_vec = {cid + 1: q[v] for cid, v in enumerate(seeds)}
+
+    def argmin_cell(vec, cents):
+        return min(
+            (sum((a - c) ** 2 for a, c in zip(vec, cv)), cid)
+            for cid, cv in cents.items()
+        )[1]
+
+    a0 = {v: argmin_cell(q[v], seed_vec) for v in q}
+    cent = {}
+    for cid in seed_vec:
+        members = [v for v, c in a0.items() if c == cid]
+        cent[cid] = [
+            halfup0(
+                sum(q[v][j] for v in members) + len(members) * KMEANS_OFFSET,
+                len(members),
+            )
+            - KMEANS_OFFSET
+            for j in range(64)
+        ]
+    a1 = {v: argmin_cell(q[v], cent) for v in q}
+    want = {}
+    for qv in range(ANN_EXACT_QUERIES):
+        dists = sorted(
+            (sum((a - c) ** 2 for a, c in zip(q[qv], cv)), cid)
+            for cid, cv in cent.items()
+        )
+        probe_cells = {cid for _, cid in dists[:IVF_EXACT_NPROBE]}
+        cand = {v for v, c in a1.items() if c in probe_cells and v != qv}
+        scored = []
+        for nv in cand:
+            dot = sum(a * b for a, b in zip(q[qv], q[nv]))
+            if dot <= 0:
+                continue
+            den = math.isqrt(nq[qv]) * math.isqrt(nq[nv])
+            cos = ((2 * dot * 10**6 + den) // (2 * den)) / 1e6
+            scored.append((-cos, nv))
+        scored.sort()
+        want[qv] = [
+            (nv, i + 1, -negcos)
+            for i, (negcos, nv) in enumerate(scored[:ANN_EXACT_K])
+        ]
+
+    got = {}
+    for r in q_ivf_topk_exactint(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.rank, r.cos_micro)
+        )
+    for qv in got:
+        got[qv].sort(key=lambda x: x[1])
+    assert got == want
