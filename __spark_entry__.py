@@ -96,6 +96,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER_R8 = [
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
+    "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -452,6 +453,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # + fixed-point isqrt/halfup rerank, top-k oracle-matched
         "ann_topk_exactint": similarity.q_ann_topk_exactint,
         "ivf_topk_exactint": similarity.q_ivf_topk_exactint,
+        "pq_topk_exactint": similarity.q_pq_topk_exactint,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -2287,6 +2289,72 @@ def oracle_sql() -> dict[str, str]:
             "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
             "AS dot_q, a.nq AS na, b.nq AS nb "
             "FROM cand JOIN qn a ON a.vec_id = query_id "
+            "JOIN qn b ON b.vec_id = neighbor_id), "
+            "pos AS (SELECT query_id, neighbor_id, "
+            + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)
+            + " AS cos_micro FROM scored WHERE dot_q > 0), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+            "cos_micro FROM rk WHERE rank <= 5"
+        ),
+        "pq_topk_exactint": (
+            # PQ serving twin: per-subspace one-round codebooks from
+            # the same 'km:' seed vectors' sub-vectors, integer-L2
+            # encode, query ADC tables reusing the encoder distances,
+            # (adc, id) survivor pool, shared fixed-point rerank
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST((t.i - 1) // 8 AS INTEGER) AS sub, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+            "::BIGINT, vec_id) AS INTEGER) AS code_id FROM embeddings "
+            "ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), "
+            "1, 15))::BIGINT, vec_id LIMIT 8), "
+            "se AS (SELECT code_id, sub, dim, q AS c FROM sd "
+            "JOIN ex USING (vec_id)), "
+            "d0 AS (SELECT ex.vec_id AS vec_id, ex.sub AS sub, "
+            "se.code_id AS code_id, sum((ex.q - se.c) * (ex.q - se.c)) "
+            "AS dist FROM ex JOIN se ON se.dim = ex.dim GROUP BY 1, 2, 3), "
+            "a0 AS (SELECT vec_id, sub, code_id FROM "
+            "(SELECT vec_id, sub, code_id, row_number() OVER "
+            "(PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn "
+            "FROM d0) WHERE rn = 1), "
+            "cb AS (SELECT ex.sub AS sub, a0.code_id AS code_id, "
+            "ex.dim AS dim, CAST(CAST("
+            + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+            + " AS BIGINT) - 4000000 AS BIGINT) AS c "
+            "FROM ex JOIN a0 ON a0.vec_id = ex.vec_id AND a0.sub = ex.sub "
+            "GROUP BY 1, 2, 3), "
+            "d1 AS (SELECT ex.vec_id AS vec_id, ex.sub AS sub, "
+            "cb.code_id AS code_id, sum((ex.q - cb.c) * (ex.q - cb.c)) "
+            "AS dist FROM ex JOIN cb ON cb.dim = ex.dim GROUP BY 1, 2, 3), "
+            "codes AS (SELECT vec_id, sub, code_id FROM "
+            "(SELECT vec_id, sub, code_id, row_number() OVER "
+            "(PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn "
+            "FROM d1) WHERE rn = 1), "
+            "dtab AS (SELECT vec_id AS query_id, sub, code_id, dist "
+            "FROM d1 WHERE vec_id < 20), "
+            "adc AS (SELECT query_id, codes.vec_id AS neighbor_id, "
+            "CAST(sum(dist) AS BIGINT) AS adc "
+            "FROM codes JOIN dtab USING (sub, code_id) "
+            "WHERE codes.vec_id <> query_id GROUP BY 1, 2), "
+            "pool AS (SELECT query_id, neighbor_id FROM "
+            "(SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY adc, neighbor_id) AS pr "
+            "FROM adc) WHERE pr <= 40), "
+            "qz AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT)) AS q FROM embeddings), "
+            "qn AS (SELECT vec_id, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) "
+            "AS nq FROM qz), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+            "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q, a.nq AS na, b.nq AS nb "
+            "FROM pool JOIN qn a ON a.vec_id = query_id "
             "JOIN qn b ON b.vec_id = neighbor_id), "
             "pos AS (SELECT query_id, neighbor_id, "
             + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)

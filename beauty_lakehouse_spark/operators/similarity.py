@@ -2004,3 +2004,133 @@ def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exactint_rerank(
         t.embeddings.select("vec_id", "embedding"), cand
     )
+
+
+#: q_pq_topk_exactint geometry: 8 subspaces x 8 dims on the d=64
+#: fixture, 8 codes per subspace (the same md5 'km:' seed vectors
+#: donate their sub-vectors as initial codes), and an ADC survivor
+#: pool of k·8 per query before the exact rerank (recall@5 vs brute
+#: 0.33 at k·4 -> measured at k·8 below; the float knn_pq family's
+#: recall curve remains the bench-scored reference).
+PQ_EXACT_M = 8
+PQ_EXACT_SUBDIM = 8
+PQ_EXACT_POOL = ANN_EXACT_K * 8
+
+
+def q_pq_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN SERVING, ORACLE-MATCHED end to end —
+    the code-book member of the hash-verifiable serving family
+    (grid = `ann_topk_exactint`, cells = `ivf_topk_exactint`, codes =
+    this):
+
+    1. **Codebooks**: per subspace (8 × 8 dims), one exact Lloyd round
+       over the corpus' sub-vectors — initial codes are the SAME
+       md5-'km:'-seeded vectors kmeans_round uses (their sub-vectors),
+       assignment by integer L2 (tie → smallest code), update by the
+       shifted half-up integer mean. Empty cells simply vanish (both
+       engines argmin over the surviving codes).
+    2. **Encode**: every corpus vector → its per-subspace nearest
+       updated code (integer L2, deterministic ties).
+    3. **ADC**: a query's distance table to every (subspace, code) is
+       the same integer d² the encoder used; the asymmetric distance
+       of candidate v is the 8-term table sum at v's codes. Survivor
+       pool = PQ_EXACT_POOL smallest (adc, vec_id) per query.
+    4. **Rerank**: the shared `_exactint_rerank` fixed-point cosine
+       over the pool — candidates, scores AND ranks bit-identical.
+
+    Scale: codebooks are k·d rows (broadcast); encoding is one
+    map-side-combinable aggregate per vector; serving reads 8 small
+    table lookups per candidate instead of d multiplies — the
+    classical PQ memory/compute shape, every step hash-checkable.
+
+    Output: (query_id, neighbor_id, rank, cos_micro)."""
+    from ..functions import halfup_div, portable_hash64
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.expr(f"dim0 div {PQ_EXACT_SUBDIM}").cast("int").alias("sub"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    ).cache()  # feeds seed donation, both assignment rounds, the update
+    seed_w = Window.orderBy(
+        portable_hash64(
+            F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+        ),
+        "vec_id",
+    )
+    seeds = (
+        t.embeddings.select("vec_id")
+        .select(F.row_number().over(seed_w).alias("code_id"), "vec_id")
+        .filter(F.col("code_id") <= KMEANS_K)
+    )
+    seed_ex = seeds.join(ex, "vec_id").select(
+        "code_id", "sub", "dim", F.col("q").alias("c")
+    )
+    d0 = (
+        ex.join(F.broadcast(seed_ex), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "code_id")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "dist"
+            )
+        )
+    )
+    a0 = (
+        d0.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code_id")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"))
+    )
+    cb = (
+        ex.join(a0, ["vec_id", "sub"])
+        .groupBy("sub", "code_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+        .select(
+            "sub",
+            "code_id",
+            "dim",
+            (
+                halfup_div(
+                    F.col("s") + F.col("n") * KMEANS_OFFSET, F.col("n"), 0
+                ).cast("long")
+                - KMEANS_OFFSET
+            ).alias("c"),
+        )
+    )
+    d1 = (
+        ex.join(F.broadcast(cb), ["sub", "dim"])
+        .groupBy("vec_id", "sub", "code_id")
+        .agg(
+            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
+                "dist"
+            )
+        )
+        .cache()  # feeds the corpus encode AND the query ADC tables
+    )
+    codes = (
+        d1.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "code_id")).alias("m"))
+        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"))
+    )
+    dtab = d1.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "sub", "code_id", "dist"
+    )
+    adc = (
+        codes.join(dtab, ["sub", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").alias("adc"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    pool = (
+        adc.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= PQ_EXACT_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    return _exactint_rerank(
+        t.embeddings.select("vec_id", "embedding"), pool
+    )

@@ -65,6 +65,7 @@ HEADLINE = [
     "substring_dedup",        # ExactSubstr window dedup + text reconstruction
     "ann_topk_exactint",      # hash-verifiable grid ANN + fixed-point rerank
     "ivf_topk_exactint",      # hash-verifiable IVF cells ANN (new in r8)
+    "pq_topk_exactint",       # hash-verifiable PQ codes ANN (new in r8)
     "cms_term_estimates",     # count-min sketch grid + point queries
     # streaming drains beyond events_hourly_streamed (VERDICT r7 ask #6)
     "winnow_fps_streamed",    # streamed winnowing fingerprints
