@@ -219,7 +219,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenize/explode/df-cap pipeline runs once, not per branch
     sh = shingles(
         t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
-    ).cache()
+    ).localCheckpoint(eager=False)
     # split bucket is a pure function of doc_id — derive it post-shingle
     # rather than carrying a column through the explode.
     is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
@@ -839,7 +839,7 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     sh = shingles(
         t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
-    ).cache()
+    ).localCheckpoint(eager=False)
     is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
     test_grams = sh.filter(is_test).select("shingle").distinct()
     train_gr = sh.filter(~is_test).select("doc_id", "shingle")
@@ -1092,7 +1092,7 @@ def q_ccnet_buckets(spark, sf_dir: str) -> DataFrame:
     )
     scored = sc.select(
         "doc_id", "k", F.shiftright("k", CCNET_BUCKET_SHIFT).alias("bkt")
-    ).cache()
+    ).localCheckpoint(eager=False)
     sizes = scored.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
     offs = sizes.select(
         "bkt",

@@ -256,13 +256,13 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # joins); cache() so each reads one materialization (measured:
         # the shingle exchange appeared 3x in the executed plan when
         # the branches recomputed it).
-        .cache()
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -385,7 +385,7 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     # four consumers (both band-join sides + both hamming re-joins) —
     # cache so the 32-bit-vote pipeline runs once, not 4x
-    sig = simhash32(t.documents).cache()
+    sig = simhash32(t.documents).localCheckpoint(eager=False)
     cand = simhash_band_candidates(sig)
     ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     hb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
@@ -602,13 +602,13 @@ def neardup_edges(documents: DataFrame) -> DataFrame:
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= JACCARD_MAX_DOC_FREQ)
-        .cache()
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posting.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     pair_structs = F.flatten(
         F.transform(
@@ -795,7 +795,7 @@ def incremental_dedup(
         .filter(
             (F.size("old_docs") + F.size("new_docs")) <= JACCARD_MAX_DOC_FREQ
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     sizes = (
         posting.select(
@@ -803,7 +803,7 @@ def incremental_dedup(
         )
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_sh"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     cross = F.flatten(
         F.transform(
@@ -874,7 +874,7 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs) are scored; per-pair work is a 16-row signature merge
     plus one array intersection."""
     t = load(spark, sf_dir)
-    sig = minhash_signatures(t.documents).cache()
+    sig = minhash_signatures(t.documents).localCheckpoint(eager=False)
     cand = lsh_candidates(t.documents, sig=sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b"))
@@ -888,7 +888,7 @@ def q_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingles(t.documents)
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("ss"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     ja = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
     jb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))

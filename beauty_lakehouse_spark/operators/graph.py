@@ -126,7 +126,7 @@ def pagerank(
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
     norm = directed.join(out_w, "src").select(
         "src", "dst", (F.col("w") / F.col("out_w")).alias("p")
-    ).cache()
+    ).localCheckpoint(eager=False)
     vertices = (
         directed.select(F.col("src").alias("id"))
         .distinct()
@@ -203,7 +203,7 @@ def pagerank_exact(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         )
     ).localCheckpoint(eager=True)
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
-    norm = directed.join(out_w, "src").cache()
+    norm = directed.join(out_w, "src").localCheckpoint(eager=False)
     vertices = (
         directed.select(F.col("src").alias("id"))
         .distinct()
@@ -334,7 +334,7 @@ def q_product_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         copurchase_edges(t.lineitem)
         .filter(F.col("n_orders") >= 2)
         .select("part_a", "part_b")
-        .cache()
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
     e2 = edges.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))

@@ -1385,14 +1385,14 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("m").cast(d38)
             ).alias("c"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     gram = (
         cx.alias("a")
         .join(cx.alias("b"), "vec_id")
         .groupBy(F.col("a.dim").alias("di"), F.col("b.dim").alias("dj"))
         .agg(F.sum(F.col("a.c") * F.col("b.c")).alias("val"))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     v = msum.select("dim", F.lit(1).cast("long").alias("v"))
     for _ in range(PCA_ROUNDS):
@@ -1819,7 +1819,7 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes grow the query side ×9, never the corpus side."""
     t = load(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
-    sig = lsh_int_signatures(spark, emb).cache()
+    sig = lsh_int_signatures(spark, emb).localCheckpoint(eager=False)
     qsig = sig.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
     probes = [F.col("sig")] + [
         F.expr(f"sig ^ shiftleft(CAST(1 AS BIGINT), {b})")

@@ -1047,7 +1047,7 @@ def q_part_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     # name-domain node ids: min part key per name
     name_id = part.groupBy("p_name").agg(
         F.min("p_partkey").alias("name_id")
-    ).cache()  # feeds edges, node list, row expand
+    ).localCheckpoint(eager=False)  # feeds edges, node list, row expand
     np_ = fuzzy_name_pairs(part)
     ia = name_id.select(F.col("p_name").alias("name_a"), F.col("name_id").alias("src"))
     ib = name_id.select(F.col("p_name").alias("name_b"), F.col("name_id").alias("dst"))
