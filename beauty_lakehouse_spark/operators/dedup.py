@@ -931,7 +931,7 @@ def setsim_prefix_join(
     documents: DataFrame,
     num: int = SETSIM_NUM,
     den: int = SETSIM_DEN,
-    verify: str = "explode",
+    verify: str = "array",
 ) -> DataFrame:
     """All document pairs with distinct-word-token Jaccard ≥ num/den,
     via PREFIX FILTERING (the PPJoin/AllPairs family, Xiao et al. /
@@ -957,18 +957,19 @@ def setsim_prefix_join(
 
     Two exact verification strategies (r7), selected by ``verify``:
 
-    - ``"array"``: each doc's distinct-token array is materialized
-      once and every candidate pair is verified with ONE codegen
-      `array_intersect` — two hash joins at |cand| rows. Wins when
-      candidates ≫ output (the setsim_clusters rep domain: the
-      explode form's |cand|·s̄ row blowup measured 16.8s of a 26.8s
-      wall; array verify cut the 50k-doc tier 113s → 38s).
-    - ``"explode"`` (default): candidates re-exploded to (pair,
-      token) rows and re-grouped — skinny rows, no array payload.
-      Wins when the OUTPUT is pair-dense (the doc-domain pair form:
-      965k qualifying pairs at sf0.1 would each drag two ~100-token
-      arrays through the filter; measured 38.8s array vs 32.1s
-      explode)."""
+    - ``"array"`` (default since r8): each doc's distinct-token array
+      is materialized once (cached — both candidate sides read one
+      copy) and every candidate pair is verified with ONE codegen
+      `array_intersect` — two hash joins at |cand| rows. With the r8
+      cache fix this wins on BOTH registered domains: the
+      setsim_clusters rep form (|cand| ≫ output; array verify cut the
+      50k-doc tier 113s → 38s in r7 already) AND the pair-dense doc
+      form (965k output pairs at sf0.1: 3.3s array vs 10.9s explode —
+      r7's 38.8-vs-32.1 explode win was an artifact of the docsets
+      aggregate being recomputed per join side before it was cached).
+    - ``"explode"``: candidates re-exploded to (pair, token) rows and
+      re-grouped — skinny rows, no array payload. Kept as the fallback
+      for corpora whose token arrays are too wide to cache."""
     from pyspark.sql import Window
 
     tok = (
