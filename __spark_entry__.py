@@ -97,6 +97,7 @@ _DRIVER_ORDER_R8 = [
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
+    "ivfpq_topk_exactint",  # new in r8 — gate-verify the round it lands
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -454,6 +455,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_exactint": similarity.q_ann_topk_exactint,
         "ivf_topk_exactint": similarity.q_ivf_topk_exactint,
         "pq_topk_exactint": similarity.q_pq_topk_exactint,
+        "ivfpq_topk_exactint": similarity.q_ivfpq_topk_exactint,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -2289,6 +2291,106 @@ def oracle_sql() -> dict[str, str]:
             "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
             "AS dot_q, a.nq AS na, b.nq AS nb "
             "FROM cand JOIN qn a ON a.vec_id = query_id "
+            "JOIN qn b ON b.vec_id = neighbor_id), "
+            "pos AS (SELECT query_id, neighbor_id, "
+            + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)
+            + " AS cos_micro FROM scored WHERE dot_q > 0), "
+            "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) "
+            "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+            "cos_micro FROM rk WHERE rank <= 5"
+        ),
+        "ivfpq_topk_exactint": (
+            # composed IVF-PQ twin: the IVF chain (cells + assignment
+            # + probes) restricts WHICH vectors are scored, the PQ
+            # chain (codebooks + codes + ADC tables) decides HOW;
+            # shared seeds, shared fixed-point rerank tail
+            "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+            "CAST((t.i - 1) // 8 AS INTEGER) AS sub, "
+            "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+            "sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+            "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+            "::BIGINT, vec_id) AS INTEGER) AS sid FROM embeddings "
+            "ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), "
+            "1, 15))::BIGINT, vec_id LIMIT 8), "
+            # --- IVF chain ---
+            "se AS (SELECT sid AS cluster_id, dim, q AS c FROM sd "
+            "JOIN ex USING (vec_id)), "
+            "d0 AS (SELECT ex.vec_id AS vec_id, se.cluster_id AS cluster_id, "
+            "sum((ex.q - se.c) * (ex.q - se.c)) AS dist "
+            "FROM ex JOIN se ON se.dim = ex.dim GROUP BY 1, 2), "
+            "a0 AS (SELECT vec_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d0) "
+            "WHERE rn = 1), "
+            "cent AS (SELECT a0.cluster_id AS cluster_id, ex.dim AS dim, "
+            "CAST(CAST("
+            + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+            + " AS BIGINT) - 4000000 AS BIGINT) AS c "
+            "FROM ex JOIN a0 ON a0.vec_id = ex.vec_id GROUP BY 1, 2), "
+            "d1 AS (SELECT ex.vec_id AS vec_id, cent.cluster_id AS "
+            "cluster_id, sum((ex.q - cent.c) * (ex.q - cent.c)) AS dist "
+            "FROM ex JOIN cent ON cent.dim = ex.dim GROUP BY 1, 2), "
+            "a1 AS (SELECT vec_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d1) "
+            "WHERE rn = 1), "
+            "pr AS (SELECT vec_id AS query_id, cluster_id FROM "
+            "(SELECT vec_id, cluster_id, row_number() OVER "
+            "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn "
+            "FROM d1 WHERE vec_id < 20) WHERE rn <= 2), "
+            # --- PQ chain ---
+            "pse AS (SELECT sid AS code_id, sub, dim, q AS c FROM sd "
+            "JOIN ex USING (vec_id)), "
+            "pd0 AS (SELECT ex.vec_id AS vec_id, ex.sub AS sub, "
+            "pse.code_id AS code_id, sum((ex.q - pse.c) * (ex.q - pse.c)) "
+            "AS dist FROM ex JOIN pse ON pse.dim = ex.dim GROUP BY 1, 2, 3), "
+            "pa0 AS (SELECT vec_id, sub, code_id FROM "
+            "(SELECT vec_id, sub, code_id, row_number() OVER "
+            "(PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn "
+            "FROM pd0) WHERE rn = 1), "
+            "pcb AS (SELECT ex.sub AS sub, pa0.code_id AS code_id, "
+            "ex.dim AS dim, CAST(CAST("
+            + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+            + " AS BIGINT) - 4000000 AS BIGINT) AS c "
+            "FROM ex JOIN pa0 ON pa0.vec_id = ex.vec_id AND pa0.sub = ex.sub "
+            "GROUP BY 1, 2, 3), "
+            "pd1 AS (SELECT ex.vec_id AS vec_id, ex.sub AS sub, "
+            "pcb.code_id AS code_id, sum((ex.q - pcb.c) * (ex.q - pcb.c)) "
+            "AS dist FROM ex JOIN pcb ON pcb.dim = ex.dim GROUP BY 1, 2, 3), "
+            "pcodes AS (SELECT vec_id, sub, code_id FROM "
+            "(SELECT vec_id, sub, code_id, row_number() OVER "
+            "(PARTITION BY vec_id, sub ORDER BY dist, code_id) AS rn "
+            "FROM pd1) WHERE rn = 1), "
+            "pdtab AS (SELECT vec_id AS query_id, sub, code_id, dist "
+            "FROM pd1 WHERE vec_id < 20), "
+            # --- composition ---
+            "ic AS (SELECT query_id, a1.vec_id AS vec_id "
+            "FROM pr JOIN a1 USING (cluster_id) "
+            "WHERE a1.vec_id <> query_id), "
+            "adc AS (SELECT ic.query_id AS query_id, "
+            "ic.vec_id AS neighbor_id, CAST(sum(pdtab.dist) AS BIGINT) "
+            "AS adc FROM ic "
+            "JOIN pcodes ON pcodes.vec_id = ic.vec_id "
+            "JOIN pdtab ON pdtab.query_id = ic.query_id "
+            "AND pdtab.sub = pcodes.sub AND pdtab.code_id = pcodes.code_id "
+            "GROUP BY 1, 2), "
+            "pool AS (SELECT query_id, neighbor_id FROM "
+            "(SELECT query_id, neighbor_id, row_number() OVER "
+            "(PARTITION BY query_id ORDER BY adc, neighbor_id) AS pr2 "
+            "FROM adc) WHERE pr2 <= 40), "
+            "qz AS (SELECT vec_id, list_transform(embedding, "
+            "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+            "AS BIGINT)) AS q FROM embeddings), "
+            "qn AS (SELECT vec_id, q, "
+            "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) "
+            "AS nq FROM qz), "
+            "scored AS (SELECT query_id, neighbor_id, "
+            "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+            "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
+            "AS dot_q, a.nq AS na, b.nq AS nb "
+            "FROM pool JOIN qn a ON a.vec_id = query_id "
             "JOIN qn b ON b.vec_id = neighbor_id), "
             "pos AS (SELECT query_id, neighbor_id, "
             + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)

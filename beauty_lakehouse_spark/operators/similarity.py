@@ -1960,6 +1960,26 @@ def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (query_id, neighbor_id, rank, cos_micro)."""
     t = load(spark, sf_dir)
+    assign, probes = _ivf_assign_and_probes(spark, sf_dir)
+    cand = (
+        probes.join(assign, "cluster_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _exactint_rerank(
+        t.embeddings.select("vec_id", "embedding"), cand
+    )
+
+
+def _ivf_assign_and_probes(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """IVF structure shared by q_ivf_topk_exactint and the IVF-PQ
+    composition: ``assign`` (vec_id, cluster_id) — every corpus vector
+    to its nearest one-round k-means centroid by exact integer L2 —
+    and ``probes`` (query_id, cluster_id) — each query's
+    IVF_EXACT_NPROBE nearest cells."""
+    t = load(spark, sf_dir)
     cent = (
         q_kmeans_round(spark, sf_dir)
         .select("cluster_id", "dim", F.col("centroid_micro").alias("c"))
@@ -1996,14 +2016,7 @@ def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= IVF_EXACT_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cluster_id")
     )
-    cand = (
-        probes.join(assign, "cluster_id")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
-    return _exactint_rerank(
-        t.embeddings.select("vec_id", "embedding"), cand
-    )
+    return assign, probes
 
 
 #: q_pq_topk_exactint geometry: 8 subspaces x 8 dims on the d=64
@@ -2044,6 +2057,33 @@ def q_pq_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     classical PQ memory/compute shape, every step hash-checkable.
 
     Output: (query_id, neighbor_id, rank, cos_micro)."""
+    t = load(spark, sf_dir)
+    codes, dtab = _pq_codes_and_dtab(spark, sf_dir)
+    adc = (
+        codes.join(dtab, ["sub", "code_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").alias("adc"))
+    )
+    wp = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    pool = (
+        adc.withColumn("pr", F.row_number().over(wp))
+        .filter(F.col("pr") <= PQ_EXACT_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    return _exactint_rerank(
+        t.embeddings.select("vec_id", "embedding"), pool
+    )
+
+
+def _pq_codes_and_dtab(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """PQ structure shared by q_pq_topk_exactint and the IVF-PQ
+    composition: ``codes`` (vec_id, sub, code_id) — every corpus
+    vector's per-subspace nearest updated code — and ``dtab``
+    (query_id, sub, code_id, dist) — each query's integer ADC
+    distance table over the surviving codes."""
     from ..functions import halfup_div, portable_hash64
 
     t = load(spark, sf_dir)
@@ -2119,9 +2159,38 @@ def q_pq_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     dtab = d1.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
         F.col("vec_id").alias("query_id"), "sub", "code_id", "dist"
     )
-    adc = (
-        codes.join(dtab, ["sub", "code_id"])
+    return codes, dtab
+
+
+def q_ivfpq_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN SERVING, ORACLE-MATCHED end to end — the composed
+    capstone of the hash-verifiable serving family (grid / cells /
+    codes / cells×codes), and the exact-int twin of the float
+    `knn_ivfpq` family: the IVF coarse quantizer restricts WHICH
+    vectors are scored (the query's IVF_EXACT_NPROBE nearest one-round
+    k-means cells), the PQ codebooks decide HOW they are scored
+    (integer ADC table lookups instead of d-dim arithmetic), and the
+    shared fixed-point rerank scores the PQ_EXACT_POOL ADC survivors
+    exactly. Every stage reuses the already-gate-verified structures
+    (`_ivf_assign_and_probes`, `_pq_codes_and_dtab`), so candidates,
+    scores AND ranks stay bit-identical cross-engine.
+
+    Scale: the classical IVF-PQ serving shape — posting lists bound
+    the scored set to ~nprobe/k of the corpus, ADC bounds per-candidate
+    cost to M table lookups; both index structures broadcast.
+
+    Output: (query_id, neighbor_id, rank, cos_micro)."""
+    t = load(spark, sf_dir)
+    assign, probes = _ivf_assign_and_probes(spark, sf_dir)
+    codes, dtab = _pq_codes_and_dtab(spark, sf_dir)
+    in_cell = (
+        probes.join(assign, "cluster_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    adc = (
+        in_cell.join(codes, "vec_id")
+        .join(dtab, ["query_id", "sub", "code_id"])
         .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
         .agg(F.sum("dist").alias("adc"))
     )

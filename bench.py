@@ -66,6 +66,7 @@ HEADLINE = [
     "ann_topk_exactint",      # hash-verifiable grid ANN + fixed-point rerank
     "ivf_topk_exactint",      # hash-verifiable IVF cells ANN (new in r8)
     "pq_topk_exactint",       # hash-verifiable PQ codes ANN (new in r8)
+    "ivfpq_topk_exactint",    # hash-verifiable IVF-PQ composition (new in r8)
     "cms_term_estimates",     # count-min sketch grid + point queries
     # streaming drains beyond events_hourly_streamed (VERDICT r7 ask #6)
     "winnow_fps_streamed",    # streamed winnowing fingerprints

@@ -864,3 +864,141 @@ def test_pq_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+
+def test_ivfpq_topk_exactint_matches_pure_python(spark, sf_dir):
+    """Full independent reimplementation of the composed IVF-PQ
+    serving path in pure Python: IVF cells restrict the candidate set
+    (2 nearest one-round k-means cells), PQ ADC ranks the in-cell
+    candidates, the exact-int rerank scores the survivor pool. The
+    Spark result must match exactly."""
+    import hashlib
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        ANN_EXACT_K,
+        ANN_EXACT_QUERIES,
+        IVF_EXACT_NPROBE,
+        KMEANS_K,
+        KMEANS_OFFSET,
+        PQ_EXACT_M,
+        PQ_EXACT_POOL,
+        PQ_EXACT_SUBDIM,
+        q_ivfpq_topk_exactint,
+    )
+
+    def phash(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def halfup0(a, b):
+        return (2 * a + b) // (2 * b)
+
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    }
+    q = {v: [math.floor(x * 1_000_000 + 0.5) for x in e] for v, e in emb.items()}
+    nq = {v: sum(c * c for c in qq) for v, qq in q.items()}
+    seeds = sorted(emb, key=lambda v: (phash(f"km:{v}"), v))[:KMEANS_K]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def subvec(vec, s):
+        return vec[s * PQ_EXACT_SUBDIM : (s + 1) * PQ_EXACT_SUBDIM]
+
+    # IVF: one-round cells + assignment + probes
+    seed_vec = {cid + 1: q[v] for cid, v in enumerate(seeds)}
+    a0 = {
+        v: min((d2(q[v], cv), cid) for cid, cv in seed_vec.items())[1]
+        for v in q
+    }
+    cent = {}
+    for cid in seed_vec:
+        members = [v for v, c in a0.items() if c == cid]
+        cent[cid] = [
+            halfup0(
+                sum(q[v][j] for v in members) + len(members) * KMEANS_OFFSET,
+                len(members),
+            )
+            - KMEANS_OFFSET
+            for j in range(64)
+        ]
+    a1 = {v: min((d2(q[v], cv), cid) for cid, cv in cent.items())[1] for v in q}
+
+    # PQ: per-subspace one-round codebooks + codes
+    init = {
+        (s, k + 1): subvec(q[v], s)
+        for s in range(PQ_EXACT_M)
+        for k, v in enumerate(seeds)
+    }
+    pa0 = {
+        (v, s): min(
+            (d2(subvec(q[v], s), init[(s, k)]), k)
+            for k in range(1, KMEANS_K + 1)
+        )[1]
+        for v in q
+        for s in range(PQ_EXACT_M)
+    }
+    cb = {}
+    for s in range(PQ_EXACT_M):
+        for k in range(1, KMEANS_K + 1):
+            members = [v for v in q if pa0[(v, s)] == k]
+            if not members:
+                continue
+            cb[(s, k)] = [
+                halfup0(
+                    sum(subvec(q[v], s)[j] for v in members)
+                    + len(members) * KMEANS_OFFSET,
+                    len(members),
+                )
+                - KMEANS_OFFSET
+                for j in range(PQ_EXACT_SUBDIM)
+            ]
+    codes = {
+        (v, s): min(
+            (d2(subvec(q[v], s), cv), k) for (cs, k), cv in cb.items() if cs == s
+        )[1]
+        for v in q
+        for s in range(PQ_EXACT_M)
+    }
+
+    want = {}
+    for qv in range(ANN_EXACT_QUERIES):
+        cells = sorted((d2(q[qv], cv), cid) for cid, cv in cent.items())
+        probe_cells = {cid for _, cid in cells[:IVF_EXACT_NPROBE]}
+        in_cell = [v for v, c in a1.items() if c in probe_cells and v != qv]
+        dtab = {(s, k): d2(subvec(q[qv], s), cv) for (s, k), cv in cb.items()}
+        adc = sorted(
+            (
+                sum(dtab[(s, codes[(v, s)])] for s in range(PQ_EXACT_M)),
+                v,
+            )
+            for v in in_cell
+        )
+        pool = [v for _, v in adc[:PQ_EXACT_POOL]]
+        scored = []
+        for nv in pool:
+            dot = sum(a * b for a, b in zip(q[qv], q[nv]))
+            if dot <= 0:
+                continue
+            den = math.isqrt(nq[qv]) * math.isqrt(nq[nv])
+            cos = ((2 * dot * 10**6 + den) // (2 * den)) / 1e6
+            scored.append((-cos, nv))
+        scored.sort()
+        want[qv] = [
+            (nv, i + 1, -negcos)
+            for i, (negcos, nv) in enumerate(scored[:ANN_EXACT_K])
+        ]
+
+    got = {}
+    for r in q_ivfpq_topk_exactint(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.rank, r.cos_micro)
+        )
+    for qv in got:
+        got[qv].sort(key=lambda x: x[1])
+    assert got == want
