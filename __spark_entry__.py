@@ -98,6 +98,7 @@ _DRIVER_ORDER_R8 = [
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
     "ivfpq_topk_exactint",  # new in r8 — gate-verify the round it lands
+    "table_stats_streamed",  # new in r8 — gate-verify the round it lands
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -562,6 +563,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct_streamed": _q_hll_distinct_streamed,
         "hll_users_hourly_streamed": _q_hll_users_hourly_streamed,
         "cms_cells_streamed": _q_cms_cells_streamed,
+        "table_stats_streamed": _q_table_stats_streamed,
         "event_anomalies_streamed": _q_event_anomalies_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
@@ -869,6 +871,32 @@ def _q_hll_users_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.hll_estimate_from_registers(
         regs, exact, keys=("hour_us",)
     )
+
+
+def _q_table_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style orders profile with its per-column VALUE GRID
+    maintained as one complete-mode streaming aggregate and drained,
+    then finished batch-side into the exact `table_stats` report —
+    the 13th oracle-matched streaming drain, behind the SAME oracle
+    row as the batch profile (register/finish split, exactly like the
+    HLL and volume-anomaly drains). Count over the grid key is
+    additive and order-insensitive, so the report is micro-batch-
+    slicing-independent; exact-NDV state is one row per distinct
+    value (the HLL drain is the bounded-state sibling)."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.quality import table_stats_finish
+    from beauty_lakehouse_spark.streaming import (
+        order_stats_value_grid,
+        run_available_now,
+        stream_orders,
+    )
+
+    grid = run_available_now(
+        order_stats_value_grid(stream_orders(spark, sf_dir)),
+        f"gate_tstats_{uuid.uuid4().hex[:8]}",
+    )
+    return table_stats_finish(grid)
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3900,6 +3928,7 @@ def oracle_sql() -> dict[str, str]:
     # salted-rewrite twins: same oracle as the direct form
     out["order_enriched_salted"] = out["order_enriched"]
     out["events_hourly_streamed"] = out["events_hourly"]
+    out["table_stats_streamed"] = out["table_stats"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

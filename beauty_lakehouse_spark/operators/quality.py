@@ -966,6 +966,58 @@ def q_table_stats(spark, sf_dir: str) -> DataFrame:
     return report
 
 
+def table_stats_finish(grid) -> "DataFrame":
+    """Batch FINISH over the drained streaming value grid
+    (`streaming.order_stats_value_grid`): reproduce the exact
+    `q_table_stats` report — (column, n_rows, n_nulls, n_distinct,
+    min_int, max_int, min_str, max_str) — from ``(column, vint, vstr,
+    n)``. Every statistic is a function of the value MULTISET, which
+    the grid preserves exactly: n_rows = Σn, n_nulls = Σn over the
+    all-null rows, exact NDV = the non-null grid row count, extremes =
+    min/max over grid keys (the date column's epoch-micros key is
+    collapsed to the report's epoch days here, AFTER the min/max, the
+    same order the batch query applies datediff to min/max)."""
+    null_long = F.lit(None).cast("long")
+    null_str = F.lit(None).cast("string")
+    report = None
+    for col, kind in STATS_COLUMNS:
+        g = grid.filter(F.col("column") == col)
+        is_null = F.col("vint").isNull() & F.col("vstr").isNull()
+        if kind == "date":
+            mn = F.datediff(
+                F.timestamp_micros(F.min("vint")).cast("date"),
+                F.lit("1970-01-01"),
+            ).cast("long")
+            mx = F.datediff(
+                F.timestamp_micros(F.max("vint")).cast("date"),
+                F.lit("1970-01-01"),
+            ).cast("long")
+            ms, xs = null_str, null_str
+        elif kind == "string":
+            mn, mx = null_long, null_long
+            ms, xs = F.min("vstr"), F.max("vstr")
+        else:  # bigint / money: grid key already the report integer
+            mn = F.min("vint").cast("long")
+            mx = F.max("vint").cast("long")
+            ms, xs = null_str, null_str
+        one = g.agg(
+            F.lit(col).alias("column"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(is_null, F.col("n"))), F.lit(0)
+            ).cast("long").alias("n_nulls"),
+            F.count(F.when(~is_null, F.lit(1))).cast("long").alias(
+                "n_distinct"
+            ),
+            mn.alias("min_int"),
+            mx.alias("max_int"),
+            ms.alias("min_str"),
+            xs.alias("max_str"),
+        )
+        report = one if report is None else report.unionByName(one)
+    return report
+
+
 #: Winsorization cut points: clamp below the p_lo-th and above the
 #: p_hi-th nearest-rank percentile (classic 5/95).
 WINSOR_LO_NUM, WINSOR_LO_DEN = 1, 20

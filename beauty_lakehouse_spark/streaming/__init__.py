@@ -15,10 +15,12 @@ from .pipelines import (  # noqa: F401
     hourly_user_hll_registers,
     hourly_event_counts,
     latest_event_table,
+    order_stats_value_grid,
     run_available_now,
     session_values,
     stream_documents,
     stream_events,
+    stream_orders,
     user_purchase_totals,
     view_purchase_attribution,
 )

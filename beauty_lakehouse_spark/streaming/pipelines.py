@@ -336,3 +336,64 @@ def cms_user_cells(events: DataFrame) -> DataFrame:
     return cms_cells(
         events.select(F.col("user_id").cast("string").alias("term"))
     )
+
+
+def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the orders fixture (file source, schema
+    probed from the parquet footer) — the landing-zone tail of a
+    streaming warehouse-ingest pipeline. Orders carry no event-time
+    column the profile consumes, so no timestamp normalization is
+    needed (o_orderdate flows through with its on-disk type, exactly
+    as the batch `catalog.load` path reads it)."""
+    path = f"{sf_dir}/orders.parquet"
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(
+        f"{sf_dir}/orders.parque[t]"
+    )
+
+
+def order_stats_value_grid(orders: DataFrame) -> DataFrame:
+    """Streaming VALUE GRID for the orders profile: one complete-mode
+    aggregate over the union of the six profiled columns' normalized
+    values — ``(column, vint, vstr, n)``, where per kind the grid key
+    is the exact integer lift the batch profile ends at (raw BIGINT
+    for keys, cents for money, epoch micros for the date column — so
+    distinct grid keys ≡ the batch's exact distinct values) and n is
+    the value's row count. Count is additive and order-insensitive,
+    so the drained grid is micro-batch-slicing-independent and
+    `quality.table_stats_finish` reproduces the batch `table_stats`
+    report from it bit-for-bit.
+
+    State: one row per distinct value per column — the price of EXACT
+    NDV (information-theoretically unavoidable); the bounded-state
+    sibling is the HLL register drain (`hll_register_stream`), which
+    the engine also ships oracle-checked."""
+    from ..functions import dec2
+    from ..operators.quality import STATS_COLUMNS
+
+    branches = []
+    for col, kind in STATS_COLUMNS:
+        null_long = F.lit(None).cast("long")
+        null_str = F.lit(None).cast("string")
+        if kind == "bigint":
+            vint, vstr = F.col(col).cast("long"), null_str
+        elif kind == "money":
+            vint, vstr = (dec2(col) * 100).cast("long"), null_str
+        elif kind == "date":
+            vint = F.unix_micros(F.col(col).cast("timestamp"))
+            vstr = null_str
+        else:  # string
+            vint, vstr = null_long, F.col(col)
+        branches.append(
+            orders.select(
+                F.lit(col).alias("column"),
+                vint.alias("vint"),
+                vstr.alias("vstr"),
+            )
+        )
+    u = branches[0]
+    for b in branches[1:]:
+        u = u.unionByName(b)
+    return u.groupBy("column", "vint", "vstr").agg(
+        F.count(F.lit(1)).alias("n")
+    )

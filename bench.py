@@ -71,6 +71,7 @@ HEADLINE = [
     # streaming drains beyond events_hourly_streamed (VERDICT r7 ask #6)
     "winnow_fps_streamed",    # streamed winnowing fingerprints
     "cms_cells_streamed",     # streamed count-min cell aggregate
+    "table_stats_streamed",   # streamed ANALYZE profile drain (new in r8)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -322,3 +322,37 @@ def test_hll_register_stream_equals_batch_sketch(spark, sf_dir):
     streamed = quality.hll_estimate_from_registers(drained, exact).first()
     batch = quality.hll_estimate(docs, "doc_id").first()
     assert tuple(streamed) == tuple(batch)
+
+
+def test_table_stats_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the orders fixture into 4 files and stream them one file
+    per micro-batch: the drained value grid, finished batch-side, must
+    equal the batch q_table_stats report exactly — the profile is a
+    function of the value multiset, which complete-mode count
+    preserves across any micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import (
+        q_table_stats,
+        table_stats_finish,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        order_stats_value_grid,
+    )
+
+    src = str(tmp_path / "orders_parts")
+    orders = load(spark, sf_dir).orders
+    orders.withColumn(
+        "part", (F.col("o_orderkey") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(order_stats_value_grid(stream), "t_tstats_mb")
+    got = table_stats_finish(grid)
+    expected = q_table_stats(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
