@@ -99,6 +99,7 @@ _DRIVER_ORDER_R8 = [
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
     "ivfpq_topk_exactint",  # new in r8 — gate-verify the round it lands
     "table_stats_streamed",  # new in r8 — gate-verify the round it lands
+    "ddsketch_value_quantiles",  # new in r8 — gate-verify the round it lands
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -541,6 +542,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # frequency queries from fixed memory; portable integer math,
         # bit-identical DuckDB twin)
         "cms_term_estimates": quality.q_cms_term_estimates,
+        "ddsketch_value_quantiles": quality.q_ddsketch_value_quantiles,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -3792,6 +3794,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(max(CAST(o_orderdate AS DATE)) - DATE '1970-01-01' "
             "AS BIGINT), "
             "CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM orders"
+        ),
+        "ddsketch_value_quantiles": (
+            # DDSketch-style log-bucket quantile brackets: identical
+            # fixed-point ln bucketing (ln_micro, gamma=1.02), integer
+            # nearest-rank probe, exact per-bucket min/max cents
+            "WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) "
+            "* 100 AS BIGINT) AS cents FROM orders), "
+            "cp AS (SELECT cents FROM c WHERE cents >= 1), "
+            "b AS (SELECT (" + _lnm("cents", "1") + ") // 19803 AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n, min(cents) AS lo_cents, "
+            "max(cents) AS hi_cents FROM cp GROUP BY 1), "
+            "cum AS (SELECT bucket, n, lo_cents, hi_cents, "
+            "CAST(sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM b), "
+            "tot AS (SELECT max(cum) AS n_total FROM cum), "
+            "qs AS (SELECT unnest([50, 90, 99]) AS quantile), "
+            "probe AS (SELECT quantile, CAST((quantile * n_total + 99) "
+            "// 100 AS BIGINT) AS rank FROM qs, tot) "
+            "SELECT CAST(quantile AS INTEGER) AS quantile, rank, "
+            "CAST(bucket AS BIGINT) AS bucket, n AS n_in_bucket, "
+            "lo_cents, hi_cents FROM probe JOIN cum "
+            "ON cum.cum >= probe.rank AND cum.cum - cum.n < probe.rank"
         ),
         "cms_term_estimates": (
             # bit-identical count-min sketch: same portable hash, same

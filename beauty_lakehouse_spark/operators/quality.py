@@ -391,6 +391,112 @@ def q_quantile_sketches(spark, sf_dir: str) -> DataFrame:
     return report
 
 
+#: DDSketch bucket step in micro-nats: ln(1.02) · 10^6 — consecutive
+#: bucket bounds are a factor γ = 1.02 apart, so any value in a bucket
+#: is within ~2% relative of its bounds (the DDSketch guarantee,
+#: Masson et al., VLDB 2019).
+DDS_STEP_UNATS = 19_803
+DDS_QUANTILES = (50, 90, 99)
+
+
+def ddsketch_cents_buckets(cents: DataFrame) -> DataFrame:
+    """Mergeable DDSketch-style log-bucket table over a positive
+    integer ``cents`` column: bucket id = fixed-point ln(cents) div
+    DDS_STEP_UNATS (`functions.ln_micro` — NO float ln, so both
+    engines bucket identically), with per-bucket count and EXACT
+    min/max cents. Counts add, min/min max/max — the sketch merges
+    across partitions/streams/shards like the HLL registers and CMS
+    cells; state is ≤ ln(max/min)/ln γ buckets (~700 for cents in
+    [1, 5·10⁷]), not rows."""
+    from ..functions import _idiv, ln_micro
+
+    return (
+        cents.filter(F.col("cents") >= 1)
+        .select(
+            _idiv(
+                ln_micro(F.col("cents"), F.lit(1)), F.lit(DDS_STEP_UNATS)
+            ).alias("bucket"),
+            "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+    )
+
+
+def q_ddsketch_value_quantiles(spark, sf_dir: str) -> DataFrame:
+    """ORACLE-MATCHED quantile sketch — the quantile member of the
+    portable-sketch family (HLL = distinct, CMS = frequency, moments =
+    moments, this = quantiles), complementing `q_quantile_sketches`
+    (whose KLL internals are engine-specific by design, rows-only):
+    a DDSketch-style log-bucket histogram over order totals in cents.
+
+    For each q in DDS_QUANTILES the nearest-rank target ``rank =
+    ceil(q·n/100)`` lands in exactly one bucket of the cumulative
+    bucket table; the report brackets the true percentile with that
+    bucket's EXACT min/max cents — integer outputs with the DDSketch
+    relative-width guarantee (γ² ≈ 4%, and typically far tighter since
+    the bounds are the bucket's observed extremes, not its theoretical
+    edges). Every step is fixed-point integer (`ln_micro` bucketing,
+    integer ceil, cumulative sum over the ≤~700-row bucket table), so
+    the DuckDB twin reproduces buckets, ranks, and brackets
+    bit-for-bit.
+
+    Scale: one map-side-combinable groupBy builds the sketch; the
+    global window runs over the bounded bucket table (whitelisted
+    class); merging shards is count-add/min-min/max-max. At 100 TB
+    this replaces the full sort an exact percentile needs while
+    staying hash-verifiable — the property `approx_percentile` cannot
+    offer.
+
+    Output: (quantile, rank, bucket, n_in_bucket, lo_cents,
+    hi_cents)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    cents = t.orders.select(
+        (dec2("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    buckets = ddsketch_cents_buckets(cents)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.select(
+        "bucket",
+        "n",
+        "lo_cents",
+        "hi_cents",
+        F.sum("n").over(w).alias("cum"),
+    ).cache()  # one bounded table feeds all three quantile probes
+    total = cum.agg(F.max("cum").alias("n_total"))
+    out = None
+    for q in DDS_QUANTILES:
+        # nearest-rank: ceil(q·n/100) in exact integers
+        rank = F.expr(f"({q} * n_total + 99) div 100")
+        probe = (
+            cum.crossJoin(F.broadcast(total))
+            .withColumn("rank", rank)
+            .filter(
+                (F.col("cum") >= F.col("rank"))
+                & (F.col("cum") - F.col("n") < F.col("rank"))
+            )
+            .select(
+                F.lit(q).cast("int").alias("quantile"),
+                F.col("rank").cast("long").alias("rank"),
+                F.col("bucket").cast("long").alias("bucket"),
+                F.col("n").cast("long").alias("n_in_bucket"),
+                "lo_cents",
+                "hi_cents",
+            )
+        )
+        out = probe if out is None else out.unionByName(probe)
+    return out
+
+
 def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnostics: the top-20 heaviest keys of the two
     hot join/agg keys, with their parts-per-million share of the table —

@@ -72,6 +72,7 @@ HEADLINE = [
     "winnow_fps_streamed",    # streamed winnowing fingerprints
     "cms_cells_streamed",     # streamed count-min cell aggregate
     "table_stats_streamed",   # streamed ANALYZE profile drain (new in r8)
+    "ddsketch_value_quantiles",  # log-bucket quantile sketch (new in r8)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -408,3 +408,72 @@ def test_cms_matches_pure_python_reference(spark, sf_dir):
         assert row.overestimate == row.n_cms - row.n_exact >= 0, row
         any_over = any_over or row.overestimate > 0
     assert any_over, "W should be small enough to exercise collisions"
+
+
+def test_ddsketch_brackets_contain_exact_percentiles(spark, sf_dir):
+    """The DDSketch quantile report's [lo_cents, hi_cents] bracket must
+    contain the exact nearest-rank percentile value, and the bracket's
+    relative width must honor the gamma^2 DDSketch guarantee."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import dec2
+    from beauty_lakehouse_spark.operators.quality import (
+        q_ddsketch_value_quantiles,
+    )
+    from pyspark.sql import functions as F
+
+    cents = sorted(
+        r.cents
+        for r in load(spark, sf_dir)
+        .orders.select((dec2("o_totalprice") * 100).cast("long").alias("cents"))
+        .collect()
+    )
+    n = len(cents)
+    rows = {r.quantile: r for r in q_ddsketch_value_quantiles(spark, sf_dir).collect()}
+    assert set(rows) == {50, 90, 99}
+    gamma2 = 1.02 * 1.02
+    for q, r in rows.items():
+        rank = -(-q * n // 100)  # ceil
+        assert r.rank == rank
+        exact = cents[rank - 1]
+        assert r.lo_cents <= exact <= r.hi_cents, (q, exact, r)
+        # observed bucket bounds are at most one gamma-step apart
+        # (plus integer-quantization slack on the fixed-point ln)
+        assert r.hi_cents <= math.ceil(r.lo_cents * gamma2), r
+
+
+def test_ddsketch_buckets_merge_across_shards(spark, sf_dir):
+    """Sketch mergeability: bucket tables built on two disjoint halves
+    of the orders table, merged by count-add/min-min/max-max, must
+    equal the single-pass bucket table exactly."""
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import dec2
+    from beauty_lakehouse_spark.operators.quality import (
+        ddsketch_cents_buckets,
+    )
+    from pyspark.sql import functions as F
+
+    cents = load(spark, sf_dir).orders.select(
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 2).alias("shard"),
+    )
+    whole = ddsketch_cents_buckets(cents.select("cents"))
+    parts = [
+        ddsketch_cents_buckets(
+            cents.filter(F.col("shard") == s).select("cents")
+        )
+        for s in (0, 1)
+    ]
+    merged = (
+        parts[0]
+        .unionByName(parts[1])
+        .groupBy("bucket")
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+        )
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())
+    assert canon(merged) == canon(whole)
