@@ -2097,16 +2097,21 @@ def _pq_codes_and_dtab(
         .cast("long")
         .alias("q"),
     ).cache()  # feeds seed donation, both assignment rounds, the update
-    seed_w = Window.orderBy(
-        portable_hash64(
-            F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
-        ),
-        "vec_id",
+    seed_key = portable_hash64(
+        F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
     )
+    # limit FIRST (TakeOrdered, no global window over the corpus), then
+    # number the k-row result — same shape as kmeans_round's seeds
     seeds = (
         t.embeddings.select("vec_id")
-        .select(F.row_number().over(seed_w).alias("code_id"), "vec_id")
-        .filter(F.col("code_id") <= KMEANS_K)
+        .orderBy(seed_key, "vec_id")
+        .limit(KMEANS_K)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(seed_key, "vec_id"))
+            .alias("code_id"),
+            "vec_id",
+        )
     )
     seed_ex = seeds.join(ex, "vec_id").select(
         "code_id", "sub", "dim", F.col("q").alias("c")

@@ -73,12 +73,21 @@ WHITELIST: dict[str, str] = {
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
+    "curriculum_order": "ccnet composition: the 1-row corpus-count broadcast (tercile arithmetic) ccnet_buckets whitelists",
+    "corpus_training_plan": "ccnet + curriculum composition: 1-row corpus-count / tercile-offset broadcasts only",
+    "ddsketch_value_quantiles": "1-row total-count broadcast (nearest-rank arithmetic) against the bounded bucket table",
     "lsh_index_maintained": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
 }
 
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",
+    "corpus_training_plan": "ccnet + curriculum composition: bucket-table cumsums only (3-row tercile offsets, ~4k-row perplexity buckets)",
+    "ddsketch_value_quantiles": "cumsum over the <=~700-row log-bucket table (ln(max/min)/ln(gamma) buckets by construction)",
+    "ivf_topk_exactint": "row_number over the k-row kmeans seed table (limit(KMEANS_K), k=8) inside the composed cell build",
+    "pq_topk_exactint": "row_number over the k-row seed table (limit(KMEANS_K), k=8) donating sub-vector codes",
+    "ivfpq_topk_exactint": "row_number over the k-row seed table shared by the composed IVF+PQ builds",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",
