@@ -362,6 +362,21 @@ def test_oracle_output_types_are_portable():
     )
 
 
+def test_driver_gate_front_is_all_oracle_bearing():
+    """The driver's correctness gate walks queries() in order under a
+    ~50-row budget; a rows-only entry in that window burns a slot on a
+    `no_oracle` verdict (r7 wasted 3 of 50). Pin the policy: the first
+    50 registry entries must all carry oracles, and every rows-only
+    entry must sit behind them."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    front = names[:50]
+    missing = [n for n in front if n not in oracles]
+    assert not missing, f"rows-only entries inside the gate window: {missing}"
+
+
 def test_oracle_type_audit_catches_uncast_integer_sum():
     """Negative control: the exact bug class (`sum(CASE…)` with no CAST
     → HUGEINT) must be flagged by the audit helper, proving the check
