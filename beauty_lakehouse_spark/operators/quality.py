@@ -410,11 +410,23 @@ def ddsketch_cents_buckets(cents: DataFrame) -> DataFrame:
     [1, 5·10⁷]), not rows."""
     from ..functions import _idiv, ln_micro
 
+    # ln_micro's exactness contract is num < 2^31; RAISE on breach
+    # (same policy as the isqrt norm guard) instead of silently
+    # mis-bucketing a >$21M order at production scale
+    guarded = F.when(
+        F.col("cents") >= F.lit(1 << 31),
+        F.raise_error(
+            F.lit(
+                "ddsketch bucket contract violated: cents >= 2^31 "
+                "exceeds ln_micro's exact range; rescale upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("cents"))
     return (
         cents.filter(F.col("cents") >= 1)
         .select(
             _idiv(
-                ln_micro(F.col("cents"), F.lit(1)), F.lit(DDS_STEP_UNATS)
+                ln_micro(guarded, F.lit(1)), F.lit(DDS_STEP_UNATS)
             ).alias("bucket"),
             "cents",
         )
