@@ -57,6 +57,9 @@ QUERIES = {
     # at ALL tiers (its signature collapse is exactly what makes the
     # duplicate-cluster tier affordable)
     "setsim_clusters": dedup.q_setsim_clusters,
+    # r8: ExactSubstr span dedup — the shuffle-free window expansion
+    # claim measured, not argued
+    "substring_dedup": dedup.q_substring_dedup,
 }
 
 #: Measured at sf0.01/sf0.1 only: setsim's OUTPUT is inherently
