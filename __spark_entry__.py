@@ -3798,10 +3798,17 @@ def oracle_sql() -> dict[str, str]:
         "ddsketch_value_quantiles": (
             # DDSketch-style log-bucket quantile brackets: identical
             # fixed-point ln bucketing (ln_micro, gamma=1.02), integer
-            # nearest-rank probe, exact per-bucket min/max cents
+            # nearest-rank probe, exact per-bucket min/max cents.
+            # The 2^31 ln_micro contract guard is MIRRORED from the
+            # Spark side (quality.ddsketch_cents_buckets) so both
+            # engines fail loudly, not diverge, on out-of-range cents.
             "WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) "
             "* 100 AS BIGINT) AS cents FROM orders), "
-            "cp AS (SELECT cents FROM c WHERE cents >= 1), "
+            "cp AS (SELECT CASE WHEN cents >= 2147483648 THEN "
+            "CAST(error('ddsketch bucket contract violated: cents >= "
+            "2^31 exceeds ln_micro exact range; rescale upstream') "
+            "AS BIGINT) ELSE cents END AS cents FROM c "
+            "WHERE cents >= 1), "
             "b AS (SELECT (" + _lnm("cents", "1") + ") // 19803 AS bucket, "
             "CAST(count(*) AS BIGINT) AS n, min(cents) AS lo_cents, "
             "max(cents) AS hi_cents FROM cp GROUP BY 1), "

@@ -122,7 +122,13 @@ class Catalog:
         if name not in TABLE_COLUMNS:
             raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_COLUMNS)}")
         if name not in self._cache:
-            df = self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+            # batch reads glob their paths too — escape metacharacters
+            # in sf_dir so e.g. a bracketed fixture dir resolves the
+            # literal path instead of failing/matching wrong files
+            import re
+
+            esc = re.sub(r"([\[\]{}*?\\])", r"\\\1", self.sf_dir)
+            df = self.spark.read.parquet(f"{esc}/{name}.parquet")
             df = _normalize_nanos(df)
             _assert_schema(name, df)
             self._cache[name] = df

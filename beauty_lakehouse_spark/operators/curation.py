@@ -215,8 +215,9 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import shingles
 
     t = load(spark, sf_dir)
-    # consumed by both the train and test branches — cache so the
-    # tokenize/explode/df-cap pipeline runs once, not per branch
+    # consumed by both the train and test branches — lazy localCheckpoint
+    # so the tokenize/explode/df-cap pipeline runs once, not per branch
+    # (cache() reverted in d5c0b11: recompute beats the memory pin here)
     sh = shingles(
         t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
     ).localCheckpoint(eager=False)

@@ -253,9 +253,12 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
         .filter(F.size("docs") <= JACCARD_MAX_DOC_FREQ)
         # consumed by THREE downstream branches (pair-gen + both size
-        # joins); cache() so each reads one materialization (measured:
-        # the shingle exchange appeared 3x in the executed plan when
-        # the branches recomputed it).
+        # joins); lazy localCheckpoint truncates the lineage so each
+        # branch reads one materialization (measured: the shingle
+        # exchange appeared 3x in the executed plan when the branches
+        # recomputed it). cache() was tried and reverted (d5c0b11):
+        # for this cheap-to-recompute subtree the memory pin cost more
+        # than the recompute it saved.
         .localCheckpoint(eager=False)
     )
     sizes = (
@@ -384,7 +387,8 @@ def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cross join anywhere in the plan; asserted in tests)."""
     t = load(spark, sf_dir)
     # four consumers (both band-join sides + both hamming re-joins) —
-    # cache so the 32-bit-vote pipeline runs once, not 4x
+    # lazy localCheckpoint so the 32-bit-vote pipeline runs once, not
+    # 4x (cache() reverted in d5c0b11: recompute is cheaper than the pin)
     sig = simhash32(t.documents).localCheckpoint(eager=False)
     cand = simhash_band_candidates(sig)
     ha = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))

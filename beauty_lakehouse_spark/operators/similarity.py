@@ -1636,14 +1636,19 @@ _LSH_INDEX_TMPDIRS: list[str] = []
 
 def _fixture_fingerprint(sf_dir: str) -> str:
     """Cheap content fingerprint of the embeddings fixture: the
-    (mtime_ns, size) of every file under embeddings.parquet. Changes
-    whenever the fixture is rewritten, without reading the data."""
+    (mtime_ns, size) of every file under embeddings.parquet,
+    RECURSIVELY (partitioned fixtures nest files in subdirectories;
+    a flat listdir would miss an in-place regeneration — ADVICE r8).
+    Changes whenever the fixture is rewritten, without reading data."""
     root = os.path.join(sf_dir, "embeddings.parquet")
     parts: list[str] = []
     if os.path.isdir(root):
-        for name in sorted(os.listdir(root)):
-            st = os.stat(os.path.join(root, name))
-            parts.append(f"{name}:{st.st_mtime_ns}:{st.st_size}")
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            rel = os.path.relpath(dirpath, root)
+            for name in sorted(filenames):
+                st = os.stat(os.path.join(dirpath, name))
+                parts.append(f"{rel}/{name}:{st.st_mtime_ns}:{st.st_size}")
     elif os.path.exists(root):
         st = os.stat(root)
         parts.append(f"{st.st_mtime_ns}:{st.st_size}")

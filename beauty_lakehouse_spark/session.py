@@ -67,6 +67,13 @@ def get_spark(app_name: str = "beauty_lakehouse_spark") -> SparkSession:
             "true" if os.environ.get("SPARK_GRAFT_UI") == "1" else "false",
         )
     )
+    if os.environ.get("SPARK_GRAFT_UI") == "1":
+        # The shuffle meter (scripts/scale_curve.py) sums per-stage
+        # shuffleWriteBytes from the status store; long syn100x runs
+        # can exceed the default 1000 retained stages, silently
+        # undercounting (ADVICE r8). Retain enough for the longest
+        # measured run; the meter also warns near this limit.
+        builder = builder.config("spark.ui.retainedStages", "40000")
     for k, v in DEFAULT_CONF.items():
         builder = builder.config(k, v)
     # Delta seam: when delta-spark is importable (not in this container

@@ -19,11 +19,31 @@ to TimestampType, so both paths see identical timestamps.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions import normalized_text_hash, epoch_us
+
+
+def _escape_glob(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a literal path
+    (batch AND stream file sources glob their paths, so a fixture dir
+    containing ``[``/``*``/``?`` would otherwise resolve wrong/zero
+    files — ADVICE r8)."""
+    return re.sub(r"([\[\]{}*?\\])", r"\\\1", path)
+
+
+def _stream_glob(sf_dir: str, table: str) -> str:
+    """Glob path for a file-source ``readStream`` over a single-file
+    parquet fixture. The file stream source requires a directory/glob
+    base — bracketing the final character makes the path a glob whose
+    base is the parent directory. ``sf_dir`` itself is glob-escaped
+    so metacharacters in the fixture path can't make the source
+    silently resolve zero files instead of failing (ADVICE r8)."""
+    return f"{_escape_glob(sf_dir)}/{table}.parque[t]"
 
 #: Non-timestamp columns of the events stream; ``ts`` is appended with
 #: whatever type the footer probe observes on disk.
@@ -49,15 +69,12 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     session). A footer-only batch probe picks the branch."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    path = f"{sf_dir}/events.parquet"
+    path = f"{_escape_glob(sf_dir)}/events.parquet"
     ts_on_disk = spark.read.parquet(path).schema["ts"].dataType
     schema = T.StructType(
         [T.StructField("ts", ts_on_disk, True), *_EVENTS_FIXED_FIELDS]
     )
-    # The fixture is a single file, but the file stream source requires a
-    # directory/glob base — bracketing one character makes the path a glob
-    # whose base is the parent directory.
-    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events.parque[t]")
+    raw = spark.readStream.schema(schema).parquet(_stream_glob(sf_dir, "events"))
     if isinstance(ts_on_disk, T.LongType):
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -155,7 +172,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the documents fixture — the landing-zone tail
     of a streaming ingest/curation pipeline."""
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
-        f"{sf_dir}/documents.parque[t]"
+        _stream_glob(sf_dir, "documents")
     )
 
 
@@ -345,10 +362,10 @@ def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     column the profile consumes, so no timestamp normalization is
     needed (o_orderdate flows through with its on-disk type, exactly
     as the batch `catalog.load` path reads it)."""
-    path = f"{sf_dir}/orders.parquet"
+    path = f"{_escape_glob(sf_dir)}/orders.parquet"
     schema = spark.read.parquet(path).schema
     return spark.readStream.schema(schema).parquet(
-        f"{sf_dir}/orders.parque[t]"
+        _stream_glob(sf_dir, "orders")
     )
 
 

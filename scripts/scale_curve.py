@@ -128,12 +128,24 @@ class ShuffleMeter:
         except Exception as e:  # UI off / port hidden: degrade to wall-only
             print(f"shuffle meter unavailable: {e}", file=sys.stderr)
 
+    #: session.py raises spark.ui.retainedStages to this when
+    #: SPARK_GRAFT_UI=1; warn when the status store nears it, since
+    #: evicted stages silently undercount shuffle totals (ADVICE r8).
+    RETAINED_STAGES = 40_000
+
     def snap(self) -> dict[str, int]:
         if self.base is None:
             return {}
         stages = json.load(
             urllib.request.urlopen(self.base + "/stages", timeout=30)
         )
+        if len(stages) > 0.8 * self.RETAINED_STAGES:
+            print(
+                f"WARNING: status store holds {len(stages)} stages, "
+                f">80% of spark.ui.retainedStages={self.RETAINED_STAGES}; "
+                "shuffle totals may undercount if stages get evicted",
+                file=sys.stderr,
+            )
         return {
             f"{s['stageId']}.{s['attemptId']}": s.get("shuffleWriteBytes", 0)
             for s in stages

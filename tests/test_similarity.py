@@ -1002,3 +1002,25 @@ def test_ivfpq_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+
+def test_fixture_fingerprint_sees_nested_files(tmp_path):
+    """ADVICE r8: a partitioned fixture regenerated in place (same
+    names/sizes in SUBDIRECTORIES) must change the fingerprint — the
+    walk has to recurse, not stat only immediate entries."""
+    import os
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        _fixture_fingerprint,
+    )
+
+    root = tmp_path / "embeddings.parquet" / "part=0"
+    root.mkdir(parents=True)
+    f = root / "chunk.parquet"
+    f.write_bytes(b"v1-bytes")
+    fp1 = _fixture_fingerprint(str(tmp_path))
+    assert "chunk.parquet" in fp1  # nested file IS fingerprinted
+    # same path, same size, new mtime (in-place regeneration)
+    os.utime(f, ns=(123456789, 987654321))
+    fp2 = _fixture_fingerprint(str(tmp_path))
+    assert fp1 != fp2

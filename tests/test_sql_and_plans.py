@@ -388,3 +388,30 @@ def test_oracle_type_audit_catches_uncast_integer_sum():
         "AS n_nulls FROM orders",
     )
     assert bad == [("n_nulls", "HUGEINT")], bad
+
+
+def test_ddsketch_oracle_mirrors_ln_micro_guard():
+    """ADVICE r8: the Spark side RAISES on cents >= 2^31 (ln_micro's
+    exact range); the DuckDB oracle must fail loudly on the same input
+    rather than silently mis-bucket — both engines share the contract."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    sql = entrymod.oracle_sql()["ddsketch_value_quantiles"]
+    con = duckdb.connect()
+    # in-range orders: oracle runs fine
+    ok = pd.DataFrame({"o_totalprice": [10.00, 99.99, 21474836.47]})
+    con.register("orders", ok)
+    assert len(con.execute(sql).fetchall()) == 3  # one row per quantile
+    # a single out-of-contract order (cents >= 2^31): oracle raises
+    bad = pd.DataFrame({"o_totalprice": [10.00, 21474836.48]})
+    con.register("orders", bad)
+    try:
+        con.execute(sql).fetchall()
+        raise AssertionError(
+            "oracle silently bucketed cents >= 2^31 (contract asymmetry)"
+        )
+    except duckdb.Error as e:
+        assert "ddsketch bucket contract violated" in str(e)

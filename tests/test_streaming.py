@@ -356,3 +356,44 @@ def test_table_stats_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = table_stats_finish(grid)
     expected = q_table_stats(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_stream_glob_escapes_metacharacters(spark, sf_dir, tmp_path):
+    """ADVICE r8: an sf_dir containing glob metacharacters must still
+    resolve the fixture files (previously the bare `parque[t]` trick
+    made a bracketed sf_dir silently match zero files)."""
+    import os
+    import shutil
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        _stream_glob,
+        stream_orders,
+    )
+
+    # unit: every metacharacter in the dir prefix is escaped, the
+    # trailing [t] character class is preserved
+    g = _stream_glob("/tmp/sf[0.1]*{a,b}?", "orders")
+    assert g.endswith("/orders.parque[t]")
+    assert g.startswith("/tmp/sf\\[0.1\\]\\*\\{a,b\\}\\?")
+
+    # functional: a bracketed fixture dir streams the same row count
+    # the batch reader sees
+    weird = tmp_path / "sf[weird]"
+    weird.mkdir()
+    src = f"{sf_dir}/orders.parquet"
+    dst = str(weird / "orders.parquet")
+    if os.path.isdir(src):
+        shutil.copytree(src, dst)
+    else:
+        shutil.copy2(src, dst)
+    n_batch = load(spark, str(weird)).orders.count()
+    assert n_batch > 0
+    drained = run_available_now(
+        stream_orders(spark, str(weird))
+        .groupBy()
+        .count(),
+        "t_glob_escape",
+        output_mode="complete",
+    )
+    assert drained.collect()[0]["count"] == n_batch
