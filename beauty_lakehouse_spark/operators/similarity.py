@@ -1983,43 +1983,78 @@ def _ivf_assign_and_probes(
     composition: ``assign`` (vec_id, cluster_id) — every corpus vector
     to its nearest one-round k-means centroid by exact integer L2 —
     and ``probes`` (query_id, cluster_id) — each query's
-    IVF_EXACT_NPROBE nearest cells."""
+    IVF_EXACT_NPROBE nearest cells.
+
+    Assignment is MAP-SIDE (VERDICT r8 ask #4): the k centroids
+    collapse to ONE row holding a sorted ``array<struct<cluster_id,
+    c: array<long>>>``, broadcast-attached to every corpus row (the
+    whitelisted 1-row nested-loop class), and the argmin runs as a
+    pure ``zip_with``/``aggregate``/``array_min`` expression — the old
+    explode→join→groupBy shape shuffled N×k partial-agg rows where
+    this shuffles NOTHING for assignment (at 100 TB with k in the
+    thousands that was k× corpus amplification). Tie-breaking is
+    identical: ``array_min`` over ``struct(dist, cluster_id)`` is the
+    same lexicographic min as ``F.min(struct(dist, cluster_id))``, so
+    the oracle rows stay bit-identical."""
     t = load(spark, sf_dir)
-    cent = (
+    # k centroids -> 1-row array<struct<cluster_id, c>>, c ordered by dim
+    cent_arr = (
         q_kmeans_round(spark, sf_dir)
-        .select("cluster_id", "dim", F.col("centroid_micro").alias("c"))
-        .cache()  # feeds corpus assignment AND query probing
-    )
-    ex = t.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("dim0", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
-        .cast("long")
-        .alias("q"),
-    )
-    d2 = (
-        ex.join(F.broadcast(cent), "dim")
-        .groupBy("vec_id", "cluster_id")
+        .groupBy("cluster_id")
         .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
-                "dist"
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("dim", F.col("centroid_micro").alias("c"))
+                    )
+                ),
+                lambda s: s["c"],
+            ).alias("c")
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("cluster_id", "c"))).alias(
+                "cents"
             )
         )
-        .cache()  # feeds the corpus argmin AND the query probe ranking
+        .cache()  # 1 row; feeds corpus assignment AND query probing
     )
-    assign = (
-        d2.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster_id")).alias("m"))
-        .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * INT8_IN_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
     )
-    wq = Window.partitionBy("vec_id").orderBy("dist", "cluster_id")
+    dists = F.transform(
+        F.col("cents"),
+        lambda ct: F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col("qv"), ct["c"], lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("dist"),
+            ct["cluster_id"].alias("cluster_id"),
+        ),
+    )
+    vecs = (
+        t.embeddings.select("vec_id", qv.alias("qv"))
+        .join(F.broadcast(cent_arr))
+        .withColumn("dists", dists)
+    )
+    assign = vecs.select(
+        "vec_id", F.array_min("dists")["cluster_id"].alias("cluster_id")
+    )
     probes = (
-        d2.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= IVF_EXACT_NPROBE)
-        .select(F.col("vec_id").alias("query_id"), "cluster_id")
+        vecs.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(
+                F.slice(F.array_sort("dists"), 1, IVF_EXACT_NPROBE)
+            ).alias("p"),
+        )
+        .select("query_id", F.col("p.cluster_id").alias("cluster_id"))
     )
     return assign, probes
 
@@ -2088,20 +2123,30 @@ def _pq_codes_and_dtab(
     composition: ``codes`` (vec_id, sub, code_id) — every corpus
     vector's per-subspace nearest updated code — and ``dtab``
     (query_id, sub, code_id, dist) — each query's integer ADC
-    distance table over the surviving codes."""
+    distance table over the surviving codes.
+
+    Both assignment rounds are MAP-SIDE (VERDICT r8 ask #4): each
+    codebook collapses to ONE row holding ``array<struct<sub,
+    codes: array<struct<code_id, c>>>>`` (M·k·SD ints), broadcast
+    onto every corpus row, and the per-subspace argmin runs as pure
+    ``slice``/``zip_with``/``aggregate``/``array_min`` expressions —
+    the old shape shuffled N×M×k partial-agg rows per round (N×64
+    here) where this shuffles nothing for assignment. The one
+    remaining shuffle is the codebook UPDATE (a genuine reduction):
+    map-side combinable to M·k·SD = 512 cells. Tie-breaking is the
+    same lexicographic min over ``struct(dist, code_id)``, so the
+    oracle rows stay bit-identical."""
     from ..functions import halfup_div, portable_hash64
 
     t = load(spark, sf_dir)
-    ex = t.embeddings.select(
-        "vec_id", F.posexplode("embedding").alias("dim0", "x")
-    ).select(
-        "vec_id",
-        (F.col("dim0") + 1).alias("dim"),
-        F.expr(f"dim0 div {PQ_EXACT_SUBDIM}").cast("int").alias("sub"),
-        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
-        .cast("long")
-        .alias("q"),
-    ).cache()  # feeds seed donation, both assignment rounds, the update
+    M, SD = PQ_EXACT_M, PQ_EXACT_SUBDIM
+    qv = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * INT8_IN_SCALE + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    vecs = t.embeddings.select("vec_id", qv.alias("qv"))
     seed_key = portable_hash64(
         F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
     )
@@ -2118,56 +2163,146 @@ def _pq_codes_and_dtab(
             "vec_id",
         )
     )
-    seed_ex = seeds.join(ex, "vec_id").select(
-        "code_id", "sub", "dim", F.col("q").alias("c")
+    # seed donors' per-subspace sub-vectors -> (sub, code_id, c[SD])
+    subsplit = F.expr(
+        f"transform(sequence(0, {M - 1}), "
+        f"s -> struct(s AS sub, slice(qv, s*{SD}+1, {SD}) AS c))"
     )
-    d0 = (
-        ex.join(F.broadcast(seed_ex), ["sub", "dim"])
-        .groupBy("vec_id", "sub", "code_id")
-        .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
-                "dist"
-            )
+    seed_cb = (
+        seeds.join(vecs, "vec_id")
+        .select("code_id", F.explode(subsplit).alias("sc"))
+        .select(
+            F.col("sc.sub").alias("sub"), "code_id", F.col("sc.c").alias("c")
         )
     )
-    a0 = (
-        d0.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist", "code_id")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"))
+
+    def onerow(cb: DataFrame) -> DataFrame:
+        """(sub, code_id, c) -> one row: array over sub (sorted, sub
+        values are contiguous 0..M-1 so position == sub) of that
+        subspace's surviving codes."""
+        return (
+            cb.groupBy("sub")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("code_id", "c"))).alias(
+                    "codes"
+                )
+            )
+            .groupBy()
+            .agg(
+                F.array_sort(F.collect_list(F.struct("sub", "codes"))).alias(
+                    "cbs"
+                )
+            )
+            .cache()  # 1 row; feeds assignment + update / encode + ADC
+        )
+
+    def argmin_codes(cbs):
+        """Per-subspace nearest-code ids for this row's qv (array
+        position == sub); min over struct(dist, code_id) keeps the
+        original tie-break to the smallest code id."""
+        return F.transform(
+            cbs,
+            lambda cb: F.array_min(
+                F.transform(
+                    cb["codes"],
+                    lambda cd: F.struct(
+                        F.aggregate(
+                            F.zip_with(
+                                F.slice(F.col("qv"), cb["sub"] * SD + 1, SD),
+                                cd["c"],
+                                lambda a, b: (a - b) * (a - b),
+                            ),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: acc + v,
+                        ).alias("dist"),
+                        cd["code_id"].alias("code_id"),
+                    ),
+                )
+            )["code_id"],
+        )
+
+    # round 0: map-side assignment to the seed codes, then the exact
+    # integer centroid update (the genuine reduction: 512 cells)
+    a0_triples = F.expr(
+        f"transform(sequence(0, {M - 1}), "
+        f"s -> struct(s AS sub, a0[s] AS code_id, "
+        f"slice(qv, s*{SD}+1, {SD}) AS sq))"
     )
-    cb = (
-        ex.join(a0, ["vec_id", "sub"])
-        .groupBy("sub", "code_id", "dim")
+    upd = (
+        vecs.join(F.broadcast(onerow(seed_cb)))
+        .withColumn("a0", argmin_codes(F.col("cbs")))
+        .select(F.explode(a0_triples).alias("t"))
+        .select(
+            F.col("t.sub").alias("sub"),
+            F.col("t.code_id").alias("code_id"),
+            F.posexplode(F.col("t.sq")).alias("pos", "q"),
+        )
+        .groupBy("sub", "code_id", "pos")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
         .select(
             "sub",
             "code_id",
-            "dim",
+            "pos",
             (
                 halfup_div(
                     F.col("s") + F.col("n") * KMEANS_OFFSET, F.col("n"), 0
                 ).cast("long")
                 - KMEANS_OFFSET
-            ).alias("c"),
+            ).alias("cq"),
         )
     )
-    d1 = (
-        ex.join(F.broadcast(cb), ["sub", "dim"])
-        .groupBy("vec_id", "sub", "code_id")
-        .agg(
-            F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))).alias(
-                "dist"
-            )
-        )
-        .cache()  # feeds the corpus encode AND the query ADC tables
+    cb1 = upd.groupBy("sub", "code_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("pos", F.col("cq").alias("c")))
+            ),
+            lambda s: s["c"],
+        ).alias("c")
     )
+    cbs1 = onerow(cb1)
+
+    # round 1: map-side encode (codes) + query ADC tables (dtab) —
+    # identical integer distances, just computed per-row
     codes = (
-        d1.groupBy("vec_id", "sub")
-        .agg(F.min(F.struct("dist", "code_id")).alias("m"))
-        .select("vec_id", "sub", F.col("m.code_id").alias("code_id"))
+        vecs.join(F.broadcast(cbs1))
+        .select(
+            "vec_id",
+            F.posexplode(argmin_codes(F.col("cbs"))).alias("sub", "code_id"),
+        )
+        .select("vec_id", F.col("sub").cast("int").alias("sub"), "code_id")
     )
-    dtab = d1.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "sub", "code_id", "dist"
+    dist_structs = F.transform(
+        F.col("cbs"),
+        lambda cb: F.transform(
+            cb["codes"],
+            lambda cd: F.struct(
+                cb["sub"].alias("sub"),
+                cd["code_id"].alias("code_id"),
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("qv"), cb["sub"] * SD + 1, SD),
+                        cd["c"],
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ).alias("dist"),
+            ),
+        ),
+    )
+    dtab = (
+        vecs.filter(F.col("vec_id") < ANN_EXACT_QUERIES)
+        .join(F.broadcast(cbs1))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.flatten(dist_structs)).alias("d"),
+        )
+        .select(
+            "query_id",
+            F.col("d.sub").alias("sub"),
+            F.col("d.code_id").alias("code_id"),
+            F.col("d.dist").alias("dist"),
+        )
     )
     return codes, dtab
 

@@ -73,6 +73,9 @@ WHITELIST: dict[str, str] = {
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
+    "ivf_topk_exactint": "1-row centroid-array broadcast (k x d ints) attached per vector: map-side assignment, zero assignment shuffle (r9)",
+    "pq_topk_exactint": "1-row codebook-array broadcasts (M x k x SD ints) attached per vector: map-side encode, zero assignment shuffle (r9)",
+    "ivfpq_topk_exactint": "composed IVF+PQ 1-row index-array broadcasts (map-side assignment + encode, r9)",
     "curriculum_order": "ccnet composition: the 1-row corpus-count broadcast (tercile arithmetic) ccnet_buckets whitelists",
     "corpus_training_plan": "ccnet + curriculum composition: 1-row corpus-count / tercile-offset broadcasts only",
     "ddsketch_value_quantiles": "1-row total-count broadcast (nearest-rank arithmetic) against the bounded bucket table",
