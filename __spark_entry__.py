@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -596,6 +597,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,  # stubbed codecs
         "media_phash_pairs": _q_media_phash_pairs,  # real DCT, synthetic decode
         "media_audio_pairs": _q_media_audio_pairs,  # real rFFT, synthetic decode
+        # r9: the hash-verifiable twin — fixed-point integer DCT pHash
+        "media_phash_pairs_exactint": multimodal.q_media_phash_pairs_exactint,
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
@@ -765,6 +768,96 @@ def _q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.wav_from_documents(t.documents)
     return multimodal.media_phash_pairs(
         media, codec=multimodal.wav_fingerprint_kernel
+    )
+
+
+def _phash_exactint_sql() -> str:
+    """DuckDB twin of `multimodal.q_media_phash_pairs_exactint`: the
+    SAME fixed-point integer DCT pHash (the `phash_int_basis` literal
+    constants are interpolated below, so neither engine evaluates a
+    transcendental at query time — the ln_micro/DDSketch portability
+    template), distinct-hash banding, 21-per-family doc cap, top-20
+    (hamming, media_a, media_b) output. All-integer, bit-identical."""
+    basis = multimodal.phash_int_basis()
+    n = multimodal.PHASH_GRID
+    w = multimodal.PPM_W
+    npix = multimodal.PPM_H * w
+    cells = n * n
+    bits = multimodal.PHASH_BITS
+    bands = multimodal.PHASH_BANDS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    cap = multimodal.PHASH_EXACT_FAMILY_CAP
+    topk = multimodal.PHASH_EXACT_TOPK
+    hmax = multimodal.PHASH_HAMMING_MAX
+    cb = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(str(v) for v in row) + "]" for row in basis
+        )
+        + "]"
+    )
+    ks = "[" + ", ".join(str(i) for i, _ in multimodal._ZIGZAG_AC) + "]"
+    ls = "[" + ", ".join(str(j) for _, j in multimodal._ZIGZAG_AC) + "]"
+    return (
+        # the basis/zigzag literals live in a 1-row CTE cross-joined in
+        # (NOT inline in the lambdas: DuckDB would rebuild the constant
+        # lists per element evaluation — measured 17x slower)
+        f"WITH consts AS (SELECT {cb} AS cb, {ks} AS ks, {ls} AS ls), "
+        "hx AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h "
+        "FROM documents), "
+        "bt AS (SELECT doc_id, CASE WHEN length(h) = 0 "
+        "THEN [CAST(0 AS BIGINT)] "
+        "ELSE list_transform(generate_series(1, length(h) // 2), "
+        "i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT)) END AS bt "
+        "FROM hx), "
+        f"lm AS (SELECT doc_id, list_transform(generate_series(0, {npix - 1}), "
+        "p -> 299 * bt[(3 * p) % len(bt) + 1] "
+        "+ 587 * bt[(3 * p + 1) % len(bt) + 1] "
+        "+ 114 * bt[(3 * p + 2) % len(bt) + 1]) AS lum FROM bt), "
+        f"pl AS (SELECT doc_id, list_transform(generate_series(0, {cells - 1}), "
+        f"q -> CASE WHEN ((q % {n} + 1) * {w}) // {n} "
+        f"- ((q % {n}) * {w}) // {n} = 1 "
+        f"THEN 2 * lum[(q // {n}) * {w} + ((q % {n}) * {w}) // {n} + 1] "
+        f"ELSE lum[(q // {n}) * {w} + ((q % {n}) * {w}) // {n} + 1] "
+        f"+ lum[(q // {n}) * {w} + ((q % {n}) * {w}) // {n} + 2] END) AS pl "
+        "FROM lm), "
+        f"gg AS (SELECT doc_id, list_transform("
+        f"generate_series(0, {len(basis) * n - 1}), gi -> "
+        f"CAST(list_sum(list_transform(generate_series(0, {n - 1}), "
+        f"i -> cb[gi // {n} + 1][i + 1] * pl[i * {n} + (gi % {n}) + 1])) "
+        "AS BIGINT)) AS g FROM pl, consts), "
+        f"cf AS (SELECT doc_id, list_transform(generate_series(0, {bits - 1}), "
+        f"bb -> CAST(list_sum(list_transform(generate_series(0, {n - 1}), "
+        f"j -> cb[ls[bb + 1] + 1][j + 1] "
+        f"* g[ks[bb + 1] * {n} + j + 1])) AS BIGINT)) AS cf FROM gg, consts), "
+        f"ph AS (SELECT doc_id, CAST(list_sum(list_transform("
+        f"generate_series(0, {bits - 1}), bb -> CASE WHEN "
+        f"cf[bb + 1] * {bits} >= list_sum(cf) "
+        "THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS phash "
+        "FROM cf), "
+        "fam AS (SELECT doc_id, phash, row_number() OVER "
+        "(PARTITION BY phash ORDER BY doc_id) AS rk FROM ph), "
+        f"kept AS (SELECT doc_id, phash FROM fam WHERE rk <= {cap}), "
+        "grp AS (SELECT DISTINCT phash FROM kept), "
+        f"hb AS (SELECT phash, CAST(band AS INT) AS band, "
+        f"(phash >> CAST(band * {band_bits} AS INT)) & {mask} AS bucket "
+        f"FROM grp, UNNEST(range(0, {bands})) AS u(band)), "
+        "hp AS (SELECT DISTINCT a.phash AS pa, c.phash AS pb FROM hb a "
+        "JOIN hb c ON a.band = c.band AND a.bucket = c.bucket "
+        "AND a.phash < c.phash), "
+        "hpf AS (SELECT pa, pb, CAST(bit_count(xor(pa, pb)) AS INT) "
+        f"AS hamming FROM hp WHERE bit_count(xor(pa, pb)) <= {hmax}), "
+        "same AS (SELECT a.doc_id AS media_a, c.doc_id AS media_b, "
+        "CAST(0 AS INT) AS hamming FROM kept a JOIN kept c "
+        "ON a.phash = c.phash AND a.doc_id < c.doc_id), "
+        "cross_ AS (SELECT least(da.doc_id, db.doc_id) AS media_a, "
+        "greatest(da.doc_id, db.doc_id) AS media_b, hpf.hamming "
+        "FROM hpf JOIN kept da ON da.phash = hpf.pa "
+        "JOIN kept db ON db.phash = hpf.pb), "
+        "allp AS (SELECT * FROM same UNION ALL SELECT * FROM cross_) "
+        "SELECT media_a, media_b, hamming FROM allp "
+        f"ORDER BY hamming, media_a, media_b LIMIT {topk}"
     )
 
 
@@ -3881,6 +3974,9 @@ def oracle_sql() -> dict[str, str]:
             "user_id",
             "hour_us",
         ),
+        # r9: fixed-point integer DCT pHash — the hash-verifiable twin
+        # of the rows-only media_phash_pairs (shared literal basis)
+        "media_phash_pairs_exactint": _phash_exactint_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

@@ -643,3 +643,264 @@ def audio_from_documents(documents: DataFrame) -> DataFrame:
             F.lit(None).cast("int").alias("n_frames"),
         ).alias("meta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-verifiable pHash twin (r9, VERDICT r8 ask #3): fixed-point
+# integer DCT, oracle-matched end to end.
+# ---------------------------------------------------------------------------
+
+#: Fixed-point scale of the integer DCT basis. With orthonormal row
+#: factors folded in (|entry| <= sqrt(2/32)*2^14 = 4096), the worst-
+#: case magnitudes stay far inside int64: luma <= 255_000 milli-units,
+#: pooled <= 1.02e6, G <= 32*4096*1.02e6 ~ 1.3e11, coef <= 32*4096*
+#: 1.3e11 ~ 1.7e16, 16*coef <= 2.7e17 << 2^63.
+PHASH_INT_SCALE = 1 << 14
+
+
+@functools.lru_cache(maxsize=None)
+def phash_int_basis() -> tuple[tuple[int, ...], ...]:
+    """Integer orthonormal DCT-II basis rows k = 0..max zigzag index:
+    ``round(sqrt(2/n) * cos(pi*(2m+1)*k/(2n)) * PHASH_INT_SCALE)``
+    (k = 0 row additionally divided by sqrt(2)). Computed ONCE in
+    Python and embedded as literal constants in BOTH engines' plans
+    (the oracle SQL interpolates this same list), so neither engine
+    evaluates a transcendental at query time — the ln_micro/DDSketch
+    portability template applied to the DCT."""
+    import math
+
+    n = PHASH_GRID
+    kmax = max(max(i, j) for i, j in _ZIGZAG_AC)
+    rows = []
+    for k in range(kmax + 1):
+        s = math.sqrt(2.0 / n) * (1.0 / math.sqrt(2.0) if k == 0 else 1.0)
+        rows.append(
+            tuple(
+                round(
+                    s
+                    * math.cos(math.pi * (2 * m + 1) * k / (2 * n))
+                    * PHASH_INT_SCALE
+                )
+                for m in range(n)
+            )
+        )
+    return tuple(rows)
+
+
+def phash_exactint(documents: DataFrame) -> DataFrame:
+    """(doc_id, phash) — the FIXED-POINT INTEGER pHash of each
+    document's synthetic image raster, every step exact int64 so a SQL
+    twin reproduces it bit-for-bit:
+
+    1. bytes: utf-8 payload (empty/null -> single zero byte), exposed
+       as integers via the hex-string lift (both engines read parquet
+       strings; neither has binary array ops).
+    2. raster: bytes tiled into the PPM_H x PPM_W x 3 RGB grid
+       (exactly `ppm_from_documents`' layout), integer Rec.601 luma in
+       milli-units (299 r + 587 g + 114 b).
+    3. pool: PPM_W=48 columns -> PHASH_GRID=32 by exact-factor-2 box
+       averages (segment lengths are 1 or 2, so 2x the average is an
+       exact integer: 2*sum for length 1, sum for length 2).
+    4. DCT: two integer matmuls against `phash_int_basis` (shared
+       literal constants, scale 2^14) -> the PHASH_BITS lowest
+       zigzag AC coefficients.
+    5. pack: bit b set iff coef_b * PHASH_BITS >= sum(coefs) — the
+       x >= mean threshold as an exact integer compare.
+
+    All expression-side (whole-stage codegen, zero Python in the hot
+    path); the per-doc work is ~15k integer mults on 1-2 KiB arrays,
+    embarrassingly parallel, no shuffle.
+
+    Implementation note: the stages are chained as
+    ``transform(array(<stage>), v -> ...)[0]`` let-bindings rather
+    than ``withColumn`` columns — CollapseProject would inline each
+    stage into every textual reference of the next (lum appears 3x in
+    pooled, pooled 32x in g, ...), exploding the expression tree
+    multiplicatively at analysis time; a lambda variable binds each
+    stage's value exactly once."""
+    basis = phash_int_basis()
+    nrows = len(basis)
+    n = PHASH_GRID
+    cells = n * n
+    npix = PPM_H * PPM_W
+    cb_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in basis])
+    ks_lit = F.array(*[F.lit(i) for i, _ in _ZIGZAG_AC])
+    ls_lit = F.array(*[F.lit(j) for _, j in _ZIGZAG_AC])
+    bt_sql = (
+        "CASE WHEN length(coalesce(text, '')) = 0 THEN array(0L) ELSE "
+        "transform(sequence(1, length(encode(coalesce(text, ''), 'utf-8'))), "
+        "i -> cast(conv(substring(hex(encode(coalesce(text, ''), 'utf-8')), "
+        "2 * i - 1, 2), 16, 10) AS BIGINT)) END"
+    )
+    lum_sql = (
+        f"transform(sequence(0, {npix - 1}), p -> "
+        "299L * bt[(3 * p) % size(bt)] "
+        "+ 587L * bt[(3 * p + 1) % size(bt)] "
+        "+ 114L * bt[(3 * p + 2) % size(bt)])"
+    )
+    pooled_sql = (
+        f"transform(sequence(0, {cells - 1}), q -> "
+        f"CASE WHEN ((q % {n} + 1) * {PPM_W}) div {n} "
+        f"- ((q % {n}) * {PPM_W}) div {n} = 1 "
+        f"THEN 2L * lum[(q div {n}) * {PPM_W} + ((q % {n}) * {PPM_W}) div {n}] "
+        f"ELSE lum[(q div {n}) * {PPM_W} + ((q % {n}) * {PPM_W}) div {n}] "
+        f"+ lum[(q div {n}) * {PPM_W} + ((q % {n}) * {PPM_W}) div {n} + 1] "
+        "END)"
+    )
+    g_sql = (
+        f"transform(sequence(0, {nrows * n - 1}), gi -> "
+        f"aggregate(sequence(0, {n - 1}), 0L, (acc, i) -> "
+        f"acc + cb[gi div {n}][i] * pooled[i * {n} + gi % {n}]))"
+    )
+    coefs_sql = (
+        f"transform(sequence(0, {PHASH_BITS - 1}), b -> "
+        f"aggregate(sequence(0, {n - 1}), 0L, (acc2, j) -> "
+        f"acc2 + cb[ls[b]][j] * g[ks[b] * {n} + j]))"
+    )
+    pack_sql = (
+        f"aggregate(sequence(0, {PHASH_BITS - 1}), 0L, (acc3, b) -> "
+        f"acc3 + IF(coefs[b] * {PHASH_BITS} >= tot, shiftleft(1L, b), 0L))"
+    )
+    phash_sql = (
+        f"transform(array({bt_sql}), bt -> "
+        f"transform(array({lum_sql}), lum -> "
+        f"transform(array({pooled_sql}), pooled -> "
+        f"transform(array({g_sql}), g -> "
+        f"transform(array({coefs_sql}), coefs -> "
+        f"transform(array(aggregate(coefs, 0L, (a, x) -> a + x)), tot -> "
+        f"{pack_sql}"
+        ")[0])[0])[0])[0])[0])[0]"
+    )
+    return documents.select(
+        "doc_id", cb_lit.alias("cb"), ks_lit.alias("ks"), ls_lit.alias("ls"), "text"
+    ).select("doc_id", F.expr(phash_sql).alias("phash"))
+
+
+#: Doc-family cap for the exactint pair expansion: keeping the 21
+#: smallest doc_ids per distinct hash is PROVABLY sufficient for a
+#: global top-20 (hamming, media_a, media_b) output — any pair using
+#: a doc ranked > 21 in its family is preceded by >= 21 smaller pairs
+#: of the same hamming built from that family's smaller doc_ids.
+PHASH_EXACT_FAMILY_CAP = 21
+PHASH_EXACT_TOPK = 20
+
+
+def q_media_phash_pairs_exactint(spark, sf_dir: str) -> DataFrame:
+    """Top-20 closest perceptual-hash near-duplicate media pairs,
+    ORACLE-MATCHED end to end — the hash-verifiable twin of the
+    rows-only `media_phash_pairs` (whose stdlib-PPM decode + float DCT
+    stay registered as the decode-exercising path):
+
+    - hashes: `phash_exactint` (fixed-point integer DCT, shared
+      literal basis — no float anywhere).
+    - candidates at the DISTINCT-HASH level: the hash domain is
+      <= 2^PHASH_BITS regardless of corpus size, banded pigeonhole
+      (hamming <= 2 over 4 bands leaves >= 2 identical bands — exact,
+      no missed pairs), never doc x doc.
+    - doc expansion capped at PHASH_EXACT_FAMILY_CAP smallest doc_ids
+      per hash family (provably lossless for the top-20 contract).
+    - output: the PHASH_EXACT_TOPK smallest (hamming, media_a,
+      media_b) pairs — same bounded deterministic contract as
+      `simhash_near_pairs`.
+
+    Scale: corpus-size work is the hash map + one capped window per
+    hash family; everything pair-shaped runs on the bounded
+    distinct-hash domain. At 100 TB the expensive part stays the
+    embarrassingly-parallel per-doc hash."""
+    from ..catalog import load
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    h = phash_exactint(t.documents)
+    wk = Window.partitionBy("phash").orderBy("doc_id")
+    groups = (
+        h.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PHASH_EXACT_FAMILY_CAP)
+        .groupBy("phash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    ).localCheckpoint(eager=False)  # feeds same-hash pairs + both cross sides
+    band_bits = PHASH_BITS // PHASH_BANDS
+    mask = (1 << band_bits) - 1
+    hb = groups.select(
+        "phash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PHASH_BANDS - 1}), "
+                f"b -> named_struct('band', b, 'bucket', "
+                f"(phash >> (b * {band_bits})) & {mask}))"
+            )
+        ).alias("bb"),
+    ).select(
+        "phash",
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    hpairs = (
+        hb.alias("a")
+        .join(
+            hb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.phash") < F.col("b.phash")),
+        )
+        .select(
+            F.col("a.phash").alias("pa"), F.col("b.phash").alias("pb")
+        )
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+    )
+    within_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("media_a"), y.alias("media_b")),
+            ),
+        )
+    )
+    same = (
+        groups.filter(F.size("docs") >= 2)
+        .select(F.explode(within_structs).alias("p"))
+        .select(
+            F.col("p.media_a").alias("media_a"),
+            F.col("p.media_b").alias("media_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    ga = groups.select(
+        F.col("phash").alias("pa"), F.col("docs").alias("docs_a")
+    )
+    gb = groups.select(
+        F.col("phash").alias("pb"), F.col("docs").alias("docs_b")
+    )
+    cross_structs = F.flatten(
+        F.transform(
+            F.col("docs_a"),
+            lambda x: F.transform(
+                F.col("docs_b"),
+                lambda y: F.struct(
+                    F.least(x, y).alias("media_a"),
+                    F.greatest(x, y).alias("media_b"),
+                ),
+            ),
+        )
+    )
+    cross = (
+        hpairs.join(ga, "pa")
+        .join(gb, "pb")
+        .select("hamming", F.explode(cross_structs).alias("p"))
+        .select(
+            F.col("p.media_a").alias("media_a"),
+            F.col("p.media_b").alias("media_b"),
+            "hamming",
+        )
+    )
+    return (
+        same.unionByName(cross)
+        .orderBy("hamming", "media_a", "media_b")
+        .limit(PHASH_EXACT_TOPK)
+    )

@@ -323,3 +323,82 @@ def test_decode_image_dispatches_ppm_and_rejects_compressed():
     assert mm.decode_image(mm.encode_ppm(rgb)).shape == (4, 4)
     with pytest.raises(NotImplementedError):
         mm.decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def _py_phash_exactint(text: str | None) -> int:
+    """Full pure-Python reimplementation of `phash_exactint` (the
+    family convention: every exact-int oracle entry carries an
+    independent third implementation)."""
+    basis = multimodal.phash_int_basis()
+    n = multimodal.PHASH_GRID
+    w = multimodal.PPM_W
+    npix = multimodal.PPM_H * w
+    bits = multimodal.PHASH_BITS
+    bt = list((text or "").encode("utf-8")) or [0]
+    L = len(bt)
+    lum = [
+        299 * bt[(3 * p) % L] + 587 * bt[(3 * p + 1) % L] + 114 * bt[(3 * p + 2) % L]
+        for p in range(npix)
+    ]
+    pooled = []
+    for q in range(n * n):
+        i, j = q // n, q % n
+        start, end = (j * w) // n, ((j + 1) * w) // n
+        seg = lum[i * w + start : i * w + end]
+        pooled.append(2 * seg[0] if len(seg) == 1 else seg[0] + seg[1])
+    g = [
+        sum(basis[gi // n][i] * pooled[i * n + gi % n] for i in range(n))
+        for gi in range(len(basis) * n)
+    ]
+    coefs = [
+        sum(
+            basis[l][j] * g[k * n + j]
+            for j in range(n)
+        )
+        for k, l in multimodal._ZIGZAG_AC
+    ]
+    tot = sum(coefs)
+    return sum(1 << b for b in range(bits) if coefs[b] * bits >= tot)
+
+
+def test_phash_exactint_matches_pure_python(spark, sf_dir):
+    """The Spark expression pipeline (hex lift, integer luma, factor-2
+    pooling, two integer matmuls, mean-sign pack) must equal the pure
+    Python reimplementation bit-for-bit on every fixture document."""
+    t = load(spark, sf_dir)
+    got = {
+        r.doc_id: r.phash
+        for r in multimodal.phash_exactint(t.documents).collect()
+    }
+    texts = {
+        r.doc_id: r.text for r in t.documents.select("doc_id", "text").collect()
+    }
+    assert set(got) == set(texts)
+    mismatches = {
+        d: (got[d], _py_phash_exactint(texts[d]))
+        for d in texts
+        if got[d] != _py_phash_exactint(texts[d])
+    }
+    assert not mismatches, dict(list(mismatches.items())[:3])
+
+
+def test_phash_exactint_pairs_contract(spark, sf_dir):
+    """Top-20 pair output: sorted by (hamming, media_a, media_b),
+    hamming <= PHASH_HAMMING_MAX, media_a < media_b, and every listed
+    hamming equals the true bit distance of the two docs' hashes."""
+    h = {
+        r.doc_id: r.phash
+        for r in multimodal.phash_exactint(
+            load(spark, sf_dir).documents
+        ).collect()
+    }
+    rows = [
+        (r.media_a, r.media_b, r.hamming)
+        for r in multimodal.q_media_phash_pairs_exactint(spark, sf_dir).collect()
+    ]
+    assert len(rows) <= multimodal.PHASH_EXACT_TOPK
+    assert rows == sorted(rows, key=lambda x: (x[2], x[0], x[1]))
+    for a, b, ham in rows:
+        assert a < b
+        assert ham <= multimodal.PHASH_HAMMING_MAX
+        assert ham == bin(h[a] ^ h[b]).count("1")
