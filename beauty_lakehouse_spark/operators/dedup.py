@@ -973,7 +973,31 @@ def setsim_prefix_join(
       aggregate being recomputed per join side before it was cached).
     - ``"explode"``: candidates re-exploded to (pair, token) rows and
       re-grouped — skinny rows, no array payload. Kept as the fallback
-      for corpora whose token arrays are too wide to cache."""
+      for corpora whose token arrays are too wide to cache.
+
+    r9 (the syn100x stage profile put 88% of setsim_clusters' wall in
+    this function — `scripts/profile_setsim.py`):
+
+    - **Integer token dictionary.** Tokens map once to dense BIGINT
+      ids ordered by (df, token) — the SAME total order the prefix
+      scheme ranks by, so ordering by tid alone preserves it — and
+      every downstream structure (prefix postings, the candidate
+      equi-join + distinct, docsets, array_intersect) runs on 8-byte
+      ints instead of ~10-char strings (array_intersect on longs
+      measured 2.3x faster than on strings). The output carries doc
+      ids and counts only, so results are bit-identical. The id mint
+      is a row_number over the token DICTIONARY (vocabulary-scale
+      aggregate, not raw rows — the heavy_hitter/bpe vocabulary-window
+      class); for corpora whose vocabulary exceeds one partition,
+      swap in the two-level rank (partition-local rank + broadcast
+      partition offsets) without touching anything downstream.
+    - **Positional filter** (PPJoin, Xiao et al.): a candidate
+      occurrence at prefix ranks (rka, rkb) bounds the overlap by
+      1 + min(sa - rka, sb - rkb); at a qualifying pair's FIRST shared
+      token (in global order) no common token precedes either rank, so
+      the bound is valid there and pruning occurrences below
+      alpha = ceil(num(sa+sb)/(num+den)) is LOSSLESS while shrinking
+      the distinct + verify inputs."""
     from pyspark.sql import Window
 
     tok = (
@@ -984,26 +1008,33 @@ def setsim_prefix_join(
             ).alias("token"),
         )
         .filter(F.col("token") != "")
-        # consumed by 3 branches (df/prefix build, both verify sides).
-        # cache(), not localCheckpoint: the CacheManager dedupes by
-        # canonical plan, so BOTH sides of every downstream self-join
-        # read the one materialization (lazy checkpoint only persists
-        # the marked node; exchange reuse does not fire across the
-        # differently-projected self-join sides, so the whole subtree
-        # above the checkpoint ran once per side — measured 24s -> 6s
-        # on the setsim_clusters rep domain at sf0.1)
+    )
+    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # dense integer ids in (df, token) order — a window over the token
+    # DICTIONARY (bounded, vocabulary-scale), not over raw rows
+    dict_tbl = df_tbl.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.asc("df"), F.asc("token")))
+        .cast("long")
+        .alias("tid"),
+    )
+    itok = (
+        tok.join(dict_tbl, "token")
+        .select("doc_id", "tid")
+        # consumed by 3 branches (prefix build, docsets/both verify
+        # sides). cache(), not localCheckpoint: the CacheManager
+        # dedupes by canonical plan, so BOTH sides of every downstream
+        # self-join read the one materialization (measured 24s -> 6s
+        # on the setsim_clusters rep domain at sf0.1, r8)
         .cache()
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    sizes = itok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
     ranked = (
-        tok.join(df_tbl, "token")
-        .withColumn(
+        itok.withColumn(
             "rk",
             F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.asc("df"), F.asc("token")
-                )
+                Window.partitionBy("doc_id").orderBy(F.asc("tid"))
             ),
         )
         .join(sizes, "doc_id")
@@ -1014,31 +1045,48 @@ def setsim_prefix_join(
         <= F.col("s")
         - F.expr(f"({num} * s + {den} - 1) div {den}")
         + F.lit(1)
-    ).select("doc_id", "token", "s")
+    ).select("doc_id", "tid", "s", "rk")
     # both sides of the candidate self-join read this — cache so the
-    # df-rank window pipeline runs once, not once per side
+    # rank window pipeline runs once, not once per side
     prefix = prefix.cache()
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"), "token", F.col("s").alias("sa")
+        F.col("doc_id").alias("doc_a"),
+        "tid",
+        F.col("s").alias("sa"),
+        F.col("rk").alias("rka"),
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"), "token", F.col("s").alias("sb")
+        F.col("doc_id").alias("doc_b"),
+        "tid",
+        F.col("s").alias("sb"),
+        F.col("rk").alias("rkb"),
     )
     cand = (
-        a.join(b, "token")
+        a.join(b, "tid")
         .filter(F.col("doc_a") < F.col("doc_b"))
         # length filter: J ≥ τ forces den·min ≥ num·max
         .filter(
             F.lit(den) * F.least("sa", "sb")
             >= F.lit(num) * F.greatest("sa", "sb")
         )
+        # positional filter: overlap ≤ 1 + min(sa-rka, sb-rkb) at the
+        # pair's first shared token; alpha = ceil(num(sa+sb)/(num+den))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("sa") - F.col("rka"), F.col("sb") - F.col("rkb")
+            )
+            >= F.expr(
+                f"({num} * (sa + sb) + {num} + {den} - 1) div ({num} + {den})"
+            )
+        )
         .select("doc_a", "doc_b", "sa", "sb")
         .distinct()
     )
     if verify == "array":
         # consumed by both verify sides — one collect_list aggregate
-        docsets = tok.groupBy("doc_id").agg(
-            F.array_sort(F.collect_list("token")).alias("toks")
+        docsets = itok.groupBy("doc_id").agg(
+            F.array_sort(F.collect_list("tid")).alias("toks")
         ).cache()
         scored = (
             cand.join(
@@ -1056,11 +1104,11 @@ def setsim_prefix_join(
             .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
         )
     else:
-        ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
-        tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+        ta = itok.select(F.col("doc_id").alias("doc_a"), "tid")
+        tb = itok.select(F.col("doc_id").alias("doc_b"), "tid")
         scored = (
             cand.join(ta, "doc_a")
-            .join(tb, ["doc_b", "token"])
+            .join(tb, ["doc_b", "tid"])
             .groupBy("doc_a", "doc_b", "sa", "sb")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )

@@ -72,8 +72,15 @@ SMALL_TIER_QUERIES = {
 }
 
 #: The syn100x tier (~500k docs) covers the two clustering pipelines
-#: the 100 TB design claim leans on (VERDICT r7 ask #5).
-SYN100X_QUERIES = ("dedup_clusters", "setsim_clusters")
+#: the 100 TB design claim leans on (VERDICT r7 ask #5), plus — r9,
+#: VERDICT r8 ask #7 — the remaining headline dedup operators, so
+#: every one has a measured 1000x span.
+SYN100X_QUERIES = (
+    "dedup_clusters",
+    "setsim_clusters",
+    "substring_dedup",
+    "ngram_jaccard_top_pairs",
+)
 
 
 def build_syn(spark, base_dir: str, out_dir: str, copies: int) -> str:
