@@ -95,6 +95,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
+    "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -597,8 +598,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,  # stubbed codecs
         "media_phash_pairs": _q_media_phash_pairs,  # real DCT, synthetic decode
         "media_audio_pairs": _q_media_audio_pairs,  # real rFFT, synthetic decode
-        # r9: the hash-verifiable twin — fixed-point integer DCT pHash
+        # r9: the hash-verifiable twins — fixed-point integer DCT pHash
+        # and integer DFT band-energy audio fingerprint
         "media_phash_pairs_exactint": multimodal.q_media_phash_pairs_exactint,
+        "media_audio_pairs_exactint": multimodal.q_media_audio_pairs_exactint,
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
@@ -836,6 +839,23 @@ def _phash_exactint_sql() -> str:
         f"cf[bb + 1] * {bits} >= list_sum(cf) "
         "THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS phash "
         "FROM cf), "
+        + _exactint_pairs_tail_sql()
+    )
+
+
+def _exactint_pairs_tail_sql() -> str:
+    """Shared SQL tail of the exact-int fingerprint twins (mirrors
+    `multimodal.exactint_hash_pairs`): expects a preceding CTE named
+    ``ph (doc_id, phash)``; distinct-hash banding, family cap, top-k
+    (hamming, media_a, media_b) output."""
+    bits = multimodal.PHASH_BITS
+    bands = multimodal.PHASH_BANDS
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    cap = multimodal.PHASH_EXACT_FAMILY_CAP
+    topk = multimodal.PHASH_EXACT_TOPK
+    hmax = multimodal.PHASH_HAMMING_MAX
+    return (
         "fam AS (SELECT doc_id, phash, row_number() OVER "
         "(PARTITION BY phash ORDER BY doc_id) AS rk FROM ph), "
         f"kept AS (SELECT doc_id, phash FROM fam WHERE rk <= {cap}), "
@@ -858,6 +878,63 @@ def _phash_exactint_sql() -> str:
         "allp AS (SELECT * FROM same UNION ALL SELECT * FROM cross_) "
         "SELECT media_a, media_b, hamming FROM allp "
         f"ORDER BY hamming, media_a, media_b LIMIT {topk}"
+    )
+
+
+def _afp_exactint_sql() -> str:
+    """DuckDB twin of `multimodal.q_media_audio_pairs_exactint`: the
+    SAME fixed-point integer DFT band-energy fingerprint (shared
+    `afp_int_basis` literals — no runtime transcendental), then the
+    shared exact-int pair tail."""
+    cosb, sinb = multimodal.afp_int_basis()
+    bits = multimodal.PHASH_BITS
+    frame = multimodal.AFP_FRAME
+    hop = multimodal.AFP_HOP
+    bins = multimodal.AFP_BINS
+    nsamp = hop * (bits + 1)
+    cb = (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in r) + "]" for r in cosb)
+        + "]"
+    )
+    sb = (
+        "["
+        + ", ".join("[" + ", ".join(str(v) for v in r) + "]" for r in sinb)
+        + "]"
+    )
+    return (
+        f"WITH consts AS (SELECT {cb} AS cosb, {sb} AS sinb), "
+        "hx AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h "
+        "FROM documents), "
+        "bt AS (SELECT doc_id, CASE WHEN length(h) = 0 "
+        "THEN [CAST(0 AS BIGINT)] "
+        "ELSE list_transform(generate_series(1, length(h) // 2), "
+        "i -> CAST(('0x' || substr(h, 2 * i - 1, 2)) AS BIGINT)) END AS bt "
+        "FROM hx), "
+        f"wv AS (SELECT doc_id, list_transform(generate_series(0, {nsamp - 1}), "
+        "t -> bt[t % len(bt) + 1] - 128) AS wv FROM bt), "
+        # squares via 1-element list_transform let-bindings: exact
+        # BIGINT products, never a float pow (mirrors the Spark side)
+        f"en AS (SELECT doc_id, list_transform(generate_series(0, {bits - 1}), "
+        f"f -> CAST(list_sum(list_transform(generate_series(0, {bins - 1}), "
+        f"k -> list_transform([CAST(list_sum(list_transform("
+        f"generate_series(0, {frame - 1}), "
+        f"t2 -> cosb[k + 1][t2 + 1] * wv[f * {hop} + t2 + 1])) AS BIGINT)], "
+        "d -> d * d)[1] + "
+        f"list_transform([CAST(list_sum(list_transform("
+        f"generate_series(0, {frame - 1}), "
+        f"t3 -> sinb[k + 1][t3 + 1] * wv[f * {hop} + t3 + 1])) AS BIGINT)], "
+        "d2 -> d2 * d2)[1])) "
+        "AS BIGINT)) AS en FROM wv, consts), "
+        f"dl AS (SELECT doc_id, list_transform(generate_series(0, {bits - 1}), "
+        "f -> en[f + 1] - CASE WHEN f = 0 THEN 0 ELSE en[f] END) AS dl "
+        "FROM en), "
+        f"ph AS (SELECT doc_id, CAST(list_sum(list_transform("
+        f"generate_series(0, {bits - 1}), bb -> CASE WHEN "
+        f"dl[bb + 1] * {bits} >= list_sum(dl) "
+        "THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS phash "
+        "FROM dl), "
+        + _exactint_pairs_tail_sql()
     )
 
 
@@ -3974,9 +4051,11 @@ def oracle_sql() -> dict[str, str]:
             "user_id",
             "hour_us",
         ),
-        # r9: fixed-point integer DCT pHash — the hash-verifiable twin
-        # of the rows-only media_phash_pairs (shared literal basis)
+        # r9: fixed-point integer DCT pHash / DFT audio fingerprint —
+        # the hash-verifiable twins of the rows-only media pair
+        # queries (shared literal bases, no runtime transcendentals)
         "media_phash_pairs_exactint": _phash_exactint_sql(),
+        "media_audio_pairs_exactint": _afp_exactint_sql(),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

@@ -808,10 +808,20 @@ def q_media_phash_pairs_exactint(spark, sf_dir: str) -> DataFrame:
     distinct-hash domain. At 100 TB the expensive part stays the
     embarrassingly-parallel per-doc hash."""
     from ..catalog import load
-    from pyspark.sql import Window
 
     t = load(spark, sf_dir)
-    h = phash_exactint(t.documents)
+    return exactint_hash_pairs(phash_exactint(t.documents))
+
+
+def exactint_hash_pairs(h: DataFrame) -> DataFrame:
+    """Shared pair tail of the exact-int fingerprint twins: from a
+    (doc_id, phash) table, the PHASH_EXACT_TOPK smallest (hamming,
+    media_a, media_b) pairs — distinct-hash banding (pigeonhole exact
+    for hamming <= PHASH_HAMMING_MAX over PHASH_BANDS bands), doc
+    expansion capped at PHASH_EXACT_FAMILY_CAP per hash family
+    (provably lossless for the top-k — see q_media_phash_pairs_exactint)."""
+    from pyspark.sql import Window
+
     wk = Window.partitionBy("phash").orderBy("doc_id")
     groups = (
         h.withColumn("rk", F.row_number().over(wk))
@@ -904,3 +914,133 @@ def q_media_phash_pairs_exactint(spark, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "media_a", "media_b")
         .limit(PHASH_EXACT_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hash-verifiable audio-fingerprint twin (r9): fixed-point integer DFT
+# band energies, oracle-matched end to end.
+# ---------------------------------------------------------------------------
+
+#: Geometry of the integer spectral fingerprint: the byte waveform is
+#: tiled to AFP_HOP*(PHASH_BITS+1) centered samples, framed into
+#: PHASH_BITS half-overlapping AFP_FRAME-sample windows, and each
+#: frame's low-band energy sums DFT bins 1..AFP_BINS (the first
+#: quarter of an AFP_FRAME-point real spectrum, DC excluded — the
+#: same band shape as the float `wave_fingerprint`).
+AFP_FRAME = 64
+AFP_HOP = 32
+AFP_BINS = 7
+#: Fixed-point scale of the cos/sin basis. Worst case per dot:
+#: 64 * 4096 * 128 = 3.4e7 -> squared 1.2e15, * 2 * 7 bins = 1.6e16,
+#: * PHASH_BITS in the mean compare = 2.6e17 << 2^63.
+AFP_INT_SCALE = 1 << 12
+
+
+@functools.lru_cache(maxsize=None)
+def afp_int_basis() -> tuple[tuple[tuple[int, ...], ...], ...]:
+    """(cos, sin) integer DFT bases for bins 1..AFP_BINS over an
+    AFP_FRAME-sample window: ``round(cos|sin(2*pi*k*t/AFP_FRAME) *
+    AFP_INT_SCALE)``. Computed once in Python and embedded as literals
+    in BOTH engines' plans (the oracle SQL interpolates the same
+    lists) — no runtime transcendental anywhere, the same portability
+    template as `phash_int_basis`."""
+    import math
+
+    cos_rows = []
+    sin_rows = []
+    for k in range(1, AFP_BINS + 1):
+        cos_rows.append(
+            tuple(
+                round(
+                    math.cos(2 * math.pi * k * t / AFP_FRAME) * AFP_INT_SCALE
+                )
+                for t in range(AFP_FRAME)
+            )
+        )
+        sin_rows.append(
+            tuple(
+                round(
+                    math.sin(2 * math.pi * k * t / AFP_FRAME) * AFP_INT_SCALE
+                )
+                for t in range(AFP_FRAME)
+            )
+        )
+    return (tuple(cos_rows), tuple(sin_rows))
+
+
+def afp_exactint(documents: DataFrame) -> DataFrame:
+    """(doc_id, phash) — the FIXED-POINT INTEGER spectral fingerprint
+    of each document's synthetic waveform, every step exact int64:
+
+    1. bytes via the hex lift (as `phash_exactint`), empty -> [0].
+    2. wave: bytes tiled to AFP_HOP*(PHASH_BITS+1) samples, centered
+       (b - 128) — the `wav_from_documents` PCM lift at fixed length.
+    3. frames: PHASH_BITS half-overlapping AFP_FRAME windows; per
+       frame the low-band energy sum_k (c_k.x)^2 + (s_k.x)^2 over the
+       shared literal integer DFT basis (bins 1..AFP_BINS).
+    4. deltas: frame-to-frame energy difference, first vs 0 — the
+       gain-robust chromaprint feature, exactly the float twin's.
+    5. pack: bit f set iff delta_f * PHASH_BITS >= sum(deltas).
+
+    Same let-binding construction as `phash_exactint` (each stage
+    bound once; CollapseProject cannot inline multiplicatively)."""
+    cosb, sinb = afp_int_basis()
+    nsamp = AFP_HOP * (PHASH_BITS + 1)
+    cb_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in cosb])
+    sb_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in sinb])
+    bt_sql = (
+        "CASE WHEN length(coalesce(text, '')) = 0 THEN array(0L) ELSE "
+        "transform(sequence(1, length(encode(coalesce(text, ''), 'utf-8'))), "
+        "i -> cast(conv(substring(hex(encode(coalesce(text, ''), 'utf-8')), "
+        "2 * i - 1, 2), 16, 10) AS BIGINT)) END"
+    )
+    wave_sql = (
+        f"transform(sequence(0, {nsamp - 1}), t -> "
+        "bt[t % size(bt)] - 128L)"
+    )
+    # energy of frame f: dot the basis rows against the frame slice;
+    # the squares go through a 1-element transform let-binding so they
+    # stay EXACT int64 products (never a float pow)
+    energy_sql = (
+        f"transform(sequence(0, {PHASH_BITS - 1}), f -> "
+        f"aggregate(sequence(0, {AFP_BINS - 1}), 0L, (acc, k) -> acc + "
+        f"transform(array(aggregate(sequence(0, {AFP_FRAME - 1}), 0L, "
+        f"(dc, t2) -> dc + cosb[k][t2] * wv[f * {AFP_HOP} + t2])), "
+        "d -> d * d)[0] + "
+        f"transform(array(aggregate(sequence(0, {AFP_FRAME - 1}), 0L, "
+        f"(ds, t3) -> ds + sinb[k][t3] * wv[f * {AFP_HOP} + t3])), "
+        "d2 -> d2 * d2)[0]))"
+    )
+    delta_sql = (
+        f"transform(sequence(0, {PHASH_BITS - 1}), f -> "
+        "en[f] - IF(f = 0, 0L, en[f - 1]))"
+    )
+    pack_sql = (
+        f"aggregate(sequence(0, {PHASH_BITS - 1}), 0L, (acc4, b) -> "
+        f"acc4 + IF(dl[b] * {PHASH_BITS} >= tot, shiftleft(1L, b), 0L))"
+    )
+    phash_sql = (
+        f"transform(array({bt_sql}), bt -> "
+        f"transform(array({wave_sql}), wv -> "
+        f"transform(array({energy_sql}), en -> "
+        f"transform(array({delta_sql}), dl -> "
+        f"transform(array(aggregate(dl, 0L, (a, x) -> a + x)), tot -> "
+        f"{pack_sql}"
+        ")[0])[0])[0])[0])[0]"
+    )
+    return documents.select(
+        "doc_id", cb_lit.alias("cosb"), sb_lit.alias("sinb"), "text"
+    ).select("doc_id", F.expr(phash_sql).alias("phash"))
+
+
+def q_media_audio_pairs_exactint(spark, sf_dir: str) -> DataFrame:
+    """Top-20 closest audio-fingerprint near-duplicate media pairs,
+    ORACLE-MATCHED end to end — the hash-verifiable twin of the
+    rows-only `media_audio_pairs` (whose genuine RIFF/WAV decode +
+    float rFFT stay registered as the decode-exercising path). Hashes
+    from `afp_exactint`; candidate banding, family cap and the top-20
+    contract shared with the image twin (`exactint_hash_pairs`)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    return exactint_hash_pairs(afp_exactint(t.documents))

@@ -402,3 +402,70 @@ def test_phash_exactint_pairs_contract(spark, sf_dir):
         assert a < b
         assert ham <= multimodal.PHASH_HAMMING_MAX
         assert ham == bin(h[a] ^ h[b]).count("1")
+
+
+def _py_afp_exactint(text: str | None) -> int:
+    """Pure-Python reimplementation of `afp_exactint` (third
+    independent implementation, family convention)."""
+    cosb, sinb = multimodal.afp_int_basis()
+    bits = multimodal.PHASH_BITS
+    frame = multimodal.AFP_FRAME
+    hop = multimodal.AFP_HOP
+    bins = multimodal.AFP_BINS
+    bt = list((text or "").encode("utf-8")) or [0]
+    L = len(bt)
+    nsamp = hop * (bits + 1)
+    wv = [bt[t % L] - 128 for t in range(nsamp)]
+    energies = []
+    for f in range(bits):
+        seg = wv[f * hop : f * hop + frame]
+        e = 0
+        for k in range(bins):
+            dc = sum(cosb[k][t] * seg[t] for t in range(frame))
+            ds = sum(sinb[k][t] * seg[t] for t in range(frame))
+            e += dc * dc + ds * ds
+        energies.append(e)
+    deltas = [
+        energies[f] - (energies[f - 1] if f else 0) for f in range(bits)
+    ]
+    tot = sum(deltas)
+    return sum(1 << b for b in range(bits) if deltas[b] * bits >= tot)
+
+
+def test_afp_exactint_matches_pure_python(spark, sf_dir):
+    """The Spark expression pipeline (hex lift, centered tiled wave,
+    integer DFT band energies, delta-sign pack) must equal the pure
+    Python reimplementation bit-for-bit on every fixture document."""
+    t = load(spark, sf_dir)
+    got = {
+        r.doc_id: r.phash
+        for r in multimodal.afp_exactint(t.documents).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    assert set(got) == set(texts)
+    mismatches = {
+        d: (got[d], _py_afp_exactint(texts[d]))
+        for d in texts
+        if got[d] != _py_afp_exactint(texts[d])
+    }
+    assert not mismatches, dict(list(mismatches.items())[:3])
+
+
+def test_afp_exactint_gain_offset_sensitivity(spark):
+    """Fingerprint sanity on constructed waves: identical texts hash
+    identically; a doc differing only in its final token lands within
+    a small Hamming distance (shared frames dominate); unrelated texts
+    differ. Exercises the operator off the fixture path."""
+    base = " ".join(f"tok{i}" for i in range(60))
+    near = " ".join(f"tok{i}" for i in range(59)) + " tokX"
+    other = " ".join(f"zzz{i * 7}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, base), (1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    h = {r.doc_id: r.phash for r in multimodal.afp_exactint(df).collect()}
+    assert h[0] == h[1]
+    assert bin(h[0] ^ h[2]).count("1") <= multimodal.PHASH_BITS // 2
+    assert h[0] != h[3]
