@@ -73,6 +73,8 @@ HEADLINE = [
     "cms_cells_streamed",     # streamed count-min cell aggregate
     "table_stats_streamed",   # streamed ANALYZE profile drain (new in r8)
     "ddsketch_value_quantiles",  # log-bucket quantile sketch (new in r8)
+    "media_phash_pairs_exactint",  # integer-DCT pHash near-dup pairs (new in r9)
+    "media_audio_pairs_exactint",  # integer-DFT audio fingerprint pairs (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
