@@ -986,11 +986,13 @@ def setsim_prefix_join(
       ints instead of ~10-char strings (array_intersect on longs
       measured 2.3x faster than on strings). The output carries doc
       ids and counts only, so results are bit-identical. The id mint
-      is a row_number over the token DICTIONARY (vocabulary-scale
-      aggregate, not raw rows — the heavy_hitter/bpe vocabulary-window
-      class); for corpora whose vocabulary exceeds one partition,
-      swap in the two-level rank (partition-local rank + broadcast
-      partition offsets) without touching anything downstream.
+      is a TWO-LEVEL rank over the token dictionary: range-partition
+      on (df, token), partition-local row_number, plus broadcast
+      cumulative partition offsets — no single-partition sort at any
+      vocabulary size (the boundary placement cannot change the ids:
+      any range split of a total order yields the same dense ranks).
+      Costs ~1.4s of extra dictionary shuffle at the 50k-doc tier,
+      buys the giant-vocab case outright.
     - **Positional filter** (PPJoin, Xiao et al.): a candidate
       occurrence at prefix ranks (rka, rkb) bounds the overlap by
       1 + min(sa - rka, sb - rkb); at a qualifying pair's FIRST shared
@@ -1010,14 +1012,43 @@ def setsim_prefix_join(
         .filter(F.col("token") != "")
     )
     df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # dense integer ids in (df, token) order — a window over the token
-    # DICTIONARY (bounded, vocabulary-scale), not over raw rows
-    dict_tbl = df_tbl.select(
-        "token",
-        F.row_number()
-        .over(Window.orderBy(F.asc("df"), F.asc("token")))
-        .cast("long")
-        .alias("tid"),
+    # dense integer ids in (df, token) order, minted WITHOUT a
+    # single-partition sort (the giant-vocab path, implemented):
+    # range-partition the dictionary on the order key, rank locally
+    # per partition (spark_partition_id as the window key — range
+    # partitions are order-contiguous, so local rank + partition
+    # offset IS the global dense rank regardless of where the
+    # sampled boundaries land), and add cumulative offsets from the
+    # per-partition counts (a cumsum over the B-row partition table —
+    # the bounded-window class). Every per-row step is distributed;
+    # only the B-row offset table sees a global window.
+    by_range = df_tbl.repartitionByRange(
+        32, F.asc("df"), F.asc("token")
+    ).withColumn("pid", F.spark_partition_id())
+    local = by_range.withColumn(
+        "lrk",
+        F.row_number().over(
+            Window.partitionBy("pid").orderBy(F.asc("df"), F.asc("token"))
+        ),
+    )
+    offsets = (
+        by_range.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "off")
+    )
+    dict_tbl = local.join(F.broadcast(offsets), "pid").select(
+        "token", (F.col("off") + F.col("lrk")).cast("long").alias("tid")
     )
     itok = (
         tok.join(dict_tbl, "token")

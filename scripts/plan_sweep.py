@@ -85,8 +85,8 @@ WHITELIST: dict[str, str] = {
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
-    "setsim_prefix_join": "token-dictionary id mint (row_number over the vocabulary-scale df aggregate, not raw rows — heavy_hitter/bpe class; two-level rank is the documented giant-vocab path, dedup.py r9)",
-    "setsim_clusters": "same token-dictionary id mint inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
+    "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
+    "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",
     "corpus_training_plan": "ccnet + curriculum composition: bucket-table cumsums only (3-row tercile offsets, ~4k-row perplexity buckets)",
     "ddsketch_value_quantiles": "cumsum over the <=~700-row log-bucket table (ln(max/min)/ln(gamma) buckets by construction)",
