@@ -96,6 +96,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER_R8 = [
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
+    "media_phash_stream",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -602,6 +603,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and integer DFT band-energy audio fingerprint
         "media_phash_pairs_exactint": multimodal.q_media_phash_pairs_exactint,
         "media_audio_pairs_exactint": multimodal.q_media_audio_pairs_exactint,
+        # r9: fingerprint-at-ingest — 14th oracle-matched streaming drain
+        "media_phash_stream": _q_media_phash_stream,
         "cardinality_sketches": quality.q_cardinality_sketches,  # HLL
         "quantile_sketches": quality.q_quantile_sketches,  # KLL-style
         "knn_ivf": similarity.q_knn_ivf,  # approximate, iterative
@@ -774,13 +777,13 @@ def _q_media_audio_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _phash_exactint_sql() -> str:
-    """DuckDB twin of `multimodal.q_media_phash_pairs_exactint`: the
-    SAME fixed-point integer DCT pHash (the `phash_int_basis` literal
-    constants are interpolated below, so neither engine evaluates a
-    transcendental at query time — the ln_micro/DDSketch portability
-    template), distinct-hash banding, 21-per-family doc cap, top-20
-    (hamming, media_a, media_b) output. All-integer, bit-identical."""
+def _phash_hash_ctes() -> str:
+    """The DuckDB CTE chain computing the fixed-point integer DCT
+    pHash per document, ending in ``ph (doc_id, phash)`` — shared by
+    the batch pair twin and the streamed fingerprint-at-ingest drain
+    (the `phash_int_basis` literal constants are interpolated below,
+    so neither engine evaluates a transcendental at query time — the
+    ln_micro/DDSketch portability template). All-integer."""
     basis = multimodal.phash_int_basis()
     n = multimodal.PHASH_GRID
     w = multimodal.PPM_W
@@ -806,7 +809,7 @@ def _phash_exactint_sql() -> str:
         # the basis/zigzag literals live in a 1-row CTE cross-joined in
         # (NOT inline in the lambdas: DuckDB would rebuild the constant
         # lists per element evaluation — measured 17x slower)
-        f"WITH consts AS (SELECT {cb} AS cb, {ks} AS ks, {ls} AS ls), "
+        f"consts AS (SELECT {cb} AS cb, {ks} AS ks, {ls} AS ls), "
         "hx AS (SELECT doc_id, hex(encode(coalesce(text, ''))) AS h "
         "FROM documents), "
         "bt AS (SELECT doc_id, CASE WHEN length(h) = 0 "
@@ -839,8 +842,14 @@ def _phash_exactint_sql() -> str:
         f"cf[bb + 1] * {bits} >= list_sum(cf) "
         "THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS phash "
         "FROM cf), "
-        + _exactint_pairs_tail_sql()
     )
+
+
+def _phash_exactint_sql() -> str:
+    """DuckDB twin of `multimodal.q_media_phash_pairs_exactint`:
+    the shared hash CTEs + distinct-hash banding, 21-per-family doc
+    cap, top-20 (hamming, media_a, media_b) output. Bit-identical."""
+    return "WITH " + _phash_hash_ctes() + _exactint_pairs_tail_sql()
 
 
 def _exactint_pairs_tail_sql() -> str:
@@ -935,6 +944,28 @@ def _afp_exactint_sql() -> str:
         "THEN (CAST(1 AS BIGINT) << bb) ELSE 0 END)) AS BIGINT) AS phash "
         "FROM dl), "
         + _exactint_pairs_tail_sql()
+    )
+
+
+def _q_media_phash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-at-ingest for the media near-dup index: the
+    fixed-point integer DCT pHash (`multimodal.phash_exactint`)
+    running as a STREAMING transform over the documents landing
+    stream (append mode, availableNow drain) — per-doc stateless, so
+    the streaming plan is the batch kernel per micro-batch. The 14th
+    oracle-matched streaming drain; shares the batch twin's hash CTE
+    chain as its DuckDB oracle, so maintained-at-ingest fingerprints
+    ≡ batch recompute bit-for-bit."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.multimodal import phash_exactint
+    from beauty_lakehouse_spark.streaming import run_available_now
+    from beauty_lakehouse_spark.streaming.pipelines import stream_documents
+
+    return run_available_now(
+        phash_exactint(stream_documents(spark, sf_dir)),
+        f"gate_mediafp_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
     )
 
 
@@ -4056,6 +4087,10 @@ def oracle_sql() -> dict[str, str]:
         # queries (shared literal bases, no runtime transcendentals)
         "media_phash_pairs_exactint": _phash_exactint_sql(),
         "media_audio_pairs_exactint": _afp_exactint_sql(),
+        "media_phash_stream": (
+            "WITH " + _phash_hash_ctes().rstrip(", ")
+            + " SELECT doc_id, phash FROM ph"
+        ),
         # knn_lsh: approximate → intentionally no oracle (rows-only)
         # media_features: stubbed codec → intentionally no oracle (rows-only)
     }

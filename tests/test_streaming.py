@@ -397,3 +397,35 @@ def test_stream_glob_escapes_metacharacters(spark, sf_dir, tmp_path):
         output_mode="complete",
     )
     assert drained.collect()[0]["count"] == n_batch
+
+
+def test_media_phash_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Fingerprint-at-ingest (r9): draining the documents fixture in
+    4 micro-batches through the exact-int pHash kernel must equal the
+    batch hashes exactly — the kernel is per-doc stateless, so the
+    drain is micro-batch-slicing-independent."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.multimodal import phash_exactint
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        DOCUMENTS_SCHEMA,
+        run_available_now,
+    )
+
+    docs = load(spark, sf_dir).documents
+    src = str(tmp_path / "docs_parts")
+    docs.withColumn("part", (F.col("doc_id") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        phash_exactint(stream), "t_media_fp_mb", output_mode="append"
+    )
+    a = sorted((r.doc_id, r.phash) for r in got.collect())
+    b = sorted((r.doc_id, r.phash) for r in phash_exactint(docs).collect())
+    assert a == b
