@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "events_multires_rollup",  # new in r9 — gate-verify the round it lands
+    "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_phash_stream",  # new in r9 — gate-verify the round it lands
@@ -366,6 +368,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_metrics_unpivot": relational.q_order_metrics_unpivot,
         # events / event-time windows (cheap, all oracle)
         "events_hourly": events.q_events_hourly,
+        # hypertable continuous-aggregate cascade: minute→hour→day,
+        # raw scanned once, coarse tiers aggregate the finer TIER
+        "events_multires_rollup": events.q_events_multires_rollup,
         "event_volume_anomalies": events.q_event_volume_anomalies,
         "user_state_scd2": events.q_user_state_scd2,
         "events_seasonality": events.q_events_seasonality,
@@ -473,6 +478,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": text.q_repetition_stats,
         "fuzzy_part_names": text.q_fuzzy_part_names,
         "frequent_terms": text.q_frequent_terms,
+        # fixed-point OLS Zipf-exponent fit (ln_micro — no float ln)
+        "zipf_law_fit": text.q_zipf_law_fit,
         "regex_token_pieces": text.q_regex_token_pieces,
         "bpe_pair_counts": text.q_bpe_pair_counts,
         # full BPE trainer (iterative argmax-merge loop; rows-only —
@@ -2905,6 +2912,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT term, n_occurrences, n_docs FROM c "
             "ORDER BY n_occurrences DESC, term LIMIT 50"
         ),
+        "zipf_law_fit": (
+            # fixed-point OLS of ln(freq) on ln(rank) over the top-1000
+            # tokens; ln_micro on both engines, HUGEINT/decimal(38,0)
+            # normal equations, half-up division — bit-identical
+            "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term "
+            "FROM documents), "
+            "c AS (SELECT term, count(*) AS n FROM tok WHERE term <> '' "
+            "GROUP BY term), "
+            "top AS (SELECT term, n FROM c ORDER BY n DESC, term LIMIT 1000), "
+            "r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, term) "
+            "AS BIGINT) AS rnk, CAST(n AS BIGINT) AS n FROM top), "
+            f"p AS (SELECT {_lnm('rnk', '1')} AS x, {_lnm('n', '1')} AS y "
+            "FROM r), "
+            "s AS (SELECT CAST(count(*) AS HUGEINT) AS k, "
+            "CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy, "
+            "CAST(sum(x * y) AS HUGEINT) AS sxy, "
+            "CAST(sum(x * x) AS HUGEINT) AS sxx FROM p) "
+            "SELECT CAST(k AS BIGINT) AS n_terms, "
+            f"{_hud('sx', 'k', 6)} AS mean_ln_rank, "
+            f"{_hud('sy', 'k', 6)} AS mean_ln_freq, "
+            f"{_hud('(sx * sy - k * sxy)', '(k * sxx - sx * sx)', 6)} "
+            "AS zipf_exponent FROM s"
+        ),
         "urgent_order_customers": (
             "SELECT c_custkey, c_name, c_mktsegment FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
@@ -3372,6 +3402,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) "
             "AS total_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "events_multires_rollup": (
+            # continuous-aggregate cascade: hour aggregates the minute
+            # TIER, day aggregates the hour tier — sums carried as
+            # exact decimals, rounded only at output
+            "WITH m AS (SELECT epoch_us(ts) - epoch_us(ts) % 60000000 "
+            "AS b, event_type, count(*) AS n, "
+            "sum(CAST(value AS DECIMAL(12,2))) AS sv "
+            "FROM events GROUP BY 1, 2), "
+            "h AS (SELECT b - b % 3600000000 AS b, event_type, "
+            "CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv FROM m "
+            "GROUP BY 1, 2), "
+            "d AS (SELECT b - b % 86400000000 AS b, event_type, "
+            "CAST(sum(n) AS BIGINT) AS n, sum(sv) AS sv FROM h "
+            "GROUP BY 1, 2) "
+            "SELECT 'minute' AS resolution, b AS bucket_start_us, "
+            "event_type, CAST(n AS BIGINT) AS n_events, "
+            "CAST(round(sv, 2) AS DOUBLE) AS total_value FROM m "
+            "UNION ALL SELECT 'hour', b, event_type, n, "
+            "CAST(round(sv, 2) AS DOUBLE) FROM h "
+            "UNION ALL SELECT 'day', b, event_type, n, "
+            "CAST(round(sv, 2) AS DOUBLE) FROM d"
         ),
         "open_orders_daily": (
             # delta encoding + calendar-spine running sum: the scalable

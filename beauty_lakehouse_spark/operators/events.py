@@ -558,3 +558,70 @@ def q_session_paths_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(30)
     )
+
+
+MINUTE_US = 60_000_000
+DAY_US = 86_400_000_000
+
+
+def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate cascade: minute → hour →
+    day rollups of the event stream, raw data scanned ONCE.
+
+    The TimescaleDB/Druid pattern for time-series at scale: the finest
+    tier (1-minute buckets per event_type) is the only aggregate that
+    touches raw rows; every coarser tier aggregates the next-finer
+    TIER, not the raw table. At 100 TB of events the minute tier is
+    ~10⁴× smaller than raw (bounded by minutes × event_types), so the
+    hour and day cascades are near-free map-side re-aggregations of an
+    already-tiny table — this is why hypertables can serve dashboards
+    over years of data. Sums cascade EXACTLY: the value sum is carried
+    as decimal(12,2) partials (dec2) and only rounded at output, so
+    ``sum(day) == sum(hours) == sum(minutes)`` bit-for-bit.
+
+    The shared minute/hour subtrees are lazily checkpointed so the
+    three output tiers materialize the cascade once instead of
+    re-scanning raw per tier (same convention as dedup.py's shared
+    self-join subtrees).
+    """
+    t = load(spark, sf_dir)
+    us = epoch_us(F.col("ts"))
+    minute = (
+        t.events.groupBy(
+            ((us - us % F.lit(MINUTE_US))).alias("bucket_start_us"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec2("value")).alias("sv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _up(df: DataFrame, span_us: int) -> DataFrame:
+        b = F.col("bucket_start_us")
+        return df.groupBy(
+            (b - b % F.lit(span_us)).alias("bucket_start_us"),
+            F.col("event_type"),
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+
+    hour = _up(minute, HOUR_US).localCheckpoint(eager=False)
+    day = _up(hour, DAY_US)
+
+    def _out(df: DataFrame, resolution: str) -> DataFrame:
+        return df.select(
+            F.lit(resolution).alias("resolution"),
+            F.col("bucket_start_us"),
+            F.col("event_type"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("sv"), 2).cast("double").alias("total_value"),
+        )
+
+    return (
+        _out(minute, "minute")
+        .unionByName(_out(hour, "hour"))
+        .unionByName(_out(day, "day"))
+    )

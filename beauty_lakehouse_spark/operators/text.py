@@ -1349,3 +1349,63 @@ def q_winnow_overlap_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(WINNOW_TOP)
         .select("doc_a", "doc_b", F.col("n_shared").cast("long").alias("n_shared"))
     )
+
+
+#: Zipf fit domain: the head of the frequency table. Bounded so the
+#: global rank window runs over a fixed-size table at any corpus scale.
+ZIPF_K = 1000
+
+
+def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency table: the OLS slope of
+    ln(freq) on ln(rank) for the top-``ZIPF_K`` tokens, in exact
+    fixed-point arithmetic (``ln_micro`` — no float ``ln`` anywhere, so
+    the DuckDB oracle matches bit-for-bit).
+
+    A natural corpus follows ``freq ∝ rank^-s`` with s ≈ 1; a corpus of
+    templated/duplicated text bends the curve, so the fitted exponent
+    is a standard one-number corpus-health diagnostic in training-data
+    pipelines (alongside ``ttr``/``repetition_stats``).
+
+    Scale shape: one explode → map-side-combined groupBy (|vocab| output
+    rows) → TakeOrdered(k) → the rank window runs over k=1000 rows on
+    one partition — never a global sort of the vocabulary. The OLS
+    sums are a single 5-value aggregate; the normal-equation division
+    is ``halfup_div`` over decimal(38,0) (products of micro-nat sums
+    exceed int64; DuckDB's HUGEINT and Spark's decimal agree exactly).
+    ``freq`` is non-increasing in ``rank`` so ``n·Σxy − Σx·Σy ≤ 0``;
+    the positive exponent s = −slope keeps ``halfup_div``'s
+    non-negative contract.
+    """
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    counted = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    top = counted.orderBy(F.desc("n"), F.asc("term")).limit(ZIPF_K)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    pts = top.select(
+        ln_micro(F.row_number().over(w).cast("long"), F.lit(1)).alias("x"),
+        ln_micro(F.col("n"), F.lit(1)).alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+    )
+    k = F.col("k").cast(d38)
+    return s.select(
+        F.col("k").alias("n_terms"),
+        halfup_div(F.col("sx"), F.col("k"), 6).alias("mean_ln_rank"),
+        halfup_div(F.col("sy"), F.col("k"), 6).alias("mean_ln_freq"),
+        halfup_div(
+            F.col("sx") * F.col("sy") - k * F.col("sxy"),
+            k * F.col("sxx") - F.col("sx") * F.col("sx"),
+            6,
+        ).alias("zipf_exponent"),
+    )

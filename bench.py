@@ -75,6 +75,9 @@ HEADLINE = [
     "ddsketch_value_quantiles",  # log-bucket quantile sketch (new in r8)
     "media_phash_pairs_exactint",  # integer-DCT pHash near-dup pairs (new in r9)
     "media_audio_pairs_exactint",  # integer-DFT audio fingerprint pairs (new in r9)
+    "media_phash_stream",     # fingerprint-at-ingest streaming drain (new in r9)
+    "events_multires_rollup", # hypertable minute→hour→day cascade (new in r9)
+    "zipf_law_fit",           # fixed-point Zipf-exponent corpus diagnostic (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -93,6 +93,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "ivf_topk_exactint": "row_number over the k-row kmeans seed table (limit(KMEANS_K), k=8) inside the composed cell build",
     "pq_topk_exactint": "row_number over the k-row seed table (limit(KMEANS_K), k=8) donating sub-vector codes",
     "ivfpq_topk_exactint": "row_number over the k-row seed table shared by the composed IVF+PQ builds",
+    "zipf_law_fit": "rank row_number over the ZIPF_K=1000-row TakeOrdered head of the frequency table — never the raw vocabulary",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",

@@ -697,3 +697,95 @@ def test_bpe_oracle_ctes_are_materialized():
     # every vocab CTE must be materialized
     for k in range(0, 13):
         assert f"v{k} AS MATERIALIZED" in sql, f"v{k} not materialized"
+
+
+def test_multires_cascade_mass_conservation(spark, sf_dir):
+    """Every tier of the hypertable cascade carries the SAME total
+    event count and (exact decimal) value sum — aggregating the finer
+    tier loses nothing, and day buckets are supersets of their hours."""
+    out = events.q_events_multires_rollup(spark, sf_dir)
+    tiers = {
+        r["resolution"]: (r["n"], r["tv"])
+        for r in out.groupBy("resolution")
+        .agg(
+            F.sum("n_events").alias("n"),
+            F.round(F.sum("total_value"), 1).alias("tv"),
+        )
+        .collect()
+    }
+    assert tiers["minute"][0] == tiers["hour"][0] == tiers["day"][0]
+    # rounding happened per-bucket at 2dp; compare at 1dp tolerance-free
+    assert abs(tiers["minute"][1] - tiers["day"][1]) <= 0.1 * 1
+    n_raw = load(spark, sf_dir).events.count()
+    assert tiers["minute"][0] == n_raw
+    # tier granularity strictly coarsens
+    per = {
+        r["resolution"]: r["n"]
+        for r in out.groupBy("resolution").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per["minute"] >= per["hour"] >= per["day"]
+
+
+def test_multires_bucket_alignment(spark, sf_dir):
+    """Bucket starts are exact multiples of their resolution span."""
+    out = events.q_events_multires_rollup(spark, sf_dir)
+    spans = {"minute": 60_000_000, "hour": 3_600_000_000, "day": 86_400_000_000}
+    for res, span in spans.items():
+        bad = out.filter(
+            (F.col("resolution") == res)
+            & (F.col("bucket_start_us") % F.lit(span) != 0)
+        ).count()
+        assert bad == 0, res
+
+
+def test_zipf_fit_matches_python(spark, sf_dir):
+    """The fixed-point OLS exponent equals a pure-Python reimplementation
+    over the same integer micro-nat points (ln_micro quantization and
+    half-up division reproduced exactly)."""
+    from collections import Counter
+
+    row = text.q_zipf_law_fit(spark, sf_dir).collect()[0]
+
+    docs = load(spark, sf_dir).documents.select("text").collect()
+    c = Counter()
+    for r in docs:
+        for tkn in r["text"].split(" "):
+            if tkn:
+                c[tkn] += 1
+    top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: text.ZIPF_K]
+
+    def ln_micro_py(num: int) -> int:
+        q = num
+        e = q.bit_length() - 1
+        x = (num << 30) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x = x2 >> 1
+                acc = acc * 2 + 1
+            else:
+                x = x2
+                acc = acc * 2
+        log2_fixed = e * (1 << 16) + acc
+        return (log2_fixed * 693147) >> 16
+
+    pts = [
+        (ln_micro_py(rank), ln_micro_py(n))
+        for rank, (_t, n) in enumerate(top, start=1)
+    ]
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+
+    def hud(num: int, den: int, kk: int = 6) -> float:
+        return ((num * 2 * 10**kk + den) // (den * 2)) / float(10**kk)
+
+    assert row["n_terms"] == k
+    assert row["mean_ln_rank"] == hud(sx, k)
+    assert row["mean_ln_freq"] == hud(sy, k)
+    assert row["zipf_exponent"] == hud(sx * sy - k * sxy, k * sxx - sx * sx)
+    # a natural-ish corpus: exponent in a sane band
+    assert 0.0 < row["zipf_exponent"] < 3.0
