@@ -95,6 +95,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
+    "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -566,6 +567,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
+        "events_multires_streamed": _q_events_multires_streamed,
         "events_sessions_streamed": _q_events_sessions_streamed,
         "dedup_groups_streamed": _q_dedup_groups_streamed,
         "latest_event_streamed": _q_latest_event_streamed,
@@ -640,6 +642,28 @@ def _q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly_event_counts(stream_events(spark, sf_dir)),
         f"gate_hourly_{uuid.uuid4().hex[:8]}",
     )
+
+
+def _q_events_multires_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate: the minute tier is maintained by
+    the stream (complete-mode drain), the hour/day tiers derive from
+    the drained minute TABLE at read time (TimescaleDB real-time-
+    aggregate semantics). Hash-checked against the SAME DuckDB oracle
+    as the batch q_events_multires_rollup."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.events import multires_cascade
+    from beauty_lakehouse_spark.streaming import (
+        multires_minute_values,
+        run_available_now,
+        stream_events,
+    )
+
+    minute = run_available_now(
+        multires_minute_values(stream_events(spark, sf_dir)),
+        f"gate_multires_{uuid.uuid4().hex[:8]}",
+    )
+    return multires_cascade(minute)
 
 
 def _q_events_sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4221,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
     # salted-rewrite twins: same oracle as the direct form
     out["order_enriched_salted"] = out["order_enriched"]
     out["events_hourly_streamed"] = out["events_hourly"]
+    out["events_multires_streamed"] = out["events_multires_rollup"]
     out["table_stats_streamed"] = out["table_stats"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]

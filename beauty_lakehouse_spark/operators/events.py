@@ -586,17 +586,25 @@ def q_events_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load(spark, sf_dir)
     us = epoch_us(F.col("ts"))
-    minute = (
-        t.events.groupBy(
-            ((us - us % F.lit(MINUTE_US))).alias("bucket_start_us"),
-            F.col("event_type"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec2("value")).alias("sv"),
-        )
-        .localCheckpoint(eager=False)
+    minute = t.events.groupBy(
+        ((us - us % F.lit(MINUTE_US))).alias("bucket_start_us"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec2("value")).alias("sv"),
     )
+    return multires_cascade(minute)
+
+
+def multires_cascade(minute: DataFrame) -> DataFrame:
+    """Derive the 3-tier rollup union from a materialized minute tier
+    (columns ``bucket_start_us, event_type, n_events, sv`` with ``sv``
+    an exact decimal partial). Shared by the batch operator above and
+    the streamed drain (``streaming.pipelines.multires_minute_values``),
+    which maintains the minute tier incrementally and derives the
+    coarse tiers at read time — TimescaleDB real-time-aggregate
+    semantics."""
+    minute = minute.localCheckpoint(eager=False)
 
     def _up(df: DataFrame, span_us: int) -> DataFrame:
         b = F.col("bucket_start_us")

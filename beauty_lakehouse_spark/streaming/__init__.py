@@ -14,6 +14,7 @@ from .pipelines import (  # noqa: F401
     hll_register_stream,
     hourly_user_hll_registers,
     hourly_event_counts,
+    multires_minute_values,
     latest_event_table,
     order_stats_value_grid,
     run_available_now,

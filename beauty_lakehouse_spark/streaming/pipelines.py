@@ -101,6 +101,27 @@ def hourly_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def multires_minute_values(events: DataFrame) -> DataFrame:
+    """Streamed finest tier of the hypertable cascade
+    (``operators.events.q_events_multires_rollup``): 1-minute buckets
+    per event_type, the value sum carried as an EXACT decimal partial
+    so the hour/day tiers derived from the drained table at read time
+    cascade bit-for-bit (``operators.events.multires_cascade``).
+
+    Complete-mode state IS the minute tier — bounded by minutes ×
+    event_types (~10⁴× smaller than raw, the hypertable argument),
+    never by raw rows; counts and decimal sums merge associatively
+    across micro-batches, so the drain is slicing-independent."""
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return events.groupBy(
+        (us - us % F.lit(60_000_000)).alias("bucket_start_us"),
+        F.col("event_type"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("sv"),
+    )
+
+
 def session_values(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming twin of q_events_sessions: 15-minute-gap session
     windows per user. session_window state closes (and is emitted +

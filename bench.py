@@ -77,6 +77,7 @@ HEADLINE = [
     "media_audio_pairs_exactint",  # integer-DFT audio fingerprint pairs (new in r9)
     "media_phash_stream",     # fingerprint-at-ingest streaming drain (new in r9)
     "events_multires_rollup", # hypertable minute→hour→day cascade (new in r9)
+    "events_multires_streamed", # real-time continuous-aggregate drain (new in r9)
     "zipf_law_fit",           # fixed-point Zipf-exponent corpus diagnostic (new in r9)
 ]
 

@@ -429,3 +429,43 @@ def test_media_phash_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     a = sorted((r.doc_id, r.phash) for r in got.collect())
     b = sorted((r.doc_id, r.phash) for r in phash_exactint(docs).collect())
     assert a == b
+
+
+def test_multires_stream_matches_batch_and_slicing(spark, sf_dir, tmp_path):
+    """The streamed continuous-aggregate minute tier + read-time cascade
+    equals the batch 3-tier rollup, independent of micro-batch slicing
+    (4 interleaved files, one per batch)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.events import multires_cascade
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        multires_minute_values,
+    )
+
+    expected = batch_events.q_events_multires_rollup(spark, sf_dir)
+
+    # single-batch drain
+    got1 = multires_cascade(
+        run_available_now(
+            multires_minute_values(stream_events(spark, sf_dir)),
+            "t_multires_one",
+        )
+    )
+    assert _canon(got1) == _canon(expected)
+
+    # 4-file interleaved slicing: complete-mode state must merge
+    src = str(tmp_path / "events_parts_mr")
+    ev = load(spark, sf_dir).events
+    ev.withColumn("part", (F.col("event_id") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got4 = multires_cascade(
+        run_available_now(multires_minute_values(stream), "t_multires_four")
+    )
+    assert _canon(got4) == _canon(expected)
