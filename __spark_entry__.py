@@ -96,6 +96,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER_R8 = [
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
+    "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -444,6 +445,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_copurchase_top": graph.q_customer_copurchase_top,
         "product_pagerank_exact": graph.q_product_pagerank_exact,
         "product_triangles": graph.q_product_triangles,
+        # bounded multi-source BFS (frontier expansion, constant rounds)
+        "copurchase_bfs_hops": graph.q_copurchase_bfs_hops,
         # dedup family (oracle except embedding_neardup)
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
@@ -3062,6 +3065,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey "
             "GROUP BY 1, 2 HAVING count(*) >= 2"
+        ),
+        "copurchase_bfs_hops": (
+            # recursive-CTE BFS with UNION dedup; min(dist) collapses
+            # the level-k rediscoveries the Spark side's visited-set
+            # anti-join never emits
+            "WITH RECURSIVE basket AS (SELECT DISTINCT l_orderkey, "
+            "l_partkey FROM lineitem), "
+            "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+            "HAVING count(*) <= 50), "
+            "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+            "JOIN ok USING (l_orderkey)), "
+            "ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_orders "
+            "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 HAVING count(*) >= 2), "
+            "und AS (SELECT part_a AS src, part_b AS dst, n_orders "
+            "FROM ed UNION ALL SELECT part_b, part_a, n_orders FROM ed), "
+            "seeds AS (SELECT src AS part FROM (SELECT src, "
+            "sum(n_orders) AS wdeg FROM und GROUP BY src) "
+            "ORDER BY wdeg DESC, src LIMIT 5), "
+            "walk(part, dist) AS (SELECT part, 0 FROM seeds "
+            "UNION SELECT u.dst, w.dist + 1 FROM walk w "
+            "JOIN und u ON u.src = w.part WHERE w.dist < 3) "
+            "SELECT part, CAST(min(dist) AS INTEGER) AS dist "
+            "FROM walk GROUP BY part"
         ),
         "product_triangles": (
             "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "

@@ -425,3 +425,69 @@ def q_copurchase_jaccard_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.desc("jaccard"), "part_a", "part_b").limit(50)
+
+
+#: Bounded BFS: hop cap and multi-source seed count. A bounded radius
+#: keeps per-round work frontier-sized and the round count constant —
+#: the only BFS shape that survives a 100 TB graph (an unbounded
+#: all-pairs BFS does not).
+BFS_HOPS = 3
+BFS_SEEDS = 5
+
+
+def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source bounded BFS over the co-purchase graph: the minimum
+    hop distance (≤ ``BFS_HOPS``) from the ``BFS_SEEDS`` highest
+    weighted-degree products to every reachable product.
+
+    The "distance to a hub" feature of product graphs (catalog
+    centrality / recommendation radius). Frontier-expansion formulation:
+    each round joins the CURRENT frontier (never the accumulated
+    visited set) against the undirected edge list, anti-joins the
+    visited set, and unions the new layer — per-round data movement is
+    |frontier| × avg-degree, the rounds are constant, and every round's
+    result is lazily checkpointed so round k's plan does not replay
+    rounds 1..k-1 (the ``pagerank_exact`` convention). First visit IS
+    the minimum distance, so no min-aggregation pass is needed.
+    Oracle: DuckDB recursive CTE with UNION dedup + min(dist).
+    """
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    und = (
+        edges.select(
+            F.col("part_a").alias("src"),
+            F.col("part_b").alias("dst"),
+            "n_orders",
+        )
+        .unionByName(
+            edges.select(
+                F.col("part_b").alias("src"),
+                F.col("part_a").alias("dst"),
+                "n_orders",
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    seeds = (
+        und.groupBy("src")
+        .agg(F.sum("n_orders").alias("wdeg"))
+        .orderBy(F.desc("wdeg"), F.asc("src"))
+        .limit(BFS_SEEDS)
+        .select(F.col("src").alias("part"))
+    )
+    dist = seeds.select(
+        "part", F.lit(0).cast("int").alias("dist")
+    ).localCheckpoint(eager=False)
+    frontier = dist.select("part")
+    for hop in range(1, BFS_HOPS + 1):
+        layer = (
+            frontier.join(und, frontier["part"] == und["src"])
+            .select(F.col("dst").alias("part"))
+            .distinct()
+            .join(dist.select("part"), "part", "left_anti")
+            .select("part", F.lit(hop).cast("int").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(layer).localCheckpoint(eager=False)
+        frontier = layer.select("part")
+    return dist

@@ -79,6 +79,7 @@ HEADLINE = [
     "events_multires_rollup", # hypertable minute→hour→day cascade (new in r9)
     "events_multires_streamed", # real-time continuous-aggregate drain (new in r9)
     "zipf_law_fit",           # fixed-point Zipf-exponent corpus diagnostic (new in r9)
+    "copurchase_bfs_hops",    # bounded multi-source BFS frontier expansion (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

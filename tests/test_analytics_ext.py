@@ -168,3 +168,29 @@ def test_copurchase_jaccard_invariants(spark, sf_dir):
         key = (-r.jaccard, r.part_a, r.part_b)
         assert prev is None or prev <= key
         prev = key
+
+
+def test_bfs_layers_are_true_shortest_paths(spark, sf_dir):
+    """BFS invariants: exactly the seed layer at dist 0, layers are
+    disjoint (one row per part), and every dist-k node is adjacent to
+    some dist-(k-1) node but to NO node at dist < k-1 — i.e. the hop
+    count is the true shortest distance."""
+    out = graph.q_copurchase_bfs_hops(spark, sf_dir).collect()
+    dist = {r["part"]: r["dist"] for r in out}
+    assert len(dist) == len(out)  # one row per part
+    assert sum(1 for d in dist.values() if d == 0) == graph.BFS_SEEDS
+    assert max(dist.values()) <= graph.BFS_HOPS
+
+    edges = graph.copurchase_edges(
+        load(spark, sf_dir).lineitem
+    ).filter(F.col("n_orders") >= 2)
+    adj: dict[int, set[int]] = {}
+    for r in edges.collect():
+        adj.setdefault(r["part_a"], set()).add(r["part_b"])
+        adj.setdefault(r["part_b"], set()).add(r["part_a"])
+    for part, d in dist.items():
+        if d == 0:
+            continue
+        nbr_dists = {dist[n] for n in adj.get(part, ()) if n in dist}
+        assert d - 1 in nbr_dists, (part, d)
+        assert not any(nd < d - 1 for nd in nbr_dists), (part, d)
