@@ -97,6 +97,7 @@ _DRIVER_ORDER_R8 = [
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
+    "benford_price_digits",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -557,6 +558,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-identical DuckDB twin)
         "cms_term_estimates": quality.q_cms_term_estimates,
         "ddsketch_value_quantiles": quality.q_ddsketch_value_quantiles,
+        # Benford first-digit audit (fixed-point expected shares)
+        "benford_price_digits": quality.q_benford_price_digits,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -1893,6 +1896,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, n_customers, "
             + _hud("n_customers", "total", 6)
             + " AS share FROM c, t"
+        ),
+        "benford_price_digits": (
+            # Benford share = ln(1+1/d)/ln(10), both logs via the
+            # integer ln_micro kit — no float log10 on either engine
+            "WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) "
+            "* 100 AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+            "AS INTEGER) AS digit FROM c WHERE cents >= 1), "
+            "g AS (SELECT digit, count(*) AS n_orders FROM d "
+            "GROUP BY digit), "
+            "t AS (SELECT sum(n_orders) AS total FROM g) "
+            "SELECT digit, n_orders, "
+            + _hud("n_orders", "total", 6)
+            + " AS observed_share, "
+            + _hud(_lnm("(digit + 1)", "digit"), _lnm("10", "1"), 6)
+            + " AS benford_share FROM g, t"
         ),
         "fact_sales_summary": (
             "SELECT r_name AS region, c_mktsegment, "

@@ -1478,3 +1478,48 @@ def q_cms_term_estimates(spark, sf_dir: str) -> DataFrame:
             .alias("overestimate"),
         )
     )
+
+
+def q_benford_price_digits(spark, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order totals: first-significant-digit
+    distribution vs the expected log10(1 + 1/d) share — the standard
+    fabricated-or-templated-values screen in financial data quality
+    (synthetic or copy-pasted amounts bend the digit curve).
+
+    Both shares are exact fixed-point: the observed share is a half-up
+    division of per-digit counts, the Benford share is
+    ``ln_micro(d+1, d) / ln_micro(10, 1)`` — integer log arithmetic on
+    both engines, no float ``log10`` anywhere. One scan → one 9-row
+    groupBy → a 1-row grand-total broadcast (the share-of-total shape
+    `mktsegment_distribution` whitelists); the leading digit comes from
+    the decimal string head, which is deterministic for positive int64
+    cents on both engines."""
+    from ..catalog import load
+    from ..functions import dec2, halfup_div, ln_micro
+
+    t = load(spark, sf_dir)
+    cents = t.orders.select(
+        (dec2("o_totalprice") * 100).cast("long").alias("cents")
+    ).filter(F.col("cents") >= 1)
+    counts = (
+        cents.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    total = counts.agg(F.sum("n_orders").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_orders",
+        halfup_div(F.col("n_orders"), F.col("total"), 6).alias(
+            "observed_share"
+        ),
+        halfup_div(
+            ln_micro(F.col("digit") + 1, F.col("digit")),
+            ln_micro(F.lit(10), F.lit(1)),
+            6,
+        ).alias("benford_share"),
+    )

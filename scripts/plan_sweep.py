@@ -67,6 +67,7 @@ WHITELIST: dict[str, str] = {
     "categorical_entropy": "dictionary-grain counts x 1-row totals broadcast, per target",
     "embedding_neardup": "bounded hyperplane table (n_tables x n_bits rows) broadcast against vectors",
     "mktsegment_distribution": "1-row grand-total broadcast (share-of-total)",
+    "benford_price_digits": "1-row grand-total broadcast (share-of-total) against the 9-row digit table",
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
     "customer_spend_ntile": "1-row customer-count broadcast (ntile tile-size arithmetic)",
     "customer_rfm_segments": "1-row customer-count broadcast (quintile arithmetic, three metrics)",

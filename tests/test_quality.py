@@ -477,3 +477,24 @@ def test_ddsketch_buckets_merge_across_shards(spark, sf_dir):
     )
     canon = lambda df: sorted(tuple(r) for r in df.collect())
     assert canon(merged) == canon(whole)
+
+
+def test_benford_digit_profile(spark, sf_dir):
+    """Digit domain is 1..9, both share columns sum to ~1 (quantization
+    only), and the fixed-point Benford reference hits the textbook
+    values (log10(2) ≈ 0.30103 for digit 1) within ln_micro's ±1e-4
+    quantization band."""
+    rows = quality.q_benford_price_digits(spark, sf_dir).collect()
+    digits = sorted(r["digit"] for r in rows)
+    assert digits == sorted(set(digits))
+    assert set(digits) <= set(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-3
+    import math
+
+    total_benford = sum(
+        math.log10(1 + 1 / d) for d in digits
+    )
+    got_benford = {r["digit"]: r["benford_share"] for r in rows}
+    for d in digits:
+        assert abs(got_benford[d] - math.log10(1 + 1 / d)) < 5e-4, d
+    assert abs(sum(got_benford.values()) - total_benford) < 5e-3
