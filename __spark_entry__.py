@@ -98,6 +98,7 @@ _DRIVER_ORDER_R8 = [
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
     "benford_price_digits",  # new in r9 — gate-verify the round it lands
+    "table_checksums",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -560,6 +561,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_value_quantiles": quality.q_ddsketch_value_quantiles,
         # Benford first-digit audit (fixed-point expected shares)
         "benford_price_digits": quality.q_benford_price_digits,
+        # anti-entropy order-insensitive table fingerprints
+        "table_checksums": quality.q_table_checksums,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -1896,6 +1899,45 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, n_customers, "
             + _hud("n_customers", "total", 6)
             + " AS share FROM c, t"
+        ),
+        "table_checksums": (
+            # order-insensitive fingerprint: sum of md5-derived row
+            # hashes mod 2^61-1; every canonical piece (decimal lift,
+            # epoch-us, null sentinel) is already cross-engine-exact
+            "WITH ho AS (SELECT ('0x' || substr(md5(concat_ws('|', "
+            "coalesce(CAST(o_orderkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(o_custkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(o_orderstatus AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(o_orderpriority AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
+            "AS h FROM orders), "
+            "hc AS (SELECT ('0x' || substr(md5(concat_ws('|', "
+            "coalesce(CAST(c_custkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(c_name AS VARCHAR), '~null~'), "
+            "coalesce(CAST(c_nationkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(c_mktsegment AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
+            "AS h FROM customer), "
+            "hl AS (SELECT ('0x' || substr(md5(concat_ws('|', "
+            "coalesce(CAST(l_orderkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(l_partkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(l_suppkey AS VARCHAR), '~null~'), "
+            "coalesce(CAST(l_linenumber AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(l_quantity AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(l_discount AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(CAST(l_tax AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+            "coalesce(CAST(l_returnflag AS VARCHAR), '~null~'), "
+            "coalesce(CAST(l_linestatus AS VARCHAR), '~null~'), "
+            "coalesce(CAST(epoch_us(l_shipdate) AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
+            "AS h FROM lineitem) "
+            "SELECT 'orders' AS table_name, count(*) AS n_rows, "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum FROM ho "
+            "UNION ALL SELECT 'customer', count(*), "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) FROM hc "
+            "UNION ALL SELECT 'lineitem', count(*), "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) FROM hl"
         ),
         "benford_price_digits": (
             # Benford share = ln(1+1/d)/ln(10), both logs via the

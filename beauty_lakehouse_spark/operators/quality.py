@@ -1523,3 +1523,90 @@ def q_benford_price_digits(spark, sf_dir: str) -> DataFrame:
             6,
         ).alias("benford_share"),
     )
+
+
+#: 2^61 - 1 (Mersenne): the checksum ring. Sums of 60-bit row hashes
+#: stay exact in decimal(38,0)/HUGEINT before the single final mod.
+CHECKSUM_MOD = (1 << 61) - 1
+
+
+def q_table_checksums(spark, sf_dir: str) -> DataFrame:
+    """Order-insensitive table fingerprints: per table, the row count
+    and the sum-of-row-hashes checksum mod 2^61−1 — the anti-entropy
+    primitive for replica/migration validation (two copies of a table
+    agree iff counts and checksums agree, regardless of row order or
+    file layout, without moving either copy).
+
+    Each row canonicalizes to a '|'-joined string (keys/ints verbatim,
+    money through the dec2 decimal lift, timestamps as integer
+    epoch-µs, NULL as an explicit sentinel — every piece already
+    cross-engine-exact), hashes with the md5-based ``portable_hash64``,
+    and the per-table aggregate is one combinable SUM — a single scan
+    per table, no shuffle beyond the 1-row partial merge, embarrassingly
+    parallel at any scale. Addition is commutative, so partition order,
+    file order, and executor count can never change the result.
+    """
+    from ..catalog import load
+    from ..functions import dec2, epoch_us, portable_hash64
+
+    t = load(spark, sf_dir)
+
+    def canon_hash(df: DataFrame, pieces) -> DataFrame:
+        joined = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(p.cast("string"), F.lit("~null~"))
+                for p in pieces
+            ],
+        )
+        return df.select(portable_hash64(joined).alias("h"))
+
+    specs = {
+        "orders": canon_hash(
+            t.orders,
+            [
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                F.col("o_orderstatus"),
+                dec2("o_totalprice"),
+                epoch_us(F.col("o_orderdate")),
+                F.col("o_orderpriority"),
+            ],
+        ),
+        "customer": canon_hash(
+            t.customer,
+            [
+                F.col("c_custkey"),
+                F.col("c_name"),
+                F.col("c_nationkey"),
+                dec2("c_acctbal"),
+                F.col("c_mktsegment"),
+            ],
+        ),
+        "lineitem": canon_hash(
+            t.lineitem,
+            [
+                F.col("l_orderkey"),
+                F.col("l_partkey"),
+                F.col("l_suppkey"),
+                F.col("l_linenumber"),
+                dec2("l_quantity"),
+                dec2("l_extendedprice"),
+                dec2("l_discount"),
+                dec2("l_tax"),
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+                epoch_us(F.col("l_shipdate")),
+            ],
+        ),
+    }
+    out = None
+    for name, hashed in specs.items():
+        part = hashed.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+            .cast("long")
+            .alias("checksum"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -498,3 +498,53 @@ def test_benford_digit_profile(spark, sf_dir):
     for d in digits:
         assert abs(got_benford[d] - math.log10(1 + 1 / d)) < 5e-4, d
     assert abs(sum(got_benford.values()) - total_benford) < 5e-3
+
+
+def test_table_checksums_ignore_order_and_layout(spark, sf_dir, tmp_path):
+    """The anti-entropy fingerprint is invariant under row order, file
+    layout, and partition count (a reshuffled copy of the tables yields
+    identical checksums), sensitive to a single mutated value, and
+    stable across runs."""
+    import pyspark.sql.functions as F
+
+    base = quality.q_table_checksums(spark, sf_dir)
+    rows = {r["table_name"]: (r["n_rows"], r["checksum"]) for r in base.collect()}
+    t = load(spark, sf_dir)
+    assert rows["orders"][0] == t.orders.count()
+    assert rows["lineitem"][0] == t.lineitem.count()
+    assert all(0 <= c < (1 << 61) - 1 for _, c in rows.values())
+
+    # reshuffled copy: different partitioning + reversed sort order
+    copy_dir = str(tmp_path / "copy")
+    for name, df, key in [
+        ("orders", t.orders, "o_orderkey"),
+        ("customer", t.customer, "c_custkey"),
+        ("lineitem", t.lineitem, "l_orderkey"),
+    ]:
+        df.repartition(7).sortWithinPartitions(F.desc(key)).write.mode(
+            "overwrite"
+        ).parquet(f"{copy_dir}/{name}.parquet")
+    again = {
+        r["table_name"]: (r["n_rows"], r["checksum"])
+        for r in quality.q_table_checksums(spark, copy_dir).collect()
+    }
+    assert again == rows
+
+    # sensitivity: perturb ONE order's price by a cent
+    mut_dir = str(tmp_path / "mut")
+    first_key = t.orders.agg(F.min("o_orderkey")).first()[0]
+    t.orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first_key, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")),
+    ).write.mode("overwrite").parquet(f"{mut_dir}/orders.parquet")
+    for name, df in [("customer", t.customer), ("lineitem", t.lineitem)]:
+        df.write.mode("overwrite").parquet(f"{mut_dir}/{name}.parquet")
+    mut = {
+        r["table_name"]: r["checksum"]
+        for r in quality.q_table_checksums(spark, mut_dir).collect()
+    }
+    assert mut["orders"] != rows["orders"][1]
+    assert mut["customer"] == rows["customer"][1]
+    assert mut["lineitem"] == rows["lineitem"][1]
