@@ -99,6 +99,7 @@ _DRIVER_ORDER_R8 = [
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
     "benford_price_digits",  # new in r9 — gate-verify the round it lands
     "table_checksums",  # new in r9 — gate-verify the round it lands
+    "orders_checksum_streamed",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -577,6 +578,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same oracles as their batch twins — oracle-matched streaming
         "events_hourly_streamed": _q_events_hourly_streamed,
         "events_multires_streamed": _q_events_multires_streamed,
+        "orders_checksum_streamed": _q_orders_checksum_streamed,
         "events_sessions_streamed": _q_events_sessions_streamed,
         "dedup_groups_streamed": _q_dedup_groups_streamed,
         "latest_event_streamed": _q_latest_event_streamed,
@@ -650,6 +652,25 @@ def _q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         hourly_event_counts(stream_events(spark, sf_dir)),
         f"gate_hourly_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_orders_checksum_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fingerprint-at-ingest drain: the anti-entropy orders checksum
+    maintained by the landing stream (complete-mode state = two
+    numbers). Hash-checked against the orders slice of the same
+    canonical-hash CTE the batch table_checksums oracle uses."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        orders_checksum_stream,
+        run_available_now,
+        stream_orders,
+    )
+
+    return run_available_now(
+        orders_checksum_stream(stream_orders(spark, sf_dir)),
+        f"gate_ochk_{uuid.uuid4().hex[:8]}",
     )
 
 
@@ -1225,6 +1246,20 @@ def _avg_cents(col: str, k: int) -> str:
 
 #: Word-3-gram shingles, distinct per doc, no shingles for docs < 3 tokens
 #: (mirrors dedup.shingles exactly).
+#: Canonical orders row-hash CTE — shared by the batch `table_checksums`
+#: oracle and the streamed `orders_checksum_streamed` twin (mirrors
+#: quality.orders_row_hash piece-for-piece).
+_ORDERS_HASH_CTE = (
+    "ho AS (SELECT ('0x' || substr(md5(concat_ws('|', "
+    "coalesce(CAST(o_orderkey AS VARCHAR), '~null~'), "
+    "coalesce(CAST(o_custkey AS VARCHAR), '~null~'), "
+    "coalesce(CAST(o_orderstatus AS VARCHAR), '~null~'), "
+    "coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
+    "coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '~null~'), "
+    "coalesce(CAST(o_orderpriority AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
+    "AS h FROM orders)"
+)
+
 _SHINGLES_CTE = """
 toks AS (
   SELECT doc_id, string_split(text, ' ') AS t
@@ -1904,14 +1939,7 @@ def oracle_sql() -> dict[str, str]:
             # order-insensitive fingerprint: sum of md5-derived row
             # hashes mod 2^61-1; every canonical piece (decimal lift,
             # epoch-us, null sentinel) is already cross-engine-exact
-            "WITH ho AS (SELECT ('0x' || substr(md5(concat_ws('|', "
-            "coalesce(CAST(o_orderkey AS VARCHAR), '~null~'), "
-            "coalesce(CAST(o_custkey AS VARCHAR), '~null~'), "
-            "coalesce(CAST(o_orderstatus AS VARCHAR), '~null~'), "
-            "coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
-            "coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '~null~'), "
-            "coalesce(CAST(o_orderpriority AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
-            "AS h FROM orders), "
+            "WITH " + _ORDERS_HASH_CTE + ", "
             "hc AS (SELECT ('0x' || substr(md5(concat_ws('|', "
             "coalesce(CAST(c_custkey AS VARCHAR), '~null~'), "
             "coalesce(CAST(c_name AS VARCHAR), '~null~'), "
@@ -4336,6 +4364,11 @@ def oracle_sql() -> dict[str, str]:
     out["order_enriched_salted"] = out["order_enriched"]
     out["events_hourly_streamed"] = out["events_hourly"]
     out["events_multires_streamed"] = out["events_multires_rollup"]
+    out["orders_checksum_streamed"] = (
+        "WITH " + _ORDERS_HASH_CTE + " "
+        "SELECT 'orders' AS table_name, count(*) AS n_rows, "
+        "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum FROM ho"
+    )
     out["table_stats_streamed"] = out["table_stats"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]

@@ -1530,6 +1530,39 @@ def q_benford_price_digits(spark, sf_dir: str) -> DataFrame:
 CHECKSUM_MOD = (1 << 61) - 1
 
 
+def canon_hash(df: DataFrame, pieces) -> DataFrame:
+    """Canonical per-row hash column for the anti-entropy checksum:
+    '|'-joined cross-engine-exact piece strings (NULL as an explicit
+    sentinel so position information survives) through the md5-based
+    portable hash. Shared by the batch fingerprint scan and the
+    streamed orders drain — change it here or the two surfaces drift."""
+    from ..functions import portable_hash64
+
+    joined = F.concat_ws(
+        "|",
+        *[F.coalesce(p.cast("string"), F.lit("~null~")) for p in pieces],
+    )
+    return df.select(portable_hash64(joined).alias("h"))
+
+
+def orders_row_hash(orders: DataFrame) -> DataFrame:
+    """Canonical row-hash projection for the orders table (the piece
+    list the batch AND streamed checksums share)."""
+    from ..functions import dec2, epoch_us
+
+    return canon_hash(
+        orders,
+        [
+            F.col("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            dec2("o_totalprice"),
+            epoch_us(F.col("o_orderdate")),
+            F.col("o_orderpriority"),
+        ],
+    )
+
+
 def q_table_checksums(spark, sf_dir: str) -> DataFrame:
     """Order-insensitive table fingerprints: per table, the row count
     and the sum-of-row-hashes checksum mod 2^61−1 — the anti-entropy
@@ -1551,28 +1584,8 @@ def q_table_checksums(spark, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
 
-    def canon_hash(df: DataFrame, pieces) -> DataFrame:
-        joined = F.concat_ws(
-            "|",
-            *[
-                F.coalesce(p.cast("string"), F.lit("~null~"))
-                for p in pieces
-            ],
-        )
-        return df.select(portable_hash64(joined).alias("h"))
-
     specs = {
-        "orders": canon_hash(
-            t.orders,
-            [
-                F.col("o_orderkey"),
-                F.col("o_custkey"),
-                F.col("o_orderstatus"),
-                dec2("o_totalprice"),
-                epoch_us(F.col("o_orderdate")),
-                F.col("o_orderpriority"),
-            ],
-        ),
+        "orders": orders_row_hash(t.orders),
         "customer": canon_hash(
             t.customer,
             [

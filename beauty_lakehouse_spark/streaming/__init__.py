@@ -17,6 +17,7 @@ from .pipelines import (  # noqa: F401
     multires_minute_values,
     latest_event_table,
     order_stats_value_grid,
+    orders_checksum_stream,
     run_available_now,
     session_values,
     stream_documents,

@@ -390,6 +390,30 @@ def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def orders_checksum_stream(orders: DataFrame) -> DataFrame:
+    """Streamed anti-entropy fingerprint of the orders landing stream
+    (``operators.quality.q_table_checksums``'s orders row): the per-row
+    canonical hash is stateless, and the global (count, sum-of-hashes
+    mod 2^61−1) aggregate is associative and order-insensitive — so
+    complete-mode state is TWO numbers regardless of volume and the
+    drained checksum is micro-batch-slicing-independent. The streaming
+    form of replica validation: the fingerprint is maintained AT INGEST
+    and compared against the source's checksum without ever re-scanning
+    the landed table."""
+    from ..operators.quality import CHECKSUM_MOD, orders_row_hash
+
+    return (
+        orders_row_hash(orders)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+            .cast("long")
+            .alias("checksum"),
+        )
+        .select(F.lit("orders").alias("table_name"), "n_rows", "checksum")
+    )
+
+
 def order_stats_value_grid(orders: DataFrame) -> DataFrame:
     """Streaming VALUE GRID for the orders profile: one complete-mode
     aggregate over the union of the six profiled columns' normalized

@@ -80,6 +80,9 @@ HEADLINE = [
     "events_multires_streamed", # real-time continuous-aggregate drain (new in r9)
     "zipf_law_fit",           # fixed-point Zipf-exponent corpus diagnostic (new in r9)
     "copurchase_bfs_hops",    # bounded multi-source BFS frontier expansion (new in r9)
+    "benford_price_digits",   # fixed-point Benford first-digit audit (new in r9)
+    "table_checksums",        # anti-entropy order-insensitive fingerprints (new in r9)
+    "orders_checksum_streamed",  # fingerprint-at-ingest checksum drain (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

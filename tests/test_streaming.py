@@ -469,3 +469,51 @@ def test_multires_stream_matches_batch_and_slicing(spark, sf_dir, tmp_path):
         run_available_now(multires_minute_values(stream), "t_multires_four")
     )
     assert _canon(got4) == _canon(expected)
+
+
+def test_orders_checksum_stream_matches_batch_and_slicing(
+    spark, sf_dir, tmp_path
+):
+    """The fingerprint-at-ingest drain equals the batch table_checksums
+    orders row, independent of micro-batch slicing (sum-of-hashes is
+    associative; 4 interleaved files, one per batch)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import quality
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        orders_checksum_stream,
+        stream_orders,
+    )
+
+    batch_row = (
+        quality.q_table_checksums(spark, sf_dir)
+        .filter(F.col("table_name") == "orders")
+        .collect()[0]
+    )
+
+    got1 = run_available_now(
+        orders_checksum_stream(stream_orders(spark, sf_dir)), "t_ochk_one"
+    ).collect()[0]
+    assert (got1["n_rows"], got1["checksum"]) == (
+        batch_row["n_rows"],
+        batch_row["checksum"],
+    )
+
+    src = str(tmp_path / "orders_parts")
+    od = load(spark, sf_dir).orders
+    od.withColumn("part", (F.col("o_orderkey") % 4).cast("int")).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(od.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got4 = run_available_now(
+        orders_checksum_stream(stream), "t_ochk_four"
+    ).collect()[0]
+    assert (got4["n_rows"], got4["checksum"]) == (
+        batch_row["n_rows"],
+        batch_row["checksum"],
+    )
