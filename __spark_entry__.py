@@ -100,6 +100,7 @@ _DRIVER_ORDER_R8 = [
     "benford_price_digits",  # new in r9 — gate-verify the round it lands
     "table_checksums",  # new in r9 — gate-verify the round it lands
     "orders_checksum_streamed",  # new in r9 — gate-verify the round it lands
+    "key_skew_profile",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -564,6 +565,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_price_digits": quality.q_benford_price_digits,
         # anti-entropy order-insensitive table fingerprints
         "table_checksums": quality.q_table_checksums,
+        # join-key skew diagnostics (count-of-counts exact Gini)
+        "key_skew_profile": quality.q_key_skew_profile,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -1246,6 +1249,36 @@ def _avg_cents(col: str, k: int) -> str:
 
 #: Word-3-gram shingles, distinct per doc, no shingles for docs < 3 tokens
 #: (mirrors dedup.shingles exactly).
+def _key_skew_sql(table: str, key: str) -> str:
+    """One key column's skew stats from its count-of-counts profile —
+    the DuckDB twin of quality._key_skew_stats (same block-telescoped
+    exact Gini; HUGEINT where Spark uses decimal(38,0))."""
+    return (
+        f"(WITH co AS (SELECT {key} AS k, count(*) AS c FROM {table} "
+        "GROUP BY 1), "
+        "po AS (SELECT c, count(*) AS m FROM co GROUP BY c), "
+        "bo AS (SELECT c, m, coalesce(sum(m) OVER (ORDER BY c "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1 "
+        "AS strt FROM po), "
+        "so AS (SELECT CAST(sum(c * m) AS BIGINT) AS n_rows, "
+        "CAST(sum(m) AS BIGINT) AS n_keys, "
+        "CAST(max(c) AS BIGINT) AS max_key_rows, "
+        "sum(CAST(c AS HUGEINT) * (2 * CAST(m AS HUGEINT) * "
+        "CAST(strt AS HUGEINT) + CAST(m AS HUGEINT) * "
+        "(CAST(m AS HUGEINT) - 1))) AS lin FROM bo) "
+        f"SELECT '{table}.{key}' AS key_col, n_rows, n_keys, "
+        "max_key_rows, "
+        + _hud("max_key_rows", "n_rows", 6)
+        + " AS max_share, "
+        + _hud(
+            "(lin - CAST(n_rows AS HUGEINT) * (n_keys + 1))",
+            "(CAST(n_keys AS HUGEINT) * n_rows)",
+            6,
+        )
+        + " AS gini FROM so)"
+    )
+
+
 #: Canonical orders row-hash CTE — shared by the batch `table_checksums`
 #: oracle and the streamed `orders_checksum_streamed` twin (mirrors
 #: quality.orders_row_hash piece-for-piece).
@@ -1934,6 +1967,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, n_customers, "
             + _hud("n_customers", "total", 6)
             + " AS share FROM c, t"
+        ),
+        "key_skew_profile": (
+            _key_skew_sql("orders", "o_custkey")
+            + " UNION ALL "
+            + _key_skew_sql("lineitem", "l_partkey")
         ),
         "table_checksums": (
             # order-insensitive fingerprint: sum of md5-derived row

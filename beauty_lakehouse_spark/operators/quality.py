@@ -1623,3 +1623,80 @@ def q_table_checksums(spark, sf_dir: str) -> DataFrame:
         ).select(F.lit(name).alias("table_name"), "n_rows", "checksum")
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def _key_skew_stats(keyed: DataFrame, label: str) -> DataFrame:
+    """Skew statistics of one key column from its COUNT-OF-COUNTS
+    profile: group counts collapse to (count_value c, n_keys_with_c m)
+    — a table bounded by the number of DISTINCT multiplicities (≤
+    O(√n_rows)), so the exact Gini's global ascending rank runs as a
+    window over that tiny profile, never a sort of the key domain.
+    Keys sharing a count occupy a contiguous ascending-rank block, so
+    Σ(2i−n−1)·xᵢ telescopes per block:
+    ``c · (2·m·start + m·(m−1) − m·(n+1))`` with ``start`` the prefix
+    key count — all exact integer/decimal arithmetic, one half-up
+    division at the end (the `revenue_gini` contract on a different
+    decomposition)."""
+    from pyspark.sql import Window
+
+    from ..functions import halfup_div
+
+    d38 = "decimal(38,0)"
+    counts = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+    prof = counts.groupBy("c").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    blocks = prof.select(
+        "c",
+        "m",
+        (F.coalesce(F.sum("m").over(w), F.lit(0)) + 1).alias("start"),
+    )
+    return blocks.agg(
+        F.sum(F.col("c").cast(d38) * F.col("m").cast(d38))
+        .cast("long")
+        .alias("n_rows"),
+        F.sum("m").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_key_rows"),
+        F.sum(
+            F.col("c").cast(d38)
+            * (
+                F.lit(2) * F.col("m").cast(d38) * F.col("start").cast(d38)
+                + F.col("m").cast(d38) * (F.col("m").cast(d38) - 1)
+            )
+        ).alias("lin"),
+    ).select(
+        F.lit(label).alias("key_col"),
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        halfup_div(F.col("max_key_rows"), F.col("n_rows"), 6).alias(
+            "max_share"
+        ),
+        halfup_div(
+            F.col("lin")
+            - F.col("n_rows").cast(d38) * (F.col("n_keys").cast(d38) + 1),
+            F.col("n_keys").cast(d38) * F.col("n_rows").cast(d38),
+            6,
+        ).alias("gini"),
+    )
+
+
+def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the pre-shuffle report that decides
+    whether a key needs salting or an AQE skew-join at 100 TB: for each
+    candidate shuffle key, the row/key counts, the heaviest key's row
+    count and share, and the exact Gini of the key-frequency
+    distribution (0 = uniform fan-in, →1 = one hot key owns the
+    shuffle). Computed entirely from the count-of-counts profile (see
+    `_key_skew_stats`) so the cost is one groupBy per key plus a
+    bounded-table window — never a global sort."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    return _key_skew_stats(
+        t.orders.select(F.col("o_custkey").alias("k")), "orders.o_custkey"
+    ).unionByName(
+        _key_skew_stats(
+            t.lineitem.select(F.col("l_partkey").alias("k")),
+            "lineitem.l_partkey",
+        )
+    )

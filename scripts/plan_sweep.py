@@ -95,6 +95,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "pq_topk_exactint": "row_number over the k-row seed table (limit(KMEANS_K), k=8) donating sub-vector codes",
     "ivfpq_topk_exactint": "row_number over the k-row seed table shared by the composed IVF+PQ builds",
     "zipf_law_fit": "rank row_number over the ZIPF_K=1000-row TakeOrdered head of the frequency table — never the raw vocabulary",
+    "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",

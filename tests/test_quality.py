@@ -548,3 +548,35 @@ def test_table_checksums_ignore_order_and_layout(spark, sf_dir, tmp_path):
     assert mut["orders"] != rows["orders"][1]
     assert mut["customer"] == rows["customer"][1]
     assert mut["lineitem"] == rows["lineitem"][1]
+
+
+def test_key_skew_gini_matches_bruteforce(spark, sf_dir):
+    """The count-of-counts block-telescoped Gini equals the direct
+    Σ(2i−n−1)xᵢ/(nΣx) formula over the fully-sorted key counts,
+    including the half-up quantization."""
+    import pyspark.sql.functions as F
+
+    rows = {
+        r["key_col"]: r for r in quality.q_key_skew_profile(spark, sf_dir).collect()
+    }
+    t = load(spark, sf_dir)
+    counts = sorted(
+        r["c"]
+        for r in t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = len(counts)
+    tot = sum(counts)
+    num = sum((2 * i - n - 1) * x for i, x in enumerate(counts, start=1))
+
+    def hud(a: int, b: int, k: int = 6) -> float:
+        return ((a * 2 * 10**k + b) // (b * 2)) / float(10**k)
+
+    got = rows["orders.o_custkey"]
+    assert got["n_rows"] == tot
+    assert got["n_keys"] == n
+    assert got["max_key_rows"] == counts[-1]
+    assert got["max_share"] == hud(counts[-1], tot)
+    assert got["gini"] == hud(num, n * tot)
+    assert 0.0 <= got["gini"] < 1.0
