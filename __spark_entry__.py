@@ -101,6 +101,7 @@ _DRIVER_ORDER_R8 = [
     "table_checksums",  # new in r9 — gate-verify the round it lands
     "orders_checksum_streamed",  # new in r9 — gate-verify the round it lands
     "key_skew_profile",  # new in r9 — gate-verify the round it lands
+    "orders_partition_checksums",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -567,6 +568,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksums": quality.q_table_checksums,
         # join-key skew diagnostics (count-of-counts exact Gini)
         "key_skew_profile": quality.q_key_skew_profile,
+        # partition-grain anti-entropy (sync-unit fingerprints)
+        "orders_partition_checksums": quality.q_orders_partition_checksums,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -1282,16 +1285,17 @@ def _key_skew_sql(table: str, key: str) -> str:
 #: Canonical orders row-hash CTE — shared by the batch `table_checksums`
 #: oracle and the streamed `orders_checksum_streamed` twin (mirrors
 #: quality.orders_row_hash piece-for-piece).
-_ORDERS_HASH_CTE = (
-    "ho AS (SELECT ('0x' || substr(md5(concat_ws('|', "
+_ORDERS_HASH_EXPR = (
+    "('0x' || substr(md5(concat_ws('|', "
     "coalesce(CAST(o_orderkey AS VARCHAR), '~null~'), "
     "coalesce(CAST(o_custkey AS VARCHAR), '~null~'), "
     "coalesce(CAST(o_orderstatus AS VARCHAR), '~null~'), "
     "coalesce(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR), '~null~'), "
     "coalesce(CAST(epoch_us(o_orderdate) AS VARCHAR), '~null~'), "
-    "coalesce(CAST(o_orderpriority AS VARCHAR), '~null~'))), 1, 15))::BIGINT "
-    "AS h FROM orders)"
+    "coalesce(CAST(o_orderpriority AS VARCHAR), '~null~'))), 1, 15))::BIGINT"
 )
+
+_ORDERS_HASH_CTE = f"ho AS (SELECT {_ORDERS_HASH_EXPR} AS h FROM orders)"
 
 _SHINGLES_CTE = """
 toks AS (
@@ -1972,6 +1976,13 @@ def oracle_sql() -> dict[str, str]:
             _key_skew_sql("orders", "o_custkey")
             + " UNION ALL "
             + _key_skew_sql("lineitem", "l_partkey")
+        ),
+        "orders_partition_checksums": (
+            "WITH hoy AS (SELECT CAST(year(o_orderdate) AS INTEGER) "
+            f"AS order_year, {_ORDERS_HASH_EXPR} AS h FROM orders) "
+            "SELECT order_year, count(*) AS n_rows, "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum "
+            "FROM hoy GROUP BY 1"
         ),
         "table_checksums": (
             # order-insensitive fingerprint: sum of md5-derived row

@@ -1530,24 +1530,25 @@ def q_benford_price_digits(spark, sf_dir: str) -> DataFrame:
 CHECKSUM_MOD = (1 << 61) - 1
 
 
-def canon_hash(df: DataFrame, pieces) -> DataFrame:
+def canon_hash(df: DataFrame, pieces, keep=()) -> DataFrame:
     """Canonical per-row hash column for the anti-entropy checksum:
     '|'-joined cross-engine-exact piece strings (NULL as an explicit
     sentinel so position information survives) through the md5-based
-    portable hash. Shared by the batch fingerprint scan and the
-    streamed orders drain — change it here or the two surfaces drift."""
+    portable hash. ``keep`` columns ride along (partition-grain
+    variants group on them). Shared by the batch fingerprint scans and
+    the streamed orders drain — change it here or the surfaces drift."""
     from ..functions import portable_hash64
 
     joined = F.concat_ws(
         "|",
         *[F.coalesce(p.cast("string"), F.lit("~null~")) for p in pieces],
     )
-    return df.select(portable_hash64(joined).alias("h"))
+    return df.select(*keep, portable_hash64(joined).alias("h"))
 
 
-def orders_row_hash(orders: DataFrame) -> DataFrame:
+def orders_row_hash(orders: DataFrame, keep=()) -> DataFrame:
     """Canonical row-hash projection for the orders table (the piece
-    list the batch AND streamed checksums share)."""
+    list the batch, partition-grain, and streamed checksums share)."""
     from ..functions import dec2, epoch_us
 
     return canon_hash(
@@ -1560,6 +1561,30 @@ def orders_row_hash(orders: DataFrame) -> DataFrame:
             epoch_us(F.col("o_orderdate")),
             F.col("o_orderpriority"),
         ],
+        keep=keep,
+    )
+
+
+def q_orders_partition_checksums(spark, sf_dir: str) -> DataFrame:
+    """Partition-grain anti-entropy fingerprints: the orders checksum
+    per order_year — the unit the real anti-entropy protocol syncs at.
+    Two replicas first compare these small per-partition rows; only a
+    partition whose (n_rows, checksum) differs gets re-shipped, so a
+    trickle of drift never forces a full-table copy. Same canonical
+    row hash as `q_table_checksums` (shared `orders_row_hash`), one
+    combinable groupBy on the partition key."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    hashed = orders_row_hash(
+        t.orders,
+        keep=[F.year("o_orderdate").cast("int").alias("order_year")],
+    )
+    return hashed.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+        .alias("checksum"),
     )
 
 

@@ -580,3 +580,38 @@ def test_key_skew_gini_matches_bruteforce(spark, sf_dir):
     assert got["max_share"] == hud(counts[-1], tot)
     assert got["gini"] == hud(num, n * tot)
     assert 0.0 <= got["gini"] < 1.0
+
+
+def test_partition_checksums_localize_drift(spark, sf_dir, tmp_path):
+    """Per-partition fingerprints cover every row exactly once (counts
+    sum to the table count) and a single-row mutation flips ONLY its
+    own partition's checksum — the property that lets anti-entropy
+    re-ship one partition instead of the table."""
+    import pyspark.sql.functions as F
+
+    base = {
+        r["order_year"]: (r["n_rows"], r["checksum"])
+        for r in quality.q_orders_partition_checksums(spark, sf_dir).collect()
+    }
+    t = load(spark, sf_dir)
+    assert sum(n for n, _ in base.values()) == t.orders.count()
+
+    first = (
+        t.orders.orderBy("o_orderkey")
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("y"))
+        .first()
+    )
+    mut_dir = str(tmp_path / "mutp")
+    t.orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first["o_orderkey"],
+            F.col("o_totalprice") + 0.01,
+        ).otherwise(F.col("o_totalprice")),
+    ).write.mode("overwrite").parquet(f"{mut_dir}/orders.parquet")
+    mut = {
+        r["order_year"]: (r["n_rows"], r["checksum"])
+        for r in quality.q_orders_partition_checksums(spark, mut_dir).collect()
+    }
+    changed = [y for y in base if base[y] != mut[y]]
+    assert changed == [first["y"]]
