@@ -102,6 +102,7 @@ _DRIVER_ORDER_R8 = [
     "orders_checksum_streamed",  # new in r9 — gate-verify the round it lands
     "key_skew_profile",  # new in r9 — gate-verify the round it lands
     "orders_partition_checksums",  # new in r9 — gate-verify the round it lands
+    "orders_antientropy_sync",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -548,6 +549,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # read (oracle covers the whole write->merge->read path), plus
         # the v1->v2 CDC change feed (manifest-diff pruned)
         "merge_upsert_state": tables.q_merge_upsert_state,
+        # anti-entropy repair capstone: detect→re-ship→verify via
+        # partition fingerprints + one stale-partition CoW MERGE
+        "orders_antientropy_sync": tables.q_orders_antientropy_sync,
         "incremental_join_state": tables.q_incremental_join_state,
         "merge_changes_feed": tables.q_merge_changes_feed,
         "incremental_agg_state": tables.q_incremental_agg_state,
@@ -1983,6 +1987,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT order_year, count(*) AS n_rows, "
             "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum "
             "FROM hoy GROUP BY 1"
+        ),
+        "orders_antientropy_sync": (
+            # the oracle derives was_stale/n_shipped from the DRIFT RULE
+            # (even years poisoned at keys %17, missing at %19) and pins
+            # synced_ok to 1 — a hash match proves the Spark protocol's
+            # checksum detection found exactly the drifted partitions
+            # and the stale-partition MERGE restored them bit-for-bit
+            "WITH hoy AS (SELECT CAST(year(o_orderdate) AS INTEGER) "
+            f"AS order_year, {_ORDERS_HASH_EXPR} AS h, o_orderkey "
+            "FROM orders), "
+            "agg AS (SELECT order_year, count(*) AS n_rows, "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum, "
+            "CAST(max(CASE WHEN order_year % 2 = 0 AND "
+            "(o_orderkey % 17 = 0 OR o_orderkey % 19 = 0) "
+            "THEN 1 ELSE 0 END) AS INTEGER) AS was_stale "
+            "FROM hoy GROUP BY 1) "
+            "SELECT order_year, n_rows, checksum, was_stale, "
+            "CAST(was_stale * n_rows AS BIGINT) AS n_shipped, "
+            "CAST(1 AS INTEGER) AS synced_ok FROM agg"
         ),
         "table_checksums": (
             # order-insensitive fingerprint: sum of md5-derived row

@@ -621,3 +621,133 @@ def q_incremental_join_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         ins.join(F.broadcast(cust), ins.o_custkey == cust.c_custkey)
     )
     return base.join(dels, "o_orderkey", "left_anti").unionByName(entered)
+
+
+def _orders_partition_fp(df: DataFrame) -> DataFrame:
+    """Per-order_year (n_rows, checksum) fingerprints of an orders-shaped
+    DataFrame — the sync unit of `q_orders_antientropy_sync`, sharing the
+    canonical row hash with quality.q_orders_partition_checksums."""
+    from .operators.quality import CHECKSUM_MOD, orders_row_hash
+
+    hashed = orders_row_hash(
+        df, keep=[F.year("o_orderdate").cast("int").alias("order_year")]
+    )
+    return hashed.groupBy("order_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.sum(F.col("h").cast("decimal(38,0)")) % F.lit(CHECKSUM_MOD))
+        .cast("long")
+        .alias("checksum"),
+    )
+
+
+def q_orders_antientropy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end anti-entropy repair capstone: detect → re-ship → verify.
+
+    A replica of the orders table is built with DETERMINISTIC drift in
+    the even order years (every 17th key's totalprice off by +1.00,
+    every 19th key missing) and written as a versioned table partitioned
+    by order_year. The protocol then runs for real:
+
+    1. **detect** — compare per-partition (n_rows, checksum)
+       fingerprints (`_orders_partition_fp`, metadata-scale rows);
+    2. **re-ship** — ONE copy-on-write MERGE carrying only the stale
+       partitions' source rows (plus deletes of replica-only keys
+       there); clean partitions are inherited by manifest reference,
+       zero data movement — the property that makes anti-entropy
+       affordable at 100 TB;
+    3. **verify** — re-fingerprint the synced snapshot.
+
+    Output, per partition: the SOURCE fingerprint, whether the protocol
+    flagged it stale, how many rows the repair shipped, and
+    ``synced_ok`` — post-sync fingerprint == source fingerprint. The
+    DuckDB oracle derives was_stale/n_shipped from the drift RULE and
+    pins synced_ok to 1, so a hash match proves the checksum detection
+    found exactly the drifted partitions and the MERGE restored them
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from .catalog import load
+
+    t = load(spark, sf_dir)
+    src = t.orders
+    year = F.year("o_orderdate").cast("int")
+    even = year % 2 == 0
+    replica = src.filter(~(even & (F.col("o_orderkey") % 19 == 0))).withColumn(
+        "o_totalprice",
+        F.when(
+            (year % 2 == 0) & (F.col("o_orderkey") % 17 == 0),
+            F.round(F.col("o_totalprice").cast("decimal(12,2)") + 1, 2).cast(
+                "double"
+            ),
+        ).otherwise(F.col("o_totalprice")),
+    )
+
+    root = tempfile.mkdtemp(prefix="bl_antientropy_")
+    path = os.path.join(root, "orders_replica")
+    try:
+        write_versioned(
+            replica.withColumn("order_year", year),
+            path,
+            partition_by="order_year",
+        )
+
+        src_fp = _orders_partition_fp(src).localCheckpoint(eager=True)
+        rep_fp = _orders_partition_fp(
+            read_versioned(spark, path)
+        ).localCheckpoint(eager=True)
+
+        r = rep_fp.select(
+            "order_year",
+            F.col("n_rows").alias("r_n"),
+            F.col("checksum").alias("r_c"),
+        )
+        flagged = src_fp.join(r, "order_year", "left").withColumn(
+            "was_stale",
+            (
+                F.col("r_n").isNull()
+                | (F.col("r_n") != F.col("n_rows"))
+                | (F.col("r_c") != F.col("checksum"))
+            ).cast("int"),
+        )
+        stale_years = flagged.filter(F.col("was_stale") == 1).select(
+            "order_year"
+        )
+
+        src_y = src.withColumn("order_year", year)
+        ship = src_y.join(F.broadcast(stale_years), "order_year")
+        dead = (
+            read_versioned(spark, path)
+            .join(F.broadcast(stale_years), "order_year")
+            .select("o_orderkey")
+            .join(ship.select("o_orderkey"), "o_orderkey", "left_anti")
+        )
+        merge_upsert(spark, path, ship, keys=["o_orderkey"], deletes=dead)
+
+        post_fp = _orders_partition_fp(
+            read_versioned(spark, path)
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    p = post_fp.select(
+        "order_year",
+        F.col("n_rows").alias("p_n"),
+        F.col("checksum").alias("p_c"),
+    )
+    return (
+        flagged.join(p, "order_year")
+        .select(
+            "order_year",
+            "n_rows",
+            "checksum",
+            "was_stale",
+            (F.col("was_stale") * F.col("n_rows")).alias("n_shipped"),
+            (
+                (F.col("p_n") == F.col("n_rows"))
+                & (F.col("p_c") == F.col("checksum"))
+            )
+            .cast("int")
+            .alias("synced_ok"),
+        )
+    )

@@ -85,6 +85,7 @@ HEADLINE = [
     "orders_checksum_streamed",  # fingerprint-at-ingest checksum drain (new in r9)
     "key_skew_profile",       # join-key skew diagnostics, count-of-counts Gini (new in r9)
     "orders_partition_checksums",  # partition-grain anti-entropy fingerprints (new in r9)
+    "orders_antientropy_sync", # detect->re-ship->verify repair capstone (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

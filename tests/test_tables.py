@@ -269,3 +269,17 @@ def test_incremental_join_state_equals_recompute(spark, sf_dir):
         .collect()
     }
     assert maintained == recomputed
+
+
+def test_antientropy_sync_flags_exactly_even_years(spark, sf_dir):
+    """Drift is planted only in even order years, so the checksum
+    detection must flag exactly those partitions, ship only their rows,
+    and every partition must verify clean after the repair MERGE."""
+    from beauty_lakehouse_spark.tables import q_orders_antientropy_sync
+
+    rows = {r["order_year"]: r for r in q_orders_antientropy_sync(spark, sf_dir).collect()}
+    assert rows  # fixture spans several years
+    for y, r in rows.items():
+        assert r["synced_ok"] == 1, y
+        assert r["was_stale"] == (1 if y % 2 == 0 else 0), y
+        assert r["n_shipped"] == (r["n_rows"] if y % 2 == 0 else 0), y
