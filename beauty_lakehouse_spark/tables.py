@@ -686,8 +686,14 @@ def q_orders_antientropy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="bl_antientropy_")
     path = os.path.join(root, "orders_replica")
     try:
+        # repartition on the partition column before the partitioned
+        # write: one file per year instead of |input partitions| x
+        # |years| small files — the standard small-files guard for
+        # partitioned sinks at scale
         write_versioned(
-            replica.withColumn("order_year", year),
+            replica.withColumn("order_year", year).repartition(
+                F.col("order_year")
+            ),
             path,
             partition_by="order_year",
         )
