@@ -103,6 +103,7 @@ _DRIVER_ORDER_R8 = [
     "key_skew_profile",  # new in r9 — gate-verify the round it lands
     "orders_partition_checksums",  # new in r9 — gate-verify the round it lands
     "orders_antientropy_sync",  # new in r9 — gate-verify the round it lands
+    "lsh_tuning_curve",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -461,6 +462,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_error": dedup.q_minhash_estimate_error,
         "simhash_near_pairs": dedup.q_simhash_near_pairs,
         "setsim_prefix_join": dedup.q_setsim_prefix_join,
+        # measured (bands, rows) banding trade-off on shared signatures
+        "lsh_tuning_curve": dedup.q_lsh_tuning_curve,
         "setsim_clusters": dedup.q_setsim_clusters,
         # span-level exact dedup (ExactSubstr): duplicated L-token
         # passages removed, canonical occurrence kept; gate hash-checks
@@ -3468,6 +3471,23 @@ def oracle_sql() -> dict[str, str]:
             "min(CASE WHEN i = 3 THEN mh END) AS mh3, "
             "md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS sig_digest "
             "FROM mh GROUP BY doc_id"
+        ),
+        "lsh_tuning_curve": " UNION ALL ".join(
+            "(WITH "
+            + _MINHASH_CTE
+            + f", band AS (SELECT doc_id, CAST(i // {r} AS INT) AS band, "
+            "md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key "
+            f"FROM mh GROUP BY doc_id, i // {r}), "
+            "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b "
+            "FROM band a JOIN band b ON a.band = b.band "
+            "AND a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+            "sb AS (SELECT band, band_key FROM band "
+            "GROUP BY band, band_key HAVING count(*) >= 2) "
+            f"SELECT CAST({b} AS INTEGER) AS n_bands, "
+            f"CAST({r} AS INTEGER) AS rows_per_band, "
+            "(SELECT count(*) FROM sb) AS n_shared_buckets, "
+            "(SELECT count(*) FROM cand) AS n_candidate_pairs)"
+            for b, r in ((2, 8), (4, 4), (8, 2))
         ),
         "lsh_candidate_pairs": (
             "WITH "

@@ -1383,3 +1383,64 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("kept_hash", F.lit(empty_md5)).alias("kept_hash"),
     )
+
+
+#: (bands, rows-per-band) operating points sharing the 16-hash
+#: signature: fewer/wider bands tighten the candidate filter (high
+#: precision, lower recall), more/narrower bands loosen it.
+LSH_TUNING_CONFIGS = ((2, 8), (4, 4), (8, 2))
+
+
+def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured banding trade-off table for MinHash LSH: for each
+    (bands, rows-per-band) split of the SAME 16-hash signatures, the
+    number of colliding buckets and of distinct candidate pairs the
+    banding emits on this corpus. This is the empirical S-curve the
+    production (4, 4) choice rests on — at 100 TB you pick (b, r) from
+    this table at a sample scale, because candidate volume IS the cost
+    of the downstream verify stage.
+
+    One shingle→minhash pipeline feeds every configuration (lazily
+    checkpointed); per config the work is one groupBy over the
+    signature table plus two bounded 1-row stat aggregates (the
+    whitelisted scalar-broadcast shape)."""
+    t = load(spark, sf_dir)
+    sig = minhash_signatures(t.documents).localCheckpoint(eager=False)
+    out = None
+    for n_bands, rows_per_band in LSH_TUNING_CONFIGS:
+        banded = (
+            sig.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+            .groupBy("doc_id", "band")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("i", "mh"))),
+                            lambda s: s["mh"].cast("string"),
+                        ),
+                    )
+                ).alias("band_key")
+            )
+            .localCheckpoint(eager=False)
+        )
+        n_pairs = _bucket_pairs(banded, ["band", "band_key"], "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        n_shared = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") >= 2)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_buckets"))
+        )
+        row = (
+            n_pairs.crossJoin(F.broadcast(n_shared))
+            .select(
+                F.lit(n_bands).cast("int").alias("n_bands"),
+                F.lit(rows_per_band).cast("int").alias("rows_per_band"),
+                "n_shared_buckets",
+                "n_candidate_pairs",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -81,6 +81,7 @@ WHITELIST: dict[str, str] = {
     "corpus_training_plan": "ccnet + curriculum composition: 1-row corpus-count / tercile-offset broadcasts only",
     "ddsketch_value_quantiles": "1-row total-count broadcast (nearest-rank arithmetic) against the bounded bucket table",
     "lsh_index_maintained": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
+    "lsh_tuning_curve": "1-row x 1-row stat joins (pair count x shared-bucket count per banding config)",
 }
 
 #: windows allowed to have an empty partition spec because their input

@@ -436,3 +436,25 @@ def test_substring_dedup_removes_noncanonical_spans(spark, tmp_path):
     # doc 4: both copies non-canonical (doc 1 owns the span) -> both go
     assert rows[4].n_removed == 2 * SUBSTR_L
     assert rows[4].kept_hash == kept_hash(["middle", "filler", "words"])
+
+
+def test_lsh_tuning_curve_nests(spark, sf_dir):
+    """Bands nest (a 16-hash signature splits 2x8 -> 4x4 -> 8x2 on
+    aligned boundaries), so agreement on a wide band implies agreement
+    on its sub-bands: candidate counts must be monotone nondecreasing
+    in the band count, and the (4,4) row must equal the production
+    lsh_candidate_pairs output exactly."""
+    rows = {
+        (r["n_bands"], r["rows_per_band"]): r
+        for r in dedup.q_lsh_tuning_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == {(2, 8), (4, 4), (8, 2)}
+    assert (
+        rows[(2, 8)]["n_candidate_pairs"]
+        <= rows[(4, 4)]["n_candidate_pairs"]
+        <= rows[(8, 2)]["n_candidate_pairs"]
+    )
+    assert (
+        rows[(4, 4)]["n_candidate_pairs"]
+        == dedup.q_lsh_candidate_pairs(spark, sf_dir).count()
+    )
