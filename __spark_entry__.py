@@ -104,6 +104,7 @@ _DRIVER_ORDER_R8 = [
     "orders_partition_checksums",  # new in r9 — gate-verify the round it lands
     "orders_antientropy_sync",  # new in r9 — gate-verify the round it lands
     "lsh_tuning_curve",  # new in r9 — gate-verify the round it lands
+    "part_stock_balance",  # new in r9 — gate-verify the round it lands
     "zipf_law_fit",  # new in r9 — gate-verify the round it lands
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
@@ -410,6 +411,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sales_grouping_sets": warehouse.q_sales_grouping_sets,
         "customer_spend_ntile": warehouse.q_customer_spend_ntile,
         "customer_rfm_segments": warehouse.q_customer_rfm_segments,
+        # clamp-at-zero running balance via the prefix-sum/prefix-min
+        # identity (no sequential fold)
+        "part_stock_balance": warehouse.q_part_stock_balance,
         "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
         "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
@@ -1978,6 +1982,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_mktsegment, n_customers, "
             + _hud("n_customers", "total", 6)
             + " AS share FROM c, t"
+        ),
+        "part_stock_balance": (
+            # same prefix-sum-minus-clamped-prefix-min identity; the
+            # (shipdate, orderkey, linenumber) key is unique per part,
+            # so the running sum is deterministic on both engines
+            "WITH mv AS (SELECT l_partkey, l_shipdate, l_orderkey, "
+            "l_linenumber, CASE WHEN l_returnflag = 'R' "
+            "THEN CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) "
+            "ELSE -CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) END "
+            "AS d FROM lineitem), "
+            "run AS (SELECT l_partkey, d, sum(d) OVER ("
+            "PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, "
+            "l_linenumber ROWS UNBOUNDED PRECEDING) AS s FROM mv) "
+            "SELECT l_partkey, count(*) AS n_moves, "
+            "CAST(sum(d) AS BIGINT) AS net_qty, "
+            "CAST(min(s) AS BIGINT) AS lowest_raw, "
+            "CAST(sum(d) - least(0, min(s)) AS BIGINT) AS final_balance "
+            "FROM run GROUP BY 1"
         ),
         "key_skew_profile": (
             _key_skew_sql("orders", "o_custkey")

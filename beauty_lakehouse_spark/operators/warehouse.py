@@ -949,3 +949,43 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_q.alias("m_score"),
         (r_q * 100 + f_q * 10 + m_q).cast("int").alias("rfm_segment"),
     )
+
+
+def q_part_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped running stock balance per part WITHOUT a sequential scan:
+    treating each lineitem as a stock movement in shipdate order
+    (returns restock +qty, shipments draw −qty), the floor-at-zero
+    balance ``b_t = max(0, b_{t−1} + d_t)`` looks inherently sequential
+    — but it has the exact closed form ``b_t = S_t − min(0, min_{k≤t}
+    S_k)`` (prefix sum minus clamped prefix minimum; induction:
+    ``max(0, S_t − M_{t−1}) = S_t − min(S_t, M_{t−1}) = S_t − M_t``).
+    So ONE part-partitioned window pass computes what a naive
+    implementation would fold row-by-row — the general recipe for
+    running-state operators at 100 TB: find the scan identity, never
+    ship rows to a sequential reducer.
+
+    Output per part: movement count, net quantity, the raw running
+    minimum, and the final clamped balance. Quantities are exact
+    integers (the fixture's l_quantity is integral; the decimal lift
+    makes the cast engine-portable)."""
+    t = load(spark, sf_dir)
+    qty = dec2("l_quantity").cast("long")
+    delta = F.when(F.col("l_returnflag") == "R", qty).otherwise(-qty)
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    run = t.lineitem.select(
+        "l_partkey",
+        delta.alias("d"),
+        F.sum(delta).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("s"),
+    )
+    return run.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_moves"),
+        F.sum("d").cast("long").alias("net_qty"),
+        F.min("s").cast("long").alias("lowest_raw"),
+        (
+            F.sum("d") - F.least(F.lit(0).cast("long"), F.min("s"))
+        )
+        .cast("long")
+        .alias("final_balance"),
+    )

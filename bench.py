@@ -87,6 +87,7 @@ HEADLINE = [
     "orders_partition_checksums",  # partition-grain anti-entropy fingerprints (new in r9)
     "orders_antientropy_sync", # detect->re-ship->verify repair capstone (new in r9)
     "lsh_tuning_curve",       # measured (bands,rows) banding trade-off table (new in r9)
+    "part_stock_balance",     # clamped running balance via scan identity (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -194,3 +194,42 @@ def test_bfs_layers_are_true_shortest_paths(spark, sf_dir):
         nbr_dists = {dist[n] for n in adj.get(part, ()) if n in dist}
         assert d - 1 in nbr_dists, (part, d)
         assert not any(nd < d - 1 for nd in nbr_dists), (part, d)
+
+
+def test_stock_balance_identity_matches_sequential_fold(spark, sf_dir):
+    """The one-pass prefix-sum/prefix-min closed form equals the naive
+    row-by-row max(0, b + d) fold for every part."""
+    out = {
+        r["l_partkey"]: r
+        for r in warehouse.q_part_stock_balance(spark, sf_dir).collect()
+    }
+    li = (
+        load(spark, sf_dir)
+        .lineitem.select(
+            "l_partkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+        )
+        .collect()
+    )
+    moves: dict[int, list] = {}
+    for r in li:
+        q = int(round(r["l_quantity"]))
+        d = q if r["l_returnflag"] == "R" else -q
+        moves.setdefault(r["l_partkey"], []).append(
+            (r["l_shipdate"], r["l_orderkey"], r["l_linenumber"], d)
+        )
+    assert set(moves) == set(out)
+    clamped_parts = 0
+    for pk, ms in moves.items():
+        bal = 0
+        for _, _, _, d in sorted(ms):
+            bal = max(0, bal + d)
+        assert out[pk]["final_balance"] == bal, pk
+        assert out[pk]["net_qty"] == sum(d for *_, d in ms), pk
+        if out[pk]["final_balance"] != out[pk]["net_qty"]:
+            clamped_parts += 1
+    assert clamped_parts > 0  # the fixture actually exercises the clamp
