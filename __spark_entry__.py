@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "bm25_topk",  # new in r9 — gate-verify the round it lands
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
@@ -619,6 +620,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only from here down (approximate / iterative /
         # stubbed / self-generated by design) ----
         "tfidf_top_terms": text.q_tfidf_top_terms,  # oracle since r5 (ln_micro)
+        # Okapi BM25 top-10 for 5 deterministic 4-term queries — exact
+        # integer saturation/length-normalization (k1=6/5, b=3/4)
+        "bm25_topk": text.q_bm25_topk,
         "term_pmi_top_pairs": text.q_term_pmi_top_pairs,  # signed ln_micro PMI
         "lang_eval": text.q_lang_eval,  # classifier eval report, oracle-exact
         "part_golden_record": text.q_part_golden_record,  # ER survivorship
@@ -2954,6 +2958,45 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY score_unats DESC, term) AS rk FROM s) "
             "SELECT doc_id, term, tf, df, score_unats, "
             "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 3"
+        ),
+        "bm25_topk": (
+            # Okapi BM25 with k1=6/5, b=3/4 reduced to the integer
+            # rational 22·T·tf / (10·T·tf + 3·T + 9·dl·N); idf is the
+            # same fixed-point ln_micro(N, df) tfidf uses — no float
+            # anywhere, so scores and rankings hash-match exactly
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS term FROM documents), "
+            "tk AS (SELECT * FROM tok WHERE term <> ''), "
+            "tft AS (SELECT doc_id, term, count(*) AS tf FROM tk "
+            "GROUP BY 1, 2), "
+            "dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl "
+            "FROM tft GROUP BY 1), "
+            "st AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_docs FROM dlt), "
+            "dft AS (SELECT term, count(*) AS df FROM tft GROUP BY 1), "
+            "top AS (SELECT term, df, row_number() OVER ("
+            "ORDER BY df DESC, term) AS rk FROM dft "
+            "ORDER BY df DESC, term LIMIT 20), "
+            "qt AS (SELECT CAST((rk - 1) // 4 AS INT) AS query_id, "
+            "term, " + _lnm("n_docs", "df")
+            + " AS idf_unats, t_tokens, n_docs FROM top, st), "
+            "s AS (SELECT query_id, tft.doc_id AS doc_id, CAST("
+            + _hud(
+                "(CAST(idf_unats AS HUGEINT) * 22 * tf * t_tokens)",
+                "(10 * CAST(t_tokens AS HUGEINT) * tf "
+                "+ 3 * CAST(t_tokens AS HUGEINT) "
+                "+ 9 * CAST(dl AS HUGEINT) * n_docs)",
+                0,
+            )
+            + " AS BIGINT) AS s FROM tft JOIN qt USING (term) "
+            "JOIN dlt ON dlt.doc_id = tft.doc_id), "
+            "a AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) "
+            "AS bm25_micro, CAST(count(*) AS INT) AS n_terms_hit "
+            "FROM s GROUP BY 1, 2), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+            "ORDER BY bm25_micro DESC, doc_id) AS rk FROM a) "
+            "SELECT query_id, doc_id, bm25_micro, n_terms_hit, "
+            "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 10"
         ),
         "next_token_suggestions": (
             # per-prefix top-3 successors of the MLE bigram model;

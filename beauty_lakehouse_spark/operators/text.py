@@ -1409,3 +1409,100 @@ def q_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("zipf_exponent"),
     )
+
+
+#: BM25 retrieval: 5 synthetic queries x 4 terms drawn from the df
+#: ranking (rows 1-20 by (df desc, term)), Okapi k1 = 1.2, b = 0.75.
+BM25_TERMS_PER_QUERY = 4
+BM25_N_QUERY_TERMS = 20
+BM25_TOPK = 10
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval over the documents table for five
+    deterministic 4-term queries, in exact integer arithmetic.
+
+    What tf-idf (`q_tfidf_top_terms`) lacks and BM25 adds — term-
+    frequency saturation (k1) and document-length normalization (b) —
+    is exactly the part that usually forces float math. With
+    k1 = 6/5 and b = 3/4 the per-term weight reduces to the integer
+    rational
+
+        tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+
+    (T = corpus token count, N = doc count, dl = doc length), so
+    ``score_micro = halfup_div(idf_unats · 22·T·tf, denom, 0)`` is
+    computed bit-identically by Spark (DECIMAL(38,0)) and DuckDB
+    (HUGEINT); idf is the fixed-point ``ln_micro(N, df)`` (the Lucene
+    non-negative idf variant). Query terms are the top-20
+    document-frequency terms, 4 per query in rank order — fully
+    deterministic, no RNG.
+
+    Scale shape: tf/df/doclen are the same map-side-combinable
+    aggregates tfidf uses; the 20-row query table broadcasts onto the
+    postings (filtering them to the query vocabulary BEFORE the
+    doc-length join, so the length join touches only matching docs);
+    the final top-k is a per-query partitioned window. Range contract:
+    T < 2^31 per shard (the ln_micro corpus-count contract) keeps all
+    products inside DECIMAL(38,0)/HUGEINT.
+    """
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.sum("dl").cast("long").alias("t_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = df_.orderBy(F.desc("df"), F.asc("term")).limit(BM25_N_QUERY_TERMS)
+    w_rank = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        top.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.expr(
+                f"CAST((rk - 1) div {BM25_TERMS_PER_QUERY} AS INT)"
+            ).alias("query_id"),
+            "term",
+            ln_micro(F.col("n_docs"), F.col("df")).alias("idf_unats"),
+            "t_tokens",
+            "n_docs",
+        )
+    )
+    hits = tf.join(F.broadcast(qterms), "term").join(dl, "doc_id")
+    d38 = "decimal(38,0)"
+    tt = F.col("t_tokens").cast(d38)
+    tfc = F.col("tf").cast(d38)
+    num = F.col("idf_unats").cast(d38) * F.lit(22) * tfc * tt
+    den = (
+        F.lit(10) * tt * tfc
+        + F.lit(3) * tt
+        + F.lit(9) * F.col("dl").cast(d38) * F.col("n_docs").cast(d38)
+    )
+    scored = hits.select(
+        "query_id", "doc_id", halfup_div(num, den, 0).cast("long").alias("s")
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("long").alias("bm25_micro"),
+        F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_micro"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "bm25_micro",
+            "n_terms_hit",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -82,6 +82,7 @@ WHITELIST: dict[str, str] = {
     "ddsketch_value_quantiles": "1-row total-count broadcast (nearest-rank arithmetic) against the bounded bucket table",
     "lsh_index_maintained": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
     "lsh_tuning_curve": "1-row x 1-row stat joins (pair count x shared-bucket count per banding config)",
+    "bm25_topk": "1-row corpus-stats broadcast cross join onto the 20-row query-term table (T and N scalars)",
 }
 
 #: windows allowed to have an empty partition spec because their input
@@ -96,6 +97,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "pq_topk_exactint": "row_number over the k-row seed table (limit(KMEANS_K), k=8) donating sub-vector codes",
     "ivfpq_topk_exactint": "row_number over the k-row seed table shared by the composed IVF+PQ builds",
     "zipf_law_fit": "rank row_number over the ZIPF_K=1000-row TakeOrdered head of the frequency table — never the raw vocabulary",
+    "bm25_topk": "row_number over the 20-row TakeOrdered head of the df ranking (query-term mint) — never the raw vocabulary",
     "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",

@@ -789,3 +789,71 @@ def test_zipf_fit_matches_python(spark, sf_dir):
     assert row["zipf_exponent"] == hud(sx * sy - k * sxy, k * sxx - sx * sx)
     # a natural-ish corpus: exponent in a sane band
     assert 0.0 < row["zipf_exponent"] < 3.0
+
+
+def test_bm25_topk_matches_python(spark, sf_dir):
+    """The exact-integer BM25 scores and per-query rankings equal a
+    pure-Python reimplementation (ln_micro idf, the 22T·tf/(10T·tf +
+    3T + 9·dl·N) rational, half-up micro division) over the fixture."""
+    from collections import Counter
+
+    out = text.q_bm25_topk(spark, sf_dir).collect()
+
+    docs = load(spark, sf_dir).documents.select("doc_id", "text").collect()
+    tf: dict[tuple, int] = {}
+    dl: dict = {}
+    df = Counter()
+    for r in docs:
+        c = Counter(t for t in r["text"].split(" ") if t)
+        dl[r["doc_id"]] = sum(c.values())
+        for term, n in c.items():
+            tf[(r["doc_id"], term)] = n
+            df[term] += 1
+    n_docs = len(docs)
+    t_tokens = sum(dl.values())
+
+    def ln_micro_py(num: int, den: int) -> int:
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    top20 = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    scores: dict[tuple, int] = {}
+    hits: dict[tuple, int] = {}
+    for rk0, (term, d) in enumerate(top20):
+        qid = rk0 // text.BM25_TERMS_PER_QUERY
+        idf = ln_micro_py(n_docs, d)
+        for (doc, t2), n in tf.items():
+            if t2 != term:
+                continue
+            num = idf * 22 * n * t_tokens
+            den = 10 * t_tokens * n + 3 * t_tokens + 9 * dl[doc] * n_docs
+            s = (num * 2 + den) // (den * 2)
+            scores[(qid, doc)] = scores.get((qid, doc), 0) + s
+            hits[(qid, doc)] = hits.get((qid, doc), 0) + 1
+
+    expected = {}
+    for qid in range(5):
+        ranked = sorted(
+            ((s, doc) for (q, doc), s in scores.items() if q == qid),
+            key=lambda sd: (-sd[0], sd[1]),
+        )[: text.BM25_TOPK]
+        for rk, (s, doc) in enumerate(ranked, start=1):
+            expected[(qid, doc)] = (s, hits[(qid, doc)], rk)
+
+    got = {
+        (r["query_id"], r["doc_id"]): (r["bm25_micro"], r["n_terms_hit"], r["rk"])
+        for r in out
+    }
+    assert got == expected
+    # sanity: every query returned a full top-10 and scores are positive
+    assert len(out) == 5 * text.BM25_TOPK
+    assert all(r["bm25_micro"] > 0 for r in out)
