@@ -95,6 +95,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
     "bm25_topk",  # new in r9 — gate-verify the round it lands
+    "part_pareto_frontier",  # new in r9 — gate-verify the round it lands
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
@@ -415,6 +416,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clamp-at-zero running balance via the prefix-sum/prefix-min
         # identity (no sequential fold)
         "part_stock_balance": warehouse.q_part_stock_balance,
+        # 2-D skyline with bucket-prefix pruning (never the O(n²)
+        # dominance self-join the oracle runs)
+        "part_pareto_frontier": warehouse.q_part_pareto_frontier,
         "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
         "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
@@ -2004,6 +2008,25 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(s) AS BIGINT) AS lowest_raw, "
             "CAST(sum(d) - least(0, min(s)) AS BIGINT) AS final_balance "
             "FROM run GROUP BY 1"
+        ),
+        "part_pareto_frontier": (
+            # the oracle runs the textbook O(n²) NOT EXISTS dominance
+            # self-join (affordable at sf0.01); Spark runs the
+            # bucket-pruned two-window plan — same frontier
+            "WITH rev AS (SELECT l_partkey AS p_partkey, "
+            f"CAST(sum({_NET}) * 10000 AS BIGINT) AS rev_e4 "
+            "FROM lineitem GROUP BY 1), "
+            "m AS (SELECT p.p_partkey AS p_partkey, "
+            "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+            "AS price_cents, coalesce(rev_e4, 0) AS rev_e4 "
+            "FROM part p LEFT JOIN rev ON rev.p_partkey = p.p_partkey) "
+            "SELECT a.p_partkey AS p_partkey, a.price_cents AS "
+            "price_cents, a.rev_e4 AS rev_e4 FROM m a "
+            "WHERE NOT EXISTS (SELECT 1 FROM m b "
+            "WHERE b.price_cents <= a.price_cents "
+            "AND b.rev_e4 >= a.rev_e4 "
+            "AND (b.price_cents < a.price_cents "
+            "OR b.rev_e4 > a.rev_e4))"
         ),
         "key_skew_profile": (
             _key_skew_sql("orders", "o_custkey")

@@ -989,3 +989,87 @@ def q_part_stock_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("final_balance"),
     )
+
+
+#: Skyline price-axis bucket width: $1 in cents. The fixture's
+#: p_retailprice spans $900-$1000, so the prune table is ~100 rows;
+#: the width is a constant of the PRICE DOMAIN (not the row count), so
+#: the bucket table stays bounded at any corpus scale.
+PARETO_BUCKET_CENTS = 100
+
+
+def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (pareto frontier): parts where no other part has
+    (retail price ≤, lifetime revenue ≥) with at least one strict —
+    the classic "cheaper AND sells more" dominance query.
+
+    The naive encoding is a NOT EXISTS self-join — O(n²) pairs (the
+    DuckDB oracle runs exactly that, affordable at sf0.01). The
+    scale-safe plan uses the distributive skyline property (a dominated
+    point is always dominated by some frontier point, so pruning
+    dominated points never changes the answer):
+
+    1. bucket the price axis at a domain constant ($1); per-bucket
+       max revenue is a map-side-combinable aggregate onto a
+       price-range-bounded table (~100 rows);
+    2. prefix-max over strictly-lower buckets (window over the bucket
+       table, bounded) broadcast back: any part whose revenue ≤ that
+       prefix-max is dominated by a strictly-cheaper part — at 100 TB
+       this discards ~everything without a shuffle of the part table;
+    3. exact finish over the surviving candidates with two windows:
+       ``max(rev) RANGE OVER price < mine`` (strictly-cheaper
+       dominators) and ``max(rev) PARTITION BY price`` (same-price
+       dominators). Survivors are the rows that beat their bucket's
+       lower-prefix max — empirically O(log) per bucket, orders of
+       magnitude below the input.
+
+    Money is exact: price in integer cents, revenue in exact scale-4
+    decimal units (``net_expr`` sums) ×10⁴ as int64, so dominance
+    compares integers bit-identically on both engines. Parts with no
+    sales enter at revenue 0 (left join) — they can still be on the
+    frontier as the cheapest do-nothing point."""
+    t = load(spark, sf_dir)
+    rev = t.lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        (F.sum(net_expr()) * 10000).cast("long").alias("rev_e4")
+    )
+    m = (
+        t.part.select(
+            "p_partkey",
+            (dec2("p_retailprice") * 100).cast("long").alias("price_cents"),
+        )
+        .join(rev, "p_partkey", "left")
+        .select(
+            "p_partkey",
+            "price_cents",
+            F.coalesce("rev_e4", F.lit(0).cast("long")).alias("rev_e4"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"price_cents div {PARETO_BUCKET_CENTS}")
+        )
+    )
+    bmax = m.groupBy("bucket").agg(F.max("rev_e4").alias("bmax"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bpre = bmax.select(
+        "bucket", F.max("bmax").over(wb).alias("pmax_lower_bucket")
+    )
+    cand = m.join(F.broadcast(bpre), "bucket").filter(
+        F.col("pmax_lower_bucket").isNull()
+        | (F.col("rev_e4") > F.col("pmax_lower_bucket"))
+    )
+    w_lower = (
+        Window.orderBy("price_cents").rangeBetween(
+            Window.unboundedPreceding, -1
+        )
+    )
+    w_same = Window.partitionBy("price_cents")
+    fin = cand.select(
+        "p_partkey",
+        "price_cents",
+        "rev_e4",
+        F.max("rev_e4").over(w_lower).alias("best_lower"),
+        F.max("rev_e4").over(w_same).alias("best_same"),
+    )
+    return fin.filter(
+        (F.col("best_lower").isNull() | (F.col("best_lower") < F.col("rev_e4")))
+        & (F.col("best_same") == F.col("rev_e4"))
+    ).select("p_partkey", "price_cents", "rev_e4")

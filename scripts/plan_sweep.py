@@ -98,6 +98,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "ivfpq_topk_exactint": "row_number over the k-row seed table shared by the composed IVF+PQ builds",
     "zipf_law_fit": "rank row_number over the ZIPF_K=1000-row TakeOrdered head of the frequency table — never the raw vocabulary",
     "bm25_topk": "row_number over the 20-row TakeOrdered head of the df ranking (query-term mint) — never the raw vocabulary",
+    "part_pareto_frontier": "prefix-max over the ~100-row price-bucket table; exact-finish windows run over bucket-prune survivors (rows beating the lower-bucket prefix max — empirically O(log) per bucket), never the raw part table",
     "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",

