@@ -96,6 +96,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_ORDER_R8 = [
     "bm25_topk",  # new in r9 — gate-verify the round it lands
     "part_pareto_frontier",  # new in r9 — gate-verify the round it lands
+    "segment_weighted_quantiles",  # new in r9 — gate-verify the round it lands
     "events_multires_rollup",  # new in r9 — gate-verify the round it lands
     "events_multires_streamed",  # new in r9 — gate-verify the round it lands
     "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
@@ -419,6 +420,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-D skyline with bucket-prefix pruning (never the O(n²)
         # dominance self-join the oracle runs)
         "part_pareto_frontier": warehouse.q_part_pareto_frontier,
+        # exact weighted median/quartiles at distinct-value grain
+        "segment_weighted_quantiles": warehouse.q_segment_weighted_quantiles,
         "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
         "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
@@ -2027,6 +2030,29 @@ def oracle_sql() -> dict[str, str]:
             "AND b.rev_e4 >= a.rev_e4 "
             "AND (b.price_cents < a.price_cents "
             "OR b.rev_e4 > a.rev_e4))"
+        ),
+        "segment_weighted_quantiles": (
+            # weighted nearest-rank-lower quartiles via integer
+            # cross-multiplication — no division, no interpolation
+            "WITH li AS (SELECT c_mktsegment AS segment, "
+            f"CAST({_NET} * 10000 AS BIGINT) AS v_e4, "
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS wgt "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey), "
+            "g AS (SELECT segment, v_e4, CAST(sum(wgt) AS BIGINT) AS w "
+            "FROM li GROUP BY 1, 2), "
+            "c AS (SELECT segment, v_e4, CAST(sum(w) OVER ("
+            "PARTITION BY segment ORDER BY v_e4 "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum, "
+            "CAST(sum(w) OVER (PARTITION BY segment) AS BIGINT) AS total "
+            "FROM g) "
+            "SELECT segment, CAST(max(total) AS BIGINT) AS total_weight, "
+            "CAST(min(CASE WHEN 4 * cum >= total THEN v_e4 END) "
+            "AS BIGINT) AS wq25_e4, "
+            "CAST(min(CASE WHEN 2 * cum >= total THEN v_e4 END) "
+            "AS BIGINT) AS wmedian_e4, "
+            "CAST(min(CASE WHEN 4 * cum >= 3 * total THEN v_e4 END) "
+            "AS BIGINT) AS wq75_e4 FROM c GROUP BY 1"
         ),
         "key_skew_profile": (
             _key_skew_sql("orders", "o_custkey")

@@ -1073,3 +1073,69 @@ def q_part_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("best_lower").isNull() | (F.col("best_lower") < F.col("rev_e4")))
         & (F.col("best_same") == F.col("rev_e4"))
     ).select("p_partkey", "price_cents", "rev_e4")
+
+
+def q_segment_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted quartiles of line net price per market segment,
+    weighted by quantity — the weighted-median operator (each line
+    counts ``l_quantity`` times, so a 40-unit line moves the median
+    40× more than a 1-unit line).
+
+    Exact nearest-rank-lower semantics: the weighted q-quantile is the
+    smallest value v with ``cumweight(≤v) ≥ q·total`` — evaluated as
+    integer cross-multiplications (``4·cum ≥ q·4·total``), no division,
+    no interpolation, so both engines agree bit-for-bit on int64 value
+    units (net price ×10⁴) and int64 weights.
+
+    Scale shape: the star join feeds a (segment, value)-grain
+    pre-aggregation — map-side combinable, collapsing the fact table to
+    the distinct-value grain BEFORE any window — then the cumulative
+    weight runs per segment over that collapsed table, and a single
+    conditional-min aggregate picks all three quantiles in one pass.
+    No global sort; the only windows are segment-partitioned."""
+    t = load(spark, sf_dir)
+    li = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (net_expr() * 10000).cast("long").alias("v_e4"),
+            dec2("l_quantity").cast("long").alias("wgt"),
+        )
+    )
+    g = li.groupBy("segment", "v_e4").agg(
+        F.sum("wgt").cast("long").alias("w")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("v_e4")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("segment")
+    c = g.select(
+        "segment",
+        "v_e4",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("total"),
+    )
+    four = F.lit(4).cast("long")
+    return c.groupBy("segment").agg(
+        F.max("total").cast("long").alias("total_weight"),
+        F.min(
+            F.when(four * F.col("cum") >= F.col("total"), F.col("v_e4"))
+        ).alias("wq25_e4"),
+        F.min(
+            F.when(
+                F.lit(2).cast("long") * F.col("cum") >= F.col("total"),
+                F.col("v_e4"),
+            )
+        ).alias("wmedian_e4"),
+        F.min(
+            F.when(
+                four * F.col("cum") >= F.lit(3).cast("long") * F.col("total"),
+                F.col("v_e4"),
+            )
+        ).alias("wq75_e4"),
+    )

@@ -90,6 +90,7 @@ HEADLINE = [
     "part_stock_balance",     # clamped running balance via scan identity (new in r9)
     "bm25_topk",              # exact-integer Okapi BM25 retrieval (new in r9)
     "part_pareto_frontier",   # bucket-pruned 2-D skyline (new in r9)
+    "segment_weighted_quantiles",  # exact weighted median/quartiles (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -283,3 +283,59 @@ def test_pareto_frontier_matches_bruteforce_and_prune_is_lossless(spark, sf_dir)
         assert pc1 == pc2 or rv2 > rv1
     # the prune must bite: frontier is a sliver of the part table
     assert 0 < len(out) < len(pts) / 10
+
+
+def test_weighted_quantiles_match_python_expansion(spark, sf_dir):
+    """The distinct-value-grain weighted quartiles equal the definition
+    computed the slow way: expand every line to `quantity` copies of its
+    value and take nearest-rank-lower quantiles of the flat list."""
+    from decimal import Decimal
+
+    out = {
+        r["segment"]: r
+        for r in warehouse.q_segment_weighted_quantiles(
+            spark, sf_dir
+        ).collect()
+    }
+
+    t = load(spark, sf_dir)
+    rows = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "l_extendedprice", "l_discount", "l_quantity")
+        .collect()
+    )
+    q2 = Decimal("0.01")
+    per_seg: dict[str, list] = {}
+    for r in rows:
+        v = int(
+            Decimal(str(r["l_extendedprice"])).quantize(q2)
+            * (1 - Decimal(str(r["l_discount"])).quantize(q2))
+            * 10000
+        )
+        wgt = int(Decimal(str(r["l_quantity"])).quantize(q2))
+        per_seg.setdefault(r["c_mktsegment"], []).extend([v] * wgt)
+
+    assert set(out) == set(per_seg)
+    for seg, vals in per_seg.items():
+        vals.sort()
+        n = len(vals)
+        # nearest-rank lower: smallest v with cum >= q*total, cum in units
+        def nr(qnum: int, qden: int) -> int:
+            # index of first position where (i+1)*qden >= qnum*n
+            import math
+            pos = math.ceil(n * qnum / qden) - 1
+            return vals[pos]
+
+        assert out[seg]["total_weight"] == n
+        assert out[seg]["wq25_e4"] == nr(1, 4), seg
+        assert out[seg]["wmedian_e4"] == nr(1, 2), seg
+        assert out[seg]["wq75_e4"] == nr(3, 4), seg
+        # ordering sanity
+        assert (
+            out[seg]["wq25_e4"]
+            <= out[seg]["wmedian_e4"]
+            <= out[seg]["wq75_e4"]
+        )
