@@ -112,6 +112,7 @@ _DRIVER_ORDER_R8 = [
     "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_phash_stream",  # new in r9 — gate-verify the round it lands
+    "ddsketch_quantiles_streamed",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -614,6 +615,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_users_hourly_streamed": _q_hll_users_hourly_streamed,
         "cms_cells_streamed": _q_cms_cells_streamed,
         "table_stats_streamed": _q_table_stats_streamed,
+        "ddsketch_quantiles_streamed": _q_ddsketch_quantiles_streamed,
         "event_anomalies_streamed": _q_event_anomalies_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
@@ -1189,6 +1191,33 @@ def _q_table_stats_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"gate_tstats_{uuid.uuid4().hex[:8]}",
     )
     return table_stats_finish(grid)
+
+
+def _q_ddsketch_quantiles_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles-at-ingest: the DDSketch log-bucket grid over order
+    totals is maintained by the landing stream (complete-mode state is
+    the ≤~700-row bucket table — count adds, min/min and max/max merge,
+    so the drained grid is micro-batch-slicing-independent), then the
+    batch finisher turns it into the identical (quantile, rank,
+    bracket) report. Behind the SAME oracle row as the batch
+    `ddsketch_value_quantiles` — the 15th oracle-matched streaming
+    drain, the quantile-sketch sibling of the HLL/CMS drains."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.quality import (
+        ddsketch_quantiles_finish,
+    )
+    from beauty_lakehouse_spark.streaming import (
+        orders_value_sketch,
+        run_available_now,
+        stream_orders,
+    )
+
+    grid = run_available_now(
+        orders_value_sketch(stream_orders(spark, sf_dir)),
+        f"gate_ddsk_{uuid.uuid4().hex[:8]}",
+    )
+    return ddsketch_quantiles_finish(grid)
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4576,6 +4605,7 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum FROM ho"
     )
     out["table_stats_streamed"] = out["table_stats"]
+    out["ddsketch_quantiles_streamed"] = out["ddsketch_value_quantiles"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

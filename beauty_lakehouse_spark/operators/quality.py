@@ -466,8 +466,6 @@ def q_ddsketch_value_quantiles(spark, sf_dir: str) -> DataFrame:
 
     Output: (quantile, rank, bucket, n_in_bucket, lo_cents,
     hi_cents)."""
-    from pyspark.sql import Window
-
     from ..catalog import load
     from ..functions import dec2
 
@@ -475,7 +473,16 @@ def q_ddsketch_value_quantiles(spark, sf_dir: str) -> DataFrame:
     cents = t.orders.select(
         (dec2("o_totalprice") * 100).cast("long").alias("cents")
     )
-    buckets = ddsketch_cents_buckets(cents)
+    return ddsketch_quantiles_finish(ddsketch_cents_buckets(cents))
+
+
+def ddsketch_quantiles_finish(buckets: DataFrame) -> DataFrame:
+    """Quantile probes over a DDSketch bucket table (the read half of
+    `q_ddsketch_value_quantiles`, shared with the streamed drain —
+    the bucket grid is mergeable state, this is the finisher that
+    turns it into the (quantile, rank, bracket) report)."""
+    from pyspark.sql import Window
+
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = buckets.select(
         "bucket",

@@ -18,6 +18,7 @@ from .pipelines import (  # noqa: F401
     latest_event_table,
     order_stats_value_grid,
     orders_checksum_stream,
+    orders_value_sketch,
     run_available_now,
     session_values,
     stream_documents,

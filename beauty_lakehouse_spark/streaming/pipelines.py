@@ -414,6 +414,25 @@ def orders_checksum_stream(orders: DataFrame) -> DataFrame:
     )
 
 
+def orders_value_sketch(orders: DataFrame) -> DataFrame:
+    """Streamed DDSketch log-bucket grid over order totals in cents
+    (`operators.quality.ddsketch_cents_buckets` running ON the landing
+    stream): per-bucket count adds, min/min and max/max merge, so
+    complete-mode state is the ≤~700-row bucket table regardless of
+    volume and the drained grid is micro-batch-slicing-independent.
+    `quality.ddsketch_quantiles_finish` turns the drained grid into
+    the same (quantile, rank, bracket) report the batch query emits —
+    quantiles-at-ingest without ever sorting or re-scanning the landed
+    table."""
+    from ..functions import dec2
+    from ..operators.quality import ddsketch_cents_buckets
+
+    cents = orders.select(
+        (dec2("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    return ddsketch_cents_buckets(cents)
+
+
 def order_stats_value_grid(orders: DataFrame) -> DataFrame:
     """Streaming VALUE GRID for the orders profile: one complete-mode
     aggregate over the union of the six profiled columns' normalized

@@ -358,6 +358,42 @@ def test_table_stats_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     assert _canon(got) == _canon(expected)
 
 
+def test_ddsketch_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the orders fixture into 4 files and stream them one file
+    per micro-batch: the drained DDSketch bucket grid, finished
+    batch-side, must equal the batch q_ddsketch_value_quantiles report
+    exactly — count adds and min/min max/max merge, so the sketch is
+    a function of the value multiset regardless of micro-batch
+    slicing."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.functions import dec2
+    from beauty_lakehouse_spark.operators.quality import (
+        ddsketch_quantiles_finish,
+        q_ddsketch_value_quantiles,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        orders_value_sketch,
+    )
+
+    src = str(tmp_path / "orders_parts_dds")
+    orders = load(spark, sf_dir).orders
+    orders.withColumn(
+        "part", (F.col("o_orderkey") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(orders_value_sketch(stream), "t_ddsk_mb")
+    got = ddsketch_quantiles_finish(grid)
+    expected = q_ddsketch_value_quantiles(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
+
+
 def test_stream_glob_escapes_metacharacters(spark, sf_dir, tmp_path):
     """ADVICE r8: an sf_dir containing glob metacharacters must still
     resolve the fixture files (previously the bare `parque[t]` trick
