@@ -113,6 +113,7 @@ _DRIVER_ORDER_R8 = [
     "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
     "media_phash_stream",  # new in r9 — gate-verify the round it lands
     "ddsketch_quantiles_streamed",  # new in r9 — gate-verify the round it lands
+    "segment_priority_chisq",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -584,6 +585,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ddsketch_value_quantiles": quality.q_ddsketch_value_quantiles,
         # Benford first-digit audit (fixed-point expected shares)
         "benford_price_digits": quality.q_benford_price_digits,
+        # chi-square independence test (fixed-point exact)
+        "segment_priority_chisq": quality.q_segment_priority_chisq,
         # anti-entropy order-insensitive table fingerprints
         "table_checksums": quality.q_table_checksums,
         # join-key skew diagnostics (count-of-counts exact Gini)
@@ -2161,6 +2164,38 @@ def oracle_sql() -> dict[str, str]:
             + " AS observed_share, "
             + _hud(_lnm("(digit + 1)", "digit"), _lnm("10", "1"), 6)
             + " AS benford_share FROM g, t"
+        ),
+        "segment_priority_chisq": (
+            # chi-square independence: dev = O*N - R*C kept integer
+            # (cross-multiplied O - E), contribution dev^2/(R*C*N) via
+            # exact HUGEINT floor division in micro units; the N < 1e8
+            # DECIMAL(38,0) contract guard is MIRRORED from the Spark
+            # side so both engines fail loudly, never diverge
+            "WITH j AS (SELECT c_mktsegment AS mktsegment, "
+            "o_orderpriority AS priority FROM orders "
+            "JOIN customer ON o_custkey = c_custkey), "
+            "cells AS (SELECT mktsegment, priority, "
+            "CAST(count(*) AS BIGINT) AS observed FROM j GROUP BY 1, 2), "
+            "rt AS (SELECT mktsegment, CAST(sum(observed) AS BIGINT) "
+            "AS row_total FROM cells GROUP BY 1), "
+            "ct AS (SELECT priority, CAST(sum(observed) AS BIGINT) "
+            "AS col_total FROM cells GROUP BY 1), "
+            "nt0 AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total "
+            "FROM cells), "
+            "nt AS (SELECT CASE WHEN n_total >= 100000000 THEN "
+            "CAST(error('chisq contract violated: N >= 1e8 exceeds the "
+            "exact dev^2 range; sample or rescale upstream') AS BIGINT) "
+            "ELSE n_total END AS n_total FROM nt0), "
+            "g AS (SELECT mktsegment, priority, observed, row_total, "
+            "col_total, n_total, "
+            "observed * n_total - row_total * col_total AS dev "
+            "FROM cells JOIN rt USING (mktsegment) "
+            "JOIN ct USING (priority) CROSS JOIN nt) "
+            "SELECT mktsegment, priority, observed, row_total, "
+            "col_total, n_total, CAST(dev AS BIGINT) AS dev, "
+            "CAST((CAST(dev AS HUGEINT) * dev * 1000000) // "
+            "(CAST(row_total AS HUGEINT) * col_total * n_total) "
+            "AS BIGINT) AS contrib_micro FROM g"
         ),
         "fact_sales_summary": (
             "SELECT r_name AS region, c_mktsegment, "

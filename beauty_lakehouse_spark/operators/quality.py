@@ -1532,6 +1532,91 @@ def q_benford_price_digits(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_segment_priority_chisq(spark, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between customer market segment
+    and order priority — the categorical-association screen of the
+    statistical-testing family (Benford audits digits, PSI watches
+    drift, this asks whether two categorical columns are related at
+    all; e.g. "do BUILDING customers file more URGENT orders?").
+
+    Exact fixed point throughout: with E = R·C/N the textbook expected
+    count, the per-cell deviation is kept in cross-multiplied integer
+    form ``dev = O·N − R·C`` (no fractional E anywhere), and the
+    chi-square contribution (O−E)²/E = dev²/(R·C·N) is an exact
+    DECIMAL(38,0) / HUGEINT floor division in micro units —
+    Σ contrib_micro / 10⁶ is the χ² statistic with (S−1)·(P−1)
+    degrees of freedom. Margin invariant (pytest-pinned): dev sums to
+    zero over every row and every column of the grid.
+
+    Scale: ONE fact-side shuffle builds the ≤(S×P)-row contingency
+    grid (map-side-combinable count over the orders⋈customer FK join);
+    margins and the final assembly run on the bounded grid via
+    broadcast joins. Contract: dev²·10⁶ must fit DECIMAL(38,0), i.e.
+    N < 10⁸ profiled rows — guarded with raise_error Spark-side and
+    the same error() CASE in the DuckDB twin (the ddsketch ln_micro
+    policy: both engines fail loudly, never silently diverge).
+
+    Output: (mktsegment, priority, observed, row_total, col_total,
+    n_total, dev, contrib_micro)."""
+    from ..catalog import load
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    cells = (
+        t.orders.select("o_custkey", "o_orderpriority")
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rt = cells.groupBy("mktsegment").agg(
+        F.sum("observed").alias("row_total")
+    )
+    ct = cells.groupBy("priority").agg(F.sum("observed").alias("col_total"))
+    nt = cells.agg(F.sum("observed").alias("n_total"))
+    guarded_n = F.when(
+        F.col("n_total") >= F.lit(100_000_000),
+        F.raise_error(
+            F.lit(
+                "chisq contract violated: N >= 1e8 exceeds the exact "
+                "dev^2 DECIMAL(38,0) range; sample or rescale upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_total"))
+    g = (
+        cells.join(F.broadcast(rt), "mktsegment")
+        .join(F.broadcast(ct), "priority")
+        .crossJoin(F.broadcast(nt))
+        .withColumn("n_total", guarded_n)
+        .withColumn(
+            "dev",
+            F.col("observed") * F.col("n_total")
+            - F.col("row_total") * F.col("col_total"),
+        )
+    )
+    dd = F.col("dev").cast("decimal(38,0)")
+    den = (
+        F.col("row_total").cast("decimal(38,0)")
+        * F.col("col_total")
+        * F.col("n_total")
+    )
+    return g.select(
+        "mktsegment",
+        "priority",
+        "observed",
+        "row_total",
+        "col_total",
+        "n_total",
+        "dev",
+        _idiv(dd * dd * F.lit(1_000_000), den).alias("contrib_micro"),
+    )
+
+
 #: 2^61 - 1 (Mersenne): the checksum ring. Sums of 60-bit row hashes
 #: stay exact in decimal(38,0)/HUGEINT before the single final mod.
 CHECKSUM_MOD = (1 << 61) - 1

@@ -91,6 +91,8 @@ HEADLINE = [
     "bm25_topk",              # exact-integer Okapi BM25 retrieval (new in r9)
     "part_pareto_frontier",   # bucket-pruned 2-D skyline (new in r9)
     "segment_weighted_quantiles",  # exact weighted median/quartiles (new in r9)
+    "ddsketch_quantiles_streamed",  # quantiles-at-ingest sketch drain (new in r9)
+    "segment_priority_chisq",  # fixed-point chi-square independence test (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -615,3 +615,47 @@ def test_partition_checksums_localize_drift(spark, sf_dir, tmp_path):
     }
     changed = [y for y in base if base[y] != mut[y]]
     assert changed == [first["y"]]
+
+
+def test_chisq_margins_and_pure_python_recompute(spark, sf_dir):
+    """The cross-multiplied deviation dev = O*N - R*C sums to zero over
+    every row and every column of the contingency grid (the exact-form
+    margin identity of the chi-square table), and every cell —
+    including the floor-divided micro contribution — matches a pure
+    pandas/int recompute of the same join."""
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = quality.q_segment_priority_chisq(spark, sf_dir).collect()
+    assert rows
+    by_seg: Counter = Counter()
+    by_pri: Counter = Counter()
+    for r in rows:
+        by_seg[r["mktsegment"]] += r["dev"]
+        by_pri[r["priority"]] += r["dev"]
+    assert all(v == 0 for v in by_seg.values()), by_seg
+    assert all(v == 0 for v in by_pri.values()), by_pri
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    obs = Counter(zip(j["c_mktsegment"], j["o_orderpriority"]))
+    n = sum(obs.values())
+    rt = Counter()
+    ct = Counter()
+    for (s, p), o in obs.items():
+        rt[s] += o
+        ct[p] += o
+    for r in rows:
+        key = (r["mktsegment"], r["priority"])
+        o = obs[key]
+        assert r["observed"] == o
+        assert r["row_total"] == rt[key[0]]
+        assert r["col_total"] == ct[key[1]]
+        assert r["n_total"] == n
+        dev = o * n - rt[key[0]] * ct[key[1]]
+        assert r["dev"] == dev
+        assert r["contrib_micro"] == (dev * dev * 1_000_000) // (
+            rt[key[0]] * ct[key[1]] * n
+        )
