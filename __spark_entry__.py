@@ -114,6 +114,7 @@ _DRIVER_ORDER_R8 = [
     "media_phash_stream",  # new in r9 — gate-verify the round it lands
     "ddsketch_quantiles_streamed",  # new in r9 — gate-verify the round it lands
     "segment_priority_chisq",  # new in r9 — gate-verify the round it lands
+    "order_interval_overlaps",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -398,6 +399,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_funnel": events.q_event_funnel,
         "purchase_time_since_view": temporal.q_purchase_time_since_view,
         "view_to_purchase_lag": temporal.q_view_to_purchase_lag,
+        # interval overlap join: per-customer concurrent orders
+        "order_interval_overlaps": temporal.q_order_interval_overlaps,
         "event_transitions": temporal.q_event_transitions,
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
@@ -4293,6 +4296,25 @@ def oracle_sql() -> dict[str, str]:
             "event_type AS to_type FROM e) "
             "SELECT from_type, to_type, count(*) AS n_transitions FROM p "
             "WHERE from_type IS NOT NULL GROUP BY from_type, to_type"
+        ),
+        "order_interval_overlaps": (
+            # interval overlap join: per-customer order pairs whose
+            # [orderdate, max shipdate] windows intersect; date - date
+            # is exact integer days on both engines
+            "WITH ends AS (SELECT l_orderkey, "
+            "max(CAST(l_shipdate AS DATE)) AS e FROM lineitem "
+            "GROUP BY 1), "
+            "iv AS (SELECT o_orderkey, o_custkey, "
+            "CAST(o_orderdate AS DATE) AS s, "
+            "greatest(CAST(o_orderdate AS DATE), e) AS e FROM orders "
+            "JOIN ends ON o_orderkey = l_orderkey) "
+            "SELECT a.o_custkey AS custkey, "
+            "a.o_orderkey AS orderkey_a, b.o_orderkey AS orderkey_b, "
+            "CAST(least(a.e, b.e) - greatest(a.s, b.s) + 1 AS INTEGER) "
+            "AS overlap_days "
+            "FROM iv a JOIN iv b ON a.o_custkey = b.o_custkey "
+            "AND a.o_orderkey < b.o_orderkey "
+            "AND a.s <= b.e AND b.s <= a.e"
         ),
         "events_preceding_5min": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, "

@@ -479,3 +479,77 @@ def q_view_to_purchase_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_purchase_event_id").alias("purchase_event_id"),
         (F.col("asof_p_us") - F.col("us")).alias("us_to_purchase"),
     )
+
+
+def q_order_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL OVERLAP JOIN — the third temporal-join shape Spark
+    lacks natively (backward as-of, forward as-of, and now interval
+    overlap): per customer, every pair of their orders whose active
+    intervals [o_orderdate, max(l_shipdate)] intersect, with the exact
+    inclusive overlap length in days. The operational question is
+    concurrency: which orders were in flight at the same time for the
+    same customer (fulfilment contention, split-shipment candidates).
+
+    Spark-first plan: the interval table is one map-side-combinable
+    max per order; the overlap join is an EQUI-join on the partition
+    key (custkey) with the interval predicate applied post-join, so
+    the only shuffle is the per-key co-location and the fanout is
+    bounded by orders-per-customer (a bounded domain here — the
+    datagen caps orders per customer; for unbounded keys the standard
+    scale path is time-bucketing the intervals so each pair meets in
+    exactly one bucket, the `copurchase_edges` banding trick). Never a
+    cartesian or a theta-join over raw rows. Dates compare as exact
+    integer days on both engines. The fixtures deliberately contain
+    ship-before-order rows (see `date_rule_violations`), so the end is
+    clamped to at least the start — an order is active on its order
+    date — keeping every interval well-formed and every emitted
+    overlap ≥ 1 day. Oracle: the identical self-join in DuckDB
+    (date - date is integer days).
+
+    Output: (custkey, orderkey_a, orderkey_b, overlap_days), pairs
+    keyed a < b so each unordered pair appears once."""
+    t = load(spark, sf_dir)
+    ends = t.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("end_d")
+    )
+    iv = (
+        t.orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_orderdate").cast("date").alias("start_d"),
+        )
+        .join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+        .drop("l_orderkey")
+        .withColumn("end_d", F.greatest("start_d", "end_d"))
+    )
+    a = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_a"),
+        F.col("start_d").alias("s_a"),
+        F.col("end_d").alias("e_a"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey_b"),
+        F.col("start_d").alias("s_b"),
+        F.col("end_d").alias("e_b"),
+    )
+    return (
+        a.join(b, "custkey")
+        .filter(
+            (F.col("orderkey_a") < F.col("orderkey_b"))
+            & (F.col("s_a") <= F.col("e_b"))
+            & (F.col("s_b") <= F.col("e_a"))
+        )
+        .select(
+            "custkey",
+            "orderkey_a",
+            "orderkey_b",
+            (
+                F.datediff(
+                    F.least("e_a", "e_b"), F.greatest("s_a", "s_b")
+                )
+                + 1
+            ).alias("overlap_days"),
+        )
+    )

@@ -93,6 +93,7 @@ HEADLINE = [
     "segment_weighted_quantiles",  # exact weighted median/quartiles (new in r9)
     "ddsketch_quantiles_streamed",  # quantiles-at-ingest sketch drain (new in r9)
     "segment_priority_chisq",  # fixed-point chi-square independence test (new in r9)
+    "order_interval_overlaps",  # per-key interval overlap join (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

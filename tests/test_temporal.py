@@ -162,3 +162,47 @@ def test_asof_join_forward_semantics(spark):
     assert got[(1, 200)] == (200, 20)   # inclusive at equality
     assert got[(1, 300)] == (None, None)  # no future right row
     assert got[(2, 50)] == (None, None)   # right row only in the past
+
+
+def test_interval_overlap_pairs_pure_python(spark, sf_dir):
+    """Every emitted pair is ordered (a < b), genuinely overlaps
+    (overlap_days >= 1), and the full pair set + lengths match a pure
+    pandas sweep over the same per-customer intervals."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_order_interval_overlaps,
+    )
+
+    rows = q_order_interval_overlaps(spark, sf_dir).collect()
+    assert rows
+    got = {
+        (r["custkey"], r["orderkey_a"], r["orderkey_b"]): r["overlap_days"]
+        for r in rows
+    }
+    assert all(a < b for (_, a, b) in got)
+    assert all(d >= 1 for d in got.values())
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ends = (
+        li.assign(e=li["l_shipdate"].dt.normalize())
+        .groupby("l_orderkey")["e"]
+        .max()
+    )
+    iv = orders.assign(
+        s=orders["o_orderdate"].dt.normalize(),
+        e=orders["o_orderkey"].map(ends),
+    ).dropna(subset=["e"])
+    iv["e"] = iv[["s", "e"]].max(axis=1)  # clamp inverted intervals
+    want = {}
+    for _, grp in iv.groupby("o_custkey"):
+        recs = grp[["o_orderkey", "o_custkey", "s", "e"]].values.tolist()
+        for i in range(len(recs)):
+            for j in range(len(recs)):
+                ka, ck, sa, ea = recs[i]
+                kb, _, sb, eb = recs[j]
+                if ka < kb and sa <= eb and sb <= ea:
+                    d = (min(ea, eb) - max(sa, sb)).days + 1
+                    want[(ck, ka, kb)] = d
+    assert got == want
