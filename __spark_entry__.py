@@ -115,6 +115,7 @@ _DRIVER_ORDER_R8 = [
     "ddsketch_quantiles_streamed",  # new in r9 — gate-verify the round it lands
     "segment_priority_chisq",  # new in r9 — gate-verify the round it lands
     "order_interval_overlaps",  # new in r9 — gate-verify the round it lands
+    "bloom_semijoin_pushdown",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -539,6 +540,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-filter pre-filter form of decontamination (oracle-exact
         # filter build + probe + false-positive accounting)
         "bloom_decontaminate": curation.q_bloom_decontaminate,
+        # runtime bloom-filter pushdown for a selective fact⋈dim join
+        "bloom_semijoin_pushdown": relational.q_bloom_semijoin_pushdown,
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
         # temperature-flattened (n^(1/2)) mixture weights via exact
@@ -4989,6 +4992,59 @@ def oracle_sql() -> dict[str, str]:
         "AS n_false_positives "
         "FROM tr JOIN perg USING (shingle) GROUP BY doc_id) "
         "WHERE n_bloom_hits > 0"
+    )
+
+    # runtime bloom-filter semi-join pushdown (same 2^16-bit / k=4
+    # geometry): identical filter, identical per-line pass tests, and
+    # exact false-positive accounting over the urgent+finished slice
+    _ok_p = [
+        (
+            f"(('0x' || substr(md5('bloom{j}:' || "
+            f"CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT % 65536)"
+        )
+        for j in range(4)
+    ]
+    _sel_pos = "[" + ", ".join(
+        (
+            f"(('0x' || substr(md5('bloom{j}:' || "
+            f"CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT % 65536)"
+        )
+        for j in range(4)
+    ) + "]"
+    _pass_sql = " AND ".join(
+        f"(coalesce(b{j}.bits, 0) & "
+        f"(1::BIGINT << CAST(p{j} % 32 AS INT))) <> 0"
+        for j in range(4)
+    )
+    out["bloom_semijoin_pushdown"] = (
+        "WITH sel AS (SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'), "
+        f"bpos AS (SELECT unnest({_sel_pos}) AS p FROM sel), "
+        "bloom AS (SELECT p >> 5 AS word, "
+        "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits "
+        "FROM bpos GROUP BY 1), "
+        "lp AS (SELECT l_orderkey, l_extendedprice, l_discount, "
+        + ", ".join(f"{_ok_p[j]} AS p{j}" for j in range(4))
+        + " FROM lineitem), "
+        "flagged AS (SELECT lp.*, "
+        f"({_pass_sql}) AS pass, "
+        "(s.o_orderkey IS NOT NULL) AS hit FROM lp "
+        + " ".join(
+            f"LEFT JOIN bloom b{j} ON b{j}.word = p{j} >> 5"
+            for j in range(4)
+        )
+        + " LEFT JOIN sel s ON l_orderkey = s.o_orderkey) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM sel) "
+        "AS n_orders_selected, "
+        "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_lines_bloom_pass, "
+        "CAST(sum(CASE WHEN pass AND hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_lines_exact, "
+        "CAST(sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS bloom_false_positive_lines, "
+        f"CAST(round(sum(CASE WHEN pass AND hit THEN {_NET} "
+        "ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS revenue "
+        "FROM flagged"
     )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the

@@ -492,3 +492,117 @@ def q_order_enriched_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         money_round(net_expr()).alias("net_price"),
     )
+
+
+def q_bloom_semijoin_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNTIME BLOOM-FILTER pushdown for a selective fact⋈dim join —
+    the large-scale join pattern where the dim-side predicate is
+    selective (here urgent+finished orders, ~1/15 of the table) but
+    the dim slice is too large to broadcast at 100 TB: build a
+    portable Bloom filter OVER THE SELECTED KEYS (the same
+    bit_or-aggregated (word, bits) register table as
+    `bloom_decontaminate` — mergeable, ~2 KiB, always broadcastable
+    even when the key slice is not), test every fact row MAP-SIDE with
+    k broadcast word lookups (no shuffle, no groupBy — the k bit tests
+    are independent joined columns), and let only passing rows proceed
+    to the exact join. No false negatives by construction; the
+    measured false-positive tax is part of the OUTPUT, so the filter
+    itself is oracle-verified, not just the final answer.
+
+    At this fixture scale the exact truth is also computed for every
+    line (the accounting needs it); at 100 TB the `pass` filter runs
+    first and only ~(selectivity + FP) of the fact shuffles. Output
+    (one row): n_orders_selected, n_lines_bloom_pass, n_lines_exact,
+    bloom_false_positive_lines, revenue — revenue over the truly
+    matching lines with the exact decimal TPC-H net expression."""
+    from functools import reduce
+
+    from .curation import BLOOM_K, _bloom_pos
+
+    t = load(spark, sf_dir)
+    sel = (
+        t.orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_orderkey")
+        .localCheckpoint(eager=False)
+    )
+
+    def _wb(p):
+        return (
+            F.shiftright(p, 5),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                F.pmod(p, F.lit(32)).cast("int"),
+            ),
+        )
+
+    pos = sel.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_pos(F.col("o_orderkey").cast("string"), j)
+                    for j in range(BLOOM_K)
+                ]
+            )
+        ).alias("p")
+    )
+    w, b = _wb(F.col("p"))
+    bloom = (
+        pos.select(w.alias("word"), b.alias("b"))
+        .groupBy("word")
+        .agg(F.bit_or("b").alias("bits"))
+        .localCheckpoint(eager=False)
+    )
+
+    li = t.lineitem.select("l_orderkey", "l_extendedprice", "l_discount")
+    lk = F.col("l_orderkey").cast("string")
+    bit_ok = []
+    for j in range(BLOOM_K):
+        w, m = _wb(_bloom_pos(lk, j))
+        li = li.withColumn(f"_w{j}", w).withColumn(f"_m{j}", m)
+        bj = bloom.select(
+            F.col("word").alias(f"_w{j}"), F.col("bits").alias(f"_bits{j}")
+        )
+        li = li.join(F.broadcast(bj), f"_w{j}", "left")
+        bit_ok.append(
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0)).bitwiseAND(
+                F.col(f"_m{j}")
+            )
+            != 0
+        )
+    passes = reduce(lambda a, c: a & c, bit_ok)
+    flagged = li.join(
+        F.broadcast(sel.withColumn("_hit", F.lit(True))),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left",
+    ).select(
+        passes.alias("pass"),
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("hit"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    agg = flagged.agg(
+        F.sum(F.col("pass").cast("long")).alias("n_lines_bloom_pass"),
+        F.sum((F.col("pass") & F.col("hit")).cast("long")).alias(
+            "n_lines_exact"
+        ),
+        F.sum((F.col("pass") & ~F.col("hit")).cast("long")).alias(
+            "bloom_false_positive_lines"
+        ),
+        money_sum(
+            F.when(F.col("pass") & F.col("hit"), net_expr()).otherwise(
+                F.lit(0).cast("decimal(12,2)")
+            )
+        ).alias("revenue"),
+    )
+    n_sel = sel.agg(F.count(F.lit(1)).alias("n_orders_selected"))
+    return n_sel.crossJoin(F.broadcast(agg)).select(
+        "n_orders_selected",
+        "n_lines_bloom_pass",
+        "n_lines_exact",
+        "bloom_false_positive_lines",
+        "revenue",
+    )

@@ -94,6 +94,7 @@ HEADLINE = [
     "ddsketch_quantiles_streamed",  # quantiles-at-ingest sketch drain (new in r9)
     "segment_priority_chisq",  # fixed-point chi-square independence test (new in r9)
     "order_interval_overlaps",  # per-key interval overlap join (new in r9)
+    "bloom_semijoin_pushdown",  # runtime bloom-filter join pushdown (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

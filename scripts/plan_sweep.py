@@ -83,6 +83,8 @@ WHITELIST: dict[str, str] = {
     "lsh_index_maintained": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
     "lsh_tuning_curve": "1-row x 1-row stat joins (pair count x shared-bucket count per banding config)",
     "bm25_topk": "1-row corpus-stats broadcast cross join onto the 20-row query-term table (T and N scalars)",
+    "segment_priority_chisq": "1-row grand-total broadcast (N scalar) against the bounded contingency grid (<= segments x priorities rows)",
+    "bloom_semijoin_pushdown": "1-row selected-order-count broadcast against the 1-row accounting aggregate",
 }
 
 #: windows allowed to have an empty partition spec because their input

@@ -613,3 +613,49 @@ def test_corpus_training_plan_composition(spark, sf_dir):
         assert r.bucket >= 32 and (r.bucket & (r.bucket - 1)) == 0
         assert r.max_len <= r.bucket
         assert r.tercile in (1, 2, 3)
+
+
+def test_bloom_semijoin_accounting_pure_python(spark, sf_dir):
+    """The runtime-filter semi-join's one-row accounting matches a pure
+    Python recompute of the same md5-derived Bloom filter: identical
+    pass counts (so the filter itself is verified, not just the final
+    join), zero false negatives by construction, and exact-join counts
+    equal to the true semi-join size."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.relational import (
+        q_bloom_semijoin_pushdown,
+    )
+
+    row = q_bloom_semijoin_pushdown(spark, sf_dir).collect()[0]
+
+    def pos(key, j):
+        return int(
+            hashlib.md5(f"bloom{j}:{key}".encode()).hexdigest()[:15], 16
+        ) % (1 << 16)
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    sel = orders[
+        (orders["o_orderpriority"] == "1-URGENT")
+        & (orders["o_orderstatus"] == "F")
+    ]["o_orderkey"]
+    bits = set()
+    for k in sel:
+        for j in range(4):
+            bits.add(pos(k, j))
+    selset = set(sel)
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    n_pass = n_exact = 0
+    for k in li["l_orderkey"]:
+        if all(pos(k, j) in bits for j in range(4)):
+            n_pass += 1
+            if k in selset:
+                n_exact += 1
+        else:
+            assert k not in selset  # no false negatives
+    assert row["n_orders_selected"] == len(sel)
+    assert row["n_lines_bloom_pass"] == n_pass
+    assert row["n_lines_exact"] == n_exact
+    assert row["bloom_false_positive_lines"] == n_pass - n_exact
