@@ -116,6 +116,7 @@ _DRIVER_ORDER_R8 = [
     "segment_priority_chisq",  # new in r9 — gate-verify the round it lands
     "order_interval_overlaps",  # new in r9 — gate-verify the round it lands
     "bloom_semijoin_pushdown",  # new in r9 — gate-verify the round it lands
+    "nation_revenue_trend",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -428,6 +429,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_pareto_frontier": warehouse.q_part_pareto_frontier,
         # exact weighted median/quartiles at distinct-value grain
         "segment_weighted_quantiles": warehouse.q_segment_weighted_quantiles,
+        # per-group OLS slope in exact fixed point (regression family)
+        "nation_revenue_trend": warehouse.q_nation_revenue_trend,
         "orders_above_customer_avg": warehouse.q_orders_above_customer_avg,
         "revenue_moving_avg": warehouse.q_revenue_moving_avg,
         "order_value_percentiles": warehouse.q_order_value_percentiles,
@@ -2214,6 +2217,36 @@ def oracle_sql() -> dict[str, str]:
             "JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey "
             "GROUP BY 1, 2, 3, 4"
+        ),
+        "nation_revenue_trend": (
+            # per-nation OLS slope of yearly revenue cents over year:
+            # HUGEINT closed form, sign-split truncate-toward-zero
+            # division mirroring Spark's decimal intdiv semantics
+            "WITH fact AS (SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            f"{_NET} AS net_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey), "
+            "yearly AS (SELECT nation, order_year, "
+            "CAST(round(sum(net_price), 2) * 100 AS BIGINT) AS cents "
+            "FROM fact GROUP BY 1, 2), "
+            "g AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_years, "
+            "CAST(min(order_year) AS INTEGER) AS year_min, "
+            "CAST(max(order_year) AS INTEGER) AS year_max, "
+            "CAST(sum(cents) AS BIGINT) AS total_cents, "
+            "sum(CAST(order_year AS HUGEINT)) AS sx, "
+            "sum(CAST(cents AS HUGEINT)) AS sy, "
+            "sum(CAST(order_year AS HUGEINT) * cents) AS sxy, "
+            "sum(CAST(order_year AS HUGEINT) * order_year) AS sxx "
+            "FROM yearly GROUP BY 1), "
+            "s AS (SELECT *, n_years * sxy - sx * sy AS num, "
+            "n_years * sxx - sx * sx AS den FROM g WHERE n_years >= 2) "
+            "SELECT nation, n_years, year_min, year_max, total_cents, "
+            "CAST(CASE WHEN num < 0 THEN -(((-num) * 1000000) // den) "
+            "ELSE (num * 1000000) // den END AS BIGINT) "
+            "AS slope_micro_cents_per_year FROM s"
         ),
         "revenue_rollup": (
             "WITH fact AS (SELECT n_name AS nation, "

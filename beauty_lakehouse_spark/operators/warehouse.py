@@ -1139,3 +1139,60 @@ def q_segment_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("wq75_e4"),
     )
+
+
+def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ORDINARY LEAST SQUARES trend — the regression member
+    of the analytics family (moving average smooths, forecast_delta
+    what-ifs, this fits): for every nation, the closed-form OLS slope
+    of yearly revenue over year, entirely in exact fixed point so the
+    DuckDB twin reproduces every slope bit-for-bit.
+
+    The yearly grid is exact integer cents (HALF_UP round of the exact
+    decimal net sum — the `revenue_rollup` convention — times 100);
+    the slope (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) is one exact
+    DECIMAL(38,0)/HUGEINT division in micro-cents/year, truncated
+    TOWARD ZERO on both engines via a sign split (Spark's decimal
+    intdiv truncates where DuckDB's ``//`` floors — the one
+    negative-operand divergence in the fixed-point kit, so |num| is
+    divided and the sign reapplied).
+
+    Scale: one map-side-combinable aggregate builds the
+    ≤ nations×years grid; the regression is a second bounded aggregate
+    over that grid — no window, no sort, no collect. Output: (nation,
+    n_years, year_min, year_max, total_cents,
+    slope_micro_cents_per_year) for nations with ≥ 2 years (the slope
+    denominator needs x-variance)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    fact = build_fact_sales(t)
+    yearly = fact.groupBy("nation", "order_year").agg(
+        (F.round(F.sum("net_price"), 2) * 100).cast("long").alias("cents")
+    )
+    x = F.col("order_year").cast("decimal(38,0)")
+    y = F.col("cents").cast("decimal(38,0)")
+    g = yearly.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.min("order_year").alias("year_min"),
+        F.max("order_year").alias("year_max"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n_years").cast("decimal(38,0)")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        num < 0, -_idiv((-num) * F.lit(1_000_000), den)
+    ).otherwise(_idiv(num * F.lit(1_000_000), den))
+    return g.filter(F.col("n_years") >= 2).select(
+        "nation",
+        "n_years",
+        "year_min",
+        "year_max",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        slope.alias("slope_micro_cents_per_year"),
+    )

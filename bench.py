@@ -95,6 +95,7 @@ HEADLINE = [
     "segment_priority_chisq",  # fixed-point chi-square independence test (new in r9)
     "order_interval_overlaps",  # per-key interval overlap join (new in r9)
     "bloom_semijoin_pushdown",  # runtime bloom-filter join pushdown (new in r9)
+    "nation_revenue_trend",   # per-group fixed-point OLS slope (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

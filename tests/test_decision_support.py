@@ -492,3 +492,63 @@ def test_rfm_segments_quintile_laws(spark, sf_dir):
     best_r = min(r.last_day for r in rows if r.r_score == 1)
     worst_r = max(r.last_day for r in rows if r.r_score == 5)
     assert best_r >= worst_r
+
+
+def test_nation_revenue_trend_pure_python(spark, sf_dir):
+    """Every per-nation OLS slope matches an exact Fraction recompute
+    over a pandas rebuild of the yearly cents grid, including the
+    truncate-toward-zero fixed-point semantics for negative slopes."""
+    from decimal import ROUND_HALF_UP, Decimal
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_nation_revenue_trend,
+    )
+
+    rows = {
+        r["nation"]: r for r in q_nation_revenue_trend(spark, sf_dir).collect()
+    }
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["year"] = j["o_orderdate"].dt.year
+    j["net"] = [
+        Decimal(str(p)).quantize(Decimal("0.01"))
+        * (1 - Decimal(str(d)).quantize(Decimal("0.01")))
+        for p, d in zip(j["l_extendedprice"], j["l_discount"])
+    ]
+    grid = {}
+    for (nat, yr), grp in j.groupby(["n_name", "year"]):
+        s = sum(grp["net"], Decimal(0))
+        grid.setdefault(nat, {})[yr] = int(
+            s.quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100
+        )
+    for nat, ys in grid.items():
+        if len(ys) < 2:
+            assert nat not in rows
+            continue
+        n = len(ys)
+        sx = sum(ys)
+        sy = sum(ys.values())
+        sxy = sum(x * y for x, y in ys.items())
+        sxx = sum(x * x for x in ys)
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        frac = Fraction(num * 1_000_000, den)
+        want = int(frac)  # Fraction.__int__ truncates toward zero
+        r = rows[nat]
+        assert r["n_years"] == n
+        assert r["year_min"] == min(ys)
+        assert r["year_max"] == max(ys)
+        assert r["total_cents"] == sy
+        assert r["slope_micro_cents_per_year"] == want, nat
