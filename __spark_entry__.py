@@ -117,6 +117,8 @@ _DRIVER_ORDER_R8 = [
     "order_interval_overlaps",  # new in r9 — gate-verify the round it lands
     "bloom_semijoin_pushdown",  # new in r9 — gate-verify the round it lands
     "nation_revenue_trend",  # new in r9 — gate-verify the round it lands
+    "user_modal_event",  # new in r9 — gate-verify the round it lands
+    "span_corruption_masks",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -407,6 +409,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
         "latest_event_per_user": events.q_latest_event_per_user,
+        # mode aggregate without a window/sort (min-of-struct form)
+        "user_modal_event": events.q_user_modal_event,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -557,6 +561,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_order_shuffle": curation.q_training_order_shuffle,
         "epoch_mixture_expand": curation.q_epoch_mixture_expand,
         "chunk_dedup": curation.q_chunk_dedup,
+        # T5-style deterministic span-corruption mask generator
+        "span_corruption_masks": curation.q_span_corruption_masks,
         "semantic_neardup": similarity.q_semantic_neardup,
         "group_sample": curation.q_group_sample,
         "corpus_survivors": curation.q_corpus_survivors,
@@ -4054,6 +4060,19 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
         ),
+        "user_modal_event": (
+            # the window formulation proves the Spark side's
+            # sort-free min(struct(-n, type)) aggregate equivalent
+            "WITH c AS (SELECT user_id, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS n_total "
+            "FROM c GROUP BY 1), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type) AS rk FROM c) "
+            "SELECT user_id, event_type AS modal_event_type, "
+            "n AS n_modal, n_total FROM r JOIN t USING (user_id) "
+            "WHERE rk = 1"
+        ),
         "latest_event_per_user": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, "
             "event_type, CAST(value AS DECIMAL(12,2)) AS v FROM events), "
@@ -5078,6 +5097,38 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(round(sum(CASE WHEN pass AND hit THEN {_NET} "
         "ELSE CAST(0 AS DECIMAL(12,2)) END), 2) AS DOUBLE) AS revenue "
         "FROM flagged"
+    )
+
+    # T5-style span corruption (mirrors curation.SPAN_MIN_TOKENS = 20,
+    # SPAN_SEG = 20, span lengths 2-4): identical md5-derived span
+    # geometry AND the masked token text, so tokenization alignment is
+    # verified too (1-based inclusive list slicing on both engines)
+    _spl = (
+        "(2 + ('0x' || substr(md5('spanlen:' || CAST(doc_id AS VARCHAR) "
+        "|| ':' || CAST(span_id AS VARCHAR)), 1, 15))::BIGINT % 3)"
+    )
+    _sps = (
+        "(span_id * seg_len + ('0x' || substr(md5('spanstart:' || "
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(span_id AS VARCHAR)), "
+        "1, 15))::BIGINT % (seg_len - span_len + 1))"
+    )
+    out["span_corruption_masks"] = (
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+        "FROM documents), "
+        "f AS (SELECT doc_id, toks, n, n // 20 AS k FROM d "
+        "WHERE n >= 20), "
+        "g AS (SELECT doc_id, toks, n // k AS seg_len, "
+        "unnest(generate_series(0, k - 1)) AS span_id FROM f), "
+        f"h AS (SELECT doc_id, toks, seg_len, span_id, {_spl} "
+        "AS span_len FROM g), "
+        f"i AS (SELECT doc_id, toks, span_id, span_len, {_sps} "
+        "AS start_token FROM h) "
+        "SELECT doc_id, CAST(span_id AS BIGINT) AS span_id, "
+        "CAST(start_token AS BIGINT) AS start_token, "
+        "CAST(span_len AS BIGINT) AS span_len, "
+        "array_to_string(toks[start_token + 1 : start_token + span_len], "
+        "' ') AS masked_tokens FROM i"
     )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the

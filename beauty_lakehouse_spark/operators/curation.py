@@ -1578,3 +1578,89 @@ def q_corpus_training_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_frac"),
         )
     )
+
+
+#: T5-style span corruption geometry: one corrupted span per
+#: SPAN_SEG-token segment (~15% noise density at the mean span length
+#: of 3), spans of 2-4 tokens, docs shorter than SPAN_MIN_TOKENS skipped.
+SPAN_MIN_TOKENS = 20
+SPAN_SEG = 20
+
+
+def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style SPAN CORRUPTION mask generator — the denoising-
+    pretraining transformation (Raffel et al., JMLR 2020): for every
+    document, a deterministic set of non-overlapping token spans to
+    mask, each paired with the exact masked token text so the span
+    arithmetic AND the tokenization are both oracle-verified.
+
+    Determinism without a RNG: the token range is cut into
+    ``k = n_tokens // SPAN_SEG`` equal segments and each segment hosts
+    exactly one span (guaranteed non-overlap, no rejection sampling —
+    the property per-position Bernoulli masking only gets in
+    expectation); the span length (2-4 tokens) and in-segment offset
+    come from the portable md5 hash of (doc_id, span_id), so any
+    engine regenerates the identical mask set. Everything is
+    expression-side: split → sequence/explode → slice/array_join; row
+    count is Σ n_tokens / SPAN_SEG, never quadratic.
+
+    Output: (doc_id, span_id, start_token, span_len, masked_tokens)."""
+    t = load(spark, sf_dir)
+    d = (
+        t.documents.select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n_tokens", F.size("toks").cast("long"))
+        .filter(F.col("n_tokens") >= SPAN_MIN_TOKENS)
+        .withColumn(
+            "k",
+            F.floor(F.col("n_tokens") / F.lit(SPAN_SEG)).cast("long"),
+        )
+        .withColumn(
+            "seg_len", F.floor(F.col("n_tokens") / F.col("k")).cast("long")
+        )
+    )
+    s = d.select(
+        "doc_id",
+        "toks",
+        "seg_len",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col("k") - 1)
+        ).alias("span_id"),
+    )
+    span_len = 2 + F.pmod(
+        portable_hash64(
+            F.concat(
+                F.lit("spanlen:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("span_id").cast("string"),
+            )
+        ),
+        F.lit(3),
+    )
+    s = s.withColumn("span_len", span_len)
+    start = F.col("span_id") * F.col("seg_len") + F.pmod(
+        portable_hash64(
+            F.concat(
+                F.lit("spanstart:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("span_id").cast("string"),
+            )
+        ),
+        F.col("seg_len") - F.col("span_len") + 1,
+    )
+    s = s.withColumn("start_token", start)
+    return s.select(
+        "doc_id",
+        "span_id",
+        "start_token",
+        "span_len",
+        F.array_join(
+            F.slice(
+                "toks",
+                (F.col("start_token") + 1).cast("int"),
+                F.col("span_len").cast("int"),
+            ),
+            " ",
+        ).alias("masked_tokens"),
+    )

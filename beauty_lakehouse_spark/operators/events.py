@@ -633,3 +633,36 @@ def multires_cascade(minute: DataFrame) -> DataFrame:
         .unionByName(_out(hour, "hour"))
         .unionByName(_out(day, "day"))
     )
+
+
+def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODE aggregate — the most frequent event type per user, with a
+    deterministic lexicographic tie-break — computed WITHOUT a window
+    or a sort: per-(user, type) counts, then ``min(struct(-n, type))``
+    per user (the smallest negated count is the largest count; equal
+    counts fall through to the smallest type string). Two map-side-
+    combinable aggregates end to end, so the operator scales exactly
+    like a plain groupBy — the naive row_number-over-window mode would
+    sort every user's rows instead (that formulation is the ORACLE,
+    proving the aggregate form equivalent).
+
+    Output: (user_id, modal_event_type, n_modal, n_total)."""
+    t = load(spark, sf_dir)
+    c = t.events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    picked = c.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("event_type").alias("t"),
+            )
+        ).alias("best"),
+        F.sum("n").alias("n_total"),
+    )
+    return picked.select(
+        "user_id",
+        F.col("best.t").alias("modal_event_type"),
+        (-F.col("best.neg_n")).alias("n_modal"),
+        "n_total",
+    )

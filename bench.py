@@ -96,6 +96,8 @@ HEADLINE = [
     "order_interval_overlaps",  # per-key interval overlap join (new in r9)
     "bloom_semijoin_pushdown",  # runtime bloom-filter join pushdown (new in r9)
     "nation_revenue_trend",   # per-group fixed-point OLS slope (new in r9)
+    "user_modal_event",       # sort-free mode aggregate (new in r9)
+    "span_corruption_masks",  # T5-style denoising mask generator (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

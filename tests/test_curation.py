@@ -659,3 +659,43 @@ def test_bloom_semijoin_accounting_pure_python(spark, sf_dir):
     assert row["n_lines_bloom_pass"] == n_pass
     assert row["n_lines_exact"] == n_exact
     assert row["bloom_false_positive_lines"] == n_pass - n_exact
+
+
+def test_span_corruption_nonoverlap_and_text(spark, sf_dir):
+    """Spans never overlap within a document (the segment construction
+    guarantees it, not expectation), lengths stay in [2, 4], every
+    span fits its document, and the masked text equals the exact token
+    slice in a pure-Python recompute."""
+    import hashlib
+
+    import pandas as pd
+
+    spans = curation.q_span_corruption_masks(spark, sf_dir).collect()
+    assert spans
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    by_doc = {}
+    for r in spans:
+        assert 2 <= r["span_len"] <= 4
+        tk = toks[r["doc_id"]]
+        assert r["start_token"] + r["span_len"] <= len(tk)
+        assert r["masked_tokens"] == " ".join(
+            tk[r["start_token"] : r["start_token"] + r["span_len"]]
+        )
+        assert r["span_len"] == 2 + h(
+            f"spanlen:{r['doc_id']}:{r['span_id']}"
+        ) % 3
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["start_token"] + r["span_len"])
+        )
+    for doc_id, ivs in by_doc.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            assert e1 <= s2, (doc_id, ivs)
+    # every long-enough doc is covered, shorter ones skipped
+    want = {d for d, tk in toks.items() if len(tk) >= 20}
+    assert set(by_doc) == want

@@ -857,3 +857,28 @@ def test_bm25_topk_matches_python(spark, sf_dir):
     # sanity: every query returned a full top-10 and scores are positive
     assert len(out) == 5 * text.BM25_TOPK
     assert all(r["bm25_micro"] > 0 for r in out)
+
+
+def test_user_modal_event_pure_python(spark, sf_dir):
+    """The sort-free min(struct(-n, type)) mode aggregate matches a
+    pure Counter recompute with the same lexicographic tie-break."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import q_user_modal_event
+
+    rows = {
+        r["user_id"]: r for r in q_user_modal_event(spark, sf_dir).collect()
+    }
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    per_user = defaultdict(Counter)
+    for u, t in zip(ev["user_id"], ev["event_type"]):
+        per_user[u][t] += 1
+    assert set(rows) == set(per_user)
+    for u, cnt in per_user.items():
+        best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        r = rows[u]
+        assert (r["modal_event_type"], r["n_modal"]) == (best[0], best[1])
+        assert r["n_total"] == sum(cnt.values())
