@@ -119,6 +119,7 @@ _DRIVER_ORDER_R8 = [
     "nation_revenue_trend",  # new in r9 — gate-verify the round it lands
     "user_modal_event",  # new in r9 — gate-verify the round it lands
     "span_corruption_masks",  # new in r9 — gate-verify the round it lands
+    "source_quota_apportionment",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -563,6 +564,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": curation.q_chunk_dedup,
         # T5-style deterministic span-corruption mask generator
         "span_corruption_masks": curation.q_span_corruption_masks,
+        # largest-remainder (Hamilton) exact integer budget allocation
+        "source_quota_apportionment": curation.q_source_quota_apportionment,
         "semantic_neardup": similarity.q_semantic_neardup,
         "group_sample": curation.q_group_sample,
         "corpus_survivors": curation.q_corpus_survivors,
@@ -5129,6 +5132,28 @@ def oracle_sql() -> dict[str, str]:
         "CAST(span_len AS BIGINT) AS span_len, "
         "array_to_string(toks[start_token + 1 : start_token + span_len], "
         "' ') AS masked_tokens FROM i"
+    )
+
+    # largest-remainder apportionment (mirrors curation.
+    # APPORTION_BUDGET = 1000): HUGEINT floor quotas + remainder ranks
+    out["source_quota_apportionment"] = (
+        "WITH w AS (SELECT source, CAST(sum(len(string_split(text, ' '))) "
+        "AS BIGINT) AS tokens FROM documents GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(tokens) AS HUGEINT) AS w_total FROM w), "
+        "g AS (SELECT source, tokens, "
+        "CAST((1000 * CAST(tokens AS HUGEINT)) // w_total AS BIGINT) "
+        "AS base_quota, "
+        "CAST((1000 * CAST(tokens AS HUGEINT)) % w_total AS BIGINT) "
+        "AS remainder FROM w, tot), "
+        "bs AS (SELECT CAST(sum(base_quota) AS BIGINT) AS base_sum "
+        "FROM g), "
+        "r AS (SELECT g.*, row_number() OVER (ORDER BY remainder DESC, "
+        "source) AS rk, base_sum FROM g, bs) "
+        "SELECT source, tokens, base_quota, remainder, "
+        "CAST(CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END "
+        "AS BIGINT) AS extra_seat, "
+        "CAST(base_quota + CASE WHEN rk <= 1000 - base_sum THEN 1 "
+        "ELSE 0 END AS BIGINT) AS quota FROM r"
     )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the

@@ -1664,3 +1664,68 @@ def q_span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("masked_tokens"),
     )
+
+
+#: Fixed slot budget for the largest-remainder apportionment demo.
+APPORTION_BUDGET = 1000
+
+
+def q_source_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) APPORTIONMENT — exact integer
+    allocation of a fixed document budget across sources proportional
+    to their token mass, the allocation step a training-mixture plan
+    needs once rates (`mixture_rebalance`) say *how much* and the
+    budget says *how many*: every source gets ``floor(B·w/W)`` slots,
+    and the ``B − Σ floor`` leftover slots go to the largest division
+    remainders (ties broken by source name), so Σ quota == B exactly —
+    the property naive per-source rounding cannot give.
+
+    Everything is exact integer arithmetic (DECIMAL(38,0)/HUGEINT
+    products, pmod remainders), so both engines allocate identically.
+    Scale: one map-side-combinable aggregate for the per-source token
+    masses; the apportionment itself runs on the |sources|-row table
+    (windows over a bounded aggregate, the whitelisted class).
+
+    Output: (source, tokens, base_quota, remainder, extra_seat,
+    quota)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    w = (
+        t.documents.select(
+            "source", F.size(F.split("text", " ")).alias("n_tok")
+        )
+        .groupBy("source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    tot = w.agg(F.sum("tokens").alias("w_total"))
+    b = F.lit(APPORTION_BUDGET).cast("decimal(38,0)")
+    g = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        _idiv(b * F.col("tokens"), F.col("w_total")).alias("base_quota"),
+        F.pmod(
+            (b * F.col("tokens")).cast("decimal(38,0)"),
+            F.col("w_total").cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("remainder"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc("source"))
+    )
+    base_sum = g.agg(F.sum("base_quota").alias("base_sum"))
+    ranked = g.withColumn("rk", rk).crossJoin(F.broadcast(base_sum))
+    extra = (
+        F.col("rk") <= (F.lit(APPORTION_BUDGET) - F.col("base_sum"))
+    ).cast("long")
+    return ranked.select(
+        "source",
+        "tokens",
+        "base_quota",
+        "remainder",
+        extra.alias("extra_seat"),
+        (F.col("base_quota") + extra).alias("quota"),
+    )

@@ -98,6 +98,7 @@ HEADLINE = [
     "nation_revenue_trend",   # per-group fixed-point OLS slope (new in r9)
     "user_modal_event",       # sort-free mode aggregate (new in r9)
     "span_corruption_masks",  # T5-style denoising mask generator (new in r9)
+    "source_quota_apportionment",  # largest-remainder budget allocation (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -85,6 +85,7 @@ WHITELIST: dict[str, str] = {
     "bm25_topk": "1-row corpus-stats broadcast cross join onto the 20-row query-term table (T and N scalars)",
     "segment_priority_chisq": "1-row grand-total broadcast (N scalar) against the bounded contingency grid (<= segments x priorities rows)",
     "bloom_semijoin_pushdown": "1-row selected-order-count broadcast against the 1-row accounting aggregate",
+    "source_quota_apportionment": "1-row grand-total and base-quota-sum broadcasts against the |sources|-row table",
 }
 
 #: windows allowed to have an empty partition spec because their input
@@ -108,6 +109,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "customer_spend_ntile": "cumsum over spend-floor bucket table (bounded by price range)",
     "ccnet_buckets": "cumsum over the ~4k-row perplexity-key bucket table (key >> 33)",
     "token_budget_selection": "cumsum over per-(source,n_chars) bucket aggregate",
+    "source_quota_apportionment": "remainder row_number over the |sources|-row token-mass aggregate (Hamilton seat ranking) — never raw documents",
     "sequence_packing": "cumsum over bucket aggregate (asserted by plan test)",
     "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",
     "rolling_distinct_users": "window over per-day aggregate (bounded rows)",

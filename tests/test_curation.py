@@ -699,3 +699,27 @@ def test_span_corruption_nonoverlap_and_text(spark, sf_dir):
     # every long-enough doc is covered, shorter ones skipped
     want = {d for d, tk in toks.items() if len(tk) >= 20}
     assert set(by_doc) == want
+
+
+def test_apportionment_sums_to_budget(spark, sf_dir):
+    """Hamilton's method invariants: quotas sum exactly to the budget,
+    every quota is floor or floor+1 of the exact proportional share,
+    and extra seats go to the largest remainders (ties by name)."""
+    rows = curation.q_source_quota_apportionment(spark, sf_dir).collect()
+    assert rows
+    budget = curation.APPORTION_BUDGET
+    assert sum(r["quota"] for r in rows) == budget
+    w_total = sum(r["tokens"] for r in rows)
+    for r in rows:
+        assert r["base_quota"] == (budget * r["tokens"]) // w_total
+        assert r["remainder"] == (budget * r["tokens"]) % w_total
+        assert r["quota"] in (r["base_quota"], r["base_quota"] + 1)
+    got_extra = {r["source"] for r in rows if r["extra_seat"]}
+    n_extra = budget - sum(r["base_quota"] for r in rows)
+    want_extra = {
+        r["source"]
+        for r in sorted(rows, key=lambda r: (-r["remainder"], r["source"]))[
+            :n_extra
+        ]
+    }
+    assert got_extra == want_extra
