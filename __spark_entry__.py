@@ -120,6 +120,7 @@ _DRIVER_ORDER_R8 = [
     "user_modal_event",  # new in r9 — gate-verify the round it lands
     "span_corruption_masks",  # new in r9 — gate-verify the round it lands
     "source_quota_apportionment",  # new in r9 — gate-verify the round it lands
+    "user_behavior_entropy",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -412,6 +413,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_event_per_user": events.q_latest_event_per_user,
         # mode aggregate without a window/sort (min-of-struct form)
         "user_modal_event": events.q_user_modal_event,
+        # per-user Markov conditional entropy rate (fixed point)
+        "user_behavior_entropy": events.q_user_behavior_entropy,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -1221,7 +1224,7 @@ def _q_ddsketch_quantiles_streamed(spark: SparkSession, sf_dir: str) -> DataFram
     so the drained grid is micro-batch-slicing-independent), then the
     batch finisher turns it into the identical (quantile, rank,
     bracket) report. Behind the SAME oracle row as the batch
-    `ddsketch_value_quantiles` — the 15th oracle-matched streaming
+    `ddsketch_value_quantiles` — the 17th oracle-matched streaming
     drain, the quantile-sketch sibling of the HLL/CMS drains."""
     import uuid
 
@@ -4062,6 +4065,30 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "user_behavior_entropy": (
+            # per-user Markov conditional entropy in exact micro-nats:
+            # same lag pairing, same fixed-point ln_micro terms, same
+            # exact half-up final division
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, "
+            "event_id FROM events), "
+            "p AS (SELECT user_id, lag(event_type) OVER (PARTITION BY "
+            "user_id ORDER BY us, event_id) AS from_type, "
+            "event_type AS to_type FROM e), "
+            "c AS (SELECT user_id, from_type, to_type, "
+            "CAST(count(*) AS BIGINT) AS n_ij FROM p "
+            "WHERE from_type IS NOT NULL GROUP BY 1, 2, 3), "
+            "m AS (SELECT user_id, from_type, CAST(sum(n_ij) AS BIGINT) "
+            "AS n_i FROM c GROUP BY 1, 2), "
+            "j AS (SELECT c.user_id, n_ij, n_i FROM c "
+            "JOIN m USING (user_id, from_type)), "
+            "g AS (SELECT user_id, CAST(sum(n_ij) AS BIGINT) "
+            "AS n_transitions, "
+            "CAST(sum(n_ij * (" + _lnm("n_i", "n_ij") + ")) AS BIGINT) "
+            "AS tot FROM j GROUP BY 1) "
+            "SELECT user_id, n_transitions, "
+            + _hud("tot", "n_transitions", 0)
+            + " AS entropy_micro_nats FROM g"
         ),
         "user_modal_event": (
             # the window formulation proves the Spark side's

@@ -666,3 +666,54 @@ def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("best.neg_n")).alias("n_modal"),
         "n_total",
     )
+
+
+def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user MARKOV (conditional) entropy rate — how predictable a
+    user's next event type is given the current one, the sequence-
+    level sibling of `q_categorical_entropy`'s marginal profile and
+    the per-user reduction of `q_event_transitions`' global matrix:
+    H = (1/n)·Σᵢⱼ nᵢⱼ·ln(nᵢ/nᵢⱼ) over the user's first-order
+    transition counts, in exact integer micro-nats (`ln_micro`, no
+    float ln; final division exact HALF_UP). 0 = fully deterministic
+    behavior, ln(#types) = uniform.
+
+    Scale: one lag window per user timeline (the `event_transitions`
+    shuffle), then every aggregate runs on the bounded per-(user,
+    type, type) count table — at most |types|² rows per user — never
+    the raw events again. Output: (user_id, n_transitions,
+    entropy_micro_nats) for users with ≥ 1 transition."""
+    from pyspark.sql import Window
+
+    from ..functions import epoch_us, halfup_div, ln_micro
+
+    t = load(spark, sf_dir)
+    e = t.events.select(
+        "user_id", "event_type", epoch_us("ts").alias("us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    pairs = e.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    nij = pairs.groupBy("user_id", "from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    ni = nij.groupBy("user_id", "from_type").agg(
+        F.sum("n_ij").alias("n_i")
+    )
+    j = nij.join(ni, ["user_id", "from_type"])
+    g = j.groupBy("user_id").agg(
+        F.sum("n_ij").alias("n_transitions"),
+        F.sum(
+            F.col("n_ij") * ln_micro(F.col("n_i"), F.col("n_ij"))
+        ).alias("tot"),
+    )
+    return g.select(
+        "user_id",
+        "n_transitions",
+        halfup_div(F.col("tot"), F.col("n_transitions"), 0).alias(
+            "entropy_micro_nats"
+        ),
+    )

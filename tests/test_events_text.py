@@ -882,3 +882,45 @@ def test_user_modal_event_pure_python(spark, sf_dir):
         r = rows[u]
         assert (r["modal_event_type"], r["n_modal"]) == (best[0], best[1])
         assert r["n_total"] == sum(cnt.values())
+
+
+def test_user_behavior_entropy_properties(spark, sf_dir):
+    """n_transitions is exactly n_events - 1 per user, entropy is
+    bounded by [0, ln(#types)], and the fixed-point value tracks a
+    float recompute of the conditional entropy within ln_micro's
+    quantization band."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_user_behavior_entropy,
+    )
+
+    rows = {
+        r["user_id"]: r
+        for r in q_user_behavior_entropy(spark, sf_dir).collect()
+    }
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    n_types = ev["event_type"].nunique()
+    per_user = defaultdict(list)
+    for u, t in zip(ev["user_id"], ev["event_type"]):
+        per_user[u].append(t)
+    for u, seq in per_user.items():
+        if len(seq) < 2:
+            assert u not in rows
+            continue
+        r = rows[u]
+        assert r["n_transitions"] == len(seq) - 1
+        nij = Counter(zip(seq, seq[1:]))
+        ni = Counter(seq[:-1])
+        h = sum(
+            n * math.log(ni[f] / n) for (f, _), n in nij.items()
+        ) / (len(seq) - 1)
+        assert 0 <= r["entropy_micro_nats"] <= math.log(n_types) * 1e6 + 200
+        # ln_micro quantizes each term within ~1e-4 nats
+        assert abs(r["entropy_micro_nats"] - h * 1e6) <= 150, (u, h)
