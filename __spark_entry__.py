@@ -121,6 +121,7 @@ _DRIVER_ORDER_R8 = [
     "span_corruption_masks",  # new in r9 — gate-verify the round it lands
     "source_quota_apportionment",  # new in r9 — gate-verify the round it lands
     "user_behavior_entropy",  # new in r9 — gate-verify the round it lands
+    "user_modal_streamed",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -640,6 +641,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_cells_streamed": _q_cms_cells_streamed,
         "table_stats_streamed": _q_table_stats_streamed,
         "ddsketch_quantiles_streamed": _q_ddsketch_quantiles_streamed,
+        "user_modal_streamed": _q_user_modal_streamed,
         "event_anomalies_streamed": _q_event_anomalies_streamed,
         # the two heaviest oracle entries last among oracles (multi-job
         # iterative/pipelined) so a budget cut costs the least coverage
@@ -1242,6 +1244,30 @@ def _q_ddsketch_quantiles_streamed(spark: SparkSession, sf_dir: str) -> DataFram
         f"gate_ddsk_{uuid.uuid4().hex[:8]}",
     )
     return ddsketch_quantiles_finish(grid)
+
+
+def _q_user_modal_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode-at-ingest: the per-(user, event_type) count grid is
+    maintained by the landing stream (complete-mode state, additive
+    and order-insensitive, so the drain is micro-batch-slicing-
+    independent), then the shared `user_modal_finish` turns it into
+    the identical modal report. Behind the SAME oracle row as the
+    batch `user_modal_event` — the 18th oracle-matched streaming
+    drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.events import user_modal_finish
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_events,
+        user_event_type_counts,
+    )
+
+    grid = run_available_now(
+        user_event_type_counts(stream_events(spark, sf_dir)),
+        f"gate_umod_{uuid.uuid4().hex[:8]}",
+    )
+    return user_modal_finish(grid)
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4748,6 +4774,7 @@ def oracle_sql() -> dict[str, str]:
     )
     out["table_stats_streamed"] = out["table_stats"]
     out["ddsketch_quantiles_streamed"] = out["ddsketch_value_quantiles"]
+    out["user_modal_streamed"] = out["user_modal_event"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

@@ -651,7 +651,15 @@ def q_user_modal_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
-    picked = c.groupBy("user_id").agg(
+    return user_modal_finish(c)
+
+
+def user_modal_finish(counts: DataFrame) -> DataFrame:
+    """Modal pick over a (user_id, event_type, n) count table — the
+    read half of `q_user_modal_event`, shared with the streamed drain
+    (per-key counts are mergeable complete-mode state; this finisher
+    turns the drained grid into the same modal report)."""
+    picked = counts.groupBy("user_id").agg(
         F.min(
             F.struct(
                 (-F.col("n")).alias("neg_n"),

@@ -24,6 +24,7 @@ from .pipelines import (  # noqa: F401
     stream_documents,
     stream_events,
     stream_orders,
+    user_event_type_counts,
     user_purchase_totals,
     view_purchase_attribution,
 )

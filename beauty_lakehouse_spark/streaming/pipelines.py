@@ -478,3 +478,16 @@ def order_stats_value_grid(orders: DataFrame) -> DataFrame:
     return u.groupBy("column", "vint", "vstr").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def user_event_type_counts(events: DataFrame) -> DataFrame:
+    """Streamed per-(user, event_type) count grid (the state behind
+    `operators.events.q_user_modal_event` running ON the landing
+    stream): count is additive and order-insensitive, so complete-mode
+    state is the ≤ users×types-row grid and the drained table is
+    micro-batch-slicing-independent. `events.user_modal_finish` turns
+    the drained grid into the identical modal report — mode-at-ingest
+    without re-scanning the landed events."""
+    return events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )

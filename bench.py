@@ -100,6 +100,7 @@ HEADLINE = [
     "span_corruption_masks",  # T5-style denoising mask generator (new in r9)
     "source_quota_apportionment",  # largest-remainder budget allocation (new in r9)
     "user_behavior_entropy",  # per-user Markov entropy rate (new in r9)
+    "user_modal_streamed",    # mode-at-ingest streaming drain (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

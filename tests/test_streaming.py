@@ -553,3 +553,37 @@ def test_orders_checksum_stream_matches_batch_and_slicing(
         batch_row["n_rows"],
         batch_row["checksum"],
     )
+
+
+def test_user_modal_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the events fixture into 4 files and stream them one per
+    micro-batch: the drained per-(user, type) count grid, finished
+    batch-side, must equal the batch q_user_modal_event report exactly
+    — counts add across any micro-batch slicing."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_user_modal_event,
+        user_modal_finish,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        user_event_type_counts,
+    )
+
+    src = str(tmp_path / "events_parts_umod")
+    from beauty_lakehouse_spark.catalog import load
+
+    ev = load(spark, sf_dir).events
+    ev.withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(user_event_type_counts(stream), "t_umod_mb")
+    got = user_modal_finish(grid)
+    expected = q_user_modal_event(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
