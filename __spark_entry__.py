@@ -122,6 +122,7 @@ _DRIVER_ORDER_R8 = [
     "source_quota_apportionment",  # new in r9 — gate-verify the round it lands
     "user_behavior_entropy",  # new in r9 — gate-verify the round it lands
     "user_modal_streamed",  # new in r9 — gate-verify the round it lands
+    "ngram_containment_top_pairs",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -487,6 +488,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup family (oracle except embedding_neardup)
         "dedup_exact": dedup.q_dedup_exact,
         "ngram_jaccard_top_pairs": dedup.q_ngram_jaccard_top_pairs,
+        # asymmetric (containment) twin: catches quote-inclusion
+        "ngram_containment_top_pairs": dedup.q_ngram_containment_top_pairs,
         "minhash_signatures": dedup.q_minhash_signatures,
         "lsh_candidate_pairs": dedup.q_lsh_candidate_pairs,
         "minhash_estimate_error": dedup.q_minhash_estimate_error,
@@ -3628,6 +3631,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sb ON sb.doc_id = doc_b) "
             "SELECT doc_a, doc_b, jaccard FROM scored "
             "ORDER BY jac_raw DESC, doc_a, doc_b LIMIT 20"
+        ),
+        "ngram_containment_top_pairs": (
+            # Broder containment |A∩B|/min(|A|,|B|) over the SAME
+            # df-capped shingle universe as the jaccard twin
+            "WITH "
+            + _SHINGLES_CTE
+            + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+            "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+            "sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id), "
+            "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "count(*) AS n_common FROM shf a JOIN shf b "
+            "ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "scored AS (SELECT doc_a, doc_b, "
+            "CAST(n_common AS BIGINT) AS n_common, "
+            "CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small, "
+            "n_common / least(sa.n_sh, sb.n_sh) AS cont_raw, "
+            + _hud("n_common", "least(sa.n_sh, sb.n_sh)", 6)
+            + " AS containment "
+            "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
+            "JOIN sizes sb ON sb.doc_id = doc_b) "
+            "SELECT doc_a, doc_b, n_common, n_small, containment "
+            "FROM scored ORDER BY cont_raw DESC, doc_a, doc_b LIMIT 20"
         ),
         "contrastive_pairs": (
             _CC_COMP_CTE

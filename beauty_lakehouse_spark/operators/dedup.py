@@ -234,20 +234,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 JACCARD_MAX_DOC_FREQ = 100
 
 
-def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 most similar doc pairs by word-3-gram Jaccard. Jaccard is
-    a ratio of integers — bit-exact across engines — so the ranking is
-    fully deterministic (tiebreak: doc_a, doc_b).
-
-    Set sizes are computed AFTER the doc-frequency cutoff so the oracle
-    can mirror the exact same filtered universe."""
-    t = load(spark, sf_dir)
+def _ngram_pair_stats(documents: DataFrame) -> DataFrame:
+    """Shared posting-list core of the n-gram pair scorers: per
+    co-occurring doc pair, the exact intersection size and both set
+    sizes (doc_a, doc_b, n_common, na, nb) over the df-capped 3-gram
+    universe. `q_ngram_jaccard_top_pairs` rates the symmetric overlap,
+    `q_ngram_containment_top_pairs` the asymmetric one."""
     # Posting-list formulation: ONE groupBy(shingle) produces both the
     # doc-frequency cutoff (posting length == df) and the co-occurring
     # pairs (combinations within each posting list, bounded by the
     # cutoff at ≤ C(max_df,2)) — replacing the shingle self-join, which
     # shuffled the exploded shingle table twice.
-    sh = shingles(t.documents)
+    sh = shingles(documents)
     posting = (
         sh.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -285,9 +283,19 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    return common.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most similar doc pairs by word-3-gram Jaccard. Jaccard is
+    a ratio of integers — bit-exact across engines — so the ranking is
+    fully deterministic (tiebreak: doc_a, doc_b).
+
+    Set sizes are computed AFTER the doc-frequency cutoff so the oracle
+    can mirror the exact same filtered universe."""
+    t = load(spark, sf_dir)
     scored = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        _ngram_pair_stats(t.documents)
         .select(
             "doc_a",
             "doc_b",
@@ -308,6 +316,38 @@ def q_ngram_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.orderBy(F.desc("jac_raw"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(20)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def q_ngram_containment_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 doc pairs by 3-gram CONTAINMENT — the asymmetric overlap
+    |A∩B| / min(|A|, |B|) that catches quote-inclusion and partial
+    duplication symmetric Jaccard dilutes: a short doc fully embedded
+    in a long one scores containment 1.0 but Jaccard ≈ |A|/|B| ≈ 0.
+    (Broder's containment measure; the standard second axis of n-gram
+    dedup next to resemblance.)
+
+    Same df-capped posting-list core as `q_ngram_jaccard_top_pairs`
+    (one groupBy(shingle), pairs minted inside each bounded posting
+    list — never a doc×doc join); containment is a ratio of the same
+    exact integers, so ranking and the half-up 6-dp score are
+    bit-identical across engines. Output: (doc_a, doc_b, n_common,
+    n_small, containment)."""
+    t = load(spark, sf_dir)
+    scored = _ngram_pair_stats(t.documents).select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.least("na", "nb").alias("n_small"),
+        (F.col("n_common") / F.least("na", "nb")).alias("cont_raw"),
+        halfup_div(
+            F.col("n_common"), F.least("na", "nb"), 6
+        ).alias("containment"),
+    )
+    return (
+        scored.orderBy(F.desc("cont_raw"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+        .select("doc_a", "doc_b", "n_common", "n_small", "containment")
     )
 
 

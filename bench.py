@@ -101,6 +101,7 @@ HEADLINE = [
     "source_quota_apportionment",  # largest-remainder budget allocation (new in r9)
     "user_behavior_entropy",  # per-user Markov entropy rate (new in r9)
     "user_modal_streamed",    # mode-at-ingest streaming drain (new in r9)
+    "ngram_containment_top_pairs",  # asymmetric-overlap dedup twin (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

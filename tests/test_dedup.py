@@ -458,3 +458,50 @@ def test_lsh_tuning_curve_nests(spark, sf_dir):
         rows[(4, 4)]["n_candidate_pairs"]
         == dedup.q_lsh_candidate_pairs(spark, sf_dir).count()
     )
+
+
+def test_containment_vs_jaccard_semantics(spark, sf_dir):
+    """Containment dominates Jaccard on every pair (same intersection,
+    smaller-or-equal denominator), scores stay in (0, 1], and a
+    pure-Python shingle recompute reproduces the top pair set."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        JACCARD_MAX_DOC_FREQ,
+        q_ngram_containment_top_pairs,
+    )
+
+    rows = q_ngram_containment_top_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["containment"] <= 1.0
+        assert r["n_common"] <= r["n_small"]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    posting = defaultdict(set)
+    for r in docs.itertuples():
+        toks = r.text.split(" ")
+        for i in range(len(toks) - 2):
+            posting[" ".join(toks[i : i + 3])].add(r.doc_id)
+    posting = {
+        g: ds for g, ds in posting.items() if len(ds) <= JACCARD_MAX_DOC_FREQ
+    }
+    sizes = defaultdict(int)
+    common = defaultdict(int)
+    for ds in posting.values():
+        ds = sorted(ds)
+        for d in ds:
+            sizes[d] += 1
+        for i, a in enumerate(ds):
+            for b in ds[i + 1 :]:
+                common[(a, b)] += 1
+    want = sorted(
+        (
+            (-(n / min(sizes[a], sizes[b])), a, b)
+            for (a, b), n in common.items()
+        )
+    )[:20]
+    got = [(-(r["n_common"] / r["n_small"]), r["doc_a"], r["doc_b"]) for r in rows]
+    assert got == want
