@@ -123,6 +123,7 @@ _DRIVER_ORDER_R8 = [
     "user_behavior_entropy",  # new in r9 — gate-verify the round it lands
     "user_modal_streamed",  # new in r9 — gate-verify the round it lands
     "ngram_containment_top_pairs",  # new in r9 — gate-verify the round it lands
+    "orders_merkle_root",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -618,6 +619,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew_profile": quality.q_key_skew_profile,
         # partition-grain anti-entropy (sync-unit fingerprints)
         "orders_partition_checksums": quality.q_orders_partition_checksums,
+        # Merkle root over the partition fingerprints (O(1) agreement)
+        "orders_merkle_root": quality.q_orders_merkle_root,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -2147,6 +2150,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT order_year, count(*) AS n_rows, "
             "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum "
             "FROM hoy GROUP BY 1"
+        ),
+        "orders_merkle_root": (
+            # hierarchical top of the anti-entropy family: one md5 over
+            # the year-ordered 'year:n_rows:checksum' leaf concatenation
+            "WITH hoy AS (SELECT CAST(year(o_orderdate) AS INTEGER) "
+            f"AS order_year, {_ORDERS_HASH_EXPR} AS h FROM orders), "
+            "parts AS (SELECT order_year, count(*) AS n_rows, "
+            "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum "
+            "FROM hoy GROUP BY 1) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_partitions, "
+            "CAST(sum(n_rows) AS BIGINT) AS total_rows, "
+            "md5(string_agg(CAST(order_year AS VARCHAR) || ':' || "
+            "CAST(n_rows AS VARCHAR) || ':' || CAST(checksum AS VARCHAR), "
+            "'|' ORDER BY CAST(order_year AS VARCHAR))) AS root_hash "
+            "FROM parts"
         ),
         "orders_antientropy_sync": (
             # the oracle derives was_stale/n_shipped from the DRIFT RULE

@@ -1817,3 +1817,35 @@ def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
             "lineitem.l_partkey",
         )
     )
+
+
+def q_orders_merkle_root(spark, sf_dir: str) -> DataFrame:
+    """MERKLE ROOT over the partition fingerprints — the hierarchical
+    top of the anti-entropy family: leaves are the per-order_year
+    (n_rows, checksum) rows of `q_orders_partition_checksums`, the
+    root is one md5 over their canonical year-ordered concatenation.
+    Two replicas compare ONE 32-char digest; only on mismatch do they
+    descend to the partition grain, then re-ship the divergent
+    partitions — O(1) agreement checks for the common all-good case.
+
+    The leaf serialization ('year:n_rows:checksum' joined by '|',
+    sorted by year — 4-digit years sort identically as strings and
+    ints) is engine-exact, so the DuckDB twin computes the identical
+    digest. Spark side stays an aggregate: sort_array(collect_list)
+    over the ≤|years|-row partition table, never raw rows.
+
+    Output (one row): (n_partitions, total_rows, root_hash)."""
+    parts = q_orders_partition_checksums(spark, sf_dir)
+    leaf = F.concat_ws(
+        ":",
+        F.col("order_year").cast("string"),
+        F.col("n_rows").cast("string"),
+        F.col("checksum").cast("string"),
+    )
+    return parts.agg(
+        F.count(F.lit(1)).alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.md5(
+            F.concat_ws("|", F.sort_array(F.collect_list(leaf)))
+        ).alias("root_hash"),
+    )

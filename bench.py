@@ -102,6 +102,7 @@ HEADLINE = [
     "user_behavior_entropy",  # per-user Markov entropy rate (new in r9)
     "user_modal_streamed",    # mode-at-ingest streaming drain (new in r9)
     "ngram_containment_top_pairs",  # asymmetric-overlap dedup twin (new in r9)
+    "orders_merkle_root",     # hierarchical anti-entropy digest (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -659,3 +659,48 @@ def test_chisq_margins_and_pure_python_recompute(spark, sf_dir):
         assert r["contrib_micro"] == (dev * dev * 1_000_000) // (
             rt[key[0]] * ct[key[1]] * n
         )
+
+
+def test_merkle_root_invariance_and_sensitivity(spark, sf_dir, tmp_path):
+    """The Merkle root is invariant under row order / file layout,
+    changes when any single value in any partition changes, and is
+    consistent with the partition leaves it summarizes."""
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    base = quality.q_orders_merkle_root(spark, sf_dir).collect()[0]
+    t = load(spark, sf_dir)
+    assert base["total_rows"] == t.orders.count()
+
+    # root == md5 over the year-ordered leaf serialization
+    leaves = sorted(
+        (str(r["order_year"]), r["n_rows"], r["checksum"])
+        for r in quality.q_orders_partition_checksums(spark, sf_dir).collect()
+    )
+    assert base["n_partitions"] == len(leaves)
+    want = hashlib.md5(
+        "|".join(f"{y}:{n}:{c}" for y, n, c in leaves).encode()
+    ).hexdigest()
+    assert base["root_hash"] == want
+
+    # invariance: reshuffled copy
+    copy_dir = str(tmp_path / "mcopy")
+    t.orders.repartition(5).sortWithinPartitions(
+        F.desc("o_orderkey")
+    ).write.mode("overwrite").parquet(f"{copy_dir}/orders.parquet")
+    again = quality.q_orders_merkle_root(spark, copy_dir).collect()[0]
+    assert tuple(again) == tuple(base)
+
+    # sensitivity: one cent on one order flips the root
+    mut_dir = str(tmp_path / "mmut")
+    first_key = t.orders.agg(F.min("o_orderkey")).first()[0]
+    t.orders.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") == first_key, F.col("o_totalprice") + 0.01
+        ).otherwise(F.col("o_totalprice")),
+    ).write.mode("overwrite").parquet(f"{mut_dir}/orders.parquet")
+    mut = quality.q_orders_merkle_root(spark, mut_dir).collect()[0]
+    assert mut["root_hash"] != base["root_hash"]
+    assert mut["total_rows"] == base["total_rows"]
