@@ -124,6 +124,7 @@ _DRIVER_ORDER_R8 = [
     "user_modal_streamed",  # new in r9 — gate-verify the round it lands
     "ngram_containment_top_pairs",  # new in r9 — gate-verify the round it lands
     "orders_merkle_root",  # new in r9 — gate-verify the round it lands
+    "events_rate_capped",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -418,6 +419,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_modal_event": events.q_user_modal_event,
         # per-user Markov conditional entropy rate (fixed point)
         "user_behavior_entropy": events.q_user_behavior_entropy,
+        # deterministic per-(user, hour) ingestion throttle
+        "events_rate_capped": events.q_events_rate_capped,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -4134,6 +4137,17 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "events_rate_capped": (
+            # deterministic first-K-per-(user, hour) throttle
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us "
+            "FROM events), "
+            "h AS (SELECT event_id, user_id, us, "
+            "us - us % 3600000000 AS hour_us FROM e), "
+            "r AS (SELECT event_id, user_id, hour_us, "
+            "CAST(row_number() OVER (PARTITION BY user_id, hour_us "
+            "ORDER BY us, event_id) AS INTEGER) AS rk FROM h) "
+            "SELECT event_id, user_id, hour_us, rk FROM r WHERE rk <= 5"
         ),
         "user_behavior_entropy": (
             # per-user Markov conditional entropy in exact micro-nats:

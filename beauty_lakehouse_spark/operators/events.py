@@ -725,3 +725,39 @@ def q_user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_micro_nats"
         ),
     )
+
+
+#: Deterministic throttle: events kept per user per hour.
+RATE_CAP_PER_HOUR = 5
+
+
+def q_events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic RATE-CAP throttle — keep the first
+    RATE_CAP_PER_HOUR events per user per clock hour (by event time,
+    event_id tie-break) and emit the survivors with their slot rank:
+    the ingestion-side sampling rule a pipeline applies to chatty
+    producers so one hot user cannot dominate a window, made
+    deterministic (re-runs and replicas keep the SAME events — no RNG,
+    no arrival-order dependence).
+
+    One row_number window per (user, hour) — the partition key is the
+    throttle key, so state and sort are bounded by a user's events in
+    one hour, and the shuffle is the same one any per-user-hour
+    aggregate pays. Output: (event_id, user_id, hour_us, rk)."""
+    from pyspark.sql import Window
+
+    from ..functions import epoch_us
+
+    t = load(spark, sf_dir)
+    hour_us = 3_600_000_000
+    e = t.events.select(
+        "event_id", "user_id", epoch_us("ts").alias("us")
+    ).withColumn("hour_us", F.col("us") - F.pmod("us", F.lit(hour_us)))
+    w = Window.partitionBy("user_id", "hour_us").orderBy(
+        F.asc("us"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RATE_CAP_PER_HOUR)
+        .select("event_id", "user_id", "hour_us", "rk")
+    )

@@ -924,3 +924,40 @@ def test_user_behavior_entropy_properties(spark, sf_dir):
         assert 0 <= r["entropy_micro_nats"] <= math.log(n_types) * 1e6 + 200
         # ln_micro quantizes each term within ~1e-4 nats
         assert abs(r["entropy_micro_nats"] - h * 1e6) <= 150, (u, h)
+
+
+def test_rate_cap_throttle_properties(spark, sf_dir):
+    """At most RATE_CAP_PER_HOUR survivors per (user, hour), ranks are
+    the contiguous prefix 1..k, and the kept set is exactly the first-k
+    by (ts, event_id) in a pure pandas recompute."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        RATE_CAP_PER_HOUR,
+        q_events_rate_capped,
+    )
+
+    rows = q_events_rate_capped(spark, sf_dir).collect()
+    assert rows
+    by_uh = {}
+    for r in rows:
+        by_uh.setdefault((r["user_id"], r["hour_us"]), []).append(
+            (r["rk"], r["event_id"])
+        )
+    for ks in by_uh.values():
+        ks.sort()
+        assert len(ks) <= RATE_CAP_PER_HOUR
+        assert [k for k, _ in ks] == list(range(1, len(ks) + 1))
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev = ev.assign(us=us, hour_us=us - us % 3_600_000_000).sort_values(
+        ["user_id", "hour_us", "us", "event_id"]
+    )
+    want = {}
+    for (u, h), grp in ev.groupby(["user_id", "hour_us"]):
+        want[(u, h)] = [
+            (i + 1, e)
+            for i, e in enumerate(grp["event_id"][:RATE_CAP_PER_HOUR])
+        ]
+    assert by_uh == want
