@@ -125,6 +125,7 @@ _DRIVER_ORDER_R8 = [
     "ngram_containment_top_pairs",  # new in r9 — gate-verify the round it lands
     "orders_merkle_root",  # new in r9 — gate-verify the round it lands
     "events_rate_capped",  # new in r9 — gate-verify the round it lands
+    "retention_decay_fit",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -421,6 +422,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_behavior_entropy": events.q_user_behavior_entropy,
         # deterministic per-(user, hour) ingestion throttle
         "events_rate_capped": events.q_events_rate_capped,
+        # censoring-aware exponential decay fit of pooled retention
+        "retention_decay_fit": events.q_retention_decay_fit,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -5362,5 +5365,44 @@ def oracle_sql() -> dict[str, str]:
         "SELECT cohort_week, week - cohort_week AS week_offset, "
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active "
         "FROM uw JOIN c USING (user_id) GROUP BY 1, 2"
+    )
+    # censoring-aware exponential decay fit over the same retention
+    # cells: ln_micro decays, HUGEINT normal equations, sign-split
+    # trunc division, 693147·10⁶ // slope half-life
+    out["retention_decay_fit"] = (
+        "WITH uw AS (SELECT DISTINCT user_id, "
+        "epoch_us(ts) // 86400000000 // 7 AS week FROM events), "
+        "c AS (SELECT user_id, min(week) AS cohort_week FROM uw "
+        "GROUP BY user_id), "
+        "cells AS (SELECT cohort_week, week - cohort_week AS k, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active "
+        "FROM uw JOIN c USING (user_id) GROUP BY 1, 2), "
+        "mx AS (SELECT max(cohort_week + k) AS max_week FROM cells), "
+        "sizes AS (SELECT cohort_week, n_active AS cohort_size "
+        "FROM cells WHERE k = 0), "
+        "num AS (SELECT k AS week_offset, CAST(sum(n_active) AS BIGINT) "
+        "AS n_active FROM cells WHERE k >= 1 GROUP BY 1), "
+        "den AS (SELECT ks AS week_offset, CAST(sum(cohort_size) "
+        "AS BIGINT) AS n_eligible FROM (SELECT cohort_size, "
+        "unnest(generate_series(1, max_week - cohort_week)) AS ks "
+        "FROM sizes, mx) GROUP BY 1), "
+        "pts AS (SELECT week_offset, ("
+        + _lnm("n_eligible", "n_active")
+        + ") AS y FROM num JOIN den USING (week_offset)), "
+        "g AS (SELECT CAST(count(*) AS BIGINT) AS n_points, "
+        "sum(CAST(week_offset AS HUGEINT)) AS sx, "
+        "sum(CAST(y AS HUGEINT)) AS sy, "
+        "sum(CAST(week_offset AS HUGEINT) * y) AS sxy, "
+        "sum(CAST(week_offset AS HUGEINT) * week_offset) AS sxx "
+        "FROM pts), "
+        "s AS (SELECT n_points, n_points * sxy - sx * sy AS nm, "
+        "n_points * sxx - sx * sx AS dn FROM g WHERE n_points >= 2), "
+        "s2 AS (SELECT n_points, CAST(CASE WHEN nm < 0 THEN "
+        "-(((-nm) * 1000000) // dn) ELSE (nm * 1000000) // dn END "
+        "AS BIGINT) AS slope_micro_nats_per_week FROM s) "
+        "SELECT n_points, slope_micro_nats_per_week, "
+        "CAST(CASE WHEN slope_micro_nats_per_week > 0 THEN "
+        "693147000000 // slope_micro_nats_per_week ELSE NULL END "
+        "AS BIGINT) AS half_life_micro_weeks FROM s2"
     )
     return out

@@ -761,3 +761,88 @@ def q_events_rate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RATE_CAP_PER_HOUR)
         .select("event_id", "user_id", "hour_us", "rk")
     )
+
+
+#: ln(2) in micro-nats — the half-life constant of the decay fit.
+LN2_MICRO = 693_147
+
+
+def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPONENTIAL DECAY FIT of the pooled retention curve — the
+    model-fitting capstone composing `q_cohort_retention` (the cells)
+    with the `nation_revenue_trend` regression kit (the fit): assume
+    retention r(k) ≈ r₀·e^(−b·k) and estimate b by OLS of
+    y_k = ln(eligible_k / active_k) on week offset k, reporting the
+    slope in micro-nats/week and the implied half-life ln2/b.
+
+    Right-censoring handled exactly: offset k's denominator counts
+    only cohorts OLD ENOUGH to be observable at k (cohort_week + k ≤
+    max active week) — expressed as an explode of each cohort's
+    1..horizon offsets over the bounded cohort-size table, so no
+    inequality join and no nested loop. Every step is integer
+    (`ln_micro` decays, DECIMAL(38,0)/HUGEINT normal equations,
+    sign-split truncate-toward-zero division, LN2_MICRO·10⁶ // slope
+    for the half-life), so the DuckDB twin reproduces the fit
+    bit-for-bit.
+
+    Output (one row, empty if fewer than 2 curve points):
+    (n_points, slope_micro_nats_per_week, half_life_micro_weeks)."""
+    from ..functions import _idiv, ln_micro
+
+    cells = q_cohort_retention(spark, sf_dir)
+    mx = cells.agg(
+        F.max(F.col("cohort_week") + F.col("week_offset")).alias("max_week")
+    )
+    sizes = cells.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    num = (
+        cells.filter(F.col("week_offset") >= 1)
+        .groupBy("week_offset")
+        .agg(F.sum("n_active").alias("n_active"))
+    )
+    den = (
+        sizes.crossJoin(F.broadcast(mx))
+        .select(
+            "cohort_size",
+            F.explode(
+                F.sequence(
+                    F.lit(1).cast("long"),
+                    F.col("max_week") - F.col("cohort_week"),
+                )
+            ).alias("week_offset"),
+        )
+        .groupBy("week_offset")
+        .agg(F.sum("cohort_size").alias("n_eligible"))
+    )
+    pts = num.join(den, "week_offset").select(
+        "week_offset",
+        ln_micro(F.col("n_eligible"), F.col("n_active")).alias("y"),
+    )
+    x = F.col("week_offset").cast("decimal(38,0)")
+    y = F.col("y").cast("decimal(38,0)")
+    g = pts.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    ).filter(F.col("n_points") >= 2)
+    n = F.col("n_points").cast("decimal(38,0)")
+    nm = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dn = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(nm < 0, -_idiv((-nm) * F.lit(1_000_000), dn)).otherwise(
+        _idiv(nm * F.lit(1_000_000), dn)
+    )
+    s = g.select("n_points", slope.alias("slope_micro_nats_per_week"))
+    return s.select(
+        "n_points",
+        "slope_micro_nats_per_week",
+        F.when(
+            F.col("slope_micro_nats_per_week") > 0,
+            _idiv(
+                F.lit(LN2_MICRO).cast("decimal(38,0)") * F.lit(1_000_000),
+                F.col("slope_micro_nats_per_week"),
+            ),
+        ).alias("half_life_micro_weeks"),
+    )

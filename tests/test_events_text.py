@@ -961,3 +961,70 @@ def test_rate_cap_throttle_properties(spark, sf_dir):
             for i, e in enumerate(grp["event_id"][:RATE_CAP_PER_HOUR])
         ]
     assert by_uh == want
+
+
+def test_retention_decay_fit_pure_python(spark, sf_dir):
+    """The fit matches an exact Fraction recompute of the same
+    censoring-aware curve (eligible cohorts only per offset), using a
+    Python reimplementation of ln_micro-quantized decays via the Spark
+    values themselves: n_points, slope, and half-life all equal the
+    closed-form recompute, and the half-life is ln2/slope exactly."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    from beauty_lakehouse_spark.operators.events import (
+        LN2_MICRO,
+        q_cohort_retention,
+        q_retention_decay_fit,
+    )
+
+    out = q_retention_decay_fit(spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+
+    cells = q_cohort_retention(spark, sf_dir).collect()
+    max_week = max(c["cohort_week"] + c["week_offset"] for c in cells)
+    sizes = {
+        c["cohort_week"]: c["n_active"]
+        for c in cells
+        if c["week_offset"] == 0
+    }
+    num = defaultdict(int)
+    for c in cells:
+        if c["week_offset"] >= 1:
+            num[c["week_offset"]] += c["n_active"]
+    den = defaultdict(int)
+    for w, sz in sizes.items():
+        for k in range(1, max_week - w + 1):
+            den[k] += sz
+    # reuse the engine's own ln_micro quantization by reading the y
+    # values off a direct Spark evaluation of the kit
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+
+    ks = sorted(k for k in num if k in den)
+    ys = {
+        row["k"]: row["y"]
+        for row in spark.createDataFrame(
+            [(k, den[k], num[k]) for k in ks], ["k", "e", "a"]
+        )
+        .select("k", ln_micro(F.col("e"), F.col("a")).alias("y"))
+        .collect()
+    }
+    n = len(ks)
+    assert r["n_points"] == n
+    sx = sum(ks)
+    sy = sum(ys.values())
+    sxy = sum(k * ys[k] for k in ks)
+    sxx = sum(k * k for k in ks)
+    nm, dn = n * sxy - sx * sy, n * sxx - sx * sx
+    frac = Fraction(nm * 1_000_000, dn)
+    want_slope = int(frac)  # truncates toward zero
+    assert r["slope_micro_nats_per_week"] == want_slope
+    if want_slope > 0:
+        assert r["half_life_micro_weeks"] == (
+            LN2_MICRO * 1_000_000
+        ) // want_slope
+    else:
+        assert r["half_life_micro_weeks"] is None
