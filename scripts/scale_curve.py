@@ -60,6 +60,9 @@ QUERIES = {
     # r8: ExactSubstr span dedup — the shuffle-free window expansion
     # claim measured, not argued
     "substring_dedup": dedup.q_substring_dedup,
+    # r9: the asymmetric containment twin shares the jaccard posting
+    # core — its curve should track jaccard's tier for tier
+    "ngram_containment_top_pairs": dedup.q_ngram_containment_top_pairs,
 }
 
 #: Measured at sf0.01/sf0.1 only: setsim's OUTPUT is inherently
@@ -80,6 +83,7 @@ SYN100X_QUERIES = (
     "setsim_clusters",
     "substring_dedup",
     "ngram_jaccard_top_pairs",
+    "ngram_containment_top_pairs",
 )
 
 
