@@ -126,6 +126,7 @@ _DRIVER_ORDER_R8 = [
     "orders_merkle_root",  # new in r9 — gate-verify the round it lands
     "events_rate_capped",  # new in r9 — gate-verify the round it lands
     "retention_decay_fit",  # new in r9 — gate-verify the round it lands
+    "kanonymity_profile",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -627,6 +628,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_partition_checksums": quality.q_orders_partition_checksums,
         # Merkle root over the partition fingerprints (O(1) agreement)
         "orders_merkle_root": quality.q_orders_merkle_root,
+        # k-anonymity equivalence-class histogram (privacy release gate)
+        "kanonymity_profile": quality.q_kanonymity_profile,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -2156,6 +2159,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT order_year, count(*) AS n_rows, "
             "CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum "
             "FROM hoy GROUP BY 1"
+        ),
+        "kanonymity_profile": (
+            # equivalence-class size histogram over the quasi-identifier
+            # tuple (segment, nation, order year); k = 5 risk threshold
+            "WITH cls AS (SELECT c_mktsegment, c_nationkey, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(count(*) AS BIGINT) AS class_size "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2, 3) "
+            "SELECT class_size, CAST(count(*) AS BIGINT) AS n_classes, "
+            "CAST(class_size * count(*) AS BIGINT) AS n_rows, "
+            "class_size < 5 AS at_risk FROM cls GROUP BY class_size"
         ),
         "orders_merkle_root": (
             # hierarchical top of the anti-entropy family: one md5 over

@@ -1849,3 +1849,48 @@ def q_orders_merkle_root(spark, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.sort_array(F.collect_list(leaf)))
         ).alias("root_hash"),
     )
+
+
+#: k-anonymity disclosure threshold: equivalence classes smaller than
+#: this are flagged as re-identification risks.
+KANON_K = 5
+
+
+def q_kanonymity_profile(spark, sf_dir: str) -> DataFrame:
+    """K-ANONYMITY profile — the structural privacy measure next to
+    `q_pii_scan`'s direct-identifier scan: group the released view by
+    its quasi-identifier tuple (market segment, nation, order year)
+    and report the equivalence-class size distribution. A row in a
+    class of size s is re-identifiable at confidence 1/s; classes with
+    s < KANON_K are the disclosure risk a release gate counts.
+
+    Output is the count-of-counts histogram (class_size, n_classes,
+    n_rows, at_risk) — the k-anonymity number of the view is the
+    smallest class_size present, and Σ n_rows over at_risk rows is the
+    suppression workload. Two map-side-combinable aggregates (classes,
+    then the bounded size histogram); the fact is scanned once."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    classes = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_mktsegment",
+            "c_nationkey",
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        classes.groupBy("class_size")
+        .agg(F.count(F.lit(1)).alias("n_classes"))
+        .select(
+            "class_size",
+            "n_classes",
+            (F.col("class_size") * F.col("n_classes")).alias("n_rows"),
+            (F.col("class_size") < KANON_K).alias("at_risk"),
+        )
+    )

@@ -105,6 +105,7 @@ HEADLINE = [
     "orders_merkle_root",     # hierarchical anti-entropy digest (new in r9)
     "events_rate_capped",     # deterministic ingestion throttle (new in r9)
     "retention_decay_fit",    # censored exponential retention fit (new in r9)
+    "kanonymity_profile",     # privacy equivalence-class histogram (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

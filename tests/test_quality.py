@@ -704,3 +704,31 @@ def test_merkle_root_invariance_and_sensitivity(spark, sf_dir, tmp_path):
     mut = quality.q_orders_merkle_root(spark, mut_dir).collect()[0]
     assert mut["root_hash"] != base["root_hash"]
     assert mut["total_rows"] == base["total_rows"]
+
+
+def test_kanonymity_profile_pure_python(spark, sf_dir):
+    """The class-size histogram matches a pandas recompute of the same
+    quasi-identifier grouping, total rows are conserved, and the
+    at_risk flag is exactly class_size < KANON_K."""
+    from collections import Counter
+
+    import pandas as pd
+
+    rows = quality.q_kanonymity_profile(spark, sf_dir).collect()
+    assert rows
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    sizes = Counter(
+        j.groupby(
+            ["c_mktsegment", "c_nationkey", j["o_orderdate"].dt.year]
+        ).size()
+    )
+    got = {r["class_size"]: r for r in rows}
+    assert {s: c for s, c in sizes.items()} == {
+        s: r["n_classes"] for s, r in got.items()
+    }
+    for r in rows:
+        assert r["n_rows"] == r["class_size"] * r["n_classes"]
+        assert r["at_risk"] == (r["class_size"] < quality.KANON_K)
+    assert sum(r["n_rows"] for r in rows) == len(j)
