@@ -86,6 +86,7 @@ WHITELIST: dict[str, str] = {
     "segment_priority_chisq": "1-row grand-total broadcast (N scalar) against the bounded contingency grid (<= segments x priorities rows)",
     "bloom_semijoin_pushdown": "1-row selected-order-count broadcast against the 1-row accounting aggregate",
     "source_quota_apportionment": "1-row grand-total and base-quota-sum broadcasts against the |sources|-row table",
+    "retention_decay_fit": "1-row max-week broadcast attached to the bounded cohort-size table (horizon arithmetic)",
 }
 
 #: windows allowed to have an empty partition spec because their input
