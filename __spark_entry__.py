@@ -127,6 +127,7 @@ _DRIVER_ORDER_R8 = [
     "events_rate_capped",  # new in r9 — gate-verify the round it lands
     "retention_decay_fit",  # new in r9 — gate-verify the round it lands
     "kanonymity_profile",  # new in r9 — gate-verify the round it lands
+    "table_release_gate",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -630,6 +631,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merkle_root": quality.q_orders_merkle_root,
         # k-anonymity equivalence-class histogram (privacy release gate)
         "kanonymity_profile": quality.q_kanonymity_profile,
+        # one-report publish decision composing the validators
+        "table_release_gate": quality.q_table_release_gate,
         "hll_users_by_event_type": quality.q_hll_users_by_event_type,
         "hll_set_algebra": quality.q_hll_set_algebra,
         "moments_sketch": quality.q_moments_sketch,
@@ -5419,5 +5422,26 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN slope_micro_nats_per_week > 0 THEN "
         "693147000000 // slope_micro_nats_per_week ELSE NULL END "
         "AS BIGINT) AS half_life_micro_weeks FROM s2"
+    )
+    # release gate: built MECHANICALLY from the constituents' own
+    # oracle SQL, so the gate can never drift from the checks it reads
+    _gate_checks = [
+        "duplicate_orderkeys",
+        "ri_orphan_lineitems",
+        "price_consistency",
+        "date_rule_violations",
+        "region_mapping_conformance",
+    ]
+    out["table_release_gate"] = " UNION ALL ".join(
+        f"SELECT '{n}' AS check_name, "
+        "CAST(count(*) AS BIGINT) AS n_violations, "
+        f"count(*) = 0 AS passed FROM ({out[n]})"
+        for n in _gate_checks
+    ) + (
+        " UNION ALL SELECT 'kanonymity_at_risk_rows' AS check_name, "
+        "CAST(coalesce(sum(CASE WHEN at_risk THEN n_rows END), 0) "
+        "AS BIGINT) AS n_violations, "
+        "coalesce(sum(CASE WHEN at_risk THEN n_rows END), 0) = 0 "
+        f"AS passed FROM ({out['kanonymity_profile']})"
     )
     return out

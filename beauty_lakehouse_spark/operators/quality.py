@@ -1894,3 +1894,72 @@ def q_kanonymity_profile(spark, sf_dir: str) -> DataFrame:
             (F.col("class_size") < KANON_K).alias("at_risk"),
         )
     )
+
+
+#: The release-gate constituents: registry-name → violations query.
+#: Each is itself an oracle-matched operator, so the gate's counts are
+#: cross-engine-exact by composition.
+def _release_checks():
+    from .relational import (
+        q_date_rule_violations,
+        q_duplicate_orderkeys,
+        q_price_consistency,
+        q_region_mapping_conformance,
+        q_ri_orphan_lineitems,
+    )
+
+    return [
+        ("duplicate_orderkeys", q_duplicate_orderkeys),
+        ("ri_orphan_lineitems", q_ri_orphan_lineitems),
+        ("price_consistency", q_price_consistency),
+        ("date_rule_violations", q_date_rule_violations),
+        ("region_mapping_conformance", q_region_mapping_conformance),
+    ]
+
+
+def q_table_release_gate(spark, sf_dir: str) -> DataFrame:
+    """TABLE RELEASE GATE — the one-report decision a publish step
+    reads before promoting the curated zone: every must-be-empty
+    validator (PK uniqueness, referential integrity, price/date rules,
+    mapping conformance) plus the k-anonymity disclosure check,
+    each reduced to (check_name, n_violations, passed). The gate
+    PASSES only where n_violations = 0; the fixtures deliberately
+    violate the date rule (see `date_rule_violations`), so this is a
+    report, never an assert.
+
+    Composition, not re-implementation: each row counts the SAME
+    oracle-matched violations query the registry already verifies, so
+    the gate inherits cross-engine exactness row by row (the DuckDB
+    twin is built mechanically from the constituents' own oracle SQL).
+    Each count is one map-side-combinable aggregate; the union is a
+    bounded 6-row table."""
+    parts = [
+        df_fn(spark, sf_dir)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(
+            F.lit(name).alias("check_name"),
+            "n_violations",
+        )
+        for name, df_fn in _release_checks()
+    ]
+    kan = (
+        q_kanonymity_profile(spark, sf_dir)
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("at_risk"), F.col("n_rows"))),
+                F.lit(0),
+            ).alias("n_violations")
+        )
+        .select(
+            F.lit("kanonymity_at_risk_rows").alias("check_name"),
+            "n_violations",
+        )
+    )
+    out = parts[0]
+    for p in parts[1:] + [kan]:
+        out = out.unionByName(p)
+    return out.select(
+        "check_name",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("passed"),
+    )

@@ -106,6 +106,7 @@ HEADLINE = [
     "events_rate_capped",     # deterministic ingestion throttle (new in r9)
     "retention_decay_fit",    # censored exponential retention fit (new in r9)
     "kanonymity_profile",     # privacy equivalence-class histogram (new in r9)
+    "table_release_gate",     # one-report publish decision capstone (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -732,3 +732,29 @@ def test_kanonymity_profile_pure_python(spark, sf_dir):
         assert r["n_rows"] == r["class_size"] * r["n_classes"]
         assert r["at_risk"] == (r["class_size"] < quality.KANON_K)
     assert sum(r["n_rows"] for r in rows) == len(j)
+
+
+def test_release_gate_composes_constituents(spark, sf_dir):
+    """Each gate row's count equals its constituent query's own row
+    count, the k-anonymity row equals the at-risk row total, and
+    passed is exactly n_violations == 0."""
+    from beauty_lakehouse_spark.operators.quality import (
+        _release_checks,
+        q_kanonymity_profile,
+        q_table_release_gate,
+    )
+
+    rows = {r["check_name"]: r for r in q_table_release_gate(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    for name, fn in _release_checks():
+        assert rows[name]["n_violations"] == fn(spark, sf_dir).count()
+    at_risk = sum(
+        r["n_rows"]
+        for r in q_kanonymity_profile(spark, sf_dir).collect()
+        if r["at_risk"]
+    )
+    assert rows["kanonymity_at_risk_rows"]["n_violations"] == at_risk
+    for r in rows.values():
+        assert r["passed"] == (r["n_violations"] == 0)
+    # the fixtures' deliberate date violations must be REPORTED
+    assert not rows["date_rule_violations"]["passed"]
