@@ -128,6 +128,7 @@ _DRIVER_ORDER_R8 = [
     "retention_decay_fit",  # new in r9 — gate-verify the round it lands
     "kanonymity_profile",  # new in r9 — gate-verify the round it lands
     "table_release_gate",  # new in r9 — gate-verify the round it lands
+    "heaps_law_fit",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -535,6 +536,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_terms": text.q_frequent_terms,
         # fixed-point OLS Zipf-exponent fit (ln_micro — no float ln)
         "zipf_law_fit": text.q_zipf_law_fit,
+        # Heaps'-law vocabulary-growth fit (zipf's sibling diagnostic)
+        "heaps_law_fit": text.q_heaps_law_fit,
         "regex_token_pieces": text.q_regex_token_pieces,
         "bpe_pair_counts": text.q_bpe_pair_counts,
         # full BPE trainer (iterative argmax-merge loop; rows-only —
@@ -3402,6 +3405,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term <> '' GROUP BY term) "
             "SELECT term, n_occurrences, n_docs FROM c "
             "ORDER BY n_occurrences DESC, term LIMIT 50"
+        ),
+        "heaps_law_fit": (
+            # vocabulary growth at 10 dense-doc-id prefixes; ln_micro
+            # logs, HUGEINT normal equations, sign-split trunc division
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks "
+            "FROM documents), "
+            "nd AS (SELECT count(*) AS n_docs FROM d), "
+            "tok AS (SELECT doc_id, t.token FROM d, "
+            "unnest(toks) AS t(token) WHERE t.token <> ''), "
+            "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok "
+            "FROM tok GROUP BY 1), "
+            "fd AS (SELECT token, min(doc_id) AS fdoc FROM tok "
+            "GROUP BY 1), "
+            "dn AS (SELECT c AS checkpoint, CAST(sum(n_tok) AS BIGINT) "
+            "AS n_tokens FROM (SELECT n_tok, "
+            "unnest(generate_series((doc_id * 10) // n_docs + 1, 10)) "
+            "AS c FROM pd, nd) GROUP BY 1), "
+            "dv AS (SELECT c AS checkpoint, CAST(count(*) AS BIGINT) "
+            "AS vocab FROM (SELECT "
+            "unnest(generate_series((fdoc * 10) // n_docs + 1, 10)) "
+            "AS c FROM fd, nd) GROUP BY 1), "
+            "xy AS (SELECT checkpoint, n_tokens, vocab, ("
+            + _lnm("n_tokens", "1")
+            + ") AS x, ("
+            + _lnm("vocab", "1")
+            + ") AS y FROM dn JOIN dv USING (checkpoint)), "
+            "g AS (SELECT CAST(count(*) AS HUGEINT) AS n_points, "
+            "sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy, "
+            "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx FROM xy), "
+            "s AS (SELECT n_points * sxy - sx * sy AS nm, "
+            "n_points * sxx - sx * sx AS dn2 FROM g), "
+            "b AS (SELECT CAST(CASE WHEN nm < 0 THEN "
+            "-(((-nm) * 1000000) // dn2) ELSE (nm * 1000000) // dn2 END "
+            "AS BIGINT) AS beta_micro FROM s) "
+            "SELECT CAST(checkpoint AS BIGINT) AS checkpoint, n_tokens, "
+            "vocab, beta_micro FROM xy, b"
         ),
         "zipf_law_fit": (
             # fixed-point OLS of ln(freq) on ln(rank) over the top-1000

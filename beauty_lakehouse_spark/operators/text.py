@@ -1506,3 +1506,87 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+#: Heaps'-law prefix checkpoints: vocabulary measured at 10 equal
+#: corpus prefixes (doc_id order — the fixture ids are dense 0..n-1).
+HEAPS_POINTS = 10
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW fit — `q_zipf_law_fit`'s sibling corpus diagnostic:
+    vocabulary growth V(N) ≈ K·N^β measured at HEAPS_POINTS equal
+    corpus prefixes and fitted by OLS of ln V on ln N, entirely in
+    fixed point (`ln_micro` for both logs, DECIMAL(38,0)/HUGEINT
+    normal equations, sign-split trunc division). β far from the
+    ~0.5-0.8 natural-language band flags template/boilerplate (β→0)
+    or id-spam (β→1) corpora — the cheap health check before
+    tokenizer training.
+
+    No window anywhere: doc_ids are dense 0..n-1, so a doc's
+    checkpoint membership is pure arithmetic — each doc's token count
+    (and each token's FIRST-occurrence doc) explodes to the ≤10
+    checkpoints it feeds, then two map-side-combinable groupBys build
+    the 10-point curve. ln_micro's exactness contract (counts < 2³¹)
+    holds to ~2G prefix tokens; beyond that, fit on a prefix sample.
+
+    Output: the 10 curve points with the fitted exponent replicated —
+    (checkpoint, n_tokens, vocab, beta_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    docs = t.documents.select("doc_id", F.split("text", " ").alias("toks"))
+    nd = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = docs.select(
+        "doc_id", F.explode("toks").alias("token")
+    ).filter(F.col("token") != "")
+    pd_ = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    fd = tok.groupBy("token").agg(F.min("doc_id").alias("fdoc"))
+
+    def _cks(idcol):
+        lo = _idiv(
+            F.col(idcol) * F.lit(HEAPS_POINTS), F.col("n_docs")
+        ) + F.lit(1).cast("long")
+        return F.explode(
+            F.sequence(lo, F.lit(HEAPS_POINTS).cast("long"))
+        ).alias("checkpoint")
+
+    dn = (
+        pd_.crossJoin(F.broadcast(nd))
+        .select("n_tok", _cks("doc_id"))
+        .groupBy("checkpoint")
+        .agg(F.sum("n_tok").alias("n_tokens"))
+    )
+    dv = (
+        fd.crossJoin(F.broadcast(nd))
+        .select(_cks("fdoc"))
+        .groupBy("checkpoint")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    pts = dn.join(dv, "checkpoint")
+    xy = pts.select(
+        "checkpoint",
+        "n_tokens",
+        "vocab",
+        ln_micro(F.col("n_tokens"), F.lit(1)).alias("x"),
+        ln_micro(F.col("vocab"), F.lit(1)).alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = xy.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+    )
+    n = F.col("n_points").cast("decimal(38,0)")
+    nm = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dnm = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = F.when(nm < 0, -_idiv((-nm) * F.lit(1_000_000), dnm)).otherwise(
+        _idiv(nm * F.lit(1_000_000), dnm)
+    )
+    fit = g.select(beta.alias("beta_micro"))
+    return xy.select("checkpoint", "n_tokens", "vocab").crossJoin(
+        F.broadcast(fit)
+    )

@@ -107,6 +107,7 @@ HEADLINE = [
     "retention_decay_fit",    # censored exponential retention fit (new in r9)
     "kanonymity_profile",     # privacy equivalence-class histogram (new in r9)
     "table_release_gate",     # one-report publish decision capstone (new in r9)
+    "heaps_law_fit",          # vocabulary-growth corpus diagnostic (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -87,6 +87,7 @@ WHITELIST: dict[str, str] = {
     "bloom_semijoin_pushdown": "1-row selected-order-count broadcast against the 1-row accounting aggregate",
     "source_quota_apportionment": "1-row grand-total and base-quota-sum broadcasts against the |sources|-row table",
     "retention_decay_fit": "1-row max-week broadcast attached to the bounded cohort-size table (horizon arithmetic)",
+    "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 
 #: windows allowed to have an empty partition spec because their input

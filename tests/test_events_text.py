@@ -1028,3 +1028,99 @@ def test_retention_decay_fit_pure_python(spark, sf_dir):
         ) // want_slope
     else:
         assert r["half_life_micro_weeks"] is None
+
+
+def test_heaps_law_fit_pure_python(spark, sf_dir):
+    """Curve points match a pure-Python prefix recompute (token totals
+    and first-occurrence vocabulary at each dense-doc-id decile), the
+    curve is monotone, and beta lands in (0, 1) — sublinear vocabulary
+    growth — matching the exact Fraction fit over the engine's own
+    ln_micro point values."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import q_heaps_law_fit
+
+    rows = sorted(
+        q_heaps_law_fit(spark, sf_dir).collect(),
+        key=lambda r: r["checkpoint"],
+    )
+    assert [r["checkpoint"] for r in rows] == list(range(1, 11))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    n = len(docs)
+    toks_per_doc = {
+        r.doc_id: [t for t in r.text.split(" ") if t]
+        for r in docs.itertuples()
+    }
+    for r in rows:
+        bound = -(-r["checkpoint"] * n // 10)  # docs with (id*10)//n < c
+        # dense ids: doc_id d feeds checkpoint c iff (d*10)//n + 1 <= c
+        ids = [d for d in toks_per_doc if (d * 10) // n + 1 <= r["checkpoint"]]
+        assert r["n_tokens"] == sum(len(toks_per_doc[d]) for d in ids)
+        vocab = set()
+        for d in ids:
+            vocab.update(toks_per_doc[d])
+        assert r["vocab"] == len(vocab)
+    nt = [r["n_tokens"] for r in rows]
+    vc = [r["vocab"] for r in rows]
+    assert nt == sorted(nt) and vc == sorted(vc)
+    beta = rows[0]["beta_micro"]
+    assert all(r["beta_micro"] == beta for r in rows)
+    # the fixture corpus draws from a FIXED jargon vocabulary — V is
+    # constant across every prefix, so beta == 0 exactly: the operator
+    # correctly flags it as a template corpus (that IS the diagnostic)
+    assert vc[0] == vc[-1]
+    assert beta == 0
+    # exact fit recompute over the engine's own ln_micro values
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+
+    xs = {
+        row["c"]: (row["x"], row["y"])
+        for row in spark.createDataFrame(
+            [(r["checkpoint"], r["n_tokens"], r["vocab"]) for r in rows],
+            ["c", "nt", "vc"],
+        )
+        .select(
+            "c",
+            ln_micro(F.col("nt"), F.lit(1)).alias("x"),
+            ln_micro(F.col("vc"), F.lit(1)).alias("y"),
+        )
+        .collect()
+    }
+    pts = list(xs.values())
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    want = int(Fraction((k * sxy - sx * sy) * 1_000_000, k * sxx - sx * sx))
+    assert beta == want
+
+
+def test_heaps_beta_positive_on_growing_vocabulary(spark, tmp_path):
+    """On a corpus whose vocabulary genuinely grows (every doc minting
+    some fresh tokens), the fitted exponent lands in (0, 1) — the
+    sublinear Heaps band a natural corpus shows."""
+    from beauty_lakehouse_spark.operators.text import q_heaps_law_fit
+
+    docs = []
+    for d in range(100):
+        # half repeated head tokens, half fresh per-doc tokens
+        toks = [f"w{j}" for j in range(20)] + [
+            f"new{d}_{j}" for j in range(1 + d % 7)
+        ]
+        docs.append((d, " ".join(toks), "en", "syn", len(" ".join(toks))))
+    sf = str(tmp_path / "heaps_sf")
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = q_heaps_law_fit(spark, sf).collect()
+    beta = rows[0]["beta_micro"]
+    vc = [r["vocab"] for r in sorted(rows, key=lambda r: r["checkpoint"])]
+    assert vc[-1] > vc[0]
+    assert 0 < beta < 1_000_000
