@@ -129,6 +129,7 @@ _DRIVER_ORDER_R8 = [
     "kanonymity_profile",  # new in r9 — gate-verify the round it lands
     "table_release_gate",  # new in r9 — gate-verify the round it lands
     "heaps_law_fit",  # new in r9 — gate-verify the round it lands
+    "source_vocab_overlap",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -538,6 +539,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_law_fit": text.q_zipf_law_fit,
         # Heaps'-law vocabulary-growth fit (zipf's sibling diagnostic)
         "heaps_law_fit": text.q_heaps_law_fit,
+        # cross-source vocabulary overlap (mixture-design diagnostic)
+        "source_vocab_overlap": text.q_source_vocab_overlap,
         "regex_token_pieces": text.q_regex_token_pieces,
         "bpe_pair_counts": text.q_bpe_pair_counts,
         # full BPE trainer (iterative argmax-merge loop; rows-only —
@@ -3405,6 +3408,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE term <> '' GROUP BY term) "
             "SELECT term, n_occurrences, n_docs FROM c "
             "ORDER BY n_occurrences DESC, term LIMIT 50"
+        ),
+        "source_vocab_overlap": (
+            # pairwise source vocabulary Jaccard over distinct
+            # (source, token); exact integers, half-up 6 dp
+            "WITH st AS (SELECT DISTINCT source, t.token FROM documents, "
+            "unnest(string_split(text, ' ')) AS t(token) "
+            "WHERE t.token <> ''), "
+            "sizes AS (SELECT source, CAST(count(*) AS BIGINT) "
+            "AS n_vocab FROM st GROUP BY 1), "
+            "common AS (SELECT a.source AS source_a, b.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_common FROM st a JOIN st b "
+            "ON a.token = b.token AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT source_a, source_b, n_common, "
+            "sa.n_vocab AS n_a, sb.n_vocab AS n_b, "
+            + _hud("n_common", "(sa.n_vocab + sb.n_vocab - n_common)", 6)
+            + " AS jaccard FROM common "
+            "JOIN sizes sa ON sa.source = source_a "
+            "JOIN sizes sb ON sb.source = source_b"
         ),
         "heaps_law_fit": (
             # vocabulary growth at 10 dense-doc-id prefixes; ln_micro

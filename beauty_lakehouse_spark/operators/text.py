@@ -1590,3 +1590,70 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return xy.select("checkpoint", "n_tokens", "vocab").crossJoin(
         F.broadcast(fit)
     )
+
+
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source VOCABULARY OVERLAP matrix — the corpus-organization
+    diagnostic behind mixture design: for every pair of sources, the
+    exact shared-vocabulary count and Jaccard (do these sources cover
+    the same domain, or bring genuinely different text?). High overlap
+    argues for merging their mixture buckets; low overlap for keeping
+    separate sampling temperatures.
+
+    Posting-list shape, never source×source over raw tokens: one
+    distinct (source, token) projection, per-token source list
+    (bounded by |sources|), pairs minted inside each posting — the
+    same bounded-combinations core as the doc-level n-gram scorers,
+    one level up the hierarchy. Jaccard is a ratio of exact integers
+    (half-up 6 dp). Output: (source_a, source_b, n_common, n_a, n_b,
+    jaccard)."""
+    t = load(spark, sf_dir)
+    st = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n_vocab"))
+    posting = st.groupBy("token").agg(
+        F.sort_array(F.collect_list("source")).alias("srcs")
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("srcs"), i + 2, F.size(F.col("srcs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    common = (
+        posting.filter(F.size("srcs") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_vocab").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_vocab").alias("n_b")
+    )
+    return (
+        common.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            halfup_div(
+                F.col("n_common"),
+                F.col("n_a") + F.col("n_b") - F.col("n_common"),
+                6,
+            ).alias("jaccard"),
+        )
+    )

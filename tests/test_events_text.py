@@ -1124,3 +1124,38 @@ def test_heaps_beta_positive_on_growing_vocabulary(spark, tmp_path):
     vc = [r["vocab"] for r in sorted(rows, key=lambda r: r["checkpoint"])]
     assert vc[-1] > vc[0]
     assert 0 < beta < 1_000_000
+
+
+def test_source_vocab_overlap_pure_python(spark, sf_dir):
+    """Every (source_a < source_b) pair appears once with exact
+    intersection and vocabulary sizes matching a pure-Python set
+    recompute; Jaccard is the half-up 6-dp integer ratio."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import q_source_vocab_overlap
+
+    rows = q_source_vocab_overlap(spark, sf_dir).collect()
+    assert rows
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab = defaultdict(set)
+    for r in docs.itertuples():
+        vocab[r.source].update(t for t in r.text.split(" ") if t)
+    got = {(r["source_a"], r["source_b"]): r for r in rows}
+    assert all(a < b for a, b in got)
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            if inter == 0:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_common"] == inter
+            assert r["n_a"] == len(vocab[a])
+            assert r["n_b"] == len(vocab[b])
+            union = len(vocab[a]) + len(vocab[b]) - inter
+            # exact half-up 6-dp: (2*n*10^6 + d) // (2*d), then /1e6
+            want = ((2 * inter * 10**6 + union) // (2 * union)) / 1e6
+            assert r["jaccard"] == want
