@@ -130,6 +130,7 @@ _DRIVER_ORDER_R8 = [
     "table_release_gate",  # new in r9 — gate-verify the round it lands
     "heaps_law_fit",  # new in r9 — gate-verify the round it lands
     "source_vocab_overlap",  # new in r9 — gate-verify the round it lands
+    "copurchase_adamic_adar",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -686,6 +687,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_eval": text.q_lang_eval,  # classifier eval report, oracle-exact
         "part_golden_record": text.q_part_golden_record,  # ER survivorship
         "copurchase_jaccard_top": graph.q_copurchase_jaccard_top,  # link prediction
+        # degree-weighted (Adamic-Adar) link prediction, fixed point
+        "copurchase_adamic_adar": graph.q_copurchase_adamic_adar,
         "bpe_encode": text.q_bpe_encode,  # tokenizer apply, oracle-exact
         "heavy_hitter_terms": text.q_heavy_hitter_terms,  # exact 2-pass MG
         "next_token_suggestions": text.q_next_token_suggestions,  # LM serving view
@@ -3348,6 +3351,25 @@ def oracle_sql() -> dict[str, str]:
             + _hud("n_common", "(deg_a + deg_b - n_common)", 6)
             + " AS jaccard FROM j "
             "ORDER BY jaccard DESC, part_a, part_b LIMIT 50"
+        ),
+        "copurchase_adamic_adar": (
+            # degree-weighted common-neighbor score: each shared order
+            # contributes 10^12 // ln_micro(basket size) micro-units
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "bs AS (SELECT l_orderkey, count(*) AS sz FROM d GROUP BY 1), "
+            "w AS (SELECT l_orderkey, CAST(1000000000000 // ("
+            + _lnm("sz", "1")
+            + ") AS BIGINT) AS w_micro FROM bs WHERE sz BETWEEN 2 AND 50), "
+            "ok AS (SELECT d.l_orderkey, d.l_partkey FROM d "
+            "JOIN w USING (l_orderkey)), "
+            "e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "CAST(count(*) AS BIGINT) AS n_common, "
+            "CAST(sum(w_micro) AS BIGINT) AS aa_micro "
+            "FROM ok a JOIN ok b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "JOIN w ON w.l_orderkey = a.l_orderkey GROUP BY 1, 2) "
+            "SELECT part_a, part_b, n_common, aa_micro FROM e "
+            "ORDER BY aa_micro DESC, part_a, part_b LIMIT 50"
         ),
         "part_golden_record": (
             # match (blocked levenshtein) -> recursive-CTE closure ->

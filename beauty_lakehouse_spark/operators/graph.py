@@ -491,3 +491,71 @@ def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(layer).localCheckpoint(eager=False)
         frontier = layer.select("part")
     return dist
+
+
+def q_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAMIC-ADAR link prediction on the co-purchase graph — the
+    degree-weighted sibling of `q_copurchase_jaccard_top`: a shared
+    order counts 1/ln(basket size), so co-occurring in a focused
+    2-item order says far more than sharing a 40-item catalog order
+    (the common-neighbor score that fixes Jaccard's big-neighbor
+    bias; Adamic & Adar 2003).
+
+    Exact fixed point: each basket's weight is 10¹²//ln_micro(s, 1)
+    (micro-units of 1/ln s — ln_micro's integer ln, never float), and
+    a pair's score sums those integers over its shared orders. The
+    pair space is the SAME capped basket expansion as
+    `copurchase_edges` (pairs minted inside each ≤max_basket basket,
+    never part×part); one extra map-side column carries the basket
+    weight into the pair aggregate — identical shuffle shape to the
+    edge count. Top-50 by (score desc, ids).
+
+    Output: (part_a, part_b, n_common, aa_micro)."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    baskets = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sort_array(
+                F.array_distinct(F.collect_list("l_partkey"))
+            ).alias("parts")
+        )
+        .filter(F.size("parts").between(2, 50))
+        .withColumn(
+            "w_micro",
+            _idiv(
+                F.lit(10**12).cast("decimal(38,0)"),
+                ln_micro(F.size("parts").cast("long"), F.lit(1)),
+            ),
+        )
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size(F.col("parts"))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    scored = (
+        baskets.select("w_micro", F.explode(pair_structs).alias("p"))
+        .select(
+            F.col("p.part_a").alias("part_a"),
+            F.col("p.part_b").alias("part_b"),
+            "w_micro",
+        )
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w_micro").alias("aa_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("aa_micro"), F.asc("part_a"), F.asc("part_b")
+        )
+        .limit(50)
+        .select("part_a", "part_b", "n_common", "aa_micro")
+    )

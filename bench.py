@@ -109,6 +109,7 @@ HEADLINE = [
     "table_release_gate",     # one-report publish decision capstone (new in r9)
     "heaps_law_fit",          # vocabulary-growth corpus diagnostic (new in r9)
     "source_vocab_overlap",   # cross-source domain-similarity matrix (new in r9)
+    "copurchase_adamic_adar", # degree-weighted link prediction (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -339,3 +339,49 @@ def test_weighted_quantiles_match_python_expansion(spark, sf_dir):
             <= out[seg]["wmedian_e4"]
             <= out[seg]["wq75_e4"]
         )
+
+
+def test_adamic_adar_pure_python(spark, sf_dir):
+    """The degree-weighted score matches a pure-Python recompute using
+    the engine's own ln_micro basket weights: exact n_common, exact
+    aa_micro sums, and the top-50 ordering."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+    from beauty_lakehouse_spark.operators.graph import (
+        q_copurchase_adamic_adar,
+    )
+
+    rows = q_copurchase_adamic_adar(spark, sf_dir).collect()
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    sizes = sorted({len(b) for b in baskets.values() if 2 <= len(b) <= 50})
+    lnm = {
+        r["s"]: r["v"]
+        for r in spark.createDataFrame([(s,) for s in sizes], ["s"])
+        .select("s", ln_micro(F.col("s").cast("long"), F.lit(1)).alias("v"))
+        .collect()
+    }
+    scores = defaultdict(lambda: [0, 0])
+    for b in baskets.values():
+        if not (2 <= len(b) <= 50):
+            continue
+        w = 10**12 // lnm[len(b)]
+        parts = sorted(b)
+        for i, a in enumerate(parts):
+            for c in parts[i + 1 :]:
+                scores[(a, c)][0] += 1
+                scores[(a, c)][1] += w
+    want = sorted(
+        ((-aa, a, b, n) for (a, b), (n, aa) in scores.items())
+    )[:50]
+    got = [(-r["aa_micro"], r["part_a"], r["part_b"], r["n_common"]) for r in rows]
+    assert got == want
