@@ -131,6 +131,7 @@ _DRIVER_ORDER_R8 = [
     "heaps_law_fit",  # new in r9 — gate-verify the round it lands
     "source_vocab_overlap",  # new in r9 — gate-verify the round it lands
     "copurchase_adamic_adar",  # new in r9 — gate-verify the round it lands
+    "user_stickiness",  # new in r9 — gate-verify the round it lands
     "table_stats",
     "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
     "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
@@ -429,6 +430,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_capped": events.q_events_rate_capped,
         # censoring-aware exponential decay fit of pooled retention
         "retention_decay_fit": events.q_retention_decay_fit,
+        # WAU/MAU engagement ratio via explode-vote trailing distinct
+        "user_stickiness": events.q_user_stickiness,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -4241,6 +4244,21 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "user_stickiness": (
+            # WAU over trailing-4-week MAU; the vote explode mirrors
+            # the Spark side's bounded sequence fan-out
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 // 7 AS week FROM events), "
+            "wau AS (SELECT week, CAST(count(*) AS BIGINT) AS wau "
+            "FROM uw GROUP BY 1), "
+            "votes AS (SELECT user_id, unnest(generate_series(week, "
+            "week + 3)) AS week FROM uw), "
+            "mau AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS mau FROM votes GROUP BY 1) "
+            "SELECT week, wau, mau, "
+            + _hud("wau", "mau", 6)
+            + " AS stickiness FROM wau JOIN mau USING (week)"
         ),
         "events_rate_capped": (
             # deterministic first-K-per-(user, hour) throttle

@@ -846,3 +846,47 @@ def q_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("half_life_micro_weeks"),
     )
+
+
+def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU/MAU STICKINESS — the product-analytics engagement ratio:
+    per epoch week, weekly active users over the trailing-4-week
+    active users (1.0 = every monthly user shows up every week). The
+    trailing-window DISTINCT is the interesting part at scale: instead
+    of re-scanning 4 weeks of events per window (or a distinct-over-
+    RANGE window, which Spark cannot do), each distinct (user, week)
+    activity row VOTES into the ≤4 windows it feeds via a bounded
+    sequence explode, and one countDistinct per window finishes — the
+    same explode-vote encoding as `q_rolling_distinct_users`, at week
+    grain. Exact integer counts; the ratio is half-up 6 dp.
+
+    Output: (week, wau, mau, stickiness) for every active week."""
+    t = load(spark, sf_dir)
+    uw = (
+        t.events.select("user_id", epoch_us("ts").alias("epoch_us"))
+        .select(
+            "user_id",
+            F.expr("epoch_us div 86400000000 div 7").alias("week"),
+        )
+        .distinct()
+    )
+    wau = uw.groupBy("week").agg(F.count(F.lit(1)).alias("wau"))
+    mau = (
+        uw.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("week"), F.col("week") + 3)
+            ).alias("week"),
+        )
+        .groupBy("week")
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        wau.join(mau, "week")
+        .select(
+            "week",
+            "wau",
+            "mau",
+            halfup_div(F.col("wau"), F.col("mau"), 6).alias("stickiness"),
+        )
+    )

@@ -110,6 +110,7 @@ HEADLINE = [
     "heaps_law_fit",          # vocabulary-growth corpus diagnostic (new in r9)
     "source_vocab_overlap",   # cross-source domain-similarity matrix (new in r9)
     "copurchase_adamic_adar", # degree-weighted link prediction (new in r9)
+    "user_stickiness",        # WAU/MAU engagement ratio (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -1159,3 +1159,35 @@ def test_source_vocab_overlap_pure_python(spark, sf_dir):
             # exact half-up 6-dp: (2*n*10^6 + d) // (2*d), then /1e6
             want = ((2 * inter * 10**6 + union) // (2 * union)) / 1e6
             assert r["jaccard"] == want
+
+
+def test_user_stickiness_pure_python(spark, sf_dir):
+    """WAU, trailing-4-week MAU, and the half-up ratio all match a
+    pure pandas recompute; stickiness is bounded by (0, 1] and MAU
+    dominates WAU on every week."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import q_user_stickiness
+
+    rows = {r["week"]: r for r in q_user_stickiness(spark, sf_dir).collect()}
+    assert rows
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("datetime64[us]").astype("int64")
+    weeks = us // 86_400_000_000 // 7
+    by_week = defaultdict(set)
+    for u, w in zip(ev["user_id"], weeks):
+        by_week[w].add(u)
+    assert set(rows) == set(by_week)
+    for w, users in by_week.items():
+        mau_set = set()
+        for back in range(4):
+            mau_set |= by_week.get(w - back, set())
+        r = rows[w]
+        assert r["wau"] == len(users)
+        assert r["mau"] == len(mau_set)
+        assert r["wau"] <= r["mau"]
+        want = ((2 * r["wau"] * 10**6 + r["mau"]) // (2 * r["mau"])) / 1e6
+        assert r["stickiness"] == want
+        assert 0 < r["stickiness"] <= 1.0
