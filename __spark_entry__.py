@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "copurchase_cosine_top",  # new in r9 — gate-verify the round it lands
+    "user_activity_streaks",  # new in r9 — gate-verify the round it lands
     "bm25_topk",  # new in r9 — gate-verify the round it lands
     "part_pareto_frontier",  # new in r9 — gate-verify the round it lands
     "segment_weighted_quantiles",  # new in r9 — gate-verify the round it lands
@@ -432,6 +434,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_decay_fit": events.q_retention_decay_fit,
         # WAU/MAU engagement ratio via explode-vote trailing distinct
         "user_stickiness": events.q_user_stickiness,
+        "user_activity_streaks": events.q_user_activity_streaks,
+        "copurchase_cosine_top": graph.q_copurchase_cosine_top,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -4244,6 +4248,45 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "copurchase_cosine_top": (
+            # cosine link prediction surfaced as the monotone exact
+            # rational cos^2 = n_common^2 / (deg_a * deg_b), half-up 6dp
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "bs AS (SELECT l_orderkey, count(*) AS sz FROM d GROUP BY 1), "
+            "ok AS (SELECT d.l_orderkey, d.l_partkey FROM d "
+            "JOIN bs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), "
+            "e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_common FROM ok a JOIN ok b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2), "
+            "deg AS (SELECT l_partkey, count(*) AS dg FROM d GROUP BY 1), "
+            "j AS (SELECT part_a, part_b, n_common, da.dg AS deg_a, "
+            "db.dg AS deg_b FROM e JOIN deg da ON da.l_partkey = part_a "
+            "JOIN deg db ON db.l_partkey = part_b) "
+            "SELECT part_a, part_b, n_common, deg_a, deg_b, "
+            + _hud("(n_common * n_common)", "(deg_a * deg_b)", 6)
+            + " AS cosine2 FROM j "
+            "ORDER BY cosine2 DESC, part_a, part_b LIMIT 50"
+        ),
+        "user_activity_streaks": (
+            # gaps-and-islands: day - row_number() island key; longest
+            # streak's start via the same min(-len, start) tie-break
+            "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+            "FROM events), "
+            "g AS (SELECT user_id, d, d - CAST(row_number() OVER "
+            "(PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp "
+            "FROM days), "
+            "s AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len, "
+            "min(d) AS start FROM g GROUP BY 1, 2), "
+            "u AS (SELECT user_id, CAST(sum(len) AS BIGINT) "
+            "AS n_active_days, CAST(count(*) AS BIGINT) AS n_streaks, "
+            "max(len) AS longest_streak, "
+            "min(ROW(-len, start)) AS pick FROM s GROUP BY 1) "
+            "SELECT user_id, n_active_days, n_streaks, longest_streak, "
+            "strftime(pick[2], '%Y-%m-%d') AS longest_start FROM u "
+            "ORDER BY longest_streak DESC, n_active_days DESC, user_id "
+            "LIMIT 100"
         ),
         "user_stickiness": (
             # WAU over trailing-4-week MAU; the vote explode mirrors

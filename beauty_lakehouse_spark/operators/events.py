@@ -890,3 +890,67 @@ def q_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             halfup_div(F.col("wau"), F.col("mau"), 6).alias("stickiness"),
         )
     )
+
+
+def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over each user's activity calendar: the longest
+    run of CONSECUTIVE active days per user (the engagement-streak
+    feature every retention model wants), via the classic
+    day − row_number() island key — consecutive days share a constant
+    difference, so one window + one groupBy finds every streak without
+    a self-join or a sequential scan.
+
+    Per user: number of distinct active days, number of maximal
+    streaks (islands), the longest streak length, and that streak's
+    start date (earliest start on length ties, via min(struct(-len,
+    start)) — no second window). Top-100 users by (longest desc,
+    active days desc, user_id) keeps the output bounded.
+
+    Scale: the day grid is distinct (user, date) — far smaller than raw
+    events; the only window is partitioned BY USER over that user's own
+    days (bounded by the calendar span, never a global sort); islands
+    collapse map-side-combinably.
+
+    Output: (user_id, n_active_days, n_streaks, longest_streak,
+    longest_start)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    days = (
+        t.events.select(
+            "user_id", F.to_date("ts").alias("d")
+        ).distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("d").alias("start"),
+    )
+    per_user = streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.min(
+            F.struct((-F.col("len")).alias("neg"), F.col("start").alias("s"))
+        )["s"].alias("longest_start_d"),
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_active_days",
+            "n_streaks",
+            "longest_streak",
+            F.date_format("longest_start_d", "yyyy-MM-dd").alias(
+                "longest_start"
+            ),
+        )
+        .orderBy(
+            F.desc("longest_streak"),
+            F.desc("n_active_days"),
+            "user_id",
+        )
+        .limit(100)
+    )

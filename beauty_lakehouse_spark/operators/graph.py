@@ -559,3 +559,63 @@ def q_copurchase_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("part_a", "part_b", "n_common", "aa_micro")
     )
+
+
+def q_copurchase_cosine_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COSINE link prediction on the co-purchase graph — the third axis
+    of the common-neighbor trio (Jaccard = overlap/union, Adamic-Adar =
+    rarity-weighted, cosine = overlap normalized by the geometric mean
+    of the degrees): cos(a,b) = n∩ / sqrt(dₐ·d_b), the score that stays
+    comparable when one endpoint is a blockbuster product (Jaccard's
+    union washes those pairs out; cosine only half-penalizes).
+
+    Exactness: the MONOTONE transform cos² = n∩²/(dₐ·d_b) is surfaced
+    instead of cos — an exact rational of the same integers (no sqrt on
+    either engine), quantized half-up at 6 dp (``halfup_div``), so
+    ranking by cos² IS ranking by cosine and both engines agree
+    bit-for-bit. Candidates come only from the capped basket expansion
+    (``copurchase_edges``); degrees are the TRUE per-part order counts
+    over the uncapped distinct bipartite edges (the
+    ``copurchase_jaccard_top`` convention).
+
+    Scale: pair space is basket-bounded (Σ C(|basket|,2) — never
+    part×part), degrees are one map-side-combinable groupBy, the final
+    join is pair-grain against the part-degree dictionary. Top-50 by
+    (cos² desc, ids).
+
+    Output: (part_a, part_b, n_common, deg_a, deg_b, cosine2)."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).withColumnRenamed(
+        "n_orders", "n_common"
+    )
+    deg = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    j = (
+        edges.join(
+            deg.select(F.col("l_partkey").alias("part_a"), F.col("dg").alias("deg_a")),
+            "part_a",
+        )
+        .join(
+            deg.select(F.col("l_partkey").alias("part_b"), F.col("dg").alias("deg_b")),
+            "part_b",
+        )
+        .select(
+            "part_a",
+            "part_b",
+            "n_common",
+            "deg_a",
+            "deg_b",
+            halfup_div(
+                F.col("n_common") * F.col("n_common"),
+                F.col("deg_a") * F.col("deg_b"),
+                6,
+            ).alias("cosine2"),
+        )
+    )
+    return j.orderBy(F.desc("cosine2"), "part_a", "part_b").limit(50)

@@ -111,6 +111,8 @@ HEADLINE = [
     "source_vocab_overlap",   # cross-source domain-similarity matrix (new in r9)
     "copurchase_adamic_adar", # degree-weighted link prediction (new in r9)
     "user_stickiness",        # WAU/MAU engagement ratio (new in r9)
+    "copurchase_cosine_top",  # cosine link prediction (new in r9)
+    "user_activity_streaks",  # gaps-and-islands engagement streaks (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

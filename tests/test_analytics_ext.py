@@ -385,3 +385,53 @@ def test_adamic_adar_pure_python(spark, sf_dir):
     )[:50]
     got = [(-r["aa_micro"], r["part_a"], r["part_b"], r["n_common"]) for r in rows]
     assert got == want
+
+
+def test_copurchase_cosine_pure_python(spark, sf_dir):
+    """cos^2 = n_common^2/(deg_a*deg_b) matches a pure-Python recompute
+    (same half-up 6dp quantization), including the top-50 ordering."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        q_copurchase_cosine_top,
+    )
+
+    rows = q_copurchase_cosine_top(spark, sf_dir).collect()
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    deg = defaultdict(int)
+    for b in baskets.values():
+        for p in b:
+            deg[p] += 1
+    cooc = defaultdict(int)
+    for b in baskets.values():
+        if not (2 <= len(b) <= 50):
+            continue
+        parts = sorted(b)
+        for i, a in enumerate(parts):
+            for c in parts[i + 1 :]:
+                cooc[(a, c)] += 1
+
+    def hu6(num, den):
+        return ((2 * num * 10**6 + den) // (2 * den)) / 1e6
+
+    want = sorted(
+        (
+            (-hu6(n * n, deg[a] * deg[b]), a, b, n, deg[a], deg[b])
+            for (a, b), n in cooc.items()
+        )
+    )[:50]
+    got = [
+        (-r["cosine2"], r["part_a"], r["part_b"], r["n_common"],
+         r["deg_a"], r["deg_b"])
+        for r in rows
+    ]
+    assert got == want
+    # cosine bound: cos^2 <= 1 everywhere
+    assert all(r["cosine2"] <= 1.0 for r in rows)

@@ -1191,3 +1191,59 @@ def test_user_stickiness_pure_python(spark, sf_dir):
         want = ((2 * r["wau"] * 10**6 + r["mau"]) // (2 * r["mau"])) / 1e6
         assert r["stickiness"] == want
         assert 0 < r["stickiness"] <= 1.0
+
+
+def test_user_activity_streaks_pure_python(spark, sf_dir):
+    """Longest-consecutive-day streaks match a pure-Python calendar
+    walk per user: lengths, island counts, start dates, ordering."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_user_activity_streaks,
+    )
+
+    rows = q_user_activity_streaks(spark, sf_dir).collect()
+    assert rows
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    days = {}
+    for u, ts in zip(ev["user_id"], ev["ts"]):
+        days.setdefault(u, set()).add(ts.date())
+    stats = {}
+    for u, ds in days.items():
+        ds = sorted(ds)
+        streaks = []
+        start = prev = ds[0]
+        for d in ds[1:]:
+            if (d - prev).days == 1:
+                prev = d
+            else:
+                streaks.append((start, (prev - start).days + 1))
+                start = prev = d
+        streaks.append((start, (prev - start).days + 1))
+        longest = max(s[1] for s in streaks)
+        # earliest start among the longest
+        lstart = min(s[0] for s in streaks if s[1] == longest)
+        stats[u] = (len(ds), len(streaks), longest, lstart)
+    want = sorted(
+        (
+            (-lg, -nd, u, ns, lstart.isoformat())
+            for u, (nd, ns, lg, lstart) in stats.items()
+        )
+    )[:100]
+    got = [
+        (
+            -r["longest_streak"],
+            -r["n_active_days"],
+            r["user_id"],
+            r["n_streaks"],
+            r["longest_start"],
+        )
+        for r in rows
+    ]
+    assert got == want
+    # islands partition the active days: sum of streak lengths = n days
+    for r in rows:
+        assert r["longest_streak"] <= r["n_active_days"]
