@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "kaplan_meier_repeat",  # new in r9 — gate-verify the round it lands
+    "segment_price_ttest",  # new in r9 — gate-verify the round it lands
     "copurchase_cosine_top",  # new in r9 — gate-verify the round it lands
     "user_activity_streaks",  # new in r9 — gate-verify the round it lands
     "bm25_topk",  # new in r9 — gate-verify the round it lands
@@ -436,6 +438,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_stickiness": events.q_user_stickiness,
         "user_activity_streaks": events.q_user_activity_streaks,
         "copurchase_cosine_top": graph.q_copurchase_cosine_top,
+        "kaplan_meier_repeat": events.q_kaplan_meier_repeat,
+        "segment_price_ttest": quality.q_segment_price_ttest,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -4248,6 +4252,82 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "segment_price_ttest": (
+            # Welch t^2 from integer sufficient statistics (n, sum
+            # cents, sum cents^2): mean gap quantized once at
+            # milli-cents (abs before //, so flooring == truncating),
+            # variance/n terms at milli-cents^2, Welch df at milli;
+            # the se2 < 3e17 DECIMAL(38,0) guard is MIRRORED so both
+            # engines fail loudly, never diverge
+            "WITH s AS (SELECT c_mktsegment AS seg, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+            "AS BIGINT)) AS HUGEINT) AS s1, "
+            "sum(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 "
+            "AS BIGINT) AS HUGEINT) * CAST(CAST(o_totalprice AS "
+            "DECIMAL(12,2)) * 100 AS BIGINT)) AS s2 "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1), "
+            "p AS (SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, "
+            "b.n AS n_b, a.s1 AS s1_a, b.s1 AS s1_b, a.s2 AS s2_a, "
+            "b.s2 AS s2_b FROM s a JOIN s b ON a.seg < b.seg), "
+            "t AS (SELECT *, "
+            "(CAST(n_a AS HUGEINT) * s2_a - s1_a * s1_a) * 1000 // "
+            "(CAST(n_a AS HUGEINT) * n_a * (n_a - 1)) AS ta, "
+            "(CAST(n_b AS HUGEINT) * s2_b - s1_b * s1_b) * 1000 // "
+            "(CAST(n_b AS HUGEINT) * n_b * (n_b - 1)) AS tb FROM p), "
+            "g AS (SELECT *, CASE WHEN ta + tb >= 300000000000000000 "
+            "THEN CAST(error('ttest contract violated: se2_milli2 >= "
+            "3e17 exceeds the exact DECIMAL(38,0) square range; "
+            "rescale upstream') AS HUGEINT) ELSE ta + tb END AS se2g, "
+            "abs(s1_a * n_b - s1_b * n_a) * 1000 // "
+            "(CAST(n_a AS HUGEINT) * n_b) AS dm FROM t) "
+            "SELECT seg_a, seg_b, n_a, n_b, "
+            "CAST(dm AS BIGINT) AS dm_milli_abs, "
+            "CAST(dm * dm * 1000 // se2g AS BIGINT) AS t2_micro, "
+            "CAST(se2g * se2g * 1000 // "
+            "(ta * ta // (n_a - 1) + tb * tb // (n_b - 1)) AS BIGINT) "
+            "AS df_milli FROM g ORDER BY seg_a, seg_b"
+        ),
+        "kaplan_meier_repeat": (
+            # KM time-to-repeat-purchase in exact log space: death =
+            # second order at t = days(first, second); no second order
+            # => right-censored at the corpus max order date; ln S as
+            # a running sum of -ln_micro(n, n-d); NULL once n = d
+            "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) "
+            "AS d, o_orderkey FROM orders), "
+            "rk AS (SELECT o_custkey, d, row_number() OVER (PARTITION "
+            "BY o_custkey ORDER BY d, o_orderkey) AS rn FROM o), "
+            "f AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN d END) "
+            "AS d1, min(CASE WHEN rn = 2 THEN d END) AS d2 FROM rk "
+            "GROUP BY 1), "
+            "gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax "
+            "FROM orders), "
+            "u AS (SELECT CAST(CASE WHEN d2 IS NOT NULL THEN "
+            "date_diff('day', d1, d2) ELSE date_diff('day', d1, gmax) "
+            "END AS INTEGER) AS t_days, CASE WHEN d2 IS NULL THEN 1 "
+            "ELSE 0 END AS cen FROM f CROSS JOIN gm), "
+            "grid AS (SELECT t_days, CAST(sum(1 - cen) AS BIGINT) AS "
+            "n_deaths, CAST(sum(cen) AS BIGINT) AS n_censored "
+            "FROM u GROUP BY 1), "
+            "r AS (SELECT *, CAST(sum(n_deaths + n_censored) OVER "
+            "(ORDER BY t_days DESC ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW) AS BIGINT) AS n_risk FROM grid), "
+            "st AS (SELECT *, CASE WHEN n_deaths > 0 AND "
+            "n_risk - n_deaths >= 1 THEN -("
+            + _lnm("n_risk", "(n_risk - n_deaths)")
+            + ") ELSE 0 END AS step, CASE WHEN n_deaths > 0 AND "
+            "n_risk = n_deaths THEN 1 ELSE 0 END AS dead FROM r), "
+            "c AS (SELECT t_days, n_risk, n_deaths, n_censored, "
+            "CAST(sum(step) OVER (ORDER BY t_days ROWS BETWEEN "
+            "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS lnsum, "
+            "max(dead) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW) AS cumdead FROM st) "
+            "SELECT t_days, n_risk, n_deaths, n_censored, "
+            "CASE WHEN cumdead = 1 THEN NULL ELSE lnsum END "
+            "AS ln_surv_micro FROM c WHERE n_deaths > 0 "
+            "ORDER BY t_days"
         ),
         "copurchase_cosine_top": (
             # cosine link prediction surfaced as the monotone exact

@@ -954,3 +954,101 @@ def q_user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+def q_kaplan_meier_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve of TIME TO REPEAT PURCHASE — the
+    non-parametric estimator every churn analysis starts from (Kaplan &
+    Meier 1958), censoring-correct by construction. Subject: a
+    customer's first order; "death" = the second order, at duration =
+    days between them (same-day repeats are t = 0, ranked by orderkey);
+    a customer who never re-orders is RIGHT-CENSORED at the corpus max
+    order date (the honest encoding — we know they survived *at least*
+    that long, not that they churned; ``retention_decay_fit`` is the
+    parametric sibling).
+
+    At each distinct death time t: n_risk = customers still
+    un-reordered and un-censored before t, d = repeats at t, c =
+    censored at t; the survival curve is carried in LOG space as exact
+    micro-nats — ln S(t) = Σ_{t'≤t} −ln_micro(n, n−d) — so no float
+    product or exp appears on either engine (the ``ln_micro``
+    portability template). If the curve hits zero (n = d at some t),
+    ln S is NULL from that point on (−∞ has no fixed-point encoding;
+    NULL is the documented sentinel).
+
+    Scale: one per-customer window (partitioned by customer — never a
+    global sort) ranks each customer's first two orders; everything
+    after runs on the duration-grain grid (bounded by the calendar
+    span) — bounded-table windows only. The corpus max date is a
+    whitelisted 1-row broadcast.
+
+    Output: (t_days, n_risk, n_deaths, n_censored, ln_surv_micro),
+    one row per death time."""
+    from pyspark.sql import Window
+
+    from ..functions import ln_micro
+
+    t = load(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(wc)).filter(
+        F.col("rn") <= 2
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    gmax = t.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("gmax")
+    )
+    u = firsts.crossJoin(F.broadcast(gmax)).select(
+        F.when(
+            F.col("d2").isNotNull(), F.datediff("d2", "d1")
+        )
+        .otherwise(F.datediff("gmax", "d1"))
+        .alias("t_days"),
+        F.col("d2").isNull().cast("long").alias("cen"),
+    )
+    grid = u.groupBy("t_days").agg(
+        F.sum(F.lit(1) - F.col("cen")).alias("n_deaths"),
+        F.sum("cen").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(w_desc),
+    )
+    step = F.when(
+        (F.col("n_deaths") > 0)
+        & (F.col("n_risk") - F.col("n_deaths") >= 1),
+        -ln_micro(F.col("n_risk"), F.col("n_risk") - F.col("n_deaths")),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = (
+        (F.col("n_deaths") > 0) & (F.col("n_risk") == F.col("n_deaths"))
+    ).cast("int")
+    s = r.withColumn("step", step).withColumn("dead", dead)
+    c = s.withColumn("lnsum", F.sum("step").over(w_asc)).withColumn(
+        "cumdead", F.max("dead").over(w_asc)
+    )
+    return (
+        c.filter(F.col("n_deaths") > 0)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            F.when(F.col("cumdead") == 1, F.lit(None).cast("long"))
+            .otherwise(F.col("lnsum"))
+            .alias("ln_surv_micro"),
+        )
+        .orderBy("t_days")
+    )

@@ -1963,3 +1963,136 @@ def q_table_release_gate(spark, sf_dir: str) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).alias("passed"),
     )
+
+
+def _dec_trunc_div(nd, dd):
+    """Exact truncating division of two non-negative DECIMAL(38,0)
+    columns, result kept as DECIMAL(38,0) (for quotients past int64 —
+    ``_idiv``'s long cast would overflow)."""
+    return ((nd - nd % dd) / dd).cast("decimal(38,0)")
+
+
+def q_segment_price_ttest(spark, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test between every pair of market segments on
+    order value — the mean-comparison member of the statistical-testing
+    family (chi-square asks "are these categoricals related?", Welch
+    asks "do these two groups spend differently?", with no
+    equal-variance assumption — the default two-sample test since
+    Delacre et al. 2017).
+
+    Exact fixed point, no sqrt on either engine: the MONOTONE square
+    t² = (m₁−m₂)² / (s₁²/n₁ + s₂²/n₂) is surfaced instead of t.
+    Sufficient statistics per segment are exact integer sums over
+    cents (n, Σx, Σx² — one map-side-combinable groupBy); the mean gap
+    is quantized once at milli-cents via a non-negative trunc division
+    (|Σxₐ·n_b − Σx_b·nₐ|·10³ // nₐn_b — abs() first, so DuckDB's
+    flooring ``//`` and Spark's truncating decimal division agree),
+    each variance-over-n term at micro-cents² (10⁶·(nΣx²−(Σx)²) //
+    n²(n−1), non-negative by Cauchy–Schwarz), and the Welch–
+    Satterthwaite df at milli via the same scheme. Contract:
+    se2_micro2 < 3·10¹⁷ (cents² ≈ var/n scale) keeps every square in
+    DECIMAL(38,0)/HUGEINT — guarded with raise_error Spark-side and
+    the same error() CASE in the DuckDB twin.
+
+    Scale: the fact table collapses to 5 sufficient-statistic rows in
+    one shuffle; the pair expansion is the bounded 5×5 self-join.
+
+    Output: (seg_a, seg_b, n_a, n_b, dm_milli_abs, t2_micro,
+    df_milli)."""
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    stats = (
+        t.orders.select("o_custkey", cents.alias("c"))
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+                "s2"
+            ),
+        )
+    )
+    a, b = [
+        stats.select(
+            *[F.col(c).alias(f"{c}_{side}") for c in ("seg", "n", "s1", "s2")]
+        )
+        for side in ("a", "b")
+    ]
+    p = a.join(F.broadcast(b), F.col("seg_a") < F.col("seg_b"))
+
+    def term(n, s1, s2):
+        # 10^3 * (n*s2 - s1^2) // (n^2 * (n-1)) — variance/n in milli-cents^2
+        nd = n.cast("decimal(38,0)")
+        num = (nd * s2 - s1 * s1) * F.lit(1000)
+        return _idiv(num, nd * nd * (nd - 1))
+
+    ta = term(F.col("n_a"), F.col("s1_a"), F.col("s2_a"))
+    tb = term(F.col("n_b"), F.col("s1_b"), F.col("s2_b"))
+    p = p.withColumn("se2_milli2", (ta + tb).cast("long"))
+    guarded_se2 = F.when(
+        F.col("se2_milli2") >= F.lit(300_000_000_000_000_000),
+        F.raise_error(
+            F.lit(
+                "ttest contract violated: se2_milli2 >= 3e17 exceeds "
+                "the exact DECIMAL(38,0) square range; rescale upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("se2_milli2"))
+    na, nb = F.col("n_a").cast("decimal(38,0)"), F.col("n_b").cast(
+        "decimal(38,0)"
+    )
+    dm_milli = _idiv(
+        F.abs(F.col("s1_a") * nb - F.col("s1_b") * na) * F.lit(1000),
+        na * nb,
+    )
+    p = (
+        p.withColumn("se2g", guarded_se2)
+        .withColumn("dm_milli_abs", dm_milli)
+        .withColumn(
+            "t2_micro",
+            # dm_milli^2 = dm^2*10^6 vs se2_milli2 = se^2*10^3: the
+            # scales differ by 10^3, so one more 10^3 factor yields
+            # t^2 in micro
+            _idiv(
+                F.col("dm_milli_abs").cast("decimal(38,0)")
+                * F.col("dm_milli_abs")
+                * F.lit(1000),
+                F.col("se2g"),
+            ),
+        )
+        .withColumn(
+            "df_milli",
+            # the inner ta^2/(n-1) terms reach ~1e30 — far past int64 —
+            # so their trunc division stays in DECIMAL(38,0) (no long
+            # round-trip); only the final milli-scaled df is a BIGINT
+            _idiv(
+                F.col("se2g").cast("decimal(38,0)")
+                * F.col("se2g")
+                * F.lit(1000),
+                _dec_trunc_div(
+                    ta.cast("decimal(38,0)") * ta,
+                    (F.col("n_a") - 1).cast("decimal(38,0)"),
+                )
+                + _dec_trunc_div(
+                    tb.cast("decimal(38,0)") * tb,
+                    (F.col("n_b") - 1).cast("decimal(38,0)"),
+                ),
+            ),
+        )
+    )
+    return p.select(
+        "seg_a",
+        "seg_b",
+        "n_a",
+        "n_b",
+        "dm_milli_abs",
+        "t2_micro",
+        "df_milli",
+    ).orderBy("seg_a", "seg_b")

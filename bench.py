@@ -113,6 +113,8 @@ HEADLINE = [
     "user_stickiness",        # WAU/MAU engagement ratio (new in r9)
     "copurchase_cosine_top",  # cosine link prediction (new in r9)
     "user_activity_streaks",  # gaps-and-islands engagement streaks (new in r9)
+    "kaplan_meier_repeat",    # non-parametric survival curve (new in r9)
+    "segment_price_ttest",    # Welch mean-comparison test (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

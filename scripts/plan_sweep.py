@@ -87,12 +87,15 @@ WHITELIST: dict[str, str] = {
     "bloom_semijoin_pushdown": "1-row selected-order-count broadcast against the 1-row accounting aggregate",
     "source_quota_apportionment": "1-row grand-total and base-quota-sum broadcasts against the |sources|-row table",
     "retention_decay_fit": "1-row max-week broadcast attached to the bounded cohort-size table (horizon arithmetic)",
+    "kaplan_meier_repeat": "1-row corpus-max-date broadcast attached to the per-customer firsts table (censoring arithmetic)",
+    "segment_price_ttest": "bounded 5x5 segment self-join (seg_a < seg_b theta join over the 5-row sufficient-statistic table)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "kaplan_meier_repeat": "risk-set/survival cumulative sums over the duration-grain grid (bounded by the calendar span), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

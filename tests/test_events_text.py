@@ -1247,3 +1247,86 @@ def test_user_activity_streaks_pure_python(spark, sf_dir):
     # islands partition the active days: sum of streak lengths = n days
     for r in rows:
         assert r["longest_streak"] <= r["n_active_days"]
+
+
+def test_kaplan_meier_pure_python(spark, sf_dir):
+    """The KM repeat-purchase grid (risk sets, deaths, censoring) and
+    the log-space survival sum match a pure-Python recompute using the
+    engine's own ln_micro steps; survival is monotone non-increasing
+    and the top risk set is every customer."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+    from beauty_lakehouse_spark.operators.events import (
+        q_kaplan_meier_repeat,
+    )
+
+    rows = q_kaplan_meier_repeat(spark, sf_dir).collect()
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["d"] = o["o_orderdate"].dt.date
+    gmax = o["d"].max()
+    grid = {}
+    n_cust = 0
+    for _, g in o.groupby("o_custkey"):
+        n_cust += 1
+        two = g.sort_values(["d", "o_orderkey"]).head(2)
+        if len(two) >= 2:
+            t_days, cen = (two["d"].iloc[1] - two["d"].iloc[0]).days, 0
+        else:
+            t_days, cen = (gmax - two["d"].iloc[0]).days, 1
+        d, c = grid.get(t_days, (0, 0))
+        grid[t_days] = (d + 1 - cen, c + cen)
+    ts = sorted(grid)
+    n_risk, seen = {}, 0
+    for t_ in reversed(ts):
+        d, c = grid[t_]
+        seen += d + c
+        n_risk[t_] = seen
+    assert n_risk[ts[0]] == n_cust
+    need = sorted(
+        {
+            (n_risk[t_], n_risk[t_] - grid[t_][0])
+            for t_ in ts
+            if grid[t_][0] > 0 and n_risk[t_] - grid[t_][0] >= 1
+        }
+    )
+    lnm = {
+        (r["a"], r["b"]): r["v"]
+        for r in spark.createDataFrame(need, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            ln_micro(
+                F.col("a").cast("long"), F.col("b").cast("long")
+            ).alias("v"),
+        )
+        .collect()
+    }
+    acc, dead = 0, False
+    want = []
+    for t_ in ts:
+        d, c = grid[t_]
+        if d > 0 and n_risk[t_] - d >= 1:
+            acc -= lnm[(n_risk[t_], n_risk[t_] - d)]
+        if d > 0 and n_risk[t_] == d:
+            dead = True
+        if d > 0:
+            want.append((t_, n_risk[t_], d, c, None if dead else acc))
+    got = [
+        (
+            r["t_days"],
+            r["n_risk"],
+            r["n_deaths"],
+            r["n_censored"],
+            r["ln_surv_micro"],
+        )
+        for r in rows
+    ]
+    assert got == want
+    vals = [v for *_, v in got if v is not None]
+    assert all(x >= y for x, y in zip(vals, vals[1:]))
+    assert all(v <= 0 for v in vals)

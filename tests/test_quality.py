@@ -758,3 +758,58 @@ def test_release_gate_composes_constituents(spark, sf_dir):
         assert r["passed"] == (r["n_violations"] == 0)
     # the fixtures' deliberate date violations must be REPORTED
     assert not rows["date_rule_violations"]["passed"]
+
+
+def test_segment_price_ttest_pure_python(spark, sf_dir):
+    """Welch t^2 matches an exact big-int Python recompute of the same
+    fixed-point scheme, and agrees with float Welch to ~1e-4."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_segment_price_ttest,
+    )
+
+    rows = {
+        (r["seg_a"], r["seg_b"]): r
+        for r in q_segment_price_ttest(spark, sf_dir).collect()
+    }
+    assert len(rows) == 10
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"].round(2) * 100).round().astype(int)
+    stats = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        cs = [int(x) for x in g["cents"]]
+        stats[seg] = (len(cs), sum(cs), sum(x * x for x in cs))
+    segs = sorted(stats)
+    for i, sa in enumerate(segs):
+        for sb in segs[i + 1 :]:
+            na, s1a, s2a = stats[sa]
+            nb, s1b, s2b = stats[sb]
+            ta = (na * s2a - s1a * s1a) * 10**3 // (na * na * (na - 1))
+            tb = (nb * s2b - s1b * s1b) * 10**3 // (nb * nb * (nb - 1))
+            se2 = ta + tb
+            assert se2 < 3 * 10**17  # contract headroom
+            dm = abs(s1a * nb - s1b * na) * 1000 // (na * nb)
+            t2 = dm * dm * 10**3 // se2
+            df = se2 * se2 * 1000 // (
+                ta * ta // (na - 1) + tb * tb // (nb - 1)
+            )
+            r = rows[(sa, sb)]
+            assert (r["n_a"], r["n_b"]) == (na, nb)
+            assert r["dm_milli_abs"] == dm
+            assert r["t2_micro"] == t2
+            assert r["df_milli"] == df
+            # float Welch cross-check
+            ma, mb = s1a / na, s1b / nb
+            va = (s2a - na * ma * ma) / (na - 1)
+            vb = (s2b - nb * mb * mb) / (nb - 1)
+            se2f = va / na + vb / nb
+            t2f = (ma - mb) ** 2 / se2f
+            assert abs(r["t2_micro"] / 1e6 - t2f) < max(1e-3, t2f * 1e-3)
+            dff = se2f**2 / (
+                (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
+            )
+            assert abs(r["df_milli"] / 1e3 - dff) / dff < 1e-3
