@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "shard_rendezvous_stats",  # new in r9 — gate-verify the round it lands
+    "zone_map_pruning",  # new in r9 — gate-verify the round it lands
     "kaplan_meier_repeat",  # new in r9 — gate-verify the round it lands
     "segment_price_ttest",  # new in r9 — gate-verify the round it lands
     "copurchase_cosine_top",  # new in r9 — gate-verify the round it lands
@@ -440,6 +442,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_cosine_top": graph.q_copurchase_cosine_top,
         "kaplan_meier_repeat": events.q_kaplan_meier_repeat,
         "segment_price_ttest": quality.q_segment_price_ttest,
+        "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
+        "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -4252,6 +4256,56 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "shard_rendezvous_stats": (
+            # highest-random-weight assignment: per doc, argmax of the
+            # portable md5 hash over shard ids 0..7 and 0..8; the
+            # max(ROW(h, s)) struct compare mirrors Spark's array_max
+            "WITH u AS (SELECT doc_id, s, "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+            "CAST(s AS VARCHAR)), 1, 15))::BIGINT AS h "
+            "FROM documents CROSS JOIN "
+            "(SELECT unnest(generate_series(0, 8)) AS s) sh), "
+            "a AS (SELECT doc_id, "
+            "max(CASE WHEN s < 8 THEN ROW(h, s) END) AS p8, "
+            "max(ROW(h, s)) AS p9 FROM u GROUP BY 1), "
+            "b AS (SELECT CAST(p8[2] AS INTEGER) AS shard8, "
+            "CAST(p9[2] AS INTEGER) AS shard9 FROM a), "
+            "g8 AS (SELECT shard8 AS shard, CAST(count(*) AS BIGINT) "
+            "AS n_docs_8 FROM b GROUP BY 1), "
+            "g9 AS (SELECT shard9 AS shard, CAST(count(*) AS BIGINT) "
+            "AS n_docs_9, CAST(sum(CASE WHEN shard8 <> shard9 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_arrivals FROM b GROUP BY 1) "
+            "SELECT shard, COALESCE(n_docs_8, 0) AS n_docs_8, "
+            "COALESCE(n_docs_9, 0) AS n_docs_9, "
+            "COALESCE(n_arrivals, 0) AS n_arrivals "
+            "FROM g8 FULL OUTER JOIN g9 USING (shard) ORDER BY shard"
+        ),
+        "zone_map_pruning": (
+            # year-grain zone maps + per-predicate conditional match
+            # counts in ONE aggregate; pruned decided from the map only
+            "WITH c AS (SELECT CAST(year(o_orderdate) AS INTEGER) AS "
+            "order_year, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * "
+            "100 AS BIGINT) AS c FROM orders), "
+            "zm AS (SELECT order_year, CAST(count(*) AS BIGINT) AS "
+            "n_rows, min(c) AS min_cents, max(c) AS max_cents, "
+            "CAST(sum(CASE WHEN c BETWEEN 45000000 AND 50000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS m_top, "
+            "CAST(sum(CASE WHEN c BETWEEN 20000000 AND 30000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS m_mid, "
+            "CAST(sum(CASE WHEN c BETWEEN 0 AND 100000 THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS m_micro FROM c GROUP BY 1), "
+            "p AS (SELECT * FROM (VALUES "
+            "('top_decile_value', 45000000, 50000000), "
+            "('mid_band_value', 20000000, 30000000), "
+            "('micro_orders', 0, 100000)) AS v(predicate, lo, hi)) "
+            "SELECT predicate, order_year, n_rows, min_cents, "
+            "max_cents, CAST(CASE WHEN max_cents < lo OR min_cents > "
+            "hi THEN 1 ELSE 0 END AS INTEGER) AS pruned, "
+            "CASE predicate WHEN 'top_decile_value' THEN m_top "
+            "WHEN 'mid_band_value' THEN m_mid ELSE m_micro END "
+            "AS n_matches FROM zm CROSS JOIN p "
+            "ORDER BY predicate, order_year"
         ),
         "segment_price_ttest": (
             # Welch t^2 from integer sufficient statistics (n, sum

@@ -1196,3 +1196,153 @@ def q_nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_cents").cast("long").alias("total_cents"),
         slope.alias("slope_micro_cents_per_year"),
     )
+
+
+#: Rendezvous shard counts before/after scale-out. 8 → 9 exercises the
+#: minimal-movement property at the smallest interesting step.
+HRW_SHARDS = 8
+
+
+def q_shard_rendezvous_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing shard assignment and
+    its scale-out movement audit — THE consistent-placement primitive
+    for distributed tables (Thaler & Ravishankar 1998; what Ceph's
+    CRUSH and most shard routers build on): doc → argmax_s
+    hash(doc, s). Adding shard N+1 moves ONLY the docs whose new
+    argmax IS the new shard (expected 1/(N+1) of the corpus); nothing
+    reshuffles between survivors — the property this operator measures
+    and its pytest pins.
+
+    Both assignments (8 and 9 shards) are pure map-side expressions:
+    the per-shard hashes are a literal array of (portable md5 hash,
+    shard) structs and the argmax is ``array_max`` — no explode, no
+    shuffle, no UDF; lexicographic struct compare breaks (impossible
+    at 60-bit, but deterministic) ties toward the higher shard id on
+    BOTH engines.
+
+    Scale: one pass over the corpus, two bounded (≤ 9-row) aggregates.
+
+    Output per shard: (shard, n_docs_8, n_docs_9, n_arrivals) —
+    n_arrivals > 0 only at the new shard if rendezvous is working."""
+    from ..functions import portable_hash64
+
+    t = load(spark, sf_dir)
+
+    def hs(s: int):
+        return F.struct(
+            portable_hash64(
+                F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(str(s)))
+            ).alias("h"),
+            F.lit(s).cast("int").alias("s"),
+        )
+
+    arr9 = F.array(*[hs(s) for s in range(HRW_SHARDS + 1)])
+    assigned = t.documents.select(
+        F.array_max(F.slice(arr9, 1, HRW_SHARDS))["s"].alias("shard8"),
+        F.array_max(arr9)["s"].alias("shard9"),
+    )
+    g8 = assigned.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_8")
+    )
+    g9 = assigned.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n_docs_9"),
+        F.sum(
+            (F.col("shard8") != F.col("shard9")).cast("long")
+        ).alias("n_arrivals"),
+    )
+    return (
+        g8.join(g9, "shard", "full_outer")
+        .select(
+            "shard",
+            F.coalesce("n_docs_8", F.lit(0)).alias("n_docs_8"),
+            F.coalesce("n_docs_9", F.lit(0)).alias("n_docs_9"),
+            F.coalesce("n_arrivals", F.lit(0)).alias("n_arrivals"),
+        )
+        .orderBy("shard")
+    )
+
+
+#: Zone-map pruning probe predicates: (name, lo_cents, hi_cents) range
+#: queries against o_totalprice. Fixed literals so the report is a
+#: deterministic, oracle-checkable artifact.
+ZONE_PREDICATES = [
+    ("top_decile_value", 45_000_000, 50_000_000),
+    ("mid_band_value", 20_000_000, 30_000_000),
+    ("micro_orders", 0, 100_000),
+]
+
+
+def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data skipping report — the min/max-statistics pruning
+    every columnar lakehouse (parquet row groups, Delta/Iceberg file
+    stats, ClickHouse marks) lives on: per partition (order year),
+    record the zone map (row count, min/max order value in cents),
+    then evaluate each probe range predicate against the map alone —
+    ``pruned`` = the whole partition provably contains no match
+    (max < lo or min > hi), decided WITHOUT touching the rows.
+
+    ``n_matches`` (the actual match count) rides along so the report
+    is self-auditing: pruned = 1 ⟹ n_matches = 0 is the zone-map
+    soundness invariant, pytest-pinned and hash-verified — a stats
+    bug that would silently drop rows at 100 TB fails here.
+
+    Scale: ONE map-side-combinable pass builds the year-grain zone
+    maps with per-predicate conditional counts folded into the same
+    aggregate; the predicate × partition expansion is bounded
+    (3 × years).
+
+    Output: (predicate, order_year, n_rows, min_cents, max_cents,
+    pruned, n_matches)."""
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    zm = (
+        t.orders.select(
+            F.year("o_orderdate").alias("order_year"),
+            cents.alias("c"),
+        )
+        .groupBy("order_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+            *[
+                F.sum(
+                    F.col("c").between(lo, hi).cast("long")
+                ).alias(f"m_{name}")
+                for name, lo, hi in ZONE_PREDICATES
+            ],
+        )
+    )
+    preds = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("predicate"),
+                F.lit(lo).cast("long").alias("lo"),
+                F.lit(hi).cast("long").alias("hi"),
+            )
+            for name, lo, hi in ZONE_PREDICATES
+        ]
+    )
+    e = zm.select("*", F.explode(preds).alias("p"))
+    n_matches = F.coalesce(
+        *[
+            F.when(F.col("p.predicate") == name, F.col(f"m_{name}"))
+            for name, _, _ in ZONE_PREDICATES
+        ]
+    )
+    return e.select(
+        F.col("p.predicate").alias("predicate"),
+        "order_year",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        (
+            (F.col("max_cents") < F.col("p.lo"))
+            | (F.col("min_cents") > F.col("p.hi"))
+        )
+        .cast("int")
+        .alias("pruned"),
+        n_matches.alias("n_matches"),
+    ).orderBy("predicate", "order_year")

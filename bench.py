@@ -115,6 +115,8 @@ HEADLINE = [
     "user_activity_streaks",  # gaps-and-islands engagement streaks (new in r9)
     "kaplan_meier_repeat",    # non-parametric survival curve (new in r9)
     "segment_price_ttest",    # Welch mean-comparison test (new in r9)
+    "shard_rendezvous_stats", # HRW consistent-placement audit (new in r9)
+    "zone_map_pruning",       # data-skipping effectiveness report (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -435,3 +435,79 @@ def test_copurchase_cosine_pure_python(spark, sf_dir):
     assert got == want
     # cosine bound: cos^2 <= 1 everywhere
     assert all(r["cosine2"] <= 1.0 for r in rows)
+
+
+def test_shard_rendezvous_pure_python(spark, sf_dir):
+    """HRW assignment matches a pure-Python md5 recompute, conserves
+    the corpus, and moves docs ONLY to the new shard on scale-out."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_shard_rendezvous_stats,
+    )
+
+    rows = {r["shard"]: r for r in q_shard_rendezvous_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(range(9))
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def h(doc_id, s):
+        return int(
+            hashlib.md5(f"{doc_id}:{s}".encode()).hexdigest()[:15], 16
+        )
+
+    c8 = dict.fromkeys(range(9), 0)
+    c9 = dict.fromkeys(range(9), 0)
+    arr = dict.fromkeys(range(9), 0)
+    for d in docs["doc_id"]:
+        hs = [(h(d, s), s) for s in range(9)]
+        s8 = max(hs[:8])[1]
+        s9 = max(hs)[1]
+        c8[s8] += 1
+        c9[s9] += 1
+        if s8 != s9:
+            arr[s9] += 1
+    for s in range(9):
+        assert rows[s]["n_docs_8"] == c8[s]
+        assert rows[s]["n_docs_9"] == c9[s]
+        assert rows[s]["n_arrivals"] == arr[s]
+    n = len(docs)
+    assert sum(r["n_docs_8"] for r in rows.values()) == n
+    assert sum(r["n_docs_9"] for r in rows.values()) == n
+    # rendezvous minimal movement: arrivals only at the NEW shard
+    assert all(rows[s]["n_arrivals"] == 0 for s in range(8))
+    assert rows[8]["n_arrivals"] == rows[8]["n_docs_9"]
+
+
+def test_zone_map_pruning_soundness(spark, sf_dir):
+    """Zone maps match pandas min/max/count per year; pruning is SOUND
+    (pruned => zero matches) and agrees with a direct recompute."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        ZONE_PREDICATES,
+        q_zone_map_pruning,
+    )
+
+    rows = q_zone_map_pruning(spark, sf_dir).collect()
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["c"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    o["y"] = o["o_orderdate"].dt.year
+    byy = o.groupby("y")["c"]
+    lo_hi = {name: (lo, hi) for name, lo, hi in ZONE_PREDICATES}
+    n_years = o["y"].nunique()
+    assert len(rows) == n_years * len(ZONE_PREDICATES)
+    for r in rows:
+        g = o[o["y"] == r["order_year"]]["c"]
+        lo, hi = lo_hi[r["predicate"]]
+        assert r["n_rows"] == len(g)
+        assert r["min_cents"] == g.min()
+        assert r["max_cents"] == g.max()
+        assert r["n_matches"] == int(g.between(lo, hi).sum())
+        assert r["pruned"] == int(g.max() < lo or g.min() > hi)
+        if r["pruned"]:
+            assert r["n_matches"] == 0  # zone-map soundness
