@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "events_rate_capped_streamed",  # new in r9 — gate-verify the round it lands
     "shard_rendezvous_stats",  # new in r9 — gate-verify the round it lands
     "zone_map_pruning",  # new in r9 — gate-verify the round it lands
     "kaplan_meier_repeat",  # new in r9 — gate-verify the round it lands
@@ -442,6 +443,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_cosine_top": graph.q_copurchase_cosine_top,
         "kaplan_meier_repeat": events.q_kaplan_meier_repeat,
         "segment_price_ttest": quality.q_segment_price_ttest,
+        "events_rate_capped_streamed": _q_rate_capped_streamed,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -1310,6 +1312,32 @@ def _q_user_modal_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"gate_umod_{uuid.uuid4().hex[:8]}",
     )
     return user_modal_finish(grid)
+
+
+def _q_rate_capped_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throttle-at-ingest: the first-K-per-(user, clock hour) kept set
+    maintained as user-managed ``applyInPandasWithState`` min-k state —
+    the eviction-correct bounded top-k shape built-in streaming
+    aggregates cannot express (update mode + per-key version stamp;
+    ``rate_capped_finish`` keeps the final snapshot, which is
+    micro-batch-slicing-independent because min-k merge is associative
+    and commutative). Behind the SAME oracle row as the batch
+    ``events_rate_capped`` — the 19th oracle-matched streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        rate_capped_events,
+        rate_capped_finish,
+        run_available_now,
+        stream_events,
+    )
+
+    drained = run_available_now(
+        rate_capped_events(stream_events(spark, sf_dir)),
+        f"gate_rcap_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return rate_capped_finish(drained)
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5131,6 +5159,7 @@ def oracle_sql() -> dict[str, str]:
     out["table_stats_streamed"] = out["table_stats"]
     out["ddsketch_quantiles_streamed"] = out["ddsketch_value_quantiles"]
     out["user_modal_streamed"] = out["user_modal_event"]
+    out["events_rate_capped_streamed"] = out["events_rate_capped"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

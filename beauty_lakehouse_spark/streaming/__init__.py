@@ -28,3 +28,7 @@ from .pipelines import (  # noqa: F401
     user_purchase_totals,
     view_purchase_attribution,
 )
+from .stateful import (  # noqa: F401
+    rate_capped_events,
+    rate_capped_finish,
+)

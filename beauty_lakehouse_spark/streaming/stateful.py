@@ -87,3 +87,100 @@ def purchase_milestones(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+from ..operators.events import RATE_CAP_PER_HOUR
+
+#: Rate-cap K — shared with the batch ``q_events_rate_capped`` contract
+#: (first K events per (user, clock hour) by (event time, event_id)),
+#: so the streamed twin can never drift from the batch oracle.
+RATE_CAP_K = RATE_CAP_PER_HOUR
+
+RATE_CAP_OUTPUT = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("hour_us", T.LongType(), False),
+        T.StructField("rk", T.IntegerType(), False),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+RATE_CAP_STATE = T.StructType(
+    [
+        T.StructField("us_arr", T.ArrayType(T.LongType()), True),
+        T.StructField("eid_arr", T.ArrayType(T.LongType()), True),
+        T.StructField("version", T.LongType(), True),
+    ]
+)
+
+
+def _rate_cap_fn(k: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, hour_us = key
+        if state.exists:
+            us_arr, eid_arr, version = state.get
+            kept = list(zip(us_arr, eid_arr))
+        else:
+            kept, version = [], 0
+        for pdf in pdfs:
+            kept.extend(zip(pdf["us"], pdf["event_id"]))
+        # min-k merge: associative + commutative, so the FINAL kept set
+        # is independent of micro-batch slicing and arrival order —
+        # a late-arriving earlier event correctly evicts a kept one
+        kept = sorted(set(kept))[:k]
+        version += 1
+        state.update(
+            ([int(u) for u, _ in kept], [int(e) for _, e in kept], version)
+        )
+        yield pd.DataFrame(
+            {
+                "event_id": [int(e) for _, e in kept],
+                "user_id": [int(user_id)] * len(kept),
+                "hour_us": [int(hour_us)] * len(kept),
+                "rk": list(range(1, len(kept) + 1)),
+                "version": [version] * len(kept),
+            }
+        )
+
+    return fn
+
+
+def rate_capped_events(events: DataFrame, k: int = RATE_CAP_K) -> DataFrame:
+    """Streaming deterministic ingestion throttle: user-managed min-k
+    state per (user, clock hour) — the eviction-correct bounded top-k
+    shape built-in streaming aggregates cannot express (a late earlier
+    event must EVICT a previously-kept row, so append mode is wrong;
+    each update re-emits the key's current kept set stamped with a
+    monotone per-key version, and ``rate_capped_finish`` keeps the
+    final snapshot). State is ≤ k (time, id) pairs per active key."""
+    keyed = events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("us"),
+    ).withColumn("hour_us", F.col("us") - F.col("us") % 3_600_000_000)
+    return keyed.groupBy("user_id", "hour_us").applyInPandasWithState(
+        _rate_cap_fn(k),
+        outputStructType=RATE_CAP_OUTPUT,
+        stateStructType=RATE_CAP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rate_capped_finish(drained: DataFrame) -> DataFrame:
+    """Last-version-wins snapshot of the drained update stream: the
+    final kept set per (user, hour) — identical to the batch
+    ``q_events_rate_capped`` report regardless of slicing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "hour_us")
+    return (
+        drained.withColumn("mv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("mv"))
+        .select("event_id", "user_id", "hour_us", "rk")
+    )

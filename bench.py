@@ -117,6 +117,7 @@ HEADLINE = [
     "segment_price_ttest",    # Welch mean-comparison test (new in r9)
     "shard_rendezvous_stats", # HRW consistent-placement audit (new in r9)
     "zone_map_pruning",       # data-skipping effectiveness report (new in r9)
+    "events_rate_capped_streamed",  # throttle-at-ingest stateful drain (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -587,3 +587,45 @@ def test_user_modal_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = user_modal_finish(grid)
     expected = q_user_modal_event(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_rate_capped_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the events fixture into 4 files and stream them one per
+    micro-batch: the last-version-wins snapshot of the min-k state
+    updates must equal the batch q_events_rate_capped report exactly —
+    min-k merge is associative and commutative, so the final kept set
+    is slicing-independent EVEN THOUGH later batches can evict rows
+    earlier batches had kept (the eviction path this test exercises by
+    hash-splitting, which scrambles event-time order across files)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_events_rate_capped,
+    )
+    from beauty_lakehouse_spark.streaming.stateful import (
+        rate_capped_events,
+        rate_capped_finish,
+    )
+
+    src = str(tmp_path / "events_parts_rcap")
+    from beauty_lakehouse_spark.catalog import load
+
+    ev = load(spark, sf_dir).events
+    ev.withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        rate_capped_events(stream), "t_rcap_mb", output_mode="update"
+    )
+    # the update stream really did revise keys across batches
+    # (otherwise this test wouldn't exercise eviction)
+    assert drained.filter(F.col("version") > 1).count() > 0
+    got = rate_capped_finish(drained)
+    expected = q_events_rate_capped(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
