@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "status_bitmap_algebra",  # new in r9 — gate-verify the round it lands
+    "part_price_band_join",  # new in r9 — gate-verify the round it lands
     "events_rate_capped_streamed",  # new in r9 — gate-verify the round it lands
     "shard_rendezvous_stats",  # new in r9 — gate-verify the round it lands
     "zone_map_pruning",  # new in r9 — gate-verify the round it lands
@@ -444,6 +446,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_repeat": events.q_kaplan_meier_repeat,
         "segment_price_ttest": quality.q_segment_price_ttest,
         "events_rate_capped_streamed": _q_rate_capped_streamed,
+        "part_price_band_join": warehouse.q_part_price_band_join,
+        "status_bitmap_algebra": warehouse.q_status_bitmap_algebra,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4284,6 +4288,36 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "status_bitmap_algebra": (
+            # 32-bit-in-int64 bitmap words per (status, key>>5) via
+            # bit_or; algebra is word-grain popcount sums
+            "WITH w AS (SELECT o_orderstatus AS status, "
+            "o_orderkey // 32 AS word_id, "
+            "bit_or(CAST(1 AS BIGINT) << CAST(o_orderkey % 32 AS "
+            "INTEGER)) AS w FROM orders GROUP BY 1, 2) "
+            "SELECT a.status AS status_a, b.status AS status_b, "
+            "CAST(count(*) AS BIGINT) AS n_common_words, "
+            "CAST(sum(bit_count(a.w)) AS BIGINT) AS pop_a_common, "
+            "CAST(sum(bit_count(b.w)) AS BIGINT) AS pop_b_common, "
+            "CAST(sum(bit_count(a.w & b.w)) AS BIGINT) AS pop_and "
+            "FROM w a JOIN w b ON a.word_id = b.word_id "
+            "AND a.status <= b.status "
+            "GROUP BY 1, 2 ORDER BY status_a, status_b"
+        ),
+        "part_price_band_join": (
+            # the oracle PROVES the bucket decomposition lossless: a
+            # direct theta band self-join must yield the same pairs
+            "WITH p AS (SELECT p_partkey, p_type, "
+            "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+            "AS cents FROM part) "
+            "SELECT a.p_partkey AS part_a, b.p_partkey AS part_b, "
+            "a.p_type AS p_type, a.cents AS cents_a, b.cents AS cents_b, "
+            "abs(a.cents - b.cents) AS diff_cents "
+            "FROM p a JOIN p b ON a.p_type = b.p_type "
+            "AND a.p_partkey < b.p_partkey "
+            "AND abs(a.cents - b.cents) <= 100 "
+            "ORDER BY diff_cents, part_a, part_b LIMIT 100"
         ),
         "shard_rendezvous_stats": (
             # highest-random-weight assignment: per doc, argmax of the

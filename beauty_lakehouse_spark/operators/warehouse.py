@@ -1346,3 +1346,149 @@ def q_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pruned"),
         n_matches.alias("n_matches"),
     ).orderBy("predicate", "order_year")
+
+
+#: Numeric band-join half-width in cents: parts whose prices differ by
+#: at most this are "price twins". Also the bucket width — candidates
+#: can then only live in the same or adjacent bucket.
+PRICE_BAND_CENTS = 100
+
+
+def q_part_price_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric BAND JOIN without a cartesian product — the range-join
+    shape (|xₐ − x_b| ≤ δ) that trips naive engines into O(n²) nested
+    loops: same-type part pairs priced within ``PRICE_BAND_CENTS`` of
+    each other (competitive-pricing twins). Spark has no native band
+    join, so this is the classic bucket decomposition: bucket width =
+    band width δ, so every qualifying pair lives in the same or an
+    adjacent bucket; the LEFT side probes (own, own+1) buckets, the
+    RIGHT side sits at its own bucket, and the join is EQUI on
+    (type, probe bucket) — a hash join Catalyst can shuffle on, never
+    a theta join. Each pair is minted exactly once with no distinct:
+    same-bucket pairs by id order, cross-bucket pairs only from the
+    lower bucket's +1 probe (the adjacent-cell convention the LSH /
+    ANN cell families use).
+
+    Scale: candidates per row are bounded by bucket occupancy (skewed
+    price points would be salted the same way skewed join keys are);
+    work is Σ per-bucket products, never |part|².
+
+    Output: top-100 twins by (diff_cents asc, ids) —
+    (part_a, part_b, p_type, cents_a, cents_b, diff_cents)."""
+    t = load(spark, sf_dir)
+    base = t.part.select(
+        F.col("p_partkey").alias("pk"),
+        F.col("p_type").alias("ptype"),
+        (dec2("p_retailprice") * 100).cast("long").alias("cents"),
+    ).withColumn(
+        "bucket", (F.col("cents") / F.lit(PRICE_BAND_CENTS)).cast("long")
+    )
+    left = base.select(
+        "pk",
+        "ptype",
+        "cents",
+        "bucket",
+        F.explode(
+            F.array(F.col("bucket"), F.col("bucket") + 1)
+        ).alias("probe"),
+    )
+    right = base.select(
+        F.col("pk").alias("pk_r"),
+        F.col("ptype").alias("ptype_r"),
+        F.col("cents").alias("cents_r"),
+        F.col("bucket").alias("bucket_r"),
+    )
+    pairs = (
+        left.join(
+            right,
+            (F.col("ptype") == F.col("ptype_r"))
+            & (F.col("probe") == F.col("bucket_r")),
+        )
+        .filter(
+            F.abs(F.col("cents") - F.col("cents_r"))
+            <= F.lit(PRICE_BAND_CENTS)
+        )
+        .filter(
+            F.when(
+                F.col("bucket") == F.col("bucket_r"),
+                F.col("pk") < F.col("pk_r"),
+            ).otherwise(F.col("probe") == F.col("bucket_r"))
+        )
+        .filter(F.col("pk") != F.col("pk_r"))
+    )
+    out = pairs.select(
+        F.least("pk", "pk_r").alias("part_a"),
+        F.greatest("pk", "pk_r").alias("part_b"),
+        F.col("ptype").alias("p_type"),
+        F.when(F.col("pk") < F.col("pk_r"), F.col("cents"))
+        .otherwise(F.col("cents_r"))
+        .alias("cents_a"),
+        F.when(F.col("pk") < F.col("pk_r"), F.col("cents_r"))
+        .otherwise(F.col("cents"))
+        .alias("cents_b"),
+        F.abs(F.col("cents") - F.col("cents_r")).alias("diff_cents"),
+    )
+    return out.orderBy("diff_cents", "part_a", "part_b").limit(100)
+
+
+def q_status_bitmap_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap secondary index + set algebra over it — the
+    low-cardinality-column indexing primitive columnar warehouses use
+    (Oracle bitmap indexes, Druid/Pinot inverted bitmaps, roaring
+    bitmaps in ClickHouse): per order STATUS, a bitmap over the
+    orderkey space packed into 32-bit words carried in int64 (word =
+    key >> 5, bit = key & 31 — bit 31 stays clear of the int64 sign
+    bit, which the two engines would otherwise treat differently),
+    built with ONE map-side-combinable ``bit_or`` aggregate
+    per (status, word). The algebra is then word-grain: cardinality =
+    Σ popcount(word), intersection = popcount(a AND b) summed over the
+    word-aligned join — never a row-level set operation.
+
+    The report is self-auditing: statuses partition the orders, so
+    every pairwise AND popcount must be 0 and Σ per-status popcounts
+    must equal the table count — the invariants the pytest pins and
+    the oracle hash-verifies.
+
+    Scale: the bitmap is |keyspace|/32 words per status (itself
+    shardable by word range); algebra cost is words, not rows.
+
+    Output: (status_a, status_b, n_words_a, pop_a, pop_b, pop_and) for
+    each ordered status pair plus the (s, s) diagonal."""
+    t = load(spark, sf_dir)
+    words = (
+        t.orders.select(
+            F.col("o_orderstatus").alias("status"),
+            F.shiftright(F.col("o_orderkey"), 5).alias("word_id"),
+            # pyspark's shiftleft wants a literal bit count; the
+            # per-row shift goes through expr()
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), "
+                "CAST(o_orderkey % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("status", "word_id")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    a = words.select(
+        F.col("status").alias("status_a"),
+        "word_id",
+        F.col("w").alias("wa"),
+    )
+    b = words.select(
+        F.col("status").alias("status_b"),
+        "word_id",
+        F.col("w").alias("wb"),
+    )
+    j = a.join(b, "word_id").filter(F.col("status_a") <= F.col("status_b"))
+    return (
+        j.groupBy("status_a", "status_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common_words"),
+            F.sum(F.bit_count("wa")).alias("pop_a_common"),
+            F.sum(F.bit_count("wb")).alias("pop_b_common"),
+            F.sum(F.bit_count(F.col("wa").bitwiseAND(F.col("wb")))).alias(
+                "pop_and"
+            ),
+        )
+        .orderBy("status_a", "status_b")
+    )

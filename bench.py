@@ -118,6 +118,8 @@ HEADLINE = [
     "shard_rendezvous_stats", # HRW consistent-placement audit (new in r9)
     "zone_map_pruning",       # data-skipping effectiveness report (new in r9)
     "events_rate_capped_streamed",  # throttle-at-ingest stateful drain (new in r9)
+    "part_price_band_join",   # bucket-decomposed numeric band join (new in r9)
+    "status_bitmap_algebra",  # bitmap index build + word-grain set algebra (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
