@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "kaplan_meier_streamed",  # new in r9 — gate-verify the round it lands
     "status_bitmap_algebra",  # new in r9 — gate-verify the round it lands
     "part_price_band_join",  # new in r9 — gate-verify the round it lands
     "events_rate_capped_streamed",  # new in r9 — gate-verify the round it lands
@@ -448,6 +449,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rate_capped_streamed": _q_rate_capped_streamed,
         "part_price_band_join": warehouse.q_part_price_band_join,
         "status_bitmap_algebra": warehouse.q_status_bitmap_algebra,
+        "kaplan_meier_streamed": _q_kaplan_meier_streamed,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -1342,6 +1344,32 @@ def _q_rate_capped_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return rate_capped_finish(drained)
+
+
+def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival-at-ingest: per-customer (first, second) order dates
+    maintained as min-2 ``applyInPandasWithState`` state over the
+    orders landing stream (the same associative/commutative bounded
+    top-k merge as the rate-cap drain, plus the per-key max date so
+    censoring needs nothing beyond the snapshot), finished through the
+    SHARED ``operators.events.km_curve`` tail. Behind the same oracle
+    row as the batch ``kaplan_meier_repeat`` — the 20th oracle-matched
+    streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        km_firsts,
+        km_firsts_finish,
+        run_available_now,
+        stream_orders,
+    )
+
+    drained = run_available_now(
+        km_firsts(stream_orders(spark, sf_dir)),
+        f"gate_kmf_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return km_firsts_finish(drained)
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5194,6 +5222,7 @@ def oracle_sql() -> dict[str, str]:
     out["ddsketch_quantiles_streamed"] = out["ddsketch_value_quantiles"]
     out["user_modal_streamed"] = out["user_modal_event"]
     out["events_rate_capped_streamed"] = out["events_rate_capped"]
+    out["kaplan_meier_streamed"] = out["kaplan_meier_repeat"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

@@ -1013,6 +1013,18 @@ def q_kaplan_meier_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t_days"),
         F.col("d2").isNull().cast("long").alias("cen"),
     )
+    return km_curve(u)
+
+
+def km_curve(u: DataFrame) -> DataFrame:
+    """Kaplan–Meier curve from (t_days, cen) subject rows — the tail
+    shared by the batch ``q_kaplan_meier_repeat`` and the streamed
+    ``kaplan_meier_streamed`` drain, so the two surfaces can never
+    drift. All windows run over the bounded duration-grain grid."""
+    from pyspark.sql import Window
+
+    from ..functions import ln_micro
+
     grid = u.groupBy("t_days").agg(
         F.sum(F.lit(1) - F.col("cen")).alias("n_deaths"),
         F.sum("cen").alias("n_censored"),

@@ -29,6 +29,8 @@ from .pipelines import (  # noqa: F401
     view_purchase_attribution,
 )
 from .stateful import (  # noqa: F401
+    km_firsts,
+    km_firsts_finish,
     rate_capped_events,
     rate_capped_finish,
 )

@@ -184,3 +184,114 @@ def rate_capped_finish(drained: DataFrame) -> DataFrame:
         .filter(F.col("version") == F.col("mv"))
         .select("event_id", "user_id", "hour_us", "rk")
     )
+
+
+KM_FIRSTS_OUTPUT = T.StructType(
+    [
+        T.StructField("o_custkey", T.LongType(), False),
+        T.StructField("d1_days", T.LongType(), False),
+        T.StructField("d2_days", T.LongType(), True),
+        T.StructField("max_days", T.LongType(), False),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+KM_FIRSTS_STATE = T.StructType(
+    [
+        T.StructField("days_arr", T.ArrayType(T.LongType()), True),
+        T.StructField("okey_arr", T.ArrayType(T.LongType()), True),
+        T.StructField("max_days", T.LongType(), True),
+        T.StructField("version", T.LongType(), True),
+    ]
+)
+
+
+def _km_firsts_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (custkey,) = key
+    if state.exists:
+        days_arr, okey_arr, max_days, version = state.get
+        kept = list(zip(days_arr, okey_arr))
+    else:
+        kept, max_days, version = [], -(2**62), 0
+    for pdf in pdfs:
+        kept.extend(zip(pdf["days"], pdf["o_orderkey"]))
+        max_days = max(max_days, int(pdf["days"].max()))
+    # min-2 by (order date, orderkey): associative + commutative, so
+    # the final (first, second) pair is slicing/arrival-order
+    # independent — same merge law as the rate-cap state
+    kept = sorted(set(kept))[:2]
+    version += 1
+    state.update(
+        (
+            [int(d) for d, _ in kept],
+            [int(k) for _, k in kept],
+            int(max_days),
+            version,
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "o_custkey": [int(custkey)],
+            "d1_days": [int(kept[0][0])],
+            "d2_days": [int(kept[1][0]) if len(kept) > 1 else None],
+            "max_days": [int(max_days)],
+            "version": [version],
+        }
+    )
+
+
+def km_firsts(orders: DataFrame) -> DataFrame:
+    """Streaming per-customer (first, second) order-date tracker — the
+    min-2 instance of the user-managed bounded top-k state shape (see
+    ``rate_capped_events``), plus the per-key max order date so the
+    drained snapshot carries everything Kaplan–Meier censoring needs
+    (global max = max over keys; every order belongs to some key).
+    Dates travel as integer days-since-epoch (exact, tz-proof)."""
+    keyed = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    return keyed.groupBy("o_custkey").applyInPandasWithState(
+        _km_firsts_fn,
+        outputStructType=KM_FIRSTS_OUTPUT,
+        stateStructType=KM_FIRSTS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def km_firsts_finish(drained: DataFrame) -> DataFrame:
+    """Last-version-wins snapshot → (t_days, cen) subject rows →
+    the shared ``operators.events.km_curve`` tail: KM-at-ingest equal
+    to the batch ``q_kaplan_meier_repeat`` regardless of slicing."""
+    from pyspark.sql import Window
+
+    from ..operators.events import km_curve
+
+    w = Window.partitionBy("o_custkey")
+    snap = (
+        drained.withColumn("mv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("mv"))
+        .select("o_custkey", "d1_days", "d2_days", "max_days")
+    )
+    gmax = snap.agg(F.max("max_days").alias("gmax"))
+    u = snap.crossJoin(F.broadcast(gmax)).select(
+        F.when(
+            F.col("d2_days").isNotNull(),
+            F.col("d2_days") - F.col("d1_days"),
+        )
+        .otherwise(F.col("gmax") - F.col("d1_days"))
+        .cast("int")
+        .alias("t_days"),
+        F.col("d2_days").isNull().cast("long").alias("cen"),
+    )
+    return km_curve(u)

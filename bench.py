@@ -120,6 +120,7 @@ HEADLINE = [
     "events_rate_capped_streamed",  # throttle-at-ingest stateful drain (new in r9)
     "part_price_band_join",   # bucket-decomposed numeric band join (new in r9)
     "status_bitmap_algebra",  # bitmap index build + word-grain set algebra (new in r9)
+    "kaplan_meier_streamed",  # survival-at-ingest min-2 stateful drain (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

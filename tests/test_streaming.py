@@ -629,3 +629,43 @@ def test_rate_capped_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = rate_capped_finish(drained)
     expected = q_events_rate_capped(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_kaplan_meier_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the orders fixture into 4 files and stream them one per
+    micro-batch: the min-2 firsts snapshot through the shared km_curve
+    tail must equal the batch q_kaplan_meier_repeat curve exactly —
+    hash-splitting scrambles date order across files, so a customer's
+    true first order often arrives AFTER a later one and must evict it
+    from state (the min-2 eviction path)."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_kaplan_meier_repeat,
+    )
+    from beauty_lakehouse_spark.streaming.stateful import (
+        km_firsts,
+        km_firsts_finish,
+    )
+
+    src = str(tmp_path / "orders_parts_km")
+    from beauty_lakehouse_spark.catalog import load
+
+    od = load(spark, sf_dir).orders
+    od.withColumn(
+        "part", (F.col("o_orderkey") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(od.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        km_firsts(stream), "t_kmf_mb", output_mode="update"
+    )
+    # state really was revised across batches (eviction exercised)
+    assert drained.filter(F.col("version") > 1).count() > 0
+    got = km_firsts_finish(drained)
+    expected = q_kaplan_meier_repeat(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
