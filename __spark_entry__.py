@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "er_blocking_quality",  # new in r9 — gate-verify the round it lands
     "kaplan_meier_streamed",  # new in r9 — gate-verify the round it lands
     "status_bitmap_algebra",  # new in r9 — gate-verify the round it lands
     "part_price_band_join",  # new in r9 — gate-verify the round it lands
@@ -450,6 +451,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_price_band_join": warehouse.q_part_price_band_join,
         "status_bitmap_algebra": warehouse.q_status_bitmap_algebra,
         "kaplan_meier_streamed": _q_kaplan_meier_streamed,
+        "er_blocking_quality": text.q_er_blocking_quality,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4316,6 +4318,28 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "er_blocking_quality": (
+            # reduction ratio + pair completeness of the first-token
+            # blocking vs the levenshtein-1..4 rule over the bounded
+            # lowest-partkey sample (all-pairs is audit-only)
+            "WITH s AS (SELECT p_partkey, p_name, "
+            "string_split(p_name, ' ')[1] AS block FROM part "
+            "ORDER BY p_partkey LIMIT 500), "
+            "pr AS (SELECT CASE WHEN a.block = b.block THEN 1 ELSE 0 "
+            "END AS blocked, CASE WHEN levenshtein(a.p_name, b.p_name) "
+            "BETWEEN 1 AND 4 THEN 1 ELSE 0 END AS t "
+            "FROM s a JOIN s b ON a.p_partkey < b.p_partkey), "
+            "g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_total, "
+            "CAST(sum(blocked) AS BIGINT) AS n_candidates, "
+            "CAST(sum(t) AS BIGINT) AS n_true, "
+            "CAST(sum(blocked * t) AS BIGINT) AS n_true_blocked FROM pr) "
+            "SELECT CAST(500 AS BIGINT) AS n_sample, n_pairs_total, "
+            "n_candidates, n_true, n_true_blocked, "
+            + _hud("(n_pairs_total - n_candidates)", "n_pairs_total", 6)
+            + " AS reduction_ratio, CASE WHEN n_true > 0 THEN "
+            + _hud("n_true_blocked", "n_true", 6)
+            + " ELSE NULL END AS pair_completeness FROM g"
         ),
         "status_bitmap_algebra": (
             # 32-bit-in-int64 bitmap words per (status, key>>5) via

@@ -1657,3 +1657,78 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: ER blocking audit sample cap: the all-pairs ground truth is only
+#: computable over a bounded deterministic sample (lowest partkeys) —
+#: the audit's honesty at 100 TB depends on never comparing the full
+#: catalog all-pairs.
+ER_AUDIT_SAMPLE = 500
+
+
+def q_er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-scheme quality audit for the entity-resolution family —
+    the two numbers every record-linkage paper reports (Christen 2012):
+    REDUCTION RATIO (how many of the all-pairs comparisons the blocking
+    key skips) and PAIR COMPLETENESS (how many true matches survive
+    blocking), measured for ``part_golden_record``'s first-name-token
+    blocking against the levenshtein-1..4 match rule.
+
+    Ground truth needs all-pairs, so the audit runs over a bounded
+    DETERMINISTIC sample (the ``ER_AUDIT_SAMPLE`` lowest partkeys) —
+    a documented bounded cartesian, never the full catalog. Ratios are
+    exact half-up 6-dp rationals of the pair counts; completeness is
+    NULL if the sample holds no true pair (the loud no-signal marker,
+    not a silent 0 or 1).
+
+    Output (1 row): (n_sample, n_pairs_total, n_candidates, n_true,
+    n_true_blocked, reduction_ratio, pair_completeness)."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    s = (
+        t.part.select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+        .limit(ER_AUDIT_SAMPLE)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ")[0].alias("block"),
+        )
+    )
+    a = s.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_name").alias("na"),
+        F.col("block").alias("ba"),
+    )
+    b = s.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_name").alias("nb"),
+        F.col("block").alias("bb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("ka") < F.col("kb")).select(
+        (F.col("ba") == F.col("bb")).cast("long").alias("blocked"),
+        F.levenshtein("na", "nb").between(1, 4).cast("long").alias("true_"),
+    )
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs_total"),
+        F.sum("blocked").alias("n_candidates"),
+        F.sum("true_").alias("n_true"),
+        F.sum(F.col("blocked") * F.col("true_")).alias("n_true_blocked"),
+    )
+    return agg.select(
+        F.lit(ER_AUDIT_SAMPLE).cast("long").alias("n_sample"),
+        "n_pairs_total",
+        "n_candidates",
+        "n_true",
+        "n_true_blocked",
+        halfup_div(
+            F.col("n_pairs_total") - F.col("n_candidates"),
+            F.col("n_pairs_total"),
+            6,
+        ).alias("reduction_ratio"),
+        F.when(
+            F.col("n_true") > 0,
+            halfup_div(F.col("n_true_blocked"), F.col("n_true"), 6),
+        ).alias("pair_completeness"),
+    )

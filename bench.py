@@ -121,6 +121,7 @@ HEADLINE = [
     "part_price_band_join",   # bucket-decomposed numeric band join (new in r9)
     "status_bitmap_algebra",  # bitmap index build + word-grain set algebra (new in r9)
     "kaplan_meier_streamed",  # survival-at-ingest min-2 stateful drain (new in r9)
+    "er_blocking_quality",    # blocking reduction-ratio / completeness audit (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -89,6 +89,7 @@ WHITELIST: dict[str, str] = {
     "retention_decay_fit": "1-row max-week broadcast attached to the bounded cohort-size table (horizon arithmetic)",
     "kaplan_meier_repeat": "1-row corpus-max-date broadcast attached to the per-customer firsts table (censoring arithmetic)",
     "segment_price_ttest": "bounded 5x5 segment self-join (seg_a < seg_b theta join over the 5-row sufficient-statistic table)",
+    "er_blocking_quality": "documented bounded all-pairs AUDIT over the ER_AUDIT_SAMPLE=500 lowest-partkey sample (ground truth needs all-pairs; never the full catalog)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 

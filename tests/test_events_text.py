@@ -1330,3 +1330,60 @@ def test_kaplan_meier_pure_python(spark, sf_dir):
     vals = [v for *_, v in got if v is not None]
     assert all(x >= y for x, y in zip(vals, vals[1:]))
     assert all(v <= 0 for v in vals)
+
+
+def test_er_blocking_quality_pure_python(spark, sf_dir):
+    """Reduction ratio / pair completeness match a pure-Python
+    recompute over the same deterministic sample, and the metrics sit
+    in their legal ranges with the count identities intact."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        ER_AUDIT_SAMPLE,
+        q_er_blocking_quality,
+    )
+
+    [r] = q_er_blocking_quality(spark, sf_dir).collect()
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    p = (
+        pd.read_parquet(f"{sf_dir}/part.parquet")
+        .sort_values("p_partkey")
+        .head(ER_AUDIT_SAMPLE)
+    )
+    recs = list(zip(p["p_partkey"], p["p_name"]))
+    total = cand = true = true_b = 0
+    for i, (ka, na) in enumerate(recs):
+        for kb, nb in recs[i + 1 :]:
+            total += 1
+            blocked = na.split(" ")[0] == nb.split(" ")[0]
+            is_true = 1 <= lev(na, nb) <= 4
+            cand += blocked
+            true += is_true
+            true_b += blocked and is_true
+    assert r["n_pairs_total"] == total
+    assert r["n_candidates"] == cand
+    assert r["n_true"] == true
+    assert r["n_true_blocked"] == true_b
+
+    def hu6(num, den):
+        return ((2 * num * 10**6 + den) // (2 * den)) / 1e6
+
+    assert r["reduction_ratio"] == hu6(total - cand, total)
+    if true:
+        assert r["pair_completeness"] == hu6(true_b, true)
+    else:
+        assert r["pair_completeness"] is None
+    assert 0 <= r["reduction_ratio"] <= 1
