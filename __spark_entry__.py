@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "negative_sampling_table",  # new in r9 — gate-verify the round it lands
     "er_blocking_quality",  # new in r9 — gate-verify the round it lands
     "kaplan_meier_streamed",  # new in r9 — gate-verify the round it lands
     "status_bitmap_algebra",  # new in r9 — gate-verify the round it lands
@@ -452,6 +453,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "status_bitmap_algebra": warehouse.q_status_bitmap_algebra,
         "kaplan_meier_streamed": _q_kaplan_meier_streamed,
         "er_blocking_quality": text.q_er_blocking_quality,
+        "negative_sampling_table": curation.q_negative_sampling_table,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4318,6 +4320,36 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "negative_sampling_table": (
+            # freq^(3/4) as the deterministic isqrt(f*isqrt(f))
+            # quantization; Hamilton largest-remainder slot allocation;
+            # the f < 2^34 isqrt-domain guard is MIRRORED
+            "WITH tf0 AS (SELECT term, CAST(count(*) AS BIGINT) AS freq "
+            "FROM (SELECT unnest(string_split(text, ' ')) AS term "
+            "FROM documents) WHERE term <> '' GROUP BY 1 "
+            "ORDER BY freq DESC, term LIMIT 65536), "
+            "tf AS (SELECT term, CASE WHEN freq >= 17179869184 THEN "
+            "CAST(error('negative_sampling contract violated: freq >= "
+            "2^34 exceeds the exact isqrt domain; pre-scale counts') "
+            "AS BIGINT) ELSE freq END AS freq FROM tf0), "
+            "w AS (SELECT term, freq, (CASE WHEN (CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) + 1) <= (freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) THEN CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) > (freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) THEN CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST((freq * ((CASE WHEN (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1) <= freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) > freq THEN CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(freq AS DOUBLE))) AS BIGINT) END))) AS DOUBLE))) AS BIGINT) END) AS weight "
+            "FROM tf), "
+            "tot AS (SELECT CAST(sum(weight) AS HUGEINT) AS w_total "
+            "FROM w), "
+            "g AS (SELECT term, freq, weight, "
+            "CAST(CAST(65536 AS HUGEINT) * weight // w_total AS BIGINT) "
+            "AS base_quota, "
+            "CAST(CAST(65536 AS HUGEINT) * weight % w_total AS BIGINT) "
+            "AS remainder FROM w CROSS JOIN tot), "
+            "bs AS (SELECT CAST(sum(base_quota) AS BIGINT) AS base_sum "
+            "FROM g), "
+            "rkd AS (SELECT *, row_number() OVER (ORDER BY remainder "
+            "DESC, term) AS rk FROM g) "
+            "SELECT term, freq, weight, base_quota, "
+            "CAST(base_quota + CASE WHEN rk <= 65536 - base_sum THEN 1 "
+            "ELSE 0 END AS BIGINT) AS slots "
+            "FROM rkd CROSS JOIN bs ORDER BY slots DESC, term LIMIT 50"
         ),
         "er_blocking_quality": (
             # reduction ratio + pair completeness of the first-token

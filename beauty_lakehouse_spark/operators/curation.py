@@ -1729,3 +1729,94 @@ def q_source_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.alias("extra_seat"),
         (F.col("base_quota") + extra).alias("quota"),
     )
+
+
+#: Negative-sampling table geometry: total slots and the vocabulary cap
+#: (rank windows only ever run over the capped top vocabulary, never the
+#: raw term space).
+NEG_TABLE_SLOTS = 65_536
+NEG_VOCAB_CAP = 65_536
+
+
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/NCE negative-sampling table — the freq^(3/4) unigram
+    table every embedding trainer draws negatives from (Mikolov et al.
+    2013: the 3/4 power keeps rare words reachable without letting
+    stopwords dominate). Slots are allocated by the SAME Hamilton
+    largest-remainder scheme as ``source_quota_apportionment``, so
+    Σ slots == NEG_TABLE_SLOTS exactly — a table you can index by a
+    uniform integer draw with zero rejection.
+
+    Fixed point: the 3/4 power is the deterministic quantization
+    isqrt(f · isqrt(f)) — two exact integer square roots, no float
+    pow, identical on both engines (the ``ln_micro`` policy); its
+    isqrt domain contract (f·isqrt(f) < 2⁵²  ⟸  f < 2³⁴) is guarded
+    with raise_error Spark-side and the same error() CASE in the
+    oracle. Vocabulary is capped to the top ``NEG_VOCAB_CAP`` terms by
+    (freq desc, term) FIRST, so the remainder-rank window runs over a
+    bounded table at any corpus size.
+
+    Output: top-50 table rows by (slots desc, term) —
+    (term, freq, weight, base_quota, slots)."""
+    from ..functions import _idiv, isqrt
+
+    t = load(spark, sf_dir)
+    tf = (
+        t.documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(NEG_VOCAB_CAP)
+    )
+    guarded_f = F.when(
+        F.col("freq") >= F.lit(2**34),
+        F.raise_error(
+            F.lit(
+                "negative_sampling contract violated: freq >= 2^34 "
+                "exceeds the exact isqrt domain; pre-scale counts"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("freq"))
+    w = tf.select(
+        "term",
+        "freq",
+        isqrt(guarded_f * isqrt(guarded_f)).alias("weight"),
+    )
+    tot = w.agg(F.sum("weight").alias("w_total"))
+    slots = F.lit(NEG_TABLE_SLOTS).cast("decimal(38,0)")
+    g = w.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "freq",
+        "weight",
+        _idiv(slots * F.col("weight"), F.col("w_total")).alias(
+            "base_quota"
+        ),
+        F.pmod(
+            (slots * F.col("weight")).cast("decimal(38,0)"),
+            F.col("w_total").cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("remainder"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc("term"))
+    )
+    base_sum = g.agg(F.sum("base_quota").alias("base_sum"))
+    ranked = g.withColumn("rk", rk).crossJoin(F.broadcast(base_sum))
+    extra = (
+        F.col("rk") <= (F.lit(NEG_TABLE_SLOTS) - F.col("base_sum"))
+    ).cast("long")
+    return (
+        ranked.select(
+            "term",
+            "freq",
+            "weight",
+            "base_quota",
+            (F.col("base_quota") + extra).alias("slots"),
+        )
+        .orderBy(F.desc("slots"), "term")
+        .limit(50)
+    )

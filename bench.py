@@ -122,6 +122,7 @@ HEADLINE = [
     "status_bitmap_algebra",  # bitmap index build + word-grain set algebra (new in r9)
     "kaplan_meier_streamed",  # survival-at-ingest min-2 stateful drain (new in r9)
     "er_blocking_quality",    # blocking reduction-ratio / completeness audit (new in r9)
+    "negative_sampling_table", # word2vec freq^(3/4) Hamilton table (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

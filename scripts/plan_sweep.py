@@ -90,6 +90,7 @@ WHITELIST: dict[str, str] = {
     "kaplan_meier_repeat": "1-row corpus-max-date broadcast attached to the per-customer firsts table (censoring arithmetic)",
     "segment_price_ttest": "bounded 5x5 segment self-join (seg_a < seg_b theta join over the 5-row sufficient-statistic table)",
     "er_blocking_quality": "documented bounded all-pairs AUDIT over the ER_AUDIT_SAMPLE=500 lowest-partkey sample (ground truth needs all-pairs; never the full catalog)",
+    "negative_sampling_table": "two 1-row broadcasts (weight total, base-quota sum) attached to the capped vocabulary table — the source_quota_apportionment shape",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 
@@ -97,6 +98,7 @@ WHITELIST: dict[str, str] = {
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "kaplan_meier_repeat": "risk-set/survival cumulative sums over the duration-grain grid (bounded by the calendar span), never raw rows",
+    "negative_sampling_table": "remainder-rank row_number over the NEG_VOCAB_CAP=65536-capped vocabulary table, never the raw term space",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

@@ -723,3 +723,48 @@ def test_apportionment_sums_to_budget(spark, sf_dir):
         ]
     }
     assert got_extra == want_extra
+
+
+def test_negative_sampling_table_pure_python(spark, sf_dir):
+    """The freq^(3/4) Hamilton table matches a pure-Python recompute
+    (weights, quotas, remainder ranking, top-50 ordering) and the
+    full-table slot sum is exactly NEG_TABLE_SLOTS."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        NEG_TABLE_SLOTS,
+        NEG_VOCAB_CAP,
+        q_negative_sampling_table,
+    )
+
+    rows = q_negative_sampling_table(spark, sf_dir).collect()
+    assert rows
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tf = Counter()
+    for text in docs["text"]:
+        tf.update(t for t in text.split(" ") if t)
+    vocab = sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :NEG_VOCAB_CAP
+    ]
+    w = {t: math.isqrt(f * math.isqrt(f)) for t, f in vocab}
+    W = sum(w.values())
+    base = {t: NEG_TABLE_SLOTS * w[t] // W for t, _ in vocab}
+    rem = {t: NEG_TABLE_SLOTS * w[t] % W for t, _ in vocab}
+    leftover = NEG_TABLE_SLOTS - sum(base.values())
+    order = sorted(vocab, key=lambda kv: (-rem[kv[0]], kv[0]))
+    slots = dict(base)
+    for t, _ in order[:leftover]:
+        slots[t] += 1
+    assert sum(slots.values()) == NEG_TABLE_SLOTS  # zero-rejection table
+    want = sorted(
+        ((-slots[t], t, f, w[t], base[t]) for t, f in vocab)
+    )[:50]
+    got = [
+        (-r["slots"], r["term"], r["freq"], r["weight"], r["base_quota"])
+        for r in rows
+    ]
+    assert got == want
