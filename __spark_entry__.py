@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "ldiversity_profile",  # new in r9 — gate-verify the round it lands
     "negative_sampling_table",  # new in r9 — gate-verify the round it lands
     "er_blocking_quality",  # new in r9 — gate-verify the round it lands
     "kaplan_meier_streamed",  # new in r9 — gate-verify the round it lands
@@ -454,6 +455,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier_streamed": _q_kaplan_meier_streamed,
         "er_blocking_quality": text.q_er_blocking_quality,
         "negative_sampling_table": curation.q_negative_sampling_table,
+        "ldiversity_profile": quality.q_ldiversity_profile,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4320,6 +4322,23 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "ldiversity_profile": (
+            # distinct l per (nation, year, month) QI class over the
+            # bounded (QI, priority) grid; count-of-counts histogram
+            "WITH cells AS (SELECT c_nationkey, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+            "o_orderpriority, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2, 3, 4), "
+            "cl AS (SELECT c_nationkey, order_year, order_month, "
+            "CAST(sum(n) AS BIGINT) AS class_size, "
+            "CAST(count(*) AS BIGINT) AS l_distinct "
+            "FROM cells GROUP BY 1, 2, 3) "
+            "SELECT l_distinct, CAST(count(*) AS BIGINT) AS n_classes, "
+            "CAST(sum(class_size) AS BIGINT) AS n_rows, "
+            "l_distinct < 3 AS at_risk FROM cl GROUP BY 1"
         ),
         "negative_sampling_table": (
             # freq^(3/4) as the deterministic isqrt(f*isqrt(f))

@@ -2096,3 +2096,63 @@ def q_segment_price_ttest(spark, sf_dir: str) -> DataFrame:
         "t2_micro",
         "df_milli",
     ).orderBy("seg_a", "seg_b")
+
+
+#: Distinct l-diversity threshold: a QI class whose sensitive column
+#: shows fewer than this many distinct values leaks by homogeneity
+#: even when k-anonymity passes.
+LDIV_L = 3
+
+
+def q_ldiversity_profile(spark, sf_dir: str) -> DataFrame:
+    """Distinct L-DIVERSITY profile — the homogeneity-attack guard that
+    k-anonymity alone misses (Machanavajjhala et al. 2007): a class of
+    50 rows is 50-anonymous, but if all 50 share one order priority the
+    sensitive value is disclosed anyway. Group the released view by the
+    quasi-identifier tuple (nation, order year, order month) and count DISTINCT
+    sensitive values (order priority) per class; the view's l-diversity
+    is the smallest such count.
+
+    Output is the count-of-counts histogram over l (l_distinct,
+    n_classes, n_rows, at_risk) — the ``q_kanonymity_profile`` report
+    shape, so a release gate reads both the same way. Two map-side-
+    combinable aggregates; the sensitive-distinct count runs on the
+    bounded (QI × priority) grid, never a distinct over raw rows.
+
+    Scale: fact scanned once into the (QI, priority) grid; everything
+    after is class-grain."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    cells = (
+        t.orders.join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "c_nationkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    classes = cells.groupBy(
+        "c_nationkey", "order_year", "order_month"
+    ).agg(
+        F.sum("n").alias("class_size"),
+        F.count(F.lit(1)).alias("l_distinct"),
+    )
+    return (
+        classes.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .select(
+            "l_distinct",
+            "n_classes",
+            "n_rows",
+            (F.col("l_distinct") < LDIV_L).alias("at_risk"),
+        )
+    )

@@ -123,6 +123,7 @@ HEADLINE = [
     "kaplan_meier_streamed",  # survival-at-ingest min-2 stateful drain (new in r9)
     "er_blocking_quality",    # blocking reduction-ratio / completeness audit (new in r9)
     "negative_sampling_table", # word2vec freq^(3/4) Hamilton table (new in r9)
+    "ldiversity_profile",     # homogeneity-attack privacy guard (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -813,3 +813,37 @@ def test_segment_price_ttest_pure_python(spark, sf_dir):
                 (va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1)
             )
             assert abs(r["df_milli"] / 1e3 - dff) / dff < 1e-3
+
+
+def test_ldiversity_profile_pure_python(spark, sf_dir):
+    """The l histogram matches a pandas recompute; classes and rows are
+    conserved; at_risk flags exactly l < LDIV_L."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        LDIV_L,
+        q_ldiversity_profile,
+    )
+
+    rows = {r["l_distinct"]: r for r in q_ldiversity_profile(spark, sf_dir).collect()}
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = j["o_orderdate"].dt.year
+    j["m"] = j["o_orderdate"].dt.month
+    cl = j.groupby(["c_nationkey", "y", "m"]).agg(
+        size=("o_orderkey", "size"),
+        l=("o_orderpriority", "nunique"),
+    )
+    hist = cl.groupby("l").agg(
+        n_classes=("size", "size"), n_rows=("size", "sum")
+    )
+    assert set(rows) == set(hist.index)
+    for l, h in hist.iterrows():
+        assert rows[l]["n_classes"] == h["n_classes"]
+        assert rows[l]["n_rows"] == h["n_rows"]
+        assert rows[l]["at_risk"] == (l < LDIV_L)
+    assert sum(r["n_classes"] for r in rows.values()) == len(cl)
+    assert sum(r["n_rows"] for r in rows.values()) == len(j)
