@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "bootstrap_mean_ci",  # new in r9 — gate-verify the round it lands
     "ldiversity_profile",  # new in r9 — gate-verify the round it lands
     "negative_sampling_table",  # new in r9 — gate-verify the round it lands
     "er_blocking_quality",  # new in r9 — gate-verify the round it lands
@@ -456,6 +457,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_quality": text.q_er_blocking_quality,
         "negative_sampling_table": curation.q_negative_sampling_table,
         "ldiversity_profile": quality.q_ldiversity_profile,
+        "bootstrap_mean_ci": quality.q_bootstrap_mean_ci,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4322,6 +4324,39 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "bootstrap_mean_ci": (
+            # deterministic Poisson bootstrap: per-(row, replicate)
+            # weight from the portable hash through the SAME literal
+            # Poisson(1) CDF thresholds; order-statistic CI over the
+            # 32 replicate means
+            "WITH base AS (SELECT o_orderkey, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+            "AS c FROM orders), "
+            "e AS (SELECT o_orderkey, c, r, "
+            "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
+            "CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h FROM base "
+            "CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) "
+            "rr), "
+            "wts AS (SELECT r, c, "
+            "(CASE WHEN h >= 424136118829305344 THEN 1 ELSE 0 END + "
+            "CASE WHEN h >= 848272237658610688 THEN 1 ELSE 0 END + "
+            "CASE WHEN h >= 1060340297073263360 THEN 1 ELSE 0 END + "
+            "CASE WHEN h >= 1131029650211480960 THEN 1 ELSE 0 END + "
+            "CASE WHEN h >= 1148701988496035328 THEN 1 ELSE 0 END) "
+            "AS w FROM e), "
+            "reps AS (SELECT r, "
+            + _hud("sum(w * c)", "sum(w)", 3)
+            + " AS m FROM wts GROUP BY r), "
+            "ms AS (SELECT m, row_number() OVER (ORDER BY m) AS rk "
+            "FROM reps), "
+            "f AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(c) AS BIGINT) AS sc FROM base) "
+            "SELECT CAST(32 AS BIGINT) AS n_replicates, n_rows, "
+            + _hud("sc", "n_rows", 3)
+            + " AS mean_c3, "
+            "(SELECT m FROM ms WHERE rk = 2) AS ci_lo_c3, "
+            "(SELECT m FROM ms WHERE rk = 31) AS ci_hi_c3 FROM f"
         ),
         "ldiversity_profile": (
             # distinct l per (nation, year, month) QI class over the

@@ -2156,3 +2156,92 @@ def q_ldiversity_profile(spark, sf_dir: str) -> DataFrame:
             (F.col("l_distinct") < LDIV_L).alias("at_risk"),
         )
     )
+
+
+#: Deterministic Poisson(1) bootstrap: replicate count and the CDF
+#: thresholds of the per-(row, replicate) weight, scaled to the 60-bit
+#: portable-hash range (floor(P(X<=j) * 2^60), j = 0..4; weights clip
+#: at 5 — P(X>5) ~ 6e-4 of rows get the clipped tail). Literal
+#: integers so BOTH engines draw the identical "random" weights.
+BOOTSTRAP_B = 32
+POISSON1_CDF_60 = [
+    424136118829305344,   # P(X<=0) = 1/e
+    848272237658610688,   # P(X<=1)
+    1060340297073263360,  # P(X<=2)
+    1131029650211480960,  # P(X<=3)
+    1148701988496035328,  # P(X<=4)
+]
+
+
+def q_bootstrap_mean_ci(spark, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for mean order value WITHOUT a
+    random number generator — the POISSON BOOTSTRAP (Chamandy et al.
+    2012, built for exactly this MapReduce setting): each row
+    contributes Poisson(1)-many copies to each replicate, so no
+    replicate ever needs a global resample index, and the weight is a
+    pure map-side expression — here the DETERMINISTIC inverse-CDF of
+    the portable 60-bit hash of (orderkey, replicate), so both engines
+    draw bit-identical "randomness" (the ``ln_micro`` portability
+    policy applied to sampling).
+
+    Replicate means are exact half-up 3-dp cents from integer
+    (Σ w·cents, Σ w) sums; the interval is the order-statistic band of
+    the ``BOOTSTRAP_B`` = 32 replicate means (2nd smallest to 2nd
+    largest ≈ central 94%) read off the bounded replicate grid.
+
+    Scale: the 32× row fan-out is map-side-combined into 32 partial
+    sums per partition before the shuffle — the shuffle carries B rows
+    per partition, not B× the data.
+
+    Output (1 row): (n_replicates, n_rows, mean_c3, ci_lo_c3,
+    ci_hi_c3)."""
+    from ..catalog import load
+    from ..functions import dec2, halfup_div, portable_hash64
+
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    base = t.orders.select(
+        "o_orderkey", cents.alias("c")
+    ).select(
+        "o_orderkey",
+        "c",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))
+        ).alias("replicate"),
+    )
+    u = portable_hash64(
+        F.concat_ws(
+            ":",
+            F.col("o_orderkey").cast("string"),
+            F.col("replicate").cast("string"),
+        )
+    )
+    w = sum(
+        (u >= F.lit(thr)).cast("long") for thr in POISSON1_CDF_60
+    )
+    reps = (
+        base.select("replicate", "c", w.alias("w"))
+        .groupBy("replicate")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.sum(F.col("w") * F.col("c")).alias("wc"),
+        )
+        .select(
+            "replicate",
+            halfup_div(F.col("wc"), F.col("n_eff"), 3).alias("mean_c3"),
+        )
+    )
+    grid = reps.agg(
+        F.array_sort(F.collect_list("mean_c3")).alias("ms")
+    )
+    full = t.orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(cents).alias("sc"),
+    )
+    return grid.crossJoin(F.broadcast(full)).select(
+        F.lit(BOOTSTRAP_B).cast("long").alias("n_replicates"),
+        "n_rows",
+        halfup_div(F.col("sc"), F.col("n_rows"), 3).alias("mean_c3"),
+        F.col("ms")[1].alias("ci_lo_c3"),
+        F.col("ms")[BOOTSTRAP_B - 2].alias("ci_hi_c3"),
+    )

@@ -124,6 +124,7 @@ HEADLINE = [
     "er_blocking_quality",    # blocking reduction-ratio / completeness audit (new in r9)
     "negative_sampling_table", # word2vec freq^(3/4) Hamilton table (new in r9)
     "ldiversity_profile",     # homogeneity-attack privacy guard (new in r9)
+    "bootstrap_mean_ci",      # deterministic Poisson-bootstrap interval (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -847,3 +847,52 @@ def test_ldiversity_profile_pure_python(spark, sf_dir):
         assert rows[l]["at_risk"] == (l < LDIV_L)
     assert sum(r["n_classes"] for r in rows.values()) == len(cl)
     assert sum(r["n_rows"] for r in rows.values()) == len(j)
+
+
+def test_bootstrap_mean_ci_pure_python(spark, sf_dir):
+    """The Poisson-bootstrap CI matches a pure-Python md5 recompute of
+    the same deterministic weights, brackets the full-sample mean, and
+    the weights really follow Poisson(1) frequencies (mean ~1)."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        BOOTSTRAP_B,
+        POISSON1_CDF_60,
+        q_bootstrap_mean_ci,
+    )
+
+    [r] = q_bootstrap_mean_ci(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    keys = o["o_orderkey"].tolist()
+    cs = cents.tolist()
+
+    def hu3(num, den):
+        return ((2 * num * 10**3 + den) // (2 * den)) / 1e3
+
+    means = []
+    tot_w = 0
+    for b in range(BOOTSTRAP_B):
+        sw = swc = 0
+        for k, c in zip(keys, cs):
+            h = int(
+                hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:15], 16
+            )
+            w = sum(h >= t for t in POISSON1_CDF_60)
+            sw += w
+            swc += w * c
+        tot_w += sw
+        means.append(hu3(swc, sw))
+    means.sort()
+    assert r["n_rows"] == len(o)
+    assert r["mean_c3"] == hu3(int(cents.sum()), len(o))
+    assert r["ci_lo_c3"] == means[1]
+    assert r["ci_hi_c3"] == means[BOOTSTRAP_B - 2]
+    # the band is a real interval around the point estimate
+    assert r["ci_lo_c3"] <= r["mean_c3"] <= r["ci_hi_c3"]
+    # Poisson(1) sanity: average weight within 5% of 1
+    avg_w = tot_w / (BOOTSTRAP_B * len(o))
+    assert 0.95 < avg_w < 1.05
