@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "copurchase_eval_hitrate",  # new in r9 — gate-verify the round it lands
     "bootstrap_mean_ci",  # new in r9 — gate-verify the round it lands
     "ldiversity_profile",  # new in r9 — gate-verify the round it lands
     "negative_sampling_table",  # new in r9 — gate-verify the round it lands
@@ -458,6 +459,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "negative_sampling_table": curation.q_negative_sampling_table,
         "ldiversity_profile": quality.q_ldiversity_profile,
         "bootstrap_mean_ci": quality.q_bootstrap_mean_ci,
+        "copurchase_eval_hitrate": graph.q_copurchase_eval_hitrate,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4324,6 +4326,53 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "copurchase_eval_hitrate": (
+            # leakage-free temporal backtest: train top-5 neighbor
+            # lists on years < max, hit-rate against max-year pairs
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem), "
+            "jy AS (SELECT d.l_orderkey, d.l_partkey, "
+            "year(o_orderdate) AS y FROM d "
+            "JOIN orders ON l_orderkey = o_orderkey), "
+            "my AS (SELECT max(year(o_orderdate)) AS maxy FROM orders), "
+            "tr AS (SELECT l_orderkey, l_partkey FROM jy CROSS JOIN my "
+            "WHERE y < maxy), "
+            "te AS (SELECT l_orderkey, l_partkey FROM jy CROSS JOIN my "
+            "WHERE y = maxy), "
+            "trbs AS (SELECT l_orderkey, count(*) AS sz FROM tr "
+            "GROUP BY 1), "
+            "trok AS (SELECT tr.l_orderkey, tr.l_partkey FROM tr "
+            "JOIN trbs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), "
+            "e AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+            "count(*) AS n_orders FROM trok a JOIN trok b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2), "
+            "dir AS (SELECT part_a AS src, part_b AS dst, n_orders "
+            "FROM e UNION ALL SELECT part_b, part_a, n_orders FROM e), "
+            "rkd AS (SELECT src, dst, row_number() OVER (PARTITION BY "
+            "src ORDER BY n_orders DESC, dst) AS rk FROM dir), "
+            "recs AS (SELECT DISTINCT least(src, dst) AS part_a, "
+            "greatest(src, dst) AS part_b FROM rkd WHERE rk <= 5), "
+            "tebs AS (SELECT l_orderkey, count(*) AS sz FROM te "
+            "GROUP BY 1), "
+            "teok AS (SELECT te.l_orderkey, te.l_partkey FROM te "
+            "JOIN tebs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), "
+            "tp AS (SELECT DISTINCT a.l_partkey AS part_a, "
+            "b.l_partkey AS part_b FROM teok a JOIN teok b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "g AS (SELECT "
+            "(SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM tr) "
+            "AS n_train_orders, "
+            "(SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM te) "
+            "AS n_test_orders, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM tp) AS n_test_pairs, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM tp "
+            "JOIN recs USING (part_a, part_b)) AS n_hits) "
+            "SELECT n_train_orders, n_test_orders, n_test_pairs, "
+            "n_hits, "
+            + _hud("n_hits", "n_test_pairs", 6)
+            + " AS hit_rate FROM g"
         ),
         "bootstrap_mean_ci": (
             # deterministic Poisson bootstrap: per-(row, replicate)

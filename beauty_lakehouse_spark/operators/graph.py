@@ -619,3 +619,98 @@ def q_copurchase_cosine_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j.orderBy(F.desc("cosine2"), "part_a", "part_b").limit(50)
+
+
+#: Recommender evaluation: neighbors kept per product and the temporal
+#: split rule (test = the max order year, train = everything before —
+#: the leakage-free backtest split).
+REC_TOP_K = 5
+
+
+def q_copurchase_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal backtest of the co-purchase recommender — the
+    evaluation capstone of the graph family (``lang_eval`` evaluates
+    the language-ID model; this evaluates the link predictor): train
+    top-``REC_TOP_K`` neighbor lists on every order year EXCEPT the
+    last, then measure HIT RATE against the held-out final year — the
+    fraction of truly co-purchased test pairs where either endpoint
+    recommended the other. Time-based splitting is the leakage-free
+    protocol (a random split would let the model see the future).
+
+    Both pair spaces use the capped basket expansion
+    (``copurchase_edges``); per-product neighbor lists come from a
+    window PARTITIONED BY product over its own candidate edges
+    (n_common desc, id tie-break) — bounded per key, never a global
+    sort. The split year is a whitelisted 1-row broadcast.
+
+    Output (1 row): (n_train_orders, n_test_orders, n_test_pairs,
+    n_hits, hit_rate)."""
+    from pyspark.sql import Window
+
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_partkey").join(
+        t.orders.select(
+            F.col("o_orderkey"),
+            F.year("o_orderdate").alias("y"),
+        ),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    maxy = t.orders.agg(F.max(F.year("o_orderdate")).alias("maxy"))
+    li = li.crossJoin(F.broadcast(maxy))
+    train_li = li.filter(F.col("y") < F.col("maxy")).select(
+        "l_orderkey", "l_partkey"
+    )
+    test_li = li.filter(F.col("y") == F.col("maxy")).select(
+        "l_orderkey", "l_partkey"
+    )
+    train_e = copurchase_edges(train_li)
+    directed = train_e.select(
+        F.col("part_a").alias("src"),
+        F.col("part_b").alias("dst"),
+        "n_orders",
+    ).unionByName(
+        train_e.select(
+            F.col("part_b").alias("src"),
+            F.col("part_a").alias("dst"),
+            "n_orders",
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(
+        F.desc("n_orders"), F.asc("dst")
+    )
+    recs = (
+        directed.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= REC_TOP_K)
+        .select(
+            F.least("src", "dst").alias("part_a"),
+            F.greatest("src", "dst").alias("part_b"),
+        )
+        .distinct()
+    )
+    test_pairs = copurchase_edges(test_li).select("part_a", "part_b")
+    hits = test_pairs.join(recs, ["part_a", "part_b"], "left_semi")
+    counts = (
+        test_pairs.agg(F.count(F.lit(1)).alias("n_test_pairs"))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .crossJoin(
+            train_li.agg(
+                F.countDistinct("l_orderkey").alias("n_train_orders")
+            )
+        )
+        .crossJoin(
+            test_li.agg(
+                F.countDistinct("l_orderkey").alias("n_test_orders")
+            )
+        )
+    )
+    return counts.select(
+        "n_train_orders",
+        "n_test_orders",
+        "n_test_pairs",
+        "n_hits",
+        halfup_div(F.col("n_hits"), F.col("n_test_pairs"), 6).alias(
+            "hit_rate"
+        ),
+    )

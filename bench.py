@@ -125,6 +125,7 @@ HEADLINE = [
     "negative_sampling_table", # word2vec freq^(3/4) Hamilton table (new in r9)
     "ldiversity_profile",     # homogeneity-attack privacy guard (new in r9)
     "bootstrap_mean_ci",      # deterministic Poisson-bootstrap interval (new in r9)
+    "copurchase_eval_hitrate", # leakage-free recommender backtest (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

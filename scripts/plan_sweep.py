@@ -92,6 +92,7 @@ WHITELIST: dict[str, str] = {
     "er_blocking_quality": "documented bounded all-pairs AUDIT over the ER_AUDIT_SAMPLE=500 lowest-partkey sample (ground truth needs all-pairs; never the full catalog)",
     "negative_sampling_table": "two 1-row broadcasts (weight total, base-quota sum) attached to the capped vocabulary table — the source_quota_apportionment shape",
     "bootstrap_mean_ci": "1-row full-sample-stats broadcast attached to the 1-row sorted replicate-mean grid (order-statistic CI assembly)",
+    "copurchase_eval_hitrate": "1-row split-year broadcast + 1-row count-aggregate assembly joins (backtest scoreboard)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 

@@ -605,3 +605,73 @@ def test_status_bitmap_algebra_invariants(spark, sf_dir):
             assert r["pop_b_common"] == sum(
                 bin(words[sb][w]).count("1") for w in common
             )
+
+
+def test_copurchase_eval_hitrate_pure_python(spark, sf_dir):
+    """The temporal backtest matches a pure-Python recompute: split,
+    capped train edges, top-5 neighbor lists, held-out pair hit rate."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        REC_TOP_K,
+        q_copurchase_eval_hitrate,
+    )
+
+    [r] = q_copurchase_eval_hitrate(spark, sf_dir).collect()
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od["y"] = od["o_orderdate"].dt.year
+    maxy = od["y"].max()
+    ymap = dict(zip(od["o_orderkey"], od["y"]))
+
+    def baskets(rows):
+        b = defaultdict(set)
+        for o, p in rows:
+            b[o].add(p)
+        return b
+
+    tr_rows = [
+        (o, p)
+        for o, p in zip(li["l_orderkey"], li["l_partkey"])
+        if ymap[o] < maxy
+    ]
+    te_rows = [
+        (o, p)
+        for o, p in zip(li["l_orderkey"], li["l_partkey"])
+        if ymap[o] == maxy
+    ]
+    trb, teb = baskets(tr_rows), baskets(te_rows)
+
+    def pairs(bs, counted=False):
+        c = defaultdict(int)
+        for b in bs.values():
+            if not (2 <= len(b) <= 50):
+                continue
+            ps = sorted(b)
+            for i, a in enumerate(ps):
+                for x in ps[i + 1 :]:
+                    c[(a, x)] += 1
+        return c
+
+    tr_e = pairs(trb)
+    nbrs = defaultdict(list)
+    for (a, b), n in tr_e.items():
+        nbrs[a].append((-n, b))
+        nbrs[b].append((-n, a))
+    recs = set()
+    for s, lst in nbrs.items():
+        for _, dst in sorted(lst)[:REC_TOP_K]:
+            recs.add((min(s, dst), max(s, dst)))
+    te_pairs = set(pairs(teb))
+    hits = sum(1 for p in te_pairs if p in recs)
+
+    assert r["n_train_orders"] == len({o for o, _ in tr_rows})
+    assert r["n_test_orders"] == len({o for o, _ in te_rows})
+    assert r["n_test_pairs"] == len(te_pairs)
+    assert r["n_hits"] == hits
+    hu6 = ((2 * hits * 10**6 + len(te_pairs)) // (2 * len(te_pairs))) / 1e6
+    assert r["hit_rate"] == hu6
+    assert 0 < r["n_hits"] <= r["n_test_pairs"]
