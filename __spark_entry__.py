@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "price_drift_ks",  # new in r9 — gate-verify the round it lands
     "copurchase_eval_hitrate",  # new in r9 — gate-verify the round it lands
     "bootstrap_mean_ci",  # new in r9 — gate-verify the round it lands
     "ldiversity_profile",  # new in r9 — gate-verify the round it lands
@@ -460,6 +461,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ldiversity_profile": quality.q_ldiversity_profile,
         "bootstrap_mean_ci": quality.q_bootstrap_mean_ci,
         "copurchase_eval_hitrate": graph.q_copurchase_eval_hitrate,
+        "price_drift_ks": quality.q_price_drift_ks,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4326,6 +4328,40 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "price_drift_ks": (
+            # two-sample KS over the distinct-cents grid: integer CDFs,
+            # cross-multiplied gap, micro D, isqrt critical value
+            "WITH my AS (SELECT max(year(o_orderdate)) AS maxy "
+            "FROM orders), "
+            "o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * "
+            "100 AS BIGINT) AS cents, year(o_orderdate) AS y "
+            "FROM orders), "
+            "grid AS (SELECT cents, CAST(sum(CASE WHEN y = maxy - 1 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS ca, "
+            "CAST(sum(CASE WHEN y = maxy THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS cb FROM o CROSS JOIN my WHERE y >= maxy - 1 "
+            "GROUP BY 1), "
+            "g AS (SELECT cents, CAST(sum(ca) OVER w AS BIGINT) AS "
+            "cum_a, CAST(sum(cb) OVER w AS BIGINT) AS cum_b FROM grid "
+            "WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED "
+            "PRECEDING AND CURRENT ROW)), "
+            "tot AS (SELECT max(cum_a) AS n_a, max(cum_b) AS n_b "
+            "FROM g), "
+            "sc AS (SELECT cents, abs(cum_a * n_b - cum_b * n_a) AS "
+            "gap FROM g CROSS JOIN tot), "
+            "best AS (SELECT min(ROW(-gap, cents)) AS pick FROM sc), "
+            "f AS (SELECT CAST(-(pick[1]) AS HUGEINT) AS mg, "
+            "pick[2] AS d_at_cents, n_a, n_b, maxy FROM best "
+            "CROSS JOIN tot CROSS JOIN my), "
+            "r AS (SELECT *, CAST(mg * 1000000 // "
+            "(CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS d_micro, "
+            "CAST(1358 * ((CASE WHEN (CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) + 1) <= (CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) THEN CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) > (CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) THEN CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST((CAST(n_a + n_b AS HUGEINT) * 1000000000000 // (CAST(n_a AS HUGEINT) * n_b)) AS DOUBLE))) AS BIGINT) END)) // 1000 AS BIGINT) "
+            "AS crit_micro FROM f) "
+            "SELECT CAST(maxy - 1 AS INTEGER) AS year_a, "
+            "CAST(maxy AS INTEGER) AS year_b, n_a, n_b, d_micro, "
+            "d_at_cents, crit_micro, d_micro > crit_micro AS drifted "
+            "FROM r"
         ),
         "copurchase_eval_hitrate": (
             # leakage-free temporal backtest: train top-5 neighbor

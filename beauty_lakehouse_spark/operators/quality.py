@@ -2245,3 +2245,105 @@ def q_bootstrap_mean_ci(spark, sf_dir: str) -> DataFrame:
         F.col("ms")[1].alias("ci_lo_c3"),
         F.col("ms")[BOOTSTRAP_B - 2].alias("ci_hi_c3"),
     )
+
+
+def q_price_drift_ks(spark, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on order value, final
+    order year vs the year before — the NONPARAMETRIC drift detector
+    next to the binned PSI report (``value_drift_report``): D = max
+    |F̂ₐ(v) − F̂_b(v)| sees any distribution change, not just the ones
+    a fixed binning exposes.
+
+    Exact fixed point: both empirical CDFs are integer cumulative
+    counts over the merged distinct-cents grid, the gap is kept
+    cross-multiplied (|cumₐ·n_b − cum_b·nₐ| — no fractions), D is one
+    trunc division at micro scale, and the α=0.05 decision compares it
+    against c(α)·√((nₐ+n_b)/(nₐn_b)) computed via the exact integer
+    ``isqrt`` (c = 1.358, the classic large-sample constant). The
+    argmax location rides along (smallest cents on ties) — where the
+    distributions diverge most.
+
+    Scale: one pass builds the per-(cents) count grid; the cumulative
+    window runs over the bounded VALUE DOMAIN (distinct cents), never
+    raw rows; the verdict is a single bounded aggregate.
+
+    Output (1 row): (year_a, year_b, n_a, n_b, d_micro, d_at_cents,
+    crit_micro, drifted)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2, isqrt
+
+    t = load(spark, sf_dir)
+    maxy = t.orders.agg(F.max(F.year("o_orderdate")).alias("maxy"))
+    o = t.orders.crossJoin(F.broadcast(maxy)).select(
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        F.year("o_orderdate").alias("y"),
+        "maxy",
+    )
+    grid = (
+        o.filter(F.col("y") >= F.col("maxy") - 1)
+        .groupBy("cents")
+        .agg(
+            F.sum(
+                (F.col("y") == F.col("maxy") - 1).cast("long")
+            ).alias("ca"),
+            F.sum((F.col("y") == F.col("maxy")).cast("long")).alias(
+                "cb"
+            ),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = grid.withColumn("cum_a", F.sum("ca").over(w)).withColumn(
+        "cum_b", F.sum("cb").over(w)
+    )
+    tot = g.agg(
+        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+    )
+    scored = g.crossJoin(F.broadcast(tot)).withColumn(
+        "gap",
+        F.abs(
+            F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")
+        ),
+    )
+    best = scored.agg(
+        F.min(
+            F.struct(
+                (-F.col("gap")).alias("ng"), F.col("cents").alias("c")
+            )
+        ).alias("pick"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    d_micro = _idiv(
+        (-F.col("pick.ng")).cast("decimal(38,0)") * F.lit(1_000_000),
+        na.cast("decimal(38,0)") * nb,
+    )
+    crit_micro = _idiv(
+        F.lit(1358)
+        * isqrt(
+            _idiv(
+                (na + nb).cast("decimal(38,0)") * F.lit(10**12),
+                na.cast("decimal(38,0)") * nb,
+            )
+        ),
+        F.lit(1000),
+    )
+    return (
+        best.crossJoin(F.broadcast(maxy))
+        .withColumn("d_micro", d_micro)
+        .withColumn("crit_micro", crit_micro)
+        .select(
+            (F.col("maxy") - 1).alias("year_a"),
+            F.col("maxy").alias("year_b"),
+            "n_a",
+            "n_b",
+            "d_micro",
+            F.col("pick.c").alias("d_at_cents"),
+            "crit_micro",
+            (F.col("d_micro") > F.col("crit_micro")).alias("drifted"),
+        )
+    )

@@ -93,6 +93,7 @@ WHITELIST: dict[str, str] = {
     "negative_sampling_table": "two 1-row broadcasts (weight total, base-quota sum) attached to the capped vocabulary table — the source_quota_apportionment shape",
     "bootstrap_mean_ci": "1-row full-sample-stats broadcast attached to the 1-row sorted replicate-mean grid (order-statistic CI assembly)",
     "copurchase_eval_hitrate": "1-row split-year broadcast + 1-row count-aggregate assembly joins (backtest scoreboard)",
+    "price_drift_ks": "1-row max-year/sample-size broadcasts attached to the distinct-cents grid (KS scoreboard assembly)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 
@@ -101,6 +102,7 @@ WHITELIST: dict[str, str] = {
 GLOBAL_WINDOW_OK: dict[str, str] = {
     "kaplan_meier_repeat": "risk-set/survival cumulative sums over the duration-grain grid (bounded by the calendar span), never raw rows",
     "negative_sampling_table": "remainder-rank row_number over the NEG_VOCAB_CAP=65536-capped vocabulary table, never the raw term space",
+    "price_drift_ks": "CDF cumulative sums over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows — the order_value_percentiles convention",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

@@ -896,3 +896,41 @@ def test_bootstrap_mean_ci_pure_python(spark, sf_dir):
     # Poisson(1) sanity: average weight within 5% of 1
     avg_w = tot_w / (BOOTSTRAP_B * len(o))
     assert 0.95 < avg_w < 1.05
+
+
+def test_price_drift_ks_pure_python(spark, sf_dir):
+    """The KS statistic, argmax location, and isqrt critical value
+    match a pure-Python recompute; D agrees with float KS to ~1e-5."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_price_drift_ks
+
+    [r] = q_price_drift_ks(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    o["y"] = o["o_orderdate"].dt.year
+    maxy = int(o["y"].max())
+    a = sorted(o[o["y"] == maxy - 1]["cents"])
+    b = sorted(o[o["y"] == maxy]["cents"])
+    na, nb = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    from bisect import bisect_right
+
+    best_gap, best_c = -1, None
+    for c in grid:
+        gap = abs(bisect_right(a, c) * nb - bisect_right(b, c) * na)
+        if gap > best_gap:
+            best_gap, best_c = gap, c
+    assert (r["year_a"], r["year_b"]) == (maxy - 1, maxy)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["d_at_cents"] == best_c
+    assert r["d_micro"] == best_gap * 10**6 // (na * nb)
+    crit = 1358 * math.isqrt((na + nb) * 10**12 // (na * nb)) // 1000
+    assert r["crit_micro"] == crit
+    assert r["drifted"] == (r["d_micro"] > crit)
+    # float cross-check
+    d_float = best_gap / (na * nb)
+    assert abs(r["d_micro"] / 1e6 - d_float) < 1e-5
