@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "revenue_theil_sen",  # new in r9 — gate-verify the round it lands
     "price_drift_ks",  # new in r9 — gate-verify the round it lands
     "copurchase_eval_hitrate",  # new in r9 — gate-verify the round it lands
     "bootstrap_mean_ci",  # new in r9 — gate-verify the round it lands
@@ -462,6 +463,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_ci": quality.q_bootstrap_mean_ci,
         "copurchase_eval_hitrate": graph.q_copurchase_eval_hitrate,
         "price_drift_ks": quality.q_price_drift_ks,
+        "revenue_theil_sen": warehouse.q_revenue_theil_sen,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4328,6 +4330,38 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "revenue_theil_sen": (
+            # median of pairwise yearly slopes, carried as the exact
+            # integer dy*(2520//dx) before the order-statistic median;
+            # the dx <= 10 LCM contract guard is MIRRORED
+            "WITH fact AS (SELECT n_name AS nation, "
+            "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+            f"{_NET} AS net_price "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey), "
+            "yearly AS (SELECT nation, order_year, "
+            "CAST(round(sum(net_price), 2) * 100 AS BIGINT) AS cents "
+            "FROM fact GROUP BY 1, 2), "
+            "p AS (SELECT a.nation, b.order_year - a.order_year AS dx, "
+            "b.cents - a.cents AS dy FROM yearly a JOIN yearly b "
+            "ON a.nation = b.nation AND a.order_year < b.order_year), "
+            "g AS (SELECT nation, CASE WHEN dx > 10 THEN "
+            "CAST(error('theil_sen contract violated: year gap > 10 "
+            "breaks the exact LCM scaling; widen YEAR_SPAN_LCM') "
+            "AS BIGINT) ELSE CAST(dy * (2520 // dx) AS BIGINT) END "
+            "AS slope_lcm FROM p), "
+            "r AS (SELECT nation, slope_lcm, row_number() OVER "
+            "(PARTITION BY nation ORDER BY slope_lcm) AS rk, "
+            "count(*) OVER (PARTITION BY nation) AS np FROM g), "
+            "ny AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_years "
+            "FROM yearly GROUP BY 1) "
+            "SELECT r.nation AS nation, n_years, "
+            "CAST(np AS BIGINT) AS n_pairs, slope_lcm AS ts_slope_lcm "
+            "FROM r JOIN ny ON r.nation = ny.nation "
+            "WHERE rk = (np + 1) // 2 ORDER BY nation"
         ),
         "price_drift_ks": (
             # two-sample KS over the distinct-cents grid: integer CDFs,

