@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "view_purchase_join_streamed",  # new in r9 — gate-verify the round it lands
     "revenue_theil_sen",  # new in r9 — gate-verify the round it lands
     "price_drift_ks",  # new in r9 — gate-verify the round it lands
     "copurchase_eval_hitrate",  # new in r9 — gate-verify the round it lands
@@ -464,6 +465,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_eval_hitrate": graph.q_copurchase_eval_hitrate,
         "price_drift_ks": quality.q_price_drift_ks,
         "revenue_theil_sen": warehouse.q_revenue_theil_sen,
+        "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -1384,6 +1386,28 @@ def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return km_firsts_finish(drained)
+
+
+def _q_view_purchase_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join drain — the first two-unbounded-inputs
+    shape in the streaming surface: views joined to same-user purchases
+    within the following hour, both sides watermarked, append mode (a
+    match emits exactly once), drained with availableNow. The oracle is
+    the plain batch time-range join — the 21st oracle-matched streaming
+    drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_events,
+        view_purchase_join,
+    )
+
+    return run_available_now(
+        view_purchase_join(stream_events(spark, sf_dir)),
+        f"gate_ssj_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
 
 
 def _q_cms_cells_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4330,6 +4354,19 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "view_purchase_join_streamed": (
+            # the batch time-range join IS the oracle for the
+            # stream-stream append join (a match emits exactly once)
+            "WITH v AS (SELECT user_id, event_id AS view_event_id, "
+            "epoch_us(ts) AS vus FROM events WHERE event_type = 'view'), "
+            "p AS (SELECT user_id, event_id AS purchase_event_id, "
+            "epoch_us(ts) AS pus FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT v.user_id AS user_id, view_event_id, "
+            "purchase_event_id, pus - vus AS lag_us "
+            "FROM v JOIN p ON v.user_id = p.user_id "
+            "AND pus >= vus AND pus <= vus + 3600000000"
         ),
         "revenue_theil_sen": (
             # median of pairwise yearly slopes, carried as the exact

@@ -27,6 +27,7 @@ from .pipelines import (  # noqa: F401
     user_event_type_counts,
     user_purchase_totals,
     view_purchase_attribution,
+    view_purchase_join,
 )
 from .stateful import (  # noqa: F401
     km_firsts,

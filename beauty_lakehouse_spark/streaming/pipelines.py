@@ -491,3 +491,62 @@ def user_event_type_counts(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+#: Stream-stream join attribution window (event time): a purchase
+#: joins every view by the same user in the preceding hour.
+SS_JOIN_WINDOW_US = 3_600_000_000
+
+#: Watermark delay for the stream-stream join. Deliberately wider than
+#: the whole fixture span so NO row is ever late-dropped — the drained
+#: join is then micro-batch-slicing-independent and equal to the batch
+#: twin (production tightens this to bound state; the semantics of the
+#: join itself do not change, only which late rows get dropped).
+SS_JOIN_WATERMARK = "45 days"
+
+
+def view_purchase_join(events: DataFrame) -> DataFrame:
+    """STREAM-STREAM inner join — the Structured Streaming shape where
+    BOTH inputs are unbounded (every drain so far aggregates one
+    stream): views and purchases of the same user joined on an
+    event-time range (purchase within ``SS_JOIN_WINDOW_US`` after the
+    view). Each side carries a watermark so the engine can expire
+    buffered state once no counterpart can still arrive; the time-range
+    predicate is what makes the state BOUNDED (an unconstrained
+    stream-stream join would buffer forever).
+
+    Append-mode output: a match is emitted exactly once, so the
+    drained table equals the batch time-range join row-for-row."""
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_event_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", SS_JOIN_WATERMARK)
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", SS_JOIN_WATERMARK)
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (
+            F.unix_micros("p_ts")
+            <= F.unix_micros("v_ts") + F.lit(SS_JOIN_WINDOW_US)
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_event_id",
+        "purchase_event_id",
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )

@@ -669,3 +669,61 @@ def test_kaplan_meier_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path)
     got = km_firsts_finish(drained)
     expected = q_kaplan_meier_repeat(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_view_purchase_join_streamed_multi_batch_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Split the events fixture into 4 files and stream them one per
+    micro-batch: the append-mode stream-stream join must emit exactly
+    the batch time-range join — hash-splitting puts most (view,
+    purchase) matches in DIFFERENT micro-batches, so the join state
+    buffering across batches is what this test exercises."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        SS_JOIN_WINDOW_US,
+        view_purchase_join,
+    )
+
+    src = str(tmp_path / "events_parts_ssj")
+    ev = load(spark, sf_dir).events
+    ev.withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        view_purchase_join(stream), "t_ssj_mb", output_mode="append"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("view_event_id"),
+        F.unix_micros("ts").alias("vus"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    expected = (
+        v.join(
+            p,
+            (F.col("u") == F.col("u2"))
+            & (F.col("pus") >= F.col("vus"))
+            & (F.col("pus") <= F.col("vus") + SS_JOIN_WINDOW_US),
+        )
+        .select(
+            F.col("u").alias("user_id"),
+            "view_event_id",
+            "purchase_event_id",
+            (F.col("pus") - F.col("vus")).alias("lag_us"),
+        )
+    )
+    assert expected.count() > 0
+    assert _canon(got) == _canon(expected)
