@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "markov_conversion_prob",  # new in r9 — gate-verify the round it lands
     "view_purchase_join_streamed",  # new in r9 — gate-verify the round it lands
     "revenue_theil_sen",  # new in r9 — gate-verify the round it lands
     "price_drift_ks",  # new in r9 — gate-verify the round it lands
@@ -466,6 +467,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_drift_ks": quality.q_price_drift_ks,
         "revenue_theil_sen": warehouse.q_revenue_theil_sen,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
+        "markov_conversion_prob": events.q_markov_conversion_prob,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4354,6 +4356,12 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "markov_conversion_prob": (
+            # absorbing-Markov funnel: 5 unrolled value-iteration
+            # rounds over the bounded transition grid, micro units,
+            # one trunc division per state per round
+            "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events), pr AS (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type, event_type AS to_type FROM e), c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_ij FROM pr WHERE from_type IS NOT NULL GROUP BY 1, 2), m AS (SELECT from_type, CAST(sum(n_ij) AS BIGINT) AS n_i FROM c GROUP BY 1), s AS (SELECT DISTINCT event_type AS state FROM events), p0 AS (SELECT state, CAST(CASE WHEN state = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT) AS p FROM s), x1 AS (SELECT c.from_type AS state, CAST(sum(CAST(c.n_ij AS HUGEINT) * p0.p) // min(m.n_i) AS BIGINT) AS p FROM c JOIN p0 ON c.to_type = p0.state JOIN m ON m.from_type = c.from_type GROUP BY 1), p1 AS (SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000 ELSE COALESCE(x1.p, 0) END AS BIGINT) AS p FROM s LEFT JOIN x1 ON s.state = x1.state), x2 AS (SELECT c.from_type AS state, CAST(sum(CAST(c.n_ij AS HUGEINT) * p1.p) // min(m.n_i) AS BIGINT) AS p FROM c JOIN p1 ON c.to_type = p1.state JOIN m ON m.from_type = c.from_type GROUP BY 1), p2 AS (SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000 ELSE COALESCE(x2.p, 0) END AS BIGINT) AS p FROM s LEFT JOIN x2 ON s.state = x2.state), x3 AS (SELECT c.from_type AS state, CAST(sum(CAST(c.n_ij AS HUGEINT) * p2.p) // min(m.n_i) AS BIGINT) AS p FROM c JOIN p2 ON c.to_type = p2.state JOIN m ON m.from_type = c.from_type GROUP BY 1), p3 AS (SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000 ELSE COALESCE(x3.p, 0) END AS BIGINT) AS p FROM s LEFT JOIN x3 ON s.state = x3.state), x4 AS (SELECT c.from_type AS state, CAST(sum(CAST(c.n_ij AS HUGEINT) * p3.p) // min(m.n_i) AS BIGINT) AS p FROM c JOIN p3 ON c.to_type = p3.state JOIN m ON m.from_type = c.from_type GROUP BY 1), p4 AS (SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000 ELSE COALESCE(x4.p, 0) END AS BIGINT) AS p FROM s LEFT JOIN x4 ON s.state = x4.state), x5 AS (SELECT c.from_type AS state, CAST(sum(CAST(c.n_ij AS HUGEINT) * p4.p) // min(m.n_i) AS BIGINT) AS p FROM c JOIN p4 ON c.to_type = p4.state JOIN m ON m.from_type = c.from_type GROUP BY 1), p5 AS (SELECT s.state, CAST(CASE WHEN s.state = 'purchase' THEN 1000000 ELSE COALESCE(x5.p, 0) END AS BIGINT) AS p FROM s LEFT JOIN x5 ON s.state = x5.state) SELECT CAST(1 AS INTEGER) AS step, state, p AS p_micro FROM p1 UNION ALL SELECT CAST(2 AS INTEGER) AS step, state, p AS p_micro FROM p2 UNION ALL SELECT CAST(3 AS INTEGER) AS step, state, p AS p_micro FROM p3 UNION ALL SELECT CAST(4 AS INTEGER) AS step, state, p AS p_micro FROM p4 UNION ALL SELECT CAST(5 AS INTEGER) AS step, state, p AS p_micro FROM p5 ORDER BY step, state"
         ),
         "view_purchase_join_streamed": (
             # the batch time-range join IS the oracle for the

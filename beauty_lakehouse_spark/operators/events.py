@@ -1064,3 +1064,89 @@ def km_curve(u: DataFrame) -> DataFrame:
         )
         .orderBy("t_days")
     )
+
+
+#: Absorbing-Markov funnel horizon: conversion probability within this
+#: many transitions, unrolled (constant rounds over the bounded
+#: state-grid — never an iterative fixpoint on raw rows).
+MARKOV_STEPS = 5
+MARKOV_ABSORB = "purchase"
+
+
+def q_markov_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absorbing-Markov funnel: from each behavioral state, the
+    probability of reaching PURCHASE within k = 1..``MARKOV_STEPS``
+    transitions — the chain-level conversion metric that a plain funnel
+    (fixed event order) and the entropy rate (predictability) both
+    miss. Purchase is modeled absorbing: once converted, converted.
+
+    Exact fixed point: transition probabilities stay as integer count
+    rationals (n_ij / n_i — never materialized as floats); the value
+    recursion p_{k+1}(s) = Σ_j n_sj · p_k(j) // n_s runs in micro
+    units with one trunc division per state per round (a deterministic
+    quantization BOTH engines define identically — the ``ln_micro``
+    policy), seeded with p_0(purchase) = 10⁶.
+
+    Scale: ONE fact-side shuffle builds the ≤ |states|² transition
+    grid (the ``user_behavior_entropy`` lag pairing); all
+    ``MARKOV_STEPS`` rounds are joins over that bounded grid —
+    per-round cost is states², independent of corpus size.
+
+    Output: (step, state, p_micro) for every state × step, purchase
+    rows pinned at 10⁶."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    pairs = t.events.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_ij")
+    )
+    m = c.groupBy("from_type").agg(F.sum("n_ij").alias("n_i"))
+    states = (
+        t.events.select(F.col("event_type").alias("state")).distinct()
+    )
+    p = states.select(
+        "state",
+        F.when(F.col("state") == MARKOV_ABSORB, F.lit(10**6))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p_micro"),
+    )
+    out = None
+    for step in range(1, MARKOV_STEPS + 1):
+        nxt = (
+            c.join(p, F.col("to_type") == F.col("state"))
+            .groupBy("from_type")
+            .agg(F.sum(F.col("n_ij") * F.col("p_micro")).alias("acc"))
+            .join(F.broadcast(m), "from_type")
+            .select(
+                F.col("from_type").alias("state"),
+                _idiv(F.col("acc"), F.col("n_i")).alias("p_micro"),
+            )
+        )
+        p = (
+            states.join(nxt, "state", "left")
+            .select(
+                "state",
+                F.when(
+                    F.col("state") == MARKOV_ABSORB, F.lit(10**6)
+                )
+                .otherwise(F.coalesce("p_micro", F.lit(0)))
+                .cast("long")
+                .alias("p_micro"),
+            )
+        )
+        labeled = p.select(
+            F.lit(step).cast("int").alias("step"), "state", "p_micro"
+        )
+        out = labeled if out is None else out.unionByName(labeled)
+    return out.orderBy("step", "state")

@@ -1387,3 +1387,58 @@ def test_er_blocking_quality_pure_python(spark, sf_dir):
     else:
         assert r["pair_completeness"] is None
     assert 0 <= r["reduction_ratio"] <= 1
+
+
+def test_markov_conversion_prob_pure_python(spark, sf_dir):
+    """The unrolled value iteration matches a pure-Python recompute
+    with the identical trunc quantization; probabilities are monotone
+    in the horizon and bounded by 10^6; purchase stays absorbed."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        MARKOV_ABSORB,
+        MARKOV_STEPS,
+        q_markov_conversion_prob,
+    )
+
+    rows = {
+        (r["step"], r["state"]): r["p_micro"]
+        for r in q_markov_conversion_prob(spark, sf_dir).collect()
+    }
+    assert rows
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    c = defaultdict(int)
+    for _, g in ev.groupby("user_id"):
+        ts = list(g["event_type"])
+        for a, b in zip(ts, ts[1:]):
+            c[(a, b)] += 1
+    n_i = defaultdict(int)
+    for (a, _), n in c.items():
+        n_i[a] += n
+    states = sorted(set(ev["event_type"]))
+    p = {s: 10**6 if s == MARKOV_ABSORB else 0 for s in states}
+    for step in range(1, MARKOV_STEPS + 1):
+        nxt = {}
+        for s in states:
+            if s == MARKOV_ABSORB:
+                nxt[s] = 10**6
+            elif n_i[s]:
+                nxt[s] = (
+                    sum(c[(s, j)] * p[j] for j in states) // n_i[s]
+                )
+            else:
+                nxt[s] = 0
+        p = nxt
+        for s in states:
+            assert rows[(step, s)] == p[s], (step, s)
+    # structural sanity: monotone in horizon, bounded, absorbed
+    for s in states:
+        seq = [rows[(k, s)] for k in range(1, MARKOV_STEPS + 1)]
+        assert all(0 <= v <= 10**6 for v in seq)
+        assert all(x <= y + 1 for x, y in zip(seq, seq[1:]))  # quantized monotone
+    assert all(rows[(k, MARKOV_ABSORB)] == 10**6 for k in range(1, 6))
