@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "segment_price_utest",  # new in r9 — gate-verify the round it lands
     "markov_conversion_prob",  # new in r9 — gate-verify the round it lands
     "view_purchase_join_streamed",  # new in r9 — gate-verify the round it lands
     "revenue_theil_sen",  # new in r9 — gate-verify the round it lands
@@ -468,6 +469,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_theil_sen": warehouse.q_revenue_theil_sen,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
+        "segment_price_utest": quality.q_segment_price_utest,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4356,6 +4358,38 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "segment_price_utest": (
+            # Mann-Whitney with tie correction over the distinct-cents
+            # grid: doubled U keeps tie half-credit integer; exact
+            # rational z^2 at micro; N < 1e5 guard MIRRORED
+            "WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) "
+            "* 100 AS BIGINT) AS cents, CASE WHEN c_mktsegment = "
+            "'BUILDING' THEN 1 ELSE 0 END AS is_a "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+            "grid AS (SELECT cents, CAST(sum(is_a) AS BIGINT) AS ca, "
+            "CAST(sum(1 - is_a) AS BIGINT) AS cb FROM o GROUP BY 1), "
+            "g AS (SELECT cents, ca, cb, CAST(sum(cb) OVER (ORDER BY "
+            "cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS cum_b_incl, ca + cb AS tt FROM grid), "
+            "a AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, "
+            "CAST(sum(cb) AS BIGINT) AS n_b, "
+            "CAST(sum(ca * (2 * (cum_b_incl - cb) + cb)) AS BIGINT) "
+            "AS u2, CAST(sum(CAST(tt AS HUGEINT) * tt * tt - tt) "
+            "AS BIGINT) AS tie_term FROM g), "
+            "gn AS (SELECT *, CASE WHEN n_a + n_b >= 100000 THEN "
+            "CAST(error('utest contract violated: N >= 1e5 exceeds the "
+            "exact z^2 DECIMAL(38,0) range; sample or rescale "
+            "upstream') AS BIGINT) ELSE n_a + n_b END AS nn FROM a), "
+            "z AS (SELECT *, CAST(3 * CAST(u2 - n_a * n_b AS HUGEINT) "
+            "* (u2 - n_a * n_b) * nn * (nn - 1) * 1000000 // "
+            "(CAST(n_a AS HUGEINT) * n_b * (CAST(nn + 1 AS HUGEINT) * "
+            "nn * (nn - 1) - tie_term)) AS BIGINT) AS z2_micro "
+            "FROM gn) "
+            "SELECT 'BUILDING' AS seg_a, 'MACHINERY' AS seg_b, n_a, "
+            "n_b, u2, tie_term, z2_micro, z2_micro > 3841600 AS "
+            "significant FROM z"
         ),
         "markov_conversion_prob": (
             # absorbing-Markov funnel: 5 unrolled value-iteration

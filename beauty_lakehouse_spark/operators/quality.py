@@ -2347,3 +2347,120 @@ def q_price_drift_ks(spark, sf_dir: str) -> DataFrame:
             (F.col("d_micro") > F.col("crit_micro")).alias("drifted"),
         )
     )
+
+
+#: Mann-Whitney comparison pair (two largest fixture segments) and the
+#: exact-arithmetic size contract (see q_segment_price_utest).
+UTEST_SEG_A = "BUILDING"
+UTEST_SEG_B = "MACHINERY"
+
+
+def q_segment_price_utest(spark, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between two market segments
+    on order value — the RANK-based location test completing the
+    testing family (Welch t² assumes means matter; U only assumes
+    orderings, so a heavy tail can't fake or mask an effect).
+
+    Exact fixed point with tie correction and NO ranks materialized:
+    over the merged distinct-cents grid, 2U = Σ_v cₐ(v)·(2·cum_b(v⁻) +
+    c_b(v)) — doubling keeps the half-credit for ties integer. The
+    normal-approximation z² is the exact rational
+    3·(2U − nₐn_b)²·N(N−1) / (nₐn_b·((N+1)N(N−1) − Σ(t³−t))) carried
+    in DECIMAL(38,0)/HUGEINT and surfaced once at micro scale;
+    N < 10⁵ keeps the square in range — guarded with raise_error
+    Spark-side and the same error() CASE in the oracle. Significance
+    compares z² against 1.96² = 3.8416 (α = 0.05, two-sided).
+
+    Scale: one pass builds the per-cents count grid; the cumulative
+    window runs over the bounded VALUE DOMAIN; the verdict is one
+    bounded aggregate.
+
+    Output (1 row): (seg_a, seg_b, n_a, n_b, u2, tie_term, z2_micro,
+    significant)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    o = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).filter(F.col("c_mktsegment").isin(UTEST_SEG_A, UTEST_SEG_B))
+    grid = (
+        o.select(
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("c_mktsegment") == UTEST_SEG_A)
+            .cast("long")
+            .alias("is_a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = grid.withColumn(
+        "cum_b_incl", F.sum("cb").over(w)
+    ).withColumn("tt", F.col("ca") + F.col("cb"))
+    agg = g.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca")
+            * (
+                F.lit(2) * (F.col("cum_b_incl") - F.col("cb"))
+                + F.col("cb")
+            )
+        ).alias("u2"),
+        F.sum(
+            F.col("tt").cast("decimal(38,0)")
+            * F.col("tt")
+            * F.col("tt")
+            - F.col("tt")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    guarded_n = F.when(
+        n >= F.lit(100_000),
+        F.raise_error(
+            F.lit(
+                "utest contract violated: N >= 1e5 exceeds the exact "
+                "z^2 DECIMAL(38,0) range; sample or rescale upstream"
+            )
+        ).cast("long"),
+    ).otherwise(n.cast("long"))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (
+        F.lit(3)
+        * dd(F.col("u2") - F.col("n_a") * F.col("n_b"))
+        * (F.col("u2") - F.col("n_a") * F.col("n_b"))
+        * F.col("nn")
+        * (F.col("nn") - 1)
+    )
+    den = dd(F.col("n_a")) * F.col("n_b") * (
+        dd(F.col("nn") + 1) * F.col("nn") * (F.col("nn") - 1)
+        - F.col("tie_term")
+    )
+    out = (
+        agg.withColumn("nn", guarded_n)
+        .withColumn(
+            "z2_micro", _idiv(num * F.lit(1_000_000), den)
+        )
+        .select(
+            F.lit(UTEST_SEG_A).alias("seg_a"),
+            F.lit(UTEST_SEG_B).alias("seg_b"),
+            "n_a",
+            "n_b",
+            "u2",
+            "tie_term",
+            "z2_micro",
+            (F.col("z2_micro") > F.lit(3_841_600)).alias("significant"),
+        )
+    )
+    return out

@@ -103,6 +103,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "kaplan_meier_repeat": "risk-set/survival cumulative sums over the duration-grain grid (bounded by the calendar span), never raw rows",
     "negative_sampling_table": "remainder-rank row_number over the NEG_VOCAB_CAP=65536-capped vocabulary table, never the raw term space",
     "price_drift_ks": "CDF cumulative sums over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows — the order_value_percentiles convention",
+    "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

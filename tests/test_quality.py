@@ -934,3 +934,49 @@ def test_price_drift_ks_pure_python(spark, sf_dir):
     # float cross-check
     d_float = best_gap / (na * nb)
     assert abs(r["d_micro"] / 1e6 - d_float) < 1e-5
+
+
+def test_segment_price_utest_pure_python(spark, sf_dir):
+    """2U, the tie term, and z^2 match a pure-Python recompute, and
+    z^2 agrees with the float normal-approximation formula to ~1e-4."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        UTEST_SEG_A,
+        UTEST_SEG_B,
+        q_segment_price_utest,
+    )
+
+    [r] = q_segment_price_utest(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin([UTEST_SEG_A, UTEST_SEG_B])]
+    j["cents"] = (j["o_totalprice"].round(2) * 100).round().astype("int64")
+    a = sorted(j[j["c_mktsegment"] == UTEST_SEG_A]["cents"])
+    b = sorted(j[j["c_mktsegment"] == UTEST_SEG_B]["cents"])
+    na, nb = len(a), len(b)
+    from bisect import bisect_left, bisect_right
+    from collections import Counter
+
+    u2 = 0
+    for v in a:
+        u2 += 2 * bisect_left(b, v) + (
+            bisect_right(b, v) - bisect_left(b, v)
+        )
+    tie = sum(t**3 - t for t in Counter(a + b).values())
+    N = na + nb
+    num = 3 * (u2 - na * nb) ** 2 * N * (N - 1)
+    den = na * nb * ((N + 1) * N * (N - 1) - tie)
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["u2"] == u2
+    assert r["tie_term"] == tie
+    assert r["z2_micro"] == num * 10**6 // den
+    assert r["significant"] == (r["z2_micro"] > 3_841_600)
+    # float cross-check: z = (U - mu) / sigma with tie correction
+    U = u2 / 2
+    mu = na * nb / 2
+    sigma2 = na * nb / 12 * ((N + 1) - tie / (N * (N - 1)))
+    z2f = (U - mu) ** 2 / sigma2
+    assert abs(r["z2_micro"] / 1e6 - z2f) < max(1e-4, z2f * 1e-4)
