@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "cuped_adjusted_diff",  # new in r9 — gate-verify the round it lands
     "segment_price_utest",  # new in r9 — gate-verify the round it lands
     "markov_conversion_prob",  # new in r9 — gate-verify the round it lands
     "view_purchase_join_streamed",  # new in r9 — gate-verify the round it lands
@@ -470,6 +471,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
+        "cuped_adjusted_diff": quality.q_cuped_adjusted_diff,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4358,6 +4360,67 @@ def oracle_sql() -> dict[str, str]:
             "AND a.p_partkey < b.p_partkey "
             "WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 "
             "ORDER BY edit_dist, part_a, part_b LIMIT 200"
+        ),
+        "cuped_adjusted_diff": (
+            # CUPED: pooled theta from integer sufficient stats
+            # (sign-split micro quantization), milli group means,
+            # rho^2 variance reduction — every product HUGEINT-lifted
+            "WITH my AS (SELECT max(year(o_orderdate)) AS maxy "
+            "FROM orders), "
+            "oc AS (SELECT o_custkey, year(o_orderdate) AS y, "
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+            "AS cents FROM orders), "
+            "pc AS (SELECT o_custkey, "
+            "CAST(sum(CASE WHEN y < maxy THEN cents ELSE 0 END) "
+            "AS BIGINT) AS x, "
+            "CAST(sum(CASE WHEN y < maxy THEN 0 ELSE cents END) "
+            "AS BIGINT) AS yy FROM oc CROSS JOIN my GROUP BY 1), "
+            "j AS (SELECT pc.*, c_mktsegment FROM pc "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')), "
+            "a AS (SELECT "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 "
+            "ELSE 1 END) AS BIGINT) AS n_b, "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN x "
+            "ELSE 0 END) AS BIGINT) AS sxa, "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN yy "
+            "ELSE 0 END) AS BIGINT) AS sya, "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 "
+            "ELSE x END) AS BIGINT) AS sxb, "
+            "CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 0 "
+            "ELSE yy END) AS BIGINT) AS syb, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx, "
+            "sum(CAST(x AS HUGEINT) * yy) AS sxy, "
+            "sum(CAST(yy AS HUGEINT) * yy) AS syy FROM j), "
+            "g AS (SELECT *, "
+            "CAST(n AS HUGEINT) * sxy - CAST(sxa + sxb AS HUGEINT) * "
+            "(sya + syb) AS th_num, "
+            "CAST(n AS HUGEINT) * sxx - CAST(sxa + sxb AS HUGEINT) * "
+            "(sxa + sxb) AS th_den, "
+            "CAST(n AS HUGEINT) * syy - CAST(sya + syb AS HUGEINT) * "
+            "(sya + syb) AS den_y FROM a), "
+            "g2 AS (SELECT *, CAST(CASE WHEN th_num < 0 THEN "
+            "-((-th_num) * 1000000 // th_den) ELSE "
+            "th_num * 1000000 // th_den END AS BIGINT) AS theta_micro, "
+            "CAST(CAST(sya AS HUGEINT) * 1000 // n_a AS BIGINT) AS yam, "
+            "CAST(CAST(syb AS HUGEINT) * 1000 // n_b AS BIGINT) AS ybm, "
+            "CAST(CAST(sxa AS HUGEINT) * 1000 // n_a AS BIGINT) AS xam, "
+            "CAST(CAST(sxb AS HUGEINT) * 1000 // n_b AS BIGINT) AS xbm "
+            "FROM g), "
+            "g3 AS (SELECT *, CAST(CAST(abs(theta_micro) AS HUGEINT) * "
+            "abs(th_num) // den_y AS BIGINT) AS rho2_micro, "
+            "CAST(CASE WHEN CAST(theta_micro AS HUGEINT) * (xam - xbm) "
+            "< 0 THEN -((-(CAST(theta_micro AS HUGEINT) * "
+            "(xam - xbm))) // 1000000) ELSE "
+            "CAST(theta_micro AS HUGEINT) * (xam - xbm) // 1000000 "
+            "END AS BIGINT) AS adj FROM g2) "
+            "SELECT 'BUILDING' AS seg_a, 'MACHINERY' AS seg_b, n_a, "
+            "n_b, theta_micro, yam - ybm AS diff_raw_milli, "
+            "(yam - ybm) - adj AS diff_cuped_milli, rho2_micro "
+            "FROM g3"
         ),
         "segment_price_utest": (
             # Mann-Whitney with tie correction over the distinct-cents

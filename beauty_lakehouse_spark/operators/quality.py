@@ -2464,3 +2464,127 @@ def q_segment_price_utest(spark, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+def q_cuped_adjusted_diff(spark, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted group comparison (Deng et al. 2013) — the
+    variance-reduction workhorse of modern experimentation platforms:
+    compare final-year customer spend between two segments AFTER
+    removing the part predicted by each customer's PRE-period spend
+    (Y′ = Y − θ·X, θ = cov(X,Y)/var(X) pooled). The covariate predates
+    the exposure window, so the adjustment cannot bias the effect —
+    it only cancels the noise X explains (variance shrinks by ρ²).
+
+    Exact fixed point: per-customer (X, Y) integer cents from ONE
+    conditional aggregation; θ from pooled integer sufficient
+    statistics, quantized once at micro via the sign-split trunc
+    division (``nation_revenue_trend``'s idiom — Spark decimal intdiv
+    truncates, DuckDB ``//`` floors, so negatives divide as |·| with
+    the sign reapplied); group means at milli-cents; ρ² (the variance
+    reduction) as |θ_micro|·|num| // den_y.
+
+    Scale: fact → customer grain is one shuffle; everything after is
+    a single bounded aggregate row.
+
+    Output (1 row): (seg_a, seg_b, n_a, n_b, theta_micro,
+    diff_raw_milli, diff_cuped_milli, rho2_micro)."""
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    maxy = t.orders.agg(F.max(F.year("o_orderdate")).alias("maxy"))
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    per_cust = (
+        t.orders.crossJoin(F.broadcast(maxy))
+        .select(
+            "o_custkey",
+            cents.alias("c"),
+            (F.year("o_orderdate") < F.col("maxy"))
+            .cast("long")
+            .alias("pre"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("c") * F.col("pre")).alias("x"),
+            F.sum(F.col("c") * (1 - F.col("pre"))).alias("y"),
+        )
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin(UTEST_SEG_A, UTEST_SEG_B))
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    is_a = (F.col("c_mktsegment") == UTEST_SEG_A).cast("long")
+    a = per_cust.agg(
+        F.sum(is_a).alias("n_a"),
+        F.sum(1 - is_a).alias("n_b"),
+        F.sum(F.col("x") * is_a).alias("sxa"),
+        F.sum(F.col("y") * is_a).alias("sya"),
+        F.sum(F.col("x") * (1 - is_a)).alias("sxb"),
+        F.sum(F.col("y") * (1 - is_a)).alias("syb"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dd(F.col("x")) * F.col("x")).alias("sxx"),
+        F.sum(dd(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dd(F.col("y")) * F.col("y")).alias("syy"),
+    )
+
+    def signed_idiv(num, den):
+        return F.when(num < 0, -_idiv(-num, den)).otherwise(
+            _idiv(num, den)
+        )
+
+    n = F.col("n").cast("decimal(38,0)")
+    th_num = n * F.col("sxy") - dd(F.col("sxa") + F.col("sxb")) * (
+        F.col("sya") + F.col("syb")
+    )
+    th_den = n * F.col("sxx") - dd(F.col("sxa") + F.col("sxb")) * (
+        F.col("sxa") + F.col("sxb")
+    )
+    den_y = n * F.col("syy") - dd(F.col("sya") + F.col("syb")) * (
+        F.col("sya") + F.col("syb")
+    )
+    g = (
+        a.withColumn(
+            "theta_micro",
+            signed_idiv(th_num * F.lit(1_000_000), th_den),
+        )
+        .withColumn(
+            "ybar_a_milli", _idiv(dd(F.col("sya")) * 1000, F.col("n_a"))
+        )
+        .withColumn(
+            "ybar_b_milli", _idiv(dd(F.col("syb")) * 1000, F.col("n_b"))
+        )
+        .withColumn(
+            "xbar_a_milli", _idiv(dd(F.col("sxa")) * 1000, F.col("n_a"))
+        )
+        .withColumn(
+            "xbar_b_milli", _idiv(dd(F.col("sxb")) * 1000, F.col("n_b"))
+        )
+        .withColumn(
+            "rho2_micro",
+            # theta_micro carries the 10^6 already: theta_micro *
+            # th_num / den_y = 10^6 * th_num^2/(th_den*den_y) = rho2_micro
+            _idiv(
+                F.abs(F.col("theta_micro")).cast("decimal(38,0)")
+                * F.abs(th_num),
+                den_y,
+            ),
+        )
+    )
+    diff_raw = F.col("ybar_a_milli") - F.col("ybar_b_milli")
+    adj = signed_idiv(
+        F.col("theta_micro").cast("decimal(38,0)")
+        * (F.col("xbar_a_milli") - F.col("xbar_b_milli")),
+        F.lit(1_000_000).cast("decimal(38,0)"),
+    )
+    return g.select(
+        F.lit(UTEST_SEG_A).alias("seg_a"),
+        F.lit(UTEST_SEG_B).alias("seg_b"),
+        "n_a",
+        "n_b",
+        "theta_micro",
+        diff_raw.alias("diff_raw_milli"),
+        (diff_raw - adj).alias("diff_cuped_milli"),
+        "rho2_micro",
+    )

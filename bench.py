@@ -131,6 +131,7 @@ HEADLINE = [
     "view_purchase_join_streamed",  # stream-stream event-time join drain (new in r9)
     "markov_conversion_prob", # absorbing-Markov funnel value iteration (new in r9)
     "segment_price_utest",    # Mann-Whitney rank-sum with tie correction (new in r9)
+    "cuped_adjusted_diff",    # CUPED variance-reduced group comparison (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

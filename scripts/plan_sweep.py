@@ -94,6 +94,7 @@ WHITELIST: dict[str, str] = {
     "bootstrap_mean_ci": "1-row full-sample-stats broadcast attached to the 1-row sorted replicate-mean grid (order-statistic CI assembly)",
     "copurchase_eval_hitrate": "1-row split-year broadcast + 1-row count-aggregate assembly joins (backtest scoreboard)",
     "price_drift_ks": "1-row max-year/sample-size broadcasts attached to the distinct-cents grid (KS scoreboard assembly)",
+    "cuped_adjusted_diff": "1-row max-year broadcast attached to the orders scan (pre/exposure period split)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
 }
 

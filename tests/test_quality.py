@@ -980,3 +980,76 @@ def test_segment_price_utest_pure_python(spark, sf_dir):
     sigma2 = na * nb / 12 * ((N + 1) - tie / (N * (N - 1)))
     z2f = (U - mu) ** 2 / sigma2
     assert abs(r["z2_micro"] / 1e6 - z2f) < max(1e-4, z2f * 1e-4)
+
+
+def test_cuped_adjusted_diff_pure_python(spark, sf_dir):
+    """theta, milli means, the adjusted diff, and rho^2 match an exact
+    big-int recompute, and theta agrees with float OLS. (The fixture
+    draws each customer's orders independently, so X barely predicts Y
+    but rho^2 is still a few percent from segment-mix structure.)"""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        UTEST_SEG_A,
+        UTEST_SEG_B,
+        q_cuped_adjusted_diff,
+    )
+
+    [r] = q_cuped_adjusted_diff(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    o["y"] = o["o_orderdate"].dt.year
+    maxy = o["y"].max()
+    pc = (
+        o.assign(
+            x=o["cents"].where(o["y"] < maxy, 0),
+            yy=o["cents"].where(o["y"] == maxy, 0),
+        )
+        .groupby("o_custkey")[["x", "yy"]]
+        .sum()
+        .merge(c, left_on="o_custkey", right_on="c_custkey")
+    )
+    pc = pc[pc["c_mktsegment"].isin([UTEST_SEG_A, UTEST_SEG_B])]
+    xs = [int(v) for v in pc["x"]]
+    ys = [int(v) for v in pc["yy"]]
+    ia = (pc["c_mktsegment"] == UTEST_SEG_A).tolist()
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    syy = sum(v * v for v in ys)
+    th_num = n * sxy - sx * sy
+    th_den = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+
+    def sidiv(num, den):
+        return -((-num) // den) if num < 0 else num // den
+
+    theta = sidiv(th_num * 10**6, th_den)
+    na = sum(ia)
+    nb = n - na
+    sya = sum(y for y, f in zip(ys, ia) if f)
+    syb = sy - sya
+    sxa = sum(x for x, f in zip(xs, ia) if f)
+    sxb = sx - sxa
+    yam, ybm = sya * 1000 // na, syb * 1000 // nb
+    xam, xbm = sxa * 1000 // na, sxb * 1000 // nb
+    adj = sidiv(theta * (xam - xbm), 10**6)
+    rho2 = abs(theta) * abs(th_num) // den_y
+    assert (r["n_a"], r["n_b"]) == (na, nb)
+    assert r["theta_micro"] == theta
+    assert r["diff_raw_milli"] == yam - ybm
+    assert r["diff_cuped_milli"] == (yam - ybm) - adj
+    assert r["rho2_micro"] == rho2
+    # float cross-checks
+    import statistics
+
+    mx, my_ = sx / n, sy / n
+    cov = sum((a - mx) * (b - my_) for a, b in zip(xs, ys)) / n
+    varx = sum((a - mx) ** 2 for a in xs) / n
+    assert abs(theta / 1e6 - cov / varx) < max(1e-4, abs(cov / varx) * 1e-3)
+    assert rho2 >= 0
+    rho2_float = cov * cov / (varx * (sum((b - my_) ** 2 for b in ys) / n))
+    assert abs(rho2 / 1e6 - rho2_float) < 1e-4
