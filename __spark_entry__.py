@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "bootstrap_mean_streamed",  # new in r9 — gate-verify the round it lands
     "cuped_adjusted_diff",  # new in r9 — gate-verify the round it lands
     "segment_price_utest",  # new in r9 — gate-verify the round it lands
     "markov_conversion_prob",  # new in r9 — gate-verify the round it lands
@@ -472,6 +473,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
         "cuped_adjusted_diff": quality.q_cuped_adjusted_diff,
+        "bootstrap_mean_streamed": _q_bootstrap_mean_streamed,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -1392,6 +1394,33 @@ def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return km_firsts_finish(drained)
+
+
+def _q_bootstrap_mean_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resampling-at-ingest: the Poisson-bootstrap (replicate → Σw,
+    Σw·cents) grid maintained by the orders landing stream — the
+    weights are pure map-side hash expressions, the grid is one
+    additive complete-mode aggregate of B+1 rows (replicate −1 carries
+    the unweighted full-sample stats), and the shared
+    ``bootstrap_finish`` reads off the identical CI. Behind the SAME
+    oracle row as ``bootstrap_mean_ci`` — the 22nd oracle-matched
+    streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.quality import (
+        bootstrap_finish,
+        bootstrap_grid,
+    )
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_orders,
+    )
+
+    grid = run_available_now(
+        bootstrap_grid(stream_orders(spark, sf_dir)),
+        f"gate_boot_{uuid.uuid4().hex[:8]}",
+    )
+    return bootstrap_finish(grid)
 
 
 def _q_view_purchase_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5594,6 +5623,7 @@ def oracle_sql() -> dict[str, str]:
     out["user_modal_streamed"] = out["user_modal_event"]
     out["events_rate_capped_streamed"] = out["events_rate_capped"]
     out["kaplan_meier_streamed"] = out["kaplan_meier_repeat"]
+    out["bootstrap_mean_streamed"] = out["bootstrap_mean_ci"]
     out["event_anomalies_streamed"] = out["event_volume_anomalies"]
     out["latest_event_streamed"] = out["latest_event_per_user"]
     out["events_dedup_streamed"] = (

@@ -2196,17 +2196,27 @@ def q_bootstrap_mean_ci(spark, sf_dir: str) -> DataFrame:
     Output (1 row): (n_replicates, n_rows, mean_c3, ci_lo_c3,
     ci_hi_c3)."""
     from ..catalog import load
-    from ..functions import dec2, halfup_div, portable_hash64
 
     t = load(spark, sf_dir)
+    return bootstrap_finish(bootstrap_grid(t.orders))
+
+
+def bootstrap_grid(orders: DataFrame) -> DataFrame:
+    """The (replicate → Σw, Σw·cents) grid behind the Poisson
+    bootstrap — shared by the batch ``q_bootstrap_mean_ci`` and the
+    streamed drain, so the two surfaces can never drift. Replicate −1
+    is the UNWEIGHTED pass (w ≡ 1): its row carries the full-sample
+    n and Σcents, so one additive, order-insensitive aggregate holds
+    everything the finisher needs (complete-mode-streamable as-is).
+    Output: ``BOOTSTRAP_B`` + 1 rows."""
+    from ..functions import dec2, portable_hash64
+
     cents = (dec2("o_totalprice") * 100).cast("long")
-    base = t.orders.select(
-        "o_orderkey", cents.alias("c")
-    ).select(
+    base = orders.select("o_orderkey", cents.alias("c")).select(
         "o_orderkey",
         "c",
         F.explode(
-            F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))
+            F.sequence(F.lit(-1), F.lit(BOOTSTRAP_B - 1))
         ).alias("replicate"),
     )
     u = portable_hash64(
@@ -2216,29 +2226,32 @@ def q_bootstrap_mean_ci(spark, sf_dir: str) -> DataFrame:
             F.col("replicate").cast("string"),
         )
     )
-    w = sum(
-        (u >= F.lit(thr)).cast("long") for thr in POISSON1_CDF_60
+    w = F.when(F.col("replicate") == -1, F.lit(1).cast("long")).otherwise(
+        sum((u >= F.lit(thr)).cast("long") for thr in POISSON1_CDF_60)
     )
-    reps = (
+    return (
         base.select("replicate", "c", w.alias("w"))
         .groupBy("replicate")
         .agg(
             F.sum("w").alias("n_eff"),
             F.sum(F.col("w") * F.col("c")).alias("wc"),
         )
-        .select(
-            "replicate",
-            halfup_div(F.col("wc"), F.col("n_eff"), 3).alias("mean_c3"),
-        )
     )
-    grid = reps.agg(
-        F.array_sort(F.collect_list("mean_c3")).alias("ms")
+
+
+def bootstrap_finish(grid: DataFrame) -> DataFrame:
+    """Order-statistic CI assembly over the bounded bootstrap grid:
+    replicate −1 is the full sample, 0..B−1 the resamples."""
+    from ..functions import halfup_div
+
+    reps = grid.filter(F.col("replicate") >= 0).select(
+        halfup_div(F.col("wc"), F.col("n_eff"), 3).alias("mean_c3")
     )
-    full = t.orders.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum(cents).alias("sc"),
+    ms = reps.agg(F.array_sort(F.collect_list("mean_c3")).alias("ms"))
+    full = grid.filter(F.col("replicate") == -1).select(
+        F.col("n_eff").alias("n_rows"), F.col("wc").alias("sc")
     )
-    return grid.crossJoin(F.broadcast(full)).select(
+    return ms.crossJoin(F.broadcast(full)).select(
         F.lit(BOOTSTRAP_B).cast("long").alias("n_replicates"),
         "n_rows",
         halfup_div(F.col("sc"), F.col("n_rows"), 3).alias("mean_c3"),

@@ -132,6 +132,7 @@ HEADLINE = [
     "markov_conversion_prob", # absorbing-Markov funnel value iteration (new in r9)
     "segment_price_utest",    # Mann-Whitney rank-sum with tie correction (new in r9)
     "cuped_adjusted_diff",    # CUPED variance-reduced group comparison (new in r9)
+    "bootstrap_mean_streamed", # resampling-at-ingest bootstrap drain (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

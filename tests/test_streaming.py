@@ -727,3 +727,37 @@ def test_view_purchase_join_streamed_multi_batch_equals_batch(
     )
     assert expected.count() > 0
     assert _canon(got) == _canon(expected)
+
+
+def test_bootstrap_mean_streamed_multi_batch_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Split the orders fixture into 4 files and stream them one per
+    micro-batch: the additive bootstrap grid drained in complete mode,
+    finished batch-side, must equal the batch q_bootstrap_mean_ci row
+    exactly — hash weights are per-(row, replicate), so slicing cannot
+    change any Σw or Σw·c."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.quality import (
+        bootstrap_finish,
+        bootstrap_grid,
+        q_bootstrap_mean_ci,
+    )
+
+    src = str(tmp_path / "orders_parts_boot")
+    od = load(spark, sf_dir).orders
+    od.withColumn(
+        "part", (F.col("o_orderkey") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(od.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(bootstrap_grid(stream), "t_boot_mb")
+    got = bootstrap_finish(grid)
+    expected = q_bootstrap_mean_ci(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
