@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "brand_price_elasticity",  # new in r9 — gate-verify the round it lands
     "bootstrap_mean_streamed",  # new in r9 — gate-verify the round it lands
     "cuped_adjusted_diff",  # new in r9 — gate-verify the round it lands
     "segment_price_utest",  # new in r9 — gate-verify the round it lands
@@ -474,6 +475,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_price_utest": quality.q_segment_price_utest,
         "cuped_adjusted_diff": quality.q_cuped_adjusted_diff,
         "bootstrap_mean_streamed": _q_bootstrap_mean_streamed,
+        "brand_price_elasticity": warehouse.q_brand_price_elasticity,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4614,6 +4616,12 @@ def oracle_sql() -> dict[str, str]:
             "n_hits, "
             + _hud("n_hits", "n_test_pairs", 6)
             + " AS hit_rate FROM g"
+        ),
+        "brand_price_elasticity": (
+            # log-log OLS per brand over the 11-level discount
+            # ladder: both axes through integer ln_micro, slope
+            # sign-split at milli
+            'WITH cells AS (SELECT p_brand AS brand, CAST(round(l_discount * 100) AS INTEGER) AS d, CAST(sum(l_quantity) AS BIGINT) AS q FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2 HAVING sum(l_quantity) >= 1), pts AS (SELECT brand, q, CAST(((((length(bin(((100 - d) // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((100 - d) AS BIGINT) * 1073741824) // 1) >> (length(bin(((100 - d) // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16) AS HUGEINT) AS x, CAST(((((length(bin((q // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(q AS BIGINT) * 1073741824) // 1) >> (length(bin((q // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16) AS HUGEINT) AS y FROM cells), g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_points, CAST(sum(q) AS BIGINT) AS total_qty, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts GROUP BY 1), s AS (SELECT *, (CAST(n_points AS HUGEINT) * sxy - sx * sy) * 1000 AS num, CAST(n_points AS HUGEINT) * sxx - sx * sx AS den FROM g) SELECT brand, n_points, total_qty, CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT) AS elasticity_milli FROM s WHERE n_points >= 2 ORDER BY brand'
         ),
         "bootstrap_mean_ci": (
             # deterministic Poisson bootstrap: per-(row, replicate)

@@ -1586,3 +1586,73 @@ def q_revenue_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log demand curve per brand — price elasticity estimated
+    from the natural experiment the discount ladder provides: at
+    discount d the effective price index is (100 − d)%, so regressing
+    ln(quantity sold) on ln(100 − d) across the 11 discount levels
+    yields ε = %ΔQ / %ΔP (ε < 0 ⇒ discounts move volume; the
+    econometric capstone next to the linear ``nation_revenue_trend``).
+
+    Exact fixed point: both axes go through the integer ``ln_micro``
+    (x = ln_micro(100−d), y = ln_micro(Σ qty) — quantities are integral
+    by fixture contract, pytest-pinned), the OLS slope is one
+    DECIMAL(38,0)/HUGEINT rational, sign-split to truncate toward zero
+    identically on both engines, surfaced at milli (elasticities are
+    O(1–100) here because the price lever is only 10% wide).
+
+    Scale: ONE map-side-combinable shuffle to the ≤ brands × 11 grid;
+    the regression runs per brand on ≤ 11 points.
+
+    Output: (brand, n_points, total_qty, elasticity_milli) for brands
+    with ≥ 2 observed discount levels."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    li = t.lineitem.join(
+        t.part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    cells = (
+        li.select(
+            F.col("p_brand").alias("brand"),
+            F.round(F.col("l_discount") * 100).cast("int").alias("d"),
+            F.col("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("brand", "d")
+        .agg(F.sum("qty").alias("q"))
+        .filter(F.col("q") >= 1)
+    )
+    pts = cells.select(
+        "brand",
+        "q",
+        ln_micro(F.lit(100) - F.col("d"), F.lit(1)).alias("x"),
+        ln_micro(F.col("q"), F.lit(1)).alias("y"),
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("q").alias("total_qty"),
+        F.sum(dd(F.col("x"))).alias("sx"),
+        F.sum(dd(F.col("y"))).alias("sy"),
+        F.sum(dd(F.col("x")) * F.col("y")).alias("sxy"),
+        F.sum(dd(F.col("x")) * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_points").cast("decimal(38,0)")
+    num = (n * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(1000)
+    den = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(num < 0, -_idiv(-num, den)).otherwise(
+        _idiv(num, den)
+    )
+    return (
+        g.filter(F.col("n_points") >= 2)
+        .select(
+            "brand",
+            "n_points",
+            "total_qty",
+            slope.alias("elasticity_milli"),
+        )
+        .orderBy("brand")
+    )

@@ -133,6 +133,7 @@ HEADLINE = [
     "segment_price_utest",    # Mann-Whitney rank-sum with tie correction (new in r9)
     "cuped_adjusted_diff",    # CUPED variance-reduced group comparison (new in r9)
     "bootstrap_mean_streamed", # resampling-at-ingest bootstrap drain (new in r9)
+    "brand_price_elasticity", # log-log demand-curve OLS per brand (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

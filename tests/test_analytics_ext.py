@@ -733,3 +733,70 @@ def test_revenue_theil_sen_pure_python(spark, sf_dir):
         # exact-Fraction cross-check of the same lower median
         fr = sorted(Fraction(s, YEAR_SPAN_LCM) for s in slopes)
         assert Fraction(med, YEAR_SPAN_LCM) == fr[(len(fr) + 1) // 2 - 1]
+
+
+def test_brand_price_elasticity_pure_python(spark, sf_dir):
+    """The log-log slope matches a recompute using the engine's own
+    ln_micro points, agrees with float OLS on the same grid, and
+    quantities really are integral (the cast-long contract)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_brand_price_elasticity,
+    )
+
+    rows = {r["brand"]: r for r in q_brand_price_elasticity(spark, sf_dir).collect()}
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    assert (j["l_quantity"] == j["l_quantity"].round()).all()
+    j["d"] = (j["l_discount"] * 100).round().astype(int)
+    cells = (
+        j.groupby(["p_brand", "d"])["l_quantity"]
+        .sum()
+        .astype(int)
+        .reset_index()
+    )
+    need = sorted(
+        set(cells["l_quantity"]) | set(100 - cells["d"])
+    )
+    lnm = {
+        r["v"]: r["ln"]
+        for r in spark.createDataFrame([(v,) for v in need], ["v"])
+        .select("v", ln_micro(F.col("v").cast("long"), F.lit(1)).alias("ln"))
+        .collect()
+    }
+    import math
+
+    for brand, g in cells.groupby("p_brand"):
+        pts = [
+            (lnm[100 - d], lnm[q])
+            for d, q in zip(g["d"], g["l_quantity"])
+            if q >= 1
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        num = (n * sxy - sx * sy) * 1000
+        den = n * sxx - sx * sx
+        want = -((-num) // den) if num < 0 else num // den
+        r = rows[brand]
+        assert r["n_points"] == n
+        assert r["elasticity_milli"] == want
+        # float OLS on the true ln points (independent scale witness)
+        fx = [math.log(100 - d) for d, q in zip(g["d"], g["l_quantity"])]
+        fy = [math.log(q) for q in g["l_quantity"]]
+        fn = len(fx)
+        fnum = fn * sum(a * b for a, b in zip(fx, fy)) - sum(fx) * sum(fy)
+        fden = fn * sum(a * a for a in fx) - sum(fx) ** 2
+        slope_f = fnum / fden
+        assert abs(r["elasticity_milli"] / 1e3 - slope_f) < max(
+            0.05, abs(slope_f) * 0.02
+        )
