@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "feature_hash_stats",  # new in r9 — gate-verify the round it lands
+    "neyman_allocation",  # new in r9 — gate-verify the round it lands
     "brand_price_elasticity",  # new in r9 — gate-verify the round it lands
     "bootstrap_mean_streamed",  # new in r9 — gate-verify the round it lands
     "cuped_adjusted_diff",  # new in r9 — gate-verify the round it lands
@@ -476,6 +478,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cuped_adjusted_diff": quality.q_cuped_adjusted_diff,
         "bootstrap_mean_streamed": _q_bootstrap_mean_streamed,
         "brand_price_elasticity": warehouse.q_brand_price_elasticity,
+        "feature_hash_stats": curation.q_feature_hash_stats,
+        "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
         "purchase_error_burst": temporal.q_purchase_error_burst,
@@ -4616,6 +4620,17 @@ def oracle_sql() -> dict[str, str]:
             "n_hits, "
             + _hud("n_hits", "n_test_pairs", 6)
             + " AS hit_rate FROM g"
+        ),
+        "feature_hash_stats": (
+            # hashing-trick collision audit: portable-hash buckets
+            # mod 2^12, count-of-counts histogram + load-0 row
+            "WITH v AS (SELECT DISTINCT term FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> ''), b AS (SELECT ('0x' || substr(md5(term), 1, 15))::BIGINT % 4096 AS bucket FROM v), loads AS (SELECT bucket, CAST(count(*) AS BIGINT) AS bucket_load FROM b GROUP BY 1), hist AS (SELECT bucket_load, CAST(count(*) AS BIGINT) AS n_buckets FROM loads GROUP BY 1), occ AS (SELECT CAST(sum(n_buckets) AS BIGINT) AS occ FROM hist) SELECT bucket_load, n_buckets, CAST(bucket_load * n_buckets AS BIGINT) AS n_terms FROM hist UNION ALL SELECT CAST(0 AS BIGINT), 4096 - occ, CAST(0 AS BIGINT) FROM occ ORDER BY bucket_load"
+        ),
+        "neyman_allocation": (
+            # Neyman n_h ~ N_h*sigma_h with exact isqrt sd and the
+            # Hamilton largest-remainder rounding, twice (optimal
+            # and proportional for contrast)
+            'WITH j AS (SELECT c_mktsegment AS segment, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders JOIN customer ON o_custkey = c_custkey), s AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS HUGEINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2 FROM j GROUP BY 1), v0 AS (SELECT *, (CAST(n_rows AS HUGEINT) * s2 - s1 * s1) // (CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS var FROM s), w AS (SELECT segment, n_rows, CAST((CASE WHEN (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) <= var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) > var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) END) AS BIGINT) AS sd_cents FROM v0), w2 AS (SELECT *, n_rows * sd_cents AS weight FROM w), t1 AS (SELECT CAST(sum(weight) AS HUGEINT) AS wt1 FROM w2), g1 AS (SELECT w2.*, CAST(CAST(1000 AS HUGEINT) * weight // wt1 AS BIGINT) AS base1, CAST(CAST(1000 AS HUGEINT) * weight % wt1 AS BIGINT) AS rem1 FROM w2 CROSS JOIN t1), b1 AS (SELECT CAST(sum(base1) AS BIGINT) AS bs1 FROM g1), r1 AS (SELECT *, row_number() OVER (ORDER BY rem1 DESC, segment) AS rk1 FROM g1), a1 AS (SELECT r1.*, CAST(base1 + CASE WHEN rk1 <= 1000 - bs1 THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman FROM r1 CROSS JOIN b1), t2 AS (SELECT CAST(sum(n_rows) AS HUGEINT) AS wt2 FROM a1), g2 AS (SELECT a1.*, CAST(CAST(1000 AS HUGEINT) * n_rows // wt2 AS BIGINT) AS base2, CAST(CAST(1000 AS HUGEINT) * n_rows % wt2 AS BIGINT) AS rem2 FROM a1 CROSS JOIN t2), b2 AS (SELECT CAST(sum(base2) AS BIGINT) AS bs2 FROM g2), r2 AS (SELECT *, row_number() OVER (ORDER BY rem2 DESC, segment) AS rk2 FROM g2), a2 AS (SELECT r2.*, CAST(base2 + CASE WHEN rk2 <= 1000 - bs2 THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional FROM r2 CROSS JOIN b2) SELECT segment, n_rows, sd_cents, weight, alloc_neyman, alloc_proportional FROM a2 ORDER BY segment'
         ),
         "brand_price_elasticity": (
             # log-log OLS per brand over the 11-level discount

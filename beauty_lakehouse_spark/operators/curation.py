@@ -1820,3 +1820,62 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("slots"), "term")
         .limit(50)
     )
+
+
+#: Hashing-trick feature space size (Vowpal-Wabbit style 2^12 buckets).
+FEATURE_HASH_BITS = 12
+
+
+def q_feature_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit — before committing a pipeline to
+    feature hashing (Weinberger et al. 2009), measure what a 2^``FEATURE_
+    HASH_BITS`` bucket space does to THIS vocabulary: the bucket-load
+    count-of-counts histogram, from which collision exposure reads off
+    directly (a bucket holding k terms conflates k features). The same
+    shape as ``key_skew_profile``, one level up: skew of the HASH
+    space, not the key space.
+
+    Buckets come from the portable md5 hash masked to the low bits
+    (identical both engines); the histogram is two map-side-combinable
+    aggregates over the vocabulary grain. Self-auditing: Σ load ×
+    n_buckets = |vocab| and Σ n_buckets ≤ 2^bits are pytest-pinned.
+
+    Output: (bucket_load, n_buckets, n_terms) — one row per observed
+    bucket load, plus the load-0 row completing the 2^bits space."""
+    from ..functions import portable_hash64
+
+    t = load(spark, sf_dir)
+    n_space = 1 << FEATURE_HASH_BITS
+    vocab = (
+        t.documents.select(
+            F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+        .select(
+            F.pmod(portable_hash64(F.col("term")), F.lit(n_space)).alias(
+                "bucket"
+            )
+        )
+    )
+    loads = vocab.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bucket_load")
+    )
+    hist = loads.groupBy("bucket_load").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )
+    occupied = hist.agg(F.sum("n_buckets").alias("occ"))
+    zero_row = occupied.select(
+        F.lit(0).cast("long").alias("bucket_load"),
+        (F.lit(n_space) - F.col("occ")).alias("n_buckets"),
+    )
+    return (
+        hist.select(F.col("bucket_load"), "n_buckets")
+        .unionByName(zero_row)
+        .select(
+            "bucket_load",
+            "n_buckets",
+            (F.col("bucket_load") * F.col("n_buckets")).alias("n_terms"),
+        )
+        .orderBy("bucket_load")
+    )

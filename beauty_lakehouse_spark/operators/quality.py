@@ -2601,3 +2601,96 @@ def q_cuped_adjusted_diff(spark, sf_dir: str) -> DataFrame:
         (diff_raw - adj).alias("diff_cuped_milli"),
         "rho2_micro",
     )
+
+
+#: Neyman allocation budget: samples to spread across strata.
+NEYMAN_BUDGET = 1000
+
+
+def q_neyman_allocation(spark, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample design — how many of
+    ``NEYMAN_BUDGET`` samples each market segment should get to
+    minimize the variance of the estimated mean order value:
+    n_h ∝ N_h·σ_h (Neyman 1934), the reason stratified samples beat
+    uniform ones (high-variance strata earn more probes).
+
+    Exact fixed point: per-stratum σ is the integer
+    isqrt((nΣx² − (Σx)²) / (n(n−1))) in cents (one trunc division
+    inside the exact square root — the deterministic quantization both
+    engines share); weights N_h·σ_h allocate by the SAME Hamilton
+    largest-remainder scheme as ``source_quota_apportionment``, so
+    Σ n_h == budget exactly. Also reports each stratum's proportional
+    share for contrast — the gap IS the Neyman payoff.
+
+    Scale: one map-side-combinable pass to 5 sufficient-statistic
+    rows; everything after is bounded.
+
+    Output: (segment, n_rows, sd_cents, weight, alloc_neyman,
+    alloc_proportional)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2, isqrt
+
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    s = (
+        t.orders.select("o_custkey", cents.alias("c"))
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s1"),
+            F.sum(
+                (F.col("c") * F.col("c")).cast("decimal(38,0)")
+            ).alias("s2"),
+        )
+    )
+    nd = F.col("n_rows").cast("decimal(38,0)")
+    var = _idiv(nd * F.col("s2") - F.col("s1") * F.col("s1"), nd * (nd - 1))
+    s = s.withColumn("sd_cents", isqrt(var)).withColumn(
+        "weight", F.col("n_rows") * F.col("sd_cents")
+    )
+
+    def hamilton(df, wcol, budget, outcol):
+        tot = df.agg(F.sum(wcol).alias("wt"))
+        b = F.lit(budget).cast("decimal(38,0)")
+        g = df.crossJoin(F.broadcast(tot)).withColumn(
+            "_base", _idiv(b * F.col(wcol), F.col("wt"))
+        ).withColumn(
+            "_rem",
+            F.pmod(
+                (b * F.col(wcol)).cast("decimal(38,0)"),
+                F.col("wt").cast("decimal(38,0)"),
+            ).cast("long"),
+        )
+        rk = F.row_number().over(
+            Window.orderBy(F.desc("_rem"), F.asc("segment"))
+        )
+        bs = g.agg(F.sum("_base").alias("_bs"))
+        return (
+            g.withColumn("_rk", rk)
+            .crossJoin(F.broadcast(bs))
+            .withColumn(
+                outcol,
+                F.col("_base")
+                + (F.col("_rk") <= (F.lit(budget) - F.col("_bs"))).cast(
+                    "long"
+                ),
+            )
+            .drop("_base", "_rem", "_rk", "_bs", "wt")
+        )
+
+    s = hamilton(s, "weight", NEYMAN_BUDGET, "alloc_neyman")
+    s = hamilton(s, "n_rows", NEYMAN_BUDGET, "alloc_proportional")
+    return s.select(
+        "segment",
+        "n_rows",
+        "sd_cents",
+        "weight",
+        "alloc_neyman",
+        "alloc_proportional",
+    ).orderBy("segment")

@@ -134,6 +134,8 @@ HEADLINE = [
     "cuped_adjusted_diff",    # CUPED variance-reduced group comparison (new in r9)
     "bootstrap_mean_streamed", # resampling-at-ingest bootstrap drain (new in r9)
     "brand_price_elasticity", # log-log demand-curve OLS per brand (new in r9)
+    "feature_hash_stats",     # hashing-trick collision audit (new in r9)
+    "neyman_allocation",      # variance-optimal stratified sample design (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -768,3 +768,41 @@ def test_negative_sampling_table_pure_python(spark, sf_dir):
         for r in rows
     ]
     assert got == want
+
+
+def test_feature_hash_stats_pure_python(spark, sf_dir):
+    """The collision histogram matches a pure-Python md5 recompute and
+    conserves both the vocabulary and the 2^bits bucket space."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        FEATURE_HASH_BITS,
+        q_feature_hash_stats,
+    )
+
+    rows = {
+        r["bucket_load"]: r
+        for r in q_feature_hash_stats(spark, sf_dir).collect()
+    }
+    n_space = 1 << FEATURE_HASH_BITS
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab = set()
+    for text in docs["text"]:
+        vocab.update(t for t in text.split(" ") if t)
+    from collections import Counter
+
+    loads = Counter(
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % n_space
+        for t in vocab
+    )
+    hist = Counter(loads.values())
+    hist[0] = n_space - len(loads)
+    assert set(rows) == set(hist)
+    for ld, nb in hist.items():
+        assert rows[ld]["n_buckets"] == nb
+        assert rows[ld]["n_terms"] == ld * nb
+    assert sum(r["n_terms"] for r in rows.values()) == len(vocab)
+    assert sum(r["n_buckets"] for r in rows.values()) == n_space

@@ -1053,3 +1053,58 @@ def test_cuped_adjusted_diff_pure_python(spark, sf_dir):
     assert rho2 >= 0
     rho2_float = cov * cov / (varx * (sum((b - my_) ** 2 for b in ys) / n))
     assert abs(rho2 / 1e6 - rho2_float) < 1e-4
+
+
+def test_neyman_allocation_pure_python(spark, sf_dir):
+    """Both allocations match an exact recompute (isqrt sd, Hamilton
+    rounding), each sums exactly to the budget, and the Neyman
+    allocation is the variance-optimal one among the two designs."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        NEYMAN_BUDGET,
+        q_neyman_allocation,
+    )
+
+    rows = {r["segment"]: r for r in q_neyman_allocation(spark, sf_dir).collect()}
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j["o_totalprice"].round(2) * 100).round().astype("int64")
+    stats = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        xs = [int(v) for v in g["cents"]]
+        n = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        sd = math.isqrt((n * s2 - s1 * s1) // (n * (n - 1)))
+        stats[seg] = (n, sd, n * sd)
+
+    def hamilton(weights, budget):
+        tot = sum(weights.values())
+        base = {s: budget * w // tot for s, w in weights.items()}
+        rem = {s: budget * w % tot for s, w in weights.items()}
+        left = budget - sum(base.values())
+        for s in sorted(weights, key=lambda s: (-rem[s], s))[:left]:
+            base[s] += 1
+        return base
+
+    ney = hamilton({s: w for s, (_, _, w) in stats.items()}, NEYMAN_BUDGET)
+    prop = hamilton({s: n for s, (n, _, _) in stats.items()}, NEYMAN_BUDGET)
+    for seg, (n, sd, w) in stats.items():
+        r = rows[seg]
+        assert (r["n_rows"], r["sd_cents"], r["weight"]) == (n, sd, w)
+        assert r["alloc_neyman"] == ney[seg]
+        assert r["alloc_proportional"] == prop[seg]
+    assert sum(r["alloc_neyman"] for r in rows.values()) == NEYMAN_BUDGET
+    assert (
+        sum(r["alloc_proportional"] for r in rows.values()) == NEYMAN_BUDGET
+    )
+    # Neyman optimality: estimator variance sum N_h^2 sd_h^2 / n_h
+    # (dropping the constant 1/N^2) is no worse under Neyman
+    var = lambda alloc: sum(  # noqa: E731
+        (n * sd) ** 2 / alloc[seg] for seg, (n, sd, _) in stats.items()
+    )
+    assert var(ney) <= var(prop) * (1 + 1e-9)
