@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "term_burstiness",  # new in r9 — gate-verify the round it lands
+    "revenue_cusum",  # new in r9 — gate-verify the round it lands
     "feature_hash_stats",  # new in r9 — gate-verify the round it lands
     "neyman_allocation",  # new in r9 — gate-verify the round it lands
     "brand_price_elasticity",  # new in r9 — gate-verify the round it lands
@@ -479,6 +481,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_mean_streamed": _q_bootstrap_mean_streamed,
         "brand_price_elasticity": warehouse.q_brand_price_elasticity,
         "feature_hash_stats": curation.q_feature_hash_stats,
+        "term_burstiness": text.q_term_burstiness,
+        "revenue_cusum": temporal.q_revenue_cusum,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4620,6 +4624,16 @@ def oracle_sql() -> dict[str, str]:
             "n_hits, "
             + _hud("n_hits", "n_test_pairs", 6)
             + " AS hit_rate FROM g"
+        ),
+        "term_burstiness": (
+            # Fano factor var/mean per term over ALL docs (zeros
+            # implicit): (N*sxx - sx^2)*1e6 // ((N-1)*sx)
+            "WITH td AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS x FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents) WHERE term <> '' GROUP BY 1, 2), g AS (SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(x) AS BIGINT) AS sx, sum(CAST(x AS HUGEINT) * x) AS sxx FROM td GROUP BY 1), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) SELECT term, df, sx AS total_tf, CAST((CAST(n_docs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) * 1000000 // ((CAST(n_docs AS HUGEINT) - 1) * sx) AS BIGINT) AS fano_micro FROM g CROSS JOIN nd ORDER BY fano_micro DESC, term LIMIT 50"
+        ),
+        "revenue_cusum": (
+            # clamp-at-zero CUSUM via the scan identity
+            # S_t = cum_t - min prefix cum; mu/sd/k/h exact cents
+            "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), st AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(rev) AS HUGEINT) AS s1, sum(CAST(rev AS HUGEINT) * rev) AS s2 FROM daily), ms AS (SELECT CAST(s1 // n AS BIGINT) AS mu, CAST((CASE WHEN (CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) + 1) <= ((n * s2 - s1 * s1) // (n * (n - 1))) THEN CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) > ((n * s2 - s1 * s1) // (n * (n - 1))) THEN CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(((n * s2 - s1 * s1) // (n * (n - 1))) AS DOUBLE))) AS BIGINT) END) AS BIGINT) AS sd FROM st), g AS (SELECT day, rev, rev - mu - sd // 2 AS y, sd FROM daily CROSS JOIN ms), c AS (SELECT day, rev, sd, CAST(sum(y) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM g), c2 AS (SELECT *, CAST(least(min(cum) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT) AS run_min FROM c) SELECT strftime(day, '%Y-%m-%d') AS day, rev AS revenue_cents, cum - run_min AS cusum_cents, cum - run_min > sd * 4 AS alarm FROM c2 ORDER BY day"
         ),
         "feature_hash_stats": (
             # hashing-trick collision audit: portable-hash buckets

@@ -553,3 +553,78 @@ def q_order_interval_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_days"),
         )
     )
+
+
+#: CUSUM design: slack (allowance) and alarm threshold as fractions of
+#: the daily-revenue sd — k = sd/2 detects ~1-sd level shifts fastest,
+#: h = 4 sd is the classic ARL trade-off (Page 1954; Montgomery SPC).
+CUSUM_K_SD_HALVES = 1  # k = 1 * sd/2
+CUSUM_H_SD = 4
+
+
+def q_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detector over daily revenue — the
+    sequential level-shift monitor next to the 3σ point-anomaly window
+    (``event_volume_anomalies``): S_t = max(0, S_{t−1} + x_t − μ − k)
+    accumulates small persistent drifts a per-point test never sees.
+
+    The recursion LOOKS sequential, but clamp-at-zero folds admit the
+    SCAN IDENTITY (the ``part_stock_balance`` trick): S_t = C_t −
+    min_{τ≤t} C_τ with C the plain prefix sum of (x − μ − k) — two
+    cumulative windows over the bounded DAY grid, no sequential fold.
+    μ, the sd (exact integer ``isqrt``), and thus k = sd/2 and the
+    alarm bar h = 4·sd all derive from the same bounded grid; exact
+    cents throughout.
+
+    Scale: fact → day grain is one map-side-combinable shuffle;
+    both windows run over the calendar-bounded grid.
+
+    Output: (day, revenue_cents, cusum_cents, alarm) for every day."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, dec2, isqrt
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("rev"))
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    stats = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").alias("s1"),
+        F.sum(dd(F.col("rev")) * F.col("rev")).alias("s2"),
+    ).select(
+        _idiv(dd(F.col("s1")), F.col("n")).alias("mu"),
+        isqrt(
+            _idiv(
+                dd(F.col("n")) * F.col("s2") - dd(F.col("s1")) * F.col("s1"),
+                dd(F.col("n")) * (dd(F.col("n")) - 1),
+            )
+        ).alias("sd"),
+    )
+    # k = sd/2 stays integer via shiftright — no float enters the fold
+    g = daily.crossJoin(F.broadcast(stats)).withColumn(
+        "y",
+        F.col("rev")
+        - F.col("mu")
+        - F.shiftright(F.col("sd") * CUSUM_K_SD_HALVES, 1),
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = g.withColumn("cum", F.sum("y").over(w)).withColumn(
+        "run_min", F.least(F.min("cum").over(w), F.lit(0).cast("long"))
+    )
+    return g.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("rev").alias("revenue_cents"),
+        (F.col("cum") - F.col("run_min")).alias("cusum_cents"),
+        (
+            F.col("cum") - F.col("run_min") > F.col("sd") * CUSUM_H_SD
+        ).alias("alarm"),
+    ).orderBy("day")

@@ -1732,3 +1732,54 @@ def q_er_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             halfup_div(F.col("n_true_blocked"), F.col("n_true"), 6),
         ).alias("pair_completeness"),
     )
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): the Fano factor
+    var/mean of a term's PER-DOCUMENT count — ≈ 1 for Poisson
+    "background" words, ≫ 1 for bursty topical terms, and ≈ a constant
+    > 1 for boilerplate that repeats in blocks; the overdispersion
+    audit that separates template noise from content vocabulary
+    (``boilerplate_ngrams``'s statistical sibling).
+
+    Exact fixed point over ALL documents including zero-count ones
+    without materializing zeros: with N the corpus size and (Σx, Σx²)
+    the nonzero sufficient statistics, F = (N·Σx² − (Σx)²) /
+    ((N−1)·Σx) — one non-negative trunc division at micro scale.
+
+    Scale: one shuffle to the (term, doc) grain, one to term grain;
+    N is a whitelisted 1-row broadcast. Top-50 by (F desc, term).
+
+    Output: (term, df, total_tf, fano_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    td = (
+        t.documents.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    g = td.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias(
+            "sxx"
+        ),
+    )
+    nd = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = g.crossJoin(F.broadcast(nd)).select(
+        "term",
+        "df",
+        F.col("sx").alias("total_tf"),
+        _idiv(
+            (dd(F.col("n_docs")) * F.col("sxx") - dd(F.col("sx")) * F.col("sx"))
+            * F.lit(1_000_000),
+            (dd(F.col("n_docs")) - 1) * F.col("sx"),
+        ).alias("fano_micro"),
+    )
+    return scored.orderBy(F.desc("fano_micro"), "term").limit(50)

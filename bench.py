@@ -136,6 +136,8 @@ HEADLINE = [
     "brand_price_elasticity", # log-log demand-curve OLS per brand (new in r9)
     "feature_hash_stats",     # hashing-trick collision audit (new in r9)
     "neyman_allocation",      # variance-optimal stratified sample design (new in r9)
+    "term_burstiness",        # Fano-factor overdispersion audit (new in r9)
+    "revenue_cusum",          # CUSUM level-shift detector via scan identity (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -1442,3 +1442,84 @@ def test_markov_conversion_prob_pure_python(spark, sf_dir):
         assert all(0 <= v <= 10**6 for v in seq)
         assert all(x <= y + 1 for x, y in zip(seq, seq[1:]))  # quantized monotone
     assert all(rows[(k, MARKOV_ABSORB)] == 10**6 for k in range(1, 6))
+
+
+def test_term_burstiness_pure_python(spark, sf_dir):
+    """Fano factors match an exact recompute over all docs (zeros
+    implicit) and agree with float var/mean; everything Poisson-ish
+    or burstier (F bounded below by the minimum the integer floor
+    allows)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import q_term_burstiness
+
+    rows = q_term_burstiness(spark, sf_dir).collect()
+    assert rows
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    N = len(docs)
+    per_term = {}
+    for text in docs["text"]:
+        for t, x in Counter(
+            w for w in text.split(" ") if w
+        ).items():
+            st = per_term.setdefault(t, [0, 0, 0])
+            st[0] += 1
+            st[1] += x
+            st[2] += x * x
+    scored = []
+    for t, (df, sx, sxx) in per_term.items():
+        fano = (N * sxx - sx * sx) * 10**6 // ((N - 1) * sx)
+        scored.append((-fano, t, df, sx))
+    scored.sort()
+    want = scored[:50]
+    got = [
+        (-r["fano_micro"], r["term"], r["df"], r["total_tf"])
+        for r in rows
+    ]
+    assert got == want
+    # float witness on the top row
+    fano0, t0 = -want[0][0], want[0][1]
+    df, sx, sxx = per_term[t0]
+    xs_mean = sx / N
+    var = (sxx - N * xs_mean**2) / (N - 1)
+    assert abs(fano0 / 1e6 - var / xs_mean) < 1e-4
+
+
+def test_revenue_cusum_scan_identity(spark, sf_dir):
+    """The windowed CUSUM equals the textbook SEQUENTIAL recursion
+    S_t = max(0, S_{t-1} + x_t - mu - k) computed in pure Python —
+    the scan identity proof — and alarms fire exactly at S > 4 sd."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_revenue_cusum,
+    )
+
+    rows = q_revenue_cusum(spark, sf_dir).collect()
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["cents"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    o["day"] = o["o_orderdate"].dt.date
+    daily = o.groupby("day")["cents"].sum().sort_index()
+    xs = [int(v) for v in daily]
+    n = len(xs)
+    s1, s2 = sum(xs), sum(x * x for x in xs)
+    mu = s1 // n
+    sd = math.isqrt((n * s2 - s1 * s1) // (n * (n - 1)))
+    k = sd // 2
+    s = 0
+    want = []
+    for d, x in zip(daily.index, xs):
+        s = max(0, s + x - mu - k)
+        want.append((d.isoformat(), x, s, s > 4 * sd))
+    got = [
+        (r["day"], r["revenue_cents"], r["cusum_cents"], r["alarm"])
+        for r in rows
+    ]
+    assert got == want
