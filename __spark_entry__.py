@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "knn_label_accuracy",  # new in r9 — gate-verify the round it lands
     "term_burstiness",  # new in r9 — gate-verify the round it lands
     "revenue_cusum",  # new in r9 — gate-verify the round it lands
     "feature_hash_stats",  # new in r9 — gate-verify the round it lands
@@ -483,6 +484,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_hash_stats": curation.q_feature_hash_stats,
         "term_burstiness": text.q_term_burstiness,
         "revenue_cusum": temporal.q_revenue_cusum,
+        "knn_label_accuracy": similarity.q_knn_label_accuracy,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4113,6 +4115,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
             "JOIN sig sb ON sb.doc_id = doc_b "
             "ORDER BY hamming, doc_a, doc_b LIMIT 20"
+        ),
+        "knn_label_accuracy": (
+            # exact top-5 cosine (the knn_brute scorer), majority
+            # label via min(ROW(-votes, label)), per-class accuracy
+            'WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS true_label FROM embeddings WHERE vec_id < 100), c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS nb_label FROM embeddings), s AS (SELECT query_id, true_label, neighbor_id, nb_label, round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cos_sim FROM q, c WHERE query_id <> neighbor_id), r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s), v AS (SELECT query_id, true_label, nb_label, CAST(count(*) AS BIGINT) AS votes FROM r WHERE rk <= 5 GROUP BY 1, 2, 3), p AS (SELECT query_id, true_label, min(ROW(-votes, nb_label)) AS pick FROM v GROUP BY 1, 2), g AS (SELECT true_label AS label, CAST(count(*) AS BIGINT) AS n_queries, CAST(sum(CASE WHEN CAST(pick[2] AS INTEGER) = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct FROM p GROUP BY 1) SELECT label, n_queries, n_correct, (CAST(((CAST(n_correct AS HUGEINT) * 2000000 + CAST(n_queries AS HUGEINT)) // (CAST(n_queries AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS accuracy FROM g ORDER BY label'
         ),
         "knn_brute": (
             "WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv "

@@ -2348,3 +2348,91 @@ def q_ivfpq_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exactint_rerank(
         t.embeddings.select("vec_id", "embedding"), pool
     )
+
+
+#: kNN-classifier evaluation batch: label accuracy is measured over
+#: this many held-as-query vectors (bounded — the brute pass is an
+#: audit, like knn_brute itself).
+KNN_EVAL_QUERIES = 100
+
+
+def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier evaluation over the embedding space — the
+    LABEL-level answer to "are these embeddings any good?" that recall
+    curves can't give (``knn_*`` measure index fidelity against brute
+    force; this measures whether neighborhoods agree with labels at
+    all — the standard embedding-quality probe before committing to a
+    semantic-dedup threshold).
+
+    For each of the first ``KNN_EVAL_QUERIES`` vectors: exact top-5
+    cosine neighbors (the ``knn_brute`` scorer — 4-dp-rounded floats,
+    id tie-breaks, engine-portable), predicted label = the neighbor
+    majority via the sort-free min(struct(−votes, label)) aggregate
+    (the ``user_modal_event`` idiom), scored against the vector's own
+    label. Report per true label so class-level confusion is visible.
+
+    On THIS fixture the labels are drawn independently of the
+    embedding geometry (measured: intra-label cosine == inter-label),
+    so the correct reading is accuracy ≈ the 1/|classes| random floor
+    — the probe's job is to DETECT absent signal as much as present
+    signal (the ``heaps_law_fit`` β = 0 convention); the pytest pins
+    exactly that.
+
+    Scale: bounded query batch × corpus, the documented brute-force
+    audit shape (the scalable serving paths are the lsh/ivf/pq
+    families).
+
+    Output: (label, n_queries, n_correct, accuracy)."""
+    from ..functions import halfup_div
+
+    t = load(spark, sf_dir)
+    knn = cosine_topk(
+        t.embeddings.filter(F.col("vec_id") < KNN_EVAL_QUERIES),
+        t.embeddings,
+        k=5,
+    )
+    lab = t.embeddings.select("vec_id", "label")
+    votes = (
+        knn.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("votes")).alias("nv"),
+                F.col("nb_label").alias("lb"),
+            )
+        )["lb"].alias("pred_label")
+    )
+    scored = pred.join(
+        lab.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    )
+    return (
+        scored.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                (F.col("pred_label") == F.col("true_label")).cast("long")
+            ).alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n_queries",
+            "n_correct",
+            halfup_div(F.col("n_correct"), F.col("n_queries"), 6).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("label")
+    )

@@ -138,6 +138,7 @@ HEADLINE = [
     "neyman_allocation",      # variance-optimal stratified sample design (new in r9)
     "term_burstiness",        # Fano-factor overdispersion audit (new in r9)
     "revenue_cusum",          # CUSUM level-shift detector via scan identity (new in r9)
+    "knn_label_accuracy",     # kNN label-consistency embedding probe (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -1024,3 +1024,64 @@ def test_fixture_fingerprint_sees_nested_files(tmp_path):
     os.utime(f, ns=(123456789, 987654321))
     fp2 = _fixture_fingerprint(str(tmp_path))
     assert fp1 != fp2
+
+
+def test_knn_label_accuracy_pure_python(spark, sf_dir):
+    """Per-class accuracy matches a numpy brute-force recompute with
+    the same 4dp rounding / id tie-break / majority tie-break. The
+    fixture draws labels independently of geometry, so the probe must
+    read ~the 1/|classes| random floor — detecting NO signal is the
+    correct measurement here (the heaps_law_fit beta=0 convention)."""
+    import numpy as np
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        KNN_EVAL_QUERIES,
+        q_knn_label_accuracy,
+    )
+
+    rows = {r["label"]: r for r in q_knn_label_accuracy(spark, sf_dir).collect()}
+    assert rows
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in emb["embedding"]])
+    ids = emb["vec_id"].to_numpy()
+    labels = dict(zip(emb["vec_id"], emb["label"]))
+    norms = np.sqrt((V * V).sum(axis=1))
+    correct = {}
+    total = {}
+    order = np.argsort(ids)
+    for qi in order:
+        qid = ids[qi]
+        if qid >= KNN_EVAL_QUERIES:
+            continue
+        sims = np.round(V @ V[qi] / (norms * norms[qi]), 4)
+        cand = sorted(
+            (-s, i)
+            for s, i in zip(sims, ids)
+            if i != qid
+        )[:5]
+        votes = {}
+        for _, nid in cand:
+            votes[labels[nid]] = votes.get(labels[nid], 0) + 1
+        pred = min((-v, l) for l, v in votes.items())[1]
+        t = labels[qid]
+        total[t] = total.get(t, 0) + 1
+        correct[t] = correct.get(t, 0) + (pred == t)
+
+    def hu6(num, den):
+        return ((2 * num * 10**6 + den) // (2 * den)) / 1e6
+
+    assert set(rows) == set(total)
+    for l in total:
+        assert rows[l]["n_queries"] == total[l]
+        assert rows[l]["n_correct"] == correct[l]
+        assert rows[l]["accuracy"] == hu6(correct[l], total[l])
+    n_all = sum(total.values())
+    acc_all = sum(correct.values()) / n_all
+    n_classes = len(set(labels.values()))
+    # labels are geometry-independent by fixture design: accuracy must
+    # sit NEAR the random floor (binomial 3-sigma band), not above it
+    floor = 1.0 / n_classes
+    sd = (floor * (1 - floor) / n_all) ** 0.5
+    assert abs(acc_all - floor) < 4 * sd
