@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "join_cardinality_estimate",  # new in r9 — gate-verify the round it lands
     "knn_label_accuracy",  # new in r9 — gate-verify the round it lands
     "term_burstiness",  # new in r9 — gate-verify the round it lands
     "revenue_cusum",  # new in r9 — gate-verify the round it lands
@@ -485,6 +486,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_burstiness": text.q_term_burstiness,
         "revenue_cusum": temporal.q_revenue_cusum,
         "knn_label_accuracy": similarity.q_knn_label_accuracy,
+        "join_cardinality_estimate": quality.q_join_cardinality_estimate,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4115,6 +4117,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
             "JOIN sig sb ON sb.doc_id = doc_b "
             "ORDER BY hamming, doc_a, doc_b LIMIT 20"
+        ),
+        "join_cardinality_estimate": (
+            # per-bucket c1*c2/max(d1,d2) containment estimator vs
+            # the key-grain exact truth; signed micro relative error
+            "WITH r AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cr FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1), s AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cs FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1), rb AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS b, CAST(sum(cr) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS d1 FROM r GROUP BY 1), sb AS (SELECT ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15))::BIGINT % 256 AS b, CAST(sum(cs) AS BIGINT) AS c2, CAST(count(*) AS BIGINT) AS d2 FROM s GROUP BY 1), est AS (SELECT CAST(sum(CAST(c1 AS HUGEINT) * c2 // greatest(d1, d2)) AS BIGINT) AS est_rows FROM rb JOIN sb USING (b)), act AS (SELECT CAST(sum(CAST(cr AS HUGEINT) * cs) AS BIGINT) AS actual_rows FROM r JOIN s USING (l_partkey)), ks AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS keys_r, (SELECT CAST(count(*) AS BIGINT) FROM s) AS keys_s), g AS (SELECT * FROM est CROSS JOIN act CROSS JOIN ks) SELECT CAST(256 AS BIGINT) AS n_buckets, keys_r, keys_s, est_rows, actual_rows, CAST(CASE WHEN est_rows < actual_rows THEN -((CAST(actual_rows AS HUGEINT) - est_rows) * 1000000 // actual_rows) ELSE (CAST(est_rows AS HUGEINT) - actual_rows) * 1000000 // actual_rows END AS BIGINT) AS rel_err_micro FROM g"
         ),
         "knn_label_accuracy": (
             # exact top-5 cosine (the knn_brute scorer), majority

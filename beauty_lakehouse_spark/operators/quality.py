@@ -2694,3 +2694,87 @@ def q_neyman_allocation(spark, sf_dir: str) -> DataFrame:
         "alloc_neyman",
         "alloc_proportional",
     ).orderBy("segment")
+
+
+#: Histogram resolution for the join-size estimator.
+CARD_EST_BUCKETS = 256
+
+
+def q_join_cardinality_estimate(spark, sf_dir: str) -> DataFrame:
+    """Histogram-based join-size estimation vs ground truth — the
+    query-OPTIMIZER diagnostic: every cost-based planner sizes joins
+    from per-bucket key histograms (the System-R lineage; Spark's CBO
+    keeps equi-height histograms too), and this operator measures how
+    good that estimate is on a real join — returned lineitems ⋈ open
+    lineitems of the same part.
+
+    Per 256-way portable-hash bucket b: the textbook estimator
+    ĉ(b) = c_R(b)·c_S(b) / max(d_R(b), d_S(b)) (containment-of-values
+    assumption), summed over buckets; the TRUTH Σ_k c_R(k)·c_S(k)
+    comes from the key-grain count join (exact, no row explosion).
+    The signed relative error at micro scale is the deliverable — at
+    100 TB this is how you validate stats quality before trusting the
+    planner's join order.
+
+    Scale: two map-side-combinable passes to key grain, one to bucket
+    grain; the truth join runs at KEY grain (≤ |parts| rows), never on
+    the fact rows.
+
+    Output (1 row): (n_buckets, keys_r, keys_s, est_rows, actual_rows,
+    rel_err_micro)."""
+    from ..catalog import load
+    from ..functions import _idiv, portable_hash64
+
+    t = load(spark, sf_dir)
+    r = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cr"))
+    )
+    s = (
+        t.lineitem.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cs"))
+    )
+    bkt = F.pmod(
+        portable_hash64(F.col("l_partkey").cast("string")),
+        F.lit(CARD_EST_BUCKETS),
+    )
+    rb = r.groupBy(bkt.alias("b")).agg(
+        F.sum("cr").alias("c1"), F.count(F.lit(1)).alias("d1")
+    )
+    sb = s.groupBy(bkt.alias("b")).agg(
+        F.sum("cs").alias("c2"), F.count(F.lit(1)).alias("d2")
+    )
+    est = (
+        rb.join(sb, "b")
+        .select(
+            _idiv(
+                F.col("c1").cast("decimal(38,0)") * F.col("c2"),
+                F.greatest("d1", "d2").cast("decimal(38,0)"),
+            ).alias("e")
+        )
+        .agg(F.sum("e").alias("est_rows"))
+    )
+    actual = (
+        r.join(s, "l_partkey")
+        .agg(F.sum(F.col("cr") * F.col("cs")).alias("actual_rows"))
+    )
+    keys = r.agg(F.count(F.lit(1)).alias("keys_r")).crossJoin(
+        s.agg(F.count(F.lit(1)).alias("keys_s"))
+    )
+    g = est.crossJoin(actual).crossJoin(keys)
+    diff = (F.col("est_rows") - F.col("actual_rows")).cast(
+        "decimal(38,0)"
+    ) * F.lit(1_000_000)
+    rel = F.when(
+        diff < 0, -_idiv(-diff, F.col("actual_rows").cast("decimal(38,0)"))
+    ).otherwise(_idiv(diff, F.col("actual_rows").cast("decimal(38,0)")))
+    return g.select(
+        F.lit(CARD_EST_BUCKETS).cast("long").alias("n_buckets"),
+        "keys_r",
+        "keys_s",
+        "est_rows",
+        "actual_rows",
+        rel.alias("rel_err_micro"),
+    )

@@ -96,6 +96,7 @@ WHITELIST: dict[str, str] = {
     "copurchase_eval_hitrate": "1-row split-year broadcast + 1-row count-aggregate assembly joins (backtest scoreboard)",
     "price_drift_ks": "1-row max-year/sample-size broadcasts attached to the distinct-cents grid (KS scoreboard assembly)",
     "cuped_adjusted_diff": "1-row max-year broadcast attached to the orders scan (pre/exposure period split)",
+    "join_cardinality_estimate": "1-row estimate/truth/key-count aggregate assembly joins (diagnostic scoreboard)",
     "feature_hash_stats": "1-row occupied-bucket-count broadcast completing the load-0 row of the 2^12 space",
     "term_burstiness": "1-row corpus-size broadcast attached to the term-grain table (Fano denominator)",
     "revenue_cusum": "1-row mu/sd broadcast attached to the day grid (CUSUM design constants)",

@@ -1108,3 +1108,65 @@ def test_neyman_allocation_pure_python(spark, sf_dir):
         (n * sd) ** 2 / alloc[seg] for seg, (n, sd, _) in stats.items()
     )
     assert var(ney) <= var(prop) * (1 + 1e-9)
+
+
+def test_join_cardinality_estimate_pure_python(spark, sf_dir):
+    """Estimator, truth, and error match a pure-Python recompute, and
+    the histogram estimate lands within a sane band of the truth
+    (containment estimators overestimate mildly on near-uniform keys,
+    never by orders of magnitude)."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        CARD_EST_BUCKETS,
+        q_join_cardinality_estimate,
+    )
+
+    [r] = q_join_cardinality_estimate(spark, sf_dir).collect()
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    cr = (
+        li[li["l_returnflag"] == "R"]
+        .groupby("l_partkey")
+        .size()
+        .to_dict()
+    )
+    cs = (
+        li[li["l_linestatus"] == "O"]
+        .groupby("l_partkey")
+        .size()
+        .to_dict()
+    )
+
+    def bkt(k):
+        return (
+            int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+            % CARD_EST_BUCKETS
+        )
+
+    rb, sb = {}, {}
+    for k, c in cr.items():
+        b = bkt(k)
+        x = rb.setdefault(b, [0, 0])
+        x[0] += c
+        x[1] += 1
+    for k, c in cs.items():
+        b = bkt(k)
+        x = sb.setdefault(b, [0, 0])
+        x[0] += c
+        x[1] += 1
+    est = sum(
+        rb[b][0] * sb[b][0] // max(rb[b][1], sb[b][1])
+        for b in set(rb) & set(sb)
+    )
+    actual = sum(c * cs[k] for k, c in cr.items() if k in cs)
+    assert (r["keys_r"], r["keys_s"]) == (len(cr), len(cs))
+    assert r["est_rows"] == est
+    assert r["actual_rows"] == actual
+    d = (est - actual) * 10**6
+    want = -((-d) // actual) if d < 0 else d // actual
+    assert r["rel_err_micro"] == want
+    # sanity band: within 3x either way
+    assert actual // 3 <= est <= actual * 3
