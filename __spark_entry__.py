@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "window_funnel_strict",  # new in r9 — gate-verify the round it lands
     "join_cardinality_estimate",  # new in r9 — gate-verify the round it lands
     "knn_label_accuracy",  # new in r9 — gate-verify the round it lands
     "term_burstiness",  # new in r9 — gate-verify the round it lands
@@ -487,6 +488,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_cusum": temporal.q_revenue_cusum,
         "knn_label_accuracy": similarity.q_knn_label_accuracy,
         "join_cardinality_estimate": quality.q_join_cardinality_estimate,
+        "window_funnel_strict": events.q_window_funnel_strict,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4117,6 +4119,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM cand JOIN sig sa ON sa.doc_id = doc_a "
             "JOIN sig sb ON sb.doc_id = doc_b "
             "ORDER BY hamming, doc_a, doc_b LIMIT 20"
+        ),
+        "window_funnel_strict": (
+            # greedy-earliest ordered funnel with a 1h window per
+            # transition (ClickHouse windowFunnel semantics)
+            "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), users AS (SELECT DISTINCT user_id FROM ev), a AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1), s2 AS (SELECT e.user_id, min(us) AS t2 FROM ev e JOIN a USING (user_id) WHERE e.event_type = 'click' AND e.us > a.t1 AND e.us <= a.t1 + 3600000000 GROUP BY 1), s3 AS (SELECT e.user_id, min(us) AS t3 FROM ev e JOIN s2 USING (user_id) WHERE e.event_type = 'purchase' AND e.us > s2.t2 AND e.us <= s2.t2 + 3600000000 GROUP BY 1), d AS (SELECT u.user_id, CASE WHEN a.t1 IS NULL THEN 0 WHEN s2.t2 IS NULL THEN 1 WHEN s3.t3 IS NULL THEN 2 ELSE 3 END AS depth FROM users u LEFT JOIN a USING (user_id) LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)) SELECT CAST(depth AS INTEGER) AS depth, CAST(count(*) AS BIGINT) AS n_users FROM d GROUP BY 1 ORDER BY 1"
         ),
         "join_cardinality_estimate": (
             # per-bucket c1*c2/max(d1,d2) containment estimator vs

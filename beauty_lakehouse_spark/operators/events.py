@@ -1150,3 +1150,72 @@ def q_markov_conversion_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = labeled if out is None else out.unionByName(labeled)
     return out.orderBy("step", "state")
+
+
+#: Strict-order funnel: step sequence and the per-transition window.
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 3_600_000_000
+
+
+def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ORDERED funnel (ClickHouse ``windowFunnel`` semantics):
+    per user, the deepest prefix of view → click → purchase completed
+    IN ORDER with each transition inside ``FUNNEL_WINDOW_US`` — the
+    time-constrained funnel that ``event_funnel``'s unordered
+    presence-check can't express (a purchase before the click must NOT
+    count).
+
+    Greedy-earliest matching (the windowFunnel contract): anchor =
+    the user's earliest view; step k+1 = the earliest step-(k+1) event
+    after step k within the window. Each "earliest after t" is one
+    min-aggregate over the user's own events — per-user bounded joins,
+    no window functions at all.
+
+    Scale: three user-grain aggregates, each a map-side-combinable
+    min over one event type; the per-user event list is never
+    materialized.
+
+    Output: (depth, n_users) — users whose deepest completed prefix
+    is exactly `depth` (0 = had no view), plus Σ = all users."""
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    users = ev.select("user_id").distinct()
+    anchors = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    cur = users.join(anchors, "user_id", "left")
+    prev_col = "t1"
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(
+                cur.filter(F.col(prev_col).isNotNull()).select(
+                    "user_id", prev_col
+                ),
+                "user_id",
+            )
+            .filter(
+                (F.col("us") > F.col(prev_col))
+                & (F.col("us") <= F.col(prev_col) + FUNNEL_WINDOW_US)
+            )
+            .groupBy("user_id")
+            .agg(F.min("us").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+        prev_col = f"t{i}"
+    depth = F.when(F.col("t1").isNull(), F.lit(0))
+    for i in range(2, len(FUNNEL_STEPS) + 1):
+        depth = depth.when(F.col(f"t{i}").isNull(), F.lit(i - 1))
+    depth = depth.otherwise(F.lit(len(FUNNEL_STEPS)))
+    return (
+        cur.select(depth.cast("int").alias("depth"))
+        .groupBy("depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("depth")
+    )

@@ -140,6 +140,7 @@ HEADLINE = [
     "revenue_cusum",          # CUSUM level-shift detector via scan identity (new in r9)
     "knn_label_accuracy",     # kNN label-consistency embedding probe (new in r9)
     "join_cardinality_estimate",  # optimizer-stats quality diagnostic (new in r9)
+    "window_funnel_strict",   # ClickHouse-style windowed ordered funnel (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

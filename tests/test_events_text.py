@@ -1523,3 +1523,40 @@ def test_revenue_cusum_scan_identity(spark, sf_dir):
         for r in rows
     ]
     assert got == want
+
+
+def test_window_funnel_strict_pure_python(spark, sf_dir):
+    """Depth histogram matches a pure-Python greedy-earliest recompute
+    of the windowFunnel contract; users are conserved; ordering is
+    strict (an out-of-order purchase cannot create depth 3)."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        FUNNEL_STEPS,
+        FUNNEL_WINDOW_US,
+        q_window_funnel_strict,
+    )
+
+    rows = {r["depth"]: r["n_users"] for r in q_window_funnel_strict(spark, sf_dir).collect()}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    from collections import Counter
+
+    depth = Counter()
+    for _, g in ev.groupby("user_id"):
+        t_prev = None
+        d = 0
+        for step in FUNNEL_STEPS:
+            cand = g[g["event_type"] == step]["us"]
+            if t_prev is not None:
+                cand = cand[
+                    (cand > t_prev) & (cand <= t_prev + FUNNEL_WINDOW_US)
+                ]
+            if cand.empty:
+                break
+            t_prev = int(cand.min())
+            d += 1
+        depth[d] += 1
+    assert rows == dict(depth)
+    assert sum(rows.values()) == ev["user_id"].nunique()
