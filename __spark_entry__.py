@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "bbit_minhash_estimates",  # new in r9 — gate-verify the round it lands
     "window_funnel_strict",  # new in r9 — gate-verify the round it lands
     "join_cardinality_estimate",  # new in r9 — gate-verify the round it lands
     "knn_label_accuracy",  # new in r9 — gate-verify the round it lands
@@ -489,6 +490,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_label_accuracy": similarity.q_knn_label_accuracy,
         "join_cardinality_estimate": quality.q_join_cardinality_estimate,
         "window_funnel_strict": events.q_window_funnel_strict,
+        "bbit_minhash_estimates": dedup.q_bbit_minhash_estimates,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4067,6 +4069,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "bbit_minhash_estimates": (
+            # 1-bit minhash: J_hat = 2A - 1 as the exact integer
+            # (2*agree - 16)*62500 micro; same candidates/truth as
+            # minhash_estimate_error
+            "WITH "
+            + _MINHASH_CTE
+            + ", band AS (SELECT doc_id, CAST(i // 4 AS INT) AS band, md5(string_agg(mh::VARCHAR, ',' ORDER BY i)) AS band_key FROM mh GROUP BY doc_id, i // 4), cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM band a JOIN band b ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id), agree AS (SELECT doc_a, doc_b, CAST(sum(CASE WHEN sa.mh % 2 = sb.mh % 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_1bit FROM cand JOIN mh sa ON sa.doc_id = doc_a JOIN mh sb ON sb.doc_id = doc_b AND sb.i = sa.i GROUP BY 1, 2), sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), common AS (SELECT doc_a, doc_b, count(*) AS n_common FROM cand c JOIN sh a ON a.doc_id = c.doc_a JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, n_agree_1bit, CAST(coalesce(n_common, 0) AS BIGINT) AS n_common, CAST(sa.n_sh + sb.n_sh - coalesce(n_common, 0) AS BIGINT) AS n_union FROM agree LEFT JOIN common USING (doc_a, doc_b) JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b) SELECT doc_a, doc_b, n_agree_1bit, CAST((2 * n_agree_1bit - 16) * 62500 AS BIGINT) AS est_1bit_micro, (CAST(((CAST(n_common AS HUGEINT) * 2000000 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS true_jaccard, CAST((2 * n_agree_1bit - 16) * 62500 AS DOUBLE) / 1000000.0 - (CAST(((CAST(n_common AS HUGEINT) * 2000000 + CAST(n_union AS HUGEINT)) // (CAST(n_union AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS err FROM j"
         ),
         "minhash_estimate_error": (
             "WITH "

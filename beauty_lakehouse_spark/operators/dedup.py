@@ -1484,3 +1484,80 @@ def q_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def q_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit MinHash (Li & König 2010), b = 1: keep only the LOWEST BIT
+    of each MinHash value — a 64× smaller signature — and recover
+    Jaccard from the 1-bit agreement rate via Ĵ = 2·A − 1 (for b = 1
+    the two sides collide by chance half the time, so agreement is
+    1/2 + J/2). THE storage trade-off study for planet-scale dedup:
+    this operator scores every LSH candidate pair with the 1-bit
+    estimator NEXT TO the true shingle Jaccard, so the precision cost
+    of the 64× compression is measured, not assumed.
+
+    Exactness: with N_HASHES = 16, Ĵ·10⁶ = (2·agree − 16)·62500 — a
+    pure integer multiplication, no division at all (10⁶/16 is exact);
+    the signed error vs the half-up true Jaccard is one deterministic
+    IEEE double subtraction (the ``minhash_estimate_error``
+    convention).
+
+    Scale: identical candidate geometry to ``minhash_estimate_error``
+    (banded LSH, never all-pairs); per-pair work is a 16-row signature
+    merge plus one array intersection.
+
+    Output: (doc_a, doc_b, n_agree_1bit, est_1bit_micro, true_jaccard,
+    err)."""
+    t = load(spark, sf_dir)
+    sig = minhash_signatures(t.documents).localCheckpoint(eager=False)
+    cand = lsh_candidates(t.documents, sig=sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a")
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), "i", F.col("mh").alias("mh_b")
+    )
+    agree = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "i"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                (F.pmod(F.col("mh_a"), F.lit(2)) == F.pmod(F.col("mh_b"), F.lit(2)))
+                .cast("long")
+            ).alias("n_agree_1bit")
+        )
+    )
+    sets = (
+        shingles(t.documents)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("ss"))
+        .localCheckpoint(eager=False)
+    )
+    ja = sets.select(F.col("doc_id").alias("doc_a"), F.col("ss").alias("ss_a"))
+    jb = sets.select(F.col("doc_id").alias("doc_b"), F.col("ss").alias("ss_b"))
+    est_micro = (
+        (F.lit(2) * F.col("n_agree_1bit") - F.lit(N_HASHES))
+        * F.lit(1_000_000 // N_HASHES)
+    ).cast("long")
+    true_j = halfup_div(
+        F.size(F.array_intersect("ss_a", "ss_b")).cast("long"),
+        (
+            F.size("ss_a")
+            + F.size("ss_b")
+            - F.size(F.array_intersect("ss_a", "ss_b"))
+        ).cast("long"),
+        6,
+    )
+    return (
+        agree.join(ja, "doc_a")
+        .join(jb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree_1bit",
+            est_micro.alias("est_1bit_micro"),
+            true_j.alias("true_jaccard"),
+            (est_micro.cast("double") / F.lit(1e6) - true_j).alias("err"),
+        )
+    )

@@ -141,6 +141,7 @@ HEADLINE = [
     "knn_label_accuracy",     # kNN label-consistency embedding probe (new in r9)
     "join_cardinality_estimate",  # optimizer-stats quality diagnostic (new in r9)
     "window_funnel_strict",   # ClickHouse-style windowed ordered funnel (new in r9)
+    "bbit_minhash_estimates", # 1-bit minhash compression trade-off study (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -505,3 +505,36 @@ def test_containment_vs_jaccard_semantics(spark, sf_dir):
     )[:20]
     got = [(-(r["n_common"] / r["n_small"]), r["doc_a"], r["doc_b"]) for r in rows]
     assert got == want
+
+
+def test_bbit_minhash_estimates_pure_python(spark, sf_dir):
+    """The 1-bit estimator is the exact integer (2*agree-16)*62500 on
+    every candidate pair, and b-bit estimation behaves as theory says:
+    noisier than full MinHash but centered — mean |err| bounded and
+    high-true-Jaccard pairs still score high."""
+    from beauty_lakehouse_spark.operators.dedup import (
+        q_bbit_minhash_estimates,
+        q_minhash_estimate_error,
+    )
+
+    rows = q_bbit_minhash_estimates(spark, sf_dir).collect()
+    assert rows
+    full = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in q_minhash_estimate_error(spark, sf_dir).collect()
+    }
+    assert set((r["doc_a"], r["doc_b"]) for r in rows) == set(full)
+    for r in rows:
+        assert (
+            r["est_1bit_micro"]
+            == (2 * r["n_agree_1bit"] - 16) * 62500
+        )
+        assert -(10**6) <= r["est_1bit_micro"] <= 10**6
+        tj = full[(r["doc_a"], r["doc_b"])]["true_jaccard"]
+        assert r["true_jaccard"] == tj
+        assert abs(r["err"] - (r["est_1bit_micro"] / 1e6 - tj)) < 1e-12
+    # exact-duplicate pairs (true J = 1) must estimate 1 exactly:
+    # identical sets => identical minhash => all 16 low bits agree
+    for r in rows:
+        if r["true_jaccard"] == 1.0:
+            assert r["est_1bit_micro"] == 10**6
