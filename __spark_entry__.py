@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "fk_discovery",  # new in r9 — gate-verify the round it lands
     "bbit_minhash_estimates",  # new in r9 — gate-verify the round it lands
     "window_funnel_strict",  # new in r9 — gate-verify the round it lands
     "join_cardinality_estimate",  # new in r9 — gate-verify the round it lands
@@ -491,6 +492,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality_estimate": quality.q_join_cardinality_estimate,
         "window_funnel_strict": events.q_window_funnel_strict,
         "bbit_minhash_estimates": dedup.q_bbit_minhash_estimates,
+        "fk_discovery": quality.q_fk_discovery,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4069,6 +4071,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "fk_discovery": (
+            # value-containment FK detection at distinct-key grain
+            # over the literal candidate list (true FKs + decoys)
+            "WITH u AS ((SELECT 'orders' AS child_table, 'o_custkey' AS child_col, 'customer' AS parent_table, 'c_custkey' AS parent_col, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c WHERE EXISTS (SELECT 1 FROM customer p WHERE p.c_custkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT c_custkey) FROM customer) AS parent_unique) UNION ALL (SELECT 'lineitem' AS child_table, 'l_orderkey' AS child_col, 'orders' AS parent_table, 'o_orderkey' AS parent_col, (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) c WHERE EXISTS (SELECT 1 FROM orders p WHERE p.o_orderkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT o_orderkey) FROM orders) AS parent_unique) UNION ALL (SELECT 'lineitem' AS child_table, 'l_partkey' AS child_col, 'part' AS parent_table, 'p_partkey' AS parent_col, (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM lineitem) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT l_partkey AS v FROM lineitem) c WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT p_partkey) FROM part) AS parent_unique) UNION ALL (SELECT 'lineitem' AS child_table, 'l_suppkey' AS child_col, 'supplier' AS parent_table, 's_suppkey' AS parent_col, (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM lineitem) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT l_suppkey AS v FROM lineitem) c WHERE EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT s_suppkey) FROM supplier) AS parent_unique) UNION ALL (SELECT 'customer' AS child_table, 'c_nationkey' AS child_col, 'nation' AS parent_table, 'n_nationkey' AS parent_col, (SELECT CAST(count(DISTINCT c_nationkey) AS BIGINT) FROM customer) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT c_nationkey AS v FROM customer) c WHERE EXISTS (SELECT 1 FROM nation p WHERE p.n_nationkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT n_nationkey) FROM nation) AS parent_unique) UNION ALL (SELECT 'nation' AS child_table, 'n_regionkey' AS child_col, 'region' AS parent_table, 'r_regionkey' AS parent_col, (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT n_regionkey AS v FROM nation) c WHERE EXISTS (SELECT 1 FROM region p WHERE p.r_regionkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT r_regionkey) FROM region) AS parent_unique) UNION ALL (SELECT 'orders' AS child_table, 'o_custkey' AS child_col, 'part' AS parent_table, 'p_partkey' AS parent_col, (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT o_custkey AS v FROM orders) c WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT p_partkey) FROM part) AS parent_unique) UNION ALL (SELECT 'customer' AS child_table, 'c_custkey' AS child_col, 'supplier' AS parent_table, 's_suppkey' AS parent_col, (SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) FROM customer) AS n_child_distinct, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT c_custkey AS v FROM customer) c WHERE EXISTS (SELECT 1 FROM supplier p WHERE p.s_suppkey = c.v)) AS n_contained, (SELECT count(*) = count(DISTINCT s_suppkey) FROM supplier) AS parent_unique)) SELECT child_table, child_col, parent_table, parent_col, n_child_distinct, n_contained, CAST(CAST(n_contained AS HUGEINT) * 1000000 // n_child_distinct AS BIGINT) AS containment_micro, parent_unique, (CAST(n_contained AS HUGEINT) * 1000000 // n_child_distinct >= 990000) AND parent_unique AS is_fk FROM u ORDER BY child_table, child_col, parent_table"
         ),
         "bbit_minhash_estimates": (
             # 1-bit minhash: J_hat = 2A - 1 as the exact integer

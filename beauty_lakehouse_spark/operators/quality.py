@@ -2778,3 +2778,93 @@ def q_join_cardinality_estimate(spark, sf_dir: str) -> DataFrame:
         "actual_rows",
         rel.alias("rel_err_micro"),
     )
+
+
+#: FK-discovery candidate column pairs: every *key column pair with
+#: compatible types, true FKs and decoys alike — the audit must
+#: DISCRIMINATE, not confirm.
+FK_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # decoys: same int type, no referential relationship
+    ("orders", "o_custkey", "part", "p_partkey"),
+    ("customer", "c_custkey", "supplier", "s_suppkey"),
+]
+
+#: Containment above this (micro) plus uniqueness on the referenced
+#: side flags a foreign key.
+FK_THRESHOLD_MICRO = 990_000
+
+
+def q_fk_discovery(spark, sf_dir: str) -> DataFrame:
+    """Foreign-key DISCOVERY by value containment — the data-catalog
+    profiling pass that reverse-engineers referential structure from
+    values alone (Rostin et al. 2009; what every metadata crawler runs
+    on an undocumented lake): for each candidate column pair, the
+    fraction of the child's distinct values present in the parent
+    column, plus the parent's uniqueness — containment ≈ 1 AND a
+    unique parent ⟹ FK. The candidate list deliberately mixes true
+    FKs with type-compatible DECOYS. The pytest pins BOTH behaviors
+    the method textbook-exhibits: the low-containment decoy is
+    rejected, while the dense-surrogate decoy (o_custkey ⊆ p_partkey —
+    two 1..N id spaces) FALSE-POSITIVES, the classic limitation of
+    containment-only discovery (name/semantic evidence is the
+    production fix; the operator reports the raw signal honestly).
+
+    Scale: every comparison runs at DISTINCT-KEY grain (one map-side-
+    combinable distinct per column, one left-semi join per pair) —
+    never on fact rows; the pair list is a bounded literal.
+
+    Output: (child_table, child_col, parent_table, parent_col,
+    n_child_distinct, n_contained, containment_micro, parent_unique,
+    is_fk)."""
+    from ..catalog import load
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    out = None
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = getattr(t, ct).select(F.col(cc).alias("v")).distinct()
+        parent_tbl = getattr(t, pt)
+        parent = parent_tbl.select(F.col(pc).alias("v"))
+        contained = child.join(parent.distinct(), "v", "left_semi")
+        stats = (
+            child.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+            .crossJoin(
+                contained.agg(F.count(F.lit(1)).alias("n_contained"))
+            )
+            .crossJoin(
+                parent.agg(
+                    F.count(F.lit(1)).alias("p_rows"),
+                    F.countDistinct("v").alias("p_distinct"),
+                )
+            )
+            .select(
+                F.lit(ct).alias("child_table"),
+                F.lit(cc).alias("child_col"),
+                F.lit(pt).alias("parent_table"),
+                F.lit(pc).alias("parent_col"),
+                "n_child_distinct",
+                "n_contained",
+                _idiv(
+                    F.col("n_contained").cast("decimal(38,0)")
+                    * F.lit(1_000_000),
+                    F.col("n_child_distinct"),
+                ).alias("containment_micro"),
+                (F.col("p_rows") == F.col("p_distinct")).alias(
+                    "parent_unique"
+                ),
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select(
+        "*",
+        (
+            (F.col("containment_micro") >= FK_THRESHOLD_MICRO)
+            & F.col("parent_unique")
+        ).alias("is_fk"),
+    ).orderBy("child_table", "child_col", "parent_table")

@@ -142,6 +142,7 @@ HEADLINE = [
     "join_cardinality_estimate",  # optimizer-stats quality diagnostic (new in r9)
     "window_funnel_strict",   # ClickHouse-style windowed ordered funnel (new in r9)
     "bbit_minhash_estimates", # 1-bit minhash compression trade-off study (new in r9)
+    "fk_discovery",           # value-containment FK detection audit (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

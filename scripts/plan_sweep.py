@@ -97,6 +97,7 @@ WHITELIST: dict[str, str] = {
     "price_drift_ks": "1-row max-year/sample-size broadcasts attached to the distinct-cents grid (KS scoreboard assembly)",
     "cuped_adjusted_diff": "1-row max-year broadcast attached to the orders scan (pre/exposure period split)",
     "join_cardinality_estimate": "1-row estimate/truth/key-count aggregate assembly joins (diagnostic scoreboard)",
+    "fk_discovery": "1-row per-pair stat assembly joins over distinct-key-grain aggregates (bounded literal candidate list)",
     "feature_hash_stats": "1-row occupied-bucket-count broadcast completing the load-0 row of the 2^12 space",
     "term_burstiness": "1-row corpus-size broadcast attached to the term-grain table (Fano denominator)",
     "revenue_cusum": "1-row mu/sd broadcast attached to the day grid (CUSUM design constants)",

@@ -1170,3 +1170,47 @@ def test_join_cardinality_estimate_pure_python(spark, sf_dir):
     assert r["rel_err_micro"] == want
     # sanity band: within 3x either way
     assert actual // 3 <= est <= actual * 3
+
+
+def test_fk_discovery_discriminates(spark, sf_dir):
+    """Containment and uniqueness match a pandas recompute; the six
+    true FKs flag is_fk, the low-containment decoy is rejected, and
+    the dense-surrogate decoy false-positives — the documented
+    textbook limitation of containment-only discovery, pinned."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        FK_CANDIDATES,
+        q_fk_discovery,
+    )
+
+    rows = {
+        (r["child_table"], r["child_col"], r["parent_table"]): r
+        for r in q_fk_discovery(spark, sf_dir).collect()
+    }
+    assert len(rows) == len(FK_CANDIDATES)
+
+    tabs = {}
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        for t in (ct, pt):
+            if t not in tabs:
+                tabs[t] = pd.read_parquet(f"{sf_dir}/{t}.parquet")
+    true_fks = set()
+    for ct, cc, pt, pc in FK_CANDIDATES:
+        child = set(tabs[ct][cc])
+        parent = tabs[pt][pc]
+        contained = len(child & set(parent))
+        unique = parent.nunique() == len(parent)
+        r = rows[(ct, cc, pt)]
+        assert r["n_child_distinct"] == len(child)
+        assert r["n_contained"] == contained
+        assert r["containment_micro"] == contained * 10**6 // len(child)
+        assert r["parent_unique"] == unique
+        want_fk = r["containment_micro"] >= 990_000 and unique
+        assert r["is_fk"] == want_fk
+        if want_fk:
+            true_fks.add((ct, cc, pt))
+    # six real FKs + the documented dense-surrogate false positive
+    assert len(true_fks) == 7
+    assert ("orders", "o_custkey", "part") in true_fks  # the known FP
+    assert ("customer", "c_custkey", "supplier") not in true_fks
