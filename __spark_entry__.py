@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "range_partition_boundaries",  # new in r9 — gate-verify the round it lands
     "fk_discovery",  # new in r9 — gate-verify the round it lands
     "bbit_minhash_estimates",  # new in r9 — gate-verify the round it lands
     "window_funnel_strict",  # new in r9 — gate-verify the round it lands
@@ -493,6 +494,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_funnel_strict": events.q_window_funnel_strict,
         "bbit_minhash_estimates": dedup.q_bbit_minhash_estimates,
         "fk_discovery": quality.q_fk_discovery,
+        "range_partition_boundaries": warehouse.q_range_partition_boundaries,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4071,6 +4073,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "range_partition_boundaries": (
+            # equal-rows range cuts over the day-grain cumulative
+            # grid; exact integer ceil; signed micro deviation
+            "WITH days AS (SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), g AS (SELECT day, n, CAST(sum(n) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM days), tot AS (SELECT max(cum) AS nn FROM g), a AS (SELECT day, n, CAST((CAST(cum AS HUGEINT) * 8 + nn - 1) // nn - 1 AS BIGINT) AS p FROM g CROSS JOIN tot), parts AS (SELECT p, min(day) AS d_lo, max(day) AS d_hi, CAST(sum(n) AS BIGINT) AS n_rows FROM a GROUP BY 1) SELECT CAST(p AS INTEGER) AS partition, strftime(d_lo, '%Y-%m-%d') AS day_lo, strftime(d_hi, '%Y-%m-%d') AS day_hi, n_rows, CAST(CASE WHEN CAST(n_rows AS HUGEINT) * 8000000 - CAST(nn AS HUGEINT) * 1000000 < 0 THEN -((CAST(nn AS HUGEINT) * 1000000 - CAST(n_rows AS HUGEINT) * 8000000) // nn) ELSE (CAST(n_rows AS HUGEINT) * 8000000 - CAST(nn AS HUGEINT) * 1000000) // nn END AS BIGINT) AS dev_micro FROM parts CROSS JOIN tot ORDER BY partition"
         ),
         "fk_discovery": (
             # value-containment FK detection at distinct-key grain

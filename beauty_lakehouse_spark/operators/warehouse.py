@@ -1656,3 +1656,75 @@ def q_brand_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+#: Range-partitioner design: target partition count for the layout.
+RANGE_PARTS = 8
+
+
+def q_range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner LAYOUT DESIGN over order date — the boundary
+    computation behind every range-partitioned table and Spark's own
+    RangePartitioner: cut the date axis so each of ``RANGE_PARTS``
+    partitions holds ≈ 1/8 of the rows, then report what the cuts
+    actually achieve (a date axis is lumpy — whole days cannot be
+    split, so the report carries each partition's true row count and
+    its micro deviation from the ideal share; THAT number is what you
+    check before committing a layout at 100 TB).
+
+    Exact: boundaries are order statistics over the DAY-grain
+    cumulative grid (bounded by the calendar, never a raw-row sort) —
+    partition p takes days with cum_rows in (p·N/8, (p+1)·N/8]
+    rationally (cum·8 ≤ N·(p+1) in cross-multiplied integers, no
+    division); deviation is one trunc division at micro.
+
+    Output: (partition, day_lo, day_hi, n_rows, dev_micro)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    days = (
+        t.orders.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = days.withColumn("cum", F.sum("n").over(w))
+    tot = g.agg(F.max("cum").alias("nn"))
+    # day d belongs to partition p = ceil(cum*P/N) - 1, computed as
+    # the exact integer (cum*P + N - 1) // N - 1 — a decimal-division
+    # ceil could round at the boundary; integer arithmetic cannot
+    p_expr = _idiv(
+        F.col("cum").cast("decimal(38,0)") * F.lit(RANGE_PARTS)
+        + F.col("nn")
+        - 1,
+        F.col("nn").cast("decimal(38,0)"),
+    ) - 1
+    parts = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("p", p_expr)
+        .groupBy("p")
+        .agg(
+            F.min("day").alias("d_lo"),
+            F.max("day").alias("d_hi"),
+            F.sum("n").alias("n_rows"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    dev = F.col("n_rows").cast("decimal(38,0)") * F.lit(
+        RANGE_PARTS * 1_000_000
+    ) - F.col("nn").cast("decimal(38,0)") * F.lit(1_000_000)
+    signed = F.when(
+        dev < 0,
+        -_idiv(-dev, F.col("nn").cast("decimal(38,0)")),
+    ).otherwise(_idiv(dev, F.col("nn").cast("decimal(38,0)")))
+    return parts.select(
+        F.col("p").cast("int").alias("partition"),
+        F.date_format("d_lo", "yyyy-MM-dd").alias("day_lo"),
+        F.date_format("d_hi", "yyyy-MM-dd").alias("day_hi"),
+        "n_rows",
+        signed.alias("dev_micro"),
+    ).orderBy("partition")

@@ -800,3 +800,52 @@ def test_brand_price_elasticity_pure_python(spark, sf_dir):
         assert abs(r["elasticity_milli"] / 1e3 - slope_f) < max(
             0.05, abs(slope_f) * 0.02
         )
+
+
+def test_range_partition_boundaries_pure_python(spark, sf_dir):
+    """Cuts match a pandas recompute; partitions tile the calendar in
+    order, conserve all rows, and every partition's row count is
+    within one DAY's mass of the ideal share (the best any
+    whole-day range cut can do)."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        RANGE_PARTS,
+        q_range_partition_boundaries,
+    )
+
+    rows = q_range_partition_boundaries(spark, sf_dir).collect()
+    assert [r["partition"] for r in rows] == list(range(RANGE_PARTS))
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        o.assign(day=o["o_orderdate"].dt.date)
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    N = int(daily.sum())
+    cum = 0
+    want = {p: [None, None, 0] for p in range(RANGE_PARTS)}
+    for d, n in daily.items():
+        cum += int(n)
+        p = (cum * RANGE_PARTS + N - 1) // N - 1
+        if want[p][0] is None:
+            want[p][0] = d
+        want[p][1] = d
+        want[p][2] += int(n)
+    max_day = int(daily.max())
+    for r in rows:
+        lo, hi, n_rows = want[r["partition"]]
+        assert r["day_lo"] == lo.isoformat()
+        assert r["day_hi"] == hi.isoformat()
+        assert r["n_rows"] == n_rows
+        d = n_rows * RANGE_PARTS * 10**6 - N * 10**6
+        dv = -((-d) // N) if d < 0 else d // N
+        assert r["dev_micro"] == dv
+        # balance: within one day's mass of the ideal N/P share
+        assert abs(n_rows - N / RANGE_PARTS) <= max_day
+    assert sum(r["n_rows"] for r in rows) == N
+    # partitions tile the axis in order
+    for a, b in zip(rows, rows[1:]):
+        assert a["day_hi"] < b["day_lo"]
