@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "shapley_channel_attribution",  # new in r9 — gate-verify the round it lands
     "range_partition_boundaries",  # new in r9 — gate-verify the round it lands
     "fk_discovery",  # new in r9 — gate-verify the round it lands
     "bbit_minhash_estimates",  # new in r9 — gate-verify the round it lands
@@ -495,6 +496,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bbit_minhash_estimates": dedup.q_bbit_minhash_estimates,
         "fk_discovery": quality.q_fk_discovery,
         "range_partition_boundaries": warehouse.q_range_partition_boundaries,
+        "shapley_channel_attribution": events.q_shapley_channel_attribution,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4073,6 +4075,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
+        ),
+        "shapley_channel_attribution": (
+            # exact 3-player Shapley over the exposure lattice:
+            # v(S) micro rates, 6*phi with integer weights (2,1,1,2)
+            "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), pu AS (SELECT user_id, min(CASE WHEN event_type = 'purchase' THEN us END) AS t_buy, min(CASE WHEN event_type = 'view' THEN us END) AS t_view, min(CASE WHEN event_type = 'click' THEN us END) AS t_click, min(CASE WHEN event_type = 'signup' THEN us END) AS t_signup FROM ev GROUP BY 1), m AS (SELECT 1 * (CASE WHEN t_view IS NOT NULL AND (t_buy IS NULL OR t_view < t_buy) THEN 1 ELSE 0 END) + 2 * (CASE WHEN t_click IS NOT NULL AND (t_buy IS NULL OR t_click < t_buy) THEN 1 ELSE 0 END) + 4 * (CASE WHEN t_signup IS NOT NULL AND (t_buy IS NULL OR t_signup < t_buy) THEN 1 ELSE 0 END) AS mask, CASE WHEN t_buy IS NOT NULL THEN 1 ELSE 0 END AS conv FROM pu), grid AS (SELECT mask, CAST(count(*) AS BIGINT) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv FROM m GROUP BY 1), one AS (SELECT CAST(coalesce(max(CASE WHEN mask = 0 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v0, CAST(coalesce(max(CASE WHEN mask = 1 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v1, CAST(coalesce(max(CASE WHEN mask = 2 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v2, CAST(coalesce(max(CASE WHEN mask = 3 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v3, CAST(coalesce(max(CASE WHEN mask = 4 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v4, CAST(coalesce(max(CASE WHEN mask = 5 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v5, CAST(coalesce(max(CASE WHEN mask = 6 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v6, CAST(coalesce(max(CASE WHEN mask = 7 THEN CAST(CAST(n_conv AS HUGEINT) * 1000000 // n_users AS BIGINT) END), 0) AS BIGINT) AS v7 FROM grid) SELECT 'view' AS channel, CAST(2 * (v1 - v0) + 1 * (v3 - v2) + 1 * (v5 - v4) + 2 * (v7 - v6) AS BIGINT) AS phi_x6_micro, v1 AS v_solo_micro, v7 AS v_full_micro FROM one UNION ALL SELECT 'click' AS channel, CAST(2 * (v2 - v0) + 1 * (v3 - v1) + 1 * (v6 - v4) + 2 * (v7 - v5) AS BIGINT) AS phi_x6_micro, v2 AS v_solo_micro, v7 AS v_full_micro FROM one UNION ALL SELECT 'signup' AS channel, CAST(2 * (v4 - v0) + 1 * (v5 - v1) + 1 * (v6 - v2) + 2 * (v7 - v3) AS BIGINT) AS phi_x6_micro, v4 AS v_solo_micro, v7 AS v_full_micro FROM one ORDER BY channel"
         ),
         "range_partition_boundaries": (
             # equal-rows range cuts over the day-grain cumulative

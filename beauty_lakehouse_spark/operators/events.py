@@ -1219,3 +1219,109 @@ def q_window_funnel_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("depth")
     )
+
+
+#: Shapley attribution channels (the "touchpoints" preceding a first
+#: purchase). 3 players => the 8-subset lattice is a literal.
+SHAPLEY_CHANNELS = ["view", "click", "signup"]
+
+
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven multi-touch attribution via exact SHAPLEY values
+    (Shao & Li 2011 — the game-theoretic split behind Google's
+    data-driven attribution): each user's exposure set = which of
+    {view, click, signup} they did BEFORE their first purchase
+    (non-converters: ever); the coalition value v(S) is the exact
+    conversion rate of users whose exposure set is EXACTLY S; channel
+    c's credit is φ_c = Σ_S w(|S|)·(v(S∪c) − v(S)) — the only split
+    that is efficient, symmetric, and null-player-correct.
+
+    Exact fixed point: v(S) at micro from integer (converters, users)
+    counts (empty subsets contribute v = 0 — reported via n_users so
+    the gap is visible, not silent); with 3 players 6·φ has INTEGER
+    weights (2, 1, 1, 2 by |S|), so phi_x6_micro is a pure integer
+    combination of the eight v's — no division after v.
+
+    Scale: ONE shuffle to user grain (conditional min/exists
+    aggregates), one to the ≤ 8-row exposure-mask grid; the Shapley
+    assembly is literal arithmetic on that grid.
+
+    Output: (channel, phi_x6_micro, v_solo_micro, v_full_micro) —
+    per channel, plus solo and grand-coalition rates for context."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("us"))
+        ).alias("t_buy"),
+        *[
+            F.min(
+                F.when(F.col("event_type") == ch, F.col("us"))
+            ).alias(f"t_{ch}")
+            for ch in SHAPLEY_CHANNELS
+        ],
+    )
+    exposed = [
+        (
+            F.col(f"t_{ch}").isNotNull()
+            & (
+                F.col("t_buy").isNull()
+                | (F.col(f"t_{ch}") < F.col("t_buy"))
+            )
+        ).cast("int")
+        for ch in SHAPLEY_CHANNELS
+    ]
+    mask = exposed[0] + exposed[1] * 2 + exposed[2] * 4
+    grid = per_user.select(
+        mask.alias("mask"),
+        F.col("t_buy").isNotNull().cast("long").alias("conv"),
+    ).groupBy("mask").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_conv"),
+    )
+    # one row holding v(S) in micro for all 8 masks (missing => 0)
+    vcols = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("mask") == m,
+                    _idiv(
+                        F.col("n_conv").cast("decimal(38,0)")
+                        * F.lit(1_000_000),
+                        F.col("n_users"),
+                    ),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ).alias(f"v{m}")
+        for m in range(8)
+    ]
+    one = grid.agg(*vcols)
+    rows = []
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        phi = F.lit(0).cast("long")
+        for s in range(8):
+            if s & bit:
+                continue
+            size = bin(s).count("1")
+            coef = {0: 2, 1: 1, 2: 2}[size]
+            phi = phi + F.lit(coef) * (
+                F.col(f"v{s | bit}") - F.col(f"v{s}")
+            )
+        rows.append(
+            one.select(
+                F.lit(ch).alias("channel"),
+                phi.alias("phi_x6_micro"),
+                F.col(f"v{bit}").alias("v_solo_micro"),
+                F.col("v7").alias("v_full_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("channel")

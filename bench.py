@@ -144,6 +144,7 @@ HEADLINE = [
     "bbit_minhash_estimates", # 1-bit minhash compression trade-off study (new in r9)
     "fk_discovery",           # value-containment FK detection audit (new in r9)
     "range_partition_boundaries",  # equal-rows range-layout designer (new in r9)
+    "shapley_channel_attribution", # game-theoretic multi-touch attribution (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -1560,3 +1560,57 @@ def test_window_funnel_strict_pure_python(spark, sf_dir):
         depth[d] += 1
     assert rows == dict(depth)
     assert sum(rows.values()) == ev["user_id"].nunique()
+
+
+def test_shapley_channel_attribution_pure_python(spark, sf_dir):
+    """phi values match a pure-Python lattice recompute and satisfy
+    the EFFICIENCY axiom: sum of 6*phi over channels equals
+    6*(v(full) - v(empty)) exactly (the game-theoretic budget)."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        SHAPLEY_CHANNELS,
+        q_shapley_channel_attribution,
+    )
+
+    rows = {
+        r["channel"]: r
+        for r in q_shapley_channel_attribution(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(SHAPLEY_CHANNELS)
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    grid = {}
+    for _, g in ev.groupby("user_id"):
+        firsts = g.groupby("event_type")["us"].min()
+        t_buy = firsts.get("purchase")
+        mask = 0
+        for i, ch in enumerate(SHAPLEY_CHANNELS):
+            tc = firsts.get(ch)
+            if tc is not None and (t_buy is None or tc < t_buy):
+                mask |= 1 << i
+        n, c = grid.get(mask, (0, 0))
+        grid[mask] = (n + 1, c + (t_buy is not None))
+    v = {
+        m: (grid[m][1] * 10**6 // grid[m][0]) if m in grid else 0
+        for m in range(8)
+    }
+    coef = {0: 2, 1: 1, 2: 2}
+    phis = {}
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        phis[ch] = sum(
+            coef[bin(s).count("1")] * (v[s | bit] - v[s])
+            for s in range(8)
+            if not s & bit
+        )
+    for ch in SHAPLEY_CHANNELS:
+        r = rows[ch]
+        assert r["phi_x6_micro"] == phis[ch]
+        assert r["v_solo_micro"] == v[1 << SHAPLEY_CHANNELS.index(ch)]
+        assert r["v_full_micro"] == v[7]
+    # efficiency axiom (exact, because all eight masks are populated
+    # on this fixture — otherwise zero-filled gaps break the identity)
+    if all(m in grid for m in range(8)):
+        assert sum(phis.values()) == 6 * (v[7] - v[0])
