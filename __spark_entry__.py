@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "copurchase_kcore",  # new in r9 — gate-verify the round it lands
     "shapley_channel_attribution",  # new in r9 — gate-verify the round it lands
     "range_partition_boundaries",  # new in r9 — gate-verify the round it lands
     "fk_discovery",  # new in r9 — gate-verify the round it lands
@@ -497,6 +498,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": quality.q_fk_discovery,
         "range_partition_boundaries": warehouse.q_range_partition_boundaries,
         "shapley_channel_attribution": events.q_shapley_channel_attribution,
+        "copurchase_kcore": graph.q_copurchase_kcore,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4076,6 +4078,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM band a JOIN band b ON a.band = b.band "
             "AND a.band_key = b.band_key AND a.doc_id < b.doc_id"
         ),
+        "copurchase_kcore": (
+            # 8 unrolled peel rounds over the capped-basket graph;
+            # per-round survivor counts + converged flag
+            'WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), bs AS (SELECT l_orderkey, count(*) AS sz FROM d0 GROUP BY 1), ok AS (SELECT d0.l_orderkey, d0.l_partkey FROM d0 JOIN bs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), e0 AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b FROM ok a JOIN ok b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2), dir AS (SELECT part_a AS src, part_b AS dst FROM e0 UNION ALL SELECT part_b, part_a FROM e0), a0 AS MATERIALIZED (SELECT DISTINCT src AS pk FROM dir), a1 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a0 p1 ON dir.src = p1.pk JOIN a0 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a2 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a1 p1 ON dir.src = p1.pk JOIN a1 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a3 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a2 p1 ON dir.src = p1.pk JOIN a2 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a4 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a3 p1 ON dir.src = p1.pk JOIN a3 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a5 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a4 p1 ON dir.src = p1.pk JOIN a4 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a6 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a5 p1 ON dir.src = p1.pk JOIN a5 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a7 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a6 p1 ON dir.src = p1.pk JOIN a6 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), a8 AS MATERIALIZED (SELECT src AS pk FROM dir JOIN a7 p1 ON dir.src = p1.pk JOIN a7 p2 ON dir.dst = p2.pk GROUP BY src HAVING count(*) >= 80), traj AS (SELECT 0 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a0 UNION ALL SELECT 1 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a1 UNION ALL SELECT 2 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a2 UNION ALL SELECT 3 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a3 UNION ALL SELECT 4 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a4 UNION ALL SELECT 5 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a5 UNION ALL SELECT 6 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a6 UNION ALL SELECT 7 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a7 UNION ALL SELECT 8 AS round, CAST(count(*) AS BIGINT) AS n_alive FROM a8) SELECT CAST(round AS INTEGER) AS round, n_alive, CAST(coalesce(lag(n_alive) OVER (ORDER BY round) - n_alive, 0) AS BIGINT) AS n_removed, (round = 8) AND coalesce(lag(n_alive) OVER (ORDER BY round) - n_alive, 0) = 0 AS converged FROM traj ORDER BY round'
+        ),
         "shapley_channel_attribution": (
             # exact 3-player Shapley over the exposure lattice:
             # v(S) micro rates, 6*phi with integer weights (2,1,1,2)
@@ -4696,7 +4703,7 @@ def oracle_sql() -> dict[str, str]:
             # Neyman n_h ~ N_h*sigma_h with exact isqrt sd and the
             # Hamilton largest-remainder rounding, twice (optimal
             # and proportional for contrast)
-            'WITH j AS (SELECT c_mktsegment AS segment, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders JOIN customer ON o_custkey = c_custkey), s AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS HUGEINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2 FROM j GROUP BY 1), v0 AS (SELECT *, (CAST(n_rows AS HUGEINT) * s2 - s1 * s1) // (CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS var FROM s), w AS (SELECT segment, n_rows, CAST((CASE WHEN (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) <= var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) > var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) END) AS BIGINT) AS sd_cents FROM v0), w2 AS (SELECT *, n_rows * sd_cents AS weight FROM w), t1 AS (SELECT CAST(sum(weight) AS HUGEINT) AS wt1 FROM w2), g1 AS (SELECT w2.*, CAST(CAST(1000 AS HUGEINT) * weight // wt1 AS BIGINT) AS base1, CAST(CAST(1000 AS HUGEINT) * weight % wt1 AS BIGINT) AS rem1 FROM w2 CROSS JOIN t1), b1 AS (SELECT CAST(sum(base1) AS BIGINT) AS bs1 FROM g1), r1 AS (SELECT *, row_number() OVER (ORDER BY rem1 DESC, segment) AS rk1 FROM g1), a1 AS (SELECT r1.*, CAST(base1 + CASE WHEN rk1 <= 1000 - bs1 THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman FROM r1 CROSS JOIN b1), t2 AS (SELECT CAST(sum(n_rows) AS HUGEINT) AS wt2 FROM a1), g2 AS (SELECT a1.*, CAST(CAST(1000 AS HUGEINT) * n_rows // wt2 AS BIGINT) AS base2, CAST(CAST(1000 AS HUGEINT) * n_rows % wt2 AS BIGINT) AS rem2 FROM a1 CROSS JOIN t2), b2 AS (SELECT CAST(sum(base2) AS BIGINT) AS bs2 FROM g2), r2 AS (SELECT *, row_number() OVER (ORDER BY rem2 DESC, segment) AS rk2 FROM g2), a2 AS (SELECT r2.*, CAST(base2 + CASE WHEN rk2 <= 1000 - bs2 THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional FROM r2 CROSS JOIN b2) SELECT segment, n_rows, sd_cents, weight, alloc_neyman, alloc_proportional FROM a2 ORDER BY segment'
+            'WITH j AS (SELECT c_mktsegment AS segment, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c FROM orders JOIN customer ON o_custkey = c_custkey), s AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(c) AS HUGEINT) AS s1, sum(CAST(c AS HUGEINT) * c) AS s2 FROM j GROUP BY 1), v0 AS (SELECT *, (CAST(n_rows AS HUGEINT) * s2 - s1 * s1) // (CAST(n_rows AS HUGEINT) * (n_rows - 1)) AS var FROM s), w AS (SELECT segment, n_rows, CAST((CASE WHEN (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1) <= var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) > var THEN CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(var AS DOUBLE))) AS BIGINT) END) AS BIGINT) AS sd_cents FROM v0), w2 AS (SELECT *, n_rows * sd_cents AS weight FROM w), t1 AS (SELECT CAST(sum(weight) AS HUGEINT) AS wt1 FROM w2), g1 AS (SELECT w2.*, CAST(CAST(1000 AS HUGEINT) * weight // wt1 AS BIGINT) AS base1, CAST(CAST(1000 AS HUGEINT) * weight % wt1 AS BIGINT) AS rem1 FROM w2 CROSS JOIN t1), b1 AS (SELECT CAST(sum(base1) AS BIGINT) AS bs1 FROM g1), r1 AS (SELECT *, row_number() OVER (ORDER BY rem1 DESC, segment) AS rk1 FROM g1), a1 AS MATERIALIZED (SELECT r1.*, CAST(base1 + CASE WHEN rk1 <= 1000 - bs1 THEN 1 ELSE 0 END AS BIGINT) AS alloc_neyman FROM r1 CROSS JOIN b1), t2 AS (SELECT CAST(sum(n_rows) AS HUGEINT) AS wt2 FROM a1), g2 AS (SELECT a1.*, CAST(CAST(1000 AS HUGEINT) * n_rows // wt2 AS BIGINT) AS base2, CAST(CAST(1000 AS HUGEINT) * n_rows % wt2 AS BIGINT) AS rem2 FROM a1 CROSS JOIN t2), b2 AS (SELECT CAST(sum(base2) AS BIGINT) AS bs2 FROM g2), r2 AS (SELECT *, row_number() OVER (ORDER BY rem2 DESC, segment) AS rk2 FROM g2), a2 AS MATERIALIZED (SELECT r2.*, CAST(base2 + CASE WHEN rk2 <= 1000 - bs2 THEN 1 ELSE 0 END AS BIGINT) AS alloc_proportional FROM r2 CROSS JOIN b2) SELECT segment, n_rows, sd_cents, weight, alloc_neyman, alloc_proportional FROM a2 ORDER BY segment'
         ),
         "brand_price_elasticity": (
             # log-log OLS per brand over the 11-level discount

@@ -714,3 +714,86 @@ def q_copurchase_eval_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_rate"
         ),
     )
+
+
+#: k-core decomposition: degree threshold and the unrolled round cap
+#: (bounded rounds — the only peeling shape that survives 100 TB; the
+#: converged flag says whether the cap sufficed).
+KCORE_K = 80
+KCORE_ROUNDS = 8
+
+
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-CORE decomposition of the co-purchase graph — the classic
+    density peel (Seidman 1983; the backbone extractor behind
+    community seeding and influence pruning): repeatedly remove
+    products with fewer than ``KCORE_K`` surviving neighbors until a
+    fixpoint; what remains is the k-core, the maximal subgraph of
+    minimum degree k.
+
+    Peeling is inherently iterative, so the rounds are UNROLLED to the
+    constant ``KCORE_ROUNDS`` cap with each survivor set lazily
+    checkpointed (the ``pagerank_exact`` convention) — per-round work
+    is one degree count within the surviving subgraph, and the
+    trajectory itself is the output: (round, n_alive, n_removed) per
+    round plus the converged flag (a removal-free final round), so an
+    insufficient cap is VISIBLE, never silent.
+
+    Scale: edges from the capped basket expansion; each round is one
+    self-joined degree aggregate on the surviving vertex set — no
+    global collects, no data-dependent loop on the driver.
+
+    Output: (round, n_alive, n_removed, converged)."""
+    t = load(spark, sf_dir)
+    e = copurchase_edges(t.lineitem)
+    dir_e = e.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        e.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
+    ).localCheckpoint(eager=False)
+    alive = dir_e.select(F.col("src").alias("pk")).distinct()
+    traj = [
+        alive.agg(F.count(F.lit(1)).alias("n_alive")).select(
+            F.lit(0).alias("round"), "n_alive"
+        )
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = (
+            dir_e.join(
+                alive.select(F.col("pk").alias("src")), "src"
+            )
+            .join(alive.select(F.col("pk").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        alive = (
+            deg.filter(F.col("dg") >= KCORE_K)
+            .select(F.col("src").alias("pk"))
+            .localCheckpoint(eager=False)
+        )
+        traj.append(
+            alive.agg(F.count(F.lit(1)).alias("n_alive")).select(
+                F.lit(r).alias("round"), "n_alive"
+            )
+        )
+    out = traj[0]
+    for t_ in traj[1:]:
+        out = out.unionByName(t_)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("round")
+    return (
+        out.withColumn(
+            "n_removed",
+            F.coalesce(
+                F.lag("n_alive").over(w) - F.col("n_alive"), F.lit(0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "converged",
+            (F.col("round") == KCORE_ROUNDS)
+            & (F.col("n_removed") == 0),
+        )
+        .select("round", "n_alive", "n_removed", "converged")
+        .orderBy("round")
+    )

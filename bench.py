@@ -145,6 +145,7 @@ HEADLINE = [
     "fk_discovery",           # value-containment FK detection audit (new in r9)
     "range_partition_boundaries",  # equal-rows range-layout designer (new in r9)
     "shapley_channel_attribution", # game-theoretic multi-touch attribution (new in r9)
+    "copurchase_kcore",       # bounded-round k-core density peel (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

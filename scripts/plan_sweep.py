@@ -115,6 +115,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "neyman_allocation": "Hamilton remainder-rank row_number over the 5-row segment table",
     "revenue_cusum": "prefix-sum and running-min windows over the calendar-bounded day grid, never raw rows",
     "range_partition_boundaries": "cumulative-count window over the calendar-bounded day grid, never raw rows",
+    "copurchase_kcore": "lag window over the 9-row peel-trajectory table (round deltas), never raw rows",
     "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",

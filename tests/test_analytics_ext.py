@@ -849,3 +849,50 @@ def test_range_partition_boundaries_pure_python(spark, sf_dir):
     # partitions tile the axis in order
     for a, b in zip(rows, rows[1:]):
         assert a["day_hi"] < b["day_lo"]
+
+
+def test_copurchase_kcore_pure_python(spark, sf_dir):
+    """The peel trajectory matches a pure-Python k-core recompute
+    round for round, survivors are monotone non-increasing, and the
+    final survivor set truly has min within-subgraph degree >= K
+    whenever the run converged."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        q_copurchase_kcore,
+    )
+
+    rows = {r["round"]: r for r in q_copurchase_kcore(spark, sf_dir).collect()}
+    assert set(rows) == set(range(KCORE_ROUNDS + 1))
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    adj = defaultdict(set)
+    for b in baskets.values():
+        if 2 <= len(b) <= 50:
+            ps = sorted(b)
+            for i, a in enumerate(ps):
+                for c in ps[i + 1 :]:
+                    adj[a].add(c)
+                    adj[c].add(a)
+    alive = set(adj)
+    want = [(0, len(alive), 0)]
+    for r in range(1, KCORE_ROUNDS + 1):
+        nxt = {v for v in alive if len(adj[v] & alive) >= KCORE_K}
+        want.append((r, len(nxt), len(alive) - len(nxt)))
+        alive = nxt
+    for r, n_alive, n_removed in want:
+        assert rows[r]["n_alive"] == n_alive
+        assert rows[r]["n_removed"] == n_removed
+    counts = [rows[r]["n_alive"] for r in range(KCORE_ROUNDS + 1)]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    if rows[KCORE_ROUNDS]["converged"]:
+        assert all(
+            len(adj[v] & alive) >= KCORE_K for v in alive
+        )  # true fixpoint: min degree >= K inside the core
