@@ -94,6 +94,7 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "lang_id_kappa",  # new in r9 — gate-verify the round it lands
     "copurchase_kcore",  # new in r9 — gate-verify the round it lands
     "shapley_channel_attribution",  # new in r9 — gate-verify the round it lands
     "range_partition_boundaries",  # new in r9 — gate-verify the round it lands
@@ -499,6 +500,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_partition_boundaries": warehouse.q_range_partition_boundaries,
         "shapley_channel_attribution": events.q_shapley_channel_attribution,
         "copurchase_kcore": graph.q_copurchase_kcore,
+        "lang_id_kappa": text.q_lang_id_kappa,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4228,6 +4230,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(est_bpe) AS BIGINT) AS total_est_bpe, "
             + _hud("sum(n_tokens)", "count(*)", 6)
             + " AS avg_tokens FROM d GROUP BY source"
+        ),
+        "lang_id_kappa": (
+            # chance-corrected agreement: kappa = (N*A - M)/(N^2 - M)
+            # sign-split at micro; same predictor CASE as lang_id
+            "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') "
+            "AS t FROM documents), "
+            f"scores AS (SELECT doc_id, lang, {score_cols} FROM toks)"
+            ", p AS (SELECT lang, CASE WHEN greatest(score_en, score_de, score_fr, score_es) = 0 THEN 'und' WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en' WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de' WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr' ELSE 'es' END AS pred FROM scores), "
+            "pt AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS n_true "
+            "FROM p GROUP BY 1), "
+            "pp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS n_pred "
+            "FROM p GROUP BY 1), "
+            "mp AS (SELECT CAST(sum(CAST(coalesce(n_true, 0) AS HUGEINT) * "
+            "coalesce(n_pred, 0)) AS BIGINT) AS marginal_prod "
+            "FROM pt FULL OUTER JOIN pp USING (cls)), "
+            "ag AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN lang = pred THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_agree FROM p), "
+            "g AS (SELECT * FROM ag CROSS JOIN mp) "
+            "SELECT n_docs, n_agree, marginal_prod, "
+            "CAST(CAST(n_agree AS HUGEINT) * 1000000 // n_docs AS BIGINT) "
+            "AS po_micro, "
+            "CAST(CAST(marginal_prod AS HUGEINT) * 1000000 // "
+            "(CAST(n_docs AS HUGEINT) * n_docs) AS BIGINT) AS pe_micro, "
+            "CAST(CASE WHEN CAST(n_docs AS HUGEINT) * n_agree - "
+            "marginal_prod < 0 THEN -((marginal_prod - "
+            "CAST(n_docs AS HUGEINT) * n_agree) * 1000000 // "
+            "(CAST(n_docs AS HUGEINT) * n_docs - marginal_prod)) ELSE "
+            "(CAST(n_docs AS HUGEINT) * n_agree - marginal_prod) * 1000000 "
+            "// (CAST(n_docs AS HUGEINT) * n_docs - marginal_prod) END "
+            "AS BIGINT) AS kappa_micro FROM g"
         ),
         "lang_id": (
             "WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t "

@@ -1783,3 +1783,69 @@ def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fano_micro"),
     )
     return scored.orderBy(F.desc("fano_micro"), "term").limit(50)
+
+
+def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic — CHANCE-CORRECTED
+    agreement (Cohen 1960), the number to report when classes are
+    imbalanced and raw accuracy flatters (a constant 'en' predictor
+    scores 35% accuracy here but κ ≈ 0, which is the honest reading):
+    κ = (p_o − p_e)/(1 − p_e) with p_e the marginal chance agreement.
+
+    Exact rational throughout: with N docs, A exact agreements and
+    M = Σ_c n_true(c)·n_pred(c) the marginal product sum,
+    κ = (N·A − M)/(N² − M) — one sign-split trunc division at micro
+    (κ can be negative: worse than chance). p_o, p_e surfaced at
+    micro alongside.
+
+    Scale: the per-doc prediction is q_lang_id's expression scan;
+    everything after runs at class grain (≤ 6 rows) plus one 1-row
+    scoreboard.
+
+    Output (1 row): (n_docs, n_agree, marginal_prod, po_micro,
+    pe_micro, kappa_micro)."""
+    from ..functions import _idiv
+
+    pred = q_lang_id(spark, sf_dir).select("lang", "pred_lang")
+    pt = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    pp = pred.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    mp = (
+        pt.join(pp, "cls", "full_outer")
+        .select(
+            (
+                F.coalesce("n_true", F.lit(0)).cast("decimal(38,0)")
+                * F.coalesce("n_pred", F.lit(0))
+            ).alias("prod")
+        )
+        .agg(F.sum("prod").cast("long").alias("marginal_prod"))
+    )
+    ag = pred.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("lang") == F.col("pred_lang")).cast("long")
+        ).alias("n_agree"),
+    )
+    g = ag.crossJoin(F.broadcast(mp))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = (dd(F.col("n_docs")) * F.col("n_agree") - F.col("marginal_prod")) * F.lit(
+        1_000_000
+    )
+    den = dd(F.col("n_docs")) * F.col("n_docs") - F.col("marginal_prod")
+    kappa = F.when(num < 0, -_idiv(-num, den)).otherwise(_idiv(num, den))
+    return g.select(
+        "n_docs",
+        "n_agree",
+        "marginal_prod",
+        _idiv(dd(F.col("n_agree")) * F.lit(1_000_000), F.col("n_docs")).alias(
+            "po_micro"
+        ),
+        _idiv(
+            dd(F.col("marginal_prod")) * F.lit(1_000_000),
+            dd(F.col("n_docs")) * F.col("n_docs"),
+        ).alias("pe_micro"),
+        kappa.alias("kappa_micro"),
+    )

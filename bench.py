@@ -146,6 +146,7 @@ HEADLINE = [
     "range_partition_boundaries",  # equal-rows range-layout designer (new in r9)
     "shapley_channel_attribution", # game-theoretic multi-touch attribution (new in r9)
     "copurchase_kcore",       # bounded-round k-core density peel (new in r9)
+    "lang_id_kappa",          # chance-corrected classifier agreement (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -100,6 +100,7 @@ WHITELIST: dict[str, str] = {
     "fk_discovery": "1-row per-pair stat assembly joins over distinct-key-grain aggregates (bounded literal candidate list)",
     "feature_hash_stats": "1-row occupied-bucket-count broadcast completing the load-0 row of the 2^12 space",
     "term_burstiness": "1-row corpus-size broadcast attached to the term-grain table (Fano denominator)",
+    "lang_id_kappa": "1-row agreement/marginal-product scoreboard assembly joins",
     "revenue_cusum": "1-row mu/sd broadcast attached to the day grid (CUSUM design constants)",
     "range_partition_boundaries": "1-row total-rows broadcast attached to the day grid (partition-assignment arithmetic)",
     "neyman_allocation": "two Hamilton passes over the 5-row segment table: 1-row weight-total/base-sum broadcasts (the source_quota_apportionment shape)",

@@ -1614,3 +1614,38 @@ def test_shapley_channel_attribution_pure_python(spark, sf_dir):
     # on this fixture — otherwise zero-filled gaps break the identity)
     if all(m in grid for m in range(8)):
         assert sum(phis.values()) == 6 * (v[7] - v[0])
+
+
+def test_lang_id_kappa_pure_python(spark, sf_dir):
+    """kappa matches an exact recompute from the engine's own
+    predictions and the float Cohen formula; chance correction really
+    bites (kappa < accuracy on this imbalanced, weak-signal corpus)."""
+    from collections import Counter
+
+    from beauty_lakehouse_spark.operators.text import (
+        q_lang_id,
+        q_lang_id_kappa,
+    )
+
+    [r] = q_lang_id_kappa(spark, sf_dir).collect()
+    pred = [
+        (p["lang"], p["pred_lang"])
+        for p in q_lang_id(spark, sf_dir).select("lang", "pred_lang").collect()
+    ]
+    N = len(pred)
+    A = sum(1 for a, b in pred if a == b)
+    nt = Counter(a for a, _ in pred)
+    np_ = Counter(b for _, b in pred)
+    M = sum(nt[c] * np_.get(c, 0) for c in nt | np_.keys())
+    assert (r["n_docs"], r["n_agree"], r["marginal_prod"]) == (N, A, M)
+    assert r["po_micro"] == A * 10**6 // N
+    assert r["pe_micro"] == M * 10**6 // (N * N)
+    num = (N * A - M) * 10**6
+    den = N * N - M
+    want = -((-num) // den) if num < 0 else num // den
+    assert r["kappa_micro"] == want
+    # float witness
+    po, pe = A / N, M / (N * N)
+    kf = (po - pe) / (1 - pe)
+    assert abs(r["kappa_micro"] / 1e6 - kf) < 1e-5
+    assert r["kappa_micro"] < r["po_micro"]  # chance correction bites
