@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "brand_return_bayes_rank",  # new in r9 — gate-verify the round it lands
+    "revenue_pareto_cut",  # new in r9 — gate-verify the round it lands
     "lang_id_kappa",  # new in r9 — gate-verify the round it lands
     "copurchase_kcore",  # new in r9 — gate-verify the round it lands
     "shapley_channel_attribution",  # new in r9 — gate-verify the round it lands
@@ -501,6 +503,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shapley_channel_attribution": events.q_shapley_channel_attribution,
         "copurchase_kcore": graph.q_copurchase_kcore,
         "lang_id_kappa": text.q_lang_id_kappa,
+        "brand_return_bayes_rank": warehouse.q_brand_return_bayes_rank,
+        "revenue_pareto_cut": warehouse.q_revenue_pareto_cut,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4230,6 +4234,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(est_bpe) AS BIGINT) AS total_est_bpe, "
             + _hud("sum(n_tokens)", "count(*)", 6)
             + " AS avg_tokens FROM d GROUP BY source"
+        ),
+        "brand_return_bayes_rank": (
+            # Bayesian average: shrunk = (k*1e6 + C*g_micro)//(n+C)
+            "WITH b AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n_items, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), g AS (SELECT CAST(CAST(sum(n_returned) AS HUGEINT) * 1000000 // sum(n_items) AS BIGINT) AS g_micro FROM b) SELECT brand, n_items, n_returned, CAST(CAST(n_returned AS HUGEINT) * 1000000 // n_items AS BIGINT) AS raw_micro, CAST((CAST(n_returned AS HUGEINT) * 1000000 + 50 * g_micro) // (n_items + 50) AS BIGINT) AS shrunk_micro FROM b CROSS JOIN g ORDER BY shrunk_micro DESC, brand"
+        ),
+        "revenue_pareto_cut": (
+            # first rank with cum*5 >= total*4 (cross-multiplied)
+            'WITH pp AS (SELECT l_partkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev FROM lineitem GROUP BY 1), r AS (SELECT l_partkey, rev, CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum, row_number() OVER (ORDER BY rev DESC, l_partkey) AS rk FROM pp), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(rev) AS BIGINT) AS total_cents FROM pp), hit AS (SELECT * FROM r CROSS JOIN tot WHERE CAST(cum AS HUGEINT) * 5 >= CAST(total_cents AS HUGEINT) * 4 ORDER BY rk LIMIT 1) SELECT n_parts, total_cents, CAST(rk AS BIGINT) AS n_parts_80, CAST(CAST(cum AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS share_micro, CAST(CAST(rev AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS cut_part_share_micro FROM hit'
         ),
         "lang_id_kappa": (
             # chance-corrected agreement: kappa = (N*A - M)/(N^2 - M)

@@ -1728,3 +1728,130 @@ def q_range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         signed.alias("dev_micro"),
     ).orderBy("partition")
+
+
+#: Bayesian-average prior strength: the smoothed rate behaves like the
+#: raw rate once a brand has ~this many observed items.
+BAYES_PRIOR_STRENGTH = 50
+
+
+def q_brand_return_bayes_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian-average ranking of brands by RETURN RATE — the
+    small-sample-safe ranking formula (the "IMDB top-250" estimator /
+    Beta-binomial posterior mean with a pooled prior): a brand with 2
+    returns out of 3 items must not outrank one with 200 of 1000, so
+    every rate is shrunk toward the global rate g with prior strength
+    C = ``BAYES_PRIOR_STRENGTH``: shrunk = (k + C·g)/(n + C).
+
+    Exact fixed point: g at micro from pooled integer counts, then
+    shrunk_micro = (k·10⁶ + C·g_micro) // (n + C) — one trunc division
+    per brand after one global quantization (both engines identical).
+    Raw rate rides along so the shrinkage is visible.
+
+    Scale: one map-side-combinable shuffle to brand grain (≤ |brands|
+    rows); the global rate is a whitelisted 1-row broadcast.
+
+    Output: (brand, n_items, n_returned, raw_micro, shrunk_micro),
+    every brand, ordered by (shrunk desc, brand)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    b = (
+        t.lineitem.join(
+            t.part.select("p_partkey", "p_brand"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                (F.col("l_returnflag") == "R").cast("long")
+            ).alias("n_returned"),
+        )
+    )
+    g = b.agg(
+        F.sum("n_items").alias("tn"), F.sum("n_returned").alias("tk")
+    ).select(
+        _idiv(
+            F.col("tk").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("tn"),
+        ).alias("g_micro")
+    )
+    c = BAYES_PRIOR_STRENGTH
+    out = b.crossJoin(F.broadcast(g)).select(
+        "brand",
+        "n_items",
+        "n_returned",
+        _idiv(
+            F.col("n_returned").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("n_items"),
+        ).alias("raw_micro"),
+        _idiv(
+            F.col("n_returned").cast("decimal(38,0)") * F.lit(1_000_000)
+            + F.lit(c) * F.col("g_micro"),
+            (F.col("n_items") + F.lit(c)).cast("decimal(38,0)"),
+        ).alias("shrunk_micro"),
+    )
+    return out.orderBy(F.desc("shrunk_micro"), "brand")
+
+
+def q_revenue_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration cut — how many parts carry 80% of
+    revenue (the Pareto number every catalog/assortment review opens
+    with), computed exactly: parts ranked by revenue cents desc (id
+    tie-break), the cut is the FIRST rank whose running share reaches
+    80% (cross-multiplied — cum·5 ≥ total·4, no division), reported
+    with the exact share achieved at the cut.
+
+    Scale: one shuffle to part grain; the ranking window runs over the
+    PART dimension (bounded relative to the fact table — the
+    ``zipf_law_fit`` convention), never fact rows.
+
+    Output (1 row): (n_parts, total_cents, n_parts_80, share_micro,
+    cut_part_share_micro — the share of the single part at the
+    cut)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    per_part = (
+        t.lineitem.select(
+            "l_partkey",
+            (dec2("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("c").alias("rev"))
+    )
+    w = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per_part.withColumn("cum", F.sum("rev").over(w)).withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("rev"), "l_partkey"))
+    )
+    tot = per_part.agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").alias("total_cents"),
+    )
+    hit = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("cum").cast("decimal(38,0)") * 5
+            >= F.col("total_cents").cast("decimal(38,0)") * 4
+        )
+        .orderBy("rk")
+        .limit(1)
+    )
+    return hit.select(
+        "n_parts",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        F.col("rk").cast("long").alias("n_parts_80"),
+        _idiv(
+            F.col("cum").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("total_cents"),
+        ).alias("share_micro"),
+        _idiv(
+            F.col("rev").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("total_cents"),
+        ).alias("cut_part_share_micro"),
+    )

@@ -147,6 +147,8 @@ HEADLINE = [
     "shapley_channel_attribution", # game-theoretic multi-touch attribution (new in r9)
     "copurchase_kcore",       # bounded-round k-core density peel (new in r9)
     "lang_id_kappa",          # chance-corrected classifier agreement (new in r9)
+    "brand_return_bayes_rank", # small-sample-safe Bayesian-average ranking (new in r9)
+    "revenue_pareto_cut",     # exact 80/20 concentration cut (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -101,6 +101,8 @@ WHITELIST: dict[str, str] = {
     "feature_hash_stats": "1-row occupied-bucket-count broadcast completing the load-0 row of the 2^12 space",
     "term_burstiness": "1-row corpus-size broadcast attached to the term-grain table (Fano denominator)",
     "lang_id_kappa": "1-row agreement/marginal-product scoreboard assembly joins",
+    "brand_return_bayes_rank": "1-row pooled-global-rate broadcast attached to the brand-grain table",
+    "revenue_pareto_cut": "1-row totals broadcast attached to the part-grain ranking",
     "revenue_cusum": "1-row mu/sd broadcast attached to the day grid (CUSUM design constants)",
     "range_partition_boundaries": "1-row total-rows broadcast attached to the day grid (partition-assignment arithmetic)",
     "neyman_allocation": "two Hamilton passes over the 5-row segment table: 1-row weight-total/base-sum broadcasts (the source_quota_apportionment shape)",
@@ -117,6 +119,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "revenue_cusum": "prefix-sum and running-min windows over the calendar-bounded day grid, never raw rows",
     "range_partition_boundaries": "cumulative-count window over the calendar-bounded day grid, never raw rows",
     "copurchase_kcore": "lag window over the 9-row peel-trajectory table (round deltas), never raw rows",
+    "revenue_pareto_cut": "revenue ranking window over the PART dimension (bounded relative to the fact table — the zipf_law_fit convention)",
     "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",

@@ -896,3 +896,77 @@ def test_copurchase_kcore_pure_python(spark, sf_dir):
         assert all(
             len(adj[v] & alive) >= KCORE_K for v in alive
         )  # true fixpoint: min degree >= K inside the core
+
+
+def test_brand_return_bayes_rank_pure_python(spark, sf_dir):
+    """Shrunk rates match an exact recompute; shrinkage pulls every
+    brand toward the global rate (between raw and g, inclusive); the
+    ordering is by the smoothed rate."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        BAYES_PRIOR_STRENGTH,
+        q_brand_return_bayes_rank,
+    )
+
+    rows = q_brand_return_bayes_rank(spark, sf_dir).collect()
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    j["ret"] = (j["l_returnflag"] == "R").astype(int)
+    b = j.groupby("p_brand").agg(n=("ret", "size"), k=("ret", "sum"))
+    g = int(b["k"].sum()) * 10**6 // int(b["n"].sum())
+    C = BAYES_PRIOR_STRENGTH
+    want = {}
+    for brand, r_ in b.iterrows():
+        n, k = int(r_["n"]), int(r_["k"])
+        want[brand] = (
+            n,
+            k,
+            k * 10**6 // n,
+            (k * 10**6 + C * g) // (n + C),
+        )
+    assert len(rows) == len(want)
+    for r in rows:
+        n, k, raw, shrunk = want[r["brand"]]
+        assert (r["n_items"], r["n_returned"]) == (n, k)
+        assert r["raw_micro"] == raw
+        assert r["shrunk_micro"] == shrunk
+        lo, hi = sorted((raw, g))
+        assert lo - 1 <= r["shrunk_micro"] <= hi + 1  # pulled toward g
+    shr = [r["shrunk_micro"] for r in rows]
+    assert shr == sorted(shr, reverse=True)
+
+
+def test_revenue_pareto_cut_pure_python(spark, sf_dir):
+    """The cut matches a pandas recompute: first desc-rank whose
+    cumulative share reaches 80%, with the exact share at the cut."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_revenue_pareto_cut,
+    )
+
+    [r] = q_revenue_pareto_cut(spark, sf_dir).collect()
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["c"] = (li["l_extendedprice"].round(2) * 100).round().astype(
+        "int64"
+    )
+    pp = li.groupby("l_partkey")["c"].sum().reset_index()
+    pp = pp.sort_values(["c", "l_partkey"], ascending=[False, True])
+    total = int(pp["c"].sum())
+    cum = 0
+    for rk, (_, row) in enumerate(pp.iterrows(), start=1):
+        cum += int(row["c"])
+        if cum * 5 >= total * 4:
+            break
+    assert r["n_parts"] == len(pp)
+    assert r["total_cents"] == total
+    assert r["n_parts_80"] == rk
+    assert r["share_micro"] == cum * 10**6 // total
+    assert r["cut_part_share_micro"] == int(row["c"]) * 10**6 // total
+    # the cut is genuinely concentrating: fewer parts than 80% of them
+    assert r["n_parts_80"] < 0.8 * r["n_parts"]
