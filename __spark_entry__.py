@@ -94,6 +94,8 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
 #: The 16 rows-only-by-design entries sit at the very end.
 _DRIVER_ORDER_R8 = [
+    "supplier_hhi",  # new in r9 — gate-verify the round it lands
+    "interpurchase_regularity",  # new in r9 — gate-verify the round it lands
     "brand_return_bayes_rank",  # new in r9 — gate-verify the round it lands
     "revenue_pareto_cut",  # new in r9 — gate-verify the round it lands
     "lang_id_kappa",  # new in r9 — gate-verify the round it lands
@@ -505,6 +507,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_kappa": text.q_lang_id_kappa,
         "brand_return_bayes_rank": warehouse.q_brand_return_bayes_rank,
         "revenue_pareto_cut": warehouse.q_revenue_pareto_cut,
+        "supplier_hhi": warehouse.q_supplier_hhi,
+        "interpurchase_regularity": warehouse.q_interpurchase_regularity,
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
@@ -4234,6 +4238,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(est_bpe) AS BIGINT) AS total_est_bpe, "
             + _hud("sum(n_tokens)", "count(*)", 6)
             + " AS avg_tokens FROM d GROUP BY source"
+        ),
+        "supplier_hhi": (
+            # HHI*10^4 = 10^4 * sum(r_i^2) // T^2 per part type
+            'WITH ts AS (SELECT p_type, l_suppkey, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS r FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2), g AS (SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers, CAST(sum(r) AS BIGINT) AS total_cents, sum(CAST(r AS HUGEINT) * r) AS sq FROM ts GROUP BY 1) SELECT p_type, n_suppliers, total_cents, CAST(sq * 10000 // (CAST(total_cents AS HUGEINT) * total_cents) AS BIGINT) AS hhi_x10k FROM g ORDER BY hhi_x10k DESC, p_type'
+        ),
+        "interpurchase_regularity": (
+            # CV^2 of inter-order gaps: (nQ - S^2)*n*1e6 // ((n-1)S^2)
+            "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, o_orderkey FROM orders), gp AS (SELECT o_custkey, CAST(date_diff('day', lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey), d) AS BIGINT) AS g FROM o), st AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps, CAST(sum(g) AS BIGINT) AS s, sum(CAST(g AS HUGEINT) * g) AS q FROM gp WHERE g IS NOT NULL GROUP BY 1 HAVING count(*) >= 3 AND sum(g) > 0) SELECT o_custkey, n_gaps, CAST(CAST(s AS HUGEINT) * 1000 // n_gaps AS BIGINT) AS mean_gap_milli, CAST((CAST(n_gaps AS HUGEINT) * q - CAST(s AS HUGEINT) * s) * n_gaps * 1000000 // ((CAST(n_gaps AS HUGEINT) - 1) * s * s) AS BIGINT) AS cv2_micro FROM st ORDER BY cv2_micro, o_custkey LIMIT 100"
         ),
         "brand_return_bayes_rank": (
             # Bayesian average: shrunk = (k*1e6 + C*g_micro)//(n+C)

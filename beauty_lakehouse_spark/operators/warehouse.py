@@ -1855,3 +1855,114 @@ def q_revenue_pareto_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents"),
         ).alias("cut_part_share_micro"),
     )
+
+
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration index of supplier revenue
+    within each part type — the antitrust/market-structure number
+    (HHI = Σ shareᵢ², 10⁴ scale: < 1500 competitive, > 2500
+    concentrated): which catalog segments depend on one supplier is a
+    supply-chain risk readout, not just economics.
+
+    Exact fixed point: with per-supplier revenue cents rᵢ and type
+    total T, HHI·10⁴ = 10⁴·Σ rᵢ² // T² — ONE trunc division per type
+    from two exact integer aggregates (Σ rᵢ² in DECIMAL(38,0);
+    squares of per-supplier cents ~ 10¹⁸ would overflow int64).
+
+    Scale: one shuffle to (type, supplier) grain, one to type grain;
+    no windows.
+
+    Output: (p_type, n_suppliers, total_cents, hhi_x10k), every type,
+    ordered by (hhi desc, type)."""
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    ts = (
+        t.lineitem.join(
+            t.part.select("p_partkey", "p_type"),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "p_type",
+            "l_suppkey",
+            (dec2("l_extendedprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("c").alias("r"))
+    )
+    g = ts.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("total_cents"),
+        F.sum(F.col("r").cast("decimal(38,0)") * F.col("r")).alias("sq"),
+    )
+    return g.select(
+        "p_type",
+        "n_suppliers",
+        F.col("total_cents").cast("long").alias("total_cents"),
+        _idiv(
+            F.col("sq") * F.lit(10_000),
+            F.col("total_cents").cast("decimal(38,0)")
+            * F.col("total_cents"),
+        ).alias("hhi_x10k"),
+    ).orderBy(F.desc("hhi_x10k"), "p_type")
+
+
+def q_interpurchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase regularity per customer — the squared
+    coefficient of variation CV² = var/mean² of the gaps between
+    consecutive orders (CV² ≪ 1: clockwork replenisher, ≈ 1:
+    Poisson-random, ≫ 1: bursty) — the behavioral feature behind
+    "subscription-like" customer detection, with no sqrt anywhere
+    (CV² is the monotone form).
+
+    Exact fixed point: gaps in whole days from one per-customer lag
+    window; with n gaps, S = Σg, Q = Σg², CV²·10⁶ = 10⁶·(n·Q − S²)·n
+    // ((n−1)·S²) — sample variance over the squared mean, one trunc
+    division per customer. Zero gaps (same-day repeat orders) are
+    legal; only S = 0 (ALL orders on one day) is excluded, along with
+    customers having fewer than 3 gaps (too few for a stable
+    variance).
+
+    Scale: per-customer windows only; the output is bounded to the
+    top-100 most regular repeat customers (CV² asc, id tie-break).
+
+    Output: (o_custkey, n_gaps, mean_gap_milli, cv2_micro)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date"), "o_orderkey"
+    )
+    gaps = (
+        t.orders.select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ).alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select("o_custkey", F.col("g").cast("long").alias("g"))
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("g").alias("s"),
+        F.sum(dd(F.col("g")) * F.col("g")).alias("q"),
+    ).filter((F.col("n_gaps") >= 3) & (F.col("s") > 0))
+    out = st.select(
+        "o_custkey",
+        "n_gaps",
+        _idiv(dd(F.col("s")) * F.lit(1000), F.col("n_gaps")).alias(
+            "mean_gap_milli"
+        ),
+        _idiv(
+            (dd(F.col("n_gaps")) * F.col("q") - dd(F.col("s")) * F.col("s"))
+            * F.col("n_gaps")
+            * F.lit(1_000_000),
+            (dd(F.col("n_gaps")) - 1) * F.col("s") * F.col("s"),
+        ).alias("cv2_micro"),
+    )
+    return out.orderBy("cv2_micro", "o_custkey").limit(100)

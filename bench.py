@@ -149,6 +149,8 @@ HEADLINE = [
     "lang_id_kappa",          # chance-corrected classifier agreement (new in r9)
     "brand_return_bayes_rank", # small-sample-safe Bayesian-average ranking (new in r9)
     "revenue_pareto_cut",     # exact 80/20 concentration cut (new in r9)
+    "supplier_hhi",           # Herfindahl supply-concentration index (new in r9)
+    "interpurchase_regularity", # CV^2 order-cadence behavioral feature (new in r9)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -970,3 +970,73 @@ def test_revenue_pareto_cut_pure_python(spark, sf_dir):
     assert r["cut_part_share_micro"] == int(row["c"]) * 10**6 // total
     # the cut is genuinely concentrating: fewer parts than 80% of them
     assert r["n_parts_80"] < 0.8 * r["n_parts"]
+
+
+def test_supplier_hhi_pure_python(spark, sf_dir):
+    """HHI matches an exact recompute and sits in its legal band
+    [10^4/n_suppliers, 10^4]; float witness agrees."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import q_supplier_hhi
+
+    rows = {r["p_type"]: r for r in q_supplier_hhi(spark, sf_dir).collect()}
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet")
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    j["c"] = (j["l_extendedprice"].round(2) * 100).round().astype("int64")
+    for p_type, g in j.groupby("p_type"):
+        rs = [int(v) for v in g.groupby("l_suppkey")["c"].sum()]
+        T = sum(rs)
+        sq = sum(r * r for r in rs)
+        hhi = sq * 10**4 // (T * T)
+        r = rows[p_type]
+        assert r["n_suppliers"] == len(rs)
+        assert r["total_cents"] == T
+        assert r["hhi_x10k"] == hhi
+        assert 10**4 // len(rs) <= hhi <= 10**4
+        hhi_f = sum((x / T) ** 2 for x in rs) * 10**4
+        assert abs(hhi - hhi_f) < 1.0  # float witness
+
+
+def test_interpurchase_regularity_pure_python(spark, sf_dir):
+    """CV^2 matches an exact recompute over per-customer gap lists and
+    the float CV^2 formula; ordering and eligibility rules hold."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_interpurchase_regularity,
+    )
+
+    rows = q_interpurchase_regularity(spark, sf_dir).collect()
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["d"] = o["o_orderdate"].dt.date
+    want = {}
+    for ck, g in o.groupby("o_custkey"):
+        ds = g.sort_values(["d", "o_orderkey"])["d"].tolist()
+        gaps = [(b - a).days for a, b in zip(ds, ds[1:])]
+        n, S = len(gaps), sum(gaps)
+        if n < 3 or S == 0:
+            continue
+        Q = sum(x * x for x in gaps)
+        cv2 = (n * Q - S * S) * n * 10**6 // ((n - 1) * S * S)
+        want[ck] = (n, S * 1000 // n, cv2)
+    top = sorted(
+        ((cv2, ck, n, m) for ck, (n, m, cv2) in want.items())
+    )[:100]
+    got = [
+        (r["cv2_micro"], r["o_custkey"], r["n_gaps"], r["mean_gap_milli"])
+        for r in rows
+    ]
+    assert got == top
+    # float witness on the first row
+    cv2_0, ck0, *_ = top[0]
+    ds = o[o["o_custkey"] == ck0].sort_values(["d", "o_orderkey"])["d"].tolist()
+    gaps = [(b - a).days for a, b in zip(ds, ds[1:])]
+    import statistics
+
+    cv2f = statistics.variance(gaps) / (statistics.mean(gaps) ** 2)
+    assert abs(cv2_0 / 1e6 - cv2f) < 1e-4
