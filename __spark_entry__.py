@@ -84,100 +84,55 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
-#: Driver-gate walk order for round 8: `table_stats` FIRST (red in
-#: r6+r7; the r8 fix casts the oracle's `n_nulls` — the registry's
-#: only HUGEINT-typed final column — to BIGINT, closing the
-#: int128-vs-int64 type-tag hash divergence the judge diagnosed),
-#: then every other oracle-bearing entry ordered longest-unchecked
-#: first (last driver-green round 4 -> 5 -> 6 -> 7), so the 50-row
-#: gate budget re-verifies the stalest rows and NEVER burns a slot
-#: on a rows-only entry (r7 wasted 3 slots on `no_oracle` rows).
-#: The 16 rows-only-by-design entries sit at the very end.
-_DRIVER_ORDER_R8 = [
-    "supplier_hhi",  # new in r9 — gate-verify the round it lands
-    "interpurchase_regularity",  # new in r9 — gate-verify the round it lands
-    "brand_return_bayes_rank",  # new in r9 — gate-verify the round it lands
-    "revenue_pareto_cut",  # new in r9 — gate-verify the round it lands
-    "lang_id_kappa",  # new in r9 — gate-verify the round it lands
-    "copurchase_kcore",  # new in r9 — gate-verify the round it lands
-    "shapley_channel_attribution",  # new in r9 — gate-verify the round it lands
-    "range_partition_boundaries",  # new in r9 — gate-verify the round it lands
-    "fk_discovery",  # new in r9 — gate-verify the round it lands
-    "bbit_minhash_estimates",  # new in r9 — gate-verify the round it lands
-    "window_funnel_strict",  # new in r9 — gate-verify the round it lands
-    "join_cardinality_estimate",  # new in r9 — gate-verify the round it lands
-    "knn_label_accuracy",  # new in r9 — gate-verify the round it lands
-    "term_burstiness",  # new in r9 — gate-verify the round it lands
-    "revenue_cusum",  # new in r9 — gate-verify the round it lands
-    "feature_hash_stats",  # new in r9 — gate-verify the round it lands
-    "neyman_allocation",  # new in r9 — gate-verify the round it lands
-    "brand_price_elasticity",  # new in r9 — gate-verify the round it lands
-    "bootstrap_mean_streamed",  # new in r9 — gate-verify the round it lands
-    "cuped_adjusted_diff",  # new in r9 — gate-verify the round it lands
-    "segment_price_utest",  # new in r9 — gate-verify the round it lands
-    "markov_conversion_prob",  # new in r9 — gate-verify the round it lands
-    "view_purchase_join_streamed",  # new in r9 — gate-verify the round it lands
-    "revenue_theil_sen",  # new in r9 — gate-verify the round it lands
-    "price_drift_ks",  # new in r9 — gate-verify the round it lands
-    "copurchase_eval_hitrate",  # new in r9 — gate-verify the round it lands
-    "bootstrap_mean_ci",  # new in r9 — gate-verify the round it lands
-    "ldiversity_profile",  # new in r9 — gate-verify the round it lands
-    "negative_sampling_table",  # new in r9 — gate-verify the round it lands
-    "er_blocking_quality",  # new in r9 — gate-verify the round it lands
-    "kaplan_meier_streamed",  # new in r9 — gate-verify the round it lands
-    "status_bitmap_algebra",  # new in r9 — gate-verify the round it lands
-    "part_price_band_join",  # new in r9 — gate-verify the round it lands
-    "events_rate_capped_streamed",  # new in r9 — gate-verify the round it lands
-    "shard_rendezvous_stats",  # new in r9 — gate-verify the round it lands
-    "zone_map_pruning",  # new in r9 — gate-verify the round it lands
-    "kaplan_meier_repeat",  # new in r9 — gate-verify the round it lands
-    "segment_price_ttest",  # new in r9 — gate-verify the round it lands
-    "copurchase_cosine_top",  # new in r9 — gate-verify the round it lands
-    "user_activity_streaks",  # new in r9 — gate-verify the round it lands
-    "bm25_topk",  # new in r9 — gate-verify the round it lands
-    "part_pareto_frontier",  # new in r9 — gate-verify the round it lands
-    "segment_weighted_quantiles",  # new in r9 — gate-verify the round it lands
-    "events_multires_rollup",  # new in r9 — gate-verify the round it lands
-    "events_multires_streamed",  # new in r9 — gate-verify the round it lands
-    "copurchase_bfs_hops",  # new in r9 — gate-verify the round it lands
-    "benford_price_digits",  # new in r9 — gate-verify the round it lands
-    "table_checksums",  # new in r9 — gate-verify the round it lands
-    "orders_checksum_streamed",  # new in r9 — gate-verify the round it lands
-    "key_skew_profile",  # new in r9 — gate-verify the round it lands
-    "orders_partition_checksums",  # new in r9 — gate-verify the round it lands
-    "orders_antientropy_sync",  # new in r9 — gate-verify the round it lands
-    "lsh_tuning_curve",  # new in r9 — gate-verify the round it lands
-    "part_stock_balance",  # new in r9 — gate-verify the round it lands
-    "zipf_law_fit",  # new in r9 — gate-verify the round it lands
-    "media_phash_pairs_exactint",  # new in r9 — gate-verify the round it lands
-    "media_audio_pairs_exactint",  # new in r9 — gate-verify the round it lands
-    "media_phash_stream",  # new in r9 — gate-verify the round it lands
-    "ddsketch_quantiles_streamed",  # new in r9 — gate-verify the round it lands
-    "segment_priority_chisq",  # new in r9 — gate-verify the round it lands
-    "order_interval_overlaps",  # new in r9 — gate-verify the round it lands
-    "bloom_semijoin_pushdown",  # new in r9 — gate-verify the round it lands
-    "nation_revenue_trend",  # new in r9 — gate-verify the round it lands
-    "user_modal_event",  # new in r9 — gate-verify the round it lands
-    "span_corruption_masks",  # new in r9 — gate-verify the round it lands
-    "source_quota_apportionment",  # new in r9 — gate-verify the round it lands
-    "user_behavior_entropy",  # new in r9 — gate-verify the round it lands
-    "user_modal_streamed",  # new in r9 — gate-verify the round it lands
-    "ngram_containment_top_pairs",  # new in r9 — gate-verify the round it lands
-    "orders_merkle_root",  # new in r9 — gate-verify the round it lands
-    "events_rate_capped",  # new in r9 — gate-verify the round it lands
-    "retention_decay_fit",  # new in r9 — gate-verify the round it lands
-    "kanonymity_profile",  # new in r9 — gate-verify the round it lands
-    "table_release_gate",  # new in r9 — gate-verify the round it lands
-    "heaps_law_fit",  # new in r9 — gate-verify the round it lands
-    "source_vocab_overlap",  # new in r9 — gate-verify the round it lands
-    "copurchase_adamic_adar",  # new in r9 — gate-verify the round it lands
-    "user_stickiness",  # new in r9 — gate-verify the round it lands
+#: Driver-gate walk order, round 10 policy (VERDICT r9 asks #1/#7):
+#: the gate walks the first ~50 entries of queries(), so the front of
+#: this list IS the round's verification budget. Invariant (enforced by
+#: tests/test_sql_and_plans.py::test_driver_gate_front_policy): the
+#: front slots are exactly (never-driver-verified oracle entries) ∪
+#: (new-this-round entries); then the stalest previously-green rows;
+#: the freshest (greened last round) near the end; the rows-only
+#: entries dead last so no gate slot ever returns `no_oracle`.
+_DRIVER_ORDER_R10 = [
+    # --- slots 1-28: the r9 gate residue (oracle-green locally and in
+    # the judge's re-run, but never driver-verified — VERDICT r9 ask #1).
+    # New r10 entries are inserted right after this block so the 50-slot
+    # gate covers residue + new each round.
+    "orders_partition_checksums",
+    "orders_antientropy_sync",
+    "lsh_tuning_curve",
+    "part_stock_balance",
+    "zipf_law_fit",
+    "media_phash_pairs_exactint",
+    "media_audio_pairs_exactint",
+    "media_phash_stream",
+    "ddsketch_quantiles_streamed",
+    "segment_priority_chisq",
+    "order_interval_overlaps",
+    "bloom_semijoin_pushdown",
+    "nation_revenue_trend",
+    "user_modal_event",
+    "span_corruption_masks",
+    "source_quota_apportionment",
+    "user_behavior_entropy",
+    "user_modal_streamed",
+    "ngram_containment_top_pairs",
+    "orders_merkle_root",
+    "events_rate_capped",
+    "retention_decay_fit",
+    "kanonymity_profile",
+    "table_release_gate",
+    "heaps_law_fit",
+    "source_vocab_overlap",
+    "copurchase_adamic_adar",
+    "user_stickiness",
+    # --- new-in-r10 entries go here (gate-verify the round they land) ---
+    # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
-    "ivf_topk_exactint",  # new in r8 — gate-verify the round it lands
-    "pq_topk_exactint",   # new in r8 — gate-verify the round it lands
-    "ivfpq_topk_exactint",  # new in r8 — gate-verify the round it lands
-    "table_stats_streamed",  # new in r8 — gate-verify the round it lands
-    "ddsketch_value_quantiles",  # new in r8 — gate-verify the round it lands
+    "ivf_topk_exactint",
+    "pq_topk_exactint",
+    "ivfpq_topk_exactint",
+    "table_stats_streamed",
+    "ddsketch_value_quantiles",
     "duplicate_orderkeys",
     "ri_orphan_lineitems",
     "order_enriched",
@@ -368,6 +323,58 @@ _DRIVER_ORDER_R8 = [
     "null_profile_orders",
     "events_by_type",
     "order_revenue",
+    # --- the 50 entries just greened by the r9 gate (freshest) ---
+    "supplier_hhi",
+    "interpurchase_regularity",
+    "brand_return_bayes_rank",
+    "revenue_pareto_cut",
+    "lang_id_kappa",
+    "copurchase_kcore",
+    "shapley_channel_attribution",
+    "range_partition_boundaries",
+    "fk_discovery",
+    "bbit_minhash_estimates",
+    "window_funnel_strict",
+    "join_cardinality_estimate",
+    "knn_label_accuracy",
+    "term_burstiness",
+    "revenue_cusum",
+    "feature_hash_stats",
+    "neyman_allocation",
+    "brand_price_elasticity",
+    "bootstrap_mean_streamed",
+    "cuped_adjusted_diff",
+    "segment_price_utest",
+    "markov_conversion_prob",
+    "view_purchase_join_streamed",
+    "revenue_theil_sen",
+    "price_drift_ks",
+    "copurchase_eval_hitrate",
+    "bootstrap_mean_ci",
+    "ldiversity_profile",
+    "negative_sampling_table",
+    "er_blocking_quality",
+    "kaplan_meier_streamed",
+    "status_bitmap_algebra",
+    "part_price_band_join",
+    "events_rate_capped_streamed",
+    "shard_rendezvous_stats",
+    "zone_map_pruning",
+    "kaplan_meier_repeat",
+    "segment_price_ttest",
+    "copurchase_cosine_top",
+    "user_activity_streaks",
+    "bm25_topk",
+    "part_pareto_frontier",
+    "segment_weighted_quantiles",
+    "events_multires_rollup",
+    "events_multires_streamed",
+    "copurchase_bfs_hops",
+    "benford_price_digits",
+    "table_checksums",
+    "orders_checksum_streamed",
+    "key_skew_profile",
+    # --- rows-only-by-design entries: always last, never burn a gate slot ---
     "knn_ivf",
     "knn_lsh",
     "product_pagerank",
@@ -388,34 +395,33 @@ _DRIVER_ORDER_R8 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver-gate order (see ``_DRIVER_ORDER_R8``).
+    """Registry in driver-gate order (see ``_DRIVER_ORDER_R10``).
 
     The driver's correctness gate walks this dict in order under a
     budget that has covered exactly the first 50 entries each round.
-    Rounds 5-7 rotated every never-driver-verified oracle entry to the
-    front (all 190 checkable entries have been driver-green at least
-    once). Round 8 leads with `table_stats` (red in r6+r7; the r8 fix
-    casts the oracle's `n_nulls` — judge-diagnosed as the registry's
-    only HUGEINT final column — to BIGINT) plus any round-8 additions,
-    then refreshes the stalest rows (last green r4) first. Rows-only
-    entries (no oracle by design) sit at the very end so no gate slot
-    returns `no_oracle`."""
+    Round-10 policy: the 28 r9 entries the 50-slot budget never
+    reached go FIRST (judge re-ran all 28 PASS, but the project
+    invariant is "every oracle entry driver-green at least once"),
+    then new-in-r10 entries, then the stalest previously-green rows;
+    the 50 rows the r9 gate just greened sit near the end, and the
+    rows-only entries (no oracle by design) are dead last so no gate
+    slot returns `no_oracle`."""
     base = _registry()
-    missing = set(base) ^ set(_DRIVER_ORDER_R8)
+    missing = set(base) ^ set(_DRIVER_ORDER_R10)
     if missing:  # a registry edit must update the order list too
         raise AssertionError(f"registry/order drift: {sorted(missing)}")
     # a duplicate would be silently swallowed by the dict comprehension
     # and shift every later row's gate position (ADVICE r6)
-    if len(_DRIVER_ORDER_R8) != len(set(_DRIVER_ORDER_R8)):
+    if len(_DRIVER_ORDER_R10) != len(set(_DRIVER_ORDER_R10)):
         seen: set[str] = set()
-        dups = [n for n in _DRIVER_ORDER_R8 if n in seen or seen.add(n)]
+        dups = [n for n in _DRIVER_ORDER_R10 if n in seen or seen.add(n)]
         raise AssertionError(f"duplicate order entries: {dups}")
-    return {name: base[name] for name in _DRIVER_ORDER_R8}
+    return {name: base[name] for name in _DRIVER_ORDER_R10}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry, grouped thematically (order here is NOT the
-    driver order — ``queries()`` applies ``_DRIVER_ORDER_R8``)."""
+    driver order — ``queries()`` applies ``_DRIVER_ORDER_R10``)."""
     return {
         # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,

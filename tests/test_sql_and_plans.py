@@ -377,6 +377,59 @@ def test_driver_gate_front_is_all_oracle_bearing():
     assert not missing, f"rows-only entries inside the gate window: {missing}"
 
 
+def _driver_green_ever():
+    """Union of green rows across every committed CORRECTNESS_r*.json —
+    the driver's own record of which entries have ever passed its gate."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    green = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for name, row in json.load(fh).items():
+                if (
+                    row.get("rows_match")
+                    and row.get("schema_match", True)
+                    and row.get("hash_match") is not False
+                ):
+                    green.add(name)
+    return green
+
+
+def test_driver_gate_front_policy():
+    """VERDICT r9 ask #1: the gate's ~50-slot budget must be spent on
+    entries that were NEVER driver-green (residue from a prior round's
+    budget overflow, plus anything new this round) before re-verifying
+    rows the driver has already greened. Mechanically: in queries()
+    order, no never-green oracle entry may sit behind an already-green
+    one, and the residue must fit the 50-slot budget."""
+    import __spark_entry__ as entrymod
+
+    names = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    green = _driver_green_ever()
+    never = [n for n in names if n in oracles and n not in green]
+    assert len(never) <= 50, (
+        f"{len(never)} never-driver-verified oracle entries exceed the "
+        "50-slot gate budget — this round cannot zero the residue; "
+        "stop adding entries or accept documented carry-over"
+    )
+    if never:
+        last_never = max(names.index(n) for n in never)
+        stale_before = [
+            n
+            for n in names[:last_never]
+            if n in oracles and n in green
+        ]
+        assert not stale_before, (
+            "already-green entries ahead of never-verified ones "
+            f"(wastes gate slots): {stale_before[:5]}... "
+            f"before {names[last_never]}"
+        )
+
+
 def test_oracle_type_audit_catches_uncast_integer_sum():
     """Negative control: the exact bug class (`sum(CASE…)` with no CAST
     → HUGEINT) must be flagged by the audit helper, proving the check
