@@ -1,11 +1,28 @@
 """Benchmark harness (driver contract).
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
-JSON line::
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
 
-    {"metric": "headline_total", "value": <sec>, "unit": "sec",
-     "queries": {"pricing_summary": <sec>, ...}, "sf": 0.1}
+Output contract (reworked in r10 — VERDICT r9 ask #2): the HEADLINE
+list grew past 110 queries, so the full result JSON no longer fits the
+driver artifact's 2000-char stdout tail (BENCH_r09.json recorded
+``parsed: null`` with headline_total cut off). Now:
+
+- stdout gets ONE COMPACT JSON line (< 2000 chars, so the driver's
+  tail capture holds the WHOLE line and can parse it again)::
+
+      {"metric": "core_total", "value": <sec>, "unit": "sec",
+       "queries": {<the frozen CORE28 subset only>},
+       "headline_total": <sec>, "headline_n": N,
+       "recall_at_5": {...}, "sf": 0.1,
+       "full_results": "BENCH_local.json"}
+
+  ``core_total`` sums the frozen CORE28 subset (below) — the same 28
+  queries every round, so round-over-round comparison survives even as
+  HEADLINE grows.
+- the FULL per-query results (every HEADLINE timing + ANN build/serve
+  splits) are written to ``BENCH_local.json`` next to this file and
+  committed each round.
 
 Each query is forced to full materialization with a noop sink (count()
 would let Catalyst prune the output expressions). Timings are per-query
@@ -21,6 +38,23 @@ import time
 
 import __spark_entry__ as entrymod
 from beauty_lakehouse_spark.session import get_spark
+
+#: FROZEN round-over-round comparison subset (VERDICT r9 ask #2): the
+#: first 28 HEADLINE entries, unchanged since round 5. core_total sums
+#: exactly these; NEVER add to or reorder this list — a new heavy query
+#: belongs in HEADLINE (full results in BENCH_local.json), not here.
+CORE28 = [
+    "pricing_summary", "shipping_priority", "local_supplier_volume",
+    "fact_sales_summary", "order_revenue", "customer_running_spend",
+    "copurchase_edges", "ngram_jaccard_top_pairs", "lsh_candidate_pairs",
+    "events_sessions", "knn_brute", "order_value_percentiles",
+    "purchase_time_since_view", "corpus_cleaning_report", "decontaminate",
+    "sequence_packing", "dedup_clusters", "product_pagerank_exact",
+    "late_ship_priority_orders", "sole_late_supplier_orders", "chunk_dedup",
+    "training_order_shuffle", "product_triangles", "minhash_estimate_error",
+    "events_hourly_streamed", "event_volume_anomalies", "bpe_encode",
+    "user_state_scd2",
+]
 
 #: The headline subset: one representative per operator family, weighted
 #: toward the scan/join/shuffle-heavy shapes that dominate at 100 TB.
@@ -301,23 +335,53 @@ def main() -> None:
 
     recalls, ann_builds, ann_serves = measure_ann(spark, sf_dir, queries)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "recall_at_5": recalls,
-                "ann_build_sec": ann_builds,
-                "ann_serve_sec": ann_serves,
-                "load_avg_before": load_before,
-                "load_avg_wait_attempts": attempts,
-                "load_avg_after": round(os.getloadavg()[0], 2),
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "headline_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "core_total": round(sum(timings[n] for n in CORE28), 3),
+        "queries": timings,
+        "recall_at_5": recalls,
+        "ann_build_sec": ann_builds,
+        "ann_serve_sec": ann_serves,
+        "load_avg_before": load_before,
+        "load_avg_wait_attempts": attempts,
+        "load_avg_after": round(os.getloadavg()[0], 2),
+        "sf": sf,
+    }
+    # Full results: committed alongside the repo so every round's
+    # complete per-query history lives in git (the driver artifact only
+    # keeps a 2000-char stdout tail).
+    local_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_local.json")
+    with open(local_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+
+    # Stdout: ONE compact line that fits the driver's 2000-char tail
+    # whole (frozen CORE28 subset + summary scalars), so the driver can
+    # parse it and round-over-round totals never get truncated away.
+    compact = json.dumps(
+        {
+            "metric": "core_total",
+            "value": full["core_total"],
+            "unit": "sec",
+            "queries": {n: timings[n] for n in CORE28},
+            "headline_total": full["value"],
+            "headline_n": len(timings),
+            "recall_at_5": recalls,
+            "load_avg_before": load_before,
+            "load_avg_wait_attempts": attempts,
+            "load_avg_after": full["load_avg_after"],
+            "sf": sf,
+            "full_results": "BENCH_local.json",
+        }
     )
+    assert len(compact) < 1950, (
+        f"stdout line {len(compact)} chars — would overflow the driver's "
+        "2000-char tail; trim the compact payload, not CORE28"
+    )
+    print(compact)
 
 
 if __name__ == "__main__":
