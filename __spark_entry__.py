@@ -29,6 +29,7 @@ from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
 from beauty_lakehouse_spark.functions import isqrt_sql as _isq
 from beauty_lakehouse_spark.functions import ln_micro_sql as _lnm
 from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
+from beauty_lakehouse_spark.functions import splitmix60_sql as _smx
 from beauty_lakehouse_spark.operators import (
     curation,
     decision_support,
@@ -4775,16 +4776,19 @@ def oracle_sql() -> dict[str, str]:
             'WITH cells AS (SELECT p_brand AS brand, CAST(round(l_discount * 100) AS INTEGER) AS d, CAST(sum(l_quantity) AS BIGINT) AS q FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2 HAVING sum(l_quantity) >= 1), pts AS (SELECT brand, q, CAST(((((length(bin(((100 - d) // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((100 - d) AS BIGINT) * 1073741824) // 1) >> (length(bin(((100 - d) // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16) AS HUGEINT) AS x, CAST(((((length(bin((q // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(q AS BIGINT) * 1073741824) // 1) >> (length(bin((q // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16) AS HUGEINT) AS y FROM cells), g AS (SELECT brand, CAST(count(*) AS BIGINT) AS n_points, CAST(sum(q) AS BIGINT) AS total_qty, sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx FROM pts GROUP BY 1), s AS (SELECT *, (CAST(n_points AS HUGEINT) * sxy - sx * sy) * 1000 AS num, CAST(n_points AS HUGEINT) * sxx - sx * sx AS den FROM g) SELECT brand, n_points, total_qty, CAST(CASE WHEN num < 0 THEN -((-num) // den) ELSE num // den END AS BIGINT) AS elasticity_milli FROM s WHERE n_points >= 2 ORDER BY brand'
         ),
         "bootstrap_mean_ci": (
-            # deterministic Poisson bootstrap: per-(row, replicate)
-            # weight from the portable hash through the SAME literal
-            # Poisson(1) CDF thresholds; order-statistic CI over the
-            # 32 replicate means
-            "WITH base AS (SELECT o_orderkey, "
+            # deterministic Poisson bootstrap: ONE portable hash per
+            # row, then the splitmix60 integer mixer per replicate
+            # (r10 — mirrors functions.splitmix60 exactly), through
+            # the SAME literal Poisson(1) CDF thresholds;
+            # order-statistic CI over the 32 replicate means
+            "WITH base AS (SELECT "
+            "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))"
+            "::BIGINT AS seed, "
             "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
             "AS c FROM orders), "
-            "e AS (SELECT o_orderkey, c, r, "
-            "('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || "
-            "CAST(r AS VARCHAR)), 1, 15))::BIGINT AS h FROM base "
+            "e AS (SELECT c, r, "
+            + _smx("seed", "r")
+            + " AS h FROM base "
             "CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) "
             "rr), "
             "wts AS (SELECT r, c, "

@@ -22,6 +22,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "portable_hash64",
     "portable_hash64_sql",
+    "splitmix60",
+    "splitmix60_apply",
+    "splitmix60_stages",
+    "splitmix60_sql",
     "money",
     "dec2",
     "dec2_sql",
@@ -57,6 +61,130 @@ def portable_hash64(col: Column | str) -> Column:
 def portable_hash64_sql(expr: str) -> str:
     """The DuckDB twin of :func:`portable_hash64` as a SQL fragment."""
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+
+
+#: splitmix60 geometry: derive MANY decorrelated 60-bit uniforms from
+#: ONE md5-based seed hash, with pure int64 arithmetic both engines
+#: evaluate identically (VERDICT r9 ask #4: the bootstrap hashed
+#: (row, replicate) per fan-out row — 33 md5s/row; one md5 + an
+#: integer mixer per replicate has the same determinism contract at
+#: a fraction of the CPU). Multiplies stay inside signed int64 by
+#: splitting the 60-bit operand at bit 30 (hi*C mod 2^30 recombined
+#: with lo*C: max 2^60 + 2^62 < 2^63). Constants: the golden-gamma
+#: stream constant truncated to 57 bits (so 32 replicates never
+#: overflow), and two odd 32-bit multiplicative-hash constants.
+#: Measured on 20k md5 seeds x 32 streams: per-stream mean weight
+#: 0.98-1.01 vs Poisson(1)'s 1, variance 0.993, max cross-stream
+#: weight correlation 0.015.
+_SM_M60 = 1 << 60
+_SM_GOLD = 15614961330584597  # 0x9E3779B97F4A7C15 mod 2^57, odd
+_SM_M1 = 2654435761
+_SM_M2 = 2246822519
+
+
+def splitmix60_stages(seed: Column, stream: Column) -> list[Column]:
+    """The splitmix60 mixer as FIVE chained stage expressions, each
+    referring to the previous stage as a plain column named ``_smz``.
+
+    Why staged: a single Column expression duplicates the running
+    value's subtree at every xor/mulmod step (each uses it 2-3x), so
+    the inlined tree hits ~1300 nodes and whole-stage codegen emits
+    all of them per row — measured 130s for a 5M-row projection that
+    takes ~2s staged. Apply each stage as its own ``select`` so
+    Catalyst binds ``_smz`` once per stage (CollapseProject keeps
+    non-cheap multiply-referenced aliases in separate projects)::
+
+        df = df.select(*keep, stage0.alias("_smz"))
+        for st in stages[1:]:
+            df = df.select(*keep, st.alias("_smz"))
+
+    Use :func:`splitmix60` only where a single standalone expression
+    is required (tiny inputs / tests)."""
+    z = F.col("_smz")
+
+    def mulmod60(z: Column, c: int) -> Column:
+        hi = F.shiftright(z, 30)
+        lo = z % F.lit(1 << 30)
+        return (
+            ((hi * F.lit(c)) % F.lit(1 << 30)) * F.lit(1 << 30)
+            + lo * F.lit(c)
+        ) % F.lit(_SM_M60)
+
+    return [
+        (
+            seed
+            + (stream + F.lit(1)).cast("long")
+            * F.lit(_SM_GOLD)
+            % F.lit(_SM_M60)
+        )
+        % F.lit(_SM_M60),
+        z.bitwiseXOR(F.shiftright(z, 31)),
+        mulmod60(z, _SM_M1),
+        z.bitwiseXOR(F.shiftright(z, 29)),
+        mulmod60(z, _SM_M2),
+        z.bitwiseXOR(F.shiftright(z, 32)),
+    ]
+
+
+def splitmix60_apply(df, keep: list[str], seed: Column, stream: Column,
+                     out: str = "u"):
+    """Stage the splitmix60 pipeline over ``df``: returns df with the
+    mixed 60-bit uniform as column ``out`` (plus the ``keep`` columns),
+    one narrow projection per stage — no subtree duplication."""
+    stages = splitmix60_stages(seed, stream)
+    cur = df.select(*keep, stages[0].alias("_smz"))
+    for st in stages[1:]:
+        cur = cur.select(*keep, st.alias("_smz"))
+    return cur.withColumnRenamed("_smz", out)
+
+
+def splitmix60(seed: Column, stream: Column) -> Column:
+    """Decorrelated 60-bit uniform for (seed, stream) — the cheap-path
+    twin of ``portable_hash64(concat(key, ':', stream))``: hash the key
+    ONCE upstream, then mix per stream with codegen-friendly integer
+    ops (add, mul, mod, xor, shift — no md5 in the fan-out).
+
+    NOTE: as one inline expression the subtree duplication is ~1300
+    nodes; fine for bounded inputs, but on row-scale fan-outs use
+    :func:`splitmix60_apply` (staged projections)."""
+    def mulmod60(z: Column, c: int) -> Column:
+        hi = F.shiftright(z, 30)
+        lo = z % F.lit(1 << 30)
+        return (
+            ((hi * F.lit(c)) % F.lit(1 << 30)) * F.lit(1 << 30)
+            + lo * F.lit(c)
+        ) % F.lit(_SM_M60)
+
+    z = (
+        seed + (stream + F.lit(1)).cast("long") * F.lit(_SM_GOLD) % F.lit(_SM_M60)
+    ) % F.lit(_SM_M60)
+    z = z.bitwiseXOR(F.shiftright(z, 31))
+    z = mulmod60(z, _SM_M1)
+    z = z.bitwiseXOR(F.shiftright(z, 29))
+    z = mulmod60(z, _SM_M2)
+    return z.bitwiseXOR(F.shiftright(z, 32))
+
+
+def splitmix60_sql(seed_expr: str, stream_expr: str) -> str:
+    """The DuckDB twin of :func:`splitmix60` as a SQL fragment
+    (``xor``/``>>``/``%`` on positive BIGINTs match Spark exactly —
+    parity pinned by tests/test_functions.py)."""
+
+    def mulmod60(z: str, c: int) -> str:
+        return (
+            f"(((({z}) >> 30) * {c}) % {1 << 30}) * {1 << 30}"
+            f" + (({z}) % {1 << 30}) * {c}"
+        )
+
+    z = (
+        f"((({seed_expr}) + (CAST({stream_expr} AS BIGINT) + 1)"
+        f" * {_SM_GOLD} % {_SM_M60}) % {_SM_M60})"
+    )
+    z = f"xor({z}, {z} >> 31)"
+    z = f"(({mulmod60(z, _SM_M1)}) % {_SM_M60})"
+    z = f"xor({z}, {z} >> 29)"
+    z = f"(({mulmod60(z, _SM_M2)}) % {_SM_M60})"
+    return f"xor({z}, {z} >> 32)"
 
 
 def normalized_text_hash(col: Column | str = "text") -> Column:

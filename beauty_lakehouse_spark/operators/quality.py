@@ -2209,28 +2209,36 @@ def bootstrap_grid(orders: DataFrame) -> DataFrame:
     n and Σcents, so one additive, order-insensitive aggregate holds
     everything the finisher needs (complete-mode-streamable as-is).
     Output: ``BOOTSTRAP_B`` + 1 rows."""
-    from ..functions import dec2, portable_hash64
+    from ..functions import dec2, portable_hash64, splitmix60_apply
 
     cents = (dec2("o_totalprice") * 100).cast("long")
-    base = orders.select("o_orderkey", cents.alias("c")).select(
-        "o_orderkey",
+    # ONE md5 per row (before the fan-out), then a splitmix-style
+    # integer mixer per replicate — r9 hashed (orderkey, replicate)
+    # per fan-out row, 33 md5s/row, which made this pair the bench's
+    # two slowest entries (VERDICT r9 ask #4). Same determinism
+    # contract: the mixer is literal int64 arithmetic both engines
+    # evaluate identically (see functions.splitmix60_apply; staged
+    # projections — the inline form duplicates its subtree ~1300
+    # nodes deep and measured 65x slower under codegen).
+    base = orders.select(
+        cents.alias("c"),
+        portable_hash64(F.col("o_orderkey")).alias("seed"),
+    ).select(
         "c",
+        "seed",
         F.explode(
             F.sequence(F.lit(-1), F.lit(BOOTSTRAP_B - 1))
         ).alias("replicate"),
     )
-    u = portable_hash64(
-        F.concat_ws(
-            ":",
-            F.col("o_orderkey").cast("string"),
-            F.col("replicate").cast("string"),
-        )
+    mixed = splitmix60_apply(
+        base, ["c", "replicate"], F.col("seed"), F.col("replicate")
     )
+    u = F.col("u")
     w = F.when(F.col("replicate") == -1, F.lit(1).cast("long")).otherwise(
         sum((u >= F.lit(thr)).cast("long") for thr in POISSON1_CDF_60)
     )
     return (
-        base.select("replicate", "c", w.alias("w"))
+        mixed.select("replicate", "c", w.alias("w"))
         .groupBy("replicate")
         .agg(
             F.sum("w").alias("n_eff"),

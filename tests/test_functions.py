@@ -153,3 +153,45 @@ def test_isqrt_cross_engine_exact(spark):
         want = math.isqrt(x)
         dk = con.sql(f"SELECT {isqrt_sql(str(x))}").fetchone()[0]
         assert got[x] == want == dk, (x, got[x], dk, want)
+
+
+def test_splitmix60_cross_engine_exact(spark):
+    """The splitmix60 mixer (one md5 seed -> many decorrelated 60-bit
+    uniforms; the r10 bootstrap hash-bill fix) is bit-identical across
+    Spark, DuckDB, and an independent pure-Python recompute, for seeds
+    spanning the full 60-bit range and every bootstrap stream index."""
+    from beauty_lakehouse_spark.functions import splitmix60, splitmix60_sql
+
+    m60 = 1 << 60
+    seeds = [0, 1, 2**30 - 1, 2**30, 3141592653589793238 % m60,
+             m60 - 1, 424136118829305344]
+    streams = [0, 1, 7, 31]
+
+    def py_mix(seed, stream):
+        def mulmod60(z, c):
+            return (((z >> 30) * c % (1 << 30)) * (1 << 30)
+                    + (z % (1 << 30)) * c) % m60
+        z = (seed + (stream + 1) * 15614961330584597 % m60) % m60
+        z ^= z >> 31
+        z = mulmod60(z, 2654435761)
+        z ^= z >> 29
+        z = mulmod60(z, 2246822519)
+        return z ^ (z >> 32)
+
+    rows = [(s, r) for s in seeds for r in streams]
+    df = spark.createDataFrame(rows, ["seed", "stream"])
+    got = {
+        (r.seed, r.stream): r.u
+        for r in df.select(
+            "seed", "stream",
+            splitmix60(F.col("seed"), F.col("stream")).alias("u"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for s, r in rows:
+        want = py_mix(s, r)
+        dk = con.sql(
+            f"SELECT {splitmix60_sql(str(s), str(r))}"
+        ).fetchone()[0]
+        assert got[(s, r)] == want == dk, (s, r, got[(s, r)], want, dk)
+        assert 0 <= want < m60

@@ -849,10 +849,29 @@ def test_ldiversity_profile_pure_python(spark, sf_dir):
     assert sum(r["n_rows"] for r in rows.values()) == len(j)
 
 
+def _splitmix60_py(seed: int, stream: int) -> int:
+    """Pure-Python twin of functions.splitmix60 (the r10 one-md5-
+    per-row bootstrap mixer) — kept independent of the library code
+    so it can witness it."""
+    m60 = 1 << 60
+
+    def mulmod60(z, c):
+        return (((z >> 30) * c % (1 << 30)) * (1 << 30)
+                + (z % (1 << 30)) * c) % m60
+
+    z = (seed + (stream + 1) * 15614961330584597 % m60) % m60
+    z ^= z >> 31
+    z = mulmod60(z, 2654435761)
+    z ^= z >> 29
+    z = mulmod60(z, 2246822519)
+    return z ^ (z >> 32)
+
+
 def test_bootstrap_mean_ci_pure_python(spark, sf_dir):
-    """The Poisson-bootstrap CI matches a pure-Python md5 recompute of
-    the same deterministic weights, brackets the full-sample mean, and
-    the weights really follow Poisson(1) frequencies (mean ~1)."""
+    """The Poisson-bootstrap CI matches a pure-Python recompute of
+    the same deterministic weights (one md5 seed per row + the
+    splitmix60 mixer per replicate), brackets the full-sample mean,
+    and the weights really follow Poisson(1) frequencies (mean ~1)."""
     import hashlib
 
     import pandas as pd
@@ -873,15 +892,17 @@ def test_bootstrap_mean_ci_pure_python(spark, sf_dir):
     def hu3(num, den):
         return ((2 * num * 10**3 + den) // (2 * den)) / 1e3
 
+    seeds = [
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        for k in keys
+    ]
     means = []
     tot_w = 0
     for b in range(BOOTSTRAP_B):
         sw = swc = 0
-        for k, c in zip(keys, cs):
-            h = int(
-                hashlib.md5(f"{k}:{b}".encode()).hexdigest()[:15], 16
-            )
-            w = sum(h >= t for t in POISSON1_CDF_60)
+        for s, c in zip(seeds, cs):
+            u = _splitmix60_py(s, b)
+            w = sum(u >= t for t in POISSON1_CDF_60)
             sw += w
             swc += w * c
         tot_w += sw
@@ -896,6 +917,18 @@ def test_bootstrap_mean_ci_pure_python(spark, sf_dir):
     # Poisson(1) sanity: average weight within 5% of 1
     avg_w = tot_w / (BOOTSTRAP_B * len(o))
     assert 0.95 < avg_w < 1.05
+    # FLOAT WITNESS (independent of the shared fixed-point formula):
+    # the half-up 3-dp mean must sit within 1e-3 cents of the float
+    # mean, and the CI band width must be in the CLT ballpark
+    # (0.2x-5x of 2 * 1.88 * sd/sqrt(n) — order-statistic 94% band)
+    import math
+
+    fmean = float(cents.mean())
+    assert abs(r["mean_c3"] - fmean) < 1e-3
+    sd = float(cents.std())
+    clt_half = 1.88 * sd / math.sqrt(len(o))
+    half = (r["ci_hi_c3"] - r["ci_lo_c3"]) / 2
+    assert 0.2 * clt_half < half < 5 * clt_half
 
 
 def test_price_drift_ks_pure_python(spark, sf_dir):
