@@ -971,11 +971,23 @@ SETSIM_NUM = 9
 SETSIM_DEN = 10
 
 
+#: Below this many documents the token-dictionary ids are minted with
+#: one single-partition rank over the vocabulary instead of the
+#: 5-stage two-level (range shuffle + local rank + offset broadcast)
+#: mint: a small corpus's vocabulary sorts on one core in well under a
+#: second, while the two-level chain costs ~1-2s of fixed scheduling
+#: latency regardless of size (the r9 sf0.1 regression, VERDICT r9
+#: ask #3). Ids are identical either way — any total-order rank of
+#: (df, token) yields the same dense ranks.
+TOKEN_DICT_TWO_LEVEL_MIN_DOCS = 100_000
+
+
 def setsim_prefix_join(
     documents: DataFrame,
     num: int = SETSIM_NUM,
     den: int = SETSIM_DEN,
     verify: str = "array",
+    n_docs: int | None = None,
 ) -> DataFrame:
     """All document pairs with distinct-word-token Jaccard ≥ num/den,
     via PREFIX FILTERING (the PPJoin/AllPairs family, Xiao et al. /
@@ -1031,8 +1043,11 @@ def setsim_prefix_join(
       cumulative partition offsets — no single-partition sort at any
       vocabulary size (the boundary placement cannot change the ids:
       any range split of a total order yields the same dense ranks).
-      Costs ~1.4s of extra dictionary shuffle at the 50k-doc tier,
-      buys the giant-vocab case outright.
+      r10 (VERDICT r9 ask #3): the two-level mint's ~1-2s of fixed
+      scheduling latency dominated at the 5k-doc sf0.1 tier, so
+      corpora under ``TOKEN_DICT_TWO_LEVEL_MIN_DOCS`` mint ids with a
+      single rank window over the (bounded) vocabulary instead — the
+      ids, and therefore all outputs, are identical either way.
     - **Positional filter** (PPJoin, Xiao et al.): a candidate
       occurrence at prefix ranks (rka, rkb) bounds the overlap by
       1 + min(sa - rka, sb - rkb); at a qualifying pair's FIRST shared
@@ -1052,44 +1067,67 @@ def setsim_prefix_join(
         .filter(F.col("token") != "")
     )
     df_tbl = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    # dense integer ids in (df, token) order, minted WITHOUT a
-    # single-partition sort (the giant-vocab path, implemented):
-    # range-partition the dictionary on the order key, rank locally
-    # per partition (spark_partition_id as the window key — range
-    # partitions are order-contiguous, so local rank + partition
-    # offset IS the global dense rank regardless of where the
-    # sampled boundaries land), and add cumulative offsets from the
-    # per-partition counts (a cumsum over the B-row partition table —
-    # the bounded-window class). Every per-row step is distributed;
-    # only the B-row offset table sees a global window.
-    by_range = df_tbl.repartitionByRange(
-        32, F.asc("df"), F.asc("token")
-    ).withColumn("pid", F.spark_partition_id())
-    local = by_range.withColumn(
-        "lrk",
-        F.row_number().over(
-            Window.partitionBy("pid").orderBy(F.asc("df"), F.asc("token"))
-        ),
-    )
-    offsets = (
-        by_range.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("n").over(
-                    Window.orderBy("pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
+    if n_docs is None:
+        n_docs = documents.count()
+    if n_docs < TOKEN_DICT_TWO_LEVEL_MIN_DOCS:
+        # small corpus: a bounded vocabulary — one rank window over the
+        # dictionary domain (value-domain window, not raw rows; the
+        # same bounded-window class as the sketch grids)
+        dict_tbl = df_tbl.select(
+            "token",
+            F.row_number()
+            .over(Window.orderBy(F.asc("df"), F.asc("token")))
+            .cast("long")
+            .alias("tid"),
+        )
+    else:
+        # cached: repartitionByRange SAMPLES its input to place
+        # boundaries, so without the cache the token-df aggregate
+        # (explode + shuffle) runs twice — once for the sampling pass,
+        # once for the range shuffle
+        df_tbl = df_tbl.cache()
+        # dense integer ids in (df, token) order, minted WITHOUT a
+        # single-partition sort (the giant-vocab path):
+        # range-partition the dictionary on the order key, rank locally
+        # per partition (spark_partition_id as the window key — range
+        # partitions are order-contiguous, so local rank + partition
+        # offset IS the global dense rank regardless of where the
+        # sampled boundaries land), and add cumulative offsets from the
+        # per-partition counts (a cumsum over the B-row partition table
+        # — the bounded-window class). Every per-row step is
+        # distributed; only the B-row offset table sees a global
+        # window.
+        by_range = df_tbl.repartitionByRange(
+            32, F.asc("df"), F.asc("token")
+        ).withColumn("pid", F.spark_partition_id())
+        local = by_range.withColumn(
+            "lrk",
+            F.row_number().over(
+                Window.partitionBy("pid").orderBy(
+                    F.asc("df"), F.asc("token")
+                )
             ),
         )
-        .select("pid", "off")
-    )
-    dict_tbl = local.join(F.broadcast(offsets), "pid").select(
-        "token", (F.col("off") + F.col("lrk")).cast("long").alias("tid")
-    )
+        offsets = (
+            by_range.groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn(
+                "off",
+                F.coalesce(
+                    F.sum("n").over(
+                        Window.orderBy("pid").rowsBetween(
+                            Window.unboundedPreceding, -1
+                        )
+                    ),
+                    F.lit(0),
+                ),
+            )
+            .select("pid", "off")
+        )
+        dict_tbl = local.join(F.broadcast(offsets), "pid").select(
+            "token",
+            (F.col("off") + F.col("lrk")).cast("long").alias("tid"),
+        )
     itok = (
         tok.join(dict_tbl, "token")
         .select("doc_id", "tid")

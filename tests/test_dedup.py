@@ -311,6 +311,26 @@ def test_setsim_prefix_join_matches_brute_force(spark):
     assert not any(6 in p for p in got)
 
 
+def test_setsim_prefix_join_mint_paths_identical(spark, sf_dir):
+    """The two token-id mint paths (single-partition rank for small
+    corpora vs the two-level range-partitioned rank — gated on
+    TOKEN_DICT_TWO_LEVEL_MIN_DOCS since r10) must produce the SAME
+    pair list: any total-order rank of (df, token) yields identical
+    dense ids, so the gate is a pure physical-plan choice."""
+    from beauty_lakehouse_spark.operators.dedup import setsim_prefix_join
+
+    docs = load(spark, sf_dir).documents.limit(300)
+    small = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_prefix_join(docs, n_docs=300).collect()
+    }
+    big = {
+        (r.doc_a, r.doc_b)
+        for r in setsim_prefix_join(docs, n_docs=10**9).collect()
+    }
+    assert small == big and small
+
+
 def test_setsim_prefix_join_threshold_parameter(spark):
     """Looser thresholds admit strictly more pairs; exact integer
     thresholding at the boundary (9/10 Jaccard == 0.9 passes)."""
