@@ -385,6 +385,23 @@ def test_adamic_adar_pure_python(spark, sf_dir):
     )[:50]
     got = [(-r["aa_micro"], r["part_a"], r["part_b"], r["n_common"]) for r in rows]
     assert got == want
+    # FLOAT WITNESS: aa_micro tracks the true sum of 1/ln(basket_size)
+    # over shared baskets — the recompute above reads ln_micro off the
+    # engine, so only math.log can catch a shared scale bug
+    import math
+
+    fscores = defaultdict(float)
+    for b in baskets.values():
+        if not (2 <= len(b) <= 50):
+            continue
+        fw = 1.0 / math.log(len(b))
+        parts = sorted(b)
+        for i, a in enumerate(parts):
+            for c in parts[i + 1 :]:
+                fscores[(a, c)] += fw
+    for r in rows:
+        fval = fscores[(r["part_a"], r["part_b"])]
+        assert abs(r["aa_micro"] / 1e6 - fval) < max(1e-3, 1e-4 * fval)
 
 
 def test_copurchase_cosine_pure_python(spark, sf_dir):
@@ -435,6 +452,10 @@ def test_copurchase_cosine_pure_python(spark, sf_dir):
     assert got == want
     # cosine bound: cos^2 <= 1 everywhere
     assert all(r["cosine2"] <= 1.0 for r in rows)
+    # FLOAT WITNESS: within half-up 6-dp rounding of the float ratio
+    for r in rows:
+        fcos2 = r["n_common"] ** 2 / (r["deg_a"] * r["deg_b"])
+        assert abs(r["cosine2"] - fcos2) <= 5e-7
 
 
 def test_shard_rendezvous_pure_python(spark, sf_dir):
@@ -675,6 +696,8 @@ def test_copurchase_eval_hitrate_pure_python(spark, sf_dir):
     hu6 = ((2 * hits * 10**6 + len(te_pairs)) // (2 * len(te_pairs))) / 1e6
     assert r["hit_rate"] == hu6
     assert 0 < r["n_hits"] <= r["n_test_pairs"]
+    # FLOAT WITNESS: within half-up 6-dp rounding of the float ratio
+    assert abs(r["hit_rate"] - hits / len(te_pairs)) <= 5e-7
 
 
 def test_revenue_theil_sen_pure_python(spark, sf_dir):
@@ -733,6 +756,15 @@ def test_revenue_theil_sen_pure_python(spark, sf_dir):
         # exact-Fraction cross-check of the same lower median
         fr = sorted(Fraction(s, YEAR_SPAN_LCM) for s in slopes)
         assert Fraction(med, YEAR_SPAN_LCM) == fr[(len(fr) + 1) // 2 - 1]
+        # FLOAT WITNESS: the LCM-scaled median slope equals the float
+        # lower-median of float pairwise slopes (cents per year)
+        fslopes = sorted(
+            (yearly[yj] - yearly[yi]) / (yj - yi)
+            for i2, yi in enumerate(ys)
+            for yj in ys[i2 + 1 :]
+        )
+        fmed = fslopes[(len(fslopes) + 1) // 2 - 1]
+        assert abs(med / YEAR_SPAN_LCM - fmed) < 1e-6 + 1e-9 * abs(fmed)
 
 
 def test_brand_price_elasticity_pure_python(spark, sf_dir):
@@ -843,6 +875,10 @@ def test_range_partition_boundaries_pure_python(spark, sf_dir):
         d = n_rows * RANGE_PARTS * 10**6 - N * 10**6
         dv = -((-d) // N) if d < 0 else d // N
         assert r["dev_micro"] == dv
+        # FLOAT WITNESS: dev tracks the float relative deviation
+        assert abs(
+            r["dev_micro"] / 1e6 - (n_rows * RANGE_PARTS - N) / N
+        ) <= 2e-6
         # balance: within one day's mass of the ideal N/P share
         assert abs(n_rows - N / RANGE_PARTS) <= max_day
     assert sum(r["n_rows"] for r in rows) == N
@@ -938,6 +974,16 @@ def test_brand_return_bayes_rank_pure_python(spark, sf_dir):
         assert lo - 1 <= r["shrunk_micro"] <= hi + 1  # pulled toward g
     shr = [r["shrunk_micro"] for r in rows]
     assert shr == sorted(shr, reverse=True)
+    # FLOAT WITNESS: raw and shrunk rates track the float formulas
+    # (k/n and (k + C*g_f)/(n + C)) within trunc-quantization error
+    gf = int(b["k"].sum()) / int(b["n"].sum())
+    for r in rows:
+        n, k, _raw, _shr = want[r["brand"]]
+        assert abs(r["raw_micro"] / 1e6 - k / n) <= 2e-6
+        assert abs(
+            r["shrunk_micro"] / 1e6
+            - (k + BAYES_PRIOR_STRENGTH * gf) / (n + BAYES_PRIOR_STRENGTH)
+        ) <= 3e-6
 
 
 def test_revenue_pareto_cut_pure_python(spark, sf_dir):
@@ -970,6 +1016,12 @@ def test_revenue_pareto_cut_pure_python(spark, sf_dir):
     assert r["cut_part_share_micro"] == int(row["c"]) * 10**6 // total
     # the cut is genuinely concentrating: fewer parts than 80% of them
     assert r["n_parts_80"] < 0.8 * r["n_parts"]
+    # FLOAT WITNESS: shares track the float ratios within trunc error
+    assert abs(r["share_micro"] / 1e6 - cum / total) <= 2e-6
+    assert abs(
+        r["cut_part_share_micro"] / 1e6 - int(row["c"]) / total
+    ) <= 2e-6
+    assert r["share_micro"] / 1e6 >= 0.8 - 2e-6
 
 
 def test_supplier_hhi_pure_python(spark, sf_dir):

@@ -330,6 +330,14 @@ def test_mixture_temperature_flattens(spark, sf_dir):
     assert biggest.temp_share_ppm <= biggest.raw_share_ppm
     assert smallest.temp_share_ppm >= smallest.raw_share_ppm
     assert smallest.resample_ppm >= biggest.resample_ppm
+    # FLOAT WITNESS: flattened share tracks sqrt(tokens) mass in float
+    # (isqrt truncation is up to ~1/(2*sqrt(tok)) relative per source —
+    # a few percent at fixture token counts; the witness targets scale
+    # bugs, not rounding)
+    sum_sqrt = sum(math.sqrt(r.tok) for r in rows)
+    for r in rows:
+        fshare = math.sqrt(r.tok) / sum_sqrt
+        assert abs(r.temp_share_ppm / 1e6 - fshare) <= 0.05 * fshare + 1e-6
 
 
 def test_corpus_datacard_consistent_with_constituents(spark, sf_dir):
@@ -347,6 +355,7 @@ def test_corpus_datacard_consistent_with_constituents(spark, sf_dir):
     assert card["dup_docs"] >= 0 and card["dup_groups"] >= 0
     assert 0 <= card["english_ppm"] <= 1_000_000
     cov = text.q_vocab_coverage(spark, sf_dir).collect()
+    # FLOAT WITNESS: float-division recompute of the ppm shares
     want_oov = round(
         sum(r.n_oov for r in cov) * 1_000_000 / sum(r.n_tokens for r in cov)
     )
@@ -768,6 +777,25 @@ def test_negative_sampling_table_pure_python(spark, sf_dir):
         for r in rows
     ]
     assert got == want
+    # FLOAT WITNESS: the isqrt(f*isqrt(f)) quantization tracks the
+    # true f^0.75 weight, and each term's slot share tracks its float
+    # probability mass within the Hamilton rounding bound (1 slot)
+    Wf = sum(f**0.75 for _t, f in vocab)
+    fprob = {t: f**0.75 / Wf for t, f in vocab}
+    for r in rows:
+        # double-isqrt truncation loses up to ~1/(2*sqrt(sqrt(f)))
+        # relative per level — a ~3% band; the witness targets scale
+        # bugs, not rounding
+        assert abs(r["weight"] - r["freq"] ** 0.75) <= max(
+            2.0, 0.03 * r["freq"] ** 0.75
+        )
+        # isqrt truncation gives up to ~1/sqrt(w) relative error on
+        # small weights, so the slot-mass bound is loose — it exists
+        # to catch scale bugs (10^x), not rounding
+        assert (
+            abs(r["slots"] - fprob[r["term"]] * NEG_TABLE_SLOTS)
+            <= 2 + 0.2 * fprob[r["term"]] * NEG_TABLE_SLOTS
+        )
 
 
 def test_feature_hash_stats_pure_python(spark, sf_dir):

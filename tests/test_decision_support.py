@@ -466,6 +466,8 @@ def test_revenue_gini_matches_sorted_formula(spark, sf_dir):
         assert (r.n_customers, r.total_cents) == (n, tot)
         assert abs(r.gini - want) < 1e-9
         assert 0.0 <= r.gini < 1.0
+        # FLOAT WITNESS: within half-up 6-dp of the float Gini ratio
+        assert abs(r.gini - num / (n * tot)) <= 5e-7
 
 
 def test_rfm_segments_quintile_laws(spark, sf_dir):
@@ -552,3 +554,11 @@ def test_nation_revenue_trend_pure_python(spark, sf_dir):
         assert r["year_max"] == max(ys)
         assert r["total_cents"] == sy
         assert r["slope_micro_cents_per_year"] == want, nat
+        # FLOAT WITNESS: the micro-scaled slope tracks the float OLS
+        # slope (the Fraction recompute shares the integer scale, so
+        # only float division can catch a shared 10^x bug)
+        fslope = num / den
+        assert (
+            abs(r["slope_micro_cents_per_year"] / 1e6 - fslope)
+            <= 1e-6 + 1e-9 * abs(fslope)
+        ), nat

@@ -309,6 +309,11 @@ def test_setsim_prefix_join_matches_brute_force(spark):
     assert (1, 3) in got  # exact dup
     assert (4, 5) in got  # 10/11 > 0.9
     assert not any(6 in p for p in got)
+    # FLOAT WITNESS: the integer cross-multiplied threshold agrees
+    # with the float Jaccard >= 0.9 decision on every pair
+    for a, b in combinations(sorted(sets), 2):
+        fj = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        assert ((a, b) in got) == (fj >= SETSIM_NUM / SETSIM_DEN)
 
 
 def test_setsim_prefix_join_mint_paths_identical(spark, sf_dir):
@@ -550,6 +555,11 @@ def test_bbit_minhash_estimates_pure_python(spark, sf_dir):
             == (2 * r["n_agree_1bit"] - 16) * 62500
         )
         assert -(10**6) <= r["est_1bit_micro"] <= 10**6
+        # FLOAT WITNESS: the micro value IS the float 1-bit unbiased
+        # estimator 2*(agree/16) - 1
+        assert abs(
+            r["est_1bit_micro"] / 1e6 - (2 * r["n_agree_1bit"] / 16 - 1)
+        ) < 1e-12
         tj = full[(r["doc_a"], r["doc_b"])]["true_jaccard"]
         assert r["true_jaccard"] == tj
         assert abs(r["err"] - (r["est_1bit_micro"] / 1e6 - tj)) < 1e-12

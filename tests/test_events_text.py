@@ -789,6 +789,19 @@ def test_zipf_fit_matches_python(spark, sf_dir):
     assert row["zipf_exponent"] == hud(sx * sy - k * sxy, k * sxx - sx * sx)
     # a natural-ish corpus: exponent in a sane band
     assert 0.0 < row["zipf_exponent"] < 3.0
+    # FLOAT WITNESS: the quantized OLS slope must track the true
+    # math.log OLS slope — Spark, oracle and the recompute above all
+    # share the ln_micro quantization, so only the float formula can
+    # catch a shared scale bug (the r9 CUPED incident class)
+    import math
+
+    fx = [math.log(rank) for rank in range(1, len(top) + 1)]
+    fy = [math.log(n) for _t, n in top]
+    fk = len(fx)
+    fslope = (sum(fx) * sum(fy) - fk * sum(a * b for a, b in zip(fx, fy))) / (
+        fk * sum(a * a for a in fx) - sum(fx) ** 2
+    )
+    assert abs(row["zipf_exponent"] - fslope) < max(0.01, 0.02 * abs(fslope))
 
 
 def test_bm25_topk_matches_python(spark, sf_dir):
@@ -857,6 +870,23 @@ def test_bm25_topk_matches_python(spark, sf_dir):
     # sanity: every query returned a full top-10 and scores are positive
     assert len(out) == 5 * text.BM25_TOPK
     assert all(r["bm25_micro"] > 0 for r in out)
+    # FLOAT WITNESS: the micro-scaled integer score must track the
+    # true float Okapi BM25 (k1=1.2, b=0.75, avgdl=T/N) — independent
+    # of the shared ln_micro/rational quantization
+    import math
+
+    for r in out:
+        fscore = 0.0
+        for rk0, (term, d) in enumerate(top20):
+            if rk0 // text.BM25_TERMS_PER_QUERY != r["query_id"]:
+                continue
+            n = tf.get((r["doc_id"], term))
+            if n is None:
+                continue
+            fscore += math.log(n_docs / d) * (
+                n * 2.2 / (n + 0.3 + 0.9 * dl[r["doc_id"]] * n_docs / t_tokens)
+            )
+        assert abs(r["bm25_micro"] / 1e6 - fscore) < 1e-3 + 1e-4 * abs(fscore)
 
 
 def test_user_modal_event_pure_python(spark, sf_dir):
@@ -1028,6 +1058,22 @@ def test_retention_decay_fit_pure_python(spark, sf_dir):
         ) // want_slope
     else:
         assert r["half_life_micro_weeks"] is None
+    # FLOAT WITNESS: the micro-nat slope must track the true math.log
+    # OLS decay rate — the recompute above reads ln_micro off the
+    # engine itself, so it shares any quantization-scale bug
+    import math
+
+    fy = {k: math.log(den[k] / num[k]) for k in ks}
+    fsy = sum(fy.values())
+    fsxy = sum(k * fy[k] for k in ks)
+    fslope = (n * fsxy - sx * fsy) / (n * sxx - sx * sx)
+    assert abs(r["slope_micro_nats_per_week"] / 1e6 - fslope) < max(
+        1e-4, 0.01 * abs(fslope)
+    )
+    if want_slope > 0:
+        assert abs(
+            r["half_life_micro_weeks"] / 1e6 - math.log(2) / fslope
+        ) < max(1e-3, 0.02 * (math.log(2) / fslope))
 
 
 def test_heaps_law_fit_pure_python(spark, sf_dir):
@@ -1100,6 +1146,17 @@ def test_heaps_law_fit_pure_python(spark, sf_dir):
     sxx = sum(x * x for x, _ in pts)
     want = int(Fraction((k * sxy - sx * sy) * 1_000_000, k * sxx - sx * sx))
     assert beta == want
+    # FLOAT WITNESS: constant vocabulary -> the true math.log OLS
+    # slope is EXACTLY zero (all y equal), independently confirming
+    # beta == 0 is the corpus property, not a shared scale artifact
+    import math
+
+    fx2 = [math.log(r2["n_tokens"]) for r2 in rows]
+    fy2 = [math.log(r2["vocab"]) for r2 in rows]
+    fk = len(fx2)
+    fnum = fk * sum(a * b for a, b in zip(fx2, fy2)) - sum(fx2) * sum(fy2)
+    fden = fk * sum(a * a for a in fx2) - sum(fx2) ** 2
+    assert abs(fnum / fden) < 1e-12
 
 
 def test_heaps_beta_positive_on_growing_vocabulary(spark, tmp_path):
@@ -1124,6 +1181,16 @@ def test_heaps_beta_positive_on_growing_vocabulary(spark, tmp_path):
     vc = [r["vocab"] for r in sorted(rows, key=lambda r: r["checkpoint"])]
     assert vc[-1] > vc[0]
     assert 0 < beta < 1_000_000
+    # FLOAT WITNESS: beta tracks the true math.log OLS slope
+    import math
+
+    fx = [math.log(r["n_tokens"]) for r in rows]
+    fy = [math.log(r["vocab"]) for r in rows]
+    k = len(fx)
+    fslope = (k * sum(a * b for a, b in zip(fx, fy)) - sum(fx) * sum(fy)) / (
+        k * sum(a * a for a in fx) - sum(fx) ** 2
+    )
+    assert abs(beta / 1e6 - fslope) < max(1e-3, 0.01 * abs(fslope))
 
 
 def test_source_vocab_overlap_pure_python(spark, sf_dir):
@@ -1159,6 +1226,9 @@ def test_source_vocab_overlap_pure_python(spark, sf_dir):
             # exact half-up 6-dp: (2*n*10^6 + d) // (2*d), then /1e6
             want = ((2 * inter * 10**6 + union) // (2 * union)) / 1e6
             assert r["jaccard"] == want
+            # FLOAT WITNESS: half-up 6-dp sits within 5e-7 of the
+            # true float ratio (independent of the shared formula)
+            assert abs(r["jaccard"] - inter / union) <= 5e-7
 
 
 def test_user_stickiness_pure_python(spark, sf_dir):
@@ -1191,6 +1261,8 @@ def test_user_stickiness_pure_python(spark, sf_dir):
         want = ((2 * r["wau"] * 10**6 + r["mau"]) // (2 * r["mau"])) / 1e6
         assert r["stickiness"] == want
         assert 0 < r["stickiness"] <= 1.0
+        # FLOAT WITNESS: within half-up 6-dp rounding of the float ratio
+        assert abs(r["stickiness"] - r["wau"] / r["mau"]) <= 5e-7
 
 
 def test_user_activity_streaks_pure_python(spark, sf_dir):
@@ -1330,6 +1402,26 @@ def test_kaplan_meier_pure_python(spark, sf_dir):
     vals = [v for *_, v in got if v is not None]
     assert all(x >= y for x, y in zip(vals, vals[1:]))
     assert all(v <= 0 for v in vals)
+    # FLOAT WITNESS: the micro-nat log-survival tracks the true float
+    # Kaplan-Meier product-limit curve (the recompute above reads
+    # ln_micro off the engine, so it shares any quantization bug)
+    import math
+
+    fcurve = {}
+    facc, fdead = 0.0, False
+    for t_ in ts:
+        d, _c = grid[t_]
+        if d > 0 and n_risk[t_] - d >= 1:
+            facc += math.log(1 - d / n_risk[t_])
+        if d > 0 and n_risk[t_] == d:
+            fdead = True
+        if d > 0:
+            fcurve[t_] = None if fdead else facc
+    for t_, _nr, _d, _c, lnv in got:
+        fv = fcurve[t_]
+        assert (lnv is None) == (fv is None)
+        if lnv is not None:
+            assert abs(lnv / 1e6 - fv) < max(1e-4, 0.001 * abs(fv))
 
 
 def test_er_blocking_quality_pure_python(spark, sf_dir):
@@ -1387,6 +1479,10 @@ def test_er_blocking_quality_pure_python(spark, sf_dir):
     else:
         assert r["pair_completeness"] is None
     assert 0 <= r["reduction_ratio"] <= 1
+    # FLOAT WITNESS: within half-up 6-dp rounding of the float ratios
+    assert abs(r["reduction_ratio"] - (total - cand) / total) <= 5e-7
+    if true:
+        assert abs(r["pair_completeness"] - true_b / true) <= 5e-7
 
 
 def test_markov_conversion_prob_pure_python(spark, sf_dir):
@@ -1442,6 +1538,24 @@ def test_markov_conversion_prob_pure_python(spark, sf_dir):
         assert all(0 <= v <= 10**6 for v in seq)
         assert all(x <= y + 1 for x, y in zip(seq, seq[1:]))  # quantized monotone
     assert all(rows[(k, MARKOV_ABSORB)] == 10**6 for k in range(1, 6))
+    # FLOAT WITNESS: the same value iteration in float probabilities —
+    # trunc quantization loses < 1 micro per step, so after K steps
+    # the gap is bounded by K micro (independent of the shared
+    # integer-scale formula)
+    fp = {s: 1.0 if s == MARKOV_ABSORB else 0.0 for s in states}
+    for step in range(1, MARKOV_STEPS + 1):
+        fp = {
+            s: 1.0
+            if s == MARKOV_ABSORB
+            else (
+                sum(c[(s, j)] * fp[j] for j in states) / n_i[s]
+                if n_i[s]
+                else 0.0
+            )
+            for s in states
+        }
+        for s in states:
+            assert abs(rows[(step, s)] / 1e6 - fp[s]) <= step * 1e-6 + 1e-9
 
 
 def test_term_burstiness_pure_python(spark, sf_dir):
@@ -1523,6 +1637,18 @@ def test_revenue_cusum_scan_identity(spark, sf_dir):
         for r in rows
     ]
     assert got == want
+    # FLOAT WITNESS: the integer reference level and allowance carry
+    # the scale — they must sit within one unit of the float mean and
+    # sample-sd (a shared 10^x scale bug would blow these up), and the
+    # float recursion with the integer mu/k reproduces the curve
+    fmu = s1 / n
+    fsd = math.sqrt((n * s2 - s1 * s1) / (n * (n - 1)))
+    assert abs(mu - fmu) <= 1
+    assert abs(sd - fsd) <= 1
+    fs = 0.0
+    for (_d, _x, s_int, _a), x in zip(want, xs):
+        fs = max(0.0, fs + x - mu - k)
+        assert abs(s_int - fs) < 1e-6
 
 
 def test_window_funnel_strict_pure_python(spark, sf_dir):
@@ -1614,6 +1740,22 @@ def test_shapley_channel_attribution_pure_python(spark, sf_dir):
     # on this fixture — otherwise zero-filled gaps break the identity)
     if all(m in grid for m in range(8)):
         assert sum(phis.values()) == 6 * (v[7] - v[0])
+    # FLOAT WITNESS: the same lattice over float conversion rates —
+    # each v is trunc-quantized to micro, and phi sums 4 coalition
+    # differences with coefficients summing to 6, so the micro gap is
+    # bounded by 6 * 2 quanta (independent of the integer formula)
+    fv = {
+        m: (grid[m][1] / grid[m][0]) if m in grid else 0.0
+        for m in range(8)
+    }
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        bit = 1 << i
+        fphi = sum(
+            coef[bin(s).count("1")] * (fv[s | bit] - fv[s])
+            for s in range(8)
+            if not s & bit
+        )
+        assert abs(rows[ch]["phi_x6_micro"] / 1e6 - fphi) <= 12e-6 + 1e-9
 
 
 def test_lang_id_kappa_pure_python(spark, sf_dir):

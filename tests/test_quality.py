@@ -659,6 +659,11 @@ def test_chisq_margins_and_pure_python_recompute(spark, sf_dir):
         assert r["contrib_micro"] == (dev * dev * 1_000_000) // (
             rt[key[0]] * ct[key[1]] * n
         )
+        # FLOAT WITNESS: the cross-multiplied cell contribution equals
+        # the textbook (O - E)^2 / E chi-square term in float
+        e = rt[key[0]] * ct[key[1]] / n
+        fchi = (o - e) ** 2 / e
+        assert abs(r["contrib_micro"] / 1e6 - fchi) <= 2e-6 + 1e-9 * fchi
 
 
 def test_merkle_root_invariance_and_sensitivity(spark, sf_dir, tmp_path):
@@ -802,7 +807,7 @@ def test_segment_price_ttest_pure_python(spark, sf_dir):
             assert r["dm_milli_abs"] == dm
             assert r["t2_micro"] == t2
             assert r["df_milli"] == df
-            # float Welch cross-check
+            # FLOAT WITNESS: float Welch cross-check
             ma, mb = s1a / na, s1b / nb
             va = (s2a - na * ma * ma) / (na - 1)
             vb = (s2b - nb * mb * mb) / (nb - 1)
@@ -1141,6 +1146,20 @@ def test_neyman_allocation_pure_python(spark, sf_dir):
         (n * sd) ** 2 / alloc[seg] for seg, (n, sd, _) in stats.items()
     )
     assert var(ney) <= var(prop) * (1 + 1e-9)
+    # FLOAT WITNESS: integer sd within 1 cent of the float sample sd,
+    # and each Neyman allocation within rounding of the float optimum
+    # n_h = budget * N_h sd_h / sum (N sd)
+    fsd = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        xs = [int(v) for v in g["cents"]]
+        n = len(xs)
+        m = sum(xs) / n
+        fsd[seg] = (sum((x - m) ** 2 for x in xs) / (n - 1)) ** 0.5
+    ftot = sum(n * fsd[seg] for seg, (n, _, _) in stats.items())
+    for seg, (n, sd, _w) in stats.items():
+        assert abs(sd - fsd[seg]) <= 1.0
+        falloc = NEYMAN_BUDGET * n * fsd[seg] / ftot
+        assert abs(rows[seg]["alloc_neyman"] - falloc) <= 2 + 0.01 * falloc
 
 
 def test_join_cardinality_estimate_pure_python(spark, sf_dir):
@@ -1203,6 +1222,8 @@ def test_join_cardinality_estimate_pure_python(spark, sf_dir):
     assert r["rel_err_micro"] == want
     # sanity band: within 3x either way
     assert actual // 3 <= est <= actual * 3
+    # FLOAT WITNESS: the micro relative error tracks the float ratio
+    assert abs(r["rel_err_micro"] / 1e6 - (est - actual) / actual) <= 2e-6
 
 
 def test_fk_discovery_discriminates(spark, sf_dir):

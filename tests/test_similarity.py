@@ -195,6 +195,18 @@ def test_label_scatter_matches_dataframe_recompute(spark, sf_dir):
     }
     assert got == want
     assert all(sc >= 0 for _, sc in got.values())
+    # FLOAT WITNESS: scatter_q ~ n^2 * 1e12 * sum-of-dim population
+    # variances of the RAW float embeddings (independent of the micro
+    # lift both recomputes share)
+    import numpy as np
+
+    by_label: dict = {}
+    for r in load(spark, sf_dir).embeddings.select("label", "embedding").collect():
+        by_label.setdefault(r["label"], []).append(list(map(float, r["embedding"])))
+    for label, (n, sc) in got.items():
+        X = np.array(by_label[label])
+        fscatter = n * n * 1e12 * float(X.var(axis=0).sum())
+        assert abs(sc - fscatter) <= max(1e6, 1e-3 * fscatter)
 
 
 def test_semantic_neardup_detects_planted_pair(spark):
@@ -409,6 +421,19 @@ def test_kmeans_round_matches_numpy(spark, sf_dir):
         for r in q_kmeans_round(spark, sf_dir).collect()
     }
     assert got == want
+    # FLOAT WITNESS: each integer centroid coordinate tracks the float
+    # mean of its members' RAW (un-quantized) embedding values — the
+    # replica above shares the micro lift, so only this catches a
+    # shared scale bug
+    raw = {r.vec_id: list(map(float, r.embedding))
+           for r in t.embeddings.collect()}
+    fmean = {}
+    for cid in range(1, KMEANS_K + 1):
+        members = [raw[v] for v in raw if assign[v] == cid]
+        for dim in range(64):
+            fmean[(cid, dim + 1)] = sum(m[dim] for m in members) / len(members)
+    for (cid, dim), (_n, _sq, cent) in got.items():
+        assert abs(cent / 1e6 - fmean[(cid, dim)]) <= 2e-6
 
 
 def test_pca_power_iteration_matches_exact_replica(spark, sf_dir):
@@ -456,6 +481,25 @@ def test_pca_power_iteration_matches_exact_replica(spark, sf_dir):
         return num / den
 
     assert rayleigh(v) > rayleigh([1] * d)
+
+    # FLOAT WITNESS: run the same power iteration in float from the
+    # RAW embeddings (no micro lift anywhere) — the fixed-point
+    # direction must align with the float principal direction
+    # (|cosine| > 0.999; sign is normalized by the same rule)
+    import numpy as np
+
+    X = np.array(
+        [list(map(float, r.embedding)) for r in t.embeddings.collect()]
+    )
+    Xc = X - X.mean(axis=0)
+    G = Xc.T @ Xc
+    fv = np.ones(d)
+    for _ in range(PCA_ROUNDS):
+        fv = G @ fv
+        fv = fv / np.abs(fv).max()
+    iv = np.array([want[j + 1] for j in range(d)], dtype=float)
+    cos = abs(float(iv @ fv) / (np.linalg.norm(iv) * np.linalg.norm(fv)))
+    assert cos > 0.999
 
 
 def test_random_projection_norm_concentration(spark, sf_dir):
@@ -661,6 +705,19 @@ def test_ann_topk_exactint_matches_pure_python(spark, sf_dir):
         got[qv].sort(key=lambda x: x[1])
     assert got == want
 
+    # FLOAT WITNESS: the reported micro scores track the true float
+    # cosine of the RAW embeddings — independent of the shared micro
+    # lift / isqrt / half-up chain (the r9 CUPED bug class)
+    import numpy as np
+
+    for qv2, lst in got.items():
+        a = np.array(list(map(float, emb[qv2])))
+        na = np.linalg.norm(a)
+        for nv2, _rk2, cosm2 in lst:
+            b = np.array(list(map(float, emb[nv2])))
+            fcos = float(a @ b) / (na * np.linalg.norm(b))
+            assert abs(cosm2 - fcos) < 2e-5
+
 
 def test_ivf_topk_exactint_matches_pure_python(spark, sf_dir):
     """Full independent reimplementation of the hash-verifiable IVF
@@ -747,6 +804,19 @@ def test_ivf_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+    # FLOAT WITNESS: the reported micro scores track the true float
+    # cosine of the RAW embeddings — independent of the shared micro
+    # lift / isqrt / half-up chain (the r9 CUPED bug class)
+    import numpy as np
+
+    for qv2, lst in got.items():
+        a = np.array(list(map(float, emb[qv2])))
+        na = np.linalg.norm(a)
+        for nv2, _rk2, cosm2 in lst:
+            b = np.array(list(map(float, emb[nv2])))
+            fcos = float(a @ b) / (na * np.linalg.norm(b))
+            assert abs(cosm2 - fcos) < 2e-5
 
 
 def test_pq_topk_exactint_matches_pure_python(spark, sf_dir):
@@ -864,6 +934,19 @@ def test_pq_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+    # FLOAT WITNESS: the reported micro scores track the true float
+    # cosine of the RAW embeddings — independent of the shared micro
+    # lift / isqrt / half-up chain (the r9 CUPED bug class)
+    import numpy as np
+
+    for qv2, lst in got.items():
+        a = np.array(list(map(float, emb[qv2])))
+        na = np.linalg.norm(a)
+        for nv2, _rk2, cosm2 in lst:
+            b = np.array(list(map(float, emb[nv2])))
+            fcos = float(a @ b) / (na * np.linalg.norm(b))
+            assert abs(cosm2 - fcos) < 2e-5
 
 
 def test_ivfpq_topk_exactint_matches_pure_python(spark, sf_dir):
@@ -1002,6 +1085,19 @@ def test_ivfpq_topk_exactint_matches_pure_python(spark, sf_dir):
     for qv in got:
         got[qv].sort(key=lambda x: x[1])
     assert got == want
+
+    # FLOAT WITNESS: the reported micro scores track the true float
+    # cosine of the RAW embeddings — independent of the shared micro
+    # lift / isqrt / half-up chain (the r9 CUPED bug class)
+    import numpy as np
+
+    for qv2, lst in got.items():
+        a = np.array(list(map(float, emb[qv2])))
+        na = np.linalg.norm(a)
+        for nv2, _rk2, cosm2 in lst:
+            b = np.array(list(map(float, emb[nv2])))
+            fcos = float(a @ b) / (na * np.linalg.norm(b))
+            assert abs(cosm2 - fcos) < 2e-5
 
 
 def test_fixture_fingerprint_sees_nested_files(tmp_path):
