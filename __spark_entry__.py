@@ -127,6 +127,9 @@ _DRIVER_ORDER_R10 = [
     "copurchase_adamic_adar",
     "user_stickiness",
     # --- new-in-r10 entries go here (gate-verify the round they land) ---
+    "position_attribution",  # new in r10
+    "time_decay_attribution",  # new in r10
+    "temporal_gap_coalesce",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -465,6 +468,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "view_to_purchase_lag": temporal.q_view_to_purchase_lag,
         # interval overlap join: per-customer concurrent orders
         "order_interval_overlaps": temporal.q_order_interval_overlaps,
+        "temporal_gap_coalesce": temporal.q_temporal_gap_coalesce,
         "event_transitions": temporal.q_event_transitions,
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
@@ -510,6 +514,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fk_discovery": quality.q_fk_discovery,
         "range_partition_boundaries": warehouse.q_range_partition_boundaries,
         "shapley_channel_attribution": events.q_shapley_channel_attribution,
+        "position_attribution": events.q_position_attribution,
+        "time_decay_attribution": events.q_time_decay_attribution,
         "copurchase_kcore": graph.q_copurchase_kcore,
         "lang_id_kappa": text.q_lang_id_kappa,
         "brand_return_bayes_rank": warehouse.q_brand_return_bayes_rank,
@@ -6377,5 +6383,87 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS n_violations, "
         "coalesce(sum(CASE WHEN at_risk THEN n_rows END), 0) = 0 "
         f"AS passed FROM ({out['kanonymity_profile']})"
+    )
+
+    out["position_attribution"] = (
+        # U-shaped credit over pre-purchase touches: 40/40/20 with
+        # window-ranked first/last, middle split by integer div
+        "WITH e AS (SELECT user_id, event_type, event_id, "
+        "epoch_us(ts) AS us FROM events), "
+        "buys AS (SELECT user_id, min(us) AS t_buy FROM e "
+        "WHERE event_type = 'purchase' GROUP BY 1), "
+        "tch AS (SELECT e.user_id, event_type, event_id, us "
+        "FROM e JOIN buys USING (user_id) "
+        "WHERE event_type IN ('view', 'click', 'signup') "
+        "AND us < t_buy), "
+        "r AS (SELECT user_id, event_type, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY us, "
+        "event_id) AS rk, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY us DESC, "
+        "event_id DESC) AS rk_rev, "
+        "count(*) OVER (PARTITION BY user_id) AS n FROM tch), "
+        "c AS (SELECT event_type AS channel, "
+        "CASE WHEN rk = 1 THEN 1 ELSE 0 END AS is_first, "
+        "CASE WHEN rk_rev = 1 AND n > 1 THEN 1 ELSE 0 END AS is_last, "
+        "CASE WHEN rk > 1 AND rk_rev > 1 THEN 1 ELSE 0 END AS is_mid, "
+        "CASE WHEN n = 1 THEN 1000000 WHEN n = 2 THEN 500000 "
+        "WHEN rk = 1 THEN 400000 WHEN rk_rev = 1 THEN 400000 "
+        "ELSE 200000 // (n - 2) END AS credit FROM r) "
+        "SELECT channel, CAST(sum(is_first) AS BIGINT) AS n_first, "
+        "CAST(sum(is_last) AS BIGINT) AS n_last, "
+        "CAST(sum(is_mid) AS BIGINT) AS n_middle, "
+        "CAST(sum(credit) AS BIGINT) AS credit_ppm "
+        "FROM c GROUP BY 1 ORDER BY 1"
+    )
+    out["time_decay_attribution"] = (
+        # weight halves per DAY of age: 1e6 >> age_days (cap 30),
+        # credit = trunc(wt * 1e6 / user weight sum)
+        "WITH e AS (SELECT user_id, event_type, event_id, "
+        "epoch_us(ts) AS us FROM events), "
+        "buys AS (SELECT user_id, min(us) AS t_buy FROM e "
+        "WHERE event_type = 'purchase' GROUP BY 1), "
+        "tch AS (SELECT e.user_id, event_type, us, t_buy "
+        "FROM e JOIN buys USING (user_id) "
+        "WHERE event_type IN ('view', 'click', 'signup') "
+        "AND us < t_buy), "
+        "w AS (SELECT user_id, event_type, "
+        "CAST(1000000 AS BIGINT) >> CAST(least("
+        "(t_buy - us) // 86400000000, 30) AS INTEGER) AS wt "
+        "FROM tch), "
+        "ws AS (SELECT event_type, wt, "
+        "sum(wt) OVER (PARTITION BY user_id) AS w_sum FROM w) "
+        "SELECT event_type AS channel, "
+        "CAST(count(*) AS BIGINT) AS n_touches, "
+        "CAST(sum(wt) AS BIGINT) AS weight_sum, "
+        "CAST(sum(CASE WHEN w_sum > 0 THEN (wt * 1000000) // w_sum "
+        "ELSE 0 END) AS BIGINT) AS credit_ppm "
+        "FROM ws GROUP BY 1 ORDER BY 1"
+    )
+    out["temporal_gap_coalesce"] = (
+        # gaps-and-islands pack: island starts where start_d exceeds
+        # the running max end over strictly-preceding intervals
+        "WITH ends AS (SELECT l_orderkey, "
+        "max(CAST(l_shipdate AS DATE)) AS end_d "
+        "FROM lineitem GROUP BY 1), "
+        "iv AS (SELECT o_orderkey, o_custkey AS custkey, "
+        "CAST(o_orderdate AS DATE) AS start_d, "
+        "greatest(CAST(o_orderdate AS DATE), end_d) AS end_d "
+        "FROM orders JOIN ends ON o_orderkey = l_orderkey), "
+        "m AS (SELECT custkey, o_orderkey, start_d, end_d, "
+        "CASE WHEN start_d > coalesce(max(end_d) OVER ("
+        "PARTITION BY custkey ORDER BY start_d, o_orderkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+        "DATE '0001-01-01') THEN 1 ELSE 0 END AS new_island FROM iv), "
+        "i AS (SELECT custkey, start_d, end_d, "
+        "sum(new_island) OVER (PARTITION BY custkey "
+        "ORDER BY start_d, o_orderkey) AS island FROM m), "
+        "g AS (SELECT custkey, island, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "min(start_d) AS s, max(end_d) AS e FROM i GROUP BY 1, 2) "
+        "SELECT custkey, CAST(sum(n_orders) AS BIGINT) AS n_orders, "
+        "CAST(count(*) AS BIGINT) AS n_islands, "
+        "CAST(sum(e - s + 1) AS BIGINT) AS covered_days, "
+        "CAST(max(e - s + 1) AS BIGINT) AS longest_island_days "
+        "FROM g GROUP BY 1 ORDER BY 1"
     )
     return out

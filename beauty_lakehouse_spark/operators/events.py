@@ -1325,3 +1325,151 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("channel")
+
+
+#: Channels credited by the rule-based attribution operators (same
+#: roster as the Shapley operator, so the three models are comparable).
+ATTRIB_CHANNELS = SHAPLEY_CHANNELS
+
+
+def _attrib_touches(t) -> DataFrame:
+    """Pre-purchase channel touches shared by the rule-based
+    attribution operators: one row per (user, channel event) strictly
+    before the user's first purchase, with the touch's (us, event_id)
+    order key and the purchase time. Users who never purchase
+    contribute nothing — rule-based models credit conversions only
+    (unlike the Shapley operator, which also uses non-converters to
+    estimate coalition values)."""
+    ev = t.events.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+    )
+    buys = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_buy"))
+    )
+    return (
+        ev.filter(F.col("event_type").isin(ATTRIB_CHANNELS))
+        .join(buys, "user_id")
+        .filter(F.col("us") < F.col("t_buy"))
+    )
+
+
+def q_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the
+    rule-based industry standard next to the data-driven Shapley
+    split: each conversion distributes 1,000,000 ppm of credit over
+    the user's pre-purchase touches — 40% to the first touch, 40% to
+    the last, 20% split evenly across the middle (1 touch → 100%,
+    2 touches → 50/50). Touch order is (event time, event_id) — a
+    total order, so first/last are unambiguous.
+
+    Exact fixed point: per-touch credit is integer ppm; the middle
+    split truncates (per-user loss < n_middle ppm, asserted bounded in
+    the pytest), everything else is literal integer arithmetic.
+
+    Scale: one shuffle to user grain for first-purchase times, one
+    per-user window over the (bounded per user) touch list, one final
+    channel aggregate. No self-joins, no cross products.
+
+    Output: (channel, n_first, n_last, n_middle, credit_ppm) — the
+    credit each channel earned across all conversions."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    touches = _attrib_touches(t)
+    w_user = Window.partitionBy("user_id")
+    w_asc = w_user.orderBy(F.asc("us"), F.asc("event_id"))
+    w_desc = w_user.orderBy(F.desc("us"), F.desc("event_id"))
+    ranked = (
+        touches.withColumn("rk", F.row_number().over(w_asc))
+        .withColumn("rk_rev", F.row_number().over(w_desc))
+        .withColumn("n", F.count(F.lit(1)).over(w_user))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000))
+        .when(
+            F.col("n") == 2,
+            F.lit(500_000),
+        )
+        .when(F.col("rk") == 1, F.lit(400_000))
+        .when(F.col("rk_rev") == 1, F.lit(400_000))
+        .otherwise(F.expr("CAST(200000 div (n - 2) AS BIGINT)"))
+    )
+    return (
+        ranked.select(
+            F.col("event_type").alias("channel"),
+            (F.col("rk") == 1).cast("long").alias("is_first"),
+            ((F.col("rk_rev") == 1) & (F.col("n") > 1))
+            .cast("long")
+            .alias("is_last"),
+            ((F.col("rk") > 1) & (F.col("rk_rev") > 1))
+            .cast("long")
+            .alias("is_mid"),
+            credit.alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.sum("is_first").alias("n_first"),
+            F.sum("is_last").alias("n_last"),
+            F.sum("is_mid").alias("n_middle"),
+            F.sum("credit").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )
+
+
+def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the third rule-based model
+    (next to position-based and Shapley): a touch's weight HALVES per
+    DAY of age at conversion time, computed as the exact integer
+    ``1_000_000 >> age_days`` (capped at 30 halvings → weight 0
+    beyond a month) so both engines draw bit-identical weights with
+    no float exponentials. Each conversion's 1,000,000 ppm of credit
+    splits across its touches proportionally to weight (truncating
+    integer division against the user's weight sum).
+
+    Scale: same shape as the position model — user-grain shuffle, one
+    per-user aggregate for the weight sum (broadcast back via a
+    window), one channel aggregate.
+
+    Output: (channel, n_touches, weight_sum, credit_ppm)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    touches = _attrib_touches(t)
+    age_w = F.expr("(t_buy - us) div 86400000000")
+    wt = F.expr(
+        "shiftright(CAST(1000000 AS BIGINT), "
+        "CAST(least(age_w, CAST(30 AS BIGINT)) AS INT))"
+    )
+    w_user = Window.partitionBy("user_id")
+    weighted = touches.withColumn("age_w", age_w).withColumn(
+        "wt", wt
+    ).withColumn("w_sum", F.sum("wt").over(w_user))
+    credit = F.when(
+        F.col("w_sum") > 0,
+        _idiv(
+            F.col("wt").cast("decimal(38,0)") * F.lit(1_000_000),
+            F.col("w_sum"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        weighted.select(
+            F.col("event_type").alias("channel"),
+            "wt",
+            credit.alias("credit"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("wt").alias("weight_sum"),
+            F.sum("credit").alias("credit_ppm"),
+        )
+        .orderBy("channel")
+    )

@@ -516,11 +516,15 @@ def ddsketch_quantiles_finish(buckets: DataFrame) -> DataFrame:
     return out
 
 
-def q_key_skew_profile(spark, sf_dir: str) -> DataFrame:
-    """Shuffle-key skew diagnostics: the top-20 heaviest keys of the two
-    hot join/agg keys, with their parts-per-million share of the table —
-    the profile you read BEFORE deciding to salt a key or enable AQE
-    skew handling on a 100 TB join.
+def q_hot_keys_top(spark, sf_dir: str) -> DataFrame:
+    """Hot-key TOP-20 report — the key-grain companion to the
+    distributional `q_key_skew_profile` (which reports Gini/heaviest
+    over the count-of-counts): the 20 heaviest values of each hot
+    join/agg key with their parts-per-million share, i.e. the concrete
+    keys you would salt. (r10 note: this was an earlier same-named
+    definition that the r9 Gini profile shadowed at import time —
+    resurrected under its own name and oracle because the two reports
+    answer different questions.)
 
     Exactness: share is an integer half-up division to ppm. One
     partial-aggregated groupBy per profiled key; the 1-row total rides

@@ -628,3 +628,78 @@ def q_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum") - F.col("run_min") > F.col("sd") * CUSUM_H_SD
         ).alias("alarm"),
     ).orderBy("day")
+
+
+def q_temporal_gap_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL COALESCE (temporal normalization): merge each
+    customer's overlapping order-activity intervals
+    [o_orderdate, max(l_shipdate)] into maximal disjoint ISLANDS —
+    the temporal-database `pack` operator, and the fourth interval
+    shape in the temporal family (backward as-of, forward as-of,
+    overlap join, now coalesce). The operational reading: how many
+    distinct busy periods did a customer have, and how long was the
+    longest.
+
+    Spark-first plan: the classic gaps-and-islands scan — order each
+    customer's intervals by (start, orderkey), take the running max of
+    end over STRICTLY preceding rows, mark an island start wherever
+    the current start exceeds that running max (no overlap with
+    anything before it), and sum the markers to mint island ids. Both
+    windows are per-customer (bounded), never global; islands then
+    aggregate per (customer, island) and once more per customer. All
+    date arithmetic is exact integer days on both engines; ends are
+    clamped to starts like the overlap join (fixtures contain
+    deliberate ship-before-order rows).
+
+    Output: (custkey, n_orders, n_islands, covered_days,
+    longest_island_days) — covered_days is the union length, which the
+    pytest cross-checks against a day-set recompute."""
+    t = load(spark, sf_dir)
+    ends = t.lineitem.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("end_d")
+    )
+    iv = (
+        t.orders.select(
+            "o_orderkey",
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderdate").cast("date").alias("start_d"),
+        )
+        .join(ends, F.col("o_orderkey") == F.col("l_orderkey"))
+        .drop("l_orderkey")
+        .withColumn("end_d", F.greatest("start_d", "end_d"))
+    )
+    w_prev = (
+        Window.partitionBy("custkey")
+        .orderBy(F.asc("start_d"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("custkey").orderBy(
+        F.asc("start_d"), F.asc("o_orderkey")
+    )
+    marked = iv.withColumn(
+        "new_island",
+        (
+            F.col("start_d")
+            > F.coalesce(
+                F.max("end_d").over(w_prev),
+                F.lit("0001-01-01").cast("date"),
+            )
+        ).cast("long"),
+    ).withColumn("island", F.sum("new_island").over(w_run))
+    islands = marked.groupBy("custkey", "island").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("start_d").alias("s"),
+        F.max("end_d").alias("e"),
+    )
+    return (
+        islands.groupBy("custkey")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.datediff("e", "s") + 1).alias("covered_days"),
+            F.max(F.datediff("e", "s") + 1).alias(
+                "longest_island_days"
+            ),
+        )
+        .orderBy("custkey")
+    )

@@ -1966,3 +1966,234 @@ def q_interpurchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cv2_micro"),
     )
     return out.orderBy("cv2_micro", "o_custkey").limit(100)
+
+
+#: Selectivity-audit geometry: equi-width bucket count, equi-depth
+#: bucket count, and the three literal range predicates audited
+#: (cents). Literals are round dollar amounts inside the fixtures'
+#: o_totalprice range at every SF.
+SELAUDIT_WIDTH_BUCKETS = 16
+SELAUDIT_DEPTH_BUCKETS = 8
+SELAUDIT_PREDICATES = [
+    ("le_20k", None, 2_000_000),
+    ("btw_10k_30k", 1_000_000, 3_000_000),
+    ("ge_50k", 5_000_000, None),
+]
+
+
+def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HISTOGRAM SELECTIVITY AUDIT — the optimizer-statistics
+    diagnostic next to `q_join_cardinality_estimate`: for three fixed
+    range predicates over order value, compare the TRUE row count
+    against the estimate each of the two classic histogram families
+    produces (equi-WIDTH: fixed value ranges, skew-sensitive;
+    equi-DEPTH: fixed row mass, the one real optimizers keep), with
+    uniform-within-bucket linear interpolation — the textbook
+    selectivity estimator (Selinger et al. 1979; Piatetsky-Shapiro &
+    Connell 1984). The audit quantifies which histogram earns its
+    bytes on this data.
+
+    Exact fixed point: both histograms are built on the DISTINCT-CENTS
+    value grid (bounded domain, the repo's standard grid trick), the
+    interpolation is one truncating integer division per (predicate,
+    histogram), and errors are micro-scaled signed trunc divisions.
+
+    Scale: one shuffle to the cents grid; cumulative windows run over
+    the bounded VALUE DOMAIN, never raw rows; histograms are ≤ 24
+    rows; predicates are literal arithmetic over those rows.
+
+    Output (3 rows): (predicate, actual_rows, est_width, est_depth,
+    err_width_micro, err_depth_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    cents = (dec2("o_totalprice") * 100).cast("long")
+    grid = (
+        t.orders.select(cents.alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = grid.agg(
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+        F.sum("n").alias("n_total"),
+    )
+    g = grid.crossJoin(F.broadcast(bounds))
+    wb = SELAUDIT_WIDTH_BUCKETS
+    db = SELAUDIT_DEPTH_BUCKETS
+    # equi-width histogram: bucket = (c - cmin) div W, W = ceil(span/wb)
+    width = (
+        g.withColumn(
+            "w", F.expr(f"(cmax - cmin + {wb}) div {wb}")
+        )
+        .withColumn("b", F.expr("(c - cmin) div w"))
+        .groupBy("b")
+        .agg(
+            F.min(F.expr("cmin + b * w")).alias("lo"),
+            F.min(F.expr("cmin + (b + 1) * w - 1")).alias("hi"),
+            F.sum("n").alias("nb"),
+        )
+    )
+    # equi-depth histogram: bucket = ceil(cum * db / N) over the grid
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    depth = (
+        g.withColumn("cum", F.sum("n").over(wcum))
+        .withColumn(
+            "b", F.expr(f"(cum * {db} + n_total - 1) div n_total")
+        )
+        .groupBy("b")
+        .agg(
+            F.min("c").alias("lo"),
+            F.max("c").alias("hi"),
+            F.sum("n").alias("nb"),
+        )
+    )
+
+    def est(hist: DataFrame, lo_lit, hi_lit) -> F.Column:
+        """Uniform-within-bucket estimate of rows in [lo_lit, hi_lit]
+        (None = unbounded) as one aggregate over the bucket table."""
+        lo = F.lit(lo_lit if lo_lit is not None else -(1 << 62))
+        hi = F.lit(hi_lit if hi_lit is not None else (1 << 62))
+        ov_lo = F.greatest(F.col("lo"), lo)
+        ov_hi = F.least(F.col("hi"), hi)
+        frac = F.when(
+            ov_hi >= ov_lo,
+            F.expr(
+                "CAST(nb AS DECIMAL(38,0)) * (ov_hi - ov_lo + 1)"
+            ),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        return hist.select(
+            ov_lo.alias("ov_lo"),
+            ov_hi.alias("ov_hi"),
+            F.col("nb"),
+            (F.col("hi") - F.col("lo") + 1).alias("span"),
+        ).agg(
+            F.sum(
+                F.when(
+                    F.col("ov_hi") >= F.col("ov_lo"),
+                    (
+                        F.col("nb").cast("decimal(38,0)")
+                        * (F.col("ov_hi") - F.col("ov_lo") + 1)
+                    )
+                    / F.col("span"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("est")
+        )
+
+    rows = []
+    for name, plo, phi in SELAUDIT_PREDICATES:
+        lo = plo if plo is not None else -(1 << 62)
+        hi = phi if phi is not None else (1 << 62)
+        actual = g.agg(
+            F.sum(
+                F.when(
+                    (F.col("c") >= F.lit(lo)) & (F.col("c") <= F.lit(hi)),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("actual_rows")
+        )
+        ew = est(width, plo, phi).withColumnRenamed("est", "est_width")
+        ed = est(depth, plo, phi).withColumnRenamed("est", "est_depth")
+        one = (
+            actual.crossJoin(F.broadcast(ew))
+            .crossJoin(F.broadcast(ed))
+            .crossJoin(F.broadcast(bounds.select("n_total")))
+        )
+        rows.append(
+            one.select(
+                F.lit(name).alias("predicate"),
+                F.col("actual_rows").cast("long").alias("actual_rows"),
+                "est_width",
+                "est_depth",
+                _idiv(
+                    (F.col("est_width") - F.col("actual_rows")).cast(
+                        "decimal(38,0)"
+                    )
+                    * F.lit(1_000_000),
+                    F.greatest(F.col("actual_rows"), F.lit(1)),
+                ).alias("err_width_micro"),
+                _idiv(
+                    (F.col("est_depth") - F.col("actual_rows")).cast(
+                        "decimal(38,0)"
+                    )
+                    * F.lit(1_000_000),
+                    F.greatest(F.col("actual_rows"), F.lit(1)),
+                ).alias("err_depth_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("predicate")
+
+
+#: Columns profiled by the encoding-stats report, with the partition
+#: and order keys defining the run geometry (runs are counted within
+#: each order-day, ordered by orderkey — the curated zone's layout).
+ENCODING_COLUMNS = ["o_orderpriority", "o_orderstatus"]
+
+
+def q_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN ENCODING ADVISOR — the storage-layout diagnostic next to
+    `q_orders_zorder_keys`: for each low-cardinality orders column,
+    measure what dictionary and run-length encoding would actually
+    achieve on the curated layout (rows clustered by order day,
+    ordered by orderkey within the day): distinct-value count →
+    dictionary code width in bits (ceil log2 via the exact
+    length(bin(ndv-1)) both engines share), and the RUN count under
+    the layout → the RLE compression ratio. The report is the input to
+    a write-path encoding choice at 100 TB (a 5-value priority column
+    at 3 bits/row vs 8-byte strings is a 20x scan-width cut).
+
+    Scale: run counting is a lag comparison inside per-DAY windows
+    (partitioned, bounded), one aggregate per column; never a global
+    sort.
+
+    Output: (column, n_rows, n_distinct, n_runs, dict_bits_per_value,
+    rle_runs_ppm) ordered by column."""
+    t = load(spark, sf_dir)
+    rows = []
+    for col in ENCODING_COLUMNS:
+        day = F.col("o_orderdate").cast("date")
+        w = Window.partitionBy(day).orderBy("o_orderkey")
+        runs = t.orders.select(
+            day.alias("d"),
+            "o_orderkey",
+            F.col(col).alias("v"),
+            (
+                F.lag(F.col(col)).over(w).isNull()
+                | (F.lag(F.col(col)).over(w) != F.col(col))
+            )
+            .cast("long")
+            .alias("is_run_start"),
+        )
+        agg = runs.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("v").alias("n_distinct"),
+            F.sum("is_run_start").alias("n_runs"),
+        )
+        rows.append(
+            agg.select(
+                F.lit(col).alias("column"),
+                "n_rows",
+                "n_distinct",
+                "n_runs",
+                F.when(F.col("n_distinct") <= 1, F.lit(0))
+                .otherwise(
+                    F.length(F.bin(F.col("n_distinct") - 1))
+                )
+                .cast("long")
+                .alias("dict_bits_per_value"),
+                halfup_div(
+                    F.col("n_runs") * 1_000_000, F.col("n_rows"), 0
+                ).alias("rle_runs_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("column")
