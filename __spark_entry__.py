@@ -130,6 +130,9 @@ _DRIVER_ORDER_R10 = [
     "position_attribution",  # new in r10
     "time_decay_attribution",  # new in r10
     "temporal_gap_coalesce",  # new in r10
+    "hot_keys_top",  # new in r10
+    "selectivity_audit",  # new in r10
+    "column_encoding_stats",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -525,6 +528,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation": quality.q_neyman_allocation,
         "shard_rendezvous_stats": warehouse.q_shard_rendezvous_stats,
         "zone_map_pruning": warehouse.q_zone_map_pruning,
+        "selectivity_audit": warehouse.q_selectivity_audit,
+        "column_encoding_stats": warehouse.q_column_encoding_stats,
         "purchase_error_burst": temporal.q_purchase_error_burst,
         "rolling_distinct_users": events.q_rolling_distinct_users,
         # warehouse layer (ref L3) + TPC-H-shaped headliners (oracle)
@@ -728,6 +733,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_checksums": quality.q_table_checksums,
         # join-key skew diagnostics (count-of-counts exact Gini)
         "key_skew_profile": quality.q_key_skew_profile,
+        "hot_keys_top": quality.q_hot_keys_top,
         # partition-grain anti-entropy (sync-unit fingerprints)
         "orders_partition_checksums": quality.q_orders_partition_checksums,
         # Merkle root over the partition fingerprints (O(1) agreement)
@@ -6453,7 +6459,8 @@ def oracle_sql() -> dict[str, str]:
         "CASE WHEN start_d > coalesce(max(end_d) OVER ("
         "PARTITION BY custkey ORDER BY start_d, o_orderkey "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
-        "DATE '0001-01-01') THEN 1 ELSE 0 END AS new_island FROM iv), "
+        "DATE '0001-01-01') + 1 THEN 1 ELSE 0 END AS new_island "
+        "FROM iv), "
         "i AS (SELECT custkey, start_d, end_d, "
         "sum(new_island) OVER (PARTITION BY custkey "
         "ORDER BY start_d, o_orderkey) AS island FROM m), "
@@ -6465,5 +6472,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(e - s + 1) AS BIGINT) AS covered_days, "
         "CAST(max(e - s + 1) AS BIGINT) AS longest_island_days "
         "FROM g GROUP BY 1 ORDER BY 1"
+    )
+
+    out["hot_keys_top"] = (
+        # per-table top-20 heaviest keys with half-up ppm share
+        "(SELECT 'lineitem.l_partkey' AS target, CAST(l_partkey AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_rows, (CAST(((CAST(count(*) * 1000000 AS HUGEINT) * 2 + CAST((SELECT count(*) FROM lineitem) AS HUGEINT)) // (CAST((SELECT count(*) FROM lineitem) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS share_ppm FROM lineitem GROUP BY l_partkey ORDER BY n_rows DESC, key LIMIT 20) UNION ALL (SELECT 'orders.o_custkey' AS target, CAST(o_custkey AS BIGINT) AS key, CAST(count(*) AS BIGINT) AS n_rows, (CAST(((CAST(count(*) * 1000000 AS HUGEINT) * 2 + CAST((SELECT count(*) FROM orders) AS HUGEINT)) // (CAST((SELECT count(*) FROM orders) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS share_ppm FROM orders GROUP BY o_custkey ORDER BY n_rows DESC, key LIMIT 20)"
+    )
+    out["selectivity_audit"] = (
+        # equi-width vs equi-depth histogram estimates vs truth over
+        # the distinct-cents grid; per-bucket trunc interpolation
+        "WITH grid AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1), bounds AS (SELECT min(c) AS cmin, max(c) AS cmax, CAST(sum(n) AS BIGINT) AS n_total FROM grid), width AS (SELECT b, min(cmin + b * w) AS lo, min(cmin + (b + 1) * w - 1) AS hi, CAST(sum(n) AS BIGINT) AS nb FROM (SELECT c, n, cmin, (cmax - cmin + 16) // 16 AS w, (c - cmin) // ((cmax - cmin + 16) // 16) AS b FROM grid, bounds) GROUP BY b), depth AS (SELECT b, min(c) AS lo, max(c) AS hi, CAST(sum(n) AS BIGINT) AS nb FROM (SELECT c, n, (sum(n) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 8 + n_total - 1) // n_total AS b FROM grid, bounds) GROUP BY b), p AS (SELECT 'le_20k' AS predicate, (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM grid WHERE c >= -4611686018427387904 AND c <= 2000000) AS actual_rows, (SELECT CAST(sum(CASE WHEN least(hi, 2000000) >= greatest(lo, -4611686018427387904) THEN (nb * (least(hi, 2000000) - greatest(lo, -4611686018427387904) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM width) AS est_width, (SELECT CAST(sum(CASE WHEN least(hi, 2000000) >= greatest(lo, -4611686018427387904) THEN (nb * (least(hi, 2000000) - greatest(lo, -4611686018427387904) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM depth) AS est_depth UNION ALL SELECT 'btw_10k_30k' AS predicate, (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM grid WHERE c >= 1000000 AND c <= 3000000) AS actual_rows, (SELECT CAST(sum(CASE WHEN least(hi, 3000000) >= greatest(lo, 1000000) THEN (nb * (least(hi, 3000000) - greatest(lo, 1000000) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM width) AS est_width, (SELECT CAST(sum(CASE WHEN least(hi, 3000000) >= greatest(lo, 1000000) THEN (nb * (least(hi, 3000000) - greatest(lo, 1000000) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM depth) AS est_depth UNION ALL SELECT 'ge_50k' AS predicate, (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM grid WHERE c >= 5000000 AND c <= 4611686018427387904) AS actual_rows, (SELECT CAST(sum(CASE WHEN least(hi, 4611686018427387904) >= greatest(lo, 5000000) THEN (nb * (least(hi, 4611686018427387904) - greatest(lo, 5000000) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM width) AS est_width, (SELECT CAST(sum(CASE WHEN least(hi, 4611686018427387904) >= greatest(lo, 5000000) THEN (nb * (least(hi, 4611686018427387904) - greatest(lo, 5000000) + 1)) // (hi - lo + 1) ELSE 0 END) AS BIGINT) FROM depth) AS est_depth) SELECT predicate, actual_rows, est_width, est_depth, CAST(CASE WHEN (est_width - actual_rows) * 1000000 < 0 THEN -((-((est_width - actual_rows) * 1000000)) // greatest(actual_rows, 1)) ELSE ((est_width - actual_rows) * 1000000) // greatest(actual_rows, 1) END AS BIGINT) AS err_width_micro, CAST(CASE WHEN (est_depth - actual_rows) * 1000000 < 0 THEN -((-((est_depth - actual_rows) * 1000000)) // greatest(actual_rows, 1)) ELSE ((est_depth - actual_rows) * 1000000) // greatest(actual_rows, 1) END AS BIGINT) AS err_depth_micro FROM p ORDER BY predicate"
+    )
+    out["column_encoding_stats"] = (
+        # dict bits = length(bin(ndv-1)); runs counted per order-day
+        'SELECT \'o_orderpriority\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, CAST(sum(is_run_start) AS BIGINT) AS n_runs, CAST(CASE WHEN count(DISTINCT v) <= 1 THEN 0 ELSE length(bin(count(DISTINCT v) - 1)) END AS BIGINT) AS dict_bits_per_value, (CAST(((CAST(sum(is_run_start) * 1000000 AS HUGEINT) * 2 + CAST(count(*) AS HUGEINT)) // (CAST(count(*) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS rle_runs_ppm FROM (SELECT o_orderpriority AS v, CASE WHEN lag(o_orderpriority) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) IS NULL OR lag(o_orderpriority) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) <> o_orderpriority THEN 1 ELSE 0 END AS is_run_start FROM orders) UNION ALL SELECT \'o_orderstatus\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, CAST(sum(is_run_start) AS BIGINT) AS n_runs, CAST(CASE WHEN count(DISTINCT v) <= 1 THEN 0 ELSE length(bin(count(DISTINCT v) - 1)) END AS BIGINT) AS dict_bits_per_value, (CAST(((CAST(sum(is_run_start) * 1000000 AS HUGEINT) * 2 + CAST(count(*) AS HUGEINT)) // (CAST(count(*) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS rle_runs_ppm FROM (SELECT o_orderstatus AS v, CASE WHEN lag(o_orderstatus) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) IS NULL OR lag(o_orderstatus) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) <> o_orderstatus THEN 1 ELSE 0 END AS is_run_start FROM orders) ORDER BY "column"'
     )
     return out

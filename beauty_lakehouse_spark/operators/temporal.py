@@ -632,7 +632,7 @@ def q_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_temporal_gap_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INTERVAL COALESCE (temporal normalization): merge each
-    customer's overlapping order-activity intervals
+    customer's overlapping-or-day-adjacent order-activity intervals
     [o_orderdate, max(l_shipdate)] into maximal disjoint ISLANDS —
     the temporal-database `pack` operator, and the fourth interval
     shape in the temporal family (backward as-of, forward as-of,
@@ -679,10 +679,16 @@ def q_temporal_gap_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     marked = iv.withColumn(
         "new_island",
         (
+            # merge overlapping AND day-adjacent intervals (the
+            # standard temporal `pack`): a new island starts only when
+            # a full empty day separates it from everything before
             F.col("start_d")
-            > F.coalesce(
-                F.max("end_d").over(w_prev),
-                F.lit("0001-01-01").cast("date"),
+            > F.date_add(
+                F.coalesce(
+                    F.max("end_d").over(w_prev),
+                    F.lit("0001-01-01").cast("date"),
+                ),
+                1,
             )
         ).cast("long"),
     ).withColumn("island", F.sum("new_island").over(w_run))

@@ -2051,34 +2051,24 @@ def q_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def est(hist: DataFrame, lo_lit, hi_lit) -> F.Column:
+    def est(hist: DataFrame, lo_lit, hi_lit) -> DataFrame:
         """Uniform-within-bucket estimate of rows in [lo_lit, hi_lit]
-        (None = unbounded) as one aggregate over the bucket table."""
+        (None = unbounded) as one aggregate over the bucket table:
+        per-bucket trunc((nb * overlap) div span), pure BIGINT
+        (nb * span ≤ ~1e13 at any test SF — far inside int64)."""
         lo = F.lit(lo_lit if lo_lit is not None else -(1 << 62))
         hi = F.lit(hi_lit if hi_lit is not None else (1 << 62))
-        ov_lo = F.greatest(F.col("lo"), lo)
-        ov_hi = F.least(F.col("hi"), hi)
-        frac = F.when(
-            ov_hi >= ov_lo,
-            F.expr(
-                "CAST(nb AS DECIMAL(38,0)) * (ov_hi - ov_lo + 1)"
-            ),
-        ).otherwise(F.lit(0).cast("decimal(38,0)"))
         return hist.select(
-            ov_lo.alias("ov_lo"),
-            ov_hi.alias("ov_hi"),
+            F.greatest(F.col("lo"), lo).alias("ov_lo"),
+            F.least(F.col("hi"), hi).alias("ov_hi"),
             F.col("nb"),
             (F.col("hi") - F.col("lo") + 1).alias("span"),
         ).agg(
             F.sum(
                 F.when(
                     F.col("ov_hi") >= F.col("ov_lo"),
-                    (
-                        F.col("nb").cast("decimal(38,0)")
-                        * (F.col("ov_hi") - F.col("ov_lo") + 1)
-                    )
-                    / F.col("span"),
-                ).otherwise(F.lit(0))
+                    F.expr("(nb * (ov_hi - ov_lo + 1)) div span"),
+                ).otherwise(F.lit(0).cast("long"))
             )
             .cast("long")
             .alias("est")

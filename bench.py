@@ -185,6 +185,12 @@ HEADLINE = [
     "revenue_pareto_cut",     # exact 80/20 concentration cut (new in r9)
     "supplier_hhi",           # Herfindahl supply-concentration index (new in r9)
     "interpurchase_regularity", # CV^2 order-cadence behavioral feature (new in r9)
+    "position_attribution",   # U-shaped rule-based multi-touch credit (new in r10)
+    "time_decay_attribution", # per-day halving decay credit, shift-exact (new in r10)
+    "temporal_gap_coalesce",  # temporal pack: gaps-and-islands interval union (new in r10)
+    "hot_keys_top",           # key-grain salting candidates report (new in r10)
+    "selectivity_audit",      # equi-width vs equi-depth histogram estimator audit (new in r10)
+    "column_encoding_stats",  # dict/RLE encoding advisor over curated layout (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -72,6 +72,8 @@ WHITELIST: dict[str, str] = {
     "never_urgent_rich_customers": "1-row avg-acctbal scalar broadcast (Q22 shape)",
     "customer_spend_ntile": "1-row customer-count broadcast (ntile tile-size arithmetic)",
     "customer_rfm_segments": "1-row customer-count broadcast (quintile arithmetic, three metrics)",
+    "hot_keys_top": "1-row table-total broadcast attach (share-of-total denominator), per profiled key",
+    "selectivity_audit": "1-row value-bounds/total broadcast attaches against the <=24-row histogram tables and 3 result rows",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
@@ -133,6 +135,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "bm25_topk": "row_number over the 20-row TakeOrdered head of the df ranking (query-term mint) — never the raw vocabulary",
     "part_pareto_frontier": "prefix-max over the ~100-row price-bucket table; exact-finish windows run over bucket-prune survivors (rows beating the lower-bucket prefix max — empirically O(log) per bucket), never the raw part table",
     "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
+    "selectivity_audit": "equi-depth cumulative count over the distinct-cents VALUE-DOMAIN grid (the price_drift_ks / order_value_percentiles convention), never raw rows",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",

@@ -1791,3 +1791,127 @@ def test_lang_id_kappa_pure_python(spark, sf_dir):
     kf = (po - pe) / (1 - pe)
     assert abs(r["kappa_micro"] / 1e6 - kf) < 1e-5
     assert r["kappa_micro"] < r["po_micro"]  # chance correction bites
+
+
+def test_position_attribution_pure_python(spark, sf_dir):
+    """U-shaped credits match a pure pandas recompute (first/last/
+    middle roles under the (us, event_id) total order); per-user
+    credit conserves 1e6 ppm up to the documented middle-split
+    truncation; float witness on the role fractions."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        ATTRIB_CHANNELS,
+        q_position_attribution,
+    )
+
+    rows = {r["channel"]: r for r in q_position_attribution(spark, sf_dir).collect()}
+    assert rows
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    buys = (
+        ev[ev["event_type"] == "purchase"].groupby("user_id")["us"].min()
+    )
+    want = defaultdict(lambda: [0, 0, 0, 0])  # first, last, mid, credit
+    for u, g in ev[ev["event_type"].isin(ATTRIB_CHANNELS)].groupby(
+        "user_id"
+    ):
+        if u not in buys.index:
+            continue
+        t_buy = buys[u]
+        tch = g[g["us"] < t_buy].sort_values(["us", "event_id"])
+        n = len(tch)
+        if n == 0:
+            continue
+        user_total = 0
+        for i, (_, r) in enumerate(tch.iterrows()):
+            ch = r["event_type"]
+            if n == 1:
+                c = 1_000_000
+            elif n == 2:
+                c = 500_000
+            elif i == 0:
+                c = 400_000
+            elif i == n - 1:
+                c = 400_000
+            else:
+                c = 200_000 // (n - 2)
+            want[ch][0] += i == 0
+            want[ch][1] += (i == n - 1) and n > 1
+            want[ch][2] += 0 < i < n - 1
+            want[ch][3] += c
+            user_total += c
+        # conservation: the middle split truncates < n-2 ppm per user
+        assert 1_000_000 - max(0, n - 2) <= user_total <= 1_000_000
+    assert set(rows) == set(want)
+    for ch, (nf, nl, nm, credit) in want.items():
+        r = rows[ch]
+        assert (r["n_first"], r["n_last"], r["n_middle"]) == (nf, nl, nm)
+        assert r["credit_ppm"] == credit
+    # FLOAT WITNESS: total credited mass tracks 1e6 per conversion
+    # with touches (truncation loss bounded by total middle count)
+    n_conv = sum(
+        1
+        for u, g in ev[ev["event_type"].isin(ATTRIB_CHANNELS)].groupby("user_id")
+        if u in buys.index and (g["us"] < buys[u]).any()
+    )
+    total = sum(r["credit_ppm"] for r in rows.values())
+    n_mid_total = sum(r["n_middle"] for r in rows.values())
+    assert n_conv * 1e6 - n_mid_total <= total <= n_conv * 1e6
+
+
+def test_time_decay_attribution_pure_python(spark, sf_dir):
+    """Per-day halving weights and truncated credit splits match a
+    pure pandas recompute; the shift weight tracks the float
+    exponential 1e6 * 0.5^age within 1 unit (FLOAT WITNESS), and
+    per-user credit conserves 1e6 up to truncation."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        ATTRIB_CHANNELS,
+        q_time_decay_attribution,
+    )
+
+    rows = {r["channel"]: r for r in q_time_decay_attribution(spark, sf_dir).collect()}
+    assert rows
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    buys = (
+        ev[ev["event_type"] == "purchase"].groupby("user_id")["us"].min()
+    )
+    want = defaultdict(lambda: [0, 0, 0])  # touches, weight, credit
+    for u, g in ev[ev["event_type"].isin(ATTRIB_CHANNELS)].groupby(
+        "user_id"
+    ):
+        if u not in buys.index:
+            continue
+        t_buy = int(buys[u])
+        tch = g[g["us"] < t_buy]
+        if len(tch) == 0:
+            continue
+        wts = []
+        for _, r in tch.iterrows():
+            k = min((t_buy - int(r["us"])) // 86_400_000_000, 30)
+            wt = 1_000_000 >> k
+            # FLOAT WITNESS: shift weight ~ float exponential decay
+            assert abs(wt - 1_000_000 * 0.5**k) <= 1
+            wts.append((r["event_type"], wt))
+        w_sum = sum(w for _, w in wts)
+        for ch, w in wts:
+            want[ch][0] += 1
+            want[ch][1] += w
+            want[ch][2] += (w * 1_000_000) // w_sum if w_sum > 0 else 0
+    assert set(rows) == set(want)
+    for ch, (nt, ws, credit) in want.items():
+        r = rows[ch]
+        assert (r["n_touches"], r["weight_sum"], r["credit_ppm"]) == (
+            nt,
+            ws,
+            credit,
+        )

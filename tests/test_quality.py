@@ -1268,3 +1268,149 @@ def test_fk_discovery_discriminates(spark, sf_dir):
     assert len(true_fks) == 7
     assert ("orders", "o_custkey", "part") in true_fks  # the known FP
     assert ("customer", "c_custkey", "supplier") not in true_fks
+
+
+def test_hot_keys_top_pure_python(spark, sf_dir):
+    """Top-20 heavy keys per target match a pandas value_counts
+    recompute with the (count desc, key asc) tie order; shares are
+    half-up ppm of the true table size."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_hot_keys_top
+
+    rows = q_hot_keys_top(spark, sf_dir).collect()
+    by_target: dict = {}
+    for r in rows:
+        by_target.setdefault(r["target"], []).append(r)
+    assert set(by_target) == {"lineitem.l_partkey", "orders.o_custkey"}
+    for target, rs in by_target.items():
+        table, key = target.split(".")
+        df = pd.read_parquet(f"{sf_dir}/{table}.parquet")
+        vc = df.groupby(key).size().reset_index(name="n")
+        vc = vc.sort_values(["n", key], ascending=[False, True]).head(20)
+        total = len(df)
+        want = [
+            (int(k), int(n), ((2 * int(n) * 10**6 + total) // (2 * total)))
+            for k, n in zip(vc[key], vc["n"])
+        ]
+        got = sorted(
+            ((r["key"], r["n_rows"], int(r["share_ppm"])) for r in rs),
+            key=lambda x: (-x[1], x[0]),
+        )
+        assert got == want
+        # FLOAT WITNESS: ppm share within half-up rounding of n/total
+        for k, n, ppm in got:
+            assert abs(ppm / 1e6 - n / total) <= 5e-7
+
+
+def test_selectivity_audit_pure_python(spark, sf_dir):
+    """Both histogram estimates and the true counts match a pure
+    pandas recompute of the same bucket construction; the float
+    witness checks the integer interpolation against float
+    interpolation, and equi-depth buckets really hold ~equal mass."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        SELAUDIT_DEPTH_BUCKETS,
+        SELAUDIT_PREDICATES,
+        SELAUDIT_WIDTH_BUCKETS,
+        q_selectivity_audit,
+    )
+
+    rows = {r["predicate"]: r for r in q_selectivity_audit(spark, sf_dir).collect()}
+    assert set(rows) == {n for n, _, _ in SELAUDIT_PREDICATES}
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    grid = cents.value_counts().sort_index()
+    cs, ns = list(grid.index), list(grid.values)
+    cmin, cmax, N = int(cs[0]), int(cs[-1]), int(sum(ns))
+    wb, db = SELAUDIT_WIDTH_BUCKETS, SELAUDIT_DEPTH_BUCKETS
+    w = (cmax - cmin + wb) // wb
+    width: dict = {}
+    for c, n in zip(cs, ns):
+        b = (int(c) - cmin) // w
+        lo, hi = cmin + b * w, cmin + (b + 1) * w - 1
+        e = width.setdefault(b, [lo, hi, 0])
+        e[2] += int(n)
+    depth: dict = {}
+    cum = 0
+    for c, n in zip(cs, ns):
+        cum += int(n)
+        b = (cum * db + N - 1) // N
+        e = depth.setdefault(b, [int(c), int(c), 0])
+        e[0] = min(e[0], int(c))
+        e[1] = max(e[1], int(c))
+        e[2] += int(n)
+
+    def est(hist, lo_q, hi_q):
+        tot = 0
+        ftot = 0.0
+        for lo, hi, nb in hist.values():
+            ov_lo, ov_hi = max(lo, lo_q), min(hi, hi_q)
+            if ov_hi >= ov_lo:
+                tot += (nb * (ov_hi - ov_lo + 1)) // (hi - lo + 1)
+                ftot += nb * (ov_hi - ov_lo + 1) / (hi - lo + 1)
+        return tot, ftot
+
+    for name, plo, phi in SELAUDIT_PREDICATES:
+        lo_q = plo if plo is not None else -(1 << 62)
+        hi_q = phi if phi is not None else 1 << 62
+        actual = sum(
+            int(n) for c, n in zip(cs, ns) if lo_q <= int(c) <= hi_q
+        )
+        ew, few = est(width, lo_q, hi_q)
+        ed, fed = est(depth, lo_q, hi_q)
+        r = rows[name]
+        assert r["actual_rows"] == actual
+        assert r["est_width"] == ew
+        assert r["est_depth"] == ed
+        # FLOAT WITNESS: integer interpolation within one row per
+        # bucket of the float interpolation
+        assert abs(r["est_width"] - few) <= len(width)
+        assert abs(r["est_depth"] - fed) <= len(depth)
+        d = (ew - actual) * 10**6
+        dv = -((-d) // max(actual, 1)) if d < 0 else d // max(actual, 1)
+        assert r["err_width_micro"] == dv
+    # equi-depth law: every bucket holds N/db rows up to one
+    # distinct-value's mass
+    max_val_mass = max(int(n) for n in ns)
+    for lo, hi, nb in depth.values():
+        assert abs(nb - N / db) <= max_val_mass + N / db
+
+
+def test_column_encoding_stats_pure_python(spark, sf_dir):
+    """Run counts under the (day, orderkey) layout and dictionary code
+    widths match a pandas recompute; FLOAT WITNESS: dict bits equals
+    ceil(log2(ndv)) computed with math.log2."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        ENCODING_COLUMNS,
+        q_column_encoding_stats,
+    )
+
+    rows = {r["column"]: r for r in q_column_encoding_stats(spark, sf_dir).collect()}
+    assert set(rows) == set(ENCODING_COLUMNS)
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["d"] = o["o_orderdate"].dt.date
+    for col in ENCODING_COLUMNS:
+        runs = 0
+        for _, g in o.groupby("d"):
+            vals = list(g.sort_values("o_orderkey")[col])
+            runs += 1 + sum(a != b for a, b in zip(vals, vals[1:]))
+        ndv = o[col].nunique()
+        r = rows[col]
+        assert r["n_rows"] == len(o)
+        assert r["n_distinct"] == ndv
+        assert r["n_runs"] == runs
+        want_bits = 0 if ndv <= 1 else (ndv - 1).bit_length()
+        assert r["dict_bits_per_value"] == want_bits
+        # FLOAT WITNESS: bit width is ceil(log2(ndv))
+        assert want_bits == (
+            0 if ndv <= 1 else math.ceil(math.log2(ndv))
+        )
+        assert abs(r["rle_runs_ppm"] / 1e6 - runs / len(o)) <= 5e-7

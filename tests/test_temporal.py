@@ -206,3 +206,58 @@ def test_interval_overlap_pairs_pure_python(spark, sf_dir):
                     d = (min(ea, eb) - max(sa, sb)).days + 1
                     want[(ck, ka, kb)] = d
     assert got == want
+
+
+def test_temporal_gap_coalesce_matches_day_set(spark, sf_dir):
+    """Island counts and covered days match an independent DAY-SET
+    recompute (union the interval day ranges per customer, count the
+    connected runs) — a structural witness that shares no windowing
+    with the operator."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_temporal_gap_coalesce,
+    )
+
+    rows = {
+        r["custkey"]: r
+        for r in q_temporal_gap_coalesce(spark, sf_dir).collect()
+    }
+    assert rows
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ends = li.groupby("l_orderkey")["l_shipdate"].max()
+    per_cust: dict = {}
+    for _, r in o.iterrows():
+        ok = r["o_orderkey"]
+        if ok not in ends.index:
+            continue
+        s = r["o_orderdate"].date()
+        e = max(s, ends[ok].date())
+        per_cust.setdefault(r["o_custkey"], []).append((s, e))
+    assert set(rows) == set(per_cust)
+    for ck, ivs in per_cust.items():
+        days = set()
+        for s, e in ivs:
+            d = s
+            while d <= e:
+                days.add(d)
+                d += dt.timedelta(days=1)
+        sorted_days = sorted(days)
+        islands = 1
+        for a, b in zip(sorted_days, sorted_days[1:]):
+            if (b - a).days > 1:
+                islands += 1
+        r = rows[ck]
+        assert r["n_orders"] == len(ivs)
+        assert r["covered_days"] == len(days)
+        assert r["n_islands"] == islands
+        # longest island from the day set
+        best = cur = 1
+        for a, b in zip(sorted_days, sorted_days[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        assert r["longest_island_days"] == best
