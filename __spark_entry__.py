@@ -133,6 +133,9 @@ _DRIVER_ORDER_R10 = [
     "hot_keys_top",  # new in r10
     "selectivity_audit",  # new in r10
     "column_encoding_stats",  # new in r10
+    "randomization_test_diff",  # new in r10
+    "ann_ndcg_exactint",  # new in r10
+    "matryoshka_prefix_recall",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -734,6 +737,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # join-key skew diagnostics (count-of-counts exact Gini)
         "key_skew_profile": quality.q_key_skew_profile,
         "hot_keys_top": quality.q_hot_keys_top,
+        "randomization_test_diff": quality.q_randomization_test_diff,
+        "ann_ndcg_exactint": similarity.q_ann_ndcg_exactint,
+        "matryoshka_prefix_recall": similarity.q_matryoshka_prefix_recall,
         # partition-grain anti-entropy (sync-unit fingerprints)
         "orders_partition_checksums": quality.q_orders_partition_checksums,
         # Merkle root over the partition fingerprints (O(1) agreement)
@@ -6486,5 +6492,50 @@ def oracle_sql() -> dict[str, str]:
     out["column_encoding_stats"] = (
         # dict bits = length(bin(ndv-1)); runs counted per order-day
         'SELECT \'o_orderpriority\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, CAST(sum(is_run_start) AS BIGINT) AS n_runs, CAST(CASE WHEN count(DISTINCT v) <= 1 THEN 0 ELSE length(bin(count(DISTINCT v) - 1)) END AS BIGINT) AS dict_bits_per_value, (CAST(((CAST(sum(is_run_start) * 1000000 AS HUGEINT) * 2 + CAST(count(*) AS HUGEINT)) // (CAST(count(*) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS rle_runs_ppm FROM (SELECT o_orderpriority AS v, CASE WHEN lag(o_orderpriority) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) IS NULL OR lag(o_orderpriority) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) <> o_orderpriority THEN 1 ELSE 0 END AS is_run_start FROM orders) UNION ALL SELECT \'o_orderstatus\' AS "column", CAST(count(*) AS BIGINT) AS n_rows, CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, CAST(sum(is_run_start) AS BIGINT) AS n_runs, CAST(CASE WHEN count(DISTINCT v) <= 1 THEN 0 ELSE length(bin(count(DISTINCT v) - 1)) END AS BIGINT) AS dict_bits_per_value, (CAST(((CAST(sum(is_run_start) * 1000000 AS HUGEINT) * 2 + CAST(count(*) AS HUGEINT)) // (CAST(count(*) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS rle_runs_ppm FROM (SELECT o_orderstatus AS v, CASE WHEN lag(o_orderstatus) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) IS NULL OR lag(o_orderstatus) OVER (PARTITION BY CAST(o_orderdate AS DATE) ORDER BY o_orderkey) <> o_orderstatus THEN 1 ELSE 0 END AS is_run_start FROM orders) ORDER BY "column"'
+    )
+
+    out["randomization_test_diff"] = (
+        # Bernoulli randomization test: one md5 seed per order + the
+        # splitmix60 mixer per replicate (bit-identical cross-engine);
+        # cross-multiplied |mean gap| at milli, p = share >= observed
+        "WITH base AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c, CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END AS true_a, ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT AS seed FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')), tot AS (SELECT CAST(sum(true_a) AS BIGINT) AS n_a_true, CAST(count(*) AS BIGINT) AS n_all FROM base), fan AS (SELECT c, true_a, seed, CAST((CAST(n_a_true AS HUGEINT) * 1152921504606846976) // n_all AS BIGINT) AS thr, r FROM base, tot CROSS JOIN (SELECT unnest(generate_series(-1, 63)) AS r) rr), m AS (SELECT c, true_a, thr, r, xor(((((((xor(((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((seed) + (CAST(r AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32) AS u FROM fan), lab AS (SELECT r, c, CASE WHEN r = -1 THEN true_a WHEN u < thr THEN 1 ELSE 0 END AS a FROM m), grid AS (SELECT r, CAST(sum(a) AS BIGINT) AS n_a, CAST(sum(a * c) AS BIGINT) AS s_a, CAST(sum(1 - a) AS BIGINT) AS n_b, CAST(sum((1 - a) * c) AS BIGINT) AS s_b FROM lab GROUP BY r), scored AS (SELECT r, n_a, n_b, CASE WHEN n_a > 0 AND n_b > 0 THEN CAST((abs(CAST(s_a AS HUGEINT) * n_b - CAST(s_b AS HUGEINT) * n_a) * 1000) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) ELSE 0 END AS dm FROM grid), obs AS (SELECT n_a AS n_a_obs, n_b AS n_b_obs, dm AS obs_dm FROM scored WHERE r = -1) SELECT CAST(max(n_a_obs) AS BIGINT) AS n_a, CAST(max(n_b_obs) AS BIGINT) AS n_b, CAST(max(obs_dm) AS BIGINT) AS obs_dm_milli, CAST(count(*) AS BIGINT) AS n_replicates, CAST(sum(CASE WHEN dm >= obs_dm THEN 1 ELSE 0 END) AS BIGINT) AS n_ge, CAST((CAST(sum(CASE WHEN dm >= obs_dm THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS BIGINT) AS p_value_micro FROM scored, obs WHERE r >= 0"
+    )
+
+    out["ann_ndcg_exactint"] = (
+        # NDCG@5 of the served grid-ANN list vs the exact-int brute
+        # top-5; literal micro discount ladder, IDCG = 10271920
+        "WITH q0 AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q "
+        "FROM embeddings), "
+        "q1 AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, "
+        "x -> x * x)) AS BIGINT) AS nq FROM q0), "
+        "pairs AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, "
+        "a.nq AS na, b.nq AS nb FROM q1 a JOIN q1 b "
+        "ON a.vec_id < 20 AND b.vec_id <> a.vec_id), "
+        "sc AS (SELECT query_id, neighbor_id, "
+        + '(CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0)'
+        + " AS cos FROM pairs WHERE dot > 0), "
+        "tr AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS brank "
+        "FROM sc), "
+        "truth AS (SELECT * FROM tr WHERE brank <= 5), "
+        "got AS ("
+        + out["ann_topk_exactint"]
+        + "), "
+        "j AS (SELECT g.query_id, g.rank, "
+        "coalesce(6 - t.brank, 0) AS rel FROM got g LEFT JOIN truth t "
+        "ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id) "
+        "SELECT query_id, CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hits, "
+        "CAST(sum(rel * CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END) AS BIGINT) AS dcg_micro, "
+        "CAST((CAST(sum(rel * CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000 WHEN 4 THEN 430676 ELSE 386852 END) AS BIGINT) * 1000000) // 10271920 "
+        "AS BIGINT) AS ndcg_micro FROM j GROUP BY 1 ORDER BY 1"
+    )
+
+    out["matryoshka_prefix_recall"] = (
+        # per-prefix-dim exact-int cosine top-5 vs the full-dim top-5
+        'WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q FROM embeddings), top8 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 8), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 8), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 8), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top16 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 16), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 16), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 16), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top32 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 32), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 32), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 32), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top64 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 64), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5) SELECT * FROM (SELECT CAST(8 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top8 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top8 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(16 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top16 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top16 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(32 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top32 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top32 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(64 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top64 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top64 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro) ORDER BY dim'
     )
     return out

@@ -2880,3 +2880,132 @@ def q_fk_discovery(spark, sf_dir: str) -> DataFrame:
             & F.col("parent_unique")
         ).alias("is_fk"),
     ).orderBy("child_table", "child_col", "parent_table")
+
+
+#: Randomization test design: replicate count and the two audited
+#: segments (same pair convention as the t/U tests' grid: the two
+#: alphabetically-first segments).
+RANDTEST_P = 64
+RANDTEST_SEG_A = "AUTOMOBILE"
+RANDTEST_SEG_B = "BUILDING"
+
+
+def q_randomization_test_diff(spark, sf_dir: str) -> DataFrame:
+    """RANDOMIZATION TEST for the mean order-value difference between
+    two customer segments — the assumption-free companion to the
+    Welch t (`segment_price_ttest`) and Mann-Whitney U tests: under
+    H0 the group labels are exchangeable, so re-drawing labels (each
+    order independently assigned to group A with probability
+    n_a/(n_a+n_b) — the Bernoulli randomization variant that needs no
+    global permutation index, Dwass 1957 / Ernst 2004) and recomputing
+    the statistic traces the null distribution. p = share of
+    replicates whose |mean difference| reaches the observed one.
+
+    Deterministic "randomness": ONE portable md5 seed per order, then
+    the ``splitmix60`` integer mixer per replicate (the r10 bootstrap
+    kit) — both engines draw bit-identical label assignments, and the
+    64x fan-out is pure map-side integer work that partial-aggregates
+    to 2 rows per (replicate, label) before any shuffle (the Poisson-
+    bootstrap scale shape).
+
+    Exact fixed point: per-replicate |mean gap| in milli-cents via the
+    cross-multiplied |s_a*n_b - s_b*n_a| over n_a*n_b trunc division;
+    the observed gap is replicate -1 (true labels).
+
+    Output (1 row): (n_a, n_b, obs_dm_milli, n_replicates, n_ge,
+    p_value_micro)."""
+    from ..catalog import load
+    from ..functions import _idiv, dec2, portable_hash64, splitmix60_apply
+
+    t = load(spark, sf_dir)
+    base = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .filter(
+            F.col("c_mktsegment").isin(RANDTEST_SEG_A, RANDTEST_SEG_B)
+        )
+        .select(
+            (dec2("o_totalprice") * 100).cast("long").alias("c"),
+            (F.col("c_mktsegment") == RANDTEST_SEG_A)
+            .cast("long")
+            .alias("true_a"),
+            portable_hash64(F.col("o_orderkey")).alias("seed"),
+        )
+    )
+    tot = base.agg(
+        F.sum("true_a").alias("n_a_true"),
+        F.count(F.lit(1)).alias("n_all"),
+    )
+    # threshold = floor(2^60 * n_a / (n_a + n_b)) — a broadcast scalar
+    fan = base.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "true_a",
+        "seed",
+        F.expr(
+            "CAST((CAST(n_a_true AS DECIMAL(38,0)) * "
+            "1152921504606846976) div n_all AS BIGINT)"
+        ).alias("thr"),
+        F.explode(
+            F.sequence(F.lit(-1), F.lit(RANDTEST_P - 1))
+        ).alias("replicate"),
+    )
+    mixed = splitmix60_apply(
+        fan,
+        ["c", "true_a", "thr", "replicate"],
+        F.col("seed"),
+        F.col("replicate"),
+    )
+    is_a = F.when(
+        F.col("replicate") == -1, F.col("true_a") == 1
+    ).otherwise(F.col("u") < F.col("thr"))
+    grid = (
+        mixed.select("replicate", "c", is_a.cast("long").alias("a"))
+        .groupBy("replicate")
+        .agg(
+            F.sum("a").alias("n_a"),
+            F.sum(F.col("a") * F.col("c")).alias("s_a"),
+            F.sum(F.lit(1) - F.col("a")).alias("n_b"),
+            F.sum((F.lit(1) - F.col("a")) * F.col("c")).alias("s_b"),
+        )
+    )
+    dm = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        _idiv(
+            F.abs(
+                F.col("s_a").cast("decimal(38,0)") * F.col("n_b")
+                - F.col("s_b").cast("decimal(38,0)") * F.col("n_a")
+            )
+            * F.lit(1000),
+            F.col("n_a").cast("decimal(38,0)") * F.col("n_b"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    scored = grid.select("replicate", "n_a", "n_b", dm.alias("dm"))
+    obs = scored.filter(F.col("replicate") == -1).select(
+        F.col("n_a").alias("n_a_obs"),
+        F.col("n_b").alias("n_b_obs"),
+        F.col("dm").alias("obs_dm_milli"),
+    )
+    reps = scored.filter(F.col("replicate") >= 0)
+    return (
+        reps.crossJoin(F.broadcast(obs))
+        .agg(
+            F.max("n_a_obs").alias("n_a"),
+            F.max("n_b_obs").alias("n_b"),
+            F.max("obs_dm_milli").alias("obs_dm_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_replicates"),
+            F.sum(
+                (F.col("dm") >= F.col("obs_dm_milli")).cast("long")
+            ).alias("n_ge"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "obs_dm_milli",
+            "n_replicates",
+            "n_ge",
+            F.expr(
+                "CAST((n_ge * 1000000) div n_replicates AS BIGINT)"
+            ).alias("p_value_micro"),
+        )
+    )

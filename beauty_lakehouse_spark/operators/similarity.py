@@ -2436,3 +2436,154 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+#: NDCG@5 discount ladder: floor(1e6 / log2(rank+1)) as LITERAL
+#: integers so both engines share them bit-for-bit (the pytest float-
+#: witnesses each against math.log2); ideal DCG = a perfect top-5
+#: (relevance 5..1 in brute order).
+ANN_NDCG_DISC = [1_000_000, 630_929, 500_000, 430_676, 386_852]
+ANN_NDCG_IDCG = sum(
+    (5 - i) * d for i, d in enumerate(ANN_NDCG_DISC)
+)  # = 10_271_920
+
+
+def q_ann_ndcg_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@5 of the hash-verifiable grid-ANN serving path — the
+    GRADED retrieval-quality metric next to the binary recall curve
+    (`knn_*` recall@5) and label probes (`knn_label_accuracy`): a
+    wrong neighbor at rank 1 costs more than one at rank 5
+    (Järvelin & Kekäläinen 2002). Relevance of a served neighbor =
+    6 − its rank in the EXACT-INT brute top-5 (0 if absent);
+    DCG discounts by the literal micro ladder floor(1e6/log2(r+1));
+    NDCG normalizes by the perfect-ordering IDCG constant.
+
+    The whole metric is integer arithmetic over two deterministic
+    inputs — the served list (`q_ann_topk_exactint`) and the bounded
+    20-query brute ground truth (the documented knn_brute audit
+    shape) — so it is hash-verifiable end to end, unlike float-recall
+    scoring.
+
+    Output (one row per query): (query_id, n_hits, dcg_micro,
+    ndcg_micro)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    got = q_ann_topk_exactint(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        qs.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    truth = _exactint_rerank(emb, cand).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("brute_rank"),
+    )
+    rel = F.coalesce(F.lit(6) - F.col("brute_rank"), F.lit(0)).cast(
+        "long"
+    )
+    disc = F.col("rank").cast("long")
+    disc_expr = (
+        F.when(disc == 1, F.lit(ANN_NDCG_DISC[0]))
+        .when(disc == 2, F.lit(ANN_NDCG_DISC[1]))
+        .when(disc == 3, F.lit(ANN_NDCG_DISC[2]))
+        .when(disc == 4, F.lit(ANN_NDCG_DISC[3]))
+        .otherwise(F.lit(ANN_NDCG_DISC[4]))
+        .cast("long")
+    )
+    return (
+        got.join(truth, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            rel.alias("rel"),
+            (rel * disc_expr).alias("gain"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("rel") > 0).cast("long")).alias("n_hits"),
+            F.sum("gain").alias("dcg_micro"),
+        )
+        .select(
+            "query_id",
+            "n_hits",
+            "dcg_micro",
+            F.expr(
+                f"CAST((dcg_micro * 1000000) div {ANN_NDCG_IDCG} "
+                "AS BIGINT)"
+            ).alias("ndcg_micro"),
+        )
+        .orderBy("query_id")
+    )
+
+
+#: Matryoshka prefix dims audited (MRL, Kusupati et al. 2022): nested
+#: prefixes of the 64-dim embedding; 64 is the full-dim reference.
+MATRYOSHKA_DIMS = [8, 16, 32, 64]
+
+
+def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA PREFIX-DIMENSION RECALL — the measured trade-off
+    table for serving truncated embeddings (Matryoshka Representation
+    Learning): for each nested prefix width D, the exact-integer
+    cosine top-5 per query over only the first D dimensions, scored
+    against the full-dimension top-5. The table answers the storage/
+    recall question directly: how much of the 64-dim answer does a
+    D-dim index keep? (The fixture embeddings are NOT MRL-trained, so
+    the curve doubles as a negative control — the pytest asserts
+    monotone-ish recall growth and the exact D=64 fixpoint.)
+
+    Same hash-verifiable machinery as the exact-int ANN family: the
+    shared `_exactint_rerank` over prefix-sliced vectors, a bounded
+    20-query brute candidate set per dim (the documented knn_brute
+    audit shape — the scalable serving paths are the LSH/IVF/PQ
+    families; this is their evaluation instrument).
+
+    Output (one row per D): (dim, n_truth_pairs, n_hits,
+    recall_micro)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    qs = emb.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
+        F.col("vec_id").alias("query_id")
+    )
+    cand = (
+        qs.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    tops = {}
+    for d in MATRYOSHKA_DIMS:
+        embp = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tops[d] = _exactint_rerank(embp, cand).select(
+            "query_id", "neighbor_id"
+        )
+    truth = tops[MATRYOSHKA_DIMS[-1]]
+    rows = []
+    for d in MATRYOSHKA_DIMS:
+        hit = tops[d].join(truth, ["query_id", "neighbor_id"])
+        n_truth = truth.agg(
+            F.count(F.lit(1)).alias("n_truth_pairs")
+        )
+        rows.append(
+            hit.agg(F.count(F.lit(1)).alias("n_hits"))
+            .crossJoin(F.broadcast(n_truth))
+            .select(
+                F.lit(d).cast("long").alias("dim"),
+                "n_truth_pairs",
+                "n_hits",
+                F.expr(
+                    "CAST((n_hits * 1000000) div n_truth_pairs "
+                    "AS BIGINT)"
+                ).alias("recall_micro"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("dim")

@@ -191,6 +191,9 @@ HEADLINE = [
     "hot_keys_top",           # key-grain salting candidates report (new in r10)
     "selectivity_audit",      # equi-width vs equi-depth histogram estimator audit (new in r10)
     "column_encoding_stats",  # dict/RLE encoding advisor over curated layout (new in r10)
+    "randomization_test_diff", # splitmix60 Bernoulli label-shuffle inference (new in r10)
+    "ann_ndcg_exactint",      # graded hash-verifiable retrieval quality (new in r10)
+    "matryoshka_prefix_recall", # prefix-dim truncation trade-off table (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -74,6 +74,9 @@ WHITELIST: dict[str, str] = {
     "customer_rfm_segments": "1-row customer-count broadcast (quintile arithmetic, three metrics)",
     "hot_keys_top": "1-row table-total broadcast attach (share-of-total denominator), per profiled key",
     "selectivity_audit": "1-row value-bounds/total broadcast attaches against the <=24-row histogram tables and 3 result rows",
+    "ann_ndcg_exactint": "bounded 20-query brute ground truth (the knn_brute audit shape) scoring the served ANN list; 1-row IDCG arithmetic",
+    "matryoshka_prefix_recall": "bounded 20-query brute per prefix dim (the knn_brute audit shape) — the trade-off table is the product, not a serving path",
+    "randomization_test_diff": "1-row threshold/observed-stat broadcast attaches around the 64-row replicate grid",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",

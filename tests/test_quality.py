@@ -1414,3 +1414,66 @@ def test_column_encoding_stats_pure_python(spark, sf_dir):
             0 if ndv <= 1 else math.ceil(math.log2(ndv))
         )
         assert abs(r["rle_runs_ppm"] / 1e6 - runs / len(o)) <= 5e-7
+
+
+def test_randomization_test_pure_python(spark, sf_dir):
+    """The Bernoulli randomization test matches a pure-Python
+    recompute (md5 seed + splitmix60 mixer + threshold labels, the
+    same cross-multiplied milli statistic); FLOAT WITNESS: the
+    observed statistic tracks the float |mean difference| and the
+    replicate group sizes concentrate around the true n_a."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        RANDTEST_P,
+        RANDTEST_SEG_A,
+        RANDTEST_SEG_B,
+        q_randomization_test_diff,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    [r] = q_randomization_test_diff(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j = j[j["c_mktsegment"].isin([RANDTEST_SEG_A, RANDTEST_SEG_B])]
+    cents = (j["o_totalprice"].round(2) * 100).round().astype("int64")
+    true_a = (j["c_mktsegment"] == RANDTEST_SEG_A).astype(int)
+    seeds = [
+        int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16)
+        for k in j["o_orderkey"]
+    ]
+    n_a_true, n_all = int(true_a.sum()), len(j)
+    thr = (n_a_true * (1 << 60)) // n_all
+
+    def stat(labels):
+        sa = sum(int(x) for x, a in zip(cents, labels) if a)
+        na = sum(labels)
+        sb = int(cents.sum()) - sa
+        nb = n_all - na
+        if na == 0 or nb == 0:
+            return 0, na, nb
+        return abs(sa * nb - sb * na) * 1000 // (na * nb), na, nb
+
+    obs, na_obs, nb_obs = stat(list(true_a))
+    assert (r["n_a"], r["n_b"]) == (na_obs, nb_obs)
+    assert r["obs_dm_milli"] == obs
+    n_ge = 0
+    for rep in range(RANDTEST_P):
+        labels = [
+            1 if _splitmix60_py(s, rep) < thr else 0 for s in seeds
+        ]
+        dm, na, nb = stat(labels)
+        n_ge += dm >= obs
+        # replicate sizes concentrate near the true split (binomial)
+        assert abs(na - n_a_true) < 6 * (n_all**0.5)
+    assert r["n_ge"] == n_ge
+    assert r["n_replicates"] == RANDTEST_P
+    assert r["p_value_micro"] == n_ge * 10**6 // RANDTEST_P
+    # FLOAT WITNESS: milli statistic tracks the float mean gap
+    ma = float(cents[true_a == 1].mean())
+    mb = float(cents[true_a == 0].mean())
+    assert abs(r["obs_dm_milli"] / 1e3 - abs(ma - mb)) <= 1e-3

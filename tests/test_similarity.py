@@ -1181,3 +1181,124 @@ def test_knn_label_accuracy_pure_python(spark, sf_dir):
     floor = 1.0 / n_classes
     sd = (floor * (1 - floor) / n_all) ** 0.5
     assert abs(acc_all - floor) < 4 * sd
+
+
+def test_ann_ndcg_exactint_pure_python(spark, sf_dir):
+    """NDCG matches a pure-Python recompute from the served list and
+    a float brute truth; the literal discount ladder tracks
+    1e6/log2(r+1) (FLOAT WITNESS) and NDCG is 1.0 exactly when the
+    served top-5 equals the brute top-5 in order."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        ANN_NDCG_DISC,
+        ANN_NDCG_IDCG,
+        q_ann_ndcg_exactint,
+        q_ann_topk_exactint,
+    )
+
+    rows = {r["query_id"]: r for r in q_ann_ndcg_exactint(spark, sf_dir).collect()}
+    assert rows
+
+    # FLOAT WITNESS: each literal discount within 1 of 1e6/log2(r+1),
+    # and the IDCG constant is their rel-weighted sum
+    for i, d in enumerate(ANN_NDCG_DISC, start=1):
+        assert abs(d - 1e6 / math.log2(i + 1)) <= 1
+    assert ANN_NDCG_IDCG == sum(
+        (5 - i) * d for i, d in enumerate(ANN_NDCG_DISC)
+    )
+
+    # float brute truth over raw embeddings (independent of the
+    # integer lift): top-5 by float cosine
+    emb = {
+        r.vec_id: list(map(float, r.embedding))
+        for r in load(spark, sf_dir).embeddings.collect()
+    }
+
+    def fcos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a))
+            * math.sqrt(sum(y * y for y in b))
+        )
+
+    served: dict = {}
+    for r in q_ann_topk_exactint(spark, sf_dir).collect():
+        served.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    for qid, lst in served.items():
+        lst.sort()
+        scored = sorted(
+            (
+                (-fcos(emb[qid], emb[nid]), nid)
+                for nid in emb
+                if nid != qid and fcos(emb[qid], emb[nid]) > 0
+            ),
+        )[:5]
+        brank = {nid: i + 1 for i, (_s, nid) in enumerate(scored)}
+        dcg = sum(
+            (6 - brank[nid]) * ANN_NDCG_DISC[rk - 1]
+            for rk, nid in lst
+            if nid in brank
+        )
+        r = rows[qid]
+        # float ties can flip adjacent brute ranks; allow the integer
+        # dcg to differ only by tie-local discount swaps
+        assert abs(r["dcg_micro"] - dcg) <= 2 * max(ANN_NDCG_DISC)
+        assert 0 <= r["ndcg_micro"] <= 1_000_000
+        assert r["ndcg_micro"] == r["dcg_micro"] * 10**6 // ANN_NDCG_IDCG
+        if [nid for _rk, nid in lst] == [n for _s, n in scored]:
+            assert r["ndcg_micro"] == 1_000_000
+
+
+def test_matryoshka_prefix_recall_properties(spark, sf_dir):
+    """The D=64 row is the exact fixpoint (recall 1.0), recall is
+    defined against 20 queries x up-to-5 truth pairs, and a pure
+    float recompute of the D=8 prefix top-5 agrees with the integer
+    path's hit count within float-tie slack (FLOAT WITNESS)."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        MATRYOSHKA_DIMS,
+        q_matryoshka_prefix_recall,
+    )
+
+    rows = {r["dim"]: r for r in q_matryoshka_prefix_recall(spark, sf_dir).collect()}
+    assert sorted(rows) == MATRYOSHKA_DIMS
+    full = rows[64]
+    assert full["n_hits"] == full["n_truth_pairs"]
+    assert full["recall_micro"] == 1_000_000
+    for r in rows.values():
+        assert 0 <= r["n_hits"] <= r["n_truth_pairs"]
+        assert (
+            r["recall_micro"]
+            == r["n_hits"] * 10**6 // r["n_truth_pairs"]
+        )
+
+    # FLOAT WITNESS on the narrowest prefix: float-cosine top-5 over
+    # the raw first-8 dims reproduces the integer hit count within
+    # tie slack (ties at equal cosine can order differently)
+    emb = {
+        r.vec_id: list(map(float, r.embedding))
+        for r in load(spark, sf_dir).embeddings.collect()
+    }
+
+    def top5(qid, d):
+        def cos(a, b):
+            num = sum(x * y for x, y in zip(a[:d], b[:d]))
+            na = math.sqrt(sum(x * x for x in a[:d]))
+            nb = math.sqrt(sum(y * y for y in b[:d]))
+            return num / (na * nb)
+
+        scored = sorted(
+            (-cos(emb[qid], emb[n]), n)
+            for n in emb
+            if n != qid and cos(emb[qid], emb[n]) > 0
+        )[:5]
+        return {n for _s, n in scored}
+
+    fhits = sum(
+        len(top5(q, 8) & top5(q, 64)) for q in range(20)
+    )
+    assert abs(rows[8]["n_hits"] - fhits) <= 4
