@@ -136,6 +136,10 @@ _DRIVER_ORDER_R10 = [
     "randomization_test_diff",  # new in r10
     "ann_ndcg_exactint",  # new in r10
     "matryoshka_prefix_recall",  # new in r10
+    "info_gain_features",  # new in r10
+    "deterministic_random_walks",  # new in r10
+    "label_propagation_communities",  # new in r10
+    "fellegi_sunter_weights",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -739,6 +743,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_top": quality.q_hot_keys_top,
         "randomization_test_diff": quality.q_randomization_test_diff,
         "ann_ndcg_exactint": similarity.q_ann_ndcg_exactint,
+        "info_gain_features": quality.q_info_gain_features,
+        "deterministic_random_walks": graph.q_deterministic_random_walks,
+        "label_propagation_communities": graph.q_label_propagation_communities,
+        "fellegi_sunter_weights": text.q_fellegi_sunter_weights,
         "matryoshka_prefix_recall": similarity.q_matryoshka_prefix_recall,
         # partition-grain anti-entropy (sync-unit fingerprints)
         "orders_partition_checksums": quality.q_orders_partition_checksums,
@@ -6537,5 +6545,29 @@ def oracle_sql() -> dict[str, str]:
     out["matryoshka_prefix_recall"] = (
         # per-prefix-dim exact-int cosine top-5 vs the full-dim top-5
         'WITH q0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q FROM embeddings), top8 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 8), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 8), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 8), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top16 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 16), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 16), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 16), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top32 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 32), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 32), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 32), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5), top64 AS (SELECT query_id, neighbor_id FROM (SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk FROM (SELECT query_id, neighbor_id, (CAST(((CAST(dot AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END)) * ((CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos FROM (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot, CAST(list_sum(list_transform(generate_series(1, 64), i -> a.q[CAST(i AS INT)] * a.q[CAST(i AS INT)])) AS BIGINT) AS na, CAST(list_sum(list_transform(generate_series(1, 64), i -> b.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS nb FROM q0 a JOIN q0 b ON a.vec_id < 20 AND b.vec_id <> a.vec_id) WHERE dot > 0)) WHERE rk <= 5) SELECT * FROM (SELECT CAST(8 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top8 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top8 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(16 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top16 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top16 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(32 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top32 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top32 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro UNION ALL SELECT CAST(64 AS BIGINT) AS dim, (SELECT CAST(count(*) AS BIGINT) FROM top64) AS n_truth_pairs, (SELECT CAST(count(*) AS BIGINT) FROM top64 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) AS n_hits, (SELECT CAST(((SELECT count(*) FROM top64 x JOIN top64 y ON x.query_id = y.query_id AND x.neighbor_id = y.neighbor_id) * 1000000) // (SELECT count(*) FROM top64) AS BIGINT)) AS recall_micro) ORDER BY dim'
+    )
+
+    out["info_gain_features"] = (
+        # IG(Y;X) = H(Y) - H(Y|X) in exact micro-nats over the cell
+        # dictionary (ln_micro on both engines)
+        "WITH returned AS (SELECT DISTINCT l_orderkey AS rk FROM lineitem WHERE l_returnflag = 'R'), base AS (SELECT o_orderpriority, c_mktsegment, o_orderdate, CASE WHEN rk IS NOT NULL THEN 1 ELSE 0 END AS y FROM orders JOIN customer ON o_custkey = c_custkey LEFT JOIN returned ON o_orderkey = rk), p AS (SELECT 'o_orderpriority' AS feature, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT o_orderpriority FROM base)) AS n_values, (SELECT (CAST(((CAST(sum(CAST(n_y AS HUGEINT) * ((((length(bin((n // n_y))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n AS BIGINT) * 1073741824) // n_y) >> (length(bin((n // n_y))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST(max(n) AS HUGEINT)) // (CAST(max(n) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT y, CAST(count(*) AS BIGINT) AS n_y, (SELECT count(*) FROM base) AS n FROM base GROUP BY y)) AS hy, (SELECT (CAST(((CAST(sum(CAST(n_xy AS HUGEINT) * ((((length(bin((n_x // n_xy))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n_x AS BIGINT) * 1073741824) // n_xy) >> (length(bin((n_x // n_xy))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST((SELECT count(*) FROM base) AS HUGEINT)) // (CAST((SELECT count(*) FROM base) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy, CAST(sum(count(*)) OVER (PARTITION BY x) AS BIGINT) AS n_x FROM (SELECT o_orderpriority AS x, y FROM base) GROUP BY x, y)) AS hc UNION ALL SELECT 'c_mktsegment' AS feature, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT c_mktsegment FROM base)) AS n_values, (SELECT (CAST(((CAST(sum(CAST(n_y AS HUGEINT) * ((((length(bin((n // n_y))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n AS BIGINT) * 1073741824) // n_y) >> (length(bin((n // n_y))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST(max(n) AS HUGEINT)) // (CAST(max(n) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT y, CAST(count(*) AS BIGINT) AS n_y, (SELECT count(*) FROM base) AS n FROM base GROUP BY y)) AS hy, (SELECT (CAST(((CAST(sum(CAST(n_xy AS HUGEINT) * ((((length(bin((n_x // n_xy))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n_x AS BIGINT) * 1073741824) // n_xy) >> (length(bin((n_x // n_xy))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST((SELECT count(*) FROM base) AS HUGEINT)) // (CAST((SELECT count(*) FROM base) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy, CAST(sum(count(*)) OVER (PARTITION BY x) AS BIGINT) AS n_x FROM (SELECT c_mktsegment AS x, y FROM base) GROUP BY x, y)) AS hc UNION ALL SELECT 'order_year' AS feature, (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT CAST(year(o_orderdate) AS VARCHAR) FROM base)) AS n_values, (SELECT (CAST(((CAST(sum(CAST(n_y AS HUGEINT) * ((((length(bin((n // n_y))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n AS BIGINT) * 1073741824) // n_y) >> (length(bin((n // n_y))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST(max(n) AS HUGEINT)) // (CAST(max(n) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT y, CAST(count(*) AS BIGINT) AS n_y, (SELECT count(*) FROM base) AS n FROM base GROUP BY y)) AS hy, (SELECT (CAST(((CAST(sum(CAST(n_xy AS HUGEINT) * ((((length(bin((n_x // n_xy))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(n_x AS BIGINT) * 1073741824) // n_xy) >> (length(bin((n_x // n_xy))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS HUGEINT) * 2 + CAST((SELECT count(*) FROM base) AS HUGEINT)) // (CAST((SELECT count(*) FROM base) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) FROM (SELECT x, y, CAST(count(*) AS BIGINT) AS n_xy, CAST(sum(count(*)) OVER (PARTITION BY x) AS BIGINT) AS n_x FROM (SELECT CAST(year(o_orderdate) AS VARCHAR) AS x, y FROM base) GROUP BY x, y)) AS hc) SELECT feature, n_values, CAST(hy AS BIGINT) AS h_y_unats, CAST(hc AS BIGINT) AS h_y_given_x_unats, CAST(hy AS BIGINT) - CAST(hc AS BIGINT) AS info_gain_unats FROM p ORDER BY feature"
+    )
+
+    out["deterministic_random_walks"] = (
+        # DeepWalk corpus: neighbor pick = splitmix60(md5(node),
+        # walk*8+step) mod degree over the id-ranked adjacency
+        "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), und AS (SELECT part_a AS src, part_b AS dst, n_orders FROM ed UNION ALL SELECT part_b, part_a, n_orders FROM ed), adj AS (SELECT src, dst, CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS nbr_rank FROM und), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src), seeds AS (SELECT CAST(src AS BIGINT) AS seed FROM (SELECT src, sum(n_orders) AS wdeg FROM und GROUP BY src) ORDER BY wdeg DESC, src LIMIT 10), s0 AS (SELECT seed, walk_id, seed AS cur FROM seeds CROSS JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS walk_id) ww), m1 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s0 t JOIN deg d ON t.cur = d.src), s1 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m1 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m2 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s1 t JOIN deg d ON t.cur = d.src), s2 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m2 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m3 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s2 t JOIN deg d ON t.cur = d.src), s3 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m3 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m4 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s3 t JOIN deg d ON t.cur = d.src), s4 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m4 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank) SELECT seed, walk_id, CAST(0 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s0 UNION ALL SELECT seed, walk_id, CAST(1 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s1 UNION ALL SELECT seed, walk_id, CAST(2 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s2 UNION ALL SELECT seed, walk_id, CAST(3 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s3 UNION ALL SELECT seed, walk_id, CAST(4 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s4 ORDER BY seed, walk_id, step"
+    )
+
+    out["label_propagation_communities"] = (
+        # 4 synchronous min-tie-break LPA rounds; AS MATERIALIZED per
+        # stage (the kcore recursive-reinline lesson)
+        'WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), und AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM ed UNION ALL SELECT part_b, part_a FROM ed), l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und), c1 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2), l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c1) WHERE rk = 1), c2 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2), l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c2) WHERE rk = 1), c3 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l2 l ON u.dst = l.id GROUP BY 1, 2), l3 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c3) WHERE rk = 1), c4 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l3 l ON u.dst = l.id GROUP BY 1, 2), l4 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c4) WHERE rk = 1) SELECT CAST(l.id AS BIGINT) AS part, CAST(l.lbl AS BIGINT) AS community, CAST(s.n AS BIGINT) AS community_size FROM l4 l JOIN (SELECT lbl, count(*) AS n FROM l4 GROUP BY lbl) s ON l.lbl = s.lbl ORDER BY part'
+    )
+
+    out["fellegi_sunter_weights"] = (
+        # FS m/u rates with Laplace smoothing; weights as ln_micro
+        # differences so every log argument stays inside the contract
+        "WITH s AS (SELECT p_partkey, p_name, p_brand, p_type, p_size, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc FROM part ORDER BY p_partkey LIMIT 500), pr AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 THEN 1 ELSE 0 END AS is_match, CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS brand_eq, CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS type_eq, CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END AS size_close, CASE WHEN abs(a.pc - b.pc) <= 500 THEN 1 ELSE 0 END AS price_close FROM s a JOIN s b ON a.p_partkey < b.p_partkey), g AS (SELECT CAST(sum(is_match) AS BIGINT) AS n_m, CAST(sum(1 - is_match) AS BIGINT) AS n_u, CAST(sum(is_match * brand_eq) AS BIGINT) AS am_brand_eq, CAST(sum((1 - is_match) * brand_eq) AS BIGINT) AS au_brand_eq, CAST(sum(is_match * type_eq) AS BIGINT) AS am_type_eq, CAST(sum((1 - is_match) * type_eq) AS BIGINT) AS au_type_eq, CAST(sum(is_match * size_close) AS BIGINT) AS am_size_close, CAST(sum((1 - is_match) * size_close) AS BIGINT) AS au_size_close, CAST(sum(is_match * price_close) AS BIGINT) AS am_price_close, CAST(sum((1 - is_match) * price_close) AS BIGINT) AS au_price_close FROM pr) SELECT * FROM (SELECT 'brand_eq' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_brand_eq AS n_agree_match, au_brand_eq AS n_agree_unmatch, CAST((CAST(am_brand_eq + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_brand_eq + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_brand_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_brand_eq + 1)) >> (length(bin(((n_u + 2) // (au_brand_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_brand_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_brand_eq + 1)) >> (length(bin(((n_m + 2) // (am_brand_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_brand_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_brand_eq - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_brand_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_brand_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_brand_eq - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_brand_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'type_eq' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_type_eq AS n_agree_match, au_type_eq AS n_agree_unmatch, CAST((CAST(am_type_eq + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_type_eq + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_type_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_type_eq + 1)) >> (length(bin(((n_u + 2) // (au_type_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_type_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_type_eq + 1)) >> (length(bin(((n_m + 2) // (am_type_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_type_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_type_eq - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_type_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_type_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_type_eq - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_type_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'size_close' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_size_close AS n_agree_match, au_size_close AS n_agree_unmatch, CAST((CAST(am_size_close + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_size_close + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_size_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_size_close + 1)) >> (length(bin(((n_u + 2) // (au_size_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_size_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_size_close + 1)) >> (length(bin(((n_m + 2) // (am_size_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_size_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_size_close - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_size_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_size_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_size_close - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_size_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'price_close' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_price_close AS n_agree_match, au_price_close AS n_agree_unmatch, CAST((CAST(am_price_close + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_price_close + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_price_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_price_close + 1)) >> (length(bin(((n_u + 2) // (au_price_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_price_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_price_close + 1)) >> (length(bin(((n_m + 2) // (am_price_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_price_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_price_close - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_price_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_price_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_price_close - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_price_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g) ORDER BY field"
     )
     return out

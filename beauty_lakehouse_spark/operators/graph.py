@@ -797,3 +797,195 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("round", "n_alive", "n_removed", "converged")
         .orderBy("round")
     )
+
+
+#: DeepWalk-style corpus geometry: walks per seed, steps per walk,
+#: seed count (highest weighted-degree hubs, the BFS convention).
+WALK_SEEDS = 10
+WALKS_PER_SEED = 4
+WALK_STEPS = 4
+
+
+def q_deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC RANDOM WALKS over the co-purchase graph — the
+    graph-embedding DATA-PREP operator (DeepWalk, Perozzi et al. 2014;
+    node2vec's p=q=1 case): emit a corpus of fixed-length walks whose
+    windowed co-occurrences train node embeddings exactly like
+    skipgram trains word embeddings (`skipgram_pairs` downstream).
+
+    "Random" without an RNG: at step i of walk w from node v, the next
+    node is the neighbor whose per-node rank (neighbors ordered by id)
+    equals ``splitmix60(portable_hash64(v), w * 8 + i) mod deg(v)`` —
+    one md5 per distinct node, a splitmix mix per (walk, step), so
+    both engines and any re-run trace bit-identical walks (the
+    bootstrap/randomization-test determinism contract applied to graph
+    sampling).
+
+    Scale: WALK_STEPS unrolled frontier joins (the BFS convention) —
+    per step one equi-join of the |seeds × walks| frontier against the
+    (node, rank) adjacency; the neighbor-rank table is one per-node
+    window at degree grain. No per-round driver collects; walk state
+    is (seed, walk, cur) rows.
+
+    Output: (seed, walk_id, step, node) for steps 0..WALK_STEPS —
+    (seeds × walks × (steps+1)) rows; step 0 is the seed itself."""
+    from pyspark.sql import Window
+
+    from ..functions import portable_hash64, splitmix60
+
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    und = (
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
+            "n_orders",
+        )
+        .unionByName(
+            edges.select(
+                F.col("part_b").alias("src"),
+                F.col("part_a").alias("dst"),
+                "n_orders",
+            )
+        )
+    )
+    adj = (
+        und.select(
+            "src",
+            "dst",
+            F.row_number()
+            .over(Window.partitionBy("src").orderBy(F.asc("dst")))
+            .cast("long")
+            .alias("nbr_rank"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy("src").agg(F.max("nbr_rank").alias("deg"))
+    seeds = (
+        und.groupBy("src")
+        .agg(F.sum("n_orders").alias("wdeg"))
+        .orderBy(F.desc("wdeg"), F.asc("src"))
+        .limit(WALK_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    state = seeds.crossJoin(
+        spark.range(WALKS_PER_SEED).select(
+            F.col("id").cast("long").alias("walk_id")
+        )
+    ).select("seed", "walk_id", F.col("seed").alias("cur"))
+    out = state.select(
+        "seed", "walk_id", F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for step in range(1, WALK_STEPS + 1):
+        mixed = state.join(
+            deg, state["cur"] == deg["src"]
+        ).select(
+            "seed",
+            "walk_id",
+            "cur",
+            (
+                splitmix60(
+                    portable_hash64(F.col("cur")),
+                    F.col("walk_id") * F.lit(8) + F.lit(step),
+                )
+                % F.col("deg")
+                + F.lit(1)
+            ).alias("pick"),
+        )
+        state = (
+            mixed.join(
+                adj,
+                (mixed["cur"] == adj["src"])
+                & (mixed["pick"] == adj["nbr_rank"]),
+            )
+            .select("seed", "walk_id", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionByName(
+            state.select(
+                "seed", "walk_id",
+                F.lit(step).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out.orderBy("seed", "walk_id", "step")
+
+
+#: Synchronous label-propagation rounds (fixed, deterministic).
+LPA_ROUNDS = 4
+
+
+def q_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007)
+    over the co-purchase graph — the community operator next to the
+    connectivity family (CC finds components, k-core finds density,
+    LPA finds assortative clusters INSIDE a component): every node
+    starts as its own label; each synchronous round every node adopts
+    the most frequent label among its neighbors (ties broken toward
+    the SMALLEST label — the deterministic variant; vanilla LPA
+    tie-breaks randomly), for a fixed ``LPA_ROUNDS`` rounds.
+
+    Spark-first: per round ONE join of the undirected edge list
+    against the current label table, one (node, label) count
+    aggregate, and a sort-free mode via min(struct(-count, label)) —
+    the `user_modal_event` trick, so no per-node sort ever happens.
+    Rounds are unrolled and lazily checkpointed (the pagerank/kcore
+    lineage convention).
+
+    Scale: per-round movement is |edges|; label state is one row per
+    node; round count is a constant. The mode aggregate partial-
+    combines map-side like any min().
+
+    Output: (part, community, community_size) — community = the
+    converged-by-round-4 label; sizes from one final aggregate."""
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    und = (
+        edges.select(
+            F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+        )
+        .unionByName(
+            edges.select(
+                F.col("part_b").alias("src"),
+                F.col("part_a").alias("dst"),
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = und.join(
+            labels, und["dst"] == labels["id"]
+        ).select("src", "lbl")
+        counts = nbr.groupBy("src", "lbl").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        labels = (
+            counts.groupBy("src")
+            .agg(
+                F.min(F.struct((-F.col("n")).alias("neg"), "lbl")).alias(
+                    "m"
+                )
+            )
+            .select(F.col("src").alias("id"), F.col("m.lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("part"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy("part")
+    )

@@ -3009,3 +3009,113 @@ def q_randomization_test_diff(spark, sf_dir: str) -> DataFrame:
             ).alias("p_value_micro"),
         )
     )
+
+
+#: Information-gain audit: categorical features scored against the
+#: "order has a returned line" label.
+INFOGAIN_FEATURES = ["o_orderpriority", "c_mktsegment", "order_year"]
+
+
+def q_info_gain_features(spark, sf_dir: str) -> DataFrame:
+    """INFORMATION-GAIN feature ranking — the feature-selection audit
+    next to the profiling entropies (`categorical_entropy`) and the
+    dependence tests (chi-square): for each categorical feature X,
+    IG(Y; X) = H(Y) − H(Y|X) against the label Y = "order contains a
+    returned line", i.e. exactly the split criterion a decision tree
+    would use, and the mutual information I(X;Y) in micro-nats.
+
+    Exact fixed point: H(Y) = Σ_y n_y·ln_micro(N/n_y) / N and
+    H(Y|X) = Σ_xy n_xy·ln_micro(n_x/n_xy) / N — every log over an
+    integer ratio ≥ 1 (ln_micro's contract), both divisions half-up
+    at micro. Counts must stay < 2^31 per the ln_micro contract
+    (document: lift the scale for >2B-row tables).
+
+    Scale: label construction is one semi-join-shaped aggregate over
+    lineitem; per feature one (x, y) groupBy at dictionary grain plus
+    margins derived by re-aggregating the cell table (never a second
+    fact scan); the entropy sums run over dictionaries.
+
+    Output (one row per feature): (feature, n_values, h_y_unats,
+    h_y_given_x_unats, info_gain_unats)."""
+    from ..catalog import load
+    from ..functions import halfup_div, ln_micro
+
+    t = load(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    returned = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("rk"))
+        .distinct()
+    )
+    base = (
+        t.orders.join(
+            t.customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(returned, F.col("o_orderkey") == F.col("rk"), "left")
+        .select(
+            "o_orderpriority",
+            "c_mktsegment",
+            F.year("o_orderdate").cast("string").alias("order_year"),
+            F.col("rk").isNotNull().cast("long").alias("y"),
+        )
+    )
+    report = None
+    for feat in INFOGAIN_FEATURES:
+        cells = base.groupBy(
+            F.col(feat).alias("x"), "y"
+        ).agg(F.count(F.lit(1)).alias("n_xy"))
+        margins_x = cells.groupBy("x").agg(
+            F.sum("n_xy").alias("n_x")
+        )
+        margins_y = cells.groupBy("y").agg(
+            F.sum("n_xy").alias("n_y")
+        )
+        tot = cells.agg(F.sum("n_xy").alias("n"))
+        hy = (
+            margins_y.crossJoin(F.broadcast(tot))
+            .select(
+                (
+                    F.col("n_y").cast(d38)
+                    * ln_micro(F.col("n"), F.col("n_y")).cast(d38)
+                ).alias("term"),
+                "n",
+            )
+            .agg(F.sum("term").alias("hy_num"), F.max("n").alias("n"))
+        )
+        hcond = (
+            cells.join(margins_x, "x")
+            .select(
+                (
+                    F.col("n_xy").cast(d38)
+                    * ln_micro(F.col("n_x"), F.col("n_xy")).cast(d38)
+                ).alias("term")
+            )
+            .agg(F.sum("term").alias("hc_num"))
+        )
+        nvals = margins_x.agg(
+            F.count(F.lit(1)).cast("long").alias("n_values")
+        )
+        one = (
+            hy.crossJoin(F.broadcast(hcond))
+            .crossJoin(F.broadcast(nvals))
+            .select(
+                F.lit(feat).alias("feature"),
+                "n_values",
+                halfup_div(F.col("hy_num"), F.col("n"), 0)
+                .cast("long")
+                .alias("h_y_unats"),
+                halfup_div(F.col("hc_num"), F.col("n"), 0)
+                .cast("long")
+                .alias("h_y_given_x_unats"),
+                (
+                    halfup_div(F.col("hy_num"), F.col("n"), 0).cast(
+                        "long"
+                    )
+                    - halfup_div(F.col("hc_num"), F.col("n"), 0).cast(
+                        "long"
+                    )
+                ).alias("info_gain_unats"),
+            )
+        )
+        report = one if report is None else report.unionByName(one)
+    return report.orderBy("feature")

@@ -1849,3 +1849,111 @@ def q_lang_id_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pe_micro"),
         kappa.alias("kappa_micro"),
     )
+
+
+#: Fellegi–Sunter agreement fields over the part catalog (field name,
+#: and the exact agreement predicate both engines share).
+FS_FIELDS = ["brand_eq", "type_eq", "size_close", "price_close"]
+
+
+def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FELLEGI–SUNTER probabilistic record linkage weights (Fellegi &
+    Sunter 1969) — the MODEL layer of the entity-resolution family:
+    where `er_blocking_quality` audits candidate GENERATION and
+    `part_golden_record` merges decided matches, this estimates, per
+    comparison field, m = P(agree | match) and u = P(agree | non-match)
+    against the same levenshtein-1..4 ground truth on the same bounded
+    ``ER_AUDIT_SAMPLE`` deterministic sample, and derives the log-
+    likelihood agreement/disagreement weights ln(m/u) and
+    ln((1−m)/(1−u)) a scoring run would sum per pair.
+
+    Exact fixed point: Laplace-smoothed cells ((a+1)/(n+2) — keeps
+    every weight finite), rates as trunc-micro, and each weight as a
+    DIFFERENCE of two ``ln_micro`` terms (ln(m/u) = ln_micro(n_u', a_u')
+    − ln_micro(n_m', a_m')), so every log argument is an integer ratio
+    ≥ 1 with numerator < 2^31 — inside the ln_micro contract even
+    though the cross-multiplied ratio product would not be.
+
+    Output (one row per field): (field, n_match_pairs,
+    n_unmatch_pairs, n_agree_match, n_agree_unmatch, m_micro, u_micro,
+    w_agree_micro, w_disagree_micro)."""
+    from ..functions import _idiv, dec2, ln_micro
+
+    t = load(spark, sf_dir)
+    s = (
+        t.part.select(
+            "p_partkey", "p_name", "p_brand", "p_type", "p_size",
+            (dec2("p_retailprice") * 100).cast("long").alias("price_c"),
+        )
+        .orderBy("p_partkey")
+        .limit(ER_AUDIT_SAMPLE)
+    )
+    a = s.select(*[F.col(c).alias(f"a_{c}") for c in s.columns])
+    b = s.select(*[F.col(c).alias(f"b_{c}") for c in s.columns])
+    pairs = a.join(
+        F.broadcast(b), F.col("a_p_partkey") < F.col("b_p_partkey")
+    ).select(
+        F.levenshtein("a_p_name", "b_p_name")
+        .between(1, 4)
+        .cast("long")
+        .alias("is_match"),
+        (F.col("a_p_brand") == F.col("b_p_brand"))
+        .cast("long")
+        .alias("brand_eq"),
+        (F.col("a_p_type") == F.col("b_p_type"))
+        .cast("long")
+        .alias("type_eq"),
+        (F.abs(F.col("a_p_size") - F.col("b_p_size")) <= 2)
+        .cast("long")
+        .alias("size_close"),
+        (F.abs(F.col("a_price_c") - F.col("b_price_c")) <= 500)
+        .cast("long")
+        .alias("price_close"),
+    )
+    agg = pairs.agg(
+        F.sum("is_match").alias("n_m"),
+        F.sum(F.lit(1) - F.col("is_match")).alias("n_u"),
+        *[
+            F.sum(F.col("is_match") * F.col(f)).alias(f"am_{f}")
+            for f in FS_FIELDS
+        ],
+        *[
+            F.sum((F.lit(1) - F.col("is_match")) * F.col(f)).alias(
+                f"au_{f}"
+            )
+            for f in FS_FIELDS
+        ],
+    )
+    rows = []
+    for f in FS_FIELDS:
+        am = F.col(f"am_{f}") + 1
+        au = F.col(f"au_{f}") + 1
+        nm = F.col("n_m") + 2
+        nu = F.col("n_u") + 2
+        dm = nm - am  # smoothed disagreements
+        du = nu - au
+        rows.append(
+            agg.select(
+                F.lit(f).alias("field"),
+                F.col("n_m").alias("n_match_pairs"),
+                F.col("n_u").alias("n_unmatch_pairs"),
+                F.col(f"am_{f}").alias("n_agree_match"),
+                F.col(f"au_{f}").alias("n_agree_unmatch"),
+                _idiv(
+                    am.cast("decimal(38,0)") * F.lit(1_000_000), nm
+                ).alias("m_micro"),
+                _idiv(
+                    au.cast("decimal(38,0)") * F.lit(1_000_000), nu
+                ).alias("u_micro"),
+                (ln_micro(nu, au) - ln_micro(nm, am)).alias(
+                    "w_agree_micro"
+                ),
+                (ln_micro(nu, du) - ln_micro(nm, dm)).alias(
+                    "w_disagree_micro"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("field")

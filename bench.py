@@ -194,6 +194,10 @@ HEADLINE = [
     "randomization_test_diff", # splitmix60 Bernoulli label-shuffle inference (new in r10)
     "ann_ndcg_exactint",      # graded hash-verifiable retrieval quality (new in r10)
     "matryoshka_prefix_recall", # prefix-dim truncation trade-off table (new in r10)
+    "info_gain_features",     # decision-tree split criterion feature ranking (new in r10)
+    "deterministic_random_walks", # DeepWalk corpus via splitmix60 neighbor picks (new in r10)
+    "label_propagation_communities", # sync min-tie-break LPA, mode without sort (new in r10)
+    "fellegi_sunter_weights", # probabilistic record-linkage m/u model (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -77,6 +77,9 @@ WHITELIST: dict[str, str] = {
     "ann_ndcg_exactint": "bounded 20-query brute ground truth (the knn_brute audit shape) scoring the served ANN list; 1-row IDCG arithmetic",
     "matryoshka_prefix_recall": "bounded 20-query brute per prefix dim (the knn_brute audit shape) — the trade-off table is the product, not a serving path",
     "randomization_test_diff": "1-row threshold/observed-stat broadcast attaches around the 64-row replicate grid",
+    "fellegi_sunter_weights": "bounded 500-record all-pairs ground truth (the er_blocking_quality audit shape) + 1-row cell-count attaches",
+    "info_gain_features": "dictionary-grain cell tables x 1-row total broadcast attaches (the categorical_entropy shape)",
+    "deterministic_random_walks": "40-row walk frontier x 4-walk cross join seed expansion; per-step equi-joins against the ranked adjacency",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",

@@ -1092,3 +1092,150 @@ def test_interpurchase_regularity_pure_python(spark, sf_dir):
 
     cv2f = statistics.variance(gaps) / (statistics.mean(gaps) ** 2)
     assert abs(cv2_0 / 1e6 - cv2f) < 1e-4
+
+
+def test_deterministic_random_walks_pure_python(spark, sf_dir):
+    """Every walk matches a pure-Python trace (md5 seed + splitmix60
+    neighbor pick over the id-ranked adjacency); walks are valid
+    paths (every step follows an edge); FLOAT WITNESS: the pick
+    distribution over a hub's neighbors is near-uniform (chi-square
+    sanity on the mixer, not a shared integer formula)."""
+    import hashlib
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        WALK_SEEDS,
+        WALK_STEPS,
+        WALKS_PER_SEED,
+        q_deterministic_random_walks,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    rows = q_deterministic_random_walks(spark, sf_dir).collect()
+    assert len(rows) == WALK_SEEDS * WALKS_PER_SEED * (WALK_STEPS + 1)
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    pair_n = defaultdict(int)
+    for b in baskets.values():
+        if len(b) > 50:
+            continue
+        ps = sorted(b)
+        for i, a in enumerate(ps):
+            for c in ps[i + 1 :]:
+                pair_n[(a, c)] += 1
+    adj = defaultdict(list)
+    wdeg = defaultdict(int)
+    for (a, b), n in pair_n.items():
+        if n < 2:
+            continue
+        adj[a].append(b)
+        adj[b].append(a)
+        wdeg[a] += n
+        wdeg[b] += n
+    for v in adj:
+        adj[v].sort()
+    seeds = sorted(wdeg, key=lambda v: (-wdeg[v], v))[:WALK_SEEDS]
+
+    def h64(v):
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    got = defaultdict(dict)
+    for r in rows:
+        got[(r["seed"], r["walk_id"])][r["step"]] = r["node"]
+    assert {s for s, _w in got} == set(seeds)
+    for (seed, w), path in got.items():
+        cur = seed
+        assert path[0] == seed
+        for step in range(1, WALK_STEPS + 1):
+            nbrs = adj[cur]
+            pick = _splitmix60_py(h64(cur), w * 8 + step) % len(nbrs)
+            cur = nbrs[pick]
+            assert path[step] == cur
+            # validity: consecutive nodes share an edge
+            assert path[step] in adj[path[step - 1]]
+
+    # FLOAT WITNESS: near-uniform neighbor choice at the top hub over
+    # many (walk, step) probes — expected count n/deg per neighbor
+    hub = seeds[0]
+    deg = len(adj[hub])
+    n_probe = 256
+    counts = defaultdict(int)
+    for i in range(n_probe):
+        counts[_splitmix60_py(h64(hub), i) % deg] += 1
+    exp = n_probe / deg
+    chi2 = sum((c - exp) ** 2 / exp for c in counts.values())
+    # generous 99.9%-ish bound: chi2 < df + 5*sqrt(2*df) + 20
+    df = deg - 1
+    assert chi2 < df + 5 * (2 * df) ** 0.5 + 20
+
+
+def test_label_propagation_pure_python(spark, sf_dir):
+    """Four synchronous min-tie-break LPA rounds match a pure-Python
+    recompute; communities respect connectivity (a community never
+    spans two connected components) and sizes are consistent."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        LPA_ROUNDS,
+        q_label_propagation_communities,
+    )
+
+    rows = {
+        r["part"]: r
+        for r in q_label_propagation_communities(spark, sf_dir).collect()
+    }
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    pair_n = defaultdict(int)
+    for b in baskets.values():
+        if len(b) > 50:
+            continue
+        ps = sorted(b)
+        for i, a in enumerate(ps):
+            for c in ps[i + 1 :]:
+                pair_n[(a, c)] += 1
+    adj = defaultdict(list)
+    for (a, b), n in pair_n.items():
+        if n >= 2:
+            adj[a].append(b)
+            adj[b].append(a)
+    lbl = {v: v for v in adj}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v in adj:
+            cnt = Counter(lbl[u] for u in adj[v])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            nxt[v] = best[0]
+        lbl = nxt
+    sizes = Counter(lbl.values())
+    assert set(rows) == set(adj)
+    for v, want in lbl.items():
+        assert rows[v]["community"] == want
+        assert rows[v]["community_size"] == sizes[want]
+    # communities nest inside connected components
+    comp = {}
+    for v in adj:
+        if v in comp:
+            continue
+        stack, root = [v], v
+        while stack:
+            u = stack.pop()
+            if u in comp:
+                continue
+            comp[u] = root
+            stack.extend(adj[u])
+    by_lbl = defaultdict(set)
+    for v, l in lbl.items():
+        by_lbl[l].add(comp[v])
+    assert all(len(cs) == 1 for cs in by_lbl.values())

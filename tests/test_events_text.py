@@ -1915,3 +1915,82 @@ def test_time_decay_attribution_pure_python(spark, sf_dir):
             ws,
             credit,
         )
+
+
+def test_fellegi_sunter_weights_pure_python(spark, sf_dir):
+    """m/u cells match a pure-Python recompute over the same bounded
+    sample and match rule; FLOAT WITNESS: each micro weight tracks
+    math.log of the smoothed float odds ratio."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        ER_AUDIT_SAMPLE,
+        FS_FIELDS,
+        q_fellegi_sunter_weights,
+    )
+    rows = {r["field"]: r for r in q_fellegi_sunter_weights(spark, sf_dir).collect()}
+    assert set(rows) == set(FS_FIELDS)
+
+    p = (
+        pd.read_parquet(f"{sf_dir}/part.parquet")
+        .sort_values("p_partkey")
+        .head(ER_AUDIT_SAMPLE)
+    )
+    p["pc"] = (p["p_retailprice"].round(2) * 100).round().astype("int64")
+    recs = list(
+        zip(p["p_partkey"], p["p_name"], p["p_brand"], p["p_type"],
+            p["p_size"], p["pc"])
+    )
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    cells = {f: [0, 0] for f in FS_FIELDS}  # agree_match, agree_unmatch
+    n_m = n_u = 0
+    for i, (ka, na, bra, tya, sza, pca) in enumerate(recs):
+        for kb, nb, brb, tyb, szb, pcb in recs[i + 1 :]:
+            m = 1 <= lev(na, nb) <= 4
+            n_m += m
+            n_u += not m
+            ag = {
+                "brand_eq": bra == brb,
+                "type_eq": tya == tyb,
+                "size_close": abs(int(sza) - int(szb)) <= 2,
+                "price_close": abs(int(pca) - int(pcb)) <= 500,
+            }
+            for f, v in ag.items():
+                if v:
+                    if m:
+                        cells[f][0] += 1
+                    else:
+                        cells[f][1] += 1
+    for f in FS_FIELDS:
+        am, au = cells[f]
+        r = rows[f]
+        assert (r["n_match_pairs"], r["n_unmatch_pairs"]) == (n_m, n_u)
+        assert (r["n_agree_match"], r["n_agree_unmatch"]) == (am, au)
+        assert r["m_micro"] == (am + 1) * 10**6 // (n_m + 2)
+        assert r["u_micro"] == (au + 1) * 10**6 // (n_u + 2)
+        # FLOAT WITNESS: weights track math.log of the smoothed odds
+        mf = (am + 1) / (n_m + 2)
+        uf = (au + 1) / (n_u + 2)
+        assert abs(r["w_agree_micro"] / 1e6 - math.log(mf / uf)) < 1e-4
+        assert (
+            abs(
+                r["w_disagree_micro"] / 1e6
+                - math.log((1 - mf) / (1 - uf))
+            )
+            < 1e-4
+        )

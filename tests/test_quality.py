@@ -1477,3 +1477,81 @@ def test_randomization_test_pure_python(spark, sf_dir):
     ma = float(cents[true_a == 1].mean())
     mb = float(cents[true_a == 0].mean())
     assert abs(r["obs_dm_milli"] / 1e3 - abs(ma - mb)) <= 1e-3
+
+
+def test_info_gain_features_pure_python(spark, sf_dir):
+    """IG matches a pure-Python integer recompute via the engine's own
+    ln_micro values AND (FLOAT WITNESS) the math.log entropy formulas;
+    IG is non-negative and bounded by min(H(Y), ln(n_values))."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+    from beauty_lakehouse_spark.operators.quality import (
+        INFOGAIN_FEATURES,
+        q_info_gain_features,
+    )
+
+    rows = {r["feature"]: r for r in q_info_gain_features(spark, sf_dir).collect()}
+    assert set(rows) == set(INFOGAIN_FEATURES)
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    returned = set(li[li["l_returnflag"] == "R"]["l_orderkey"])
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["y"] = j["o_orderkey"].isin(returned).astype(int)
+    j["order_year"] = j["o_orderdate"].dt.year.astype(str)
+    n = len(j)
+
+    for feat in INFOGAIN_FEATURES:
+        cells = Counter(zip(j[feat], j["y"]))
+        nx = Counter()
+        ny = Counter()
+        for (x, y), m in cells.items():
+            nx[x] += m
+            ny[y] += m
+        # engine ln_micro values for the exact recompute
+        need = sorted(
+            {(n, v) for v in ny.values()}
+            | {(nx[x], m) for (x, _y), m in cells.items()}
+        )
+        lnm = {
+            (r["a"], r["b"]): r["v"]
+            for r in spark.createDataFrame(need, ["a", "b"])
+            .select(
+                "a", "b",
+                ln_micro(
+                    F.col("a").cast("long"), F.col("b").cast("long")
+                ).alias("v"),
+            )
+            .collect()
+        }
+
+        def hu0(num, den):
+            return (2 * num + den) // (2 * den)
+
+        hy = hu0(sum(v * lnm[(n, v)] for v in ny.values()), n)
+        hc = hu0(
+            sum(m * lnm[(nx[x], m)] for (x, _y), m in cells.items()), n
+        )
+        r = rows[feat]
+        assert r["n_values"] == len(nx)
+        assert r["h_y_unats"] == hy
+        assert r["h_y_given_x_unats"] == hc
+        assert r["info_gain_unats"] == hy - hc
+        # FLOAT WITNESS: math.log entropies
+        fhy = sum(v / n * math.log(n / v) for v in ny.values())
+        fhc = sum(
+            m / n * math.log(nx[x] / m) for (x, _y), m in cells.items()
+        )
+        assert abs(r["h_y_unats"] / 1e6 - fhy) < 1e-4
+        assert abs(r["h_y_given_x_unats"] / 1e6 - fhc) < 1e-4
+        fig = fhy - fhc
+        assert abs(r["info_gain_unats"] / 1e6 - fig) < 2e-4
+        assert r["info_gain_unats"] >= -2  # numeric floor of 0
+        assert r["info_gain_unats"] / 1e6 <= fhy + 1e-4
