@@ -140,6 +140,9 @@ _DRIVER_ORDER_R10 = [
     "deterministic_random_walks",  # new in r10
     "label_propagation_communities",  # new in r10
     "fellegi_sunter_weights",  # new in r10
+    "incremental_topk_state",  # new in r10
+    "sprt_decision",  # new in r10
+    "sprt_streamed",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -479,6 +482,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interval overlap join: per-customer concurrent orders
         "order_interval_overlaps": temporal.q_order_interval_overlaps,
         "temporal_gap_coalesce": temporal.q_temporal_gap_coalesce,
+        "sprt_decision": temporal.q_sprt_decision,
+        "sprt_streamed": _q_sprt_streamed,
         "event_transitions": temporal.q_event_transitions,
         "events_preceding_5min": temporal.q_events_preceding_5min,
         "user_type_pivot": events.q_user_type_pivot,
@@ -747,6 +752,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_random_walks": graph.q_deterministic_random_walks,
         "label_propagation_communities": graph.q_label_propagation_communities,
         "fellegi_sunter_weights": text.q_fellegi_sunter_weights,
+        "incremental_topk_state": tables.q_incremental_topk_state,
         "matryoshka_prefix_recall": similarity.q_matryoshka_prefix_recall,
         # partition-grain anti-entropy (sync-unit fingerprints)
         "orders_partition_checksums": quality.q_orders_partition_checksums,
@@ -851,6 +857,30 @@ def _q_events_hourly_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         hourly_event_counts(stream_events(spark, sf_dir)),
         f"gate_hourly_{uuid.uuid4().hex[:8]}",
+    )
+
+
+def _q_sprt_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-test-at-ingest drain: the SPRT's (day, n, k)
+    sufficient-statistic grid maintained by the orders landing stream
+    (complete-mode, bounded by the calendar span), decision walk
+    finished batch-side. Shares q_sprt_decision's oracle row."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        sprt_day_grid,
+        sprt_finish,
+    )
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_orders,
+    )
+
+    return sprt_finish(
+        run_available_now(
+            sprt_day_grid(stream_orders(spark, sf_dir)),
+            f"gate_sprt_{uuid.uuid4().hex[:8]}",
+        )
     )
 
 
@@ -6570,4 +6600,18 @@ def oracle_sql() -> dict[str, str]:
         # differences so every log argument stays inside the contract
         "WITH s AS (SELECT p_partkey, p_name, p_brand, p_type, p_size, CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc FROM part ORDER BY p_partkey LIMIT 500), pr AS (SELECT CASE WHEN levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 4 THEN 1 ELSE 0 END AS is_match, CASE WHEN a.p_brand = b.p_brand THEN 1 ELSE 0 END AS brand_eq, CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS type_eq, CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0 END AS size_close, CASE WHEN abs(a.pc - b.pc) <= 500 THEN 1 ELSE 0 END AS price_close FROM s a JOIN s b ON a.p_partkey < b.p_partkey), g AS (SELECT CAST(sum(is_match) AS BIGINT) AS n_m, CAST(sum(1 - is_match) AS BIGINT) AS n_u, CAST(sum(is_match * brand_eq) AS BIGINT) AS am_brand_eq, CAST(sum((1 - is_match) * brand_eq) AS BIGINT) AS au_brand_eq, CAST(sum(is_match * type_eq) AS BIGINT) AS am_type_eq, CAST(sum((1 - is_match) * type_eq) AS BIGINT) AS au_type_eq, CAST(sum(is_match * size_close) AS BIGINT) AS am_size_close, CAST(sum((1 - is_match) * size_close) AS BIGINT) AS au_size_close, CAST(sum(is_match * price_close) AS BIGINT) AS am_price_close, CAST(sum((1 - is_match) * price_close) AS BIGINT) AS au_price_close FROM pr) SELECT * FROM (SELECT 'brand_eq' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_brand_eq AS n_agree_match, au_brand_eq AS n_agree_unmatch, CAST((CAST(am_brand_eq + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_brand_eq + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_brand_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_brand_eq + 1)) >> (length(bin(((n_u + 2) // (au_brand_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_brand_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_brand_eq + 1)) >> (length(bin(((n_m + 2) // (am_brand_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_brand_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_brand_eq - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_brand_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_brand_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_brand_eq - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_brand_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'type_eq' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_type_eq AS n_agree_match, au_type_eq AS n_agree_unmatch, CAST((CAST(am_type_eq + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_type_eq + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_type_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_type_eq + 1)) >> (length(bin(((n_u + 2) // (au_type_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_type_eq + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_type_eq + 1)) >> (length(bin(((n_m + 2) // (am_type_eq + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_type_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_type_eq - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_type_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_type_eq - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_type_eq - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_type_eq - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'size_close' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_size_close AS n_agree_match, au_size_close AS n_agree_unmatch, CAST((CAST(am_size_close + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_size_close + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_size_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_size_close + 1)) >> (length(bin(((n_u + 2) // (au_size_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_size_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_size_close + 1)) >> (length(bin(((n_m + 2) // (am_size_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_size_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_size_close - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_size_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_size_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_size_close - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_size_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g UNION ALL SELECT 'price_close' AS field, n_m AS n_match_pairs, n_u AS n_unmatch_pairs, am_price_close AS n_agree_match, au_price_close AS n_agree_unmatch, CAST((CAST(am_price_close + 1 AS HUGEINT) * 1000000) // (n_m + 2) AS BIGINT) AS m_micro, CAST((CAST(au_price_close + 1 AS HUGEINT) * 1000000) // (n_u + 2) AS BIGINT) AS u_micro, CAST((((((length(bin(((n_u + 2) // (au_price_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (au_price_close + 1)) >> (length(bin(((n_u + 2) // (au_price_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (am_price_close + 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (am_price_close + 1)) >> (length(bin(((n_m + 2) // (am_price_close + 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_agree_micro, CAST((((((length(bin(((n_u + 2) // (n_u + 2 - au_price_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_u + 2) AS BIGINT) * 1073741824) // (n_u + 2 - au_price_close - 1)) >> (length(bin(((n_u + 2) // (n_u + 2 - au_price_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (((((length(bin(((n_m + 2) // (n_m + 2 - am_price_close - 1)))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST((n_m + 2) AS BIGINT) * 1073741824) // (n_m + 2 - am_price_close - 1)) >> (length(bin(((n_m + 2) // (n_m + 2 - am_price_close - 1)))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS BIGINT) AS w_disagree_micro FROM g) ORDER BY field"
     )
+
+    out["incremental_topk_state"] = (
+        # top-10 of the from-scratch v2 state; Spark side maintains the
+        # per-customer aggregate via the change feed and re-ranks
+        'WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, CAST(year(o_orderdate) AS INTEGER) AS order_year FROM orders), src AS (SELECT o_orderkey, o_custkey, o_orderstatus, CAST(round(CAST(o_totalprice AS DECIMAL(12,2)) + 1, 2) AS DOUBLE) AS o_totalprice, order_year FROM base WHERE o_orderkey % 7 = 0 UNION ALL SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, order_year FROM base WHERE o_orderkey % 11 = 0), merged AS (SELECT b.* FROM base b ANTI JOIN src s ON b.o_orderkey = s.o_orderkey UNION ALL SELECT * FROM src), final AS (SELECT m.* FROM merged m ANTI JOIN (SELECT o_orderkey FROM base WHERE o_orderkey % 13 = 0) d ON m.o_orderkey = d.o_orderkey), agg AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS total_dec FROM final GROUP BY 1), rk AS (SELECT row_number() OVER (ORDER BY total_dec DESC, o_custkey) AS rank, o_custkey, n_orders, CAST(total_dec AS DOUBLE) AS total_price FROM agg) SELECT CAST(rank AS INTEGER) AS rank, o_custkey, n_orders, total_price FROM rk WHERE rank <= 10 ORDER BY rank'
+    )
+
+    out["sprt_decision"] = (
+        # Wald SPRT walk over the day grid; increments/boundary are
+        # ln_micro of literal integer ratios (identical fold both
+        # engines); first boundary crossing decides
+        "WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k FROM orders GROUP BY 1), walk AS (SELECT d, n, k, sum(k * (((((length(bin((4 // 3))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(4 AS BIGINT) * 1073741824) // 3) >> (length(bin((4 // 3))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (n - k) * (((((length(bin((17 // 16))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(17 AS BIGINT) * 1073741824) // 16) >> (length(bin((17 // 16))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16))) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr, (((((length(bin((19 // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(19 AS BIGINT) * 1073741824) // 1) >> (length(bin((19 // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS bound FROM day), hits AS (SELECT d, n, k, llr, bound, CASE WHEN llr >= bound THEN 'accept_h1' WHEN llr <= -bound THEN 'accept_h0' END AS hit FROM walk), f AS (SELECT d AS fd, hit AS fhit FROM hits WHERE hit IS NOT NULL ORDER BY d, hit LIMIT 1), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS n_orders, CAST(sum(k) AS BIGINT) AS n_urgent, CAST(max(bound) AS BIGINT) AS boundary_micro FROM hits), lastd AS (SELECT CAST(llr AS BIGINT) AS llr_final_micro FROM hits ORDER BY d DESC LIMIT 1) SELECT n_days, n_orders, n_urgent, llr_final_micro, boundary_micro, coalesce((SELECT fhit FROM f), 'continue') AS decision, (SELECT strftime(fd, '%Y-%m-%d') FROM f) AS decision_day FROM tot, lastd"
+    )
+    out["sprt_streamed"] = out["sprt_decision"]
     return out

@@ -709,3 +709,96 @@ def q_temporal_gap_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+#: SPRT design: H0 p=0.15 vs H1 p=0.20 urgent-order share, alpha =
+#: beta = 0.05 (boundary ln 19). Increments use exact integer-ratio
+#: logs: L1 = ln(p1/p0) = ln(4/3), L2 = ln((1-p0)/(1-p1)) = ln(17/16).
+SPRT_L1 = (4, 3)
+SPRT_L2 = (17, 16)
+SPRT_BOUND = (19, 1)
+
+
+def q_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) on the daily
+    urgent-order share — the SEQUENTIAL member of the inference family
+    (the t/U/KS/randomization tests are fixed-sample; CUSUM detects
+    level shifts; the SPRT answers "stop as soon as the evidence
+    decides" with guaranteed error rates): cumulative log-likelihood
+    ratio for H1: p = 0.20 vs H0: p = 0.15 of an order being URGENT,
+    walked day by day; accept H1 at +ln 19, H0 at −ln 19 (α = β =
+    0.05), at the FIRST crossing.
+
+    Exact fixed point: the day increment k·ln(4/3) − (n−k)·ln(17/16)
+    uses ``ln_micro`` on literal integer ratios (both engines fold the
+    same constants); the walk is a cumulative sum over the bounded DAY
+    grid (calendar-span window, never raw rows) and the first-crossing
+    scan is one aggregate over that grid.
+
+    Output (1 row): (n_days, n_orders, n_urgent, llr_final_micro,
+    boundary_micro, decision, decision_day)."""
+    t = load(spark, sf_dir)
+    return sprt_finish(sprt_day_grid(t.orders))
+
+
+def sprt_day_grid(orders: DataFrame) -> DataFrame:
+    """The (day, n, k) sufficient-statistic grid behind the SPRT —
+    shared by the batch query and the streamed drain (count/sum are
+    additive and order-insensitive, so the grid is complete-mode
+    streamable and micro-batch-slicing-independent)."""
+    return (
+        orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (F.col("o_orderpriority") == "1-URGENT")
+            .cast("long")
+            .alias("u"),
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("u").alias("k"))
+    )
+
+
+def sprt_finish(day: DataFrame) -> DataFrame:
+    """Cumulative LLR walk + first-crossing decision over the bounded
+    day grid (batch-side finisher shared by both surfaces)."""
+    from ..functions import ln_micro
+
+    l1 = ln_micro(F.lit(SPRT_L1[0]), F.lit(SPRT_L1[1]))
+    l2 = ln_micro(F.lit(SPRT_L2[0]), F.lit(SPRT_L2[1]))
+    bound = ln_micro(F.lit(SPRT_BOUND[0]), F.lit(SPRT_BOUND[1]))
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = day.withColumn(
+        "llr",
+        F.sum(F.col("k") * l1 - (F.col("n") - F.col("k")) * l2).over(w),
+    ).withColumn("bound", bound)
+    hits = walk.select(
+        "d",
+        "n",
+        "k",
+        "llr",
+        "bound",
+        F.when(F.col("llr") >= F.col("bound"), F.lit("accept_h1"))
+        .when(F.col("llr") <= -F.col("bound"), F.lit("accept_h0"))
+        .alias("hit"),
+    )
+    first = hits.filter(F.col("hit").isNotNull()).agg(
+        F.min(F.struct("d", "hit")).alias("f")
+    )
+    tot = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n").alias("n_orders"),
+        F.sum("k").alias("n_urgent"),
+        F.max(F.struct("d", "llr")).alias("last"),
+        F.max("bound").alias("boundary_micro"),
+    )
+    return tot.crossJoin(F.broadcast(first)).select(
+        "n_days",
+        "n_orders",
+        "n_urgent",
+        F.col("last.llr").alias("llr_final_micro"),
+        "boundary_micro",
+        F.coalesce(F.col("f.hit"), F.lit("continue")).alias("decision"),
+        F.date_format(F.col("f.d"), "yyyy-MM-dd").alias("decision_day"),
+    )

@@ -757,3 +757,74 @@ def q_orders_antientropy_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("synced_ok"),
         )
     )
+
+
+def q_incremental_topk_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: incremental TOP-K view maintenance — the
+    ranking member of the IVM family (aggregate, join, dedup, ANN
+    index, now top-k): the top-10 customers by total order value are
+    computed at v1, then MAINTAINED to v2 by applying only the v1→v2
+    change feed to the FULL per-customer aggregate state and re-ranking
+    that state — never rescanning the v2 snapshot. The DuckDB oracle
+    computes the v2 top-10 FROM SCRATCH, so the hash match proves
+    maintained ≡ recompute.
+
+    Why full per-key state: a delete can demote a current top-k member
+    and promote a key that was NEVER in the top-k, so a bounded k-row
+    state cannot be self-maintained under retractions (the classic
+    top-k IVM result — Mumick et al.'s bounded k+buffer variant
+    re-derives from base on buffer underflow; the full-state form is
+    the one that never re-scans). The state is one row per customer —
+    dimension-grain, not fact-grain — and the maintenance batch costs
+    O(changes), map-side-combined per customer before the merge.
+
+    Output (10 rows): (rank, o_custkey, n_orders, total_price) by
+    (total desc, custkey asc)."""
+    from pyspark.sql import Window
+
+    from .functions import dec2
+
+    path = _merge_scenario(spark, sf_dir)
+    v1 = read_versioned(spark, path, 1)
+    base = v1.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec2("o_totalprice")).alias("s"),
+    )
+    ch = table_changes(spark, path, 1, 2)
+    is_ins = F.col("change_type") == "insert"
+    delta = ch.groupBy("o_custkey").agg(
+        F.sum(F.when(is_ins, 1).otherwise(-1)).cast("long").alias("dn"),
+        F.sum(
+            F.when(is_ins, dec2("o_totalprice")).otherwise(
+                -dec2("o_totalprice")
+            )
+        ).alias("ds"),
+    )
+    zero_dec = F.lit(0).cast("decimal(12,2)")
+    state = (
+        base.join(delta, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            (F.coalesce("n", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+            .cast("long")
+            .alias("n_orders"),
+            F.round(
+                F.coalesce(F.col("s"), zero_dec)
+                + F.coalesce(F.col("ds"), zero_dec),
+                2,
+            ).alias("total_dec"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    w = Window.orderBy(F.desc("total_dec"), F.asc("o_custkey"))
+    return (
+        state.orderBy(F.desc("total_dec"), F.asc("o_custkey"))
+        .limit(10)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_orders",
+            F.col("total_dec").cast("double").alias("total_price"),
+        )
+    )

@@ -198,6 +198,9 @@ HEADLINE = [
     "deterministic_random_walks", # DeepWalk corpus via splitmix60 neighbor picks (new in r10)
     "label_propagation_communities", # sync min-tie-break LPA, mode without sort (new in r10)
     "fellegi_sunter_weights", # probabilistic record-linkage m/u model (new in r10)
+    "incremental_topk_state", # top-k IVM over the maintained full-key state (new in r10)
+    "sprt_decision",          # Wald sequential test walk over the day grid (new in r10)
+    "sprt_streamed",          # sequential-test-at-ingest drain (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -80,6 +80,8 @@ WHITELIST: dict[str, str] = {
     "fellegi_sunter_weights": "bounded 500-record all-pairs ground truth (the er_blocking_quality audit shape) + 1-row cell-count attaches",
     "info_gain_features": "dictionary-grain cell tables x 1-row total broadcast attaches (the categorical_entropy shape)",
     "deterministic_random_walks": "40-row walk frontier x 4-walk cross join seed expansion; per-step equi-joins against the ranked adjacency",
+    "sprt_decision": "1-row totals x 1-row first-crossing broadcast attach",
+    "sprt_streamed": "same 1-row attaches as sprt_decision over the drained grid",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
@@ -142,6 +144,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "part_pareto_frontier": "prefix-max over the ~100-row price-bucket table; exact-finish windows run over bucket-prune survivors (rows beating the lower-bucket prefix max — empirically O(log) per bucket), never the raw part table",
     "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
     "selectivity_audit": "equi-depth cumulative count over the distinct-cents VALUE-DOMAIN grid (the price_drift_ks / order_value_percentiles convention), never raw rows",
+    "sprt_decision": "cumulative LLR walk over the calendar-bounded day grid (the revenue_cusum convention), never raw rows; 1-row first-crossing broadcast attach",
+    "incremental_topk_state": "rank window over the 10-row TakeOrdered head of the maintained state — never the customer domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",
     "training_order_shuffle": "cumsum over <=4096-row bucket-count table",

@@ -761,3 +761,34 @@ def test_bootstrap_mean_streamed_multi_batch_equals_batch(
     got = bootstrap_finish(grid)
     expected = q_bootstrap_mean_ci(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_sprt_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """The streamed SPRT grid drained over multiple micro-batches
+    (maxFilesPerTrigger=1 over a 4-file copy) finishes to the same
+    decision row as the batch q_sprt_decision — count/sum on the day
+    grid are additive and order-insensitive, so slicing cannot move
+    the boundary crossing."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_sprt_decision,
+        sprt_day_grid,
+        sprt_finish,
+    )
+    from beauty_lakehouse_spark.streaming import run_available_now
+
+    src = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    multi = str(tmp_path / "orders_multi")
+    src.repartition(4).write.parquet(multi)
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(multi)
+    )
+    grid = run_available_now(
+        sprt_day_grid(stream), f"t_sprt_{uuid.uuid4().hex[:8]}"
+    )
+    got = sprt_finish(grid).collect()
+    want = q_sprt_decision(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

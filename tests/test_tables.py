@@ -283,3 +283,48 @@ def test_antientropy_sync_flags_exactly_even_years(spark, sf_dir):
         assert r["synced_ok"] == 1, y
         assert r["was_stale"] == (1 if y % 2 == 0 else 0), y
         assert r["n_shipped"] == (r["n_rows"] if y % 2 == 0 else 0), y
+
+
+def test_incremental_topk_state_pure_python(spark, sf_dir):
+    """Maintained top-10 equals a pandas recompute of the v2 snapshot
+    (scenario rules applied from scratch), proving the full-state
+    maintenance handles promote-from-outside-k under deletions."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.tables import q_incremental_topk_state
+
+    rows = q_incremental_topk_state(spark, sf_dir).collect()
+    assert [r["rank"] for r in rows] == list(range(1, 11))
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")[
+        ["o_orderkey", "o_custkey", "o_totalprice"]
+    ].copy()
+    o["p"] = o["o_totalprice"].round(2)
+    upd = o[o["o_orderkey"] % 7 == 0].copy()
+    upd["p"] = upd["p"] + 1.00
+    ins = o[o["o_orderkey"] % 11 == 0].copy()
+    ins["o_orderkey"] = ins["o_orderkey"] + 10_000_000
+    merged = pd.concat(
+        [o[~o["o_orderkey"].isin(set(upd["o_orderkey"]))], upd, ins]
+    )
+    dels = set(o[o["o_orderkey"] % 13 == 0]["o_orderkey"])
+    final = merged[~merged["o_orderkey"].isin(dels)]
+    agg = (
+        final.groupby("o_custkey")
+        .agg(n=("o_orderkey", "size"), s=("p", "sum"))
+        .reset_index()
+    )
+    agg["s"] = agg["s"].round(2)
+    agg = agg.sort_values(["s", "o_custkey"], ascending=[False, True])
+    want = [
+        (i + 1, int(r.o_custkey), int(r.n), float(r.s))
+        for i, r in enumerate(agg.head(10).itertuples())
+    ]
+    got = [
+        (r["rank"], r["o_custkey"], r["n_orders"], r["total_price"])
+        for r in rows
+    ]
+    # FLOAT WITNESS: totals compared as floats at 2dp
+    for (gr, gk, gn, gt), (wr, wk, wn, wt) in zip(got, want):
+        assert (gr, gk, gn) == (wr, wk, wn)
+        assert abs(gt - wt) < 1e-6

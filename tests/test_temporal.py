@@ -261,3 +261,78 @@ def test_temporal_gap_coalesce_matches_day_set(spark, sf_dir):
             cur = cur + 1 if (b - a).days == 1 else 1
             best = max(best, cur)
         assert r["longest_island_days"] == best
+
+
+def test_sprt_decision_pure_python(spark, sf_dir):
+    """The SPRT walk matches a pure-Python recompute via the engine's
+    ln_micro constants; FLOAT WITNESS: the final LLR tracks the
+    math.log walk and the boundary is ln(19)."""
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import ln_micro
+    from beauty_lakehouse_spark.operators.temporal import (
+        SPRT_BOUND,
+        SPRT_L1,
+        SPRT_L2,
+        q_sprt_decision,
+    )
+
+    [r] = q_sprt_decision(spark, sf_dir).collect()
+
+    consts = {
+        (a, b): v
+        for (a, b), v in zip(
+            [SPRT_L1, SPRT_L2, SPRT_BOUND],
+            [
+                row["v"]
+                for row in spark.createDataFrame(
+                    [SPRT_L1, SPRT_L2, SPRT_BOUND], ["a", "b"]
+                )
+                .select(
+                    ln_micro(
+                        F.col("a").cast("long"), F.col("b").cast("long")
+                    ).alias("v")
+                )
+                .collect()
+            ],
+        )
+    }
+    l1, l2, bound = (
+        consts[SPRT_L1],
+        consts[SPRT_L2],
+        consts[SPRT_BOUND],
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["d"] = o["o_orderdate"].dt.date
+    o["u"] = (o["o_orderpriority"] == "1-URGENT").astype(int)
+    day = o.groupby("d").agg(n=("u", "size"), k=("u", "sum")).sort_index()
+    llr = 0
+    decision, dday = "continue", None
+    fllr = 0.0
+    for d, row in day.iterrows():
+        n, k = int(row["n"]), int(row["k"])
+        llr += k * l1 - (n - k) * l2
+        fllr += k * math.log(4 / 3) - (n - k) * math.log(17 / 16)
+        if decision == "continue":
+            if llr >= bound:
+                decision, dday = "accept_h1", d.isoformat()
+            elif llr <= -bound:
+                decision, dday = "accept_h0", d.isoformat()
+    assert r["n_days"] == len(day)
+    assert r["n_urgent"] == int(day["k"].sum())
+    assert r["llr_final_micro"] == llr
+    assert r["boundary_micro"] == bound
+    assert (r["decision"], r["decision_day"]) == (decision, dday)
+    # FLOAT WITNESS: micro walk tracks the math.log walk — ln_micro is
+    # accurate to ~1e-4 relative on small ratios (ln(17/16) ~ 0.06 ->
+    # up to ~7 micro absolute), and the error is SYSTEMATIC per
+    # constant, so it accumulates linearly in n_orders
+    assert (
+        abs(r["llr_final_micro"] / 1e6 - fllr)
+        < 1.5e-5 * r["n_orders"] + 1e-3
+    )
+    assert abs(bound / 1e6 - math.log(19)) < 1e-4
