@@ -143,6 +143,9 @@ _DRIVER_ORDER_R10 = [
     "incremental_topk_state",  # new in r10
     "sprt_decision",  # new in r10
     "sprt_streamed",  # new in r10
+    "rake_keyword_scores",  # new in r10
+    "rrf_fusion_exactint",  # new in r10
+    "revenue_runs_test",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -752,6 +755,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deterministic_random_walks": graph.q_deterministic_random_walks,
         "label_propagation_communities": graph.q_label_propagation_communities,
         "fellegi_sunter_weights": text.q_fellegi_sunter_weights,
+        "rake_keyword_scores": text.q_rake_keyword_scores,
+        "rrf_fusion_exactint": similarity.q_rrf_fusion_exactint,
+        "revenue_runs_test": temporal.q_revenue_runs_test,
         "incremental_topk_state": tables.q_incremental_topk_state,
         "matryoshka_prefix_recall": similarity.q_matryoshka_prefix_recall,
         # partition-grain anti-entropy (sync-unit fingerprints)
@@ -6614,4 +6620,19 @@ def oracle_sql() -> dict[str, str]:
         "WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS k FROM orders GROUP BY 1), walk AS (SELECT d, n, k, sum(k * (((((length(bin((4 // 3))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(4 AS BIGINT) * 1073741824) // 3) >> (length(bin((4 // 3))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) - (n - k) * (((((length(bin((17 // 16))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(17 AS BIGINT) * 1073741824) // 16) >> (length(bin((17 // 16))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16))) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr, (((((length(bin((19 // 1))) - 1) * 65536 + (list_reduce(list_prepend(CAST((((CAST(19 AS BIGINT) * 1073741824) // 1) >> (length(bin((19 // 1))) - 1)) * 65536 AS BIGINT), list_transform(range(16), i -> CAST(0 AS BIGINT))), (s, i) -> CAST((CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN (((s >> 16) * (s >> 16)) >> 30) >> 1 ELSE (((s >> 16) * (s >> 16)) >> 30) END) * 65536 + (s & 65535) * 2 + (CASE WHEN (((s >> 16) * (s >> 16)) >> 30) >= 2147483648 THEN 1 ELSE 0 END) AS BIGINT)) & 65535)) * 693147) >> 16)) AS bound FROM day), hits AS (SELECT d, n, k, llr, bound, CASE WHEN llr >= bound THEN 'accept_h1' WHEN llr <= -bound THEN 'accept_h0' END AS hit FROM walk), f AS (SELECT d AS fd, hit AS fhit FROM hits WHERE hit IS NOT NULL ORDER BY d, hit LIMIT 1), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(n) AS BIGINT) AS n_orders, CAST(sum(k) AS BIGINT) AS n_urgent, CAST(max(bound) AS BIGINT) AS boundary_micro FROM hits), lastd AS (SELECT CAST(llr AS BIGINT) AS llr_final_micro FROM hits ORDER BY d DESC LIMIT 1) SELECT n_days, n_orders, n_urgent, llr_final_micro, boundary_micro, coalesce((SELECT fhit FROM f), 'continue') AS decision, (SELECT strftime(fd, '%Y-%m-%d') FROM f) AS decision_day FROM tot, lastd"
     )
     out["sprt_streamed"] = out["sprt_decision"]
+
+    out["rake_keyword_scores"] = (
+        # RAKE deg/freq over stopword-delimited phrases; stopwords =
+        # top-20 corpus-frequency tokens
+        "WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents), tok AS (SELECT doc_id, i AS pos, t[CAST(i AS INT)] AS token FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM d) WHERE t[CAST(i AS INT)] <> ''), stop AS (SELECT token AS stopword FROM (SELECT token, count(*) AS n FROM tok GROUP BY token) ORDER BY n DESC, token LIMIT 20), marked AS (SELECT doc_id, pos, token, CASE WHEN stopword IS NOT NULL THEN 1 ELSE 0 END AS is_stop FROM tok LEFT JOIN stop ON token = stopword), phased AS (SELECT doc_id, token, phrase_id FROM (SELECT doc_id, pos, token, is_stop, sum(is_stop) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phrase_id FROM marked) WHERE is_stop = 0), plen AS (SELECT doc_id, phrase_id, CAST(count(*) AS BIGINT) AS plen FROM phased GROUP BY 1, 2), occ AS (SELECT p.token, l.plen FROM phased p JOIN plen l ON p.doc_id = l.doc_id AND p.phrase_id = l.phrase_id), stats AS (SELECT token AS word, CAST(count(*) AS BIGINT) AS freq, CAST(sum(plen) AS BIGINT) AS deg FROM occ GROUP BY 1) SELECT word, freq, deg, CAST((deg * 1000) // freq AS BIGINT) AS score_milli FROM stats ORDER BY score_milli DESC, deg DESC, word LIMIT 30"
+    )
+
+    out["rrf_fusion_exactint"] = (
+        # reciprocal rank fusion of the grid and cells exact-int lists
+        "WITH grid AS (WITH dims AS (SELECT unnest(generate_series(0, 63)) AS j), ps AS (SELECT unnest(generate_series(0, 47)) AS p), pl AS (SELECT p, j, ('0x' || substr(md5('lshidx:' || CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT - (CAST(1 AS BIGINT) << 59) AS pc FROM ps, dims), sige AS (SELECT vec_id, d.j AS j, CAST(floor(CAST(embedding[d.j + 1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS eq FROM embeddings, dims d), sdot AS (SELECT vec_id, p, sum(CAST(eq AS HUGEINT) * CAST(pc AS HUGEINT)) AS d FROM sige JOIN pl USING (j) GROUP BY 1, 2), sbits AS (SELECT vec_id, CAST(p // 8 AS INTEGER) AS tbl, CASE WHEN d >= 0 THEN (CAST(1 AS BIGINT) << (p % 8)) ELSE CAST(0 AS BIGINT) END AS bv FROM sdot), intsig AS (SELECT vec_id, tbl, CAST(sum(bv) AS BIGINT) AS sig FROM sbits GROUP BY 1, 2), flips AS (SELECT unnest(generate_series(-1, 7)) AS f), qprobe AS (SELECT vec_id AS query_id, tbl, CASE WHEN f < 0 THEN sig ELSE xor(sig, CAST(1 AS BIGINT) << f) END AS bucket FROM intsig, flips WHERE vec_id < 20), cand AS (SELECT DISTINCT query_id, s.vec_id AS neighbor_id FROM qprobe JOIN intsig s ON s.tbl = qprobe.tbl AND s.sig = qprobe.bucket WHERE s.vec_id <> query_id), qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q FROM embeddings), qn AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM qz), scored AS (SELECT query_id, neighbor_id, CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot_q, a.nq AS na, b.nq AS nb FROM cand JOIN qn a ON a.vec_id = query_id JOIN qn b ON b.vec_id = neighbor_id), pos AS (SELECT query_id, neighbor_id, (CAST(((CAST(dot_q AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END) * (CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END) * (CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos_micro FROM scored WHERE dot_q > 0), rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_micro FROM rk WHERE rank <= 5), cells AS (WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id) AS INTEGER) AS cluster_id FROM embeddings ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT, vec_id LIMIT 8), se AS (SELECT cluster_id, dim, q AS c FROM sd JOIN ex USING (vec_id)), d0 AS (SELECT ex.vec_id AS vec_id, se.cluster_id AS cluster_id, sum((ex.q - se.c) * (ex.q - se.c)) AS dist FROM ex JOIN se ON se.dim = ex.dim GROUP BY 1, 2), a0 AS (SELECT vec_id, cluster_id FROM (SELECT vec_id, cluster_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d0) WHERE rn = 1), cent AS (SELECT a0.cluster_id AS cluster_id, ex.dim AS dim, CAST(CAST((CAST(((CAST((sum(q) + count(*) * 4000000) AS HUGEINT) * 2 + CAST(count(*) AS HUGEINT)) // (CAST(count(*) AS HUGEINT) * 2)) AS DOUBLE) / 1.0) AS BIGINT) - 4000000 AS BIGINT) AS c FROM ex JOIN a0 ON a0.vec_id = ex.vec_id GROUP BY 1, 2), d1 AS (SELECT ex.vec_id AS vec_id, cent.cluster_id AS cluster_id, sum((ex.q - cent.c) * (ex.q - cent.c)) AS dist FROM ex JOIN cent ON cent.dim = ex.dim GROUP BY 1, 2), a1 AS (SELECT vec_id, cluster_id FROM (SELECT vec_id, cluster_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d1) WHERE rn = 1), pr AS (SELECT vec_id AS query_id, cluster_id FROM (SELECT vec_id, cluster_id, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d1 WHERE vec_id < 20) WHERE rn <= 2), cand AS (SELECT query_id, a1.vec_id AS neighbor_id FROM pr JOIN a1 USING (cluster_id) WHERE a1.vec_id <> query_id), qz AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS q FROM embeddings), qn AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS nq FROM qz), scored AS (SELECT query_id, neighbor_id, CAST(list_sum(list_transform(generate_series(1, len(a.q)), i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) AS dot_q, a.nq AS na, b.nq AS nb FROM cand JOIN qn a ON a.vec_id = query_id JOIN qn b ON b.vec_id = neighbor_id), pos AS (SELECT query_id, neighbor_id, (CAST(((CAST(dot_q AS HUGEINT) * 2000000 + CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END) * (CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT)) // (CAST(((CASE WHEN (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1) <= na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) > na THEN CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(na AS DOUBLE))) AS BIGINT) END) * (CASE WHEN (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) * (CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1) <= nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) + 1 WHEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) * CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) > nb THEN CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) - 1 ELSE CAST(floor(sqrt(CAST(nb AS DOUBLE))) AS BIGINT) END)) AS HUGEINT) * 2)) AS DOUBLE) / 1000000.0) AS cos_micro FROM scored WHERE dot_q > 0), rk AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, cos_micro FROM rk WHERE rank <= 5), lists AS (SELECT query_id, neighbor_id, rank AS r FROM grid UNION ALL SELECT query_id, neighbor_id, rank AS r FROM cells), fused AS (SELECT query_id, neighbor_id, CAST(sum(1000000 // (60 + r)) AS BIGINT) AS fused_micro FROM lists GROUP BY 1, 2), rk AS (SELECT query_id, neighbor_id, fused_micro, CAST(row_number() OVER (PARTITION BY query_id ORDER BY fused_micro DESC, neighbor_id) AS INTEGER) AS rank FROM fused) SELECT query_id, neighbor_id, fused_micro, rank FROM rk WHERE rank <= 5 ORDER BY query_id, rank"
+    )
+    out["revenue_runs_test"] = (
+        # Wald-Wolfowitz runs: z^2 as one trunc rational, no sqrt
+        'WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily), med AS (SELECT rev AS median_rev FROM (SELECT rev, row_number() OVER (ORDER BY rev, d) AS rk FROM daily), nt WHERE rk = (n_days + 1) // 2), signed AS (SELECT d, CASE WHEN rev > median_rev THEN 1 ELSE 0 END AS s FROM daily, med), runs AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run FROM signed), g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2, CAST(sum(new_run) AS BIGINT) AS r FROM runs) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(1000000 + (2 * n1 * n2 * 1000000) // n AS BIGINT) AS mu_micro, CAST((CAST((n * (r - 1) - 2 * n1 * n2) * (n * (r - 1) - 2 * n1 * n2) * (n - 1) AS HUGEINT) * 1000000) // (2 * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT) AS z2_micro, CAST(CASE WHEN n * (r - 1) - 2 * n1 * n2 > 0 THEN 1 WHEN n * (r - 1) - 2 * n1 * n2 < 0 THEN -1 ELSE 0 END AS INTEGER) AS z_sign, (CAST((CAST((n * (r - 1) - 2 * n1 * n2) * (n * (r - 1) - 2 * n1 * n2) * (n - 1) AS HUGEINT) * 1000000) // (2 * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT)) > 3841600 AS nonrandom FROM g'
+    )
     return out

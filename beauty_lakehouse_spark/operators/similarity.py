@@ -2587,3 +2587,50 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("dim")
+
+
+#: Reciprocal-rank-fusion constant (Cormack et al. 2009: k=60).
+RRF_K = 60
+
+
+def q_rrf_fusion_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECIPROCAL RANK FUSION (Cormack, Clarke & Buettcher 2009) of
+    the two hash-verifiable ANN serving paths — the rank-aggregation
+    operator every hybrid-retrieval stack runs (dense + sparse, or two
+    index families, fused without score calibration): each candidate
+    scores Σ over lists of 1e6 div (60 + rank), absent-from-list
+    contributes 0; the fused top-5 per query re-ranks by
+    (fused desc, id).
+
+    Fuses `q_ann_topk_exactint` (LSH grid) with `q_ivf_topk_exactint`
+    (k-means cells) — two genuinely different candidate generators
+    over the same corpus, which is exactly where RRF earns its keep.
+    Pure integer arithmetic end to end (the div constants are exact
+    in both engines), so the fusion is hash-verifiable like its
+    inputs.
+
+    Output: (query_id, neighbor_id, fused_micro, rank) — top-5 fused
+    per query."""
+    from pyspark.sql import Window
+
+    grid = q_ann_topk_exactint(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r")
+    )
+    cells = q_ivf_topk_exactint(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r")
+    )
+    both = grid.unionByName(cells)
+    fused = both.groupBy("query_id", "neighbor_id").agg(
+        F.sum(
+            F.expr(f"CAST(1000000 div ({RRF_K} + r) AS BIGINT)")
+        ).alias("fused_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_micro"), F.asc("neighbor_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_EXACT_K)
+        .select("query_id", "neighbor_id", "fused_micro", "rank")
+        .orderBy("query_id", "rank")
+    )

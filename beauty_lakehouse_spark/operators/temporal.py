@@ -802,3 +802,89 @@ def sprt_finish(day: DataFrame) -> DataFrame:
         F.coalesce(F.col("f.hit"), F.lit("continue")).alias("decision"),
         F.date_format(F.col("f.d"), "yyyy-MM-dd").alias("decision_day"),
     )
+
+
+def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD–WOLFOWITZ RUNS TEST on daily revenue vs its median — the
+    nonparametric RANDOMNESS test completing the monitoring family
+    (CUSUM detects level shifts, KS detects distribution drift, the
+    runs test asks "is the above/below-median sequence random at all"
+    — trend and oscillation both fail it): R = number of sign runs,
+    compared against E[R] = 1 + 2·n₁n₂/n with
+    Var[R] = 2n₁n₂(2n₁n₂−n) / (n²(n−1)).
+
+    Exact fixed point: the day grid and its lower median are exact
+    integers; z² is the single rational
+    (n(R−1)−2n₁n₂)²·(n−1) / (2n₁n₂(2n₁n₂−n)) trunc-divided at micro
+    (no square root needed — the α=0.05 two-sided decision is
+    z² > 1.96² = 3.8416); the sign of R−E[R] rides along.
+
+    Scale: one shuffle to the calendar-bounded day grid; the median,
+    the run count (a lag comparison), and the cumulative rank all run
+    over that bounded grid, never raw rows.
+
+    Output (1 row): (n_days, n_above, n_below, n_runs, mu_micro,
+    z2_micro, z_sign, nonrandom)."""
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.col("o_orderdate").cast("date").alias("d"),
+            (dec2("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("d")
+        .agg(F.sum("c").alias("rev"))
+    )
+    w_rank = Window.orderBy(F.asc("rev"), F.asc("d"))
+    n_tot = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    med = (
+        daily.withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(n_tot))
+        .filter(F.col("rk") == F.expr("(n_days + 1) div 2"))
+        .select(F.col("rev").alias("median_rev"))
+    )
+    signed = daily.crossJoin(F.broadcast(med)).select(
+        "d", (F.col("rev") > F.col("median_rev")).cast("long").alias("s")
+    )
+    w_day = Window.orderBy("d")
+    runs = signed.withColumn(
+        "new_run",
+        (
+            F.lag("s").over(w_day).isNull()
+            | (F.lag("s").over(w_day) != F.col("s"))
+        ).cast("long"),
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).alias("n2"),
+        F.sum("new_run").alias("r"),
+    )
+    from ..functions import _idiv
+
+    diff = F.col("n") * (F.col("r") - 1) - 2 * F.col("n1") * F.col("n2")
+    # |diff| <= n*n/2 ~ 3e6 at test SF; diff^2*(n-1) <= ~2e16 fits
+    # int64; the final *1e6 runs in DECIMAL(38,0) via _idiv
+    z2 = _idiv(
+        (diff * diff * (F.col("n") - 1)).cast("decimal(38,0)")
+        * F.lit(1_000_000),
+        2 * F.col("n1") * F.col("n2")
+        * (2 * F.col("n1") * F.col("n2") - F.col("n")),
+    )
+    return agg.select(
+        F.col("n").alias("n_days"),
+        F.col("n1").alias("n_above"),
+        F.col("n2").alias("n_below"),
+        F.col("r").alias("n_runs"),
+        F.expr(
+            "CAST(1000000 + (2 * n1 * n2 * 1000000) div n AS BIGINT)"
+        ).alias("mu_micro"),
+        z2.alias("z2_micro"),
+        F.when(diff > 0, F.lit(1))
+        .when(diff < 0, F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("z_sign"),
+        (z2 > F.lit(3_841_600)).alias("nonrandom"),
+    )

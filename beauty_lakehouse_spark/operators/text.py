@@ -1957,3 +1957,88 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("field")
+
+
+#: RAKE geometry: stopword list size (top-N corpus-frequency tokens —
+#: the fixture corpus ships no curated stopword list, so frequency IS
+#: the signal, exactly RAKE's own assumption) and the report size.
+RAKE_STOPWORDS = 20
+RAKE_TOP = 30
+
+
+def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010) — the keyword-extraction
+    member of the text-analysis family, complementary to tf-idf (which
+    scores terms by document discrimination) and PMI (which scores
+    pairs): split every document into candidate PHRASES at stopword
+    boundaries, then score each word by deg/freq — deg = the summed
+    length of the phrases it appears in (favours words that live in
+    long multi-word phrases), freq = its occurrence count.
+
+    Stopwords are the ``RAKE_STOPWORDS`` highest-total-frequency
+    tokens (ties by token) — deterministic and corpus-derived.
+
+    Spark-first: positions via posexplode; phrase ids are a running
+    stopword count over per-DOCUMENT windows (bounded by doc length,
+    never a global window); phrase lengths and word stats are two
+    grouped aggregates. Everything stays at token/dictionary grain.
+
+    Output (RAKE_TOP rows): (word, freq, deg, score_milli) by
+    (score desc, deg desc, word)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    tok = (
+        t.documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    stop = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(RAKE_STOPWORDS)
+        .select(F.col("token").alias("stopword"))
+    )
+    marked = tok.join(
+        F.broadcast(stop), tok["token"] == stop["stopword"], "left"
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        F.col("stopword").isNotNull().cast("long").alias("is_stop"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    phased = marked.withColumn(
+        "phrase_id", F.sum("is_stop").over(w)
+    ).filter(F.col("is_stop") == 0)
+    plen = phased.groupBy("doc_id", "phrase_id").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    occ = phased.join(plen, ["doc_id", "phrase_id"])
+    stats = occ.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    )
+    return (
+        stats.select(
+            F.col("token").alias("word"),
+            "freq",
+            "deg",
+            F.expr("CAST((deg * 1000) div freq AS BIGINT)").alias(
+                "score_milli"
+            ),
+        )
+        .orderBy(
+            F.desc("score_milli"), F.desc("deg"), F.asc("word")
+        )
+        .limit(RAKE_TOP)
+    )

@@ -201,6 +201,9 @@ HEADLINE = [
     "incremental_topk_state", # top-k IVM over the maintained full-key state (new in r10)
     "sprt_decision",          # Wald sequential test walk over the day grid (new in r10)
     "sprt_streamed",          # sequential-test-at-ingest drain (new in r10)
+    "rake_keyword_scores",    # phrase-degree keyword extraction (new in r10)
+    "rrf_fusion_exactint",    # hash-verifiable reciprocal rank fusion (new in r10)
+    "revenue_runs_test",      # Wald-Wolfowitz randomness test, sqrt-free z^2 (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -82,6 +82,8 @@ WHITELIST: dict[str, str] = {
     "deterministic_random_walks": "40-row walk frontier x 4-walk cross join seed expansion; per-step equi-joins against the ranked adjacency",
     "sprt_decision": "1-row totals x 1-row first-crossing broadcast attach",
     "sprt_streamed": "same 1-row attaches as sprt_decision over the drained grid",
+    "revenue_runs_test": "1-row median / day-count broadcast attaches over the bounded day grid",
+    "rrf_fusion_exactint": "inherits the two exact-int serving paths' bounded shapes (20-query batch, broadcast seed/centroid rows)",
     "contrastive_pairs": "1-row multi-cluster-count broadcast (wrap-around modulus scalar)",
     "interleaved_mixture": "1-row per-source-count array broadcast (analytic round offsets)",
     "ann_topk_exactint": "constant 48x64 plane-grid build (range x range cross), broadcast against vectors",
@@ -145,6 +147,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "key_skew_profile": "prefix cumsum over the count-of-counts profile table (bounded by distinct multiplicities, O(sqrt(n_rows)) rows) — never the key domain",
     "selectivity_audit": "equi-depth cumulative count over the distinct-cents VALUE-DOMAIN grid (the price_drift_ks / order_value_percentiles convention), never raw rows",
     "sprt_decision": "cumulative LLR walk over the calendar-bounded day grid (the revenue_cusum convention), never raw rows; 1-row first-crossing broadcast attach",
+    "revenue_runs_test": "median rank row_number and run-count lag over the calendar-bounded day grid, never raw rows",
+    "rrf_fusion_exactint": "inherits ann/ivf_topk_exactint's whitelisted k-row seed windows (limit(KMEANS_K)); the fusion's own window is per-query",
     "incremental_topk_state": "rank window over the 10-row TakeOrdered head of the maintained state — never the customer domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",

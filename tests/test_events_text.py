@@ -1994,3 +1994,62 @@ def test_fellegi_sunter_weights_pure_python(spark, sf_dir):
             )
             < 1e-4
         )
+
+
+def test_rake_keyword_scores_pure_python(spark, sf_dir):
+    """RAKE deg/freq scores match a pure-Python phrase-split recompute;
+    FLOAT WITNESS: score_milli tracks the float deg/freq ratio, and
+    deg >= freq always (every phrase has length >= 1)."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        RAKE_STOPWORDS,
+        RAKE_TOP,
+        q_rake_keyword_scores,
+    )
+
+    rows = q_rake_keyword_scores(spark, sf_dir).collect()
+    # the fixture vocabulary is a small jargon set, so fewer than
+    # RAKE_TOP candidate words can exist at small SF
+    assert 0 < len(rows) <= RAKE_TOP
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tf = Counter()
+    toks_per_doc = {}
+    for r in docs.itertuples():
+        toks = [t for t in r.text.split(" ") if t]
+        toks_per_doc[r.doc_id] = toks
+        tf.update(toks)
+    stop = {
+        t
+        for t, _n in sorted(tf.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :RAKE_STOPWORDS
+        ]
+    }
+    freq = Counter()
+    deg = defaultdict(int)
+    for toks in toks_per_doc.values():
+        phrase = []
+        for t in toks + [None]:
+            if t is None or t in stop:
+                for w in phrase:
+                    freq[w] += 1
+                    deg[w] += len(phrase)
+                phrase = []
+            else:
+                phrase.append(t)
+    scored = sorted(
+        ((-(deg[w] * 1000 // freq[w]), -deg[w], w) for w in freq)
+    )[: len(rows)]
+    assert len(freq) == len(rows) or len(rows) == RAKE_TOP
+    want = [(w, freq[w], deg[w], -s) for s, _d, w in scored]
+    got = [
+        (r["word"], r["freq"], r["deg"], r["score_milli"]) for r in rows
+    ]
+    assert got == want
+    for w, f, d, s in got:
+        assert d >= f
+        # FLOAT WITNESS: trunc milli within 1 of the float ratio
+        assert abs(s / 1e3 - d / f) <= 1e-3

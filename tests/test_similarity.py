@@ -1302,3 +1302,41 @@ def test_matryoshka_prefix_recall_properties(spark, sf_dir):
         len(top5(q, 8) & top5(q, 64)) for q in range(20)
     )
     assert abs(rows[8]["n_hits"] - fhits) <= 4
+
+
+def test_rrf_fusion_pure_python(spark, sf_dir):
+    """RRF scores match a pure recompute from the two served lists;
+    FLOAT WITNESS: the integer 1e6 div (60+r) terms track 1/(60+r),
+    and a doc on both lists always outscores a same-rank singleton."""
+    from collections import defaultdict
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        RRF_K,
+        q_ann_topk_exactint,
+        q_ivf_topk_exactint,
+        q_rrf_fusion_exactint,
+    )
+
+    got = defaultdict(list)
+    for r in q_rrf_fusion_exactint(spark, sf_dir).collect():
+        got[r["query_id"]].append(
+            (r["rank"], r["neighbor_id"], r["fused_micro"])
+        )
+    scores = defaultdict(int)
+    for src in (q_ann_topk_exactint, q_ivf_topk_exactint):
+        for r in src(spark, sf_dir).collect():
+            scores[(r.query_id, r.neighbor_id)] += 1_000_000 // (
+                RRF_K + r.rank
+            )
+    want = defaultdict(list)
+    for (q, n), s in scores.items():
+        want[q].append((-s, n))
+    for q in want:
+        want[q] = [
+            (i + 1, n, -s)
+            for i, (s, n) in enumerate(sorted(want[q])[:5])
+        ]
+    assert dict(got) == dict(want)
+    # FLOAT WITNESS
+    for rk in range(1, 6):
+        assert abs(1_000_000 // (RRF_K + rk) - 1e6 / (RRF_K + rk)) < 1

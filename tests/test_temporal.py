@@ -336,3 +336,44 @@ def test_sprt_decision_pure_python(spark, sf_dir):
         < 1.5e-5 * r["n_orders"] + 1e-3
     )
     assert abs(bound / 1e6 - math.log(19)) < 1e-4
+
+
+def test_revenue_runs_test_pure_python(spark, sf_dir):
+    """Run counts and the z-square rational match a pure recompute;
+    FLOAT WITNESS: z2_micro tracks the float (R-mu)^2/var and mu
+    tracks 1 + 2 n1 n2 / n."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_revenue_runs_test,
+    )
+
+    [r] = q_revenue_runs_test(spark, sf_dir).collect()
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    o["c"] = (o["o_totalprice"].round(2) * 100).round().astype("int64")
+    o["d"] = o["o_orderdate"].dt.date
+    daily = o.groupby("d")["c"].sum().sort_index()
+    n = len(daily)
+    med = sorted(
+        zip(daily.values, daily.index)
+    )[(n + 1) // 2 - 1][0]
+    s = [1 if v > med else 0 for v in daily]
+    n1, n2 = sum(s), n - sum(s)
+    runs = 1 + sum(a != b for a, b in zip(s, s[1:]))
+    assert (r["n_days"], r["n_above"], r["n_below"]) == (n, n1, n2)
+    assert r["n_runs"] == runs
+    assert r["mu_micro"] == 10**6 + 2 * n1 * n2 * 10**6 // n
+    diff = n * (runs - 1) - 2 * n1 * n2
+    den = 2 * n1 * n2 * (2 * n1 * n2 - n)
+    assert r["z2_micro"] == diff * diff * (n - 1) * 10**6 // den
+    assert r["z_sign"] == (1 if diff > 0 else -1 if diff < 0 else 0)
+    assert r["nonrandom"] == (r["z2_micro"] > 3_841_600)
+    # FLOAT WITNESS: float z^2
+    mu = 1 + 2 * n1 * n2 / n
+    var = (
+        2 * n1 * n2 * (2 * n1 * n2 - n) / (n * n * (n - 1))
+    )
+    z2f = (runs - mu) ** 2 / var
+    assert abs(r["z2_micro"] / 1e6 - z2f) < max(1e-3, 1e-4 * z2f)
+    assert abs(r["mu_micro"] / 1e6 - mu) < 2e-6
