@@ -146,6 +146,9 @@ _DRIVER_ORDER_R10 = [
     "rake_keyword_scores",  # new in r10
     "rrf_fusion_exactint",  # new in r10
     "revenue_runs_test",  # new in r10
+    "kmv_distinct_estimate",  # new in r10
+    "bloom_fpr_audit",  # new in r10
+    "mmr_rerank_exactint",  # new in r10
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -758,6 +761,13 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keyword_scores": text.q_rake_keyword_scores,
         "rrf_fusion_exactint": similarity.q_rrf_fusion_exactint,
         "revenue_runs_test": temporal.q_revenue_runs_test,
+        # KMV / bottom-k distinct sketch (second mergeable cardinality
+        # estimator next to the portable HLL, same profiled targets)
+        "kmv_distinct_estimate": quality.q_kmv_distinct_estimate,
+        # Bloom-filter k-sweep: measured occupancy + FPR per hash count
+        "bloom_fpr_audit": curation.q_bloom_fpr_audit,
+        # MMR diversified re-ranking over the fused exact-int ANN pool
+        "mmr_rerank_exactint": similarity.q_mmr_rerank_exactint,
         "incremental_topk_state": tables.q_incremental_topk_state,
         "matryoshka_prefix_recall": similarity.q_matryoshka_prefix_recall,
         # partition-grain anti-entropy (sync-unit fingerprints)
@@ -6634,5 +6644,173 @@ def oracle_sql() -> dict[str, str]:
     out["revenue_runs_test"] = (
         # Wald-Wolfowitz runs: z^2 as one trunc rational, no sqrt
         'WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev FROM orders GROUP BY 1), nt AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily), med AS (SELECT rev AS median_rev FROM (SELECT rev, row_number() OVER (ORDER BY rev, d) AS rk FROM daily), nt WHERE rk = (n_days + 1) // 2), signed AS (SELECT d, CASE WHEN rev > median_rev THEN 1 ELSE 0 END AS s FROM daily, med), runs AS (SELECT s, CASE WHEN lag(s) OVER (ORDER BY d) IS NULL OR lag(s) OVER (ORDER BY d) <> s THEN 1 ELSE 0 END AS new_run FROM signed), g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(s) AS BIGINT) AS n1, CAST(sum(1 - s) AS BIGINT) AS n2, CAST(sum(new_run) AS BIGINT) AS r FROM runs) SELECT n AS n_days, n1 AS n_above, n2 AS n_below, r AS n_runs, CAST(1000000 + (2 * n1 * n2 * 1000000) // n AS BIGINT) AS mu_micro, CAST((CAST((n * (r - 1) - 2 * n1 * n2) * (n * (r - 1) - 2 * n1 * n2) * (n - 1) AS HUGEINT) * 1000000) // (2 * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT) AS z2_micro, CAST(CASE WHEN n * (r - 1) - 2 * n1 * n2 > 0 THEN 1 WHEN n * (r - 1) - 2 * n1 * n2 < 0 THEN -1 ELSE 0 END AS INTEGER) AS z_sign, (CAST((CAST((n * (r - 1) - 2 * n1 * n2) * (n * (r - 1) - 2 * n1 * n2) * (n - 1) AS HUGEINT) * 1000000) // (2 * n1 * n2 * (2 * n1 * n2 - n)) AS BIGINT)) > 3841600 AS nonrandom FROM g'
+    )
+
+    # KMV / bottom-k distinct sketch (mirrors quality.KMV_K = 256,
+    # KMV_DOMAIN = 2^60, same md5-derived 60-bit hash)
+    def _kmv_one(table: str, col: str) -> str:
+        h = (
+            f"('0x' || substr(md5('kmv:{table}.{col}:' || "
+            f"CAST({col} AS VARCHAR)), 1, 15))::BIGINT"
+        )
+        kk = quality.KMV_K
+        return (
+            f"SELECT '{table}.{col}' AS target, n_exact, k_filled, "
+            "kth_min_hash, kmv_estimate, "
+            "CAST((abs(kmv_estimate - n_exact) * 1000) // n_exact "
+            "AS BIGINT) AS err_permille FROM ("
+            "SELECT n_exact, k_filled, kth_min_hash, "
+            f"CASE WHEN k_filled < {kk} THEN k_filled "
+            f"ELSE CAST((CAST({kk - 1} AS HUGEINT) * {quality.KMV_DOMAIN}) "
+            "// kth_min_hash AS BIGINT) END AS kmv_estimate "
+            f"FROM (SELECT CAST(count(DISTINCT {col}) AS BIGINT) "
+            f"AS n_exact FROM {table} WHERE {col} IS NOT NULL), "
+            "(SELECT CAST(max(h) AS BIGINT) AS kth_min_hash, "
+            "CAST(count(*) AS BIGINT) AS k_filled FROM "
+            f"(SELECT h FROM (SELECT DISTINCT {h} AS h FROM {table} "
+            f"WHERE {col} IS NOT NULL) ORDER BY h LIMIT {kk})))"
+        )
+
+    out["kmv_distinct_estimate"] = (
+        " UNION ALL ".join(
+            _kmv_one(tbl, col) for tbl, col in quality.KMV_TARGETS
+        )
+        + " ORDER BY target"
+    )
+
+    # Bloom FPR k-sweep (mirrors curation.BLOOM_FPR_KS over the same
+    # 2^16-bit geometry and md5 'bloom{j}:' keys; level-k membership
+    # of position p is minj(p) <= k-1 — the prefix property that makes
+    # the sweep one pass)
+    _bp_j = (
+        "(('0x' || substr(md5('bloom' || CAST(j AS VARCHAR) || ':' || "
+        "shingle), 1, 15))::BIGINT % 65536)"
+    )
+    out["bloom_fpr_audit"] = (
+        "WITH "
+        + _SHINGLES_CTE
+        + ", shf AS (SELECT * FROM sh WHERE shingle IN "
+        "(SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 100)), "
+        "lab AS (SELECT doc_id, shingle, "
+        f"{bucket.format(tag='split')} >= 90 AS is_test FROM shf), "
+        "tg AS (SELECT DISTINCT shingle FROM lab WHERE is_test), "
+        "pg AS (SELECT DISTINCT shingle FROM lab WHERE NOT is_test), "
+        "js AS (SELECT unnest(generate_series(0, 7)) AS j), "
+        f"tpos AS (SELECT shingle, j, {_bp_j} AS p FROM tg, js), "
+        "minj AS MATERIALIZED (SELECT p, min(j) AS minj FROM tpos "
+        "GROUP BY 1), "
+        f"ppos AS (SELECT shingle, j, {_bp_j} AS p FROM pg, js), "
+        "ks AS (SELECT unnest([1, 2, 4, 6, 8]) AS k), "
+        "pt AS (SELECT shingle, j, coalesce(minj, 8) AS t FROM ppos "
+        "LEFT JOIN minj USING (p)), "
+        "hits AS (SELECT shingle, k, max(t) <= k - 1 AS bloom_hit "
+        "FROM pt, ks WHERE j < k GROUP BY 1, 2), "
+        "mem AS (SELECT pg.shingle AS shingle, "
+        "(tg.shingle IS NOT NULL) AS is_member FROM pg "
+        "LEFT JOIN tg ON pg.shingle = tg.shingle), "
+        "perk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_probes, "
+        "CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_member_probes, "
+        "CAST(sum(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_bloom_hits, "
+        "CAST(sum(CASE WHEN bloom_hit AND NOT is_member THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_false_pos "
+        "FROM hits h JOIN mem m ON h.shingle = m.shingle GROUP BY k), "
+        "bits AS (SELECT k, CAST(count(*) AS BIGINT) AS bits_set "
+        "FROM minj, ks WHERE minj <= k - 1 GROUP BY k), "
+        "ntg AS (SELECT CAST(count(*) AS BIGINT) AS n_test_grams FROM tg) "
+        "SELECT CAST(k AS INTEGER) AS k_hashes, n_test_grams, bits_set, "
+        "n_probes, n_member_probes, n_bloom_hits, n_false_pos, "
+        "CAST((n_false_pos * 1000000) // (n_probes - n_member_probes) "
+        "AS BIGINT) AS fpr_micro "
+        "FROM perk JOIN bits USING (k), ntg ORDER BY k_hashes"
+    )
+
+    # MMR diversified re-ranking over the fused exact-int pool
+    # (mirrors similarity.MMR_SELECT = 3 unrolled greedy rounds,
+    # λ = 0.7 as the integer pair 7/3 in deci-micro units)
+    def _cmi(dot: str, na: str, nb: str) -> str:
+        den = f"({_isq(na)} * {_isq(nb)})"
+        return (
+            f"CASE WHEN {dot} <= 0 THEN 0 ELSE "
+            f"CAST((CAST({dot} AS HUGEINT) * 2000000 + "
+            f"CAST({den} AS HUGEINT)) // "
+            f"(CAST({den} AS HUGEINT) * 2) AS BIGINT) END"
+        )
+
+    _mmr_dot = (
+        "CAST(list_sum(list_transform(generate_series(1, len({a}.q)), "
+        "i -> {a}.q[CAST(i AS INT)] * {b}.q[CAST(i AS INT)])) AS BIGINT)"
+    )
+    out["mmr_rerank_exactint"] = (
+        "WITH grid AS ("
+        + out["ann_topk_exactint"]
+        + "), cells AS ("
+        + out["ivf_topk_exactint"]
+        + "), pool0 AS (SELECT DISTINCT query_id, neighbor_id FROM "
+        "(SELECT query_id, neighbor_id FROM grid "
+        "UNION ALL SELECT query_id, neighbor_id FROM cells)), "
+        "qz AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) "
+        "AS q FROM embeddings), "
+        "qn AS (SELECT vec_id, q, CAST(list_sum(list_transform(q, "
+        "x -> x * x)) AS BIGINT) AS nq FROM qz), "
+        "pool AS MATERIALIZED (SELECT query_id, neighbor_id, "
+        + _cmi("dot", "na", "nb")
+        + " AS rel_micro FROM (SELECT query_id, neighbor_id, "
+        + _mmr_dot.format(a="a", b="b")
+        + " AS dot, a.nq AS na, b.nq AS nb FROM pool0 "
+        "JOIN qn a ON a.vec_id = query_id "
+        "JOIN qn b ON b.vec_id = neighbor_id)), "
+        "sims AS MATERIALIZED (SELECT query_id, a, b, "
+        + _cmi("dot", "na", "nb")
+        + " AS sim_micro FROM (SELECT p1.query_id AS query_id, "
+        "p1.neighbor_id AS a, p2.neighbor_id AS b, "
+        + _mmr_dot.format(a="x", b="y")
+        + " AS dot, x.nq AS na, y.nq AS nb FROM pool0 p1 "
+        "JOIN pool0 p2 ON p1.query_id = p2.query_id "
+        "AND p1.neighbor_id <> p2.neighbor_id "
+        "JOIN qn x ON x.vec_id = p1.neighbor_id "
+        "JOIN qn y ON y.vec_id = p2.neighbor_id)), "
+        "s1 AS MATERIALIZED (SELECT query_id, neighbor_id, rel_micro, "
+        "7 * rel_micro AS mmr_deci FROM (SELECT *, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY rel_micro DESC, neighbor_id) "
+        "AS rn FROM pool) WHERE rn = 1), "
+        "rem2 AS (SELECT p.* FROM pool p WHERE NOT EXISTS (SELECT 1 "
+        "FROM s1 WHERE s1.query_id = p.query_id "
+        "AND s1.neighbor_id = p.neighbor_id)), "
+        "ms2 AS (SELECT s.query_id, s.a, max(s.sim_micro) AS max_sim "
+        "FROM sims s JOIN s1 ON s1.query_id = s.query_id "
+        "AND s1.neighbor_id = s.b GROUP BY 1, 2), "
+        "s2 AS MATERIALIZED (SELECT query_id, neighbor_id, rel_micro, "
+        "mmr_deci FROM (SELECT r.query_id, r.neighbor_id, r.rel_micro, "
+        "7 * r.rel_micro - 3 * coalesce(m.max_sim, 0) AS mmr_deci, "
+        "row_number() OVER (PARTITION BY r.query_id ORDER BY "
+        "7 * r.rel_micro - 3 * coalesce(m.max_sim, 0) DESC, "
+        "r.neighbor_id) AS rn FROM rem2 r LEFT JOIN ms2 m "
+        "ON m.query_id = r.query_id AND m.a = r.neighbor_id) "
+        "WHERE rn = 1), "
+        "sel12 AS MATERIALIZED (SELECT query_id, neighbor_id FROM s1 "
+        "UNION ALL SELECT query_id, neighbor_id FROM s2), "
+        "rem3 AS (SELECT p.* FROM pool p WHERE NOT EXISTS (SELECT 1 "
+        "FROM sel12 s WHERE s.query_id = p.query_id "
+        "AND s.neighbor_id = p.neighbor_id)), "
+        "ms3 AS (SELECT s.query_id, s.a, max(s.sim_micro) AS max_sim "
+        "FROM sims s JOIN sel12 t ON t.query_id = s.query_id "
+        "AND t.neighbor_id = s.b GROUP BY 1, 2), "
+        "s3 AS (SELECT query_id, neighbor_id, rel_micro, mmr_deci FROM "
+        "(SELECT r.query_id, r.neighbor_id, r.rel_micro, "
+        "7 * r.rel_micro - 3 * coalesce(m.max_sim, 0) AS mmr_deci, "
+        "row_number() OVER (PARTITION BY r.query_id ORDER BY "
+        "7 * r.rel_micro - 3 * coalesce(m.max_sim, 0) DESC, "
+        "r.neighbor_id) AS rn FROM rem3 r LEFT JOIN ms3 m "
+        "ON m.query_id = r.query_id AND m.a = r.neighbor_id) "
+        "WHERE rn = 1) "
+        "SELECT query_id, neighbor_id, CAST(1 AS INTEGER) AS pick_rank, "
+        "rel_micro, mmr_deci FROM s1 "
+        "UNION ALL SELECT query_id, neighbor_id, CAST(2 AS INTEGER), "
+        "rel_micro, mmr_deci FROM s2 "
+        "UNION ALL SELECT query_id, neighbor_id, CAST(3 AS INTEGER), "
+        "rel_micro, mmr_deci FROM s3 ORDER BY query_id, pick_rank"
     )
     return out

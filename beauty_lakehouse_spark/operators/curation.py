@@ -932,6 +932,131 @@ def q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q_bloom_fpr_audit sweep: hash counts measured over the SAME
+#: BLOOM_BITS filter geometry. BLOOM_FPR_MAXJ positions are computed
+#: once per gram; level k uses the PREFIX j < k, so the whole sweep
+#: is one pass (the standard "how many hash functions" sizing
+#: question answered on real data instead of the e^-kn/m formula).
+BLOOM_FPR_KS = [1, 2, 4, 6, 8]
+BLOOM_FPR_MAXJ = 8
+
+
+def q_bloom_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter FALSE-POSITIVE-RATE audit — the measured
+    occupancy/FPR trade-off across hash counts k ∈ {1,2,4,6,8} on the
+    decontamination workload (test-gram filter probed by train grams),
+    i.e. the physical-design experiment behind choosing BLOOM_K.
+
+    One-pass k-sweep: position j of gram g depends only on (g, j), so
+    the level-k filter's membership of position p is ``minj(p) < k``
+    where minj(p) = min hash index of any test gram landing on p. A
+    probe hits at level k iff ALL its first k positions are set:
+    ``max_{j<k} coalesce(minj(p_j), MAXJ) <= k-1``. The sweep is then
+    a groupBy over an exploded (gram, j, k) frame — no k rebuilds.
+
+    Members (train grams that ARE test grams) always hit — the
+    no-false-negative law, pinned per level by pytest. Output per k:
+    filter occupancy (bits_set), probes, member probes, bloom hits,
+    false positives, and fpr_micro over the non-member probes. All
+    md5-derived integer arithmetic — the DuckDB twin reproduces every
+    count exactly.
+
+    Scale: minj is ≤ BLOOM_BITS rows (broadcast); the probe side is
+    one exploded linear pass over distinct grams with a map-side
+    combinable groupBy. Nothing is quadratic in the corpus."""
+    from .dedup import shingles
+
+    t = load(spark, sf_dir)
+    sh = shingles(
+        t.documents, n=3, max_doc_freq=DECON_MAX_DOC_FREQ
+    ).localCheckpoint(eager=False)
+    is_test = _bucket(F.col("doc_id"), "split") >= SPLIT_VAL_END
+    test_grams = sh.filter(is_test).select("shingle").distinct()
+    probe_grams = sh.filter(~is_test).select("shingle").distinct()
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "shingle",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            _bloom_pos(F.col("shingle"), j).alias("p"),
+                        )
+                        for j in range(BLOOM_FPR_MAXJ)
+                    ]
+                )
+            ).alias("jp"),
+        ).select("shingle", F.col("jp.j").alias("j"), F.col("jp.p").alias("p"))
+
+    minj = (
+        positions(test_grams)
+        .groupBy("p")
+        .agg(F.min("j").alias("minj"))
+        .localCheckpoint(eager=False)  # <= BLOOM_BITS rows, feeds 2 paths
+    )
+    klits = F.array(*[F.lit(k) for k in BLOOM_FPR_KS])
+    hits = (
+        positions(probe_grams)
+        .join(F.broadcast(minj), "p", "left")
+        .select(
+            "shingle",
+            "j",
+            F.coalesce("minj", F.lit(BLOOM_FPR_MAXJ)).alias("t"),
+            F.explode(klits).alias("k"),
+        )
+        .filter(F.col("j") < F.col("k"))
+        .groupBy("shingle", "k")
+        .agg(F.max("t").alias("mk"))
+        .withColumn("bloom_hit", F.col("mk") <= F.col("k") - 1)
+    )
+    membership = probe_grams.join(
+        test_grams.withColumn("is_member", F.lit(True)), "shingle", "left"
+    ).select("shingle", F.coalesce("is_member", F.lit(False)).alias("is_member"))
+    per_k = (
+        hits.join(membership, "shingle")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum(F.col("is_member").cast("long")).alias("n_member_probes"),
+            F.sum(F.col("bloom_hit").cast("long")).alias("n_bloom_hits"),
+            F.sum(
+                (F.col("bloom_hit") & ~F.col("is_member")).cast("long")
+            ).alias("n_false_pos"),
+        )
+    )
+    bits_set = (
+        minj.select(F.explode(klits).alias("k"), "minj")
+        .filter(F.col("minj") <= F.col("k") - 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("bits_set"))
+    )
+    n_test = test_grams.agg(
+        F.count(F.lit(1)).alias("n_test_grams")
+    )
+    from ..functions import _idiv
+
+    return (
+        per_k.join(bits_set, "k")
+        .crossJoin(n_test)  # 1-row scalar attach
+        .select(
+            F.col("k").cast("int").alias("k_hashes"),
+            "n_test_grams",
+            "bits_set",
+            "n_probes",
+            "n_member_probes",
+            "n_bloom_hits",
+            "n_false_pos",
+            _idiv(
+                F.col("n_false_pos") * F.lit(1_000_000),
+                F.col("n_probes") - F.col("n_member_probes"),
+            ).alias("fpr_micro"),
+        )
+        .orderBy("k_hashes")
+    )
+
+
 #: q_token_subsampling threshold t = SUB_T_NUM / SUB_T_DEN (the
 #: word2vec default 1e-3) and the 30-bit hash scale.
 SUB_T_NUM = 1

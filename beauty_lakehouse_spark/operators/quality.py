@@ -849,6 +849,100 @@ def q_hll_set_algebra(spark, sf_dir: str) -> DataFrame:
     )
 
 
+#: KMV (k-minimum-values / bottom-k) sketch geometry: keep the
+#: KMV_K smallest distinct 60-bit hashes; the estimator is
+#: (k-1) · 2^60 / h_(k), relative std error ~ 1/sqrt(k-2) ≈ 6%.
+#: Same profiled key columns as the HLL family so the two sketch
+#: estimators can be compared on identical ground truth.
+KMV_K = 256
+KMV_DOMAIN = 1 << 60
+KMV_TARGETS = [
+    ("lineitem", "l_partkey"),
+    ("lineitem", "l_suppkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+]
+
+
+def q_kmv_distinct_estimate(spark, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; the
+    estimator behind BlinkDB-style distinct sampling and Theta
+    sketches' base case) over the hot join/agg keys — the second
+    mergeable cardinality sketch next to the portable HLL, with a
+    different accuracy/merge trade: KMV keeps k exact hash VALUES
+    (so it also supports set intersection by hash-set overlap and
+    downstream distinct SAMPLING), where HLL keeps only register
+    maxima.
+
+    State per target = the k smallest distinct md5-derived 60-bit
+    hashes (`portable_hash64`, identical in DuckDB). Estimate:
+    if fewer than k distinct hashes exist the sketch is EXACT
+    (estimate = count seen); else (k-1)·2^60 intdiv h_(k) — one
+    DECIMAL(38,0)/HUGEINT division, bit-identical across engines,
+    reported next to the exact distinct count as err_permille.
+
+    Scale: the bottom-k selection is orderBy(h).limit(k) — Spark
+    plans TakeOrderedAndProject (per-partition top-k, then a k-row
+    merge on one reducer), so the shuffle is k rows per target, not
+    the key space; the sketch itself is mergeable by unioning two
+    k-sets and re-taking the k smallest. The exact countDistinct is
+    carried only for the accuracy contract (same caveat as
+    q_hll_distinct)."""
+    from ..catalog import load
+    from ..functions import _idiv, portable_hash64
+
+    t = load(spark, sf_dir)
+    report = None
+    for table, col in KMV_TARGETS:
+        vals = (
+            t.table(table)
+            .select(F.col(col).alias("v"))
+            .filter(F.col("v").isNotNull())
+        )
+        hashes = vals.select(
+            portable_hash64(
+                F.concat(
+                    F.lit(f"kmv:{table}.{col}:"), F.col("v").cast("string")
+                )
+            ).alias("h")
+        ).distinct()
+        bottom_k = (
+            hashes.orderBy("h")
+            .limit(KMV_K)
+            .agg(
+                F.max("h").alias("kth_min_hash"),
+                F.count(F.lit(1)).cast("long").alias("k_filled"),
+            )
+        )
+        exact = vals.agg(F.countDistinct("v").alias("n_exact"))
+        est = F.when(
+            F.col("k_filled") < F.lit(KMV_K), F.col("k_filled")
+        ).otherwise(
+            _idiv(
+                F.lit(KMV_K - 1).cast("decimal(38,0)") * F.lit(KMV_DOMAIN),
+                F.col("kth_min_hash"),
+            )
+        )
+        one = (
+            exact.crossJoin(bottom_k)  # two 1-row aggregates
+            .withColumn("kmv_estimate", est)
+            .select(
+                F.lit(f"{table}.{col}").alias("target"),
+                "n_exact",
+                "k_filled",
+                "kth_min_hash",
+                "kmv_estimate",
+                _idiv(
+                    F.abs(F.col("kmv_estimate") - F.col("n_exact"))
+                    * F.lit(1000),
+                    F.col("n_exact"),
+                ).alias("err_permille"),
+            )
+        )
+        report = one if report is None else report.unionByName(one)
+    return report.orderBy("target")
+
+
 #: Highest power carried by q_moments_sketch. cents^6 · n must fit
 #: DECIMAL(38,0)/HUGEINT: at |cents| <= 5e4 and n <= 1e9 the 6th
 #: moment sum is <= ~1.5e37 — inside both engines' 38-digit budget.

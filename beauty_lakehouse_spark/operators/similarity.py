@@ -1851,22 +1851,17 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exactint_rerank(emb, cand)
 
 
-def _exactint_rerank(emb: DataFrame, cand: DataFrame) -> DataFrame:
-    """Shared fixed-point rerank of (query_id, neighbor_id) candidate
-    pairs: cos_micro = halfup_div(dot_q, isqrt(na)·isqrt(nb), 6) over
-    millionth-quantized components, positive-dot candidates only,
-    (score desc, neighbor_id asc) row_number, top-ANN_EXACT_K. Every
-    step is integer/exact-rational, so any candidate generator that is
-    itself deterministic (LSH grid, IVF cells) becomes hash-checkable
-    end to end. The isqrt contract (nq ≤ 2^52) RAISES when violated."""
-    from ..functions import halfup_div, isqrt
-
+def _quantized_norms(emb: DataFrame) -> DataFrame:
+    """(vec_id, q, nq): millionth-quantized integer components and the
+    exact squared norm, with the isqrt magnitude contract enforced
+    (nq ≤ 2^52 — beyond it the exact integer square root breaks, so
+    RAISE instead of silently mis-ranking)."""
     nq_raw = F.aggregate(
         F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    qz = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding",
@@ -1887,6 +1882,19 @@ def _exactint_rerank(emb: DataFrame, cand: DataFrame) -> DataFrame:
             ).cast("long"),
         ).otherwise(nq_raw),
     )
+
+
+def _exactint_rerank(emb: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared fixed-point rerank of (query_id, neighbor_id) candidate
+    pairs: cos_micro = halfup_div(dot_q, isqrt(na)·isqrt(nb), 6) over
+    millionth-quantized components, positive-dot candidates only,
+    (score desc, neighbor_id asc) row_number, top-ANN_EXACT_K. Every
+    step is integer/exact-rational, so any candidate generator that is
+    itself deterministic (LSH grid, IVF cells) becomes hash-checkable
+    end to end. The isqrt contract (nq ≤ 2^52) RAISES when violated."""
+    from ..functions import halfup_div, isqrt
+
+    qz = _quantized_norms(emb)
     qa = qz.select(
         F.col("vec_id").alias("query_id"),
         F.col("q").alias("qa"),
@@ -2634,3 +2642,175 @@ def q_rrf_fusion_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "fused_micro", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+#: MMR geometry: picks per query and the λ = 0.7 trade-off carried as
+#: the exact integer pair (7, 3) — scores stay in "deci-micro" units
+#: (rel and sim are micro-cosines ×10), no division anywhere.
+MMR_SELECT = 3
+MMR_REL_W = 7
+MMR_DIV_W = 3
+
+
+def _cos_micro_int(dot: Column, na: Column, nb: Column) -> Column:
+    """Integer micro-cosine, HALF_UP at 6 decimals, clamped at 0 for
+    non-positive dots (MMR's diversity penalty floors at "unrelated";
+    the clamp also keeps every division non-negative for the exact
+    DECIMAL(38,0)/HUGEINT half-up formula). Same arithmetic as
+    `_exactint_rerank`'s score but returned as BIGINT micro units so
+    downstream MMR algebra stays integral."""
+    from ..functions import _idiv, isqrt
+
+    den = isqrt(na) * isqrt(nb)
+    q = _idiv(
+        dot.cast("decimal(38,0)") * F.lit(2 * 10**6) + den,
+        den.cast("decimal(38,0)") * F.lit(2),
+    )
+    return F.when(dot <= 0, F.lit(0).cast("long")).otherwise(q)
+
+
+def q_mmr_rerank_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    1998) over the fused exact-int ANN pool — the diversity-aware
+    final stage of a retrieval stack: greedily pick MMR_SELECT items
+    per query maximizing ``λ·rel − (1−λ)·max_sim_to_selected``, so
+    near-duplicate neighbors don't crowd the slate.
+
+    Pool = the union of the grid (`q_ann_topk_exactint`) and cells
+    (`q_ivf_topk_exactint`) top-5 lists; relevance and all pairwise
+    candidate-candidate similarities are recomputed as integer
+    micro-cosines (`_cos_micro_int`), so the greedy argmax compares
+    exact integers: score = 7·rel_micro − 3·max_sim_micro (λ = 0.7,
+    ×10 "deci-micro" units), ties broken by neighbor_id. Round 1 has
+    an empty selected set (penalty 0) — the pure-relevance pick.
+
+    The greedy loop is UNROLLED into MMR_SELECT DataFrame rounds
+    (selection is inherently sequential — k is a constant, the data
+    parallelism is across queries): each round anti-joins the picks,
+    re-aggregates max-sim against the selected set, and takes
+    row_number = 1 per query. Pool and sims are localCheckpointed
+    once, so the ANN candidate generation runs once, not per round.
+
+    Scale: pool ≤ 2k rows and sims ≤ pool² rows PER QUERY (k is a
+    small constant) — linear in queries, never corpus×corpus; every
+    round is a keyed groupBy/window over those bounded frames."""
+    pool0 = (
+        q_ann_topk_exactint(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .unionByName(
+            q_ivf_topk_exactint(spark, sf_dir).select(
+                "query_id", "neighbor_id"
+            )
+        )
+        .distinct()
+    )
+    t = load(spark, sf_dir)
+    qn = _quantized_norms(
+        t.embeddings.select("vec_id", "embedding")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    qa = qn.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qa"),
+        F.col("nq").alias("na"),
+    )
+    qb = qn.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qb"),
+        F.col("nq").alias("nb"),
+    )
+    pool = (
+        pool0.join(qa, "query_id")
+        .join(qb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cos_micro_int(dot, F.col("na"), F.col("nb")).alias("rel_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    pa = pool0.select("query_id", F.col("neighbor_id").alias("a"))
+    pb = pool0.select("query_id", F.col("neighbor_id").alias("b"))
+    xa = qn.select(
+        F.col("vec_id").alias("a"), F.col("q").alias("qa"), F.col("nq").alias("na")
+    )
+    xb = qn.select(
+        F.col("vec_id").alias("b"), F.col("q").alias("qb"), F.col("nq").alias("nb")
+    )
+    sims = (
+        pa.join(pb, "query_id")
+        .filter(F.col("a") != F.col("b"))
+        .join(xa, "a")
+        .join(xb, "b")
+        .select(
+            "query_id",
+            "a",
+            "b",
+            _cos_micro_int(dot, F.col("na"), F.col("nb")).alias("sim_micro"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("mmr_deci"), F.asc("neighbor_id")
+    )
+    remaining = pool
+    selected = None
+    picks = None
+    for r in range(1, MMR_SELECT + 1):
+        if selected is None:
+            scored = remaining.withColumn(
+                "mmr_deci", F.lit(MMR_REL_W) * F.col("rel_micro")
+            )
+        else:
+            ms = (
+                sims.join(
+                    selected.select(
+                        "query_id", F.col("neighbor_id").alias("b")
+                    ),
+                    ["query_id", "b"],
+                )
+                .groupBy("query_id", "a")
+                .agg(F.max("sim_micro").alias("max_sim"))
+            )
+            scored = (
+                remaining.join(
+                    ms.select(
+                        "query_id",
+                        F.col("a").alias("neighbor_id"),
+                        "max_sim",
+                    ),
+                    ["query_id", "neighbor_id"],
+                    "left",
+                )
+                .withColumn(
+                    "mmr_deci",
+                    F.lit(MMR_REL_W) * F.col("rel_micro")
+                    - F.lit(MMR_DIV_W)
+                    * F.coalesce("max_sim", F.lit(0).cast("long")),
+                )
+                .drop("max_sim")
+            )
+        pick = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.lit(r).cast("int").alias("pick_rank"),
+                "rel_micro",
+                "mmr_deci",
+            )
+            .localCheckpoint(eager=False)
+        )
+        picks = pick if picks is None else picks.unionByName(pick)
+        selected = picks
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return picks.orderBy("query_id", "pick_rank")

@@ -204,6 +204,9 @@ HEADLINE = [
     "rake_keyword_scores",    # phrase-degree keyword extraction (new in r10)
     "rrf_fusion_exactint",    # hash-verifiable reciprocal rank fusion (new in r10)
     "revenue_runs_test",      # Wald-Wolfowitz randomness test, sqrt-free z^2 (new in r10)
+    "kmv_distinct_estimate",  # bottom-k distinct sketch next to the HLL (new in r10)
+    "bloom_fpr_audit",        # one-pass Bloom k-sweep: occupancy vs FPR (new in r10)
+    "mmr_rerank_exactint",    # diversity-aware greedy re-rank, unrolled (new in r10)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

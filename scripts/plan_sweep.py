@@ -119,6 +119,8 @@ WHITELIST: dict[str, str] = {
     "range_partition_boundaries": "1-row total-rows broadcast attached to the day grid (partition-assignment arithmetic)",
     "neyman_allocation": "two Hamilton passes over the 5-row segment table: 1-row weight-total/base-sum broadcasts (the source_quota_apportionment shape)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
+    "kmv_distinct_estimate": "1-row exact-count x 1-row bottom-k aggregate broadcast attach, per target",
+    "bloom_fpr_audit": "1-row test-gram-count broadcast attach onto the 5-row per-k report",
 }
 
 #: windows allowed to have an empty partition spec because their input
@@ -149,6 +151,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "sprt_decision": "cumulative LLR walk over the calendar-bounded day grid (the revenue_cusum convention), never raw rows; 1-row first-crossing broadcast attach",
     "revenue_runs_test": "median rank row_number and run-count lag over the calendar-bounded day grid, never raw rows",
     "rrf_fusion_exactint": "inherits ann/ivf_topk_exactint's whitelisted k-row seed windows (limit(KMEANS_K)); the fusion's own window is per-query",
+    "mmr_rerank_exactint": "inherits ann/ivf_topk_exactint's whitelisted k-row seed windows; MMR's own windows are per-query",
     "incremental_topk_state": "rank window over the 10-row TakeOrdered head of the maintained state — never the customer domain",
     "customer_rfm_segments": "cumsums over value-range-bounded bucket tables (days/orders/price units), one per metric",
     "curriculum_order": "cumsum over the 3-row tercile-size table (base offsets)",

@@ -834,3 +834,107 @@ def test_feature_hash_stats_pure_python(spark, sf_dir):
         assert rows[ld]["n_terms"] == ld * nb
     assert sum(r["n_terms"] for r in rows.values()) == len(vocab)
     assert sum(r["n_buckets"] for r in rows.values()) == n_space
+
+
+def test_bloom_fpr_audit_pure_python(spark, sf_dir):
+    """The k-sweep rows match a pure-python recompute of the whole
+    pipeline (shingles → md5 positions → prefix-k filter → probe);
+    the no-false-negative law holds exactly per level (hits - FPs =
+    member probes); FLOAT WITNESS: fpr_micro tracks the float FP
+    share within 1 micro."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        BLOOM_BITS,
+        BLOOM_FPR_KS,
+        BLOOM_FPR_MAXJ,
+        DECON_MAX_DOC_FREQ,
+        SPLIT_VAL_END,
+        q_bloom_fpr_audit,
+    )
+
+    docs = pd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def h15(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    per_doc = {}
+    df_count = {}
+    for doc_id, text in zip(docs.doc_id, docs.text):
+        toks = text.split(" ")
+        if len(toks) < 3:
+            continue
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+        per_doc[doc_id] = grams
+        for g in grams:
+            df_count[g] = df_count.get(g, 0) + 1
+    test_grams, probe_grams = set(), set()
+    for doc_id, grams in per_doc.items():
+        keep = {g for g in grams if df_count[g] <= DECON_MAX_DOC_FREQ}
+        if h15(f"split:{doc_id}") % 100 >= SPLIT_VAL_END:
+            test_grams |= keep
+        else:
+            probe_grams |= keep
+
+    def pos(g, j):
+        return h15(f"bloom{j}:{g}") % BLOOM_BITS
+
+    minj = {}
+    for g in test_grams:
+        for j in range(BLOOM_FPR_MAXJ):
+            p = pos(g, j)
+            if p not in minj or j < minj[p]:
+                minj[p] = j
+    want = {}
+    for k in BLOOM_FPR_KS:
+        n_hits = n_fp = n_member = 0
+        for g in probe_grams:
+            member = g in test_grams
+            n_member += member
+            hit = all(
+                minj.get(pos(g, j), BLOOM_FPR_MAXJ) <= k - 1
+                for j in range(k)
+            )
+            n_hits += hit
+            n_fp += hit and not member
+        bits = sum(1 for v in minj.values() if v <= k - 1)
+        want[k] = (
+            len(test_grams),
+            bits,
+            len(probe_grams),
+            n_member,
+            n_hits,
+            n_fp,
+            n_fp * 1_000_000 // (len(probe_grams) - n_member),
+        )
+
+    rows = q_bloom_fpr_audit(spark, sf_dir).collect()
+    got = {
+        r.k_hashes: (
+            r.n_test_grams,
+            r.bits_set,
+            r.n_probes,
+            r.n_member_probes,
+            r.n_bloom_hits,
+            r.n_false_pos,
+            r.fpr_micro,
+        )
+        for r in rows
+    }
+    assert got == want
+    for r in rows:
+        # no false negatives: every member probe hits at every level
+        assert r.n_bloom_hits - r.n_false_pos == r.n_member_probes
+        # FLOAT WITNESS on the fixed-point division
+        nonmember = r.n_probes - r.n_member_probes
+        assert abs(r.fpr_micro - r.n_false_pos * 1e6 / nonmember) <= 1
+    # occupancy grows with k; FPR is finite and sane
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a][1] <= got[b][1]

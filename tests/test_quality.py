@@ -1555,3 +1555,63 @@ def test_info_gain_features_pure_python(spark, sf_dir):
         assert abs(r["info_gain_unats"] / 1e6 - fig) < 2e-4
         assert r["info_gain_unats"] >= -2  # numeric floor of 0
         assert r["info_gain_unats"] / 1e6 <= fhy + 1e-4
+
+
+def test_kmv_distinct_estimate_pure_python(spark, sf_dir):
+    """KMV rows match a pure-python recompute (md5 bottom-k over the
+    same prefixed keys); FLOAT WITNESS: the integer (k-1)*2^60 // h_k
+    estimator tracks the float division within 1, and the estimate
+    lands within a loose multiple of the 1/sqrt(k-2) relative error
+    when the sketch saturates."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        KMV_DOMAIN,
+        KMV_K,
+        KMV_TARGETS,
+        q_kmv_distinct_estimate,
+    )
+
+    got = {
+        r.target: r for r in q_kmv_distinct_estimate(spark, sf_dir).collect()
+    }
+    assert set(got) == {f"{t}.{c}" for t, c in KMV_TARGETS}
+    for table, col in KMV_TARGETS:
+        vals = pd.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])[
+            col
+        ].dropna()
+        hs = sorted(
+            {
+                int(
+                    hashlib.md5(
+                        f"kmv:{table}.{col}:{v}".encode()
+                    ).hexdigest()[:15],
+                    16,
+                )
+                for v in vals
+            }
+        )
+        n_exact = vals.nunique()
+        bottom = hs[:KMV_K]
+        kth = bottom[-1]
+        if len(bottom) < KMV_K:
+            est = len(bottom)
+        else:
+            est = (KMV_K - 1) * KMV_DOMAIN // kth
+        r = got[f"{table}.{col}"]
+        assert r.n_exact == n_exact
+        assert r.k_filled == len(bottom)
+        assert r.kth_min_hash == kth
+        assert r.kmv_estimate == est
+        assert r.err_permille == abs(est - n_exact) * 1000 // n_exact
+        # FLOAT WITNESS: integer estimator vs float division, and a
+        # loose 8-sigma accuracy band when the sketch saturates
+        if len(bottom) == KMV_K:
+            assert abs(est - (KMV_K - 1) * KMV_DOMAIN / kth) <= 1
+            rel_err = abs(est - n_exact) / n_exact
+            assert rel_err <= 8 / math.sqrt(KMV_K - 2)
+        else:
+            assert est == n_exact

@@ -1340,3 +1340,83 @@ def test_rrf_fusion_pure_python(spark, sf_dir):
     # FLOAT WITNESS
     for rk in range(1, 6):
         assert abs(1_000_000 // (RRF_K + rk) - 1e6 / (RRF_K + rk)) < 1
+
+
+def test_mmr_rerank_pure_python(spark, sf_dir):
+    """MMR picks match a pure-python greedy recompute over the same
+    fused pool with integer micro-cosines (math.isqrt + half-up);
+    FLOAT WITNESS: the integer rel_micro tracks the float cosine of
+    the quantized vectors within rounding, and pick 1 is always the
+    pure-relevance argmax."""
+    import math
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.similarity import (
+        MMR_DIV_W,
+        MMR_REL_W,
+        MMR_SELECT,
+        q_ann_topk_exactint,
+        q_ivf_topk_exactint,
+        q_mmr_rerank_exactint,
+    )
+
+    pool = {}
+    for src in (q_ann_topk_exactint, q_ivf_topk_exactint):
+        for r in src(spark, sf_dir).collect():
+            pool.setdefault(r.query_id, set()).add(r.neighbor_id)
+    emb = {
+        r.vec_id: r.embedding
+        for r in load(spark, sf_dir)
+        .embeddings.select("vec_id", "embedding")
+        .collect()
+    }
+    q = {v: [math.floor(x * 1_000_000 + 0.5) for x in e] for v, e in emb.items()}
+    nq = {v: sum(c * c for c in qq) for v, qq in q.items()}
+
+    def cos_micro(a, b):
+        dot = sum(x * y for x, y in zip(q[a], q[b]))
+        if dot <= 0:
+            return 0
+        den = math.isqrt(nq[a]) * math.isqrt(nq[b])
+        return (2 * dot * 10**6 + den) // (2 * den)
+
+    want = {}
+    for qv, cands in pool.items():
+        rel = {n: cos_micro(qv, n) for n in cands}
+        selected, rows = [], []
+        remaining = set(cands)
+        for rank in range(1, MMR_SELECT + 1):
+            if not remaining:
+                break
+            best = None
+            for n in remaining:
+                pen = max((cos_micro(n, s) for s in selected), default=0)
+                score = MMR_REL_W * rel[n] - MMR_DIV_W * pen
+                key = (-score, n)
+                if best is None or key < best[0]:
+                    best = (key, n, score)
+            _, n, score = best
+            rows.append((n, rank, rel[n], score))
+            selected.append(n)
+            remaining.discard(n)
+        want[qv] = rows
+
+    got = {}
+    for r in q_mmr_rerank_exactint(spark, sf_dir).collect():
+        got.setdefault(r.query_id, []).append(
+            (r.neighbor_id, r.pick_rank, r.rel_micro, r.mmr_deci)
+        )
+    assert got == want
+
+    # FLOAT WITNESS: integer micro-cos vs float cosine of the same
+    # quantized vectors (catches a shared scale bug in the fixed-point
+    # chain), and pick 1 == pure-relevance argmax
+    for qv, rows in got.items():
+        n1, rank1, rel1, deci1 = rows[0]
+        assert rank1 == 1 and deci1 == MMR_REL_W * rel1
+        fcos = sum(x * y for x, y in zip(q[qv], q[n1])) / (
+            math.sqrt(nq[qv]) * math.sqrt(nq[n1])
+        )
+        assert abs(rel1 / 1e6 - fcos) < 3e-6
+        best_rel = max(cos_micro(qv, n) for n in pool[qv])
+        assert rel1 == best_rel
