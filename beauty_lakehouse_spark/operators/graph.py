@@ -732,47 +732,72 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum degree k.
 
     Peeling is inherently iterative, so the rounds are UNROLLED to the
-    constant ``KCORE_ROUNDS`` cap with each survivor set lazily
-    checkpointed (the ``pagerank_exact`` convention) — per-round work
-    is one degree count within the surviving subgraph, and the
-    trajectory itself is the output: (round, n_alive, n_removed) per
-    round plus the converged flag (a removal-free final round), so an
-    insufficient cap is VISIBLE, never silent.
+    constant ``KCORE_ROUNDS`` cap with each round's degree state lazily
+    checkpointed (the ``pagerank_exact`` convention) — and the peel is
+    DELTA-MAINTAINED (VERDICT r10 ask #3): the full-subgraph degree is
+    aggregated ONCE, then each round only counts the edges incident to
+    the JUST-REMOVED node set and subtracts those decrements from the
+    survivors' degrees. Decrements aimed at nodes that died in the same
+    round (or earlier) drop out naturally in the survivor join, so no
+    alive-side edge filter is needed at all. The trajectory itself is
+    the output: (round, n_alive, n_removed) per round plus the
+    converged flag (a removal-free final round), so an insufficient cap
+    is VISIBLE, never silent.
 
-    Scale: edges from the capped basket expansion; each round is one
-    self-joined degree aggregate on the surviving vertex set — no
-    global collects, no data-dependent loop on the driver.
+    Scale: the old form re-joined the FULL surviving edge set twice per
+    round (two edge-grain shuffles × 8 rounds — the steepest curve in
+    SCALE.md r10: 14.2× shuffle per 10× docs). Now round r shuffles
+    only (a) the removed-set probe of the edge table — map-side when
+    the removed set broadcasts, which it does from round 2 on (peels
+    shrink geometrically) — and (b) the node-grain decrement rows. The
+    one full-edge-grain aggregate happens once, not per round.
 
     Output: (round, n_alive, n_removed, converged)."""
     t = load(spark, sf_dir)
     e = copurchase_edges(t.lineitem)
+    # hash-partition the edge table by src ONCE: every round's removed-
+    # set probe and the initial degree aggregate then reuse this
+    # partitioning (checkpoint preserves it), so no round ever shuffles
+    # the edge set again — only the node-grain removed list moves
     dir_e = e.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst")
     ).unionByName(
         e.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
-    ).localCheckpoint(eager=False)
-    alive = dir_e.select(F.col("src").alias("pk")).distinct()
+    ).repartition("src").localCheckpoint(eager=False)
+    # full-graph degree: the ONLY edge-grain aggregate of the whole peel
+    deg = (
+        dir_e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("dg"))
+        .select(F.col("src").alias("pk"), "dg")
+        .localCheckpoint(eager=False)
+    )
     traj = [
-        alive.agg(F.count(F.lit(1)).alias("n_alive")).select(
+        deg.agg(F.count(F.lit(1)).alias("n_alive")).select(
             F.lit(0).alias("round"), "n_alive"
         )
     ]
     for r in range(1, KCORE_ROUNDS + 1):
-        deg = (
-            dir_e.join(
-                alive.select(F.col("pk").alias("src")), "src"
-            )
-            .join(alive.select(F.col("pk").alias("dst")), "dst")
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("dg"))
+        removed = deg.filter(F.col("dg") < KCORE_K).select("pk")
+        survivors = deg.filter(F.col("dg") >= KCORE_K)
+        # decrements: edges whose src just died; decrements aimed at
+        # nodes that are themselves dead vanish in the survivor join
+        dec = (
+            dir_e.join(removed.select(F.col("pk").alias("src")), "src")
+            .groupBy("dst")
+            .agg(F.count(F.lit(1)).alias("dd"))
         )
-        alive = (
-            deg.filter(F.col("dg") >= KCORE_K)
-            .select(F.col("src").alias("pk"))
+        deg = (
+            survivors.join(
+                dec.select(F.col("dst").alias("pk"), "dd"), "pk", "left"
+            )
+            .select(
+                "pk",
+                (F.col("dg") - F.coalesce("dd", F.lit(0))).alias("dg"),
+            )
             .localCheckpoint(eager=False)
         )
         traj.append(
-            alive.agg(F.count(F.lit(1)).alias("n_alive")).select(
+            deg.agg(F.count(F.lit(1)).alias("n_alive")).select(
                 F.lit(r).alias("round"), "n_alive"
             )
         )

@@ -1821,7 +1821,14 @@ def q_ann_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidates are bucket-equi-joins against the signature
     table (servable straight from `lsh_index_maintained`'s output);
-    probes grow the query side ×9, never the corpus side."""
+    probes grow the query side ×9, never the corpus side.
+
+    Served through the session memo `ann_exact_serving` — one serving
+    index feeds every downstream stage (NDCG, RRF, MMR)."""
+    return ann_exact_serving(spark, sf_dir, "grid")
+
+
+def _ann_grid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     sig = lsh_int_signatures(spark, emb).localCheckpoint(eager=False)
@@ -1971,7 +1978,14 @@ def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard IVF serving shape, here with every arithmetic step
     hash-checkable.
 
-    Output: (query_id, neighbor_id, rank, cos_micro)."""
+    Output: (query_id, neighbor_id, rank, cos_micro).
+
+    Served through the session memo `ann_exact_serving` — one serving
+    index feeds every downstream stage (NDCG, RRF, MMR)."""
+    return ann_exact_serving(spark, sf_dir, "cells")
+
+
+def _ivf_cells_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     assign, probes = _ivf_assign_and_probes(spark, sf_dir)
     cand = (
@@ -1982,6 +1996,34 @@ def q_ivf_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exactint_rerank(
         t.embeddings.select("vec_id", "embedding"), cand
     )
+
+
+#: Session-scoped memo of the two hash-verifiable ANN serving results
+#: (VERDICT r10 ask #1): in a production stack the serving index is
+#: materialized ONCE and every downstream consumer — graded-relevance
+#: eval (NDCG), hybrid fusion (RRF), diversity re-ranking (MMR) —
+#: reads the same result table instead of re-running candidate
+#: generation + rerank. Keyed by (applicationId, sf_dir, family) so a
+#: new session (whose localCheckpoint blocks are gone) recomputes —
+#: the `_COMPONENTS_MEMO` pattern (dedup.py).
+_ANN_SERVE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def ann_exact_serving(
+    spark: SparkSession, sf_dir: str, family: str
+) -> DataFrame:
+    """The memoized exact-int ANN serving result for ``family`` —
+    ``"grid"`` (LSH multi-probe, `_ann_grid_topk`) or ``"cells"``
+    (IVF probed posting lists, `_ivf_cells_topk`) — computed once per
+    (session, sf_dir) and localCheckpointed so NDCG/RRF/MMR consume a
+    materialized serving table, not a recomputation."""
+    key = (spark.sparkContext.applicationId, sf_dir, family)
+    df = _ANN_SERVE_MEMO.get(key)
+    if df is None:
+        compute = {"grid": _ann_grid_topk, "cells": _ivf_cells_topk}[family]
+        df = compute(spark, sf_dir).localCheckpoint(eager=False)
+        _ANN_SERVE_MEMO[key] = df
+    return df
 
 
 def _ivf_assign_and_probes(
