@@ -85,70 +85,21 @@ def _q_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.validate({n: t.table(n) for n in _QUALITY_TABLES})
 
 
-#: Driver-gate walk order, round 10 policy (VERDICT r9 asks #1/#7):
-#: the gate walks the first ~50 entries of queries(), so the front of
-#: this list IS the round's verification budget. Invariant (enforced by
-#: tests/test_sql_and_plans.py::test_driver_gate_front_policy): the
-#: front slots are exactly (never-driver-verified oracle entries) ∪
-#: (new-this-round entries); then the stalest previously-green rows;
-#: the freshest (greened last round) near the end; the rows-only
-#: entries dead last so no gate slot ever returns `no_oracle`.
-_DRIVER_ORDER_R10 = [
-    # --- slots 1-28: the r9 gate residue (oracle-green locally and in
-    # the judge's re-run, but never driver-verified — VERDICT r9 ask #1).
-    # New r10 entries are inserted right after this block so the 50-slot
-    # gate covers residue + new each round.
-    "orders_partition_checksums",
-    "orders_antientropy_sync",
-    "lsh_tuning_curve",
-    "part_stock_balance",
-    "zipf_law_fit",
-    "media_phash_pairs_exactint",
-    "media_audio_pairs_exactint",
-    "media_phash_stream",
-    "ddsketch_quantiles_streamed",
-    "segment_priority_chisq",
-    "order_interval_overlaps",
-    "bloom_semijoin_pushdown",
-    "nation_revenue_trend",
-    "user_modal_event",
-    "span_corruption_masks",
-    "source_quota_apportionment",
-    "user_behavior_entropy",
-    "user_modal_streamed",
-    "ngram_containment_top_pairs",
-    "orders_merkle_root",
-    "events_rate_capped",
-    "retention_decay_fit",
-    "kanonymity_profile",
-    "table_release_gate",
-    "heaps_law_fit",
-    "source_vocab_overlap",
-    "copurchase_adamic_adar",
-    "user_stickiness",
-    # --- new-in-r10 entries go here (gate-verify the round they land) ---
-    "position_attribution",  # new in r10
-    "time_decay_attribution",  # new in r10
-    "temporal_gap_coalesce",  # new in r10
-    "hot_keys_top",  # new in r10
-    "selectivity_audit",  # new in r10
-    "column_encoding_stats",  # new in r10
-    "randomization_test_diff",  # new in r10
-    "ann_ndcg_exactint",  # new in r10
-    "matryoshka_prefix_recall",  # new in r10
-    "info_gain_features",  # new in r10
-    "deterministic_random_walks",  # new in r10
-    "label_propagation_communities",  # new in r10
-    "fellegi_sunter_weights",  # new in r10
-    "incremental_topk_state",  # new in r10
-    "sprt_decision",  # new in r10
-    "sprt_streamed",  # new in r10
-    "rake_keyword_scores",  # new in r10
-    "rrf_fusion_exactint",  # new in r10
-    "revenue_runs_test",  # new in r10
-    "kmv_distinct_estimate",  # new in r10
-    "bloom_fpr_audit",  # new in r10
-    "mmr_rerank_exactint",  # new in r10
+#: Driver-gate walk order, round 11 policy (VERDICT r9 asks #1/#7,
+#: r10 ask #6): the gate walks the first ~50 entries of queries(), so
+#: the front of this list IS the round's verification budget.
+#: Invariant (enforced by tests/test_sql_and_plans.py::
+#: test_driver_gate_front_policy): the front slots are exactly
+#: (never-driver-verified oracle entries) ∪ (new-this-round entries);
+#: then the STALEST previously-green rows (last driver-green r8 or
+#: earlier — the r10 gate greened its whole front, so residue is 0 and
+#: the remaining ~46 slots rotate through the oldest greens); the
+#: freshest (greened r10) near the end; the rows-only entries dead
+#: last so no gate slot ever returns `no_oracle`.
+_DRIVER_ORDER_R11 = [
+    # --- new-in-r11 entries (gate-verify the round they land) ---
+    "exactsubstr_spans",  # new in r11
+    "domain_dedup_mixture",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -397,6 +348,57 @@ _DRIVER_ORDER_R10 = [
     "table_checksums",
     "orders_checksum_streamed",
     "key_skew_profile",
+    # --- the 50 entries greened by the r10 gate (freshest) ---
+    "orders_partition_checksums",
+    "orders_antientropy_sync",
+    "lsh_tuning_curve",
+    "part_stock_balance",
+    "zipf_law_fit",
+    "media_phash_pairs_exactint",
+    "media_audio_pairs_exactint",
+    "media_phash_stream",
+    "ddsketch_quantiles_streamed",
+    "segment_priority_chisq",
+    "order_interval_overlaps",
+    "bloom_semijoin_pushdown",
+    "nation_revenue_trend",
+    "user_modal_event",
+    "span_corruption_masks",
+    "source_quota_apportionment",
+    "user_behavior_entropy",
+    "user_modal_streamed",
+    "ngram_containment_top_pairs",
+    "orders_merkle_root",
+    "events_rate_capped",
+    "retention_decay_fit",
+    "kanonymity_profile",
+    "table_release_gate",
+    "heaps_law_fit",
+    "source_vocab_overlap",
+    "copurchase_adamic_adar",
+    "user_stickiness",
+    "position_attribution",
+    "time_decay_attribution",
+    "temporal_gap_coalesce",
+    "hot_keys_top",
+    "selectivity_audit",
+    "column_encoding_stats",
+    "randomization_test_diff",
+    "ann_ndcg_exactint",
+    "matryoshka_prefix_recall",
+    "info_gain_features",
+    "deterministic_random_walks",
+    "label_propagation_communities",
+    "fellegi_sunter_weights",
+    "incremental_topk_state",
+    "sprt_decision",
+    "sprt_streamed",
+    "rake_keyword_scores",
+    "rrf_fusion_exactint",
+    "revenue_runs_test",
+    "kmv_distinct_estimate",
+    "bloom_fpr_audit",
+    "mmr_rerank_exactint",
     # --- rows-only-by-design entries: always last, never burn a gate slot ---
     "knn_ivf",
     "knn_lsh",
@@ -418,33 +420,33 @@ _DRIVER_ORDER_R10 = [
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registry in driver-gate order (see ``_DRIVER_ORDER_R10``).
+    """Registry in driver-gate order (see ``_DRIVER_ORDER_R11``).
 
     The driver's correctness gate walks this dict in order under a
     budget that has covered exactly the first 50 entries each round.
-    Round-10 policy: the 28 r9 entries the 50-slot budget never
-    reached go FIRST (judge re-ran all 28 PASS, but the project
-    invariant is "every oracle entry driver-green at least once"),
-    then new-in-r10 entries, then the stalest previously-green rows;
-    the 50 rows the r9 gate just greened sit near the end, and the
-    rows-only entries (no oracle by design) are dead last so no gate
-    slot returns `no_oracle`."""
+    Round-11 policy (VERDICT r10 ask #6): residue is 0 — every oracle
+    entry has been driver-green at least once — so the front is the
+    new-in-r11 entries followed by the STALEST previously-green rows
+    (last driver-green r8 or earlier), rotating the gate through the
+    oldest verifications; the 50 rows the r10 gate just greened sit
+    near the end, and the rows-only entries (no oracle by design) are
+    dead last so no gate slot returns `no_oracle`."""
     base = _registry()
-    missing = set(base) ^ set(_DRIVER_ORDER_R10)
+    missing = set(base) ^ set(_DRIVER_ORDER_R11)
     if missing:  # a registry edit must update the order list too
         raise AssertionError(f"registry/order drift: {sorted(missing)}")
     # a duplicate would be silently swallowed by the dict comprehension
     # and shift every later row's gate position (ADVICE r6)
-    if len(_DRIVER_ORDER_R10) != len(set(_DRIVER_ORDER_R10)):
+    if len(_DRIVER_ORDER_R11) != len(set(_DRIVER_ORDER_R11)):
         seen: set[str] = set()
-        dups = [n for n in _DRIVER_ORDER_R10 if n in seen or seen.add(n)]
+        dups = [n for n in _DRIVER_ORDER_R11 if n in seen or seen.add(n)]
         raise AssertionError(f"duplicate order entries: {dups}")
-    return {name: base[name] for name in _DRIVER_ORDER_R10}
+    return {name: base[name] for name in _DRIVER_ORDER_R11}
 
 
 def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """The full registry, grouped thematically (order here is NOT the
-    driver order — ``queries()`` applies ``_DRIVER_ORDER_R10``)."""
+    driver order — ``queries()`` applies ``_DRIVER_ORDER_R11``)."""
     return {
         # §2.2-2.6 relational inventory (cheap, all oracle)
         "parts_per_type": relational.q_parts_per_type,
@@ -633,6 +635,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # passages removed, canonical occurrence kept; gate hash-checks
         # the reconstructed surviving text
         "substring_dedup": dedup.q_substring_dedup,
+        "exactsubstr_spans": dedup.q_exactsubstr_spans,
         # maintained ANN index: integer-portable signatures + CoW MERGE
         # (maintained ≡ rebuild, the IVM law — oracle recomputes from
         # scratch)
@@ -694,6 +697,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin_pushdown": relational.q_bloom_semijoin_pushdown,
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
+        "domain_dedup_mixture": curation.q_domain_dedup_mixture,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -4086,6 +4090,47 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(kept_hash, md5('')) AS kept_hash "
             "FROM toks t LEFT JOIN agg ON agg.doc_id = t.doc_id"
         ),
+        "exactsubstr_spans": (
+            # ExactSubstr remove-all-occurrences with maximal spans:
+            # L = 8 tokens; coverage = windowed max of dup-start flags
+            # over the trailing 7 positions; islands by pos-row_number
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk "
+            "FROM documents), "
+            "g AS (SELECT doc_id, i - 1 AS pos, "
+            "md5(array_to_string(tk[i:i+7], ' ')) AS gh "
+            "FROM toks, unnest(generate_series(1, len(tk) - 7)) AS s(i)), "
+            "dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2), "
+            "ds AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)), "
+            "tox AS (SELECT doc_id, i - 1 AS tpos, tk[i] AS token "
+            "FROM toks, unnest(generate_series(1, len(tk))) AS s(i)), "
+            "fl AS (SELECT t.doc_id, t.tpos, t.token, "
+            "CASE WHEN ds.pos IS NOT NULL THEN 1 ELSE 0 END AS dsf "
+            "FROM tox t LEFT JOIN ds ON ds.doc_id = t.doc_id "
+            "AND ds.pos = t.tpos), "
+            "cov AS (SELECT doc_id, tpos, token, "
+            "max(dsf) OVER (PARTITION BY doc_id ORDER BY tpos "
+            "ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS covered "
+            "FROM fl), "
+            "isl AS (SELECT doc_id, tpos, tpos - row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY tpos) AS grp "
+            "FROM cov WHERE covered = 1), "
+            "spans AS (SELECT doc_id, grp, count(*) AS span_len "
+            "FROM isl GROUP BY doc_id, grp), "
+            "sa AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, "
+            "CAST(max(span_len) AS BIGINT) AS max_span_len, "
+            "CAST(sum(span_len) AS BIGINT) AS n_removed "
+            "FROM spans GROUP BY doc_id), "
+            "ka AS (SELECT doc_id, "
+            "md5(string_agg(token, ' ' ORDER BY tpos)) AS kept_hash "
+            "FROM cov WHERE covered = 0 GROUP BY doc_id) "
+            "SELECT t.doc_id, CAST(len(tk) AS BIGINT) AS n_tokens, "
+            "CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans, "
+            "CAST(coalesce(max_span_len, 0) AS BIGINT) AS max_span_len, "
+            "CAST(coalesce(n_removed, 0) AS BIGINT) AS n_removed, "
+            "coalesce(kept_hash, md5('')) AS kept_hash "
+            "FROM toks t LEFT JOIN sa ON sa.doc_id = t.doc_id "
+            "LEFT JOIN ka ON ka.doc_id = t.doc_id"
+        ),
         "dedup_clusters": (
             _CC_COMP_CTE
             + ", csize AS (SELECT cluster_id, count(*) AS cluster_size "
@@ -6291,6 +6336,50 @@ def oracle_sql() -> dict[str, str]:
         "CAST(CASE WHEN rk <= 1000 - base_sum THEN 1 ELSE 0 END "
         "AS BIGINT) AS extra_seat, "
         "CAST(base_quota + CASE WHEN rk <= 1000 - base_sum THEN 1 "
+        "ELSE 0 END AS BIGINT) AS quota FROM r"
+    )
+
+    # URL/domain dedup + quality-weighted Hamilton mixture (mirrors
+    # curation.DOMAIN_MOD = 2500, DOMAIN_BUDGET = 100000): planted url
+    # collisions (trailing digit 7/8/9 -> the ...6 page), linear-skew
+    # domains via exact isqrt, per-url min-doc_id survival, per-domain
+    # trunc-mean TTR, largest-remainder quota over tokens x quality
+    out["domain_dedup_mixture"] = (
+        "WITH docs AS (SELECT doc_id, "
+        "CASE WHEN doc_id % 10 >= 7 THEN doc_id - (doc_id % 10 - 6) "
+        "ELSE doc_id END AS url_key, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok, "
+        "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+        "AS n_distinct FROM documents), "
+        "d2 AS (SELECT *, "
+        + _isq("(url_key % 2500)")
+        + " AS domain_id, "
+        "CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY url_key) "
+        "THEN 1 ELSE 0 END AS keep FROM docs), "
+        "dom AS (SELECT domain_id, "
+        "CAST(sum(keep) AS BIGINT) AS n_docs, "
+        "CAST(count(*) - sum(keep) AS BIGINT) AS n_dup_removed, "
+        "CAST(sum(CASE WHEN keep = 1 THEN n_tok ELSE 0 END) AS BIGINT) "
+        "AS tokens, "
+        "CAST(sum(CASE WHEN keep = 1 THEN "
+        "(n_distinct * 1000000) // n_tok ELSE 0 END) AS BIGINT) "
+        "AS ttr_sum FROM d2 GROUP BY domain_id), "
+        "m AS (SELECT domain_id, n_docs, n_dup_removed, tokens, "
+        "CAST(ttr_sum // n_docs AS BIGINT) AS mean_ttr_micro FROM dom), "
+        "wg AS (SELECT *, CAST(tokens AS HUGEINT) * mean_ttr_micro AS w "
+        "FROM m), "
+        "tot AS (SELECT CAST(sum(w) AS HUGEINT) AS w_total FROM wg), "
+        "g AS (SELECT wg.*, "
+        "CAST((100000 * w) // w_total AS BIGINT) AS base_quota, "
+        "CAST((100000 * w) % w_total AS BIGINT) AS remainder "
+        "FROM wg, tot), "
+        "bs AS (SELECT CAST(sum(base_quota) AS BIGINT) AS base_sum "
+        "FROM g), "
+        "r AS (SELECT g.*, row_number() OVER (ORDER BY remainder DESC, "
+        "domain_id ASC) AS rk, base_sum FROM g, bs) "
+        "SELECT 'd' || domain_id || '.example.com' AS domain, "
+        "n_docs, n_dup_removed, tokens, mean_ttr_micro, "
+        "CAST(base_quota + CASE WHEN rk <= 100000 - base_sum THEN 1 "
         "ELSE 0 END AS BIGINT) AS quota FROM r"
     )
 

@@ -1856,6 +1856,138 @@ def q_source_quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Domain-grain synthesis + mixture budget (VERDICT r10 ask #8). The
+#: fixture has no URL column, so one is DERIVED deterministically:
+#: trailing doc_id digits 7/8/9 collide onto the ...6 page of their
+#: decade (planted exact URL duplicates — the "same page crawled
+#: thrice" stage), and the page's domain is the linear-skew map
+#: isqrt(url_key % DOMAIN_MOD): domain k owns 2k+1 of every 2500 url
+#: slots — a crawl-like long tail without any RNG, reproducible in
+#: both engines (exact integer square root).
+DOMAIN_MOD = 2500
+DOMAIN_BUDGET = 100_000
+
+
+def q_domain_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/DOMAIN-GRAIN DEDUP + QUALITY-WEIGHTED MIXTURE — the one
+    common pretraining-pipeline stage the registry lacked (VERDICT r10
+    ask #8): web corpora are deduplicated at URL grain FIRST (the same
+    page recrawled is the cheapest duplicate class, caught before any
+    content hashing), then per-DOMAIN statistics drive the mixture —
+    how much of each domain the training budget should sample, with
+    low-quality domains down-weighted (the CCNet/RefinedWeb recipe).
+
+    Stages, all deterministic integer arithmetic:
+
+    1. **URL synthesis** (fixture seam, see `DOMAIN_MOD`): url_key
+       collisions plant exact URL dups; domain = isqrt-skewed map.
+    2. **URL dedup**: per url_key the smallest doc_id survives (first
+       crawl wins) — a per-url window min, no content comparison.
+    3. **Domain quality**: per-doc type-token ratio in micro
+       (distinct_tokens·10⁶ div tokens — the cheap lexical-diversity
+       proxy; boilerplate/spam domains score low), averaged per domain
+       over SURVIVORS (trunc division, engine-exact).
+    4. **Mixture interaction**: the DOMAIN_BUDGET sample quota is
+       apportioned across domains by the SAME Hamilton
+       largest-remainder scheme as `source_quota_apportionment`,
+       weighted by tokens × mean_ttr — so a spammy domain's mass is
+       discounted by its quality before seats are allocated, and
+       Σ quota == DOMAIN_BUDGET exactly. The quota column is the
+       per-domain budget a `mixture_rebalance`-style sampler consumes.
+
+    Scale: one map-side token/distinct count per doc; the URL window
+    is partitioned by url_key (never global); domain aggregation is
+    one combinable shuffle at domain grain; the Hamilton windows run
+    over the bounded |domains| table (≤ 50 rows — the whitelisted
+    bounded-window class).
+
+    Output per domain: (domain, n_docs, n_dup_removed, tokens,
+    mean_ttr_micro, quota)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, isqrt
+
+    t = load(spark, sf_dir)
+    d = F.col("doc_id") % 10
+    url_key = F.when(d >= 7, F.col("doc_id") - (d - 6)).otherwise(
+        F.col("doc_id")
+    )
+    docs = (
+        t.documents.select(
+            "doc_id",
+            url_key.alias("url_key"),
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(F.split("text", " ")))
+            .cast("long")
+            .alias("n_distinct"),
+        )
+        .withColumn("domain_id", isqrt(F.col("url_key") % DOMAIN_MOD))
+    )
+    w_url = Window.partitionBy("url_key")
+    flagged = docs.withColumn(
+        "keep",
+        (F.col("doc_id") == F.min("doc_id").over(w_url)).cast("long"),
+    )
+    ttr = _idiv(F.col("n_distinct") * F.lit(1_000_000), F.col("n_tok"))
+    zero = F.lit(0).cast("long")
+    dom = (
+        flagged.groupBy("domain_id")
+        .agg(
+            F.sum("keep").cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) - F.sum("keep"))
+            .cast("long")
+            .alias("n_dup_removed"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_tok")).otherwise(zero))
+            .cast("long")
+            .alias("tokens"),
+            F.sum(F.when(F.col("keep") == 1, ttr).otherwise(zero))
+            .cast("long")
+            .alias("ttr_sum"),
+        )
+        .withColumn("mean_ttr_micro", _idiv(F.col("ttr_sum"), F.col("n_docs")))
+        .withColumn(
+            "w",
+            F.col("tokens").cast("decimal(38,0)") * F.col("mean_ttr_micro"),
+        )
+    )
+    tot = dom.agg(F.sum("w").alias("w_total"))
+    b = F.lit(DOMAIN_BUDGET).cast("decimal(38,0)")
+    g = dom.crossJoin(F.broadcast(tot)).select(
+        "domain_id",
+        "n_docs",
+        "n_dup_removed",
+        "tokens",
+        "mean_ttr_micro",
+        _idiv(b * F.col("w"), F.col("w_total")).alias("base_quota"),
+        F.pmod(
+            (b * F.col("w")).cast("decimal(38,0)"),
+            F.col("w_total").cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("remainder"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("remainder"), F.asc("domain_id"))
+    )
+    base_sum = g.agg(F.sum("base_quota").alias("base_sum"))
+    ranked = g.withColumn("rk", rk).crossJoin(F.broadcast(base_sum))
+    extra = (
+        F.col("rk") <= (F.lit(DOMAIN_BUDGET) - F.col("base_sum"))
+    ).cast("long")
+    return ranked.select(
+        F.concat(
+            F.lit("d"),
+            F.col("domain_id").cast("string"),
+            F.lit(".example.com"),
+        ).alias("domain"),
+        "n_docs",
+        "n_dup_removed",
+        "tokens",
+        "mean_ttr_micro",
+        (F.col("base_quota") + extra).alias("quota"),
+    )
+
+
 #: Negative-sampling table geometry: total slots and the vocabulary cap
 #: (rank windows only ever run over the capped top vocabulary, never the
 #: raw term space).

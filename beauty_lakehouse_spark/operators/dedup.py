@@ -1463,6 +1463,139 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: ExactSubstr minimum duplicated-span length in tokens. Deliberately
+#: shorter than SUBSTR_L (20) so the maximal-span merge has visible
+#: variable-length structure on the fixture corpus (~2.1k duplicated
+#: 8-token window starts at sf0.01 merge into islands of 8..40+
+#: tokens); the paper's 50-BPE-token threshold maps to a config knob.
+EXSUB_L = 8
+
+
+def q_exactsubstr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTSUBSTR with ARBITRARY-LENGTH maximal duplicated spans
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better" — the suffix-array ExactSubstr variant; VERDICT r10
+    ask #7): remove from EVERY document every substring of ≥ EXSUB_L
+    tokens that occurs verbatim more than once corpus-wide (the
+    paper's strict remove-all-occurrences rule — a duplicated span is
+    memorization risk wherever it sits), and report the removals as
+    MAXIMAL variable-length spans, not fixed windows.
+
+    How fixed windows become arbitrary-length spans: a duplicated
+    passage of length M ≥ L is exactly a run of M−L+1 duplicated
+    L-windows, so (1) mark every position covered by some duplicated
+    window — a per-doc running ``max`` over the trailing L−1 window
+    starts, NO ×L coverage explode (the `q_substring_dedup` coverage
+    join explodes removed occurrences ×L; this window form is the
+    plan that survives heavy duplication mass) — then (2) merge
+    covered runs into maximal islands by the gaps-and-islands
+    ``pos − row_number`` trick. The island table IS the suffix-array
+    output shape: (doc, span_start, span_len) with span_len free to
+    be any value ≥ L.
+
+    Differences from `q_substring_dedup` (which stays registered):
+    that operator keeps one canonical occurrence per fixed window;
+    this one implements the paper's remove-everywhere semantics at
+    maximal-span grain and reports span structure (n_spans,
+    max_span_len) so the dedup family covers both policies.
+
+    Output per document: (doc_id, n_tokens, n_spans, max_span_len,
+    n_removed, kept_hash) — kept_hash is the md5 of the space-rejoined
+    SURVIVING tokens in position order, so the gate hash-checks the
+    exact reconstructed text against the DuckDB twin.
+
+    Scale: one row per token; wide ops are the window-hash groupBy
+    (linear, keyed by 16-byte md5) and per-doc windows (partitioned by
+    doc_id, frames ≤ L rows). Nothing is quadratic in corpus size and
+    nothing explodes beyond token grain."""
+    from pyspark.sql import Window
+
+    L = EXSUB_L
+    t = load(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id", F.split("text", " ").alias("tk")
+    ).cache()
+    starts = F.when(
+        F.size("tk") >= L, F.sequence(F.lit(0), F.size("tk") - L)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(starts).alias("pos"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("tk"), F.col("pos") + 1, L))
+        ).alias("gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("gh")
+    )
+    dup_starts = grams.join(dup, "gh").select(
+        "doc_id", F.col("pos").alias("tpos"), F.lit(1).alias("ds")
+    )
+    tokens = docs.select(
+        "doc_id", F.posexplode("tk").alias("tpos", "token")
+    )
+    w_cov = (
+        Window.partitionBy("doc_id")
+        .orderBy("tpos")
+        .rowsBetween(-(L - 1), Window.currentRow)
+    )
+    cov = (
+        tokens.join(dup_starts, ["doc_id", "tpos"], "left")
+        .withColumn("ds", F.coalesce("ds", F.lit(0)))
+        .withColumn("covered", F.max("ds").over(w_cov))
+        .localCheckpoint(eager=False)  # feeds spans AND survivors
+    )
+    w_rn = Window.partitionBy("doc_id").orderBy("tpos")
+    spans = (
+        cov.filter(F.col("covered") == 1)
+        .withColumn("grp", F.col("tpos") - F.row_number().over(w_rn))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).alias("span_len"))
+    )
+    span_agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.max("span_len").cast("long").alias("max_span_len"),
+        F.sum("span_len").cast("long").alias("n_removed"),
+    )
+    kept_agg = (
+        cov.filter(F.col("covered") == 0)
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("tpos", "token"))
+                        ),
+                        lambda s: s["token"],
+                    ),
+                )
+            ).alias("kept_hash")
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size("tk").cast("long").alias("n_tokens")
+    )
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(span_agg, "doc_id", "left")
+        .join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_spans", zero).alias("n_spans"),
+            F.coalesce("max_span_len", zero).alias("max_span_len"),
+            F.coalesce("n_removed", zero).alias("n_removed"),
+            F.coalesce("kept_hash", F.lit(empty_md5)).alias("kept_hash"),
+        )
+    )
+
+
 #: (bands, rows-per-band) operating points sharing the 16-hash
 #: signature: fewer/wider bands tighten the candidate filter (high
 #: precision, lower recall), more/narrower bands loosen it.

@@ -207,6 +207,8 @@ HEADLINE = [
     "kmv_distinct_estimate",  # bottom-k distinct sketch next to the HLL (new in r10)
     "bloom_fpr_audit",        # one-pass Bloom k-sweep: occupancy vs FPR (new in r10)
     "mmr_rerank_exactint",    # diversity-aware greedy re-rank, unrolled (new in r10)
+    "exactsubstr_spans",      # ExactSubstr maximal variable-length span dedup (new in r11)
+    "domain_dedup_mixture",   # URL/domain dedup + quality-weighted Hamilton mixture (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -121,6 +121,7 @@ WHITELIST: dict[str, str] = {
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
     "kmv_distinct_estimate": "1-row exact-count x 1-row bottom-k aggregate broadcast attach, per target",
     "bloom_fpr_audit": "1-row test-gram-count broadcast attach onto the 5-row per-k report",
+    "domain_dedup_mixture": "1-row weight-total and base-quota-sum broadcasts against the <=50-row domain table (the source_quota_apportionment Hamilton shape)",
 }
 
 #: windows allowed to have an empty partition spec because their input
@@ -160,6 +161,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "ccnet_buckets": "cumsum over the ~4k-row perplexity-key bucket table (key >> 33)",
     "token_budget_selection": "cumsum over per-(source,n_chars) bucket aggregate",
     "source_quota_apportionment": "remainder row_number over the |sources|-row token-mass aggregate (Hamilton seat ranking) — never raw documents",
+    "domain_dedup_mixture": "Hamilton remainder row_number over the <=50-row domain aggregate (isqrt(url%2500) bounds the domain id space) — never raw documents",
     "sequence_packing": "cumsum over bucket aggregate (asserted by plan test)",
     "revenue_moving_avg": "window over per-(year,month) aggregate (bounded rows)",
     "rolling_distinct_users": "window over per-day aggregate (bounded rows)",

@@ -938,3 +938,82 @@ def test_bloom_fpr_audit_pure_python(spark, sf_dir):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[a][1] <= got[b][1]
+
+
+def test_domain_dedup_mixture_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the whole URL-dedup → domain-quality →
+    Hamilton-quota chain on the real fixture, plus the Hamilton
+    apportionment invariants (Σ quota == budget; every quota within 1
+    seat of the exact proportional share)."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        DOMAIN_BUDGET,
+        DOMAIN_MOD,
+        q_domain_dedup_mixture,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    best: dict[int, int] = {}  # url_key -> surviving doc_id
+    per_doc = {}
+    for doc_id, text in zip(pdf.doc_id, pdf.text):
+        doc_id = int(doc_id)
+        d = doc_id % 10
+        url_key = doc_id - (d - 6) if d >= 7 else doc_id
+        toks = text.split(" ")
+        per_doc[doc_id] = (url_key, len(toks), len(set(toks)))
+        if url_key not in best or doc_id < best[url_key]:
+            best[url_key] = doc_id
+    dom: dict[int, dict] = {}
+    for doc_id, (url_key, n_tok, n_dist) in per_doc.items():
+        k = math.isqrt(url_key % DOMAIN_MOD)
+        s = dom.setdefault(
+            k, {"n_docs": 0, "n_dup": 0, "tokens": 0, "ttr_sum": 0}
+        )
+        if best[url_key] == doc_id:
+            s["n_docs"] += 1
+            s["tokens"] += n_tok
+            s["ttr_sum"] += (n_dist * 1_000_000) // n_tok
+        else:
+            s["n_dup"] += 1
+    w = {k: s["tokens"] * (s["ttr_sum"] // s["n_docs"]) for k, s in dom.items()}
+    W = sum(w.values())
+    base = {k: (DOMAIN_BUDGET * wk) // W for k, wk in w.items()}
+    rem = {k: (DOMAIN_BUDGET * wk) % W for k, wk in w.items()}
+    leftover = DOMAIN_BUDGET - sum(base.values())
+    order = sorted(dom, key=lambda k: (-rem[k], k))
+    quota = {
+        k: base[k] + (1 if i < leftover else 0) for i, k in enumerate(order)
+    }
+
+    rows = {r.domain: r for r in q_domain_dedup_mixture(spark, sf_dir).collect()}
+    assert len(rows) == len(dom)
+    for k, s in dom.items():
+        r = rows[f"d{k}.example.com"]
+        assert r.n_docs == s["n_docs"], (k, r)
+        assert r.n_dup_removed == s["n_dup"], (k, r)
+        assert r.tokens == s["tokens"], (k, r)
+        assert r.mean_ttr_micro == s["ttr_sum"] // s["n_docs"], (k, r)
+        assert r.quota == quota[k], (k, r)
+        # FLOAT WITNESS: integer Hamilton quota is within 1 seat of the
+        # exact float proportional share B*w/W (a shared 10^x integer
+        # scale bug would blow this bound by orders of magnitude), and
+        # mean_ttr_micro/1e6 is the float mean type-token ratio of the
+        # surviving docs to within trunc-division slack
+        assert abs(r.quota - DOMAIN_BUDGET * w[k] / W) < 1.0
+        float_ttrs = [
+            per_doc[doc_id][2] / per_doc[doc_id][1]
+            for doc_id, (url_key, _, _) in per_doc.items()
+            if math.isqrt(url_key % DOMAIN_MOD) == k
+            and best[url_key] == doc_id
+        ]
+        float_mean = sum(float_ttrs) / len(float_ttrs)
+        assert abs(r.mean_ttr_micro / 1e6 - float_mean) < 2e-6 * (
+            1 + len(float_ttrs)
+        )
+    # dedup actually removed the planted collisions (trailing 7/8/9)
+    assert sum(s["n_dup"] for s in dom.values()) > 0
+    # apportionment sums exactly to the budget
+    assert sum(r.quota for r in rows.values()) == DOMAIN_BUDGET

@@ -568,3 +568,90 @@ def test_bbit_minhash_estimates_pure_python(spark, sf_dir):
     for r in rows:
         if r["true_jaccard"] == 1.0:
             assert r["est_1bit_micro"] == 10**6
+
+
+def test_exactsubstr_spans_variable_length_overlaps(spark, tmp_path):
+    """Planted ExactSubstr contract (VERDICT r10 ask #10/#7): a shared
+    passage of ANY length >= L is removed from EVERY occurrence as ONE
+    maximal span (not per-window fragments); a passage of length L-1
+    survives; an intra-doc repeat is removed from both copies; a doc
+    shorter than L is untouched; the reconstructed surviving text
+    hash-matches a pure-Python recompute."""
+    import hashlib
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        EXSUB_L,
+        q_exactsubstr_spans,
+    )
+
+    L = EXSUB_L
+    long_shared = " ".join(f"s{i}" for i in range(30))  # length 30 > L
+    exact_l = " ".join(f"e{i}" for i in range(L))  # length exactly L
+    under_l = " ".join(f"u{i}" for i in range(L - 1))  # L-1: survives
+    docs = [
+        (1, "alpha beta " + long_shared + " gamma delta"),
+        (2, "lead words " + long_shared + " tail words here"),
+        (3, exact_l + " filler middle " + exact_l),  # intra-doc repeat
+        (4, "x " + exact_l + " y"),
+        (5, under_l + " pad pad2 pad3 " + under_l),  # sub-threshold
+        (6, "short doc under window"),
+    ]
+    full = [(d, t, "en", "test", len(t)) for d, t in docs]
+    spark.createDataFrame(
+        full,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    rows = {
+        r.doc_id: r for r in q_exactsubstr_spans(spark, str(tmp_path)).collect()
+    }
+
+    def h(tokens):
+        return hashlib.md5(" ".join(tokens).encode()).hexdigest()
+
+    # 30-token passage: ONE maximal span of exactly 30, removed from
+    # BOTH docs (remove-all semantics — no canonical survivor)
+    for d, kept in ((1, ["alpha", "beta", "gamma", "delta"]),
+                    (2, ["lead", "words", "tail", "words", "here"])):
+        assert rows[d].n_spans == 1, rows[d]
+        assert rows[d].max_span_len == 30, rows[d]
+        assert rows[d].n_removed == 30, rows[d]
+        assert rows[d].kept_hash == h(kept), rows[d]
+    # exactly-L passage shared by docs 3 (twice) and 4: every copy goes
+    assert rows[3].n_spans == 2 and rows[3].max_span_len == L
+    assert rows[3].n_removed == 2 * L
+    assert rows[3].kept_hash == h(["filler", "middle"])
+    assert rows[4].n_spans == 1 and rows[4].n_removed == L
+    assert rows[4].kept_hash == h(["x", "y"])
+    # L-1 repeat is BELOW threshold: nothing removed
+    assert rows[5].n_spans == 0 and rows[5].n_removed == 0
+    assert rows[5].kept_hash == h(docs[4][1].split(" "))
+    # doc shorter than L: untouched
+    assert rows[6].n_removed == 0
+    assert rows[6].kept_hash == h(docs[5][1].split(" "))
+
+
+def test_exactsubstr_spans_fixture_maximality(spark, sf_dir):
+    """On the real fixture corpus: spans are maximal (no two spans in
+    one doc are adjacent — adjacency would mean the island merge
+    failed), every span is >= L long... n_spans/max_span_len/n_removed
+    are mutually consistent, and variable lengths actually occur."""
+    from beauty_lakehouse_spark.operators.dedup import (
+        EXSUB_L,
+        q_exactsubstr_spans,
+    )
+
+    rows = q_exactsubstr_spans(spark, sf_dir).collect()
+    lens = set()
+    for r in rows:
+        assert r.n_removed <= r.n_tokens
+        if r.n_spans == 0:
+            assert r.max_span_len == 0 and r.n_removed == 0
+        else:
+            assert r.max_span_len >= EXSUB_L  # a span is >= L by construction
+            assert r.n_removed >= r.n_spans * EXSUB_L
+            assert r.max_span_len <= r.n_removed
+            lens.add(r.max_span_len)
+    # the corpus produces genuinely variable span lengths
+    assert len(lens) >= 3, sorted(lens)
