@@ -29,6 +29,7 @@ from beauty_lakehouse_spark.functions import halfup_div_sql as _hud
 from beauty_lakehouse_spark.functions import isqrt_sql as _isq
 from beauty_lakehouse_spark.functions import ln_micro_sql as _lnm
 from beauty_lakehouse_spark.functions import normalized_text_hash_sql as _nth
+from beauty_lakehouse_spark.functions import portable_hash64_sql as _p64
 from beauty_lakehouse_spark.functions import splitmix60_sql as _smx
 from beauty_lakehouse_spark.operators import (
     curation,
@@ -100,6 +101,9 @@ _DRIVER_ORDER_R11 = [
     # --- new-in-r11 entries (gate-verify the round they land) ---
     "exactsubstr_spans",  # new in r11
     "domain_dedup_mixture",  # new in r11
+    "domain_dedup_streamed",  # new in r11 (24th streaming drain)
+    "dsir_importance",  # new in r11
+    "kneser_ney_bigrams",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -698,6 +702,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": curation.q_sequence_packing,
         "mixture_rebalance": curation.q_mixture_rebalance,
         "domain_dedup_mixture": curation.q_domain_dedup_mixture,
+        "domain_dedup_streamed": _q_domain_dedup_streamed,
+        "dsir_importance": curation.q_dsir_importance,
+        "kneser_ney_bigrams": text.q_kneser_ney_bigrams,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -1487,6 +1494,32 @@ def _q_rate_capped_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return rate_capped_finish(drained)
+
+
+def _q_domain_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-dedup-at-ingest: per-URL smallest-doc_id crawl + crawl
+    count maintained as min-1 ``applyInPandasWithState`` state over
+    the documents landing stream (the k=1 instance of the bounded
+    min-k merge — associative/commutative, so the winner table is
+    micro-batch-slicing-independent), finished through the SHARED
+    ``curation.domain_mixture_finish`` tail. Behind the SAME oracle
+    row as the batch ``domain_dedup_mixture`` — the 24th
+    oracle-matched streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_documents,
+        url_dedup_finish,
+        url_dedup_state,
+    )
+
+    drained = run_available_now(
+        url_dedup_state(stream_documents(spark, sf_dir)),
+        f"gate_udd_{uuid.uuid4().hex[:8]}",
+        output_mode="update",
+    )
+    return url_dedup_finish(drained)
 
 
 def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6381,6 +6414,67 @@ def oracle_sql() -> dict[str, str]:
         "n_docs, n_dup_removed, tokens, mean_ttr_micro, "
         "CAST(base_quota + CASE WHEN rk <= 100000 - base_sum THEN 1 "
         "ELSE 0 END AS BIGINT) AS quota FROM r"
+    )
+    # the URL-dedup-at-ingest drain lands behind the same oracle row
+    out["domain_dedup_streamed"] = out["domain_dedup_mixture"]
+
+    # DSIR importance weights (mirrors curation.DSIR_BUCKETS = 4096,
+    # DSIR_TARGET = 'src0'): hashed-bigram bucket model, add-one
+    # smoothing, sign-split ln_micro deltas + factored normalizer
+    _p64g = _p64("gram")
+    out["dsir_importance"] = (
+        "WITH toks AS (SELECT doc_id, source, string_split(text, ' ') "
+        "AS tk FROM documents), "
+        "g AS (SELECT doc_id, source, tk[i] || ' ' || tk[i+1] AS gram "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "bk AS (SELECT doc_id, source, " + _p64g + " % 4096 AS bucket "
+        "FROM g), "
+        "bt AS (SELECT bucket, "
+        "CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS t_f, "
+        "CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS r_f FROM bk GROUP BY bucket), "
+        "model AS (SELECT bucket, CASE WHEN t_f >= r_f THEN "
+        + _lnm("(t_f + 1)", "(r_f + 1)")
+        + " ELSE -" + _lnm("(r_f + 1)", "(t_f + 1)")
+        + " END AS delta_unats FROM bt), "
+        "tot AS (SELECT CAST(sum(t_f) + 4096 AS BIGINT) AS tb, "
+        "CAST(sum(r_f) + 4096 AS BIGINT) AS rb FROM bt), "
+        "cn AS (SELECT CASE WHEN rb >= tb THEN " + _lnm("rb", "tb")
+        + " ELSE -" + _lnm("tb", "rb") + " END AS c_unats FROM tot), "
+        "db AS (SELECT doc_id, source, bucket, count(*) AS c FROM bk "
+        "WHERE source <> 'src0' GROUP BY 1, 2, 3) "
+        "SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_grams, "
+        "CAST(sum(c * delta_unats) + sum(c) * c_unats AS BIGINT) "
+        "AS logw_micro "
+        "FROM db JOIN model USING (bucket), cn "
+        "GROUP BY doc_id, source, c_unats"
+    )
+
+    # interpolated Kneser-Ney bigram smoothing (mirrors text.
+    # KN_DISC_NUM/DEN = 3/4, KN_TOP = 50): exact rational collapse
+    # [(4c_uw - 3)N(..) + 3 N1(u.) N1(.w)] / [4 c_u N(..)]
+    out["kneser_ney_bigrams"] = (
+        "WITH toks AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "g AS (SELECT tk[i] AS u, tk[i+1] AS w "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "big AS (SELECT u, w, CAST(count(*) AS BIGINT) AS c_uw "
+        "FROM g GROUP BY u, w), "
+        "cu AS (SELECT u, CAST(sum(c_uw) AS BIGINT) AS c_u, "
+        "CAST(count(*) AS BIGINT) AS n1_u FROM big GROUP BY u), "
+        "ncw AS (SELECT w, CAST(count(*) AS BIGINT) AS n_cont_w "
+        "FROM big GROUP BY w), "
+        "nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb FROM big) "
+        "SELECT u, w, c_uw, c_u, n1_u, n_cont_w, n_bb, "
+        + _hud(
+            "((4 * c_uw - 3) * n_bb + 3 * n1_u * n_cont_w)",
+            "(4 * c_u * n_bb)",
+            6,
+        )
+        + " AS p_kn "
+        "FROM big JOIN cu USING (u) JOIN ncw USING (w), nbb "
+        "ORDER BY c_uw DESC, u, w LIMIT 50"
     )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the

@@ -1905,44 +1905,65 @@ def q_domain_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean_ttr_micro, quota)."""
     from pyspark.sql import Window
 
-    from ..functions import _idiv, isqrt
+    winners = (
+        url_keyed_docs(load(spark, sf_dir).documents)
+        .withColumn(
+            "keep",
+            (
+                F.col("doc_id")
+                == F.min("doc_id").over(Window.partitionBy("url_key"))
+            ).cast("long"),
+        )
+        .withColumn(
+            "n_at_url",
+            F.count(F.lit(1)).over(Window.partitionBy("url_key")),
+        )
+        .filter(F.col("keep") == 1)
+        .select("url_key", "n_tok", "n_distinct", "n_at_url")
+    )
+    return domain_mixture_finish(winners)
 
-    t = load(spark, sf_dir)
+
+def url_keyed_docs(documents: DataFrame) -> DataFrame:
+    """The deterministic URL synthesis shared by the batch operator and
+    the streamed drain: (doc_id, url_key, n_tok, n_distinct)."""
     d = F.col("doc_id") % 10
     url_key = F.when(d >= 7, F.col("doc_id") - (d - 6)).otherwise(
         F.col("doc_id")
     )
-    docs = (
-        t.documents.select(
-            "doc_id",
-            url_key.alias("url_key"),
-            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
-            F.size(F.array_distinct(F.split("text", " ")))
-            .cast("long")
-            .alias("n_distinct"),
-        )
-        .withColumn("domain_id", isqrt(F.col("url_key") % DOMAIN_MOD))
+    return documents.select(
+        "doc_id",
+        url_key.alias("url_key"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct"),
     )
-    w_url = Window.partitionBy("url_key")
-    flagged = docs.withColumn(
-        "keep",
-        (F.col("doc_id") == F.min("doc_id").over(w_url)).cast("long"),
-    )
+
+
+def domain_mixture_finish(winners: DataFrame) -> DataFrame:
+    """Shared tail of the domain-mixture pipeline (batch operator AND
+    the URL-dedup-at-ingest streaming drain): ``winners`` is the
+    per-URL survivor table (url_key, n_tok, n_distinct, n_at_url) —
+    one row per distinct URL carrying the smallest-doc_id crawl's
+    stats plus the URL's total crawl count. Aggregates to domain grain
+    (n_dup_removed = Σ (n_at_url − 1)) and Hamilton-apportions the
+    DOMAIN_BUDGET by tokens × mean-TTR quality."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, isqrt
+
     ttr = _idiv(F.col("n_distinct") * F.lit(1_000_000), F.col("n_tok"))
-    zero = F.lit(0).cast("long")
     dom = (
-        flagged.groupBy("domain_id")
+        winners.withColumn(
+            "domain_id", isqrt(F.col("url_key") % DOMAIN_MOD)
+        )
+        .groupBy("domain_id")
         .agg(
-            F.sum("keep").cast("long").alias("n_docs"),
-            (F.count(F.lit(1)) - F.sum("keep"))
-            .cast("long")
-            .alias("n_dup_removed"),
-            F.sum(F.when(F.col("keep") == 1, F.col("n_tok")).otherwise(zero))
-            .cast("long")
-            .alias("tokens"),
-            F.sum(F.when(F.col("keep") == 1, ttr).otherwise(zero))
-            .cast("long")
-            .alias("ttr_sum"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("n_at_url") - 1).cast("long").alias("n_dup_removed"),
+            F.sum("n_tok").cast("long").alias("tokens"),
+            F.sum(ttr).cast("long").alias("ttr_sum"),
         )
         .withColumn("mean_ttr_micro", _idiv(F.col("ttr_sum"), F.col("n_docs")))
         .withColumn(
@@ -1985,6 +2006,114 @@ def q_domain_dedup_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         "mean_ttr_micro",
         (F.col("base_quota") + extra).alias("quota"),
+    )
+
+
+#: DSIR geometry: hashed-bigram feature buckets (the paper uses 10k
+#: buckets of hashed unigrams+bigrams; 4096 keeps the bucket table
+#: trivially broadcastable while leaving ~7 grams/bucket at sf0.01),
+#: and the designated target source (stable across scale factors).
+DSIR_BUCKETS = 4096
+DSIR_TARGET = "src0"
+
+
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every RAW-pool document by how target-like its hashed
+    n-gram feature distribution is, the importance-weighting stage the
+    paper puts in front of pretraining-data selection (select raw docs
+    whose log importance weight is highest / resample by it).
+
+    Feature model (the paper's, fixed-point): bigrams hashed into
+    ``DSIR_BUCKETS`` buckets (``portable_hash64 mod B``); the target
+    (source == DSIR_TARGET) and raw (every other source) corpora each
+    induce an add-one-smoothed unigram distribution over buckets; a
+    doc's log weight is
+
+        log w(d) = Σ_f c_f(d) · [ln p̂_t(f) − ln p̂_r(f)]
+                 = Σ_f c_f(d) · Δ(f)  +  n_grams(d) · C
+
+    with Δ(f) = ±ln_micro(t_f+1, r_f+1) (sign-split — the
+    `term_pmi_top_pairs` convention) and the per-corpus normalizer
+    C = ±ln_micro(R+B, T+B) factored out of the ratio so every
+    ln_micro argument stays inside the < 2³¹ contract (the raw
+    cross-product (t_f+1)(R+B) would not). Pure integer micro-nats
+    end to end — both engines agree bit-for-bit.
+
+    Scale: one token-grain pass to grams; bucket counting is map-side
+    combinable at (doc, bucket) grain; the bucket model is B = 4096
+    rows → broadcast; scoring is one combinable aggregate per doc.
+    Nothing shuffles above gram grain, and the model table is
+    constant-size regardless of corpus size (the paper's point: the
+    importance model is a hashed sketch, not a vocabulary).
+
+    Output: one row per RAW document — (doc_id, source, n_grams,
+    logw_micro)."""
+    from ..functions import ln_micro, portable_hash64
+
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id", "source", F.split("text", " ").alias("tk")
+    )
+    grams = base.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1), "
+                "slice(tk, 2, size(tk) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("gram"),
+    )
+    buck = grams.select(
+        "doc_id",
+        "source",
+        F.pmod(portable_hash64(F.col("gram")), F.lit(DSIR_BUCKETS)).alias(
+            "bucket"
+        ),
+    ).localCheckpoint(eager=False)  # feeds the model AND the scoring
+    is_t = F.col("source") == DSIR_TARGET
+    bt = buck.groupBy("bucket").agg(
+        F.sum(is_t.cast("long")).alias("t_f"),
+        F.sum((~is_t).cast("long")).alias("r_f"),
+    )
+    a, b = F.col("t_f") + 1, F.col("r_f") + 1
+    delta = F.when(a >= b, ln_micro(a, b)).otherwise(-ln_micro(b, a))
+    model = bt.select("bucket", delta.alias("delta_unats"))
+    tot = bt.agg(
+        (F.sum("t_f") + F.lit(DSIR_BUCKETS)).alias("tb"),
+        (F.sum("r_f") + F.lit(DSIR_BUCKETS)).alias("rb"),
+    )
+    cnorm = tot.select(
+        F.when(
+            F.col("rb") >= F.col("tb"),
+            ln_micro(F.col("rb"), F.col("tb")),
+        )
+        .otherwise(-ln_micro(F.col("tb"), F.col("rb")))
+        .alias("c_unats")
+    )
+    db = (
+        buck.filter(~is_t)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        db.join(F.broadcast(model), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("delta_unats")).alias("s"),
+        )
+        .crossJoin(F.broadcast(cnorm))
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            (F.col("s") + F.col("n_grams") * F.col("c_unats"))
+            .cast("long")
+            .alias("logw_micro"),
+        )
     )
 
 

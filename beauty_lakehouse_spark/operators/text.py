@@ -741,6 +741,92 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Kneser–Ney absolute discount as the EXACT rational (num, den):
+#: d = 3/4 — Chen & Goodman's canonical fixed discount, chosen here
+#: because quarters keep every KN term an exact integer (no float).
+KN_DISC_NUM = 3
+KN_DISC_DEN = 4
+KN_TOP = 50
+
+
+def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERPOLATED KNESER–NEY bigram smoothing (Kneser & Ney 1995;
+    Chen & Goodman 1998) — the LM-smoothing operator next to the MLE
+    model `bigram_cross_entropy` scores with: the n-gram LM every
+    KenLM-style data-quality / perplexity-filter stack actually ships,
+    where mass is discounted from observed bigrams and backed off to
+    the CONTINUATION unigram (how many contexts a word completes, not
+    how often it occurs — the "San Francisco" correction).
+
+        p_KN(w|u) = max(c(uw) − d, 0)/c(u)
+                  + d·N1+(u·)/c(u) · N1+(·w)/N1+(··)
+
+    With d = 3/4 every term is an exact rational, so the probability
+    collapses to ONE exact integer fraction both engines agree on:
+
+        p_KN = [(4·c(uw) − 3)·N1+(··) + 3·N1+(u·)·N1+(·w)]
+               / [4·c(u)·N1+(··)]
+
+    emitted micro-scaled by the half-up `halfup_div` (the standard
+    cross-engine rounding). N1+(u·) = distinct continuations of u,
+    N1+(·w) = distinct contexts preceding w, N1+(··) = distinct bigram
+    types — all plain counts over the bigram-type table.
+
+    Scale: one gram pass; bigram/context/continuation counts are
+    map-side-combinable dictionary-grain aggregates; the N1+(··)
+    scalar broadcasts; output is the top-KN_TOP bigrams by
+    (count desc, u, w) — TakeOrdered, never a global sort.
+
+    Output: (u, w, c_uw, c_u, n1_u, n_cont_w, n_bb, p_kn) — p_kn
+    the half-up 6-dp probability (double, cross-engine exact)."""
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i + 1).alias("u"),
+            F.element_at(toks, i + 2).alias("w"),
+        ),
+    )
+    big = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("g"))
+        .select("g.u", "g.w")
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("c_uw"))
+        .cache()  # feeds the context/continuation counts AND the join
+    )
+    cu = big.groupBy("u").agg(
+        F.sum("c_uw").cast("long").alias("c_u"),
+        F.count(F.lit(1)).alias("n1_u"),
+    )
+    ncw = big.groupBy("w").agg(F.count(F.lit(1)).alias("n_cont_w"))
+    nbb = big.agg(F.count(F.lit(1)).alias("n_bb"))
+    dn, dd = KN_DISC_NUM, KN_DISC_DEN
+    num = (
+        (F.lit(dd) * F.col("c_uw") - F.lit(dn)) * F.col("n_bb")
+        + F.lit(dn) * F.col("n1_u") * F.col("n_cont_w")
+    )
+    den = F.lit(dd) * F.col("c_u") * F.col("n_bb")
+    return (
+        big.join(cu, "u")
+        .join(ncw, "w")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "u",
+            "w",
+            "c_uw",
+            "c_u",
+            "n1_u",
+            "n_cont_w",
+            "n_bb",
+            halfup_div(num, den, 6).alias("p_kn"),
+        )
+        .orderBy(F.desc("c_uw"), "u", "w")
+        .limit(KN_TOP)
+    )
+
+
 #: q_vocab_coverage: vocabulary = the VOCAB_K most frequent corpus
 #: terms (ties broken lexicographically — deterministic).
 VOCAB_K = 1000

@@ -295,3 +295,96 @@ def km_firsts_finish(drained: DataFrame) -> DataFrame:
         F.col("d2_days").isNull().cast("long").alias("cen"),
     )
     return km_curve(u)
+
+
+URL_DEDUP_OUTPUT = T.StructType(
+    [
+        T.StructField("url_key", T.LongType(), False),
+        T.StructField("n_tok", T.LongType(), False),
+        T.StructField("n_distinct", T.LongType(), False),
+        T.StructField("n_at_url", T.LongType(), False),
+        T.StructField("version", T.LongType(), False),
+    ]
+)
+
+URL_DEDUP_STATE = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_tok", T.LongType(), True),
+        T.StructField("n_distinct", T.LongType(), True),
+        T.StructField("n_seen", T.LongType(), True),
+        T.StructField("version", T.LongType(), True),
+    ]
+)
+
+
+def _url_dedup_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (url_key,) = key
+    if state.exists:
+        doc_id, n_tok, n_distinct, n_seen, version = state.get
+    else:
+        doc_id, n_tok, n_distinct, n_seen, version = None, 0, 0, 0, 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        # min-by-doc_id merge: associative + commutative, so the
+        # surviving crawl is slicing/arrival-order independent — a
+        # late-arriving EARLIER crawl correctly evicts the kept one
+        i = int(pdf["doc_id"].idxmin())
+        cand = int(pdf["doc_id"].loc[i])
+        if doc_id is None or cand < doc_id:
+            doc_id = cand
+            n_tok = int(pdf["n_tok"].loc[i])
+            n_distinct = int(pdf["n_distinct"].loc[i])
+    version += 1
+    state.update((int(doc_id), n_tok, n_distinct, int(n_seen), version))
+    yield pd.DataFrame(
+        {
+            "url_key": [int(url_key)],
+            "n_tok": [n_tok],
+            "n_distinct": [n_distinct],
+            "n_at_url": [int(n_seen)],
+            "version": [version],
+        }
+    )
+
+
+def url_dedup_state(documents: DataFrame) -> DataFrame:
+    """URL-DEDUP-AT-INGEST: per url_key the smallest-doc_id crawl's
+    stats plus the running crawl count, maintained as min-1 state over
+    the documents landing stream (the k=1 instance of the bounded
+    min-k shape `rate_capped_events`/`km_firsts` establish — a web
+    crawler's frontier dedup, running at ingest instead of in a batch
+    repair pass). Update mode + per-key version stamp; the finish
+    keeps the last snapshot per URL."""
+    from ..operators.curation import url_keyed_docs
+
+    keyed = url_keyed_docs(documents)
+    return keyed.groupBy("url_key").applyInPandasWithState(
+        _url_dedup_fn,
+        outputStructType=URL_DEDUP_OUTPUT,
+        stateStructType=URL_DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def url_dedup_finish(drained: DataFrame) -> DataFrame:
+    """Last-version-wins snapshot of the drained update stream → the
+    per-URL winner table → the SHARED `domain_mixture_finish` tail, so
+    the drain lands behind the same oracle row as the batch
+    `domain_dedup_mixture` regardless of micro-batch slicing."""
+    from pyspark.sql import Window
+
+    from ..operators.curation import domain_mixture_finish
+
+    w = Window.partitionBy("url_key")
+    snap = (
+        drained.withColumn("mv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("mv"))
+        .select("url_key", "n_tok", "n_distinct", "n_at_url")
+    )
+    return domain_mixture_finish(snap)

@@ -209,6 +209,9 @@ HEADLINE = [
     "mmr_rerank_exactint",    # diversity-aware greedy re-rank, unrolled (new in r10)
     "exactsubstr_spans",      # ExactSubstr maximal variable-length span dedup (new in r11)
     "domain_dedup_mixture",   # URL/domain dedup + quality-weighted Hamilton mixture (new in r11)
+    "domain_dedup_streamed",  # URL-dedup-at-ingest min-1 state drain (new in r11)
+    "dsir_importance",        # DSIR hashed-bigram importance weights (new in r11)
+    "kneser_ney_bigrams",     # exact-rational interpolated KN smoothing (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

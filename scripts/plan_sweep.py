@@ -122,6 +122,8 @@ WHITELIST: dict[str, str] = {
     "kmv_distinct_estimate": "1-row exact-count x 1-row bottom-k aggregate broadcast attach, per target",
     "bloom_fpr_audit": "1-row test-gram-count broadcast attach onto the 5-row per-k report",
     "domain_dedup_mixture": "1-row weight-total and base-quota-sum broadcasts against the <=50-row domain table (the source_quota_apportionment Hamilton shape)",
+    "dsir_importance": "1-row factored-normalizer broadcast (C = ln((R+B)/(T+B))) attached to the per-doc score aggregate",
+    "kneser_ney_bigrams": "1-row N1+(..) bigram-type-count broadcast attached to the dictionary-grain bigram table",
 }
 
 #: windows allowed to have an empty partition spec because their input

@@ -1017,3 +1017,73 @@ def test_domain_dedup_mixture_pure_python(spark, sf_dir):
     assert sum(s["n_dup"] for s in dom.values()) > 0
     # apportionment sums exactly to the budget
     assert sum(r.quota for r in rows.values()) == DOMAIN_BUDGET
+
+
+def test_dsir_importance_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the DSIR hashed-bigram importance
+    model (bucket counts, add-one smoothing, sign-split fixed-point
+    deltas + factored normalizer), plus a FLOAT WITNESS: the true
+    float log-weight Σ c_f·ln(p_t(f)/p_r(f)) must agree with
+    logw_micro/1e6 to within ln_micro's documented ±1e-4-nat
+    per-evaluation quantization times the doc's gram count (a shared
+    10^x scale bug would miss by orders of magnitude)."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        DSIR_BUCKETS,
+        DSIR_TARGET,
+        q_dsir_importance,
+    )
+
+    def p64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    t_f = [0] * DSIR_BUCKETS
+    r_f = [0] * DSIR_BUCKETS
+    doc_buckets: dict[int, dict[int, int]] = {}
+    doc_src: dict[int, str] = {}
+    for doc_id, source, text in zip(pdf.doc_id, pdf.source, pdf.text):
+        doc_id = int(doc_id)
+        toks = text.split(" ")
+        doc_src[doc_id] = source
+        cnt: dict[int, int] = {}
+        for a_tok, b_tok in zip(toks, toks[1:]):
+            bkt = p64(f"{a_tok} {b_tok}") % DSIR_BUCKETS
+            cnt[bkt] = cnt.get(bkt, 0) + 1
+            if source == DSIR_TARGET:
+                t_f[bkt] += 1
+            else:
+                r_f[bkt] += 1
+        if source != DSIR_TARGET and cnt:
+            doc_buckets[doc_id] = cnt
+    T = sum(t_f) + DSIR_BUCKETS
+    R = sum(r_f) + DSIR_BUCKETS
+
+    rows = {r.doc_id: r for r in q_dsir_importance(spark, sf_dir).collect()}
+    assert set(rows) == set(doc_buckets)
+    for doc_id, cnt in doc_buckets.items():
+        r = rows[doc_id]
+        assert r.source == doc_src[doc_id]
+        n_grams = sum(cnt.values())
+        assert r.n_grams == n_grams
+        # FLOAT WITNESS: true float log importance weight
+        logw_float = sum(
+            c * math.log(((t_f[b] + 1) / T) / ((r_f[b] + 1) / R))
+            for b, c in cnt.items()
+        )
+        # ln_micro quantization: ~1e-4 nats per ln evaluation; each
+        # gram contributes one delta + one normalizer evaluation
+        tol = 2.5e-4 * n_grams + 1e-6
+        assert abs(r.logw_micro / 1e6 - logw_float) < tol, (
+            doc_id, r.logw_micro / 1e6, logw_float, tol,
+        )
+    # the model separates: target-like raw docs must not all score
+    # identically (degenerate-model guard)
+    scores = {r.logw_micro for r in rows.values()}
+    assert len(scores) > 10

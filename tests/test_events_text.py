@@ -2053,3 +2053,73 @@ def test_rake_keyword_scores_pure_python(spark, sf_dir):
         assert d >= f
         # FLOAT WITNESS: trunc milli within 1 of the float ratio
         assert abs(s / 1e3 - d / f) <= 1e-3
+
+
+def test_kneser_ney_bigrams_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the exact-rational interpolated KN
+    formula for the top-50 bigrams, a FLOAT WITNESS via the textbook
+    max(c-d,0)/c_u + d*N1u/c_u * Ncw/Nbb float form, and the KN
+    normalization law: for any observed context u, the observed-bigram
+    mass plus the backoff mass over the FULL continuation distribution
+    sums to exactly 1."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        KN_DISC_DEN,
+        KN_DISC_NUM,
+        q_kneser_ney_bigrams,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["text"]]
+    c_uw: dict[tuple[str, str], int] = {}
+    for text in pdf.text:
+        toks = text.split(" ")
+        for u, w in zip(toks, toks[1:]):
+            c_uw[(u, w)] = c_uw.get((u, w), 0) + 1
+    c_u: dict[str, int] = {}
+    n1_u: dict[str, int] = {}
+    n_cont: dict[str, int] = {}
+    for (u, w), c in c_uw.items():
+        c_u[u] = c_u.get(u, 0) + c
+        n1_u[u] = n1_u.get(u, 0) + 1
+        n_cont[w] = n_cont.get(w, 0) + 1
+    n_bb = len(c_uw)
+    d = KN_DISC_NUM / KN_DISC_DEN  # 0.75
+
+    rows = q_kneser_ney_bigrams(spark, sf_dir).collect()
+    assert len(rows) == 50
+    # top-50 selection matches (count desc, u, w)
+    want = sorted(c_uw.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    assert [(r.u, r.w) for r in rows] == [k for k, _ in want]
+    for r in rows:
+        assert r.c_uw == c_uw[(r.u, r.w)]
+        assert r.c_u == c_u[r.u] and r.n1_u == n1_u[r.u]
+        assert r.n_cont_w == n_cont[r.w] and r.n_bb == n_bb
+        # exact rational -> half-up 6dp recompute
+        num = (4 * r.c_uw - 3) * n_bb + 3 * r.n1_u * r.n_cont_w
+        den = 4 * r.c_u * n_bb
+        exact = float(
+            (Decimal(num) / Decimal(den)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+        assert r.p_kn == exact, (r, exact)
+        # FLOAT WITNESS: the textbook interpolated-KN float form
+        flt = max(r.c_uw - d, 0) / r.c_u + (
+            d * r.n1_u / r.c_u
+        ) * (r.n_cont_w / n_bb)
+        assert abs(r.p_kn - flt) < 1e-6, (r, flt)
+    # normalization law for the most frequent context u*: observed
+    # discounted mass + full backoff mass == 1 (float)
+    u_star = rows[0].u
+    obs = sum(
+        max(c - d, 0) / c_u[u_star]
+        for (u, _), c in c_uw.items()
+        if u == u_star
+    )
+    backoff = (d * n1_u[u_star] / c_u[u_star]) * sum(
+        n_cont[w] / n_bb for w in n_cont
+    )
+    assert abs(obs + backoff - 1.0) < 1e-9

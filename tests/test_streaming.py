@@ -792,3 +792,46 @@ def test_sprt_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = sprt_finish(grid).collect()
     want = q_sprt_decision(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_domain_dedup_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the documents fixture into 4 files and stream them one per
+    micro-batch: the last-version-wins URL winner snapshot through the
+    shared domain_mixture_finish tail must equal the batch
+    q_domain_dedup_mixture table exactly — hash-splitting scrambles
+    doc_id order across files, so a URL's true first crawl (smallest
+    doc_id) often arrives AFTER a later crawl and must evict it from
+    state (the min-1 eviction path), while the crawl count keeps
+    accumulating."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.curation import (
+        q_domain_dedup_mixture,
+    )
+    from beauty_lakehouse_spark.streaming.stateful import (
+        url_dedup_finish,
+        url_dedup_state,
+    )
+
+    src = str(tmp_path / "docs_parts_udd")
+    from beauty_lakehouse_spark.catalog import load
+
+    docs = load(spark, sf_dir).documents
+    docs.withColumn(
+        "part", (F.col("doc_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        url_dedup_state(stream), "t_udd_mb", output_mode="update"
+    )
+    # the update stream really did revise URL keys across batches
+    # (the planted trailing-digit collisions span hash-split files)
+    assert drained.filter(F.col("version") > 1).count() > 0
+    got = url_dedup_finish(drained)
+    expected = q_domain_dedup_mixture(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
