@@ -104,6 +104,7 @@ _DRIVER_ORDER_R11 = [
     "domain_dedup_streamed",  # new in r11 (24th streaming drain)
     "dsir_importance",  # new in r11
     "kneser_ney_bigrams",  # new in r11
+    "hyperball_neighborhood",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -705,6 +706,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_dedup_streamed": _q_domain_dedup_streamed,
         "dsir_importance": curation.q_dsir_importance,
         "kneser_ney_bigrams": text.q_kneser_ney_bigrams,
+        "hyperball_neighborhood": graph.q_hyperball_neighborhood,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -2029,6 +2031,84 @@ _CC_COMP_CTE = (
 )
 
 
+def _hyperball_sql() -> str:
+    """DuckDB twin of graph.q_hyperball_neighborhood: the co-purchase
+    edge CTE (n_orders >= 2, both directions), per-node self-seeded
+    portable-HLL registers, HB_ROUNDS unrolled register-max
+    propagation rounds (each MATERIALIZED — the doubly-referenced
+    stage re-inlines exponentially otherwise), and the shared HLL
+    estimate math summed to one neighborhood-function row per
+    radius."""
+    from beauty_lakehouse_spark.functions import portable_hash64_sql
+    from beauty_lakehouse_spark.operators.graph import HB_ROUNDS
+    from beauty_lakehouse_spark.operators.quality import (
+        _HLL_EST_DEN,
+        _HLL_EST_NUM,
+        _HLL_RHO_CAP,
+        _HLL_S_SCALE,
+        HLL_M,
+        HLL_P,
+    )
+
+    h = portable_hash64_sql("node")
+    w = f"({h} >> {HLL_P})"
+    rho = (
+        f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
+        f"ELSE length(bin({w} & (-{w}))) END)"
+    )
+    parts = [
+        "WITH basket AS MATERIALIZED (SELECT DISTINCT l_orderkey, "
+        "l_partkey FROM lineitem), "
+        "ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey "
+        "HAVING count(*) BETWEEN 2 AND 50), "
+        "b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b "
+        "JOIN ok USING (l_orderkey)), "
+        "ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "und AS MATERIALIZED (SELECT part_a AS src, part_b AS dst "
+        "FROM ed UNION ALL SELECT part_b, part_a FROM ed), "
+        "n AS MATERIALIZED (SELECT DISTINCT src AS node FROM und), "
+        f"r0 AS MATERIALIZED (SELECT node, ({h}) & {HLL_M - 1} AS idx, "
+        f"{rho} AS m_rho FROM n), ",
+    ]
+    for k in range(1, HB_ROUNDS + 1):
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT node, idx, max(m_rho) AS m_rho "
+            f"FROM (SELECT * FROM r{k - 1} UNION ALL "
+            f"SELECT u.dst AS node, r.idx, r.m_rho FROM und u "
+            f"JOIN r{k - 1} r ON r.node = u.src) GROUP BY 1, 2), "
+        )
+    from beauty_lakehouse_spark.operators.quality import _HLL_LINEAR_EXACT
+
+    est = (
+        f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
+        f"(CASE WHEN p_regs <= {_HLL_LINEAR_EXACT} "
+        f"THEN CAST(p_regs AS BIGINT) "
+        f"ELSE CAST(floor(({HLL_M} * "
+        + _lnm(str(HLL_M), "greatest(zeros, 1)")
+        + ") / 1000000.0) AS BIGINT) END) ELSE e_raw END"
+    )
+    rows = []
+    for k in range(HB_ROUNDS + 1):
+        parts.append(
+            f"s{k} AS (SELECT node, count(*) AS p_regs, "
+            f"coalesce(sum(CAST(({_HLL_S_SCALE} >> m_rho) AS HUGEINT)), 0) "
+            f"AS s_present FROM r{k} GROUP BY node), "
+            f"e{k} AS (SELECT node, p_regs, ({HLL_M} - p_regs) AS zeros, "
+            f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
+            f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
+            f"AS e_raw FROM s{k}), "
+            f"row{k} AS (SELECT CAST({k} AS INTEGER) AS round, "
+            f"CAST(count(*) AS BIGINT) AS n_nodes, "
+            f"CAST(sum({est}) AS BIGINT) AS sum_ball_est FROM e{k}), "
+        )
+        rows.append(f"SELECT * FROM row{k}")
+    sql = "".join(parts)
+    return sql.rstrip(", ") + " " + " UNION ALL ".join(rows) + " ORDER BY round"
+
+
 def _hll_sql(table: str, col: str, key: str | None = None) -> str:
     """DuckDB twin of quality.hll_estimate (key=None) or of the GROUPED
     quality.hll_registers(keys=...)+hll_estimate_from_registers
@@ -2052,12 +2132,20 @@ def _hll_sql(table: str, col: str, key: str | None = None) -> str:
         f"(CASE WHEN {w} = 0 THEN {_HLL_RHO_CAP} "
         f"ELSE length(bin({w} & (-{w}))) END)"
     )
-    # the shared estimate math (identical for both shapes)
+    from beauty_lakehouse_spark.operators.quality import _HLL_LINEAR_EXACT
+
+    # the shared estimate math (identical for both shapes); the inner
+    # CASE is the linear-counting exact-identity branch (floor(m·
+    # ln(m/(m−p))) == p for p ≤ 44 at m = 1024 — see quality.
+    # _HLL_LINEAR_EXACT)
     estimate = (
         f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
-        f"CAST(floor(({HLL_M} * "
+        f"(CASE WHEN p_regs <= {_HLL_LINEAR_EXACT} "
+        f"THEN CAST(p_regs AS BIGINT) "
+        f"ELSE CAST(floor(({HLL_M} * "
         + _lnm(str(HLL_M), "greatest(zeros, 1)")
-        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate"
+        + ") / 1000000.0) AS BIGINT) END) "
+        f"ELSE e_raw END AS hll_estimate"
     )
     e_raw = (
         f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
@@ -2221,11 +2309,16 @@ def _hll_pair_sql() -> str:
         f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
         f"AS e_raw"
     )
+    from beauty_lakehouse_spark.operators.quality import _HLL_LINEAR_EXACT
+
     estimate = (
         f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
-        f"CAST(floor(({HLL_M} * "
+        f"(CASE WHEN p_regs <= {_HLL_LINEAR_EXACT} "
+        f"THEN CAST(p_regs AS BIGINT) "
+        f"ELSE CAST(floor(({HLL_M} * "
         + _lnm(str(HLL_M), "greatest(zeros, 1)")
-        + ") / 1000000.0) AS BIGINT) ELSE e_raw END AS hll_estimate"
+        + ") / 1000000.0) AS BIGINT) END) "
+        f"ELSE e_raw END AS hll_estimate"
     )
     return (
         f"WITH regs AS (SELECT event_type, ({h}) & {HLL_M - 1} AS idx, "
@@ -6476,6 +6569,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM big JOIN cu USING (u) JOIN ncw USING (w), nbb "
         "ORDER BY c_uw DESC, u, w LIMIT 50"
     )
+
+    # HyperBall neighborhood function — the rounds-unrolled register
+    # propagation twin is built programmatically (see _hyperball_sql)
+    out["hyperball_neighborhood"] = _hyperball_sql()
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the
     # oracle uses the naive global cumsum the Spark side decomposes

@@ -824,6 +824,91 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: HyperBall radius cap: the neighborhood function is reported for
+#: r = 0..HB_ROUNDS (r=1 is degree+1; the fixture co-purchase graph's
+#: effective diameter is small, so 3 rounds reach near-saturation —
+#: visible in the output, never silent).
+HB_ROUNDS = 3
+
+
+def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERBALL neighborhood function (Boldi & Vigna 2013 — the
+    HyperANF/HyperBall algorithm behind the "four degrees of
+    separation" measurement): estimate |B(v, r)| — how many nodes are
+    within r hops of v — for EVERY node simultaneously by giving each
+    node a portable-HLL counter seeded with itself and, per round,
+    merging every node's counter with its neighbors' (register-wise
+    max). Exact all-balls computation is Θ(n·ball) state (the
+    multi-source BFS blow-up `copurchase_bfs_hops` bounds by seed
+    count); HyperBall is n × m registers TOTAL, which is the whole
+    point at 100 TB — the neighborhood function, effective diameter,
+    and centralities fall out of a fixed-memory sketch.
+
+    Portable and hash-verifiable: the counters are the SAME portable
+    HLL the profiling family uses (`quality.hll_registers` /
+    `hll_group_estimate` — md5 hash, exact harmonic sum, rational
+    alpha, ln_micro linear counting), so the DuckDB twin reproduces
+    every register and every estimate bit-for-bit through all rounds.
+
+    Per round the output row is the NEIGHBORHOOD FUNCTION at radius r:
+    N(r) = Σ_v |B̂(v, r)| (n_nodes rides along as the r=0 sanity — the
+    linear-counting branch makes every singleton ball estimate exactly
+    1, so sum_ball_est(0) == n_nodes).
+
+    Scale: register propagation is one equi-join of the register table
+    against the src-partitioned edge table per round (the kcore
+    partitioning trick — the edge side never re-shuffles) followed by
+    a (node, idx) max-combine; state is ≤ m rows per node regardless
+    of ball size. Rounds are unrolled to the HB_ROUNDS constant with
+    lazy checkpoints (the pagerank convention).
+
+    Output: (round, n_nodes, sum_ball_est) for r = 0..HB_ROUNDS."""
+    from .quality import hll_group_estimate, hll_registers
+
+    t = load(spark, sf_dir)
+    e = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    dir_e = (
+        e.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+        .unionByName(
+            e.select(
+                F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+            )
+        )
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
+    nodes = dir_e.select(F.col("src").alias("node")).distinct()
+    regs = hll_registers(nodes, "node", keys=("node",)).localCheckpoint(
+        eager=False
+    )
+
+    def round_row(r: int, rtab: DataFrame) -> DataFrame:
+        est = hll_group_estimate(rtab, ("node",))
+        return est.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("hll_estimate").cast("long").alias("sum_ball_est"),
+        ).select(
+            F.lit(r).cast("int").alias("round"), "n_nodes", "sum_ball_est"
+        )
+
+    out = [round_row(0, regs)]
+    for r in range(1, HB_ROUNDS + 1):
+        prop = dir_e.join(
+            regs.select(F.col("node").alias("src"), "idx", "m_rho"), "src"
+        ).select(F.col("dst").alias("node"), "idx", "m_rho")
+        regs = (
+            regs.unionByName(prop)
+            .groupBy("node", "idx")
+            .agg(F.max("m_rho").alias("m_rho"))
+            .localCheckpoint(eager=False)
+        )
+        out.append(round_row(r, regs))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("round")
+
+
 #: DeepWalk-style corpus geometry: walks per seed, steps per walk,
 #: seed count (highest weighted-degree hubs, the BFS convention).
 WALK_SEEDS = 10

@@ -569,6 +569,16 @@ _HLL_S_SCALE = 1 << 62
 #: DECIMAL(38,0)/HUGEINT so the floor division is exact cross-engine.
 _HLL_EST_NUM = 7_213_000 * HLL_M**3 * _HLL_S_SCALE
 _HLL_EST_DEN = 10_000 * (1000 * HLL_M + 1079)
+#: Linear-counting exact-identity threshold: for occupancy p ≤ 44 (at
+#: m = 1024), floor(m·ln(m/(m−p))) == p identically (the series is
+#: p + p²/2m + p³/3m² + … and the tail stays < 1 through p = 44;
+#: at p = 45 it reaches 46.02). Returning p directly on this branch is
+#: the EXACT value — it also sidesteps ln_micro's ±1e-4-nat
+#: quantization, which at p = 1 (ln(1024/1023) ≈ 977 µnats ± 100)
+#: otherwise floors 1.0005 down to 0 (caught by the HyperBall r = 0
+#: law: every singleton ball must estimate exactly 1).
+_HLL_LINEAR_EXACT = 44
+assert HLL_M == 1024, "recompute _HLL_LINEAR_EXACT for a new m"
 
 
 def hll_estimate(df: DataFrame, col: str) -> DataFrame:
@@ -629,14 +639,16 @@ def hll_registers(
     )
 
 
-def hll_estimate_from_registers(
-    regs: DataFrame, exact: DataFrame, keys: tuple[str, ...] = ()
+def hll_group_estimate(
+    regs: DataFrame, keys: tuple[str, ...] = ()
 ) -> DataFrame:
-    """Finish a portable-HLL estimate from a (keys..., idx, m_rho)
-    register table: exact-integer harmonic sum, rational-alpha floor
-    division, ln_micro linear-counting correction — per group when
-    ``keys`` are given. ``exact`` is a (keys..., n_exact) frame
-    carried along for the accuracy contract."""
+    """The estimate math of the portable HLL from a (keys..., idx,
+    m_rho) register table — exact-integer harmonic sum, rational-alpha
+    floor division, ln_micro linear-counting correction — per group
+    when ``keys`` are given, WITHOUT the accuracy-contract exact
+    column (for consumers whose exact is computed elsewhere or is the
+    quantity being avoided, e.g. HyperBall's per-node balls). Output:
+    (keys..., hll_estimate, registers_nonzero)."""
     from ..functions import _idiv, ln_micro
 
     d38 = "decimal(38,0)"
@@ -667,23 +679,46 @@ def hll_estimate_from_registers(
     # ≤ ~7.1e9, so the 1e6 down-scale is an exact double floor-div.
     # greatest(zeros, 1) keeps the unused branch well-defined when
     # every register is occupied (DuckDB would raise on //0).
-    linear = F.floor(
-        (F.lit(HLL_M) * ln_micro(F.lit(HLL_M), F.greatest(zeros, F.lit(1))))
-        / F.lit(1_000_000.0)
-    ).cast("long")
+    linear = F.when(
+        F.col("p_regs") <= F.lit(_HLL_LINEAR_EXACT),
+        F.col("p_regs").cast("long"),  # exact: see _HLL_LINEAR_EXACT
+    ).otherwise(
+        F.floor(
+            (
+                F.lit(HLL_M)
+                * ln_micro(F.lit(HLL_M), F.greatest(zeros, F.lit(1)))
+            )
+            / F.lit(1_000_000.0)
+        ).cast("long")
+    )
     est = F.when(
         (e_raw <= F.lit(5 * HLL_M // 2)) & (zeros > 0), linear
     ).otherwise(e_raw)
+    return stats.select(
+        *keys,
+        est.alias("hll_estimate"),
+        F.col("p_regs").cast("int").alias("registers_nonzero"),
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame, exact: DataFrame, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """Finish a portable-HLL estimate from a (keys..., idx, m_rho)
+    register table (`hll_group_estimate` does the math); ``exact`` is
+    a (keys..., n_exact) frame carried along for the accuracy
+    contract."""
+    est = hll_group_estimate(regs, keys)
     joined = (
-        stats.join(exact, list(keys))
+        est.join(exact, list(keys))
         if keys
-        else stats.crossJoin(F.broadcast(exact))
+        else est.crossJoin(F.broadcast(exact))
     )
     return joined.select(
         *keys,
         F.col("n_exact"),
-        est.alias("hll_estimate"),
-        F.col("p_regs").cast("int").alias("registers_nonzero"),
+        F.col("hll_estimate"),
+        F.col("registers_nonzero"),
     )
 
 

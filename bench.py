@@ -212,6 +212,7 @@ HEADLINE = [
     "domain_dedup_streamed",  # URL-dedup-at-ingest min-1 state drain (new in r11)
     "dsir_importance",        # DSIR hashed-bigram importance weights (new in r11)
     "kneser_ney_bigrams",     # exact-rational interpolated KN smoothing (new in r11)
+    "hyperball_neighborhood", # HLL-counter neighborhood function, 3 rounds (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

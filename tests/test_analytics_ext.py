@@ -1239,3 +1239,64 @@ def test_label_propagation_pure_python(spark, sf_dir):
     for v, l in lbl.items():
         by_lbl[l].add(comp[v])
     assert all(len(cs) == 1 for cs in by_lbl.values())
+
+
+def test_hyperball_neighborhood_vs_exact_bfs(spark, sf_dir):
+    """Accuracy witness for the HyperBall sketch: a pure-Python BFS
+    computes the EXACT neighborhood function Σ_v |B(v, r)| on the same
+    co-purchase graph; the summed HLL estimates must track it within
+    the m=1024 sketch's error budget (±~3.2% per ball, summed over
+    ~uncorrelated balls — 10% is a generous aggregate bound). Plus the
+    exact laws: r=0 linear counting gives sum_ball_est == n_nodes
+    exactly, and N(r) is monotone nondecreasing in r."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        HB_ROUNDS,
+        q_hyperball_neighborhood,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in zip(li.l_orderkey, li.l_partkey):
+        baskets.setdefault(int(ok), set()).add(int(pk))
+    pair_count: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        if not (2 <= len(parts) <= 50):
+            continue
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1:]:
+                pair_count[(a, b)] = pair_count.get((a, b), 0) + 1
+    adj: dict[int, set[int]] = {}
+    for (a, b), c in pair_count.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    exact_n = {0: len(adj)}
+    balls = {v: {v} for v in adj}
+    frontier = {v: {v} for v in adj}
+    for r in range(1, HB_ROUNDS + 1):
+        for v in adj:
+            new = set()
+            for u in frontier[v]:
+                new |= adj[u]
+            frontier[v] = new - balls[v]
+            balls[v] |= new
+        exact_n[r] = sum(len(b) for b in balls.values())
+
+    rows = {r.round: r for r in q_hyperball_neighborhood(spark, sf_dir).collect()}
+    assert set(rows) == set(range(HB_ROUNDS + 1))
+    assert all(r.n_nodes == len(adj) for r in rows.values())
+    # r=0: every ball is the singleton {v}; linear counting is exact at 1
+    assert rows[0].sum_ball_est == len(adj)
+    # monotone in r
+    for r in range(1, HB_ROUNDS + 1):
+        assert rows[r].sum_ball_est >= rows[r - 1].sum_ball_est
+    # sketch accuracy vs the exact neighborhood function (float ratio)
+    for r in range(1, HB_ROUNDS + 1):
+        ratio = rows[r].sum_ball_est / exact_n[r]
+        assert 0.90 < ratio < 1.10, (r, rows[r].sum_ball_est, exact_n[r])
