@@ -105,6 +105,9 @@ _DRIVER_ORDER_R11 = [
     "dsir_importance",  # new in r11
     "kneser_ney_bigrams",  # new in r11
     "hyperball_neighborhood",  # new in r11
+    "tokenizer_fertility",  # new in r11
+    "kmv_set_algebra",  # new in r11
+    "calibration_report",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -707,6 +710,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance": curation.q_dsir_importance,
         "kneser_ney_bigrams": text.q_kneser_ney_bigrams,
         "hyperball_neighborhood": graph.q_hyperball_neighborhood,
+        "tokenizer_fertility": text.q_tokenizer_fertility,
+        "kmv_set_algebra": quality.q_kmv_set_algebra,
+        "calibration_report": similarity.q_calibration_report,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -6573,6 +6579,116 @@ def oracle_sql() -> dict[str, str]:
     # HyperBall neighborhood function — the rounds-unrolled register
     # propagation twin is built programmatically (see _hyperball_sql)
     out["hyperball_neighborhood"] = _hyperball_sql()
+
+    # per-source tokenizer fertility under the fixed BPE apply chain
+    out["tokenizer_fertility"] = (
+        "WITH s AS (SELECT source, doc_id, string_split(text, ' ') "
+        "AS toks FROM documents), "
+        "tok AS (SELECT * FROM (SELECT source, doc_id, "
+        "unnest(toks) AS token FROM s) WHERE token <> ''), "
+        "enc AS (SELECT source, doc_id, "
+        "CAST(len(token) AS BIGINT) AS tok_chars, "
+        "CAST(len(w) - len(replace(w, '<', '')) AS BIGINT) AS n_pieces "
+        "FROM (SELECT source, doc_id, token, "
+        + _bpe_chain_sql("regexp_replace(token, '(.)', '<\\1>', 'g')")
+        + " AS w FROM tok)) "
+        "SELECT source, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(n_pieces) AS BIGINT) AS n_pieces, "
+        "CAST(sum(tok_chars) AS BIGINT) AS n_chars, "
+        "CAST((sum(n_pieces) * 1000000) // count(*) AS BIGINT) "
+        "AS fertility_micro, "
+        "CAST((sum(tok_chars) * 1000000) // sum(n_pieces) AS BIGINT) "
+        "AS chars_per_piece_micro "
+        "FROM enc GROUP BY source"
+    )
+
+    # KMV set algebra (mirrors quality.KMV_K = 256, domain 2^60):
+    # union sketch = bottom-k of the merged hash sets; intersection by
+    # K_int/k of the union estimate (Beyer et al. 2007)
+    _kmvh = _p64("'kmvsa:' || user_id")
+    out["kmv_set_algebra"] = (
+        "WITH tu AS (SELECT DISTINCT event_type, user_id FROM events "
+        "WHERE user_id IS NOT NULL), "
+        f"hs AS (SELECT event_type, {_kmvh} AS h FROM tu), "
+        "ks AS (SELECT event_type, h FROM (SELECT event_type, h, "
+        "row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn "
+        "FROM hs) WHERE rn <= 256), "
+        "ty AS (SELECT DISTINCT event_type FROM ks), "
+        "pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b "
+        "FROM ty a JOIN ty b ON a.event_type < b.event_type), "
+        "tagged AS (SELECT type_a, type_b, h, 1 AS in_a, 0 AS in_b "
+        "FROM pr JOIN ks ON ks.event_type = pr.type_a "
+        "UNION ALL SELECT type_a, type_b, h, 0, 1 "
+        "FROM pr JOIN ks ON ks.event_type = pr.type_b), "
+        "merged AS (SELECT type_a, type_b, h, max(in_a) AS in_a, "
+        "max(in_b) AS in_b FROM tagged GROUP BY 1, 2, 3), "
+        "uk AS (SELECT * FROM (SELECT *, row_number() OVER "
+        "(PARTITION BY type_a, type_b ORDER BY h) AS rn FROM merged) "
+        "WHERE rn <= 256), "
+        "st AS (SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS filled, "
+        "max(h) AS kth, CAST(sum(in_a * in_b) AS BIGINT) AS k_int "
+        "FROM uk GROUP BY 1, 2), "
+        "ue AS (SELECT *, CASE WHEN filled < 256 THEN filled ELSE "
+        f"CAST((CAST(255 AS HUGEINT) * {1 << 60}) // kth AS BIGINT) END "
+        "AS kmv_union_est FROM st), "
+        "xu AS (SELECT type_a, type_b, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact_union FROM ("
+        "SELECT type_a, type_b, user_id FROM pr "
+        "JOIN tu ON tu.event_type = pr.type_a "
+        "UNION ALL SELECT type_a, type_b, user_id FROM pr "
+        "JOIN tu ON tu.event_type = pr.type_b) GROUP BY 1, 2), "
+        "xi AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
+        "CAST(count(*) AS BIGINT) AS n_exact_intersection "
+        "FROM tu a JOIN tu b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type GROUP BY 1, 2) "
+        "SELECT type_a, type_b, k_int, n_exact_union, kmv_union_est, "
+        "coalesce(n_exact_intersection, 0) AS n_exact_intersection, "
+        "CAST((CAST(k_int AS HUGEINT) * kmv_union_est) // filled "
+        "AS BIGINT) AS kmv_intersection_est, "
+        "CAST((k_int * 1000) // filled AS BIGINT) AS jaccard_permille "
+        "FROM ue JOIN xu USING (type_a, type_b) "
+        "LEFT JOIN xi USING (type_a, type_b) "
+        "ORDER BY type_a, type_b"
+    )
+
+    # reliability table + ECE over the kNN vote-share classifier
+    # (the knn_label_accuracy machinery; confidence = votes/5)
+    out["calibration_report"] = (
+        "WITH q AS (SELECT vec_id AS query_id, "
+        "embedding::DOUBLE[] AS qv, label AS true_label "
+        "FROM embeddings WHERE vec_id < 100), "
+        "c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, "
+        "label AS nb_label FROM embeddings), "
+        "s AS (SELECT query_id, true_label, neighbor_id, nb_label, "
+        "round(list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) "
+        "* sqrt(list_dot_product(cv, cv))), 4) AS cos_sim "
+        "FROM q, c WHERE query_id <> neighbor_id), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_sim DESC, neighbor_id) AS rk FROM s), "
+        "v AS (SELECT query_id, true_label, nb_label, "
+        "CAST(count(*) AS BIGINT) AS votes FROM r WHERE rk <= 5 "
+        "GROUP BY 1, 2, 3), "
+        "p AS (SELECT query_id, true_label, "
+        "min(ROW(-votes, nb_label)) AS pick FROM v GROUP BY 1, 2), "
+        "d AS (SELECT query_id, true_label, "
+        "CAST(pick[2] AS INTEGER) AS pred_label, "
+        "CAST(-pick[1] AS BIGINT) AS votes FROM p), "
+        "b AS (SELECT CAST(votes AS INTEGER) AS votes, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_correct FROM d GROUP BY 1), "
+        "g AS (SELECT votes, n, n_correct, "
+        "CAST(votes * 200 AS BIGINT) AS conf_permille, "
+        "CAST((n_correct * 1000) // n AS BIGINT) AS acc_permille FROM b), "
+        "g2 AS (SELECT *, abs(acc_permille - conf_permille) "
+        "AS gap_permille FROM g), "
+        "e AS (SELECT CAST((sum(n * gap_permille) * 1000) // sum(n) "
+        "AS BIGINT) AS ece_micro FROM g2) "
+        "SELECT votes, n, n_correct, conf_permille, acc_permille, "
+        "gap_permille, ece_micro FROM g2, e ORDER BY votes"
+    )
 
     # concat-and-chunk packing (mirrors curation.SEQ_LEN = 256); the
     # oracle uses the naive global cumsum the Spark side decomposes

@@ -978,6 +978,138 @@ def q_kmv_distinct_estimate(spark, sf_dir: str) -> DataFrame:
     return report.orderBy("target")
 
 
+def q_kmv_set_algebra(spark, sf_dir: str) -> DataFrame:
+    """KMV SET ALGEBRA (Beyer et al. 2007, "On synopses for
+    distinct-value estimation" — the Theta-sketch base case): because
+    a KMV sketch keeps exact hash VALUES (not register maxima), two
+    sketches built with the SAME hash support union AND intersection
+    estimation — the capability the HLL family only gets for unions
+    (`hll_set_algebra` derives ∩ by inclusion–exclusion, which
+    compounds error). Per event-type pair over distinct user sets:
+
+    - union sketch = the KMV_K smallest hashes of K_A ∪ K_B;
+      Û = (k−1)·2⁶⁰ intdiv h₍ₖ₎ (exact when underfilled — both sides
+      were then complete);
+    - K_∩ = how many of the union sketch's hashes appear in BOTH
+      per-type sketches; Î_∩ = K_∩·Û intdiv filled (the K_∩/k
+      fraction of the union estimate — degenerates to the exact K_∩
+      when underfilled);
+    - jaccard_permille = K_∩·1000 intdiv filled rides along (KMV's
+      native resemblance estimator).
+
+    All integer/exact-rational — both engines agree bit-for-bit; the
+    exact ∪/∩ counts ride along for the accuracy contract.
+
+    Scale: per-type bottom-k is a partitioned window over the distinct
+    (type, user) projection (k rows of state per type); everything
+    after runs on ≤ |types|·k rows — sketch-sized, never user-sized.
+
+    Output per pair (type_a < type_b): (type_a, type_b, k_int,
+    n_exact_union, kmv_union_est, n_exact_intersection,
+    kmv_intersection_est, jaccard_permille)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, portable_hash64
+
+    t = load(spark, sf_dir)
+    tu = (
+        t.events.filter(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+        .localCheckpoint(eager=False)  # sketches AND exact twins
+    )
+    hashed = tu.select(
+        "event_type",
+        portable_hash64(
+            F.concat(F.lit("kmvsa:"), F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    wk = Window.partitionBy("event_type").orderBy("h")
+    ks = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    ty = ks.select("event_type").distinct()
+    pr = (
+        ty.select(F.col("event_type").alias("type_a"))
+        .join(
+            ty.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    side_a = pr.join(
+        ks.select(F.col("event_type").alias("type_a"), "h"), "type_a"
+    ).select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+    side_b = pr.join(
+        ks.select(F.col("event_type").alias("type_b"), "h"), "type_b"
+    ).select("type_a", "type_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wp = Window.partitionBy("type_a", "type_b").orderBy("h")
+    unionk = merged.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    stats = unionk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("filled"),
+        F.max("h").alias("kth"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_int"),
+    )
+    u_est = F.when(F.col("filled") < F.lit(KMV_K), F.col("filled")).otherwise(
+        _idiv(
+            F.lit(KMV_K - 1).cast("decimal(38,0)") * F.lit(KMV_DOMAIN),
+            F.col("kth"),
+        )
+    )
+    xu = (
+        pr.join(tu.select(F.col("event_type").alias("type_a"), "user_id"), "type_a")
+        .select("type_a", "type_b", "user_id")
+        .unionByName(
+            pr.join(
+                tu.select(F.col("event_type").alias("type_b"), "user_id"),
+                "type_b",
+            ).select("type_a", "type_b", "user_id")
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.countDistinct("user_id").alias("n_exact_union"))
+    )
+    a_side = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b_side = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    xi = (
+        a_side.join(b_side, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact_intersection"))
+    )
+    return (
+        stats.withColumn("kmv_union_est", u_est)
+        .join(xu, ["type_a", "type_b"])
+        .join(xi, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "k_int",
+            "n_exact_union",
+            "kmv_union_est",
+            F.coalesce("n_exact_intersection", F.lit(0).cast("long")).alias(
+                "n_exact_intersection"
+            ),
+            _idiv(
+                F.col("k_int") * F.col("kmv_union_est"), F.col("filled")
+            ).alias("kmv_intersection_est"),
+            _idiv(F.col("k_int") * F.lit(1000), F.col("filled")).alias(
+                "jaccard_permille"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
 #: Highest power carried by q_moments_sketch. cents^6 · n must fit
 #: DECIMAL(38,0)/HUGEINT: at |cents| <= 5e4 and n <= 1e9 the 6th
 #: moment sum is <= ~1.5e37 — inside both engines' 38-digit budget.

@@ -2488,6 +2488,92 @@ def q_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION AUDIT — reliability table + Expected
+    Calibration Error (Guo et al. 2017) for the kNN label classifier
+    (`knn_label_accuracy`'s majority vote, the one classifier in the
+    pipeline with a natural graded confidence): a filter that says
+    "80% confident" should be right 80% of the time, and a
+    miscalibrated quality classifier silently skews every downstream
+    threshold — the reason eval stacks report ECE next to accuracy.
+
+    Confidence = the winning label's vote share of the top-5 neighbor
+    votes (votes/5 → permille = votes·200), which bins queries into
+    the five natural reliability buckets. Per bucket the table reports
+    count, accuracy, stated confidence, and the |acc − conf| gap; ECE
+    = the count-weighted mean gap in micro units, broadcast onto every
+    row (the audit's headline scalar, hash-verified like the rest).
+
+    On THIS fixture labels are independent of the geometry (the
+    `knn_label_accuracy` negative control), so the expected read is
+    OVERCONFIDENCE: acc ≈ the 1/|classes| floor at every stated
+    confidence — a large ECE is the correct detection, pinned by the
+    pytest.
+
+    Scale: the bounded query batch × corpus brute scorer (documented
+    audit shape), then a ≤5-row aggregate and a 1-row ECE broadcast.
+
+    Output per occupied bucket: (votes, n, n_correct, conf_permille,
+    acc_permille, gap_permille, ece_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    knn = cosine_topk(
+        t.embeddings.filter(F.col("vec_id") < KNN_EVAL_QUERIES),
+        t.embeddings,
+        k=5,
+    )
+    lab = t.embeddings.select("vec_id", "label")
+    votes = (
+        knn.join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "nb_label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = F.min(
+        F.struct((-F.col("votes")).alias("nv"), F.col("nb_label").alias("lb"))
+    )
+    pred = votes.groupBy("query_id").agg(
+        pick["lb"].alias("pred_label"),
+        (-pick["nv"]).cast("long").alias("votes"),
+    )
+    scored = pred.join(
+        lab.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("true_label"),
+        ),
+        "query_id",
+    )
+    b = scored.groupBy(F.col("votes").cast("int").alias("votes")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+        .alias("n_correct"),
+    )
+    g = b.select(
+        "votes",
+        "n",
+        "n_correct",
+        (F.col("votes") * F.lit(200)).cast("long").alias("conf_permille"),
+        _idiv(F.col("n_correct") * F.lit(1000), F.col("n")).alias(
+            "acc_permille"
+        ),
+    ).withColumn(
+        "gap_permille", F.abs(F.col("acc_permille") - F.col("conf_permille"))
+    )
+    e = g.agg(
+        _idiv(
+            F.sum(F.col("n") * F.col("gap_permille")) * F.lit(1000),
+            F.sum("n"),
+        ).alias("ece_micro")
+    )
+    return g.crossJoin(F.broadcast(e)).orderBy("votes")
+
+
 #: NDCG@5 discount ladder: floor(1e6 / log2(rank+1)) as LITERAL
 #: integers so both engines share them bit-for-bit (the pytest float-
 #: witnesses each against math.log2); ideal DCG = a perfect top-5

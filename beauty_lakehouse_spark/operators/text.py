@@ -741,6 +741,70 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER FERTILITY AUDIT per source — the standard
+    tokenizer-vs-corpus fit metric (pieces per word; a tokenizer that
+    fragments a source inflates its compute cost and starves its
+    effective token budget): encode every corpus token with the
+    pretrained ``BPE_FIXED_MERGES`` table (the `bpe_encode` apply
+    path, pure codegen replace chain) and aggregate to source grain —
+    fertility = pieces/token and compression = chars/piece, both as
+    exact trunc-division micro ratios. This is the table a mixture
+    planner reads next to `domain_dedup_mixture`'s quotas: a
+    high-fertility source needs its token budget discounted by
+    fertility before apportioning.
+
+    Scale: narrow expression work over the exploded token stream
+    (whole-stage codegen, no joins, no UDFs), one map-side-combinable
+    aggregate to the |sources|-row table.
+
+    Output: (source, n_docs, n_tokens, n_pieces, n_chars,
+    fertility_micro, chars_per_piece_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    toks = (
+        _tok(t.documents)
+        .select("source", "doc_id", F.explode("toks").alias("token"))
+        .filter(F.col("token") != "")
+    )
+    wrapped = bpe_encode_expr(F.col("token"), BPE_FIXED_MERGES)
+    enc = toks.select(
+        "source",
+        "doc_id",
+        F.length("token").cast("long").alias("tok_chars"),
+        (
+            F.length(wrapped)
+            - F.length(F.replace(wrapped, F.lit("<"), F.lit("")))
+        )
+        .cast("long")
+        .alias("n_pieces"),
+    )
+    m = F.lit(1_000_000)
+    return (
+        enc.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("n_pieces").cast("long").alias("n_pieces"),
+            F.sum("tok_chars").cast("long").alias("n_chars"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_pieces",
+            "n_chars",
+            _idiv(F.col("n_pieces") * m, F.col("n_tokens")).alias(
+                "fertility_micro"
+            ),
+            _idiv(F.col("n_chars") * m, F.col("n_pieces")).alias(
+                "chars_per_piece_micro"
+            ),
+        )
+    )
+
+
 #: Kneser–Ney absolute discount as the EXACT rational (num, den):
 #: d = 3/4 — Chen & Goodman's canonical fixed discount, chosen here
 #: because quarters keep every KN term an exact integer (no float).

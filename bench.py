@@ -213,6 +213,9 @@ HEADLINE = [
     "dsir_importance",        # DSIR hashed-bigram importance weights (new in r11)
     "kneser_ney_bigrams",     # exact-rational interpolated KN smoothing (new in r11)
     "hyperball_neighborhood", # HLL-counter neighborhood function, 3 rounds (new in r11)
+    "tokenizer_fertility",    # per-source pieces/token audit under the fixed BPE (new in r11)
+    "kmv_set_algebra",        # bottom-k union/intersection estimators (new in r11)
+    "calibration_report",     # kNN vote-share reliability table + ECE (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -2123,3 +2123,61 @@ def test_kneser_ney_bigrams_pure_python(spark, sf_dir):
         n_cont[w] / n_bb for w in n_cont
     )
     assert abs(obs + backoff - 1.0) < 1e-9
+
+
+def test_tokenizer_fertility_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the per-source fertility table under
+    the fixed BPE merge chain, with a FLOAT WITNESS on the two micro
+    ratios (trunc-division slack only)."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        BPE_FIXED_MERGES,
+        q_tokenizer_fertility,
+    )
+
+    def encode_pieces(token: str) -> int:
+        w = "".join(f"<{ch}>" for ch in token)
+        for a, b in BPE_FIXED_MERGES:
+            w = w.replace(f"<{a}><{b}>", f"<{a}{b}>")
+        return w.count("<")
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "source", "text"]
+    ]
+    agg: dict[str, dict] = {}
+    piece_cache: dict[str, int] = {}
+    for _doc, source, text in pdf.itertuples(index=False):
+        s = agg.setdefault(
+            source, {"docs": set(), "tok": 0, "pieces": 0, "chars": 0}
+        )
+        for tok in text.split(" "):
+            if tok == "":
+                continue
+            s["docs"].add(_doc)
+            s["tok"] += 1
+            s["chars"] += len(tok)
+            if tok not in piece_cache:
+                piece_cache[tok] = encode_pieces(tok)
+            s["pieces"] += piece_cache[tok]
+
+    rows = {r.source: r for r in q_tokenizer_fertility(spark, sf_dir).collect()}
+    assert set(rows) == set(agg)
+    for src, s in agg.items():
+        r = rows[src]
+        assert r.n_docs == len(s["docs"])
+        assert r.n_tokens == s["tok"] and r.n_pieces == s["pieces"]
+        assert r.n_chars == s["chars"]
+        assert r.fertility_micro == (s["pieces"] * 1_000_000) // s["tok"]
+        assert (
+            r.chars_per_piece_micro
+            == (s["chars"] * 1_000_000) // s["pieces"]
+        )
+        # FLOAT WITNESS: micro ratios against plain float division
+        assert abs(r.fertility_micro / 1e6 - s["pieces"] / s["tok"]) < 1e-6
+        assert (
+            abs(r.chars_per_piece_micro / 1e6 - s["chars"] / s["pieces"])
+            < 1e-6
+        )
+        # fertility is >= 1 by construction (every token >= 1 piece)
+        assert r.fertility_micro >= 1_000_000

@@ -1615,3 +1615,68 @@ def test_kmv_distinct_estimate_pure_python(spark, sf_dir):
             assert rel_err <= 8 / math.sqrt(KMV_K - 2)
         else:
             assert est == n_exact
+
+
+def test_kmv_set_algebra_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the Beyer et al. KMV union/intersection
+    estimators per event-type pair, with a FLOAT WITNESS on the union
+    estimator ((k-1)*D/h_k in plain float must match the integer
+    division within 1) and the accuracy contract: union and
+    intersection estimates within 4x the ~1/sqrt(k-2) relative error
+    of their exact twins."""
+    import hashlib
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        KMV_DOMAIN,
+        KMV_K,
+        q_kmv_set_algebra,
+    )
+
+    def h64(u: int) -> int:
+        return int(hashlib.md5(f"kmvsa:{u}".encode()).hexdigest()[:15], 16)
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "user_id"]]
+    users: dict[str, set[int]] = {}
+    for ty, u in zip(ev.event_type, ev.user_id):
+        users.setdefault(ty, set()).add(int(u))
+    sketches = {
+        ty: sorted(h64(u) for u in us)[:KMV_K] for ty, us in users.items()
+    }
+
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in q_kmv_set_algebra(spark, sf_dir).collect()
+    }
+    types = sorted(users)
+    assert set(rows) == {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+    }
+    rel = 4.0 / math.sqrt(KMV_K - 2)
+    for (a, b), r in rows.items():
+        uk = sorted(set(sketches[a]) | set(sketches[b]))[:KMV_K]
+        filled = len(uk)
+        sa, sb = set(sketches[a]), set(sketches[b])
+        k_int = sum(1 for h in uk if h in sa and h in sb)
+        assert r.k_int == k_int
+        n_union = len(users[a] | users[b])
+        n_inter = len(users[a] & users[b])
+        assert r.n_exact_union == n_union
+        assert r.n_exact_intersection == n_inter
+        if filled < KMV_K:
+            assert r.kmv_union_est == filled == n_union
+            assert r.kmv_intersection_est == k_int == n_inter
+        else:
+            want_u = ((KMV_K - 1) * KMV_DOMAIN) // uk[-1]
+            assert r.kmv_union_est == want_u
+            # FLOAT WITNESS: the float-form estimator agrees within 1
+            assert abs(r.kmv_union_est - (KMV_K - 1) * KMV_DOMAIN / uk[-1]) <= 1
+            assert r.kmv_intersection_est == (k_int * want_u) // filled
+            # accuracy contract vs exact twins
+            assert abs(r.kmv_union_est - n_union) <= rel * n_union
+            assert abs(r.kmv_intersection_est - n_inter) <= max(
+                rel * n_union, 8
+            )
+        assert r.jaccard_permille == (k_int * 1000) // filled

@@ -1420,3 +1420,67 @@ def test_mmr_rerank_pure_python(spark, sf_dir):
         assert abs(rel1 / 1e6 - fcos) < 3e-6
         best_rel = max(cos_micro(qv, n) for n in pool[qv])
         assert rel1 == best_rel
+
+
+def test_calibration_report_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the kNN vote-share reliability table +
+    ECE, with a FLOAT WITNESS on the ECE (plain float weighted mean of
+    the gaps) and the fixture's negative-control read: labels are
+    independent of geometry, so stated confidence >= 600 permille must
+    OVERSHOOT accuracy (positive gap) and the ECE is far from 0."""
+    import numpy as np
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        KNN_EVAL_QUERIES,
+        q_calibration_report,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples(index=False)}
+    labels = {int(r.vec_id): int(r.label) for r in emb.itertuples(index=False)}
+
+    per_bucket: dict[int, list[int]] = {}
+    for q in range(KNN_EVAL_QUERIES):
+        qv = vecs[q]
+        sims = []
+        for nid, cv in vecs.items():
+            if nid == q:
+                continue
+            cs = round(
+                float(qv @ cv)
+                / (float(np.sqrt(qv @ qv)) * float(np.sqrt(cv @ cv))),
+                4,
+            )
+            sims.append((-cs, nid))
+        top5 = [nid for _, nid in sorted(sims)[:5]]
+        votes: dict[int, int] = {}
+        for nid in top5:
+            votes[labels[nid]] = votes.get(labels[nid], 0) + 1
+        pred, v = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))
+        per_bucket.setdefault(v, []).append(int(pred == labels[q]))
+
+    rows = {r.votes: r for r in q_calibration_report(spark, sf_dir).collect()}
+    assert set(rows) == set(per_bucket)
+    gaps, ns = [], []
+    for v, outcomes in per_bucket.items():
+        r = rows[v]
+        n, n_correct = len(outcomes), sum(outcomes)
+        assert r.n == n and r.n_correct == n_correct
+        assert r.conf_permille == v * 200
+        assert r.acc_permille == (n_correct * 1000) // n
+        assert r.gap_permille == abs(r.acc_permille - r.conf_permille)
+        gaps.append(r.gap_permille)
+        ns.append(n)
+    want_ece = (sum(n * g for n, g in zip(ns, gaps)) * 1000) // sum(ns)
+    assert all(r.ece_micro == want_ece for r in rows.values())
+    # FLOAT WITNESS: float weighted-mean gap (in permille) matches the
+    # integer ECE scaled back down, within trunc slack
+    float_ece_pm = sum(n * g for n, g in zip(ns, gaps)) / sum(ns)
+    assert abs(want_ece / 1000 - float_ece_pm) < 1.0
+    # negative control: high-confidence buckets overshoot accuracy
+    for v, r in rows.items():
+        if r.conf_permille >= 600:
+            assert r.acc_permille < r.conf_permille, r
+    assert want_ece > 100_000  # >> 0: the miscalibration is detected
