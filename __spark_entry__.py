@@ -108,6 +108,7 @@ _DRIVER_ORDER_R11 = [
     "tokenizer_fertility",  # new in r11
     "kmv_set_algebra",  # new in r11
     "calibration_report",  # new in r11
+    "dsir_streamed",  # new in r11 (25th streaming drain)
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -713,6 +714,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_fertility": text.q_tokenizer_fertility,
         "kmv_set_algebra": quality.q_kmv_set_algebra,
         "calibration_report": similarity.q_calibration_report,
+        "dsir_streamed": _q_dsir_streamed,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -1528,6 +1530,30 @@ def _q_domain_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
     )
     return url_dedup_finish(drained)
+
+
+def _q_dsir_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-model-at-ingest: the DSIR hashed-bigram feature grid
+    maintained as a complete-mode count aggregate over the documents
+    landing stream (additive + order-insensitive → slicing-
+    independent), then the SHARED ``curation.dsir_finish`` derives the
+    bucket model and scores the raw pool from the drained grid. Behind
+    the SAME oracle row as the batch ``dsir_importance`` — the 25th
+    oracle-matched streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.curation import dsir_finish
+    from beauty_lakehouse_spark.streaming import (
+        dsir_doc_bucket_counts,
+        run_available_now,
+        stream_documents,
+    )
+
+    grid = run_available_now(
+        dsir_doc_bucket_counts(stream_documents(spark, sf_dir)),
+        f"gate_dsir_{uuid.uuid4().hex[:8]}",
+    )
+    return dsir_finish(grid)
 
 
 def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6549,6 +6575,8 @@ def oracle_sql() -> dict[str, str]:
         "FROM db JOIN model USING (bucket), cn "
         "GROUP BY doc_id, source, c_unats"
     )
+    # the importance-model-at-ingest drain lands behind DSIR's row
+    out["dsir_streamed"] = out["dsir_importance"]
 
     # interpolated Kneser-Ney bigram smoothing (mirrors text.
     # KN_DISC_NUM/DEN = 3/4, KN_TOP = 50): exact rational collapse

@@ -2049,10 +2049,22 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per RAW document — (doc_id, source, n_grams,
     logw_micro)."""
-    from ..functions import ln_micro, portable_hash64
-
     t = load(spark, sf_dir)
-    base = t.documents.select(
+    db_all = (
+        dsir_doc_buckets(t.documents)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return dsir_finish(db_all)
+
+
+def dsir_doc_buckets(documents: DataFrame) -> DataFrame:
+    """The hashed-bigram feature projection shared by the batch DSIR
+    operator and the model-at-ingest streaming drain: one row per
+    (doc_id, source, bucket) GRAM occurrence."""
+    from ..functions import portable_hash64
+
+    base = documents.select(
         "doc_id", "source", F.split("text", " ").alias("tk")
     )
     grams = base.select(
@@ -2066,17 +2078,32 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram"),
     )
-    buck = grams.select(
+    return grams.select(
         "doc_id",
         "source",
         F.pmod(portable_hash64(F.col("gram")), F.lit(DSIR_BUCKETS)).alias(
             "bucket"
         ),
-    ).localCheckpoint(eager=False)  # feeds the model AND the scoring
+    )
+
+
+def dsir_finish(db_all: DataFrame) -> DataFrame:
+    """Shared DSIR tail (batch operator AND the streamed drain):
+    ``db_all`` is the per-(doc_id, source, bucket) gram-count grid
+    over ALL documents (target + raw). Derives the bucket model
+    (t_f/r_f sums), the sign-split Δ(f) deltas and the factored
+    normalizer C, and scores the raw-pool docs."""
+    from ..functions import ln_micro
+
+    db_all = db_all.localCheckpoint(eager=False)  # model AND scoring
     is_t = F.col("source") == DSIR_TARGET
-    bt = buck.groupBy("bucket").agg(
-        F.sum(is_t.cast("long")).alias("t_f"),
-        F.sum((~is_t).cast("long")).alias("r_f"),
+    bt = db_all.groupBy("bucket").agg(
+        F.sum(F.when(is_t, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("t_f"),
+        F.sum(F.when(~is_t, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("r_f"),
     )
     a, b = F.col("t_f") + 1, F.col("r_f") + 1
     delta = F.when(a >= b, ln_micro(a, b)).otherwise(-ln_micro(b, a))
@@ -2093,13 +2120,9 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(-ln_micro(F.col("tb"), F.col("rb")))
         .alias("c_unats")
     )
-    db = (
-        buck.filter(~is_t)
-        .groupBy("doc_id", "source", "bucket")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
     return (
-        db.join(F.broadcast(model), "bucket")
+        db_all.filter(~is_t)
+        .join(F.broadcast(model), "bucket")
         .groupBy("doc_id", "source")
         .agg(
             F.sum("c").cast("long").alias("n_grams"),

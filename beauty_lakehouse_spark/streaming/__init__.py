@@ -10,6 +10,7 @@ exactly once, so streaming output == batch output).
 from .pipelines import (  # noqa: F401
     cms_user_cells,
     dedup_group_table,
+    dsir_doc_bucket_counts,
     dedup_events_stream,
     hll_register_stream,
     hourly_user_hll_registers,

@@ -493,6 +493,22 @@ def user_event_type_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def dsir_doc_bucket_counts(documents: DataFrame) -> DataFrame:
+    """Streamed DSIR feature grid (the state behind
+    `operators.curation.q_dsir_importance` running ON the documents
+    landing stream): the per-(doc_id, source, bucket) hashed-bigram
+    count is additive and order-insensitive, so complete-mode state is
+    the gram-bucket grid and the drained table is micro-batch-slicing-
+    independent. `curation.dsir_finish` derives the bucket model AND
+    the raw-doc scores from the same drained grid — importance-model-
+    at-ingest without re-scanning the landed corpus."""
+    from ..operators.curation import dsir_doc_buckets
+
+    return dsir_doc_buckets(documents).groupBy(
+        "doc_id", "source", "bucket"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+
+
 #: Stream-stream join attribution window (event time): a purchase
 #: joins every view by the same user in the preceding hour.
 SS_JOIN_WINDOW_US = 3_600_000_000

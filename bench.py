@@ -216,6 +216,7 @@ HEADLINE = [
     "tokenizer_fertility",    # per-source pieces/token audit under the fixed BPE (new in r11)
     "kmv_set_algebra",        # bottom-k union/intersection estimators (new in r11)
     "calibration_report",     # kNN vote-share reliability table + ECE (new in r11)
+    "dsir_streamed",          # importance-model-at-ingest DSIR drain (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

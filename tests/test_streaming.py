@@ -835,3 +835,38 @@ def test_domain_dedup_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path)
     got = url_dedup_finish(drained)
     expected = q_domain_dedup_mixture(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_dsir_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the documents fixture into 4 files and stream them one per
+    micro-batch: the drained complete-mode DSIR feature grid through
+    the shared dsir_finish must equal the batch q_dsir_importance
+    scores exactly — the grid is an additive count aggregate, so
+    arrival order and slicing cannot change the fixpoint."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.curation import (
+        dsir_finish,
+        q_dsir_importance,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        dsir_doc_bucket_counts,
+    )
+
+    src = str(tmp_path / "docs_parts_dsir")
+    from beauty_lakehouse_spark.catalog import load
+
+    docs = load(spark, sf_dir).documents
+    docs.withColumn(
+        "part", (F.col("doc_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(dsir_doc_bucket_counts(stream), "t_dsir_mb")
+    got = dsir_finish(grid)
+    expected = q_dsir_importance(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
