@@ -109,6 +109,7 @@ _DRIVER_ORDER_R11 = [
     "kmv_set_algebra",  # new in r11
     "calibration_report",  # new in r11
     "dsir_streamed",  # new in r11 (25th streaming drain)
+    "hyperball_closeness",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -715,6 +716,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_set_algebra": quality.q_kmv_set_algebra,
         "calibration_report": similarity.q_calibration_report,
         "dsir_streamed": _q_dsir_streamed,
+        "hyperball_closeness": graph.q_hyperball_closeness,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -2063,19 +2065,21 @@ _CC_COMP_CTE = (
 )
 
 
-def _hyperball_sql() -> str:
-    """DuckDB twin of graph.q_hyperball_neighborhood: the co-purchase
+def _hyperball_prefix() -> str:
+    """Shared CTE prefix of the HyperBall oracles: the co-purchase
     edge CTE (n_orders >= 2, both directions), per-node self-seeded
     portable-HLL registers, HB_ROUNDS unrolled register-max
     propagation rounds (each MATERIALIZED — the doubly-referenced
-    stage re-inlines exponentially otherwise), and the shared HLL
-    estimate math summed to one neighborhood-function row per
-    radius."""
+    stage re-inlines exponentially otherwise), and per-round per-node
+    estimate tables g{k}(node, est) through the shared HLL estimate
+    math. Ends with ', ' so callers can append their own CTEs or
+    strip it."""
     from beauty_lakehouse_spark.functions import portable_hash64_sql
     from beauty_lakehouse_spark.operators.graph import HB_ROUNDS
     from beauty_lakehouse_spark.operators.quality import (
         _HLL_EST_DEN,
         _HLL_EST_NUM,
+        _HLL_LINEAR_EXACT,
         _HLL_RHO_CAP,
         _HLL_S_SCALE,
         HLL_M,
@@ -2112,8 +2116,6 @@ def _hyperball_sql() -> str:
             f"SELECT u.dst AS node, r.idx, r.m_rho FROM und u "
             f"JOIN r{k - 1} r ON r.node = u.src) GROUP BY 1, 2), "
         )
-    from beauty_lakehouse_spark.operators.quality import _HLL_LINEAR_EXACT
-
     est = (
         f"CASE WHEN e_raw <= {5 * HLL_M // 2} AND zeros > 0 THEN "
         f"(CASE WHEN p_regs <= {_HLL_LINEAR_EXACT} "
@@ -2122,7 +2124,6 @@ def _hyperball_sql() -> str:
         + _lnm(str(HLL_M), "greatest(zeros, 1)")
         + ") / 1000000.0) AS BIGINT) END) ELSE e_raw END"
     )
-    rows = []
     for k in range(HB_ROUNDS + 1):
         parts.append(
             f"s{k} AS (SELECT node, count(*) AS p_regs, "
@@ -2132,13 +2133,56 @@ def _hyperball_sql() -> str:
             f"CAST({_HLL_EST_NUM} // ((s_present + ({HLL_M} - p_regs) * "
             f"CAST({_HLL_S_SCALE} AS HUGEINT)) * {_HLL_EST_DEN}) AS BIGINT) "
             f"AS e_raw FROM s{k}), "
-            f"row{k} AS (SELECT CAST({k} AS INTEGER) AS round, "
-            f"CAST(count(*) AS BIGINT) AS n_nodes, "
-            f"CAST(sum({est}) AS BIGINT) AS sum_ball_est FROM e{k}), "
+            f"g{k} AS (SELECT node, {est} AS est FROM e{k}), "
         )
-        rows.append(f"SELECT * FROM row{k}")
-    sql = "".join(parts)
-    return sql.rstrip(", ") + " " + " UNION ALL ".join(rows) + " ORDER BY round"
+    return "".join(parts)
+
+
+def _hyperball_sql() -> str:
+    """DuckDB twin of graph.q_hyperball_neighborhood — one
+    neighborhood-function row per radius from the shared g{k}
+    per-node estimate tables."""
+    from beauty_lakehouse_spark.operators.graph import HB_ROUNDS
+
+    rows = [
+        f"SELECT CAST({k} AS INTEGER) AS round, "
+        f"CAST(count(*) AS BIGINT) AS n_nodes, "
+        f"CAST(sum(est) AS BIGINT) AS sum_ball_est FROM g{k}"
+        for k in range(HB_ROUNDS + 1)
+    ]
+    return (
+        _hyperball_prefix().rstrip(", ")
+        + " "
+        + " UNION ALL ".join(rows)
+        + " ORDER BY round"
+    )
+
+
+def _hyperball_closeness_sql() -> str:
+    """DuckDB twin of graph.q_hyperball_closeness — truncated harmonic
+    centrality from consecutive-shell deltas of the shared g{k}
+    tables, 0-clamped, literal micro weights."""
+    from beauty_lakehouse_spark.operators.graph import (
+        HB_CLOSENESS_TOP,
+        HB_HARMONIC,
+        HB_ROUNDS,
+    )
+
+    hc = " + ".join(
+        f"greatest(g{r}.est - g{r - 1}.est, 0) * {HB_HARMONIC[r - 1]}"
+        for r in range(1, HB_ROUNDS + 1)
+    )
+    joins = " ".join(
+        f"JOIN g{r} ON g{r}.node = g0.node"
+        for r in range(1, HB_ROUNDS + 1)
+    )
+    return (
+        _hyperball_prefix().rstrip(", ")
+        + f" SELECT g0.node, g1.est AS ball_1, g2.est AS ball_2, "
+        f"g3.est AS ball_3, CAST({hc} AS BIGINT) AS hc_micro "
+        f"FROM g0 {joins} "
+        f"ORDER BY hc_micro DESC, g0.node LIMIT {HB_CLOSENESS_TOP}"
+    )
 
 
 def _hll_sql(table: str, col: str, key: str | None = None) -> str:
@@ -6607,6 +6651,7 @@ def oracle_sql() -> dict[str, str]:
     # HyperBall neighborhood function — the rounds-unrolled register
     # propagation twin is built programmatically (see _hyperball_sql)
     out["hyperball_neighborhood"] = _hyperball_sql()
+    out["hyperball_closeness"] = _hyperball_closeness_sql()
 
     # per-source tokenizer fertility under the fixed BPE apply chain
     out["tokenizer_fertility"] = (

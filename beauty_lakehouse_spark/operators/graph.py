@@ -863,6 +863,24 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy checkpoints (the pagerank convention).
 
     Output: (round, n_nodes, sum_ball_est) for r = 0..HB_ROUNDS."""
+    out = None
+    for r, est in enumerate(_hyperball_round_estimates(spark, sf_dir)):
+        row = est.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("hll_estimate").cast("long").alias("sum_ball_est"),
+        ).select(
+            F.lit(r).cast("int").alias("round"), "n_nodes", "sum_ball_est"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("round")
+
+
+def _hyperball_round_estimates(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """The HyperBall register propagation shared by the neighborhood
+    function and the closeness ranking: per round r = 0..HB_ROUNDS the
+    per-node ball-size estimate frame (node, hll_estimate)."""
     from .quality import hll_group_estimate, hll_registers
 
     t = load(spark, sf_dir)
@@ -881,18 +899,8 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = hll_registers(nodes, "node", keys=("node",)).localCheckpoint(
         eager=False
     )
-
-    def round_row(r: int, rtab: DataFrame) -> DataFrame:
-        est = hll_group_estimate(rtab, ("node",))
-        return est.agg(
-            F.count(F.lit(1)).alias("n_nodes"),
-            F.sum("hll_estimate").cast("long").alias("sum_ball_est"),
-        ).select(
-            F.lit(r).cast("int").alias("round"), "n_nodes", "sum_ball_est"
-        )
-
-    out = [round_row(0, regs)]
-    for r in range(1, HB_ROUNDS + 1):
+    out = [hll_group_estimate(regs, ("node",)).select("node", "hll_estimate")]
+    for _r in range(1, HB_ROUNDS + 1):
         prop = dir_e.join(
             regs.select(F.col("node").alias("src"), "idx", "m_rho"), "src"
         ).select(F.col("dst").alias("node"), "idx", "m_rho")
@@ -902,11 +910,65 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("m_rho").alias("m_rho"))
             .localCheckpoint(eager=False)
         )
-        out.append(round_row(r, regs))
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.orderBy("round")
+        out.append(
+            hll_group_estimate(regs, ("node",)).select("node", "hll_estimate")
+        )
+    return out
+
+
+#: Harmonic weights floor(1e6 / r) for the truncated closeness sum —
+#: literal in both engines.
+HB_HARMONIC = [1_000_000, 500_000, 333_333]
+HB_CLOSENESS_TOP = 20
+
+
+def q_hyperball_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYPERBALL HARMONIC CENTRALITY (Boldi & Vigna 2014 — "Axioms for
+    centrality"; the application HyperBall was built for): rank nodes
+    by Σ_r (1/r)·|{nodes at distance exactly r}|, estimated from the
+    SAME per-node ball sketches as `q_hyperball_neighborhood` — the
+    per-distance shell size is the difference of consecutive ball
+    estimates, truncated at HB_ROUNDS (documented: contributions
+    beyond radius 3 are dropped, which preserves ranking on a
+    small-diameter graph and bounds work everywhere).
+
+    Shell deltas are clamped at 0 (register max-merge means balls only
+    grow, but the linear-count→raw estimator branch switch can wobble
+    an estimate by ±1 — the clamp makes the centrality deterministic
+    AND monotone-consistent in both engines). Weights are the literal
+    micro ladder floor(1e6/r).
+
+    Output: top-HB_CLOSENESS_TOP nodes by (hc_micro desc, node) —
+    (node, ball_1, ball_2, ball_3, hc_micro)."""
+    ests = _hyperball_round_estimates(spark, sf_dir)
+    joined = ests[0].select(
+        "node", F.col("hll_estimate").alias("est_0")
+    )
+    for r in range(1, HB_ROUNDS + 1):
+        joined = joined.join(
+            ests[r].select("node", F.col("hll_estimate").alias(f"est_{r}")),
+            "node",
+        )
+    hc = None
+    for r in range(1, HB_ROUNDS + 1):
+        term = (
+            F.greatest(
+                F.col(f"est_{r}") - F.col(f"est_{r - 1}"), F.lit(0).cast("long")
+            )
+            * F.lit(HB_HARMONIC[r - 1])
+        )
+        hc = term if hc is None else hc + term
+    return (
+        joined.select(
+            "node",
+            F.col("est_1").alias("ball_1"),
+            F.col("est_2").alias("ball_2"),
+            F.col("est_3").alias("ball_3"),
+            hc.cast("long").alias("hc_micro"),
+        )
+        .orderBy(F.desc("hc_micro"), "node")
+        .limit(HB_CLOSENESS_TOP)
+    )
 
 
 #: DeepWalk-style corpus geometry: walks per seed, steps per walk,

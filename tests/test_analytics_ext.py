@@ -1300,3 +1300,81 @@ def test_hyperball_neighborhood_vs_exact_bfs(spark, sf_dir):
     for r in range(1, HB_ROUNDS + 1):
         ratio = rows[r].sum_ball_est / exact_n[r]
         assert 0.90 < ratio < 1.10, (r, rows[r].sum_ball_est, exact_n[r])
+
+
+def test_hyperball_closeness_vs_exact_bfs(spark, sf_dir):
+    """Internal-consistency and accuracy witness for the HyperBall
+    harmonic centrality: (a) hc_micro recomputes exactly from the
+    returned ball estimates (est_0 == 1 per the exact linear-count
+    identity), (b) each returned node's estimate tracks its EXACT
+    truncated harmonic centrality (pure-Python BFS shells, same
+    weights) within the aggregated sketch error, and (c) the returned
+    set overlaps the exact top-20 heavily."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        HB_CLOSENESS_TOP,
+        HB_HARMONIC,
+        HB_ROUNDS,
+        q_hyperball_closeness,
+    )
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ]
+    baskets: dict[int, set[int]] = {}
+    for ok, pk in zip(li.l_orderkey, li.l_partkey):
+        baskets.setdefault(int(ok), set()).add(int(pk))
+    pair_count: dict[tuple[int, int], int] = {}
+    for parts in baskets.values():
+        if not (2 <= len(parts) <= 50):
+            continue
+        sp = sorted(parts)
+        for i, a in enumerate(sp):
+            for b in sp[i + 1:]:
+                pair_count[(a, b)] = pair_count.get((a, b), 0) + 1
+    adj: dict[int, set[int]] = {}
+    for (a, b), c in pair_count.items():
+        if c >= 2:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+
+    exact_hc: dict[int, float] = {}
+    for v in adj:
+        ball = {v}
+        frontier = {v}
+        hc = 0.0
+        for r in range(1, HB_ROUNDS + 1):
+            new = set()
+            for u in frontier:
+                new |= adj[u]
+            frontier = new - ball
+            ball |= new
+            hc += len(frontier) * (HB_HARMONIC[r - 1] / 1e6)
+        exact_hc[v] = hc
+
+    rows = q_hyperball_closeness(spark, sf_dir).collect()
+    assert len(rows) == HB_CLOSENESS_TOP
+    for r in rows:
+        # (a) hc recomputes from the output (est_0 == 1 exactly)
+        want = (
+            max(r.ball_1 - 1, 0) * HB_HARMONIC[0]
+            + max(r.ball_2 - r.ball_1, 0) * HB_HARMONIC[1]
+            + max(r.ball_3 - r.ball_2, 0) * HB_HARMONIC[2]
+        )
+        assert r.hc_micro == want, r
+        # (b) FLOAT WITNESS: estimate vs exact truncated harmonic
+        # centrality — these are hub nodes (hc in the thousands), so
+        # the m=1024 sketch's ~3.2%/ball error bounds the ratio
+        assert 0.85 < (r.hc_micro / 1e6) / exact_hc[r.node] < 1.15, (
+            r.node, r.hc_micro / 1e6, exact_hc[r.node],
+        )
+    # (c) ranking agreement with the exact top-20 (sketch noise can
+    # swap near-ties; a heavy majority must survive)
+    exact_top = {
+        v for v, _ in sorted(
+            exact_hc.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:HB_CLOSENESS_TOP]
+    }
+    got = {r.node for r in rows}
+    assert len(got & exact_top) >= 14, (sorted(got), sorted(exact_top))
