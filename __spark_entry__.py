@@ -110,6 +110,7 @@ _DRIVER_ORDER_R11 = [
     "calibration_report",  # new in r11
     "dsir_streamed",  # new in r11 (25th streaming drain)
     "hyperball_closeness",  # new in r11
+    "good_turing_smoothing",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -717,6 +718,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibration_report": similarity.q_calibration_report,
         "dsir_streamed": _q_dsir_streamed,
         "hyperball_closeness": graph.q_hyperball_closeness,
+        "good_turing_smoothing": text.q_good_turing_smoothing,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -6652,6 +6654,27 @@ def oracle_sql() -> dict[str, str]:
     # propagation twin is built programmatically (see _hyperball_sql)
     out["hyperball_neighborhood"] = _hyperball_sql()
     out["hyperball_closeness"] = _hyperball_closeness_sql()
+
+    # Good-Turing adjusted counts + unseen mass over count-of-counts
+    # (mirrors text.GT_TOP_R = 20): exact rationals, trunc division
+    out["good_turing_smoothing"] = (
+        "WITH toks AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "terms AS (SELECT tk[i] || ' ' || tk[i+1] AS term "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "tf AS (SELECT term, count(*) AS r FROM terms GROUP BY term), "
+        "coc AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM tf "
+        "GROUP BY r), "
+        "tot AS (SELECT count(*) AS n_tokens FROM terms), "
+        "p0 AS (SELECT CAST((n_r * 1000000) // n_tokens AS BIGINT) "
+        "AS p0_micro FROM coc, tot WHERE r = 1) "
+        "SELECT CAST(c.r AS BIGINT) AS r, c.n_r, "
+        "CAST(coalesce(x.n_r, 0) AS BIGINT) AS n_r_plus_1, "
+        "CAST(((c.r + 1) * coalesce(x.n_r, 0) * 1000000) // c.n_r "
+        "AS BIGINT) AS r_star_micro, p0_micro "
+        "FROM coc c LEFT JOIN coc x ON x.r = c.r + 1, p0 "
+        "WHERE c.r <= 20 ORDER BY c.r"
+    )
 
     # per-source tokenizer fertility under the fixed BPE apply chain
     out["tokenizer_fertility"] = (

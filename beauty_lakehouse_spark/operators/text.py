@@ -891,6 +891,86 @@ def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Good–Turing report depth: adjusted counts for r = 1..GT_TOP_R (the
+#: low-frequency region where smoothing matters; beyond it N_r gets
+#: sparse and the plain estimator is unreliable by design — visible in
+#: the emitted N_{r+1} column, never silent).
+GT_TOP_R = 20
+
+
+def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD–TURING frequency smoothing (Good 1953; Gale & Sampson's
+    presentation) over the corpus BIGRAM frequencies — the third
+    member of the LM-estimator family (MLE `bigram_cross_entropy`,
+    Kneser–Ney `kneser_ney_bigrams`): how much probability mass the
+    unseen n-grams deserve, and what an n-gram seen r times is REALLY
+    worth. Both are exact rationals over the count-of-counts table:
+
+        r* = (r+1) · N_{r+1} / N_r        (adjusted count, micro)
+        p0 = N_1 / N                      (unseen mass, micro)
+
+    with N_r = #distinct bigram TYPES of frequency r and N = total
+    bigram occurrences. Bigram grain because the fixture's unigram
+    vocabulary is tiny and saturated (31 types, min frequency 26 — no
+    low-r region at all) while bigrams carry the Zipfian tail
+    smoothing exists for (measured N_1 = 10 at sf0.01).
+    The table is emitted for r = 1..GT_TOP_R with N_r and N_{r+1}
+    carried, so the sparse-tail breakdown of the plain estimator is
+    visible in the data (the production fix — smoothed Z_r regression
+    — is float territory; the plain form is the hash-checkable core).
+    p0 rides on every row as the headline scalar (1-row broadcast).
+
+    Scale: bigram counts are one map-side-combinable aggregate; the
+    count-of-counts collapse is a second aggregate at distinct-
+    multiplicity grain (O(√grams) rows — the `key_skew_profile`
+    bound); everything after runs on the ≤ GT_TOP_R-row table.
+
+    Output: (r, n_r, n_r_plus_1, r_star_micro, p0_micro)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    terms = t.documents.filter(F.size(toks) >= 2).select(
+        F.explode(grams).alias("term")
+    )
+    tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    coc = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    tot = terms.agg(F.count(F.lit(1)).alias("n_tokens"))
+    n1 = coc.filter(F.col("r") == 1).select(F.col("n_r").alias("n_1"))
+    p0 = (
+        tot.crossJoin(F.broadcast(n1))
+        .select(
+            _idiv(F.col("n_1") * F.lit(1_000_000), F.col("n_tokens")).alias(
+                "p0_micro"
+            )
+        )
+    )
+    return (
+        coc.filter(F.col("r") <= GT_TOP_R)
+        .join(nxt, "r", "left")
+        .select(
+            F.col("r").cast("long").alias("r"),
+            "n_r",
+            F.coalesce("n_r1", F.lit(0).cast("long")).alias("n_r_plus_1"),
+            _idiv(
+                (F.col("r") + 1)
+                * F.coalesce("n_r1", F.lit(0).cast("long"))
+                * F.lit(1_000_000),
+                F.col("n_r"),
+            ).alias("r_star_micro"),
+        )
+        .crossJoin(F.broadcast(p0))
+        .orderBy("r")
+    )
+
+
 #: q_vocab_coverage: vocabulary = the VOCAB_K most frequent corpus
 #: terms (ties broken lexicographically — deterministic).
 VOCAB_K = 1000

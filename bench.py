@@ -218,6 +218,7 @@ HEADLINE = [
     "calibration_report",     # kNN vote-share reliability table + ECE (new in r11)
     "dsir_streamed",          # importance-model-at-ingest DSIR drain (new in r11)
     "hyperball_closeness",    # truncated harmonic centrality top-20 (new in r11)
+    "good_turing_smoothing",  # exact-rational GT adjusted counts + unseen mass (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

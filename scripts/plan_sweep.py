@@ -37,6 +37,7 @@ WHITELIST: dict[str, str] = {
     "knn_label_accuracy": "bounded 100-query batch x corpus brute audit (the knn_brute shape); scalable serving stays with the lsh/ivf/pq families",
     "calibration_report": "bounded 100-query batch x corpus brute audit (the knn_label_accuracy shape) + a 1-row ECE broadcast onto the <=5-row reliability table",
     "kmv_set_algebra": "5x5 type-pair theta join over the |types|-row table; every downstream frame is sketch-sized (<= types x k rows)",
+    "good_turing_smoothing": "two 1-row broadcasts (total-gram count, N_1 unseen mass) attached to the <=20-row count-of-counts report",
     "knn_lsh": "per-query probe join over hash buckets; query batch bounded (<=20)",
     "knn_ivf": "broadcast k-row centroid cross join (k=16), bounded by design",
     "knn_lsh_hi": "high-recall config of knn_lsh: same bounded probe join, more tables/probes",

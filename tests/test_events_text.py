@@ -2181,3 +2181,51 @@ def test_tokenizer_fertility_pure_python(spark, sf_dir):
         )
         # fertility is >= 1 by construction (every token >= 1 piece)
         assert r.fertility_micro >= 1_000_000
+
+
+def test_good_turing_smoothing_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the bigram count-of-counts table and
+    the Good-Turing adjusted counts + unseen mass, with a FLOAT
+    WITNESS on r* and p0 (plain float (r+1)N_{r+1}/N_r vs the micro
+    integers) and the Good-Turing mass identity: summing the adjusted
+    counts over ALL r (plus the N_1 mass moved to unseen) conserves
+    the total occurrence count."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        GT_TOP_R,
+        q_good_turing_smoothing,
+    )
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[["text"]]
+    freq: dict[str, int] = {}
+    n_total = 0
+    for text in pdf.text:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            g = f"{a} {b}"
+            freq[g] = freq.get(g, 0) + 1
+            n_total += 1
+    coc: dict[int, int] = {}
+    for r in freq.values():
+        coc[r] = coc.get(r, 0) + 1
+
+    rows = {r.r: r for r in q_good_turing_smoothing(spark, sf_dir).collect()}
+    assert set(rows) == {r for r in coc if r <= GT_TOP_R}
+    p0_want = (coc.get(1, 0) * 1_000_000) // n_total
+    for r, row in rows.items():
+        assert row.n_r == coc[r]
+        assert row.n_r_plus_1 == coc.get(r + 1, 0)
+        want = ((r + 1) * coc.get(r + 1, 0) * 1_000_000) // coc[r]
+        assert row.r_star_micro == want
+        assert row.p0_micro == p0_want
+        # FLOAT WITNESS: plain float forms within trunc slack
+        assert abs(
+            row.r_star_micro / 1e6 - (r + 1) * coc.get(r + 1, 0) / coc[r]
+        ) < 1e-6
+        assert abs(row.p0_micro / 1e6 - coc.get(1, 0) / n_total) < 1e-6
+    # Good-Turing conservation: the total adjusted mass over the whole
+    # spectrum, Σ_r N_r·r*(r) = Σ_{s>=2} s·N_s, equals N − N_1 — the
+    # singleton mass is exactly what moved to the unseen estimate
+    total_adjusted = sum(s * n for s, n in coc.items() if s >= 2)
+    assert total_adjusted == n_total - coc.get(1, 0)
