@@ -111,6 +111,8 @@ _DRIVER_ORDER_R11 = [
     "dsir_streamed",  # new in r11 (25th streaming drain)
     "hyperball_closeness",  # new in r11
     "good_turing_smoothing",  # new in r11
+    "nb_lang_classifier",  # new in r11
+    "nb_lang_streamed",  # new in r11 (26th streaming drain)
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -719,6 +721,10 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_streamed": _q_dsir_streamed,
         "hyperball_closeness": graph.q_hyperball_closeness,
         "good_turing_smoothing": text.q_good_turing_smoothing,
+        # trained multinomial NB language classifier, held-out
+        # confusion matrix — exact integer micro-nat decision rule
+        "nb_lang_classifier": text.q_nb_lang_classifier,
+        "nb_lang_streamed": _q_nb_lang_streamed,
         # temperature-flattened (n^(1/2)) mixture weights via exact
         # integer sqrt — oracle-exact
         "mixture_temperature": curation.q_mixture_temperature,
@@ -1558,6 +1564,30 @@ def _q_dsir_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"gate_dsir_{uuid.uuid4().hex[:8]}",
     )
     return dsir_finish(grid)
+
+
+def _q_nb_lang_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify-at-ingest: the NB classifier's per-(doc, lang, token)
+    count grid maintained as a complete-mode aggregate over the
+    documents landing stream (additive + order-insensitive →
+    slicing-independent), then the SHARED ``text.nb_finish`` trains
+    the model on the grid's train fold and scores its test fold.
+    Behind the SAME oracle row as the batch ``nb_lang_classifier`` —
+    the 26th oracle-matched streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.text import nb_finish
+    from beauty_lakehouse_spark.streaming import (
+        nb_token_counts,
+        run_available_now,
+        stream_documents,
+    )
+
+    grid = run_available_now(
+        nb_token_counts(stream_documents(spark, sf_dir)),
+        f"gate_nbl_{uuid.uuid4().hex[:8]}",
+    )
+    return nb_finish(grid)
 
 
 def _q_kaplan_meier_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6675,6 +6705,51 @@ def oracle_sql() -> dict[str, str]:
         "FROM coc c LEFT JOIN coc x ON x.r = c.r + 1, p0 "
         "WHERE c.r <= 20 ORDER BY c.r"
     )
+
+    # trained multinomial NB language classifier (mirrors
+    # text.NB_TEST_MOD = 5): add-one smoothing over train vocab + 1
+    # OOV type, decision rule in exact integer micro-nats (ln_micro)
+    out["nb_lang_classifier"] = (
+        "WITH g AS MATERIALIZED (SELECT doc_id, lang, tok, "
+        "CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id, lang, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "GROUP BY 1, 2, 3), "
+        "tr AS MATERIALIZED (SELECT * FROM g WHERE doc_id % 5 <> 0), "
+        "te AS MATERIALIZED (SELECT doc_id, lang AS true_lang, tok, c "
+        "FROM g WHERE doc_id % 5 = 0), "
+        "v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS vocab_n "
+        "FROM tr), "
+        "cls AS MATERIALIZED (SELECT lang, CAST(sum(c) AS BIGINT) AS tot, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_lang "
+        "FROM tr GROUP BY lang), "
+        "ndt AS (SELECT CAST(sum(n_docs_lang) AS BIGINT) AS n_docs_total "
+        "FROM cls), "
+        "langs AS MATERIALIZED (SELECT lang AS hyp, "
+        "tot + vocab_n + 1 AS den, "
+        + _lnm("n_docs_total", "n_docs_lang")
+        + " AS prior_cost FROM cls, v, ndt), "
+        "m AS MATERIALIZED (SELECT tok, lang AS hyp, "
+        "CAST(sum(c) AS BIGINT) AS ctl FROM tr GROUP BY 1, 2), "
+        "sc AS MATERIALIZED (SELECT te.doc_id, te.true_lang, l.hyp, "
+        "l.prior_cost + sum(te.c * "
+        + _lnm("l.den", "(coalesce(m.ctl, 0) + 1)")
+        + ") AS total_cost "
+        "FROM te CROSS JOIN langs l "
+        "LEFT JOIN m ON m.tok = te.tok AND m.hyp = l.hyp "
+        "GROUP BY 1, 2, 3, l.prior_cost), "
+        "p AS (SELECT doc_id, true_lang, min(ROW(total_cost, hyp)) "
+        "AS pick FROM sc GROUP BY 1, 2), "
+        "conf AS (SELECT true_lang, pick[2] AS pred_lang, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2), "
+        "acc AS (SELECT CAST(sum(CASE WHEN true_lang = pred_lang "
+        "THEN n_docs ELSE 0 END) * 1000000 // sum(n_docs) AS BIGINT) "
+        "AS acc_ppm FROM conf) "
+        "SELECT true_lang, pred_lang, n_docs, acc_ppm FROM conf, acc "
+        "ORDER BY true_lang, pred_lang"
+    )
+    # classify-at-ingest drain shares the batch NB oracle (the grid is
+    # additive + order-insensitive, nb_finish is the shared tail)
+    out["nb_lang_streamed"] = out["nb_lang_classifier"]
 
     # per-source tokenizer fertility under the fixed BPE apply chain
     out["tokenizer_fertility"] = (

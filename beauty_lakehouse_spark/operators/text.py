@@ -2272,3 +2272,153 @@ def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(RAKE_TOP)
     )
+
+
+#: Naive-Bayes language classifier: deterministic held-out split —
+#: doc_id % NB_TEST_MOD == 0 is the test fold (1/5 of the corpus),
+#: everything else trains the model. Add-one smoothing over the train
+#: vocabulary plus one explicit OOV type.
+NB_TEST_MOD = 5
+
+
+def nb_token_grid(documents: DataFrame) -> DataFrame:
+    """Per-(doc_id, lang, token) count grid — the sufficient statistic
+    for the multinomial NB classifier (`q_nb_lang_classifier`), shared
+    with the classify-at-ingest streaming drain: the count is additive
+    and order-insensitive, so a complete-mode streamed aggregate of
+    this grid is micro-batch-slicing-independent."""
+    return (
+        documents.select(
+            "doc_id",
+            "lang",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def nb_finish(grid: DataFrame) -> DataFrame:
+    """Train + score the multinomial NB language classifier from the
+    (doc_id, lang, tok, c) grid; see `q_nb_lang_classifier`."""
+    from ..functions import _idiv
+
+    # the grid feeds both the train fold (model) and the test fold
+    # (scoring) — break the self-reference for the streamed drain's
+    # memory-sink view (same seam as dsir_finish)
+    grid = grid.localCheckpoint(eager=False)
+    train = grid.filter(F.col("doc_id") % NB_TEST_MOD != 0)
+    test = grid.filter(F.col("doc_id") % NB_TEST_MOD == 0).select(
+        "doc_id", F.col("lang").alias("true_lang"), "tok", "c"
+    )
+    # train-vocabulary size (1-row scalar, broadcast everywhere)
+    vocab_n = train.agg(
+        F.countDistinct("tok").cast("long").alias("vocab_n")
+    )
+    # per-class token totals + doc-count priors
+    cls = train.groupBy("lang").agg(
+        F.sum("c").cast("long").alias("tot"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs_lang"),
+    )
+    ndt = cls.agg(F.sum("n_docs_lang").cast("long").alias("n_docs_total"))
+    langs = (
+        cls.crossJoin(F.broadcast(vocab_n))
+        .crossJoin(F.broadcast(ndt))
+        .select(
+            F.col("lang").alias("hyp"),
+            (F.col("tot") + F.col("vocab_n") + 1).alias("den"),
+            ln_micro(F.col("n_docs_total"), F.col("n_docs_lang")).alias(
+                "prior_cost"
+            ),
+        )
+    )
+    # dictionary-scale model table: add-one count per (token, class)
+    model = train.groupBy("tok", "lang").agg(
+        F.sum("c").cast("long").alias("ctl")
+    )
+    # score every test token against every class; unseen (token,
+    # class) pairs fall to the add-one floor c=0 via the left join
+    sc = (
+        test.crossJoin(F.broadcast(langs))
+        .join(
+            F.broadcast(model).withColumnRenamed("lang", "hyp"),
+            ["tok", "hyp"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "hyp", "prior_cost")
+        .agg(
+            F.sum(
+                F.col("c")
+                * ln_micro(
+                    F.col("den"),
+                    F.coalesce(F.col("ctl"), F.lit(0).cast("long")) + 1,
+                )
+            ).alias("tok_cost")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "hyp",
+            (F.col("prior_cost") + F.col("tok_cost")).alias("total_cost"),
+        )
+    )
+    pred = sc.groupBy("doc_id", "true_lang").agg(
+        F.min(
+            F.struct(
+                F.col("total_cost").alias("tc"), F.col("hyp").alias("lb")
+            )
+        )["lb"].alias("pred_lang")
+    )
+    conf = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    acc = conf.agg(
+        _idiv(
+            F.sum(
+                F.when(
+                    F.col("true_lang") == F.col("pred_lang"),
+                    F.col("n_docs"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            * F.lit(1_000_000),
+            F.sum("n_docs"),
+        ).alias("acc_ppm")
+    )
+    return (
+        conf.crossJoin(F.broadcast(acc))
+        .select("true_lang", "pred_lang", "n_docs", "acc_ppm")
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED multinomial Naive-Bayes language classifier with a
+    held-out confusion matrix — the fastText-style supervised-filter
+    slot in the pipeline (McCallum & Nigam 1998's multinomial event
+    model; the `lang_id` heuristic is the zero-shot twin, this is the
+    learned one). Deterministic 80/20 split (doc_id % 5), add-one
+    smoothing over the train vocabulary + 1 OOV type, and the whole
+    decision rule in exact integer micro-nats:
+
+        cost(doc, L) = ln(N_docs / N_docs_L)
+                     + Σ_tok c_tok · ln((tot_L + V + 1) / (c_{tok,L}+1))
+
+    via the fixed-point `ln_micro` (both ratios ≥ 1 by construction),
+    argmin over classes with lexicographic tie-break — hash-identical
+    in DuckDB, no float log anywhere.
+
+    On THIS fixture the text is synthetic jargon drawn from one shared
+    vocabulary (the `lang_id` stopword lexicons never fire), so the
+    expected read is the majority-class collapse: every test doc scores
+    lowest under the largest prior ('en') — the same absent-signal
+    detection convention as `knn_label_accuracy`. The pytest pins
+    exactly that plus a planted-signal positive control.
+
+    Scale: tokenize → one map-side-combinable grid aggregate; the
+    model and class tables are dictionary-scale broadcasts; scoring is
+    a broadcast join on the test token stream (no shuffle besides the
+    per-doc argmin aggregate).
+
+    Output: (true_lang, pred_lang, n_docs, acc_ppm)."""
+    t = load(spark, sf_dir)
+    return nb_finish(nb_token_grid(t.documents))

@@ -16,6 +16,7 @@ from .pipelines import (  # noqa: F401
     hourly_user_hll_registers,
     hourly_event_counts,
     multires_minute_values,
+    nb_token_counts,
     latest_event_table,
     order_stats_value_grid,
     orders_checksum_stream,

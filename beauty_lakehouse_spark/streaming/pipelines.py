@@ -509,6 +509,20 @@ def dsir_doc_bucket_counts(documents: DataFrame) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("c"))
 
 
+def nb_token_counts(documents: DataFrame) -> DataFrame:
+    """Streamed NB classifier grid (the state behind
+    `operators.text.q_nb_lang_classifier` running ON the documents
+    landing stream): the per-(doc_id, lang, token) count is additive
+    and order-insensitive, so complete-mode state is the token grid
+    and the drained table is micro-batch-slicing-independent.
+    `text.nb_finish` trains the model from the grid's train fold AND
+    scores its test fold — classify-at-ingest without re-scanning the
+    landed corpus."""
+    from ..operators.text import nb_token_grid
+
+    return nb_token_grid(documents)
+
+
 #: Stream-stream join attribution window (event time): a purchase
 #: joins every view by the same user in the preceding hour.
 SS_JOIN_WINDOW_US = 3_600_000_000

@@ -219,6 +219,8 @@ HEADLINE = [
     "dsir_streamed",          # importance-model-at-ingest DSIR drain (new in r11)
     "hyperball_closeness",    # truncated harmonic centrality top-20 (new in r11)
     "good_turing_smoothing",  # exact-rational GT adjusted counts + unseen mass (new in r11)
+    "nb_lang_classifier",     # trained multinomial NB lang classifier, micro-nat rule (new in r11)
+    "nb_lang_streamed",       # classify-at-ingest NB drain (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

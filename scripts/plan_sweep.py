@@ -123,6 +123,7 @@ WHITELIST: dict[str, str] = {
     "neyman_allocation": "two Hamilton passes over the 5-row segment table: 1-row weight-total/base-sum broadcasts (the source_quota_apportionment shape)",
     "heaps_law_fit": "1-row doc-count and 1-row fitted-exponent broadcasts against the 10-row checkpoint curve",
     "kmv_distinct_estimate": "1-row exact-count x 1-row bottom-k aggregate broadcast attach, per target",
+    "nb_lang_classifier": "bounded |classes|-row (5) model-parameter broadcast crossed onto the test token stream + 1-row vocab/prior scalars",
     "bloom_fpr_audit": "1-row test-gram-count broadcast attach onto the 5-row per-k report",
     "domain_dedup_mixture": "1-row weight-total and base-quota-sum broadcasts against the <=50-row domain table (the source_quota_apportionment Hamilton shape)",
     "dsir_importance": "1-row factored-normalizer broadcast (C = ln((R+B)/(T+B))) attached to the per-doc score aggregate",

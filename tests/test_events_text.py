@@ -2229,3 +2229,100 @@ def test_good_turing_smoothing_pure_python(spark, sf_dir):
     # singleton mass is exactly what moved to the unseen estimate
     total_adjusted = sum(s * n for s, n in coc.items() if s >= 2)
     assert total_adjusted == n_total - coc.get(1, 0)
+
+
+def test_nb_lang_classifier_pure_python(spark, sf_dir):
+    """Pure-Python recompute of the multinomial NB train/score path:
+    same deterministic split, same add-one model, same integer
+    micro-nat costs — the confusion matrix and acc_ppm must match
+    bit-for-bit. FLOAT WITNESS: every (doc, class) integer cost agrees
+    with the true float log-cost within the accumulated ln_micro
+    quantization budget, and wherever the float argmin is uniquely
+    separated beyond that budget it picks the SAME class. A planted
+    lang-specific-vocabulary control checks the learner detects real
+    signal (this fixture's shared-vocabulary text is the negative
+    control — accuracy rides the majority-class floor)."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        NB_TEST_MOD,
+        nb_finish,
+        nb_token_grid,
+        q_nb_lang_classifier,
+    )
+
+    def ln_micro_py(num: int, den: int) -> int:
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    pdf = pd.read_parquet(f"{sf_dir}/documents.parquet")[
+        ["doc_id", "lang", "text"]
+    ]
+    train = pdf[pdf.doc_id % NB_TEST_MOD != 0]
+    test = pdf[pdf.doc_id % NB_TEST_MOD == 0]
+    vocab = {t for text in train.text for t in text.split(" ")}
+    v_n = len(vocab)
+    tot: dict[str, int] = {}
+    nd: dict[str, int] = {}
+    ctl: dict[tuple[str, str], int] = {}
+    for _, r in train.iterrows():
+        toks = r.text.split(" ")
+        tot[r.lang] = tot.get(r.lang, 0) + len(toks)
+        nd[r.lang] = nd.get(r.lang, 0) + 1
+        for t in toks:
+            ctl[(t, r.lang)] = ctl.get((t, r.lang), 0) + 1
+    nd_total = sum(nd.values())
+    langs = sorted(tot)
+
+    conf: dict[tuple[str, str], int] = {}
+    for _, r in test.iterrows():
+        toks = r.text.split(" ")
+        best = None
+        for lang in langs:
+            den = tot[lang] + v_n + 1
+            cost = ln_micro_py(nd_total, nd[lang])
+            fcost = math.log(nd_total / nd[lang])
+            for t in toks:
+                c = ctl.get((t, lang), 0)
+                cost += ln_micro_py(den, c + 1)
+                fcost += math.log(den / (c + 1))
+            # FLOAT WITNESS: integer micro-nat cost tracks the true
+            # float log-cost within the per-ln quantization budget
+            # (±1e-4 nats per ln_micro call, one per token + prior)
+            budget = (len(toks) + 1) * 1.1e-4
+            assert abs(cost / 1e6 - fcost) < budget
+            if best is None or (cost, lang) < best:
+                best = (cost, lang)
+        key = (r.lang, best[1])
+        conf[key] = conf.get(key, 0) + 1
+
+    n_correct = sum(n for (t, p), n in conf.items() if t == p)
+    acc_ppm = n_correct * 1_000_000 // sum(conf.values())
+    rows = q_nb_lang_classifier(spark, sf_dir).collect()
+    got = {(r.true_lang, r.pred_lang): r.n_docs for r in rows}
+    assert got == conf
+    assert all(r.acc_ppm == acc_ppm for r in rows)
+
+    # planted-signal positive control: class-specific vocabularies
+    # must classify perfectly (the learner sees real signal)
+    planted = spark.createDataFrame(
+        [
+            (i, " ".join([f"w{i % 3}"] * 6), f"L{i % 3}", "s", 6)
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    prows = nb_finish(nb_token_grid(planted)).collect()
+    assert all(r.true_lang == r.pred_lang for r in prows)
+    assert all(r.acc_ppm == 1_000_000 for r in prows)

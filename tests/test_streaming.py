@@ -870,3 +870,36 @@ def test_dsir_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = dsir_finish(grid)
     expected = q_dsir_importance(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_nb_lang_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the documents fixture into 4 files and stream them one per
+    micro-batch: the drained complete-mode NB token grid through the
+    shared nb_finish must equal the batch q_nb_lang_classifier
+    confusion matrix exactly — the grid is an additive count
+    aggregate, so arrival order and slicing cannot change the model or
+    the predictions."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.text import (
+        nb_finish,
+        q_nb_lang_classifier,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import nb_token_counts
+
+    src = str(tmp_path / "docs_parts_nbl")
+    docs = load(spark, sf_dir).documents
+    docs.withColumn(
+        "part", (F.col("doc_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(nb_token_counts(stream), "t_nbl_mb")
+    got = nb_finish(grid)
+    expected = q_nb_lang_classifier(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
