@@ -113,6 +113,14 @@ _DRIVER_ORDER_R11 = [
     "good_turing_smoothing",  # new in r11
     "nb_lang_classifier",  # new in r11
     "nb_lang_streamed",  # new in r11 (26th streaming drain)
+    "mann_kendall_trend",  # new in r11
+    "hilbert_curve_keys",  # new in r11
+    "community_modularity",  # new in r11
+    "signbit_topk_exactint",  # new in r11
+    "clustering_coefficients",  # new in r11
+    "degree_assortativity",  # new in r11
+    "kruskal_wallis_segments",  # new in r11
+    "brand_return_woe_iv",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -534,6 +542,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_eval_hitrate": graph.q_copurchase_eval_hitrate,
         "price_drift_ks": quality.q_price_drift_ks,
         "revenue_theil_sen": warehouse.q_revenue_theil_sen,
+        # nonparametric monotone-trend significance on the daily series
+        "mann_kendall_trend": warehouse.q_mann_kendall_trend,
+        # k-group rank test; credit-scoring WoE/IV feature audit
+        "kruskal_wallis_segments": quality.q_kruskal_wallis_segments,
+        "brand_return_woe_iv": quality.q_brand_return_woe_iv,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -659,6 +672,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk_exactint": similarity.q_ivf_topk_exactint,
         "pq_topk_exactint": similarity.q_pq_topk_exactint,
         "ivfpq_topk_exactint": similarity.q_ivfpq_topk_exactint,
+        # binary-quantized serving: sign-bit Hamming pool + exact rerank
+        "signbit_topk_exactint": similarity.q_signbit_topk_exactint,
         # text analysis (all oracle — tfidf via fixed-point ln_micro)
         "text_stats": text.q_text_stats,
         "quality_scores": text.q_quality_scores,
@@ -788,6 +803,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_gain_features": quality.q_info_gain_features,
         "deterministic_random_walks": graph.q_deterministic_random_walks,
         "label_propagation_communities": graph.q_label_propagation_communities,
+        # Newman modularity audit of the LPA partition (exact numerators)
+        "community_modularity": graph.q_community_modularity,
+        # local clustering + transitivity; degree-mixing correlation
+        "clustering_coefficients": graph.q_clustering_coefficients,
+        "degree_assortativity": graph.q_degree_assortativity,
         "fellegi_sunter_weights": text.q_fellegi_sunter_weights,
         "rake_keyword_scores": text.q_rake_keyword_scores,
         "rrf_fusion_exactint": similarity.q_rrf_fusion_exactint,
@@ -818,6 +838,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_entropy": quality.q_categorical_entropy,
         "table_stats": quality.q_table_stats,
         "orders_zorder_keys": warehouse.q_orders_zorder_keys,
+        "hilbert_curve_keys": warehouse.q_hilbert_curve_keys,
         "revenue_gini": warehouse.q_revenue_gini,
         # streaming drains: the STREAMING plans (availableNow) behind the
         # same oracles as their batch twins — oracle-matched streaming
@@ -2167,6 +2188,49 @@ def _hyperball_prefix() -> str:
             f"AS e_raw FROM s{k}), "
             f"g{k} AS (SELECT node, {est} AS est FROM e{k}), "
         )
+    return "".join(parts)
+
+
+def _hilbert_sql() -> str:
+    """16-stage unrolled Hamilton xy→d walk — the DuckDB twin of
+    `warehouse.q_hilbert_curve_keys`'s single F.aggregate fold (SQL has
+    no bound-lambda fold over structs that both engines share, so the
+    twin unrolls one CTE per bit; each stage references the previous
+    one by name, which keeps the expression tree linear exactly like
+    the Spark-side accumulator does)."""
+    parts = [
+        "WITH o AS (SELECT o_orderkey, o_custkey AS ck, "
+        "epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d "
+        "FROM orders), "
+        "bd AS (SELECT min(ck) AS ck0, max(ck) AS ck1, min(d) AS d0, "
+        "max(d) AS d1 FROM o), "
+        "h0 AS (SELECT o_orderkey, "
+        "CAST(((ck - ck0) * 65535) // greatest(ck1 - ck0, 1) AS BIGINT) AS zx, "
+        "CAST(((d - d0) * 65535) // greatest(d1 - d0, 1) AS BIGINT) AS zy, "
+        "CAST(((ck - ck0) * 65535) // greatest(ck1 - ck0, 1) AS BIGINT) AS x, "
+        "CAST(((d - d0) * 65535) // greatest(d1 - d0, 1) AS BIGINT) AS y, "
+        "CAST(0 AS BIGINT) AS hd FROM o, bd)"
+    ]
+    k = 0
+    for i in range(15, -1, -1):
+        s = 1 << i
+        rx = f"((x >> {i}) & 1)"
+        ry = f"((y >> {i}) & 1)"
+        digit = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0 "
+            f"WHEN {rx} = 0 AND {ry} = 1 THEN 1 "
+            f"WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        nx = f"CASE WHEN {ry} = 1 THEN x WHEN {rx} = 1 THEN {s - 1} - y ELSE y END"
+        ny = f"CASE WHEN {ry} = 1 THEN y WHEN {rx} = 1 THEN {s - 1} - x ELSE x END"
+        parts.append(
+            f", h{k + 1} AS (SELECT o_orderkey, zx, zy, "
+            f"CAST({nx} AS BIGINT) AS x, CAST({ny} AS BIGINT) AS y, "
+            f"CAST(hd + CAST({s * s} AS BIGINT) * {digit} AS BIGINT) "
+            f"AS hd FROM h{k})"
+        )
+        k += 1
+    parts.append(f" SELECT o_orderkey, zx, zy, hd AS hkey FROM h{k}")
     return "".join(parts)
 
 
@@ -7172,10 +7236,239 @@ def oracle_sql() -> dict[str, str]:
         "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), und AS (SELECT part_a AS src, part_b AS dst, n_orders FROM ed UNION ALL SELECT part_b, part_a, n_orders FROM ed), adj AS (SELECT src, dst, CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS nbr_rank FROM und), deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src), seeds AS (SELECT CAST(src AS BIGINT) AS seed FROM (SELECT src, sum(n_orders) AS wdeg FROM und GROUP BY src) ORDER BY wdeg DESC, src LIMIT 10), s0 AS (SELECT seed, walk_id, seed AS cur FROM seeds CROSS JOIN (SELECT CAST(unnest(generate_series(0, 3)) AS BIGINT) AS walk_id) ww), m1 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 1) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s0 t JOIN deg d ON t.cur = d.src), s1 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m1 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m2 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 2) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s1 t JOIN deg d ON t.cur = d.src), s2 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m2 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m3 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 3) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s2 t JOIN deg d ON t.cur = d.src), s3 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m3 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank), m4 AS (SELECT t.seed, t.walk_id, t.cur, ((xor(((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976), ((((((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) >> 30) * 2246822519) % 1073741824) * 1073741824 + ((xor(((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976), ((((((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) >> 30) * 2654435761) % 1073741824) * 1073741824 + ((xor((((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976), (((('0x' || substr(md5(CAST(t.cur AS VARCHAR)), 1, 15))::BIGINT) + (CAST((t.walk_id * 8 + 4) AS BIGINT) + 1) * 15614961330584597 % 1152921504606846976) % 1152921504606846976) >> 31)) % 1073741824) * 2654435761) % 1152921504606846976) >> 29)) % 1073741824) * 2246822519) % 1152921504606846976) >> 32)) % d.deg) + 1 AS pick FROM s3 t JOIN deg d ON t.cur = d.src), s4 AS (SELECT m.seed, m.walk_id, a.dst AS cur FROM m4 m JOIN adj a ON m.cur = a.src AND m.pick = a.nbr_rank) SELECT seed, walk_id, CAST(0 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s0 UNION ALL SELECT seed, walk_id, CAST(1 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s1 UNION ALL SELECT seed, walk_id, CAST(2 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s2 UNION ALL SELECT seed, walk_id, CAST(3 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s3 UNION ALL SELECT seed, walk_id, CAST(4 AS INTEGER) AS step, CAST(cur AS BIGINT) AS node FROM s4 ORDER BY seed, walk_id, step"
     )
 
+    # 4 synchronous min-tie-break LPA rounds; AS MATERIALIZED per
+    # stage (the kcore recursive-reinline lesson). The prefix (edges →
+    # und → l0..l4) is shared by the community listing AND the
+    # modularity audit so the two can never drift.
+    _lpa_prefix = 'WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), und AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM ed UNION ALL SELECT part_b, part_a FROM ed), l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und), c1 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2), l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c1) WHERE rk = 1), c2 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2), l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c2) WHERE rk = 1), c3 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l2 l ON u.dst = l.id GROUP BY 1, 2), l3 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c3) WHERE rk = 1), c4 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l3 l ON u.dst = l.id GROUP BY 1, 2), l4 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c4) WHERE rk = 1)'
     out["label_propagation_communities"] = (
-        # 4 synchronous min-tie-break LPA rounds; AS MATERIALIZED per
-        # stage (the kcore recursive-reinline lesson)
-        'WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2), und AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM ed UNION ALL SELECT part_b, part_a FROM ed), l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM und), c1 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l0 l ON u.dst = l.id GROUP BY 1, 2), l1 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c1) WHERE rk = 1), c2 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l1 l ON u.dst = l.id GROUP BY 1, 2), l2 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c2) WHERE rk = 1), c3 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l2 l ON u.dst = l.id GROUP BY 1, 2), l3 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c3) WHERE rk = 1), c4 AS (SELECT u.src, l.lbl, count(*) AS n FROM und u JOIN l3 l ON u.dst = l.id GROUP BY 1, 2), l4 AS MATERIALIZED (SELECT src AS id, lbl FROM (SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY n DESC, lbl) AS rk FROM c4) WHERE rk = 1) SELECT CAST(l.id AS BIGINT) AS part, CAST(l.lbl AS BIGINT) AS community, CAST(s.n AS BIGINT) AS community_size FROM l4 l JOIN (SELECT lbl, count(*) AS n FROM l4 GROUP BY lbl) s ON l.lbl = s.lbl ORDER BY part'
+        _lpa_prefix
+        + ' SELECT CAST(l.id AS BIGINT) AS part, CAST(l.lbl AS BIGINT) AS community, CAST(s.n AS BIGINT) AS community_size FROM l4 l JOIN (SELECT lbl, count(*) AS n FROM l4 GROUP BY lbl) s ON l.lbl = s.lbl ORDER BY part'
+    )
+
+    # Newman modularity of the converged LPA partition: exact integer
+    # numerators over the common denominator 4m² (mirrors
+    # graph.q_community_modularity — no division ever happens)
+    out["community_modularity"] = (
+        _lpa_prefix + ", "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM ed), "
+        "ein AS (SELECT la.lbl AS community, CAST(count(*) AS BIGINT) "
+        "AS e_in FROM ed JOIN l4 la ON la.id = ed.part_a "
+        "JOIN l4 lb ON lb.id = ed.part_b WHERE la.lbl = lb.lbl "
+        "GROUP BY 1), "
+        "deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg "
+        "FROM und GROUP BY 1), "
+        "comm AS (SELECT l4.lbl AS community, "
+        "CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(sum(deg) AS BIGINT) AS d_sum "
+        "FROM l4 JOIN deg USING (id) GROUP BY 1), "
+        "per AS (SELECT community, n_nodes, "
+        "CAST(coalesce(e_in, 0) AS BIGINT) AS e_in, d_sum, "
+        "CAST(4 * m_edges * coalesce(e_in, 0) - d_sum * d_sum "
+        "AS BIGINT) AS contrib_num, m_edges "
+        "FROM comm LEFT JOIN ein USING (community), m), "
+        "qn AS (SELECT CAST(sum(contrib_num) AS BIGINT) AS q_num "
+        "FROM per) "
+        "SELECT CAST(community AS BIGINT) AS community, n_nodes, e_in, "
+        "d_sum, contrib_num, m_edges, q_num FROM per, qn "
+        "ORDER BY community"
+    )
+
+    # shared thresholded co-purchase edge list (the LPA prefix's edge
+    # stage, without the propagation rounds) for the per-node density
+    # and degree-mixing audits
+    _edge_prefix = (
+        "WITH basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM "
+        "lineitem), ok AS (SELECT l_orderkey FROM basket GROUP BY "
+        "l_orderkey HAVING count(*) <= 50), b2 AS (SELECT b.l_orderkey, "
+        "b.l_partkey FROM basket b JOIN ok USING (l_orderkey)), "
+        "ed AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b "
+        "FROM b2 a JOIN b2 b ON a.l_orderkey = b.l_orderkey AND "
+        "a.l_partkey < b.l_partkey GROUP BY 1, 2 "
+        "HAVING count(*) >= 2), "
+        "und AS MATERIALIZED (SELECT part_a AS src, part_b AS dst "
+        "FROM ed UNION ALL SELECT part_b, part_a FROM ed), "
+        "deg AS MATERIALIZED (SELECT src AS id, "
+        "CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY 1)"
+    )
+
+    # local clustering coefficients + global transitivity: wedge-close
+    # triangle counts per node, exact ppm (mirrors
+    # graph.q_clustering_coefficients)
+    out["clustering_coefficients"] = (
+        _edge_prefix + ", "
+        "wg AS (SELECT a.src AS v, a.dst AS u, b.dst AS wn "
+        "FROM und a JOIN und b ON a.src = b.src AND a.dst < b.dst), "
+        "tr AS (SELECT v, CAST(count(*) AS BIGINT) AS tri FROM wg "
+        "JOIN ed ON ed.part_a = wg.u AND ed.part_b = wg.wn "
+        "GROUP BY 1), "
+        "per AS (SELECT id AS part, deg, "
+        "CAST(coalesce(tri, 0) AS BIGINT) AS tri "
+        "FROM deg LEFT JOIN tr ON tr.v = deg.id WHERE deg >= 2), "
+        "tot AS (SELECT CAST(sum(tri) AS BIGINT) AS sum_tri, "
+        "CAST(sum(deg * (deg - 1)) AS BIGINT) AS sum_wedge2 FROM per) "
+        "SELECT CAST(part AS BIGINT) AS part, deg, tri, "
+        "CAST((tri * 2000000) // (deg * (deg - 1)) AS BIGINT) AS cc_ppm, "
+        "CAST((sum_tri * 2000000) // sum_wedge2 AS BIGINT) "
+        "AS transitivity_ppm "
+        "FROM per, tot ORDER BY part"
+    )
+
+    # Newman degree assortativity: exact integer endpoint-degree sums
+    # over each edge once; sign-handled truncating r_milli (mirrors
+    # graph.q_degree_assortativity)
+    out["degree_assortativity"] = (
+        _edge_prefix + ", "
+        "ej AS (SELECT da.deg AS da, db.deg AS db FROM ed "
+        "JOIN deg da ON da.id = ed.part_a "
+        "JOIN deg db ON db.id = ed.part_b), "
+        "ag AS (SELECT CAST(count(*) AS BIGINT) AS m_edges, "
+        "CAST(sum(da * db) AS BIGINT) AS s_dadb, "
+        "CAST(sum(da + db) AS BIGINT) AS s_sum, "
+        "CAST(sum(da * da + db * db) AS BIGINT) AS s_sq FROM ej), "
+        "rr AS (SELECT m_edges, s_dadb, s_sum, s_sq, "
+        "CAST(4 * m_edges * s_dadb - s_sum * s_sum AS BIGINT) AS r_num, "
+        "CAST(2 * m_edges * s_sq - s_sum * s_sum AS BIGINT) AS r_den "
+        "FROM ag) "
+        "SELECT m_edges, s_dadb, s_sum, s_sq, r_num, r_den, "
+        "CAST(CASE WHEN r_num < 0 THEN -((-r_num * 1000) // r_den) "
+        "ELSE (r_num * 1000) // r_den END AS BIGINT) AS r_milli FROM rr"
+    )
+
+    # Kruskal–Wallis across the five segments: doubled-rank grid form,
+    # tie-corrected H in ppm (mirrors quality.q_kruskal_wallis_segments)
+    out["kruskal_wallis_segments"] = (
+        "WITH obs AS (SELECT c_mktsegment AS segment, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "AS cents FROM orders JOIN customer ON o_custkey = c_custkey), "
+        "cell AS (SELECT cents, segment, CAST(count(*) AS BIGINT) AS nc "
+        "FROM obs GROUP BY 1, 2), "
+        "grid AS (SELECT cents, CAST(count(*) AS BIGINT) AS ct "
+        "FROM obs GROUP BY 1), "
+        "rk AS (SELECT cents, ct, 2 * (sum(ct) OVER (ORDER BY cents "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct) "
+        "+ ct + 1 AS rank2 FROM grid), "
+        "ps AS (SELECT segment, CAST(sum(nc) AS BIGINT) AS n_obs, "
+        "CAST(sum(nc * rank2) AS BIGINT) AS rank2_sum "
+        "FROM cell JOIN rk USING (cents) GROUP BY 1), "
+        "gl AS (SELECT CAST(sum(ct) AS BIGINT) AS n_total, "
+        "CAST(sum(CAST(ct AS HUGEINT) * ct * ct - ct) AS BIGINT) "
+        "AS tie_term FROM rk), "
+        "sg AS (SELECT segment, n_obs, rank2_sum, "
+        "CAST((CAST(rank2_sum AS HUGEINT) * rank2_sum * 3000000) // "
+        "(CAST(n_obs AS HUGEINT) * n_total * (n_total + 1)) AS BIGINT) "
+        "AS contrib_ppm, n_total, tie_term FROM ps, gl), "
+        "tt AS (SELECT CAST(sum(contrib_ppm) AS BIGINT) AS sum_contrib, "
+        "CAST(max(n_total) AS BIGINT) AS n_total, "
+        "CAST(max(tie_term) AS BIGINT) AS tie_term FROM sg), "
+        "hh AS (SELECT CAST((CAST(greatest(sum_contrib - 3000000 * "
+        "(n_total + 1), 0) AS HUGEINT) * (CAST(n_total AS HUGEINT) * "
+        "n_total * n_total - n_total)) // (CAST(n_total AS HUGEINT) * "
+        "n_total * n_total - n_total - tie_term) AS BIGINT) AS h_ppm "
+        "FROM tt) "
+        "SELECT segment, n_obs, rank2_sum, contrib_ppm, n_total, "
+        "tie_term, h_ppm, h_ppm > 9487700 AS significant "
+        "FROM sg, hh ORDER BY segment"
+    )
+
+    # WoE/IV of brand vs returned-flag: signed sums of ln_micro(x, 1)
+    # terms + sign-handled iv division (mirrors
+    # quality.q_brand_return_woe_iv)
+    out["brand_return_woe_iv"] = (
+        "WITH base AS (SELECT p_brand AS brand, CASE WHEN "
+        "l_returnflag = 'R' THEN 1 ELSE 0 END AS pos FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey), "
+        "per AS (SELECT brand, CAST(sum(pos) AS BIGINT) AS n_pos, "
+        "CAST(sum(1 - pos) AS BIGINT) AS n_neg FROM base GROUP BY 1), "
+        "gl AS (SELECT CAST(sum(n_pos) AS BIGINT) AS tot_pos, "
+        "CAST(sum(n_neg) AS BIGINT) AS tot_neg, "
+        "CAST(count(*) AS BIGINT) AS n_brands FROM per), "
+        "j AS (SELECT brand, n_pos, n_neg, "
+        "CAST((" + _lnm("(n_pos + 1)", "1") + ") - ("
+        + _lnm("(tot_pos + n_brands)", "1") + ") - ("
+        + _lnm("(n_neg + 1)", "1") + ") + ("
+        + _lnm("(tot_neg + n_brands)", "1")
+        + ") AS BIGINT) AS woe_micro, "
+        "CAST(((n_pos + 1) * 1000000) // (tot_pos + n_brands) - "
+        "((n_neg + 1) * 1000000) // (tot_neg + n_brands) AS BIGINT) "
+        "AS diff_ppm FROM per, gl), "
+        "r AS (SELECT brand, n_pos, n_neg, woe_micro, diff_ppm, "
+        "CAST(CASE WHEN diff_ppm * woe_micro < 0 "
+        "THEN -((-(diff_ppm * woe_micro)) // 1000000) "
+        "ELSE (diff_ppm * woe_micro) // 1000000 END AS BIGINT) "
+        "AS iv_micro FROM j), "
+        "t AS (SELECT CAST(sum(iv_micro) AS BIGINT) AS iv_total_micro "
+        "FROM r) "
+        "SELECT brand, n_pos, n_neg, woe_micro, diff_ppm, iv_micro, "
+        "iv_total_micro FROM r, t ORDER BY brand"
+    )
+
+    # Mann–Kendall monotone trend on daily revenue: signed pair count,
+    # tie-corrected 18·Var(S), z² in ppm — all exact integers (mirrors
+    # warehouse.q_mann_kendall_trend)
+    out["mann_kendall_trend"] = (
+        "WITH daily AS (SELECT o_orderdate AS d, "
+        "CAST(round(sum(o_totalprice), 2) * 100 AS BIGINT) AS cents "
+        "FROM orders GROUP BY 1), "
+        "s AS (SELECT CAST(sum(CASE WHEN b.cents > a.cents THEN 1 "
+        "WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT) AS s_stat, "
+        "CAST(count(*) AS BIGINT) AS n_pairs "
+        "FROM daily a JOIN daily b ON a.d < b.d), "
+        "nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily), "
+        "tt AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) "
+        "AS BIGINT) AS tie_term FROM "
+        "(SELECT count(*) AS t FROM daily GROUP BY cents) WHERE t > 1) "
+        "SELECT n_days, n_pairs, s_stat, "
+        "CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term "
+        "AS BIGINT) AS var_s_x18, "
+        "CAST((s_stat * s_stat * 18000000) // "
+        "(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term) "
+        "AS BIGINT) AS z2_ppm, "
+        "CASE WHEN s_stat > 0 THEN 'up' WHEN s_stat < 0 THEN 'down' "
+        "ELSE 'flat' END AS trend "
+        "FROM s, nd, tt"
+    )
+
+    # Hilbert clustering keys: 16-stage unrolled xy→d walk (twin of
+    # the Spark-side F.aggregate fold) — built programmatically
+    out["hilbert_curve_keys"] = _hilbert_sql()
+
+    # sign-bit binary-quantized ANN serving: 63-bit signatures, exact
+    # Hamming pool, shared fixed-point isqrt/halfup rerank (mirrors
+    # similarity.SIGNBIT_DIMS/SIGNBIT_POOL)
+    out["signbit_topk_exactint"] = (
+        "WITH sg AS (SELECT vec_id, CAST(list_sum(list_transform("
+        "range(0, 63), i -> CASE WHEN "
+        "CAST(embedding[CAST(i + 1 AS INT)] AS DOUBLE) >= 0 "
+        "THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) "
+        "AS BIGINT) AS sig FROM embeddings), "
+        "ham AS (SELECT q.vec_id AS query_id, s.vec_id AS neighbor_id, "
+        "CAST(bit_count(xor(q.sig, s.sig)) AS INTEGER) AS hamming "
+        "FROM sg q JOIN sg s ON s.vec_id <> q.vec_id "
+        "WHERE q.vec_id < 20), "
+        "cand AS (SELECT query_id, neighbor_id FROM "
+        "(SELECT query_id, neighbor_id, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY hamming, neighbor_id) "
+        "AS hrank FROM ham) WHERE hrank <= 40), "
+        "qz AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT)) AS q FROM embeddings), "
+        "qn AS (SELECT vec_id, q, "
+        "CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) "
+        "AS nq FROM qz), "
+        "scored AS (SELECT query_id, neighbor_id, "
+        "CAST(list_sum(list_transform(generate_series(1, len(a.q)), "
+        "i -> a.q[CAST(i AS INT)] * b.q[CAST(i AS INT)])) AS BIGINT) "
+        "AS dot_q, a.nq AS na, b.nq AS nb "
+        "FROM cand JOIN qn a ON a.vec_id = query_id "
+        "JOIN qn b ON b.vec_id = neighbor_id), "
+        "pos AS (SELECT query_id, neighbor_id, "
+        + _hud("dot_q", "(" + _isq("na") + " * " + _isq("nb") + ")", 6)
+        + " AS cos_micro FROM scored WHERE dot_q > 0), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cos_micro DESC, neighbor_id) AS rank FROM pos) "
+        "SELECT query_id, neighbor_id, CAST(rank AS INTEGER) AS rank, "
+        "cos_micro FROM rk WHERE rank <= 5"
     )
 
     out["fellegi_sunter_weights"] = (

@@ -1112,6 +1112,25 @@ def q_label_propagation_communities(
 
     Output: (part, community, community_size) — community = the
     converged-by-round-4 label; sizes from one final aggregate."""
+    labels, _und, _edges = _lpa_state(spark, sf_dir)
+    sizes = labels.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("community_size")
+    )
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("id").alias("part"),
+            F.col("lbl").alias("community"),
+            "community_size",
+        )
+        .orderBy("part")
+    )
+
+
+def _lpa_state(spark: SparkSession, sf_dir: str):
+    """Shared LPA machinery: returns (labels(id, lbl), und(src, dst),
+    edges(part_a, part_b)) after ``LPA_ROUNDS`` synchronous rounds —
+    consumed by both the community listing and the modularity audit."""
     t = load(spark, sf_dir)
     edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
     und = (
@@ -1149,15 +1168,265 @@ def q_label_propagation_communities(
             .select(F.col("src").alias("id"), F.col("m.lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-    sizes = labels.groupBy("lbl").agg(
-        F.count(F.lit(1)).alias("community_size")
+    return labels, und, edges
+
+
+#: Modularity magnitude contract: 4·m·e_c and d_c² must stay inside
+#: int64 — m beyond 10^9 edges needs the DECIMAL(38,0) form instead.
+MODULARITY_MAX_EDGES = 1_000_000_000
+
+
+def q_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEWMAN MODULARITY audit of the label-propagation partition —
+    the quality number that makes `label_propagation_communities`
+    actionable (Newman & Girvan 2004): for each community c,
+
+        Q_c = e_c/m − (d_c / 2m)²
+
+    with m = |edges|, e_c = intra-community edges, d_c = Σ degrees.
+    Carried as the EXACT integer numerator over the common denominator
+    4m²:  contrib_num = 4·m·e_c − d_c²  (signed, no division — the
+    `theil_sen` slope_lcm convention), so Σ contrib_num / 4m² = Q and
+    every row hash-matches the SQL twin bit-for-bit. The global
+    numerator ``q_num`` and ``m_edges`` ride on every row (1-row
+    broadcast attach) so Q is reconstructible from any slice.
+
+    Scale: e_c is one join of the edge list against the label table on
+    BOTH endpoints (labels are node-grain — the small side, broadcast-
+    able at any SF where communities fit executors); d_c is a degree
+    aggregate reusing `und`; the per-community collapse is
+    map-side-combinable. The int64 magnitude contract RAISES past
+    ``MODULARITY_MAX_EDGES`` instead of silently wrapping.
+
+    Output: (community, n_nodes, e_in, d_sum, contrib_num, m_edges,
+    q_num) — one row per surviving community."""
+    labels, und, edges = _lpa_state(spark, sf_dir)
+    m_df = edges.agg(F.count(F.lit(1)).alias("m_edges"))
+    guarded_m = F.when(
+        F.col("m_edges") > MODULARITY_MAX_EDGES,
+        F.raise_error(
+            F.lit(
+                "modularity contract violated: edge count exceeds "
+                "MODULARITY_MAX_EDGES — 4·m·e_c leaves int64; switch "
+                "the numerators to DECIMAL(38,0)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("m_edges").cast("long"))
+    la = labels.select(
+        F.col("id").alias("part_a"), F.col("lbl").alias("lbl_a")
     )
+    lb = labels.select(
+        F.col("id").alias("part_b"), F.col("lbl").alias("lbl_b")
+    )
+    e_in = (
+        edges.join(la, "part_a")
+        .join(lb, "part_b")
+        .filter(F.col("lbl_a") == F.col("lbl_b"))
+        .groupBy(F.col("lbl_a").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    comm = (
+        labels.join(deg, "id")
+        .groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("deg").cast("long").alias("d_sum"),
+        )
+    )
+    per = (
+        comm.join(e_in, "community", "left")
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0).cast("long")).alias("e_in"),
+            "d_sum",
+            (
+                F.lit(4) * guarded_m
+                * F.coalesce("e_in", F.lit(0).cast("long"))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("long")
+            .alias("contrib_num"),
+            F.col("m_edges").cast("long").alias("m_edges"),
+        )
+    )
+    q_num = per.agg(F.sum("contrib_num").cast("long").alias("q_num"))
     return (
-        labels.join(sizes, "lbl")
+        per.crossJoin(F.broadcast(q_num))
+        .orderBy("community")
+    )
+
+
+def q_clustering_coefficients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL CLUSTERING COEFFICIENTS + global transitivity over the
+    co-purchase graph — the density-at-a-node companion to the global
+    counters (`product_triangles` counts triangles, `copurchase_kcore`
+    peels shells; this one answers "how clique-like is THIS product's
+    neighborhood"): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), exact ppm.
+    Global transitivity rides on every row as the exact rational
+    2·Σtri(v) / Σdeg(deg−1) (= 3·triangles/wedges — each triangle is
+    counted once per corner).
+
+    Spark-first: tri(v) is the wedge-close join — und(v,u) ⋈ und(v,w)
+    on v with u < w, semi-joined against the canonical edge list — the
+    standard vertex-centric triangle plan; deg is one aggregate over
+    `und`. Everything integer; ppm via exact truncating division of
+    non-negative ints.
+
+    Scale: the wedge expansion is Σ deg(v)² — the known cost of
+    triangle counting; at skewed degree the standard fix is degree-
+    ordered orientation (count each wedge at its LOWEST-degree corner),
+    which this plan inherits for the closing join since the edge list
+    is canonical (a < b). The per-node collapse partial-aggregates.
+
+    Output: (part, deg, tri, cc_ppm, transitivity_ppm) for nodes with
+    deg ≥ 2, ordered by part."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).filter(
+        F.col("n_orders") >= 2
+    ).select("part_a", "part_b")
+    und = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+    ).localCheckpoint(eager=False)
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    wedge = (
+        und.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+        .join(
+            und.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+            "v",
+        )
+        .filter(F.col("u") < F.col("w"))
+    )
+    tri = (
+        wedge.join(
+            edges.select(
+                F.col("part_a").alias("u"), F.col("part_b").alias("w")
+            ),
+            ["u", "w"],
+        )
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("tri"))
+    )
+    per = (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "id", "left")
         .select(
             F.col("id").alias("part"),
-            F.col("lbl").alias("community"),
-            "community_size",
+            "deg",
+            F.coalesce("tri", F.lit(0).cast("long")).alias("tri"),
+        )
+    )
+    tot = per.agg(
+        F.sum("tri").cast("long").alias("sum_tri"),
+        F.sum(F.col("deg") * (F.col("deg") - 1))
+        .cast("long")
+        .alias("sum_wedge2"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "part",
+            "deg",
+            "tri",
+            _idiv(
+                F.col("tri") * F.lit(2_000_000),
+                F.col("deg") * (F.col("deg") - 1),
+            ).alias("cc_ppm"),
+            _idiv(
+                F.col("sum_tri") * F.lit(2_000_000), F.col("sum_wedge2")
+            ).alias("transitivity_ppm"),
         )
         .orderBy("part")
+    )
+
+
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEGREE ASSORTATIVITY (Newman 2002) of the co-purchase graph —
+    do hub products co-purchase with other hubs (r > 0, social-network
+    shape) or with leaves (r < 0, dependency/star shape)? The Pearson
+    correlation of endpoint degrees over edges, as EXACT integer
+    numerator/denominator (undirected closed form over each edge once):
+
+        r = (4M·Σdadb − (Σ(da+db))²) / (2M·Σ(da²+db²) − (Σ(da+db))²)
+
+    The numerator is signed and carried exactly (no division — the
+    `theil_sen` convention); r_milli uses the sign-handled truncating
+    division both engines define identically.
+
+    Scale: one degree aggregate + one broadcast-friendly map-side join
+    of the edge list against the degree table on each endpoint + one
+    global aggregate. Int64 bounds: Σda·db ≤ M·maxdeg² — RAISES past
+    the documented contract instead of wrapping.
+
+    Output: 1 row (m_edges, s_dadb, s_sum, s_sq, r_num, r_den,
+    r_milli)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    edges = copurchase_edges(t.lineitem).filter(
+        F.col("n_orders") >= 2
+    ).select("part_a", "part_b")
+    und = edges.select(
+        F.col("part_a").alias("src"), F.col("part_b").alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col("part_b").alias("src"), F.col("part_a").alias("dst")
+        )
+    )
+    deg = und.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    da = deg.select(F.col("id").alias("part_a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("id").alias("part_b"), F.col("deg").alias("db"))
+    ed = edges.join(da, "part_a").join(db, "part_b")
+    agg = ed.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("da") * F.col("db")).cast("long").alias("s_dadb"),
+        F.sum(F.col("da") + F.col("db")).cast("long").alias("s_sum"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        )
+        .cast("long")
+        .alias("s_sq"),
+    )
+    guard = F.when(
+        (F.col("s_sq") > F.lit(1 << 40)) | (F.col("m_edges") > F.lit(1 << 20)),
+        F.raise_error(
+            F.lit(
+                "assortativity contract violated: 4M*s_sq leaves the "
+                "exact int64 range; switch numerators to DECIMAL(38,0)"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("m_edges"))
+    r_num = (
+        F.lit(4) * guard * F.col("s_dadb")
+        - F.col("s_sum") * F.col("s_sum")
+    ).cast("long")
+    r_den = (
+        F.lit(2) * guard * F.col("s_sq")
+        - F.col("s_sum") * F.col("s_sum")
+    ).cast("long")
+    r_milli = F.when(
+        r_num < 0, -_idiv(-r_num * F.lit(1000), r_den)
+    ).otherwise(_idiv(r_num * F.lit(1000), r_den))
+    return agg.select(
+        "m_edges",
+        "s_dadb",
+        "s_sum",
+        "s_sq",
+        r_num.alias("r_num"),
+        r_den.alias("r_den"),
+        r_milli.cast("long").alias("r_milli"),
     )

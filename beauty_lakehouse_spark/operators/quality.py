@@ -3380,3 +3380,227 @@ def q_info_gain_features(spark, sf_dir: str) -> DataFrame:
         )
         report = one if report is None else report.unionByName(one)
     return report.orderBy("feature")
+
+
+#: Kruskal–Wallis significance bar: χ²(df=4) at α=0.05, in ppm.
+KRUSKAL_CHI2_PPM = 9_487_700
+
+
+def q_kruskal_wallis_segments(spark, sf_dir: str) -> DataFrame:
+    """KRUSKAL–WALLIS H test across ALL FIVE market segments on order
+    value — the k-group generalization closing the location-test
+    family (`segment_price_ttest` compares two means, the U test two
+    rank distributions; this one asks whether ANY of the five segments
+    shifts the order-value distribution):
+
+        H = 12/(N(N+1)) · Σ_c R_c²/n_c − 3(N+1),
+        H_tie = H / (1 − ΣT/(N³−N)),  T = t³−t per tied value
+
+    Exact fixed point, NO per-row ranks: like the U test, everything
+    derives from the per-cents count grid — the doubled average rank
+    of value v is the integer 2·cum_before(v) + ct(v) + 1, so each
+    segment's doubled rank sum R2_c = Σ n_c(v)·rank2(v) is exact and
+    H = 3·Σ R2_c²/(n_c·N(N+1)) − 3(N+1) (the doubling absorbs 12→3).
+    Carried in DECIMAL(38,0)/HUGEINT, surfaced once in ppm with the
+    non-negative guard BEFORE the tie division (H ≥ 0 mathematically;
+    the guard keeps the truncating divisions sign-free, so both
+    engines agree bit-for-bit).
+
+    Scale: one join + one count-grid aggregate; the cumulative window
+    runs over the bounded VALUE DOMAIN (distinct cents), not rows; the
+    per-segment collapse is 5 rows.
+
+    Output: 5 rows (segment, n_obs, rank2_sum, contrib_ppm) + global
+    (n_total, tie_term, h_ppm, significant) on every row."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    obs = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cell = obs.groupBy("cents", "segment").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    grid = obs.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("ct")
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = grid.withColumn("cum_incl", F.sum("ct").over(w)).select(
+        "cents",
+        "ct",
+        (
+            F.lit(2) * (F.col("cum_incl") - F.col("ct"))
+            + F.col("ct")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    per_seg = (
+        cell.join(ranked, "cents")
+        .groupBy("segment")
+        .agg(
+            F.sum("nc").cast("long").alias("n_obs"),
+            F.sum(F.col("nc") * F.col("rank2"))
+            .cast("long")
+            .alias("rank2_sum"),
+        )
+    )
+    glob = ranked.agg(
+        F.sum("ct").cast("long").alias("n_total"),
+        F.sum(
+            F.col("ct").cast("decimal(38,0)") * F.col("ct") * F.col("ct")
+            - F.col("ct")
+        )
+        .cast("long")
+        .alias("tie_term"),
+    )
+    nn = F.col("n_total")
+    guarded_n = F.when(
+        nn >= F.lit(100_000_000),
+        F.raise_error(
+            F.lit(
+                "kruskal contract violated: N >= 1e8 exceeds the exact "
+                "DECIMAL(38,0) range of R2^2*3e6; sample upstream"
+            )
+        ).cast("long"),
+    ).otherwise(nn.cast("long"))
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    contrib = _idiv(
+        dd(F.col("rank2_sum")) * F.col("rank2_sum") * F.lit(3_000_000),
+        dd(F.col("n_obs")) * guarded_n * (guarded_n + 1),
+    )
+    seg = per_seg.crossJoin(F.broadcast(glob)).withColumn(
+        "contrib_ppm", contrib
+    )
+    tot = seg.groupBy().agg(
+        F.sum("contrib_ppm").cast("long").alias("sum_contrib_ppm")
+    )
+    h_raw = F.col("sum_contrib_ppm") - F.lit(3_000_000) * (
+        F.col("n_total") + 1
+    )
+    n3n = dd(F.col("n_total")) * F.col("n_total") * F.col("n_total") - F.col(
+        "n_total"
+    )
+    h_tie = _idiv(
+        dd(F.greatest(h_raw, F.lit(0))) * n3n,
+        n3n - F.col("tie_term"),
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "segment",
+            "n_obs",
+            "rank2_sum",
+            "contrib_ppm",
+            "n_total",
+            "tie_term",
+            h_tie.alias("h_ppm"),
+            (h_tie > F.lit(KRUSKAL_CHI2_PPM)).alias("significant"),
+        )
+        .orderBy("segment")
+    )
+
+
+def q_brand_return_woe_iv(spark, sf_dir: str) -> DataFrame:
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE of the brand feature
+    against the returned-flag label — the credit-scoring-style feature
+    audit next to `info_gain_features` (IG ranks split quality for a
+    tree; WoE/IV is the calibrated-log-odds view a scorecard or a
+    feature store reports):
+
+        woe_c = ln(p_pos,c / p_neg,c)            (Laplace-smoothed)
+        iv    = Σ_c (p_pos,c − p_neg,c) · woe_c
+
+    Exact fixed point: each probability is a smoothed integer ratio;
+    woe is a SIGNED SUM of four `ln_micro(x, 1)` terms (every argument
+    is a bare count ≥ 1, so the num ≥ den ≥ 1 contract holds with no
+    cross-multiplication — cross-multiplied forms overflow 2³¹); the
+    IV contribution multiplies the ppm probability gap by the
+    micro-nat WoE under the sign-handled truncating division both
+    engines define identically.
+
+    Scale: one fact-dim join + one 25-row brand aggregate; the global
+    totals are a 1-row broadcast attach.
+
+    Output: 25 rows (brand, n_pos, n_neg, woe_micro, diff_ppm,
+    iv_micro) + iv_total_micro on every row."""
+    from ..catalog import load
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    base = t.lineitem.join(
+        t.part.select("p_partkey", "p_brand"),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("brand"),
+        (F.col("l_returnflag") == "R").cast("long").alias("pos"),
+    )
+    per = base.groupBy("brand").agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("n_neg"),
+    )
+    glob = per.agg(
+        F.sum("n_pos").cast("long").alias("tot_pos"),
+        F.sum("n_neg").cast("long").alias("tot_neg"),
+        F.count(F.lit(1)).cast("long").alias("n_brands"),
+    )
+    j = per.crossJoin(F.broadcast(glob))
+    guard = F.when(
+        (F.col("tot_pos") + F.col("n_brands") >= F.lit(1 << 31))
+        | (F.col("tot_neg") + F.col("n_brands") >= F.lit(1 << 31)),
+        F.raise_error(
+            F.lit(
+                "woe contract violated: totals exceed ln_micro's 2^31 "
+                "exact range; pre-aggregate or sample upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(1).cast("long"))
+    one = F.lit(1).cast("long")
+    woe = (
+        ln_micro(F.col("n_pos") + 1, one)
+        - ln_micro(F.col("tot_pos") + F.col("n_brands"), one)
+        - ln_micro(F.col("n_neg") + 1, one)
+        + ln_micro(F.col("tot_neg") + F.col("n_brands"), one)
+    ) * guard
+    p_pos = _idiv(
+        (F.col("n_pos") + 1) * F.lit(1_000_000),
+        F.col("tot_pos") + F.col("n_brands"),
+    )
+    p_neg = _idiv(
+        (F.col("n_neg") + 1) * F.lit(1_000_000),
+        F.col("tot_neg") + F.col("n_brands"),
+    )
+    diff = p_pos - p_neg
+    prod = diff * F.col("woe_micro")
+    iv = F.when(prod < 0, -_idiv(-prod, F.lit(1_000_000))).otherwise(
+        _idiv(prod, F.lit(1_000_000))
+    )
+    rows = (
+        j.withColumn("woe_micro", woe)
+        .withColumn("diff_ppm", diff)
+        .withColumn("iv_micro", iv.cast("long"))
+    )
+    tot = rows.groupBy().agg(
+        F.sum("iv_micro").cast("long").alias("iv_total_micro")
+    )
+    return (
+        rows.crossJoin(F.broadcast(tot))
+        .select(
+            "brand",
+            "n_pos",
+            "n_neg",
+            "woe_micro",
+            "diff_ppm",
+            "iv_micro",
+            "iv_total_micro",
+        )
+        .orderBy("brand")
+    )

@@ -2942,3 +2942,87 @@ def q_mmr_rerank_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_anti",
         )
     return picks.orderBy("query_id", "pick_rank")
+
+
+#: Sign-bit signature width: dims 1..63 → bits 0..62. Bit 63 is left
+#: unused on purpose — setting it would make the int64 accumulation
+#: overflow-sensitive under ANSI mode; 63 of 64 dims loses nothing
+#: measurable as a CANDIDATE filter (the rerank is exact over all 64).
+SIGNBIT_DIMS = 63
+#: Hamming candidate pool per query fed to the exact rerank.
+SIGNBIT_POOL = 40
+
+
+def signbit_signatures(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig): 63-bit sign signature — bit i−1 set when
+    embedding[i] ≥ 0. One integer per vector; Hamming distance between
+    signatures estimates angle (Goemans–Williamson / Charikar 2002 —
+    the same hyperplane-rounding fact SimHash uses, here with the
+    COORDINATE planes, so no projection matrix is needed at all)."""
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(SIGNBIT_DIMS - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.when(
+            F.element_at("embedding", i + 1).cast("double") >= 0,
+            F.call_function("shiftleft", F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return emb.select("vec_id", sig.alias("sig"))
+
+
+def q_signbit_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-EMBEDDING ANN SERVING, ORACLE-MATCHED end to end — the
+    1-bit-per-dimension member of the exact-int serving family (grid
+    `q_ann_topk_exactint`, cells `q_ivf_topk_exactint`, codebooks
+    `q_pq_topk_exactint`): vectors compress 256× into one 63-bit sign
+    signature, candidates come from exact integer HAMMING distance
+    (bit_count over XOR — the cheapest distance a CPU can compute),
+    and the shared `_exactint_rerank` fixed-point cosine re-scores the
+    top-``SIGNBIT_POOL`` Hamming pool. This is the binary-quantization
+    serving shape production vector stores ship (compact index in RAM,
+    exact rerank on the short list) — and because every stage is
+    integer, the DuckDB twin reproduces candidates, scores and ranks
+    bit-for-bit.
+
+    Scale: signatures are a narrow expression scan (no shuffle); the
+    query side is the bounded ``ANN_EXACT_QUERIES`` set, so the
+    Hamming scan is a broadcast join LINEAR in the corpus with 8 bytes
+    per vector moved — the one ANN family member whose candidate
+    stage needs NO index build at all. The pool cut is a per-query
+    window over ≤ corpus rows (TakeOrdered shape).
+
+    Output: (query_id, neighbor_id, rank, cos_micro) — top-ANN_EXACT_K
+    per query, positive-dot candidates only."""
+    t = load(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    sig = signbit_signatures(emb)
+    qs = sig.filter(F.col("vec_id") < ANN_EXACT_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("sig").alias("qsig")
+    )
+    ham = (
+        F.broadcast(qs)
+        .join(
+            sig.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("sig").alias("nsig"),
+            ),
+            F.col("query_id") != F.col("neighbor_id"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.bit_count(
+                F.col("qsig").bitwiseXOR(F.col("nsig"))
+            ).alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    cand = (
+        ham.withColumn("hrank", F.row_number().over(w))
+        .filter(F.col("hrank") <= SIGNBIT_POOL)
+        .select("query_id", "neighbor_id")
+    )
+    return _exactint_rerank(emb, cand)

@@ -2187,3 +2187,212 @@ def q_column_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("column")
+
+
+#: Mann–Kendall runs at DAILY grain: the pair expansion is bounded by
+#: the CALENDAR (TPC-H order dates span ~2,400 days at every SF), so
+#: the O(n²) pair join is constant-size with respect to data volume.
+MK_MAX_DAYS = 20_000
+
+
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN–KENDALL trend test (Mann 1945; Kendall 1975) on the daily
+    revenue series — the nonparametric monotone-trend detector next to
+    the slope estimators (`revenue_theil_sen` gives the magnitude,
+    `nation_revenue_trend` the OLS fit, this one the SIGNIFICANCE):
+
+        S    = Σ_{i<j} sgn(x_j − x_i)
+        Var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)   (= 18 · Var(S))
+        z²   = 18 · S² / Var18
+
+    Everything is exact integer: S is a signed count, the tie-corrected
+    variance is carried ×18 so the textbook /18 never happens, and z²
+    is emitted in ppm via exact truncating division of non-negative
+    ints (S² ≥ 0 — no signed-division semantics to reconcile). The
+    trend direction rides as a label so the sign of S is readable.
+
+    Scale: the daily collapse is one map-side-combinable aggregate;
+    the pair join runs on the CALENDAR-bounded daily table (~2,400
+    rows at every SF — guarded by ``MK_MAX_DAYS``), broadcast on one
+    side, so cost is constant w.r.t. data volume. At a finer grain
+    you'd switch to the O(n log n) inversion-count form; at daily
+    grain the closed pair form is cheaper than its own shuffle.
+
+    Output: 1 row (n_days, n_pairs, s_stat, var_s_x18, z2_ppm, trend).
+    """
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            (F.round(F.sum("o_totalprice"), 2) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    a = daily.select(F.col("d").alias("di"), F.col("cents").alias("ci"))
+    b = daily.select(F.col("d").alias("dj"), F.col("cents").alias("cj"))
+    pairs = F.broadcast(a).join(b, F.col("di") < F.col("dj"))
+    s = pairs.agg(
+        F.sum(
+            F.when(F.col("cj") > F.col("ci"), 1)
+            .when(F.col("cj") < F.col("ci"), -1)
+            .otherwise(0)
+            .cast("long")
+        ).alias("s_stat"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    guard = F.when(
+        F.col("n_days") > MK_MAX_DAYS,
+        F.raise_error(
+            F.lit(
+                "mann_kendall contract violated: daily grid exceeds "
+                "MK_MAX_DAYS — the closed pair form stops being the "
+                "cheap plan; switch to the inversion-count form"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_days"))
+    ties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = guard
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "s_stat",
+            (n * (n - 1) * (2 * n + 5) - F.col("tie_term"))
+            .cast("long")
+            .alias("var_s_x18"),
+            _idiv(
+                F.col("s_stat") * F.col("s_stat") * F.lit(18_000_000),
+                n * (n - 1) * (2 * n + 5) - F.col("tie_term"),
+            ).alias("z2_ppm"),
+            F.when(F.col("s_stat") > 0, F.lit("up"))
+            .when(F.col("s_stat") < 0, F.lit("down"))
+            .otherwise(F.lit("flat"))
+            .alias("trend"),
+        )
+    )
+
+
+#: Hilbert key resolution per dimension — matches ZORDER_BITS so the
+#: two space-filling keys are directly comparable on the same grid.
+HILBERT_BITS = 16
+
+
+def q_hilbert_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILBERT-CURVE clustering keys for the orders fact — the
+    locality-better sibling of `orders_zorder_keys` (Morton): both map
+    (custkey, orderdate) to a 1-D sort key, but the Hilbert curve never
+    makes the long diagonal jumps Morton does, so range scans touch
+    fewer row groups (the reason Delta/Iceberg grew `OPTIMIZE ...
+    HILBERT` alongside z-order).
+
+    Same exact 16-bit range normalization as the Morton twin (so zx/zy
+    are bit-identical across the two operators), then the classic
+    xy→d walk (Hamilton's algorithm): 16 most-significant-first
+    rounds, each deciding one quadrant digit and rotating the frame.
+    The walk runs as ONE `F.aggregate` fold over the bit sequence with
+    a (x, y, d) struct accumulator — a bound lambda variable, so the
+    expression tree stays LINEAR in rounds (a naive unrolled
+    withColumn chain doubles the tree per round — 2¹⁶ nodes — because
+    each new x references both old x and y).
+
+    Everything is integer CASE arithmetic (the quadrant digit
+    (3·rx)⊕ry is a 4-entry CASE, not engine xor), so keys hash-match
+    the 16-stage CTE chain the DuckDB twin unrolls.
+
+    Scale: a narrow expression scan plus the same 1-row bounds
+    broadcast as the Morton twin; the fold is constant work per row
+    inside whole-stage codegen — no shuffle at all.
+
+    Output: (o_orderkey, zx, zy, hkey)."""
+    from ..functions import _idiv, epoch_us
+
+    t = load(spark, sf_dir)
+    day = _idiv(
+        epoch_us(F.col("o_orderdate").cast("timestamp")),
+        F.lit(86_400_000_000),
+    )
+    o = t.orders.select(
+        "o_orderkey", F.col("o_custkey").alias("ck"), day.alias("d")
+    )
+    bounds = o.agg(
+        F.min("ck").alias("ck0"), F.max("ck").alias("ck1"),
+        F.min("d").alias("d0"), F.max("d").alias("d1"),
+    )
+    scale = (1 << HILBERT_BITS) - 1
+    j = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        _idiv(
+            (F.col("ck") - F.col("ck0")) * scale,
+            F.greatest(F.col("ck1") - F.col("ck0"), F.lit(1)),
+        ).alias("zx"),
+        _idiv(
+            (F.col("d") - F.col("d0")) * scale,
+            F.greatest(F.col("d1") - F.col("d0"), F.lit(1)),
+        ).alias("zy"),
+    )
+
+    def step(acc, i):
+        # s = 2^i, MSB first; rx/ry = the bit of x/y at level s
+        s = F.call_function("shiftleft", F.lit(1).cast("long"), i)
+        rx = F.when(
+            F.call_function("shiftright", acc.x, i).bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        ry = F.when(
+            F.call_function("shiftright", acc.y, i).bitwiseAND(F.lit(1))
+            == 1,
+            F.lit(1).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        # quadrant digit (3·rx) xor ry as a 4-entry CASE (portable)
+        digit = (
+            F.when((rx == 0) & (ry == 0), F.lit(0))
+            .when((rx == 0) & (ry == 1), F.lit(1))
+            .when((rx == 1) & (ry == 1), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("long")
+        )
+        # rotate: ry=1 keeps the frame; ry=0 swaps (and flips if rx=1)
+        nx = F.when(ry == 1, acc.x).otherwise(
+            F.when(rx == 1, s - 1 - acc.y).otherwise(acc.y)
+        )
+        ny = F.when(ry == 1, acc.y).otherwise(
+            F.when(rx == 1, s - 1 - acc.x).otherwise(acc.x)
+        )
+        return F.struct(
+            nx.alias("x"), ny.alias("y"), (acc.d + s * s * digit).alias("d")
+        )
+
+    hkey = F.aggregate(
+        F.sequence(
+            F.lit(HILBERT_BITS - 1), F.lit(0), F.lit(-1)
+        ),
+        F.struct(
+            F.col("zx").alias("x"),
+            F.col("zy").alias("y"),
+            F.lit(0).cast("long").alias("d"),
+        ),
+        step,
+        lambda acc: acc.d,
+    )
+    return j.select("o_orderkey", "zx", "zy", hkey.alias("hkey"))

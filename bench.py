@@ -221,6 +221,14 @@ HEADLINE = [
     "good_turing_smoothing",  # exact-rational GT adjusted counts + unseen mass (new in r11)
     "nb_lang_classifier",     # trained multinomial NB lang classifier, micro-nat rule (new in r11)
     "nb_lang_streamed",       # classify-at-ingest NB drain (new in r11)
+    "mann_kendall_trend",     # tie-corrected monotone-trend test, calendar-bounded pairs (new in r11)
+    "hilbert_curve_keys",     # Hamilton xy->d walk as one fold, 16-bit grid (new in r11)
+    "community_modularity",   # Newman Q of the LPA partition, exact numerators (new in r11)
+    "signbit_topk_exactint",  # binary-quantized ANN: sign-bit Hamming pool + exact rerank (new in r11)
+    "clustering_coefficients",  # wedge-close local density + global transitivity (new in r11)
+    "degree_assortativity",   # Newman degree-mixing correlation, exact numerators (new in r11)
+    "kruskal_wallis_segments",  # k-group rank test on the value-domain grid (new in r11)
+    "brand_return_woe_iv",    # credit-scoring WoE/IV feature audit (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -78,6 +78,13 @@ WHITELIST: dict[str, str] = {
     "hot_keys_top": "1-row table-total broadcast attach (share-of-total denominator), per profiled key",
     "selectivity_audit": "1-row value-bounds/total broadcast attaches against the <=24-row histogram tables and 3 result rows",
     "ann_ndcg_exactint": "bounded 20-query brute ground truth (the knn_brute audit shape) scoring the served ANN list; 1-row IDCG arithmetic",
+    "mann_kendall_trend": "pair join over the CALENDAR-bounded daily grid (~2.4k rows at every SF, MK_MAX_DAYS-guarded) + 1-row stat attaches",
+    "hilbert_curve_keys": "1-row column min/max bounds broadcast (range normalization — the orders_zorder_keys shape)",
+    "community_modularity": "two 1-row broadcasts (edge count m, global Q numerator) attached to the per-community report",
+    "signbit_topk_exactint": "bounded 20-query signature batch x corpus Hamming scan (the knn_brute shape; 8 bytes/vector moved)",
+    "clustering_coefficients": "1-row global transitivity aggregate broadcast onto the per-node report",
+    "kruskal_wallis_segments": "1-row N/tie totals + 1-row H broadcast attaches onto the 5-row segment table",
+    "brand_return_woe_iv": "1-row class totals + 1-row IV total broadcast attaches onto the 25-row brand table",
     "matryoshka_prefix_recall": "bounded 20-query brute per prefix dim (the knn_brute audit shape) — the trade-off table is the product, not a serving path",
     "randomization_test_diff": "1-row threshold/observed-stat broadcast attaches around the 64-row replicate grid",
     "fellegi_sunter_weights": "bounded 500-record all-pairs ground truth (the er_blocking_quality audit shape) + 1-row cell-count attaches",
@@ -142,6 +149,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "copurchase_kcore": "lag window over the 9-row peel-trajectory table (round deltas), never raw rows",
     "revenue_pareto_cut": "revenue ranking window over the PART dimension (bounded relative to the fact table — the zipf_law_fit convention)",
     "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
+    "kruskal_wallis_segments": "doubled-rank cumulative window over the distinct-cents VALUE-DOMAIN grid (the segment_price_utest convention), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

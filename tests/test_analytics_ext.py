@@ -1378,3 +1378,316 @@ def test_hyperball_closeness_vs_exact_bfs(spark, sf_dir):
     }
     got = {r.node for r in rows}
     assert len(got & exact_top) >= 14, (sorted(got), sorted(exact_top))
+
+
+def test_mann_kendall_pure_python(spark, sf_dir):
+    """S, the tie-corrected 18·Var(S), and z² match a pure-Python
+    recompute of the textbook Mann–Kendall statistics over the daily
+    revenue series."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_mann_kendall_trend,
+    )
+
+    row = q_mann_kendall_trend(spark, sf_dir).collect()[0]
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        od.groupby(od["o_orderdate"])["o_totalprice"]
+        .sum()
+        .round(2)
+        .mul(100)
+        .astype("int64")
+        .sort_index()
+    )
+    xs = daily.to_list()
+    n = len(xs)
+    s = sum(
+        (1 if xs[j] > xs[i] else -1 if xs[j] < xs[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    ties = Counter(xs)
+    tie_term = sum(t * (t - 1) * (2 * t + 5) for t in ties.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    assert row.n_days == n
+    assert row.n_pairs == n * (n - 1) // 2
+    assert row.s_stat == s
+    assert row.var_s_x18 == var18
+    assert row.z2_ppm == (s * s * 18_000_000) // var18
+    assert row.trend == ("up" if s > 0 else "down" if s < 0 else "flat")
+
+
+def test_hilbert_keys_match_reference_walk(spark, sf_dir):
+    """Every emitted key equals the classic Hamilton xy2d walk, and the
+    Hilbert curve's locality bound holds: consecutive d values are
+    adjacent cells (|Δx| + |Δy| = 1) — the property Morton z-order
+    lacks (its diagonal jumps) and the reason Hilbert clustering
+    exists."""
+    from beauty_lakehouse_spark.operators.warehouse import (
+        HILBERT_BITS,
+        q_hilbert_curve_keys,
+    )
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    def d2xy(n, d):
+        x = y = 0
+        t = d
+        s = 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x, y = s - 1 - x, s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    side = 1 << HILBERT_BITS
+    rows = q_hilbert_curve_keys(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hkey == xy2d(side, r.zx, r.zy), (r.zx, r.zy, r.hkey)
+    # adjacency: successive curve positions are 4-neighbors
+    for d in range(0, 64):
+        x0, y0 = d2xy(side, d)
+        x1, y1 = d2xy(side, d + 1)
+        assert abs(x0 - x1) + abs(y0 - y1) == 1
+
+
+def test_community_modularity_invariants(spark, sf_dir):
+    """The exact-numerator form satisfies the textbook identities:
+    Σ d_c = 2m, Σ e_c ≤ m, Σ contrib = q_num, and Q = q_num/4m² stays
+    in [−1, 1]."""
+    from beauty_lakehouse_spark.operators.graph import (
+        q_community_modularity,
+    )
+
+    rows = q_community_modularity(spark, sf_dir).collect()
+    assert rows
+    m = rows[0].m_edges
+    qn = rows[0].q_num
+    assert all(r.m_edges == m and r.q_num == qn for r in rows)
+    assert sum(r.d_sum for r in rows) == 2 * m
+    assert sum(r.e_in for r in rows) <= m
+    assert sum(r.contrib_num for r in rows) == qn
+    assert all(
+        r.contrib_num == 4 * m * r.e_in - r.d_sum * r.d_sum for r in rows
+    )
+    assert -1.0 <= qn / (4 * m * m) <= 1.0
+
+
+def test_clustering_coefficients_pure_python(spark, sf_dir):
+    """Per-node triangle counts and cc match a pure-Python recompute
+    over the same thresholded co-purchase graph; the global
+    transitivity equals 2·Σtri / Σdeg(deg−1)."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        q_clustering_coefficients,
+    )
+
+    rows = {
+        r.part: r for r in q_clustering_coefficients(spark, sf_dir).collect()
+    }
+    assert rows
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    pair_n = defaultdict(int)
+    for b in baskets.values():
+        if len(b) > 50:
+            continue
+        sp = sorted(b)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pair_n[(sp[i], sp[j])] += 1
+    edges = {e for e, n in pair_n.items() if n >= 2}
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    sum_tri = sum_w = 0
+    for v, nbrs in adj.items():
+        deg = len(nbrs)
+        if deg < 2:
+            assert v not in rows
+            continue
+        ns = sorted(nbrs)
+        tri = sum(
+            1
+            for i in range(len(ns))
+            for j in range(i + 1, len(ns))
+            if (ns[i], ns[j]) in edges
+        )
+        r = rows[v]
+        assert (r.deg, r.tri) == (deg, tri), v
+        assert r.cc_ppm == (tri * 2_000_000) // (deg * (deg - 1))
+        sum_tri += tri
+        sum_w += deg * (deg - 1)
+    t_ppm = (sum_tri * 2_000_000) // sum_w
+    assert all(r.transitivity_ppm == t_ppm for r in rows.values())
+    # FLOAT WITNESS: global transitivity tracks the float ratio
+    assert abs(t_ppm / 1e6 - (2 * sum_tri) / sum_w) <= 2e-6
+
+
+def test_degree_assortativity_pure_python(spark, sf_dir):
+    """The exact integer sums and signed r_milli match a pure-Python
+    recompute; r stays in [−1, 1]."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        q_degree_assortativity,
+    )
+
+    row = q_degree_assortativity(spark, sf_dir).collect()[0]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    baskets = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        baskets[o].add(p)
+    pair_n = defaultdict(int)
+    for b in baskets.values():
+        if len(b) > 50:
+            continue
+        sp = sorted(b)
+        for i in range(len(sp)):
+            for j in range(i + 1, len(sp)):
+                pair_n[(sp[i], sp[j])] += 1
+    edges = [e for e, n in pair_n.items() if n >= 2]
+    deg = defaultdict(int)
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    s_dadb = sum(deg[a] * deg[b] for a, b in edges)
+    s_sum = sum(deg[a] + deg[b] for a, b in edges)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    assert (row.m_edges, row.s_dadb, row.s_sum, row.s_sq) == (
+        m, s_dadb, s_sum, s_sq,
+    )
+    r_num = 4 * m * s_dadb - s_sum * s_sum
+    r_den = 2 * m * s_sq - s_sum * s_sum
+    assert (row.r_num, row.r_den) == (r_num, r_den)
+    want_milli = (
+        -((-r_num * 1000) // r_den) if r_num < 0 else (r_num * 1000) // r_den
+    )
+    assert row.r_milli == want_milli
+    assert -1000 <= row.r_milli <= 1000
+    # FLOAT WITNESS: r_milli tracks the float Pearson form
+    assert abs(row.r_milli / 1000 - r_num / r_den) <= 2e-3
+
+
+def test_kruskal_wallis_pure_python(spark, sf_dir):
+    """Doubled rank sums, the tie term, and tie-corrected H match the
+    textbook computation on materialized average ranks."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_kruskal_wallis_segments,
+    )
+
+    rows = {
+        r.segment: r
+        for r in q_kruskal_wallis_segments(spark, sf_dir).collect()
+    }
+    assert len(rows) == 5
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    obs = [
+        (s, int(round(p * 100)))
+        for s, p in zip(j["c_mktsegment"], j["o_totalprice"])
+    ]
+    cnt = Counter(c for _, c in obs)
+    rank2 = {}
+    cum = 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    R2 = defaultdict(int)
+    n = defaultdict(int)
+    for s, c in obs:
+        R2[s] += rank2[c]
+        n[s] += 1
+    N = len(obs)
+    tie = sum(t**3 - t for t in cnt.values())
+    for s, r in rows.items():
+        assert (r.n_obs, r.rank2_sum) == (n[s], R2[s]), s
+        assert r.n_total == N and r.tie_term == tie
+    sum_contrib = sum(
+        (3_000_000 * R2[s] ** 2) // (n[s] * N * (N + 1)) for s in R2
+    )
+    h_raw = max(sum_contrib - 3_000_000 * (N + 1), 0)
+    n3n = N**3 - N
+    want_h = (h_raw * n3n) // (n3n - tie)
+    assert all(r.h_ppm == want_h for r in rows.values())
+    # FLOAT WITNESS: h_ppm tracks the float H with tie correction
+    ranks_f = {v: (rank2[v]) / 2 for v in rank2}
+    Rf = defaultdict(float)
+    for s, c in obs:
+        Rf[s] += ranks_f[c]
+    Hf = 12 / (N * (N + 1)) * sum(
+        Rf[s] ** 2 / n[s] for s in Rf
+    ) - 3 * (N + 1)
+    Hf /= 1 - tie / n3n
+    assert abs(want_h / 1e6 - Hf) <= 1e-3
+
+
+def test_brand_return_woe_iv_properties(spark, sf_dir):
+    """WoE responds to the observed class balance (sign matches the
+    probability gap), IV contributions are non-negative and sum to the
+    attached total, and the float-ln witness tracks woe_micro."""
+    import math
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_brand_return_woe_iv,
+    )
+
+    rows = q_brand_return_woe_iv(spark, sf_dir).collect()
+    assert rows
+    nb = len(rows)
+    tot_pos = sum(r.n_pos for r in rows)
+    tot_neg = sum(r.n_neg for r in rows)
+    iv_total = rows[0].iv_total_micro
+    assert sum(r.iv_micro for r in rows) == iv_total
+    for r in rows:
+        # FLOAT WITNESS: woe tracks ln of the smoothed odds ratio
+        woe_f = math.log(
+            ((r.n_pos + 1) / (tot_pos + nb))
+            / ((r.n_neg + 1) / (tot_neg + nb))
+        )
+        assert abs(r.woe_micro / 1e6 - woe_f) <= 5e-4, r.brand
+        if r.diff_ppm > 0:
+            assert r.woe_micro > 0 or abs(r.diff_ppm) <= 2
+        if r.diff_ppm < 0:
+            assert r.woe_micro < 0 or abs(r.diff_ppm) <= 2
+        assert r.iv_micro >= -1  # sign agreement up to 1-ppm truncation

@@ -1484,3 +1484,79 @@ def test_calibration_report_pure_python(spark, sf_dir):
         if r.conf_permille >= 600:
             assert r.acc_permille < r.conf_permille, r
     assert want_ece > 100_000  # >> 0: the miscalibration is detected
+
+
+def test_signbit_topk_exactint_matches_pure_python(spark, sf_dir):
+    """The whole sign-bit serving path — 63-bit signatures, Hamming
+    pool, fixed-point rerank — matches a pure-Python recompute, and
+    the candidate stage really is the sign-signature filter (every
+    returned neighbor is inside the query's Hamming-top pool)."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        ANN_EXACT_K,
+        ANN_EXACT_QUERIES,
+        SIGNBIT_DIMS,
+        SIGNBIT_POOL,
+        q_signbit_topk_exactint,
+    )
+
+    got = [
+        ((r.query_id, r.rank), (r.neighbor_id, r.cos_micro))
+        for r in q_signbit_topk_exactint(spark, sf_dir).collect()
+    ]
+    assert got
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(v): list(e) for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    sig = {
+        v: sum(
+            (1 << i) if float(e[i]) >= 0 else 0
+            for i in range(SIGNBIT_DIMS)
+        )
+        for v, e in vecs.items()
+    }
+    q = {
+        v: [math.floor(float(x) * 1_000_000 + 0.5) for x in e]
+        for v, e in vecs.items()
+    }
+    nq = {v: sum(x * x for x in qq) for v, qq in q.items()}
+
+    def isqrt(x):
+        return math.isqrt(x)
+
+    want = {}
+    for qu in range(ANN_EXACT_QUERIES):
+        ham = sorted(
+            (bin(sig[qu] ^ sig[nb]).count("1"), nb)
+            for nb in vecs
+            if nb != qu
+        )
+        pool = [nb for _, nb in ham[:SIGNBIT_POOL]]
+        scored = []
+        for nb in pool:
+            dot = sum(a * b for a, b in zip(q[qu], q[nb]))
+            if dot <= 0:
+                continue
+            den = isqrt(nq[qu]) * isqrt(nq[nb])
+            cos = ((2 * dot * 10**6 + den) - (2 * dot * 10**6 + den) % (2 * den)) // (2 * den) / 1e6
+            scored.append((-cos, nb))
+        for rk, (negcos, nb) in enumerate(sorted(scored)[:ANN_EXACT_K], 1):
+            want[(qu, rk)] = (nb, -negcos)
+    assert dict(got) == want
+
+    # FLOAT WITNESS: every emitted cos_micro tracks the RAW float
+    # cosine of the pair (no micro lift anywhere) within quantization
+    # tolerance — catches a shared scale bug in both int recomputes
+    def fcos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb_ = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb_)
+
+    for (qu, _rk), (nb, cos_micro) in got:
+        assert abs(cos_micro - fcos(vecs[qu], vecs[nb])) <= 5e-6
