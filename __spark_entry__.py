@@ -121,6 +121,8 @@ _DRIVER_ORDER_R11 = [
     "degree_assortativity",  # new in r11
     "kruskal_wallis_segments",  # new in r11
     "brand_return_woe_iv",  # new in r11
+    "spearman_price_qty",  # new in r11
+    "gopher_quality_flags",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -547,6 +549,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-group rank test; credit-scoring WoE/IV feature audit
         "kruskal_wallis_segments": quality.q_kruskal_wallis_segments,
         "brand_return_woe_iv": quality.q_brand_return_woe_iv,
+        "spearman_price_qty": quality.q_spearman_price_qty,
+        "gopher_quality_flags": text.q_gopher_quality_flags,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -7401,6 +7405,82 @@ def oracle_sql() -> dict[str, str]:
         "FROM r) "
         "SELECT brand, n_pos, n_neg, woe_micro, diff_ppm, iv_micro, "
         "iv_total_micro FROM r, t ORDER BY brand"
+    )
+
+    # Spearman rho between part price and total ordered quantity:
+    # doubled-rank grids per variable, exact integer moments, two-stage
+    # rho² ppm division + isqrt milli rho (mirrors
+    # quality.q_spearman_price_qty)
+    out["spearman_price_qty"] = (
+        "WITH pp AS (SELECT l_partkey, "
+        "CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "AS cents, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "GROUP BY l_partkey, p_retailprice), "
+        "gx AS (SELECT cents, CAST(count(*) AS BIGINT) AS ct FROM pp "
+        "GROUP BY 1), "
+        "rx AS (SELECT cents, 2 * (sum(ct) OVER (ORDER BY cents "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct) "
+        "+ ct + 1 AS rx2 FROM gx), "
+        "gy AS (SELECT qty, CAST(count(*) AS BIGINT) AS ct FROM pp "
+        "GROUP BY 1), "
+        "ry AS (SELECT qty, 2 * (sum(ct) OVER (ORDER BY qty "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ct) "
+        "+ ct + 1 AS ry2 FROM gy), "
+        "rk AS (SELECT rx2, ry2 FROM pp JOIN rx USING (cents) "
+        "JOIN ry USING (qty)), "
+        "m AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, "
+        "CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT) AS sxy, "
+        "CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT) AS syy FROM rk), "
+        "g AS (SELECT n_parts, sx, sy, "
+        "CASE WHEN n_parts > 40000 THEN CAST(error('spearman contract "
+        "violated: n > 4e4 overflows num^2; sample upstream') AS BIGINT) "
+        "ELSE n_parts END AS n, sxy, sxx, syy FROM m), "
+        "f AS (SELECT n_parts, sx, sy, "
+        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_x, "
+        "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_y "
+        "FROM g), "
+        "r AS (SELECT n_parts, sx, sy, num, den_x, den_y, "
+        "CAST(((abs(num) * abs(num)) // den_x) * 1000000 // den_y "
+        "AS BIGINT) AS rho2 FROM f) "
+        "SELECT n_parts, sx, sy, CAST(num AS VARCHAR) AS rho_num, "
+        "CAST(den_x AS VARCHAR) AS den_x, CAST(den_y AS VARCHAR) AS den_y, "
+        "CAST(CASE WHEN num < 0 THEN -rho2 ELSE rho2 END AS BIGINT) "
+        "AS rho2_signed_ppm, "
+        "CAST(CASE WHEN num < 0 THEN -" + _isq("rho2") + " ELSE "
+        + _isq("rho2") + " END AS BIGINT) AS rho_milli FROM r"
+    )
+
+    # Gopher-style per-doc quality rule card: integer milli/ppm rule
+    # values + boolean gates + composed pass bit (mirrors
+    # text.q_gopher_quality_flags; thresholds are the shared
+    # GOPHER_* constants)
+    out["gopher_quality_flags"] = (
+        "WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "r AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words, "
+        "CAST(list_sum(list_transform(toks, w -> len(w))) * 1000 // "
+        "len(toks) AS BIGINT) AS mean_wl_milli, "
+        "CAST(((len(text) - len(replace(text, '#', ''))) + "
+        "(len(text) - len(replace(text, '...', ''))) // 3) * 1000000 // "
+        "len(toks) AS BIGINT) AS symbol_ppm, "
+        "CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) "
+        "* 1000000 // len(toks) AS BIGINT) AS alpha_ppm, "
+        "CAST(len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', "
+        "'to', 'in', 'is'))) AS BIGINT) AS stop_hits FROM d), "
+        "fl AS (SELECT *, n_words BETWEEN 20 AND 100000 AS word_count_ok, "
+        "mean_wl_milli BETWEEN 3000 AND 10000 AS word_length_ok, "
+        "symbol_ppm <= 100000 AS symbol_ratio_ok, "
+        "alpha_ppm >= 800000 AS alpha_ratio_ok, "
+        "stop_hits >= 2 AS stopword_ok FROM r) "
+        "SELECT doc_id, n_words, mean_wl_milli, symbol_ppm, alpha_ppm, "
+        "stop_hits, word_count_ok, word_length_ok, symbol_ratio_ok, "
+        "alpha_ratio_ok, stopword_ok, "
+        "word_count_ok AND word_length_ok AND symbol_ratio_ok AND "
+        "alpha_ratio_ok AND stopword_ok AS gopher_pass FROM fl"
     )
 
     # Mann–Kendall monotone trend on daily revenue: signed pair count,

@@ -3604,3 +3604,105 @@ def q_brand_return_woe_iv(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+def q_spearman_price_qty(spark, sf_dir: str) -> DataFrame:
+    """SPEARMAN rank correlation between a part's list price and its
+    total ordered quantity — the monotone-association companion to the
+    location tests (t/U/H ask "did the level shift?"; this asks "do
+    expensive parts sell less?"). rho = Pearson on average ranks; with
+    ties the doubled-rank grid makes every rank an exact integer
+    (rank2 = 2·cum_before + ct + 1, the same device as the U and H
+    tests), so all five moments are exact:
+
+        num  = n·Σ rx·ry − Σrx·Σry            (doubled ranks cancel)
+        den² = (n·Σrx² − (Σrx)²)(n·Σry² − (Σry)²)
+        rho  = num / sqrt(den²)
+
+    Exact fixed point: rho² is surfaced in ppm via the two-stage
+    floor division (num²//denx)·10⁶//deny — num² bounded by 4n⁴ needs
+    n ≤ 40 000 to stay inside DECIMAL(38,0)/HUGEINT, guarded with
+    raise_error (sf0.1 has 20 000 parts); rho itself in signed milli
+    via isqrt(rho2_ppm). Both engines run the identical integer ops.
+
+    Scale: one FK join + one per-part aggregate; BOTH rank grids run
+    over bounded value domains (distinct cents / distinct quantities),
+    not rows; the moment collapse is a single map-side-combinable
+    aggregate to one row.
+
+    Output: 1 row (n_parts, rank2 sums, rho_num, den factors,
+    rho2_signed_ppm, rho_milli)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2, isqrt
+
+    t = load(spark, sf_dir)
+    per_part = (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+        .join(
+            t.part.select(
+                "p_partkey",
+                (dec2("p_retailprice") * 100).cast("long").alias("cents"),
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_partkey", "cents", "qty")
+    )
+
+    def rank2_grid(col: str, alias: str) -> DataFrame:
+        grid = per_part.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("ct")
+        )
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return grid.withColumn("cum_incl", F.sum("ct").over(w)).select(
+            col,
+            (
+                F.lit(2) * (F.col("cum_incl") - F.col("ct"))
+                + F.col("ct")
+                + F.lit(1)
+            ).alias(alias),
+        )
+
+    ranked = per_part.join(rank2_grid("cents", "rx2"), "cents").join(
+        rank2_grid("qty", "ry2"), "qty"
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rx2").cast("long").alias("sx"),
+        F.sum("ry2").cast("long").alias("sy"),
+        F.sum(dd(F.col("rx2")) * F.col("ry2")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dd(F.col("rx2")) * F.col("rx2")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd(F.col("ry2")) * F.col("ry2")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.when(
+        F.col("n_parts") > F.lit(40_000),
+        F.raise_error(
+            F.lit(
+                "spearman contract violated: n > 4e4 overflows num^2 in "
+                "DECIMAL(38,0); sample upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_parts"))
+    num = dd(n) * F.col("sxy") - dd(F.col("sx")) * F.col("sy")
+    denx = dd(n) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
+    deny = dd(n) * F.col("syy") - dd(F.col("sy")) * F.col("sy")
+    anum = F.when(num < 0, -num).otherwise(num)
+    rho2 = _idiv(_idiv(anum * anum, denx) * F.lit(1_000_000), deny)
+    signed = F.when(num < 0, -rho2).otherwise(rho2)
+    return m.select(
+        "n_parts",
+        "sx",
+        "sy",
+        num.cast("decimal(38,0)").alias("rho_num"),
+        denx.cast("decimal(38,0)").alias("den_x"),
+        deny.cast("decimal(38,0)").alias("den_y"),
+        signed.cast("long").alias("rho2_signed_ppm"),
+        (
+            F.when(num < 0, -isqrt(rho2)).otherwise(isqrt(rho2))
+        ).cast("long").alias("rho_milli"),
+    )

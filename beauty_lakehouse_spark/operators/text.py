@@ -2422,3 +2422,83 @@ def q_nb_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: (true_lang, pred_lang, n_docs, acc_ppm)."""
     t = load(spark, sf_dir)
     return nb_finish(nb_token_grid(t.documents))
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1 geometry, scaled
+#: to this corpus's 10-99-word documents): word-count floor 20, mean
+#: word length 3-10 chars, symbol-to-word ratio <= 0.1, >= 80% of words
+#: alphabetic, >= 2 EN stopword hits. Shared Spark/oracle constants.
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_WL_MILLI = 3_000
+GOPHER_MAX_WL_MILLI = 10_000
+GOPHER_MAX_SYMBOL_PPM = 100_000
+GOPHER_MIN_ALPHA_PPM = 800_000
+GOPHER_MIN_STOP_HITS = 2
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-style quality rule card — the per-document boolean gate
+    battery every LLM corpus pipeline runs before training (word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic
+    fraction, stopword evidence), composed into one `gopher_pass` bit.
+    Complements ``q_quality_scores`` (continuous ratios): this is the
+    thresholded DECISION layer, with each rule surfaced so downstream
+    audits can attribute removals to rules.
+
+    Exact fixed point: mean word length in milli (Σlen·1000 // n),
+    symbol ratio and alphabetic fraction in ppm — integer floor
+    divisions both engines define identically. Symbols counted as
+    '#' occurrences + '...' occurrences (length-delta trick, no
+    regex backtracking).
+
+    Scale: stateless narrow scan — no shuffle, no join; the rule card
+    parallelizes perfectly and pushes the doc_id/text projection into
+    the parquet scan."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    d = _tok(t.documents)
+    n_words = F.size("toks")
+    wl_sum = F.aggregate(
+        F.transform(F.col("toks"), lambda s: F.length(s).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mean_wl_milli = _idiv(wl_sum * F.lit(1000), n_words)
+    hash_ct = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ell_ct = _idiv(
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", "")),
+        F.lit(3),
+    )
+    symbol_ppm = _idiv((hash_ct + ell_ct) * F.lit(1_000_000), n_words)
+    alpha_words = F.size(
+        F.filter(F.col("toks"), lambda s: s.rlike("[a-zA-Z]"))
+    )
+    alpha_ppm = _idiv(alpha_words.cast("long") * F.lit(1_000_000), n_words)
+    stop_hits = F.size(
+        F.filter(F.col("toks"), lambda s: s.isin(*STOPWORDS["en"]))
+    )
+    flags = {
+        "word_count_ok": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "word_length_ok": (mean_wl_milli >= GOPHER_MIN_WL_MILLI)
+        & (mean_wl_milli <= GOPHER_MAX_WL_MILLI),
+        "symbol_ratio_ok": symbol_ppm <= GOPHER_MAX_SYMBOL_PPM,
+        "alpha_ratio_ok": alpha_ppm >= GOPHER_MIN_ALPHA_PPM,
+        "stopword_ok": stop_hits >= GOPHER_MIN_STOP_HITS,
+    }
+    gopher_pass = flags["word_count_ok"]
+    for k in list(flags)[1:]:
+        gopher_pass = gopher_pass & flags[k]
+    return t.documents.join(d.select("doc_id", "toks"), "doc_id").select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_wl_milli.cast("long").alias("mean_wl_milli"),
+        symbol_ppm.cast("long").alias("symbol_ppm"),
+        alpha_ppm.cast("long").alias("alpha_ppm"),
+        stop_hits.cast("long").alias("stop_hits"),
+        *[flags[k].alias(k) for k in flags],
+        gopher_pass.alias("gopher_pass"),
+    )

@@ -150,6 +150,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "revenue_pareto_cut": "revenue ranking window over the PART dimension (bounded relative to the fact table — the zipf_law_fit convention)",
     "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
     "kruskal_wallis_segments": "doubled-rank cumulative window over the distinct-cents VALUE-DOMAIN grid (the segment_price_utest convention), never raw rows",
+    "spearman_price_qty": "doubled-rank cumulative windows over the two VALUE-DOMAIN grids (distinct part cents / distinct total quantities — both bounded by the value domain, the kruskal convention), never raw rows",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

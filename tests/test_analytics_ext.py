@@ -1691,3 +1691,97 @@ def test_brand_return_woe_iv_properties(spark, sf_dir):
         if r.diff_ppm < 0:
             assert r.woe_micro < 0 or abs(r.diff_ppm) <= 2
         assert r.iv_micro >= -1  # sign agreement up to 1-ppm truncation
+
+
+def test_spearman_price_qty_pure_python(spark, sf_dir):
+    """Doubled-rank moments and the two-stage rho² division match the
+    textbook Spearman on materialized average ranks, and a scipy-free
+    float witness tracks rho_milli."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_spearman_price_qty,
+    )
+
+    row = q_spearman_price_qty(spark, sf_dir).collect()[0]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    pt = pd.read_parquet(f"{sf_dir}/part.parquet")
+    qty = li.groupby("l_partkey")["l_quantity"].sum().astype(int)
+    j = pt.set_index("p_partkey").join(qty, how="inner")
+    xs = [int(round(p * 100)) for p in j["p_retailprice"]]
+    ys = [int(q) for q in j["l_quantity"]]
+
+    def rank2(vals):
+        cnt = Counter(vals)
+        r, cum = {}, 0
+        for v in sorted(cnt):
+            r[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [r[v] for v in vals]
+
+    rx, ry = rank2(xs), rank2(ys)
+    n = len(xs)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    assert (row.n_parts, row.sx, row.sy) == (n, sx, sy)
+    assert (int(row.rho_num), int(row.den_x), int(row.den_y)) == (
+        num, den_x, den_y,
+    )
+    rho2 = ((abs(num) * abs(num)) // den_x) * 1_000_000 // den_y
+    want = -rho2 if num < 0 else rho2
+    assert row.rho2_signed_ppm == want
+    assert -1_000_000 <= row.rho2_signed_ppm <= 1_000_000
+    # FLOAT WITNESS: rho_milli tracks the float Spearman rho
+    rho_f = num / (den_x * den_y) ** 0.5
+    assert abs(row.rho_milli / 1000 - rho_f) <= 2e-3
+
+
+def test_gopher_quality_flags_pure_python(spark, sf_dir):
+    """Every rule value and the composed pass bit match a direct
+    python recomputation over the raw text."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        GOPHER_MIN_STOP_HITS,
+        GOPHER_MIN_WORDS,
+        STOPWORDS,
+        q_gopher_quality_flags,
+    )
+
+    rows = {
+        r.doc_id: r for r in q_gopher_quality_flags(spark, sf_dir).collect()
+    }
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == len(docs)
+    n_pass = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        r = rows[doc_id]
+        nw = len(toks)
+        assert r.n_words == nw
+        assert r.mean_wl_milli == sum(len(w) for w in toks) * 1000 // nw
+        sym = text.count("#") + text.count("...")
+        assert r.symbol_ppm == sym * 1_000_000 // nw
+        alpha = sum(1 for w in toks if any(c.isalpha() and c.isascii() for c in w))
+        assert r.alpha_ppm == alpha * 1_000_000 // nw
+        stop = sum(1 for w in toks if w in STOPWORDS["en"])
+        assert r.stop_hits == stop
+        want_pass = (
+            nw >= GOPHER_MIN_WORDS
+            and 3000 <= r.mean_wl_milli <= 10000
+            and r.symbol_ppm <= 100_000
+            and r.alpha_ppm >= 800_000
+            and stop >= GOPHER_MIN_STOP_HITS
+        )
+        assert r.gopher_pass == want_pass, doc_id
+        n_pass += want_pass
+    # the rule card discriminates: both outcomes occur on the fixture
+    assert 0 < n_pass < len(docs)
