@@ -123,6 +123,11 @@ _DRIVER_ORDER_R11 = [
     "brand_return_woe_iv",  # new in r11
     "spearman_price_qty",  # new in r11
     "gopher_quality_flags",  # new in r11
+    "js_divergence_sources",  # new in r11
+    "compaction_plan",  # new in r11
+    "copurchase_ktruss",  # new in r11
+    "silhouette_simplified",  # new in r11
+    "twonn_intrinsic_dim",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -551,6 +556,11 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_return_woe_iv": quality.q_brand_return_woe_iv,
         "spearman_price_qty": quality.q_spearman_price_qty,
         "gopher_quality_flags": text.q_gopher_quality_flags,
+        "js_divergence_sources": text.q_js_divergence_sources,
+        "compaction_plan": warehouse.q_compaction_plan,
+        "copurchase_ktruss": graph.q_copurchase_ktruss,
+        "silhouette_simplified": similarity.q_silhouette_simplified,
+        "twonn_intrinsic_dim": similarity.q_twonn_intrinsic_dim,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -7452,6 +7462,203 @@ def oracle_sql() -> dict[str, str]:
         "AS rho2_signed_ppm, "
         "CAST(CASE WHEN num < 0 THEN -" + _isq("rho2") + " ELSE "
         + _isq("rho2") + " END AS BIGINT) AS rho_milli FROM r"
+    )
+
+    # Two-NN intrinsic dimension: exact integer squared-L2 1st/2nd
+    # neighbors on the 50-query panel, shift-guarded ln_micro ratio,
+    # MLE id in milli (mirrors similarity.q_twonn_intrinsic_dim)
+    _tn_sh = "greatest(length(bin(d2_sq)) - 30, 0)"
+    out["twonn_intrinsic_dim"] = (
+        "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) - 1 AS dim, "
+        "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+        "qe AS (SELECT vec_id AS query_id, dim, q AS qq FROM ex "
+        "WHERE vec_id < 50), "
+        "ds AS (SELECT query_id, ex.vec_id AS neighbor_id, "
+        "CAST(sum((ex.q - qe.qq) * (ex.q - qe.qq)) AS BIGINT) AS dist "
+        "FROM ex JOIN qe ON qe.dim = ex.dim "
+        "WHERE ex.vec_id <> qe.query_id GROUP BY 1, 2), "
+        "rk AS (SELECT query_id, dist, row_number() OVER (PARTITION BY "
+        "query_id ORDER BY dist, neighbor_id) AS rn FROM ds), "
+        "two AS (SELECT query_id, "
+        "CAST(min(CASE WHEN rn = 1 THEN dist END) AS BIGINT) AS d1_sq, "
+        "CAST(min(CASE WHEN rn = 2 THEN dist END) AS BIGINT) AS d2_sq "
+        "FROM rk WHERE rn <= 2 GROUP BY 1), "
+        "kept AS (SELECT query_id, d1_sq, d2_sq, "
+        "CAST(("
+        + _lnm(f"(d2_sq >> ({_tn_sh}))", f"greatest(d1_sq >> ({_tn_sh}), 1)")
+        + ") // 2 AS BIGINT) AS ln_ratio_micro FROM two WHERE d1_sq > 0), "
+        "exc AS (SELECT CAST(count(*) AS BIGINT) AS n_excluded FROM two "
+        "WHERE d1_sq <= 0), "
+        "gl AS (SELECT CAST(count(*) AS BIGINT) AS n_queries, "
+        "CAST(sum(ln_ratio_micro) AS BIGINT) AS sum_ln_micro, "
+        "CAST(count(*) * 1000000000 // "
+        "greatest(sum(ln_ratio_micro), 1) AS BIGINT) AS id_milli "
+        "FROM kept) "
+        "SELECT query_id, d1_sq, d2_sq, ln_ratio_micro, n_queries, "
+        "n_excluded, sum_ln_micro, id_milli FROM kept, gl, exc "
+        "ORDER BY query_id"
+    )
+
+    # Simplified silhouette over the one-round kmeans state: isqrt
+    # integer-L2 distances to own/nearest-other centroid, s in ppm
+    # (mirrors similarity.q_silhouette_simplified; the kmeans chain is
+    # the kmeans_round oracle verbatim)
+    _sil_own = _isq("d_own")
+    _sil_oth = _isq("d_other")
+    out["silhouette_simplified"] = (
+        "WITH ex AS (SELECT vec_id, CAST(t.i AS INTEGER) AS dim, "
+        "CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000 + 0.5) "
+        "AS BIGINT) AS q FROM embeddings, range(1, 65) t(i)), "
+        "sd AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY "
+        "('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), 1, 15))"
+        "::BIGINT, vec_id) AS INTEGER) AS cluster_id FROM embeddings "
+        "ORDER BY ('0x' || substr(md5('km:' || CAST(vec_id AS VARCHAR)), "
+        "1, 15))::BIGINT, vec_id LIMIT 8), "
+        "se AS (SELECT cluster_id, dim, q AS c FROM sd JOIN ex "
+        "USING (vec_id)), "
+        "d0 AS (SELECT ex.vec_id AS vec_id, se.cluster_id AS cluster_id, "
+        "sum((ex.q - se.c) * (ex.q - se.c)) AS dist FROM ex "
+        "JOIN se ON se.dim = ex.dim GROUP BY 1, 2), "
+        "a0 AS (SELECT vec_id, cluster_id FROM (SELECT vec_id, "
+        "cluster_id, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY dist, cluster_id) AS rn FROM d0) WHERE rn = 1), "
+        "cent AS (SELECT a0.cluster_id AS cluster_id, ex.dim AS dim, "
+        "CAST(CAST("
+        + _hud("(sum(q) + count(*) * 4000000)", "count(*)", 0)
+        + " AS BIGINT) - 4000000 AS BIGINT) AS c FROM ex "
+        "JOIN a0 ON a0.vec_id = ex.vec_id GROUP BY 1, 2), "
+        "d1 AS (SELECT ex.vec_id AS vec_id, cent.cluster_id AS cluster_id, "
+        "sum((ex.q - cent.c) * (ex.q - cent.c)) AS dist FROM ex "
+        "JOIN cent ON cent.dim = ex.dim GROUP BY 1, 2), "
+        "r AS (SELECT vec_id, cluster_id, dist, row_number() OVER "
+        "(PARTITION BY vec_id ORDER BY dist, cluster_id) AS rn FROM d1), "
+        "ow AS (SELECT vec_id, cluster_id AS own_cluster, "
+        "CAST(dist AS BIGINT) AS d_own FROM r WHERE rn = 1), "
+        "ot AS (SELECT vec_id, CAST(min(dist) AS BIGINT) AS d_other "
+        "FROM r WHERE rn > 1 GROUP BY 1), "
+        "s AS (SELECT ow.vec_id AS vec_id, own_cluster, "
+        f"CAST(({_sil_oth} - {_sil_own}) * 1000000 // "
+        f"greatest({_sil_oth}, 1) AS BIGINT) AS s_ppm "
+        "FROM ow JOIN ot ON ot.vec_id = ow.vec_id), "
+        "per AS (SELECT own_cluster, CAST(count(*) AS BIGINT) AS "
+        "n_members, CAST(sum(s_ppm) AS BIGINT) AS sum_s, "
+        "CAST(min(s_ppm) AS BIGINT) AS min_s_ppm, "
+        "CAST(max(s_ppm) AS BIGINT) AS max_s_ppm FROM s GROUP BY 1), "
+        "gl AS (SELECT CAST(sum(sum_s) // sum(n_members) AS BIGINT) AS "
+        "silhouette_ppm FROM per) "
+        "SELECT CAST(own_cluster AS INTEGER) AS cluster_id, n_members, "
+        "CAST(sum_s // n_members AS BIGINT) AS mean_s_ppm, min_s_ppm, "
+        "max_s_ppm, silhouette_ppm FROM per, gl ORDER BY cluster_id"
+    )
+
+    # k-truss peel on the weight>=2 copurchase graph: 4 unrolled
+    # support-recount rounds, per-round edge counts + converged flag
+    # (mirrors graph.q_copurchase_ktruss, TRUSS_K=4)
+    def _truss_round(prev: str, cur: str) -> str:
+        return (
+            f"{cur} AS MATERIALIZED (SELECT {prev}.a AS a, {prev}.b AS b "
+            f"FROM {prev} JOIN (SELECT a, b, count(*) AS s FROM ("
+            f"SELECT x.a AS a, x.b AS b FROM {prev} x "
+            f"JOIN {prev} y ON x.b = y.a "
+            f"JOIN {prev} z ON z.a = x.a AND z.b = y.b "
+            f"UNION ALL SELECT x.a AS a, y.b AS b FROM {prev} x "
+            f"JOIN {prev} y ON x.b = y.a "
+            f"JOIN {prev} z ON z.a = x.a AND z.b = y.b "
+            f"UNION ALL SELECT x.b AS a, y.b AS b FROM {prev} x "
+            f"JOIN {prev} y ON x.b = y.a "
+            f"JOIN {prev} z ON z.a = x.a AND z.b = y.b"
+            f") GROUP BY 1, 2) s USING (a, b) WHERE s.s >= 2)"
+        )
+
+    out["copurchase_ktruss"] = (
+        "WITH d0 AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "bs AS (SELECT l_orderkey, count(*) AS sz FROM d0 GROUP BY 1), "
+        "ok AS (SELECT d0.l_orderkey, d0.l_partkey FROM d0 "
+        "JOIN bs USING (l_orderkey) WHERE sz BETWEEN 2 AND 50), "
+        "t0 AS MATERIALIZED (SELECT x.l_partkey AS a, y.l_partkey AS b "
+        "FROM ok x JOIN ok y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_partkey < y.l_partkey GROUP BY 1, 2 "
+        "HAVING count(*) >= 2), "
+        + ", ".join(
+            _truss_round(f"t{r - 1}", f"t{r}") for r in range(1, 5)
+        )
+        + ", traj AS ("
+        + " UNION ALL ".join(
+            f"SELECT {r} AS round, CAST(count(*) AS BIGINT) AS n_edges "
+            f"FROM t{r}"
+            for r in range(5)
+        )
+        + ") SELECT CAST(round AS INTEGER) AS round, n_edges, "
+        "CAST(coalesce(lag(n_edges) OVER (ORDER BY round) - n_edges, 0) "
+        "AS BIGINT) AS n_removed, "
+        "(round = 4) AND coalesce(lag(n_edges) OVER (ORDER BY round) "
+        "- n_edges, 0) = 0 AS converged FROM traj ORDER BY round"
+    )
+
+    # OPTIMIZE-style compaction planner: per-day micro-file sizes,
+    # contiguous cumulative bin packing into 8 target files, exact
+    # integer ceil target + fill ppm (mirrors warehouse.q_compaction_plan)
+    out["compaction_plan"] = (
+        "WITH f AS (SELECT CAST(ts AS DATE) AS day, "
+        "CAST(sum(len(props) + 64) AS BIGINT) AS bytes, "
+        "CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1), "
+        "g AS (SELECT day, bytes, n_rows, CAST(sum(bytes) OVER "
+        "(ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS cum FROM f), "
+        "tot AS (SELECT max(cum) AS total FROM g), "
+        "b AS (SELECT day, bytes, n_rows, "
+        "(total + 7) // 8 AS target, "
+        "(cum - bytes) // ((total + 7) // 8) AS bin FROM g, tot), "
+        "p0 AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_files, "
+        "min(day) AS d_lo, max(day) AS d_hi, "
+        "CAST(sum(bytes) AS BIGINT) AS est_bytes, "
+        "CAST(sum(n_rows) AS BIGINT) AS n_rows, "
+        "CAST(max(target) AS BIGINT) AS tgt FROM b GROUP BY 1), "
+        "p AS (SELECT bin, n_files, strftime(d_lo, '%Y-%m-%d') AS day_lo, "
+        "strftime(d_hi, '%Y-%m-%d') AS day_hi, est_bytes, n_rows, tgt "
+        "FROM p0) "
+        "SELECT CAST(bin AS INTEGER) AS bin, n_files, day_lo, day_hi, "
+        "est_bytes, n_rows, "
+        "CAST(est_bytes * 1000000 // tgt AS BIGINT) AS fill_ppm, "
+        "est_bytes > tgt AS oversized FROM p ORDER BY bin"
+    )
+
+    # Jensen-Shannon divergence between the two source halves: ppm
+    # masses, signed ln_micro KL terms in pico-nats, jsd in micro-nats
+    # (mirrors text.q_js_divergence_sources)
+    def _jsd_side(p: str) -> str:
+        m2 = "(p_a_ppm + p_b_ppm)"
+        return (
+            f"(CASE WHEN {p} = 0 THEN 0 "
+            f"WHEN 2 * {p} >= {m2} THEN {p} * ("
+            + _lnm(f"(2 * {p})", m2)
+            + f") ELSE -{p} * ("
+            + _lnm(m2, f"(2 * {p})")
+            + ") END)"
+        )
+
+    out["js_divergence_sources"] = (
+        "WITH tk AS (SELECT len(source) = 4 AS is_a, t.term AS term "
+        "FROM documents, unnest(string_split(text, ' ')) t(term)), "
+        "pt AS (SELECT term, CAST(sum(CASE WHEN is_a THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS c_a, CAST(sum(CASE WHEN is_a THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS c_b FROM tk GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS na_tokens, "
+        "CAST(sum(c_b) AS BIGINT) AS nb_tokens, "
+        "CAST(count(*) AS BIGINT) AS n_terms FROM pt), "
+        "w AS (SELECT term, c_a, c_b, na_tokens, nb_tokens, n_terms, "
+        "CAST(c_a * 1000000 // na_tokens AS BIGINT) AS p_a_ppm, "
+        "CAST(c_b * 1000000 // nb_tokens AS BIGINT) AS p_b_ppm "
+        "FROM pt, tot), "
+        "sc AS (SELECT *, CAST(" + _jsd_side("p_a_ppm") + " + "
+        + _jsd_side("p_b_ppm") + " AS BIGINT) AS contrib_pico FROM w), "
+        "gl AS (SELECT CAST(CASE WHEN sum(contrib_pico) < 0 THEN "
+        "-((-sum(contrib_pico)) // 2000000) ELSE "
+        "sum(contrib_pico) // 2000000 END AS BIGINT) AS jsd_micro FROM sc) "
+        "SELECT term, c_a, c_b, p_a_ppm, p_b_ppm, contrib_pico, "
+        "na_tokens, nb_tokens, n_terms, jsd_micro FROM sc, gl "
+        "ORDER BY abs(contrib_pico) DESC, term LIMIT 20"
     )
 
     # Gopher-style per-doc quality rule card: integer milli/ppm rule

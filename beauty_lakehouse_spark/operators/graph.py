@@ -1430,3 +1430,102 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_den.alias("r_den"),
         r_milli.cast("long").alias("r_milli"),
     )
+
+
+#: k-truss geometry: keep edges with >= TRUSS_K - 2 triangle supports,
+#: peel for TRUSS_ROUNDS rounds on the weight>=2 thresholded graph.
+TRUSS_K = 4
+TRUSS_ROUNDS = 4
+
+
+def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-TRUSS decomposition of the thresholded co-purchase graph —
+    the EDGE-grain cohesion peel (Cohen 2008) complementing the
+    node-grain k-core: repeatedly drop edges in fewer than
+    ``TRUSS_K − 2`` triangles; what survives is the k-truss, the
+    maximal subgraph where every tie is embedded in k−2 common
+    neighborhoods. A truss is a strictly stronger bundle signal than
+    a core (every k-truss sits inside the (k−1)-core, not vice versa).
+
+    Rounds are UNROLLED to ``TRUSS_ROUNDS`` with the surviving edge
+    set lazily checkpointed per round (the kcore convention); each
+    round recounts support because removing ONE edge can break many
+    triangles — the recount is the semantics, not a missed
+    optimization. Support counting uses the a<b oriented wedge+closing
+    join (the ``q_product_triangles`` plan): each triangle found once,
+    exploded onto its three edges, one map-side-combinable count. The
+    trajectory is the output so an insufficient round cap is VISIBLE
+    (converged = removal-free final round).
+
+    Scale: the wedge join is bounded by Σ_edges deg(b) over the
+    THRESHOLDED (weight ≥ 2) graph — 3% of the raw edge set at sf0.01;
+    at 100 TB the standard refinement orients wedges by degree rather
+    than id (bounds wedge fan-out by arboricity) without changing the
+    per-round dataflow.
+
+    Output: (round, n_edges, n_removed, converged)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    cur = (
+        copurchase_edges(t.lineitem)
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b")
+        .localCheckpoint(eager=False)
+    )
+
+    def support(edges: DataFrame) -> DataFrame:
+        e1 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("b"))
+        e2 = edges.select(F.col("part_a").alias("b"), F.col("part_b").alias("c"))
+        e3 = edges.select(F.col("part_a").alias("a"), F.col("part_b").alias("c"))
+        tri = e1.join(e2, "b").join(e3, ["a", "c"])
+        sides = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("part_a"), F.col("b").alias("part_b")),
+                    F.struct(F.col("a").alias("part_a"), F.col("c").alias("part_b")),
+                    F.struct(F.col("b").alias("part_a"), F.col("c").alias("part_b")),
+                )
+            ).alias("e")
+        ).select("e.part_a", "e.part_b")
+        return sides.groupBy("part_a", "part_b").agg(
+            F.count(F.lit(1)).alias("sup")
+        )
+
+    traj = [
+        cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).select(
+            F.lit(0).alias("round"), "n_edges"
+        )
+    ]
+    for r in range(1, TRUSS_ROUNDS + 1):
+        cur = (
+            cur.join(support(cur), ["part_a", "part_b"])
+            .filter(F.col("sup") >= TRUSS_K - 2)
+            .select("part_a", "part_b")
+            .localCheckpoint(eager=False)
+        )
+        traj.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).select(
+                F.lit(r).alias("round"), "n_edges"
+            )
+        )
+    out = traj[0]
+    for d in traj[1:]:
+        out = out.unionByName(d)
+    w = Window.orderBy("round")
+    return out.select(
+        F.col("round").cast("int").alias("round"),
+        "n_edges",
+        F.coalesce(F.lag("n_edges").over(w) - F.col("n_edges"), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+        (
+            (F.col("round") == TRUSS_ROUNDS)
+            & (
+                F.coalesce(
+                    F.lag("n_edges").over(w) - F.col("n_edges"), F.lit(0)
+                )
+                == 0
+            )
+        ).alias("converged"),
+    ).orderBy("round")

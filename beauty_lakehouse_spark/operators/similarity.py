@@ -3026,3 +3026,256 @@ def q_signbit_topk_exactint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
     return _exactint_rerank(emb, cand)
+
+
+def q_silhouette_simplified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE over the one-round k-means clustering —
+    the O(n·k) clustering-quality score (Hruschka 2004: distances to
+    CENTROIDS, not the O(n²) all-pairs classic) every embedding
+    pipeline checks before trusting cluster-derived curation decisions
+    (SemDeDup prototypes, IVF cell balance). s = (b − a) / max(a, b)
+    with a = distance to own centroid, b = distance to the nearest
+    OTHER centroid; assignment is argmin so a ≤ b and s ∈ [0, 1] —
+    near 0 means the vector sits on a cell boundary.
+
+    Exact fixed point: the centroid state is ``q_kmeans_round``'s
+    bit-identical integer chain (hash-seeded init, integer-L2 argmin,
+    shifted half-up centroid mean); distances take isqrt of the exact
+    integer squared-L2, s in ppm via one trunc division. Ties in the
+    argmin break to the smallest cluster id, as everywhere.
+
+    Scale: k·d centroid table broadcasts; the n·k·d assignment scan is
+    the same dense map-side-combinable shape as the kmeans round; the
+    cluster collapse is k rows. No all-pairs anything.
+
+    Output: KMEANS_K rows (cluster_id, n_members, mean_s_ppm,
+    min_s_ppm, max_s_ppm) + global silhouette_ppm on every row."""
+    from ..functions import _idiv, isqrt, portable_hash64
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .alias("q"),
+    ).cache()
+    seeds = (
+        t.embeddings.select("vec_id")
+        .orderBy(
+            portable_hash64(
+                F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+            ),
+            "vec_id",
+        )
+        .limit(KMEANS_K)
+        .select(
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    portable_hash64(
+                        F.concat(F.lit("km:"), F.col("vec_id").cast("string"))
+                    ),
+                    "vec_id",
+                )
+            )
+            .alias("cluster_id"),
+            "vec_id",
+        )
+    )
+    seed_ex = seeds.join(ex, "vec_id").select(
+        "cluster_id", "dim", F.col("q").alias("c")
+    )
+    d0 = (
+        ex.join(F.broadcast(seed_ex), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+             .alias("dist"))
+    )
+    a0 = d0.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster_id")).alias("m")
+    ).select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+    from ..functions import halfup_div
+
+    cent = (
+        ex.join(a0, "vec_id")
+        .groupBy("cluster_id", "dim")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+        .select(
+            "cluster_id",
+            "dim",
+            (
+                halfup_div(
+                    F.col("s") + F.col("n") * KMEANS_OFFSET, F.col("n"), 0
+                ).cast("long")
+                - KMEANS_OFFSET
+            ).alias("c"),
+        )
+    )
+    d1 = (
+        ex.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster_id")
+        .agg(F.sum((F.col("q") - F.col("c")) * (F.col("q") - F.col("c")))
+             .alias("dist"))
+    )
+    own = d1.groupBy("vec_id").agg(
+        F.min(F.struct("dist", "cluster_id")).alias("m")
+    ).select(
+        "vec_id",
+        F.col("m.cluster_id").alias("own_cluster"),
+        F.col("m.dist").alias("d_own"),
+    )
+    other = (
+        d1.join(own, "vec_id")
+        .filter(F.col("cluster_id") != F.col("own_cluster"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d_other"))
+    )
+    s = own.join(other, "vec_id").select(
+        "vec_id",
+        "own_cluster",
+        _idiv(
+            (isqrt(F.col("d_other")) - isqrt(F.col("d_own")))
+            * F.lit(1_000_000),
+            F.greatest(isqrt(F.col("d_other")), F.lit(1).cast("long")),
+        ).alias("s_ppm"),
+    )
+    per = s.groupBy("own_cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.sum("s_ppm").cast("long").alias("sum_s"),
+        F.min("s_ppm").cast("long").alias("min_s_ppm"),
+        F.max("s_ppm").cast("long").alias("max_s_ppm"),
+    )
+    glob = per.agg(
+        _idiv(F.sum("sum_s"), F.sum("n_members")).alias("silhouette_ppm")
+    )
+    return (
+        per.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("own_cluster").cast("int").alias("cluster_id"),
+            "n_members",
+            _idiv(F.col("sum_s"), F.col("n_members")).alias("mean_s_ppm"),
+            "min_s_ppm",
+            "max_s_ppm",
+            "silhouette_ppm",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+#: Two-NN geometry: bounded query panel (the knn_brute convention) —
+#: the estimator needs only a sample of exact 1st/2nd neighbors.
+TWONN_QUERIES = 50
+
+
+def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-NN INTRINSIC DIMENSION of the embedding corpus (Facco et
+    al. 2017): for each query the ratio µ = d₂/d₁ of its two exact
+    nearest-neighbor distances follows Pareto(id), so the MLE is
+    id = n / Σ ln µ — the curse-of-dimensionality dial an ANN tuner
+    reads before picking nlist/nbits (intrinsic dim ≪ ambient 64
+    means IVF/PQ will work far better than the raw dimension
+    suggests).
+
+    Exact fixed point: integer squared-L2 on micro-quantized vectors;
+    ln µ = ln_micro(d₂², d₁²)/2 with both arguments pre-shifted right
+    by max(0, bitlen(d₂²) − 30) to honor ln_micro's < 2³¹ contract —
+    a deterministic quantization (≤ 2⁻²⁹ relative) both engines apply
+    identically. Queries whose d₁² = 0 (exact duplicate vectors) are
+    excluded from the panel — µ is undefined there — and surfaced in
+    ``n_excluded``. id_milli = n·10⁹ // Σ ln_micro.
+
+    Scale: the panel is ``TWONN_QUERIES``-bounded (the knn_brute
+    convention) — panel×corpus×dim narrow rows with full map-side
+    combine; the estimator itself is a 1-row collapse. Estimating on
+    a fixed panel is the algorithm (the MLE needs a sample, not the
+    corpus); at 100 TB the panel stays constant and only the
+    candidate scan grows, which the ANN indexes already bound.
+
+    Output: per-query rows (query_id, d1_sq, d2_sq, ln_ratio_micro)
+    with global (n_queries, n_excluded, sum_ln_micro, id_milli)
+    attached."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    ex = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("dim0", "x")
+    ).select(
+        "vec_id",
+        F.col("dim0").alias("dim"),
+        F.floor(F.col("x").cast("double") * INT8_IN_SCALE + F.lit(0.5))
+        .alias("q"),
+    )
+    qex = ex.filter(F.col("vec_id") < TWONN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim", F.col("q").alias("qq")
+    )
+    dist = (
+        ex.join(F.broadcast(qex), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum((F.col("q") - F.col("qq")) * (F.col("q") - F.col("qq")))
+            .cast("long")
+            .alias("dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    two = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1_sq"),
+            F.min(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2_sq"),
+        )
+    )
+    sh = F.greatest(
+        (F.length(F.bin(F.col("d2_sq"))) - F.lit(30)).cast("int"), F.lit(0)
+    )
+    kept = two.filter(F.col("d1_sq") > 0).withColumn(
+        "ln_ratio_micro",
+        _idiv(
+            ln_micro(
+                F.call_function("shiftright", F.col("d2_sq"), sh),
+                F.greatest(
+                    F.call_function("shiftright", F.col("d1_sq"), sh),
+                    F.lit(1).cast("long"),
+                ),
+            ),
+            F.lit(2),
+        ),
+    )
+    n_exc = two.filter(F.col("d1_sq") <= 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_excluded")
+    )
+    glob = (
+        kept.agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.sum("ln_ratio_micro").cast("long").alias("sum_ln_micro"),
+        )
+        .crossJoin(F.broadcast(n_exc))
+        .select(
+            "n_queries",
+            "n_excluded",
+            "sum_ln_micro",
+            _idiv(
+                F.col("n_queries") * F.lit(1_000_000_000),
+                F.greatest(F.col("sum_ln_micro"), F.lit(1).cast("long")),
+            ).alias("id_milli"),
+        )
+    )
+    return (
+        kept.crossJoin(F.broadcast(glob))
+        .select(
+            "query_id",
+            "d1_sq",
+            "d2_sq",
+            "ln_ratio_micro",
+            "n_queries",
+            "n_excluded",
+            "sum_ln_micro",
+            "id_milli",
+        )
+        .orderBy("query_id")
+    )

@@ -2502,3 +2502,98 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[flags[k].alias(k) for k in flags],
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JENSEN–SHANNON divergence between the term distributions of the
+    corpus's two source halves (src0-src9 vs src10-src19) — the
+    symmetric, bounded distribution distance a mixture designer uses to
+    decide whether two crawls are interchangeable or complementary
+    (JSD 0 = identical, ln 2 = disjoint). Complements
+    ``source_vocab_overlap`` (set overlap) with a MASS-weighted
+    distance.
+
+    Exact fixed point: probabilities quantized to ppm (c·10⁶ // N — a
+    deterministic quantization both engines define identically), each
+    KL term pX·ln(2pX/(pA+pB)) carried as a SIGNED ln_micro product
+    (the WoE device — ln_micro needs num ≥ den, so the sign is split
+    out), summed in pico-nats and surfaced in micro-nats. Terms the
+    quantization floors to 0 ppm contribute exactly 0 in both engines.
+
+    Scale: one explode + one term-grain aggregate (map-side
+    combinable); the two totals broadcast back as a 1-row attach. The
+    per-term frame is the VOCABULARY, never raw tokens, and the top-20
+    surfacing is a TakeOrdered head.
+
+    Output: 20 rows (term, counts, ppm masses, signed contribution)
+    with the global (na_tokens, nb_tokens, n_terms, jsd_micro)
+    attached to every row."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    toks = _tok(t.documents).select(
+        (F.length("source") == 4).alias("is_a"),
+        F.explode("toks").alias("term"),
+    )
+    per_term = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).cast("long").alias("c_b"),
+    )
+    tot = per_term.agg(
+        F.sum("c_a").cast("long").alias("na_tokens"),
+        F.sum("c_b").cast("long").alias("nb_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )
+    w = per_term.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "c_a",
+        "c_b",
+        "na_tokens",
+        "nb_tokens",
+        "n_terms",
+        _idiv(F.col("c_a") * F.lit(1_000_000), F.col("na_tokens")).alias(
+            "p_a_ppm"
+        ),
+        _idiv(F.col("c_b") * F.lit(1_000_000), F.col("nb_tokens")).alias(
+            "p_b_ppm"
+        ),
+    )
+
+    def side(p: str) -> F.Column:
+        """Signed pX·ln(2pX / (pA+pB)) in pico-nats (ppm · micro-nats)."""
+        two_p = F.col(p) * 2
+        m2 = F.col("p_a_ppm") + F.col("p_b_ppm")
+        pos = F.col(p) * ln_micro(two_p, m2)
+        neg = -F.col(p) * ln_micro(m2, two_p)
+        return (
+            F.when(F.col(p) == 0, F.lit(0).cast("long"))
+            .when(two_p >= m2, pos)
+            .otherwise(neg)
+            .cast("long")
+        )
+
+    scored = w.withColumn(
+        "contrib_pico", side("p_a_ppm") + side("p_b_ppm")
+    )
+    glob = scored.agg(
+        F.sum("contrib_pico").cast("long").alias("sum_pico")
+    ).select(
+        _idiv(F.col("sum_pico"), F.lit(2_000_000)).alias("jsd_micro")
+    )
+    return (
+        scored.crossJoin(F.broadcast(glob))
+        .orderBy(F.abs(F.col("contrib_pico")).desc(), "term")
+        .limit(20)
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            "p_a_ppm",
+            "p_b_ppm",
+            "contrib_pico",
+            "na_tokens",
+            "nb_tokens",
+            "n_terms",
+            "jsd_micro",
+        )
+    )

@@ -2396,3 +2396,87 @@ def q_hilbert_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc.d,
     )
     return j.select("o_orderkey", "zx", "zy", hkey.alias("hkey"))
+
+
+#: Compaction geometry: pack the per-day event micro-files into this
+#: many target bins (the OPTIMIZE file-count goal), 64 bytes of fixed
+#: per-row overhead on top of the variable props payload.
+COMPACT_BINS = 8
+COMPACT_ROW_OVERHEAD = 64
+
+
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE-style COMPACTION PLANNER — the small-file bin-packing
+    every lakehouse maintenance job runs: treat each event DAY as one
+    micro-file (estimated bytes = Σ len(props) + 64/row), then assign
+    files to ``COMPACT_BINS`` target output files by CONTIGUOUS
+    cumulative packing (bin = bytes_before // ceil(total/BINS)) so
+    each rewritten file stays day-clustered (preserves time-range
+    data skipping after the rewrite). Complements
+    ``range_partition_boundaries`` (row balance for a partitioner)
+    with BYTE balance for a file rewriter.
+
+    Exact: file sizes, the cumulative prefix, the ceil target, and
+    the bin id are all integers; fill_ppm is one trunc division. The
+    window runs over the calendar-bounded DAY grid, never raw rows.
+
+    At 100 TB the same plan runs per partition (files from the
+    transaction log's add-actions instead of a scan), and the bin id
+    becomes the rewrite task id — contiguity means each task reads a
+    consecutive day range.
+
+    Output: (bin, n_files, day_lo, day_hi, est_bytes, n_rows,
+    fill_ppm, oversized)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    files = (
+        t.events.select(
+            F.to_date("ts").alias("day"),
+            (F.length("props").cast("long") + F.lit(COMPACT_ROW_OVERHEAD))
+            .alias("b"),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum("b").alias("bytes"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = files.withColumn("cum", F.sum("bytes").over(w))
+    tot = g.agg(F.max("cum").alias("total"))
+    target = _idiv(
+        F.col("total") + F.lit(COMPACT_BINS - 1), F.lit(COMPACT_BINS)
+    )
+    binned = (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("target", target)
+        .withColumn(
+            "bin", _idiv(F.col("cum") - F.col("bytes"), F.col("target"))
+        )
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("day_lo"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("day_hi"),
+            F.sum("bytes").cast("long").alias("est_bytes"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.max("target").alias("tgt"),
+        )
+        .select(
+            F.col("bin").cast("int").alias("bin"),
+            "n_files",
+            "day_lo",
+            "day_hi",
+            "est_bytes",
+            "n_rows",
+            _idiv(F.col("est_bytes") * F.lit(1_000_000), F.col("tgt"))
+            .alias("fill_ppm"),
+            (F.col("est_bytes") > F.col("tgt")).alias("oversized"),
+        )
+        .orderBy("bin")
+    )

@@ -79,6 +79,10 @@ WHITELIST: dict[str, str] = {
     "selectivity_audit": "1-row value-bounds/total broadcast attaches against the <=24-row histogram tables and 3 result rows",
     "ann_ndcg_exactint": "bounded 20-query brute ground truth (the knn_brute audit shape) scoring the served ANN list; 1-row IDCG arithmetic",
     "mann_kendall_trend": "pair join over the CALENDAR-bounded daily grid (~2.4k rows at every SF, MK_MAX_DAYS-guarded) + 1-row stat attaches",
+    "compaction_plan": "1-row total-bytes broadcast (ceil target arithmetic) against the calendar-bounded day grid",
+    "js_divergence_sources": "1-row token-total broadcast (ppm masses) against the vocabulary table + 1-row jsd attach",
+    "silhouette_simplified": "1-row global-silhouette broadcast attached onto the k-row cluster report",
+    "twonn_intrinsic_dim": "1-row MLE/exclusion-count broadcast attaches onto the 50-row bounded query panel (the knn_brute audit shape)",
     "hilbert_curve_keys": "1-row column min/max bounds broadcast (range normalization — the orders_zorder_keys shape)",
     "community_modularity": "two 1-row broadcasts (edge count m, global Q numerator) attached to the per-community report",
     "signbit_topk_exactint": "bounded 20-query signature batch x corpus Hamming scan (the knn_brute shape; 8 bytes/vector moved)",
@@ -151,6 +155,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "segment_price_utest": "rank-sum cumulative window over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows",
     "kruskal_wallis_segments": "doubled-rank cumulative window over the distinct-cents VALUE-DOMAIN grid (the segment_price_utest convention), never raw rows",
     "spearman_price_qty": "doubled-rank cumulative windows over the two VALUE-DOMAIN grids (distinct part cents / distinct total quantities — both bounded by the value domain, the kruskal convention), never raw rows",
+    "compaction_plan": "cumulative-bytes window over the calendar-bounded day grid (the range_partition_boundaries convention), never raw rows",
+    "copurchase_ktruss": "lag window over the 5-row peel-trajectory table (the copurchase_kcore convention), never raw rows",
+    "silhouette_simplified": "row_number over the k-row kmeans seed table (limit(KMEANS_K), k=8 — the ivf_topk_exactint convention)",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",
     "contrastive_pairs": "ccnet composition: cumsum over the ~4k-row perplexity-key bucket table (same window ccnet_buckets whitelists)",

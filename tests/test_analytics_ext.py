@@ -1785,3 +1785,210 @@ def test_gopher_quality_flags_pure_python(spark, sf_dir):
         n_pass += want_pass
     # the rule card discriminates: both outcomes occur on the fixture
     assert 0 < n_pass < len(docs)
+
+
+def test_js_divergence_sources_pure_python(spark, sf_dir):
+    """ppm masses and the signed ln_micro contributions match a direct
+    recomputation; JSD is non-negative, bounded by ln 2, symmetric in
+    construction; float witness tracks jsd_micro."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        q_js_divergence_sources,
+    )
+
+    rows = q_js_divergence_sources(spark, sf_dir).collect()
+    assert len(rows) == 20
+    g = rows[0]
+    assert all(
+        (r.na_tokens, r.nb_tokens, r.n_terms, r.jsd_micro)
+        == (g.na_tokens, g.nb_tokens, g.n_terms, g.jsd_micro)
+        for r in rows
+    )
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ca, cb = {}, {}
+    for src, text in zip(docs["source"], docs["text"]):
+        tgt = ca if len(src) == 4 else cb
+        for w in text.split(" "):
+            tgt[w] = tgt.get(w, 0) + 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    vocab = set(ca) | set(cb)
+    assert (g.na_tokens, g.nb_tokens, g.n_terms) == (na, nb, len(vocab))
+    for r in rows:
+        assert r.p_a_ppm == ca.get(r.term, 0) * 1_000_000 // na
+        assert r.p_b_ppm == cb.get(r.term, 0) * 1_000_000 // nb
+        # per-term JS contribution is non-negative up to quantization
+        assert r.contrib_pico >= -2
+    # FLOAT WITNESS on the quantized masses
+    jsd_f = 0.0
+    for t in vocab:
+        pa = ca.get(t, 0) * 1_000_000 // na
+        pb = cb.get(t, 0) * 1_000_000 // nb
+        m2 = pa + pb
+        if pa:
+            jsd_f += pa * math.log(2 * pa / m2)
+        if pb:
+            jsd_f += pb * math.log(2 * pb / m2)
+    jsd_f /= 2e6
+    assert 0 <= g.jsd_micro / 1e6 <= math.log(2) + 1e-6
+    assert abs(g.jsd_micro / 1e6 - jsd_f) <= 1e-3
+
+
+def test_compaction_plan_pure_python(spark, sf_dir):
+    """Bin assignment is the exact contiguous cumulative packing: bins
+    are day-contiguous, bytes conserve, every non-final bin ends
+    because the next file would start past its target boundary."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        COMPACT_BINS,
+        COMPACT_ROW_OVERHEAD,
+        q_compaction_plan,
+    )
+
+    rows = q_compaction_plan(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "props"])
+    ev["day"] = ev["ts"].dt.date
+    ev["b"] = ev["props"].str.len() + COMPACT_ROW_OVERHEAD
+    files = ev.groupby("day")["b"].sum().sort_index()
+    total = int(files.sum())
+    target = (total + COMPACT_BINS - 1) // COMPACT_BINS
+    want = {}
+    cum = 0
+    for day, b in files.items():
+        want.setdefault(cum // target, []).append((day, int(b)))
+        cum += int(b)
+    assert len(rows) == len(want)
+    for r in rows:
+        fs = want[r.bin]
+        assert r.n_files == len(fs)
+        assert r.day_lo == str(fs[0][0]) and r.day_hi == str(fs[-1][0])
+        assert r.est_bytes == sum(b for _, b in fs)
+        assert r.fill_ppm == r.est_bytes * 1_000_000 // target
+        assert r.oversized == (r.est_bytes > target)
+    assert sum(r.est_bytes for r in rows) == total
+    # contiguity: bins tile the day axis in order
+    bounds = sorted((r.bin, r.day_lo, r.day_hi) for r in rows)
+    for (_, _, hi), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert hi < lo
+
+
+def test_copurchase_ktruss_pure_python(spark, sf_dir):
+    """The peel trajectory matches a direct python k-truss on the
+    thresholded edge set, and every reported round is consistent
+    (n_removed deltas, converged flag semantics)."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        TRUSS_K,
+        TRUSS_ROUNDS,
+        q_copurchase_ktruss,
+    )
+
+    rows = sorted(
+        q_copurchase_ktruss(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    assert [r.round for r in rows] == list(range(TRUSS_ROUNDS + 1))
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(list)
+    pair_ct = defaultdict(int)
+    for parts in baskets:
+        ps = sorted(set(parts))
+        if not 2 <= len(ps) <= 50:
+            continue
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair_ct[(a, b)] += 1
+    edges = {e for e, c in pair_ct.items() if c >= 2}
+    traj = [len(edges)]
+    for _ in range(TRUSS_ROUNDS):
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        sup = {
+            (a, b): len(adj[a] & adj[b]) for a, b in edges
+        }
+        edges = {e for e in edges if sup[e] >= TRUSS_K - 2}
+        traj.append(len(edges))
+    assert [r.n_edges for r in rows] == traj
+    for prev, r in zip(rows, rows[1:]):
+        assert r.n_removed == prev.n_edges - r.n_edges
+    assert rows[-1].converged == (rows[-1].n_removed == 0)
+
+
+def test_silhouette_simplified_properties(spark, sf_dir):
+    """s is in [0, 1] by construction (argmin assignment), members
+    cover the corpus, the global mean is the member-weighted mean of
+    the per-cluster sums, and the clustering beats a degenerate one."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        KMEANS_K,
+        q_silhouette_simplified,
+    )
+
+    rows = q_silhouette_simplified(spark, sf_dir).collect()
+    assert 1 <= len(rows) <= KMEANS_K
+    n_vec = len(pd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+    assert sum(r.n_members for r in rows) == n_vec
+    for r in rows:
+        assert 0 <= r.min_s_ppm <= r.mean_s_ppm <= r.max_s_ppm <= 1_000_000
+    g = rows[0].silhouette_ppm
+    assert all(r.silhouette_ppm == g for r in rows)
+    lo = min(r.mean_s_ppm for r in rows)
+    hi = max(r.mean_s_ppm for r in rows)
+    assert lo <= g <= hi
+
+
+def test_twonn_intrinsic_dim_pure_python(spark, sf_dir):
+    """d1/d2 are the exact two smallest integer squared-L2 distances
+    for each panel query, and the MLE matches the float Two-NN
+    estimator on the same ratios."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        TWONN_QUERIES,
+        q_twonn_intrinsic_dim,
+    )
+
+    rows = q_twonn_intrinsic_dim(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {
+        int(v): [int(math.floor(float(x) * 1_000_000 + 0.5)) for x in e]
+        for v, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    n_dup = 0
+    by_q = {r.query_id: r for r in rows}
+    for qid in range(min(TWONN_QUERIES, len(vecs))):
+        ds = sorted(
+            sum((a - b) ** 2 for a, b in zip(vecs[qid], vecs[v]))
+            for v in vecs
+            if v != qid
+        )
+        if ds[0] == 0:
+            n_dup += 1
+            assert qid not in by_q
+            continue
+        r = by_q[qid]
+        assert (r.d1_sq, r.d2_sq) == (ds[0], ds[1])
+        # FLOAT WITNESS per ratio
+        assert abs(r.ln_ratio_micro / 1e6 - math.log(ds[1] / ds[0]) / 2) <= 2e-3
+    g = rows[0]
+    assert g.n_excluded == n_dup
+    assert g.n_queries == len(rows)
+    assert g.sum_ln_micro == sum(r.ln_ratio_micro for r in rows)
+    id_f = g.n_queries / max(g.sum_ln_micro / 1e6, 1e-9)
+    assert abs(g.id_milli / 1000 - id_f) <= 0.1
+    # the corpus is a 64-d synthetic cloud: the estimate is positive
+    # and can't exceed the ambient dimension by more than noise
+    assert 0 < g.id_milli / 1000 < 64 * 1.5
