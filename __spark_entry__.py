@@ -128,6 +128,7 @@ _DRIVER_ORDER_R11 = [
     "copurchase_ktruss",  # new in r11
     "silhouette_simplified",  # new in r11
     "twonn_intrinsic_dim",  # new in r11
+    "gopher_quality_streamed",  # new in r11 (27th streaming drain)
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -561,6 +562,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_ktruss": graph.q_copurchase_ktruss,
         "silhouette_simplified": similarity.q_silhouette_simplified,
         "twonn_intrinsic_dim": similarity.q_twonn_intrinsic_dim,
+        "gopher_quality_streamed": _q_gopher_quality_streamed,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -1376,6 +1378,28 @@ def _q_doc_chunking_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(
         chunk_documents(stream_documents(spark, sf_dir)),
         f"gate_chunk_{uuid.uuid4().hex[:8]}",
+        output_mode="append",
+    )
+
+
+def _q_gopher_quality_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-at-ingest: the Gopher rule card running as a STREAMING
+    transform over the documents landing stream (append mode,
+    availableNow drain) — the stateless narrow map means the streaming
+    plan IS the batch plan per micro-batch, which is exactly how a
+    production corpus gate applies quality rules before anything
+    lands. Behind the SAME oracle row as the batch
+    ``gopher_quality_flags`` — the 27th oracle-matched streaming
+    drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.text import gopher_flags
+    from beauty_lakehouse_spark.streaming import run_available_now
+    from beauty_lakehouse_spark.streaming.pipelines import stream_documents
+
+    return run_available_now(
+        gopher_flags(stream_documents(spark, sf_dir)),
+        f"gate_gqf_{uuid.uuid4().hex[:8]}",
         output_mode="append",
     )
 
@@ -7689,6 +7713,9 @@ def oracle_sql() -> dict[str, str]:
         "word_count_ok AND word_length_ok AND symbol_ratio_ok AND "
         "alpha_ratio_ok AND stopword_ok AS gopher_pass FROM fl"
     )
+    # the streamed drain is the same stateless transform per
+    # micro-batch — same oracle row
+    out["gopher_quality_streamed"] = out["gopher_quality_flags"]
 
     # Mann–Kendall monotone trend on daily revenue: signed pair count,
     # tie-corrected 18·Var(S), z² in ppm — all exact integers (mirrors

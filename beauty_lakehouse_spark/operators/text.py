@@ -2437,28 +2437,17 @@ GOPHER_MIN_ALPHA_PPM = 800_000
 GOPHER_MIN_STOP_HITS = 2
 
 
-def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GOPHER-style quality rule card — the per-document boolean gate
-    battery every LLM corpus pipeline runs before training (word-count
-    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic
-    fraction, stopword evidence), composed into one `gopher_pass` bit.
-    Complements ``q_quality_scores`` (continuous ratios): this is the
-    thresholded DECISION layer, with each rule surfaced so downstream
-    audits can attribute removals to rules.
-
-    Exact fixed point: mean word length in milli (Σlen·1000 // n),
-    symbol ratio and alphabetic fraction in ppm — integer floor
-    divisions both engines define identically. Symbols counted as
-    '#' occurrences + '...' occurrences (length-delta trick, no
-    regex backtracking).
-
-    Scale: stateless narrow scan — no shuffle, no join; the rule card
-    parallelizes perfectly and pushes the doc_id/text projection into
-    the parquet scan."""
+def gopher_flags(documents: DataFrame) -> DataFrame:
+    """The Gopher rule-card transform over a documents frame (batch OR
+    landing stream — it is a stateless narrow map, so the streaming
+    plan is the batch plan per micro-batch). Shared by
+    ``q_gopher_quality_flags`` and the gate's streamed drain so the
+    decision rule exists exactly once."""
     from ..functions import _idiv
 
-    t = load(spark, sf_dir)
-    d = _tok(t.documents)
+    d = documents.select(
+        "doc_id", "text", F.split("text", " ").alias("toks")
+    )
     n_words = F.size("toks")
     wl_sum = F.aggregate(
         F.transform(F.col("toks"), lambda s: F.length(s).cast("long")),
@@ -2492,7 +2481,7 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     gopher_pass = flags["word_count_ok"]
     for k in list(flags)[1:]:
         gopher_pass = gopher_pass & flags[k]
-    return t.documents.join(d.select("doc_id", "toks"), "doc_id").select(
+    return d.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         mean_wl_milli.cast("long").alias("mean_wl_milli"),
@@ -2502,6 +2491,28 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[flags[k].alias(k) for k in flags],
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-style quality rule card — the per-document boolean gate
+    battery every LLM corpus pipeline runs before training (word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, alphabetic
+    fraction, stopword evidence), composed into one `gopher_pass` bit.
+    Complements ``q_quality_scores`` (continuous ratios): this is the
+    thresholded DECISION layer, with each rule surfaced so downstream
+    audits can attribute removals to rules.
+
+    Exact fixed point: mean word length in milli (Σlen·1000 // n),
+    symbol ratio and alphabetic fraction in ppm — integer floor
+    divisions both engines define identically. Symbols counted as
+    '#' occurrences + '...' occurrences (length-delta trick, no
+    regex backtracking).
+
+    Scale: stateless narrow scan — no shuffle, no join; the rule card
+    parallelizes perfectly and pushes the doc_id/text projection into
+    the parquet scan."""
+    t = load(spark, sf_dir)
+    return gopher_flags(t.documents)
 
 
 def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -903,3 +903,36 @@ def test_nb_lang_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = nb_finish(grid)
     expected = q_nb_lang_classifier(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_gopher_quality_streamed_multi_batch_equals_batch(
+    spark, sf_dir, tmp_path
+):
+    """Split the documents fixture into 4 files and stream them one per
+    micro-batch: the appended Gopher rule-card rows must equal the
+    batch q_gopher_quality_flags output exactly — the transform is a
+    stateless narrow map, so slicing cannot change any rule value."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators.text import (
+        gopher_flags,
+        q_gopher_quality_flags,
+    )
+
+    src = str(tmp_path / "docs_parts_gqf")
+    docs = load(spark, sf_dir).documents
+    docs.withColumn(
+        "part", (F.col("doc_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        gopher_flags(stream), "t_gqf_mb", output_mode="append"
+    )
+    expected = q_gopher_quality_flags(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
