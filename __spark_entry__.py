@@ -129,6 +129,8 @@ _DRIVER_ORDER_R11 = [
     "silhouette_simplified",  # new in r11
     "twonn_intrinsic_dim",  # new in r11
     "gopher_quality_streamed",  # new in r11 (27th streaming drain)
+    "revenue_acf",  # new in r11
+    "tcloseness_profile",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -563,6 +565,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette_simplified": similarity.q_silhouette_simplified,
         "twonn_intrinsic_dim": similarity.q_twonn_intrinsic_dim,
         "gopher_quality_streamed": _q_gopher_quality_streamed,
+        "revenue_acf": warehouse.q_revenue_acf,
+        "tcloseness_profile": quality.q_tcloseness_profile,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -7716,6 +7720,88 @@ def oracle_sql() -> dict[str, str]:
     # the streamed drain is the same stateless transform per
     # micro-batch — same oracle row
     out["gopher_quality_streamed"] = out["gopher_quality_flags"]
+
+    # t-closeness: ordered-domain EMD of each QI class's priority
+    # distribution vs the table's, cross-multiplied cumulative
+    # deviations, one ppm division per class (mirrors
+    # quality.q_tcloseness_profile)
+    out["tcloseness_profile"] = (
+        "WITH base AS (SELECT c_nationkey, "
+        "CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+        "CAST(month(o_orderdate) AS INTEGER) AS order_month, "
+        "o_orderpriority AS prio FROM orders "
+        "JOIN customer ON o_custkey = c_custkey), "
+        "cell AS (SELECT c_nationkey, order_year, order_month, prio, "
+        "CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY 1, 2, 3, 4), "
+        "gl AS (SELECT prio, CAST(count(*) AS BIGINT) AS gp FROM base "
+        "GROUP BY 1), "
+        "gc AS (SELECT prio, CAST(sum(gp) OVER (ORDER BY prio "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cump FROM gl), "
+        "tot AS (SELECT CAST(sum(gp) AS BIGINT) AS n_total, "
+        "CAST(count(*) AS BIGINT) AS m_vals FROM gl), "
+        "cls AS (SELECT c_nationkey, order_year, order_month, "
+        "CAST(sum(ct) AS BIGINT) AS class_size FROM cell "
+        "GROUP BY 1, 2, 3), "
+        "grid AS (SELECT cls.c_nationkey, cls.order_year, "
+        "cls.order_month, cls.class_size, gc.prio, gc.cump, "
+        "coalesce(cell.ct, 0) AS ct FROM cls CROSS JOIN gc "
+        "LEFT JOIN cell USING (c_nationkey, order_year, order_month, "
+        "prio)), "
+        "cq AS (SELECT *, sum(ct) OVER (PARTITION BY c_nationkey, "
+        "order_year, order_month ORDER BY prio ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS cumq FROM grid), "
+        "per AS (SELECT c_nationkey, order_year, order_month, "
+        "max(class_size) AS class_size, "
+        "CAST(sum(abs(cumq * n_total - cump * class_size)) AS BIGINT) "
+        "AS dev_sum, max(n_total) AS n_total, max(m_vals) AS m_vals "
+        "FROM cq, tot GROUP BY 1, 2, 3), "
+        "f AS (SELECT c_nationkey, order_year, order_month, class_size, "
+        "CAST(dev_sum * 1000000 // ((m_vals - 1) * class_size * n_total) "
+        "AS BIGINT) AS emd_ppm FROM per), "
+        "f2 AS (SELECT *, emd_ppm > 200000 AS at_risk FROM f), "
+        "sm AS (SELECT CAST(count(*) AS BIGINT) AS n_classes, "
+        "CAST(sum(CASE WHEN at_risk THEN 1 ELSE 0 END) AS BIGINT) AS "
+        "n_at_risk, CAST(max(emd_ppm) AS BIGINT) AS max_emd_ppm FROM f2) "
+        "SELECT CAST(c_nationkey AS INTEGER) AS c_nationkey, order_year, "
+        "order_month, class_size, emd_ppm, at_risk, n_classes, "
+        "n_at_risk, max_emd_ppm FROM f2, sm "
+        "ORDER BY c_nationkey, order_year, order_month"
+    )
+
+    # ACF lags 1..7 of daily revenue + cumulative Ljung-Box: exact
+    # cross-multiplied deviations d_t = n*x_t - S in HUGEINT, r in
+    # signed ppm, Q from the quantized r_ppm (mirrors
+    # warehouse.q_revenue_acf)
+    out["revenue_acf"] = (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1), "
+        "g AS (SELECT row_number() OVER (ORDER BY day) AS idx, cents "
+        "FROM daily), "
+        "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days, "
+        "CAST(sum(cents) AS HUGEINT) AS s_sum FROM g), "
+        "dd AS (SELECT idx, n_days, "
+        "CAST(cents AS HUGEINT) * n_days - s_sum AS d FROM g, tot), "
+        "dn AS (SELECT CAST(sum(d * d) AS HUGEINT) AS den, "
+        "CAST(max(n_days) AS BIGINT) AS n_days FROM dd), "
+        "pr AS (SELECT l.lag AS lag, CAST(sum(a.d * b.d) AS HUGEINT) "
+        "AS num FROM dd a JOIN "
+        "(SELECT unnest(generate_series(1, 7)) AS lag) l ON true "
+        "JOIN dd b ON b.idx = a.idx + l.lag GROUP BY 1), "
+        "r AS (SELECT lag, n_days, num, den, "
+        "CAST(CASE WHEN num < 0 THEN -((-num * 1000000) // den) "
+        "ELSE (num * 1000000) // den END AS BIGINT) AS r_ppm FROM pr, dn), "
+        "q AS (SELECT *, sum(r_ppm * r_ppm // (n_days - lag)) OVER "
+        "(ORDER BY lag ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS lb_sum FROM r) "
+        "SELECT CAST(lag AS INTEGER) AS lag, n_days, "
+        "CAST(num AS VARCHAR) AS num, CAST(den AS VARCHAR) AS den, "
+        "r_ppm, CAST(n_days * (n_days + 2) * lb_sum // 1000000000 "
+        "AS BIGINT) AS lb_q_milli, "
+        "r_ppm * r_ppm > 3841600000000 // n_days AS significant "
+        "FROM q ORDER BY lag"
+    )
 
     # Mann–Kendall monotone trend on daily revenue: signed pair count,
     # tie-corrected 18·Var(S), z² in ppm — all exact integers (mirrors

@@ -3706,3 +3706,125 @@ def q_spearman_price_qty(spark, sf_dir: str) -> DataFrame:
             F.when(num < 0, -isqrt(rho2)).otherwise(isqrt(rho2))
         ).cast("long").alias("rho_milli"),
     )
+
+
+#: t-closeness release threshold (the canonical t = 0.2 in ppm).
+TCLOSE_T_PPM = 200_000
+
+
+def q_tcloseness_profile(spark, sf_dir: str) -> DataFrame:
+    """T-CLOSENESS profile — the third leg of the release-gate privacy
+    triple (Li, Li & Venkatasubramanian 2007): k-anonymity bounds
+    re-identification, l-diversity bounds homogeneity, t-closeness
+    bounds ATTRIBUTE INFERENCE — a class can be 10-anonymous and
+    3-diverse yet still leak if its sensitive-value DISTRIBUTION sits
+    far from the table's. Distance is the ordered-domain Earth Mover's
+    Distance (the paper's form for ordinal attributes): with the
+    priority domain sorted, EMD = Σ|cumQ − cumP| / (m−1).
+
+    Exact fixed point: cumulative counts are cross-multiplied
+    (|cumq·N − cump·s| — no per-class division), the EMD surfaces in
+    ppm via ONE trunc division per class by (m−1)·s·N. Same QI tuple
+    as ``q_ldiversity_profile`` (nation, order year, order month) so
+    the gate reads all three profiles over the same release view.
+
+    Scale: fact scanned once into the (QI, priority) cell grid; the
+    zero-filled grid is classes × m (bounded by the QI and value
+    domains, never raw rows); cumsums run per class over the m-row
+    priority domain.
+
+    Output: per class (c_nationkey, order_year, order_month,
+    class_size, emd_ppm, at_risk) + global (n_classes, n_at_risk,
+    max_emd_ppm) on every row."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    base = t.orders.join(
+        t.customer.select("c_custkey", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        "c_nationkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    cell = base.groupBy(
+        "c_nationkey", "order_year", "order_month", "prio"
+    ).agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    glob = base.groupBy("prio").agg(
+        F.count(F.lit(1)).cast("long").alias("gp")
+    )
+    wp = Window.orderBy("prio").rowsBetween(Window.unboundedPreceding, 0)
+    gcum = glob.select(
+        "prio",
+        F.sum("gp").over(wp).alias("cump"),
+    )
+    tot = glob.agg(
+        F.sum("gp").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m_vals"),
+    )
+    classes = cell.groupBy(
+        "c_nationkey", "order_year", "order_month"
+    ).agg(F.sum("ct").alias("class_size"))
+    grid = (
+        classes.crossJoin(F.broadcast(gcum))
+        .join(
+            cell,
+            ["c_nationkey", "order_year", "order_month", "prio"],
+            "left",
+        )
+        .fillna(0, subset=["ct"])
+    )
+    wq = Window.partitionBy(
+        "c_nationkey", "order_year", "order_month"
+    ).orderBy("prio").rowsBetween(Window.unboundedPreceding, 0)
+    per = (
+        grid.withColumn("cumq", F.sum("ct").over(wq))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "order_year", "order_month")
+        .agg(
+            F.max("class_size").alias("class_size"),
+            F.sum(
+                F.abs(
+                    F.col("cumq") * F.col("n_total")
+                    - F.col("cump") * F.col("class_size")
+                )
+            ).cast("long").alias("dev_sum"),
+            F.max("n_total").alias("n_total"),
+            F.max("m_vals").alias("m_vals"),
+        )
+        .select(
+            "c_nationkey",
+            "order_year",
+            "order_month",
+            "class_size",
+            _idiv(
+                F.col("dev_sum") * F.lit(1_000_000),
+                (F.col("m_vals") - 1) * F.col("class_size") * F.col("n_total"),
+            ).alias("emd_ppm"),
+        )
+        .withColumn("at_risk", F.col("emd_ppm") > TCLOSE_T_PPM)
+    )
+    summ = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum(F.col("at_risk").cast("long")).cast("long").alias("n_at_risk"),
+        F.max("emd_ppm").cast("long").alias("max_emd_ppm"),
+    )
+    return (
+        per.crossJoin(F.broadcast(summ))
+        .select(
+            F.col("c_nationkey").cast("int").alias("c_nationkey"),
+            F.col("order_year").cast("int").alias("order_year"),
+            F.col("order_month").cast("int").alias("order_month"),
+            F.col("class_size").cast("long").alias("class_size"),
+            "emd_ppm",
+            "at_risk",
+            "n_classes",
+            "n_at_risk",
+            "max_emd_ppm",
+        )
+        .orderBy("c_nationkey", "order_year", "order_month")
+    )

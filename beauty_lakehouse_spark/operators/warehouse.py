@@ -2480,3 +2480,130 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+#: ACF geometry: report lags 1..ACF_MAX_LAG of the daily revenue
+#: series (the weekly-cycle window), Ljung-Box accumulated over them.
+ACF_MAX_LAG = 7
+
+
+def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTOCORRELATION function of daily revenue (lags 1..7) with the
+    accumulated LJUNG-BOX portmanteau statistic — the serial-dependence
+    panel completing the trend family (`mann_kendall_trend` asks "is
+    there a drift?", `revenue_runs_test` "is the sign sequence
+    random?"; this asks "does yesterday predict today, and at which
+    lag?" — the weekly-seasonality detector).
+
+    Exact fixed point, no float mean: deviations are cross-multiplied
+    to integers d_t = n·x_t − S (so Σd_t = 0 exactly), carried in
+    DECIMAL(38,0)/HUGEINT:
+
+        r_k  = Σ_{t≤n−k} d_t·d_{t+k} / Σ d_t²       (signed ppm)
+        Q(K) = n(n+2) Σ_{k≤K} r_k²/(n−k)            (milli, from the
+                                                     quantized r_ppm —
+                                                     a deterministic
+                                                     quantization both
+                                                     engines share)
+
+    The series is the OBSERVED-day sequence indexed by row_number
+    (documented: gap days are absent, not zero-filled — zero-filling
+    would manufacture autocorrelation from the calendar).
+
+    Scale: the day grid is calendar-bounded (~2.4k rows at every SF);
+    the lag pairing is ONE equijoin of the grid against itself via an
+    exploded (idx + lag) key — no range join, no window over raw rows;
+    everything upstream is one map-side-combinable day aggregate.
+
+    Output: ACF_MAX_LAG rows (lag, n_days, num, den, r_ppm,
+    lb_q_milli cumulative, significant at |z| > 1.96/√n in ppm²)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            (F.sum(dec2("o_totalprice")) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.orderBy("day")
+    g = daily.select(
+        F.row_number().over(w).alias("idx"), "cents"
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("cents").cast("decimal(38,0)").alias("s_sum"),
+    )
+    dd = (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "idx",
+            "n_days",
+            (
+                F.col("cents").cast("decimal(38,0)") * F.col("n_days")
+                - F.col("s_sum")
+            ).alias("d"),
+        )
+    )
+    den = dd.agg(
+        F.sum(F.col("d") * F.col("d")).cast("decimal(38,0)").alias("den"),
+        F.max("n_days").alias("n_days"),
+    )
+    pairs = (
+        dd.select(
+            "idx",
+            "d",
+            F.explode(F.sequence(F.lit(1), F.lit(ACF_MAX_LAG))).alias("lag"),
+        )
+        .withColumn("tidx", F.col("idx") + F.col("lag"))
+        .join(
+            dd.select(F.col("idx").alias("tidx"), F.col("d").alias("d2")),
+            "tidx",
+        )
+        .groupBy("lag")
+        .agg(F.sum(F.col("d") * F.col("d2")).cast("decimal(38,0)").alias("num"))
+    )
+    r = pairs.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        "n_days",
+        "num",
+        "den",
+        F.when(
+            F.col("num") < 0,
+            -_idiv(-F.col("num") * F.lit(1_000_000), F.col("den")),
+        )
+        .otherwise(_idiv(F.col("num") * F.lit(1_000_000), F.col("den")))
+        .cast("long")
+        .alias("r_ppm"),
+    )
+    wl = Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    lb_term = _idiv(
+        F.col("r_ppm") * F.col("r_ppm"), F.col("n_days") - F.col("lag")
+    )
+    return (
+        r.withColumn("lb_sum", F.sum(lb_term).over(wl))
+        .select(
+            "lag",
+            "n_days",
+            "num",
+            "den",
+            "r_ppm",
+            _idiv(
+                F.col("n_days")
+                * (F.col("n_days") + 2)
+                * F.col("lb_sum"),
+                F.lit(1_000_000_000),
+            ).alias("lb_q_milli"),
+            (
+                F.col("r_ppm") * F.col("r_ppm")
+                > _idiv(
+                    F.lit(3_841_600_000_000).cast("long"), F.col("n_days")
+                )
+            ).alias("significant"),
+        )
+        .orderBy("lag")
+    )

@@ -83,6 +83,8 @@ WHITELIST: dict[str, str] = {
     "js_divergence_sources": "1-row token-total broadcast (ppm masses) against the vocabulary table + 1-row jsd attach",
     "silhouette_simplified": "1-row global-silhouette broadcast attached onto the k-row cluster report",
     "twonn_intrinsic_dim": "1-row MLE/exclusion-count broadcast attaches onto the 50-row bounded query panel (the knn_brute audit shape)",
+    "revenue_acf": "1-row (n, S) and denominator broadcast attaches over the calendar-bounded day grid; the lag pairing is an equijoin on the exploded idx+lag key",
+    "tcloseness_profile": "QI-class table x m-row priority-domain grid fill (bounded by both domains) + 1-row totals/summary broadcast attaches",
     "hilbert_curve_keys": "1-row column min/max bounds broadcast (range normalization — the orders_zorder_keys shape)",
     "community_modularity": "two 1-row broadcasts (edge count m, global Q numerator) attached to the per-community report",
     "signbit_topk_exactint": "bounded 20-query signature batch x corpus Hamming scan (the knn_brute shape; 8 bytes/vector moved)",
@@ -157,6 +159,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "spearman_price_qty": "doubled-rank cumulative windows over the two VALUE-DOMAIN grids (distinct part cents / distinct total quantities — both bounded by the value domain, the kruskal convention), never raw rows",
     "compaction_plan": "cumulative-bytes window over the calendar-bounded day grid (the range_partition_boundaries convention), never raw rows",
     "copurchase_ktruss": "lag window over the 5-row peel-trajectory table (the copurchase_kcore convention), never raw rows",
+    "revenue_acf": "row_number index and the 7-row Ljung-Box cumsum over the calendar-bounded day grid (the revenue_cusum convention), never raw rows",
+    "tcloseness_profile": "global-distribution cumsum over the m-row priority VALUE DOMAIN, never raw rows (per-class cumsums are partitioned)",
     "silhouette_simplified": "row_number over the k-row kmeans seed table (limit(KMEANS_K), k=8 — the ivf_topk_exactint convention)",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",

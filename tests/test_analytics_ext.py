@@ -1992,3 +1992,107 @@ def test_twonn_intrinsic_dim_pure_python(spark, sf_dir):
     # the corpus is a 64-d synthetic cloud: the estimate is positive
     # and can't exceed the ambient dimension by more than noise
     assert 0 < g.id_milli / 1000 < 64 * 1.5
+
+
+def test_revenue_acf_pure_python(spark, sf_dir):
+    """Cross-multiplied deviations, per-lag numerators, and the
+    Ljung-Box accumulation match a direct recomputation; the float
+    witness tracks r_ppm."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        ACF_MAX_LAG,
+        q_revenue_acf,
+    )
+
+    rows = sorted(q_revenue_acf(spark, sf_dir).collect(), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, ACF_MAX_LAG + 1))
+
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    od["cents"] = (od["o_totalprice"] * 100).round().astype(int)
+    daily = od.groupby(od["o_orderdate"].astype("datetime64[ns]").dt.date)[
+        "cents"
+    ].sum()
+    xs = [int(v) for _, v in sorted(daily.items())]
+    n = len(xs)
+    s = sum(xs)
+    d = [n * x - s for x in xs]
+    den = sum(v * v for v in d)
+    lb = 0
+    for r in rows:
+        k = r.lag
+        num = sum(d[t] * d[t + k] for t in range(n - k))
+        assert (int(r.num), int(r.den), r.n_days) == (num, den, n)
+        want_r = (
+            -((-num * 1_000_000) // den)
+            if num < 0
+            else (num * 1_000_000) // den
+        )
+        assert r.r_ppm == want_r
+        lb += (want_r * want_r) // (n - k)
+        assert r.lb_q_milli == n * (n + 2) * lb // 1_000_000_000
+        assert r.significant == (want_r * want_r > 3_841_600_000_000 // n)
+        # FLOAT WITNESS
+        mean = s / n
+        rf = sum(
+            (xs[t] - mean) * (xs[t + k] - mean) for t in range(n - k)
+        ) / sum((x - mean) ** 2 for x in xs)
+        assert abs(r.r_ppm / 1e6 - rf) <= 1e-5
+
+
+def test_tcloseness_profile_pure_python(spark, sf_dir):
+    """Per-class ordered-domain EMD matches a direct recomputation on
+    the (QI, priority) contingency table, and the attached summary is
+    consistent."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        TCLOSE_T_PPM,
+        q_tcloseness_profile,
+    )
+
+    rows = q_tcloseness_profile(spark, sf_dir).collect()
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    dt = pd.to_datetime(j["o_orderdate"])
+    keys = list(zip(j["c_nationkey"], dt.dt.year, dt.dt.month))
+    prios = list(j["o_orderpriority"])
+    dom = sorted(set(prios))
+    m = len(dom)
+    n_total = len(prios)
+    gcount = Counter(prios)
+    cells = defaultdict(Counter)
+    for k, p in zip(keys, prios):
+        cells[k][p] += 1
+    assert len(rows) == len(cells)
+    n_risk = 0
+    max_emd = 0
+    for r in rows:
+        k = (r.c_nationkey, r.order_year, r.order_month)
+        cnt = cells[k]
+        s = sum(cnt.values())
+        assert r.class_size == s
+        dev = cumq = cump = 0
+        for p in dom:
+            cumq += cnt.get(p, 0)
+            cump += gcount[p]
+            dev += abs(cumq * n_total - cump * s)
+        want = dev * 1_000_000 // ((m - 1) * s * n_total)
+        assert r.emd_ppm == want
+        assert r.at_risk == (want > TCLOSE_T_PPM)
+        n_risk += r.at_risk
+        max_emd = max(max_emd, want)
+        assert 0 <= want <= 1_000_000
+    g = rows[0]
+    assert (g.n_classes, g.n_at_risk, g.max_emd_ppm) == (
+        len(cells), n_risk, max_emd,
+    )
