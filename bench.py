@@ -229,6 +229,16 @@ HEADLINE = [
     "degree_assortativity",   # Newman degree-mixing correlation, exact numerators (new in r11)
     "kruskal_wallis_segments",  # k-group rank test on the value-domain grid (new in r11)
     "brand_return_woe_iv",    # credit-scoring WoE/IV feature audit (new in r11)
+    "spearman_price_qty",     # doubled-rank monotone association, rho^2 ppm (new in r11)
+    "gopher_quality_flags",   # thresholded quality rule card, one narrow scan (new in r11)
+    "gopher_quality_streamed",  # filter-at-ingest rule-card drain (new in r11)
+    "js_divergence_sources",  # JSD between source halves, signed ln_micro KL (new in r11)
+    "compaction_plan",        # OPTIMIZE bin packing over day micro-files (new in r11)
+    "copurchase_ktruss",      # edge-support truss peel, 4 unrolled rounds (new in r11)
+    "silhouette_simplified",  # centroid-form clustering quality in ppm (new in r11)
+    "twonn_intrinsic_dim",    # Two-NN intrinsic-dimension MLE, 50-query panel (new in r11)
+    "revenue_acf",            # exact ACF lags 1..7 + Ljung-Box portmanteau (new in r11)
+    "tcloseness_profile",     # ordered-domain EMD privacy profile (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
