@@ -131,6 +131,9 @@ _DRIVER_ORDER_R11 = [
     "gopher_quality_streamed",  # new in r11 (27th streaming drain)
     "revenue_acf",  # new in r11
     "tcloseness_profile",  # new in r11
+    "mcnemar_lang_classifiers",  # new in r11
+    "fleiss_kappa_langids",  # new in r11
+    "order_metric_correlations",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -567,6 +570,9 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_streamed": _q_gopher_quality_streamed,
         "revenue_acf": warehouse.q_revenue_acf,
         "tcloseness_profile": quality.q_tcloseness_profile,
+        "mcnemar_lang_classifiers": text.q_mcnemar_lang_classifiers,
+        "fleiss_kappa_langids": text.q_fleiss_kappa_langids,
+        "order_metric_correlations": warehouse.q_order_metric_correlations,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -6815,8 +6821,10 @@ def oracle_sql() -> dict[str, str]:
     # trained multinomial NB language classifier (mirrors
     # text.NB_TEST_MOD = 5): add-one smoothing over train vocab + 1
     # OOV type, decision rule in exact integer micro-nats (ln_micro)
-    out["nb_lang_classifier"] = (
-        "WITH g AS MATERIALIZED (SELECT doc_id, lang, tok, "
+    # the per-doc NB test-fold prediction chain (g..p) is shared by
+    # the confusion-matrix entry and the McNemar paired comparison
+    _nb_pred_cte = (
+        "g AS MATERIALIZED (SELECT doc_id, lang, tok, "
         "CAST(count(*) AS BIGINT) AS c FROM (SELECT doc_id, lang, "
         "unnest(string_split(text, ' ')) AS tok FROM documents) "
         "GROUP BY 1, 2, 3), "
@@ -6844,7 +6852,10 @@ def oracle_sql() -> dict[str, str]:
         "LEFT JOIN m ON m.tok = te.tok AND m.hyp = l.hyp "
         "GROUP BY 1, 2, 3, l.prior_cost), "
         "p AS (SELECT doc_id, true_lang, min(ROW(total_cost, hyp)) "
-        "AS pick FROM sc GROUP BY 1, 2), "
+        "AS pick FROM sc GROUP BY 1, 2)"
+    )
+    out["nb_lang_classifier"] = (
+        "WITH " + _nb_pred_cte + ", "
         "conf AS (SELECT true_lang, pick[2] AS pred_lang, "
         "CAST(count(*) AS BIGINT) AS n_docs FROM p GROUP BY 1, 2), "
         "acc AS (SELECT CAST(sum(CASE WHEN true_lang = pred_lang "
@@ -6852,6 +6863,80 @@ def oracle_sql() -> dict[str, str]:
         "AS acc_ppm FROM conf) "
         "SELECT true_lang, pred_lang, n_docs, acc_ppm FROM conf, acc "
         "ORDER BY true_lang, pred_lang"
+    )
+
+    # McNemar paired test between the NB and lexicon classifiers on
+    # the shared test fold: discordant-cell chi^2 in ppm (mirrors
+    # text.q_mcnemar_lang_classifiers; NB chain = _nb_pred_cte, lexicon
+    # rule = the lang_id oracle's argmax)
+    out["mcnemar_lang_classifiers"] = (
+        "WITH " + _nb_pred_cte + ", "
+        "nbp AS (SELECT doc_id, true_lang, pick[2] AS nb_pred FROM p), "
+        "lx AS (SELECT doc_id, pred_lang AS lex_pred FROM ("
+        + out["lang_id"]
+        + ") WHERE doc_id % 5 = 0), "
+        "j AS (SELECT nbp.nb_pred = nbp.true_lang AS nb_ok, "
+        "lx.lex_pred = nbp.true_lang AS lex_ok FROM nbp "
+        "JOIN lx ON lx.doc_id = nbp.doc_id), "
+        "cells AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(CASE WHEN nb_ok AND lex_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS both_right, "
+        "CAST(sum(CASE WHEN nb_ok AND NOT lex_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS nb_only_right, "
+        "CAST(sum(CASE WHEN NOT nb_ok AND lex_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS lex_only_right, "
+        "CAST(sum(CASE WHEN NOT nb_ok AND NOT lex_ok THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS both_wrong FROM j) "
+        "SELECT n_docs, both_right, nb_only_right, lex_only_right, "
+        "both_wrong, "
+        "CAST((both_right + nb_only_right) * 1000000 // n_docs "
+        "AS BIGINT) AS nb_acc_ppm, "
+        "CAST((both_right + lex_only_right) * 1000000 // n_docs "
+        "AS BIGINT) AS lex_acc_ppm, "
+        "CAST((nb_only_right - lex_only_right) * "
+        "(nb_only_right - lex_only_right) * 1000000 // "
+        "greatest(nb_only_right + lex_only_right, 1) AS BIGINT) "
+        "AS chi2_ppm, "
+        "(nb_only_right - lex_only_right) * "
+        "(nb_only_right - lex_only_right) * 1000000 // "
+        "greatest(nb_only_right + lex_only_right, 1) > 3841600 "
+        "AS significant FROM cells"
+    )
+
+    # Fleiss' kappa across truth/NB/lexicon labels on the test fold:
+    # shared-denominator rational form kappa = (3N*S1 - 2*S2) /
+    # (18N^2 - 2*S2) (mirrors text.q_fleiss_kappa_langids)
+    out["fleiss_kappa_langids"] = (
+        "WITH " + _nb_pred_cte + ", "
+        "votes AS (SELECT doc_id, true_lang AS cat FROM p "
+        "UNION ALL SELECT doc_id, pick[2] AS cat FROM p "
+        "UNION ALL SELECT doc_id, pred_lang AS cat FROM ("
+        + out["lang_id"]
+        + ") WHERE doc_id % 5 = 0), "
+        "nij AS (SELECT doc_id, cat, CAST(count(*) AS BIGINT) AS nij "
+        "FROM votes GROUP BY 1, 2), "
+        "perdoc AS (SELECT doc_id, sum(nij * nij) - 3 AS pi FROM nij "
+        "GROUP BY 1), "
+        "one AS (SELECT CAST(sum(pi) AS BIGINT) AS s1, "
+        "CAST(count(*) AS BIGINT) AS n_docs FROM perdoc), "
+        "cat AS (SELECT cat AS category, CAST(count(*) AS BIGINT) AS "
+        "n_votes FROM votes GROUP BY 1), "
+        "two AS (SELECT CAST(sum(n_votes * n_votes) AS BIGINT) AS s2 "
+        "FROM cat), "
+        "gl AS (SELECT n_docs, s1, s2, "
+        "CAST(s1 * 1000000 // (6 * n_docs) AS BIGINT) AS p_bar_ppm, "
+        "CAST(s2 * 1000000 // (9 * n_docs * n_docs) AS BIGINT) AS "
+        "p_e_ppm, "
+        "CAST(CASE WHEN 3 * n_docs * s1 - 2 * s2 < 0 THEN "
+        "-((-(3 * n_docs * s1 - 2 * s2) * 1000) // "
+        "(18 * n_docs * n_docs - 2 * s2)) ELSE "
+        "((3 * n_docs * s1 - 2 * s2) * 1000) // "
+        "(18 * n_docs * n_docs - 2 * s2) END AS BIGINT) AS kappa_milli "
+        "FROM one, two) "
+        "SELECT category, n_votes, "
+        "CAST(n_votes * 1000000 // (3 * n_docs) AS BIGINT) AS p_ppm, "
+        "n_docs, s1, s2, p_bar_ppm, p_e_ppm, kappa_milli "
+        "FROM cat, gl ORDER BY category"
     )
     # classify-at-ingest drain shares the batch NB oracle (the grid is
     # additive + order-insensitive, nb_finish is the shared tail)
@@ -7720,6 +7805,54 @@ def oracle_sql() -> dict[str, str]:
     # the streamed drain is the same stateless transform per
     # micro-batch — same oracle row
     out["gopher_quality_streamed"] = out["gopher_quality_flags"]
+
+    # Pairwise Pearson matrix over order-grain metrics: unpivot +
+    # self-join pair generation, exact DECIMAL moments, two-stage r^2
+    # ppm + isqrt milli r (mirrors warehouse.q_order_metric_correlations)
+    out["order_metric_correlations"] = (
+        "WITH po AS (SELECT o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "// 10000 AS price100, li.n_items, li.qty, "
+        "datediff('day', o_orderdate, li.first_ship) AS latency_days "
+        "FROM orders JOIN (SELECT l_orderkey, "
+        "CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty, "
+        "min(l_shipdate) AS first_ship FROM lineitem GROUP BY 1) li "
+        "ON li.l_orderkey = o_orderkey), "
+        "lg AS (SELECT o_orderkey, 'latency_days' AS metric, "
+        "CAST(latency_days AS BIGINT) AS v FROM po "
+        "UNION ALL SELECT o_orderkey, 'n_items', n_items FROM po "
+        "UNION ALL SELECT o_orderkey, 'price100', price100 FROM po "
+        "UNION ALL SELECT o_orderkey, 'qty', qty FROM po), "
+        "pr AS (SELECT a.metric AS metric_a, b.metric AS metric_b, "
+        "a.v AS va, b.v AS vb FROM lg a JOIN lg b "
+        "ON a.o_orderkey = b.o_orderkey AND a.metric < b.metric), "
+        "m AS (SELECT metric_a, metric_b, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(va) AS BIGINT) AS sx, CAST(sum(vb) AS BIGINT) AS sy, "
+        "CAST(sum(CAST(va AS HUGEINT) * vb) AS HUGEINT) AS sxy, "
+        "CAST(sum(CAST(va AS HUGEINT) * va) AS HUGEINT) AS sxx, "
+        "CAST(sum(CAST(vb AS HUGEINT) * vb) AS HUGEINT) AS syy "
+        "FROM pr GROUP BY 1, 2), "
+        "g AS (SELECT *, CASE WHEN n_orders > 300000 THEN "
+        "CAST(error('correlation contract violated: n > 3e5; sample "
+        "upstream') AS BIGINT) ELSE n_orders END AS n FROM m), "
+        "f AS (SELECT metric_a, metric_b, n_orders, sx, sy, "
+        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
+        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_a, "
+        "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_b "
+        "FROM g), "
+        "r AS (SELECT *, CAST(((abs(num) * abs(num)) // den_a) * 1000000 "
+        "// den_b AS BIGINT) AS rho2 FROM f) "
+        "SELECT metric_a, metric_b, n_orders, "
+        "CAST(num AS VARCHAR) AS r_num, CAST(den_a AS VARCHAR) AS den_a, "
+        "CAST(den_b AS VARCHAR) AS den_b, "
+        "CAST(CASE WHEN num < 0 THEN -rho2 ELSE rho2 END AS BIGINT) AS "
+        "r2_signed_ppm, "
+        "CAST(CASE WHEN num < 0 THEN -" + _isq("rho2") + " ELSE "
+        + _isq("rho2") + " END AS BIGINT) AS r_milli FROM r "
+        "ORDER BY metric_a, metric_b"
+    )
 
     # t-closeness: ordered-domain EMD of each QI class's priority
     # distribution vs the table's, cross-multiplied cumulative

@@ -2298,11 +2298,12 @@ def nb_token_grid(documents: DataFrame) -> DataFrame:
     )
 
 
-def nb_finish(grid: DataFrame) -> DataFrame:
-    """Train + score the multinomial NB language classifier from the
-    (doc_id, lang, tok, c) grid; see `q_nb_lang_classifier`."""
-    from ..functions import _idiv
-
+def nb_predictions(grid: DataFrame) -> DataFrame:
+    """Per-document test-fold predictions of the multinomial NB
+    language classifier trained on the grid's train fold — the shared
+    decision rule behind `nb_finish`'s confusion matrix and the
+    McNemar paired comparison. Returns (doc_id, true_lang,
+    pred_lang)."""
     # the grid feeds both the train fold (model) and the test fold
     # (scoring) — break the self-reference for the streamed drain's
     # memory-sink view (same seam as dsir_finish)
@@ -2362,13 +2363,21 @@ def nb_finish(grid: DataFrame) -> DataFrame:
             (F.col("prior_cost") + F.col("tok_cost")).alias("total_cost"),
         )
     )
-    pred = sc.groupBy("doc_id", "true_lang").agg(
+    return sc.groupBy("doc_id", "true_lang").agg(
         F.min(
             F.struct(
                 F.col("total_cost").alias("tc"), F.col("hyp").alias("lb")
             )
         )["lb"].alias("pred_lang")
     )
+
+
+def nb_finish(grid: DataFrame) -> DataFrame:
+    """Train + score the multinomial NB language classifier from the
+    (doc_id, lang, tok, c) grid; see `q_nb_lang_classifier`."""
+    from ..functions import _idiv
+
+    pred = nb_predictions(grid)
     conf = pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
@@ -2607,4 +2616,170 @@ def q_js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_terms",
             "jsd_micro",
         )
+    )
+
+
+def q_mcnemar_lang_classifiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNEMAR PAIRED TEST between the two language classifiers on the
+    shared held-out fold — the statistically correct way to ask "is
+    the trained NB actually better than the zero-shot lexicon?":
+    accuracy deltas on paired predictions depend ONLY on the
+    discordant cells (docs exactly one classifier gets right), and
+    McNemar's χ² = (b − c)² / (b + c) tests them (no continuity
+    correction — the exact integer form is the contract; the
+    correction is a float-era approximation aid).
+
+    Both classifier decision rules are the SHARED implementations
+    (``nb_predictions`` — the rule behind `nb_lang_classifier`'s
+    confusion matrix — and `lang_id`'s lexicon argmax), so this entry
+    cannot drift from the classifiers it compares. χ² in ppm, with
+    the 0.05 threshold (3.8416) and both per-classifier accuracies
+    attached.
+
+    Scale: the NB scoring plan (dictionary-grain model broadcast),
+    one stateless lexicon scan, one doc-grain equijoin on the
+    TEST FOLD, collapsed to a 1-row report.
+
+    Output: 1 row (n_docs, both_right, nb_only_right, lex_only_right,
+    both_wrong, nb_acc_ppm, lex_acc_ppm, chi2_ppm, significant)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    nbp = nb_predictions(nb_token_grid(t.documents)).select(
+        "doc_id", "true_lang", F.col("pred_lang").alias("nb_pred")
+    )
+    d = _tok(t.documents).filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    scores = {c: expr for c, expr in stopword_scores(F.col("toks")).items()}
+    lex = d.select(
+        "doc_id", pred_lang_expr(scores).alias("lex_pred")
+    )
+    j = nbp.join(lex, "doc_id").select(
+        (F.col("nb_pred") == F.col("true_lang")).alias("nb_ok"),
+        (F.col("lex_pred") == F.col("true_lang")).alias("lex_ok"),
+    )
+    cells = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("nb_ok") & F.col("lex_ok")).cast("long"))
+        .cast("long")
+        .alias("both_right"),
+        F.sum((F.col("nb_ok") & ~F.col("lex_ok")).cast("long"))
+        .cast("long")
+        .alias("nb_only_right"),
+        F.sum((~F.col("nb_ok") & F.col("lex_ok")).cast("long"))
+        .cast("long")
+        .alias("lex_only_right"),
+        F.sum((~F.col("nb_ok") & ~F.col("lex_ok")).cast("long"))
+        .cast("long")
+        .alias("both_wrong"),
+    )
+    b = F.col("nb_only_right")
+    c = F.col("lex_only_right")
+    chi2 = _idiv(
+        (b - c) * (b - c) * F.lit(1_000_000),
+        F.greatest(b + c, F.lit(1).cast("long")),
+    )
+    return cells.select(
+        "n_docs",
+        "both_right",
+        "nb_only_right",
+        "lex_only_right",
+        "both_wrong",
+        _idiv(
+            (F.col("both_right") + b) * F.lit(1_000_000), F.col("n_docs")
+        ).alias("nb_acc_ppm"),
+        _idiv(
+            (F.col("both_right") + c) * F.lit(1_000_000), F.col("n_docs")
+        ).alias("lex_acc_ppm"),
+        chi2.cast("long").alias("chi2_ppm"),
+        (chi2 > F.lit(3_841_600)).alias("significant"),
+    )
+
+
+def q_fleiss_kappa_langids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' KAPPA across the three labeling processes on the shared
+    held-out fold — truth label, trained NB, lexicon argmax — the
+    multi-rater agreement number (Fleiss 1971) an annotation pipeline
+    reports before trusting consensus labels (κ 1 = perfect agreement,
+    0 = chance; the McNemar entry compares two ERROR RATES, this
+    measures raw LABEL agreement including truth as a rater).
+
+    Exact rational: with n = 3 raters, N docs, category vote counts
+    n_ij and column totals c_j, both agreement terms share the
+    denominator 18N²:
+
+        P̄  = Σ_i (Σ_j n_ij² − 3) / 6N       = 3N·S1 / 18N²
+        P̄e = Σ_j c_j² / 9N²                 = 2·S2  / 18N²
+        κ  = (3N·S1 − 2·S2) / (18N² − 2·S2)     (signed milli)
+
+    Scale: three stateless label scans unioned at doc grain, one
+    (doc, category) count, two bounded collapses (per-doc, per-
+    category); the report is |categories| rows + attached scalars.
+
+    Output: one row per category (category, n_votes, p_ppm) with
+    (n_docs, s1, s2, p_bar_ppm, p_e_ppm, kappa_milli) attached."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    nbp = nb_predictions(nb_token_grid(t.documents))
+    truth = nbp.select("doc_id", F.col("true_lang").alias("cat"))
+    nb = nbp.select("doc_id", F.col("pred_lang").alias("cat"))
+    d = _tok(t.documents).filter(F.col("doc_id") % NB_TEST_MOD == 0)
+    scores = {c: expr for c, expr in stopword_scores(F.col("toks")).items()}
+    lex = d.select("doc_id", pred_lang_expr(scores).alias("cat"))
+    votes = truth.unionByName(nb).unionByName(lex)
+    nij = votes.groupBy("doc_id", "cat").agg(
+        F.count(F.lit(1)).cast("long").alias("nij")
+    )
+    s1 = (
+        nij.groupBy("doc_id")
+        .agg((F.sum(F.col("nij") * F.col("nij")) - F.lit(3)).alias("pi"))
+        .agg(
+            F.sum("pi").cast("long").alias("s1"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+    cat = votes.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_votes")
+    )
+    s2 = cat.agg(
+        F.sum(F.col("n_votes") * F.col("n_votes")).cast("long").alias("s2")
+    )
+    g = s1.crossJoin(F.broadcast(s2))
+    num = F.lit(3) * F.col("n_docs") * F.col("s1") - F.lit(2) * F.col("s2")
+    den = (
+        F.lit(18) * F.col("n_docs") * F.col("n_docs")
+        - F.lit(2) * F.col("s2")
+    )
+    kappa = F.when(
+        num < 0, -_idiv(-num * F.lit(1000), den)
+    ).otherwise(_idiv(num * F.lit(1000), den))
+    glob = g.select(
+        "n_docs",
+        "s1",
+        "s2",
+        _idiv(F.col("s1") * F.lit(1_000_000), F.lit(6) * F.col("n_docs"))
+        .alias("p_bar_ppm"),
+        _idiv(
+            F.col("s2") * F.lit(1_000_000),
+            F.lit(9) * F.col("n_docs") * F.col("n_docs"),
+        ).alias("p_e_ppm"),
+        kappa.cast("long").alias("kappa_milli"),
+    )
+    return (
+        cat.crossJoin(F.broadcast(glob))
+        .select(
+            F.col("cat").alias("category"),
+            "n_votes",
+            _idiv(
+                F.col("n_votes") * F.lit(1_000_000),
+                F.lit(3) * F.col("n_docs"),
+            ).alias("p_ppm"),
+            "n_docs",
+            "s1",
+            "s2",
+            "p_bar_ppm",
+            "p_e_ppm",
+            "kappa_milli",
+        )
+        .orderBy("category")
     )

@@ -2607,3 +2607,121 @@ def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+#: Correlation-matrix guard: num² must stay inside DECIMAL(38,0) —
+#: with metrics bounded by ~5e3 that holds through n = 300k orders.
+CORR_MAX_ORDERS = 300_000
+
+
+def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAIRWISE PEARSON CORRELATION MATRIX over four order-grain
+    metrics — price (quantized to $100 units), item count, total
+    quantity, fulfilment latency — the feature-redundancy screen a
+    modeling pipeline runs before feeding metrics to anything
+    downstream (two metrics at |r| ≈ 1 are one signal). The long
+    (order, metric, value) unpivot + self-join produces every pair
+    from ONE pass, so adding a metric is one select, not a new
+    operator.
+
+    Exact fixed point (the spearman_price_qty device on raw values
+    instead of ranks): all five moments in DECIMAL(38,0), r² in ppm
+    via the guarded two-stage floor division, signed milli r via
+    isqrt. Price is floor-quantized to $100 units — a deterministic
+    quantization both engines share that keeps num² inside
+    DECIMAL(38,0) through ``CORR_MAX_ORDERS`` (raise_error beyond).
+
+    Scale: one fact aggregate to order grain, a 4×-unpivot equijoin
+    on orderkey (co-partitioned, no skew), and a 6-group moment
+    collapse — fully map-side-combinable.
+
+    Output: 6 rows (metric_a, metric_b, n_orders, r_num, den_a,
+    den_b, r2_signed_ppm, r_milli)."""
+    from ..functions import _idiv, isqrt
+
+    t = load(spark, sf_dir)
+    per_order = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+            F.min("l_shipdate").alias("first_ship"),
+        )
+        .join(
+            t.orders.select(
+                "o_orderkey",
+                "o_orderdate",
+                _idiv((dec2("o_totalprice") * 100).cast("long"), F.lit(10_000))
+                .alias("price100"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderkey",
+            "price100",
+            "n_items",
+            "qty",
+            F.datediff(F.col("first_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("latency_days"),
+        )
+    )
+    long = per_order.select(
+        "o_orderkey",
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("latency_days"),
+                    F.lit("n_items"),
+                    F.lit("price100"),
+                    F.lit("qty"),
+                ),
+                F.array("latency_days", "n_items", "price100", "qty"),
+            )
+        ).alias("metric", "v"),
+    )
+    pairs = (
+        long.alias("a")
+        .join(long.alias("b"), "o_orderkey")
+        .filter(F.col("a.metric") < F.col("b.metric"))
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pairs.groupBy(
+        F.col("a.metric").alias("metric_a"),
+        F.col("b.metric").alias("metric_b"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("a.v").cast("long").alias("sx"),
+        F.sum("b.v").cast("long").alias("sy"),
+        F.sum(dd(F.col("a.v")) * F.col("b.v")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(dd(F.col("a.v")) * F.col("a.v")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(dd(F.col("b.v")) * F.col("b.v")).cast("decimal(38,0)").alias("syy"),
+    )
+    n = F.when(
+        F.col("n_orders") > F.lit(CORR_MAX_ORDERS),
+        F.raise_error(
+            F.lit(
+                "correlation contract violated: n > 3e5 overflows num^2 "
+                "in DECIMAL(38,0); sample upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n_orders"))
+    num = dd(n) * F.col("sxy") - dd(F.col("sx")) * F.col("sy")
+    den_a = dd(n) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
+    den_b = dd(n) * F.col("syy") - dd(F.col("sy")) * F.col("sy")
+    anum = F.when(num < 0, -num).otherwise(num)
+    rho2 = _idiv(_idiv(anum * anum, den_a) * F.lit(1_000_000), den_b)
+    return m.select(
+        "metric_a",
+        "metric_b",
+        "n_orders",
+        num.cast("decimal(38,0)").alias("r_num"),
+        den_a.cast("decimal(38,0)").alias("den_a"),
+        den_b.cast("decimal(38,0)").alias("den_b"),
+        F.when(num < 0, -rho2).otherwise(rho2).cast("long").alias(
+            "r2_signed_ppm"
+        ),
+        F.when(num < 0, -isqrt(rho2)).otherwise(isqrt(rho2))
+        .cast("long")
+        .alias("r_milli"),
+    ).orderBy("metric_a", "metric_b")

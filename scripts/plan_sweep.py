@@ -85,6 +85,8 @@ WHITELIST: dict[str, str] = {
     "twonn_intrinsic_dim": "1-row MLE/exclusion-count broadcast attaches onto the 50-row bounded query panel (the knn_brute audit shape)",
     "revenue_acf": "1-row (n, S) and denominator broadcast attaches over the calendar-bounded day grid; the lag pairing is an equijoin on the exploded idx+lag key",
     "tcloseness_profile": "QI-class table x m-row priority-domain grid fill (bounded by both domains) + 1-row totals/summary broadcast attaches",
+    "mcnemar_lang_classifiers": "inherits the NB scorer's bounded shapes (test fold x |langs| class table, 1-row vocab/prior attaches) + the 1-row 2x2 cell collapse",
+    "fleiss_kappa_langids": "same NB-scorer bounded shapes + 1-row S1/S2/kappa broadcast attach onto the |categories|-row report",
     "hilbert_curve_keys": "1-row column min/max bounds broadcast (range normalization — the orders_zorder_keys shape)",
     "community_modularity": "two 1-row broadcasts (edge count m, global Q numerator) attached to the per-community report",
     "signbit_topk_exactint": "bounded 20-query signature batch x corpus Hamming scan (the knn_brute shape; 8 bytes/vector moved)",

@@ -2096,3 +2096,139 @@ def test_tcloseness_profile_pure_python(spark, sf_dir):
     assert (g.n_classes, g.n_at_risk, g.max_emd_ppm) == (
         len(cells), n_risk, max_emd,
     )
+
+
+def test_mcnemar_lang_classifiers_pure_python(spark, sf_dir):
+    """The 2x2 paired cells reconcile with the two classifiers' own
+    outputs, and the chi^2 matches the discordant-cell formula."""
+    from beauty_lakehouse_spark.operators.text import (
+        NB_TEST_MOD,
+        q_lang_id,
+        q_mcnemar_lang_classifiers,
+        q_nb_lang_classifier,
+    )
+
+    row = q_mcnemar_lang_classifiers(spark, sf_dir).collect()[0]
+    assert (
+        row.n_docs
+        == row.both_right
+        + row.nb_only_right
+        + row.lex_only_right
+        + row.both_wrong
+    )
+    b, c = row.nb_only_right, row.lex_only_right
+    assert row.chi2_ppm == (b - c) * (b - c) * 1_000_000 // max(b + c, 1)
+    assert row.significant == (row.chi2_ppm > 3_841_600)
+    # NB accuracy must equal the confusion-matrix entry's acc_ppm
+    conf = q_nb_lang_classifier(spark, sf_dir).collect()
+    assert row.nb_acc_ppm == conf[0].acc_ppm
+    assert row.n_docs == sum(r.n_docs for r in conf)
+    # lexicon accuracy from lang_id restricted to the test fold
+    lex = [
+        r
+        for r in q_lang_id(spark, sf_dir).collect()
+        if r.doc_id % NB_TEST_MOD == 0
+    ]
+    lex_right = sum(1 for r in lex if r.agree)
+    assert row.lex_acc_ppm == lex_right * 1_000_000 // len(lex)
+    assert row.both_right + row.lex_only_right == lex_right
+
+
+def test_fleiss_kappa_langids_pure_python(spark, sf_dir):
+    """S1/S2 and kappa match a direct recomputation from the three
+    label streams; the float witness tracks kappa_milli."""
+    from beauty_lakehouse_spark.operators.text import (
+        NB_TEST_MOD,
+        q_fleiss_kappa_langids,
+        q_lang_id,
+        nb_predictions,
+        nb_token_grid,
+    )
+    from beauty_lakehouse_spark.catalog import load
+
+    rows = q_fleiss_kappa_langids(spark, sf_dir).collect()
+    g = rows[0]
+    docs = load(spark, sf_dir).documents
+    nbp = {
+        r.doc_id: (r.true_lang, r.pred_lang)
+        for r in nb_predictions(nb_token_grid(docs)).collect()
+    }
+    lex = {
+        r.doc_id: r.pred_lang
+        for r in q_lang_id(spark, sf_dir).collect()
+        if r.doc_id % NB_TEST_MOD == 0
+    }
+    from collections import Counter
+
+    s1 = 0
+    cat_votes = Counter()
+    for doc_id, (truth, nb) in nbp.items():
+        votes = Counter([truth, nb, lex[doc_id]])
+        s1 += sum(v * v for v in votes.values()) - 3
+        cat_votes.update(votes)
+    n_docs = len(nbp)
+    s2 = sum(v * v for v in cat_votes.values())
+    assert (g.n_docs, g.s1, g.s2) == (n_docs, s1, s2)
+    num = 3 * n_docs * s1 - 2 * s2
+    den = 18 * n_docs * n_docs - 2 * s2
+    want = -((-num * 1000) // den) if num < 0 else (num * 1000) // den
+    assert g.kappa_milli == want
+    assert {r.category for r in rows} == set(cat_votes)
+    for r in rows:
+        assert r.n_votes == cat_votes[r.category]
+    # FLOAT WITNESS
+    pbar = s1 / (6 * n_docs)
+    pe = s2 / (9 * n_docs * n_docs)
+    kf = (pbar - pe) / (1 - pe)
+    assert abs(g.kappa_milli / 1000 - kf) <= 2e-3
+
+
+def test_order_metric_correlations_pure_python(spark, sf_dir):
+    """Every pairwise moment set matches a direct recomputation, the
+    matrix has all 6 pairs, and the float witness tracks r_milli —
+    including an expected strong positive qty/n_items correlation."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_order_metric_correlations,
+    )
+
+    rows = q_order_metric_correlations(spark, sf_dir).collect()
+    assert len(rows) == 6
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    per = li.groupby("l_orderkey").agg(
+        n_items=("l_partkey", "size"),
+        qty=("l_quantity", "sum"),
+        first_ship=("l_shipdate", "min"),
+    )
+    j = per.join(od.set_index("o_orderkey"), how="inner")
+    mx = {
+        "price100": [
+            int(round(p * 100)) // 10_000 for p in j["o_totalprice"]
+        ],
+        "n_items": [int(v) for v in j["n_items"]],
+        "qty": [int(v) for v in j["qty"]],
+        "latency_days": [
+            int((pd.Timestamp(s) - pd.Timestamp(o)).days)
+            for s, o in zip(j["first_ship"], j["o_orderdate"])
+        ],
+    }
+    n = len(j)
+    for r in rows:
+        xs, ys = mx[r.metric_a], mx[r.metric_b]
+        assert r.metric_a < r.metric_b
+        assert r.n_orders == n
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den_a = n * sum(a * a for a in xs) - sum(xs) ** 2
+        den_b = n * sum(b * b for b in ys) - sum(ys) ** 2
+        assert (int(r.r_num), int(r.den_a), int(r.den_b)) == (
+            num, den_a, den_b,
+        )
+        rho_f = num / (den_a * den_b) ** 0.5
+        assert abs(r.r_milli / 1000 - rho_f) <= 2e-3
+    strong = {
+        (r.metric_a, r.metric_b): r.r_milli for r in rows
+    }[("n_items", "qty")]
+    assert strong > 500  # more items => more quantity, by construction
