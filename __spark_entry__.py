@@ -134,6 +134,8 @@ _DRIVER_ORDER_R11 = [
     "mcnemar_lang_classifiers",  # new in r11
     "fleiss_kappa_langids",  # new in r11
     "order_metric_correlations",  # new in r11
+    "cramers_v_matrix",  # new in r11
+    "revenue_changepoint",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -573,6 +575,8 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcnemar_lang_classifiers": text.q_mcnemar_lang_classifiers,
         "fleiss_kappa_langids": text.q_fleiss_kappa_langids,
         "order_metric_correlations": warehouse.q_order_metric_correlations,
+        "cramers_v_matrix": quality.q_cramers_v_matrix,
+        "revenue_changepoint": warehouse.q_revenue_changepoint,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -7805,6 +7809,88 @@ def oracle_sql() -> dict[str, str]:
     # the streamed drain is the same stateless transform per
     # micro-batch — same oracle row
     out["gopher_quality_streamed"] = out["gopher_quality_flags"]
+
+    # Cramer's V association matrix over the three categorical pairs:
+    # per-pair chisq device (dev = O*N - R*C), V^2 ppm + isqrt milli V
+    # (mirrors quality.q_cramers_v_matrix)
+    def _cramer_pair(a: str, b: str) -> str:
+        return (
+            f"(WITH cells AS (SELECT {a} AS ca, {b} AS cb, "
+            "CAST(count(*) AS BIGINT) AS observed FROM base GROUP BY 1, 2), "
+            "rt AS (SELECT ca, CAST(sum(observed) AS BIGINT) AS row_total "
+            "FROM cells GROUP BY 1), "
+            "ct AS (SELECT cb, CAST(sum(observed) AS BIGINT) AS col_total "
+            "FROM cells GROUP BY 1), "
+            "nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total0, "
+            "CAST(count(DISTINCT ca) AS BIGINT) AS n_rows_a, "
+            "CAST(count(DISTINCT cb) AS BIGINT) AS n_cols_b FROM cells), "
+            "gt AS (SELECT *, CASE WHEN n_total0 >= 100000000 THEN "
+            "CAST(error('cramers_v contract violated: N >= 1e8; sample "
+            "upstream') AS BIGINT) ELSE n_total0 END AS n_total FROM nt), "
+            "g AS (SELECT CAST(observed AS HUGEINT) * n_total - "
+            "CAST(row_total AS HUGEINT) * col_total AS dev, row_total, "
+            "col_total, n_total, n_rows_a, n_cols_b FROM cells "
+            "JOIN rt USING (ca) JOIN ct USING (cb) CROSS JOIN gt), "
+            "ag AS (SELECT max(n_total) AS n_total, max(n_rows_a) AS "
+            "n_rows_a, max(n_cols_b) AS n_cols_b, "
+            "CAST(sum(dev * dev * 1000000 // (CAST(row_total AS HUGEINT) "
+            "* col_total * n_total)) AS BIGINT) AS chi2_micro FROM g) "
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n_total, n_rows_a, "
+            "n_cols_b, chi2_micro, "
+            "CAST((n_rows_a - 1) * (n_cols_b - 1) AS BIGINT) AS dof, "
+            "CAST(chi2_micro // (n_total * (least(n_rows_a, n_cols_b) - 1)) "
+            "AS BIGINT) AS v2_ppm, "
+            "CAST("
+            + _isq(
+                "(chi2_micro // (n_total * (least(n_rows_a, n_cols_b) - 1)))"
+            )
+            + " AS BIGINT) AS v_milli FROM ag)"
+        )
+
+    out["cramers_v_matrix"] = (
+        "WITH base AS (SELECT c_mktsegment AS segment, "
+        "o_orderpriority AS priority, CAST(n_regionkey AS VARCHAR) AS "
+        "region FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey) "
+        + _cramer_pair("segment", "priority")
+        + " UNION ALL "
+        + _cramer_pair("priority", "region")
+        + " UNION ALL "
+        + _cramer_pair("segment", "region")
+        + " ORDER BY col_a, col_b"
+    )
+
+    # Binary-segmentation changepoint on daily revenue: exact integer
+    # BSS(t) floor over the day grid, top-3 splits with half-up means
+    # (mirrors warehouse.q_revenue_changepoint)
+    out["revenue_changepoint"] = (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1), "
+        "g AS (SELECT day, CAST(row_number() OVER (ORDER BY day) "
+        "AS BIGINT) AS t, CAST(sum(cents) OVER (ORDER BY day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum FROM daily), "
+        "tot AS (SELECT CAST(max(t) AS BIGINT) AS n_days, "
+        "CAST(max(cum) AS BIGINT) AS s_all FROM g), "
+        "sc AS (SELECT day, t, cum, n_days, s_all, "
+        "CAST(cum AS HUGEINT) * n_days - CAST(s_all AS HUGEINT) * t "
+        "AS dev FROM g, tot WHERE t < n_days), "
+        "b AS (SELECT *, CAST((dev * dev) // (CAST(t AS HUGEINT) * "
+        "(n_days - t)) AS HUGEINT) AS bss_q FROM sc), "
+        "rk AS (SELECT *, CAST(row_number() OVER (ORDER BY bss_q DESC, "
+        "day) AS INTEGER) AS rank FROM b) "
+        "SELECT rank, strftime(day, '%Y-%m-%d') AS split_day, t AS t_idx, "
+        "n_days, CAST(bss_q AS VARCHAR) AS bss_q, "
+        + _hud("cum", "t", 2)
+        + " AS mean_before, "
+        + _hud("(s_all - cum)", "(n_days - t)", 2)
+        + " AS mean_after, "
+        + _hud("(s_all - cum)", "(n_days - t)", 2)
+        + " - "
+        + _hud("cum", "t", 2)
+        + " AS shift FROM rk WHERE rank <= 3 ORDER BY rank"
+    )
 
     # Pairwise Pearson matrix over order-grain metrics: unpivot +
     # self-join pair generation, exact DECIMAL moments, two-stage r^2

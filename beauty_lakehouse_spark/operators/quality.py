@@ -3828,3 +3828,114 @@ def q_tcloseness_profile(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "order_year", "order_month")
     )
+
+
+def q_cramers_v_matrix(spark, sf_dir: str) -> DataFrame:
+    """CRAMÉR'S V ASSOCIATION MATRIX over the three categorical axes of
+    the released order view — (segment, priority), (segment, region),
+    (priority, region) — the categorical twin of
+    ``q_order_metric_correlations``'s Pearson matrix:
+    `segment_priority_chisq` tests ONE pair in depth, this screens
+    every pair on the normalized 0..1 scale (V = √(χ²/(N·(min(r,c)−1)))
+    is comparable across grids of different shape, χ² is not).
+
+    Exact fixed point: each pair reuses the chisq device — cross-
+    multiplied deviations dev = O·N − R·C, per-cell contribution
+    dev²·10⁶/(R·C·N) in DECIMAL(38,0) — then V² in ppm via one floor
+    division by N·(min(r,c)−1) and V in milli via isqrt. Same N
+    guard (< 10⁸ profiled rows) as the chisq entry.
+
+    Scale: ONE fact scan builds the base (segment, priority, region)
+    tuple; each pair is a map-side-combinable grid aggregate over a
+    ≤ 25-cell contingency table; everything downstream is grid-grain.
+
+    Output: 3 rows (col_a, col_b, n_total, n_rows_a, n_cols_b,
+    chi2_micro, dof, v2_ppm, v_milli)."""
+    from ..catalog import load
+    from ..functions import _idiv, isqrt
+
+    t = load(spark, sf_dir)
+    base = (
+        t.orders.select("o_custkey", "o_orderpriority")
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t.nation.select("n_nationkey", "n_regionkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("n_regionkey").cast("string").alias("region"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def pair(a: str, b: str):
+        cells = base.groupBy(a, b).agg(
+            F.count(F.lit(1)).cast("long").alias("observed")
+        )
+        rt = cells.groupBy(a).agg(F.sum("observed").alias("row_total"))
+        ct = cells.groupBy(b).agg(F.sum("observed").alias("col_total"))
+        nt = cells.agg(
+            F.sum("observed").cast("long").alias("n_total"),
+            F.countDistinct(a).cast("long").alias("n_rows_a"),
+            F.countDistinct(b).cast("long").alias("n_cols_b"),
+        )
+        guarded = F.when(
+            F.col("n_total") >= F.lit(100_000_000),
+            F.raise_error(
+                F.lit(
+                    "cramers_v contract violated: N >= 1e8 exceeds the "
+                    "exact dev^2 DECIMAL(38,0) range; sample upstream"
+                )
+            ).cast("long"),
+        ).otherwise(F.col("n_total"))
+        dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+        g = (
+            cells.join(F.broadcast(rt), a)
+            .join(F.broadcast(ct), b)
+            .crossJoin(F.broadcast(nt))
+            .withColumn("n_total", guarded)
+            .withColumn(
+                "dev",
+                dd(F.col("observed")) * F.col("n_total")
+                - dd(F.col("row_total")) * F.col("col_total"),
+            )
+            .withColumn(
+                "contrib_micro",
+                _idiv(
+                    F.col("dev") * F.col("dev") * F.lit(1_000_000),
+                    dd(F.col("row_total"))
+                    * F.col("col_total")
+                    * F.col("n_total"),
+                ),
+            )
+        )
+        agg = g.groupBy("n_total", "n_rows_a", "n_cols_b").agg(
+            F.sum("contrib_micro").cast("long").alias("chi2_micro")
+        )
+        k = F.least(F.col("n_rows_a"), F.col("n_cols_b")) - 1
+        v2 = _idiv(F.col("chi2_micro"), F.col("n_total") * k)
+        return agg.select(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            "n_total",
+            "n_rows_a",
+            "n_cols_b",
+            "chi2_micro",
+            (
+                (F.col("n_rows_a") - 1) * (F.col("n_cols_b") - 1)
+            ).cast("long").alias("dof"),
+            v2.cast("long").alias("v2_ppm"),
+            isqrt(v2).cast("long").alias("v_milli"),
+        )
+
+    out = pair("segment", "priority")
+    for a, b in [("priority", "region"), ("segment", "region")]:
+        out = out.unionByName(pair(a, b))
+    return out.orderBy("col_a", "col_b")

@@ -2725,3 +2725,104 @@ def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("r_milli"),
     ).orderBy("metric_a", "metric_b")
+
+
+#: Changepoint report depth: surface the top-3 candidate split days.
+CHANGEPOINT_TOP = 3
+
+
+def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY-SEGMENTATION CHANGEPOINT on daily revenue — the "WHERE
+    did the level shift?" answer next to the family's detectors
+    (`revenue_cusum` alarms on drift, `mann_kendall_trend` tests for
+    monotone trend; this localizes the single best mean-shift split):
+    the least-squares split maximizes the between-group sum of squares
+
+        BSS(t) ∝ (S_t·n − S·t)² / (t·(n−t)),   1 ≤ t < n
+
+    with S_t the cumulative cents through day-index t. The constant
+    1/n is dropped (argmax-invariant) and the score is kept as the
+    exact integer floor of the cross-multiplied fraction — a
+    deterministic quantization both engines share; ties break to the
+    earliest day. Top-``CHANGEPOINT_TOP`` candidates are surfaced
+    with exact half-up segment means so the analyst sees magnitude,
+    not just location.
+
+    Scale: one map-side-combinable day aggregate; the scan of all
+    n−1 candidate splits is a cumsum + rank over the CALENDAR-bounded
+    day grid, never raw rows.
+
+    Output: 3 rows (rank, split_day, t_idx, n_days, bss_q,
+    mean_before, mean_after, shift)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, halfup_div
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    g = daily.select(
+        "day",
+        F.row_number().over(w).alias("t"),
+        F.sum("cents").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum"),
+    )
+    tot = g.agg(
+        F.max("t").cast("long").alias("n_days"),
+        F.max("cum").cast("long").alias("s_all"),
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    scored = (
+        g.crossJoin(F.broadcast(tot))
+        .filter(F.col("t") < F.col("n_days"))
+        .withColumn(
+            "dev",
+            dd(F.col("cum")) * F.col("n_days") - dd(F.col("s_all")) * F.col("t"),
+        )
+        .withColumn(
+            # exact integer floor in DECIMAL(38,0) — bss_q can exceed
+            # int64 (dev² ~ 3e29 over a ~1e6 denominator), so the
+            # _idiv long cast is replaced by the same subtraction
+            # trick kept wide
+            "bss_q",
+            (
+                (
+                    F.col("dev") * F.col("dev")
+                    - (F.col("dev") * F.col("dev"))
+                    % (dd(F.col("t")) * (F.col("n_days") - F.col("t")))
+                )
+                / (dd(F.col("t")) * (F.col("n_days") - F.col("t")))
+            ).cast("decimal(38,0)"),
+        )
+    )
+    wr = Window.orderBy(F.col("bss_q").desc(), "day")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= CHANGEPOINT_TOP)
+        .select(
+            F.col("rank").cast("int").alias("rank"),
+            F.date_format("day", "yyyy-MM-dd").alias("split_day"),
+            F.col("t").cast("long").alias("t_idx"),
+            "n_days",
+            F.col("bss_q").cast("decimal(38,0)").alias("bss_q"),
+            halfup_div(F.col("cum"), F.col("t"), 2).alias("mean_before"),
+            halfup_div(
+                F.col("s_all") - F.col("cum"),
+                F.col("n_days") - F.col("t"),
+                2,
+            ).alias("mean_after"),
+            (
+                halfup_div(
+                    F.col("s_all") - F.col("cum"),
+                    F.col("n_days") - F.col("t"),
+                    2,
+                )
+                - halfup_div(F.col("cum"), F.col("t"), 2)
+            ).alias("shift"),
+        )
+        .orderBy("rank")
+    )

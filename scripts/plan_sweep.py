@@ -87,6 +87,8 @@ WHITELIST: dict[str, str] = {
     "tcloseness_profile": "QI-class table x m-row priority-domain grid fill (bounded by both domains) + 1-row totals/summary broadcast attaches",
     "mcnemar_lang_classifiers": "inherits the NB scorer's bounded shapes (test fold x |langs| class table, 1-row vocab/prior attaches) + the 1-row 2x2 cell collapse",
     "fleiss_kappa_langids": "same NB-scorer bounded shapes + 1-row S1/S2/kappa broadcast attach onto the |categories|-row report",
+    "cramers_v_matrix": "per-pair 1-row (N, r, c) totals broadcast onto the <=25-cell contingency grids (the segment_priority_chisq shape, x3 pairs)",
+    "revenue_changepoint": "1-row (n, S) totals broadcast over the calendar-bounded day grid (the revenue_cusum convention)",
     "hilbert_curve_keys": "1-row column min/max bounds broadcast (range normalization — the orders_zorder_keys shape)",
     "community_modularity": "two 1-row broadcasts (edge count m, global Q numerator) attached to the per-community report",
     "signbit_topk_exactint": "bounded 20-query signature batch x corpus Hamming scan (the knn_brute shape; 8 bytes/vector moved)",
@@ -163,6 +165,7 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "copurchase_ktruss": "lag window over the 5-row peel-trajectory table (the copurchase_kcore convention), never raw rows",
     "revenue_acf": "row_number index and the 7-row Ljung-Box cumsum over the calendar-bounded day grid (the revenue_cusum convention), never raw rows",
     "tcloseness_profile": "global-distribution cumsum over the m-row priority VALUE DOMAIN, never raw rows (per-class cumsums are partitioned)",
+    "revenue_changepoint": "row-number index, prefix-sum, and BSS rank windows over the calendar-bounded day grid (the revenue_cusum convention), never raw rows",
     "silhouette_simplified": "row_number over the k-row kmeans seed table (limit(KMEANS_K), k=8 — the ivf_topk_exactint convention)",
     "setsim_prefix_join": "token-dictionary id mint: the only global window is the cumsum over the 32-row partition-offset table (two-level range rank, dedup.py r9 — per-row work is fully distributed)",
     "setsim_clusters": "same token-dictionary offset cumsum inside the rep-level prefix join (dedup.setsim_prefix_join r9)",

@@ -2232,3 +2232,90 @@ def test_order_metric_correlations_pure_python(spark, sf_dir):
         (r.metric_a, r.metric_b): r.r_milli for r in rows
     }[("n_items", "qty")]
     assert strong > 500  # more items => more quantity, by construction
+
+
+def test_cramers_v_matrix_pure_python(spark, sf_dir):
+    """Each pair's chi^2 and V match a direct contingency-table
+    recomputation; V is within [0, 1] and the float witness tracks
+    v_milli."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_cramers_v_matrix
+
+    rows = {(r.col_a, r.col_b): r for r in q_cramers_v_matrix(spark, sf_dir).collect()}
+    assert set(rows) == {
+        ("segment", "priority"), ("priority", "region"), ("segment", "region"),
+    }
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    cols = {
+        "segment": list(j["c_mktsegment"]),
+        "priority": list(j["o_orderpriority"]),
+        "region": [str(v) for v in j["n_regionkey"]],
+    }
+    for (a, b), r in rows.items():
+        xs, ys = cols[a], cols[b]
+        n = len(xs)
+        cells = Counter(zip(xs, ys))
+        rt = Counter(xs)
+        ct = Counter(ys)
+        chi2 = sum(
+            ((o * n - rt[x] * ct[y]) ** 2 * 1_000_000)
+            // (rt[x] * ct[y] * n)
+            for (x, y), o in cells.items()
+        )
+        assert (r.n_total, r.chi2_micro) == (n, chi2)
+        assert (r.n_rows_a, r.n_cols_b) == (len(rt), len(ct))
+        k = min(len(rt), len(ct)) - 1
+        assert r.v2_ppm == chi2 // (n * k)
+        assert 0 <= r.v_milli <= 1000
+        v_f = (chi2 / 1e6 / (n * k)) ** 0.5
+        assert abs(r.v_milli / 1000 - v_f) <= 2e-3
+
+
+def test_revenue_changepoint_pure_python(spark, sf_dir):
+    """The top-3 splits match a direct scan of every candidate split's
+    integer BSS, and the reported means are the exact half-up segment
+    means."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_revenue_changepoint,
+    )
+
+    rows = sorted(
+        q_revenue_changepoint(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    od["cents"] = (od["o_totalprice"] * 100).round().astype(int)
+    daily = sorted(
+        od.groupby(od["o_orderdate"].astype("datetime64[ns]").dt.date)[
+            "cents"
+        ].sum().items()
+    )
+    n = len(daily)
+    s_all = sum(c for _, c in daily)
+    cand = []
+    cum = 0
+    for t, (day, c) in enumerate(daily[:-1], start=1):
+        cum += c
+        dev = cum * n - s_all * t
+        cand.append((-(dev * dev // (t * (n - t))), day, t, cum))
+    cand.sort()
+    for r, (neg_bss, day, t, cum) in zip(rows, cand[:3]):
+        assert (r.split_day, r.t_idx, int(r.bss_q)) == (
+            str(day), t, -neg_bss,
+        )
+        mb = ((cum * 200 + t) // (2 * t)) / 100
+        ma = (((s_all - cum) * 200 + (n - t)) // (2 * (n - t))) / 100
+        assert (r.mean_before, r.mean_after) == (mb, ma)
+        assert abs(r.shift - (ma - mb)) < 1e-9
+    assert rows[0].n_days == n
