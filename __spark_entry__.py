@@ -7920,14 +7920,19 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(CAST(va AS HUGEINT) * va) AS HUGEINT) AS sxx, "
         "CAST(sum(CAST(vb AS HUGEINT) * vb) AS HUGEINT) AS syy "
         "FROM pr GROUP BY 1, 2), "
-        "g AS (SELECT *, CASE WHEN n_orders > 300000 THEN "
-        "CAST(error('correlation contract violated: n > 3e5; sample "
-        "upstream') AS BIGINT) ELSE n_orders END AS n FROM m), "
-        "f AS (SELECT metric_a, metric_b, n_orders, sx, sy, "
-        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
-        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den_a, "
-        "CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS den_b "
-        "FROM g), "
+        "f0 AS (SELECT metric_a, metric_b, n_orders, sx, sy, "
+        "CAST(n_orders AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy "
+        "AS num, "
+        "CAST(n_orders AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx "
+        "AS den_a0, "
+        "CAST(n_orders AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy "
+        "AS den_b FROM m), "
+        "f AS (SELECT metric_a, metric_b, n_orders, sx, sy, num, den_b, "
+        "CASE WHEN den_a0 > 10000000000000000000 OR "
+        "den_b > 10000000000000000000 THEN "
+        "CAST(error('correlation contract violated: den > 1e19; rescale "
+        "or sample upstream') AS HUGEINT) ELSE den_a0 END AS den_a "
+        "FROM f0), "
         "r AS (SELECT *, CAST(((abs(num) * abs(num)) // den_a) * 1000000 "
         "// den_b AS BIGINT) AS rho2 FROM f) "
         "SELECT metric_a, metric_b, n_orders, "

@@ -3692,7 +3692,11 @@ def q_spearman_price_qty(spark, sf_dir: str) -> DataFrame:
     denx = dd(n) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
     deny = dd(n) * F.col("syy") - dd(F.col("sy")) * F.col("sy")
     anum = F.when(num < 0, -num).otherwise(num)
-    rho2 = _idiv(_idiv(anum * anum, denx) * F.lit(1_000_000), deny)
+    rho2 = _idiv(
+        _idiv(anum * anum, denx).cast("decimal(38,0)")
+        * F.lit(1_000_000),
+        deny,
+    )  # the 1e6 lift stays DECIMAL: quotient*1e6 can pass int64
     signed = F.when(num < 0, -rho2).otherwise(rho2)
     return m.select(
         "n_parts",

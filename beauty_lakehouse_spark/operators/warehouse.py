@@ -2609,9 +2609,11 @@ def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Correlation-matrix guard: num² must stay inside DECIMAL(38,0) —
-#: with metrics bounded by ~5e3 that holds through n = 300k orders.
-CORR_MAX_ORDERS = 300_000
+#: Correlation-matrix guard: num² ≤ den_a·den_b (Cauchy–Schwarz), so
+#: exactness needs each den = n·Σx² − (Σx)² ≤ 10¹⁹ — value-based, not
+#: an n bound (den grows with n²·var, so low-variance metrics scale
+#: much further than the worst case).
+CORR_MAX_DEN = "10000000000000000000"  # 10^19 > int64: lit via decimal cast
 
 
 def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2628,8 +2630,11 @@ def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of ranks): all five moments in DECIMAL(38,0), r² in ppm
     via the guarded two-stage floor division, signed milli r via
     isqrt. Price is floor-quantized to $100 units — a deterministic
-    quantization both engines share that keeps num² inside
-    DECIMAL(38,0) through ``CORR_MAX_ORDERS`` (raise_error beyond).
+    quantization both engines share; exactness is guarded by the
+    Cauchy–Schwarz bound num² ≤ den_a·den_b, so each den must stay
+    ≤ ``CORR_MAX_DEN`` = 10¹⁹ (raise_error beyond — value-based,
+    den = n²·var, so low-variance metrics scale far past any fixed
+    row bound).
 
     Scale: one fact aggregate to order grain, a 4×-unpivot equijoin
     on orderkey (co-partitioned, no skew), and a 6-group moment
@@ -2697,20 +2702,29 @@ def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dd(F.col("a.v")) * F.col("a.v")).cast("decimal(38,0)").alias("sxx"),
         F.sum(dd(F.col("b.v")) * F.col("b.v")).cast("decimal(38,0)").alias("syy"),
     )
-    n = F.when(
-        F.col("n_orders") > F.lit(CORR_MAX_ORDERS),
+    n = F.col("n_orders").cast("long")
+    num = dd(n) * F.col("sxy") - dd(F.col("sx")) * F.col("sy")
+    den_a0 = dd(n) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
+    den_b = dd(n) * F.col("syy") - dd(F.col("sy")) * F.col("sy")
+    # Cauchy-Schwarz: num² ≤ den_a·den_b, so num² stays inside
+    # DECIMAL(38,0) iff both dens are ≤ 10¹⁹ — a VALUE-based guard
+    # (den = n²·var(x)), far less pessimistic than an n bound
+    den_a = F.when(
+        (den_a0 > F.lit(CORR_MAX_DEN).cast("decimal(38,0)"))
+        | (den_b > F.lit(CORR_MAX_DEN).cast("decimal(38,0)")),
         F.raise_error(
             F.lit(
-                "correlation contract violated: n > 3e5 overflows num^2 "
-                "in DECIMAL(38,0); sample upstream"
+                "correlation contract violated: den > 1e19 lets num^2 "
+                "pass DECIMAL(38,0); rescale or sample upstream"
             )
-        ).cast("long"),
-    ).otherwise(F.col("n_orders"))
-    num = dd(n) * F.col("sxy") - dd(F.col("sx")) * F.col("sy")
-    den_a = dd(n) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
-    den_b = dd(n) * F.col("syy") - dd(F.col("sy")) * F.col("sy")
+        ).cast("decimal(38,0)"),
+    ).otherwise(den_a0)
     anum = F.when(num < 0, -num).otherwise(num)
-    rho2 = _idiv(_idiv(anum * anum, den_a) * F.lit(1_000_000), den_b)
+    rho2 = _idiv(
+        _idiv(anum * anum, den_a).cast("decimal(38,0)")
+        * F.lit(1_000_000),
+        den_b,
+    )  # the 1e6 lift stays DECIMAL: quotient*1e6 can pass int64
     return m.select(
         "metric_a",
         "metric_b",

@@ -239,6 +239,11 @@ HEADLINE = [
     "twonn_intrinsic_dim",    # Two-NN intrinsic-dimension MLE, 50-query panel (new in r11)
     "revenue_acf",            # exact ACF lags 1..7 + Ljung-Box portmanteau (new in r11)
     "tcloseness_profile",     # ordered-domain EMD privacy profile (new in r11)
+    "mcnemar_lang_classifiers",  # paired NB-vs-lexicon discordant-cell test (new in r11)
+    "fleiss_kappa_langids",   # multi-rater label agreement, rational form (new in r11)
+    "order_metric_correlations",  # pairwise Pearson matrix via unpivot join (new in r11)
+    "cramers_v_matrix",       # categorical association screen, 3 pairs (new in r11)
+    "revenue_changepoint",    # binary-segmentation mean-shift top-3 splits (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
