@@ -1774,6 +1774,11 @@ def test_gopher_quality_flags_pure_python(spark, sf_dir):
         assert r.alpha_ppm == alpha * 1_000_000 // nw
         stop = sum(1 for w in toks if w in STOPWORDS["en"])
         assert r.stop_hits == stop
+        # FLOAT WITNESS: the milli/ppm fields track the float ratios
+        # (floor quantization error < 1 ulp of the scale)
+        assert abs(r.mean_wl_milli / 1e3 - sum(len(w) for w in toks) / nw) <= 1e-3
+        assert abs(r.symbol_ppm / 1e6 - sym / nw) <= 1e-6
+        assert abs(r.alpha_ppm / 1e6 - alpha / nw) <= 1e-6
         want_pass = (
             nw >= GOPHER_MIN_WORDS
             and 3000 <= r.mean_wl_milli <= 10000
@@ -1867,6 +1872,8 @@ def test_compaction_plan_pure_python(spark, sf_dir):
         assert r.day_lo == str(fs[0][0]) and r.day_hi == str(fs[-1][0])
         assert r.est_bytes == sum(b for _, b in fs)
         assert r.fill_ppm == r.est_bytes * 1_000_000 // target
+        # FLOAT WITNESS: fill_ppm tracks the float fill fraction
+        assert abs(r.fill_ppm / 1e6 - r.est_bytes / target) <= 1e-6
         assert r.oversized == (r.est_bytes > target)
     assert sum(r.est_bytes for r in rows) == total
     # contiguity: bins tile the day axis in order
@@ -1946,6 +1953,11 @@ def test_silhouette_simplified_properties(spark, sf_dir):
     lo = min(r.mean_s_ppm for r in rows)
     hi = max(r.mean_s_ppm for r in rows)
     assert lo <= g <= hi
+    # FLOAT WITNESS: the global mean tracks the member-weighted float
+    # mean of the per-cluster means (each side floored at most 1 ppm,
+    # so the gap is bounded by 2 ppm)
+    wmean = sum(r.mean_s_ppm * r.n_members for r in rows) / n_vec
+    assert abs(g - wmean) <= 2
 
 
 def test_twonn_intrinsic_dim_pure_python(spark, sf_dir):
@@ -2088,6 +2100,14 @@ def test_tcloseness_profile_pure_python(spark, sf_dir):
             dev += abs(cumq * n_total - cump * s)
         want = dev * 1_000_000 // ((m - 1) * s * n_total)
         assert r.emd_ppm == want
+        # FLOAT WITNESS: emd_ppm tracks the float ordered-domain EMD
+        cq = cp = 0
+        dev_f = 0.0
+        for p in dom:
+            cq += cnt.get(p, 0)
+            cp += gcount[p]
+            dev_f += abs(cq / s - cp / n_total)
+        assert abs(want / 1e6 - dev_f / (m - 1)) <= 2e-6
         assert r.at_risk == (want > TCLOSE_T_PPM)
         n_risk += r.at_risk
         max_emd = max(max_emd, want)
@@ -2118,6 +2138,9 @@ def test_mcnemar_lang_classifiers_pure_python(spark, sf_dir):
     )
     b, c = row.nb_only_right, row.lex_only_right
     assert row.chi2_ppm == (b - c) * (b - c) * 1_000_000 // max(b + c, 1)
+    # FLOAT WITNESS: chi^2 tracks the float discordant-cell formula
+    if b + c:
+        assert abs(row.chi2_ppm / 1e6 - (b - c) ** 2 / (b + c)) <= 1e-6
     assert row.significant == (row.chi2_ppm > 3_841_600)
     # NB accuracy must equal the confusion-matrix entry's acc_ppm
     conf = q_nb_lang_classifier(spark, sf_dir).collect()
