@@ -136,6 +136,7 @@ _DRIVER_ORDER_R11 = [
     "order_metric_correlations",  # new in r11
     "cramers_v_matrix",  # new in r11
     "revenue_changepoint",  # new in r11
+    "fim_transform",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -577,6 +578,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_metric_correlations": warehouse.q_order_metric_correlations,
         "cramers_v_matrix": quality.q_cramers_v_matrix,
         "revenue_changepoint": warehouse.q_revenue_changepoint,
+        "fim_transform": curation.q_fim_transform,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8296,5 +8298,36 @@ def oracle_sql() -> dict[str, str]:
         "rel_micro, mmr_deci FROM s2 "
         "UNION ALL SELECT query_id, neighbor_id, CAST(3 AS INTEGER), "
         "rel_micro, mmr_deci FROM s3 ORDER BY query_id, pick_rank"
+    )
+
+    # FIM (fill-in-the-middle) corpus transform: splitmix60-derived cut
+    # points, PSM/SPM sentinel serialization, md5 over the re-serialized
+    # text (mirrors curation.q_fim_transform)
+    out["fim_transform"] = (
+        "WITH base AS (SELECT doc_id, text, "
+        "CAST(length(text) AS BIGINT) AS n, "
+        f"{_p64('doc_id')} AS seed FROM documents), "
+        f"m AS (SELECT doc_id, text, n, {_smx('seed', '0')} AS u1, "
+        f"{_smx('seed', '1')} AS u2, {_smx('seed', '2')} AS u3 "
+        "FROM base), "
+        "c AS (SELECT doc_id, text, n, "
+        "CASE WHEN n >= 32 THEN 1 + (u1 % (n - 2)) END AS cut_lo, "
+        "u2, u3 FROM m), "
+        "c2 AS (SELECT doc_id, text, n, cut_lo, "
+        "CASE WHEN n >= 32 THEN cut_lo + 1 + (u2 % (n - 1 - cut_lo)) "
+        "END AS cut_hi, "
+        "CASE WHEN n < 32 THEN 'raw' WHEN u3 % 2 = 0 THEN 'psm' "
+        "ELSE 'spm' END AS mode FROM c), "
+        "f AS (SELECT *, CASE WHEN mode = 'raw' THEN text "
+        "WHEN mode = 'psm' THEN '<fim_prefix>' || "
+        "substr(text, 1, cut_lo) || '<fim_suffix>' || "
+        "substr(text, cut_hi + 1, n - cut_hi) || '<fim_middle>' || "
+        "substr(text, cut_lo + 1, cut_hi - cut_lo) "
+        "ELSE '<fim_suffix>' || substr(text, cut_hi + 1, n - cut_hi) || "
+        "'<fim_prefix>' || substr(text, 1, cut_lo) || '<fim_middle>' || "
+        "substr(text, cut_lo + 1, cut_hi - cut_lo) END AS fim FROM c2) "
+        "SELECT doc_id, n AS n_chars, cut_lo, cut_hi, mode, "
+        "CAST(length(fim) AS BIGINT) AS fim_len, md5(fim) AS fim_md5 "
+        "FROM f ORDER BY doc_id"
     )
     return out

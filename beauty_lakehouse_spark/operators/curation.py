@@ -2288,3 +2288,104 @@ def q_feature_hash_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_load")
     )
+
+
+#: FIM geometry: docs shorter than this pass through untransformed
+#: (a 3-way split of a tiny doc trains nothing); cut points are
+#: splitmix60-derived so the transform is reproducible and
+#: cross-engine exact.
+FIM_MIN_CHARS = 32
+#: Sentinel tokens (Bavarian et al. 2022, "Efficient Training of
+#: Language Models to Fill in the Middle").
+FIM_PRE, FIM_SUF, FIM_MID = "<fim_prefix>", "<fim_suffix>", "<fim_middle>"
+
+
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILL-IN-THE-MIDDLE transform of the document corpus — the
+    data-side half of FIM pretraining (Bavarian et al. 2022): each
+    document is split at two deterministic cut points into
+    (prefix, middle, suffix) and re-serialized in PSM or SPM sentinel
+    order, 50/50 by a third hash draw, so the SAME corpus build is
+    reproducible across engines and backfills (no RNG state — the
+    curation-module contract).
+
+    Cut-point derivation (splitmix60, seed = portable_hash64(doc_id)):
+    stream 0 → lo ∈ [1, n−2], stream 1 → hi ∈ [lo+1, n−1], stream 2
+    LSB → PSM/SPM. All three spans are therefore non-empty by
+    construction. Docs with fewer than ``FIM_MIN_CHARS`` characters
+    pass through as mode 'raw' with NULL cuts (transforming a tiny
+    doc yields degenerate spans; passing it through keeps the corpus
+    complete — same row count in, same out).
+
+    Scale: map-only — one md5 per doc, then three staged integer
+    mixes (``splitmix60_apply``; the inline form duplicates a ~1300-
+    node subtree per draw). No shuffle, no window, no collect; at
+    100 TB this is a pure narrow scan.
+
+    Output: (doc_id, n_chars, cut_lo, cut_hi, mode, fim_len,
+    fim_md5) — the md5 is over the re-serialized text, so the oracle
+    hash-checks the full transform without shipping the strings."""
+    from ..functions import splitmix60_apply
+
+    t = load(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n"),
+        portable_hash64(F.col("doc_id")).alias("seed"),
+    )
+    cur = splitmix60_apply(
+        base, ["doc_id", "text", "n", "seed"], F.col("seed"), F.lit(0),
+        out="u1",
+    )
+    cur = splitmix60_apply(
+        cur, ["doc_id", "text", "n", "seed", "u1"], F.col("seed"),
+        F.lit(1), out="u2",
+    )
+    cur = splitmix60_apply(
+        cur, ["doc_id", "text", "n", "u1", "u2"], F.col("seed"),
+        F.lit(2), out="u3",
+    )
+    n = F.col("n")
+    lo = F.lit(1) + F.pmod(F.col("u1"), n - F.lit(2))
+    hi = lo + F.lit(1) + F.pmod(F.col("u2"), n - F.lit(1) - lo)
+    c = cur.select(
+        "doc_id",
+        "text",
+        "n",
+        F.when(n >= FIM_MIN_CHARS, lo).alias("cut_lo"),
+        F.when(n >= FIM_MIN_CHARS, hi).alias("cut_hi"),
+        F.when(n < FIM_MIN_CHARS, F.lit("raw"))
+        .when(F.pmod(F.col("u3"), F.lit(2)) == 0, F.lit("psm"))
+        .otherwise(F.lit("spm"))
+        .alias("mode"),
+    )
+    pre = F.substring(F.col("text"), F.lit(1), F.col("cut_lo").cast("int"))
+    mid = F.expr("substring(text, cut_lo + 1, cut_hi - cut_lo)")
+    suf = F.expr("substring(text, cut_hi + 1, n - cut_hi)")
+    fim = (
+        F.when(F.col("mode") == "raw", F.col("text"))
+        .when(
+            F.col("mode") == "psm",
+            F.concat(
+                F.lit(FIM_PRE), pre, F.lit(FIM_SUF), suf, F.lit(FIM_MID), mid
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(FIM_SUF), suf, F.lit(FIM_PRE), pre, F.lit(FIM_MID), mid
+            )
+        )
+    )
+    return (
+        c.select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "cut_lo",
+            "cut_hi",
+            "mode",
+            F.length(fim).cast("long").alias("fim_len"),
+            F.md5(fim).alias("fim_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1087,3 +1087,56 @@ def test_dsir_importance_pure_python(spark, sf_dir):
     # identically (degenerate-model guard)
     scores = {r.logw_micro for r in rows.values()}
     assert len(scores) > 10
+
+
+def test_fim_transform_pure_python(spark, sf_dir):
+    """Cut points, mode selection, and the re-serialized md5 all match
+    a pure-Python recomputation (md5-seed + splitmix60 reference twin
+    kept independent of the library code); spans are non-empty by
+    construction and the corpus passes through complete."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        FIM_MID,
+        FIM_MIN_CHARS,
+        FIM_PRE,
+        FIM_SUF,
+        q_fim_transform,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    rows = {r.doc_id: r for r in q_fim_transform(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == len(docs)
+    n_modes = {"psm": 0, "spm": 0, "raw": 0}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        r = rows[doc_id]
+        n = len(text)
+        assert r.n_chars == n
+        seed = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16
+        )
+        if n < FIM_MIN_CHARS:
+            assert r.mode == "raw" and r.cut_lo is None
+            want = text
+        else:
+            lo = 1 + _splitmix60_py(seed, 0) % (n - 2)
+            hi = lo + 1 + _splitmix60_py(seed, 1) % (n - 1 - lo)
+            assert (r.cut_lo, r.cut_hi) == (lo, hi)
+            # all three spans non-empty
+            assert 1 <= lo < hi <= n - 1
+            pre, mid, suf = text[:lo], text[lo:hi], text[hi:]
+            assert pre and mid and suf
+            if _splitmix60_py(seed, 2) % 2 == 0:
+                assert r.mode == "psm"
+                want = FIM_PRE + pre + FIM_SUF + suf + FIM_MID + mid
+            else:
+                assert r.mode == "spm"
+                want = FIM_SUF + suf + FIM_PRE + pre + FIM_MID + mid
+        assert r.fim_len == len(want)
+        assert r.fim_md5 == hashlib.md5(want.encode()).hexdigest()
+        n_modes[r.mode] += 1
+    # both sentinel orders occur (the 50/50 draw is live)
+    assert n_modes["psm"] > 0 and n_modes["spm"] > 0
