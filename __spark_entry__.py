@@ -137,6 +137,7 @@ _DRIVER_ORDER_R11 = [
     "cramers_v_matrix",  # new in r11
     "revenue_changepoint",  # new in r11
     "fim_transform",  # new in r11
+    "vocab_richness",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -579,6 +580,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cramers_v_matrix": quality.q_cramers_v_matrix,
         "revenue_changepoint": warehouse.q_revenue_changepoint,
         "fim_transform": curation.q_fim_transform,
+        "vocab_richness": text.q_vocab_richness,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8329,5 +8331,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, n AS n_chars, cut_lo, cut_hi, mode, "
         "CAST(length(fim) AS BIGINT) AS fim_len, md5(fim) AS fim_md5 "
         "FROM f ORDER BY doc_id"
+    )
+
+    # Vocabulary-richness card over bigram types: Chao1, Yule's K,
+    # Simpson repeat probability — exact integer floors over the
+    # count-of-counts table (mirrors text.q_vocab_richness)
+    out["vocab_richness"] = (
+        "WITH toks AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "terms AS (SELECT tk[i] || ' ' || tk[i+1] AS term "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS r FROM terms "
+        "GROUP BY term), "
+        "a AS (SELECT CAST(sum(r) AS BIGINT) AS n_tokens, "
+        "CAST(count(*) AS BIGINT) AS vocab, "
+        "CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1, "
+        "CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2, "
+        "CAST(max(r) AS BIGINT) AS max_r, "
+        "CAST(sum(r * r) AS BIGINT) AS s2, "
+        "CAST(sum(r * (r - 1)) AS BIGINT) AS rep FROM tf) "
+        "SELECT n_tokens, vocab, f1, f2, max_r, "
+        "CAST(vocab * 1000 + (CAST(f1 AS HUGEINT) * (f1 - 1) * 1000) "
+        "// (2 * (f2 + 1)) AS BIGINT) AS chao1_milli, "
+        "CAST((CAST(s2 - n_tokens AS HUGEINT) * 10000000) // "
+        "(CAST(n_tokens AS HUGEINT) * n_tokens) AS BIGINT) "
+        "AS yule_k_milli, "
+        "CAST((CAST(rep AS HUGEINT) * 1000000) // "
+        "(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) "
+        "AS simpson_ppm FROM a"
     )
     return out

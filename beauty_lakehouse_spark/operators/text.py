@@ -2783,3 +2783,77 @@ def q_fleiss_kappa_langids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("category")
     )
+
+
+def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY-RICHNESS card over the corpus BIGRAM types — the
+    three classical estimators a corpus datacard reports next to
+    Heaps/Zipf fits (`heaps_law_fit`, `zipf_law_fit`):
+
+    - CHAO1 (Chao 1984, bias-corrected): how many bigram types the
+      corpus is still missing — V + f1·(f1−1)/(2·(f2+1)) from the
+      singleton/doubleton counts (the unseen-species lower bound);
+    - YULE'S K (Yule 1944): repeat-rate 10⁴·(S2−N)/N² with
+      S2 = Σ r² — size-invariant lexical concentration;
+    - SIMPSON's repeat probability Σ r(r−1)/(N(N−1)) — chance two
+      random bigram occurrences are the same type.
+
+    Bigram grain for the same reason as ``good_turing_smoothing``
+    (text.py:901): the fixtures' unigram vocabulary is saturated (no
+    f1/f2 region), bigrams carry the live Zipf tail. All three are
+    exact integer floors (milli/ppm) over the count-of-counts table —
+    no float anywhere, so the DuckDB twin matches bit-for-bit.
+
+    Scale: the bigram count is one map-side-combinable aggregate;
+    everything after is ONE ungrouped aggregate over the type-grain
+    table (types ≪ tokens). No window, no join, no collect.
+
+    Output: 1 row (n_tokens, vocab, f1, f2, max_r, chao1_milli,
+    yule_k_milli, simpson_ppm)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    tf = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    agg = tf.agg(
+        F.sum("r").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("r") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("r") == 2).cast("long")).alias("f2"),
+        F.max("r").cast("long").alias("max_r"),
+        F.sum(F.col("r") * F.col("r")).cast("long").alias("s2"),
+        F.sum(F.col("r") * (F.col("r") - 1)).cast("long").alias("rep"),
+    )
+    return agg.select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        "max_r",
+        (
+            F.col("vocab") * 1000
+            + _idiv(
+                F.col("f1") * (F.col("f1") - 1) * F.lit(1000),
+                F.lit(2) * (F.col("f2") + 1),
+            )
+        ).alias("chao1_milli"),
+        _idiv(
+            (F.col("s2") - F.col("n_tokens")) * F.lit(10_000_000),
+            F.col("n_tokens") * F.col("n_tokens"),
+        ).alias("yule_k_milli"),
+        _idiv(
+            F.col("rep") * F.lit(1_000_000),
+            F.col("n_tokens") * (F.col("n_tokens") - 1),
+        ).alias("simpson_ppm"),
+    )

@@ -2342,3 +2342,44 @@ def test_revenue_changepoint_pure_python(spark, sf_dir):
         assert (r.mean_before, r.mean_after) == (mb, ma)
         assert abs(r.shift - (ma - mb)) < 1e-9
     assert rows[0].n_days == n
+
+
+def test_vocab_richness_pure_python(spark, sf_dir):
+    """All count-of-counts inputs and the three estimators match a
+    direct recomputation over the bigram stream; the float witnesses
+    track the textbook formulas."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import q_vocab_richness
+
+    [r] = q_vocab_richness(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[a + " " + b] += 1
+    n = sum(cnt.values())
+    rs = list(cnt.values())
+    f1 = sum(1 for x in rs if x == 1)
+    f2 = sum(1 for x in rs if x == 2)
+    s2 = sum(x * x for x in rs)
+    rep = sum(x * (x - 1) for x in rs)
+    assert (r.n_tokens, r.vocab, r.f1, r.f2, r.max_r) == (
+        n, len(rs), f1, f2, max(rs),
+    )
+    assert r.chao1_milli == len(rs) * 1000 + f1 * (f1 - 1) * 1000 // (
+        2 * (f2 + 1)
+    )
+    assert r.yule_k_milli == (s2 - n) * 10_000_000 // (n * n)
+    assert r.simpson_ppm == rep * 1_000_000 // (n * (n - 1))
+    # FLOAT WITNESS: the milli/ppm floors track the float formulas
+    assert abs(r.chao1_milli / 1e3 - (len(rs) + f1 * (f1 - 1) / (2 * (f2 + 1)))) <= 1e-3
+    assert abs(r.yule_k_milli / 1e3 - 1e4 * (s2 - n) / n**2) <= 1e-3
+    assert abs(r.simpson_ppm / 1e6 - rep / (n * (n - 1))) <= 1e-6
+    # richness sanity: Chao1 never below the observed vocabulary,
+    # live singleton region on the fixtures
+    assert r.chao1_milli >= r.vocab * 1000
+    assert r.f1 > 0
