@@ -138,6 +138,7 @@ _DRIVER_ORDER_R11 = [
     "revenue_changepoint",  # new in r11
     "fim_transform",  # new in r11
     "vocab_richness",  # new in r11
+    "cochran_armitage_trend",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -581,6 +582,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_changepoint": warehouse.q_revenue_changepoint,
         "fim_transform": curation.q_fim_transform,
         "vocab_richness": text.q_vocab_richness,
+        "cochran_armitage_trend": quality.q_cochran_armitage_trend,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8359,5 +8361,44 @@ def oracle_sql() -> dict[str, str]:
         "CAST((CAST(rep AS HUGEINT) * 1000000) // "
         "(CAST(n_tokens AS HUGEINT) * (n_tokens - 1)) AS BIGINT) "
         "AS simpson_ppm FROM a"
+    )
+
+    # Cochran-Armitage trend test: return rate vs ordered priority
+    # scores, exact closed form in HUGEINT with the chisq-family N
+    # guard (mirrors quality.q_cochran_armitage_trend)
+    out["cochran_armitage_trend"] = (
+        "WITH ret AS (SELECT l_orderkey, CAST(max(CASE WHEN "
+        "l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ret "
+        "FROM lineitem GROUP BY l_orderkey), "
+        "per AS (SELECT o_orderpriority AS priority, "
+        "CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS score, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(coalesce(ret, 0)) AS BIGINT) AS n_returned "
+        "FROM orders LEFT JOIN ret ON o_orderkey = l_orderkey "
+        "GROUP BY 1, 2), "
+        "t0 AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total0, "
+        "CAST(sum(n_returned) AS BIGINT) AS r_total, "
+        "CAST(sum(score * n_orders) AS BIGINT) AS ssn, "
+        "CAST(sum(score * score * n_orders) AS BIGINT) AS ss2n, "
+        "CAST(sum(score * n_returned) AS BIGINT) AS ssr FROM per), "
+        "t1 AS (SELECT CASE WHEN n_total0 >= 100000000 THEN "
+        "CAST(error('cochran_armitage contract violated: N >= 1e8; "
+        "sample upstream') AS BIGINT) ELSE n_total0 END AS n_total, "
+        "r_total, ssn, ss2n, ssr FROM t0), "
+        "g AS (SELECT n_total, r_total, "
+        "CAST(sign(CAST(n_total AS HUGEINT) * ssr - "
+        "CAST(r_total AS HUGEINT) * ssn) AS INTEGER) AS trend_sign, "
+        "CAST((CAST(n_total AS HUGEINT) * "
+        "(CAST(n_total AS HUGEINT) * ssr - CAST(r_total AS HUGEINT) "
+        "* ssn) * (CAST(n_total AS HUGEINT) * ssr - "
+        "CAST(r_total AS HUGEINT) * ssn) * 1000) // "
+        "(CAST(r_total AS HUGEINT) * (n_total - r_total) * "
+        "(CAST(n_total AS HUGEINT) * ss2n - CAST(ssn AS HUGEINT) "
+        "* ssn)) AS BIGINT) AS z2_milli FROM t1) "
+        "SELECT priority, score, n_orders, n_returned, "
+        "CAST((CAST(n_returned AS HUGEINT) * 1000000) // n_orders "
+        "AS BIGINT) AS rate_ppm, n_total, r_total, trend_sign, "
+        "z2_milli, z2_milli > 3841 AS significant "
+        "FROM per, g ORDER BY score"
     )
     return out

@@ -3943,3 +3943,127 @@ def q_cramers_v_matrix(spark, sf_dir: str) -> DataFrame:
     for a, b in [("priority", "region"), ("segment", "region")]:
         out = out.unionByName(pair(a, b))
     return out.orderBy("col_a", "col_b")
+
+
+#: Cochran–Armitage 95% bar: chi2(1df) 0.95 quantile, milli-scaled.
+CA_CHI2_95_MILLI = 3_841
+#: Exactness guard shared with the chisq family: the dev^2 product
+#: must fit DECIMAL(38,0)/HUGEINT.
+CA_N_GUARD = 100_000_000
+
+
+def q_cochran_armitage_trend(spark, sf_dir: str) -> DataFrame:
+    """COCHRAN–ARMITAGE TREND TEST (Cochran 1954; Armitage 1955) of
+    return rate against the ORDERED priority scale — the
+    dose-response member of the testing family: the plain chi-square
+    (`segment_priority_chisq`) asks "is there ANY association";
+    this asks the sharper ordered question "does the return rate
+    rise or fall MONOTONICALLY with priority", buying one degree of
+    freedom and real power on ordered categories.
+
+    Binary outcome per order: contains at least one returned
+    lineitem (l_returnflag = 'R'). Scores s = 1..5 parsed from the
+    priority label's leading digit (the natural equally-spaced
+    coding). The statistic is the textbook closed form, exact in
+    DECIMAL(38,0)/HUGEINT:
+
+        Z² = N·(N·Σs·r − R·Σs·n)² / (R·(N−R)·(N·Σs²·n − (Σs·n)²))
+
+    emitted as one milli-scaled floor division (z2_milli), with the
+    trend direction from the sign of N·Σsr − R·Σsn. Same N < 1e8
+    guard as the chisq entries (dev² range).
+
+    Scale: the outcome flag is one map-side-combinable aggregate on
+    lineitem (orderkey grain), one broadcast-joinable order join, and
+    a 5-row grid; the test itself runs on the grid. No window, no
+    collect.
+
+    Output: 5 rows (priority, score, n_orders, n_returned, rate_ppm)
+    + attached (n_total, r_total, trend_sign, z2_milli, significant).
+    """
+    from ..catalog import load
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    returned = t.lineitem.groupBy("l_orderkey").agg(
+        F.max((F.col("l_returnflag") == "R").cast("long")).alias("ret")
+    )
+    per = (
+        t.orders.select("o_orderkey", "o_orderpriority")
+        .join(
+            returned,
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        )
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("ret", F.lit(0).cast("long")).alias("ret"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("ret").cast("long").alias("n_returned"),
+        )
+        .withColumn(
+            "score", F.substring("priority", 1, 1).cast("long")
+        )
+    )
+    tot = per.agg(
+        F.sum("n_orders").alias("n_total0"),
+        F.sum("n_returned").alias("r_total"),
+        F.sum(F.col("score") * F.col("n_orders")).alias("ssn"),
+        F.sum(F.col("score") * F.col("score") * F.col("n_orders")).alias(
+            "ss2n"
+        ),
+        F.sum(F.col("score") * F.col("n_returned")).alias("ssr"),
+    ).select(
+        F.when(
+            F.col("n_total0") >= CA_N_GUARD,
+            F.raise_error(
+                F.lit(
+                    "cochran_armitage contract violated: N >= 1e8 "
+                    "exceeds the exact dev^2 DECIMAL(38,0) range; "
+                    "sample upstream"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("n_total0"))
+        .alias("n_total"),
+        "r_total",
+        "ssn",
+        "ss2n",
+        "ssr",
+    )
+    n = F.col("n_total").cast("decimal(38,0)")
+    diff = n * F.col("ssr") - F.col("r_total").cast("decimal(38,0)") * F.col(
+        "ssn"
+    )
+    den = (
+        F.col("r_total").cast("decimal(38,0)")
+        * (F.col("n_total") - F.col("r_total"))
+        * (
+            n * F.col("ss2n")
+            - F.col("ssn").cast("decimal(38,0)") * F.col("ssn")
+        )
+    )
+    g = tot.select(
+        "n_total",
+        "r_total",
+        F.signum(diff.cast("double")).cast("int").alias("trend_sign"),
+        _idiv(n * diff * diff * F.lit(1000), den).alias("z2_milli"),
+    ).withColumn(
+        "significant", F.col("z2_milli") > F.lit(CA_CHI2_95_MILLI)
+    )
+    return (
+        per.select(
+            "priority",
+            "score",
+            "n_orders",
+            "n_returned",
+            _idiv(
+                F.col("n_returned") * F.lit(1_000_000), F.col("n_orders")
+            ).alias("rate_ppm"),
+        )
+        .crossJoin(F.broadcast(g))
+        .orderBy("score")
+    )

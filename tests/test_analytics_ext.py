@@ -2383,3 +2383,50 @@ def test_vocab_richness_pure_python(spark, sf_dir):
     # live singleton region on the fixtures
     assert r.chao1_milli >= r.vocab * 1000
     assert r.f1 > 0
+
+
+def test_cochran_armitage_pure_python(spark, sf_dir):
+    """Grid counts and the trend statistic match a direct
+    recomputation; the float witness tracks the textbook Z^2."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        CA_CHI2_95_MILLI,
+        q_cochran_armitage_trend,
+    )
+
+    rows = sorted(
+        q_cochran_armitage_trend(spark, sf_dir).collect(),
+        key=lambda r: r.score,
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    )
+    ret = set(li.loc[li["l_returnflag"] == "R", "l_orderkey"])
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    grid = {}
+    for ok, pri in zip(od["o_orderkey"], od["o_orderpriority"]):
+        n, r = grid.get(pri, (0, 0))
+        grid[pri] = (n + 1, r + (ok in ret))
+    assert len(rows) == len(grid)
+    for row in rows:
+        n, r = grid[row.priority]
+        assert (row.n_orders, row.n_returned) == (n, r)
+        assert row.score == int(row.priority[0])
+        assert row.rate_ppm == r * 1_000_000 // n
+    n_tot = sum(n for n, _ in grid.values())
+    r_tot = sum(r for _, r in grid.values())
+    ssn = sum(int(p[0]) * n for p, (n, _) in grid.items())
+    ss2n = sum(int(p[0]) ** 2 * n for p, (n, _) in grid.items())
+    ssr = sum(int(p[0]) * r for p, (_, r) in grid.items())
+    diff = n_tot * ssr - r_tot * ssn
+    den = r_tot * (n_tot - r_tot) * (n_tot * ss2n - ssn * ssn)
+    g = rows[0]
+    assert (g.n_total, g.r_total) == (n_tot, r_tot)
+    assert g.trend_sign == (diff > 0) - (diff < 0)
+    assert g.z2_milli == n_tot * diff * diff * 1000 // den
+    assert g.significant == (g.z2_milli > CA_CHI2_95_MILLI)
+    # FLOAT WITNESS: z2 tracks the float closed form
+    assert abs(g.z2_milli / 1e3 - n_tot * diff**2 / den) <= 1e-3
