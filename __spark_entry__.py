@@ -139,6 +139,7 @@ _DRIVER_ORDER_R11 = [
     "fim_transform",  # new in r11
     "vocab_richness",  # new in r11
     "cochran_armitage_trend",  # new in r11
+    "logrank_segments",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -583,6 +584,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fim_transform": curation.q_fim_transform,
         "vocab_richness": text.q_vocab_richness,
         "cochran_armitage_trend": quality.q_cochran_armitage_trend,
+        "logrank_segments": events.q_logrank_segments,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8400,5 +8402,64 @@ def oracle_sql() -> dict[str, str]:
         "AS BIGINT) AS rate_ppm, n_total, r_total, trend_sign, "
         "z2_milli, z2_milli > 3841 AS significant "
         "FROM per, g ORDER BY score"
+    )
+
+    # Log-rank test of repeat-purchase survival, BUILDING vs rest:
+    # hypergeometric E/V ledger on the duration grid, micro floors,
+    # chi2 from the quantized sums (mirrors events.q_logrank_segments)
+    out["logrank_segments"] = (
+        "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, "
+        "o_orderkey, CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 "
+        "END AS grp FROM orders JOIN customer ON o_custkey = c_custkey), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY d, o_orderkey) AS rn FROM o), "
+        "fs AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN d END) AS d1, "
+        "min(CASE WHEN rn = 2 THEN d END) AS d2, max(grp) AS grp "
+        "FROM rk WHERE rn <= 2 GROUP BY o_custkey), "
+        "gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax "
+        "FROM orders), "
+        "u AS (SELECT CASE WHEN d2 IS NOT NULL THEN "
+        "date_diff('day', d1, d2) ELSE date_diff('day', d1, gmax) END "
+        "AS t_days, CASE WHEN d2 IS NULL THEN 1 ELSE 0 END AS cen, grp "
+        "FROM fs, gm), "
+        "grid AS (SELECT t_days, "
+        "CAST(sum((1 - cen) * grp) AS BIGINT) AS d1, "
+        "CAST(sum((1 - cen) * (1 - grp)) AS BIGINT) AS d0, "
+        "CAST(sum(cen * grp) AS BIGINT) AS c1, "
+        "CAST(sum(cen * (1 - grp)) AS BIGINT) AS c0 "
+        "FROM u GROUP BY t_days), "
+        "r AS (SELECT *, CAST(sum(d1 + c1) OVER (ORDER BY t_days DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n1, CAST(sum(d0 + c0) OVER (ORDER BY t_days DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS n0 FROM grid), "
+        "dth AS (SELECT d1, d0, "
+        "CAST((CAST(d1 + d0 AS HUGEINT) * n1 * 1000000) // (n1 + n0) "
+        "AS BIGINT) AS e1u, "
+        "CAST((CAST(d1 + d0 AS HUGEINT) * n0 * 1000000) // (n1 + n0) "
+        "AS BIGINT) AS e0u, "
+        "CASE WHEN n1 + n0 > 1 THEN CAST((CAST(d1 + d0 AS HUGEINT) * "
+        "(n1 + n0 - d1 - d0) * n1 * n0 * 1000000) // "
+        "(CAST(n1 + n0 AS HUGEINT) * (n1 + n0) * (n1 + n0 - 1)) "
+        "AS BIGINT) ELSE 0 END AS vu FROM r WHERE d1 + d0 > 0), "
+        "st AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, "
+        "CAST(sum(d0) AS BIGINT) AS o0, "
+        "CAST(sum(e1u) AS BIGINT) AS e1_micro, "
+        "CAST(sum(e0u) AS BIGINT) AS e0_micro, "
+        "CAST(sum(vu) AS BIGINT) AS v_micro FROM dth), "
+        "st2 AS (SELECT *, CASE WHEN v_micro > 0 THEN "
+        "CAST((CAST(o1 * 1000000 - e1_micro AS HUGEINT) * "
+        "(o1 * 1000000 - e1_micro) * 1000) // "
+        "(CAST(v_micro AS HUGEINT) * 1000000) AS BIGINT) END "
+        "AS chi2_milli FROM st), "
+        "gsum AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_subjects, "
+        "CAST(sum(1 - cen) AS BIGINT) AS n_events, "
+        "CAST(sum(cen) AS BIGINT) AS n_censored FROM u GROUP BY grp) "
+        "SELECT CASE WHEN grp = 1 THEN 'BUILDING' ELSE 'OTHER' END "
+        "AS segment, n_subjects, n_events, n_censored, "
+        "CASE WHEN grp = 1 THEN e1_micro ELSE e0_micro END "
+        "AS e_events_micro, v_micro, chi2_milli, "
+        "chi2_milli > 3841 AS significant "
+        "FROM gsum, st2 ORDER BY segment"
     )
     return out

@@ -1473,3 +1473,162 @@ def q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+#: Log-rank grouping: the named segment vs everyone else (two-sample
+#: form; the k-sample generalization is a sum over groups).
+LOGRANK_SEG = "BUILDING"
+#: chi2(1df) 0.95 quantile, milli-scaled.
+LOGRANK_CHI2_95_MILLI = 3_841
+
+
+def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel 1966) — do two customer segments have the
+    SAME time-to-repeat-purchase survival curve? The inference
+    companion to ``q_kaplan_meier_repeat``: KM draws the curves, this
+    says whether the '{LOGRANK_SEG}' curve differs from the rest
+    beyond chance, censoring-correct by construction (a churn analysis
+    that t-tests raw gap days silently drops every censored customer —
+    the classic bias this test exists to avoid).
+
+    Same subjects as the KM entry (first order → second order, right-
+    censored at the corpus max date). At each death time t with n at
+    risk (n₁ in group 1), d deaths (d₁ in group 1):
+
+        E₁ += d·n₁/n                       (micro-scaled floor)
+        V  += d·(n−d)·n₁·n₀ / (n²·(n−1))   (micro-scaled floor)
+        χ² = (O₁ − E₁)² / V                (milli, from the quantized
+                                            sums — the deterministic-
+                                            quantization contract)
+
+    Scale: one per-customer window builds subjects; the hypergeometric
+    ledger runs on the bounded duration-grain grid (calendar span),
+    exactly like ``km_curve`` — bounded-table windows only; the test
+    itself is one 1-row aggregate broadcast back onto the 2-row group
+    summary.
+
+    Output: 2 rows (segment, n_subjects, n_events, n_censored,
+    e_events_micro, v_micro, chi2_milli, significant)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    o = (
+        t.orders.select("o_custkey", F.col("o_orderdate").cast("date").alias("d"), "o_orderkey")
+        .join(
+            t.customer.select(
+                "c_custkey",
+                (F.col("c_mktsegment") == LOGRANK_SEG)
+                .cast("long")
+                .alias("grp"),
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(wc)).filter(
+        F.col("rn") <= 2
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+        F.max("grp").alias("grp"),
+    )
+    gmax = t.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("gmax")
+    )
+    u = firsts.crossJoin(F.broadcast(gmax)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("gmax", "d1"))
+        .alias("t_days"),
+        F.col("d2").isNull().cast("long").alias("cen"),
+        "grp",
+    )
+    ev = F.lit(1) - F.col("cen")
+    grid = u.groupBy("t_days").agg(
+        F.sum(ev * F.col("grp")).alias("d1"),
+        F.sum(ev * (F.lit(1) - F.col("grp"))).alias("d0"),
+        F.sum(F.col("cen") * F.col("grp")).alias("c1"),
+        F.sum(F.col("cen") * (F.lit(1) - F.col("grp"))).alias("c0"),
+    )
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = grid.withColumn(
+        "n1", F.sum(F.col("d1") + F.col("c1")).over(w_desc)
+    ).withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_desc))
+    n = F.col("n1") + F.col("n0")
+    d = F.col("d1") + F.col("d0")
+    deaths = r.filter(d > 0).select(
+        "d1",
+        "d0",
+        _idiv(d * F.col("n1") * F.lit(1_000_000), n).alias("e1u"),
+        _idiv(d * F.col("n0") * F.lit(1_000_000), n).alias("e0u"),
+        F.when(
+            n > 1,
+            _idiv(
+                d.cast("decimal(38,0)")
+                * (n - d)
+                * F.col("n1")
+                * F.col("n0")
+                * F.lit(1_000_000),
+                n.cast("decimal(38,0)") * n * (n - 1),
+            ),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("vu"),
+    )
+    diffu = (
+        F.col("o1") * F.lit(1_000_000) - F.col("e1_micro")
+    ).cast("decimal(38,0)")
+    stats = (
+        deaths.agg(
+            F.sum("d1").cast("long").alias("o1"),
+            F.sum("d0").cast("long").alias("o0"),
+            F.sum("e1u").cast("long").alias("e1_micro"),
+            F.sum("e0u").cast("long").alias("e0_micro"),
+            F.sum("vu").cast("long").alias("v_micro"),
+        )
+        .select(
+            "o1",
+            "o0",
+            "e1_micro",
+            "e0_micro",
+            "v_micro",
+            F.when(
+                F.col("v_micro") > 0,
+                _idiv(
+                    diffu * diffu * F.lit(1000),
+                    F.col("v_micro").cast("decimal(38,0)")
+                    * F.lit(1_000_000),
+                ),
+            ).alias("chi2_milli"),
+        )
+        .withColumn(
+            "significant", F.col("chi2_milli") > F.lit(LOGRANK_CHI2_95_MILLI)
+        )
+    )
+    groups = u.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_subjects"),
+        F.sum(F.lit(1) - F.col("cen")).cast("long").alias("n_events"),
+        F.sum("cen").cast("long").alias("n_censored"),
+    )
+    return (
+        groups.crossJoin(F.broadcast(stats))
+        .select(
+            F.when(F.col("grp") == 1, F.lit(LOGRANK_SEG))
+            .otherwise(F.lit("OTHER"))
+            .alias("segment"),
+            "n_subjects",
+            "n_events",
+            "n_censored",
+            F.when(F.col("grp") == 1, F.col("e1_micro"))
+            .otherwise(F.col("e0_micro"))
+            .alias("e_events_micro"),
+            "v_micro",
+            "chi2_milli",
+            "significant",
+        )
+        .orderBy("segment")
+    )

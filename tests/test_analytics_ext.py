@@ -2430,3 +2430,72 @@ def test_cochran_armitage_pure_python(spark, sf_dir):
     assert g.significant == (g.z2_milli > CA_CHI2_95_MILLI)
     # FLOAT WITNESS: z2 tracks the float closed form
     assert abs(g.z2_milli / 1e3 - n_tot * diff**2 / den) <= 1e-3
+
+
+def test_logrank_segments_pure_python(spark, sf_dir):
+    """The hypergeometric E/V ledger and chi^2 match a direct python
+    log-rank on the same subjects; the float witness tracks the
+    textbook statistic on the quantized sums."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        LOGRANK_CHI2_95_MILLI,
+        LOGRANK_SEG,
+        q_logrank_segments,
+    )
+
+    rows = {r.segment: r for r in q_logrank_segments(spark, sf_dir).collect()}
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    seg = dict(zip(cu["c_custkey"], cu["c_mktsegment"]))
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    per = defaultdict(list)
+    for ck, dt in zip(od["o_custkey"], pd.to_datetime(od["o_orderdate"])):
+        if len(per[ck]) < 2:
+            per[ck].append(dt.date())
+    gmax = max(pd.to_datetime(od["o_orderdate"])).date()
+    subjects = []  # (t_days, cen, grp)
+    for ck, ds in per.items():
+        grp = 1 if seg[ck] == LOGRANK_SEG else 0
+        if len(ds) == 2:
+            subjects.append(((ds[1] - ds[0]).days, 0, grp))
+        else:
+            subjects.append(((gmax - ds[0]).days, 1, grp))
+    grid = defaultdict(lambda: [0, 0, 0, 0])  # d1 d0 c1 c0
+    for td, cen, grp in subjects:
+        grid[td][2 * cen + (1 - grp)] += 1
+    o1 = o0 = e1 = e0 = v = 0
+    n1 = sum(1 for _t, _c, g in subjects if g == 1)
+    n0 = len(subjects) - n1
+    r1, r0 = n1, n0
+    for td in sorted(grid):
+        d1, d0, c1, c0 = grid[td]
+        n = r1 + r0
+        d = d1 + d0
+        if d > 0:
+            o1 += d1
+            o0 += d0
+            e1 += d * r1 * 1_000_000 // n
+            e0 += d * r0 * 1_000_000 // n
+            if n > 1:
+                v += d * (n - d) * r1 * r0 * 1_000_000 // (n * n * (n - 1))
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    a = rows[LOGRANK_SEG]
+    b = rows["OTHER"]
+    assert (a.n_subjects, b.n_subjects) == (n1, n0)
+    assert (a.n_events, b.n_events) == (o1, o0)
+    assert (a.e_events_micro, b.e_events_micro) == (e1, e0)
+    assert a.v_micro == v
+    diff = o1 * 1_000_000 - e1
+    want_chi2 = diff * diff * 1000 // (v * 1_000_000)
+    assert a.chi2_milli == b.chi2_milli == want_chi2
+    assert a.significant == (want_chi2 > LOGRANK_CHI2_95_MILLI)
+    # FLOAT WITNESS: chi2 tracks (O-E)^2/V on the quantized sums
+    assert abs(a.chi2_milli / 1e3 - (o1 - e1 / 1e6) ** 2 / (v / 1e6)) <= 2e-3
+    # the ledger is conservative: E1+E0 within quantization of O1+O0
+    assert abs((e1 + e0) - (o1 + o0) * 1_000_000) <= len(grid) * 2
