@@ -140,6 +140,7 @@ _DRIVER_ORDER_R11 = [
     "vocab_richness",  # new in r11
     "cochran_armitage_trend",  # new in r11
     "logrank_segments",  # new in r11
+    "ams_f2_estimate",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -585,6 +586,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_richness": text.q_vocab_richness,
         "cochran_armitage_trend": quality.q_cochran_armitage_trend,
         "logrank_segments": events.q_logrank_segments,
+        "ams_f2_estimate": quality.q_ams_f2_estimate,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8461,5 +8463,32 @@ def oracle_sql() -> dict[str, str]:
         "AS e_events_micro, v_micro, chi2_milli, "
         "chi2_milli > 3841 AS significant "
         "FROM gsum, st2 ORDER BY segment"
+    )
+
+    # AMS tug-of-war F2 sketch over bigram types: bit-identical
+    # counters (one md5 per type + splitmix60 sign per estimator),
+    # median-of-means finisher (mirrors quality.q_ams_f2_estimate)
+    out["ams_f2_estimate"] = (
+        "WITH toks AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "terms AS (SELECT tk[i] || ' ' || tk[i+1] AS term "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM terms "
+        "GROUP BY term), "
+        f"fan AS (SELECT f, {_p64('term')} AS seed, j "
+        "FROM tf, unnest(generate_series(0, 15)) AS s(j)), "
+        f"x AS (SELECT j, CAST(sum((({_smx('seed', 'j')}) % 2 * 2 - 1) "
+        "* f) AS BIGINT) AS x_j FROM fan GROUP BY j), "
+        "x2 AS (SELECT CAST(j AS INTEGER) AS j, "
+        "CAST(j // 4 AS INTEGER) AS grp, x_j, x_j * x_j AS x2 FROM x), "
+        "gm AS (SELECT grp, CAST(sum(x2) // 4 AS BIGINT) AS m FROM x2 "
+        "GROUP BY grp), "
+        "est AS (SELECT CAST((ms[2] + ms[3]) // 2 AS BIGINT) AS f2_est "
+        "FROM (SELECT list_sort(list(m)) AS ms FROM gm)), "
+        "ex AS (SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM tf) "
+        "SELECT j, grp, x_j, x2, f2_exact, f2_est, "
+        "CAST((abs(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000) // "
+        "f2_exact AS BIGINT) AS rel_err_ppm "
+        "FROM x2, ex, est ORDER BY j"
     )
     return out

@@ -4067,3 +4067,107 @@ def q_cochran_armitage_trend(spark, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(g))
         .orderBy("score")
     )
+
+
+#: AMS tug-of-war geometry: R estimators in G groups of K — the
+#: classic median-of-means layout (Alon, Matias & Szegedy 1996).
+AMS_R = 16
+AMS_K = 4
+
+
+def q_ams_f2_estimate(spark, sf_dir: str) -> DataFrame:
+    """AMS TUG-OF-WAR sketch of the SECOND FREQUENCY MOMENT
+    F2 = Σ f_t² over the corpus bigram types (Alon, Matias & Szegedy
+    1996 — the result that started streaming sketches): each of
+    ``AMS_R`` counters holds X_j = Σ_t s_j(t)·f_t with a ±1 hash sign
+    per (type, estimator); E[X²] = F2, and the median of ``AMS_K``-
+    group means tames the variance. F2 is the repeat-rate/self-join
+    size the optimizer family (`join_cardinality_estimate`,
+    `key_skew_profile`) wants from fixed memory.
+
+    Every part is integer math on md5-derived hashes (one
+    ``portable_hash64`` per type + a splitmix60 mix per estimator —
+    the bootstrap-mixer pattern), so the DuckDB twin computes the
+    BIT-IDENTICAL counters, estimate, and error. The exact F2 rides
+    along as the verification harness (at 100 TB you keep only the
+    16 counters, which merge across shards by addition).
+
+    Scale: one map-side-combinable bigram count; the sign fan-out
+    runs on the TYPE table (≪ tokens) × R — narrow; counters are a
+    16-row aggregate; the median-of-means finisher is a 4-row sort
+    inside one ungrouped aggregate. No window over raw rows.
+
+    Output: ``AMS_R`` rows (j, grp, x_j, x2) + attached
+    (f2_exact, f2_est, rel_err_ppm)."""
+    from ..catalog import load
+    from ..functions import _idiv, portable_hash64, splitmix60_apply
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    tf = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    fan = tf.select(
+        "f",
+        portable_hash64(F.col("term")).alias("seed"),
+        F.explode(F.sequence(F.lit(0), F.lit(AMS_R - 1))).alias("j"),
+    )
+    mixed = splitmix60_apply(
+        fan, ["f", "j"], F.col("seed"), F.col("j")
+    )
+    s = F.pmod(F.col("u"), F.lit(2)) * 2 - 1
+    x = (
+        mixed.select("j", (s * F.col("f")).alias("sf"))
+        .groupBy("j")
+        .agg(F.sum("sf").cast("long").alias("x_j"))
+        .select(
+            "j",
+            (F.col("j") / AMS_K).cast("int").alias("grp"),
+            "x_j",
+            (F.col("x_j") * F.col("x_j")).alias("x2"),
+        )
+    )
+    gm = x.groupBy("grp").agg(
+        _idiv(F.sum("x2"), F.lit(AMS_K)).alias("m")
+    )
+    est = gm.agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    ).select(
+        _idiv(
+            F.element_at("ms", AMS_R // AMS_K // 2)
+            + F.element_at("ms", AMS_R // AMS_K // 2 + 1),
+            F.lit(2),
+        ).alias("f2_est")
+    )
+    exact = tf.agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
+    stats = exact.crossJoin(F.broadcast(est)).select(
+        "f2_exact",
+        "f2_est",
+        _idiv(
+            F.abs(F.col("f2_est") - F.col("f2_exact")).cast("decimal(38,0)")
+            * F.lit(1_000_000),
+            F.col("f2_exact"),
+        ).alias("rel_err_ppm"),
+    )
+    return (
+        x.crossJoin(F.broadcast(stats))
+        .select(
+            F.col("j").cast("int").alias("j"),
+            "grp",
+            "x_j",
+            "x2",
+            "f2_exact",
+            "f2_est",
+            "rel_err_ppm",
+        )
+        .orderBy("j")
+    )

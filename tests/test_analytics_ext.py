@@ -2499,3 +2499,51 @@ def test_logrank_segments_pure_python(spark, sf_dir):
     assert abs(a.chi2_milli / 1e3 - (o1 - e1 / 1e6) ** 2 / (v / 1e6)) <= 2e-3
     # the ledger is conservative: E1+E0 within quantization of O1+O0
     assert abs((e1 + e0) - (o1 + o0) * 1_000_000) <= len(grid) * 2
+
+
+def test_ams_f2_pure_python(spark, sf_dir):
+    """Counters, group means, median-of-means estimate, and the exact
+    F2 all match a direct recomputation with the reference hash
+    mixer; the float witness tracks the relative error."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        AMS_K,
+        AMS_R,
+        q_ams_f2_estimate,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    rows = sorted(q_ams_f2_estimate(spark, sf_dir).collect(),
+                  key=lambda r: r.j)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[a + " " + b] += 1
+    xs = [0] * AMS_R
+    for term, f in cnt.items():
+        seed = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+        for j in range(AMS_R):
+            s = _splitmix60_py(seed, j) % 2 * 2 - 1
+            xs[j] += s * f
+    f2 = sum(f * f for f in cnt.values())
+    assert [r.x_j for r in rows] == xs
+    assert all(r.x2 == r.x_j * r.x_j for r in rows)
+    means = sorted(
+        sum(x * x for x in xs[g * AMS_K:(g + 1) * AMS_K]) // AMS_K
+        for g in range(AMS_R // AMS_K)
+    )
+    est = (means[1] + means[2]) // 2
+    g = rows[0]
+    assert (g.f2_exact, g.f2_est) == (f2, est)
+    assert g.rel_err_ppm == abs(est - f2) * 1_000_000 // f2
+    # FLOAT WITNESS: the estimator is unbiased-ish in practice —
+    # median-of-means within 50% of exact on the fixture, and the
+    # ppm floor tracks the float relative error
+    assert abs(g.rel_err_ppm / 1e6 - abs(est - f2) / f2) <= 1e-6
+    assert abs(est - f2) / f2 < 0.5
