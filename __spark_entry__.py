@@ -141,6 +141,7 @@ _DRIVER_ORDER_R11 = [
     "cochran_armitage_trend",  # new in r11
     "logrank_segments",  # new in r11
     "ams_f2_estimate",  # new in r11
+    "priority_sample",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -587,6 +588,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cochran_armitage_trend": quality.q_cochran_armitage_trend,
         "logrank_segments": events.q_logrank_segments,
         "ams_f2_estimate": quality.q_ams_f2_estimate,
+        "priority_sample": curation.q_priority_sample,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8490,5 +8492,35 @@ def oracle_sql() -> dict[str, str]:
         "CAST((abs(CAST(f2_est AS HUGEINT) - f2_exact) * 1000000) // "
         "f2_exact AS BIGINT) AS rel_err_ppm "
         "FROM x2, ex, est ORDER BY j"
+    )
+
+    # Duffield-Thorup priority sample of orders by spend: 2^60-scale
+    # integer priorities, top-(k+1) threshold, unbiased subset-sum
+    # estimator with per-row floors (mirrors curation.q_priority_sample)
+    out["priority_sample"] = (
+        "WITH base AS (SELECT o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        f"AS w_cents, {_p64('o_orderkey')} AS seed FROM orders), "
+        f"pri AS (SELECT o_orderkey, w_cents, "
+        f"(CAST(w_cents AS HUGEINT) * {1 << 60}) // "
+        f"(({_smx('seed', '0')}) + 1) AS qn FROM base), "
+        "rk AS (SELECT *, row_number() OVER (ORDER BY qn DESC, "
+        "o_orderkey) AS rank FROM pri "
+        "ORDER BY qn DESC, o_orderkey LIMIT 51), "
+        "tau AS (SELECT qn AS tau FROM rk WHERE rank = 51), "
+        "sample AS (SELECT CAST(rank AS INTEGER) AS rank, o_orderkey, "
+        "w_cents, CAST(greatest(CAST(w_cents AS HUGEINT), tau) "
+        "AS BIGINT) AS w_max_cents, "
+        "CAST(tau AS VARCHAR) AS tau_str FROM rk, tau "
+        "WHERE rank <= 50), "
+        "est AS (SELECT CAST(sum(w_max_cents) AS BIGINT) AS est_cents "
+        "FROM sample), "
+        "ex AS (SELECT CAST(sum(w_cents) AS BIGINT) AS exact_cents "
+        "FROM base) "
+        "SELECT rank, o_orderkey, w_cents, w_max_cents, tau_str, "
+        "est_cents, exact_cents, "
+        "CAST((abs(CAST(est_cents AS HUGEINT) - exact_cents) * 1000000) "
+        "// exact_cents AS BIGINT) AS err_ppm "
+        "FROM sample, est, ex ORDER BY rank"
     )
     return out

@@ -2389,3 +2389,97 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+#: Priority-sample size (the sketch keeps k+1 priorities; estimates
+#: use the (k+1)-th as the threshold).
+PRIO_K = 50
+_PRIO_SCALE = 1 << 60
+
+
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRIORITY SAMPLING (Duffield, Lund & Thorup 2007) of orders by
+    spend — the weighted-sampling scheme with PROVABLY near-optimal
+    subset-sum variance: each order gets priority q = w/u (u uniform
+    in (0,1], splitmix60-derived), the top ``PRIO_K`` priorities are
+    kept, and Σ max(w, τ) over the sample (τ = the (k+1)-th priority)
+    is an UNBIASED estimator of total spend — the one-pass bounded-
+    memory answer to "sample 50 orders but keep revenue estimable".
+    Complements `weighted_sample` (fixed rates) and `neyman_allocation`
+    (stratified counts): this is the scheme you use when a single
+    fixed-size sample must support unbiased subset-sum queries.
+
+    Fixed point: with u drawn as a 60-bit integer, the priority
+    qn = w·2⁶⁰ // (u+1) IS w/u on the cents scale (u_real = (u+1)/2⁶⁰),
+    computed in DECIMAL(38,0)/HUGEINT, so the estimator term is
+    literally max(w, τ) in integer cents — no float anywhere. One md5
+    per order + one splitmix60 mix — the bootstrap-mixer pattern.
+
+    Scale: map-only priority assignment, ONE TakeOrdered(k+1) (never
+    a global sort), bounded-table window for the rank; the sketch
+    merges across shards by keeping the top k+1 of a union — the
+    standard distributed-sample merge.
+
+    Output: ``PRIO_K`` rows (rank, o_orderkey, w_cents, w_max_cents)
+    + attached (tau_str, est_cents, exact_cents, err_ppm)."""
+    from ..functions import _idiv, dec2, portable_hash64, splitmix60_apply
+
+    t = load(spark, sf_dir)
+    base = t.orders.select(
+        "o_orderkey",
+        (dec2("o_totalprice") * 100).cast("long").alias("w_cents"),
+        portable_hash64(F.col("o_orderkey")).alias("seed"),
+    )
+    mixed = splitmix60_apply(
+        base, ["o_orderkey", "w_cents"], F.col("seed"), F.lit(0)
+    )
+    nd = F.col("w_cents").cast("decimal(38,0)") * F.lit(_PRIO_SCALE)
+    dd = (F.col("u") + 1).cast("decimal(38,0)")
+    qn = ((nd - nd % dd) / dd).cast("decimal(38,0)")
+    pri = mixed.select("o_orderkey", "w_cents", qn.alias("qn"))
+    topk1 = pri.orderBy(F.desc("qn"), F.asc("o_orderkey")).limit(PRIO_K + 1)
+    w = Window.orderBy(F.desc("qn"), F.asc("o_orderkey"))
+    ranked = topk1.withColumn("rank", F.row_number().over(w))
+    tau = ranked.filter(F.col("rank") == PRIO_K + 1).select(
+        F.col("qn").alias("tau")
+    )
+    sample = (
+        ranked.filter(F.col("rank") <= PRIO_K)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "rank",
+            "o_orderkey",
+            "w_cents",
+            F.greatest(
+                F.col("w_cents").cast("decimal(38,0)"), F.col("tau")
+            )
+            .cast("long")
+            .alias("w_max_cents"),
+            F.col("tau").cast("string").alias("tau_str"),
+        )
+    )
+    est = sample.agg(F.sum("w_max_cents").cast("long").alias("est_cents"))
+    exact = base.agg(F.sum("w_cents").cast("long").alias("exact_cents"))
+    stats = est.crossJoin(F.broadcast(exact)).select(
+        "est_cents",
+        "exact_cents",
+        _idiv(
+            F.abs(F.col("est_cents") - F.col("exact_cents"))
+            * F.lit(1_000_000),
+            F.col("exact_cents"),
+        ).alias("err_ppm"),
+    )
+    return (
+        sample.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "o_orderkey",
+            "w_cents",
+            "w_max_cents",
+            "tau_str",
+            "est_cents",
+            "exact_cents",
+            "err_ppm",
+        )
+        .orderBy("rank")
+    )

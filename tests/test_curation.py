@@ -1140,3 +1140,57 @@ def test_fim_transform_pure_python(spark, sf_dir):
         n_modes[r.mode] += 1
     # both sentinel orders occur (the 50/50 draw is live)
     assert n_modes["psm"] > 0 and n_modes["spm"] > 0
+
+
+def test_priority_sample_pure_python(spark, sf_dir):
+    """Priorities, the threshold, the sample membership, and the
+    subset-sum estimator all match a direct recomputation; the float
+    witness checks the estimator against the float q = w/u ranking
+    and the estimate against the true total."""
+    import hashlib
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        PRIO_K,
+        _PRIO_SCALE,
+        q_priority_sample,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    rows = sorted(q_priority_sample(spark, sf_dir).collect(),
+                  key=lambda r: r.rank)
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    pri = []
+    total = 0
+    for ok, tp in zip(od["o_orderkey"], od["o_totalprice"]):
+        w = round(round(tp, 2) * 100)
+        total += w
+        seed = int(hashlib.md5(str(ok).encode()).hexdigest()[:15], 16)
+        u = _splitmix60_py(seed, 0)
+        pri.append((w * _PRIO_SCALE // (u + 1), -int(ok), w, u))
+    pri.sort(reverse=True)
+    tau = pri[PRIO_K][0]
+    want = [
+        (i + 1, -negok, w, max(w, tau))
+        for i, (qn, negok, w, _u) in enumerate(pri[:PRIO_K])
+    ]
+    got = [(r.rank, r.o_orderkey, r.w_cents, r.w_max_cents) for r in rows]
+    assert got == want
+    g = rows[0]
+    assert g.tau_str == str(tau)
+    est = sum(w for *_x, w in want)
+    assert g.est_cents == est
+    assert g.exact_cents == total
+    assert g.err_ppm == abs(est - total) * 1_000_000 // total
+    # FLOAT WITNESS: the integer priority ranking agrees with the
+    # float q = w / (u/2^60) ranking on the kept set, and the
+    # estimator lands within 35% of the true total on the fixture
+    float_top = sorted(
+        pri,
+        key=lambda p: (-(p[2] / ((p[3] + 1) / _PRIO_SCALE)), -p[1]),
+    )[:PRIO_K]
+    assert {(-p[1]) for p in float_top} == {r.o_orderkey for r in rows}
+    assert abs(est - total) / total < 0.35
