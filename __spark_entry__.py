@@ -142,6 +142,7 @@ _DRIVER_ORDER_R11 = [
     "logrank_segments",  # new in r11
     "ams_f2_estimate",  # new in r11
     "priority_sample",  # new in r11
+    "page_hinkley_drift",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -589,6 +590,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logrank_segments": events.q_logrank_segments,
         "ams_f2_estimate": quality.q_ams_f2_estimate,
         "priority_sample": curation.q_priority_sample,
+        "page_hinkley_drift": temporal.q_page_hinkley_drift,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8522,5 +8524,39 @@ def oracle_sql() -> dict[str, str]:
         "CAST((abs(CAST(est_cents AS HUGEINT) - exact_cents) * 1000000) "
         "// exact_cents AS BIGINT) AS err_ppm "
         "FROM sample, est, ex ORDER BY rank"
+    )
+
+    # Page-Hinkley sequential drift on daily revenue: ppm relative
+    # deviation from the running mean (trunc-toward-zero sign split),
+    # two one-sided ledgers (mirrors temporal.q_page_hinkley_drift)
+    out["page_hinkley_drift"] = (
+        "WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) "
+        "AS cents FROM orders GROUP BY 1), "
+        "g AS (SELECT day, cents, "
+        "CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t, "
+        "CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS s FROM daily), "
+        "d AS (SELECT day, cents, "
+        "CAST(CASE WHEN CAST(cents AS HUGEINT) * t - s < 0 THEN "
+        "-((-(CAST(cents AS HUGEINT) * t - s) * 1000000) // s) "
+        "ELSE ((CAST(cents AS HUGEINT) * t - s) * 1000000) // s END "
+        "AS BIGINT) AS dev_ppm FROM g), "
+        "m AS (SELECT day, cents, dev_ppm, "
+        "CAST(sum(dev_ppm - 50000) OVER (ORDER BY day ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_up, "
+        "CAST(sum(dev_ppm + 50000) OVER (ORDER BY day ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS m_dn "
+        "FROM d), "
+        "p AS (SELECT day, cents, dev_ppm, "
+        "m_up - min(m_up) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS ph_up_ppm, "
+        "max(m_dn) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) - m_dn AS ph_dn_ppm FROM m) "
+        "SELECT strftime(day, '%Y-%m-%d') AS day, cents, dev_ppm, "
+        "CAST(ph_up_ppm AS BIGINT) AS ph_up_ppm, "
+        "CAST(ph_dn_ppm AS BIGINT) AS ph_dn_ppm, "
+        "ph_up_ppm > 500000 AS alarm_up, "
+        "ph_dn_ppm > 500000 AS alarm_dn FROM p ORDER BY day"
     )
     return out

@@ -888,3 +888,81 @@ def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("z_sign"),
         (z2 > F.lit(3_841_600)).alias("nonrandom"),
     )
+
+
+#: Page-Hinkley tolerance (delta) and alarm bar (lambda), both on the
+#: scale-free ppm relative-deviation scale: a day must deviate > 5%
+#: from the running mean before it contributes, and the cumulative
+#: drift must reach 0.5 relative units to alarm.
+PH_DELTA_PPM = 50_000
+PH_LAMBDA_PPM = 500_000
+
+
+def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAGE–HINKLEY drift detector (Page 1954; Hinkley 1971) on daily
+    revenue — the SEQUENTIAL drift monitor of the change family:
+    CUSUM (`revenue_cusum`) tracks deviation from a FIXED reference,
+    binary segmentation (`revenue_changepoint`) localizes offline;
+    Page–Hinkley is the online form — deviation from the RUNNING mean,
+    so it needs no training window and adapts as the level moves.
+
+    Scale-free fixed point: the per-day increment is the relative
+    deviation dev = (x_t − x̄_t)/x̄_t in ppm — exactly
+    (x_t·t − S_t)·10⁶ trunc-div S_t (integer cross-multiplication;
+    trunc-toward-zero on both engines via the sign-split idiom).
+    Then the classic two one-sided ledgers:
+
+        m_up_t = Σ (dev − δ);  PH_up = m_up − min_{i≤t} m_up
+        m_dn_t = Σ (dev + δ);  PH_dn = max_{i≤t} m_dn − m_dn
+
+    alarm when PH > λ. δ, λ are ppm constants — the detector behaves
+    identically at every data scale (the point of normalizing).
+
+    Scale: one map-side-combinable daily aggregate; every window runs
+    on the bounded calendar grid (the km_curve/ACF precedent). At
+    100 TB the day grid is still ~thousands of rows.
+
+    Output: one row per day (day, cents, dev_ppm, ph_up_ppm,
+    ph_dn_ppm, alarm_up, alarm_dn), day-ordered."""
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.col("o_orderdate").cast("date").alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w_asc = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    g = (
+        daily.withColumn("t", F.row_number().over(Window.orderBy("day")))
+        .withColumn("s", F.sum("cents").over(w_asc))
+    )
+    num = (
+        F.col("cents").cast("decimal(38,0)") * F.col("t") - F.col("s")
+    ) * F.lit(1_000_000)
+    dev = F.when(num < 0, -_idiv(-num, F.col("s"))).otherwise(
+        _idiv(num, F.col("s"))
+    )
+    d = g.withColumn("dev_ppm", dev)
+    d = d.withColumn(
+        "m_up", F.sum(F.col("dev_ppm") - F.lit(PH_DELTA_PPM)).over(w_asc)
+    ).withColumn(
+        "m_dn", F.sum(F.col("dev_ppm") + F.lit(PH_DELTA_PPM)).over(w_asc)
+    )
+    d = d.withColumn(
+        "ph_up_ppm", F.col("m_up") - F.min("m_up").over(w_asc)
+    ).withColumn("ph_dn_ppm", F.max("m_dn").over(w_asc) - F.col("m_dn"))
+    return d.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cents",
+        "dev_ppm",
+        F.col("ph_up_ppm").cast("long").alias("ph_up_ppm"),
+        F.col("ph_dn_ppm").cast("long").alias("ph_dn_ppm"),
+        (F.col("ph_up_ppm") > PH_LAMBDA_PPM).alias("alarm_up"),
+        (F.col("ph_dn_ppm") > PH_LAMBDA_PPM).alias("alarm_dn"),
+    ).orderBy("day")

@@ -377,3 +377,54 @@ def test_revenue_runs_test_pure_python(spark, sf_dir):
     z2f = (runs - mu) ** 2 / var
     assert abs(r["z2_micro"] / 1e6 - z2f) < max(1e-3, 1e-4 * z2f)
     assert abs(r["mu_micro"] / 1e6 - mu) < 2e-6
+
+
+def test_page_hinkley_pure_python(spark, sf_dir):
+    """Deviations, both ledgers, and the alarm bits match a direct
+    sequential recomputation; the float witness tracks dev_ppm."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        PH_DELTA_PPM,
+        PH_LAMBDA_PPM,
+        q_page_hinkley_drift,
+    )
+
+    rows = q_page_hinkley_drift(spark, sf_dir).collect()
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+    od["cents"] = (od["o_totalprice"].round(2) * 100).round().astype("int64")
+    daily = od.groupby(
+        pd.to_datetime(od["o_orderdate"]).dt.date
+    )["cents"].sum()
+    assert len(rows) == len(daily)
+    s = 0
+    m_up = m_dn = 0
+    min_up = max_dn = 0
+    first_alarm = None
+    for t, ((day, cents), r) in enumerate(
+        zip(sorted(daily.items()), rows), start=1
+    ):
+        assert (r.day, r.cents) == (str(day), cents)
+        s += int(cents)
+        num = (int(cents) * t - s) * 1_000_000
+        dev = -((-num) // s) if num < 0 else num // s
+        assert r.dev_ppm == dev
+        m_up += dev - PH_DELTA_PPM
+        m_dn += dev + PH_DELTA_PPM
+        min_up = min(min_up, m_up)
+        max_dn = max(max_dn, m_dn)
+        # ledger mins include the implicit start-at-0? no: the
+        # running min is over the emitted prefix only
+        if t == 1:
+            min_up, max_dn = m_up, m_dn
+        assert r.ph_up_ppm == m_up - min_up
+        assert r.ph_dn_ppm == max_dn - m_dn
+        assert r.alarm_up == (r.ph_up_ppm > PH_LAMBDA_PPM)
+        assert r.alarm_dn == (r.ph_dn_ppm > PH_LAMBDA_PPM)
+        if first_alarm is None and (r.alarm_up or r.alarm_dn):
+            first_alarm = r.day
+        # FLOAT WITNESS: dev tracks the float relative deviation
+        xbar = s / t
+        assert abs(dev / 1e6 - (int(cents) - xbar) / xbar) <= 2e-6
