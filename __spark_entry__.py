@@ -143,6 +143,7 @@ _DRIVER_ORDER_R11 = [
     "ams_f2_estimate",  # new in r11
     "priority_sample",  # new in r11
     "page_hinkley_drift",  # new in r11
+    "hits_hubs_authorities",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -591,6 +592,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_estimate": quality.q_ams_f2_estimate,
         "priority_sample": curation.q_priority_sample,
         "page_hinkley_drift": temporal.q_page_hinkley_drift,
+        "hits_hubs_authorities": graph.q_hits_hubs_authorities,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8558,5 +8560,40 @@ def oracle_sql() -> dict[str, str]:
         "CAST(ph_dn_ppm AS BIGINT) AS ph_dn_ppm, "
         "ph_up_ppm > 500000 AS alarm_up, "
         "ph_dn_ppm > 500000 AS alarm_dn FROM p ORDER BY day"
+    )
+
+    # HITS hubs/authorities on the customer->part purchase graph:
+    # 3 unrolled power rounds, max-normalized to the 1e6 integer
+    # scale each half-step (mirrors graph.q_hits_hubs_authorities)
+    _hits = (
+        "WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, "
+        "l_partkey AS p FROM orders JOIN lineitem "
+        "ON o_orderkey = l_orderkey), "
+        "h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e)"
+    )
+    for _r in range(1, 4):
+        _hits += (
+            f", ra{_r} AS (SELECT p, CAST(sum(h) AS BIGINT) AS s "
+            f"FROM e JOIN h{_r - 1} USING (c) GROUP BY p), "
+            f"a{_r} AS (SELECT p, CAST((CAST(s AS HUGEINT) * 1000000) "
+            f"// (SELECT max(s) FROM ra{_r}) AS BIGINT) AS a "
+            f"FROM ra{_r}), "
+            f"rh{_r} AS (SELECT c, CAST(sum(a) AS BIGINT) AS s "
+            f"FROM e JOIN a{_r} USING (p) GROUP BY c), "
+            f"h{_r} AS (SELECT c, CAST((CAST(s AS HUGEINT) * 1000000) "
+            f"// (SELECT max(s) FROM rh{_r}) AS BIGINT) AS h "
+            f"FROM rh{_r})"
+        )
+    out["hits_hubs_authorities"] = _hits + (
+        ", hub AS (SELECT 'hub' AS kind, CAST(c AS BIGINT) AS node_id, "
+        "h AS score_micro FROM h3 ORDER BY h DESC, c LIMIT 20), "
+        "aut AS (SELECT 'authority' AS kind, CAST(p AS BIGINT) "
+        "AS node_id, a AS score_micro FROM a3 ORDER BY a DESC, p "
+        "LIMIT 20), "
+        "u AS (SELECT * FROM hub UNION ALL SELECT * FROM aut) "
+        "SELECT kind, node_id, score_micro, "
+        "CAST(row_number() OVER (PARTITION BY kind ORDER BY "
+        "score_micro DESC, node_id) AS INTEGER) AS rank "
+        "FROM u ORDER BY kind, rank"
     )
     return out

@@ -1529,3 +1529,119 @@ def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("converged"),
     ).orderBy("round")
+
+
+#: HITS geometry: unrolled power rounds over the customer->part
+#: purchase bipartite graph, max-normalized to the 1e6 integer scale
+#: each half-step (HITS converges under any norm; L-inf keeps the
+#: arithmetic integer-exact).
+HITS_ROUNDS = 3
+HITS_TOP = 20
+HITS_SCALE = 1_000_000
+
+
+def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) on the customer→part purchase bipartite
+    graph: hubs = customers whose baskets concentrate on
+    widely-bought parts, authorities = parts bought by the strongest
+    hubs — the mutually-reinforcing pair PageRank can't express
+    (PageRank scores one role; HITS scores both sides of a bipartite
+    endorsement at once). ``HITS_ROUNDS`` unrolled power rounds:
+
+        a ← Eᵀ·h, rescaled to max 10⁶   (integer floor division)
+        h ← E·a,  rescaled to max 10⁶
+
+    All integer: scores live on the 10⁶ scale, every rescale is one
+    floor division by the round's max (a whitelisted 1-row broadcast
+    attach), so the DuckDB twin (unrolled CTEs) matches bit-for-bit —
+    the `product_pagerank_exact` portability pattern.
+
+    Scale: the edge table shuffles ONCE per half-step on its join key
+    (node-grain aggregates, map-side combinable); rounds are constant
+    (unrolled), never a data-dependent fixpoint. At 100 TB the edge
+    table is the only big operand and it reuses one hash partitioning
+    across all rounds.
+
+    Output: 2·``HITS_TOP`` rows (kind 'hub'|'authority', node_id,
+    score_micro, rank)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    e = (
+        t.orders.select("o_orderkey", "o_custkey")
+        .join(
+            t.lineitem.select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    # hash-partition the edge table ONCE per join key; every round's
+    # node-grain score table is localCheckpointed so the unrolled
+    # lineage never re-evaluates prior rounds (each broadcast max
+    # would otherwise recompute the whole chain — measured 15x wall)
+    e_byc = e.repartition("c").localCheckpoint(eager=False)
+    e_byp = e.repartition("p").localCheckpoint(eager=False)
+    h = e_byc.select("c").distinct().select(
+        "c", F.lit(HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(HITS_ROUNDS):
+        raw_a = (
+            e_byc.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        mx_a = raw_a.agg(F.max("s").alias("mx"))
+        a = raw_a.crossJoin(F.broadcast(mx_a)).select(
+            "p",
+            _idiv(
+                F.col("s").cast("decimal(38,0)") * F.lit(HITS_SCALE),
+                F.col("mx"),
+            ).alias("a"),
+        )
+        raw_h = (
+            e_byp.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").alias("s"))
+            .localCheckpoint(eager=False)
+        )
+        mx_h = raw_h.agg(F.max("s").alias("mx"))
+        h = raw_h.crossJoin(F.broadcast(mx_h)).select(
+            "c",
+            _idiv(
+                F.col("s").cast("decimal(38,0)") * F.lit(HITS_SCALE),
+                F.col("mx"),
+            ).alias("h"),
+        )
+    hubs = (
+        h.orderBy(F.desc("h"), F.asc("c"))
+        .limit(HITS_TOP)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("c").cast("long").alias("node_id"),
+            F.col("h").alias("score_micro"),
+        )
+    )
+    auths = (
+        a.orderBy(F.desc("a"), F.asc("p"))
+        .limit(HITS_TOP)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("p").cast("long").alias("node_id"),
+            F.col("a").alias("score_micro"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("kind").orderBy(
+        F.desc("score_micro"), F.asc("node_id")
+    )
+    return (
+        hubs.unionByName(auths)
+        .withColumn("rank", F.row_number().over(w))
+        .orderBy("kind", "rank")
+    )

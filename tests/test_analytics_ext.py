@@ -2547,3 +2547,69 @@ def test_ams_f2_pure_python(spark, sf_dir):
     # ppm floor tracks the float relative error
     assert abs(g.rel_err_ppm / 1e6 - abs(est - f2) / f2) <= 1e-6
     assert abs(est - f2) / f2 < 0.5
+
+
+def test_hits_pure_python(spark, sf_dir):
+    """Every emitted score matches a direct python HITS with the same
+    max-normalized integer rounds; the float witness checks the
+    integer trajectory tracks float HITS rankings at the top."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.graph import (
+        HITS_ROUNDS,
+        HITS_SCALE,
+        HITS_TOP,
+        q_hits_hubs_authorities,
+    )
+
+    rows = q_hits_hubs_authorities(spark, sf_dir).collect()
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    edges = set(zip(j["o_custkey"], j["l_partkey"]))
+    by_c = defaultdict(list)
+    by_p = defaultdict(list)
+    for c, p in edges:
+        by_c[c].append(p)
+        by_p[p].append(c)
+    h = {c: HITS_SCALE for c in by_c}
+    a = {}
+    hf = {c: 1.0 for c in by_c}
+    af = {}
+    for _ in range(HITS_ROUNDS):
+        a = {p: sum(h[c] for c in cs) for p, cs in by_p.items()}
+        mx = max(a.values())
+        a = {p: v * HITS_SCALE // mx for p, v in a.items()}
+        h = {c: sum(a[p] for p in ps) for c, ps in by_c.items()}
+        mx = max(h.values())
+        h = {c: v * HITS_SCALE // mx for c, v in h.items()}
+        af = {p: sum(hf[c] for c in cs) for p, cs in by_p.items()}
+        mxf = max(af.values())
+        af = {p: v / mxf for p, v in af.items()}
+        hf = {c: sum(af[p] for p in ps) for c, ps in by_c.items()}
+        mxf = max(hf.values())
+        hf = {c: v / mxf for c, v in hf.items()}
+    hubs = [r for r in rows if r.kind == "hub"]
+    auts = [r for r in rows if r.kind == "authority"]
+    assert len(hubs) == len(auts) == HITS_TOP
+    want_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP]
+    want_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP]
+    assert [(r.node_id, r.score_micro) for r in hubs] == [
+        (int(c), v) for c, v in want_h
+    ]
+    assert [(r.node_id, r.score_micro) for r in auts] == [
+        (int(p), v) for p, v in want_a
+    ]
+    assert [r.rank for r in hubs] == list(range(1, HITS_TOP + 1))
+    # FLOAT WITNESS: integer scores track float HITS within the
+    # accumulated floor error (1 ppm per rescale per round)
+    for r in auts:
+        assert abs(r.score_micro / HITS_SCALE - af[r.node_id]) <= 1e-4
+    for r in hubs:
+        assert abs(r.score_micro / HITS_SCALE - hf[r.node_id]) <= 1e-4
