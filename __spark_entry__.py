@@ -144,6 +144,7 @@ _DRIVER_ORDER_R11 = [
     "priority_sample",  # new in r11
     "page_hinkley_drift",  # new in r11
     "hits_hubs_authorities",  # new in r11
+    "query_likelihood_lm",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -593,6 +594,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": curation.q_priority_sample,
         "page_hinkley_drift": temporal.q_page_hinkley_drift,
         "hits_hubs_authorities": graph.q_hits_hubs_authorities,
+        "query_likelihood_lm": text.q_query_likelihood_lm,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8595,5 +8597,45 @@ def oracle_sql() -> dict[str, str]:
         "CAST(row_number() OVER (PARTITION BY kind ORDER BY "
         "score_micro DESC, node_id) AS INTEGER) AS rank "
         "FROM u ORDER BY kind, rank"
+    )
+
+    # Dirichlet query-likelihood LM ranking (mu=100): ppm corpus LM,
+    # per-(doc,term) -ln_micro factor including missing terms, same
+    # top-20-df query panel as BM25 (mirrors text.q_query_likelihood_lm)
+    out["query_likelihood_lm"] = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "tk AS (SELECT * FROM tok WHERE term <> ''), "
+        "tft AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf "
+        "FROM tk GROUP BY 1, 2), "
+        "dlt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl "
+        "FROM tft GROUP BY 1), "
+        "tt AS (SELECT CAST(sum(dl) AS BIGINT) AS t_tokens FROM dlt), "
+        "dft AS (SELECT term, count(*) AS df, "
+        "CAST(sum(tf) AS BIGINT) AS ctf FROM tft GROUP BY 1), "
+        "top AS (SELECT term, ctf, row_number() OVER ("
+        "ORDER BY df DESC, term) AS rk FROM dft "
+        "ORDER BY df DESC, term LIMIT 20), "
+        "qt AS (SELECT CAST((rk - 1) // 4 AS INT) AS query_id, term, "
+        "CAST((ctf * 1000000) // t_tokens AS BIGINT) AS ctf_ppm "
+        "FROM top, tt), "
+        "pairs AS (SELECT qt.query_id, dlt.doc_id, qt.term, dlt.dl, "
+        "qt.ctf_ppm, tft.tf FROM dlt CROSS JOIN qt "
+        "LEFT JOIN tft ON tft.doc_id = dlt.doc_id "
+        "AND tft.term = qt.term), "
+        "s AS (SELECT query_id, doc_id, -("
+        + _lnm(
+            "((dl + 100) * 1000000)",
+            "greatest(coalesce(tf, 0) * 1000000 + 100 * ctf_ppm, 1)",
+        )
+        + ") AS s, CASE WHEN tf IS NOT NULL THEN 1 ELSE 0 END AS hit "
+        "FROM pairs), "
+        "a AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) "
+        "AS ql_micro, CAST(sum(hit) AS INT) AS n_terms_hit "
+        "FROM s GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY ql_micro DESC, doc_id) AS rk FROM a) "
+        "SELECT query_id, doc_id, ql_micro, n_terms_hit, "
+        "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 10"
     )
     return out

@@ -2857,3 +2857,99 @@ def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens") * (F.col("n_tokens") - 1),
         ).alias("simpson_ppm"),
     )
+
+
+#: Dirichlet prior mass for query-likelihood smoothing (Zhai &
+#: Lafferty 2001); with doc lengths ~100-500 tokens, mu = 100 gives
+#: a live tf/background mix. Range contract: (max doc length + mu)
+#: must stay < 2^31/1e6 ~ 2147 for the ln_micro operand bound.
+QL_MU = 100
+QL_TOPK = 10
+
+
+def q_query_likelihood_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
+    Lafferty 2001) — the language-modeling member of the ranking
+    family (`bm25_topk` is the probabilistic one, `tfidf_top_terms`
+    the vector one): score(q,d) = Σ_t ln((tf + µ·p(t|C)) / (dl + µ)),
+    where the corpus LM p(t|C) supplies mass for query terms the doc
+    LACKS — the smoothing that makes multi-term ranking work at all.
+
+    Fixed point: the corpus LM is quantized once to ppm
+    (ctf_ppm = ctf·10⁶ // T — scale-free in corpus size, so the
+    2³¹ `ln_micro` operand bound depends only on doc length, not on
+    corpus size), then each (doc, term) factor is the exact
+    −ln_micro((dl+µ)·10⁶, tf·10⁶ + µ·ctf_ppm) in micro-nats. Same
+    deterministic top-20-df query panel as BM25 (4 terms × 5
+    queries), so the two rankers are directly comparable per query.
+
+    Scale: tf/dl/ctf are the BM25 map-side aggregates; the scoring
+    table is docs × 20 query terms (the smoothed LM needs missing
+    terms too — a broadcast nested-loop on a 20-row side, linear in
+    docs); top-k is a per-query partitioned window.
+
+    Output: 5·``QL_TOPK`` rows (query_id, doc_id, ql_micro
+    (negative log-likelihood sum), n_terms_hit, rk)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    tot = dl.agg(F.sum("dl").cast("long").alias("t_tokens"))
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").cast("long").alias("ctf")
+    )
+    w_rank = Window.orderBy(F.desc("df"), F.asc("term"))
+    qterms = (
+        df_.orderBy(F.desc("df"), F.asc("term"))
+        .limit(BM25_N_QUERY_TERMS)
+        .withColumn("rk", F.row_number().over(w_rank))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"CAST((rk - 1) div {BM25_TERMS_PER_QUERY} AS INT)"
+            ).alias("query_id"),
+            "term",
+            _idiv(
+                F.col("ctf") * F.lit(1_000_000), F.col("t_tokens")
+            ).alias("ctf_ppm"),
+        )
+    )
+    pairs = dl.crossJoin(F.broadcast(qterms)).join(
+        tf, ["doc_id", "term"], "left"
+    )
+    num = F.greatest(
+        F.coalesce("tf", F.lit(0).cast("long")) * F.lit(1_000_000)
+        + F.lit(QL_MU) * F.col("ctf_ppm"),
+        F.lit(1).cast("long"),
+    )
+    den = (F.col("dl") + F.lit(QL_MU)) * F.lit(1_000_000)
+    scored = pairs.select(
+        "query_id",
+        "doc_id",
+        (-ln_micro(den, num)).alias("s"),
+        F.col("tf").isNotNull().cast("int").alias("hit"),
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("long").alias("ql_micro"),
+        F.sum("hit").cast("int").alias("n_terms_hit"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("ql_micro"), F.asc("doc_id")
+    )
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= QL_TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            "ql_micro",
+            "n_terms_hit",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -2613,3 +2613,79 @@ def test_hits_pure_python(spark, sf_dir):
         assert abs(r.score_micro / HITS_SCALE - af[r.node_id]) <= 1e-4
     for r in hubs:
         assert abs(r.score_micro / HITS_SCALE - hf[r.node_id]) <= 1e-4
+
+
+def test_query_likelihood_pure_python(spark, sf_dir):
+    """Rankings and scores match a direct recomputation of the
+    Dirichlet-smoothed QL with the reference ln_micro quantization;
+    the float witness tracks the float log-likelihood."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        QL_MU,
+        QL_TOPK,
+        q_query_likelihood_lm,
+    )
+    def _ln_micro_py(num: int, den: int) -> int:
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    rows = q_query_likelihood_lm(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    tf = defaultdict(Counter)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for w in text.split(" "):
+            if w:
+                tf[doc_id][w] += 1
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    big = sum(dl.values())
+    dfc = Counter()
+    ctf = Counter()
+    for c in tf.values():
+        for w, n in c.items():
+            dfc[w] += 1
+            ctf[w] += n
+    top = sorted(dfc, key=lambda w: (-dfc[w], w))[:20]
+    scores = defaultdict(dict)
+    floats = defaultdict(dict)
+    for rk, term in enumerate(top):
+        qid = rk // 4
+        p_ppm = ctf[term] * 1_000_000 // big
+        for d in dl:
+            t = tf[d].get(term, 0)
+            num = max(t * 1_000_000 + QL_MU * p_ppm, 1)
+            den = (dl[d] + QL_MU) * 1_000_000
+            scores[qid][d] = scores[qid].get(d, 0) - _ln_micro_py(den, num)
+            floats[qid][d] = floats[qid].get(d, 0.0) + math.log(num / den)
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rk)
+        want = sorted(
+            scores[qid].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:QL_TOPK]
+        assert [(r.doc_id, r.ql_micro) for r in rs] == [
+            (int(d), s) for d, s in want
+        ]
+        for r in rs:
+            assert r.n_terms_hit == sum(
+                1 for t in top[qid * 4:(qid + 1) * 4] if tf[r.doc_id].get(t)
+            )
+            # FLOAT WITNESS: quantized micro-nats track float QL
+            # (4 ln_micro evaluations, ~1e-4 nats each)
+            assert abs(
+                r.ql_micro / 1e6 - floats[qid][r.doc_id]
+            ) <= 5e-4
