@@ -145,6 +145,7 @@ _DRIVER_ORDER_R11 = [
     "page_hinkley_drift",  # new in r11
     "hits_hubs_authorities",  # new in r11
     "query_likelihood_lm",  # new in r11
+    "effective_diameter",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -595,6 +596,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_hinkley_drift": temporal.q_page_hinkley_drift,
         "hits_hubs_authorities": graph.q_hits_hubs_authorities,
         "query_likelihood_lm": text.q_query_likelihood_lm,
+        "effective_diameter": graph.q_effective_diameter,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8637,5 +8639,31 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY ql_micro DESC, doc_id) AS rk FROM a) "
         "SELECT query_id, doc_id, ql_micro, n_terms_hit, "
         "CAST(rk AS INTEGER) AS rk FROM r WHERE rk <= 10"
+    )
+
+    # Effective diameter (90%) from the HyperBall neighborhood
+    # function — wraps the neighborhood oracle as a subquery (same
+    # registers, same rounds; mirrors graph.q_effective_diameter)
+    out["effective_diameter"] = (
+        "WITH nf AS ("
+        + out["hyperball_neighborhood"]
+        + "), mx AS (SELECT sum_ball_est AS nf_max FROM nf "
+        "WHERE round = 3), "
+        "rws AS (SELECT round, sum_ball_est, "
+        "lag(sum_ball_est) OVER (ORDER BY round) AS prev, "
+        "CAST((CAST(sum_ball_est AS HUGEINT) * 1000000) // nf_max "
+        "AS BIGINT) AS coverage_ppm, "
+        "sum_ball_est * 10 >= nf_max * 9 AS reached, nf_max "
+        "FROM nf, mx), "
+        "crs AS (SELECT round AS eff_diameter_r, "
+        "CASE WHEN round = 0 THEN CAST(0 AS BIGINT) ELSE "
+        "CAST((round - 1) * 1000 + ((CAST(nf_max AS HUGEINT) * 9 "
+        "- CAST(prev AS HUGEINT) * 10) * 1000) // "
+        "((sum_ball_est - prev) * 10) AS BIGINT) END "
+        "AS eff_diameter_milli "
+        "FROM rws WHERE reached ORDER BY round LIMIT 1) "
+        "SELECT round, sum_ball_est, coverage_ppm, reached, nf_max, "
+        "eff_diameter_r, eff_diameter_milli FROM rws, crs "
+        "ORDER BY round"
     )
     return out

@@ -1645,3 +1645,81 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .orderBy("kind", "rank")
     )
+
+
+def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EFFECTIVE DIAMETER (90th percentile of pairwise distances) from
+    the HyperBall neighborhood function — THE summary statistic
+    HyperANF was built to deliver (Boldi & Vigna 2013; the "four
+    degrees of separation" number): the smallest radius r where the
+    ball mass N(r) reaches 90% of its final value, with the standard
+    linear interpolation between the bracketing rounds, in exact
+    integer milli units.
+
+    Derivation is a 4-row computation over `q_hyperball_neighborhood`'s
+    (round, sum_ball_est) table — same registers, same rounds — so its
+    oracle literally WRAPS the neighborhood oracle as a subquery (the
+    sketch is the shared source of truth).
+
+        reached(r)  = 10·N(r) ≥ 9·N(R)
+        D_eff milli = (r−1)·1000 + (9·N(R) − 10·N(r−1))·1000
+                                     // (10·(N(r) − N(r−1)))
+
+    Scale: everything after the HyperBall rounds is constant-size
+    (≤ HB_ROUNDS+1 rows) — the 100 TB cost profile is exactly the
+    neighborhood function's.
+
+    Output: HB_ROUNDS+1 rows (round, sum_ball_est, coverage_ppm,
+    reached) + attached (nf_max, eff_diameter_r, eff_diameter_milli).
+    """
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    nf = q_hyperball_neighborhood(spark, sf_dir)
+    mx = nf.filter(F.col("round") == HB_ROUNDS).select(
+        F.col("sum_ball_est").alias("nf_max")
+    )
+    w = Window.orderBy("round")
+    rows = (
+        nf.crossJoin(F.broadcast(mx))
+        .withColumn("prev", F.lag("sum_ball_est").over(w))
+        .withColumn(
+            "coverage_ppm",
+            _idiv(
+                F.col("sum_ball_est") * F.lit(1_000_000), F.col("nf_max")
+            ),
+        )
+        .withColumn(
+            "reached",
+            F.col("sum_ball_est") * 10 >= F.col("nf_max") * 9,
+        )
+    )
+    cross = (
+        rows.filter(F.col("reached"))
+        .orderBy("round")
+        .limit(1)
+        .select(
+            F.col("round").alias("eff_diameter_r"),
+            F.when(F.col("round") == 0, F.lit(0).cast("long"))
+            .otherwise(
+                (F.col("round") - 1) * 1000
+                + _idiv(
+                    (
+                        F.col("nf_max") * 9
+                        - F.col("prev") * 10
+                    )
+                    * F.lit(1000),
+                    (F.col("sum_ball_est") - F.col("prev")) * 10,
+                )
+            )
+            .alias("eff_diameter_milli"),
+        )
+    )
+    return (
+        rows.select(
+            "round", "sum_ball_est", "coverage_ppm", "reached", "nf_max"
+        )
+        .crossJoin(F.broadcast(cross))
+        .orderBy("round")
+    )

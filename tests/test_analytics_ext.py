@@ -2689,3 +2689,48 @@ def test_query_likelihood_pure_python(spark, sf_dir):
             assert abs(
                 r.ql_micro / 1e6 - floats[qid][r.doc_id]
             ) <= 5e-4
+
+
+def test_effective_diameter_consistent(spark, sf_dir):
+    """Derivation checks against the (already oracle-verified)
+    neighborhood function: coverage ratios, the crossing round, and
+    the interpolated milli value; float witness on the interpolation."""
+    from beauty_lakehouse_spark.operators.graph import (
+        HB_ROUNDS,
+        q_effective_diameter,
+        q_hyperball_neighborhood,
+    )
+
+    rows = sorted(
+        q_effective_diameter(spark, sf_dir).collect(), key=lambda r: r.round
+    )
+    nf = {
+        r.round: r.sum_ball_est
+        for r in q_hyperball_neighborhood(spark, sf_dir).collect()
+    }
+    nf_max = nf[HB_ROUNDS]
+    assert [r.round for r in rows] == list(range(HB_ROUNDS + 1))
+    reached = [r for r in sorted(nf) if nf[r] * 10 >= nf_max * 9]
+    r_star = reached[0]
+    g = rows[0]
+    assert g.nf_max == nf_max
+    assert g.eff_diameter_r == r_star
+    for r in rows:
+        assert r.sum_ball_est == nf[r.round]
+        assert r.coverage_ppm == nf[r.round] * 1_000_000 // nf_max
+        assert r.reached == (nf[r.round] * 10 >= nf_max * 9)
+    if r_star == 0:
+        assert g.eff_diameter_milli == 0
+    else:
+        prev, cur = nf[r_star - 1], nf[r_star]
+        want = (r_star - 1) * 1000 + (nf_max * 9 - prev * 10) * 1000 // (
+            (cur - prev) * 10
+        )
+        assert g.eff_diameter_milli == want
+        # FLOAT WITNESS: integer interpolation tracks the float form
+        f = (r_star - 1) + (0.9 * nf_max - prev) / (cur - prev)
+        assert abs(g.eff_diameter_milli / 1e3 - f) <= 2e-3
+    # monotone coverage, bracketing invariant
+    cov = [r.coverage_ppm for r in rows]
+    assert cov == sorted(cov)
+    assert g.eff_diameter_milli <= g.eff_diameter_r * 1000
