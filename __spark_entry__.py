@@ -146,6 +146,7 @@ _DRIVER_ORDER_R11 = [
     "hits_hubs_authorities",  # new in r11
     "query_likelihood_lm",  # new in r11
     "effective_diameter",  # new in r11
+    "isotonic_calibration",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -597,6 +598,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_hubs_authorities": graph.q_hits_hubs_authorities,
         "query_likelihood_lm": text.q_query_likelihood_lm,
         "effective_diameter": graph.q_effective_diameter,
+        "isotonic_calibration": similarity.q_isotonic_calibration,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8665,5 +8667,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT round, sum_ball_est, coverage_ppm, reached, nf_max, "
         "eff_diameter_r, eff_diameter_milli FROM rws, crs "
         "ORDER BY round"
+    )
+
+    # Isotonic (PAVA) calibration of the kNN reliability table via
+    # the exact minimax-of-interval-means characterization — wraps
+    # the calibration_report oracle (mirrors
+    # similarity.q_isotonic_calibration)
+    out["isotonic_calibration"] = (
+        "WITH rep AS ("
+        + out["calibration_report"]
+        + "), bins AS (SELECT votes, n, n_correct, conf_permille, "
+        "acc_permille, row_number() OVER (ORDER BY votes) AS t, "
+        "CAST(sum(n) OVER (ORDER BY votes ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS pn, "
+        "CAST(sum(n_correct) OVER (ORDER BY votes ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pc "
+        "FROM rep), "
+        "iv AS (SELECT bi.t AS i, bj.t AS j, "
+        "CAST((CAST(bj.pc - (bi.pc - bi.n_correct) AS HUGEINT) "
+        "* 1000000000000) // (bj.pn - (bi.pn - bi.n)) AS BIGINT) "
+        "AS m_pico FROM bins bj "
+        "JOIN bins bi ON bi.t <= bj.t), "
+        "cov AS (SELECT i, m_pico, unnest(generate_series(i, j)) AS t "
+        "FROM iv), "
+        "inner_min AS (SELECT t, i, min(m_pico) AS mn FROM cov "
+        "GROUP BY 1, 2), "
+        "iso AS (SELECT t, CAST(max(mn) // 1000000 AS BIGINT) "
+        "AS iso_micro FROM inner_min GROUP BY t), "
+        "inv AS (SELECT CAST(coalesce(sum(bad), 0) AS INT) "
+        "AS n_inversions FROM (SELECT CASE WHEN acc_permille < "
+        "lag(acc_permille) OVER (ORDER BY votes) THEN 1 ELSE 0 END "
+        "AS bad FROM bins)) "
+        "SELECT votes, n, n_correct, conf_permille, acc_permille, "
+        "iso_micro, n_inversions FROM bins JOIN iso USING (t), inv "
+        "ORDER BY votes"
     )
     return out

@@ -3279,3 +3279,99 @@ def q_twonn_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION (pool-adjacent-violators fit) of the kNN
+    confidence→accuracy curve — the remediation step after
+    `calibration_report` DETECTS miscalibration: the best monotone
+    non-decreasing accuracy curve in weighted least squares, the
+    standard post-hoc calibrator (Zadrozny & Elkan 2002) a serving
+    stack applies before thresholding confidences.
+
+    Exact fixed point via the MINIMAX characterization of PAVA
+    (Robertson et al. 1988): iso(t) = max_{i≤t} min_{j≥t} mean(i..j),
+    where mean(i..j) = (Σ n_correct)/(Σ n) over the conf-ordered bin
+    interval — every candidate is an integer rational; intervals are
+    compared on the pico-floored key C·10¹² // N (exact while
+    N² < 10¹², i.e. eval panels under 10⁶ queries — documented
+    contract, trivially true for the bounded audit batch), and the
+    emitted value is the same key floored to micro.
+
+    Scale: everything runs on the ≤5-row reliability table —
+    intervals are explode-generated (equi-joins only, no non-equi
+    nested loop), windows are bounded-table. The 100 TB cost is the
+    underlying audit scorer's, shared with `calibration_report`.
+
+    Output: one row per occupied bin (votes, n, n_correct,
+    conf_permille, acc_permille, iso_micro) + attached n_inversions
+    (adjacent accuracy decreases before the fit — 0 means the raw
+    curve was already monotone and iso == acc up to flooring)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    rep = q_calibration_report(spark, sf_dir).select(
+        "votes", "n", "n_correct", "conf_permille", "acc_permille"
+    )
+    w = Window.orderBy("votes")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bins = (
+        rep.withColumn("t", F.row_number().over(w))
+        .withColumn("pn", F.sum("n").over(wc))
+        .withColumn("pc", F.sum("n_correct").over(wc))
+    )
+    iv = (
+        bins.select(
+            F.col("t").alias("j"),
+            F.col("pn").alias("pn_j"),
+            F.col("pc").alias("pc_j"),
+            F.explode(F.sequence(F.lit(1), F.col("t"))).alias("i"),
+        )
+        .join(
+            bins.select(
+                F.col("t").alias("i"),
+                (F.col("pn") - F.col("n")).alias("pn_i1"),
+                (F.col("pc") - F.col("n_correct")).alias("pc_i1"),
+            ),
+            "i",
+        )
+        .select(
+            "i",
+            "j",
+            _idiv(
+                (F.col("pc_j") - F.col("pc_i1")).cast("decimal(38,0)")
+                * F.lit(10**12),
+                F.col("pn_j") - F.col("pn_i1"),
+            ).alias("m_pico"),
+        )
+    )
+    covered = iv.select(
+        "i", "m_pico", F.explode(F.sequence("i", "j")).alias("t")
+    )
+    iso = (
+        covered.groupBy("t", "i")
+        .agg(F.min("m_pico").alias("inner_min"))
+        .groupBy("t")
+        .agg(F.max("inner_min").alias("iso_pico"))
+        .select("t", _idiv(F.col("iso_pico"), F.lit(10**6)).alias("iso_micro"))
+    )
+    inv = bins.select(
+        (
+            F.col("acc_permille") < F.lag("acc_permille").over(w)
+        ).cast("int").alias("bad")
+    ).agg(F.sum("bad").cast("int").alias("n_inversions"))
+    return (
+        bins.join(iso, "t")
+        .crossJoin(F.broadcast(inv))
+        .select(
+            "votes",
+            "n",
+            "n_correct",
+            "conf_permille",
+            "acc_permille",
+            "iso_micro",
+            "n_inversions",
+        )
+        .orderBy("votes")
+    )

@@ -2734,3 +2734,72 @@ def test_effective_diameter_consistent(spark, sf_dir):
     cov = [r.coverage_ppm for r in rows]
     assert cov == sorted(cov)
     assert g.eff_diameter_milli <= g.eff_diameter_r * 1000
+
+
+def test_isotonic_calibration_pava(spark, sf_dir):
+    """The minimax fit equals classic pool-adjacent-violators run in
+    pure python on the same (already oracle-verified) reliability
+    bins; monotone by construction; float witness via PAVA means."""
+    from beauty_lakehouse_spark.operators.similarity import (
+        q_calibration_report,
+        q_isotonic_calibration,
+    )
+
+    rows = sorted(
+        q_isotonic_calibration(spark, sf_dir).collect(),
+        key=lambda r: r.votes,
+    )
+    rep = sorted(
+        q_calibration_report(spark, sf_dir).collect(),
+        key=lambda r: r.votes,
+    )
+    assert [(r.votes, r.n, r.n_correct) for r in rows] == [
+        (r.votes, r.n, r.n_correct) for r in rep
+    ]
+    # classic PAVA: merge adjacent blocks while means decrease
+    blocks = [[r.n, r.n_correct] for r in rep]  # [weight, sum]
+    i = 0
+    while i < len(blocks) - 1:
+        n1, c1 = blocks[i]
+        n2, c2 = blocks[i + 1]
+        if c1 * n2 > c2 * n1:  # mean_i > mean_{i+1}: pool
+            blocks[i] = [n1 + n2, c1 + c2]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    expanded = [(n, c) for n, c in blocks]
+    # walk original bins assigning block means by cumulative weight
+    iso_want = []
+    bi = 0
+    acc_w = 0
+    blk_w = expanded[0][0]
+    for r in rep:
+        iso_want.append(
+            expanded[bi][1] * 10**12 // expanded[bi][0] // 10**6
+        )
+        acc_w += r.n
+        if acc_w >= blk_w and bi < len(expanded) - 1:
+            bi += 1
+            blk_w += expanded[bi][0]
+    assert [r.iso_micro for r in rows] == iso_want
+    # monotone non-decreasing fit
+    iso = [r.iso_micro for r in rows]
+    assert iso == sorted(iso)
+    inv_want = sum(
+        1
+        for a, b in zip(rep, rep[1:])
+        if b.acc_permille < a.acc_permille
+    )
+    assert rows[0].n_inversions == inv_want
+    # FLOAT WITNESS: each emitted value tracks its block's float mean
+    bi = 0
+    acc_w = 0
+    blk_w = expanded[0][0]
+    for r in rows:
+        n, c = expanded[bi]
+        assert abs(r.iso_micro / 1e6 - c / n) <= 1e-6
+        acc_w += r.n
+        if acc_w >= blk_w and bi < len(expanded) - 1:
+            bi += 1
+            blk_w += expanded[bi][0]
