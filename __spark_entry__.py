@@ -147,6 +147,7 @@ _DRIVER_ORDER_R11 = [
     "query_likelihood_lm",  # new in r11
     "effective_diameter",  # new in r11
     "isotonic_calibration",  # new in r11
+    "dp_event_histogram",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -599,6 +600,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_likelihood_lm": text.q_query_likelihood_lm,
         "effective_diameter": graph.q_effective_diameter,
         "isotonic_calibration": similarity.q_isotonic_calibration,
+        "dp_event_histogram": quality.q_dp_event_histogram,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8701,5 +8703,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT votes, n, n_correct, conf_permille, acc_permille, "
         "iso_micro, n_inversions FROM bins JOIN iso USING (t), inv "
         "ORDER BY votes"
+    )
+
+    # epsilon-DP event-type histogram, two-sided geometric mechanism
+    # at eps = ln 2: pure-binary inverse CDF on a splitmix60 draw
+    # (mirrors quality.q_dp_event_histogram)
+    out["dp_event_histogram"] = (
+        "WITH counts AS (SELECT event_type, "
+        "CAST(count(*) AS BIGINT) AS n_true FROM events GROUP BY 1), "
+        f"mixed AS (SELECT event_type, n_true, "
+        f"{_smx(_p64('event_type'), '0')} AS u FROM counts), "
+        "noised AS (SELECT event_type, n_true, "
+        f"CAST(CASE WHEN u * 3 < {1 << 60} THEN "
+        "length(bin(u * 3)) - 61 "
+        f"WHEN u * 3 >= {1 << 61} THEN "
+        f"61 - length(bin(({1 << 60} - u) * 3 - 1)) "
+        "ELSE 0 END AS BIGINT) AS noise FROM mixed) "
+        "SELECT event_type, n_true, noise, "
+        "greatest(n_true + noise, 0) AS n_released, "
+        "CAST(693 AS INT) AS epsilon_milli "
+        "FROM noised ORDER BY event_type"
     )
     return out

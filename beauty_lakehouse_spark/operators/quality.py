@@ -4171,3 +4171,75 @@ def q_ams_f2_estimate(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("j")
     )
+
+
+def q_dp_event_histogram(spark, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE event-type histogram via the discrete
+    TWO-SIDED GEOMETRIC mechanism (Ghosh, Roughgarden & Sundararajan
+    2009 — the universally-optimal mechanism for counts) at ε = ln 2,
+    the fourth leg of the privacy family (k-anonymity / l-diversity /
+    t-closeness gate the QI table; DP noise releases aggregates). At
+    ε = ln 2 the noise law is P(k) = (1/3)·2^{−|k|}, whose inverse
+    CDF is PURE BINARY arithmetic — sample k from a splitmix60 draw
+    u ∈ [0, 2⁶⁰) with three integer branches:
+
+        3u < 2⁶⁰        → k = bitlen(3u) − 61          (negative)
+        3u ≥ 2⁶¹        → k = bitlen(3·(2⁶⁰−u) − 1) − 61, negated
+        else            → k = 0
+
+    (bitlen via the length(bin(x))−1 idiom the ln_micro family uses),
+    so both engines draw the IDENTICAL noise — no float exp/ln, no
+    RNG state. True counts ride along because this entry is an
+    ENGINE-VERIFICATION surface (a production release would emit
+    n_released only); the pytest pins the mechanism's law on the
+    fixed seed grid.
+
+    Scale: one map-side-combinable count per type + one hash/mix per
+    released cell — noise cost is per-CELL, not per-row.
+
+    Output: one row per event_type (event_type, n_true, noise,
+    n_released, epsilon_milli)."""
+    from ..catalog import load
+    from ..functions import portable_hash64, splitmix60_apply
+
+    t = load(spark, sf_dir)
+    counts = t.events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    seeded = counts.select(
+        "event_type",
+        "n_true",
+        portable_hash64(F.col("event_type")).alias("seed"),
+    )
+    mixed = splitmix60_apply(
+        seeded, ["event_type", "n_true"], F.col("seed"), F.lit(0)
+    )
+    u3 = F.col("u") * 3
+    # bitlen(x) == length(bin(x)) — NOT length-1 (that is floor(log2),
+    # the ln_micro exponent idiom; the DP pytest pins the distinction)
+    blen = lambda c: F.length(F.bin(c)).cast("long")  # noqa: E731
+    k = (
+        F.when(u3 < F.lit(1 << 60), blen(u3) - 61)
+        .when(
+            u3 >= F.lit(1 << 61),
+            F.lit(61) - blen((F.lit(1 << 60) - F.col("u")) * 3 - 1),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
+    return (
+        mixed.select(
+            "event_type",
+            "n_true",
+            k.alias("noise"),
+        )
+        .select(
+            "event_type",
+            "n_true",
+            "noise",
+            F.greatest(
+                F.col("n_true") + F.col("noise"), F.lit(0).cast("long")
+            ).alias("n_released"),
+            F.lit(693).cast("int").alias("epsilon_milli"),
+        )
+        .orderBy("event_type")
+    )

@@ -2803,3 +2803,56 @@ def test_isotonic_calibration_pava(spark, sf_dir):
         if acc_w >= blk_w and bi < len(expanded) - 1:
             bi += 1
             blk_w += expanded[bi][0]
+
+
+def test_dp_event_histogram_mechanism(spark, sf_dir):
+    """Noise matches the pure-python inverse CDF on the same seeds;
+    the mechanism's LAW is pinned on a dense synthetic u-grid: exact
+    two-sided geometric masses P(k) = (1/3)/2^|k| (float witness via
+    math.exp of the epsilon) and symmetry."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_dp_event_histogram,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    def draw(u: int) -> int:
+        if 3 * u < 1 << 60:
+            return (3 * u).bit_length() - 61
+        if 3 * u >= 1 << 61:
+            return 61 - (3 * ((1 << 60) - u) - 1).bit_length()
+        return 0
+
+    rows = q_dp_event_histogram(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    true = Counter(ev["event_type"])
+    assert len(rows) == len(true)
+    for r in rows:
+        assert r.n_true == true[r.event_type]
+        seed = int(
+            hashlib.md5(r.event_type.encode()).hexdigest()[:15], 16
+        )
+        k = draw(_splitmix60_py(seed, 0))
+        assert r.noise == k
+        assert r.n_released == max(r.n_true + k, 0)
+        assert r.epsilon_milli == 693
+    # mechanism law on a dense grid: P(k) exactly (1/3)*2^-|k| for
+    # every |k| <= 8 when u sweeps a power-of-two subgrid
+    n_grid = 3 * (1 << 16)
+    cnt = Counter(
+        draw(u * ((1 << 60) // n_grid)) for u in range(n_grid)
+    )
+    # exact masses on the subgrid for small |k| (the grid divides
+    # the binary thresholds evenly through |k| <= 8)
+    for k in range(-8, 9):
+        assert abs(cnt[k] / n_grid - (1 / 3) * 2 ** -abs(k)) < 1e-4
+    # FLOAT WITNESS: the law satisfies the eps-DP ratio bound with
+    # eps = ln 2 = 0.693...: P(k)/P(k+1) == exp(eps)
+    eps = 693 / 1000
+    assert abs(cnt[2] / cnt[3] - math.exp(math.log(2))) < 0.01
+    assert math.isclose(math.log(2), eps, abs_tol=2e-4)
