@@ -148,6 +148,7 @@ _DRIVER_ORDER_R11 = [
     "effective_diameter",  # new in r11
     "isotonic_calibration",  # new in r11
     "dp_event_histogram",  # new in r11
+    "hard_negative_mining",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -601,6 +602,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "effective_diameter": graph.q_effective_diameter,
         "isotonic_calibration": similarity.q_isotonic_calibration,
         "dp_event_histogram": quality.q_dp_event_histogram,
+        "hard_negative_mining": similarity.q_hard_negative_mining,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8723,5 +8725,31 @@ def oracle_sql() -> dict[str, str]:
         "greatest(n_true + noise, 0) AS n_released, "
         "CAST(693 AS INT) AS epsilon_milli "
         "FROM noised ORDER BY event_type"
+    )
+
+    # Hard-negative mining from the exact-int ANN serving list:
+    # wrong-label served neighbors ranked by score, margin vs best
+    # same-label hit (mirrors similarity.q_hard_negative_mining)
+    out["hard_negative_mining"] = (
+        "WITH serve AS ("
+        + out["ann_topk_exactint"]
+        + "), lab AS (SELECT vec_id, label FROM embeddings), "
+        "j AS (SELECT s.query_id, s.neighbor_id, "
+        "CAST(s.rank AS INT) AS serve_rank, s.cos_micro, "
+        "CAST(round(s.cos_micro * 1000000) AS BIGINT) AS s_micro, "
+        "ql.label AS q_label, nl.label AS n_label "
+        "FROM serve s JOIN lab ql ON ql.vec_id = s.query_id "
+        "JOIN lab nl ON nl.vec_id = s.neighbor_id), "
+        "pos AS (SELECT query_id, CAST(max(s_micro) AS BIGINT) "
+        "AS best_pos_micro FROM j WHERE q_label = n_label GROUP BY 1), "
+        "neg AS (SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY s_micro DESC, neighbor_id) AS neg_rank FROM j "
+        "WHERE q_label <> n_label) "
+        "SELECT n.query_id, n.neighbor_id, "
+        "CAST(n.neg_rank AS INT) AS neg_rank, n.serve_rank, "
+        "n.cos_micro, n.q_label, n.n_label, p.best_pos_micro, "
+        "p.best_pos_micro - n.s_micro AS margin_micro "
+        "FROM neg n LEFT JOIN pos p USING (query_id) "
+        "WHERE n.neg_rank <= 3 ORDER BY n.query_id, n.neg_rank"
     )
     return out

@@ -3375,3 +3375,96 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("votes")
     )
+
+
+#: Hard negatives emitted per query.
+HARDNEG_K = 3
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE MINING from the ANN serving index — the
+    training-data side of the retrieval stack (the eval side is
+    NDCG/RRF/MMR): for contrastive training (DPR, Karpukhin et al.
+    2020; SimCSE) the negatives that teach the most are the
+    HIGHEST-SCORING wrong-label items the serving index returns —
+    random negatives are trivially separable, in-batch negatives are
+    lukewarm; ANN-mined hard negatives are the standard third tier.
+
+    Per query of the exact-int serving panel: wrong-label served
+    neighbors ranked by served score (top ``HARDNEG_K``), each with
+    the query's best SAME-label served score and the margin
+    best_pos − neg in micro units — margin ≤ 0 flags a negative that
+    OUTRANKS every positive (the gold-dust examples; NULL margin =
+    no positive was served at all). Scores are re-integerized by
+    round(cos·10⁶) (exact: the serving score IS k/10⁶ for integer k),
+    so margins are integer-exact.
+
+    Reads the session-memoized serving table (`ann_exact_serving`) —
+    the mining pass adds two label joins and a bounded per-query
+    window on top of a result that is already materialized for
+    NDCG/RRF/MMR; at 100 TB the candidate generation cost is paid
+    once for all four consumers.
+
+    Output: ≤ ``HARDNEG_K``·|panel| rows (query_id, neighbor_id,
+    neg_rank, serve_rank, cos_micro, q_label, n_label,
+    best_pos_micro, margin_micro)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir)
+    lab = t.embeddings.select("vec_id", "label")
+    serve = q_ann_topk_exactint(spark, sf_dir)
+    j = (
+        serve.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("q_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("n_label"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").alias("serve_rank"),
+            "cos_micro",
+            F.round(F.col("cos_micro") * 1_000_000)
+            .cast("long")
+            .alias("s_micro"),
+            "q_label",
+            "n_label",
+        )
+    )
+    pos = (
+        j.filter(F.col("q_label") == F.col("n_label"))
+        .groupBy("query_id")
+        .agg(F.max("s_micro").alias("best_pos_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("s_micro"), F.asc("neighbor_id")
+    )
+    return (
+        j.filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HARDNEG_K)
+        .join(pos, "query_id", "left")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            "serve_rank",
+            "cos_micro",
+            "q_label",
+            "n_label",
+            "best_pos_micro",
+            (F.col("best_pos_micro") - F.col("s_micro")).alias(
+                "margin_micro"
+            ),
+        )
+        .orderBy("query_id", "neg_rank")
+    )

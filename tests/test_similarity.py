@@ -1560,3 +1560,61 @@ def test_signbit_topk_exactint_matches_pure_python(spark, sf_dir):
 
     for (qu, _rk), (nb, cos_micro) in got:
         assert abs(cos_micro - fcos(vecs[qu], vecs[nb])) <= 5e-6
+
+
+def test_hard_negative_mining_consistent(spark, sf_dir):
+    """Mining invariants against the (already oracle-verified)
+    serving list: membership, ranking, margins; float witness via
+    the served cosine scores."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.similarity import (
+        HARDNEG_K,
+        q_ann_topk_exactint,
+        q_hard_negative_mining,
+    )
+
+    rows = q_hard_negative_mining(spark, sf_dir).collect()
+    serve = q_ann_topk_exactint(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+    lab = dict(zip(emb["vec_id"], emb["label"]))
+    by_q = defaultdict(list)
+    for s in serve:
+        by_q[s.query_id].append(s)
+    got_q = defaultdict(list)
+    for r in rows:
+        got_q[r.query_id].append(r)
+    for qid, served in by_q.items():
+        ql = lab[qid]
+        negs = sorted(
+            (s for s in served if lab[s.neighbor_id] != ql),
+            key=lambda s: (-round(s.cos_micro * 1e6), s.neighbor_id),
+        )[:HARDNEG_K]
+        pos = [
+            round(s.cos_micro * 1e6)
+            for s in served
+            if lab[s.neighbor_id] == ql
+        ]
+        got = sorted(got_q.get(qid, []), key=lambda r: r.neg_rank)
+        assert [g.neighbor_id for g in got] == [s.neighbor_id for s in negs]
+        for g, s in zip(got, negs):
+            assert g.q_label == ql and g.n_label == lab[s.neighbor_id]
+            assert g.serve_rank == s.rank
+            # FLOAT WITNESS: integer margin tracks the float score gap
+            if pos:
+                assert g.best_pos_micro == max(pos)
+                assert g.margin_micro == max(pos) - round(s.cos_micro * 1e6)
+                assert abs(
+                    g.margin_micro / 1e6
+                    - (max(pos) / 1e6 - s.cos_micro)
+                ) <= 1e-6
+            else:
+                assert g.best_pos_micro is None and g.margin_micro is None
+    # the mine is non-trivial on the fixture: some query has a
+    # negative outranking its best positive (margin <= 0)
+    assert any(
+        r.margin_micro is not None and r.margin_micro <= 0 for r in rows
+    )
