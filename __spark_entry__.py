@@ -149,6 +149,7 @@ _DRIVER_ORDER_R11 = [
     "isotonic_calibration",  # new in r11
     "dp_event_histogram",  # new in r11
     "hard_negative_mining",  # new in r11
+    "textrank_keywords",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -603,6 +604,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isotonic_calibration": similarity.q_isotonic_calibration,
         "dp_event_histogram": quality.q_dp_event_histogram,
         "hard_negative_mining": similarity.q_hard_negative_mining,
+        "textrank_keywords": text.q_textrank_keywords,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8752,4 +8754,41 @@ def oracle_sql() -> dict[str, str]:
         "FROM neg n LEFT JOIN pos p USING (query_id) "
         "WHERE n.neg_rank <= 3 ORDER BY n.query_id, n.neg_rank"
     )
+
+    # TextRank keywords: fixed-point pagerank (8 unrolled rounds,
+    # trillionths scale, 85/100 damping) over the window-2 word
+    # co-occurrence graph (mirrors text.q_textrank_keywords)
+    _tr_scale = 1_000_000_000_000
+    _tr_tele = 15 * _tr_scale // 100
+    _tr = [
+        "WITH tk AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "prs AS (SELECT least(tk[i], tk[i+1]) AS part_a, "
+        "greatest(tk[i], tk[i+1]) AS part_b FROM tk, "
+        "unnest(generate_series(1, len(tk) - 1)) AS s(i) "
+        "WHERE tk[i] <> '' AND tk[i+1] <> '' AND tk[i] <> tk[i+1]), "
+        "ed AS (SELECT part_a, part_b, count(*) AS n_orders FROM prs "
+        "GROUP BY 1, 2 HAVING count(*) >= 2), "
+        "dir AS (SELECT part_a AS src, part_b AS dst, n_orders AS w "
+        "FROM ed UNION ALL SELECT part_b, part_a, n_orders FROM ed), "
+        "outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w "
+        "FROM dir GROUP BY src), "
+        "v AS (SELECT DISTINCT src AS id FROM dir), "
+        f"r0 AS (SELECT id, CAST({_tr_scale} AS BIGINT) AS rank FROM v)"
+    ]
+    for _k in range(1, 9):
+        _tr.append(
+            f", c{_k} AS (SELECT d.dst, "
+            "CAST(sum((r.rank * d.w) // o.out_w) AS BIGINT) AS c "
+            f"FROM dir d JOIN r{_k - 1} r ON r.id = d.src "
+            "JOIN outw o ON o.src = d.src GROUP BY d.dst)"
+            f", r{_k} AS (SELECT v.id, CAST({_tr_tele} + "
+            "(85 * coalesce(c.c, 0)) // 100 AS BIGINT) AS rank "
+            f"FROM v LEFT JOIN c{_k} c ON c.dst = v.id)"
+        )
+    _tr.append(
+        " SELECT id AS term, rank FROM r8 "
+        "ORDER BY rank DESC, id LIMIT 25"
+    )
+    out["textrank_keywords"] = "".join(_tr)
     return out

@@ -2953,3 +2953,70 @@ def q_query_likelihood_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+#: TextRank geometry: adjacent-token co-occurrence edges (window 2),
+#: noise edges below this count dropped (the pagerank edge policy).
+TEXTRANK_MIN_COOC = 2
+TEXTRANK_TOP = 25
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — the
+    graph-based member of the keyword family (RAKE scores by degree/
+    frequency heuristics, tf-idf by rarity; TextRank runs PageRank on
+    the word CO-OCCURRENCE graph so a term inherits importance from
+    the company it keeps). Window-2 co-occurrence (adjacent tokens),
+    undirected, count-weighted, noise edges < ``TEXTRANK_MIN_COOC``
+    dropped — then literally the engine's fixed-point
+    ``pagerank_exact`` (graph.py) over string vertices: integer
+    trillionths, 85/100 damping, floor-div mass — so the DuckDB twin
+    unrolls the same 8 rounds and hash-matches every rank.
+
+    Scale: the edge build is one map-side-combinable pair count
+    (token-stream grain); the rank rounds run on the VOCABULARY graph
+    (types, not tokens) — the co-occurrence graph of even a 100 TB
+    corpus is vocabulary²-bounded and in practice sparse.
+
+    Output: ``TEXTRANK_TOP`` rows (term, rank), rank desc."""
+    from .graph import pagerank_exact
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    pairs = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda i: F.struct(
+                        F.least(
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                        ).alias("part_a"),
+                        F.greatest(
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                        ).alias("part_b"),
+                    ),
+                )
+            ).alias("pr")
+        )
+        .select("pr.part_a", "pr.part_b")
+        .filter(
+            (F.col("part_a") != "")
+            & (F.col("part_b") != "")
+            & (F.col("part_a") != F.col("part_b"))
+        )
+    )
+    edges = (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= TEXTRANK_MIN_COOC)
+    )
+    ranks = pagerank_exact(edges)
+    return (
+        ranks.orderBy(F.desc("rank"), F.asc("id"))
+        .limit(TEXTRANK_TOP)
+        .select(F.col("id").alias("term"), "rank")
+    )

@@ -2856,3 +2856,54 @@ def test_dp_event_histogram_mechanism(spark, sf_dir):
     eps = 693 / 1000
     assert abs(cnt[2] / cnt[3] - math.exp(math.log(2))) < 0.01
     assert math.isclose(math.log(2), eps, abs_tol=2e-4)
+
+
+def test_textrank_pure_python(spark, sf_dir):
+    """Ranks match a direct python fixed-point PageRank on the same
+    co-occurrence graph; the float witness tracks float PageRank."""
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        TEXTRANK_MIN_COOC,
+        TEXTRANK_TOP,
+        q_textrank_keywords,
+    )
+
+    rows = q_textrank_keywords(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            if a and b and a != b:
+                cnt[(min(a, b), max(a, b))] += 1
+    edges = {e: c for e, c in cnt.items() if c >= TEXTRANK_MIN_COOC}
+    adj = defaultdict(dict)
+    for (a, b), c in edges.items():
+        adj[a][b] = c
+        adj[b][a] = c
+    out_w = {v: sum(nb.values()) for v, nb in adj.items()}
+    scale = 10**12
+    tele = 15 * scale // 100
+    rank = {v: scale for v in adj}
+    rank_f = {v: 1.0 for v in adj}
+    for _ in range(8):
+        contrib = defaultdict(int)
+        contrib_f = defaultdict(float)
+        for v, nb in adj.items():
+            for u, w in nb.items():
+                contrib[u] += rank[v] * w // out_w[v]
+                contrib_f[u] += rank_f[v] * w / out_w[v]
+        rank = {v: tele + 85 * contrib[v] // 100 for v in adj}
+        rank_f = {v: 0.15 + 0.85 * contrib_f[v] for v in adj}
+    want = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :TEXTRANK_TOP
+    ]
+    assert [(r.term, r.rank) for r in rows] == want
+    # FLOAT WITNESS: integer trillionths track float PageRank
+    for r in rows:
+        assert abs(r.rank / scale - rank_f[r.term]) <= 1e-6 * 8 * 10
+    # ranking is non-degenerate: scores vary
+    assert len({r.rank for r in rows}) > 5
