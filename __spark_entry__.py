@@ -143,6 +143,7 @@ _DRIVER_ORDER_R11 = [
     "ams_f2_estimate",  # new in r11
     "priority_sample",  # new in r11
     "page_hinkley_drift",  # new in r11
+    "page_hinkley_streamed",  # new in r11 (28th streaming drain)
     "hits_hubs_authorities",  # new in r11
     "query_likelihood_lm",  # new in r11
     "effective_diameter",  # new in r11
@@ -598,6 +599,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ams_f2_estimate": quality.q_ams_f2_estimate,
         "priority_sample": curation.q_priority_sample,
         "page_hinkley_drift": temporal.q_page_hinkley_drift,
+        "page_hinkley_streamed": _q_page_hinkley_streamed,
         "hits_hubs_authorities": graph.q_hits_hubs_authorities,
         "query_likelihood_lm": text.q_query_likelihood_lm,
         "effective_diameter": graph.q_effective_diameter,
@@ -1742,6 +1744,31 @@ def _q_bootstrap_mean_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"gate_boot_{uuid.uuid4().hex[:8]}",
     )
     return bootstrap_finish(grid)
+
+
+def _q_page_hinkley_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-detection-at-ingest: the Page-Hinkley daily revenue grid
+    maintained by the orders landing stream — ONE additive complete-
+    mode aggregate (the bootstrap_grid shape) — with the shared
+    ``ph_finish`` ledgers reading off the identical alarms. Behind
+    the SAME oracle row as ``page_hinkley_drift`` — the 28th
+    oracle-matched streaming drain."""
+    import uuid
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        ph_daily_grid,
+        ph_finish,
+    )
+    from beauty_lakehouse_spark.streaming import (
+        run_available_now,
+        stream_orders,
+    )
+
+    grid = run_available_now(
+        ph_daily_grid(stream_orders(spark, sf_dir)),
+        f"gate_ph_{uuid.uuid4().hex[:8]}",
+    )
+    return ph_finish(grid)
 
 
 def _q_view_purchase_join_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8573,6 +8600,9 @@ def oracle_sql() -> dict[str, str]:
         "ph_up_ppm > 500000 AS alarm_up, "
         "ph_dn_ppm > 500000 AS alarm_dn FROM p ORDER BY day"
     )
+    # the streamed drain maintains the same additive daily grid and
+    # shares ph_finish -- same oracle row
+    out["page_hinkley_streamed"] = out["page_hinkley_drift"]
 
     # HITS hubs/authorities on the customer->part purchase graph:
     # 3 unrolled power rounds, max-normalized to the 1e6 integer

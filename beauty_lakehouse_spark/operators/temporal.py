@@ -924,17 +924,34 @@ def q_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: one row per day (day, cents, dev_ppm, ph_up_ppm,
     ph_dn_ppm, alarm_up, alarm_dn), day-ordered."""
-    from ..functions import _idiv, dec2
-
     t = load(spark, sf_dir)
-    daily = (
-        t.orders.select(
+    return ph_finish(ph_daily_grid(t.orders))
+
+
+def ph_daily_grid(orders: DataFrame) -> DataFrame:
+    """The (day, cents) revenue grid behind Page-Hinkley — ONE
+    additive, order-insensitive aggregate, so it is complete-mode
+    streamable as-is (the bootstrap_grid contract); shared by the
+    batch entry and the ``page_hinkley_streamed`` drain so the two
+    surfaces can never drift."""
+    from ..functions import dec2
+
+    return (
+        orders.select(
             F.col("o_orderdate").cast("date").alias("day"),
             (dec2("o_totalprice") * 100).cast("long").alias("cents"),
         )
         .groupBy("day")
         .agg(F.sum("cents").cast("long").alias("cents"))
     )
+
+
+def ph_finish(daily: DataFrame) -> DataFrame:
+    """Page-Hinkley ledgers over the bounded day grid (the km_curve
+    bounded-window convention) — the finisher shared by batch and
+    streamed surfaces."""
+    from ..functions import _idiv
+
     w_asc = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -936,3 +936,21 @@ def test_gopher_quality_streamed_multi_batch_equals_batch(
     )
     expected = q_gopher_quality_flags(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_page_hinkley_stream_matches_batch(spark, sf_dir):
+    """The streamed Page-Hinkley drain equals the batch entry row for
+    row (grid maintained incrementally, shared finisher)."""
+    import __spark_entry__ as entrymod
+    from beauty_lakehouse_spark.operators.temporal import (
+        q_page_hinkley_drift,
+    )
+
+    got = sorted(
+        entrymod._q_page_hinkley_streamed(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    want = sorted(
+        q_page_hinkley_drift(spark, sf_dir).collect(), key=lambda r: r.day
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
