@@ -151,6 +151,7 @@ _DRIVER_ORDER_R11 = [
     "dp_event_histogram",  # new in r11
     "hard_negative_mining",  # new in r11
     "textrank_keywords",  # new in r11
+    "count_sketch_estimates",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -607,6 +608,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_event_histogram": quality.q_dp_event_histogram,
         "hard_negative_mining": similarity.q_hard_negative_mining,
         "textrank_keywords": text.q_textrank_keywords,
+        "count_sketch_estimates": quality.q_count_sketch_estimates,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8821,4 +8823,38 @@ def oracle_sql() -> dict[str, str]:
         "ORDER BY rank DESC, id LIMIT 25"
     )
     out["textrank_keywords"] = "".join(_tr)
+
+    # Count-sketch point estimates over bigram types: one md5 per
+    # (row, type), bucket = low bits, sign = bit 7, exact middle-
+    # element median (mirrors quality.q_count_sketch_estimates)
+    def _cs_h(r: int) -> str:
+        return _p64(f"'cs:' || '{r}' || ':' || term")
+
+    _cs_probe_rows = " UNION ALL ".join(
+        f"SELECT term, f, {r} AS r, "
+        f"CAST(({_cs_h(r)}) % 64 AS INT) AS b, "
+        f"CAST(((({_cs_h(r)}) >> 7) % 2) * 2 - 1 AS BIGINT) AS s "
+        "FROM tf"
+        for r in range(5)
+    )
+    out["count_sketch_estimates"] = (
+        "WITH toks AS (SELECT string_split(text, ' ') AS tk "
+        "FROM documents WHERE len(string_split(text, ' ')) >= 2), "
+        "terms AS (SELECT tk[i] || ' ' || tk[i+1] AS term "
+        "FROM toks, unnest(generate_series(1, len(tk) - 1)) AS s(i)), "
+        "tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM terms "
+        "GROUP BY term), "
+        "probes AS (" + _cs_probe_rows + "), "
+        "cells AS (SELECT r, b, CAST(sum(s * f) AS BIGINT) AS c "
+        "FROM probes GROUP BY 1, 2), "
+        "top AS (SELECT term, f AS n_exact FROM tf "
+        "ORDER BY f DESC, term LIMIT 30), "
+        "qp AS (SELECT p.term, t.n_exact, p.r, p.b, p.s FROM probes p "
+        "JOIN top t ON t.term = p.term), "
+        "est AS (SELECT term, n_exact, "
+        "CAST(list_sort(list(s * c))[3] AS BIGINT) AS n_cs "
+        "FROM qp JOIN cells USING (r, b) GROUP BY 1, 2) "
+        "SELECT term, n_exact, n_cs, n_cs - n_exact AS err "
+        "FROM est ORDER BY n_exact DESC, term"
+    )
     return out

@@ -4243,3 +4243,105 @@ def q_dp_event_histogram(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+#: Count-sketch geometry: D odd so the median is a single element;
+#: W sized for the bigram-type vocabulary. One md5 per (row, type);
+#: bucket = low bits, sign = bit 7 (disjoint from the bucket bits).
+CS_D = 5
+CS_W = 64
+CS_TOP_TERMS = 30
+
+
+def _cs_probe(r: int, term) -> "F.Column":
+    from ..functions import portable_hash64
+
+    return portable_hash64(
+        F.concat_ws(":", F.lit("cs"), F.lit(str(r)), term)
+    )
+
+
+def q_count_sketch_estimates(spark, sf_dir: str) -> DataFrame:
+    """COUNT-SKETCH point-frequency estimates (Charikar, Chen &
+    Farach-Colton 2002) over the corpus bigram types — the UNBIASED
+    sibling of the count-min sketch (`cms_term_estimates` can only
+    OVER-estimate; count-sketch signs each update ±1 so collisions
+    cancel in expectation and the median-of-rows estimate errs BOTH
+    ways — the `err` column here is signed, which the pytest pins).
+    Completes the frequency-sketch trio: CMS (biased, tighter on
+    heavy hitters), count-sketch (unbiased, the basis of feature
+    hashing), AMS (whole-stream F2).
+
+    Hashing: ONE md5 per (row, type) — bucket from the low bits
+    (mod ``CS_W``), sign from bit 7 (disjoint) — so the DuckDB twin
+    computes bit-identical cells, medians (D odd → exact middle
+    element), and signed errors.
+
+    Scale: the sketch is a ≤ D·W-row additive grid however large the
+    corpus (the cms_cells merge story); estimates probe D cells per
+    reported term. The exact side rides along as the verification
+    harness.
+
+    Output: ``CS_TOP_TERMS`` rows (term, n_exact, n_cs, err)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    toks = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )
+    tf = (
+        t.documents.filter(F.size(toks) >= 2)
+        .select(F.explode(grams).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    ).cache()  # feeds sketch build AND exact top side
+    def _sgn(h):
+        return (F.pmod(F.shiftright(h, 7), F.lit(2)) * 2 - 1).cast("long")
+
+    probes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).cast("int").alias("r"),
+                    (_cs_probe(r, F.col("term")) % CS_W)
+                    .cast("int")
+                    .alias("b"),
+                    _sgn(_cs_probe(r, F.col("term"))).alias("s"),
+                )
+                for r in range(CS_D)
+            ]
+        )
+    )
+    cells = (
+        tf.select(F.col("f"), probes.alias("p"))
+        .select("f", "p.r", "p.b", "p.s")
+        .groupBy("r", "b")
+        .agg(F.sum(F.col("s") * F.col("f")).cast("long").alias("c"))
+    )
+    top = tf.orderBy(F.desc("f"), F.asc("term")).limit(CS_TOP_TERMS)
+    qprobes = top.select(
+        "term",
+        F.col("f").alias("n_exact"),
+        probes.alias("p"),
+    ).select("term", "n_exact", "p.r", "p.b", "p.s")
+    return (
+        qprobes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("term", "n_exact")
+        .agg(
+            F.element_at(
+                F.array_sort(F.collect_list(F.col("s") * F.col("c"))),
+                CS_D // 2 + 1,
+            ).alias("n_cs")
+        )
+        .select(
+            "term",
+            "n_exact",
+            "n_cs",
+            (F.col("n_cs") - F.col("n_exact")).alias("err"),
+        )
+        .orderBy(F.desc("n_exact"), F.asc("term"))
+    )

@@ -244,6 +244,21 @@ HEADLINE = [
     "order_metric_correlations",  # pairwise Pearson matrix via unpivot join (new in r11)
     "cramers_v_matrix",       # categorical association screen, 3 pairs (new in r11)
     "revenue_changepoint",    # binary-segmentation mean-shift top-3 splits (new in r11)
+    "fim_transform",          # FIM PSM/SPM corpus transform, map-only (new in r11)
+    "vocab_richness",         # Chao1/Yule/Simpson bigram-type card (new in r11)
+    "cochran_armitage_trend", # ordered dose-response trend test (new in r11)
+    "logrank_segments",       # censoring-correct two-sample survival test (new in r11)
+    "ams_f2_estimate",        # tug-of-war F2 sketch, bit-identical counters (new in r11)
+    "priority_sample",        # Duffield-Thorup weighted sample + estimator (new in r11)
+    "page_hinkley_drift",     # running-mean sequential drift ledger (new in r11)
+    "page_hinkley_streamed",  # drift-at-ingest drain (new in r11)
+    "hits_hubs_authorities",  # bipartite HITS, max-normalized rounds (new in r11)
+    "query_likelihood_lm",    # Dirichlet-smoothed LM retrieval (new in r11)
+    "effective_diameter",     # HyperBall 90% distance percentile (new in r11)
+    "isotonic_calibration",   # PAVA minimax reliability fit (new in r11)
+    "dp_event_histogram",     # eps-DP geometric-mechanism release (new in r11)
+    "hard_negative_mining",   # ANN wrong-label margin mining (new in r11)
+    "textrank_keywords",      # pagerank keyword graph over vocabulary (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -2907,3 +2907,57 @@ def test_textrank_pure_python(spark, sf_dir):
         assert abs(r.rank / scale - rank_f[r.term]) <= 1e-6 * 8 * 10
     # ranking is non-degenerate: scores vary
     assert len({r.rank for r in rows}) > 5
+
+
+def test_count_sketch_pure_python(spark, sf_dir):
+    """Cells, medians, and signed errors match a direct recomputation
+    with the reference hash; unbiasedness shows as BOTH error signs
+    across a probe sweep; float witness on the median estimate."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        CS_D,
+        CS_TOP_TERMS,
+        CS_W,
+        q_count_sketch_estimates,
+    )
+
+    def h(r, term):
+        s = f"cs:{r}:{term}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = q_count_sketch_estimates(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = Counter()
+    for text in docs["text"]:
+        toks = text.split(" ")
+        for a, b in zip(toks, toks[1:]):
+            cnt[a + " " + b] += 1
+    cells = defaultdict(int)
+    for term, f in cnt.items():
+        for r in range(CS_D):
+            hv = h(r, term)
+            cells[(r, hv % CS_W)] += (((hv >> 7) % 2) * 2 - 1) * f
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:CS_TOP_TERMS]
+    assert len(rows) == CS_TOP_TERMS
+    assert [(r.term, r.n_exact) for r in rows] == top
+    for r in rows:
+        ests = sorted(
+            ((((h(d, r.term) >> 7) % 2) * 2 - 1)
+             * cells[(d, h(d, r.term) % CS_W)])
+            for d in range(CS_D)
+        )
+        want = ests[CS_D // 2]
+        assert r.n_cs == want
+        assert r.err == want - r.n_exact
+        # FLOAT WITNESS: the median estimate lands within the
+        # guaranteed L2 deviation band (||f||_2 easily bounds it)
+        l2 = sum(f * f for f in cnt.values()) ** 0.5
+        assert abs(r.n_cs - r.n_exact) <= 3 * l2 / (CS_W ** 0.5) + 1
+    # unbiased: the error is signed (not the CMS one-sided bias) —
+    # at least one probe in each direction or exactly zero overall
+    errs = [r.err for r in rows]
+    assert min(errs) <= 0 <= max(errs)
