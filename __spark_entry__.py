@@ -152,6 +152,7 @@ _DRIVER_ORDER_R11 = [
     "hard_negative_mining",  # new in r11
     "textrank_keywords",  # new in r11
     "count_sketch_estimates",  # new in r11
+    "burrows_delta",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -609,6 +610,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hard_negative_mining": similarity.q_hard_negative_mining,
         "textrank_keywords": text.q_textrank_keywords,
         "count_sketch_estimates": quality.q_count_sketch_estimates,
+        "burrows_delta": text.q_burrows_delta,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8856,5 +8858,44 @@ def oracle_sql() -> dict[str, str]:
         "FROM qp JOIN cells USING (r, b) GROUP BY 1, 2) "
         "SELECT term, n_exact, n_cs, n_cs - n_exact AS err "
         "FROM est ORDER BY n_exact DESC, term"
+    )
+
+    # Burrows' Delta stylometric source-distance matrix: ppm relative
+    # frequencies of the top-30 terms, integer z-like scores over the
+    # population deviation, mean absolute difference per pair
+    # (mirrors text.q_burrows_delta)
+    out["burrows_delta"] = (
+        "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) "
+        "AS term FROM documents), "
+        "tk AS (SELECT * FROM tok WHERE term <> ''), "
+        "per_src AS (SELECT source, CAST(count(*) AS BIGINT) AS tok_s "
+        "FROM tk GROUP BY 1), "
+        "cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c "
+        "FROM tk GROUP BY 1, 2), "
+        "top AS (SELECT term FROM (SELECT term, count(*) AS n FROM tk "
+        "GROUP BY 1) ORDER BY n DESC, term LIMIT 30), "
+        "grid AS (SELECT p.source, t.term, "
+        "CAST((coalesce(c.c, 0) * 1000000) // p.tok_s AS BIGINT) "
+        "AS f_ppm FROM per_src p CROSS JOIN top t "
+        "LEFT JOIN cnt c ON c.source = p.source AND c.term = t.term), "
+        "st AS (SELECT term, CAST(count(*) AS BIGINT) AS k, "
+        "CAST(sum(f_ppm) AS BIGINT) AS s, "
+        "CAST(sum(f_ppm * f_ppm) AS BIGINT) AS s2 FROM grid "
+        "GROUP BY 1), "
+        "zt AS (SELECT g.source, g.term, "
+        "k * f_ppm - s AS dev, "
+        + _isq("(k * (k * s2 - s * s))")
+        + " AS den FROM grid g JOIN st USING (term)), "
+        "z AS (SELECT source, term, CAST(CASE WHEN den <= 0 THEN 0 "
+        "WHEN dev < 0 THEN -((-dev * 1000000) // den) "
+        "ELSE (dev * 1000000) // den END AS BIGINT) AS zq FROM zt), "
+        "pairs AS (SELECT a.source AS source_a, b.source AS source_b, "
+        "CAST(count(*) AS BIGINT) AS n_terms, "
+        "CAST(sum(abs(a.zq - b.zq)) AS BIGINT) AS sabs "
+        "FROM z a JOIN z b ON a.term = b.term "
+        "AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT source_a, source_b, n_terms, "
+        "CAST(sabs // n_terms AS BIGINT) AS delta_micro "
+        "FROM pairs ORDER BY source_a, source_b"
     )
     return out

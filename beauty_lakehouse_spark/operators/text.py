@@ -3020,3 +3020,133 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TEXTRANK_TOP)
         .select(F.col("id").alias("term"), "rank")
     )
+
+
+#: Burrows' Delta geometry: the classic most-frequent-words panel.
+STYLO_TERMS = 30
+
+
+def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BURROWS' DELTA stylometric distance between SOURCES (Burrows
+    2002; Evert et al. 2017) — the authorship-attribution classic,
+    here as a source-similarity matrix the mixture designer reads
+    next to `source_vocab_overlap` (vocab overlap asks "same WORDS?";
+    Delta asks "same USAGE PROFILE of the common words?" — z-scored
+    relative frequencies of the top ``STYLO_TERMS`` corpus terms,
+    mean absolute difference across the panel).
+
+    Exact fixed point: per (term, source) the relative frequency in
+    ppm (count·10⁶ // source tokens); per term the population
+    deviation dev = k·f − Σf over the k sources and the z-like score
+    zq = dev·10⁶ trunc-div isqrt(k·Σdev²) — algebraically z·10⁶/(k·
+    √k)·... a SINGLE constant times the textbook z for every term, so
+    Delta rankings are exact (the pytest's float witness checks the
+    constant). isqrt carries its 2⁵² contract (raise, never
+    mis-rank).
+
+    Scale: token counts are map-side aggregates; everything after
+    runs on the ≤ ``STYLO_TERMS``·k dense grid and the k²/2 pair
+    table — dimension-grain, constant in corpus size.
+
+    Output: k·(k−1)/2 rows (source_a, source_b, n_terms,
+    delta_micro) with delta_micro = mean_t |zq_a − zq_b|."""
+    from ..functions import _idiv, isqrt
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        "source", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tok_s")
+    )
+    cnt = tok.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    top = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(STYLO_TERMS)
+        .select("term")
+    )
+    grid = (
+        per_src.crossJoin(F.broadcast(top))
+        .join(cnt, ["source", "term"], "left")
+        .select(
+            "source",
+            "term",
+            _idiv(
+                F.coalesce("c", F.lit(0).cast("long")) * F.lit(1_000_000),
+                F.col("tok_s"),
+            ).alias("f_ppm"),
+        )
+    )
+    stats = grid.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f_ppm").alias("s"),
+        F.sum(F.col("f_ppm") * F.col("f_ppm")).alias("s2"),
+    )
+    z = (
+        grid.join(F.broadcast(stats), "term")
+        .withColumn("dev", F.col("k") * F.col("f_ppm") - F.col("s"))
+        .withColumn(
+            "den",
+            isqrt(
+                F.when(
+                    F.col("k")
+                    * (
+                        F.col("k") * F.col("s2")
+                        - F.col("s") * F.col("s")
+                    )
+                    >= F.lit(2**52),
+                    F.raise_error(
+                        F.lit(
+                            "burrows_delta contract violated: k*sum"
+                            "(dev^2) >= 2^52 exceeds the exact isqrt "
+                            "range; shrink the term panel"
+                        )
+                    ).cast("long"),
+                ).otherwise(
+                    F.col("k")
+                    * (
+                        F.col("k") * F.col("s2")
+                        - F.col("s") * F.col("s")
+                    )
+                )
+            ),
+        )
+        .select(
+            "source",
+            "term",
+            F.when(
+                F.col("den") > 0,
+                F.when(
+                    F.col("dev") < 0,
+                    -_idiv(-F.col("dev") * F.lit(1_000_000), F.col("den")),
+                ).otherwise(
+                    _idiv(F.col("dev") * F.lit(1_000_000), F.col("den"))
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("zq"),
+        )
+    )
+    pairs = (
+        z.alias("a")
+        .join(z.alias("b"), "term")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum(F.abs(F.col("a.zq") - F.col("b.zq"))).alias("sabs"),
+        )
+    )
+    return pairs.select(
+        "source_a",
+        "source_b",
+        "n_terms",
+        _idiv(F.col("sabs"), F.col("n_terms")).alias("delta_micro"),
+    ).orderBy("source_a", "source_b")

@@ -2961,3 +2961,81 @@ def test_count_sketch_pure_python(spark, sf_dir):
     # at least one probe in each direction or exactly zero overall
     errs = [r.err for r in rows]
     assert min(errs) <= 0 <= max(errs)
+
+
+def test_burrows_delta_pure_python(spark, sf_dir):
+    """z-like scores and the pair matrix match a direct recomputation;
+    the float witness checks the zq = z*1e6/sqrt(k) identity and that
+    Delta distances track the float Burrows' Delta up to the shared
+    constant."""
+    import math
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        STYLO_TERMS,
+        q_burrows_delta,
+    )
+
+    rows = q_burrows_delta(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    cnt = defaultdict(Counter)
+    tot = Counter()
+    corp = Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        for w in text.split(" "):
+            if w:
+                cnt[src][w] += 1
+                tot[src] += 1
+                corp[w] += 1
+    sources = sorted(cnt)
+    k = len(sources)
+    top = sorted(corp, key=lambda w: (-corp[w], w))[:STYLO_TERMS]
+    f = {
+        (s, t): cnt[s].get(t, 0) * 1_000_000 // tot[s]
+        for s in sources
+        for t in top
+    }
+    zq = {}
+    zf = {}
+    for t in top:
+        vals = [f[(s, t)] for s in sources]
+        S = sum(vals)
+        s2 = sum(v * v for v in vals)
+        den = math.isqrt(k * (k * s2 - S * S))
+        mu = S / k
+        sigma = math.sqrt(max(s2 / k - mu * mu, 0))
+        for s in sources:
+            dev = k * f[(s, t)] - S
+            if den > 0:
+                zq[(s, t)] = (
+                    -((-dev * 1_000_000) // den)
+                    if dev < 0
+                    else dev * 1_000_000 // den
+                )
+            else:
+                zq[(s, t)] = 0
+            zf[(s, t)] = (f[(s, t)] - mu) / sigma if sigma else 0.0
+            # FLOAT WITNESS: zq == z * 1e6 / sqrt(k) up to flooring
+            assert abs(
+                zq[(s, t)] - zf[(s, t)] * 1_000_000 / math.sqrt(k)
+            ) <= 1.5
+    got = {(r.source_a, r.source_b): r for r in rows}
+    assert len(got) == k * (k - 1) // 2
+    for i, a in enumerate(sources):
+        for b in sources[i + 1:]:
+            r = got[(a, b)]
+            assert r.n_terms == len(top)
+            want = sum(
+                abs(zq[(a, t)] - zq[(b, t)]) for t in top
+            ) // len(top)
+            assert r.delta_micro == want
+            delta_f = sum(
+                abs(zf[(a, t)] - zf[(b, t)]) for t in top
+            ) / len(top)
+            assert abs(
+                r.delta_micro / (1_000_000 / math.sqrt(k)) - delta_f
+            ) <= 1e-4
+    # the matrix discriminates: distances vary across pairs
+    assert len({r.delta_micro for r in rows}) > 10
