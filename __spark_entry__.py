@@ -153,6 +153,7 @@ _DRIVER_ORDER_R11 = [
     "textrank_keywords",  # new in r11
     "count_sketch_estimates",  # new in r11
     "burrows_delta",  # new in r11
+    "cdc_chunks",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -476,14 +477,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry in driver-gate order (see ``_DRIVER_ORDER_R11``).
 
     The driver's correctness gate walks this dict in order under a
-    budget that has covered exactly the first 50 entries each round.
-    Round-11 policy (VERDICT r10 ask #6): residue is 0 — every oracle
-    entry has been driver-green at least once — so the front is the
-    new-in-r11 entries followed by the STALEST previously-green rows
-    (last driver-green r8 or earlier), rotating the gate through the
-    oldest verifications; the 50 rows the r10 gate just greened sit
-    near the end, and the rows-only entries (no oracle by design) are
-    dead last so no gate slot returns `no_oracle`."""
+    budget that has covered ~50 entries each round. Round-11 policy:
+    the round opened with residue 0 (every prior oracle entry driver-
+    green at least once) and then added MORE than one gate budget of
+    new oracle entries, so the front is the new-in-r11 block (the
+    gate greens the first ~50; the overflow rides the front of the
+    r12 order — the r8→r9 carry-over precedent, pinned by
+    tests/test_sql_and_plans.py::test_driver_gate_front_policy),
+    then the stalest previously-green rows; the rows-only entries
+    (no oracle by design) are dead last so no gate slot returns
+    `no_oracle`. Every entry, gate-reached or not, is hash-verified
+    in the full local replica CORRECTNESS_local.json each round."""
     base = _registry()
     missing = set(base) ^ set(_DRIVER_ORDER_R11)
     if missing:  # a registry edit must update the order list too
@@ -611,6 +615,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": text.q_textrank_keywords,
         "count_sketch_estimates": quality.q_count_sketch_estimates,
         "burrows_delta": text.q_burrows_delta,
+        "cdc_chunks": dedup.q_cdc_chunks,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8897,5 +8902,35 @@ def oracle_sql() -> dict[str, str]:
         "SELECT source_a, source_b, n_terms, "
         "CAST(sabs // n_terms AS BIGINT) AS delta_micro "
         "FROM pairs ORDER BY source_a, source_b"
+    )
+
+    # Content-defined chunking storage-dedup audit: 8-char rolling
+    # window hash, 6 trailing-zero-bit boundaries, chunk store rolled
+    # up at md5 grain (mirrors dedup.q_cdc_chunks)
+    out["cdc_chunks"] = (
+        "WITH b AS (SELECT doc_id, text, "
+        "list_concat(list_concat([CAST(0 AS BIGINT)], "
+        "list_transform(list_filter(range(8, length(text) + 1), "
+        "p -> (('0x' || substr(md5(substr(text, CAST(p - 7 AS INT), 8)), "
+        "1, 15))::BIGINT) % 64 = 0), p -> CAST(p AS BIGINT))), "
+        "[CAST(length(text) AS BIGINT)]) AS bs "
+        "FROM documents WHERE length(text) >= 8), "
+        "ch AS (SELECT doc_id, text, bs, i FROM b, "
+        "unnest(generate_series(1, len(bs) - 1)) AS s(i)), "
+        "ch2 AS (SELECT doc_id, "
+        "md5(substr(text, CAST(bs[i] + 1 AS INT), "
+        "CAST(bs[i+1] - bs[i] AS INT))) AS chunk_md5, "
+        "CAST(bs[i+1] - bs[i] AS BIGINT) AS chunk_len "
+        "FROM ch WHERE bs[i+1] > bs[i]), "
+        "store AS (SELECT chunk_md5, chunk_len, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_occ FROM ch2 GROUP BY 1, 2), "
+        "stats AS (SELECT CAST(sum(n_occ) AS BIGINT) AS total_chunks, "
+        "CAST(count(*) AS BIGINT) AS distinct_chunks FROM store), "
+        "st2 AS (SELECT *, CAST((distinct_chunks * 1000000) // "
+        "total_chunks AS BIGINT) AS stored_ratio_ppm FROM stats) "
+        "SELECT chunk_md5, chunk_len, n_docs, n_occ, total_chunks, "
+        "distinct_chunks, stored_ratio_ppm FROM store, st2 "
+        "ORDER BY n_occ DESC, n_docs DESC, chunk_md5 LIMIT 20"
     )
     return out

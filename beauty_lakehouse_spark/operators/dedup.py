@@ -1732,3 +1732,106 @@ def q_bbit_minhash_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (est_micro.cast("double") / F.lit(1e6) - true_j).alias("err"),
         )
     )
+
+
+#: CDC geometry: 8-char rolling window, boundary when the window hash
+#: has 6 trailing-zero bits (expected chunk ~64 chars). Stateless
+#: (no greedy min-length), so boundary detection is position-parallel
+#: — the property that makes it one narrow scan.
+CDC_WINDOW = 8
+CDC_MASK = 64
+CDC_TOP = 20
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING storage-dedup audit — the chunk-store
+    view of the corpus (LBFS, Muthitacharoen et al. 2001; the scheme
+    under every dedup filesystem and artifact store): cut each
+    document where the rolling 8-char window hash has
+    log2(``CDC_MASK``) trailing zero bits, so a byte insertion only
+    reshifts boundaries LOCALLY (fixed-width blocking would reshift
+    every later block — the whole point of CDC). Boundaries are
+    STATELESS here (no greedy min-length), which makes detection a
+    pure per-position predicate — one narrow scan, no sequential
+    fold — at the cost of occasional short chunks (documented; the
+    greedy variant is a sequential refinement).
+
+    Portable: the window hash is ``portable_hash64``, chunk identity
+    is md5 of the chunk text — both engines cut identical boundaries
+    and the DuckDB twin hash-matches the chunk store exactly.
+
+    Scale: boundary detection + chunk explode are map-side
+    (array-side lambdas inside codegen); the chunk-store rollup is
+    one map-side-combinable aggregate at chunk-hash grain — the
+    `chunk_dedup` shape with content-defined spans.
+
+    Output: ``CDC_TOP`` rows (chunk_md5, chunk_len, n_docs, n_occ),
+    most-shared first + attached (total_chunks, distinct_chunks,
+    stored_ratio_ppm = distinct/total)."""
+    from ..catalog import load
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    w, m = CDC_WINDOW, CDC_MASK
+    bounds = F.expr(
+        f"""concat(
+          array(0L),
+          transform(filter(sequence({w}, length(text)),
+            p -> pmod(CAST(conv(substring(md5(
+                   substring(text, p - {w - 1}, {w})), 1, 15), 16, 10)
+                 AS BIGINT), {m}) = 0), p -> CAST(p AS BIGINT)),
+          array(CAST(length(text) AS BIGINT)))"""
+    )
+    chunks = (
+        t.documents.filter(F.length("text") >= CDC_WINDOW)
+        .select("doc_id", "text", bounds.alias("bs"))
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(bs) - 1), "
+                    "i -> struct(bs[i - 1] AS lo, bs[i] AS hi)), "
+                    "s -> s.hi > s.lo)"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.expr("substring(text, s.lo + 1, CAST(s.hi - s.lo AS INT))")
+            ).alias("chunk_md5"),
+            (F.col("s.hi") - F.col("s.lo")).alias("chunk_len"),
+        )
+    )
+    store = chunks.groupBy("chunk_md5", "chunk_len").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+    )
+    stats = store.agg(
+        F.sum("n_occ").cast("long").alias("total_chunks"),
+        F.count(F.lit(1)).cast("long").alias("distinct_chunks"),
+    ).select(
+        "total_chunks",
+        "distinct_chunks",
+        _idiv(
+            F.col("distinct_chunks") * F.lit(1_000_000),
+            F.col("total_chunks"),
+        ).alias("stored_ratio_ppm"),
+    )
+    return (
+        store.orderBy(
+            F.desc("n_occ"), F.desc("n_docs"), F.asc("chunk_md5")
+        )
+        .limit(CDC_TOP)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "chunk_md5",
+            "chunk_len",
+            "n_docs",
+            "n_occ",
+            "total_chunks",
+            "distinct_chunks",
+            "stored_ratio_ppm",
+        )
+    )

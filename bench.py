@@ -259,6 +259,9 @@ HEADLINE = [
     "dp_event_histogram",     # eps-DP geometric-mechanism release (new in r11)
     "hard_negative_mining",   # ANN wrong-label margin mining (new in r11)
     "textrank_keywords",      # pagerank keyword graph over vocabulary (new in r11)
+    "count_sketch_estimates", # unbiased signed-row frequency sketch (new in r11)
+    "burrows_delta",          # stylometric z-profile source distances (new in r11)
+    "cdc_chunks",             # content-defined chunk store audit (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -655,3 +655,74 @@ def test_exactsubstr_spans_fixture_maximality(spark, sf_dir):
             lens.add(r.max_span_len)
     # the corpus produces genuinely variable span lengths
     assert len(lens) >= 3, sorted(lens)
+
+
+def test_cdc_chunks_pure_python(spark, sf_dir):
+    """Boundaries, chunk hashes, the store rollup, and the stored
+    ratio match a direct recomputation; locality pinned: a character
+    edit must only change chunks overlapping the edit window."""
+    import hashlib
+    from collections import Counter, defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.dedup import (
+        CDC_MASK,
+        CDC_TOP,
+        CDC_WINDOW,
+        q_cdc_chunks,
+    )
+
+    def cut(text: str) -> list[str]:
+        bs = [0]
+        for p in range(CDC_WINDOW, len(text) + 1):
+            win = text[p - CDC_WINDOW:p]
+            h = int(hashlib.md5(win.encode()).hexdigest()[:15], 16)
+            if h % CDC_MASK == 0:
+                bs.append(p)
+        if bs[-1] != len(text):
+            bs.append(len(text))
+        return [
+            text[lo:hi] for lo, hi in zip(bs, bs[1:]) if hi > lo
+        ]
+
+    rows = q_cdc_chunks(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    store = Counter()
+    ndocs = defaultdict(set)
+    lens = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        for c in cut(text):
+            k = hashlib.md5(c.encode()).hexdigest()
+            store[(k, len(c))] += 1
+            ndocs[(k, len(c))].add(doc_id)
+            lens[k] = len(c)
+    total = sum(store.values())
+    distinct = len(store)
+    want = sorted(
+        store.items(),
+        key=lambda kv: (-kv[1], -len(ndocs[kv[0]]), kv[0][0]),
+    )[:CDC_TOP]
+    assert [
+        (r.chunk_md5, r.chunk_len, r.n_docs, r.n_occ) for r in rows
+    ] == [
+        (k, ln, len(ndocs[(k, ln)]), n) for (k, ln), n in want
+    ]
+    g = rows[0]
+    assert (g.total_chunks, g.distinct_chunks) == (total, distinct)
+    assert g.stored_ratio_ppm == distinct * 1_000_000 // total
+    # LOCALITY: flip one char in the middle of a doc; chunks outside
+    # the affected neighborhood are byte-identical (the CDC property
+    # fixed-width blocking lacks)
+    text = docs["text"].iloc[0]
+    mid = len(text) // 2
+    edited = text[:mid] + ("X" if text[mid] != "X" else "Y") + text[mid + 1:]
+    a, b = cut(text), cut(edited)
+    # common prefix/suffix of the chunk lists survive the edit
+    pre = 0
+    while pre < min(len(a), len(b)) and a[pre] == b[pre]:
+        pre += 1
+    suf = 0
+    while suf < min(len(a), len(b)) - pre and a[-1 - suf] == b[-1 - suf]:
+        suf += 1
+    assert pre + suf >= len(a) - 3
