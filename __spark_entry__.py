@@ -154,6 +154,7 @@ _DRIVER_ORDER_R11 = [
     "count_sketch_estimates",  # new in r11
     "burrows_delta",  # new in r11
     "cdc_chunks",  # new in r11
+    "keyness_llr",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -616,6 +617,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_sketch_estimates": quality.q_count_sketch_estimates,
         "burrows_delta": text.q_burrows_delta,
         "cdc_chunks": dedup.q_cdc_chunks,
+        "keyness_llr": text.q_keyness_llr,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8932,5 +8934,35 @@ def oracle_sql() -> dict[str, str]:
         "SELECT chunk_md5, chunk_len, n_docs, n_occ, total_chunks, "
         "distinct_chunks, stored_ratio_ppm FROM store, st2 "
         "ORDER BY n_occ DESC, n_docs DESC, chunk_md5 LIMIT 20"
+    )
+
+    # Dunning log-likelihood keyness between the two source halves:
+    # ppm masses, sign-split ln_micro, G^2 desc top-20
+    # (mirrors text.q_keyness_llr)
+    out["keyness_llr"] = (
+        "WITH tok AS (SELECT CASE WHEN length(source) = 4 THEN 1 "
+        "ELSE 0 END AS is_a, unnest(string_split(text, ' ')) AS term "
+        "FROM documents), "
+        "tk AS (SELECT * FROM tok WHERE term <> ''), "
+        "grid AS (SELECT term, CAST(sum(is_a) AS BIGINT) AS a, "
+        "CAST(sum(1 - is_a) AS BIGINT) AS b FROM tk GROUP BY 1), "
+        "tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, "
+        "CAST(sum(b) AS BIGINT) AS nb FROM grid), "
+        "p AS (SELECT term, a, b, "
+        "greatest((a * 1000000) // na, 1) AS p_a, "
+        "greatest((b * 1000000) // nb, 1) AS p_b, "
+        "greatest(((a + b) * 1000000) // (na + nb), 1) AS p_pool "
+        "FROM grid, tot) "
+        "SELECT term, a AS n_a, b AS n_b, "
+        "CAST(2 * ("
+        "(CASE WHEN a = 0 THEN 0 WHEN p_a >= p_pool THEN a * ("
+        + _lnm("p_a", "p_pool")
+        + ") ELSE -(a * (" + _lnm("p_pool", "p_a") + ")) END) + "
+        "(CASE WHEN b = 0 THEN 0 WHEN p_b >= p_pool THEN b * ("
+        + _lnm("p_b", "p_pool")
+        + ") ELSE -(b * (" + _lnm("p_pool", "p_b") + ")) END)"
+        ") AS BIGINT) AS llr_micro, "
+        "CASE WHEN p_a >= p_pool THEN 'A' ELSE 'B' END AS overused_in "
+        "FROM p ORDER BY llr_micro DESC, term LIMIT 20"
     )
     return out

@@ -3150,3 +3150,85 @@ def q_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_terms",
         _idiv(F.col("sabs"), F.col("n_terms")).alias("delta_micro"),
     ).orderBy("source_a", "source_b")
+
+
+#: Keyness panel size.
+KEYNESS_TOP = 20
+
+
+def q_keyness_llr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYNESS by Dunning LOG-LIKELIHOOD RATIO (Dunning 1993 — the
+    corpus-linguistics standard for "which words characterize corpus
+    A against corpus B"; far better calibrated than chi-square on
+    sparse counts): the same two source halves the JSD entry
+    contrasts (4-char sources vs the rest), scored per term by
+
+        G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),  E_a = N_A·(a+b)/N
+
+    — emitted as the top ``KEYNESS_TOP`` terms by G² with the
+    direction (which corpus over-uses the term). Exact fixed point:
+    the corpus masses are quantized once to ppm (the
+    query-likelihood device — keeps every `ln_micro` operand under
+    the 2³¹ contract REGARDLESS of corpus size), then each ln is the
+    sign-split ``ln_micro`` of the two ppm masses; G² is a
+    deterministic quantization of the float statistic (pytest float
+    witness).
+
+    Scale: ONE term×group aggregate (map-side combinable), a 1-row
+    totals broadcast, and a TakeOrdered(20) — no window over raw
+    rows, no self-join.
+
+    Output: ``KEYNESS_TOP`` rows (term, n_a, n_b, llr_micro,
+    overused_in), G² desc."""
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    tok = t.documents.select(
+        (F.length("source") == 4).cast("long").alias("is_a"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    grid = tok.groupBy("term").agg(
+        F.sum("is_a").cast("long").alias("a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("b"),
+    )
+    tot = grid.agg(
+        F.sum("a").cast("long").alias("na"),
+        F.sum("b").cast("long").alias("nb"),
+    )
+
+    def _sln(cnt, num, den):
+        # cnt * sign-split ln_micro(num/den); 0 when cnt == 0
+        return F.when(
+            cnt == 0, F.lit(0).cast("long")
+        ).when(
+            num >= den, cnt * ln_micro(num, den)
+        ).otherwise(-(cnt * ln_micro(den, num)))
+
+    n = F.col("na") + F.col("nb")
+    p_a = F.greatest(
+        _idiv(F.col("a") * F.lit(1_000_000), F.col("na")), F.lit(1)
+    )
+    p_b = F.greatest(
+        _idiv(F.col("b") * F.lit(1_000_000), F.col("nb")), F.lit(1)
+    )
+    p_pool = F.greatest(
+        _idiv((F.col("a") + F.col("b")) * F.lit(1_000_000), n), F.lit(1)
+    )
+    scored = grid.crossJoin(F.broadcast(tot)).select(
+        "term",
+        F.col("a").alias("n_a"),
+        F.col("b").alias("n_b"),
+        (
+            2
+            * (
+                _sln(F.col("a"), p_a, p_pool)
+                + _sln(F.col("b"), p_b, p_pool)
+            )
+        ).alias("llr_micro"),
+        F.when(p_a >= p_pool, F.lit("A")).otherwise(F.lit("B")).alias(
+            "overused_in"
+        ),
+    )
+    return scored.orderBy(F.desc("llr_micro"), F.asc("term")).limit(
+        KEYNESS_TOP
+    )

@@ -3039,3 +3039,82 @@ def test_burrows_delta_pure_python(spark, sf_dir):
             ) <= 1e-4
     # the matrix discriminates: distances vary across pairs
     assert len({r.delta_micro for r in rows}) > 10
+
+
+def test_keyness_llr_pure_python(spark, sf_dir):
+    """The full scored table (not just the emitted top-20) matches a
+    direct recomputation on the quantized ppm masses; the float
+    witness tracks the textbook Dunning G^2 on the same masses."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.text import (
+        KEYNESS_TOP,
+        q_keyness_llr,
+    )
+
+    def lnm(num, den):
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    rows = q_keyness_llr(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ca, cb = Counter(), Counter()
+    for src, text in zip(docs["source"], docs["text"]):
+        tgt = ca if len(src) == 4 else cb
+        for w in text.split(" "):
+            if w:
+                tgt[w] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    n = na + nb
+    scored = {}
+    fl = {}
+    for t in set(ca) | set(cb):
+        a, b = ca.get(t, 0), cb.get(t, 0)
+        p_a = max(a * 1_000_000 // na, 1)
+        p_b = max(b * 1_000_000 // nb, 1)
+        p_p = max((a + b) * 1_000_000 // n, 1)
+
+        def sln(cnt, num, den):
+            if cnt == 0:
+                return 0
+            return cnt * lnm(num, den) if num >= den else -(
+                cnt * lnm(den, num)
+            )
+
+        scored[t] = (
+            2 * (sln(a, p_a, p_p) + sln(b, p_b, p_p)),
+            a,
+            b,
+            "A" if p_a >= p_p else "B",
+        )
+        fl[t] = 2 * (
+            (a * math.log(p_a / p_p) if a else 0.0)
+            + (b * math.log(p_b / p_p) if b else 0.0)
+        )
+    want = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[
+        :KEYNESS_TOP
+    ]
+    assert [(r.term, r.llr_micro, r.n_a, r.n_b, r.overused_in)
+            for r in rows] == [
+        (t, s, a, b, d) for t, (s, a, b, d) in want
+    ]
+    # FLOAT WITNESS: quantized G^2 tracks the float G^2 on the same
+    # masses (ln_micro ~1e-4 nats per evaluation, scaled by counts)
+    for r in rows:
+        tol = 2 * (r.n_a + r.n_b) * 2.5e-4 + 1e-3
+        assert abs(r.llr_micro / 1e6 - fl[r.term]) <= tol
+    # keyness discriminates: both directions appear in the corpus
+    dirs = {d for _t, (_s, _a, _b, d) in scored.items()}
+    assert dirs == {"A", "B"}
