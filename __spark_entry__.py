@@ -155,6 +155,7 @@ _DRIVER_ORDER_R11 = [
     "burrows_delta",  # new in r11
     "cdc_chunks",  # new in r11
     "keyness_llr",  # new in r11
+    "mlm_masks",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -618,6 +619,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burrows_delta": text.q_burrows_delta,
         "cdc_chunks": dedup.q_cdc_chunks,
         "keyness_llr": text.q_keyness_llr,
+        "mlm_masks": curation.q_mlm_masks,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -8964,5 +8966,41 @@ def oracle_sql() -> dict[str, str]:
         ") AS BIGINT) AS llr_micro, "
         "CASE WHEN p_a >= p_pool THEN 'A' ELSE 'B' END AS overused_in "
         "FROM p ORDER BY llr_micro DESC, term LIMIT 20"
+    )
+
+    # BERT MLM masking: per-position splitmix60 draw, 15% selected,
+    # 80/10/10 mask/random/keep, hash-picked vocab replacement,
+    # order-faithful reassembly (mirrors curation.q_mlm_masks)
+    out["mlm_masks"] = (
+        "WITH voc0 AS (SELECT term, count(*) AS n FROM (SELECT "
+        "unnest(string_split(text, ' ')) AS term FROM documents) "
+        "WHERE term <> '' GROUP BY term ORDER BY n DESC, term "
+        "LIMIT 100), "
+        "voc AS (SELECT list(term ORDER BY n DESC, term) AS voc "
+        "FROM voc0), "
+        "tk AS (SELECT doc_id, "
+        f"{_p64('doc_id')} AS seed, "
+        "string_split(text, ' ') AS tks FROM documents), "
+        "pos AS (SELECT doc_id, seed, i - 1 AS p, tks[i] AS tok "
+        "FROM tk, unnest(generate_series(1, len(tks))) AS s(i)), "
+        f"mx AS (SELECT doc_id, p, tok, {_smx('seed', 'p')} AS u "
+        "FROM pos), "
+        "acts AS (SELECT doc_id, p, tok, u % 100 < 15 AS sel, "
+        "(u // 100) % 10 AS act, u FROM mx), "
+        "rows0 AS (SELECT a.doc_id, a.p, "
+        "CASE WHEN NOT sel THEN tok "
+        "WHEN act < 8 THEN '[MASK]' "
+        "WHEN act = 8 THEN v.voc[CAST((u // 1000) % len(v.voc) "
+        "AS INT) + 1] ELSE tok END AS new_tok, "
+        "CASE WHEN sel AND act < 8 THEN 1 ELSE 0 END AS is_mask, "
+        "CASE WHEN sel AND act = 8 THEN 1 ELSE 0 END AS is_rand, "
+        "CASE WHEN sel AND act = 9 THEN 1 ELSE 0 END AS is_keep "
+        "FROM acts a, voc v) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(is_mask) AS BIGINT) AS n_masked, "
+        "CAST(sum(is_rand) AS BIGINT) AS n_random, "
+        "CAST(sum(is_keep) AS BIGINT) AS n_keep, "
+        "md5(string_agg(new_tok, ' ' ORDER BY p)) AS masked_md5 "
+        "FROM rows0 GROUP BY doc_id ORDER BY doc_id"
     )
     return out

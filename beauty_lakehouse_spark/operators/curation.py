@@ -2483,3 +2483,105 @@ def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: MLM geometry: 15% positions selected; of those 80% -> [MASK],
+#: 10% -> random vocab token, 10% -> kept (Devlin et al. 2019).
+MLM_VOCAB = 100
+MLM_MASK_TOKEN = "[MASK]"
+
+
+def q_mlm_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLM MASKING transform (BERT, Devlin et al. 2019) — the
+    encoder-side sibling of `span_corruption_masks` (T5) and
+    `fim_transform` (infilling): each token position draws one
+    splitmix60 uniform (seed = md5 of doc_id, stream = position);
+    15% of positions are selected, and of those 80% are replaced by
+    ``[MASK]``, 10% by a RANDOM vocabulary token (hash-picked from
+    the corpus top-``MLM_VOCAB``), 10% kept — the exact 80/10/10
+    recipe, fully deterministic and cross-engine exact, so the same
+    corpus build reproduces bit-for-bit on a backfill.
+
+    Scale: one md5 per document + a staged integer mix per position
+    (map-side); the vocabulary is a TakeOrdered(100) broadcast as a
+    1-row array (whitelisted attach); reassembly is ONE doc-grain
+    groupBy (the masked sequence must be order-faithful, so the
+    shuffle is at document grain — the minimum possible).
+
+    Output: one row per document (doc_id, n_tokens, n_masked,
+    n_random, n_keep, masked_md5)."""
+    from ..functions import splitmix60_apply
+
+    t = load(spark, sf_dir)
+    toks = (
+        t.documents.select(
+            "doc_id",
+            portable_hash64(F.col("doc_id")).alias("seed"),
+            F.posexplode(F.split("text", " ")).alias("p", "tok"),
+        )
+    )
+    mixed = splitmix60_apply(
+        toks, ["doc_id", "p", "tok"], F.col("seed"), F.col("p")
+    )
+    # collect_list order is non-deterministic — rebuild the ranked
+    # array deterministically via array_sort over (-freq, term)
+    vocab = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("term"))
+        .limit(MLM_VOCAB)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("n")).alias("k"), F.col("term"))
+                    )
+                ),
+                lambda s: s["term"],
+            ).alias("voc")
+        )
+    )
+    u = F.col("u")
+    sel = F.pmod(u, F.lit(100)) < 15
+    act = F.expr("pmod(u div 100, 10)").cast("long")
+    # the corpus may have fewer than MLM_VOCAB types: index mod the
+    # ACTUAL vocabulary size
+    repl = F.element_at(
+        F.col("voc"),
+        (F.expr("pmod(u div 1000, size(voc))") + 1).cast("int"),
+    )
+    rows = mixed.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        "p",
+        F.when(~sel, F.col("tok"))
+        .when(act < 8, F.lit(MLM_MASK_TOKEN))
+        .when(act == 8, repl)
+        .otherwise(F.col("tok"))
+        .alias("new_tok"),
+        (sel & (act < 8)).cast("long").alias("is_mask"),
+        (sel & (act == 8)).cast("long").alias("is_rand"),
+        (sel & (act == 9)).cast("long").alias("is_keep"),
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("is_mask").alias("n_masked"),
+            F.sum("is_rand").alias("n_random"),
+            F.sum("is_keep").alias("n_keep"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("p", "new_tok"))
+                        ),
+                        lambda s: s["new_tok"],
+                    ),
+                )
+            ).alias("masked_md5"),
+        )
+        .orderBy("doc_id")
+    )

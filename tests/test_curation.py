@@ -1194,3 +1194,67 @@ def test_priority_sample_pure_python(spark, sf_dir):
     )[:PRIO_K]
     assert {(-p[1]) for p in float_top} == {r.o_orderkey for r in rows}
     assert abs(est - total) / total < 0.35
+
+
+def test_mlm_masks_pure_python(spark, sf_dir):
+    """Selection, the 80/10/10 split, vocab replacement picks, and the
+    reassembled md5 all match a pure-python recomputation; the
+    corpus-level mask rate lands near 12% (15% x 80%) — the float
+    witness on the mechanism's law."""
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        MLM_MASK_TOKEN,
+        MLM_VOCAB,
+        q_mlm_masks,
+    )
+    from tests.test_quality import _splitmix60_py
+
+    rows = {r.doc_id: r for r in q_mlm_masks(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    corp = Counter()
+    for text in docs["text"]:
+        for w in text.split(" "):
+            if w:
+                corp[w] += 1
+    voc = sorted(corp, key=lambda w: (-corp[w], w))[:MLM_VOCAB]
+    tot = dict(n_tokens=0, n_masked=0, n_random=0, n_keep=0)
+    assert len(rows) == len(docs)
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        seed = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        out = []
+        nm = nr = nk = 0
+        for p, tok in enumerate(toks):
+            u = _splitmix60_py(seed, p)
+            if u % 100 < 15:
+                act = (u // 100) % 10
+                if act < 8:
+                    out.append(MLM_MASK_TOKEN)
+                    nm += 1
+                elif act == 8:
+                    out.append(voc[(u // 1000) % len(voc)])
+                    nr += 1
+                else:
+                    out.append(tok)
+                    nk += 1
+            else:
+                out.append(tok)
+        r = rows[doc_id]
+        assert (r.n_tokens, r.n_masked, r.n_random, r.n_keep) == (
+            len(toks), nm, nr, nk,
+        )
+        assert r.masked_md5 == hashlib.md5(
+            " ".join(out).encode()
+        ).hexdigest()
+        tot["n_tokens"] += len(toks)
+        tot["n_masked"] += nm
+        tot["n_random"] += nr
+        tot["n_keep"] += nk
+    # FLOAT WITNESS: the realized rates track 12% / 1.5% / 1.5%
+    assert abs(tot["n_masked"] / tot["n_tokens"] - 0.12) < 0.01
+    assert abs(tot["n_random"] / tot["n_tokens"] - 0.015) < 0.005
+    assert abs(tot["n_keep"] / tot["n_tokens"] - 0.015) < 0.005
