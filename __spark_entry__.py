@@ -156,6 +156,7 @@ _DRIVER_ORDER_R11 = [
     "cdc_chunks",  # new in r11
     "keyness_llr",  # new in r11
     "mlm_masks",  # new in r11
+    "hill_tail_index",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -620,6 +621,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks": dedup.q_cdc_chunks,
         "keyness_llr": text.q_keyness_llr,
         "mlm_masks": curation.q_mlm_masks,
+        "hill_tail_index": warehouse.q_hill_tail_index,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9002,5 +9004,28 @@ def oracle_sql() -> dict[str, str]:
         "CAST(sum(is_keep) AS BIGINT) AS n_keep, "
         "md5(string_agg(new_tok, ' ' ORDER BY p)) AS masked_md5 "
         "FROM rows0 GROUP BY doc_id ORDER BY doc_id"
+    )
+
+    # Hill tail-index of order values: top-k order statistics, exact
+    # ln_micro ratios, alpha = k*1e9 // sum (mirrors
+    # warehouse.q_hill_tail_index)
+    out["hill_tail_index"] = (
+        "WITH c AS (SELECT o_orderkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "AS cents FROM orders), "
+        "rk AS (SELECT cents, row_number() OVER (ORDER BY cents DESC, "
+        "o_orderkey) AS rank FROM c "
+        "ORDER BY cents DESC, o_orderkey LIMIT 101), "
+        "anchor AS (SELECT cents AS x_anchor_cents FROM rk "
+        "WHERE rank = 101), "
+        "rws AS (SELECT CAST(rank AS INT) AS rank, cents, "
+        "CAST(" + _lnm("cents", "x_anchor_cents") + " AS BIGINT) "
+        "AS ln_ratio_micro, x_anchor_cents "
+        "FROM rk, anchor WHERE rank <= 100), "
+        "st AS (SELECT CAST((CAST(100 AS HUGEINT) * 1000000000) // "
+        "sum(ln_ratio_micro) AS BIGINT) AS alpha_milli FROM rws) "
+        "SELECT rank, cents, ln_ratio_micro, x_anchor_cents, "
+        "alpha_milli, alpha_milli <= 2000 AS infinite_variance "
+        "FROM rws, st ORDER BY rank"
     )
     return out

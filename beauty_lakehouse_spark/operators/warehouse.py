@@ -2840,3 +2840,79 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+#: Hill estimator order statistics: top-k tail of the spend
+#: distribution (k+1 values; the (k+1)-th anchors the ratios).
+HILL_K = 100
+
+
+def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HILL TAIL-INDEX estimator (Hill 1975) of the order-value
+    distribution — the heavy-tail dial next to the Zipf/Pareto pair
+    (`zipf_law_fit` fits ranks of TERMS, `revenue_pareto_cut` reads
+    concentration; Hill estimates the tail exponent α of the VALUE
+    distribution itself): α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) over the
+    top-k order statistics. α ≤ 2 means infinite variance — the
+    skew/salting planner's cue that mean-based sizing lies.
+
+    Exact fixed point: the k ratios are cents integers through
+    ``ln_micro`` (micro-nats); α̂ in milli is one integer division of
+    k·10⁹ by the micro-nat sum. Per-row output carries each order
+    statistic and its ln ratio so the whole estimator is
+    hash-verifiable, not just the scalar.
+
+    Scale: ONE TakeOrdered(k+1) (never a global sort) + a bounded
+    window for ranks; everything else is a k-row aggregate.
+
+    Output: ``HILL_K`` rows (rank, cents, ln_ratio_micro) + attached
+    (x_anchor_cents, alpha_milli, infinite_variance)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, dec2, ln_micro
+
+    t = load(spark, sf_dir)
+    topk = (
+        t.orders.select(
+            "o_orderkey",
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .orderBy(F.desc("cents"), F.asc("o_orderkey"))
+        .limit(HILL_K + 1)
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_orderkey"))
+    ranked = topk.withColumn("rank", F.row_number().over(w))
+    anchor = ranked.filter(F.col("rank") == HILL_K + 1).select(
+        F.col("cents").alias("x_anchor_cents")
+    )
+    rows = (
+        ranked.filter(F.col("rank") <= HILL_K)
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "rank",
+            "cents",
+            "x_anchor_cents",
+            ln_micro(F.col("cents"), F.col("x_anchor_cents")).alias(
+                "ln_ratio_micro"
+            ),
+        )
+    )
+    stats = rows.agg(
+        F.sum("ln_ratio_micro").cast("long").alias("s")
+    ).select(
+        _idiv(
+            F.lit(HILL_K).cast("decimal(38,0)") * F.lit(10**9), F.col("s")
+        ).alias("alpha_milli")
+    )
+    return (
+        rows.crossJoin(F.broadcast(stats))
+        .select(
+            "rank",
+            "cents",
+            "ln_ratio_micro",
+            "x_anchor_cents",
+            "alpha_milli",
+            (F.col("alpha_milli") <= 2000).alias("infinite_variance"),
+        )
+        .orderBy("rank")
+    )

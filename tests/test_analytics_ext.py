@@ -3118,3 +3118,62 @@ def test_keyness_llr_pure_python(spark, sf_dir):
     # keyness discriminates: both directions appear in the corpus
     dirs = {d for _t, (_s, _a, _b, d) in scored.items()}
     assert dirs == {"A", "B"}
+
+
+def test_hill_tail_index_pure_python(spark, sf_dir):
+    """Order statistics, ln ratios, and alpha match a direct
+    recomputation; the float witness tracks the float Hill MLE."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        HILL_K,
+        q_hill_tail_index,
+    )
+
+    def lnm(num, den):
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    rows = sorted(
+        q_hill_tail_index(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    od = pd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    cents = sorted(
+        (
+            (round(round(tp, 2) * 100), int(ok))
+            for ok, tp in zip(od["o_orderkey"], od["o_totalprice"])
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )
+    anchor = cents[HILL_K][0]
+    assert len(rows) == HILL_K
+    s = 0
+    for i, r in enumerate(rows):
+        assert (r.rank, r.cents) == (i + 1, cents[i][0])
+        assert r.x_anchor_cents == anchor
+        assert r.ln_ratio_micro == lnm(r.cents, anchor)
+        s += r.ln_ratio_micro
+    g = rows[0]
+    assert g.alpha_milli == HILL_K * 10**9 // s
+    assert g.infinite_variance == (g.alpha_milli <= 2000)
+    # FLOAT WITNESS: alpha tracks the float Hill estimator
+    alpha_f = HILL_K / sum(
+        math.log(c / anchor) for c, _k in cents[:HILL_K]
+    )
+    assert abs(g.alpha_milli / 1e3 - alpha_f) <= 0.05
+    # spend tails are bounded-support here: alpha should be finite
+    # and positive
+    assert g.alpha_milli > 0
