@@ -157,6 +157,7 @@ _DRIVER_ORDER_R11 = [
     "keyness_llr",  # new in r11
     "mlm_masks",  # new in r11
     "hill_tail_index",  # new in r11
+    "theil_u_matrix",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -622,6 +623,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness_llr": text.q_keyness_llr,
         "mlm_masks": curation.q_mlm_masks,
         "hill_tail_index": warehouse.q_hill_tail_index,
+        "theil_u_matrix": quality.q_theil_u_matrix,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9027,5 +9029,49 @@ def oracle_sql() -> dict[str, str]:
         "SELECT rank, cents, ln_ratio_micro, x_anchor_cents, "
         "alpha_milli, alpha_milli <= 2000 AS infinite_variance "
         "FROM rws, st ORDER BY rank"
+    )
+
+    # Theil's U (uncertainty coefficient) over the 6 ordered
+    # categorical pairs: exact count-entropy identity with ln_micro
+    # (mirrors quality.q_theil_u_matrix)
+    def _theil_pair(x: str, y: str) -> str:
+        return (
+            f"(WITH cells AS (SELECT {x} AS cx, {y} AS cy, "
+            "CAST(count(*) AS BIGINT) AS c FROM tbase GROUP BY 1, 2), "
+            "xs AS (SELECT cx, CAST(sum(c) AS BIGINT) AS nx FROM cells "
+            "GROUP BY 1), "
+            "ys AS (SELECT cy, CAST(sum(c) AS BIGINT) AS cyn FROM cells "
+            "GROUP BY 1), "
+            "nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM cells), "
+            "sy AS (SELECT CAST(sum(cyn * (" + _lnm("cyn", "1") + ")) "
+            "AS HUGEINT) AS sy FROM ys), "
+            "sx AS (SELECT CAST(sum(nx * (" + _lnm("nx", "1") + ")) "
+            "AS HUGEINT) AS sx FROM xs), "
+            "sxy AS (SELECT CAST(sum(c * (" + _lnm("c", "1") + ")) "
+            "AS HUGEINT) AS sxy FROM cells), "
+            "g AS (SELECT n_total, "
+            "CAST(n_total AS HUGEINT) * (" + _lnm("n_total", "1") + ") "
+            "- sy AS a, sx - sxy AS b "
+            "FROM nt, sy, sx, sxy) "
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, n_total, "
+            "CAST(a // n_total AS BIGINT) AS h_y_micro, "
+            "CAST(b // n_total AS BIGINT) AS h_y_given_x_micro, "
+            "CAST((a - b) // n_total AS BIGINT) AS mi_micro, "
+            "CAST(((a - b) * 1000000) // a AS BIGINT) AS u_ppm FROM g)"
+        )
+
+    _axes = ["segment", "priority", "region"]
+    out["theil_u_matrix"] = (
+        "WITH tbase AS MATERIALIZED (SELECT c_mktsegment AS segment, "
+        "o_orderpriority AS priority, CAST(n_regionkey AS VARCHAR) AS "
+        "region FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey) "
+        + " UNION ALL ".join(
+            _theil_pair(x, y)
+            for x in _axes
+            for y in _axes
+            if x != y
+        )
+        + " ORDER BY col_x, col_y"
     )
     return out

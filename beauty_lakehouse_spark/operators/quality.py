@@ -4345,3 +4345,95 @@ def q_count_sketch_estimates(spark, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_exact"), F.asc("term"))
     )
+
+
+def q_theil_u_matrix(spark, sf_dir: str) -> DataFrame:
+    """THEIL'S U (uncertainty coefficient) matrix over the released
+    order view's categorical axes — the ASYMMETRIC twin of
+    `cramers_v_matrix`: V says segment and priority are associated;
+    U(y|x) = (H(y) − H(y|x)) / H(y) says how much knowing x REDUCES
+    uncertainty about y, and U(y|x) ≠ U(x|y) — the direction a
+    feature-selection pass actually needs (Theil 1970; the
+    `info_gain_features` criterion normalized to [0,1]).
+
+    Exact fixed point via the count-entropy identity
+    N·H(Y) = N·lnN − Σ_y c_y·ln c_y (every term is an integer count
+    times ``ln_micro(c, 1)`` — no ppm quantization needed at all):
+
+        A = N·ln N − Σ_y c_y ln c_y          (= N·H(Y), micro-nats)
+        B = Σ_x n_x ln n_x − Σ_xy c ln c     (= N·H(Y|X))
+        U = (A − B)/A, mi = (A − B)/N
+
+    Same N < 2³¹ count contract as the ln_micro family.
+
+    Scale: ONE fact scan builds the (segment, priority, region)
+    tuple (shared with the chisq/V entries); each of the 6 ordered
+    pairs is a ≤25-cell grid aggregate; everything downstream is
+    grid-grain.
+
+    Output: 6 rows (col_x, col_y, n_total, h_y_micro,
+    h_y_given_x_micro, mi_micro, u_ppm)."""
+    from ..catalog import load
+    from ..functions import _idiv, ln_micro
+
+    t = load(spark, sf_dir)
+    base = (
+        t.orders.select("o_custkey", "o_orderpriority")
+        .join(
+            t.customer.select("c_custkey", "c_mktsegment", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(t.nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("n_regionkey").cast("string").alias("region"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def clnc(c):
+        return c * ln_micro(c, F.lit(1))
+
+    def pair(x: str, y: str) -> DataFrame:
+        cells = base.groupBy(x, y).agg(
+            F.count(F.lit(1)).cast("long").alias("c")
+        )
+        xs = cells.groupBy(x).agg(F.sum("c").alias("nx"))
+        ys = cells.groupBy(y).agg(F.sum("c").alias("cy"))
+        n = cells.agg(F.sum("c").alias("n_total"))
+        s_y = ys.agg(F.sum(clnc(F.col("cy"))).alias("sy"))
+        s_x = xs.agg(F.sum(clnc(F.col("nx"))).alias("sx"))
+        s_xy = cells.agg(F.sum(clnc(F.col("c"))).alias("sxy"))
+        g = (
+            n.crossJoin(F.broadcast(s_y))
+            .crossJoin(F.broadcast(s_x))
+            .crossJoin(F.broadcast(s_xy))
+        )
+        a = (
+            F.col("n_total") * ln_micro(F.col("n_total"), F.lit(1))
+            - F.col("sy")
+        ).cast("decimal(38,0)")
+        b = (F.col("sx") - F.col("sxy")).cast("decimal(38,0)")
+        return g.select(
+            F.lit(x).alias("col_x"),
+            F.lit(y).alias("col_y"),
+            "n_total",
+            _idiv(a, F.col("n_total")).alias("h_y_micro"),
+            _idiv(b, F.col("n_total")).alias("h_y_given_x_micro"),
+            _idiv(a - b, F.col("n_total")).alias("mi_micro"),
+            _idiv((a - b) * F.lit(1_000_000), a).alias("u_ppm"),
+        )
+
+    axes = ["segment", "priority", "region"]
+    out = None
+    for x in axes:
+        for y in axes:
+            if x == y:
+                continue
+            p = pair(x, y)
+            out = p if out is None else out.unionByName(p)
+    return out.orderBy("col_x", "col_y")

@@ -3177,3 +3177,77 @@ def test_hill_tail_index_pure_python(spark, sf_dir):
     # spend tails are bounded-support here: alpha should be finite
     # and positive
     assert g.alpha_milli > 0
+
+
+def test_theil_u_pure_python(spark, sf_dir):
+    """Entropy ledgers and U match a direct recomputation on the
+    count identity; float witness via Shannon entropies; asymmetry
+    is live on the fixture."""
+    import math
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_theil_u_matrix
+
+    def lnm(num):
+        if num == 1:
+            return 0
+        den = 1
+        q = num // den
+        e = q.bit_length() - 1
+        x = ((num << 30) // den) >> e
+        acc = 0
+        for _ in range(16):
+            x2 = (x * x) >> 30
+            if x2 >= 1 << 31:
+                x, acc = x2 >> 1, acc * 2 + 1
+            else:
+                x, acc = x2, acc * 2
+        return ((e * (1 << 16) + acc) * 693147) >> 16
+
+    rows = {(r.col_x, r.col_y): r for r in
+            q_theil_u_matrix(spark, sf_dir).collect()}
+    assert len(rows) == 6
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    na = pd.read_parquet(f"{sf_dir}/nation.parquet")
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey").merge(
+        na, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    axes = {
+        "segment": list(j["c_mktsegment"]),
+        "priority": list(j["o_orderpriority"]),
+        "region": [str(v) for v in j["n_regionkey"]],
+    }
+    n = len(j)
+    for (xn, yn), r in rows.items():
+        xs, ys = axes[xn], axes[yn]
+        cy = Counter(ys)
+        nx = Counter(xs)
+        cxy = Counter(zip(xs, ys))
+        a = n * lnm(n) - sum(c * lnm(c) for c in cy.values())
+        b = sum(c * lnm(c) for c in nx.values()) - sum(
+            c * lnm(c) for c in cxy.values()
+        )
+        assert r.n_total == n
+        assert r.h_y_micro == a // n
+        assert r.h_y_given_x_micro == b // n
+        assert r.mi_micro == (a - b) // n
+        assert r.u_ppm == (a - b) * 1_000_000 // a
+        # FLOAT WITNESS: U tracks the Shannon formulation
+        hy = -sum(
+            c / n * math.log(c / n) for c in cy.values()
+        )
+        hyx = -sum(
+            c / n * math.log(c / nx[x])
+            for (x, _y), c in cxy.items()
+        )
+        assert abs(r.u_ppm / 1e6 - (hy - hyx) / hy) <= 2e-3
+        assert 0 <= r.u_ppm <= 1_000_000
+    # asymmetry: at least one ordered pair differs from its reverse
+    assert any(
+        rows[(x, y)].u_ppm != rows[(y, x)].u_ppm
+        for x, y in [("segment", "priority"), ("segment", "region"),
+                     ("priority", "region")]
+    )
