@@ -262,6 +262,10 @@ HEADLINE = [
     "count_sketch_estimates", # unbiased signed-row frequency sketch (new in r11)
     "burrows_delta",          # stylometric z-profile source distances (new in r11)
     "cdc_chunks",             # content-defined chunk store audit (new in r11)
+    "keyness_llr",            # Dunning G^2 corpus keyness (new in r11)
+    "mlm_masks",              # BERT 80/10/10 masking transform (new in r11)
+    "hill_tail_index",        # heavy-tail exponent over spend (new in r11)
+    "theil_u_matrix",         # asymmetric uncertainty coefficients (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -33,6 +33,20 @@ from beauty_lakehouse_spark.session import get_spark
 
 #: query -> reason a detected flag is acceptable by design.
 WHITELIST: dict[str, str] = {
+    "ams_f2_estimate": "1-row exact-F2 + median-of-means estimate broadcasts attached to the 16-row counter table",
+    "burrows_delta": "per-source totals x 30-row term-panel dense-grid mint (dimension-grain); 1-row stats attaches",
+    "cdc_chunks": "1-row chunk-store stats broadcast attached to the 20-row top-chunk report",
+    "cochran_armitage_trend": "1-row trend-statistic broadcast attached to the 5-row priority grid",
+    "effective_diameter": "1-row nf_max and crossing-round broadcasts attached to the 4-row neighborhood table",
+    "hill_tail_index": "1-row anchor order-statistic + alpha broadcasts attached to the 100-row top-k table",
+    "hits_hubs_authorities": "1-row max-score broadcast per half-step rescale (L-inf normalization; the pagerank teleport shape)",
+    "isotonic_calibration": "interval lattice + 1-row inversion-count broadcast over the <=5-row reliability table (inherits calibration_report's bounded audit)",
+    "keyness_llr": "1-row corpus-totals broadcast attached to the term grid (the tfidf scalar-subquery form)",
+    "logrank_segments": "1-row gmax-date and test-statistic broadcasts attached to subjects / the 2-row group summary",
+    "mlm_masks": "1-row top-100 vocabulary array broadcast attached to the token stream (hash-pick replacement)",
+    "priority_sample": "1-row tau-threshold and estimator broadcasts attached to the 50-row sample",
+    "query_likelihood_lm": "20-row query-term panel broadcast against doc lengths (the smoothed LM scores missing terms too — linear in docs)",
+    "theil_u_matrix": "1-row entropy-ledger broadcasts per ordered pair (grid-grain)",
     "knn_brute": "bounded exact-rerank oracle: <=20-query batch x corpus, documented",
     "knn_label_accuracy": "bounded 100-query batch x corpus brute audit (the knn_brute shape); scalable serving stays with the lsh/ivf/pq families",
     "calibration_report": "bounded 100-query batch x corpus brute audit (the knn_label_accuracy shape) + a 1-row ECE broadcast onto the <=5-row reliability table",
@@ -150,6 +164,13 @@ WHITELIST: dict[str, str] = {
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "effective_diameter": "lag over the 4-row neighborhood-function table, never raw rows",
+    "hill_tail_index": "row_number over the 101-row TakeOrdered head (the zipf_law_fit convention) — never the order domain",
+    "isotonic_calibration": "row_number/prefix sums over the <=5-row reliability table, never raw rows",
+    "logrank_segments": "risk-set cumulative sums over the duration-grain grid (the kaplan_meier_repeat convention), never raw rows",
+    "page_hinkley_drift": "prefix-sum and running-extrema ledgers over the calendar-bounded day grid (the revenue_cusum convention), never raw rows",
+    "priority_sample": "row_number over the 51-row TakeOrdered head — never the order domain",
+    "query_likelihood_lm": "row_number over the 20-row TakeOrdered df head (the bm25_topk convention); scoring windows are per-query",
     "kaplan_meier_repeat": "risk-set/survival cumulative sums over the duration-grain grid (bounded by the calendar span), never raw rows",
     "negative_sampling_table": "remainder-rank row_number over the NEG_VOCAB_CAP=65536-capped vocabulary table, never the raw term space",
     "price_drift_ks": "CDF cumulative sums over the distinct-cents VALUE-DOMAIN grid (bounded by the price domain), never raw rows — the order_value_percentiles convention",
