@@ -4392,6 +4392,11 @@ def q_theil_u_matrix(spark, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority"),
             F.col("n_regionkey").cast("string").alias("region"),
         )
+        # ONE fact-scale shuffle total: collapse to the <=625-cell
+        # 3-way cube; all 6 ordered pairs aggregate from the cube
+        # (grid-grain), not from raw rows
+        .groupBy("segment", "priority", "region")
+        .agg(F.count(F.lit(1)).cast("long").alias("c3"))
         .localCheckpoint(eager=False)
     )
 
@@ -4400,7 +4405,7 @@ def q_theil_u_matrix(spark, sf_dir: str) -> DataFrame:
 
     def pair(x: str, y: str) -> DataFrame:
         cells = base.groupBy(x, y).agg(
-            F.count(F.lit(1)).cast("long").alias("c")
+            F.sum("c3").cast("long").alias("c")
         )
         xs = cells.groupBy(x).agg(F.sum("c").alias("nx"))
         ys = cells.groupBy(y).agg(F.sum("c").alias("cy"))
