@@ -158,6 +158,7 @@ _DRIVER_ORDER_R11 = [
     "mlm_masks",  # new in r11
     "hill_tail_index",  # new in r11
     "theil_u_matrix",  # new in r11
+    "cohort_ltv",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -624,6 +625,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlm_masks": curation.q_mlm_masks,
         "hill_tail_index": warehouse.q_hill_tail_index,
         "theil_u_matrix": quality.q_theil_u_matrix,
+        "cohort_ltv": warehouse.q_cohort_ltv,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9073,5 +9075,31 @@ def oracle_sql() -> dict[str, str]:
             if x != y
         )
         + " ORDER BY col_x, col_y"
+    )
+
+    # Cohort LTV curves: first-order month cohorts, per-age revenue,
+    # partitioned cumulative, exact cents-per-customer floor
+    # (mirrors warehouse.q_cohort_ltv)
+    out["cohort_ltv"] = (
+        "WITH o AS (SELECT o_custkey, "
+        "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) "
+        "AS cents, CAST(year(o_orderdate) * 12 + month(o_orderdate) "
+        "- 1 AS BIGINT) AS m FROM orders), "
+        "fst AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY 1), "
+        "sizes AS (SELECT m0, CAST(count(*) AS BIGINT) AS n_customers "
+        "FROM fst GROUP BY 1), "
+        "grid AS (SELECT f.m0, o.m - f.m0 AS age_months, "
+        "CAST(sum(cents) AS BIGINT) AS revenue_cents "
+        "FROM o JOIN fst f USING (o_custkey) GROUP BY 1, 2), "
+        "cum AS (SELECT *, CAST(sum(revenue_cents) OVER ("
+        "PARTITION BY m0 ORDER BY age_months ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_cents "
+        "FROM grid) "
+        "SELECT CAST(m0 // 12 AS VARCHAR) || '-' || "
+        "lpad(CAST((m0 % 12) + 1 AS VARCHAR), 2, '0') AS cohort_month, "
+        "age_months, n_customers, revenue_cents, cum_revenue_cents, "
+        "CAST(cum_revenue_cents // n_customers AS BIGINT) AS ltv_cents "
+        "FROM cum JOIN sizes USING (m0) "
+        "ORDER BY cohort_month, age_months"
     )
     return out

@@ -2916,3 +2916,75 @@ def q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LIFETIME-VALUE curves — the revenue twin of
+    `cohort_retention` (that entry counts who comes BACK; this one
+    accumulates what each first-order cohort has SPENT by month age —
+    the curve a CAC/LTV decision actually reads). Cohort = calendar
+    month of the customer's first order; age = month offset; per
+    (cohort, age): cohort size, revenue landed at that age, running
+    cumulative revenue, and LTV per customer in exact integer cents
+    (floor division — the deterministic quantization).
+
+    Scale: one per-customer min (map-side combinable) broadcast back
+    onto orders (customer-grain dimension join), then a
+    (cohort × age) grid aggregate; the cumulative window is
+    PARTITIONED by cohort over the month-grain grid — bounded rows
+    per partition, never a global window.
+
+    Output: one row per (cohort_month, age_months) with
+    (n_customers, revenue_cents, cum_revenue_cents, ltv_cents)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        (
+            F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+        ).cast("long").alias("m"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("m0"))
+    sizes = first.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    grid = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (F.col("m") - F.col("m0")).alias("age_months"))
+        .agg(F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn(
+            "cum_revenue_cents",
+            F.sum("revenue_cents").over(w).cast("long"),
+        )
+        .join(sizes, "m0")
+        .select(
+            F.concat_ws(
+                "-",
+                F.expr("m0 div 12").cast("string"),
+                F.lpad(
+                    (F.pmod(F.col("m0"), F.lit(12)) + 1).cast("string"),
+                    2,
+                    "0",
+                ),
+            ).alias("cohort_month"),
+            F.col("age_months").cast("long").alias("age_months"),
+            "n_customers",
+            "revenue_cents",
+            "cum_revenue_cents",
+            _idiv(F.col("cum_revenue_cents"), F.col("n_customers")).alias(
+                "ltv_cents"
+            ),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

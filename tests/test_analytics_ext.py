@@ -3251,3 +3251,40 @@ def test_theil_u_pure_python(spark, sf_dir):
         for x, y in [("segment", "priority"), ("segment", "region"),
                      ("priority", "region")]
     )
+
+
+def test_cohort_ltv_pure_python(spark, sf_dir):
+    """Cohort assignment, grid revenue, cumulatives, and per-customer
+    LTV match a direct recomputation; float witness on the floor."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od["cents"] = (od["o_totalprice"].round(2) * 100).round().astype("int64")
+    dt = pd.to_datetime(od["o_orderdate"])
+    od["m"] = dt.dt.year * 12 + dt.dt.month - 1
+    m0 = od.groupby("o_custkey")["m"].min()
+    sizes = m0.value_counts().to_dict()
+    grid = defaultdict(int)
+    for ck, cents, m in zip(od["o_custkey"], od["cents"], od["m"]):
+        grid[(m0[ck], m - m0[ck])] += int(cents)
+    got = {(r.cohort_month, r.age_months): r for r in rows}
+    assert len(got) == len(grid)
+    for m0v in sorted({c for c, _a in grid}):
+        label = f"{m0v // 12}-{m0v % 12 + 1:02d}"
+        cum = 0
+        for age in sorted(a for c, a in grid if c == m0v):
+            cum += grid[(m0v, age)]
+            r = got[(label, age)]
+            assert r.n_customers == sizes[m0v]
+            assert r.revenue_cents == grid[(m0v, age)]
+            assert r.cum_revenue_cents == cum
+            assert r.ltv_cents == cum // sizes[m0v]
+            # FLOAT WITNESS: floor within 1 cent of the float mean
+            assert abs(r.ltv_cents - cum / sizes[m0v]) < 1
+    # the curve is monotone per cohort and non-trivial
+    assert any(r.age_months > 0 for r in rows)
