@@ -266,6 +266,7 @@ HEADLINE = [
     "mlm_masks",              # BERT 80/10/10 masking transform (new in r11)
     "hill_tail_index",        # heavy-tail exponent over spend (new in r11)
     "theil_u_matrix",         # asymmetric uncertainty coefficients (new in r11)
+    "cohort_ltv",             # first-order cohort LTV curves (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
