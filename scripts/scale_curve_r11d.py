@@ -44,6 +44,7 @@ DOC_TIERED = {
 ORD_TIERED = {
     "hill_tail_index": warehouse.q_hill_tail_index,
     "theil_u_matrix": quality.q_theil_u_matrix,
+    "cohort_ltv": warehouse.q_cohort_ltv,
 }
 
 
