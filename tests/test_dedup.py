@@ -711,6 +711,8 @@ def test_cdc_chunks_pure_python(spark, sf_dir):
     g = rows[0]
     assert (g.total_chunks, g.distinct_chunks) == (total, distinct)
     assert g.stored_ratio_ppm == distinct * 1_000_000 // total
+    # FLOAT WITNESS: the ppm floor tracks the float stored ratio
+    assert abs(g.stored_ratio_ppm / 1e6 - distinct / total) <= 1e-6
     # LOCALITY: flip one char in the middle of a doc; chunks outside
     # the affected neighborhood are byte-identical (the CDC property
     # fixed-width blocking lacks)
