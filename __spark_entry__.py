@@ -159,6 +159,7 @@ _DRIVER_ORDER_R11 = [
     "hill_tail_index",  # new in r11
     "theil_u_matrix",  # new in r11
     "cohort_ltv",  # new in r11
+    "packing_efficiency",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -626,6 +627,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hill_tail_index": warehouse.q_hill_tail_index,
         "theil_u_matrix": quality.q_theil_u_matrix,
         "cohort_ltv": warehouse.q_cohort_ltv,
+        "packing_efficiency": curation.q_packing_efficiency,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9101,5 +9103,44 @@ def oracle_sql() -> dict[str, str]:
         "CAST(cum_revenue_cents // n_customers AS BIGINT) AS ltv_cents "
         "FROM cum JOIN sizes USING (m0) "
         "ORDER BY cohort_month, age_months"
+    )
+
+    # Packing-efficiency audit: pad cost of three packing layouts
+    # over per-doc token counts, exact ceil/bucket arithmetic
+    # (mirrors curation.q_packing_efficiency; SEQ_LEN=256,
+    # LB_MIN_BUCKET=32)
+    out["packing_efficiency"] = (
+        "WITH per AS (SELECT CAST(len(string_split(text, ' ')) "
+        "AS BIGINT) AS n, "
+        "CAST((len(string_split(text, ' ')) + 255) // 256 AS BIGINT) "
+        "AS segs, "
+        "greatest(CASE WHEN len(string_split(text, ' ')) <= 1 THEN 1 "
+        "ELSE CAST(1 AS BIGINT) << length(bin(CAST("
+        "len(string_split(text, ' ')) - 1 AS BIGINT))) END, 32) "
+        "AS bucket FROM documents), "
+        "agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n) AS BIGINT) AS n_tokens, "
+        "CAST(sum(segs) AS BIGINT) AS split_seqs, "
+        "CAST(sum(segs * 256 - n) AS BIGINT) AS split_pad, "
+        "CAST(sum(CASE WHEN n > 256 THEN segs * 256 - n "
+        "ELSE bucket - n END) AS BIGINT) AS bpad, "
+        "CAST(sum(CASE WHEN n > 256 THEN segs ELSE 1 END) AS BIGINT) "
+        "AS bseqs FROM per) "
+        "SELECT 'bucket_pow2_nosplit' AS strategy, n_docs, n_tokens, "
+        "bseqs AS n_seqs, bpad AS pad_tokens, "
+        "CAST((CAST(bpad AS HUGEINT) * 1000000) // "
+        "(CAST(bseqs AS HUGEINT) * 256) AS BIGINT) AS waste_ppm "
+        "FROM agg UNION ALL "
+        "SELECT 'concat_split', n_docs, n_tokens, "
+        "(n_tokens + 255) // 256, "
+        "((n_tokens + 255) // 256) * 256 - n_tokens, "
+        "CAST(((((n_tokens + 255) // 256) * 256 - n_tokens) "
+        "* CAST(1000000 AS HUGEINT)) // "
+        "(((n_tokens + 255) // 256) * CAST(256 AS HUGEINT)) AS BIGINT) "
+        "FROM agg UNION ALL "
+        "SELECT 'no_pack_split', n_docs, n_tokens, split_seqs, "
+        "split_pad, CAST((CAST(split_pad AS HUGEINT) * 1000000) // "
+        "(CAST(split_seqs AS HUGEINT) * 256) AS BIGINT) FROM agg "
+        "ORDER BY strategy"
     )
     return out

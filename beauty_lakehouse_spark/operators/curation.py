@@ -2585,3 +2585,95 @@ def q_mlm_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PACKING-EFFICIENCY audit — how many of the training budget's
+    tokens are PAD under each packing strategy the engine implements
+    (the number a pretraining-cost review actually asks for; Krell et
+    al. 2021 report ~25–50% waste for naive padding at BERT lengths):
+
+    - ``no_pack_split``: one document per sequence run, long docs
+      split (ceil(n/L) sequences each) — pad = per-doc tail waste;
+    - ``concat_split``: the `sequence_packing` contiguous stream —
+      docs tile sequences end-to-end, pad is only the final tail
+      (the information-theoretic floor, at the cost of cross-doc
+      attention contamination);
+    - ``bucket_pow2_nosplit``: the `length_bucketed_batches` layout —
+      docs padded to their power-of-2 bucket ceiling (no splitting,
+      no contamination, bounded waste < 50%).
+
+    Every strategy's cost is an EXACT closed form over per-doc token
+    counts (ceil arithmetic / one stream total / bucket-grain sums) —
+    no simulation, no sequential fold — so the audit is one
+    map-side-combinable pass however large the corpus.
+
+    Output: 3 rows (strategy, n_docs, n_tokens, n_seqs, pad_tokens,
+    waste_ppm), ordered by strategy."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    L = SEQ_LEN
+    docs = t.documents.select(
+        F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    per = docs.select(
+        "n",
+        F.expr(f"(n + {L} - 1) div {L}").alias("segs"),
+        F.greatest(
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CASE WHEN n <= 1 THEN 0 "
+                "ELSE CAST(length(bin(n - 1)) AS INT) END)"
+            ),
+            F.lit(LB_MIN_BUCKET).cast("long"),
+        ).alias("bucket"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.sum("segs").cast("long").alias("split_seqs"),
+        F.sum(F.col("segs") * L - F.col("n")).cast("long").alias(
+            "split_pad"
+        ),
+    )
+    # bucket strategy: docs longer than L fall back to split cost
+    # (a pow-2 bucket above L is not a trainable sequence); shorter
+    # docs pad to their bucket ceiling
+    bpad = per.agg(
+        F.sum(
+            F.when(F.col("n") > L, F.col("segs") * L - F.col("n"))
+            .otherwise(F.col("bucket") - F.col("n"))
+        )
+        .cast("long")
+        .alias("pad"),
+        F.sum(
+            F.when(F.col("n") > L, F.col("segs")).otherwise(F.lit(1))
+        )
+        .cast("long")
+        .alias("seqs_equiv"),
+    )
+    rows = []
+    base = agg.crossJoin(F.broadcast(bpad))
+    stream_seqs = F.expr(f"(n_tokens + {L} - 1) div {L}")
+    for strategy, n_seqs, pad in [
+        ("bucket_pow2_nosplit", F.col("seqs_equiv"), F.col("pad")),
+        ("concat_split", stream_seqs, stream_seqs * L - F.col("n_tokens")),
+        ("no_pack_split", F.col("split_seqs"), F.col("split_pad")),
+    ]:
+        rows.append(
+            base.select(
+                F.lit(strategy).alias("strategy"),
+                "n_docs",
+                "n_tokens",
+                n_seqs.cast("long").alias("n_seqs"),
+                pad.cast("long").alias("pad_tokens"),
+                _idiv(
+                    pad.cast("decimal(38,0)") * F.lit(1_000_000),
+                    n_seqs.cast("decimal(38,0)") * F.lit(L),
+                ).alias("waste_ppm"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("strategy")

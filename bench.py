@@ -267,6 +267,7 @@ HEADLINE = [
     "hill_tail_index",        # heavy-tail exponent over spend (new in r11)
     "theil_u_matrix",         # asymmetric uncertainty coefficients (new in r11)
     "cohort_ltv",             # first-order cohort LTV curves (new in r11)
+    "packing_efficiency",     # pad-waste audit of 3 packing layouts (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

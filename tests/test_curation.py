@@ -1258,3 +1258,56 @@ def test_mlm_masks_pure_python(spark, sf_dir):
     assert abs(tot["n_masked"] / tot["n_tokens"] - 0.12) < 0.01
     assert abs(tot["n_random"] / tot["n_tokens"] - 0.015) < 0.005
     assert abs(tot["n_keep"] / tot["n_tokens"] - 0.015) < 0.005
+
+
+def test_packing_efficiency_pure_python(spark, sf_dir):
+    """Every strategy's seq/pad cost matches a direct recomputation,
+    the ordering law holds (concat <= bucket <= no_pack waste), and
+    the float witness tracks the waste fractions."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.curation import (
+        LB_MIN_BUCKET,
+        SEQ_LEN,
+        q_packing_efficiency,
+    )
+
+    rows = {r.strategy: r for r in
+            q_packing_efficiency(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ns = [len(t.split(" ")) for t in docs["text"]]
+    L = SEQ_LEN
+    total = sum(ns)
+    split_seqs = sum((n + L - 1) // L for n in ns)
+    split_pad = split_seqs * L - total
+    stream_seqs = (total + L - 1) // L
+    bpad = bseqs = 0
+    for n in ns:
+        if n > L:
+            segs = (n + L - 1) // L
+            bpad += segs * L - n
+            bseqs += segs
+        else:
+            b = max(1 << (n - 1).bit_length() if n > 1 else 1,
+                    LB_MIN_BUCKET)
+            bpad += b - n
+            bseqs += 1
+    want = {
+        "no_pack_split": (split_seqs, split_pad),
+        "concat_split": (stream_seqs, stream_seqs * L - total),
+        "bucket_pow2_nosplit": (bseqs, bpad),
+    }
+    assert set(rows) == set(want)
+    for s, (seqs, pad) in want.items():
+        r = rows[s]
+        assert (r.n_docs, r.n_tokens) == (len(ns), total)
+        assert (r.n_seqs, r.pad_tokens) == (seqs, pad)
+        assert r.waste_ppm == pad * 1_000_000 // (seqs * L)
+        # FLOAT WITNESS: ppm floor tracks the float waste fraction
+        assert abs(r.waste_ppm / 1e6 - pad / (seqs * L)) <= 1e-6
+    # the audit discriminates: stream packing is the floor
+    assert (
+        rows["concat_split"].waste_ppm
+        <= rows["bucket_pow2_nosplit"].waste_ppm
+        <= rows["no_pack_split"].waste_ppm
+    )
