@@ -160,6 +160,7 @@ _DRIVER_ORDER_R11 = [
     "theil_u_matrix",  # new in r11
     "cohort_ltv",  # new in r11
     "packing_efficiency",  # new in r11
+    "nelson_aalen_repeat",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -628,6 +629,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "theil_u_matrix": quality.q_theil_u_matrix,
         "cohort_ltv": warehouse.q_cohort_ltv,
         "packing_efficiency": curation.q_packing_efficiency,
+        "nelson_aalen_repeat": events.q_nelson_aalen_repeat,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9142,5 +9144,41 @@ def oracle_sql() -> dict[str, str]:
         "split_pad, CAST((CAST(split_pad AS HUGEINT) * 1000000) // "
         "(CAST(split_seqs AS HUGEINT) * 256) AS BIGINT) FROM agg "
         "ORDER BY strategy"
+    )
+
+    # Nelson-Aalen cumulative hazard on the KM subjects: micro d/n
+    # increments + pico Poisson variance, duration-grid ledgers
+    # (mirrors events.q_nelson_aalen_repeat)
+    out["nelson_aalen_repeat"] = (
+        "WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, "
+        "o_orderkey FROM orders), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY d, o_orderkey) AS rn FROM o), "
+        "fs AS (SELECT o_custkey, min(CASE WHEN rn = 1 THEN d END) "
+        "AS d1, min(CASE WHEN rn = 2 THEN d END) AS d2 FROM rk "
+        "WHERE rn <= 2 GROUP BY o_custkey), "
+        "gm AS (SELECT max(CAST(o_orderdate AS DATE)) AS gmax "
+        "FROM orders), "
+        "u AS (SELECT CASE WHEN d2 IS NOT NULL THEN "
+        "date_diff('day', d1, d2) ELSE date_diff('day', d1, gmax) END "
+        "AS t_days, CASE WHEN d2 IS NULL THEN 1 ELSE 0 END AS cen "
+        "FROM fs, gm), "
+        "grid AS (SELECT t_days, CAST(sum(1 - cen) AS BIGINT) "
+        "AS n_deaths, CAST(sum(cen) AS BIGINT) AS n_censored "
+        "FROM u GROUP BY t_days), "
+        "r AS (SELECT *, CAST(sum(n_deaths + n_censored) OVER ("
+        "ORDER BY t_days DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS BIGINT) AS n_risk FROM grid), "
+        "st AS (SELECT *, (n_deaths * 1000000) // n_risk AS h_step, "
+        "CAST((CAST(n_deaths AS HUGEINT) * 1000000000000) // "
+        "(CAST(n_risk AS HUGEINT) * n_risk) AS BIGINT) AS v_step "
+        "FROM r), "
+        "cm AS (SELECT *, CAST(sum(h_step) OVER (ORDER BY t_days "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS na_cum_micro, CAST(sum(v_step) OVER (ORDER BY t_days "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS var_cum_pico FROM st) "
+        "SELECT t_days, n_risk, n_deaths, n_censored, na_cum_micro, "
+        "var_cum_pico FROM cm WHERE n_deaths > 0 ORDER BY t_days"
     )
     return out

@@ -1632,3 +1632,90 @@ def q_logrank_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+def q_nelson_aalen_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON–AALEN cumulative hazard of time-to-repeat-purchase —
+    the third leg of the survival family (KM estimates S(t)
+    multiplicatively, log-rank TESTS two groups; Nelson–Aalen
+    estimates the cumulative hazard H(t) = Σ d/n additively — the
+    quantity hazard-ratio models are built on, better-behaved than
+    −ln(KM) at small risk sets). Same subjects as
+    ``q_kaplan_meier_repeat`` (first order → second, right-censored
+    at the corpus max date).
+
+    Exact fixed point: per death time the increment d·10⁶ // n
+    (micro), the Poisson variance increment d·10¹² // n² (pico),
+    both accumulated over the duration grid — deterministic
+    quantizations both engines define identically (pytest float
+    witness).
+
+    Scale: identical to km_curve — one per-customer window builds
+    subjects; the ledger runs on the calendar-bounded duration grid.
+
+    Output: one row per death time (t_days, n_risk, n_deaths,
+    n_censored, na_cum_micro, var_cum_pico)."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    o = t.orders.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+    )
+    wc = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(wc)).filter(
+        F.col("rn") <= 2
+    )
+    firsts = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("d"))).alias("d1"),
+        F.min(F.when(F.col("rn") == 2, F.col("d"))).alias("d2"),
+    )
+    gmax = t.orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("gmax")
+    )
+    u = firsts.crossJoin(F.broadcast(gmax)).select(
+        F.when(F.col("d2").isNotNull(), F.datediff("d2", "d1"))
+        .otherwise(F.datediff("gmax", "d1"))
+        .alias("t_days"),
+        F.col("d2").isNull().cast("long").alias("cen"),
+    )
+    grid = u.groupBy("t_days").agg(
+        F.sum(F.lit(1) - F.col("cen")).alias("n_deaths"),
+        F.sum("cen").alias("n_censored"),
+    )
+    w_desc = Window.orderBy(F.desc("t_days")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_asc = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = grid.withColumn(
+        "n_risk",
+        F.sum(F.col("n_deaths") + F.col("n_censored")).over(w_desc),
+    )
+    stepped = r.withColumn(
+        "h_step", _idiv(F.col("n_deaths") * F.lit(1_000_000), F.col("n_risk"))
+    ).withColumn(
+        "v_step",
+        _idiv(
+            F.col("n_deaths").cast("decimal(38,0)") * F.lit(10**12),
+            F.col("n_risk").cast("decimal(38,0)") * F.col("n_risk"),
+        ),
+    )
+    return (
+        stepped.withColumn("na_cum_micro", F.sum("h_step").over(w_asc))
+        .withColumn("var_cum_pico", F.sum("v_step").over(w_asc))
+        .filter(F.col("n_deaths") > 0)
+        .select(
+            "t_days",
+            "n_risk",
+            "n_deaths",
+            "n_censored",
+            F.col("na_cum_micro").cast("long").alias("na_cum_micro"),
+            F.col("var_cum_pico").cast("long").alias("var_cum_pico"),
+        )
+        .orderBy("t_days")
+    )

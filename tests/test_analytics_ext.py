@@ -3288,3 +3288,64 @@ def test_cohort_ltv_pure_python(spark, sf_dir):
             assert abs(r.ltv_cents - cum / sizes[m0v]) < 1
     # the curve is monotone per cohort and non-trivial
     assert any(r.age_months > 0 for r in rows)
+
+
+def test_nelson_aalen_pure_python(spark, sf_dir):
+    """The hazard ledger matches a direct recomputation on the same
+    subjects; float witness vs the textbook estimator, and the
+    NA-vs-(-ln KM) relationship holds within quantization."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_kaplan_meier_repeat,
+        q_nelson_aalen_repeat,
+    )
+
+    rows = sorted(
+        q_nelson_aalen_repeat(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    per = defaultdict(list)
+    for ck, dt in zip(od["o_custkey"], pd.to_datetime(od["o_orderdate"])):
+        if len(per[ck]) < 2:
+            per[ck].append(dt.date())
+    gmax = max(pd.to_datetime(od["o_orderdate"])).date()
+    grid = defaultdict(lambda: [0, 0])
+    for ck, ds in per.items():
+        if len(ds) == 2:
+            grid[(ds[1] - ds[0]).days][0] += 1
+        else:
+            grid[(gmax - ds[0]).days][1] += 1
+    at_risk = sum(d + c for d, c in grid.values())
+    na = var = 0
+    na_f = 0.0
+    got = iter(rows)
+    for td in sorted(grid):
+        d, c = grid[td]
+        if d > 0:
+            na += d * 1_000_000 // at_risk
+            var += d * 10**12 // (at_risk * at_risk)
+            na_f += d / at_risk
+            r = next(got)
+            assert (r.t_days, r.n_risk, r.n_deaths, r.n_censored) == (
+                td, at_risk, d, c,
+            )
+            assert r.na_cum_micro == na
+            assert r.var_cum_pico == var
+            # FLOAT WITNESS: micro ledger tracks the float estimator
+            assert abs(r.na_cum_micro / 1e6 - na_f) <= 2e-3
+        at_risk -= d + c
+    # NA >= -ln(KM) never by much: compare at the last death time
+    km = sorted(
+        q_kaplan_meier_repeat(spark, sf_dir).collect(),
+        key=lambda r: r.t_days,
+    )
+    last_km = [r for r in km if r.ln_surv_micro is not None][-1]
+    last_na = rows[-1]
+    if last_km.t_days == last_na.t_days:
+        # -ln S(t) >= H(t) (Jensen), equal to first order
+        assert -last_km.ln_surv_micro >= last_na.na_cum_micro - 2
