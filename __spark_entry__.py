@@ -161,6 +161,7 @@ _DRIVER_ORDER_R11 = [
     "cohort_ltv",  # new in r11
     "packing_efficiency",  # new in r11
     "nelson_aalen_repeat",  # new in r11
+    "revenue_pacf",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -630,6 +631,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_ltv": warehouse.q_cohort_ltv,
         "packing_efficiency": curation.q_packing_efficiency,
         "nelson_aalen_repeat": events.q_nelson_aalen_repeat,
+        "revenue_pacf": warehouse.q_revenue_pacf,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9181,4 +9183,62 @@ def oracle_sql() -> dict[str, str]:
         "SELECT t_days, n_risk, n_deaths, n_censored, na_cum_micro, "
         "var_cum_pico FROM cm WHERE n_deaths > 0 ORDER BY t_days"
     )
+
+    # PACF via Durbin-Levinson unrolled to explicit columns over the
+    # ACF oracle's quantized r_ppm values; trunc-toward-zero
+    # sign-split divisions (mirrors warehouse.q_revenue_pacf)
+    def _tdiv(num: str, den: str) -> str:
+        return (
+            f"(CASE WHEN ({num}) < 0 THEN -((-({num})) // ({den})) "
+            f"ELSE ({num}) // ({den}) END)"
+        )
+
+    _pacf_parts = [
+        "WITH acf AS (" + out["revenue_acf"] + "), "
+        "p0 AS (SELECT "
+        + ", ".join(
+            f"CAST(max(CASE WHEN lag = {k} THEN r_ppm END) AS HUGEINT) "
+            f"AS r{k}"
+            for k in range(1, 8)
+        )
+        + ", CAST(max(n_days) AS BIGINT) AS n FROM acf)"
+    ]
+    for k in range(1, 8):
+        a = f"r{k} * 1000000" + "".join(
+            f" - phi{j} * r{k - j}" for j in range(1, k)
+        )
+        b = "CAST(1000000000000 AS HUGEINT)" + "".join(
+            f" - phi{j} * r{j}" for j in range(1, k)
+        )
+        cols = ["r1", "r2", "r3", "r4", "r5", "r6", "r7", "n"]
+        cols += [f"pacf{j}" for j in range(1, k)]
+        new_pacf = _tdiv(f"({a}) * 1000000", f"({b})")
+        upd = [
+            f"phi{j} - "
+            + _tdiv(f"pacf{k} * phi{k - j}", "1000000")
+            + f" AS phi{j}"
+            for j in range(1, k)
+        ]
+        _pacf_parts.append(
+            f", q{k} AS (SELECT *, {new_pacf} AS pacf{k} "
+            f"FROM p{k - 1})"
+            f", p{k} AS (SELECT "
+            + ", ".join(cols)
+            + f", pacf{k}"
+            + ("".join(", " + u for u in upd))
+            + f", pacf{k} AS phi{k} FROM q{k})"
+        )
+    _pacf_parts.append(
+        " SELECT lag, acf_ppm, pacf_ppm, "
+        "pacf_ppm * pacf_ppm > 3841600000000 // n AS significant "
+        "FROM ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({k} AS INT) AS lag, CAST(r{k} AS BIGINT) "
+            f"AS acf_ppm, CAST(pacf{k} AS BIGINT) AS pacf_ppm, n "
+            f"FROM p7"
+            for k in range(1, 8)
+        )
+        + ") ORDER BY lag"
+    )
+    out["revenue_pacf"] = "".join(_pacf_parts)
     return out

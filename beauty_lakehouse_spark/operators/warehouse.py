@@ -2988,3 +2988,105 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+def q_revenue_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of daily revenue at lags
+    1..``ACF_MAX_LAG`` via the DURBIN–LEVINSON recursion — the second
+    half of the Box–Jenkins identification pair (`revenue_acf` reads
+    the MA signature; PACF reads the AR order: phi_kk is lag-k
+    correlation AFTER removing the shorter-lag structure).
+
+    Exact fixed point over the ACF's quantized r_ppm values, unrolled
+    to explicit columns on a 1-row frame (k = 7 is a compile-time
+    constant — no iterative fixpoint, no lists):
+
+        a_k = r_k·10⁶ − Σ_j phi_j·r_{k−j}      (10¹² scale)
+        b_k = 10¹² − Σ_j phi_j·r_j
+        phi_kk = a_k·10⁶ trunc-div b_k          (ppm, sign-split)
+        phi'_j = phi_j − phi_kk·phi_{k−j} trunc-div 10⁶
+
+    — a deterministic quantization of the float recursion (pytest
+    float witness; error ~1 ppm per arithmetic step, compounding to
+    ≤ ~10⁻⁴ at lag 7).
+
+    Scale: everything after the ACF's day-grid aggregate is 1-row
+    arithmetic; cost profile == revenue_acf's.
+
+    Output: ``ACF_MAX_LAG`` rows (lag, acf_ppm, pacf_ppm,
+    significant — the ±1.96/√n white-noise band on phi_kk)."""
+    acf = q_revenue_acf(spark, sf_dir).select("lag", "r_ppm", "n_days")
+    one = acf.groupBy().pivot("lag", list(range(1, ACF_MAX_LAG + 1))).agg(
+        F.first("r_ppm")
+    )
+    n = acf.agg(F.max("n_days").alias("n"))
+    cur = one.crossJoin(F.broadcast(n)).select(
+        *[F.col(str(k)).alias(f"r{k}") for k in range(1, ACF_MAX_LAG + 1)],
+        "n",
+    )
+
+    from ..functions import _idiv  # trunc-toward-zero for signed nums
+
+    # phi columns live in ppm longs; build up k = 1..ACF_MAX_LAG
+    phis: list = []
+    pacf_cols = []
+    for k in range(1, ACF_MAX_LAG + 1):
+        a = F.col(f"r{k}").cast("decimal(38,0)") * F.lit(10**6) - sum(
+            (
+                F.col(f"phi_{j}").cast("decimal(38,0)")
+                * F.col(f"r{k - j}")
+                for j in range(1, k)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        b = F.lit(10**12).cast("decimal(38,0)") - sum(
+            (
+                F.col(f"phi_{j}").cast("decimal(38,0)") * F.col(f"r{j}")
+                for j in range(1, k)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+        cur = cur.withColumn(
+            f"pacf_{k}", _idiv(a * F.lit(10**6), b)
+        )
+        new_phis = []
+        for j in range(1, k):
+            cur = cur.withColumn(
+                f"phi_{j}_n{k}",
+                (
+                    F.col(f"phi_{j}")
+                    - _idiv(
+                        F.col(f"pacf_{k}").cast("decimal(38,0)")
+                        * F.col(f"phi_{k - j}"),
+                        F.lit(10**6),
+                    )
+                ),
+            )
+            new_phis.append(f"phi_{j}_n{k}")
+        for j, src in enumerate(new_phis, start=1):
+            cur = cur.withColumn(f"phi_{j}__tmp{k}", F.col(src))
+        for j in range(1, k):
+            cur = cur.withColumn(f"phi_{j}", F.col(f"phi_{j}__tmp{k}"))
+        cur = cur.withColumn(f"phi_{k}", F.col(f"pacf_{k}"))
+        pacf_cols.append(f"pacf_{k}")
+    stack = ", ".join(
+        f"{k}, r{k}, pacf_{k}" for k in range(1, ACF_MAX_LAG + 1)
+    )
+    return (
+        cur.select(
+            F.expr(
+                f"stack({ACF_MAX_LAG}, {stack}) AS (lag, acf_ppm, pacf_ppm)"
+            ),
+            "n",
+        )
+        .select(
+            F.col("lag").cast("int").alias("lag"),
+            F.col("acf_ppm").cast("long").alias("acf_ppm"),
+            F.col("pacf_ppm").cast("long").alias("pacf_ppm"),
+            (
+                F.col("pacf_ppm") * F.col("pacf_ppm")
+                > F.expr("3841600000000 div n")
+            ).alias("significant"),
+        )
+        .orderBy("lag")
+    )

@@ -269,6 +269,7 @@ HEADLINE = [
     "cohort_ltv",             # first-order cohort LTV curves (new in r11)
     "packing_efficiency",     # pad-waste audit of 3 packing layouts (new in r11)
     "nelson_aalen_repeat",    # cumulative-hazard survival ledger (new in r11)
+    "revenue_pacf",           # Durbin-Levinson partial autocorrelation (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

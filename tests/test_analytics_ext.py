@@ -3349,3 +3349,62 @@ def test_nelson_aalen_pure_python(spark, sf_dir):
     if last_km.t_days == last_na.t_days:
         # -ln S(t) >= H(t) (Jensen), equal to first order
         assert -last_km.ln_surv_micro >= last_na.na_cum_micro - 2
+
+
+def test_revenue_pacf_pure_python(spark, sf_dir):
+    """The Durbin-Levinson recursion matches a direct recomputation
+    on the same quantized r_ppm values; the float witness checks the
+    quantized recursion tracks the float recursion (and at lag 1
+    PACF == ACF exactly)."""
+    from beauty_lakehouse_spark.operators.warehouse import (
+        ACF_MAX_LAG,
+        q_revenue_acf,
+        q_revenue_pacf,
+    )
+
+    rows = sorted(
+        q_revenue_pacf(spark, sf_dir).collect(), key=lambda r: r.lag
+    )
+    acf = sorted(
+        q_revenue_acf(spark, sf_dir).collect(), key=lambda r: r.lag
+    )
+    r_ppm = {a.lag: a.r_ppm for a in acf}
+    n = acf[0].n_days
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    phis: dict = {}
+    want = {}
+    phis_f: dict = {}
+    want_f = {}
+    rf = {k: v / 1e6 for k, v in r_ppm.items()}
+    for k in range(1, ACF_MAX_LAG + 1):
+        a = r_ppm[k] * 10**6 - sum(
+            phis[j] * r_ppm[k - j] for j in range(1, k)
+        )
+        b = 10**12 - sum(phis[j] * r_ppm[j] for j in range(1, k))
+        pk = tdiv(a * 10**6, b)
+        new = {
+            j: phis[j] - tdiv(pk * phis[k - j], 10**6)
+            for j in range(1, k)
+        }
+        new[k] = pk
+        phis = new
+        want[k] = pk
+        af = rf[k] - sum(phis_f.get(j, 0) * rf[k - j] for j in range(1, k))
+        bf = 1 - sum(phis_f.get(j, 0) * rf[j] for j in range(1, k))
+        pf = af / bf
+        phis_f = {
+            j: phis_f[j] - pf * phis_f[k - j] for j in range(1, k)
+        } | {k: pf}
+        want_f[k] = pf
+    for r in rows:
+        assert r.acf_ppm == r_ppm[r.lag]
+        assert r.pacf_ppm == want[r.lag]
+        assert r.significant == (
+            r.pacf_ppm**2 > 3_841_600_000_000 // n
+        )
+        # FLOAT WITNESS: quantized recursion tracks the float one
+        assert abs(r.pacf_ppm / 1e6 - want_f[r.lag]) <= 1e-4 * r.lag
+    assert rows[0].pacf_ppm == rows[0].acf_ppm
