@@ -162,6 +162,7 @@ _DRIVER_ORDER_R11 = [
     "packing_efficiency",  # new in r11
     "nelson_aalen_repeat",  # new in r11
     "revenue_pacf",  # new in r11
+    "media_dedup_clusters",  # new in r11
     # --- stalest oracle entries next (last driver-green r8 or earlier) ---
     "table_stats",
     "ivf_topk_exactint",
@@ -632,6 +633,7 @@ def _registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_efficiency": curation.q_packing_efficiency,
         "nelson_aalen_repeat": events.q_nelson_aalen_repeat,
         "revenue_pacf": warehouse.q_revenue_pacf,
+        "media_dedup_clusters": multimodal.q_media_dedup_clusters,
         "view_purchase_join_streamed": _q_view_purchase_join_streamed,
         "markov_conversion_prob": events.q_markov_conversion_prob,
         "segment_price_utest": quality.q_segment_price_utest,
@@ -9241,4 +9243,30 @@ def oracle_sql() -> dict[str, str]:
         + ") ORDER BY lag"
     )
     out["revenue_pacf"] = "".join(_pacf_parts)
+
+    # Media near-dup clusters: recursive min-label closure over the
+    # exact-int pHash pair oracle (mirrors
+    # multimodal.q_media_dedup_clusters)
+    out["media_dedup_clusters"] = (
+        "WITH RECURSIVE prs AS ("
+        + out["media_phash_pairs_exactint"]
+        + "), und AS (SELECT media_a AS src, media_b AS dst FROM prs), "
+        "edges AS (SELECT src, dst FROM und "
+        "UNION SELECT dst, src FROM und), "
+        "nodes AS (SELECT DISTINCT src AS id FROM edges), "
+        "reach(node, lbl) AS ("
+        "SELECT id, id FROM nodes "
+        "UNION "
+        "SELECT e.dst, r.lbl FROM reach r JOIN edges e "
+        "ON e.src = r.node), "
+        "comp AS (SELECT node AS media_id, min(lbl) AS cluster_id "
+        "FROM reach GROUP BY node), "
+        "sizes AS (SELECT cluster_id, CAST(count(*) AS BIGINT) "
+        "AS cluster_size FROM comp GROUP BY 1) "
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(cluster_id AS BIGINT) AS cluster_id, cluster_size, "
+        "media_id = cluster_id AS is_canonical "
+        "FROM comp JOIN sizes USING (cluster_id) "
+        "ORDER BY cluster_id, media_id"
+    )
     return out

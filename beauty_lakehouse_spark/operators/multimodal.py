@@ -1026,3 +1026,57 @@ def q_media_audio_pairs_exactint(spark, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir)
     return exactint_hash_pairs(afp_exactint(t.documents))
+
+
+def q_media_dedup_clusters(spark, sf_dir: str) -> DataFrame:
+    """MEDIA near-duplicate CLUSTERS — the multimodal endgame the text
+    side already has (`dedup_clusters`): the flagged pHash pairs
+    (`media_phash_pairs_exactint`, the banded exact-int top-20) close
+    under transitivity into canonical groups via the same
+    pointer-doubling connected-components loop, so "keep one per
+    perceptual cluster" is a join away, exactly like text dedup.
+
+    Nodes are the media ids APPEARING in flagged pairs (the cluster
+    table of the audit set — whole-corpus labels would be the same CC
+    call over all ids; the bounded form keeps the entry's cost at the
+    pair-audit scale). Cluster id = min media id reachable (the
+    dedup_clusters canonical-representative convention).
+
+    Scale: the pair generation is the banded distinct-hash-domain
+    join (the underlying entry's documented shape); the CC loop runs
+    on the flagged subgraph — O(log diameter) rounds of equi-joins.
+
+    Output: one row per clustered media id (media_id, cluster_id,
+    cluster_size, is_canonical), ordered."""
+    from pyspark.sql import functions as F
+
+    from .dedup import connected_components
+
+    # one materialization of the banded pair pipeline — nodes, the CC
+    # edge table, and every CC round read the checkpointed 20 rows
+    pairs = (
+        q_media_phash_pairs_exactint(spark, sf_dir)
+        .select(
+            F.col("media_a").alias("src"), F.col("media_b").alias("dst")
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        pairs.select(F.col("src").alias("id"))
+        .unionByName(pairs.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comp = connected_components(nodes, pairs)
+    sizes = comp.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        comp.join(sizes, "comp")
+        .select(
+            F.col("id").cast("long").alias("media_id"),
+            F.col("comp").cast("long").alias("cluster_id"),
+            "cluster_size",
+            (F.col("id") == F.col("comp")).alias("is_canonical"),
+        )
+        .orderBy("cluster_id", "media_id")
+    )

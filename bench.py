@@ -270,6 +270,7 @@ HEADLINE = [
     "packing_efficiency",     # pad-waste audit of 3 packing layouts (new in r11)
     "nelson_aalen_repeat",    # cumulative-hazard survival ledger (new in r11)
     "revenue_pacf",           # Durbin-Levinson partial autocorrelation (new in r11)
+    "media_dedup_clusters",   # perceptual-cluster closure over pHash pairs (new in r11)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

@@ -469,3 +469,45 @@ def test_afp_exactint_gain_offset_sensitivity(spark):
     assert h[0] == h[1]
     assert bin(h[0] ^ h[2]).count("1") <= multimodal.PHASH_BITS // 2
     assert h[0] != h[3]
+
+
+def test_media_dedup_clusters_pure_python(spark, sf_dir):
+    """Cluster labels are the exact transitive closure of the (already
+    oracle-verified) flagged pair set: union-find recomputation,
+    canonical = min id, sizes consistent."""
+    from beauty_lakehouse_spark.operators.multimodal import (
+        q_media_dedup_clusters,
+        q_media_phash_pairs_exactint,
+    )
+
+    pairs = [
+        (r.media_a, r.media_b)
+        for r in q_media_phash_pairs_exactint(spark, sf_dir).collect()
+    ]
+    rows = q_media_dedup_clusters(spark, sf_dir).collect()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    got = {r.media_id: r.cluster_id for r in rows}
+    assert got == want
+    from collections import Counter
+
+    sizes = Counter(want.values())
+    for r in rows:
+        assert r.cluster_size == sizes[r.cluster_id]
+        assert r.is_canonical == (r.media_id == r.cluster_id)
+    # every cluster has exactly one canonical representative and at
+    # least one cluster is non-trivial on the fixture
+    canon = [r for r in rows if r.is_canonical]
+    assert len(canon) == len(sizes)
+    assert max(sizes.values()) >= 2
