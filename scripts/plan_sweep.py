@@ -33,6 +33,9 @@ from beauty_lakehouse_spark.session import get_spark
 
 #: query -> reason a detected flag is acceptable by design.
 WHITELIST: dict[str, str] = {
+    "nelson_aalen_repeat": "1-row corpus-max-date broadcast attached to subjects (the kaplan_meier shape)",
+    "packing_efficiency": "two 1-row strategy-cost aggregates broadcast-joined (scalar compare card)",
+    "revenue_pacf": "1-row n_days attach + the unrolled Durbin-Levinson arithmetic on the pivoted 1-row frame",
     "ams_f2_estimate": "1-row exact-F2 + median-of-means estimate broadcasts attached to the 16-row counter table",
     "burrows_delta": "per-source totals x 30-row term-panel dense-grid mint (dimension-grain); 1-row stats attaches",
     "cdc_chunks": "1-row chunk-store stats broadcast attached to the 20-row top-chunk report",
@@ -164,6 +167,8 @@ WHITELIST: dict[str, str] = {
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "nelson_aalen_repeat": "risk-set/hazard cumulative sums over the duration-grain grid (the kaplan_meier_repeat convention), never raw rows",
+    "revenue_pacf": "inherits revenue_acf's day-grid windows (row_number index over the calendar-bounded grid), never raw rows",
     "effective_diameter": "lag over the 4-row neighborhood-function table, never raw rows",
     "hill_tail_index": "row_number over the 101-row TakeOrdered head (the zipf_law_fit convention) — never the order domain",
     "isotonic_calibration": "row_number/prefix sums over the <=5-row reliability table, never raw rows",
