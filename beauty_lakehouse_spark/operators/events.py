@@ -1710,7 +1710,8 @@ def q_nelson_aalen_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("var_cum_pico", F.sum("v_step").over(w_asc))
         .filter(F.col("n_deaths") > 0)
         .select(
-            "t_days",
+            # long, pairing with the oracle's BIGINT (typetags.py)
+            F.col("t_days").cast("long").alias("t_days"),
             "n_risk",
             "n_deaths",
             "n_censored",

@@ -3702,9 +3702,13 @@ def q_spearman_price_qty(spark, sf_dir: str) -> DataFrame:
         "n_parts",
         "sx",
         "sy",
-        num.cast("decimal(38,0)").alias("rho_num"),
-        denx.cast("decimal(38,0)").alias("den_x"),
-        deny.cast("decimal(38,0)").alias("den_y"),
+        # string, not decimal(38,0): the oracle ships these as VARCHAR
+        # digit strings, and cross-engine hashes must agree on both the
+        # column TYPE and the row sort the values induce (r11/r12
+        # type-pairing lesson — see typetags.py)
+        num.cast("decimal(38,0)").cast("string").alias("rho_num"),
+        denx.cast("decimal(38,0)").cast("string").alias("den_x"),
+        deny.cast("decimal(38,0)").cast("string").alias("den_y"),
         signed.cast("long").alias("rho2_signed_ppm"),
         (
             F.when(num < 0, -isqrt(rho2)).otherwise(isqrt(rho2))

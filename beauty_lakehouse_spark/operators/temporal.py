@@ -703,9 +703,10 @@ def q_temporal_gap_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
             F.count(F.lit(1)).alias("n_islands"),
             F.sum(F.datediff("e", "s") + 1).alias("covered_days"),
-            F.max(F.datediff("e", "s") + 1).alias(
-                "longest_island_days"
-            ),
+            # long, pairing with the oracle's BIGINT (typetags.py)
+            F.max(F.datediff("e", "s") + 1)
+            .cast("long")
+            .alias("longest_island_days"),
         )
         .orderBy("custkey")
     )

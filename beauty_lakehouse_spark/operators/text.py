@@ -252,7 +252,10 @@ def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.select(
         "doc_id",
         *[
-            F.size(F.regexp_extract_all("text", F.lit(pat), 0)).alias(f"n_{cls}")
+            # long, pairing with the oracle's BIGINT (typetags.py)
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{cls}")
             for cls, pat in PII_PATTERNS.items()
         ],
         F.md5(red).alias("redacted_hash"),

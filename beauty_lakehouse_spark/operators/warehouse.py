@@ -2589,8 +2589,9 @@ def q_revenue_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lag",
             "n_days",
-            "num",
-            "den",
+            # VARCHAR-paired with the oracle (typetags.py)
+            F.col("num").cast("string").alias("num"),
+            F.col("den").cast("string").alias("den"),
             "r_ppm",
             _idiv(
                 F.col("n_days")
@@ -2729,9 +2730,13 @@ def q_order_metric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric_a",
         "metric_b",
         "n_orders",
-        num.cast("decimal(38,0)").alias("r_num"),
-        den_a.cast("decimal(38,0)").alias("den_a"),
-        den_b.cast("decimal(38,0)").alias("den_b"),
+        # string, not decimal(38,0): the oracle emits VARCHAR and the
+        # driver's value hash is TYPE-TAGGED (decimal128 vs utf8 diverge
+        # on identical digits — the r11 red row). Digit strings of
+        # exact scale-0 decimals are engine-portable.
+        num.cast("decimal(38,0)").cast("string").alias("r_num"),
+        den_a.cast("decimal(38,0)").cast("string").alias("den_a"),
+        den_b.cast("decimal(38,0)").cast("string").alias("den_b"),
         F.when(num < 0, -rho2).otherwise(rho2).cast("long").alias(
             "r2_signed_ppm"
         ),
@@ -2822,7 +2827,8 @@ def q_revenue_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("day", "yyyy-MM-dd").alias("split_day"),
             F.col("t").cast("long").alias("t_idx"),
             "n_days",
-            F.col("bss_q").cast("decimal(38,0)").alias("bss_q"),
+            # VARCHAR-paired with the oracle (typetags.py)
+            F.col("bss_q").cast("decimal(38,0)").cast("string").alias("bss_q"),
             halfup_div(F.col("cum"), F.col("t"), 2).alias("mean_before"),
             halfup_div(
                 F.col("s_all") - F.col("cum"),

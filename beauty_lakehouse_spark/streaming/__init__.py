@@ -21,6 +21,8 @@ from .pipelines import (  # noqa: F401
     order_stats_value_grid,
     orders_checksum_stream,
     orders_value_sketch,
+    rate_capped_grid,
+    rate_capped_grid_finish,
     run_available_now,
     session_values,
     stream_documents,

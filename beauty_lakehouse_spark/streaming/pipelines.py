@@ -160,6 +160,68 @@ def user_purchase_totals(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def rate_capped_grid(events: DataFrame, k: int | None = None) -> DataFrame:
+    """JVM-side streaming rate-cap grid — the whole-stage-codegen twin
+    of ``stateful.rate_capped_events`` (VERDICT r11 ask #4: the Python
+    ``applyInPandasWithState`` channel floors at ~45µs per (user, hour)
+    group, ~4.3s over sf0.1's 95k keys; this form never leaves the JVM).
+
+    One built-in streaming aggregate per (user, clock hour): the kept
+    set is ``slice(array_sort(collect_list(struct(us, event_id))), k)``
+    — eviction-correct by construction (a late EARLIER event lands in
+    the list and displaces a kept row at the next emission), and the
+    per-key ``count(*)`` is a monotone version stamp (state changes ⇒
+    count strictly grows ⇒ last-version-wins picks the final snapshot).
+
+    State tradeoff vs the Pandas min-k form: that one holds ≤ k pairs
+    per key but pays the Python channel per group per batch; this one
+    holds the key's events-so-far JVM-side (naturally bounded by one
+    user's activity in one clock hour; production adds
+    ``withWatermark`` so closed hours are purged — omitted here because
+    the batch-equivalence drain must not drop late fixture slices)."""
+    from .stateful import RATE_CAP_K
+
+    kk = RATE_CAP_K if k is None else k
+    us = F.unix_micros(F.col("ts"))
+    keyed = (
+        events.select("event_id", "user_id", us.alias("us"))
+        .withColumn(
+            "hour_us", F.col("us") - F.pmod("us", F.lit(3_600_000_000))
+        )
+    )
+    return keyed.groupBy("user_id", "hour_us").agg(
+        F.slice(
+            F.array_sort(F.collect_list(F.struct("us", "event_id"))),
+            1,
+            kk,
+        ).alias("kept"),
+        F.count(F.lit(1)).alias("version"),
+    )
+
+
+def rate_capped_grid_finish(drained: DataFrame) -> DataFrame:
+    """Last-version-wins snapshot + rank explode of the drained
+    update-mode grid: identical to the batch ``q_events_rate_capped``
+    report (event_id, user_id, hour_us, rk) whatever the micro-batch
+    slicing."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "hour_us")
+    return (
+        drained.withColumn("mv", F.max("version").over(w))
+        .filter(F.col("version") == F.col("mv"))
+        .select(
+            "user_id", "hour_us", F.posexplode("kept").alias("pos", "s")
+        )
+        .select(
+            F.col("s.event_id").alias("event_id"),
+            "user_id",
+            "hour_us",
+            (F.col("pos") + 1).cast("int").alias("rk"),
+        )
+    )
+
+
 def run_available_now(
     result: DataFrame, name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -25,6 +25,7 @@ sys.path.insert(0, ".")
 
 import __spark_entry__ as entrymod
 from beauty_lakehouse_spark.session import get_spark
+from beauty_lakehouse_spark.typetags import pair_mismatches
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -75,6 +76,7 @@ def main() -> int:
         try:
             df = fn(spark, sf_dir)
             s_cols = df.columns
+            s_dtypes = df.dtypes
             s_rows = [tuple(r) for r in df.collect()]
             rec["spark_rows"] = len(s_rows)
         except Exception as e:
@@ -90,7 +92,8 @@ def main() -> int:
             continue
         try:
             res = con.sql(oracles[name])
-            d_cols = [d[0] for d in res.description]
+            d_cols = list(res.columns)
+            d_types = [str(t) for t in res.types]
             d_rows = res.fetchall()
             rec["oracle_rows"] = len(d_rows)
         except Exception as e:
@@ -100,11 +103,20 @@ def main() -> int:
             continue
         sc, sr = canon(s_cols, s_rows)
         dc, dr = canon(d_cols, d_rows)
+        # the driver's value hash is TYPE-TAGGED (r11 lesson:
+        # order_metric_correlations passed the stringified replica but
+        # failed the driver on decimal128 vs utf8) — a pass here now
+        # additionally requires every column's type tags to pair
+        type_diffs = pair_mismatches(s_dtypes, d_cols, d_types)
+        rec["type_match"] = not type_diffs
         rec["schema_match"] = sc == dc
         rec["rows_match"] = len(sr) == len(dr)
-        rec["hash_match"] = sr == dr
+        rec["hash_match"] = sr == dr and not type_diffs
         if sc != dc:
             print(f"FAIL {name}: columns {sc} vs {dc}")
+            n_fail += 1
+        elif type_diffs:
+            print(f"FAIL {name}: type-tag mismatch {type_diffs}")
             n_fail += 1
         elif len(sr) != len(dr):
             print(f"FAIL {name}: rowcount {len(sr)} vs {len(dr)}")

@@ -440,6 +440,60 @@ def test_driver_gate_front_policy():
         )
 
 
+def test_registry_dtype_pairing(spark, sf_dir):
+    """VERDICT r11 ask #2 (the CLASS behind the round's one red row):
+    the driver's value hash is TYPE-TAGGED, so a Spark DECIMAL(38,0)
+    column diverges from an oracle VARCHAR on IDENTICAL digits — and
+    the old stringifying replica couldn't see it. Registry-wide audit:
+    for every oracle-bearing entry, the Spark result dtypes must PAIR
+    (beauty_lakehouse_spark.typetags) with the DuckDB output types,
+    column by column. DuckDB side via DESCRIBE (bind only, no
+    execution); Spark side via .dtypes on the built plan."""
+    import __spark_entry__ as entrymod
+    from beauty_lakehouse_spark.typetags import pair_mismatches
+
+    con = _duckdb_con_with_views()
+    offenders = {}
+    for name, sql in sorted(entrymod.oracle_sql().items()):
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        d_cols = [r[0] for r in desc]
+        d_types = [r[1] for r in desc]
+        df = entrymod.queries()[name](spark, sf_dir)
+        diffs = pair_mismatches(df.dtypes, d_cols, d_types)
+        if diffs:
+            offenders[name] = diffs
+    assert not offenders, (
+        "entries whose Spark dtypes do not pair with their oracle's "
+        f"output types (type-tagged hash WILL diverge): {offenders}"
+    )
+
+
+def test_dtype_pairing_catches_decimal_vs_varchar():
+    """Negative control for the r11 bug class: an injected
+    decimal(38,0) ↔ VARCHAR pairing must be flagged."""
+    from beauty_lakehouse_spark.typetags import pair_mismatches
+
+    diffs = pair_mismatches(
+        [("r_num", "decimal(38,0)"), ("n", "bigint")],
+        ["r_num", "n"],
+        ["VARCHAR", "BIGINT"],
+    )
+    assert diffs == [("r_num", "decimal(38,0)", "utf8")], diffs
+    # and the documented portable pairings stay silent
+    assert not pair_mismatches(
+        [
+            ("s", "string"), ("i", "bigint"), ("d", "double"),
+            ("dt", "date"), ("ts", "timestamp"), ("b", "boolean"),
+            ("dec", "decimal(38,0)"), ("arr", "array<bigint>"),
+        ],
+        ["s", "i", "d", "dt", "ts", "b", "dec", "arr"],
+        [
+            "VARCHAR", "BIGINT", "DOUBLE", "DATE", "TIMESTAMP",
+            "BOOLEAN", "DECIMAL(38,0)", "BIGINT[]",
+        ],
+    )
+
+
 def test_oracle_type_audit_catches_uncast_integer_sum():
     """Negative control: the exact bug class (`sum(CASE…)` with no CAST
     → HUGEINT) must be flagged by the audit helper, proving the check

@@ -631,6 +631,46 @@ def test_rate_capped_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     assert _canon(got) == _canon(expected)
 
 
+def test_rate_capped_grid_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """JVM-side rate-cap twin (VERDICT r11 ask #4): same 4-file
+    hash-split eviction drill as the Pandas-state test above, but
+    through the pure-JVM ``rate_capped_grid`` streaming aggregate —
+    the gate's form. collect_list is arrival-order-sensitive but the
+    deterministic array_sort + slice on top is not, so the
+    last-version-wins snapshot must equal the batch report exactly."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.events import (
+        q_events_rate_capped,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        rate_capped_grid,
+        rate_capped_grid_finish,
+    )
+
+    src = str(tmp_path / "events_parts_rcapg")
+    from beauty_lakehouse_spark.catalog import load
+
+    ev = load(spark, sf_dir).events
+    ev.withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    drained = run_available_now(
+        rate_capped_grid(stream), "t_rcapg_mb", output_mode="update"
+    )
+    # keys really were revised across batches (count(*) version grew)
+    assert drained.filter(F.col("version") > 1).count() > 0
+    got = rate_capped_grid_finish(drained)
+    expected = q_events_rate_capped(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
+
+
 def test_kaplan_meier_streamed_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     """Split the orders fixture into 4 files and stream them one per
     micro-batch: the min-2 firsts snapshot through the shared km_curve
