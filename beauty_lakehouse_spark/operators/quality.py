@@ -3386,6 +3386,117 @@ def q_info_gain_features(spark, sf_dir: str) -> DataFrame:
 KRUSKAL_CHI2_PPM = 9_487_700
 
 
+#: KS contract: the cross-multiplied D numerator is |c1·n2 − c2·n1| ≤
+#: n1·n2 and the significance compare squares it, so n1·n2 must stay
+#: below 10^16 for the ×10⁶-lifted square to fit DECIMAL(38,0).
+KS_MAX_N1N2 = 10_000_000_000_000_000
+
+
+def ks_grid(events: DataFrame) -> DataFrame:
+    """The (cents, n_purchase, n_view) count grid the KS statistic is
+    computed FROM — additive and order-insensitive, so the same
+    expression is a batch aggregate here and a complete-mode streaming
+    aggregate in `streaming.pipelines.ks_value_grid`. Grid size is the
+    DISTINCT VALUE DOMAIN (bounded by the price range), not rows."""
+    e = events.filter(F.col("event_type").isin("purchase", "view")).select(
+        F.col("event_type").alias("side"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    return e.groupBy("cents").agg(
+        F.sum((F.col("side") == "purchase").cast("long")).alias("n_p"),
+        F.sum((F.col("side") == "view").cast("long")).alias("n_v"),
+    )
+
+
+def ks_finish(grid: DataFrame) -> DataFrame:
+    """Two-sample KOLMOGOROV–SMIRNOV over the drained count grid:
+    D = max_v |F̂₁(v) − F̂₂(v)| kept as the exact cross-multiplied
+    integer |c1(v)·n2 − c2(v)·n1| (no division until the final ppm),
+    argmax location ties broken to the smallest cents. Significance at
+    α = 0.05 by the asymptotic two-sample bound c(α)·√((n1+n2)/(n1·n2))
+    with c = 1.358, compared in the SQUARED integer domain:
+
+        reject ⟺ maxdiff²·10⁶ > 1 844 164·(n1+n2)·n1·n2
+
+    — no sqrt, no float; both engines agree bit-for-bit. Guarded: the
+    squared compare needs n1·n2 ≤ KS_MAX_N1N2 inside DECIMAL(38,0)
+    (raise beyond — value-based, like the correlation contract).
+
+    Scale: the cumulative window runs over the bounded value domain;
+    everything else is one 1-row collapse."""
+    from pyspark.sql import Window
+
+    from ..functions import _idiv
+
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grid.select(
+        "cents",
+        F.sum("n_p").over(w).alias("c_p"),
+        F.sum("n_v").over(w).alias("c_v"),
+    )
+    tot = grid.agg(
+        F.sum("n_p").cast("long").alias("n_p"),
+        F.sum("n_v").cast("long").alias("n_v"),
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "cents",
+        "n_p",
+        "n_v",
+        F.abs(
+            dd(F.col("c_p")) * F.col("n_v") - dd(F.col("c_v")) * F.col("n_p")
+        ).alias("dnum"),
+    )
+    # argmax with min-cents tie-break: max over the (bounded) grid,
+    # keep the rows attaining it, take the smallest location
+    best = (
+        diffs.withColumn(
+            "maxdiff", F.max("dnum").over(Window.partitionBy("n_p", "n_v"))
+        )
+        .filter(F.col("dnum") == F.col("maxdiff"))
+        .groupBy("n_p", "n_v", "maxdiff")
+        .agg(F.min("cents").alias("at_cents"))
+    )
+    n1n2 = F.when(
+        dd(F.col("n_p")) * F.col("n_v") > F.lit(KS_MAX_N1N2).cast(
+            "decimal(38,0)"
+        ),
+        F.raise_error(
+            F.lit(
+                "KS contract violated: n1*n2 > 1e16 lets maxdiff^2*1e6 "
+                "pass DECIMAL(38,0); sample upstream"
+            )
+        ).cast("decimal(38,0)"),
+    ).otherwise(dd(F.col("n_p")) * F.col("n_v"))
+    return best.select(
+        "n_p",
+        "n_v",
+        _idiv(F.col("maxdiff") * F.lit(1_000_000), n1n2).alias("d_ppm"),
+        F.col("at_cents").cast("long").alias("at_cents"),
+        (
+            F.col("maxdiff") * F.col("maxdiff") * F.lit(1_000_000)
+            > F.lit(1_844_164).cast("decimal(38,0)")
+            * (dd(F.col("n_p")) + F.col("n_v"))
+            * n1n2
+        ).alias("significant_05"),
+    )
+
+
+def q_ks_two_sample(spark, sf_dir: str) -> DataFrame:
+    """Two-sample KS test: does the VALUE DISTRIBUTION of purchase
+    events differ from view events anywhere (not just in location —
+    the U test's question)? See `ks_finish` for the exact integer
+    construction; this is the batch form over `ks_grid`.
+
+    Output: 1 row (n_p, n_v, d_ppm, at_cents, significant_05)."""
+    from ..catalog import load
+
+    t = load(spark, sf_dir)
+    return ks_finish(ks_grid(t.events))
+
+
 def q_kruskal_wallis_segments(spark, sf_dir: str) -> DataFrame:
     """KRUSKAL–WALLIS H test across ALL FIVE market segments on order
     value — the k-group generalization closing the location-test

@@ -287,7 +287,10 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         money_round(dec2("p_retailprice") * F.lit("1.19").cast("decimal(3,2)")).alias(
             "price_vat"
         ),
-        F.least(F.greatest(F.col("p_size"), F.lit(5)), F.lit(40)).alias("size_clip"),
+        # long, pairing with the oracle's BIGINT (typetags.py)
+        F.least(F.greatest(F.col("p_size"), F.lit(5)), F.lit(40))
+        .cast("long")
+        .alias("size_clip"),
         (F.col("p_partkey") % 10).cast("int").alias("bucket"),
         F.length(F.col("p_name")).alias("name_len"),
     )

@@ -984,3 +984,161 @@ def ph_finish(daily: DataFrame) -> DataFrame:
         (F.col("ph_up_ppm") > PH_LAMBDA_PPM).alias("alarm_up"),
         (F.col("ph_dn_ppm") > PH_LAMBDA_PPM).alias("alarm_dn"),
     ).orderBy("day")
+
+
+#: R/S analysis block sizes (powers of two so every ln(n) spacing is
+#: uniform) and the isqrt contract bound for the squared R/S ratio.
+HURST_SCALES = [16, 32, 64, 128, 256]
+HURST_RS2_MAX = 1 << 52
+
+
+def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HURST EXPONENT of daily revenue by RESCALED-RANGE (R/S)
+    analysis (Hurst 1951; Mandelbrot & Wallis 1969) — the long-memory
+    diagnostic next to the family's detectors (`revenue_runs_test`
+    asks "random?", ACF/PACF measure linear memory at fixed lags; the
+    Hurst slope summarizes persistence across ALL horizons: H ≈ 0.5
+    random walk, H > 0.5 trending, H < 0.5 mean-reverting).
+
+    For each block size n in ``HURST_SCALES``: split the day-indexed
+    series into complete blocks, and per block keep the classic
+    statistic as EXACT integers by clearing the block mean's
+    denominator — with S_b the block sum and cum_t the prefix sum,
+
+        W_t = n·cum_t − t·S_b          (= n · mean-adjusted Z_t)
+        R'  = max W − min W            (= n · R;  W_n = 0 anchors 0)
+        V_b = Σ_t (n·x_t − S_b)²       (= n³ · S²,  DECIMAL(38,0))
+        (R/S)²·10⁶ = R'²·n·10⁶ // V_b  (scale-free, guarded < 2^52)
+
+    so rs_milli = isqrt((R/S)²·10⁶) is exact in both engines. Per
+    scale, blocks average to avg_rs_milli (exact floor), and the
+    Hurst slope is the cross-multiplied integer OLS of
+    ln_micro(avg_rs_milli/1000) on ln_micro(n) — the
+    `nation_revenue_trend` kit over 5 points, sign-split division so
+    truncation agrees cross-engine.
+
+    Scale: fact → day grain is one shuffle; blocks and windows live on
+    the calendar-bounded day grid; the fit collapses 5 rows. Blocks
+    with zero variance or R/S < 1 are dropped deterministically (both
+    engines share the rule).
+
+    Output: one row per surviving scale (block_n, n_blocks,
+    avg_rs_milli, ln_n_micro, ln_rs_micro) + the shared hurst_milli."""
+    from ..functions import _idiv, dec2, isqrt, ln_micro
+
+    t = load(spark, sf_dir)
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    daily = (
+        t.orders.select(
+            F.to_date("o_orderdate").alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("rev"),
+        )
+        .groupBy("day")
+        .agg(F.sum("rev").alias("rev"))
+    )
+    # day index over the bounded calendar grid (the
+    # revenue_changepoint convention)
+    idx = (
+        daily.withColumn(
+            "idx", F.row_number().over(Window.orderBy("day")) - 1
+        )
+        .withColumn(
+            "block_n",
+            F.explode(F.array(*[F.lit(n) for n in HURST_SCALES])),
+        )
+        .withColumn("blk", F.expr("idx div block_n"))
+        .withColumn("tpos", (F.col("idx") % F.col("block_n")).cast("long"))
+    )
+    wb = Window.partitionBy("block_n", "blk").orderBy("tpos")
+    wp = Window.partitionBy("block_n", "blk")
+    rows = idx.select(
+        "block_n",
+        "blk",
+        "rev",
+        F.sum("rev").over(wb.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+        (F.col("tpos") + 1).alias("t"),
+        F.sum("rev").over(wp).alias("sb"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    ).filter(F.col("cnt") == F.col("block_n"))
+    w = F.col("block_n") * F.col("cum") - F.col("t") * F.col("sb")
+    blocks = rows.groupBy("block_n", "blk").agg(
+        (F.max(w) - F.min(w)).alias("rp"),
+        F.sum(
+            (dd(F.col("block_n")) * F.col("rev") - F.col("sb"))
+            * (dd(F.col("block_n")) * F.col("rev") - F.col("sb"))
+        ).alias("vb"),
+    ).filter(F.col("vb") > 0)
+    rs2 = _idiv(
+        dd(F.col("rp")) * F.col("rp") * F.col("block_n") * F.lit(1_000_000),
+        F.col("vb"),
+    )
+    scored = blocks.select(
+        "block_n",
+        F.when(
+            F.lit(True),
+            F.when(
+                rs2 >= F.lit(HURST_RS2_MAX),
+                F.raise_error(
+                    F.lit(
+                        "hurst contract violated: (R/S)^2*1e6 >= 2^52 "
+                        "breaks exact isqrt; rescale upstream"
+                    )
+                ).cast("long"),
+            ).otherwise(isqrt(rs2)),
+        ).alias("rs_milli"),
+    )
+    per_scale = (
+        scored.groupBy("block_n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum("rs_milli").alias("rs_sum"),
+        )
+        .select(
+            "block_n",
+            "n_blocks",
+            _idiv(dd(F.col("rs_sum")), F.col("n_blocks")).alias(
+                "avg_rs_milli"
+            ),
+        )
+        .filter(F.col("avg_rs_milli") >= 1000)
+        .select(
+            F.col("block_n").cast("long").alias("block_n"),
+            "n_blocks",
+            "avg_rs_milli",
+            ln_micro(F.col("block_n"), F.lit(1)).alias("ln_n_micro"),
+            ln_micro(F.col("avg_rs_milli"), F.lit(1000)).alias(
+                "ln_rs_micro"
+            ),
+        )
+    )
+    fit = per_scale.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ln_n_micro").alias("sx"),
+        F.sum("ln_rs_micro").alias("sy"),
+        F.sum(dd(F.col("ln_n_micro")) * F.col("ln_rs_micro")).alias("sxy"),
+        F.sum(dd(F.col("ln_n_micro")) * F.col("ln_n_micro")).alias("sxx"),
+    ).select(
+        (
+            dd(F.col("k")) * F.col("sxy") - dd(F.col("sx")) * F.col("sy")
+        ).alias("num"),
+        (
+            dd(F.col("k")) * F.col("sxx") - dd(F.col("sx")) * F.col("sx")
+        ).alias("den"),
+    )
+    slope = F.when(
+        F.col("num") < 0,
+        -_idiv(-F.col("num") * F.lit(1000), F.col("den")),
+    ).otherwise(_idiv(F.col("num") * F.lit(1000), F.col("den")))
+    return (
+        per_scale.crossJoin(F.broadcast(fit.select(slope.alias("hurst_milli"))))
+        .select(
+            "block_n",
+            "n_blocks",
+            "avg_rs_milli",
+            "ln_n_micro",
+            "ln_rs_micro",
+            "hurst_milli",
+        )
+        .orderBy("block_n")
+    )

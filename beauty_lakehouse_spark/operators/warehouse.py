@@ -462,6 +462,98 @@ def q_customer_spend_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LORENZ CURVE of customer lifetime spend in deciles — the
+    concentration picture behind the scalar `revenue_gini`: decile d's
+    cumulative share of total spend, poorest first ("the bottom 50% of
+    customers carry X% of revenue"). Exact ntile(10) by (spend asc,
+    custkey asc), integer cents throughout, cumulative share in ppm
+    via exact floor division — bit-identical to the DuckDB twin.
+
+    Same two-level exact-global-rank decomposition as
+    `customer_spend_ntile` (ascending flavor): bucket by floor(spend)
+    so ascending bucket order IS ascending spend order, per-bucket
+    counts give cumulative offsets over the BOUNDED bucket table (the
+    only unpartitioned window), row_number within bucket + offset is
+    the exact global rank, and ntile's uneven-tile arithmetic is
+    integer expressions — no 10⁹-customer single-reducer sort.
+
+    Output: 10 rows (decile, n_customers, decile_cents, cum_cents,
+    cum_share_ppm)."""
+    from ..functions import _idiv
+
+    t = load(spark, sf_dir)
+    spend = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            (F.sum(dec2("o_totalprice")) * 100).cast("long").alias("cents")
+        )
+        .withColumn("bucket", F.expr("cents div 100"))
+    )
+    offsets = (
+        spend.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    wb = Window.partitionBy("bucket").orderBy(
+        F.asc("cents"), F.asc("o_custkey")
+    )
+    n_total = spend.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        spend.join(F.broadcast(offsets), "bucket")
+        .withColumn("rk", F.row_number().over(wb) + F.col("offset"))
+        .crossJoin(F.broadcast(n_total))
+    )
+    head = (F.col("n") % 10) * (F.expr("n div 10") + 1)
+    tile = F.when(
+        F.col("rk") <= head,
+        F.expr("(rk + (n div 10) + 1 - 1) div ((n div 10) + 1)"),
+    ).otherwise(
+        F.col("n") % 10
+        + F.expr(
+            "(rk - (n % 10) * ((n div 10) + 1) + greatest(n div 10, 1L) - 1) "
+            "div greatest(n div 10, 1L)"
+        )
+    )
+    per = (
+        ranked.withColumn("decile", tile.cast("int"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("decile_cents"),
+        )
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10-row table: the unpartitioned window is bounded by design
+    tot = per.agg(F.sum("decile_cents").alias("tot"))
+    return (
+        per.withColumn("cum_cents", F.sum("decile_cents").over(wc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "decile_cents",
+            F.col("cum_cents").cast("long").alias("cum_cents"),
+            _idiv(F.col("cum_cents") * F.lit(1_000_000), F.col("tot")).alias(
+                "cum_share_ppm"
+            ),
+        )
+        .orderBy("decile")
+    )
+
+
 def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The correlated-subquery shape (orders costlier than their
     customer's average) in one window pass — no self-join, no

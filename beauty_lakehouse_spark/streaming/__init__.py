@@ -15,6 +15,7 @@ from .pipelines import (  # noqa: F401
     hll_register_stream,
     hourly_user_hll_registers,
     hourly_event_counts,
+    ks_value_grid,
     multires_minute_values,
     nb_token_counts,
     latest_event_table,

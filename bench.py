@@ -271,6 +271,11 @@ HEADLINE = [
     "nelson_aalen_repeat",    # cumulative-hazard survival ledger (new in r11)
     "revenue_pacf",           # Durbin-Levinson partial autocorrelation (new in r11)
     "media_dedup_clusters",   # perceptual-cluster closure over pHash pairs (new in r11)
+    "lorenz_customer_deciles",  # exact-ntile Lorenz concentration curve (new in r12)
+    "ks_two_sample",          # two-sample KS on the bounded value grid (new in r12)
+    "hurst_rs",               # rescaled-range Hurst exponent (new in r12)
+    "media_phash_pairs_pngcodec",  # pHash THROUGH the real PNG codec (new in r12)
+    "media_dedup_maintained", # CoW-merged pHash index = rebuild IVM law (new in r12)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

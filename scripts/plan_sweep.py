@@ -118,6 +118,9 @@ WHITELIST: dict[str, str] = {
     "info_gain_features": "dictionary-grain cell tables x 1-row total broadcast attaches (the categorical_entropy shape)",
     "deterministic_random_walks": "40-row walk frontier x 4-walk cross join seed expansion; per-step equi-joins against the ranked adjacency",
     "sprt_decision": "1-row totals x 1-row first-crossing broadcast attach",
+    "lorenz_customer_deciles": "1-row customer-count/total broadcasts (ntile + share denominators); unpartitioned windows run over the bounded price-bucket table and the 10-row decile table (the customer_spend_ntile two-level-rank shape)",
+    "ks_two_sample": "1-row (n_p, n_v) totals broadcast; cumulative/argmax windows run over the bounded distinct-cents VALUE DOMAIN, never raw rows",
+    "hurst_rs": "1-row OLS-fit broadcast onto the 5-row scale table; the day-index row_number runs over the calendar-bounded day grid (the revenue_changepoint convention)",
     "sprt_streamed": "same 1-row attaches as sprt_decision over the drained grid",
     "revenue_runs_test": "1-row median / day-count broadcast attaches over the bounded day grid",
     "rrf_fusion_exactint": "inherits the two exact-int serving paths' bounded shapes (20-query batch, broadcast seed/centroid rows)",
@@ -230,6 +233,9 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "cardinality_sketches": "stack over 1-row aggregate",
     "kmeans_round": "row_number over the k-row seed table (limit(KMEANS_K), k=8)",
     "quantile_sketches": "stack over 1-row aggregate",
+    "lorenz_customer_deciles": "cumulative windows over the bounded price-bucket table and the 10-row decile table (the customer_spend_ntile two-level-rank shape)",
+    "ks_two_sample": "cumulative/argmax windows over the bounded distinct-cents VALUE DOMAIN, never raw rows",
+    "hurst_rs": "day-index row_number over the calendar-bounded day grid (the revenue_changepoint convention)",
 }
 
 

@@ -3408,3 +3408,138 @@ def test_revenue_pacf_pure_python(spark, sf_dir):
         # FLOAT WITNESS: quantized recursion tracks the float one
         assert abs(r.pacf_ppm / 1e6 - want_f[r.lag]) <= 1e-4 * r.lag
     assert rows[0].pacf_ppm == rows[0].acf_ppm
+
+
+def test_lorenz_deciles_pure_python(spark, sf_dir):
+    """Decile membership (exact ascending ntile), per-decile cents, and
+    cumulative ppm shares match the direct pandas computation."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_lorenz_customer_deciles,
+    )
+
+    rows = {r.decile: r for r in q_lorenz_customer_deciles(spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, 11))
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    spend = (
+        od.assign(cents=(od["o_totalprice"] * 100).round().astype(int))
+        .groupby("o_custkey")["cents"]
+        .sum()
+        .reset_index()
+        .sort_values(["cents", "o_custkey"])
+        .reset_index(drop=True)
+    )
+    n = len(spend)
+    b, r = divmod(n, 10)
+    # ntile: first r tiles size b+1, rest size b
+    sizes = [b + 1] * r + [b] * (10 - r)
+    tot = int(spend["cents"].sum())
+    pos, cum = 0, 0
+    for d, size in enumerate(sizes, start=1):
+        seg = spend.iloc[pos : pos + size]
+        cum += int(seg["cents"].sum())
+        assert rows[d].n_customers == size
+        assert rows[d].decile_cents == int(seg["cents"].sum())
+        assert rows[d].cum_cents == cum
+        assert rows[d].cum_share_ppm == cum * 1_000_000 // tot
+        pos += size
+    assert rows[10].cum_share_ppm == 1_000_000
+    # Lorenz curve is convex: decile shares nondecreasing
+    shares = [rows[d].decile_cents for d in range(1, 11)]
+    assert shares == sorted(shares)
+
+
+def test_ks_two_sample_pure_python(spark, sf_dir):
+    """D statistic (cross-multiplied), argmax location, and the
+    squared-domain significance verdict match the direct computation
+    over materialized ECDFs."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_ks_two_sample
+
+    row = q_ks_two_sample(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"].isin(["purchase", "view"])].assign(
+        cents=(ev["value"] * 100).round().astype(int)
+    )
+    p = sorted(ev[ev["event_type"] == "purchase"]["cents"])
+    v = sorted(ev[ev["event_type"] == "view"]["cents"])
+    n1, n2 = len(p), len(v)
+    assert (row.n_p, row.n_v) == (n1, n2)
+    import bisect
+
+    best, at = -1, None
+    for c in sorted(set(p) | set(v)):
+        d = abs(bisect.bisect_right(p, c) * n2 - bisect.bisect_right(v, c) * n1)
+        if d > best:
+            best, at = d, c
+    assert row.d_ppm == best * 1_000_000 // (n1 * n2)
+    assert row.at_cents == at
+    assert row.significant_05 == (
+        best * best * 1_000_000 > 1_844_164 * (n1 + n2) * n1 * n2
+    )
+
+
+def test_hurst_rs_pure_python(spark, sf_dir):
+    """Per-scale averaged R/S (exact integer construction) and the
+    ln-ln slope match the direct computation; the exponent lands in
+    (0, 1)."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        HURST_SCALES,
+        q_hurst_rs,
+    )
+
+    got = {r.block_n: r for r in q_hurst_rs(spark, sf_dir).collect()}
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    daily = (
+        od.assign(
+            day=pd.to_datetime(od["o_orderdate"]).dt.date,
+            cents=(od["o_totalprice"] * 100).round().astype(int),
+        )
+        .groupby("day")["cents"]
+        .sum()
+        .sort_index()
+        .tolist()
+    )
+    pts = []
+    for n in HURST_SCALES:
+        rs_vals = []
+        for blk in range(len(daily) // n):
+            x = daily[blk * n : (blk + 1) * n]
+            sb = sum(x)
+            cum, w = 0, [0]
+            for t, xi in enumerate(x, start=1):
+                cum += xi
+                w.append(n * cum - t * sb)
+            rp = max(w[1:]) - min(w[1:])
+            vb = sum((n * xi - sb) ** 2 for xi in x)
+            if vb == 0:
+                continue
+            rs2 = (rp * rp * n * 1_000_000) // vb
+            rs_vals.append(math.isqrt(rs2))
+        if not rs_vals:
+            continue
+        avg = sum(rs_vals) // len(rs_vals)
+        if avg < 1000:
+            continue
+        assert got[n].n_blocks == len(rs_vals)
+        assert got[n].avg_rs_milli == avg
+        pts.append((got[n].ln_n_micro, got[n].ln_rs_micro))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = k * sxy - sx * sy, k * sxx - sx * sx
+    want = -((-num * 1000) // den) if num < 0 else (num * 1000) // den
+    hm = {r.hurst_milli for r in got.values()}
+    assert hm == {want}
+    assert 0 < want < 1000

@@ -313,7 +313,7 @@ def test_wav_fingerprint_pairs_on_real_containers(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-def test_decode_image_dispatches_ppm_and_rejects_compressed():
+def test_decode_image_dispatches_ppm_png_and_rejects_jpeg():
     import numpy as np
 
     from beauty_lakehouse_spark.operators import multimodal as mm
@@ -321,8 +321,101 @@ def test_decode_image_dispatches_ppm_and_rejects_compressed():
     gray = np.resize(np.arange(256, dtype=np.uint8), (4, 4))
     rgb = np.stack([gray, gray, gray], axis=-1)
     assert mm.decode_image(mm.encode_ppm(rgb)).shape == (4, 4)
+    assert mm.decode_image(mm.encode_png(rgb)).shape == (4, 4)
     with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\x89PNG\r\n\x1a\n")
+        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+
+
+def test_png_round_trip_exercises_all_five_filters():
+    """encode_png cycles scanline filters row % 5, so any raster with
+    >= 5 rows proves every reconstruction branch (None/Sub/Up/Average/
+    Paeth) — the decoded luma must equal the PPM decode of the SAME
+    raster bit-for-bit."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rng = np.arange(7 * 6 * 3, dtype=np.uint64)
+    rgb = ((rng * 2654435761) % 251).astype(np.uint8).reshape(7, 6, 3)
+    png = mm.encode_png(rgb)
+    assert png[:8] == mm.PNG_SIGNATURE
+    # all five filter types really are present in the filtered stream
+    import struct
+    import zlib
+
+    i, idat = 8, bytearray()
+    while i + 8 <= len(png):
+        (ln,) = struct.unpack(">I", png[i : i + 4])
+        if png[i + 4 : i + 8] == b"IDAT":
+            idat.extend(png[i + 8 : i + 8 + ln])
+        i += 12 + ln
+    raw = zlib.decompress(bytes(idat))
+    stride = 6 * 3 + 1
+    assert {raw[r * stride] for r in range(7)} == {0, 1, 2, 3, 4}
+    got = mm.decode_png(png)
+    want = mm.decode_ppm(mm.encode_ppm(rgb))
+    assert np.array_equal(got, want)
+
+
+def test_png_decoder_validates_crc_and_variants():
+    import numpy as np
+    import pytest as _pytest
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rgb = np.zeros((5, 4, 3), dtype=np.uint8)
+    png = bytearray(mm.encode_png(rgb))
+    png[-5] ^= 0xFF  # corrupt the IEND CRC
+    with _pytest.raises(ValueError, match="CRC"):
+        mm.decode_png(bytes(png))
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_image_phash_kernel_container_invariant():
+    """The same raster in PPM and PNG containers must produce the
+    IDENTICAL pHash coefficient vector through the signature-
+    dispatching kernel — container-invariance is the property that
+    makes cross-format media dedup sound."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    b = np.frombuffer(b"the quick brown fox jumps over it", dtype=np.uint8)
+    rgb = np.resize(b, (mm.PPM_H, mm.PPM_W, 3))
+    a = mm.image_phash_kernel(mm.encode_ppm(rgb))
+    c = mm.image_phash_kernel(mm.encode_png(rgb))
+    assert a == c
+
+
+def test_mixed_container_phash_pairs(spark):
+    """media_phash_pairs over the mixed PPM/PNG media table: planted
+    near-duplicate docs (one byte changed) must pair up ACROSS
+    containers (even id → PPM, odd id → PNG)."""
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta " * 20),
+            (1, "alpha beta gamma delta epsilon zeta eta thetA " * 20),
+            (2, "completely different content with other words " * 20),
+        ],
+        "doc_id long, text string",
+    )
+    media = mm.mixed_image_from_documents(docs)
+    kinds = {
+        r.media_id: r.payload[:8]
+        for r in media.select("media_id", "payload").collect()
+    }
+    assert kinds[0][:2] == b"P6" and kinds[1] == mm.PNG_SIGNATURE
+    pairs = {
+        (r.media_a, r.media_b)
+        for r in mm.media_phash_pairs(
+            media, codec=mm.image_phash_kernel
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert all({a, b} != {0, 2} and {a, b} != {1, 2} for a, b in pairs)
 
 
 def _py_phash_exactint(text: str | None) -> int:

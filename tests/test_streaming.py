@@ -994,3 +994,35 @@ def test_page_hinkley_stream_matches_batch(spark, sf_dir):
         q_page_hinkley_drift(spark, sf_dir).collect(), key=lambda r: r.day
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ks_grid_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Split the events fixture into 4 files and stream them one per
+    micro-batch: the drained KS count grid (complete-mode, additive)
+    plus the shared ks_finish must equal the batch q_ks_two_sample row
+    exactly."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.operators.quality import (
+        ks_finish,
+        q_ks_two_sample,
+    )
+    from beauty_lakehouse_spark.streaming.pipelines import ks_value_grid
+
+    src = str(tmp_path / "events_parts_ks")
+    from beauty_lakehouse_spark.catalog import load
+
+    ev = load(spark, sf_dir).events
+    ev.withColumn(
+        "part", (F.col("event_id") % 4).cast("int")
+    ).repartition(4, "part").drop("part").write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    grid = run_available_now(ks_value_grid(stream), "t_ks_mb")
+    got = ks_finish(grid)
+    expected = q_ks_two_sample(spark, sf_dir)
+    assert _canon(got) == _canon(expected)
