@@ -3484,6 +3484,190 @@ def ks_finish(grid: DataFrame) -> DataFrame:
     )
 
 
+#: Cliff's delta magnitude thresholds (Romano et al. 2006), in ppm.
+CLIFFS_BANDS = [(147_000, "negligible"), (330_000, "small"), (474_000, "medium")]
+
+
+def q_cliffs_delta(spark, sf_dir: str) -> DataFrame:
+    """CLIFF'S DELTA effect size between the U-test's two market
+    segments on order value — the magnitude companion the significance
+    tests lack (a huge N makes a trivial shift "significant"; δ =
+    P(x>y) − P(x<y) says whether it MATTERS). Derived exactly from the
+    same doubled-U count grid as `segment_price_utest`:
+
+        δ = 2U/(nₐn_b) − 1  ⇒  delta_ppm = (u2 − nₐn_b)·10⁶ // (nₐn_b)
+
+    with the pair decomposition surfaced too: n_eq = Σ_v cₐ(v)·c_b(v),
+    n_gt = (u2 − n_eq)/2, n_lt = nₐn_b − n_gt − n_eq — all integers on
+    the bounded value grid, never pair-materialized. The magnitude
+    label applies the standard |δ| bands (CLIFFS_BANDS) as integer
+    compares; sign-split division keeps truncation cross-engine.
+
+    Output (1 row): (n_a, n_b, n_gt, n_lt, n_eq, delta_ppm,
+    magnitude)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    o = t.orders.join(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).filter(F.col("c_mktsegment").isin(UTEST_SEG_A, UTEST_SEG_B))
+    grid = (
+        o.select(
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("c_mktsegment") == UTEST_SEG_A).cast("long").alias("is_a"),
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_a").alias("ca"),
+            F.sum(F.lit(1) - F.col("is_a")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = grid.withColumn("cum_b_incl", F.sum("cb").over(w))
+    agg = g.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            dd(F.col("ca"))
+            * (F.lit(2) * (F.col("cum_b_incl") - F.col("cb")) + F.col("cb"))
+        ).alias("u2"),
+        F.sum(dd(F.col("ca")) * F.col("cb")).alias("n_eq"),
+    )
+    n1n2 = dd(F.col("n_a")) * F.col("n_b")
+    n_gt = (F.col("u2") - F.col("n_eq")) / F.lit(2)
+    num = F.col("u2") - n1n2
+    delta_ppm = F.when(
+        num < 0, -_idiv(-num * F.lit(1_000_000), n1n2)
+    ).otherwise(_idiv(num * F.lit(1_000_000), n1n2))
+    mag = F.when(
+        F.abs(delta_ppm) < CLIFFS_BANDS[0][0], F.lit(CLIFFS_BANDS[0][1])
+    )
+    for thr, label in CLIFFS_BANDS[1:]:
+        mag = mag.when(F.abs(delta_ppm) < thr, F.lit(label))
+    mag = mag.otherwise(F.lit("large"))
+    return agg.select(
+        "n_a",
+        "n_b",
+        n_gt.cast("long").alias("n_gt"),
+        (n1n2 - n_gt - F.col("n_eq")).cast("long").alias("n_lt"),
+        F.col("n_eq").cast("long").alias("n_eq"),
+        delta_ppm.cast("long").alias("delta_ppm"),
+        mag.alias("magnitude"),
+    )
+
+
+#: Wilcoxon contract: 12·(W2−μ2)²·10⁶ must fit DECIMAL(38,0) — n⁴
+#: bounded, so n_pairs must stay below 10⁷ (raise beyond).
+WILCOXON_MAX_N = 10_000_000
+
+
+def q_wilcoxon_signed_rank(spark, sf_dir: str) -> DataFrame:
+    """WILCOXON SIGNED-RANK test on PAIRED order values — does a
+    customer's SECOND order differ from their FIRST (the within-
+    subject question the unpaired U test can't ask)? Pairs are each
+    repeat customer's first two orders by (date, orderkey) — the
+    km_firsts convention — d = cents₂ − cents₁, zero differences
+    dropped per the classic procedure.
+
+    Exact fixed point, NO per-row ranks: over the |d| count grid the
+    doubled average rank of value v is 2·cum_before(v) + ct(v) + 1
+    (the kruskal/utest device), so the doubled positive-rank sum
+    W2⁺ = Σ c⁺(v)·rank2(v) is exact, E[W2⁺] = n(n+1)/2, and the
+    tie-corrected normal approximation is the exact rational
+
+        z² = 12·(W2⁺ − μ2)² / (2n(n+1)(2n+1) − Σ(t³−t))
+
+    carried in DECIMAL(38,0) and surfaced once in micro units;
+    significance compares z²·10⁶ against 3 841 600 (1.96², α = 0.05
+    two-sided). Guarded: n_pairs < WILCOXON_MAX_N keeps the lifted
+    square inside DECIMAL(38,0).
+
+    Scale: pair construction is one per-customer min-2 window; the
+    rank grid lives on the bounded |d| VALUE DOMAIN; the verdict is a
+    1-row collapse.
+
+    Output (1 row): (n_pairs, w2_plus, mu2, tie_term, z2_micro,
+    significant)."""
+    from pyspark.sql import Window
+
+    from ..catalog import load
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    wc = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    two = (
+        t.orders.select(
+            "o_custkey",
+            "o_orderdate",
+            "o_orderkey",
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") <= 2)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("cents"))).alias("c1"),
+            F.min(F.when(F.col("rn") == 2, F.col("cents"))).alias("c2"),
+        )
+        .filter(F.col("c2").isNotNull())
+        .select((F.col("c2") - F.col("c1")).alias("d"))
+        .filter(F.col("d") != 0)
+    )
+    grid = two.groupBy(F.abs("d").alias("ad")).agg(
+        F.sum((F.col("d") > 0).cast("long")).alias("cp"),
+        F.sum((F.col("d") < 0).cast("long")).alias("cn"),
+    )
+    w = Window.orderBy("ad").rowsBetween(Window.unboundedPreceding, 0)
+    dd = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = (
+        grid.withColumn("ct", F.col("cp") + F.col("cn"))
+        .withColumn("cum_incl", F.sum(F.col("ct")).over(w))
+        .withColumn(
+            "rank2",
+            F.lit(2) * (F.col("cum_incl") - F.col("ct")) + F.col("ct") + 1,
+        )
+    )
+    agg = g.agg(
+        F.sum(F.col("ct")).cast("long").alias("n"),
+        F.sum(dd(F.col("cp")) * F.col("rank2")).alias("w2_plus"),
+        F.sum(
+            dd(F.col("ct")) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie_term"),
+    )
+    n = F.when(
+        F.col("n") >= F.lit(WILCOXON_MAX_N),
+        F.raise_error(
+            F.lit(
+                "wilcoxon contract violated: n_pairs >= 1e7 pushes "
+                "12*(W2-mu2)^2*1e6 past DECIMAL(38,0); sample upstream"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("n"))
+    mu2 = dd(n) * (n + 1)
+    dev = F.col("w2_plus") - mu2
+    v12 = F.lit(2).cast("decimal(38,0)") * n * (n + 1) * (
+        2 * n + 1
+    ) - F.col("tie_term")
+    z2 = _idiv(F.lit(12) * dev * dev * F.lit(1_000_000), v12)
+    return agg.select(
+        n.cast("long").alias("n_pairs"),
+        F.col("w2_plus").cast("long").alias("w2_plus"),
+        mu2.cast("long").alias("mu2"),
+        F.col("tie_term").cast("long").alias("tie_term"),
+        z2.alias("z2_micro"),
+        (z2 > F.lit(3_841_600)).alias("significant"),
+    )
+
+
 def q_ks_two_sample(spark, sf_dir: str) -> DataFrame:
     """Two-sample KS test: does the VALUE DISTRIBUTION of purchase
     events differ from view events anywhere (not just in location —

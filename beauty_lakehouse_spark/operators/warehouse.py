@@ -546,9 +546,13 @@ def q_lorenz_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
             "decile_cents",
             F.col("cum_cents").cast("long").alias("cum_cents"),
-            _idiv(F.col("cum_cents") * F.lit(1_000_000), F.col("tot")).alias(
-                "cum_share_ppm"
-            ),
+            # lift to DECIMAL(38,0) BEFORE the 1e6 ppm multiply — in
+            # long it overflows once total cents pass ~9.2e12 (hit at
+            # the syn10x tier)
+            _idiv(
+                F.col("cum_cents").cast("decimal(38,0)") * F.lit(1_000_000),
+                F.col("tot"),
+            ).alias("cum_share_ppm"),
         )
         .orderBy("decile")
     )

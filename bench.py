@@ -276,6 +276,8 @@ HEADLINE = [
     "hurst_rs",               # rescaled-range Hurst exponent (new in r12)
     "media_phash_pairs_pngcodec",  # pHash THROUGH the real PNG codec (new in r12)
     "media_dedup_maintained", # CoW-merged pHash index = rebuild IVM law (new in r12)
+    "cliffs_delta",           # rank-derived effect size on the value grid (new in r12)
+    "wilcoxon_signed_rank",   # paired signed-rank test, |d| grid ranks (new in r12)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

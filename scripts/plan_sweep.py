@@ -236,6 +236,8 @@ GLOBAL_WINDOW_OK: dict[str, str] = {
     "lorenz_customer_deciles": "cumulative windows over the bounded price-bucket table and the 10-row decile table (the customer_spend_ntile two-level-rank shape)",
     "ks_two_sample": "cumulative/argmax windows over the bounded distinct-cents VALUE DOMAIN, never raw rows",
     "hurst_rs": "day-index row_number over the calendar-bounded day grid (the revenue_changepoint convention)",
+    "cliffs_delta": "cumulative window over the bounded distinct-cents VALUE DOMAIN (the segment_price_utest grid)",
+    "wilcoxon_signed_rank": "rank window over the bounded distinct-|d| VALUE DOMAIN (the kruskal/utest device)",
 }
 
 

@@ -37,6 +37,8 @@ TIERED = {
     "lorenz_customer_deciles": warehouse.q_lorenz_customer_deciles,
     "ks_two_sample": quality.q_ks_two_sample,
     "hurst_rs": temporal.q_hurst_rs,
+    "cliffs_delta": quality.q_cliffs_delta,
+    "wilcoxon_signed_rank": quality.q_wilcoxon_signed_rank,
     "media_phash_pairs_pngcodec": multimodal.q_media_phash_pairs_pngcodec,
     "media_dedup_maintained": multimodal.q_media_dedup_maintained,
 }

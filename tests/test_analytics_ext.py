@@ -3543,3 +3543,83 @@ def test_hurst_rs_pure_python(spark, sf_dir):
     hm = {r.hurst_milli for r in got.values()}
     assert hm == {want}
     assert 0 < want < 1000
+
+
+def test_cliffs_delta_pure_python(spark, sf_dir):
+    """Pair decomposition (n_gt/n_lt/n_eq), delta ppm, and the
+    magnitude band match the direct O(n·m) computation."""
+    import bisect
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import q_cliffs_delta
+
+    row = q_cliffs_delta(spark, sf_dir).collect()[0]
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cu = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    j = j.assign(cents=(j["o_totalprice"] * 100).round().astype(int))
+    a = sorted(j[j["c_mktsegment"] == "BUILDING"]["cents"])
+    b = sorted(j[j["c_mktsegment"] == "MACHINERY"]["cents"])
+    assert (row.n_a, row.n_b) == (len(a), len(b))
+    n_gt = sum(bisect.bisect_left(b, x) for x in a)
+    n_le = sum(bisect.bisect_right(b, x) for x in a)
+    n_eq = n_le - n_gt
+    n_lt = len(a) * len(b) - n_le
+    assert (row.n_gt, row.n_lt, row.n_eq) == (n_gt, n_lt, n_eq)
+    num = n_gt - n_lt
+    n1n2 = len(a) * len(b)
+    want = -((-num * 1_000_000) // n1n2) if num < 0 else num * 1_000_000 // n1n2
+    assert row.delta_ppm == want
+    bands = [(147_000, "negligible"), (330_000, "small"), (474_000, "medium")]
+    mag = "large"
+    for thr, label in bands:
+        if abs(want) < thr:
+            mag = label
+            break
+    assert row.magnitude == mag
+
+
+def test_wilcoxon_signed_rank_pure_python(spark, sf_dir):
+    """Doubled positive-rank sum over materialized average ranks, the
+    tie term, and the exact-rational z² match; the float z² witness
+    agrees to the quantization."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.quality import (
+        q_wilcoxon_signed_rank,
+    )
+
+    row = q_wilcoxon_signed_rank(spark, sf_dir).collect()[0]
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.assign(cents=(od["o_totalprice"] * 100).round().astype(int))
+    od = od.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    ds = []
+    for _, g in od.groupby("o_custkey"):
+        if len(g) >= 2:
+            d = int(g["cents"].iloc[1]) - int(g["cents"].iloc[0])
+            if d != 0:
+                ds.append(d)
+    n = len(ds)
+    assert row.n_pairs == n
+    cnt = Counter(abs(d) for d in ds)
+    rank2, cum = {}, 0
+    for v in sorted(cnt):
+        rank2[v] = 2 * cum + cnt[v] + 1
+        cum += cnt[v]
+    w2p = sum(rank2[abs(d)] for d in ds if d > 0)
+    tie = sum(t**3 - t for t in cnt.values())
+    assert (row.w2_plus, row.tie_term) == (w2p, tie)
+    mu2 = n * (n + 1)
+    v12 = 2 * n * (n + 1) * (2 * n + 1) - tie
+    z2 = 12 * (w2p - mu2) ** 2 * 1_000_000 // v12
+    assert row.mu2 == mu2
+    assert row.z2_micro == z2
+    assert row.significant == (z2 > 3_841_600)
+    # float witness: the quantized z² is within 1 micro of float math
+    zf = 12 * (w2p - mu2) ** 2 / v12
+    assert abs(z2 / 1e6 - zf) < 1e-5
