@@ -1055,7 +1055,12 @@ def q_media_phash_pairs_pngcodec(spark, sf_dir: str) -> DataFrame:
     from ..catalog import load
 
     t = load(spark, sf_dir)
-    return exactint_hash_pairs(phash_exactint(t.documents, through_png=True))
+    # the codec kernel is CPU-bound (~ms/doc) while the documents scan
+    # is one small parquet split — spread the map-only work across the
+    # session's cores before the Arrow kernel (round-robin is safe:
+    # hashes are per-row deterministic, downstream is order-insensitive)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    return exactint_hash_pairs(phash_exactint(docs, through_png=True))
 
 
 def exactint_hash_pairs(h: DataFrame) -> DataFrame:

@@ -58,6 +58,7 @@ def build_syn_tpch(spark, base_dir: str, out_dir: str, copies: int) -> str:
     orders = spark.read.parquet(f"{base_dir}/orders.parquet")
     li = spark.read.parquet(f"{base_dir}/lineitem.parquet")
     ev = spark.read.parquet(f"{base_dir}/events.parquet")
+    cu = spark.read.parquet(f"{base_dir}/customer.parquet")
 
     def stack(df, keys):
         parts = []
@@ -81,6 +82,11 @@ def build_syn_tpch(spark, base_dir: str, out_dir: str, copies: int) -> str:
     # events: same calendar (cells constant), disjoint users/ids
     stack(ev, ["event_id", "user_id"]).write.mode("overwrite").parquet(
         f"{out_dir}/events.parquet"
+    )
+    # customers: offset in lockstep with o_custkey so dimension joins
+    # (segment tests, cohort ops) keep full coverage per copy
+    stack(cu, ["c_custkey"]).write.mode("overwrite").parquet(
+        f"{out_dir}/customer.parquet"
     )
     # documents: reuse the token-remapped builder (writes into out_dir)
     build_syn(spark, base_dir, out_dir, copies)
