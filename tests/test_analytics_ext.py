@@ -3449,6 +3449,9 @@ def test_lorenz_deciles_pure_python(spark, sf_dir):
     # Lorenz curve is convex: decile shares nondecreasing
     shares = [rows[d].decile_cents for d in range(1, 11)]
     assert shares == sorted(shares)
+    # FLOAT WITNESS: the ppm quantization tracks the float share
+    for d in range(1, 11):
+        assert abs(rows[d].cum_share_ppm / 1e6 - rows[d].cum_cents / tot) < 1e-6
 
 
 def test_ks_two_sample_pure_python(spark, sf_dir):
@@ -3480,6 +3483,14 @@ def test_ks_two_sample_pure_python(spark, sf_dir):
     assert row.at_cents == at
     assert row.significant_05 == (
         best * best * 1_000_000 > 1_844_164 * (n1 + n2) * n1 * n2
+    )
+    # FLOAT WITNESS: D_ppm tracks the float two-sample KS statistic
+    d_float = best / (n1 * n2)
+    assert abs(row.d_ppm / 1e6 - d_float) < 1e-6
+    import math
+
+    assert row.significant_05 == (
+        d_float > 1.358 * math.sqrt((n1 + n2) / (n1 * n2))
     )
 
 
@@ -3543,6 +3554,16 @@ def test_hurst_rs_pure_python(spark, sf_dir):
     hm = {r.hurst_milli for r in got.values()}
     assert hm == {want}
     assert 0 < want < 1000
+    # FLOAT WITNESS: the integer ln/OLS pipeline tracks the float
+    # log-log regression of avg R/S on block size (ln_micro is a
+    # deterministic quantization within ~1e-4 nats)
+    fx = [math.log(n) for n, r in got.items()]
+    fy = [math.log(r.avg_rs_milli / 1000.0) for r in got.values()]
+    k = len(fx)
+    fslope = (k * sum(a * b for a, b in zip(fx, fy)) - sum(fx) * sum(fy)) / (
+        k * sum(a * a for a in fx) - sum(fx) ** 2
+    )
+    assert abs(want / 1000.0 - fslope) < 5e-3
 
 
 def test_cliffs_delta_pure_python(spark, sf_dir):
@@ -3579,6 +3600,8 @@ def test_cliffs_delta_pure_python(spark, sf_dir):
             mag = label
             break
     assert row.magnitude == mag
+    # FLOAT WITNESS: delta_ppm tracks the float P(x>y) - P(x<y)
+    assert abs(row.delta_ppm / 1e6 - (n_gt - n_lt) / n1n2) < 1e-6
 
 
 def test_wilcoxon_signed_rank_pure_python(spark, sf_dir):
