@@ -192,7 +192,14 @@ def pagerank_exact(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     semantics, identically on both engines.
 
     Same lineage policy as ``pagerank``: edge table checkpointed
-    eagerly once, ranks checkpointed lazily per round."""
+    eagerly once, ranks checkpointed lazily per round. Same shuffle
+    policy as the r12 HITS rework: the degree-normalized edge FACT is
+    hash-partitioned by dst ONCE, each round broadcast-joins the
+    vertex-grain rank vector (a dimension relative to the edges), and
+    the contribution groupBy keys on the partitioning column — so no
+    round exchanges edge-sized data. For web-scale graphs whose rank
+    vector outgrows broadcast, swap the broadcast for a co-partitioned
+    join (the pre-r12 form)."""
     directed = edges.select(
         F.col("part_a").alias("src"), F.col("part_b").alias("dst"),
         F.col("n_orders").cast("long").alias("w"),
@@ -203,7 +210,11 @@ def pagerank_exact(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
         )
     ).localCheckpoint(eager=True)
     out_w = directed.groupBy("src").agg(F.sum("w").alias("out_w"))
-    norm = directed.join(out_w, "src").localCheckpoint(eager=False)
+    norm = (
+        directed.join(out_w, "src")
+        .repartition("dst")
+        .localCheckpoint(eager=False)
+    )
     vertices = (
         directed.select(F.col("src").alias("id"))
         .distinct()
@@ -215,7 +226,7 @@ def pagerank_exact(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
     )
     for _ in range(iters):
         contribs = (
-            norm.join(ranks, norm.src == ranks.id)
+            norm.join(F.broadcast(ranks), norm.src == ranks.id)
             .select("dst", F.expr("(rank * w) div out_w").alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("c"))
