@@ -826,7 +826,7 @@ def q_revenue_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output (1 row): (n_days, n_above, n_below, n_runs, mu_micro,
     z2_micro, z_sign, nonrandom)."""
-    from ..functions import dec2
+    from ..functions import _idiv, dec2
 
     t = load(spark, sf_dir)
     daily = (
@@ -935,7 +935,7 @@ def ph_daily_grid(orders: DataFrame) -> DataFrame:
     streamable as-is (the bootstrap_grid contract); shared by the
     batch entry and the ``page_hinkley_streamed`` drain so the two
     surfaces can never drift."""
-    from ..functions import dec2
+    from ..functions import _idiv, dec2
 
     return (
         orders.select(
@@ -1142,3 +1142,122 @@ def q_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_n")
     )
+
+
+#: Holt smoothing constants: dyadic rationals so every update is one
+#: exact floor division (alpha = 1/4, beta = 1/8), and the forecast
+#: horizon in weeks.
+HOLT_ALPHA_DEN = 4
+HOLT_BETA_DEN = 8
+HOLT_HORIZON = 4
+
+
+def q_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR-TREND FORECAST (double exponential smoothing) of
+    weekly revenue — the first actual FORECASTER next to the family's
+    diagnostics (seasonality/ACF/PACF/changepoint/Hurst describe the
+    series; this one extrapolates it):
+
+        l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)·b_{t−1}
+        x̂_{t+h} = l_t + h·b_t
+
+    Exact fixed point: α = 1/4 and β = 1/8 make every update ONE
+    integer division — l_t = (x_t + 3(l+b)) ÷ 4, b_t = (l_t − l + 7b)
+    ÷ 8 — where ÷ is TRUNCATE-toward-zero on both engines (DuckDB's
+    ``//`` truncates on negatives — measured −7//2 = −3 — and Spark's
+    ``_idiv`` does the same; the trend CAN go negative, so the two
+    division conventions genuinely diverge and the truncating one is
+    the repo's cross-engine standard). Seeds:
+    l₂ = x₂, b₂ = x₂ − x₁ (observation-indexed; weeks with no orders
+    are skipped, not zero-filled — the dense-rank convention).
+
+    The recursion is sequential BY NATURE, but the state space is the
+    calendar-bounded WEEK grid (~340 cells at any SF — TPC-H's date
+    range is fixed), so the whole series folds in one
+    ``aggregate()`` over a collected array: corpus-scale work is the
+    map-side-combinable week aggregate; the fold is O(weeks), a
+    constant. The DuckDB twin is a recursive CTE over the same grid —
+    bit-for-bit including negative-trend floors.
+
+    Output: one row per week from t = 3 (kind 'fit', one-step-ahead
+    prediction l_{t−1}+b_{t−1} beside the actual) plus HOLT_HORIZON
+    rows (kind 'forecast', actual NULL): (week_idx, kind,
+    actual_cents, pred_cents)."""
+    from ..functions import _idiv, dec2
+
+    t = load(spark, sf_dir)
+    weekly = (
+        t.orders.select(
+            F.floor(
+                F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-05"))
+                / 7
+            ).alias("wk"),
+            (dec2("o_totalprice") * 100).cast("long").alias("c"),
+        )
+        .groupBy("wk")
+        .agg(F.sum("c").alias("rev"))
+    )
+    arr = weekly.agg(
+        F.array_sort(F.collect_list(F.struct("wk", "rev"))).alias("a")
+    )
+    # truncate-toward-zero division, the repo's cross-engine integer
+    # convention (matches DuckDB's ``//`` on negatives)
+    fd = lambda n, d: _idiv(n, F.lit(d))  # noqa: E731
+    xs = F.expr("transform(a, s -> s.rev)")
+    folded = arr.select(
+        "a",
+        F.aggregate(
+            F.slice(xs, 3, F.size(xs)),
+            F.struct(
+                F.element_at(xs, 2).cast("long").alias("l"),
+                (F.element_at(xs, 2) - F.element_at(xs, 1))
+                .cast("long")
+                .alias("b"),
+                F.array().cast("array<long>").alias("fits"),
+            ),
+            lambda acc, x: F.struct(
+                fd(x + 3 * (acc["l"] + acc["b"]), HOLT_ALPHA_DEN)
+                .cast("long")
+                .alias("l"),
+                fd(
+                    fd(x + 3 * (acc["l"] + acc["b"]), HOLT_ALPHA_DEN).cast(
+                        "long"
+                    )
+                    - acc["l"]
+                    + (HOLT_BETA_DEN - 1) * acc["b"],
+                    HOLT_BETA_DEN,
+                )
+                .cast("long")
+                .alias("b"),
+                F.concat(
+                    acc["fits"],
+                    F.array((acc["l"] + acc["b"]).cast("long")),
+                ).alias("fits"),
+            ),
+        ).alias("st"),
+    ).localCheckpoint(eager=True)
+    fits = folded.select(
+        "a", F.posexplode(F.col("st.fits")).alias("k", "pred")
+    ).select(
+        (F.col("k") + 3).cast("long").alias("week_idx"),
+        F.lit("fit").alias("kind"),
+        F.expr("a[k + 2].rev").cast("long").alias("actual_cents"),
+        F.col("pred").cast("long").alias("pred_cents"),
+    )
+    fut = folded.select(
+        "a",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(HOLT_HORIZON))
+        ).alias("h"),
+        F.col("st.l").alias("l"),
+        F.col("st.b").alias("b"),
+    ).select(
+        (F.size("a") + F.col("h")).cast("long").alias("week_idx"),
+        F.lit("forecast").alias("kind"),
+        F.lit(None).cast("long").alias("actual_cents"),
+        (F.col("l") + F.col("h") * F.col("b")).cast("long").alias(
+            "pred_cents"
+        ),
+    )
+    return fits.unionByName(fut).orderBy("week_idx")

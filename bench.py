@@ -278,6 +278,7 @@ HEADLINE = [
     "media_dedup_maintained", # CoW-merged pHash index = rebuild IVM law (new in r12)
     "cliffs_delta",           # rank-derived effect size on the value grid (new in r12)
     "wilcoxon_signed_rank",   # paired signed-rank test, |d| grid ranks (new in r12)
+    "holt_linear_forecast",   # exact-integer double exponential smoothing (new in r12)
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute

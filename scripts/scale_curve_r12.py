@@ -39,6 +39,7 @@ TIERED = {
     "hurst_rs": temporal.q_hurst_rs,
     "cliffs_delta": quality.q_cliffs_delta,
     "wilcoxon_signed_rank": quality.q_wilcoxon_signed_rank,
+    "holt_linear_forecast": temporal.q_holt_linear_forecast,
     "media_phash_pairs_pngcodec": multimodal.q_media_phash_pairs_pngcodec,
     "media_dedup_maintained": multimodal.q_media_dedup_maintained,
 }

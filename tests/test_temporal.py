@@ -428,3 +428,55 @@ def test_page_hinkley_pure_python(spark, sf_dir):
         # FLOAT WITNESS: dev tracks the float relative deviation
         xbar = s / t
         assert abs(dev / 1e6 - (int(cents) - xbar) / xbar) <= 2e-6
+
+
+def test_holt_linear_forecast_pure_python(spark, sf_dir):
+    """Full pure-python recomputation of the Holt fold (truncating
+    division, the cross-engine convention), seed handling, and the
+    h-step extrapolation."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.temporal import (
+        HOLT_HORIZON,
+        q_holt_linear_forecast,
+    )
+
+    rows = q_holt_linear_forecast(spark, sf_dir).collect()
+    fits = {r.week_idx: r for r in rows if r.kind == "fit"}
+    futs = sorted(
+        (r for r in rows if r.kind == "forecast"),
+        key=lambda r: r.week_idx,
+    )
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.assign(
+        wk=(pd.to_datetime(od["o_orderdate"]).dt.normalize()
+            - pd.Timestamp("1970-01-05")).dt.days // 7,
+        cents=(od["o_totalprice"] * 100).round().astype(int),
+    )
+    xs = od.groupby("wk")["cents"].sum().sort_index().tolist()
+
+    def tdiv(n, d):  # truncate toward zero, like _idiv / DuckDB //
+        q = abs(n) // d
+        return -q if n < 0 else q
+
+    l, b = xs[1], xs[1] - xs[0]
+    for t, x in enumerate(xs[2:], start=3):
+        assert fits[t].pred_cents == l + b
+        assert fits[t].actual_cents == x
+        nl = tdiv(x + 3 * (l + b), 4)
+        nb = tdiv(nl - l + 7 * b, 8)
+        l, b = nl, nb
+    assert len(futs) == HOLT_HORIZON
+    for h, r in enumerate(futs, start=1):
+        assert r.week_idx == len(xs) + h
+        assert r.actual_cents is None
+        assert r.pred_cents == l + h * b
+    # FLOAT WITNESS: the truncating recursion tracks the float Holt
+    # recursion (alpha=.25, beta=.125) to sub-cent relative error
+    lf, bf = float(xs[1]), float(xs[1] - xs[0])
+    for x in xs[2:]:
+        nlf = 0.25 * x + 0.75 * (lf + bf)
+        bf = 0.125 * (nlf - lf) + 0.875 * bf
+        lf = nlf
+    assert abs(l - lf) / max(abs(lf), 1.0) < 1e-6
