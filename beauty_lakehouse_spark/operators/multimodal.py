@@ -1362,6 +1362,22 @@ _MEDIA_INDEX_CACHE: dict = {}
 _MEDIA_INDEX_TMPDIRS: list = []
 
 
+def _cleanup_media_tmpdirs() -> None:
+    """Remove the maintained-index scratch dirs at interpreter exit
+    (same recipe as similarity._cleanup_lsh_tmpdirs — each (app,
+    fixture) key otherwise leaks a full versioned table on disk)."""
+    import shutil
+
+    for d in _MEDIA_INDEX_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+    _MEDIA_INDEX_TMPDIRS.clear()
+
+
+import atexit as _atexit  # noqa: E402
+
+_atexit.register(_cleanup_media_tmpdirs)
+
+
 def _documents_fingerprint(sf_dir: str) -> str:
     """(mtime_ns, size) walk of documents.parquet — same cheap
     content fingerprint recipe as similarity._fixture_fingerprint."""

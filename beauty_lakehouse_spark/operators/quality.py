@@ -3459,13 +3459,16 @@ def ks_finish(grid: DataFrame) -> DataFrame:
         .groupBy("n_p", "n_v", "maxdiff")
         .agg(F.min("cents").alias("at_cents"))
     )
+    # >= not >: at exactly n1*n2 = 1e16 maxdiff can reach n1*n2, so
+    # maxdiff^2*1e6 = 1e38 overflows DECIMAL(38,0) (max ~1e38-1) while
+    # DuckDB HUGEINT still holds it — a divergence at the boundary.
     n1n2 = F.when(
-        dd(F.col("n_p")) * F.col("n_v") > F.lit(KS_MAX_N1N2).cast(
+        dd(F.col("n_p")) * F.col("n_v") >= F.lit(KS_MAX_N1N2).cast(
             "decimal(38,0)"
         ),
         F.raise_error(
             F.lit(
-                "KS contract violated: n1*n2 > 1e16 lets maxdiff^2*1e6 "
+                "KS contract violated: n1*n2 >= 1e16 lets maxdiff^2*1e6 "
                 "pass DECIMAL(38,0); sample upstream"
             )
         ).cast("decimal(38,0)"),
@@ -3652,7 +3655,9 @@ def q_wilcoxon_signed_rank(spark, sf_dir: str) -> DataFrame:
             )
         ).cast("long"),
     ).otherwise(F.col("n"))
-    mu2 = dd(n) * (n + 1)
+    # E[W2+] = n(n+1)/2 (doubled ranks sum to n(n+1), split evenly
+    # under H0); n(n+1) is even, so the halving is exact.
+    mu2 = _idiv(dd(n) * (n + 1), F.lit(2)).cast("decimal(38,0)")
     dev = F.col("w2_plus") - mu2
     v12 = F.lit(2).cast("decimal(38,0)") * n * (n + 1) * (
         2 * n + 1

@@ -37,10 +37,15 @@ def driver_record() -> tuple[set[str], dict[str, int]]:
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         with open(path) as fh:
             for name, row in json.load(fh).items():
+                # hash_match must be literally True: a missing/None
+                # hash means the values were never actually checked
+                # (e.g. the entry ran rows-only that round), so it
+                # must stay in the never-verified front, not rotate
+                # out as green.
                 if (
                     row.get("rows_match")
                     and row.get("schema_match", True)
-                    and row.get("hash_match") is not False
+                    and row.get("hash_match") is True
                 ):
                     green.add(name)
                     last[name] = max(last.get(name, 0), rnd)

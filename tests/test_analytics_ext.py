@@ -3637,7 +3637,7 @@ def test_wilcoxon_signed_rank_pure_python(spark, sf_dir):
     w2p = sum(rank2[abs(d)] for d in ds if d > 0)
     tie = sum(t**3 - t for t in cnt.values())
     assert (row.w2_plus, row.tie_term) == (w2p, tie)
-    mu2 = n * (n + 1)
+    mu2 = n * (n + 1) // 2
     v12 = 2 * n * (n + 1) * (2 * n + 1) - tie
     z2 = 12 * (w2p - mu2) ** 2 * 1_000_000 // v12
     assert row.mu2 == mu2
