@@ -37,8 +37,10 @@ def test_feature_schema_and_shape(spark, sf_dir):
         assert r.n_bytes > 0
 
 
-def test_real_codec_is_explicitly_stubbed():
-    with pytest.raises(NotImplementedError):
+def test_unknown_container_rejected_with_clear_error():
+    # a PNG signature prefix that is NOT a full signature (and not a
+    # known container) must fail loudly, not decode garbage
+    with pytest.raises(ValueError):
         multimodal.decode_image(b"\x89PNG")
 
 
@@ -313,7 +315,7 @@ def test_wav_fingerprint_pairs_on_real_containers(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
-def test_decode_image_dispatches_ppm_png_and_rejects_jpeg():
+def test_decode_image_dispatches_ppm_png_jpeg():
     import numpy as np
 
     from beauty_lakehouse_spark.operators import multimodal as mm
@@ -322,8 +324,9 @@ def test_decode_image_dispatches_ppm_png_and_rejects_jpeg():
     rgb = np.stack([gray, gray, gray], axis=-1)
     assert mm.decode_image(mm.encode_ppm(rgb)).shape == (4, 4)
     assert mm.decode_image(mm.encode_png(rgb)).shape == (4, 4)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG SOI
+    assert mm.decode_image(mm.encode_jpeg(rgb)).shape == (4, 4)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a" + b"\x00" * 16)  # unsupported container
 
 
 def test_png_round_trip_exercises_all_five_filters():
@@ -389,9 +392,9 @@ def test_image_phash_kernel_container_invariant():
 
 
 def test_mixed_container_phash_pairs(spark):
-    """media_phash_pairs over the mixed PPM/PNG media table: planted
-    near-duplicate docs (one byte changed) must pair up ACROSS
-    containers (even id → PPM, odd id → PNG)."""
+    """media_phash_pairs over the mixed PPM/PNG/JPEG media table:
+    planted near-duplicate docs (one byte changed) must pair up
+    ACROSS containers (doc_id % 3 → PPM / PNG / JPEG)."""
     from beauty_lakehouse_spark.operators import multimodal as mm
 
     docs = spark.createDataFrame(
@@ -408,6 +411,7 @@ def test_mixed_container_phash_pairs(spark):
         for r in media.select("media_id", "payload").collect()
     }
     assert kinds[0][:2] == b"P6" and kinds[1] == mm.PNG_SIGNATURE
+    assert kinds[2][:2] == b"\xff\xd8"
     pairs = {
         (r.media_a, r.media_b)
         for r in mm.media_phash_pairs(
@@ -604,3 +608,184 @@ def test_media_dedup_clusters_pure_python(spark, sf_dir):
     canon = [r for r in rows if r.is_canonical]
     assert len(canon) == len(sizes)
     assert max(sizes.values()) >= 2
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG codec (r13, VERDICT r12 ask #1)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_gray_roundtrip_is_exactly_the_arithmetic_twin():
+    """decode(encode(gray)) must be BIT-IDENTICAL to running the
+    exact integer DCT/quantize/IDCT core directly — i.e. the Huffman
+    entropy layer is verified lossless through real JFIF bytes."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(13)
+    for h, w in [(32, 48), (8, 8), (24, 40), (16, 16)]:
+        gray = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        dec = mm.decode_jpeg(mm.encode_jpeg(gray), luma=False)
+        q = mm.jpeg_forward_blocks(gray.astype(np.int64), mm.JPEG_QT_LUMA)
+        ref = mm.jpeg_inverse_blocks(q, mm.JPEG_QT_LUMA)[:h, :w]
+        assert np.array_equal(dec, ref)
+
+
+def test_jpeg_is_spec_shaped_and_deterministic():
+    """Marker skeleton (SOI/APP0-JFIF/DQT/SOF0/DHT/SOS/EOI), byte
+    stuffing inside the entropy segment, determinism."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    gray = np.resize(np.arange(2048, dtype=np.uint8), (32, 48))
+    p = mm.encode_jpeg(gray)
+    assert p[:2] == b"\xff\xd8" and p[-2:] == b"\xff\xd9"
+    assert p[2:4] == b"\xff\xe0" and p[6:11] == b"JFIF\x00"
+    for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+        assert marker in p
+    assert mm.encode_jpeg(gray) == p  # deterministic
+    # the entropy segment never contains a bare 0xFF (always stuffed)
+    sos = p.index(b"\xff\xda")
+    seg = p[sos + 2 + 12 : -2]
+    i = 0
+    while i < len(seg):
+        if seg[i] == 0xFF:
+            assert seg[i + 1] == 0x00, "unstuffed 0xFF in entropy segment"
+            i += 2
+        else:
+            i += 1
+
+
+def test_jpeg_lossy_fidelity_on_smooth_raster():
+    """A smooth gradient must survive the quantization round trip
+    within a small error band (the lossy-codec sanity check)."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    xs = np.linspace(0, 255, 48)
+    smooth = np.tile(xs, (32, 1)).astype(np.uint8)
+    dec = mm.decode_jpeg(mm.encode_jpeg(smooth), luma=False)
+    assert int(np.abs(dec.astype(int) - smooth.astype(int)).max()) <= 12
+
+
+def test_jpeg_color_444_and_420_decode():
+    """Three-component scans in both subsampling layouts decode to
+    the right shapes (including non-multiple-of-8/16 dims) and the Y
+    plane tracks the true integer luma."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for h, w in [(32, 48), (13, 21), (17, 33)]:
+        rgb = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:0"):
+            p = mm.encode_jpeg(rgb, subsampling=sub)
+            y = mm.decode_jpeg(p, luma=True)
+            assert y.shape == (h, w)
+            full = mm.decode_jpeg(p, luma=False)
+            assert full.shape == (h, w, 3)
+            yy = mm._hround_int(
+                299000 * rgb[:, :, 0].astype(np.int64)
+                + 587000 * rgb[:, :, 1]
+                + 114000 * rgb[:, :, 2],
+                1_000_000,
+            )
+            rmse = float(np.sqrt(((y - yy) ** 2).mean()))
+            assert rmse < 40.0  # noise image: coarse but bounded
+
+
+def test_jpeg_restart_intervals_roundtrip():
+    """DRI/RSTn: the encoder emits restart markers and the decoder
+    resets DC predictors — the decoded raster must equal the
+    no-restart encoding's."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    gray = rng.integers(0, 256, size=(32, 48), dtype=np.uint8)
+    p0, p1 = mm.encode_jpeg(gray), mm.encode_jpeg(gray, dri=3)
+    assert b"\xff\xdd" in p1 and b"\xff\xdd" not in p0
+    assert any(bytes([0xFF, 0xD0 + i]) in p1 for i in range(8))
+    assert np.array_equal(
+        mm.decode_jpeg(p0, luma=False), mm.decode_jpeg(p1, luma=False)
+    )
+
+
+def test_jpeg_decoder_validates_and_rejects():
+    import numpy as np
+    import pytest
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    gray = np.zeros((8, 8), dtype=np.uint8)
+    p = mm.encode_jpeg(gray)
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"\x89PNG")  # not a JPEG
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(p[:2] + p[2:160])  # truncated tables
+    with pytest.raises(ValueError):
+        # progressive (SOF2) declared unsupported, loudly
+        mm.decode_jpeg(p.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def _py_phash_exactint_jpeg(text: str | None) -> int:
+    """Pure-Python reimplementation of `phash_exactint_jpeg` (raster
+    -> integer gray -> REAL JFIF bytes -> decode -> exact-int pHash),
+    sharing only the public constants with the kernel."""
+    import numpy as np
+
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    b = np.frombuffer((text or "").encode("utf-8"), dtype=np.uint8)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    rgb = (
+        np.resize(b, mm.PPM_H * mm.PPM_W * 3)
+        .reshape(mm.PPM_H, mm.PPM_W, 3)
+        .astype(np.int64)
+    )
+    gray = mm._hround_int(
+        299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2], 1000
+    ).astype(np.uint8)
+    lum = mm.decode_jpeg(mm.encode_jpeg(gray), luma=False).astype(int)
+    C = mm.phash_int_basis()
+    n = mm.PHASH_GRID
+    pooled = [[0] * n for _ in range(mm.PPM_H)]
+    for y in range(mm.PPM_H):
+        for qcol in range(n):
+            s = (qcol * mm.PPM_W) // n
+            e = ((qcol + 1) * mm.PPM_W) // n
+            seg = [int(lum[y][x]) for x in range(s, e)]
+            pooled[y][qcol] = 2 * seg[0] if len(seg) == 1 else sum(seg)
+    coefs = []
+    for k, l in mm._ZIGZAG_AC:
+        g = [
+            sum(C[k][i] * pooled[i][j] for i in range(n)) for j in range(n)
+        ]
+        coefs.append(sum(C[l][j] * g[j] for j in range(n)))
+    tot = sum(coefs)
+    return sum(
+        (1 << bb)
+        for bb in range(mm.PHASH_BITS)
+        if coefs[bb] * mm.PHASH_BITS >= tot
+    )
+
+
+def test_phash_exactint_jpeg_matches_pure_python(spark, sf_dir):
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    docs = load(spark, sf_dir).documents.limit(6)
+    got = {
+        r.doc_id: r.phash
+        for r in mm.phash_exactint_jpeg(docs).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(got) == 6
+    for did, text in texts.items():
+        assert got[did] == _py_phash_exactint_jpeg(text), did
