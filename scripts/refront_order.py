@@ -6,8 +6,10 @@ the driver's correctness gate walks ``queries()`` in order under a
 were NEVER driver-green (red rows and budget-overflow residue from
 prior rounds, plus anything new this round); already-green entries
 follow, stalest first (oldest last-green round), so the rotation
-re-verifies the rows whose driver evidence is oldest; rows-only
-entries sit dead last so no slot ever burns on a ``no_oracle``.
+re-verifies the rows whose driver evidence is oldest. Rows-only
+entries the driver has never row-verified ride the front (r13: the
+oracle residue is zero, so the budget reaches them); already-row-
+verified rows-only entries sit dead last.
 
 Usage:  python scripts/refront_order.py R12
 (rewrites the ``_DRIVER_ORDER_*`` block in place and renames every
@@ -28,28 +30,27 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENTRY = os.path.join(ROOT, "__spark_entry__.py")
 
 
-def driver_record() -> tuple[set[str], dict[str, int]]:
-    """(ever-green names, name -> last green round) from the committed
-    CORRECTNESS_r*.json driver artifacts."""
+def driver_record() -> tuple[set[str], set[str], dict[str, int]]:
+    """(hash-green names, row-verified names, name -> last green
+    round) from the committed CORRECTNESS_r*.json driver artifacts."""
     green: set[str] = set()
+    rowseen: set[str] = set()
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"CORRECTNESS_r(\d+)\.json", path).group(1))
         with open(path) as fh:
             for name, row in json.load(fh).items():
-                # hash_match must be literally True: a missing/None
-                # hash means the values were never actually checked
-                # (e.g. the entry ran rows-only that round), so it
-                # must stay in the never-verified front, not rotate
-                # out as green.
-                if (
-                    row.get("rows_match")
-                    and row.get("schema_match", True)
-                    and row.get("hash_match") is True
-                ):
-                    green.add(name)
-                    last[name] = max(last.get(name, 0), rnd)
-    return green, last
+                if row.get("rows_match") and row.get("schema_match", True):
+                    rowseen.add(name)
+                    # hash_match must be literally True: a missing/
+                    # None hash means the values were never actually
+                    # checked (e.g. the entry ran rows-only that
+                    # round), so it must stay in the never-verified
+                    # front, not rotate out as green.
+                    if row.get("hash_match") is True:
+                        green.add(name)
+                        last[name] = max(last.get(name, 0), rnd)
+    return green, rowseen, last
 
 
 def main() -> int:
@@ -58,7 +59,7 @@ def main() -> int:
 
     names = list(entrymod._registry())
     oracles = set(entrymod.oracle_sql())
-    green, last = driver_record()
+    green, rowseen, last = driver_record()
 
     pos = {n: i for i, n in enumerate(names)}
     never = [n for n in names if n in oracles and n not in green]
@@ -66,13 +67,20 @@ def main() -> int:
         (n for n in names if n in oracles and n in green),
         key=lambda n: (last[n], pos[n]),
     )
-    rows_only = [n for n in names if n not in oracles]
-    order = never + greens + rows_only
+    # rows-only entries: with the oracle residue at zero (r13), the
+    # ones the driver has NEVER even row-verified ride the front so
+    # each gets one gate slot; already-row-verified ones stay last.
+    ro_never = [n for n in names if n not in oracles and n not in rowseen]
+    ro_seen = [n for n in names if n not in oracles and n in rowseen]
+    order = never + ro_never + greens + ro_seen
 
     lines = [f"_DRIVER_ORDER_{tag} = ["]
     lines.append("    # --- never driver-verified: red rows + overflow residue +")
     lines.append("    # --- new-this-round entries (gate front) ---")
     for n in never:
+        lines.append(f'    "{n}",')
+    lines.append("    # --- rows-only entries never driver-row-verified ---")
+    for n in ro_never:
         lines.append(f'    "{n}",')
     lines.append("    # --- driver-green entries, stalest first ---")
     cur = None
@@ -81,8 +89,8 @@ def main() -> int:
             cur = last[n]
             lines.append(f"    # last driver-green r{cur}")
         lines.append(f'    "{n}",')
-    lines.append("    # --- rows-only (no oracle by design) dead last ---")
-    for n in rows_only:
+    lines.append("    # --- rows-only, already driver-row-verified ---")
+    for n in ro_seen:
         lines.append(f'    "{n}",')
     lines.append("]")
     block = "\n".join(lines)
@@ -95,7 +103,8 @@ def main() -> int:
     open(ENTRY, "w", encoding="utf-8").write(src)
     print(
         f"wrote _DRIVER_ORDER_{tag}: {len(never)} never-green front, "
-        f"{len(greens)} green rotation, {len(rows_only)} rows-only tail"
+        f"{len(ro_never)} rows-only front, {len(greens)} green rotation, "
+        f"{len(ro_seen)} rows-only tail"
     )
     return 0
 

@@ -389,10 +389,13 @@ def _driver_green_ever():
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         with open(path) as fh:
             for name, row in json.load(fh).items():
+                # hash_match must be literally True (ADVICE r12): a
+                # missing/None hash means the values were never
+                # checked, so the row hasn't earned green.
                 if (
                     row.get("rows_match")
                     and row.get("schema_match", True)
-                    and row.get("hash_match") is not False
+                    and row.get("hash_match") is True
                 ):
                     green.add(name)
     return green
