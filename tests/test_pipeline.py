@@ -123,3 +123,53 @@ def test_corpus_pipeline_promotes_kept_member_when_root_fails(spark, sf_dir, tmp
     for c in clusters_with_kept:
         members_kept = sorted(d for d in kept if comp[d] == c)
         assert members_kept[0] in published
+
+
+def test_media_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The multimodal capstone: real mixed-container bytes (PPM/PNG/
+    JPEG) -> decode -> exact-int pHash -> maintained versioned index
+    -> banded pairs -> CC clusters -> versioned publish. Maintained
+    index ≡ rebuild; published clusters ≡ the in-memory tail; the
+    manifest counts are consistent with the artifacts on disk."""
+    import json
+
+    from beauty_lakehouse_spark import pipeline, tables
+    from beauty_lakehouse_spark.catalog import load
+    from beauty_lakehouse_spark.operators import multimodal as mm
+
+    out = str(tmp_path / "media")
+    res = pipeline.run_media_pipeline(spark, sf_dir, out)
+    assert res.n_media == load(spark, sf_dir).documents.count()
+    assert res.n_pairs > 0 and res.n_clustered > 0
+
+    # maintained index content == a from-scratch rebuild of all hashes
+    maintained = tables.read_versioned(spark, out + "/phash_index")
+    media = mm.mixed_image_from_documents(load(spark, sf_dir).documents)
+    rebuilt = mm.phash_exactint_payload(media)
+    assert sorted(
+        (r.doc_id, r.phash) for r in maintained.collect()
+    ) == sorted((r.doc_id, r.phash) for r in rebuilt.collect())
+
+    # the CoW merge actually produced a second version
+    assert tables.latest_version(out + "/phash_index") >= 1
+
+    # published clusters == recomputing the tail from the maintained index
+    published = sorted(
+        tuple(r)
+        for r in tables.read_versioned(spark, out + "/media_clusters")
+        .select("media_id", "cluster_id", "cluster_size", "is_canonical")
+        .collect()
+    )
+    recomputed = sorted(
+        tuple(r)
+        for r in mm.phash_pair_clusters(mm.exactint_hash_pairs(maintained))
+        .collect()
+    )
+    assert published == recomputed
+    assert len(published) == res.n_clustered
+
+    # manifest round-trips
+    m = json.load(open(tmp_path / "media" / "media_manifest.json"))
+    assert m["n_media"] == res.n_media
+    assert m["n_pairs"] == res.n_pairs
+    assert m["containers"] == ["ppm", "png", "jpeg"]
