@@ -91,29 +91,35 @@ def test_validate_matches_composable_rules(spark, sf_dir):
     assert fast == slow
 
 
-def test_quantile_sketches_bounded_rank_error(spark, sf_dir):
-    """approx p50/p90/p99 from the sketch must land within a small rank
-    neighborhood of the exact percentile (compare against exact
-    percentile values at ranks +/- 2% of n)."""
-    from pyspark.sql import functions as F
-
+def test_quantile_sketches_brackets_exact_percentiles(spark, sf_dir):
+    """Every (target, quantile) row's [lo_cents, hi_cents] bracket
+    must CONTAIN the exact nearest-rank percentile, with the DDSketch
+    relative-width guarantee (γ² ≈ 4%) — the graduated portable form
+    is checked against ground truth, not another sketch."""
     from beauty_lakehouse_spark.catalog import load
     from beauty_lakehouse_spark.operators import quality
 
     rows = quality.q_quantile_sketches(spark, sf_dir).collect()
-    assert rows
-    t = load(spark, sf_dir)
-    by_target = {r.target: r for r in rows}
-    # spot-check one column exactly
-    vals = sorted(
-        r.l_extendedprice for r in t.lineitem.select("l_extendedprice").collect()
+    assert len(rows) == len(quality.QSKETCH_TARGETS) * len(
+        quality.DDS_QUANTILES
     )
-    n = len(vals)
-    row = by_target["lineitem.l_extendedprice"]
-    for q, got in [(0.5, row.p50), (0.9, row.p90), (0.99, row.p99)]:
-        lo = vals[max(0, int(q * n) - max(2, n // 50))]
-        hi = vals[min(n - 1, int(q * n) + max(2, n // 50))]
-        assert lo <= got <= hi, (q, got, lo, hi)
+    t = load(spark, sf_dir)
+    by_key = {(r.target, r.quantile): r for r in rows}
+    for table, col in [("lineitem", "l_extendedprice"), ("events", "value")]:
+        cents = sorted(
+            int(round(v[0] * 100))
+            for v in t.table(table).select(col).collect()
+        )
+        n = len(cents)
+        for q in quality.DDS_QUANTILES:
+            rank = (q * n + 99) // 100
+            exact = cents[rank - 1]
+            row = by_key[(f"{table}.{col}", q)]
+            assert row.rank == rank
+            assert row.lo_cents <= exact <= row.hi_cents, (
+                table, col, q, exact, row,
+            )
+            assert row.hi_cents <= row.lo_cents * 1.0404 + 1
 
 
 def test_hll_portable_accuracy_and_determinism(spark, sf_dir):
