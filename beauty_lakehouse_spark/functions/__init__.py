@@ -360,6 +360,27 @@ def ln_micro(num: Column, den: Column) -> Column:
     return F.shiftright(log2_fixed * F.lit(_LN2_MICRO), _LN_FB)
 
 
+def ln_micro_py(num: int, den: int) -> int:
+    """Driver-side exact replica of :func:`ln_micro` — the SAME
+    shift-and-square integer algorithm, step for step, so Python,
+    Spark, and DuckDB produce the identical micro-nat quantization.
+    Used to PRECOMPUTE bounded lookup grids (e.g. the DDSketch bucket
+    boundaries in ``operators.quality``) that per-row column
+    expressions then index — the higher-order-function fold is
+    interpreted per row in Spark, ~20 µs/row, far too slow for hot
+    scans, while a memoized ~1k-entry boundary table costs nothing."""
+    q = num // den
+    e = q.bit_length() - 1
+    x = (num * 2**30 // den) >> e
+    acc = 0
+    for _ in range(_LN_FB):
+        x2 = (x * x) >> 30
+        bit = 1 if x2 >= 2**31 else 0
+        x = x2 >> 1 if bit else x2
+        acc = acc * 2 + bit
+    return ((e * 2**_LN_FB + acc) * _LN2_MICRO) >> _LN_FB
+
+
 def ln_micro_sql(num: str, den: str) -> str:
     """DuckDB twin of :func:`ln_micro` — the same integer algorithm;
     the fold packs (x, acc) into one BIGINT (x·2^FB + acc, ≤ 47 bits)

@@ -12,6 +12,7 @@ beauty star schema (datagen) and the fixture tables where applicable.
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -409,20 +410,78 @@ def q_quantile_sketches(spark, sf_dir: str) -> DataFrame:
 DDS_STEP_UNATS = 19_803
 DDS_QUANTILES = (50, 90, 99)
 
+#: Exclusive upper bound of the cents contract (ln_micro exact range).
+_DDS_MAX_CENTS = 1 << 31
+
+
+@functools.lru_cache(maxsize=1)
+def _dds_bucket_bounds() -> tuple[int, ...]:
+    """``bounds[k]`` = the smallest cents whose exact bucket id
+    (``ln_micro_py(cents, 1) // DDS_STEP_UNATS``) reaches ``k``, for
+    every k up to the contract maximum (~1086 entries for cents <
+    2^31). Monotone in k, so ``bucket(c) = max{k : bounds[k] <= c}``
+    — computed ONCE driver-side by binary search over the exact
+    integer `ln_micro_py`, then shipped as a literal array the
+    per-row assignment indexes (the in-engine fold is an interpreted
+    higher-order function, ~20 µs/row — 13 s over sf0.1 lineitem)."""
+    from ..functions import ln_micro_py
+
+    kmax = ln_micro_py(_DDS_MAX_CENTS - 1, 1) // DDS_STEP_UNATS
+    bounds = []
+    for k in range(kmax + 1):
+        target = k * DDS_STEP_UNATS
+        lo, hi = 1, _DDS_MAX_CENTS - 1
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if ln_micro_py(mid, 1) >= target:
+                hi = mid
+            else:
+                lo = mid + 1
+        bounds.append(lo)
+    return tuple(bounds)
+
+
+def dds_bucket(cents) -> "F.Column":
+    """EXACT DDSketch bucket id for a positive cents column, equal to
+    ``ln_micro(cents, 1) div DDS_STEP_UNATS`` bit-for-bit but
+    whole-stage-codegen fast: float ``ln`` PROPOSES a bucket (within
+    ±1 of truth — the fixed-point quantization is ±~120 µnats ≈ 0.006
+    buckets, float error ~1 ulp on top), and two comparisons against
+    the exact integer boundary grid (`_dds_bucket_bounds`) DECIDE, so
+    the float never determines the result near a boundary and JVM /
+    DuckDB / Python libm differences cannot change the output."""
+    bounds = _dds_bucket_bounds()
+    kmax = len(bounds) - 1
+    arr = F.lit(list(bounds))
+    i = F.least(
+        F.greatest(
+            F.floor(
+                F.log(cents.cast("double")) * F.lit(1_000_000.0 / DDS_STEP_UNATS)
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(kmax - 1),
+    )
+    return (
+        (i - 1)
+        + (cents >= F.get(arr, i)).cast("int")
+        + (cents >= F.get(arr, i + 1)).cast("int")
+    ).cast("long")
+
 
 def ddsketch_cents_buckets(
     cents: DataFrame, keys: tuple[str, ...] = ()
 ) -> DataFrame:
     """Mergeable DDSketch-style log-bucket table over a positive
     integer ``cents`` column: bucket id = fixed-point ln(cents) div
-    DDS_STEP_UNATS (`functions.ln_micro` — NO float ln, so both
-    engines bucket identically), with per-bucket count and EXACT
-    min/max cents. Counts add, min/min max/max — the sketch merges
-    across partitions/streams/shards like the HLL registers and CMS
+    DDS_STEP_UNATS (via :func:`dds_bucket` — the exact integer
+    boundary grid decides, so both engines bucket identically; float
+    ln only proposes), with per-bucket count and EXACT min/max cents.
+    Counts add, min/min max/max — the sketch merges across
+    partitions/streams/shards like the HLL registers and CMS
     cells; state is ≤ ln(max/min)/ln γ buckets (~700 for cents in
     [1, 5·10⁷]) PER KEY, not rows. ``keys`` builds one register
     table per key tuple (the multi-column profiler's grain)."""
-    from ..functions import _idiv, ln_micro
 
     # ln_micro's exactness contract is num < 2^31; RAISE on breach
     # (same policy as the isqrt norm guard) instead of silently
@@ -440,9 +499,7 @@ def ddsketch_cents_buckets(
         cents.filter(F.col("cents") >= 1)
         .select(
             *keys,
-            _idiv(
-                ln_micro(guarded, F.lit(1)), F.lit(DDS_STEP_UNATS)
-            ).alias("bucket"),
+            dds_bucket(guarded).alias("bucket"),
             "cents",
         )
         .groupBy(*keys, "bucket")
@@ -498,51 +555,62 @@ def ddsketch_quantiles_finish(
     `q_ddsketch_value_quantiles`, shared with the streamed drain and
     the multi-column profiler — the bucket grid is mergeable state,
     this is the finisher that turns it into the (quantile, rank,
-    bracket) report, one report per ``keys`` tuple)."""
+    bracket) report, one report per ``keys`` tuple).
+
+    Single-pass form (r13): ONE WindowExec computes the running and
+    total counts together (same partition spec, two frames), each
+    bucket row explodes the fixed quantile list, and a filter keeps
+    the bucket whose cumulative range covers the nearest-rank target
+    — no cache, no per-quantile union, no broadcast total join (the
+    previous 3-probe-over-cached-table shape re-planned twelve
+    branches and paid ~2.5 s of fixed overhead per call on a ≤~700-row
+    ledger)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+    run = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    cum = buckets.select(
-        *keys,
-        "bucket",
-        "n",
-        "lo_cents",
-        "hi_cents",
-        F.sum("n").over(w).alias("cum"),
-    ).cache()  # one bounded table feeds all three quantile probes
-    if keys:
-        total = cum.groupBy(*keys).agg(F.max("cum").alias("n_total"))
-        join_total = lambda df: df.join(  # noqa: E731
-            F.broadcast(total), list(keys)
+    tot = Window.partitionBy(*keys).orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        buckets.select(
+            *keys,
+            "bucket",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            F.sum("n").over(run).alias("cum"),
+            F.sum("n").over(tot).alias("n_total"),
         )
-    else:
-        total = cum.agg(F.max("cum").alias("n_total"))
-        join_total = lambda df: df.crossJoin(F.broadcast(total))  # noqa: E731
-    out = None
-    for q in DDS_QUANTILES:
+        .select(
+            *keys,
+            "bucket",
+            "n",
+            "lo_cents",
+            "hi_cents",
+            "cum",
+            "n_total",
+            F.explode(
+                F.array(*[F.lit(q) for q in DDS_QUANTILES])
+            ).alias("quantile"),
+        )
         # nearest-rank: ceil(q·n/100) in exact integers
-        rank = F.expr(f"({q} * n_total + 99) div 100")
-        probe = (
-            join_total(cum)
-            .withColumn("rank", rank)
-            .filter(
-                (F.col("cum") >= F.col("rank"))
-                & (F.col("cum") - F.col("n") < F.col("rank"))
-            )
-            .select(
-                *keys,
-                F.lit(q).cast("int").alias("quantile"),
-                F.col("rank").cast("long").alias("rank"),
-                F.col("bucket").cast("long").alias("bucket"),
-                F.col("n").cast("long").alias("n_in_bucket"),
-                "lo_cents",
-                "hi_cents",
-            )
+        .withColumn("rank", F.expr("(quantile * n_total + 99) div 100"))
+        .filter(
+            (F.col("cum") >= F.col("rank"))
+            & (F.col("cum") - F.col("n") < F.col("rank"))
         )
-        out = probe if out is None else out.unionByName(probe)
-    return out
+        .select(
+            *keys,
+            F.col("quantile").cast("int").alias("quantile"),
+            F.col("rank").cast("long").alias("rank"),
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n").cast("long").alias("n_in_bucket"),
+            "lo_cents",
+            "hi_cents",
+        )
+    )
 
 
 def q_hot_keys_top(spark, sf_dir: str) -> DataFrame:

@@ -485,6 +485,44 @@ def test_ddsketch_buckets_merge_across_shards(spark, sf_dir):
     assert canon(merged) == canon(whole)
 
 
+def test_dds_bucket_fast_path_bit_identical(spark):
+    """The codegen-fast bucket assignment (float-ln proposal corrected
+    against the exact integer boundary grid, `quality.dds_bucket`)
+    must equal ``ln_micro(c,1) div STEP`` bit-for-bit — exhaustively
+    over the dense low range (where consecutive integers skip many
+    buckets) and on random values up to the 2^31 contract edge; the
+    driver-side `ln_micro_py` replica that generates the grid must
+    match the in-engine fold on the same samples."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.functions import _idiv, ln_micro, ln_micro_py
+    from beauty_lakehouse_spark.operators.quality import (
+        DDS_STEP_UNATS,
+        dds_bucket,
+    )
+
+    rng = random.Random(13)
+    samples = (
+        list(range(1, 20_001))
+        + [rng.randrange(1, 2**31) for _ in range(5_000)]
+        + [2**31 - 1, 2**30, 2**30 - 1]
+    )
+    df = spark.createDataFrame([(c,) for c in samples], "cents long")
+    chk = df.select(
+        "cents",
+        ln_micro(F.col("cents"), F.lit(1)).alias("fold"),
+        dds_bucket(F.col("cents")).alias("fast"),
+    )
+    bad = chk.filter(
+        F.col("fast") != _idiv(F.col("fold"), F.lit(DDS_STEP_UNATS))
+    )
+    assert bad.count() == 0, bad.take(5)
+    for r in chk.sample(0.02, seed=13).collect():
+        assert ln_micro_py(r.cents, 1) == r.fold, r
+
+
 def test_benford_digit_profile(spark, sf_dir):
     """Digit domain is 1..9, both share columns sum to ~1 (quantization
     only), and the fixed-point Benford reference hits the textbook
