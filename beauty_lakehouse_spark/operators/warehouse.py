@@ -3192,3 +3192,220 @@ def q_revenue_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+def _trunc_div(num, den):
+    """Truncate-toward-zero integer division of possibly-negative
+    DECIMAL(38,0) columns: |num| is divided and the sign reapplied
+    (Spark's decimal intdiv truncates where DuckDB's ``//`` floors —
+    the house sign-split convention, `q_nation_revenue_trend`)."""
+    from ..functions import _idiv
+
+    return F.when(num < 0, -_idiv(-num, den)).otherwise(_idiv(num, den))
+
+
+def q_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS RESIDUAL DIAGNOSTICS for the daily-revenue trend — the
+    goodness-of-fit companion to the slope-only regressions
+    (`q_nation_revenue_trend` fits, `q_revenue_theil_sen` robustifies,
+    THIS one asks "should you trust the line?"): R², Durbin–Watson
+    serial-correlation, and residual-shape summaries for the global
+    ``daily_cents ~ day`` fit.
+
+    Exact fixed point end to end: the daily grid is integer cents;
+    slope and intercept stay an exact DECIMAL(38,0)/HUGEINT rational
+    (num_b/den, with fitted·(n·den) = n·num_b·x + den·Σy − num_b·Σx);
+    the residual is the integer cents ``y − trunc(fit)`` (one
+    truncate-toward-zero division — a deterministic quantization both
+    engines define identically), and every statistic is an integer
+    ratio of residual power sums:
+
+    - ``r2_ppm``   = 1e6 − (n·Σe²·1e6) div (n·Σy² − (Σy)²)
+    - ``dw_micro`` = (Σ_{t≥2} (e_t − e_{t−1})²·1e6) div Σe²  — the
+      Durbin–Watson statistic at micro (≈2e6 ⇒ no serial correlation,
+      →0 ⇒ positive, →4e6 ⇒ negative; daily revenue around a linear
+      trend typically shows DW well below 2e6).
+
+    Magnitude contract (documented, not guarded): daily cents below
+    ~4e15 keeps every product under DECIMAL(38,0) — ~10^6× the sf0.1
+    fixture; the 100 TB case lands inside it because the calendar grid
+    (~2.4k days) is fixed while only per-day totals grow.
+
+    Scale: ONE map-side-combinable shuffle to the bounded calendar
+    grid; the 1-row sums broadcast back onto the grid (whitelisted
+    1-row attach class); the lag window orders the bounded grid, not
+    rows. Output: single row (n_days, slope_micro_cents_per_day,
+    intercept_cents, r2_ppm, dw_micro, n_pos_resid,
+    max_abs_resid_cents)."""
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    daily = (
+        t.orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    x = F.col("day").cast(d38)
+    y = F.col("cents").cast(d38)
+    g = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).select(
+        "*",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_b"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    fit_num = (
+        F.col("n") * F.col("num_b") * F.col("day").cast(d38)
+        + F.col("den") * F.col("sy")
+        - F.col("num_b") * F.col("sx")
+    )
+    fit_den = F.col("n") * F.col("den")
+    resid = daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n",
+        "sx",
+        "sy",
+        "syy",
+        "num_b",
+        "den",
+        (F.col("cents").cast(d38) - _trunc_div(fit_num, fit_den)).alias("e"),
+    )
+    w = Window.orderBy("day")
+    lagged = resid.select(
+        "*", (F.col("e") - F.lag("e").over(w)).alias("de")
+    )
+    out = lagged.groupBy("n", "sx", "sy", "syy", "num_b", "den").agg(
+        F.sum(F.col("e") * F.col("e")).alias("sse"),
+        F.sum(F.col("de") * F.col("de")).alias("sdd"),
+        F.sum((F.col("e") > 0).cast("long")).alias("n_pos"),
+        F.max(F.abs(F.col("e"))).alias("max_abs_e"),
+    )
+    sst = out["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    return out.select(
+        F.col("n").cast("long").alias("n_days"),
+        _trunc_div(F.col("num_b") * F.lit(1_000_000), F.col("den"))
+        .cast("long")
+        .alias("slope_micro_cents_per_day"),
+        _trunc_div(
+            F.col("den") * F.col("sy") - F.col("num_b") * F.col("sx"),
+            F.col("n") * F.col("den"),
+        )
+        .cast("long")
+        .alias("intercept_cents"),
+        (
+            F.lit(1_000_000).cast("decimal(38,0)")
+            - _trunc_div(out["n"] * F.col("sse") * F.lit(1_000_000), sst)
+        )
+        .cast("long")
+        .alias("r2_ppm"),
+        _trunc_div(F.col("sdd") * F.lit(1_000_000), F.col("sse"))
+        .cast("long")
+        .alias("dw_micro"),
+        F.col("n_pos").cast("long").alias("n_pos_resid"),
+        F.col("max_abs_e").cast("long").alias("max_abs_resid_cents"),
+    )
+
+
+def q_revenue_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSICAL seasonal decomposition of daily revenue by ISO
+    weekday — trend via a centered 7-day moving average, seasonal =
+    the per-weekday mean of the detrended series, remainder = what's
+    left (the additive model of the pre-STL textbook decomposition;
+    STL's loess smoother is float-iterative and engine-specific, the
+    classical form is exact integer arithmetic both engines share).
+
+    Fixed point: the daily grid is integer cents; the centered MA over
+    a FULL 7-observation window is one truncate-toward-zero division
+    of the window sum (edge days with <7 neighbours are excluded —
+    the textbook convention); seasonal indices and remainder means are
+    the same division over per-weekday sums. Weekday is Spark
+    ``weekday()+1`` == DuckDB ``isodow`` (Monday=1).
+
+    Scale: map-side shuffle to the bounded calendar grid (~2.4k
+    rows); the MA window and weekday means run on the grid, never on
+    order rows. Output: one row per ISO weekday — (iso_dow, n_days,
+    seasonal_cents, remainder_mean_abs_cents, detrended_min_cents,
+    detrended_max_cents)."""
+    from ..functions import dec2
+
+    t = load(spark, sf_dir)
+    daily = (
+        t.orders.select(
+            F.col("o_orderdate").alias("d"),
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("d")
+        .agg(F.sum("cents").alias("cents"))
+        .select(
+            "d",
+            "cents",
+            (F.weekday("d") + F.lit(1)).cast("int").alias("iso_dow"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "iso_dow",
+        "cents",
+        F.sum("cents").over(w).alias("win_sum"),
+        F.count(F.lit(1)).over(w).alias("win_n"),
+    ).filter(F.col("win_n") == 7)
+    detr = ma.select(
+        "d",
+        "iso_dow",
+        (
+            F.col("cents").cast("decimal(38,0)")
+            - _trunc_div(F.col("win_sum").cast("decimal(38,0)"), F.lit(7))
+        ).alias("detrended"),
+    )
+    seasonal = detr.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("detrended").alias("dsum"),
+        F.min("detrended").cast("long").alias("detrended_min_cents"),
+        F.max("detrended").cast("long").alias("detrended_max_cents"),
+    ).select(
+        "*",
+        _trunc_div(F.col("dsum"), F.col("n_days").cast("decimal(38,0)"))
+        .alias("seasonal_cents"),
+    )
+    rem = (
+        detr.join(
+            F.broadcast(seasonal.select("iso_dow", "seasonal_cents")),
+            "iso_dow",
+        )
+        .select(
+            "iso_dow",
+            F.abs(F.col("detrended") - F.col("seasonal_cents")).alias("r"),
+        )
+        .groupBy("iso_dow")
+        .agg(F.sum("r").alias("rsum"), F.count(F.lit(1)).alias("rn"))
+        .select(
+            "iso_dow",
+            _trunc_div(F.col("rsum"), F.col("rn").cast("decimal(38,0)"))
+            .cast("long")
+            .alias("remainder_mean_abs_cents"),
+        )
+    )
+    return (
+        seasonal.join(rem, "iso_dow")
+        .select(
+            F.col("iso_dow").cast("int").alias("iso_dow"),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("seasonal_cents").cast("long").alias("seasonal_cents"),
+            "remainder_mean_abs_cents",
+            "detrended_min_cents",
+            "detrended_max_cents",
+        )
+        .orderBy("iso_dow")
+    )

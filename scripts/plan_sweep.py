@@ -165,11 +165,14 @@ WHITELIST: dict[str, str] = {
     "domain_dedup_mixture": "1-row weight-total and base-quota-sum broadcasts against the <=50-row domain table (the source_quota_apportionment Hamilton shape)",
     "dsir_importance": "1-row factored-normalizer broadcast (C = ln((R+B)/(T+B))) attached to the per-doc score aggregate",
     "kneser_ney_bigrams": "1-row N1+(..) bigram-type-count broadcast attached to the dictionary-grain bigram table",
+    "ols_residual_diagnostics": "1-row OLS power-sum broadcast attached to the calendar-bounded daily grid (the nation_revenue_trend scalar-attach shape)",
 }
 
 #: windows allowed to have an empty partition spec because their input
 #: is an aggregated / bounded table, not raw rows.
 GLOBAL_WINDOW_OK: dict[str, str] = {
+    "ols_residual_diagnostics": "residual lag window over the calendar-bounded day grid (the revenue_cusum convention), never raw rows",
+    "revenue_weekday_profile": "centered 7-row MA window over the calendar-bounded day grid, never raw rows",
     "nelson_aalen_repeat": "risk-set/hazard cumulative sums over the duration-grain grid (the kaplan_meier_repeat convention), never raw rows",
     "revenue_pacf": "inherits revenue_acf's day-grid windows (row_number index over the calendar-bounded grid), never raw rows",
     "effective_diameter": "lag over the 4-row neighborhood-function table, never raw rows",

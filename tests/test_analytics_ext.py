@@ -3646,3 +3646,98 @@ def test_wilcoxon_signed_rank_pure_python(spark, sf_dir):
     # float witness: the quantized z² is within 1 micro of float math
     zf = 12 * (w2p - mu2) ** 2 / v12
     assert abs(z2 / 1e6 - zf) < 1e-5
+
+
+def test_ols_residual_diagnostics_pure_python(spark, sf_dir):
+    """Exact-rational slope/intercept, rounded-residual R² and
+    Durbin–Watson recomputed in pure Python big-int arithmetic; a
+    float OLS witness agrees with the quantized statistics."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_ols_residual_diagnostics,
+    )
+
+    row = q_ols_residual_diagnostics(spark, sf_dir).collect()[0]
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.assign(cents=(od["o_totalprice"] * 100).round().astype(int))
+    base = pd.Timestamp("1992-01-01").date()
+    daily = {}
+    for d, c in zip(od["o_orderdate"], od["cents"]):
+        day = (pd.Timestamp(d).date() - base).days
+        daily[day] = daily.get(day, 0) + int(c)
+    xs = sorted(daily)
+    ys = [daily[x] for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    num_b, den = n * sxy - sx * sy, n * sxx - sx * sx
+
+    def tdiv(a, b):  # truncate toward zero
+        return -((-a) // b) if a < 0 else a // b
+
+    es = [y - tdiv(n * num_b * x + den * sy - num_b * sx, n * den)
+          for x, y in zip(xs, ys)]
+    sse = sum(e * e for e in es)
+    sdd = sum((b - a) ** 2 for a, b in zip(es, es[1:]))
+    assert row.n_days == n
+    assert row.slope_micro_cents_per_day == tdiv(num_b * 1_000_000, den)
+    assert row.intercept_cents == tdiv(den * sy - num_b * sx, n * den)
+    assert row.r2_ppm == 1_000_000 - (n * sse * 1_000_000) // (
+        n * syy - sy * sy
+    )
+    assert row.dw_micro == (sdd * 1_000_000) // sse
+    assert row.n_pos_resid == sum(1 for e in es if e > 0)
+    assert row.max_abs_resid_cents == max(abs(e) for e in es)
+    assert 0 <= row.dw_micro <= 4_000_000
+    # float witness: slope and DW within quantization of float math
+    bf = num_b / den
+    assert abs(row.slope_micro_cents_per_day / 1e6 - bf) <= 1e-5 * max(
+        1.0, abs(bf)
+    )
+    dwf = sdd / sse
+    assert abs(row.dw_micro / 1e6 - dwf) < 1e-5
+
+
+def test_revenue_weekday_profile_decomposition(spark, sf_dir):
+    """Weekday mapping is ISO (Monday=1), every observed day lands in
+    exactly one weekday, edge days without a full 7-row window are
+    excluded, and the per-weekday seasonal means recompute from the
+    centered-MA detrended series."""
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        q_revenue_weekday_profile,
+    )
+
+    rows = {r.iso_dow: r for r in
+            q_revenue_weekday_profile(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 8))
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.assign(cents=(od["o_totalprice"] * 100).round().astype(int))
+    daily = od.groupby("o_orderdate")["cents"].sum().sort_index()
+    n_grid = len(daily)
+    assert sum(r.n_days for r in rows.values()) == n_grid - 6
+
+    days = list(daily.index)
+    vals = [int(v) for v in daily.values]
+    by_dow = {}
+    for i in range(3, n_grid - 3):
+        win = sum(vals[i - 3:i + 4])
+        detr = vals[i] - win // 7
+        dow = pd.Timestamp(days[i]).isoweekday()
+        by_dow.setdefault(dow, []).append(detr)
+    for dow, ds in by_dow.items():
+        r = rows[dow]
+        assert r.n_days == len(ds)
+        s = sum(ds)
+        seasonal = -((-s) // len(ds)) if s < 0 else s // len(ds)
+        assert r.seasonal_cents == seasonal
+        assert r.detrended_min_cents == min(ds)
+        assert r.detrended_max_cents == max(ds)
+        rm = sum(abs(d - seasonal) for d in ds) // len(ds)
+        assert r.remainder_mean_abs_cents == rm
