@@ -792,8 +792,20 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors = deg.filter(F.col("dg") >= KCORE_K)
         # decrements: edges whose src just died; decrements aimed at
         # nodes that are themselves dead vanish in the survivor join
+        # the broadcast is FORCED: after the checkpoint Catalyst no
+        # longer knows dir_e is hash-partitioned by src, so a removed
+        # set past the 10 MB auto-threshold would re-shuffle the FULL
+        # edge table (measured at syn100x: rounds 1-3 did exactly that,
+        # 24.7 GiB total). Peel sets shrink geometrically, so even the
+        # round-1 set stays far under the 8 GB broadcast ceiling at any
+        # plausible scale; beyond that, a bucketed maintained edge
+        # table (the docstring seam) makes rounds shuffle-free with no
+        # broadcast at all.
         dec = (
-            dir_e.join(removed.select(F.col("pk").alias("src")), "src")
+            dir_e.join(
+                F.broadcast(removed.select(F.col("pk").alias("src"))),
+                "src",
+            )
             .groupBy("dst")
             .agg(F.count(F.lit(1)).alias("dd"))
         )
