@@ -3204,6 +3204,59 @@ def _trunc_div(num, den):
     return F.when(num < 0, -_idiv(-num, den)).otherwise(_idiv(num, den))
 
 
+def _daily_ols_residuals(t) -> DataFrame:
+    """Shared residual construction for the OLS diagnostics family:
+    the calendar-bounded daily revenue grid, the exact
+    DECIMAL(38,0)/HUGEINT rational fit (num_b/den with
+    fitted·(n·den) = n·num_b·x + den·Σy − num_b·Σx), and the rounded
+    integer-cents residual ``e = y − trunc(fit)``. Returns one row per
+    observed day: (day, n, sx, sy, syy, num_b, den, e) with the 1-row
+    power-sum aggregate broadcast-attached (whitelisted class)."""
+    from ..functions import dec2
+
+    d38 = "decimal(38,0)"
+    daily = (
+        t.orders.select(
+            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+            .cast("long")
+            .alias("day"),
+            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("day")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    x = F.col("day").cast(d38)
+    y = F.col("cents").cast(d38)
+    g = daily.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ).select(
+        "*",
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_b"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
+    )
+    fit_num = (
+        F.col("n") * F.col("num_b") * F.col("day").cast(d38)
+        + F.col("den") * F.col("sy")
+        - F.col("num_b") * F.col("sx")
+    )
+    fit_den = F.col("n") * F.col("den")
+    return daily.crossJoin(F.broadcast(g)).select(
+        "day",
+        "n",
+        "sx",
+        "sy",
+        "syy",
+        "num_b",
+        "den",
+        (F.col("cents").cast(d38) - _trunc_div(fit_num, fit_den)).alias("e"),
+    )
+
+
 def q_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OLS RESIDUAL DIAGNOSTICS for the daily-revenue trend — the
     goodness-of-fit companion to the slope-only regressions
@@ -3237,50 +3290,7 @@ def q_ols_residual_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows. Output: single row (n_days, slope_micro_cents_per_day,
     intercept_cents, r2_ppm, dw_micro, n_pos_resid,
     max_abs_resid_cents)."""
-    from ..functions import dec2
-
-    t = load(spark, sf_dir)
-    d38 = "decimal(38,0)"
-    daily = (
-        t.orders.select(
-            F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
-            .cast("long")
-            .alias("day"),
-            (dec2("o_totalprice") * 100).cast("long").alias("cents"),
-        )
-        .groupBy("day")
-        .agg(F.sum("cents").alias("cents"))
-    )
-    x = F.col("day").cast(d38)
-    y = F.col("cents").cast(d38)
-    g = daily.agg(
-        F.count(F.lit(1)).cast(d38).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * y).alias("sxy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-    ).select(
-        "*",
-        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num_b"),
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("den"),
-    )
-    fit_num = (
-        F.col("n") * F.col("num_b") * F.col("day").cast(d38)
-        + F.col("den") * F.col("sy")
-        - F.col("num_b") * F.col("sx")
-    )
-    fit_den = F.col("n") * F.col("den")
-    resid = daily.crossJoin(F.broadcast(g)).select(
-        "day",
-        "n",
-        "sx",
-        "sy",
-        "syy",
-        "num_b",
-        "den",
-        (F.col("cents").cast(d38) - _trunc_div(fit_num, fit_den)).alias("e"),
-    )
+    resid = _daily_ols_residuals(load(spark, sf_dir))
     w = Window.orderBy("day")
     lagged = resid.select(
         "*", (F.col("e") - F.lag("e").over(w)).alias("de")
@@ -3408,4 +3418,104 @@ def q_revenue_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "detrended_max_cents",
         )
         .orderBy("iso_dow")
+    )
+
+
+#: Residual quantization unit for the moment statistics: $100 in cents.
+#: Keeps Σe⁴ inside DECIMAL(38,0)/HUGEINT for daily residuals up to
+#: ~$40M (|ek| ≲ 4·10⁵ ⇒ Σek⁴ ≲ 2.4k·2.6e22 ≈ 6e25) and the second
+#: moment inside isqrt's 2^52 exactness window — both guarded below.
+JB_RESID_UNIT_CENTS = 10_000
+
+
+def q_jarque_bera_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JARQUE–BERA normality test on the daily-revenue OLS residuals —
+    the third member of the diagnostics family
+    (`q_ols_residual_diagnostics` asks "does the line fit?", this asks
+    "are the deviations NORMAL?" — the assumption behind every
+    Gaussian interval on that fit): JB = n·(S²/6 + K²/24) against
+    χ²(2), from skewness S and excess kurtosis K of the residuals.
+
+    Exact fixed point: residuals come from the shared rounded-residual
+    construction (`_daily_ols_residuals`), are quantized to $100 units
+    (one truncate-toward-zero division — raw cents⁴ would overflow
+    DECIMAL(38,0) at sf0.1 already), and the moment ratios are integer
+    divisions: s = isqrt(m2), S_milli = m3·10³ div s³, K_milli =
+    m4·10³ div m2² − 3000, JB_milli = n·(4·S² + K²) div 24·10³.
+    Raw (not mean-centered) moments are correct here because OLS
+    residuals with an intercept sum to exactly zero in real
+    arithmetic; rounding leaves |mean| < 1 cent ≪ the $100 unit.
+    The isqrt exactness window (m2 < 2^52) is RAISED on breach, the
+    ddsketch guard policy.
+
+    Scale: identical to the sibling — one map-side shuffle to the
+    calendar grid, a 1-row broadcast attach, then a single bounded
+    aggregate. Output: single row (n_days, resid_unit_cents,
+    skew_milli, kurt_excess_milli, jb_milli, significant) where
+    significant ⇔ JB > 5.991 (χ²₂ at α = 0.05)."""
+    from ..functions import isqrt
+
+    d38 = "decimal(38,0)"
+    resid = _daily_ols_residuals(load(spark, sf_dir))
+    ek = _trunc_div(F.col("e"), F.lit(JB_RESID_UNIT_CENTS)).cast(d38)
+    sums = resid.select("n", ek.alias("ek")).groupBy("n").agg(
+        F.sum(F.col("ek") * F.col("ek")).alias("s2"),
+        F.sum(F.col("ek") * F.col("ek") * F.col("ek")).alias("s3"),
+        F.sum(
+            F.col("ek") * F.col("ek") * F.col("ek") * F.col("ek")
+        ).alias("s4"),
+    )
+    from ..functions import _idiv
+
+    m2 = _idiv(F.col("s2"), F.col("n")).cast("long")
+    guarded_m2 = F.when(
+        m2 >= F.lit(1 << 52),
+        F.raise_error(
+            F.lit(
+                "jarque_bera contract violated: residual second moment "
+                "exceeds isqrt's exact range; raise JB_RESID_UNIT_CENTS"
+            )
+        ).cast("long"),
+    ).otherwise(m2)
+    cur = sums.select(
+        "n",
+        guarded_m2.alias("m2"),
+        _trunc_div(F.col("s3"), F.col("n")).alias("m3"),
+        _idiv(F.col("s4"), F.col("n")).alias("m4"),
+    ).select(
+        "n", "m2", "m3", "m4", isqrt(F.col("m2")).alias("s")
+    )
+    skew = F.when(F.col("s") == 0, F.lit(0).cast("long")).otherwise(
+        _trunc_div(
+            F.col("m3").cast(d38) * F.lit(1000),
+            (F.col("s").cast(d38) * F.col("s") * F.col("s")),
+        )
+    )
+    kurt = F.when(F.col("m2") == 0, F.lit(0).cast("long")).otherwise(
+        _idiv(
+            F.col("m4").cast(d38) * F.lit(1000),
+            F.col("m2").cast(d38) * F.col("m2"),
+        )
+        - F.lit(3000)
+    )
+    out = cur.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(JB_RESID_UNIT_CENTS).cast("long").alias("resid_unit_cents"),
+        skew.cast("long").alias("skew_milli"),
+        kurt.cast("long").alias("kurt_excess_milli"),
+    )
+    jb = _idiv(
+        F.col("n_days").cast(d38)
+        * (
+            F.lit(4).cast(d38) * F.col("skew_milli") * F.col("skew_milli")
+            + F.col("kurt_excess_milli").cast(d38)
+            * F.col("kurt_excess_milli")
+        ),
+        F.lit(24_000).cast(d38),
+    )
+    return out.select(
+        "*",
+        jb.cast("long").alias("jb_milli"),
+    ).select(
+        "*", (F.col("jb_milli") > F.lit(5_991)).alias("significant")
     )

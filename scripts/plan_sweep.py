@@ -166,6 +166,7 @@ WHITELIST: dict[str, str] = {
     "dsir_importance": "1-row factored-normalizer broadcast (C = ln((R+B)/(T+B))) attached to the per-doc score aggregate",
     "kneser_ney_bigrams": "1-row N1+(..) bigram-type-count broadcast attached to the dictionary-grain bigram table",
     "ols_residual_diagnostics": "1-row OLS power-sum broadcast attached to the calendar-bounded daily grid (the nation_revenue_trend scalar-attach shape)",
+    "jarque_bera_residuals": "the same 1-row OLS power-sum broadcast (shared _daily_ols_residuals construction)",
 }
 
 #: windows allowed to have an empty partition spec because their input

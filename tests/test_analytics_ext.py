@@ -3741,3 +3741,64 @@ def test_revenue_weekday_profile_decomposition(spark, sf_dir):
         assert r.detrended_max_cents == max(ds)
         rm = sum(abs(d - seasonal) for d in ds) // len(ds)
         assert r.remainder_mean_abs_cents == rm
+
+
+def test_jarque_bera_residuals_pure_python(spark, sf_dir):
+    """Quantized residual moments, isqrt sd, and the JB composition
+    recomputed in pure Python big-int arithmetic; a float JB witness
+    agrees with the quantized statistic to its milli precision."""
+    import math
+
+    import pandas as pd
+
+    from beauty_lakehouse_spark.operators.warehouse import (
+        JB_RESID_UNIT_CENTS,
+        q_jarque_bera_residuals,
+    )
+
+    row = q_jarque_bera_residuals(spark, sf_dir).collect()[0]
+
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    od = od.assign(cents=(od["o_totalprice"] * 100).round().astype(int))
+    base = pd.Timestamp("1992-01-01").date()
+    daily = {}
+    for d, c in zip(od["o_orderdate"], od["cents"]):
+        day = (pd.Timestamp(d).date() - base).days
+        daily[day] = daily.get(day, 0) + int(c)
+    xs = sorted(daily)
+    ys = [daily[x] for x in xs]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    num_b, den = n * sxy - sx * sy, n * sxx - sx * sx
+
+    def tdiv(a, b):
+        return -((-a) // b) if a < 0 else a // b
+
+    eks = [
+        tdiv(y - tdiv(n * num_b * x + den * sy - num_b * sx, n * den),
+             JB_RESID_UNIT_CENTS)
+        for x, y in zip(xs, ys)
+    ]
+    s2 = sum(e * e for e in eks)
+    s3 = sum(e * e * e for e in eks)
+    s4 = sum(e * e * e * e for e in eks)
+    m2, m3, m4 = s2 // n, tdiv(s3, n), s4 // n
+    s = math.isqrt(m2)
+    skew = 0 if s == 0 else tdiv(m3 * 1000, s * s * s)
+    kurt = 0 if m2 == 0 else (m4 * 1000) // (m2 * m2) - 3000
+    jb = n * (4 * skew * skew + kurt * kurt) // 24_000
+    assert row.n_days == n
+    assert row.resid_unit_cents == JB_RESID_UNIT_CENTS
+    assert row.skew_milli == skew
+    assert row.kurt_excess_milli == kurt
+    assert row.jb_milli == jb
+    assert row.significant == (jb > 5_991)
+    # float witness on the same quantized residuals
+    mean = sum(eks) / n
+    c2 = sum((e - mean) ** 2 for e in eks) / n
+    c3 = sum((e - mean) ** 3 for e in eks) / n
+    c4 = sum((e - mean) ** 4 for e in eks) / n
+    jb_f = n * ((c3 / c2**1.5) ** 2 / 6 + (c4 / c2**2 - 3) ** 2 / 24)
+    assert abs(jb / 1000 - jb_f) < max(0.05 * jb_f, 0.5)
