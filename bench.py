@@ -279,6 +279,13 @@ HEADLINE = [
     "cliffs_delta",           # rank-derived effect size on the value grid (new in r12)
     "wilcoxon_signed_rank",   # paired signed-rank test, |d| grid ranks (new in r12)
     "holt_linear_forecast",   # exact-integer double exponential smoothing (new in r12)
+    # --- new in r13 ---
+    "quantile_sketches",           # graduated DDSketch register profile + boundary-grid fast path
+    "media_phash_pairs_jpegcodec", # stdlib baseline JPEG decode -> exact-int pHash pairs
+    "run_media_pipeline",          # multimodal capstone (ingest -> clusters -> published index)
+    "ols_residual_diagnostics",    # R^2 / Durbin-Watson on the daily-revenue fit
+    "jarque_bera_residuals",       # residual normality (moments + isqrt sd)
+    "revenue_weekday_profile",     # classical weekday decomposition
 ]
 
 #: ANN recall measurement: each index's top-5 vs the exact knn_brute
