@@ -519,8 +519,16 @@ def test_dds_bucket_fast_path_bit_identical(spark):
         F.col("fast") != _idiv(F.col("fold"), F.lit(DDS_STEP_UNATS))
     )
     assert bad.count() == 0, bad.take(5)
+    # FLOAT WITNESS: the exact fold is ln(cents) in micro-nats — an
+    # independent true-float math.log recompute must land inside the
+    # shift-and-square algorithm's quantization band (measured worst
+    # case ~18 µnats over 40k samples; a 10^x integer-scale bug in the
+    # fixed-point chain cannot hide from the float formula).
+    import math
+
     for r in chk.sample(0.02, seed=13).collect():
         assert ln_micro_py(r.cents, 1) == r.fold, r
+        assert abs(r.fold - math.log(r.cents) * 1_000_000) <= 64, r
 
 
 def test_benford_digit_profile(spark, sf_dir):
