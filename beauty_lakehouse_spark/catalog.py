@@ -188,6 +188,52 @@ def _normalize_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+def spread_scan(df: DataFrame) -> DataFrame:
+    """Spread an UNSPLITTABLE small scan across the cluster's cores
+    (optimization guide §2.5, "input skew: one huge unsplittable
+    file... otherwise repartition immediately after the read").
+
+    Parquet splits align to row groups, so a fixture file written as a
+    single row group always scans as ONE task no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say — and every per-row
+    expression downstream of that scan (fixed-point folds, hash
+    kernels) then runs single-threaded. Round-robin repartition to the
+    default parallelism when (and only when) the scan resolves to
+    fewer than a quarter of the cores; at production scale a fact scan
+    has thousands of row-group splits and this is a structural no-op,
+    so no full-table shuffle is ever added where the scan is already
+    parallel. Row-to-partition assignment stays deterministic under
+    retries (``spark.sql.execution.sortBeforeRepartition`` default).
+
+    Call it on a NARROW projection (project first, spread the few
+    columns you compute on — §2.3), and only in operators whose
+    per-row work is the measured bottleneck.
+
+    The split estimate is driver-only metadata (``inputFiles`` + local
+    file sizes) — deliberately NOT ``df.rdd.getNumPartitions()``, which
+    materializes the plan and can execute shuffle stages under AQE."""
+    spark = df.sparkSession
+    goal = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    splits = 0
+    for f in files:
+        path = f.removeprefix("file:")
+        try:
+            size = __import__("os").path.getsize(path)
+        except OSError:
+            # non-local FS: size unknown; count the file as parallel
+            # enough that a big remote table is never re-shuffled
+            splits += max(1, goal // max(1, len(files)))
+            continue
+        splits += 1 + size // (128 * 1024 * 1024)
+    if splits * 4 >= goal:
+        return df
+    return df.repartition(goal)
+
+
 def _assert_schema(name: str, df: DataFrame) -> None:
     expected = TABLE_COLUMNS[name]
     actual = {f.name: f.dataType for f in df.schema.fields}

@@ -44,9 +44,19 @@ LSH_BANDS = 4  # 4 bands x 4 rows
 
 def tokens(documents: DataFrame) -> DataFrame:
     """doc_id, token array (whitespace tokenization — the fixture docs
-    are space-separated tokens by construction)."""
-    return documents.select(
-        "doc_id", F.split(F.col("text"), " ").alias("toks")
+    are space-separated tokens by construction).
+
+    The projection is spread across cores before the downstream
+    shingle/hash kernels (guide §2.5): a single-row-group corpus file
+    scans as ONE task, which would otherwise pin every per-row
+    tokenize/md5 pipeline in the dedup family to one core. No-op when
+    the scan already splits (production corpora)."""
+    from ..catalog import spread_scan
+
+    return spread_scan(
+        documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
     )
 
 

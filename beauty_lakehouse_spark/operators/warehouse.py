@@ -2420,6 +2420,7 @@ def q_hilbert_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside whole-stage codegen — no shuffle at all.
 
     Output: (o_orderkey, zx, zy, hkey)."""
+    from ..catalog import spread_scan
     from ..functions import _idiv, epoch_us
 
     t = load(spark, sf_dir)
@@ -2427,9 +2428,15 @@ def q_hilbert_curve_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(F.col("o_orderdate").cast("timestamp")),
         F.lit(86_400_000_000),
     )
-    o = t.orders.select(
-        "o_orderkey", F.col("o_custkey").alias("ck"), day.alias("d")
-    )
+    # spread the single-row-group scan across cores (the 16-round walk
+    # below is per-row compute — §2.5 unsplittable-input fix) and share
+    # ONE materialization between the bounds aggregate and the main
+    # branch (previously two independent single-task scans)
+    o = spread_scan(
+        t.orders.select(
+            "o_orderkey", F.col("o_custkey").alias("ck"), day.alias("d")
+        )
+    ).localCheckpoint(eager=False)
     bounds = o.agg(
         F.min("ck").alias("ck0"), F.max("ck").alias("ck1"),
         F.min("d").alias("d0"), F.max("d").alias("d1"),
