@@ -212,6 +212,10 @@ def spread_scan(df: DataFrame) -> DataFrame:
     The split estimate is driver-only metadata (``inputFiles`` + local
     file sizes) — deliberately NOT ``df.rdd.getNumPartitions()``, which
     materializes the plan and can execute shuffle stages under AQE."""
+    if df.isStreaming:
+        # streaming plans size their state partitions separately
+        # (streaming.pipelines.stream_state_partitions)
+        return df
     spark = df.sparkSession
     goal = spark.sparkContext.defaultParallelism
     try:

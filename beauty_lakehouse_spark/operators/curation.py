@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread_scan
 from ..functions import halfup_div, normalized_text_hash, portable_hash64
 from .text import pred_lang_expr, stopword_scores
 
@@ -2064,8 +2064,10 @@ def dsir_doc_buckets(documents: DataFrame) -> DataFrame:
     (doc_id, source, bucket) GRAM occurrence."""
     from ..functions import portable_hash64
 
-    base = documents.select(
-        "doc_id", "source", F.split("text", " ").alias("tk")
+    base = spread_scan(
+        documents.select(
+            "doc_id", "source", F.split("text", " ").alias("tk")
+        )
     )
     grams = base.select(
         "doc_id",

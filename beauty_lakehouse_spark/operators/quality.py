@@ -4500,7 +4500,7 @@ def q_ams_f2_estimate(spark, sf_dir: str) -> DataFrame:
 
     Output: ``AMS_R`` rows (j, grp, x_j, x2) + attached
     (f2_exact, f2_est, rel_err_ppm)."""
-    from ..catalog import load
+    from ..catalog import load, spread_scan
     from ..functions import _idiv, portable_hash64, splitmix60_apply
 
     t = load(spark, sf_dir)
@@ -4512,11 +4512,11 @@ def q_ams_f2_estimate(spark, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(F.explode(grams).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))
-    )
+    ).cache()  # feeds the sign fan-out AND the exact-F2 side
     fan = tf.select(
         "f",
         portable_hash64(F.col("term")).alias("seed"),
@@ -4684,7 +4684,7 @@ def q_count_sketch_estimates(spark, sf_dir: str) -> DataFrame:
     harness.
 
     Output: ``CS_TOP_TERMS`` rows (term, n_exact, n_cs, err)."""
-    from ..catalog import load
+    from ..catalog import load, spread_scan
 
     t = load(spark, sf_dir)
     toks = F.split("text", " ")
@@ -4695,7 +4695,7 @@ def q_count_sketch_estimates(spark, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(F.explode(grams).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("f"))

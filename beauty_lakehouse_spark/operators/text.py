@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import load, spread_scan
 from ..functions import halfup_div, ln_micro, portable_hash64
 
 # Tiny deterministic stopword sets (heuristic n-gram/lexicon language ID;
@@ -26,7 +26,14 @@ STOPWORDS = {
 
 
 def _tok(df: DataFrame) -> DataFrame:
-    return df.select("doc_id", "lang", "source", "n_chars", F.split("text", " ").alias("toks"))
+    # spread the single-row-group corpus scan before the per-row token
+    # kernels downstream (guide §2.5; no-op on multi-split scans)
+    return spread_scan(
+        df.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.split("text", " ").alias("toks"),
+        )
+    )
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -304,7 +311,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(
             "doc_id",
             grams.alias("g"),
@@ -494,7 +501,7 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per_doc = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("gram"))
         # consumed twice (corpus counts + the join back): materialize
         # once instead of re-running the scan+explode on both sides
@@ -711,7 +718,7 @@ def q_bigram_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     per_doc = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select("doc_id", F.explode(grams).alias("g"))
         .select("doc_id", F.col("g.prefix").alias("prefix"), F.col("g.gram").alias("gram"))
         # consumed three times (two count tables + the join back)
@@ -856,7 +863,7 @@ def q_kneser_ney_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     big = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(F.explode(grams).alias("g"))
         .select("g.u", "g.w")
         .groupBy("u", "w")
@@ -939,13 +946,16 @@ def q_good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
         ),
     )
-    terms = t.documents.filter(F.size(toks) >= 2).select(
+    terms = spread_scan(t.documents).filter(F.size(toks) >= 2).select(
         F.explode(grams).alias("term")
     )
     tf = terms.groupBy("term").agg(F.count(F.lit(1)).alias("r"))
+    # tf feeds the count-of-counts AND (as Σ r) the token total — one
+    # tokenize pass instead of the two an independent count() would run
+    tf = tf.cache()
     coc = tf.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
     nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
-    tot = terms.agg(F.count(F.lit(1)).alias("n_tokens"))
+    tot = tf.agg(F.sum("r").alias("n_tokens"))
     n1 = coc.filter(F.col("r") == 1).select(F.col("n_r").alias("n_1"))
     p0 = (
         tot.crossJoin(F.broadcast(n1))
@@ -2291,7 +2301,10 @@ def nb_token_grid(documents: DataFrame) -> DataFrame:
     and order-insensitive, so a complete-mode streamed aggregate of
     this grid is micro-batch-slicing-independent."""
     return (
-        documents.select(
+        spread_scan(
+            documents.select("doc_id", "lang", "text")
+        )
+        .select(
             "doc_id",
             "lang",
             F.explode(F.split("text", " ")).alias("tok"),
@@ -2723,7 +2736,12 @@ def q_fleiss_kappa_langids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import _idiv
 
     t = load(spark, sf_dir)
-    nbp = nb_predictions(nb_token_grid(t.documents))
+    # two rater branches read the NB predictions — materialize the
+    # scoring plan once instead of running the whole trained-model
+    # pipeline per branch (and per votes consumer: 4x before)
+    nbp = nb_predictions(nb_token_grid(t.documents)).localCheckpoint(
+        eager=False
+    )
     truth = nbp.select("doc_id", F.col("true_lang").alias("cat"))
     nb = nbp.select("doc_id", F.col("pred_lang").alias("cat"))
     d = _tok(t.documents).filter(F.col("doc_id") % NB_TEST_MOD == 0)
@@ -2824,7 +2842,7 @@ def q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     tf = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(F.explode(grams).alias("term"))
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("r"))
@@ -2987,7 +3005,7 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
     toks = F.split("text", " ")
     pairs = (
-        t.documents.filter(F.size(toks) >= 2)
+        spread_scan(t.documents).filter(F.size(toks) >= 2)
         .select(
             F.explode(
                 F.transform(
