@@ -1016,16 +1016,19 @@ def q_deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap/randomization-test determinism contract applied to graph
     sampling).
 
-    Scale: WALK_STEPS unrolled frontier joins (the BFS convention) —
-    per step one equi-join of the |seeds × walks| frontier against the
-    (node, rank) adjacency; the neighbor-rank table is one per-node
-    window at degree grain. No per-round driver collects; walk state
-    is (seed, walk, cur) rows.
+    Scale: the adjacency is collapsed ONCE to a per-node sorted
+    neighbor ARRAY (id order ≡ the rank order the pick indexes), so
+    each step is a single 1:1 join — frontier against the array table
+    — with ``element_at`` doing the neighbor selection. The frontier
+    is CONSTANT-size by construction (seeds × walks rows), so it is
+    broadcast and no step shuffles the adjacency; the pre-r13 form ran
+    TWO shuffling joins per step (deg lookup + rank-row match that
+    re-enumerated every neighbor of each frontier node) plus a second
+    full co-purchase build for the seed ranking. No per-round driver
+    collects; walk state is (seed, walk, cur) rows.
 
     Output: (seed, walk_id, step, node) for steps 0..WALK_STEPS —
     (seeds × walks × (steps+1)) rows; step 0 is the seed itself."""
-    from pyspark.sql import Window
-
     from ..functions import portable_hash64, splitmix60
 
     t = load(spark, sf_dir)
@@ -1043,22 +1046,18 @@ def q_deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # one aggregate builds the sorted neighbor arrays AND the weighted
+    # degree the seed ranking needs — the edge pipeline runs once
     adj = (
-        und.select(
-            "src",
-            "dst",
-            F.row_number()
-            .over(Window.partitionBy("src").orderBy(F.asc("dst")))
-            .cast("long")
-            .alias("nbr_rank"),
+        und.groupBy("src")
+        .agg(
+            F.array_sort(F.collect_list("dst")).alias("nbrs"),
+            F.sum("n_orders").alias("wdeg"),
         )
         .localCheckpoint(eager=False)
     )
-    deg = adj.groupBy("src").agg(F.max("nbr_rank").alias("deg"))
     seeds = (
-        und.groupBy("src")
-        .agg(F.sum("n_orders").alias("wdeg"))
-        .orderBy(F.desc("wdeg"), F.asc("src"))
+        adj.orderBy(F.desc("wdeg"), F.asc("src"))
         .limit(WALK_SEEDS)
         .select(F.col("src").alias("seed"))
     )
@@ -1072,28 +1071,22 @@ def q_deterministic_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cur").alias("node"),
     )
     for step in range(1, WALK_STEPS + 1):
-        mixed = state.join(
-            deg, state["cur"] == deg["src"]
-        ).select(
-            "seed",
-            "walk_id",
-            "cur",
-            (
-                splitmix60(
-                    portable_hash64(F.col("cur")),
-                    F.col("walk_id") * F.lit(8) + F.lit(step),
-                )
-                % F.col("deg")
-                + F.lit(1)
-            ).alias("pick"),
+        pick = (
+            splitmix60(
+                portable_hash64(F.col("cur")),
+                F.col("walk_id") * F.lit(8) + F.lit(step),
+            )
+            % F.size("nbrs").cast("long")
+            + F.lit(1)
         )
         state = (
-            mixed.join(
-                adj,
-                (mixed["cur"] == adj["src"])
-                & (mixed["pick"] == adj["nbr_rank"]),
+            F.broadcast(state)
+            .join(adj, state["cur"] == adj["src"])
+            .select(
+                "seed",
+                "walk_id",
+                F.element_at("nbrs", pick.cast("int")).alias("cur"),
             )
-            .select("seed", "walk_id", F.col("dst").alias("cur"))
             .localCheckpoint(eager=False)
         )
         out = out.unionByName(
