@@ -4804,42 +4804,62 @@ def q_theil_u_matrix(spark, sf_dir: str) -> DataFrame:
     def clnc(c):
         return c * ln_micro(c, F.lit(1))
 
-    def pair(x: str, y: str) -> DataFrame:
-        cells = base.groupBy(x, y).agg(
-            F.sum("c3").cast("long").alias("c")
+    # ALL SIX ordered pairs in ONE linear plan: unpivot the ≤625-cell
+    # cube map-side (6 structs per cube row), one grid aggregate,
+    # marginals as windows keyed by (pair, value) with first-row flags
+    # so each marginal's c·ln c term counts once per distinct value,
+    # then one per-pair aggregate. The previous form built each scalar
+    # (n, Σ_y, Σ_x, Σ_xy) of each pair as its own aggregate subplan
+    # chained by scalar broadcasts — 67 jobs / 145 stages for a
+    # 625-cell cube; this plan runs ~8 (each exchange is a job under
+    # AQE). Windows stay grid-grain: ≤25 rows per (pair, value) key.
+    from pyspark.sql import Window
+
+    axes = ["segment", "priority", "region"]
+    branches = [
+        F.struct(
+            F.lit(x).alias("cx"),
+            F.lit(y).alias("cy"),
+            F.col(x).alias("xv"),
+            F.col(y).alias("yv"),
+            F.col("c3"),
         )
-        xs = cells.groupBy(x).agg(F.sum("c").alias("nx"))
-        ys = cells.groupBy(y).agg(F.sum("c").alias("cy"))
-        n = cells.agg(F.sum("c").alias("n_total"))
-        s_y = ys.agg(F.sum(clnc(F.col("cy"))).alias("sy"))
-        s_x = xs.agg(F.sum(clnc(F.col("nx"))).alias("sx"))
-        s_xy = cells.agg(F.sum(clnc(F.col("c"))).alias("sxy"))
-        g = (
-            n.crossJoin(F.broadcast(s_y))
-            .crossJoin(F.broadcast(s_x))
-            .crossJoin(F.broadcast(s_xy))
-        )
-        a = (
-            F.col("n_total") * ln_micro(F.col("n_total"), F.lit(1))
-            - F.col("sy")
-        ).cast("decimal(38,0)")
-        b = (F.col("sx") - F.col("sxy")).cast("decimal(38,0)")
-        return g.select(
-            F.lit(x).alias("col_x"),
-            F.lit(y).alias("col_y"),
+        for x in axes
+        for y in axes
+        if x != y
+    ]
+    u = base.select(F.explode(F.array(*branches)).alias("s")).select("s.*")
+    cells = u.groupBy("cx", "cy", "xv", "yv").agg(
+        F.sum("c3").cast("long").alias("c")
+    )
+    wx = Window.partitionBy("cx", "cy", "xv")
+    wy = Window.partitionBy("cx", "cy", "yv")
+    e = (
+        cells.withColumn("nx", F.sum("c").over(wx))
+        .withColumn("cyv", F.sum("c").over(wy))
+        .withColumn("rx", F.row_number().over(wx.orderBy("yv")))
+        .withColumn("ry", F.row_number().over(wy.orderBy("xv")))
+    )
+    g = e.groupBy("cx", "cy").agg(
+        F.sum("c").alias("n_total"),
+        F.sum(clnc(F.col("c"))).alias("sxy"),
+        F.sum(F.when(F.col("rx") == 1, clnc(F.col("nx")))).alias("sx"),
+        F.sum(F.when(F.col("ry") == 1, clnc(F.col("cyv")))).alias("sy"),
+    )
+    a = (
+        F.col("n_total") * ln_micro(F.col("n_total"), F.lit(1))
+        - F.col("sy")
+    ).cast("decimal(38,0)")
+    b = (F.col("sx") - F.col("sxy")).cast("decimal(38,0)")
+    return (
+        g.select(
+            F.col("cx").alias("col_x"),
+            F.col("cy").alias("col_y"),
             "n_total",
             _idiv(a, F.col("n_total")).alias("h_y_micro"),
             _idiv(b, F.col("n_total")).alias("h_y_given_x_micro"),
             _idiv(a - b, F.col("n_total")).alias("mi_micro"),
             _idiv((a - b) * F.lit(1_000_000), a).alias("u_ppm"),
         )
-
-    axes = ["segment", "priority", "region"]
-    out = None
-    for x in axes:
-        for y in axes:
-            if x == y:
-                continue
-            p = pair(x, y)
-            out = p if out is None else out.unionByName(p)
-    return out.orderBy("col_x", "col_y")
+        .orderBy("col_x", "col_y")
+    )
