@@ -1340,7 +1340,14 @@ def setsim_clusters(
     rep_docs = documents.join(
         reps.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
     )
-    edges = setsim_prefix_join(rep_docs, num, den, verify="array").select(
+    # n_docs picks the id-mint path only (ids identical either way) —
+    # pass the RAW corpus count (a metadata-only parquet count) as the
+    # upper bound instead of letting the prefix join count rep_docs,
+    # which would run the whole signature+semi-join pipeline eagerly
+    # as a separate throwaway pass
+    edges = setsim_prefix_join(
+        rep_docs, num, den, verify="array", n_docs=documents.count()
+    ).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = reps.select(F.col("rep").alias("id"))
