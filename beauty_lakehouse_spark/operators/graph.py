@@ -1148,7 +1148,14 @@ def _lpa_state(spark: SparkSession, sf_dir: str):
     edges(part_a, part_b)) after ``LPA_ROUNDS`` synchronous rounds —
     consumed by both the community listing and the modularity audit."""
     t = load(spark, sf_dir)
-    edges = copurchase_edges(t.lineitem).filter(F.col("n_orders") >= 2)
+    # checkpoint the EDGE list itself: the modularity audit reads it
+    # twice more (edge count + intra-community count) and previously
+    # re-ran the whole co-purchase self-join per consumer
+    edges = (
+        copurchase_edges(t.lineitem)
+        .filter(F.col("n_orders") >= 2)
+        .localCheckpoint(eager=False)
+    )
     und = (
         edges.select(
             F.col("part_a").alias("src"), F.col("part_b").alias("dst")

@@ -404,8 +404,15 @@ def main() -> None:
     # themselves still pay their full cost: the memo is cleared before
     # ann_topk_exactint / ivf_topk_exactint, which run earlier in
     # HEADLINE and re-populate it on their own timed runs).
+    # r13 measurement fix: hard_negative_mining is the FOURTH serving
+    # consumer (r11; its docstring documents the shared-candidates
+    # architecture like NDCG/RRF/MMR) but was never added here, so the
+    # bench charged it a full rebuild of the serving table the other
+    # three consumers share. Old (rebuild-charged) number kept in the
+    # r12 records: 5.34 s at sf0.1.
     ANN_SERVE_CONSUMERS = {
         "ann_ndcg_exactint", "rrf_fusion_exactint", "mmr_rerank_exactint",
+        "hard_negative_mining",
     }
 
     def _clear_memos(keep_ann_serve: bool = False) -> None:
