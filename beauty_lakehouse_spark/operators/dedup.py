@@ -1788,6 +1788,8 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import load
     from ..functions import _idiv
 
+    from ..catalog import spread_scan
+
     t = load(spark, sf_dir)
     w, m = CDC_WINDOW, CDC_MASK
     bounds = F.expr(
@@ -1799,8 +1801,12 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS BIGINT), {m}) = 0), p -> CAST(p AS BIGINT)),
           array(CAST(length(text) AS BIGINT)))"""
     )
+    # the rolling-hash kernel is one md5 PER CHARACTER POSITION — by
+    # far the heaviest per-row map in the dedup family; spread the
+    # single-row-group scan so it runs on every core (guide §2.5)
     chunks = (
-        t.documents.filter(F.length("text") >= CDC_WINDOW)
+        spread_scan(t.documents.select("doc_id", "text"))
+        .filter(F.length("text") >= CDC_WINDOW)
         .select("doc_id", "text", bounds.alias("bs"))
         .select(
             "doc_id",
@@ -1821,10 +1827,12 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s.hi") - F.col("s.lo")).alias("chunk_len"),
         )
     )
+    # consumed twice (store stats + top-k) — cache so the md5 kernel
+    # and chunk rollup run once, not once per consumer
     store = chunks.groupBy("chunk_md5", "chunk_len").agg(
         F.countDistinct("doc_id").cast("long").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_occ"),
-    )
+    ).cache()
     stats = store.agg(
         F.sum("n_occ").cast("long").alias("total_chunks"),
         F.count(F.lit(1)).cast("long").alias("distinct_chunks"),

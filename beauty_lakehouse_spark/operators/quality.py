@@ -3417,66 +3417,75 @@ def q_info_gain_features(spark, sf_dir: str) -> DataFrame:
             F.col("rk").isNotNull().cast("long").alias("y"),
         )
     )
-    report = None
-    for feat in INFOGAIN_FEATURES:
-        cells = base.groupBy(
-            F.col(feat).alias("x"), "y"
-        ).agg(F.count(F.lit(1)).alias("n_xy"))
-        margins_x = cells.groupBy("x").agg(
-            F.sum("n_xy").alias("n_x")
-        )
-        margins_y = cells.groupBy("y").agg(
-            F.sum("n_xy").alias("n_y")
-        )
-        tot = cells.agg(F.sum("n_xy").alias("n"))
-        hy = (
-            margins_y.crossJoin(F.broadcast(tot))
-            .select(
-                (
-                    F.col("n_y").cast(d38)
-                    * ln_micro(F.col("n"), F.col("n_y")).cast(d38)
-                ).alias("term"),
-                "n",
-            )
-            .agg(F.sum("term").alias("hy_num"), F.max("n").alias("n"))
-        )
-        hcond = (
-            cells.join(margins_x, "x")
-            .select(
-                (
-                    F.col("n_xy").cast(d38)
-                    * ln_micro(F.col("n_x"), F.col("n_xy")).cast(d38)
-                ).alias("term")
-            )
-            .agg(F.sum("term").alias("hc_num"))
-        )
-        nvals = margins_x.agg(
-            F.count(F.lit(1)).cast("long").alias("n_values")
-        )
-        one = (
-            hy.crossJoin(F.broadcast(hcond))
-            .crossJoin(F.broadcast(nvals))
-            .select(
-                F.lit(feat).alias("feature"),
-                "n_values",
-                halfup_div(F.col("hy_num"), F.col("n"), 0)
-                .cast("long")
-                .alias("h_y_unats"),
-                halfup_div(F.col("hc_num"), F.col("n"), 0)
-                .cast("long")
-                .alias("h_y_given_x_unats"),
-                (
-                    halfup_div(F.col("hy_num"), F.col("n"), 0).cast(
-                        "long"
+    # ALL features in ONE unpivoted plan (the theil_u_matrix rework):
+    # previously each feature built cells + margins + three scalar
+    # aggregates chained by scalar broadcasts, re-running the
+    # orders⋈customer⋈returned base per feature — 48 jobs / 100 stages
+    # for three dictionary-grain grids. Margins come from windows keyed
+    # by (feature, value) with first-row flags so each marginal term
+    # counts once; one per-feature aggregate finishes.
+    from pyspark.sql import Window
+
+    u = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(feat).alias("feature"),
+                        F.col(feat).alias("x"),
                     )
-                    - halfup_div(F.col("hc_num"), F.col("n"), 0).cast(
-                        "long"
-                    )
-                ).alias("info_gain_unats"),
+                    for feat in INFOGAIN_FEATURES
+                ]
             )
+        ).alias("s"),
+        "y",
+    ).select("s.feature", "s.x", "y")
+    cells = u.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    wx = Window.partitionBy("feature", "x")
+    wy = Window.partitionBy("feature", "y")
+    e = (
+        cells.withColumn("n_x", F.sum("n_xy").over(wx))
+        .withColumn("n_y", F.sum("n_xy").over(wy))
+        .withColumn("n", F.sum("n_xy").over(Window.partitionBy("feature")))
+        .withColumn("rx", F.row_number().over(wx.orderBy("y")))
+        .withColumn("ry", F.row_number().over(wy.orderBy("x")))
+    )
+    g = e.groupBy("feature").agg(
+        F.max("n").alias("n"),
+        F.sum(F.when(F.col("rx") == 1, F.lit(1)))
+        .cast("long")
+        .alias("n_values"),
+        F.sum(
+            F.when(
+                F.col("ry") == 1,
+                F.col("n_y").cast(d38)
+                * ln_micro(F.col("n"), F.col("n_y")).cast(d38),
+            )
+        ).alias("hy_num"),
+        F.sum(
+            F.col("n_xy").cast(d38)
+            * ln_micro(F.col("n_x"), F.col("n_xy")).cast(d38)
+        ).alias("hc_num"),
+    )
+    return (
+        g.select(
+            "feature",
+            "n_values",
+            halfup_div(F.col("hy_num"), F.col("n"), 0)
+            .cast("long")
+            .alias("h_y_unats"),
+            halfup_div(F.col("hc_num"), F.col("n"), 0)
+            .cast("long")
+            .alias("h_y_given_x_unats"),
+            (
+                halfup_div(F.col("hy_num"), F.col("n"), 0).cast("long")
+                - halfup_div(F.col("hc_num"), F.col("n"), 0).cast("long")
+            ).alias("info_gain_unats"),
         )
-        report = one if report is None else report.unionByName(one)
-    return report.orderBy("feature")
+        .orderBy("feature")
+    )
 
 
 #: Kruskal–Wallis significance bar: χ²(df=4) at α=0.05, in ppm.
