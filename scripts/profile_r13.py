@@ -63,6 +63,14 @@ def main() -> None:
     if "--after" in args:
         suffix = "_after"
         args.remove("--after")
+    plan_only = "--plan-only" in args
+    if plan_only:
+        args.remove("--plan-only")
+    out_dir = None
+    if "--out-dir" in args:
+        i = args.index("--out-dir")
+        out_dir = args[i + 1]
+        del args[i : i + 2]
     if args and args[0] == "--top":
         n = int(args[1])
         bench = json.load(open(os.path.join(
@@ -77,7 +85,7 @@ def main() -> None:
     spark = get_spark("profile_r13")
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     queries = entrymod.queries()
-    plans_dir = os.path.join(
+    plans_dir = out_dir or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans", "r13")
     os.makedirs(plans_dir, exist_ok=True)
@@ -93,6 +101,10 @@ def main() -> None:
         with open(os.path.join(plans_dir, f"{name}{suffix}.txt"), "w") as fh:
             fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"))
+        if plan_only:
+            out[name] = {"build_s": round(build_s, 3)}
+            print(json.dumps({name: out[name]}), flush=True)
+            continue
         # warmup (codegen compile) + 2 timed, min — bench methodology
         _clear_memos(spark)
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

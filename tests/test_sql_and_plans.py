@@ -94,12 +94,23 @@ def test_percentiles_no_low_cardinality_window_over_raw_rows(spark, sf_dir):
 
 def test_pii_and_repetition_are_shuffle_free(spark, sf_dir):
     """Both per-doc text signals must stay a single narrow scan with no
-    Exchange — the property that makes them linear at 100 TB."""
+    DATA-GRAIN shuffle — the property that makes them linear at 100 TB.
+    The one allowed Exchange is the r13 ``spread_scan`` round-robin
+    repartition of the (unsplittable, single-row-group) small scan that
+    fans the per-row gram fold across cores; it moves scan-sized bytes
+    exactly once, never keyed data, and is a no-op at real scale where
+    the scan already splits."""
     from beauty_lakehouse_spark.operators import text
 
     for fn in (text.q_pii_scan, text.q_repetition_stats):
         plan = _plan(fn(spark, sf_dir))
-        assert "Exchange" not in plan, plan
+        exchanges = [
+            l for l in plan.splitlines() if "Exchange" in l
+        ]
+        assert all(
+            "RoundRobinPartitioning" in l and "REPARTITION_BY_NUM" in l
+            for l in exchanges
+        ), plan
         scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
         assert scans and all("ReadSchema" not in l or "text" in l for l in scans)
         assert not any("lang" in l and "source" in l for l in scans)  # pruned
