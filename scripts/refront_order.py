@@ -67,20 +67,20 @@ def main() -> int:
         (n for n in names if n in oracles and n in green),
         key=lambda n: (last[n], pos[n]),
     )
-    # rows-only entries: with the oracle residue at zero (r13), the
-    # ones the driver has NEVER even row-verified ride the front so
-    # each gets one gate slot; already-row-verified ones stay last.
+    # rows-only entries NEVER ride the front: CORRECTNESS_r13 proved
+    # the driver does not row-verify oracle-less entries (all 15 that
+    # landed in the window came back `err: "no_oracle"` with every
+    # field null — 15 verification slots burned, VERDICT r13 issue #1).
+    # They sit behind the green rotation; never-row-verified ones
+    # first in case a future driver learns to row-verify.
     ro_never = [n for n in names if n not in oracles and n not in rowseen]
     ro_seen = [n for n in names if n not in oracles and n in rowseen]
-    order = never + ro_never + greens + ro_seen
+    order = never + greens + ro_never + ro_seen
 
     lines = [f"_DRIVER_ORDER_{tag} = ["]
     lines.append("    # --- never driver-verified: red rows + overflow residue +")
     lines.append("    # --- new-this-round entries (gate front) ---")
     for n in never:
-        lines.append(f'    "{n}",')
-    lines.append("    # --- rows-only entries never driver-row-verified ---")
-    for n in ro_never:
         lines.append(f'    "{n}",')
     lines.append("    # --- driver-green entries, stalest first ---")
     cur = None
@@ -89,7 +89,10 @@ def main() -> int:
             cur = last[n]
             lines.append(f"    # last driver-green r{cur}")
         lines.append(f'    "{n}",')
-    lines.append("    # --- rows-only, already driver-row-verified ---")
+    lines.append("    # --- rows-only entries (never in the gate window:")
+    lines.append("    # --- the driver returns no_oracle for them) ---")
+    for n in ro_never:
+        lines.append(f'    "{n}",')
     for n in ro_seen:
         lines.append(f'    "{n}",')
     lines.append("]")
@@ -103,8 +106,8 @@ def main() -> int:
     open(ENTRY, "w", encoding="utf-8").write(src)
     print(
         f"wrote _DRIVER_ORDER_{tag}: {len(never)} never-green front, "
-        f"{len(ro_never)} rows-only front, {len(greens)} green rotation, "
-        f"{len(ro_seen)} rows-only tail"
+        f"{len(greens)} green rotation, "
+        f"{len(ro_never) + len(ro_seen)} rows-only tail"
     )
     return 0
 

@@ -376,32 +376,21 @@ def test_oracle_output_types_are_portable():
 def test_driver_gate_front_is_all_oracle_bearing():
     """The driver's correctness gate walks queries() in order under a
     ~50-row budget; a rows-only entry in that window burns a slot on a
-    `no_oracle` verdict (r7 wasted 3 of 50). r13 refinement (VERDICT
-    r12 ask #3): with the oracle residue at zero, a rows-only entry
-    MAY ride the front IF AND ONLY IF the driver has never
-    row-verified it — each such entry spends one slot exactly once to
-    earn its rows-only record; every already-row-verified rows-only
-    entry must still sit behind the window."""
-    import glob
-    import json
-    import os
-
+    `no_oracle` verdict (r7 wasted 3 of 50; the r13 relaxation that
+    let never-row-verified rows-only entries ride the front burned 15
+    of 50 — CORRECTNESS_r13 shows the driver gives them all-null
+    `no_oracle` rows, it does NOT row-verify them). Strict policy
+    restored (VERDICT r13 ask #2): every entry in the ~50-slot window
+    must carry an oracle."""
     import __spark_entry__ as entrymod
 
     names = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rowseen = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        with open(path) as fh:
-            for name, row in json.load(fh).items():
-                if row.get("rows_match") and row.get("schema_match", True):
-                    rowseen.add(name)
     front = names[:50]
-    wasted = [n for n in front if n not in oracles and n in rowseen]
+    wasted = [n for n in front if n not in oracles]
     assert not wasted, (
-        f"already-row-verified rows-only entries inside the gate "
-        f"window (wasted slots): {wasted}"
+        f"rows-only entries inside the gate window (each burns a "
+        f"verification slot on a no_oracle verdict): {wasted}"
     )
 
 
