@@ -32,15 +32,29 @@ from ..functions import normalized_text_hash, epoch_us
 #: size this to state volume / throughput, not to the batch core count).
 STREAM_PARTITIONS_ENV = "SPARK_GRAFT_STREAM_PARTITIONS"
 
-#: Pending scale-adaptive state-partition hints: each ``stream_*``
-#: source builder appends the count derived from ITS source's on-disk
-#: size; the next :func:`run_available_now` consumes (max + clear) them
-#: and applies the value as ``spark.sql.shuffle.partitions`` for the
-#: duration of the drain only (saved/restored around the stream run).
-#: Builders and runner live in this module and are always paired
-#: build→drain, so the handoff is local; an explicit
-#: ``state_partitions=`` argument to the runner overrides the hint.
-_STATE_PARTITIONS_HINT: list[int] = []
+#: Glob → real fixture path for every stream source ever built, keyed
+#: by the glob string itself (content-addressed, so re-registration is
+#: idempotent and a stale entry is indistinguishable from a fresh one).
+#: :func:`run_available_now` reads the draining plan's OWN FileSource
+#: globs and looks their on-disk sizes up here — the hint is derived
+#: from the plan being drained, so a stream that was built but never
+#: drained cannot leak its sizing into an unrelated drain (the r13
+#: ``_STATE_PARTITIONS_HINT`` module-global handoff did exactly that —
+#: ADVICE r13 / VERDICT r13 ask #8).
+_STREAM_SOURCE_PATHS: dict[str, str] = {}
+
+
+def _source_bytes(path: str) -> int:
+    """On-disk bytes of one source fixture (file or directory)."""
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(root, f)) for f in files
+            )
+    elif os.path.exists(path):
+        total += os.path.getsize(path)
+    return total
 
 
 def stream_state_partitions(
@@ -63,18 +77,40 @@ def stream_state_partitions(
     env = os.environ.get(STREAM_PARTITIONS_ENV)
     if env:
         return max(1, int(env))
-    total = 0
-    for t in tables:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.isdir(p):
-            for root, _dirs, files in os.walk(p):
-                total += sum(
-                    os.path.getsize(os.path.join(root, f)) for f in files
-                )
-        elif os.path.exists(p):
-            total += os.path.getsize(p)
+    total = sum(
+        _source_bytes(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+    )
     n = 4 + total // (16 * 1024 * 1024)
     return int(max(4, min(n, spark.sparkContext.defaultParallelism)))
+
+
+def _plan_state_partitions(result: DataFrame) -> int | None:
+    """State-partition count derived from the draining plan ITSELF:
+    read the analyzed plan's FileSource globs, look up their real
+    fixture paths (``_STREAM_SOURCE_PATHS``, recorded when the source
+    was built), and size one partition per 16 MiB of the LARGEST
+    source (matching the old per-builder ``max`` semantics — a
+    self-join of one stream counts its bytes once). Returns ``None``
+    when the plan has no recognizable file source (e.g. a rate/memory
+    source in tests) — the drain then keeps the session's setting."""
+    env = os.environ.get(STREAM_PARTITIONS_ENV)
+    if env:
+        return max(1, int(env))
+    spark = result.sparkSession
+    plan = result._jdf.queryExecution().analyzed().toString()
+    paths = {
+        real
+        for g, real in _STREAM_SOURCE_PATHS.items()
+        if g in plan
+    }
+    if not paths:
+        return None
+    per_source = max(
+        4 + _source_bytes(p) // (16 * 1024 * 1024) for p in paths
+    )
+    return int(
+        max(4, min(per_source, spark.sparkContext.defaultParallelism))
+    )
 
 
 def _escape_glob(path: str) -> str:
@@ -92,7 +128,9 @@ def _stream_glob(sf_dir: str, table: str) -> str:
     base is the parent directory. ``sf_dir`` itself is glob-escaped
     so metacharacters in the fixture path can't make the source
     silently resolve zero files instead of failing (ADVICE r8)."""
-    return f"{_escape_glob(sf_dir)}/{table}.parque[t]"
+    g = f"{_escape_glob(sf_dir)}/{table}.parque[t]"
+    _STREAM_SOURCE_PATHS[g] = os.path.join(sf_dir, f"{table}.parquet")
+    return g
 
 #: Non-timestamp columns of the events stream; ``ts`` is appended with
 #: whatever type the footer probe observes on disk.
@@ -122,9 +160,6 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_on_disk = spark.read.parquet(path).schema["ts"].dataType
     schema = T.StructType(
         [T.StructField("ts", ts_on_disk, True), *_EVENTS_FIXED_FIELDS]
-    )
-    _STATE_PARTITIONS_HINT.append(
-        stream_state_partitions(spark, sf_dir, "events")
     )
     raw = spark.readStream.schema(schema).parquet(_stream_glob(sf_dir, "events"))
     if isinstance(ts_on_disk, T.LongType):
@@ -298,17 +333,17 @@ def run_available_now(
     it as a DataFrame. This is the backfill/batch-equivalence runner the
     tests use; production sinks swap ``format``/``outputMode``.
 
-    ``state_partitions`` (default: the pending scale-adaptive hint from
-    the ``stream_*`` source builders, see ``_STATE_PARTITIONS_HINT``)
-    sets ``spark.sql.shuffle.partitions`` — which streaming queries
+    ``state_partitions`` (default: derived from THIS plan's file
+    sources, :func:`_plan_state_partitions`) sets
+    ``spark.sql.shuffle.partitions`` — which streaming queries
     freeze as their state-store partition count at first start — for
     the duration of the drain only; the previous session value is
     restored afterwards. Partition count never changes WHAT a drain
     computes (aggregation/join results are partitioning-independent),
     only how many state stores each micro-batch must load and commit."""
     spark = result.sparkSession
-    if state_partitions is None and _STATE_PARTITIONS_HINT:
-        state_partitions = max(_STATE_PARTITIONS_HINT)
+    if state_partitions is None:
+        state_partitions = _plan_state_partitions(result)
         # The volume-derived hint models JVM state-store cost (load/
         # commit/fsync per partition per micro-batch). A Python-stateful
         # drain (applyInPandasWithState) spends its per-partition budget
@@ -318,12 +353,12 @@ def run_available_now(
         # 32, and the URL-dedup drain 4.6 s vs 2.9 s — identical output
         # either way. Keep those at the session's parallelism; an
         # explicit ``state_partitions=`` argument still wins.
-        plan = result._jdf.queryExecution().analyzed().toString()
-        if "FlatMapGroupsInPandasWithState" in plan:
-            state_partitions = max(
-                state_partitions, spark.sparkContext.defaultParallelism
-            )
-    _STATE_PARTITIONS_HINT.clear()
+        if state_partitions is not None:
+            plan = result._jdf.queryExecution().analyzed().toString()
+            if "FlatMapGroupsInPandasWithState" in plan:
+                state_partitions = max(
+                    state_partitions, spark.sparkContext.defaultParallelism
+                )
     prev = None
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -357,9 +392,6 @@ DOCUMENTS_SCHEMA = T.StructType(
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the documents fixture — the landing-zone tail
     of a streaming ingest/curation pipeline."""
-    _STATE_PARTITIONS_HINT.append(
-        stream_state_partitions(spark, sf_dir, "documents")
-    )
     return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
         _stream_glob(sf_dir, "documents")
     )
@@ -553,9 +585,6 @@ def stream_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the batch `catalog.load` path reads it)."""
     path = f"{_escape_glob(sf_dir)}/orders.parquet"
     schema = spark.read.parquet(path).schema
-    _STATE_PARTITIONS_HINT.append(
-        stream_state_partitions(spark, sf_dir, "orders")
-    )
     return spark.readStream.schema(schema).parquet(
         _stream_glob(sf_dir, "orders")
     )

@@ -1026,3 +1026,35 @@ def test_ks_grid_multi_batch_equals_batch(spark, sf_dir, tmp_path):
     got = ks_finish(grid)
     expected = q_ks_two_sample(spark, sf_dir)
     assert _canon(got) == _canon(expected)
+
+
+def test_state_partitions_keyed_to_drained_plan(spark, sf_dir, monkeypatch):
+    """VERDICT r13 ask #8: the state-partition hint must come from the
+    DRAINED plan's own sources — a stream built earlier but never
+    drained (here: documents) must not leak its sizing into an
+    unrelated drain (events). The r13 module-global handoff list did
+    exactly that via max()."""
+    from beauty_lakehouse_spark.streaming import pipelines as P
+
+    # fake per-source sizes: documents "huge", events 100 MiB
+    def fake_bytes(path):
+        return (32 * 1024**3) if "documents" in path else (100 * 1024**2)
+
+    monkeypatch.setattr(P, "_source_bytes", fake_bytes)
+    # interleaved builders: documents built FIRST and never drained
+    P.stream_documents(spark, sf_dir)
+    ev_plan = P.hourly_event_counts(P.stream_events(spark, sf_dir))
+    got = P._plan_state_partitions(ev_plan)
+    want = int(
+        max(
+            4,
+            min(
+                4 + (100 * 1024**2) // (16 * 1024**2),
+                spark.sparkContext.defaultParallelism,
+            ),
+        )
+    )
+    assert got == want  # events-derived, NOT the documents gigabytes
+    # and a plan with no registered file source opts out entirely
+    mem = spark.readStream.format("rate").load()
+    assert P._plan_state_partitions(mem) is None
