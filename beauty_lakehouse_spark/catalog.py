@@ -222,6 +222,11 @@ def spread_scan(df: DataFrame) -> DataFrame:
         files = df.inputFiles()
     except Exception:
         return df
+    if not files:
+        # unknown provenance (in-memory relation, sink-backed view):
+        # splits=0 would otherwise force an unconditional shuffle onto
+        # a frame whose parallelism we know nothing about (ADVICE r13)
+        return df
     splits = 0
     for f in files:
         path = f.removeprefix("file:")
