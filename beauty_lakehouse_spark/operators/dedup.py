@@ -704,45 +704,83 @@ def connected_components(
     ``nodes`` must have column ``id``; ``edges`` columns ``src``/``dst``
     (one direction suffices — both are generated here).
 
-    Scale notes: each round is two equi-joins + one aggregate; labels
-    are ``localCheckpoint``ed per round so iteration k's plan does not
-    embed the previous k−1 plans (bounded lineage — same policy as
-    pagerank). Convergence is O(log diameter), not O(diameter): besides
-    one-hop neighbor propagation, each round also POINTER-DOUBLES
-    (label ← label-of-label), so the distance a small label has
-    traveled doubles every round — a million-node chain (adversarial
-    near-dup data: quoted quotes of quotes) converges in ~20 rounds.
-    This is the shortcutting idea of large-star/small-star CC."""
+    Scale notes (r14 rework, guide §2.2 fixed-overhead amortization —
+    the loop is shared by dedup_clusters, setsim_clusters and
+    part_golden_record, and its per-round job storm dominated all
+    three locally):
+
+    - **Seed round as one aggregate.** Round 1 of the classic loop is
+      an identity for pointer doubling (labels == ids), so it reduces
+      to ``label₁ = min(id, min neighbor)`` — a groupBy over the edge
+      table + one vertex-grain left join, no edge-grain join.
+    - **One join per round instead of two.** Neighbor propagation and
+      pointer doubling are the same lookup — "node i takes j's label"
+      for j ∈ N(i) ∪ {label(i)} — so the round unions the static edge
+      refs with the (id → label) refs and runs ONE equi-join against
+      the label table (the old form paid two joins + a 3-way union).
+      The self term is subsumed: label(label(i)) ≤ label(i) because
+      labels only decrease and every label is itself a node id.
+    - **Convergence checked every 2 rounds after the first.** Each
+      check is a collect (a job); labels only ever decrease, so an
+      unchanged sum(comp) across a 2-round batch proves BOTH rounds
+      were no-ops (monotonicity) — fixpoint. At most one redundant
+      round runs versus per-round checking; locally each skipped
+      check saves a job round-trip. Labels stay ``localCheckpoint``ed
+      per round so iteration k's plan does not embed rounds 1..k−1.
+
+    Convergence is O(log diameter), not O(diameter): besides one-hop
+    neighbor propagation, each round also POINTER-DOUBLES (label ←
+    label-of-label), so the distance a small label has traveled
+    doubles every round — a million-node chain (adversarial near-dup
+    data: quoted quotes of quotes) converges in ~20 rounds. This is
+    the shortcutting idea of large-star/small-star CC. The fixpoint —
+    every node labeled with the smallest reachable id — is invariant
+    under the regrouping, so the output is bit-identical to the old
+    loop's (and to the DuckDB recursive-CTE oracle)."""
+    # materialize the edge pipeline ONCE before mirroring: ``both``
+    # references ``edges`` twice (forward ∪ reversed), so an uncached
+    # upstream (e.g. setsim's candidate-verify tail) would otherwise
+    # run twice inside the first materializing action (§1.2)
+    edges = edges.localCheckpoint(eager=False)
     both = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
     both = both.localCheckpoint(eager=False)
-    labels = nodes.select(F.col("id"), F.col("id").alias("comp"))
-    prev_sig = None
-    for _ in range(max_iter):
-        # (1) neighbor's current label, propagated one hop
-        neigh = both.join(labels, both.b == labels.id).select(
-            F.col("a").alias("id"), "comp"
+    nbr_min = both.groupBy("a").agg(F.min("b").alias("nb"))
+    labels = (
+        nodes.join(nbr_min, nodes.id == nbr_min.a, "left")
+        .select(
+            nodes.id.alias("id"),
+            F.least(nodes.id, F.coalesce(F.col("nb"), nodes.id)).alias(
+                "comp"
+            ),
         )
-        # (2) pointer doubling: my label's label
-        l2 = labels.select(
-            F.col("id").alias("jid"), F.col("comp").alias("jcomp")
-        )
-        short = labels.join(l2, labels.comp == F.col("jid")).select(
-            "id", F.col("jcomp").alias("comp")
-        )
-        prop = (
-            neigh.unionByName(short)
-            .unionByName(labels)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        ).localCheckpoint(eager=False)
-        # convergence signature: labels only ever decrease, so
-        # sum(comp) strictly decreases until the fixpoint — one cheap
-        # scalar aggregate per round instead of a join-with-previous
-        # (this same action materializes the lazy checkpoint)
-        sig = prop.agg(F.sum("comp").alias("s")).collect()[0]["s"]
-        labels = prop
+        .localCheckpoint(eager=False)
+    )
+    # the seed's signature is its materializing action (like every
+    # later check); sum(comp) strictly decreases until the fixpoint
+    prev_sig = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    rounds_done = 1
+    check_after = 1  # first check after one more round, then every 2
+    while rounds_done < max_iter:
+        batch = min(check_after, max_iter - rounds_done)
+        check_after = 2
+        for _ in range(batch):
+            refs = both.unionByName(
+                labels.select(F.col("id").alias("a"), F.col("comp").alias("b"))
+            )
+            l2 = labels.select(
+                F.col("id").alias("jid"), F.col("comp").alias("jcomp")
+            )
+            labels = (
+                refs.join(l2, refs.b == F.col("jid"))
+                .select(F.col("a").alias("id"), F.col("jcomp").alias("comp"))
+                .groupBy("id")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=False)
+            )
+            rounds_done += 1
+        sig = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
         if sig == prev_sig:
             break
         prev_sig = sig
