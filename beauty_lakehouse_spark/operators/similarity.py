@@ -2699,13 +2699,15 @@ def q_matryoshka_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         tops[d] = _exactint_rerank(embp, cand).select(
             "query_id", "neighbor_id"
         )
-    truth = tops[MATRYOSHKA_DIMS[-1]]
+    # the full-dim truth table is read by EVERY per-dim branch (join +
+    # denominator): materialize its rerank once (§1.2 duplicate
+    # subtrees — the r13 plan re-ran the 64-dim rerank per branch)
+    truth = tops[MATRYOSHKA_DIMS[-1]].localCheckpoint(eager=False)
+    tops[MATRYOSHKA_DIMS[-1]] = truth
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth_pairs"))
     rows = []
     for d in MATRYOSHKA_DIMS:
         hit = tops[d].join(truth, ["query_id", "neighbor_id"])
-        n_truth = truth.agg(
-            F.count(F.lit(1)).alias("n_truth_pairs")
-        )
         rows.append(
             hit.agg(F.count(F.lit(1)).alias("n_hits"))
             .crossJoin(F.broadcast(n_truth))

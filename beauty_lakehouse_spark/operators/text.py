@@ -2167,6 +2167,11 @@ def q_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in FS_FIELDS
         ],
     )
+    # 1-row sufficient statistic consumed by one union branch per
+    # field: materialize it ONCE (guide §1.2 duplicate subtrees — the
+    # r13 plan ran the n² levenshtein BroadcastNestedLoopJoin 4×, once
+    # per branch; measured 12.7 s → the single pass)
+    agg = agg.localCheckpoint(eager=False)
     rows = []
     for f in FS_FIELDS:
         am = F.col(f"am_{f}") + 1
