@@ -2333,7 +2333,13 @@ def nb_predictions(grid: DataFrame) -> DataFrame:
     test = grid.filter(F.col("doc_id") % NB_TEST_MOD == 0).select(
         "doc_id", F.col("lang").alias("true_lang"), "tok", "c"
     )
-    # train-vocabulary size (1-row scalar, broadcast everywhere)
+    # train-vocabulary size (1-row scalar, broadcast everywhere).
+    # (r14 note: deriving this and the per-class totals from a shared
+    # materialized model table was tried and REVERTED — both cache()
+    # and lazy localCheckpoint on the dictionary-grain aggregate made
+    # the concurrent broadcast-build threads serialize on the shared
+    # materialization, 3.98 s -> 5.6 s isolated; the independent
+    # grid-checkpoint scans below dedupe at RDD-block level already)
     vocab_n = train.agg(
         F.countDistinct("tok").cast("long").alias("vocab_n")
     )
@@ -2354,27 +2360,42 @@ def nb_predictions(grid: DataFrame) -> DataFrame:
             ),
         )
     )
-    # dictionary-scale model table: add-one count per (token, class)
-    model = train.groupBy("tok", "lang").agg(
-        F.sum("c").cast("long").alias("ctl")
+    # the unseen-(token, class) fallback cost ln(den/1) is one value
+    # per class — precompute it here, at |classes| grain
+    langs = langs.withColumn(
+        "oov_cost", ln_micro(F.col("den"), F.lit(1).cast("long"))
+    )
+    # dictionary-scale model table: add-one count per (token, class),
+    # with the per-unit token cost ln(den/(ctl+1)) evaluated HERE, at
+    # (token, class) grain — ln_micro is a 16-round interpreted
+    # higher-order fold (~20 µs/row, guide §4), and its arguments are
+    # pure model-grain values, so evaluating it inside the scoring
+    # aggregate (as before r14) re-ran the fold once per test-token ×
+    # class row instead of once per dictionary row. Bit-identical:
+    # same quantized value, multiplied by c at scoring grain either way
+    model = (
+        train.groupBy("tok", "lang")
+        .agg(F.sum("c").cast("long").alias("ctl"))
+        .withColumnRenamed("lang", "hyp")
+        .join(F.broadcast(langs.select("hyp", "den")), "hyp")
+        .select(
+            "tok",
+            "hyp",
+            ln_micro(F.col("den"), F.col("ctl") + 1).alias("unit_cost"),
+        )
     )
     # score every test token against every class; unseen (token,
     # class) pairs fall to the add-one floor c=0 via the left join
     sc = (
-        test.crossJoin(F.broadcast(langs))
-        .join(
-            F.broadcast(model).withColumnRenamed("lang", "hyp"),
-            ["tok", "hyp"],
-            "left",
+        test.crossJoin(
+            F.broadcast(langs.select("hyp", "prior_cost", "oov_cost"))
         )
+        .join(F.broadcast(model), ["tok", "hyp"], "left")
         .groupBy("doc_id", "true_lang", "hyp", "prior_cost")
         .agg(
             F.sum(
                 F.col("c")
-                * ln_micro(
-                    F.col("den"),
-                    F.coalesce(F.col("ctl"), F.lit(0).cast("long")) + 1,
-                )
+                * F.coalesce(F.col("unit_cost"), F.col("oov_cost"))
             ).alias("tok_cost")
         )
         .select(
