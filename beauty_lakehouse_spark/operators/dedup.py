@@ -760,6 +760,21 @@ def connected_components(
     # the seed's signature is its materializing action (like every
     # later check); sum(comp) strictly decreases until the fixpoint
     prev_sig = labels.agg(F.sum("comp").alias("s")).collect()[0]["s"]
+    # ``both`` is now materialized and re-read EVERY round; it
+    # inherited one partition per upstream partition of each union arm
+    # (2x the verify tail's width — 64 near-empty partitions for the
+    # sf0.1 setsim graph), so each round paid one tiny task per
+    # partition in scheduling overhead (§2.2). Coalesce (narrow, no
+    # shuffle) to a volume-derived width: ~2M refs (16 B each, ~32 MB)
+    # per partition, capped at the session's parallelism. The count is
+    # one cheap job over checkpointed blocks.
+    n_refs = both.count()
+    goal = max(1, min(
+        int(nodes.sparkSession.sparkContext.defaultParallelism),
+        n_refs // 2_000_000 + 1,
+    ))
+    if goal < both.rdd.getNumPartitions():
+        both = both.coalesce(goal)
     rounds_done = 1
     check_after = 1  # first check after one more round, then every 2
     while rounds_done < max_iter:
@@ -1176,26 +1191,25 @@ def setsim_prefix_join(
             "token",
             (F.col("off") + F.col("lrk")).cast("long").alias("tid"),
         )
-    itok = (
-        tok.join(dict_tbl, "token")
-        .select("doc_id", "tid")
-        # consumed by 3 branches (prefix build, docsets/both verify
-        # sides). cache(), not localCheckpoint: the CacheManager
-        # dedupes by canonical plan, so BOTH sides of every downstream
-        # self-join read the one materialization (measured 24s -> 6s
-        # on the setsim_clusters rep domain at sf0.1, r8)
-        .cache()
-    )
-    sizes = itok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
-    ranked = (
-        itok.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("tid"))
-            ),
-        )
-        .join(sizes, "doc_id")
-    )
+    itok = tok.join(dict_tbl, "token").select("doc_id", "tid")
+    # r14 (§2.4 share one exchange): rank AND set size come out of ONE
+    # doc_id-partitioned window pass — the old form paid a separate
+    # count aggregate plus a join to re-attach it (two extra
+    # exchanges). ``ranked`` is the one materialization every
+    # downstream branch (prefix build, docsets verify sides) reads;
+    # cache(), not localCheckpoint: the CacheManager dedupes by
+    # canonical plan, so BOTH sides of every downstream self-join read
+    # the one materialization (measured 24s -> 6s on the
+    # setsim_clusters rep domain at sf0.1, r8)
+    w_doc = Window.partitionBy("doc_id")
+    ranked = itok.select(
+        "doc_id",
+        "tid",
+        F.row_number()
+        .over(w_doc.orderBy(F.asc("tid")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(w_doc).alias("s"),
+    ).cache()
     # prefix length p = s - ceil(num·s/den) + 1
     prefix = ranked.filter(
         F.col("rk")
@@ -1203,9 +1217,6 @@ def setsim_prefix_join(
         - F.expr(f"({num} * s + {den} - 1) div {den}")
         + F.lit(1)
     ).select("doc_id", "tid", "s", "rk")
-    # both sides of the candidate self-join read this — cache so the
-    # rank window pipeline runs once, not once per side
-    prefix = prefix.cache()
     a = prefix.select(
         F.col("doc_id").alias("doc_a"),
         "tid",
@@ -1241,8 +1252,11 @@ def setsim_prefix_join(
         .distinct()
     )
     if verify == "array":
-        # consumed by both verify sides — one collect_list aggregate
-        docsets = itok.groupBy("doc_id").agg(
+        # consumed by both verify sides — one collect_list aggregate,
+        # built from the cached ``ranked`` table so it (a) reads the
+        # one materialization and (b) reuses its doc_id hash
+        # partitioning: the groupBy needs no second exchange (§2.4)
+        docsets = ranked.groupBy("doc_id").agg(
             F.array_sort(F.collect_list("tid")).alias("toks")
         ).cache()
         scored = (
@@ -1261,8 +1275,8 @@ def setsim_prefix_join(
             .withColumn("n_common", F.size(F.array_intersect("ta", "tb")))
         )
     else:
-        ta = itok.select(F.col("doc_id").alias("doc_a"), "tid")
-        tb = itok.select(F.col("doc_id").alias("doc_b"), "tid")
+        ta = ranked.select(F.col("doc_id").alias("doc_a"), "tid")
+        tb = ranked.select(F.col("doc_id").alias("doc_b"), "tid")
         scored = (
             cand.join(ta, "doc_a")
             .join(tb, ["doc_b", "tid"])
