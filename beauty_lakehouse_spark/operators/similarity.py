@@ -1374,6 +1374,26 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = t.embeddings.agg(F.count(F.lit(1)).alias("n"))
     msum = ex.groupBy("dim").agg(F.sum("q").alias("m"))
+    # r14 (§2.5 exploding join): the Gram self-join multiplies each
+    # vector's d rows into d² pairs — its OUTPUT is n·d² rows while
+    # its input is only n·d, so sizing the stage by input bytes (what
+    # AQE's coalescing and the single-file scan both do) ran the whole
+    # n·d² multiply-aggregate as ONE task (measured: one 3.2 s stage
+    # holding ~100% of the query's CPU at sf0.1). Partition the
+    # centered matrix by vec_id at a width derived from the OUTPUT
+    # volume (~4M pair-rows per task, capped at the session
+    # parallelism); the vec_id-keyed repartition keeps both join sides
+    # co-partitioned. n_vecs is a parquet metadata count (no scan).
+    n_vecs = t.embeddings.count()
+    gram_goal = int(
+        max(
+            1,
+            min(
+                spark.sparkContext.defaultParallelism,
+                n_vecs * EMB_DIM * EMB_DIM // 4_000_000 + 1,
+            ),
+        )
+    )
     cx = (
         ex.join(F.broadcast(msum), "dim")
         .crossJoin(F.broadcast(nn))
@@ -1385,6 +1405,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.col("m").cast(d38)
             ).alias("c"),
         )
+        .repartition(gram_goal, "vec_id")
         .localCheckpoint(eager=False)
     )
     gram = (
@@ -1395,7 +1416,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     v = msum.select("dim", F.lit(1).cast("long").alias("v"))
-    for _ in range(PCA_ROUNDS):
+    for i in range(PCA_ROUNDS):
         w = (
             gram.join(F.broadcast(v.withColumnRenamed("dim", "di")), "di")
             .groupBy(F.col("dj").alias("dim"))
@@ -1413,8 +1434,13 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
                     * _idiv(F.abs(F.col("w")) * F.lit(PCA_VSCALE), F.col("mx"))
                 ).cast("long").alias("v"),
             )
-            .localCheckpoint(eager=False)
         )
+        # checkpoint every 2nd round (§2.2): the vector is D rows and
+        # referenced once per round (the gram broadcast join), so the
+        # odd round's plan recomputes nothing — half the per-round
+        # materialization round-trips, lineage bounded at two rounds
+        if (i + 1) % 2 == 0 or i == PCA_ROUNDS - 1:
+            v = v.localCheckpoint(eager=False)
     pick = v.select(
         F.max(F.struct(F.abs(F.col("v")).alias("a"), (-F.col("dim")).alias("nd"), F.col("v").alias("v"))).alias("p")
     ).select(
