@@ -1404,53 +1404,28 @@ def q_table_stats(spark, sf_dir: str) -> DataFrame:
     canonicalization is engine-version-dependent (the round-6
     driver-gate red row).
 
-    One aggregate pass emits all per-column stats (count/nulls/min/max
-    share the scan); exact NDV needs one distinct-shuffle per column —
-    at 100 TB you swap those to the portable HLL registers
-    (`hll_registers`, same report schema, ±3% — the engine ships both
-    forms and `hll_distinct` hash-checks the sketch).
+    One pass collapses the table to the per-(column, value) COUNT GRID
+    (the same unpivoted grid the streaming drain maintains —
+    `streaming.order_stats_value_grid`), then the shared
+    `table_stats_finish` reads every per-column statistic off the grid
+    in ONE grouped aggregate: count/nulls/min/max and exact NDV all
+    share a single scan + a single shuffle at grid grain (the r13
+    shape was 6 aggregate branches × a distinct-shuffle each — §1.2
+    duplicate subtrees). At 100 TB you swap exact NDV to the portable
+    HLL registers (`hll_registers`, same report schema, ±3% — the
+    engine ships both forms and `hll_distinct` hash-checks the
+    sketch).
 
     Output: (column, n_rows, n_nulls, n_distinct,
              min_int, max_int, min_str, max_str)."""
     from ..catalog import load
-    from ..functions import dec2
+    from ..streaming.pipelines import order_stats_value_grid
 
     t = load(spark, sf_dir)
-    o = t.orders
-    report = None
-    for col, kind in STATS_COLUMNS:
-        c = dec2(col) if kind == "money" else F.col(col)
-        null_long = F.lit(None).cast("long")
-        null_str = F.lit(None).cast("string")
-        if kind == "money":
-            # exact: dec2 is DECIMAL(12,2), *100 is integer-valued
-            mn_i = (F.min(c) * 100).cast("long")
-            mx_i = (F.max(c) * 100).cast("long")
-            mn_s, mx_s = null_str, null_str
-        elif kind == "date":
-            mn_i = F.datediff(F.min(c), F.lit("1970-01-01")).cast("long")
-            mx_i = F.datediff(F.max(c), F.lit("1970-01-01")).cast("long")
-            mn_s, mx_s = null_str, null_str
-        elif kind == "bigint":
-            mn_i = F.min(c).cast("long")
-            mx_i = F.max(c).cast("long")
-            mn_s, mx_s = null_str, null_str
-        else:  # string: min/max are the values themselves, no cast
-            mn_i, mx_i = null_long, null_long
-            mn_s, mx_s = F.min(c), F.max(c)
-
-        one = o.agg(
-            F.lit(col).alias("column"),
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum(F.col(col).isNull().cast("long")).alias("n_nulls"),
-            F.countDistinct(c).alias("n_distinct"),
-            mn_i.alias("min_int"),
-            mx_i.alias("max_int"),
-            mn_s.alias("min_str"),
-            mx_s.alias("max_str"),
-        )
-        report = one if report is None else report.unionByName(one)
-    return report
+    # the grid builder is pure column algebra — identical on a batch
+    # frame and the landing stream (that equivalence is what lets the
+    # streamed drain share this oracle row)
+    return table_stats_finish(order_stats_value_grid(t.orders))
 
 
 def table_stats_finish(grid) -> "DataFrame":
@@ -1463,46 +1438,58 @@ def table_stats_finish(grid) -> "DataFrame":
     all-null rows, exact NDV = the non-null grid row count, extremes =
     min/max over grid keys (the date column's epoch-micros key is
     collapsed to the report's epoch days here, AFTER the min/max, the
-    same order the batch query applies datediff to min/max)."""
+    same order the batch query applies datediff to min/max).
+
+    ONE grouped aggregate covers all six columns (r14 §1.2: the r13
+    shape filtered + re-aggregated the grid once per column — six
+    scans of the same subtree); the per-kind report mapping (date
+    micros → epoch days, string vs integer extremes) is a post-
+    aggregate CASE on the column name, applied to min/max AFTER the
+    aggregate exactly like the batch query applies datediff to
+    min/max."""
+    is_null = F.col("vint").isNull() & F.col("vstr").isNull()
+    raw = grid.groupBy("column").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(is_null, F.col("n"))), F.lit(0)
+        ).cast("long").alias("n_nulls"),
+        F.count(F.when(~is_null, F.lit(1))).cast("long").alias(
+            "n_distinct"
+        ),
+        F.min("vint").alias("mn_i"),
+        F.max("vint").alias("mx_i"),
+        F.min("vstr").alias("mn_s"),
+        F.max("vstr").alias("mx_s"),
+    )
     null_long = F.lit(None).cast("long")
     null_str = F.lit(None).cast("string")
-    report = None
-    for col, kind in STATS_COLUMNS:
-        g = grid.filter(F.col("column") == col)
-        is_null = F.col("vint").isNull() & F.col("vstr").isNull()
-        if kind == "date":
-            mn = F.datediff(
-                F.timestamp_micros(F.min("vint")).cast("date"),
-                F.lit("1970-01-01"),
-            ).cast("long")
-            mx = F.datediff(
-                F.timestamp_micros(F.max("vint")).cast("date"),
-                F.lit("1970-01-01"),
-            ).cast("long")
-            ms, xs = null_str, null_str
-        elif kind == "string":
-            mn, mx = null_long, null_long
-            ms, xs = F.min("vstr"), F.max("vstr")
-        else:  # bigint / money: grid key already the report integer
-            mn = F.min("vint").cast("long")
-            mx = F.max("vint").cast("long")
-            ms, xs = null_str, null_str
-        one = g.agg(
-            F.lit(col).alias("column"),
-            F.sum("n").cast("long").alias("n_rows"),
-            F.coalesce(
-                F.sum(F.when(is_null, F.col("n"))), F.lit(0)
-            ).cast("long").alias("n_nulls"),
-            F.count(F.when(~is_null, F.lit(1))).cast("long").alias(
-                "n_distinct"
-            ),
-            mn.alias("min_int"),
-            mx.alias("max_int"),
-            ms.alias("min_str"),
-            xs.alias("max_str"),
+    date_cols = [c for c, k in STATS_COLUMNS if k == "date"]
+    str_cols = [c for c, k in STATS_COLUMNS if k == "string"]
+    is_date = F.col("column").isin(date_cols)
+    is_str = F.col("column").isin(str_cols)
+
+    def _days(v):
+        return F.datediff(
+            F.timestamp_micros(v).cast("date"), F.lit("1970-01-01")
+        ).cast("long")
+
+    def _int_report(v):
+        return (
+            F.when(is_date, _days(v))
+            .when(is_str, null_long)
+            .otherwise(v.cast("long"))
         )
-        report = one if report is None else report.unionByName(one)
-    return report
+
+    return raw.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        _int_report(F.col("mn_i")).alias("min_int"),
+        _int_report(F.col("mx_i")).alias("max_int"),
+        F.when(is_str, F.col("mn_s")).otherwise(null_str).alias("min_str"),
+        F.when(is_str, F.col("mx_s")).otherwise(null_str).alias("max_str"),
+    )
 
 
 #: Winsorization cut points: clamp below the p_lo-th and above the
