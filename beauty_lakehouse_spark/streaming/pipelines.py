@@ -132,6 +132,40 @@ def _stream_glob(sf_dir: str, table: str) -> str:
     _STREAM_SOURCE_PATHS[g] = os.path.join(sf_dir, f"{table}.parquet")
     return g
 
+def _spread_stream_scan(df: DataFrame, path: str) -> DataFrame:
+    """Stream twin of ``catalog.spread_scan`` (§2.5): the parquet file
+    stream source assigns ONE scan task per FILE, so a landing
+    directory with few files runs every per-row kernel downstream of
+    the scan (tokenize/bigram-hash/pHash-decode) single-threaded
+    inside the micro-batch. When the source resolves to fewer files
+    than a quarter of the cores, round-robin the scanned rows to the
+    session parallelism before the kernels; the stateful aggregate
+    after them re-shuffles to the volume-derived state-partition count
+    regardless, and aggregate results are partitioning-independent.
+    At production scale a micro-batch holds many files and this is a
+    structural no-op (measured at sf0.1: the DSIR drain 5.3 → 2.9 s,
+    single 1.25 s scan task → 32-way kernel stage).
+
+    Applied to the DOCUMENTS source only: its consumers run real text
+    kernels (DSIR bigram hashing, NB tokenization, winnowing, pHash
+    decode) where the single scan task is the measured bottleneck.
+    The orders/events sources feed cheap parses into aggregates or
+    Python-stateful operators that re-shuffle by key immediately —
+    there the extra per-micro-batch exchange only adds cost (measured:
+    kaplan_meier_streamed 3.7 → 5.4 s with the orders scan spread)."""
+    spark = df.sparkSession
+    goal = spark.sparkContext.defaultParallelism
+    files = 0
+    if os.path.isdir(path):
+        for _root, _dirs, fs in os.walk(path):
+            files += len(fs)
+    elif os.path.exists(path):
+        files = 1
+    if files == 0 or files * 4 >= goal:
+        return df
+    return df.repartition(goal)
+
+
 #: Non-timestamp columns of the events stream; ``ts`` is appended with
 #: whatever type the footer probe observes on disk.
 _EVENTS_FIXED_FIELDS = [
@@ -342,8 +376,9 @@ def run_available_now(
     computes (aggregation/join results are partitioning-independent),
     only how many state stores each micro-batch must load and commit."""
     spark = result.sparkSession
+    derived = _plan_state_partitions(result)
     if state_partitions is None:
-        state_partitions = _plan_state_partitions(result)
+        state_partitions = derived
         # The volume-derived hint models JVM state-store cost (load/
         # commit/fsync per partition per micro-batch). A Python-stateful
         # drain (applyInPandasWithState) spends its per-partition budget
@@ -375,7 +410,21 @@ def run_available_now(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    out = spark.table(name)
+    # Right-size the drained table's scan width to the SAME volume-
+    # derived count as the state stores (r14 §2.6/§5): the memory sink
+    # holds the complete-mode snapshot as driver-local rows, and a
+    # LocalTableScan fans out to defaultParallelism tasks that all
+    # contend on the driver feeding them serialized slices — measured
+    # at sf0.1, the DSIR finish spent 132 s of task runtime (16.9 s
+    # CPU) on a 26 MiB grid through 32 tasks, 3.3 s -> 1.9 s after the
+    # coalesce. coalesce() never increases the partition count, so on
+    # a big drain (thousands of derived partitions) this is a
+    # structural no-op; the finishers' shuffles still run at the
+    # session's parallelism.
+    if derived is not None:
+        out = out.coalesce(derived)
+    return out
 
 
 DOCUMENTS_SCHEMA = T.StructType(
@@ -392,8 +441,11 @@ DOCUMENTS_SCHEMA = T.StructType(
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the documents fixture — the landing-zone tail
     of a streaming ingest/curation pipeline."""
-    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
-        _stream_glob(sf_dir, "documents")
+    return _spread_stream_scan(
+        spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(
+            _stream_glob(sf_dir, "documents")
+        ),
+        os.path.join(sf_dir, "documents.parquet"),
     )
 
 

@@ -1058,3 +1058,53 @@ def test_state_partitions_keyed_to_drained_plan(spark, sf_dir, monkeypatch):
     # and a plan with no registered file source opts out entirely
     mem = spark.readStream.format("rate").load()
     assert P._plan_state_partitions(mem) is None
+
+
+def test_stream_scan_spread_is_conditioned_on_file_count(
+    spark, sf_dir, tmp_path
+):
+    """The documents-source spread (r14 §2.5) must round-robin a
+    few-file landing scan and structurally no-op a many-file one —
+    a repartition added unconditionally would tax every production
+    micro-batch with a full-data exchange."""
+    from pyspark.sql import functions as F
+
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        _spread_stream_scan,
+        stream_documents,
+    )
+
+    # single-file fixture: the spread inserts a repartition node
+    plan = (
+        stream_documents(spark, sf_dir)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "Repartition" in plan
+
+    # many-file source dir (>= cores/4): identity, no exchange added
+    many = tmp_path / "many_files"
+    spark.range(64).withColumn("text", F.lit("x")).repartition(
+        64
+    ).write.parquet(str(many))
+    df = spark.readStream.schema("id long, text string").parquet(str(many))
+    assert _spread_stream_scan(df, str(many)) is df
+
+
+def test_drained_table_scan_width_matches_state_sizing(spark, sf_dir):
+    """run_available_now right-sizes the returned memory table's scan
+    to the volume-derived state-partition count (r14 §5: a
+    LocalTableScan otherwise fans driver-held rows out to
+    defaultParallelism contending tasks)."""
+    from beauty_lakehouse_spark.streaming.pipelines import (
+        _plan_state_partitions,
+        dedup_group_table,
+        stream_documents,
+    )
+
+    agg = dedup_group_table(stream_documents(spark, sf_dir))
+    derived = _plan_state_partitions(agg)
+    assert derived is not None
+    drained = run_available_now(agg, "t_scan_width")
+    assert drained.rdd.getNumPartitions() <= derived
