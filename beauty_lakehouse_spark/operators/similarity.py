@@ -1708,10 +1708,21 @@ def lsh_int_signatures(spark: SparkSession, vectors: DataFrame) -> DataFrame:
 
     Scale: the plane grid is a constant 48×64-row broadcast; the
     vector side explodes to (vec, dim) grain and two map-side-
-    combinable groupBys produce dots then packed signature words."""
+    combinable groupBys produce dots then packed signature words.
+
+    Arithmetic (r14 §2.3, narrower types on the hot aggregate): the
+    sign of Σⱼ eq·pc is decided in pure int64 by splitting the plane
+    component at bit 30 (pc = pc_hi·2³⁰ + pc_lo, pc_lo ∈ [0, 2³⁰)) —
+    the r13 form multiplied DECIMAL(38,0) per (vec, dim, plane) term.
+    Exactness: |pc| < 2⁵⁹ ⇒ |pc_hi| < 2²⁹; the quantized components
+    satisfy |eq| ≤ 10⁸ (the kernel's documented 5·10²⁵ term bound ÷
+    2⁵⁹), so |Σ₆₄ eq·pc_hi| < 2⁶² and |Σ₆₄ eq·pc_lo| < 64·10⁸·2³⁰ ≈
+    6.9·10¹⁸ < 2⁶³ — both sums exact in int64. Recombining,
+    d = s_hi·2³⁰ + s_lo = t·2³⁰ + r with r = pmod(s_lo, 2³⁰) ∈ [0, 2³⁰)
+    and t = s_hi + (s_lo − r) div 2³⁰ (exact division, so truncation
+    ≡ floor), hence d ≥ 0 ⟺ t ≥ 0 — the same bit DECIMAL produced."""
     from ..functions import portable_hash64
 
-    d38 = "decimal(38,0)"
     planes = (
         spark.range(LSH_IDX_PLANES)
         .select(F.col("id").cast("int").alias("p"))
@@ -1733,6 +1744,13 @@ def lsh_int_signatures(spark: SparkSession, vectors: DataFrame) -> DataFrame:
                 - F.lit(1 << 59).cast("long")
             ).alias("pc"),
         )
+        .select(
+            "p",
+            "j",
+            # arithmetic shift = floor division; pc_lo = pmod ∈ [0, 2³⁰)
+            F.shiftright(F.col("pc"), 30).alias("pc_hi"),
+            F.pmod("pc", F.lit((1 << 30)).cast("long")).alias("pc_lo"),
+        )
     )
     ex = vectors.select(
         "vec_id", F.posexplode("embedding").alias("j", "x")
@@ -1746,14 +1764,20 @@ def lsh_int_signatures(spark: SparkSession, vectors: DataFrame) -> DataFrame:
     dots = (
         ex.join(F.broadcast(planes), "j")
         .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("eq").cast(d38) * F.col("pc").cast(d38)).alias("d"))
+        .agg(
+            F.sum(F.col("eq") * F.col("pc_hi")).alias("s_hi"),
+            F.sum(F.col("eq") * F.col("pc_lo")).alias("s_lo"),
+        )
     )
+    # d = s_hi·2³⁰ + s_lo ≥ 0 ⟺ t ≥ 0 (see docstring); the arithmetic
+    # shift IS the floor-division carry, remainder pmod(s_lo, 2³⁰) ≥ 0
+    t_sign = F.col("s_hi") + F.shiftright(F.col("s_lo"), 30)
     return (
         dots.select(
             "vec_id",
             F.expr(f"p div {LSH_IDX_BITS}").cast("int").alias("table"),
             F.when(
-                F.col("d") >= 0,
+                t_sign >= 0,
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), p % {LSH_IDX_BITS})"
                 ),
