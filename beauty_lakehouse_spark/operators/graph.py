@@ -901,24 +901,28 @@ def q_hyperball_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazy checkpoints (the pagerank convention).
 
     Output: (round, n_nodes, sum_ball_est) for r = 0..HB_ROUNDS."""
-    out = None
-    for r, est in enumerate(_hyperball_round_estimates(spark, sf_dir)):
-        row = est.agg(
+    return (
+        _hyperball_ball_estimates(spark, sf_dir)
+        .groupBy("round")
+        .agg(
             F.count(F.lit(1)).alias("n_nodes"),
             F.sum("hll_estimate").cast("long").alias("sum_ball_est"),
-        ).select(
-            F.lit(r).cast("int").alias("round"), "n_nodes", "sum_ball_est"
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("round")
+        .orderBy("round")
+    )
 
 
-def _hyperball_round_estimates(
+def _hyperball_ball_estimates(
     spark: SparkSession, sf_dir: str
-) -> list[DataFrame]:
+) -> DataFrame:
     """The HyperBall register propagation shared by the neighborhood
-    function and the closeness ranking: per round r = 0..HB_ROUNDS the
-    per-node ball-size estimate frame (node, hll_estimate)."""
+    function and the closeness ranking: ONE frame (round, node,
+    hll_estimate) for r = 0..HB_ROUNDS. The per-round register tables
+    stay individually checkpointed (the propagation is inherently
+    sequential), but the estimate math runs ONCE over their tagged
+    union keyed by (round, node) — the r13 shape ran one estimate
+    aggregate per round and re-joined them (§1.2: 4 aggregate subplans
+    + 3 node-keyed joins collapsed into 1 aggregate)."""
     from .quality import hll_group_estimate, hll_registers
 
     t = load(spark, sf_dir)
@@ -937,8 +941,14 @@ def _hyperball_round_estimates(
     regs = hll_registers(nodes, "node", keys=("node",)).localCheckpoint(
         eager=False
     )
-    out = [hll_group_estimate(regs, ("node",)).select("node", "hll_estimate")]
-    for _r in range(1, HB_ROUNDS + 1):
+
+    def _tag(frame: DataFrame, r: int) -> DataFrame:
+        return frame.select(
+            F.lit(r).cast("int").alias("round"), "node", "idx", "m_rho"
+        )
+
+    tagged = _tag(regs, 0)
+    for r in range(1, HB_ROUNDS + 1):
         prop = dir_e.join(
             regs.select(F.col("node").alias("src"), "idx", "m_rho"), "src"
         ).select(F.col("dst").alias("node"), "idx", "m_rho")
@@ -948,10 +958,10 @@ def _hyperball_round_estimates(
             .agg(F.max("m_rho").alias("m_rho"))
             .localCheckpoint(eager=False)
         )
-        out.append(
-            hll_group_estimate(regs, ("node",)).select("node", "hll_estimate")
-        )
-    return out
+        tagged = tagged.unionByName(_tag(regs, r))
+    return hll_group_estimate(tagged, ("round", "node")).select(
+        "round", "node", "hll_estimate"
+    )
 
 
 #: Harmonic weights floor(1e6 / r) for the truncated closeness sum —
@@ -978,15 +988,22 @@ def q_hyperball_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: top-HB_CLOSENESS_TOP nodes by (hc_micro desc, node) —
     (node, ball_1, ball_2, ball_3, hc_micro)."""
-    ests = _hyperball_round_estimates(spark, sf_dir)
-    joined = ests[0].select(
-        "node", F.col("hll_estimate").alias("est_0")
-    )
-    for r in range(1, HB_ROUNDS + 1):
-        joined = joined.join(
-            ests[r].select("node", F.col("hll_estimate").alias(f"est_{r}")),
-            "node",
+    # every node appears in every round (register merge never drops a
+    # node), so the conditional-max pivot over the shared tagged frame
+    # reproduces the old 4-frame inner join exactly — one aggregate,
+    # zero joins (r14 §1.2)
+    joined = (
+        _hyperball_ball_estimates(spark, sf_dir)
+        .groupBy("node")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("round") == r, F.col("hll_estimate"))
+                ).alias(f"est_{r}")
+                for r in range(HB_ROUNDS + 1)
+            ]
         )
+    )
     hc = None
     for r in range(1, HB_ROUNDS + 1):
         term = (
@@ -1634,8 +1651,11 @@ def q_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled lineage never re-evaluates prior rounds (each broadcast
     # max would otherwise recompute the whole chain — measured 15x
     # wall). e_byp feeds the a-step (groupBy p), e_byc the h-step.
+    # r14 §1.2: derive e_byp FROM e_byc's checkpoint — two independent
+    # lazy checkpoints each re-ran the join+distinct edge build
+    # (measured: 5.6 → 4.9 s warm, 15 → 6 s on a cold first run).
     e_byc = e.repartition("c").localCheckpoint(eager=False)
-    e_byp = e.repartition("p").localCheckpoint(eager=False)
+    e_byp = e_byc.repartition("p").localCheckpoint(eager=False)
     h = e_byc.select("c").distinct().select(
         "c", F.lit(HITS_SCALE).cast("long").alias("h")
     )
@@ -1728,7 +1748,12 @@ def q_effective_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions import _idiv
 
-    nf = q_hyperball_neighborhood(spark, sf_dir)
+    # ≤ HB_ROUNDS+1 rows, consumed by the nf_max broadcast AND the
+    # main/cross branches — without the checkpoint each subtree re-ran
+    # the whole HyperBall register pipeline (r14 §1.2)
+    nf = q_hyperball_neighborhood(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
     mx = nf.filter(F.col("round") == HB_ROUNDS).select(
         F.col("sum_ball_est").alias("nf_max")
     )
