@@ -23,6 +23,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -122,16 +123,7 @@ class Catalog:
         if name not in TABLE_COLUMNS:
             raise KeyError(f"unknown table {name!r}; known: {sorted(TABLE_COLUMNS)}")
         if name not in self._cache:
-            # batch reads glob their paths too — escape metacharacters
-            # in sf_dir so e.g. a bracketed fixture dir resolves the
-            # literal path instead of failing/matching wrong files
-            import re
-
-            esc = re.sub(r"([\[\]{}*?\\])", r"\\\1", self.sf_dir)
-            df = self.spark.read.parquet(f"{esc}/{name}.parquet")
-            df = _normalize_nanos(df)
-            _assert_schema(name, df)
-            self._cache[name] = df
+            self._cache[name] = _resolve_table(self.spark, self.sf_dir, name)
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
@@ -143,6 +135,42 @@ class Catalog:
         """Expose every table as a SQL temp view (the spark.sql front door)."""
         for name in TABLE_COLUMNS:
             self.table(name).createOrReplaceTempView(name)
+
+
+#: Session-scoped TABLE-HANDLE cache — the metastore role (r14 §1/§6):
+#: resolving a path-based parquet read costs a driver round-trip plus a
+#: footer schema-inference job EVERY time (~0.12 s/table measured), and
+#: every operator rebuild re-paid it. The cache stores only the
+#: resolved, schema-checked DataFrame HANDLE (logical plan metadata) —
+#: never rows, never computed results: every execution still scans the
+#: parquet files. Keyed by (application, path, file size+mtime) so a
+#: rewritten fixture re-resolves; a production deployment gets the same
+#: effect from catalog tables instead of path reads.
+_TABLE_HANDLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _resolve_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    import re
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = (st.st_size, st.st_mtime_ns)
+    except OSError:
+        stamp = None  # non-local FS: resolve fresh every time
+    key = (spark.sparkContext.applicationId, path, stamp)
+    if stamp is not None and key in _TABLE_HANDLE_CACHE:
+        return _TABLE_HANDLE_CACHE[key]
+    # batch reads glob their paths too — escape metacharacters in
+    # sf_dir so e.g. a bracketed fixture dir resolves the literal path
+    # instead of failing/matching wrong files
+    esc = re.sub(r"([\[\]{}*?\\])", r"\\\1", sf_dir)
+    df = spark.read.parquet(f"{esc}/{name}.parquet")
+    df = _normalize_nanos(df)
+    _assert_schema(name, df)
+    if stamp is not None:
+        _TABLE_HANDLE_CACHE[key] = df
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> Catalog:

@@ -356,9 +356,16 @@ def table_changes(
     reference is IDENTICAL in both manifests cannot have changed (CoW —
     files are immutable), so only differing partitions are read and
     diffed. A trickle merge's change feed therefore costs the touched
-    partitions, not two full snapshots. The diff itself is two
-    ``exceptAll`` set differences (hash aggregate, multiset semantics —
-    duplicate rows handled correctly)."""
+    partitions, not two full snapshots.
+
+    The diff is ONE tagged-union grouped count (r14 §2.2): the r13
+    form ran two ``exceptAll`` set differences, each shuffling both
+    sides (4 snapshot-sized shuffle passes); counting each full row's
+    occurrences in old vs new needs a single map-side-combinable
+    aggregate, and a row's change multiplicity is |n_new − n_old| —
+    identical multiset semantics (``exceptAll(a, b)`` keeps each row
+    max(0, count_a − count_b) times; groupBy and exceptAll share
+    null-safe row equality)."""
     m_from = read_manifest(path, from_version)
     m_to = read_manifest(path, to_version)
     cols = m_to["columns"]
@@ -381,11 +388,27 @@ def table_changes(
         return spark.read.parquet(*dirs).select(*cols)
 
     old, new = read_dirs(from_dirs), read_dirs(to_dirs)
-    return (
-        new.exceptAll(old).select(F.lit("insert").alias("change_type"), *cols)
-        .unionByName(
-            old.exceptAll(new).select(F.lit("delete").alias("change_type"), *cols)
+    tagged = new.select(
+        *cols, F.lit(1).alias("__in_new"), F.lit(0).alias("__in_old")
+    ).unionByName(
+        old.select(
+            *cols, F.lit(0).alias("__in_new"), F.lit(1).alias("__in_old")
         )
+    )
+    counted = tagged.groupBy(*cols).agg(
+        F.sum("__in_new").alias("__nn"), F.sum("__in_old").alias("__no")
+    )
+    delta = F.col("__nn") - F.col("__no")
+    return (
+        counted.filter(delta != 0)
+        .select(
+            F.when(delta > 0, F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("change_type"),
+            *cols,
+            F.explode(F.sequence(F.lit(1), F.abs(delta))).alias("__dup"),
+        )
+        .drop("__dup")
     )
 
 
